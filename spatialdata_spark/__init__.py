@@ -1,0 +1,45 @@
+"""spatialdata_spark — a PySpark-native spatial-omics analytics engine.
+
+Re-expresses the query/data-processing capabilities of scverse/spatialdata
+(the reference, a dask/xarray/geopandas in-memory framework) on Spark
+DataFrames/SQL.  The design is Spark-first: every operator is a pure
+``DataFrame -> DataFrame`` function whose plan Catalyst can optimize
+(predicate pushdown, column pruning, broadcast joins, AQE); Python/Arrow
+UDFs are used only where DataFrame expressions genuinely cannot express
+the semantics (exact geometry predicates, raster tile kernels).
+
+Data model mapping (see SURVEY.md §1.5):
+
+* points    -> DataFrame ``(x double, y double[, z double], ...columns)``
+* shapes    -> DataFrame ``(shape_id long, kind string, wkb binary,
+               minx,miny,maxx,maxy double[, radius double])``
+* labels    -> long-form DataFrame ``(y long, x long[, z long], label long)``
+* images    -> long-form ``(c, y, x, value)`` or chunk table
+               ``(scale, c, cy, cx, tile binary)``
+* tables    -> ``obs`` DataFrame (+ long-form ``X`` and ``var``)
+* transforms -> a tiny driver-side catalog: element -> {cs -> Transformation}
+"""
+
+from spatialdata_spark.catalog import SpatialDataset
+from spatialdata_spark.transformations import (
+    Affine,
+    BaseTransformation,
+    Identity,
+    MapAxis,
+    Scale,
+    Sequence,
+    Translation,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "SpatialDataset",
+    "BaseTransformation",
+    "Identity",
+    "MapAxis",
+    "Translation",
+    "Scale",
+    "Affine",
+    "Sequence",
+]

@@ -1,0 +1,282 @@
+"""SpatialDataset: the container/catalog.
+
+Spark analog of the reference ``SpatialData`` container
+(reference: src/spatialdata/_core/spatialdata.py:61) — a registry of
+named DataFrames across five element namespaces plus a driver-side
+transformation catalog.  The DataFrames stay lazy; the catalog itself
+never triggers a job.
+
+Element names are unique across namespaces, case-insensitively
+(reference: _core/spatialdata.py:134-140, _core/_elements.py:42-49);
+name validity rules follow _core/validation.py:83-197.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from spatialdata_spark.models.schemas import get_model
+from spatialdata_spark.transformations import BaseTransformation, Identity
+from spatialdata_spark.transformations.graph import get_transformation_between
+
+ELEMENT_KINDS = ("images", "labels", "points", "shapes", "tables")
+
+_NAME_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9_\-.]*$")
+
+
+def validate_name(name: str) -> None:
+    """Name rules (reference: _core/validation.py:83-197): non-empty, no
+    path separators, printable, not '.'/'..', no leading '__'."""
+    if not name or name in (".", ".."):
+        raise ValueError(f"Invalid element name {name!r}")
+    if name.startswith("__"):
+        raise ValueError(f"Element name must not start with '__': {name!r}")
+    if not _NAME_RE.match(name):
+        raise ValueError(f"Element name contains invalid characters: {name!r}")
+
+
+def sanitize_name(name: str) -> str:
+    """Best-effort mapping of an arbitrary string to a valid name
+    (reference: _core/_utils.py:34-137)."""
+    cleaned = re.sub(r"[^A-Za-z0-9_\-.]", "_", name).lstrip("_.") or "element"
+    return cleaned
+
+
+@dataclass
+class TableMeta:
+    region: list[str]
+    region_key: str = "region"
+    instance_key: str = "instance_id"
+
+
+class SpatialDataset:
+    """Named DataFrames + transformations; all operators take/return these."""
+
+    def __init__(self, spark: SparkSession | None = None):
+        self.spark = spark
+        self.elements: dict[str, dict[str, DataFrame]] = {k: {} for k in ELEMENT_KINDS}
+        self.transforms: dict[str, dict[str, BaseTransformation]] = {}
+        self.table_meta: dict[str, TableMeta] = {}
+        self.attrs: dict = {}
+
+    # -- registry ---------------------------------------------------------
+    def _check_unique(self, name: str) -> None:
+        lower = name.lower()
+        for kind in ELEMENT_KINDS:
+            for existing in self.elements[kind]:
+                if existing.lower() == lower:
+                    raise ValueError(f"Element name {name!r} already used (case-insensitive) in {kind!r}")
+
+    def _add(self, kind: str, name: str, df: DataFrame, transformations=None) -> None:
+        validate_name(name)
+        self._check_unique(name)
+        get_model(kind).validate(df)
+        self.elements[kind][name] = df
+        if kind != "tables":
+            self.transforms[name] = dict(transformations or {"global": Identity()})
+
+    def add_points(self, name, df, transformations=None):
+        self._add("points", name, df, transformations)
+        return self
+
+    def add_shapes(self, name, df, transformations=None):
+        self._add("shapes", name, df, transformations)
+        return self
+
+    def add_labels(self, name, df, transformations=None):
+        self._add("labels", name, df, transformations)
+        return self
+
+    def add_images(self, name, df, transformations=None):
+        self._add("images", name, df, transformations)
+        return self
+
+    def add_table(self, name, df, region=None, region_key="region", instance_key="instance_id"):
+        self._add("tables", name, df, None)
+        regions = region if isinstance(region, list) else [region] if region else []
+        self.table_meta[name] = TableMeta(region=regions, region_key=region_key, instance_key=instance_key)
+        return self
+
+    def __getitem__(self, name: str) -> DataFrame:
+        for kind in ELEMENT_KINDS:
+            if name in self.elements[kind]:
+                return self.elements[kind][name]
+        raise KeyError(name)
+
+    def kind_of(self, name: str) -> str:
+        for kind in ELEMENT_KINDS:
+            if name in self.elements[kind]:
+                return kind
+        raise KeyError(name)
+
+    def element_names(self) -> list[str]:
+        return [n for kind in ELEMENT_KINDS for n in self.elements[kind]]
+
+    @property
+    def points(self):
+        return self.elements["points"]
+
+    @property
+    def shapes(self):
+        return self.elements["shapes"]
+
+    @property
+    def labels(self):
+        return self.elements["labels"]
+
+    @property
+    def images(self):
+        return self.elements["images"]
+
+    @property
+    def tables(self):
+        return self.elements["tables"]
+
+    # -- transformations --------------------------------------------------
+    def set_transformation(self, element: str, cs: str, t: BaseTransformation) -> None:
+        self.transforms.setdefault(element, {})[cs] = t
+
+    def get_transformation(self, element: str, cs: str = "global") -> BaseTransformation:
+        return self.transforms[element][cs]
+
+    def get_transformation_between(self, source: str, target_cs: str) -> BaseTransformation:
+        """Graph-resolved transform element -> coordinate system
+        (reference: transformations/operations.py:196-344)."""
+        direct = self.transforms.get(source, {})
+        if target_cs in direct:
+            return direct[target_cs]
+        return get_transformation_between(self.transforms, source_element=source, target_cs=target_cs)
+
+    def coordinate_systems(self) -> list[str]:
+        out: set[str] = set()
+        for cs_map in self.transforms.values():
+            out.update(cs_map)
+        return sorted(out)
+
+    # -- container ops ----------------------------------------------------
+    def subset(self, names: list[str], filter_tables: bool = True) -> "SpatialDataset":
+        """Project to a list of element names (+ filter annotating tables);
+        reference: _core/spatialdata.py:2269-2310."""
+        out = SpatialDataset(self.spark)
+        keep = set(names)
+        for kind in ELEMENT_KINDS:
+            if kind == "tables":
+                continue
+            for n, df in self.elements[kind].items():
+                if n in keep:
+                    out.elements[kind][n] = df
+                    out.transforms[n] = dict(self.transforms.get(n, {}))
+        for n, df in self.elements["tables"].items():
+            meta = self.table_meta.get(n)
+            if meta is None:
+                out.elements["tables"][n] = df
+                continue
+            regions = [r for r in meta.region if r in keep]
+            if not filter_tables:
+                out.elements["tables"][n] = df
+                out.table_meta[n] = meta
+            elif regions:
+                from pyspark.sql import functions as F
+
+                out.elements["tables"][n] = df.filter(F.col(meta.region_key).isin(regions))
+                out.table_meta[n] = TableMeta(region=regions, region_key=meta.region_key, instance_key=meta.instance_key)
+        return out
+
+    def filter_by_coordinate_system(self, cs: str, filter_tables: bool = True) -> "SpatialDataset":
+        """Keep elements reachable from a coordinate system
+        (reference: _core/spatialdata.py:591-644)."""
+        keep = [name for name, cs_map in self.transforms.items() if cs in cs_map]
+        return self.subset(keep, filter_tables=filter_tables)
+
+    # -- persistence ------------------------------------------------------
+    def write(self, path: str, mode: str = "overwrite") -> None:
+        """Store layout mirrors the reference zarr hierarchy with parquet
+        leaves (reference: _core/spatialdata.py:1108-1205):
+        ``<path>/<kind>/<name>/data.parquet`` + a json metadata sidecar."""
+        meta: dict = {"version": "0.1", "elements": [], "transforms": {}, "tables": {}}
+        for kind in ELEMENT_KINDS:
+            for name, df in self.elements[kind].items():
+                df.write.mode(mode).parquet(os.path.join(path, kind, name, "data.parquet"))
+                meta["elements"].append({"kind": kind, "name": name})
+        for name, cs_map in self.transforms.items():
+            meta["transforms"][name] = {cs: t.to_dict() for cs, t in cs_map.items()}
+        for name, tm in self.table_meta.items():
+            meta["tables"][name] = {"region": tm.region, "region_key": tm.region_key, "instance_key": tm.instance_key}
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "spatialdataset.json"), "w") as f:
+            json.dump(meta, f, indent=2)
+
+    def write_element(self, path: str, name: str) -> None:
+        """Incremental single-element overwrite (reference:
+        _core/spatialdata.py:1286)."""
+        kind = self.kind_of(name)
+        self.elements[kind][name].write.mode("overwrite").parquet(os.path.join(path, kind, name, "data.parquet"))
+        self._rewrite_metadata(path)
+
+    def delete_element_from_disk(self, path: str, name: str) -> None:
+        """Reference: _core/spatialdata.py:1376."""
+        import shutil
+
+        for kind in ELEMENT_KINDS:
+            p = os.path.join(path, kind, name)
+            if os.path.isdir(p):
+                shutil.rmtree(p)
+        self._rewrite_metadata(path, drop=name)
+
+    def _rewrite_metadata(self, path: str, drop: str | None = None) -> None:
+        meta_path = os.path.join(path, "spatialdataset.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+        else:
+            meta = {"version": "0.1", "elements": [], "transforms": {}, "tables": {}}
+        meta["elements"] = [e for e in meta["elements"] if e["name"] != drop]
+        known = {e["name"] for e in meta["elements"]}
+        for kind in ELEMENT_KINDS:
+            for name in self.elements[kind]:
+                if name != drop and name not in known:
+                    meta["elements"].append({"kind": kind, "name": name})
+        meta["transforms"] = {n: {cs: t.to_dict() for cs, t in m.items()} for n, m in self.transforms.items() if n != drop}
+        meta["tables"] = {
+            n: {"region": tm.region, "region_key": tm.region_key, "instance_key": tm.instance_key}
+            for n, tm in self.table_meta.items()
+            if n != drop
+        }
+        with open(meta_path, "w") as f:
+            json.dump(meta, f, indent=2)
+
+    @staticmethod
+    def read(spark: SparkSession, path: str, selection: tuple[str, ...] | None = None, on_bad_files: str = "error") -> "SpatialDataset":
+        """Read a store (reference: _io/io_zarr.py:125-235); ``selection``
+        restricts to element kinds; ``on_bad_files='warn'`` skips
+        unreadable elements like the reference's tolerance mode."""
+        with open(os.path.join(path, "spatialdataset.json")) as f:
+            meta = json.load(f)
+        ds = SpatialDataset(spark)
+        for entry in meta["elements"]:
+            kind, name = entry["kind"], entry["name"]
+            if selection and kind not in selection:
+                continue
+            p = os.path.join(path, kind, name, "data.parquet")
+            try:
+                df = spark.read.parquet(p)
+            except Exception:
+                if on_bad_files == "warn":
+                    import warnings
+
+                    warnings.warn(f"Skipping unreadable element {kind}/{name}", stacklevel=2)
+                    continue
+                raise
+            ds.elements[kind][name] = df
+        for name, cs_map in meta.get("transforms", {}).items():
+            if any(name in ds.elements[k] for k in ELEMENT_KINDS):
+                ds.transforms[name] = {cs: BaseTransformation.from_dict(d) for cs, d in cs_map.items()}
+        for name, tm in meta.get("tables", {}).items():
+            if name in ds.elements["tables"]:
+                ds.table_meta[name] = TableMeta(**tm)
+        return ds

@@ -1,0 +1,33 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local testing runs ``local[N]``; the configuration is chosen so the same
+code runs unchanged on a multi-executor cluster: AQE on (runtime shuffle
+re-planning, skew-join splitting), shuffle partitions sized to cores
+locally (on a cluster you'd size to 2-3x total cores), Arrow enabled for
+the pandas-UDF paths, UTC timezone pinned so results are comparable with
+the DuckDB oracle (duckdb timestamps are UTC-naive).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "spatialdata-spark", cores: int | None = None) -> SparkSession:
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    return (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .getOrCreate()
+    )

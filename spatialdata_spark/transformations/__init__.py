@@ -1,0 +1,35 @@
+from spatialdata_spark.transformations.base import (
+    VALID_AXES,
+    Affine,
+    BaseTransformation,
+    Identity,
+    MapAxis,
+    Scale,
+    Sequence,
+    Translation,
+    get_output_axes,
+    scale_radii_factor,
+    validate_axes,
+)
+from spatialdata_spark.transformations.graph import (
+    build_transform_graph,
+    estimate_affine_from_landmarks,
+    get_transformation_between,
+)
+
+__all__ = [
+    "VALID_AXES",
+    "Affine",
+    "BaseTransformation",
+    "Identity",
+    "MapAxis",
+    "Scale",
+    "Sequence",
+    "Translation",
+    "get_output_axes",
+    "scale_radii_factor",
+    "validate_axes",
+    "build_transform_graph",
+    "estimate_affine_from_landmarks",
+    "get_transformation_between",
+]

@@ -1,0 +1,70 @@
+import numpy as np
+import pytest
+
+from spatialdata_spark.geometry import predicates as P
+from spatialdata_spark.geometry import wkb
+
+SQUARE = np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0]])
+
+
+def test_wkb_point_roundtrip():
+    kind, xy = wkb.decode(wkb.encode_point(1.5, -2.5))
+    assert kind == "point" and np.allclose(xy, [1.5, -2.5])
+
+
+def test_wkb_polygon_roundtrip():
+    buf = wkb.encode_polygon([SQUARE])
+    kind, rings = wkb.decode(buf)
+    assert kind == "polygon"
+    assert np.allclose(rings[0][:4], SQUARE)
+    assert wkb.geometry_kind(buf) == "polygon"
+
+
+def test_wkb_multipolygon_roundtrip():
+    sq2 = SQUARE + 10.0
+    kind, polys = wkb.decode(wkb.encode_multipolygon([[SQUARE], [sq2]]))
+    assert kind == "multipolygon" and len(polys) == 2
+    assert np.allclose(polys[1][0][:4], sq2)
+
+
+def test_area_and_centroid():
+    assert P.polygon_area([SQUARE]) == pytest.approx(16.0)
+    cx, cy = P.polygon_centroid([SQUARE])
+    assert (cx, cy) == pytest.approx((2.0, 2.0))
+    # with a hole
+    hole = np.array([[1.0, 1.0], [2.0, 1.0], [2.0, 2.0], [1.0, 2.0]])
+    assert P.polygon_area([SQUARE, hole]) == pytest.approx(15.0)
+
+
+def test_points_in_polygon():
+    px = np.array([2.0, 5.0, 0.5, 1.5])
+    py = np.array([2.0, 5.0, 0.5, 1.5])
+    hole = np.array([[1.0, 1.0], [2.0, 1.0], [2.0, 2.0], [1.0, 2.0]])
+    inside = P.points_in_polygon(px, py, [SQUARE, hole])
+    assert inside.tolist() == [True, False, True, False]
+
+
+def test_rings_intersect():
+    assert P.rings_intersect(SQUARE, SQUARE + 2.0)
+    assert not P.rings_intersect(SQUARE, SQUARE + 10.0)
+    # containment counts as intersecting
+    inner = np.array([[1.0, 1.0], [2.0, 1.0], [2.0, 2.0], [1.0, 2.0]])
+    assert P.rings_intersect(SQUARE, inner)
+
+
+def test_convex_clip_area():
+    clip = np.array([[2.0, 2.0], [6.0, 2.0], [6.0, 6.0], [2.0, 6.0]])
+    inter = P.intersection_area_convex([SQUARE], clip)
+    assert inter == pytest.approx(4.0)  # overlap [2,4]x[2,4]
+    assert P.intersection_area_convex([SQUARE], SQUARE + 100) == pytest.approx(0.0)
+
+
+def test_is_convex():
+    assert P.is_convex(SQUARE)
+    concave = np.array([[0, 0], [4, 0], [4, 4], [2, 1], [0, 4]], dtype=float)
+    assert not P.is_convex(concave)
+
+
+def test_regular_polygon_circle_area():
+    ring = wkb.regular_polygon(0, 0, 1.0, n=256)
+    assert P.polygon_area([ring]) == pytest.approx(np.pi, rel=1e-3)

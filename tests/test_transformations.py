@@ -1,0 +1,122 @@
+import numpy as np
+import pytest
+
+from spatialdata_spark.transformations import (
+    Affine,
+    Identity,
+    MapAxis,
+    Scale,
+    Sequence,
+    Translation,
+    get_output_axes,
+    scale_radii_factor,
+)
+from spatialdata_spark.transformations.graph import (
+    estimate_affine_from_landmarks,
+    get_transformation_between,
+)
+
+XY = ("x", "y")
+
+
+def test_identity_matrix():
+    m = Identity().to_affine_matrix(XY, XY)
+    assert np.allclose(m, np.eye(3))
+
+
+def test_identity_embeds_in_larger_output():
+    m = Identity().to_affine_matrix(("x", "y"), ("c", "x", "y"))
+    assert m.shape == (4, 3)
+    assert m[1, 0] == 1 and m[2, 1] == 1 and m[0, 0] == 0
+
+
+def test_translation():
+    t = Translation([10, 20], ("x", "y"))
+    m = t.to_affine_matrix(XY, XY)
+    assert np.allclose(m, [[1, 0, 10], [0, 1, 20], [0, 0, 1]])
+    out = t.transform_coordinates(np.array([[1.0, 2.0]]), XY)
+    assert np.allclose(out, [[11.0, 22.0]])
+    assert t.inverse() == Translation([-10, -20], ("x", "y"))
+
+
+def test_scale_partial_axes():
+    s = Scale([2.0], ("y",))
+    m = s.to_affine_matrix(XY, XY)
+    assert np.allclose(m, [[1, 0, 0], [0, 2, 0], [0, 0, 1]])
+
+
+def test_mapaxis_swap():
+    t = MapAxis({"x": "y", "y": "x"})
+    # output axes derive as ('y', 'x'): values carried, order renamed
+    assert get_output_axes(t, XY) == ("y", "x")
+    m = t.to_affine_matrix(XY, XY)  # pin output order to (x, y)
+    assert np.allclose(m, [[0, 1, 0], [1, 0, 0], [0, 0, 1]])
+    pt = np.array([[1.0, 2.0]])
+    out = (m @ np.hstack([pt, [[1.0]]]).T).T[:, :-1]
+    assert np.allclose(out, [[2.0, 1.0]])
+    assert t.inverse() == MapAxis({"y": "x", "x": "y"})
+
+
+def test_affine_roundtrip():
+    a = Affine([[2, 0, 5], [0, 3, 7], [0, 0, 1]], XY, XY)
+    pts = np.array([[1.0, 1.0], [2.0, -1.0]])
+    fwd = a.transform_coordinates(pts, XY)
+    back = a.inverse().transform_coordinates(fwd, XY)
+    assert np.allclose(back, pts)
+
+
+def test_affine_passthrough_axis():
+    # affine on (x,y) applied to (x,y,z) data: z passes through
+    a = Affine([[2, 0, 0], [0, 2, 0], [0, 0, 1]], XY, XY)
+    axes = ("x", "y", "z")
+    assert get_output_axes(a, axes) == ("z", "x", "y")
+    out = a.transform_coordinates(np.array([[1.0, 2.0, 3.0]]), axes)
+    # output columns ordered (z, x, y)
+    assert np.allclose(out, [[3.0, 2.0, 4.0]])
+
+
+def test_sequence_compose():
+    seq = Sequence([Scale([2, 2], XY), Translation([1, 1], XY)])
+    out = seq.transform_coordinates(np.array([[1.0, 1.0]]), XY)
+    assert np.allclose(out, [[3.0, 3.0]])
+    m = seq.to_affine_matrix(XY, XY)
+    assert np.allclose(m, [[2, 0, 1], [0, 2, 1], [0, 0, 1]])
+    inv = seq.inverse()
+    assert np.allclose(inv.transform_coordinates(out, XY), [[1.0, 1.0]])
+
+
+def test_sequence_axis_reorder_output():
+    seq = Sequence([Translation([5], ("x",))])
+    m = seq.to_affine_matrix(("x", "y"), ("y", "x"))
+    assert np.allclose(m, [[0, 1, 0], [1, 0, 5], [0, 0, 1]])
+
+
+def test_scale_radii_factor_isotropic():
+    assert scale_radii_factor(Scale([3, 3], XY)) == pytest.approx(3.0)
+    assert scale_radii_factor(Scale([2, 4], XY)) == pytest.approx(3.0)
+
+
+def test_graph_resolution_via_shared_cs():
+    transforms = {
+        "pts": {"cs1": Translation([1, 0], XY)},
+        "shp": {"cs1": Translation([0, 1], XY), "cs2": Scale([2, 2], XY)},
+    }
+    t = get_transformation_between(transforms, source_element="pts", target_cs="cs2")
+    out = t.transform_coordinates(np.array([[0.0, 0.0]]), XY)
+    # pts -> cs1 (+1,0), cs1 -> shp (-0,-1), shp -> cs2 (*2)
+    assert np.allclose(out, [[2.0, -2.0]])
+
+
+def test_graph_no_path_raises():
+    transforms = {"a": {"cs1": Identity()}, "b": {"cs2": Identity()}}
+    with pytest.raises(ValueError):
+        get_transformation_between(transforms, source_element="a", target_cs="cs2")
+
+
+def test_landmark_estimation():
+    rng = np.random.default_rng(0)
+    src = rng.uniform(0, 10, (6, 2))
+    true = Affine([[1.5, 0.2, 3.0], [-0.1, 2.0, -1.0], [0, 0, 1]], XY, XY)
+    dst = true.transform_coordinates(src, XY)
+    est = estimate_affine_from_landmarks(src, dst)
+    assert np.allclose(est.matrix, true.matrix, atol=1e-8)

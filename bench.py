@@ -1,0 +1,68 @@
+"""Benchmark harness: headline queries at SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+{"metric": "total_sec", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is fully materialized via the noop sink (all columns
+computed, nothing collected to the driver).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from spatialdata_spark.session import get_spark
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_shipping",
+    "q05_local_supplier",
+    "sq_bbox_identity",
+    "sq_bbox_rotation",
+    "sq_polygon_points",
+    "sq_multibox",
+    "ag_points_by_circles_count",
+    "ag_points_categorical",
+    "ag_fractions",
+    "ag_zonal_image",
+    "rv_rasterize_count",
+    "rv_transform_points",
+    "pl_dedup_exact",
+    "pl_minhash_dedup",
+    "pl_knn_cosine",
+    "pl_text_stats",
+    "st_tumbling",
+    "st_sessionize",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("spatialdata-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+
+    # warm the JVM + parquet footers with one cheap action
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({"metric": "total_sec", "value": total, "unit": "sec", "queries": timings, "sf": sf}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,131 @@
+"""Rasterize points/shapes onto a pixel grid; relabel operators.
+
+Reference: src/spatialdata/_core/operations/rasterize.py:616-761
+(datashader canvas aggregation: count/sum/first/count_cat) and
+src/spatialdata/_core/operations/map.py:159-253 (relabeling).
+
+Spark-first: datashader's canvas agg IS a groupBy on floor-binned
+pixel coordinates — `groupBy(floor((y-y0)/res), floor((x-x0)/res))` —
+with map-side combine.  `count_cat` is the same groupBy plus the
+category key (long-form; pivot on demand).  The output is a long-form
+raster (sparse: only populated pixels), which is also the
+scale-correct representation for 100 TB of transcripts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_REDUCTIONS = ("count", "sum", "mean", "first", "max", "min")
+
+
+def rasterize_points(
+    points: DataFrame,
+    x0: float,
+    y0: float,
+    resolution: float,
+    value_col: str | None = None,
+    reduction: str = "count",
+    width: int | None = None,
+    height: int | None = None,
+) -> DataFrame:
+    """Bin points to pixels: ``(py, px, value)`` long-form raster.
+
+    reduction='count'  -> datashader ds.count()  (rasterize.py:704-710)
+    reduction='sum'    -> ds.sum(value_col)
+    reduction='first'  -> ds.first(value_col) — first by input row order,
+    approximated here as F.first (non-deterministic across partitions,
+    like datashader's parallel first).
+    reduction='count_cat' -> use rasterize_points_categorical.
+    """
+    if reduction not in _REDUCTIONS:
+        raise ValueError(f"reduction {reduction!r}; supported: {_REDUCTIONS}")
+    px = F.floor((F.col("x") - F.lit(float(x0))) / F.lit(float(resolution))).alias("px")
+    py = F.floor((F.col("y") - F.lit(float(y0))) / F.lit(float(resolution))).alias("py")
+    binned = points.select(py, px, *([F.col(value_col)] if value_col else []))
+    if width is not None:
+        binned = binned.filter((F.col("px") >= 0) & (F.col("px") < width))
+    if height is not None:
+        binned = binned.filter((F.col("py") >= 0) & (F.col("py") < height))
+    g = binned.groupBy("py", "px")
+    if reduction == "count":
+        return g.agg(F.count(F.lit(1)).alias("value"))
+    if value_col is None:
+        raise ValueError(f"reduction {reduction!r} needs a value_col")
+    fn = {"sum": F.sum, "mean": F.avg, "first": F.first, "max": F.max, "min": F.min}[reduction]
+    return g.agg(fn(F.col(value_col)).alias("value"))
+
+
+def rasterize_points_categorical(
+    points: DataFrame,
+    x0: float,
+    y0: float,
+    resolution: float,
+    category_col: str,
+    pivot: bool = False,
+) -> DataFrame:
+    """datashader ``count_cat`` (rasterize.py:694): per-pixel per-category
+    counts.  Long form by default (multichannel image analog); pivot=True
+    returns one column per category (small category sets only)."""
+    px = F.floor((F.col("x") - F.lit(float(x0))) / F.lit(float(resolution))).alias("px")
+    py = F.floor((F.col("y") - F.lit(float(y0))) / F.lit(float(resolution))).alias("py")
+    binned = points.select(py, px, F.col(category_col).alias("category"))
+    long = binned.groupBy("py", "px", "category").agg(F.count(F.lit(1)).alias("n"))
+    if not pivot:
+        return long
+    return long.groupBy("py", "px").pivot("category").agg(F.first("n")).na.fill(0)
+
+
+def rasterize_labels_from_shapes_centroid(
+    shapes: DataFrame, x0: float, y0: float, resolution: float
+) -> DataFrame:
+    """Labels raster from shapes via center binning ('first' reduction with
+    shape_id value, the label path of rasterize.py:616-743 for points-like
+    geometry).  Full polygon scan-fill is in operators/raster.py."""
+    cx = (F.col("minx") + F.col("maxx")) / 2
+    cy = (F.col("miny") + F.col("maxy")) / 2
+    return (
+        shapes.select(
+            F.floor((cy - F.lit(float(y0))) / F.lit(float(resolution))).alias("py"),
+            F.floor((cx - F.lit(float(x0))) / F.lit(float(resolution))).alias("px"),
+            F.col("shape_id"),
+        )
+        .groupBy("py", "px")
+        .agg(F.min("shape_id").alias("label"))
+    )
+
+
+def relabel_sequential(labels_long: DataFrame) -> DataFrame:
+    """Dense-rank labels to 1..n keeping 0 as background
+    (reference: map.py:219-253 relabel_sequential).
+
+    The distinct-label set is tiny relative to pixels: build the mapping
+    with a window over distincts, then broadcast-join it back — the big
+    table is never shuffled.
+    """
+    mapping = (
+        labels_long.select("label")
+        .filter(F.col("label") != 0)
+        .distinct()
+        .withColumn("new_label", F.dense_rank().over(Window.orderBy("label")))
+    )
+    return (
+        labels_long.join(F.broadcast(mapping), "label", "left")
+        .withColumn("label", F.coalesce(F.col("new_label"), F.lit(0)))
+        .drop("new_label")
+    )
+
+
+def relabel_by_partition(labels_long: DataFrame, shift_bits: int = 32) -> DataFrame:
+    """Disambiguate chunk-local label ids without global coordination:
+    ``label | (partition_id << shift)`` (reference: map.py:159-216 uses
+    the same bit-shift trick over dask blocks)."""
+    return labels_long.withColumn(
+        "label",
+        F.when(
+            F.col("label") != 0,
+            F.col("label").bitwiseOR(F.shiftleft(F.spark_partition_id().cast("long"), shift_bits)),
+        ).otherwise(F.lit(0)),
+    )

@@ -1,0 +1,339 @@
+"""Spatial query operators: bounding-box / polygon / multi-box queries.
+
+Reference: src/spatialdata/_core/query/spatial_query.py —
+points bbox :618-743 (fast paths :668-701), shapes bbox :746-800,
+raster bbox :537-615, polygon query :874-975, multi-box :421-437.
+
+Spark-first design:
+
+* The transform-case analysis (:268-321) runs on the driver over tiny
+  matrices; the data-side work is emitted as Catalyst expressions.
+* Identity / axis-aligned transforms: the query box is inverse-mapped
+  to intrinsic coordinates on the driver, and the filter is a bare
+  conjunctive range predicate — pushed down to parquet row groups.
+* General (rotated/sheared) transforms: coordinates are projected
+  through the affine *as expressions* and filtered in target space —
+  still whole-stage codegen, no Python boundary.
+* Shapes: pruning uses the denormalized (minx..maxy) bbox columns —
+  the columnar stand-in for the reference's R-tree — followed by an
+  exact-geometry refine; circles refine with a pure-expression
+  distance test, polygons with an Arrow-batched UDF.
+* Bounds convention: point coordinate masks are EXCLUSIVE (> and <),
+  matching spatial_query.py:434; raster/integer queries are inclusive
+  slices; shape bbox overlap tests are inclusive (R-tree `intersects`).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from spatialdata_spark.functions.affine import affine_exprs
+from spatialdata_spark.transformations import BaseTransformation, Identity
+
+
+@dataclass
+class BoundingBoxRequest:
+    """Validated bbox request (reference: spatial_query.py:359-377)."""
+
+    axes: tuple[str, ...]
+    min_coordinate: np.ndarray
+    max_coordinate: np.ndarray
+
+    def __post_init__(self):
+        self.min_coordinate = np.asarray(self.min_coordinate, dtype=float)
+        self.max_coordinate = np.asarray(self.max_coordinate, dtype=float)
+        if len(self.axes) != len(self.min_coordinate) or len(self.axes) != len(self.max_coordinate):
+            raise ValueError("axes / min / max length mismatch")
+        for ax in self.axes:
+            if ax not in ("x", "y", "z"):
+                raise ValueError(f"Invalid query axis {ax!r} (spatial axes only)")
+        if (self.min_coordinate > self.max_coordinate).any():
+            raise ValueError("min_coordinate must be <= max_coordinate")
+
+
+def _affine_2d(transformation: BaseTransformation, axes: tuple[str, ...]) -> np.ndarray:
+    return transformation.to_affine_matrix(axes, axes)
+
+
+def _is_axis_aligned(m: np.ndarray) -> bool:
+    linear = m[:-1, :-1]
+    return bool(np.all(linear == np.diag(np.diag(linear))))
+
+
+def _intrinsic_box(m_inv: np.ndarray, mins: np.ndarray, maxs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Map a target-CS box through an inverse affine; valid for
+    axis-aligned transforms (per-axis rescale, sign-flip aware)."""
+    d = len(mins)
+    corners = np.array([mins, maxs])
+    diag = np.diag(m_inv[:d, :d])
+    t = m_inv[:d, d]
+    a = corners[0] * diag + t
+    b = corners[1] * diag + t
+    return np.minimum(a, b), np.maximum(a, b)
+
+
+def bounding_box_query_points(
+    df: DataFrame,
+    axes: tuple[str, ...],
+    min_coordinate,
+    max_coordinate,
+    transformation: BaseTransformation | None = None,
+) -> DataFrame:
+    """Filter points to an axis-aligned box given in the target CS.
+
+    Returns rows in intrinsic coordinates (filtered, not projected),
+    like the reference.  Exclusive bounds.
+    """
+    req = BoundingBoxRequest(tuple(axes), min_coordinate, max_coordinate)
+    t = transformation or Identity()
+    m = _affine_2d(t, req.axes)
+
+    if _is_axis_aligned(m):
+        # fast path (reference :668-701): rewrite the box, filter raw
+        # columns -> predicate pushdown to parquet
+        m_inv = np.linalg.inv(m)
+        lo, hi = _intrinsic_box(m_inv, req.min_coordinate, req.max_coordinate)
+        cond = None
+        for i, ax in enumerate(req.axes):
+            c = (F.col(ax) > F.lit(float(lo[i]))) & (F.col(ax) < F.lit(float(hi[i])))
+            cond = c if cond is None else (cond & c)
+        return df.filter(cond)
+
+    # general path: project coordinates through the affine as expressions
+    exprs = affine_exprs(m, req.axes, req.axes)
+    cond = None
+    for i, ax in enumerate(req.axes):
+        c = (exprs[ax] > F.lit(float(req.min_coordinate[i]))) & (exprs[ax] < F.lit(float(req.max_coordinate[i])))
+        cond = c if cond is None else (cond & c)
+    return df.filter(cond)
+
+
+def bounding_box_query_multibox(
+    df: DataFrame,
+    axes: tuple[str, ...],
+    min_coordinates,
+    max_coordinates,
+    transformation: BaseTransformation | None = None,
+) -> DataFrame:
+    """N boxes at once (DataLoader tile sweep, reference :421-437,585-593).
+
+    The boxes become a broadcast DataFrame range-joined against the
+    points; output gains a ``box_id`` column (a point can match several
+    boxes).  At scale this is the idiomatic plan: tiny dim broadcast,
+    no shuffle of the fact side.
+    """
+    req_axes = tuple(axes)
+    mins = np.asarray(min_coordinates, dtype=float)
+    maxs = np.asarray(max_coordinates, dtype=float)
+    t = transformation or Identity()
+    m = _affine_2d(t, req_axes)
+    if not _is_axis_aligned(m):
+        raise NotImplementedError("multi-box query requires an axis-aligned transform")
+    m_inv = np.linalg.inv(m)
+    rows = []
+    for i in range(len(mins)):
+        lo, hi = _intrinsic_box(m_inv, mins[i], maxs[i])
+        rows.append((i, *[float(v) for v in lo], *[float(v) for v in hi]))
+    spark = df.sparkSession
+    cols = ["box_id"] + [f"__lo_{ax}" for ax in req_axes] + [f"__hi_{ax}" for ax in req_axes]
+    boxes = spark.createDataFrame(rows, cols)
+    cond = None
+    for ax in req_axes:
+        c = (F.col(ax) > F.col(f"__lo_{ax}")) & (F.col(ax) < F.col(f"__hi_{ax}"))
+        cond = c if cond is None else (cond & c)
+    joined = df.join(F.broadcast(boxes), cond)
+    return joined.drop(*[c for c in cols if c != "box_id"])
+
+
+def _box_overlap_cond(qminx: float, qminy: float, qmaxx: float, qmaxy: float) -> Column:
+    return (
+        (F.col("maxx") >= F.lit(qminx))
+        & (F.col("minx") <= F.lit(qmaxx))
+        & (F.col("maxy") >= F.lit(qminy))
+        & (F.col("miny") <= F.lit(qmaxy))
+    )
+
+
+def _polygon_refine_udf(ring: np.ndarray):
+    """Exact shape-vs-query-ring intersect test (Arrow batched)."""
+    ring_arr = np.asarray(ring, dtype=float)
+
+    @F.pandas_udf(T.BooleanType())
+    def _refine(wkb_s):
+        import pandas as pd
+
+        from spatialdata_spark.geometry import predicates as P
+        from spatialdata_spark.geometry import wkb as W
+
+        out = []
+        for buf in wkb_s:
+            if buf is None:
+                out.append(False)
+                continue
+            kind, geom = W.decode(bytes(buf))
+            if kind == "point":
+                out.append(bool(P.points_in_ring(np.array([geom[0]]), np.array([geom[1]]), ring_arr)[0]))
+            elif kind == "polygon":
+                out.append(P.rings_intersect(geom[0], ring_arr))
+            else:
+                out.append(any(P.rings_intersect(rings[0], ring_arr) for rings in geom))
+        return pd.Series(out)
+
+    return _refine
+
+
+def bounding_box_query_shapes(
+    df: DataFrame,
+    axes: tuple[str, ...],
+    min_coordinate,
+    max_coordinate,
+    transformation: BaseTransformation | None = None,
+    exact: bool = True,
+) -> DataFrame:
+    """Shapes whose geometry intersects the query box.
+
+    bbox-column prefilter (columnar R-tree analog, reference :746-800)
+    + exact refine.  Circles refine with a pure-expression
+    closest-point distance test; polygons with the geometry UDF only
+    when the box is rotated in intrinsic space (axis-aligned boxes need
+    no refine beyond bbox overlap for the prefilter=query-box case —
+    bbox overlap is exact for axis-aligned boxes vs axis-aligned bboxes
+    only as a *candidate* test, so polygons still refine).
+    """
+    req = BoundingBoxRequest(tuple(axes), min_coordinate, max_coordinate)
+    t = transformation or Identity()
+    m = _affine_2d(t, req.axes)
+
+    if _is_axis_aligned(m):
+        m_inv = np.linalg.inv(m)
+        lo, hi = _intrinsic_box(m_inv, req.min_coordinate, req.max_coordinate)
+        qminx, qminy = lo[req.axes.index("x")], lo[req.axes.index("y")]
+        qmaxx, qmaxy = hi[req.axes.index("x")], hi[req.axes.index("y")]
+        ring = np.array([[qminx, qminy], [qmaxx, qminy], [qmaxx, qmaxy], [qminx, qmaxy]])
+    else:
+        # inverse-map the box corners -> rotated query polygon in intrinsic CS
+        m_inv = np.linalg.inv(m)
+        ix, iy = req.axes.index("x"), req.axes.index("y")
+        corners = np.array(
+            [
+                [req.min_coordinate[ix], req.min_coordinate[iy]],
+                [req.max_coordinate[ix], req.min_coordinate[iy]],
+                [req.max_coordinate[ix], req.max_coordinate[iy]],
+                [req.min_coordinate[ix], req.max_coordinate[iy]],
+            ]
+        )
+        # build (x,y)-ordered inverse
+        d = len(req.axes)
+        lin = m_inv[:d, :d]
+        tvec = m_inv[:d, d]
+        xy = np.array([[lin[ix, ix], lin[ix, iy]], [lin[iy, ix], lin[iy, iy]]])
+        ring = corners @ xy.T + np.array([tvec[ix], tvec[iy]])
+        qminx, qminy = ring.min(axis=0)
+        qmaxx, qmaxy = ring.max(axis=0)
+
+    pre = df.filter(_box_overlap_cond(float(qminx), float(qminy), float(qmaxx), float(qmaxy)))
+    if not exact:
+        return pre
+
+    # exact refine: circles via expression distance test to the box ring's
+    # bbox (for axis-aligned ring this is exact circle-vs-rect)
+    if _is_axis_aligned(m):
+        cx = (F.col("minx") + F.col("maxx")) / 2
+        cy = (F.col("miny") + F.col("maxy")) / 2
+        dx = F.greatest(F.lit(float(qminx)) - cx, F.lit(0.0), cx - F.lit(float(qmaxx)))
+        dy = F.greatest(F.lit(float(qminy)) - cy, F.lit(0.0), cy - F.lit(float(qmaxy)))
+        circle_hit = (dx * dx + dy * dy) <= (F.col("radius") * F.col("radius"))
+        poly_refine = _polygon_refine_udf(ring)
+        return pre.filter(
+            F.when(F.col("kind") == "point", circle_hit).otherwise(poly_refine(F.col("wkb")))
+        )
+    poly_refine = _polygon_refine_udf(ring)
+    return pre.filter(poly_refine(F.col("wkb")))
+
+
+def polygon_query_points(
+    df: DataFrame,
+    polygon_ring: np.ndarray,
+    transformation: BaseTransformation | None = None,
+) -> DataFrame:
+    """Points inside a query polygon (reference :895-923).
+
+    The polygon is inverse-mapped to intrinsic coordinates on the
+    driver; the plan is bbox range prefilter (pushdown) + exact
+    point-in-polygon pandas UDF on survivors only.
+    """
+    ring = np.asarray(polygon_ring, dtype=float)
+    t = transformation or Identity()
+    m = _affine_2d(t, ("x", "y"))
+    m_inv = np.linalg.inv(m)
+    ring_i = ring @ m_inv[:2, :2].T + m_inv[:2, 2]
+    minx, miny = ring_i.min(axis=0)
+    maxx, maxy = ring_i.max(axis=0)
+
+    pre = df.filter(
+        (F.col("x") > F.lit(float(minx)))
+        & (F.col("x") < F.lit(float(maxx)))
+        & (F.col("y") > F.lit(float(miny)))
+        & (F.col("y") < F.lit(float(maxy)))
+    )
+
+    @F.pandas_udf(T.BooleanType())
+    def _inside(x_s, y_s):
+        import pandas as pd
+
+        from spatialdata_spark.geometry import predicates as P
+
+        return pd.Series(P.points_in_ring(x_s.to_numpy(), y_s.to_numpy(), ring_i))
+
+    return pre.filter(_inside(F.col("x"), F.col("y")))
+
+
+def polygon_query_shapes(
+    df: DataFrame,
+    polygon_ring: np.ndarray,
+    transformation: BaseTransformation | None = None,
+) -> DataFrame:
+    """Shapes intersecting a query polygon (reference :926-975)."""
+    ring = np.asarray(polygon_ring, dtype=float)
+    t = transformation or Identity()
+    m = _affine_2d(t, ("x", "y"))
+    m_inv = np.linalg.inv(m)
+    ring_i = ring @ m_inv[:2, :2].T + m_inv[:2, 2]
+    minx, miny = ring_i.min(axis=0)
+    maxx, maxy = ring_i.max(axis=0)
+    pre = df.filter(_box_overlap_cond(float(minx), float(miny), float(maxx), float(maxy)))
+    refine = _polygon_refine_udf(ring_i)
+
+    # circles: exact expression test — closest point on circle center vs ring
+    # is not expression-friendly for arbitrary rings; use UDF for all kinds
+    # except when the circle's bbox is fully inside the ring bbox AND the
+    # ring is the bbox itself (cheap case handled by bbox query).
+    return pre.filter(refine(F.col("wkb")))
+
+
+def bounding_box_query_raster_long(
+    df: DataFrame,
+    axes: tuple[str, ...],
+    min_coordinate,
+    max_coordinate,
+    transformation: BaseTransformation | None = None,
+) -> DataFrame:
+    """Long-form raster bbox query = inclusive integer range filter
+    (reference :537-615 does integer slicing on chunked arrays)."""
+    req = BoundingBoxRequest(tuple(axes), min_coordinate, max_coordinate)
+    t = transformation or Identity()
+    m = _affine_2d(t, req.axes)
+    if not _is_axis_aligned(m):
+        raise NotImplementedError("raster bbox query requires an axis-aligned transform")
+    m_inv = np.linalg.inv(m)
+    lo, hi = _intrinsic_box(m_inv, req.min_coordinate, req.max_coordinate)
+    cond = None
+    for i, ax in enumerate(req.axes):
+        c = (F.col(ax) >= F.lit(int(np.floor(lo[i])))) & (F.col(ax) <= F.lit(int(np.ceil(hi[i]))))
+        cond = c if cond is None else (cond & c)
+    return df.filter(cond)

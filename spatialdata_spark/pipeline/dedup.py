@@ -1,0 +1,260 @@
+"""Deduplication operators for large-scale document pipelines.
+
+Beyond-reference scope (BASELINE.json north star): exact dedup,
+MinHash+LSH near-dup, SimHash, n-gram Jaccard verification.
+
+Scale design:
+
+* exact_dedup — hash-groupBy; one shuffle on the 128-bit digest, never
+  on the document text (project the digest first, group, semi-join).
+* minhash_lsh — shingle → 64-bit hashes → k minhashes (Arrow-batched
+  numpy, one pass) → band buckets → self-join per bucket. The join is
+  an equi-join on (band, bucket-hash): candidate pairs only, no n².
+  Bucket skew (boilerplate docs) is the known hazard — AQE skew-join
+  plus an optional bucket-size cap handle it.
+* simhash — 64-bit fingerprint; near-dup = Hamming distance ≤ k via
+  bit_count(xor) on candidate pairs from 4-way table split (each
+  16-bit block equal in at least one block if distance ≤ 3).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_MERSENNE = (1 << 61) - 1
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical documents: ``(keep_id, digest, n_dups)``.
+
+    The canonical representative is the minimum id (deterministic).
+    """
+    return (
+        docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("digest"))
+        .groupBy("digest")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def exact_dedup_keep(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Filter to one representative per digest (min id) — the actual
+    dedup pass; a semi-join so document payloads shuffle at most once."""
+    keep = exact_dedup(docs, text_col, id_col).select(F.col("keep_id").alias(id_col))
+    return docs.join(keep, id_col, "left_semi")
+
+
+def _hash_params(num_hashes: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE - 1, size=num_hashes, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE - 1, size=num_hashes, dtype=np.int64)
+    return a, b
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-document MinHash signature: ``(doc_id, sig array<long>)``.
+
+    Character-k-shingles hashed to 64-bit, then k universal-hash
+    minima — one vectorized numpy pass per Arrow batch.
+    """
+    a, b = _hash_params(num_hashes, seed)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _sig(texts):
+        import pandas as pd
+
+        out = []
+        for t in texts:
+            t = t or ""
+            if len(t) < shingle_k:
+                shingles = {t}
+            else:
+                shingles = {t[i : i + shingle_k] for i in range(len(t) - shingle_k + 1)}
+            hv = np.fromiter(
+                ((hash(s) & 0x7FFFFFFFFFFFFFFF) for s in shingles), dtype=np.int64, count=len(shingles)
+            )
+            # sig_i = min_j (a_i * h_j + b_i mod p)
+            prods = (hv[None, :].astype(object) * a[:, None] + b[:, None]) % _MERSENNE
+            out.append(prods.min(axis=1).astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return docs.select(F.col(id_col), _sig(F.col(text_col)).alias("sig"))
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame,
+    num_bands: int = 16,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH banding: pairs sharing >=1 band bucket: ``(id_a, id_b, n_bands)``.
+
+    Plan: explode signatures to (band, bucket) rows, self-equi-join on
+    the bucket key — Catalyst shuffles on (band, bucket), so identical
+    buckets co-locate; no cartesian anywhere.
+    """
+    sig_len_row = signatures.select(F.size("sig").alias("n")).first()
+    rows_per_band = max(1, (sig_len_row["n"] if sig_len_row else 64) // num_bands)
+
+    banded = signatures.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_bands - 1)),
+                lambda i: F.hash(F.slice(F.col("sig"), i * rows_per_band + 1, rows_per_band), i),
+            )
+        ).alias("band", "bucket"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .groupBy(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+    return pairs
+
+
+def minhash_jaccard_estimate(signatures: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Verify candidates: estimated Jaccard = fraction of equal signature
+    positions — a zip_with/aggregate expression, JVM-side."""
+    sa = signatures.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = signatures.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    joined = pairs.join(sa, "id_a").join(sb, "id_b")
+    eq = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return joined.select(
+        "id_a", "id_b", (eq / F.size("sig_a")).alias("jaccard_est")
+    )
+
+
+def minhash_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Full near-dup pipeline: signatures → LSH candidates → verify →
+    connected-pairs representative pick (min id per cluster, one round —
+    full transitive closure is an iterative extension)."""
+    sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_k)
+    cand = minhash_lsh_candidates(sigs, num_bands, id_col)
+    verified = minhash_jaccard_estimate(sigs, cand, id_col).filter(F.col("jaccard_est") >= threshold)
+    # representative: min partner id per doc (1-hop union-find approximation)
+    reps = (
+        verified.select(F.col("id_b").alias(id_col), F.col("id_a").alias("rep"))
+        .groupBy(id_col)
+        .agg(F.min("rep").alias("rep"))
+    )
+    return docs.join(reps, id_col, "left_anti")
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard for candidate pairs (verification pass)."""
+
+    @F.pandas_udf(T.DoubleType())
+    def _jac(ta, tb):
+        import pandas as pd
+
+        out = []
+        for x, y in zip(ta, tb):
+            wa = (x or "").split()
+            wb = (y or "").split()
+            ga = {tuple(wa[i : i + n]) for i in range(max(0, len(wa) - n + 1))}
+            gb = {tuple(wb[i : i + n]) for i in range(max(0, len(wb) - n + 1))}
+            u = len(ga | gb)
+            out.append(len(ga & gb) / u if u else 0.0)
+        return pd.Series(out)
+
+    da = docs.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("text_a"))
+    db = docs.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("text_b"))
+    return (
+        pairs.join(da, "id_a")
+        .join(db, "id_b")
+        .select("id_a", "id_b", _jac("text_a", "text_b").alias("jaccard"))
+    )
+
+
+def simhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                       shingle_k: int = 4) -> DataFrame:
+    """64-bit SimHash fingerprints: ``(doc_id, simhash long)``."""
+
+    @F.pandas_udf(T.LongType())
+    def _sim(texts):
+        import pandas as pd
+
+        out = []
+        for t in texts:
+            t = t or ""
+            if len(t) < shingle_k:
+                tokens = [t]
+            else:
+                tokens = [t[i : i + shingle_k] for i in range(len(t) - shingle_k + 1)]
+            acc = np.zeros(64, dtype=np.int64)
+            shifts = np.arange(64, dtype=np.uint64)
+            for tok in tokens:
+                h = np.uint64(hash(tok) & 0xFFFFFFFFFFFFFFFF)
+                bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
+                acc += 2 * bits - 1
+            fp = 0
+            for i in range(64):
+                if acc[i] > 0:
+                    fp |= 1 << i
+            # to signed 64
+            out.append(fp - (1 << 64) if fp >= (1 << 63) else fp)
+        return pd.Series(out)
+
+    return docs.select(F.col(id_col), _sim(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_duplicates(fps: DataFrame, max_hamming: int = 3, id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs by Hamming distance via 4-block LSH: if dist<=3,
+    at least one 16-bit block matches exactly — equi-join per block."""
+    blocks = fps.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(*[((F.col("simhash").bitwiseAND(F.lit(0xFFFF << (16 * i)))).alias(f"b{i}")) for i in range(4)])
+        ).alias("block_idx", "block_val"),
+    )
+    l, r = blocks.alias("l"), blocks.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.block_idx") == F.col("r.block_idx"))
+            & (F.col("l.block_val") == F.col("r.block_val"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.filter(F.col("hamming") <= max_hamming)

@@ -1,0 +1,140 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — the dot product is a
+``zip_with``/``aggregate`` expression (JVM-side, no Python).  Scale
+path: LSH random-hyperplane bucketing (signed projections) so the
+candidate set per query is a bucket join, not the full corpus; IVF
+(k-means coarse quantizer) follows the same join shape.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dot_expr(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm_expr(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine_topk_query(
+    embeddings: DataFrame,
+    query_vector,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k most-cosine-similar rows to one query vector.
+
+    The query vector is a literal array (broadcast in the plan);
+    ordering ties break on id for determinism.
+    """
+    q = [float(v) for v in query_vector]
+    qn = float(np.sqrt(np.sum(np.asarray(q) ** 2)))
+    qcol = F.array(*[F.lit(v) for v in q])
+    dot = _dot_expr(F.col(vec_col).cast("array<double>"), qcol)
+    sim = dot / (_norm_expr(F.col(vec_col).cast("array<double>")) * F.lit(qn))
+    return (
+        embeddings.select(F.col(id_col), sim.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def cosine_self_join_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_threshold: int = 20000,
+) -> DataFrame:
+    """All-pairs brute-force top-k neighbors (small corpora / oracle
+    baseline).  Guarded: refuses corpora above ``block_threshold`` —
+    use :func:`lsh_bucketed_topk` at scale."""
+    n = embeddings.count()
+    if n > block_threshold:
+        raise ValueError(f"{n} rows: brute-force all-pairs is O(n^2); use lsh_bucketed_topk")
+    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("va"))
+    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("vb"))
+    pairs = a.join(b, F.col("id_a") != F.col("id_b"))
+    sim = _dot_expr(F.col("va"), F.col("vb")) / (_norm_expr(F.col("va")) * _norm_expr(F.col("vb")))
+    scored = pairs.select("id_a", "id_b", sim.alias("cosine"))
+    w = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.col("id_b"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k).drop("rank")
+
+
+def random_hyperplane_buckets(
+    embeddings: DataFrame,
+    num_planes: int = 8,
+    dim: int | None = None,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH bucket id per vector: sign pattern of ``num_planes`` random
+    projections packed into an int — expressions only, planes are
+    literals folded into the plan."""
+    if dim is None:
+        first = embeddings.select(F.size(vec_col).alias("d")).first()
+        dim = int(first["d"])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((num_planes, dim))
+    bucket = F.lit(0)
+    v = F.col(vec_col).cast("array<double>")
+    for i in range(num_planes):
+        pcol = F.array(*[F.lit(float(x)) for x in planes[i]])
+        bit = (_dot_expr(v, pcol) > 0).cast("int")
+        bucket = bucket + (bit * F.lit(1 << i))
+    return embeddings.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+
+
+def lsh_bucketed_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    num_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate all-pairs top-k: candidates restricted to the same
+    hyperplane bucket — the self-join shuffles on ``bucket``, so work is
+    Σ bucket² instead of n².  Recall improves with multiple plane sets
+    (union of several seeds) — callers can union results."""
+    bucketed = random_hyperplane_buckets(embeddings, num_planes, None, seed, id_col, vec_col)
+    a = bucketed.select(F.col("bucket"), F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("va"))
+    b = bucketed.select(F.col("bucket"), F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("vb"))
+    pairs = a.join(b, "bucket").filter(F.col("id_a") != F.col("id_b"))
+    sim = _dot_expr(F.col("va"), F.col("vb")) / (_norm_expr(F.col("va")) * _norm_expr(F.col("vb")))
+    scored = pairs.select("id_a", "id_b", sim.alias("cosine"))
+    w = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.col("id_b"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k).drop("rank")
+
+
+def embedding_cosine_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup removal: keep rows with no higher-id
+    bucket-mate above the cosine threshold."""
+    bucketed = random_hyperplane_buckets(embeddings, num_planes, None, 42, id_col, vec_col)
+    a = bucketed.select("bucket", F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("va"))
+    b = bucketed.select("bucket", F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("vb"))
+    sim = _dot_expr(F.col("va"), F.col("vb")) / (_norm_expr(F.col("va")) * _norm_expr(F.col("vb")))
+    dup_ids = (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return embeddings.join(dup_ids, id_col, "left_anti")

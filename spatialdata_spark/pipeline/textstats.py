@@ -1,0 +1,111 @@
+"""Text analysis operators: quality scoring, token counting, language ID,
+document fingerprinting.  All hot-path expressions are JVM-side builtins
+(regexp/length/split); only language-ID needs a (vectorized) UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# tiny per-language stopword lists for the n-gram/stopword heuristic
+_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "von", "mit", "den", "ein"],
+    "fr": ["le", "la", "et", "les", "des", "est", "pas", "pour", "que", "une"],
+    "es": ["el", "la", "de", "que", "los", "una", "por", "con", "para", "es"],
+}
+
+
+def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality features — pure Catalyst expressions:
+    char count, token count, punctuation ratio, digit ratio, uppercase
+    ratio, mean word length, stopword ratio (en)."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    # whitespace tokenization; empty string -> 0 tokens
+    tokens = F.split(F.trim(t), r"\s+")
+    n_tokens = F.when(F.length(F.trim(t)) == 0, 0).otherwise(F.size(tokens))
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[.,;:!?'\"()\[\]{}-]", ""))
+    n_digit = n_chars - F.length(F.regexp_replace(t, r"[0-9]", ""))
+    n_upper = n_chars - F.length(F.regexp_replace(t, r"[A-Z]", ""))
+    n_space = n_chars - F.length(F.regexp_replace(t, r" ", ""))
+    sw = _STOPWORDS["en"]
+    lower_padded = F.concat(F.lit(" "), F.lower(t), F.lit(" "))
+    n_stop = None
+    for w in sw:
+        c = (F.length(lower_padded) - F.length(F.regexp_replace(lower_padded, rf"\b{w}\b", ""))) / len(w)
+        n_stop = c if n_stop is None else n_stop + c
+    return docs.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        (n_punct / F.greatest(n_chars, F.lit(1))).alias("punct_ratio"),
+        (n_digit / F.greatest(n_chars, F.lit(1))).alias("digit_ratio"),
+        (n_upper / F.greatest(n_chars, F.lit(1))).alias("upper_ratio"),
+        ((n_chars - n_space) / F.greatest(n_tokens, F.lit(1))).alias("mean_word_len"),
+        F.round(n_stop / F.greatest(n_tokens, F.lit(1)), 9).alias("stopword_ratio"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Composite quality score in [0,1]: rewards stopword presence and
+    sane word lengths, penalizes punctuation/digit soup.  Heuristic in
+    the spirit of C4/Gopher text-quality rules."""
+    s = text_stats(docs, text_col, id_col)
+    score = (
+        F.lit(1.0)
+        - F.least(F.lit(1.0), F.col("punct_ratio") * 4)
+        * F.lit(0.25)
+        - F.least(F.lit(1.0), F.col("digit_ratio") * 5) * F.lit(0.25)
+        + F.least(F.lit(0.25), F.col("stopword_ratio"))
+        - F.when((F.col("mean_word_len") < 3) | (F.col("mean_word_len") > 12), 0.25).otherwise(0.0)
+    )
+    return s.select(id_col, F.greatest(F.lit(0.0), F.least(F.lit(1.0), score)).alias("quality"))
+
+
+def token_count_bpe_ish(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Token count with a BPE-ish regex (GPT-2 style word/number/punct
+    splitting) — a JVM regexp, no UDF."""
+    pattern = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(pattern), F.lit(0))
+    return docs.select(F.col(id_col), F.size(toks).alias("n_bpe_tokens"))
+
+
+def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-vote language ID over {en,de,fr,es} (+'unknown').
+
+    Arrow-batched UDF: the per-language stopword hit count is a numpy
+    vote; ties / no hits -> 'unknown'.
+    """
+
+    @F.pandas_udf(T.StringType())
+    def _lid(texts):
+        import pandas as pd
+
+        out = []
+        for t in texts:
+            words = set((t or "").lower().split())
+            best, best_n = "unknown", 0
+            for lang, sws in _STOPWORDS.items():
+                n = sum(1 for w in sws if w in words)
+                if n > best_n:
+                    best, best_n = lang, n
+            out.append(best if best_n >= 2 else "unknown")
+        return pd.Series(out)
+
+    return docs.select(F.col(id_col), _lid(F.col(text_col)).alias("lang_pred"))
+
+
+def doc_fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic 64-bit rolling-hash fingerprint (content-defined):
+    xxhash64 of the normalized text + first/last 64 chars — expressions
+    only."""
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    return docs.select(
+        F.col(id_col),
+        F.xxhash64(norm).alias("fingerprint"),
+        F.xxhash64(F.substring(norm, 1, 64)).alias("prefix_fp"),
+        F.xxhash64(F.substring(F.reverse(norm), 1, 64)).alias("suffix_fp"),
+    )

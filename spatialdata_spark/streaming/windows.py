@@ -1,0 +1,87 @@
+"""Streaming / event-time operators over the events table.
+
+Extension scope (the reference has none — SURVEY.md §2.9): tumbling /
+sliding / session windows with watermarks, expressible both as batch
+(for the oracle) and as Structured Streaming (readStream on the same
+parquet schema).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def tumbling_window_agg(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Per event-type tumbling-window counts/sums.  Output keys are epoch
+    seconds (engine-portable for the oracle)."""
+    w = F.window("ts", width)
+    return (
+        events.groupBy(w.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sliding_window_agg(events: DataFrame, width: str = "1 hour", slide: str = "30 minutes") -> DataFrame:
+    w = F.window("ts", width, slide)
+    return (
+        events.groupBy(w.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_timestamp(F.col("w.start")).alias("window_start"), "event_type", "n")
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Per-user sessionization via lag + cumulative gap counting — the
+    batch formulation (streaming uses session_window)."""
+    gap = gap_minutes * 60
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    with_gap = events.withColumn(
+        "new_session",
+        (
+            F.coalesce(
+                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w_user)),
+                F.lit(gap + 1),
+            )
+            > gap
+        ).cast("int"),
+    )
+    with_sess = with_gap.withColumn(
+        "session_id", F.sum("new_session").over(w_user.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        with_sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.unix_timestamp(F.min("ts")).alias("session_start"),
+            F.unix_timestamp(F.max("ts")).alias("session_end"),
+        )
+    )
+
+
+def streaming_tumbling_query(spark: SparkSession, source_dir: str, schema, width: str = "1 hour",
+                             watermark: str = "10 minutes"):
+    """True Structured-Streaming variant: readStream over the parquet
+    directory, watermarked tumbling agg, memory sink.  Returns the
+    started query (caller: processAllAvailable() then read the sink)."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    return (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("events_windowed")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -37,6 +37,136 @@ from pyspark.sql import types as T
 AGG_FUNCS = {"sum": F.sum, "mean": F.avg, "count": F.count, "min": F.min, "max": F.max}
 
 
+def _circle_cell_cover(circles_slim: DataFrame, h: float) -> DataFrame:
+    """Decompose each circle into covering grid cells, classified as
+    fully-inside (``__full``) or boundary.
+
+    Input: ``(shape_id, ccx, ccy, r)``.  Output adds ``__qx, __qy,
+    __full``; cells not touching the circle are dropped.  The full test
+    shrinks the radius by a tiny epsilon so points whose ``floor(x/h)``
+    cell assignment is off by one float ulp can never be claimed by a
+    full cell — they fall to a boundary cell and get the exact test.
+    """
+    hl = F.lit(h)
+    cells = (
+        circles_slim.withColumn(
+            "__qx",
+            F.explode(F.sequence(F.floor((F.col("ccx") - F.col("r")) / hl), F.floor((F.col("ccx") + F.col("r")) / hl))),
+        ).withColumn(
+            "__qy",
+            F.explode(F.sequence(F.floor((F.col("ccy") - F.col("r")) / hl), F.floor((F.col("ccy") + F.col("r")) / hl))),
+        )
+    )
+    x0 = F.col("__qx") * hl
+    x1 = x0 + hl
+    y0 = F.col("__qy") * hl
+    y1 = y0 + hl
+    dxn = F.greatest(x0 - F.col("ccx"), F.col("ccx") - x1, F.lit(0.0))
+    dyn = F.greatest(y0 - F.col("ccy"), F.col("ccy") - y1, F.lit(0.0))
+    overlap = (dxn * dxn + dyn * dyn) <= F.col("r") * F.col("r")
+    dxf = F.greatest(F.col("ccx") - x0, x1 - F.col("ccx"))
+    dyf = F.greatest(F.col("ccy") - y0, y1 - F.col("ccy"))
+    eps = F.lit(1e-9 * h) + F.lit(1e-12) * (F.abs(F.col("ccx")) + F.abs(F.col("ccy")) + F.col("r"))
+    rs = F.col("r") - eps
+    full = (rs > 0) & ((dxf * dxf + dyf * dyf) <= rs * rs)
+    return cells.filter(overlap).withColumn("__full", full)
+
+
+def aggregate_points_by_circles(
+    points: DataFrame,
+    shapes: DataFrame,
+    value_col: str | None = None,
+    agg_func: str = "count",
+    cell_size: float | None = None,
+) -> DataFrame:
+    """Zonal aggregation of points into circles via **cell-cover
+    decomposition** — the scale path for dense data.
+
+    Points are pre-aggregated per fine grid cell (map-side combinable,
+    one small shuffle).  Each circle's covering cells split into
+    fully-inside cells, which contribute their pre-aggregated cell
+    statistic with *no per-point work*, and boundary cells, where the
+    exact in-circle test runs on candidate points only.  All tests are
+    Catalyst expressions (no Python).  Work scales with
+    circle *perimeter* instead of area — on overlap-dense data this
+    replaces billions of candidate pairs with tens of millions.
+
+    Decomposable statistics only (count/sum/mean/min/max); mean is
+    computed as total_sum/total_count so results are bit-identical to a
+    direct per-point aggregation for integer-valued doubles.
+    """
+    if agg_func not in AGG_FUNCS:
+        raise ValueError(f"agg_func {agg_func!r}; supported: {sorted(AGG_FUNCS)}")
+    circ = shapes.select(
+        "shape_id",
+        ((F.col("minx") + F.col("maxx")) / 2).alias("ccx"),
+        ((F.col("miny") + F.col("maxy")) / 2).alias("ccy"),
+        F.col("radius").alias("r"),
+    )
+    if cell_size is None:
+        # balance boundary exact-tests (∝ h) against full-cell rows
+        # (∝ 1/h²); r/6 sits at the flat bottom of the measured curve
+        r_avg = circ.agg(F.avg("r")).first()[0] or 1.0
+        cell_size = max(float(r_avg) / 6.0, 1e-12)
+    h = float(cell_size)
+    cells = _circle_cell_cover(circ, h)
+
+    categorical = value_col is not None and dict(points.dtypes).get(value_col) == "string"
+    keep = ["x", "y"] + ([value_col] if value_col and value_col not in ("x", "y") else [])
+    pt = (
+        points.select(*keep)
+        .withColumn("__qx", F.floor(F.col("x") / F.lit(h)))
+        .withColumn("__qy", F.floor(F.col("y") / F.lit(h)))
+    )
+    cat_keys = [value_col] if categorical else []
+
+    # partial-aggregation schema shared by the full-cell and boundary paths
+    if value_col is None or categorical:
+        partial = [F.count(F.lit(1)).alias("__n")]
+        final = [F.sum("__n").alias("n")]
+    elif agg_func == "count":
+        partial = [F.count(F.col(value_col)).alias("__n")]
+        final = [F.sum("__n").alias(f"count_{value_col}")]
+    elif agg_func == "sum":
+        partial = [F.sum(F.col(value_col)).alias("__s")]
+        final = [F.sum("__s").alias(f"sum_{value_col}")]
+    elif agg_func == "mean":
+        partial = [F.sum(F.col(value_col)).alias("__s"), F.count(F.col(value_col)).alias("__n")]
+        final = [(F.sum("__s") / F.sum("__n")).alias(f"mean_{value_col}")]
+    elif agg_func == "min":
+        partial = [F.min(F.col(value_col)).alias("__m")]
+        final = [F.min("__m").alias(f"min_{value_col}")]
+    else:  # max
+        partial = [F.max(F.col(value_col)).alias("__m")]
+        final = [F.max("__m").alias(f"max_{value_col}")]
+
+    cell_agg = pt.groupBy("__qx", "__qy", *cat_keys).agg(*partial)
+    full_part = (
+        cells.filter(F.col("__full"))
+        .select("shape_id", "__qx", "__qy")
+        .join(cell_agg, ["__qx", "__qy"])
+        .drop("__qx", "__qy")
+    )
+    bcells = cells.filter(~F.col("__full")).select("shape_id", "ccx", "ccy", "r", "__qx", "__qy")
+    dx = F.col("x") - F.col("ccx")
+    dy = F.col("y") - F.col("ccy")
+    boundary_part = (
+        pt.join(bcells, ["__qx", "__qy"])
+        .filter((dx * dx + dy * dy) <= F.col("r") * F.col("r"))
+        .groupBy("shape_id", *cat_keys)
+        .agg(*partial)
+    )
+    out = (
+        full_part.unionByName(boundary_part)
+        .groupBy("shape_id", *cat_keys)
+        .agg(*final)
+        .withColumnRenamed("shape_id", "by_id")
+    )
+    if categorical:
+        out = out.withColumnRenamed(value_col, "category")
+    return out
+
+
 def _estimate_cell_size(shapes: DataFrame) -> float:
     """One tiny agg over the dim-side bbox columns: cell ≈ 2× mean bbox
     extent, so a typical shape explodes to ~1-4 cells."""
@@ -126,22 +256,37 @@ def grid_join_points_shapes(
     return refined.drop("kind", "wkb", "minx", "miny", "maxx", "maxy", "radius")
 
 
+def _shape_kinds(df: DataFrame) -> frozenset[str]:
+    """Distinct geometry kinds of a shapes table (tiny dim-side job)."""
+    return frozenset(r[0] for r in df.select("kind").distinct().collect())
+
+
 def grid_join_shapes_shapes(
     values: DataFrame,
     by: DataFrame,
     cell_size: float | None = None,
     predicate: str = "intersects",
+    values_kinds: frozenset[str] | None = None,
+    by_kinds: frozenset[str] | None = None,
 ) -> DataFrame:
     """shapes×shapes candidate join + exact intersects refine
     (reference: aggregate.py:420-427 ``by.sjoin(values)``).
 
-    Both sides explode their bboxes to covering cells; duplicate
-    candidate pairs from multi-cell overlap are removed with a distinct
-    on the id pair before the (expensive) exact test.
+    Both sides explode their bboxes to covering cells and equi-join on
+    the cell key.  Duplicate pairs from multi-cell overlap are removed
+    with the **reference-point rule** (keep a pair only in the cell
+    containing the top-left corner of the bbox intersection) — pure
+    expressions, no dedup shuffle.  The exact refine is expression-only
+    for box/circle pairs; the geometry UDF runs only when a polygon
+    kind is present.
     """
     if cell_size is None:
         cell_size = _estimate_cell_size(by)
     cs = float(cell_size)
+    if values_kinds is None:
+        values_kinds = _shape_kinds(values)
+    if by_kinds is None:
+        by_kinds = _shape_kinds(by)
 
     def cells(df: DataFrame, prefix: str) -> DataFrame:
         return (
@@ -161,6 +306,10 @@ def grid_join_shapes_shapes(
 
     v = cells(values, "v")
     b = cells(by, "b")
+    # reference point = top-left corner of the bbox intersection; it lies
+    # in exactly one grid cell, and both sides' cell sets cover it
+    ref_x = F.greatest(F.col("v_minx"), F.col("b_minx"))
+    ref_y = F.greatest(F.col("v_miny"), F.col("b_miny"))
     cand = (
         v.join(b, ["__cx", "__cy"])
         .filter(  # bbox overlap prefilter
@@ -169,9 +318,40 @@ def grid_join_shapes_shapes(
             & (F.col("v_maxy") >= F.col("b_miny"))
             & (F.col("v_miny") <= F.col("b_maxy"))
         )
+        .filter((F.floor(ref_x / cs) == F.col("__cx")) & (F.floor(ref_y / cs) == F.col("__cy")))
         .drop("__cx", "__cy")
-        .dropDuplicates(["v_id", "b_id"])
     )
+
+    exprable = {"box", "point"}
+    if values_kinds <= exprable and by_kinds <= exprable:
+        # circle centers (for kind='point' rows bbox is center±radius)
+        vcx = (F.col("v_minx") + F.col("v_maxx")) / 2
+        vcy = (F.col("v_miny") + F.col("v_maxy")) / 2
+        bcx = (F.col("b_minx") + F.col("b_maxx")) / 2
+        bcy = (F.col("b_miny") + F.col("b_maxy")) / 2
+        dxc = vcx - bcx
+        dyc = vcy - bcy
+        rr = F.col("v_radius") + F.col("b_radius")
+        circ_circ = (dxc * dxc + dyc * dyc) <= rr * rr
+        # circle vs box: distance from circle center to the box
+        def circ_box(ccx, ccy, r, x0, y0, x1, y1):
+            dx = F.greatest(x0 - ccx, ccx - x1, F.lit(0.0))
+            dy = F.greatest(y0 - ccy, ccy - y1, F.lit(0.0))
+            return (dx * dx + dy * dy) <= r * r
+
+        hit = (
+            F.when((F.col("v_kind") == "point") & (F.col("b_kind") == "point"), circ_circ)
+            .when(
+                (F.col("v_kind") == "point") & (F.col("b_kind") == "box"),
+                circ_box(vcx, vcy, F.col("v_radius"), F.col("b_minx"), F.col("b_miny"), F.col("b_maxx"), F.col("b_maxy")),
+            )
+            .when(
+                (F.col("v_kind") == "box") & (F.col("b_kind") == "point"),
+                circ_box(bcx, bcy, F.col("b_radius"), F.col("v_minx"), F.col("v_miny"), F.col("v_maxx"), F.col("v_maxy")),
+            )
+            .otherwise(F.lit(True))  # box×box: bbox overlap already exact
+        )
+        return cand.filter(hit)
 
     @F.pandas_udf(T.BooleanType())
     def _intersects(v_wkb, b_wkb, v_kind, b_kind, v_radius, b_radius):
@@ -222,6 +402,12 @@ def aggregate_points_by_shapes(
     """
     if agg_func not in AGG_FUNCS:
         raise ValueError(f"agg_func {agg_func!r}; supported: {sorted(AGG_FUNCS)}")
+    if all_circles:
+        # circles admit the cell-cover decomposition: per-cell
+        # pre-aggregation + boundary-only exact tests (see
+        # aggregate_points_by_circles) — typically orders of magnitude
+        # fewer candidate pairs than join-then-group on dense data
+        return aggregate_points_by_circles(points, shapes, value_col, agg_func, cell_size)
     keep = ["x", "y"] + ([value_col] if value_col and value_col not in ("x", "y") else [])
     joined = grid_join_points_shapes(points.select(*keep), shapes, cell_size=cell_size, all_circles=all_circles)
 
@@ -254,10 +440,23 @@ def aggregate_shapes_by_shapes(
     fractions=True: weight = area(v ∩ b) / area(v), computed by the
     convex-clip kernel (valid for convex ``by`` regions — boxes,
     circles; the reference uses exact overlay, aggregate.py:428-432).
+    Box×box pairs compute the weight as a pure rectangle-clip
+    expression — no Python in the plan.
     """
-    joined = grid_join_shapes_shapes(values, by, cell_size=cell_size)
+    values_kinds = _shape_kinds(values)
+    by_kinds = _shape_kinds(by)
+    joined = grid_join_shapes_shapes(
+        values, by, cell_size=cell_size, values_kinds=values_kinds, by_kinds=by_kinds
+    )
 
-    if fractions:
+    if fractions and values_kinds <= {"box"} and by_kinds <= {"box"}:
+        ix = F.greatest(F.least(F.col("v_maxx"), F.col("b_maxx")) - F.greatest(F.col("v_minx"), F.col("b_minx")), F.lit(0.0))
+        iy = F.greatest(F.least(F.col("v_maxy"), F.col("b_maxy")) - F.greatest(F.col("v_miny"), F.col("b_miny")), F.lit(0.0))
+        varea = (F.col("v_maxx") - F.col("v_minx")) * (F.col("v_maxy") - F.col("v_miny"))
+        joined = joined.withColumn(
+            "__w", F.when(varea > 0, ix * iy / varea).otherwise(F.lit(0.0))
+        )
+    elif fractions:
         @F.pandas_udf(T.DoubleType())
         def _frac(v_wkb, b_wkb, v_kind, b_kind, v_radius, b_radius):
             import pandas as pd

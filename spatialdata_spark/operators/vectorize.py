@@ -133,7 +133,12 @@ def circles_to_shapes(circles: DataFrame) -> DataFrame:
 
 def boxes_to_shapes(df: DataFrame, id_col: str = "shape_id") -> DataFrame:
     """(id, minx, miny, maxx, maxy) -> canonical shapes rows with
-    rectangle polygon WKB."""
+    rectangle polygon WKB.
+
+    kind='box' lets downstream operators (grid join refine, fraction
+    weighting) use pure rectangle expressions instead of geometry UDFs;
+    the WKB polygon is still present for generic consumers.
+    """
 
     @F.pandas_udf(T.BinaryType())
     def _rect(minx_s, miny_s, maxx_s, maxy_s):
@@ -151,7 +156,7 @@ def boxes_to_shapes(df: DataFrame, id_col: str = "shape_id") -> DataFrame:
 
     return df.select(
         F.col(id_col).alias("shape_id"),
-        F.lit("polygon").alias("kind"),
+        F.lit("box").alias("kind"),
         _rect("minx", "miny", "maxx", "maxy").alias("wkb"),
         F.col("minx").cast("double").alias("minx"),
         F.col("miny").cast("double").alias("miny"),

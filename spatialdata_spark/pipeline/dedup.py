@@ -47,10 +47,28 @@ def exact_dedup_keep(docs: DataFrame, text_col: str = "text", id_col: str = "doc
 
 
 def _hash_params(num_hashes: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    """Universal-hash params sized so that a*h+b stays inside int64:
+    a < 2^31, shingle hashes < 2^31, so a*h + b < 2^62 + 2^61 < 2^63."""
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE - 1, size=num_hashes, dtype=np.int64)
+    a = rng.integers(1, 1 << 31, size=num_hashes, dtype=np.int64)
     b = rng.integers(0, _MERSENNE - 1, size=num_hashes, dtype=np.int64)
     return a, b
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Deterministic 64-bit rolling-polynomial hashes of all char
+    k-shingles, fully vectorized (wraparound mod 2^64 is intentional).
+    Duplicated shingles don't affect a min/bit-vote, so no unique()."""
+    raw = (text or "").encode("utf-8", "ignore")
+    if len(raw) < k:
+        raw = raw.ljust(k, b"\0")
+    arr = np.frombuffer(raw, dtype=np.uint8)
+    w = np.lib.stride_tricks.sliding_window_view(arr, k).astype(np.uint64)
+    base = np.uint64(1099511628211)  # FNV prime
+    h = np.full(w.shape[0], 14695981039346656037, dtype=np.uint64)  # FNV offset
+    for i in range(k):
+        h = (h ^ w[:, i]) * base
+    return h
 
 
 def minhash_signatures(
@@ -63,8 +81,10 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-document MinHash signature: ``(doc_id, sig array<long>)``.
 
-    Character-k-shingles hashed to 64-bit, then k universal-hash
-    minima — one vectorized numpy pass per Arrow batch.
+    Character-k-shingles hashed with a deterministic rolling polynomial
+    (process-independent — python ``hash()`` is salted), folded to 31
+    bits, then num_hashes universal-hash minima — all int64 numpy, one
+    vectorized pass per document inside the Arrow batch.
     """
     a, b = _hash_params(num_hashes, seed)
 
@@ -74,17 +94,13 @@ def minhash_signatures(
 
         out = []
         for t in texts:
-            t = t or ""
-            if len(t) < shingle_k:
-                shingles = {t}
-            else:
-                shingles = {t[i : i + shingle_k] for i in range(len(t) - shingle_k + 1)}
-            hv = np.fromiter(
-                ((hash(s) & 0x7FFFFFFFFFFFFFFF) for s in shingles), dtype=np.int64, count=len(shingles)
-            )
-            # sig_i = min_j (a_i * h_j + b_i mod p)
-            prods = (hv[None, :].astype(object) * a[:, None] + b[:, None]) % _MERSENNE
-            out.append(prods.min(axis=1).astype(np.int64).tolist())
+            h64 = _shingle_hashes(t, shingle_k)
+            h31 = (((h64 >> np.uint64(33)) ^ h64) & np.uint64(0x7FFFFFFF)).astype(np.int64)
+            # sig_i = min_j (a_i * h_j + b_i mod p); fits int64 by
+            # construction.  One pass per hash keeps temporaries at
+            # n-shingle size (cache-resident) instead of a (k, n) matrix.
+            sig = [int(((ai * h31 + bi) % _MERSENNE).min()) for ai, bi in zip(a, b)]
+            out.append(sig)
         return pd.Series(out)
 
     return docs.select(F.col(id_col), _sig(F.col(text_col)).alias("sig"))
@@ -101,6 +117,9 @@ def minhash_lsh_candidates(
     the bucket key — Catalyst shuffles on (band, bucket), so identical
     buckets co-locate; no cartesian anywhere.
     """
+    # the self-join references the signatures twice; persist so the
+    # (expensive) signature UDF computes once per input row
+    signatures = signatures.persist()
     sig_len_row = signatures.select(F.size("sig").alias("n")).first()
     rows_per_band = max(1, (sig_len_row["n"] if sig_len_row else 64) // num_bands)
 
@@ -208,24 +227,14 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "d
     def _sim(texts):
         import pandas as pd
 
+        shifts = np.arange(64, dtype=np.uint64)
         out = []
         for t in texts:
-            t = t or ""
-            if len(t) < shingle_k:
-                tokens = [t]
-            else:
-                tokens = [t[i : i + shingle_k] for i in range(len(t) - shingle_k + 1)]
-            acc = np.zeros(64, dtype=np.int64)
-            shifts = np.arange(64, dtype=np.uint64)
-            for tok in tokens:
-                h = np.uint64(hash(tok) & 0xFFFFFFFFFFFFFFFF)
-                bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
-                acc += 2 * bits - 1
-            fp = 0
-            for i in range(64):
-                if acc[i] > 0:
-                    fp |= 1 << i
-            # to signed 64
+            h = _shingle_hashes(t, shingle_k)
+            # bit-vote matrix (n_shingles, 64), summed down the shingles
+            bits = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+            acc = (2 * bits - 1).sum(axis=0)
+            fp = int(((np.uint64(1) << shifts)[acc > 0]).sum(dtype=np.uint64))
             out.append(fp - (1 << 64) if fp >= (1 << 63) else fp)
         return pd.Series(out)
 

@@ -698,6 +698,158 @@ FROM ({POINTS_SQL})
 """
 
 
+# -- raster tile layer ------------------------------------------------------
+
+# dense synthetic image grid from lineitem (same as ag_zonal_image):
+# 100x8 pixels, value = sum of quantities; always integer-valued, so
+# double sums are exact under any association order.
+IMG_SQL = (
+    "SELECT 0 AS c, l_orderkey % 100 AS y, CAST(l_linenumber AS BIGINT) AS x, "
+    "SUM(l_quantity) AS value FROM lineitem GROUP BY 2, 3"
+)
+
+
+def _img_long(spark, sf_dir):
+    return (
+        _read(spark, sf_dir, "lineitem")
+        .groupBy((F.col("l_orderkey") % 100).alias("y"), F.col("l_linenumber").cast("long").alias("x"))
+        .agg(F.sum("l_quantity").alias("value"))
+        .select(F.lit(0).alias("c"), "y", "x", "value")
+    )
+
+
+def _img_meta():
+    from spatialdata_spark.operators.raster import RasterMeta
+
+    return RasterMeta(height=100, width=8, tile=32)
+
+
+def _img_tiles(spark, sf_dir):
+    from spatialdata_spark.operators.raster import long_to_tiles
+
+    return long_to_tiles(_img_long(spark, sf_dir), _img_meta())
+
+
+def rt_map_tiles(spark, sf_dir):
+    from spatialdata_spark.operators.raster import map_tiles, tiles_to_long
+
+    m = _img_meta()
+    out = map_tiles(_img_tiles(spark, sf_dir), lambda a: a * 2.0 + (a != 0), m)
+    return tiles_to_long(out, m)
+
+
+RT_MAP_TILES_SQL = f"""
+SELECT c, y, x, value * 2.0 + 1 AS value FROM ({IMG_SQL})
+"""
+
+
+def rt_bbox_tiles(spark, sf_dir):
+    from spatialdata_spark.operators.raster import bounding_box_query_tiles, tiles_to_long
+
+    m = _img_meta()
+    out = bounding_box_query_tiles(_img_tiles(spark, sf_dir), m, 20, 2, 80, 6)
+    return tiles_to_long(out, m)
+
+
+RT_BBOX_TILES_SQL = f"""
+SELECT c, y, x, value FROM ({IMG_SQL})
+WHERE y >= 20 AND y < 80 AND x >= 2 AND x < 6
+"""
+
+
+def rt_pyramid_sum(spark, sf_dir):
+    from spatialdata_spark.operators.raster import downsample_tiles, tiles_to_long
+
+    m = _img_meta()
+    out = downsample_tiles(_img_tiles(spark, sf_dir), m, scale=0, reduction="sum")
+    return tiles_to_long(out, m, scale=1)
+
+
+RT_PYRAMID_SQL = f"""
+SELECT 0 AS c, y // 2 AS y, x // 2 AS x, SUM(value) AS value
+FROM ({IMG_SQL}) GROUP BY 2, 3
+"""
+
+
+def rt_halo_boxsum(spark, sf_dir):
+    from spatialdata_spark.operators.raster import map_tiles_with_halo, tiles_to_long
+
+    def boxsum(a):
+        import numpy as np
+
+        p = np.pad(a, 1)
+        k = np.zeros_like(a)
+        for dy in (0, 1, 2):
+            for dx in (0, 1, 2):
+                k += p[dy : dy + a.shape[0], dx : dx + a.shape[1]]
+        return k
+
+    m = _img_meta()
+    out = tiles_to_long(map_tiles_with_halo(_img_tiles(spark, sf_dir), boxsum, m, halo=1), m)
+    # restrict to the input support so the row set matches the oracle's
+    support = _img_long(spark, sf_dir).select("y", "x")
+    return out.join(support, ["y", "x"], "left_semi")
+
+
+RT_HALO_SQL = f"""
+WITH img AS ({IMG_SQL})
+SELECT a.c, a.y, a.x, SUM(b.value) AS value
+FROM img a JOIN img b
+  ON b.y BETWEEN a.y - 1 AND a.y + 1 AND b.x BETWEEN a.x - 1 AND a.x + 1
+GROUP BY a.c, a.y, a.x
+"""
+
+
+def rt_zonal_tiles(spark, sf_dir):
+    from spatialdata_spark.operators.raster import RasterMeta, long_to_tiles, zonal_stats_tiles
+
+    m = _img_meta()
+    lmeta = RasterMeta(height=100, width=8, tile=32, dtype="i8")
+    img_long = _img_long(spark, sf_dir)
+    labels_long = img_long.select("y", "x", ((F.col("y") * 7 + F.col("x")) % 10 + 1).alias("value"))
+    out = zonal_stats_tiles(_img_tiles(spark, sf_dir), long_to_tiles(labels_long, lmeta), m, lmeta)
+    return out.select("label", "c", "sum_value", "n", "mean_value")
+
+
+RT_ZONAL_SQL = f"""
+WITH img AS ({IMG_SQL}), labels AS (
+  SELECT y, x, (y*7 + x) % 10 + 1 AS label FROM img
+)
+SELECT labels.label, img.c, SUM(img.value) AS sum_value, COUNT(*) AS n,
+       SUM(img.value) / COUNT(*) AS mean_value
+FROM img JOIN labels ON img.y = labels.y AND img.x = labels.x
+GROUP BY labels.label, img.c
+"""
+
+
+def rt_unpad_extent(spark, sf_dir):
+    from spatialdata_spark.operators.raster import unpad_raster
+
+    m = _img_meta()
+    _, (y0, x0, y1, x1) = unpad_raster(_img_tiles(spark, sf_dir), m)
+    return spark.createDataFrame([(y0, x0, y1, x1)], ["y0", "x0", "y1", "x1"])
+
+
+RT_UNPAD_SQL = f"""
+SELECT MIN(y) AS y0, MIN(x) AS x0, MAX(y) + 1 AS y1, MAX(x) + 1 AS x1
+FROM ({IMG_SQL}) WHERE value != 0
+"""
+
+
+def rt_export_tiles(spark, sf_dir):
+    # rows-only: binary tile payloads (ImageTilesDataset sweep)
+    from spatialdata_spark.operators.raster import export_region_tiles
+
+    m = _img_meta()
+    regions = _read(spark, sf_dir, "customer").limit(200).select(
+        F.col("c_custkey").alias("region_id"),
+        (F.col("c_custkey") % 100).alias("cy"),
+        (F.col("c_custkey") % 8).alias("cx"),
+    )
+    out = export_region_tiles(_img_tiles(spark, sf_dir), m, regions, tile_px=8)
+    return out.select("region_id", "c", "y0", "x0", F.length("data").alias("n_bytes"))
+
+
 # -- pipeline: dedup / text / similarity ------------------------------------
 
 
@@ -925,6 +1077,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rv_to_circles": rv_to_circles,
         "rv_relabel": rv_relabel,
         "rv_transform_points": rv_transform_points,
+        "rt_map_tiles": rt_map_tiles,
+        "rt_bbox_tiles": rt_bbox_tiles,
+        "rt_pyramid_sum": rt_pyramid_sum,
+        "rt_halo_boxsum": rt_halo_boxsum,
+        "rt_zonal_tiles": rt_zonal_tiles,
+        "rt_unpad_extent": rt_unpad_extent,
+        "rt_export_tiles": rt_export_tiles,
         "pl_dedup_exact": pl_dedup_exact,
         "pl_text_stats": pl_text_stats,
         "pl_fingerprint": pl_fingerprint,
@@ -969,6 +1128,12 @@ def oracle_sql() -> dict[str, str]:
         "rv_to_circles": RV_TO_CIRCLES_SQL,
         "rv_relabel": RV_RELABEL_SQL,
         "rv_transform_points": RV_TRANSFORM_SQL,
+        "rt_map_tiles": RT_MAP_TILES_SQL,
+        "rt_bbox_tiles": RT_BBOX_TILES_SQL,
+        "rt_pyramid_sum": RT_PYRAMID_SQL,
+        "rt_halo_boxsum": RT_HALO_SQL,
+        "rt_zonal_tiles": RT_ZONAL_SQL,
+        "rt_unpad_extent": RT_UNPAD_SQL,
         "pl_dedup_exact": PL_DEDUP_SQL,
         "pl_text_stats": PL_TEXT_STATS_SQL,
         "pl_fingerprint": PL_FINGERPRINT_SQL,

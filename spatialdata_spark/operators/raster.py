@@ -1,0 +1,555 @@
+"""Chunked (tiled) raster layer: the Spark representation of the
+reference's dask-chunked images/labels.
+
+Reference surfaces covered here:
+  * chunk storage / multiscale pyramid — _io/io_raster.py:162-233,
+    models/models.py:88-274 (parse builds the pyramid)
+  * map_raster over blocks with overlap (halos) —
+    _core/operations/map.py:22-156
+  * bounding_box_query on rasters (integer slices on chunks) —
+    _core/query/spatial_query.py:537-615
+  * pyramid level selection — _core/operations/rasterize.py:375-461
+  * unpad_raster — _utils.py:71-160
+  * ImageTilesDataset tile export — dataloader/datasets.py
+
+Representation
+--------------
+A raster is a DataFrame of fixed-size tiles::
+
+    (scale: int, c: int, ty: long, tx: long, tile: binary)
+
+plus a driver-side :class:`RasterMeta` (height, width, tile size, dtype,
+channels, per-scale factors).  Tiles are dense little-endian numpy
+buffers, zero-padded at the right/bottom edges.  This is the same
+layout dask/zarr use, flattened into a relation: chunk-index columns
+make Catalyst partition pruning the analog of lazy zarr slicing, and
+every per-block dask operation becomes an Arrow-batched UDF over tile
+rows.  At 100 TB, tiles are the unit of parallelism, and all
+tile→tile operators below are shuffle-free except where a halo or a
+regroup is semantically required.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TILE_SCHEMA = T.StructType(
+    [
+        T.StructField("scale", T.IntegerType()),
+        T.StructField("c", T.IntegerType()),
+        T.StructField("ty", T.LongType()),
+        T.StructField("tx", T.LongType()),
+        T.StructField("tile", T.BinaryType()),
+    ]
+)
+
+
+@dataclass(frozen=True)
+class RasterMeta:
+    """Driver-side raster metadata (the catalog entry for one raster)."""
+
+    height: int
+    width: int
+    tile: int = 256
+    dtype: str = "f8"  # numpy dtype string; 'i8' for labels
+    n_channels: int = 1
+    scale_factor: int = 2  # downsampling factor between pyramid levels
+
+    def tiles_y(self, scale: int = 0) -> int:
+        return -(-self.shape_at(scale)[0] // self.tile)
+
+    def tiles_x(self, scale: int = 0) -> int:
+        return -(-self.shape_at(scale)[1] // self.tile)
+
+    def shape_at(self, scale: int) -> tuple[int, int]:
+        f = self.scale_factor**scale
+        return (-(-self.height // f), -(-self.width // f))
+
+
+def _buf(arr: np.ndarray) -> bytes:
+    return np.ascontiguousarray(arr).tobytes()
+
+
+def _arr(buf: bytes, meta: RasterMeta) -> np.ndarray:
+    return np.frombuffer(buf, dtype=np.dtype(meta.dtype)).reshape(meta.tile, meta.tile)
+
+
+# ---------------------------------------------------------------------------
+# long-form <-> tile conversion
+# ---------------------------------------------------------------------------
+
+
+def long_to_tiles(df_long: DataFrame, meta: RasterMeta, value_col: str = "value") -> DataFrame:
+    """Pack a sparse long-form raster ``(c?, y, x, value)`` into dense
+    tiles.  One shuffle on the tile key (groupBy), then a pure-numpy
+    scatter per group — the packing analog of ``da.from_delayed``.
+    """
+    ts = meta.tile
+    has_c = "c" in df_long.columns
+    keyed = df_long.select(
+        (F.col("c").cast("int") if has_c else F.lit(0)).alias("c"),
+        (F.col("y").cast("long") % ts).alias("iy"),
+        (F.col("x").cast("long") % ts).alias("ix"),
+        F.floor(F.col("y") / ts).cast("long").alias("ty"),
+        F.floor(F.col("x") / ts).cast("long").alias("tx"),
+        F.col(value_col).alias("value"),
+    )
+
+    def _pack(pdf):
+        import pandas as pd
+
+        a = np.zeros((ts, ts), dtype=np.dtype(meta.dtype))
+        a[pdf["iy"].to_numpy(), pdf["ix"].to_numpy()] = pdf["value"].to_numpy()
+        return pd.DataFrame(
+            {
+                "scale": [0],
+                "c": [int(pdf["c"].iloc[0])],
+                "ty": [int(pdf["ty"].iloc[0])],
+                "tx": [int(pdf["tx"].iloc[0])],
+                "tile": [_buf(a)],
+            }
+        )
+
+    return keyed.groupBy("c", "ty", "tx").applyInPandas(_pack, TILE_SCHEMA)
+
+
+def tiles_to_long(tiles: DataFrame, meta: RasterMeta, keep_zeros: bool = False, scale: int = 0) -> DataFrame:
+    """Unpack tiles to long form ``(c, y, x, value)``.  Sparse by
+    default (zeros dropped) — the COO view used by zonal stats."""
+    ts = meta.tile
+    h, w = meta.shape_at(scale)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("c", T.IntegerType()),
+            T.StructField("y", T.LongType()),
+            T.StructField("x", T.LongType()),
+            T.StructField("value", T.DoubleType() if meta.dtype.startswith("f") else T.LongType()),
+        ]
+    )
+
+    def _unpack(iterator):
+        import pandas as pd
+
+        for pdf in iterator:
+            for _, row in pdf.iterrows():
+                a = _arr(row["tile"], meta)
+                oy, ox = int(row["ty"]) * ts, int(row["tx"]) * ts
+                if keep_zeros:
+                    yy, xx = np.mgrid[0:ts, 0:ts]
+                    yy, xx, vv = yy.ravel(), xx.ravel(), a.ravel()
+                else:
+                    yy, xx = np.nonzero(a)
+                    vv = a[yy, xx]
+                ay, ax = yy + oy, xx + ox
+                m = (ay < h) & (ax < w)  # drop the zero padding
+                yield pd.DataFrame(
+                    {"c": int(row["c"]), "y": ay[m], "x": ax[m], "value": vv[m]}
+                )
+
+    return tiles.filter(F.col("scale") == scale).mapInPandas(_unpack, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# map_raster: per-block function application, with optional halo
+# ---------------------------------------------------------------------------
+
+
+def map_tiles(tiles: DataFrame, fn, meta: RasterMeta, out_dtype: str | None = None) -> DataFrame:
+    """``map_raster(func)`` without overlap (reference: map.py:22-156,
+    map_blocks path): embarrassingly parallel, shuffle-free — fn is
+    applied tile-wise inside ``mapInPandas``."""
+    out_meta = replace(meta, dtype=out_dtype or meta.dtype)
+
+    def _apply(iterator):
+        import pandas as pd
+
+        for pdf in iterator:
+            out = []
+            for _, row in pdf.iterrows():
+                a = _arr(row["tile"], meta)
+                out.append(_buf(np.asarray(fn(a), dtype=np.dtype(out_meta.dtype))))
+            pdf = pdf.copy()
+            pdf["tile"] = out
+            yield pdf
+
+    return tiles.mapInPandas(_apply, TILE_SCHEMA)
+
+
+def map_tiles_with_halo(tiles: DataFrame, fn, meta: RasterMeta, halo: int, out_dtype: str | None = None) -> DataFrame:
+    """``map_raster(func, depth=halo)`` (reference: map.py:110-126
+    map_overlap): each tile is materialized with a halo of ``halo``
+    pixels from its 8 neighbors, fn runs on the padded array, and the
+    result is cropped back.
+
+    Plan: every tile contributes itself to up to 9 target tiles
+    (explode over neighbor offsets), one shuffle groups contributions
+    by target, numpy assembles the padded block.  This is the halo
+    join of SURVEY §4 — a deterministic self-join, no iterative
+    exchange.
+    """
+    if halo <= 0:
+        return map_tiles(tiles, fn, meta, out_dtype)
+    if halo > meta.tile:
+        raise ValueError(f"halo {halo} exceeds tile size {meta.tile}")
+    ts = meta.tile
+    out_meta = replace(meta, dtype=out_dtype or meta.dtype)
+
+    offsets = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+    off_df = F.explode(
+        F.array(*[F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx")) for dy, dx in offsets])
+    ).alias("off")
+    contrib = (
+        tiles.select("scale", "c", "ty", "tx", "tile", off_df)
+        .select(
+            "scale",
+            "c",
+            (F.col("ty") + F.col("off.dy")).alias("gty"),
+            (F.col("tx") + F.col("off.dx")).alias("gtx"),
+            F.col("off.dy").alias("rel_dy"),
+            F.col("off.dx").alias("rel_dx"),
+            "tile",
+        )
+        .filter((F.col("gty") >= 0) & (F.col("gtx") >= 0))
+    )
+
+    def _assemble(key, pdf):
+        import pandas as pd
+
+        scale, c, gty, gtx = (int(k) for k in key)
+        padded = np.zeros((ts + 2 * halo, ts + 2 * halo), dtype=np.dtype(meta.dtype))
+        center_seen = False
+        for _, row in pdf.iterrows():
+            a = _arr(row["tile"], meta)
+            dy, dx = int(row["rel_dy"]), int(row["rel_dx"])
+            if dy == 0 and dx == 0:
+                center_seen = True
+            # neighbor at offset (dy,dx) relative to target: its pixels
+            # land at [-dy*ts + halo : ...] in the padded frame
+            y0 = halo - dy * ts
+            x0 = halo - dx * ts
+            ys0, ys1 = max(0, y0), min(ts + 2 * halo, y0 + ts)
+            xs0, xs1 = max(0, x0), min(ts + 2 * halo, x0 + ts)
+            if ys0 >= ys1 or xs0 >= xs1:
+                continue
+            padded[ys0:ys1, xs0:xs1] = a[ys0 - y0 : ys1 - y0, xs0 - x0 : xs1 - x0]
+        if not center_seen:
+            # pure-halo target (tile absent from the input): skip
+            return pd.DataFrame(columns=["scale", "c", "ty", "tx", "tile"])
+        res = np.asarray(fn(padded), dtype=np.dtype(out_meta.dtype))
+        cropped = res[halo : halo + ts, halo : halo + ts]
+        return pd.DataFrame(
+            {"scale": [scale], "c": [c], "ty": [gty], "tx": [gtx], "tile": [_buf(cropped)]}
+        )
+
+    return contrib.groupBy("scale", "c", "gty", "gtx").applyInPandas(_assemble, TILE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# bbox query, unpad, pyramid
+# ---------------------------------------------------------------------------
+
+
+def bounding_box_query_tiles(
+    tiles: DataFrame, meta: RasterMeta, y0: int, x0: int, y1: int, x1: int, scale: int = 0
+) -> DataFrame:
+    """Integer-slice bbox query on the tile table (reference:
+    spatial_query.py:537-615).  The range predicate on (ty, tx) is the
+    chunk-pruning analog of lazy zarr slicing — only touched tiles are
+    read; edge tiles are cropped (out-of-box pixels zeroed) in numpy.
+    Tile indices shift so the result raster has its own origin at
+    (y0, x0), with the translation recorded by the caller
+    (query/_utils.py:112-198 bookkeeping).
+    """
+    ts = meta.tile
+    pruned = tiles.filter(
+        (F.col("scale") == scale)
+        & (F.col("ty") >= y0 // ts)
+        & (F.col("ty") <= (y1 - 1) // ts)
+        & (F.col("tx") >= x0 // ts)
+        & (F.col("tx") <= (x1 - 1) // ts)
+    )
+
+    def _crop(iterator):
+        import pandas as pd
+
+        for pdf in iterator:
+            rows = {"scale": [], "c": [], "ty": [], "tx": [], "tile": []}
+            for _, row in pdf.iterrows():
+                a = _arr(row["tile"], meta).copy()
+                oy, ox = int(row["ty"]) * ts, int(row["tx"]) * ts
+                yy, xx = np.mgrid[0:ts, 0:ts]
+                mask = (yy + oy >= y0) & (yy + oy < y1) & (xx + ox >= x0) & (xx + ox < x1)
+                a[~mask] = 0
+                rows["scale"].append(int(row["scale"]))
+                rows["c"].append(int(row["c"]))
+                rows["ty"].append(int(row["ty"]))
+                rows["tx"].append(int(row["tx"]))
+                rows["tile"].append(_buf(a))
+            yield pd.DataFrame(rows)
+
+    return pruned.mapInPandas(_crop, TILE_SCHEMA)
+
+
+def unpad_raster(tiles: DataFrame, meta: RasterMeta) -> tuple[DataFrame, tuple[int, int, int, int]]:
+    """Trim zero borders (reference: _utils.py:71-160).  One pass
+    computes per-tile nonzero extents (tiny result), the driver reduces
+    them to a global bbox, and the crop reuses the pruned bbox query.
+    """
+    ts = meta.tile
+
+    ext_schema = T.StructType(
+        [
+            T.StructField("miny", T.LongType()),
+            T.StructField("minx", T.LongType()),
+            T.StructField("maxy", T.LongType()),
+            T.StructField("maxx", T.LongType()),
+        ]
+    )
+
+    def _extent(iterator):
+        import pandas as pd
+
+        for pdf in iterator:
+            rows = []
+            for _, row in pdf.iterrows():
+                a = _arr(row["tile"], meta)
+                yy, xx = np.nonzero(a)
+                if len(yy) == 0:
+                    continue
+                oy, ox = int(row["ty"]) * ts, int(row["tx"]) * ts
+                rows.append((int(yy.min()) + oy, int(xx.min()) + ox, int(yy.max()) + oy, int(xx.max()) + ox))
+            yield pd.DataFrame(rows, columns=["miny", "minx", "maxy", "maxx"])
+
+    row = (
+        tiles.filter(F.col("scale") == 0)
+        .mapInPandas(_extent, ext_schema)
+        .agg(F.min("miny"), F.min("minx"), F.max("maxy"), F.max("maxx"))
+        .first()
+    )
+    if row is None or row[0] is None:
+        return tiles, (0, 0, 0, 0)
+    y0, x0, y1, x1 = int(row[0]), int(row[1]), int(row[2]) + 1, int(row[3]) + 1
+    return bounding_box_query_tiles(tiles, meta, y0, x0, y1, x1), (y0, x0, y1, x1)
+
+
+def downsample_tiles(tiles: DataFrame, meta: RasterMeta, scale: int = 0, reduction: str = "sum") -> DataFrame:
+    """One pyramid step: factor-2 pooling (reference builds the
+    multiscale DataTree at parse, models/models.py:240-274).
+
+    Each tile pools 2× in place (shuffle-free), then 2×2 pooled tiles
+    regroup into one coarser tile — a single small shuffle keyed on the
+    coarse tile index.  reduction='sum' keeps integer exactness
+    (mean = sum / 4^k when needed); 'max' suits labels.
+    """
+    ts = meta.tile
+    half = ts // 2
+    if ts % 2:
+        raise ValueError("tile size must be even for factor-2 pyramid")
+
+    def _pool(iterator):
+        import pandas as pd
+
+        for pdf in iterator:
+            out = []
+            for _, row in pdf.iterrows():
+                a = _arr(row["tile"], meta).reshape(half, 2, half, 2)
+                if reduction == "sum":
+                    p = a.sum(axis=(1, 3))
+                elif reduction == "max":
+                    p = a.max(axis=(1, 3))
+                else:
+                    p = a.mean(axis=(1, 3))
+                out.append(_buf(p.astype(np.dtype(meta.dtype))))
+            pdf = pdf.copy()
+            pdf["tile"] = out
+            yield pdf
+
+    pooled = tiles.filter(F.col("scale") == scale).mapInPandas(_pool, TILE_SCHEMA)
+    # regroup 2x2 pooled half-tiles into full coarse tiles
+    quad = pooled.select(
+        F.lit(scale + 1).alias("scale"),
+        "c",
+        F.floor(F.col("ty") / 2).alias("gty"),
+        F.floor(F.col("tx") / 2).alias("gtx"),
+        (F.col("ty") % 2).alias("qy"),
+        (F.col("tx") % 2).alias("qx"),
+        "tile",
+    )
+
+    def _regroup(key, pdf):
+        import pandas as pd
+
+        scale_, c, gty, gtx = (int(k) for k in key)
+        a = np.zeros((ts, ts), dtype=np.dtype(meta.dtype))
+        for _, row in pdf.iterrows():
+            q = np.frombuffer(row["tile"], dtype=np.dtype(meta.dtype)).reshape(half, half)
+            y0, x0 = int(row["qy"]) * half, int(row["qx"]) * half
+            a[y0 : y0 + half, x0 : x0 + half] = q
+        return pd.DataFrame({"scale": [scale_], "c": [c], "ty": [gty], "tx": [gtx], "tile": [_buf(a)]})
+
+    return quad.groupBy("scale", "c", "gty", "gtx").applyInPandas(_regroup, TILE_SCHEMA)
+
+
+def build_pyramid(tiles: DataFrame, meta: RasterMeta, n_scales: int, reduction: str = "sum") -> DataFrame:
+    """Full pyramid: union of scales 0..n_scales (reference multiscale
+    parse, models/models.py:240-274).  Scales stack in one DataFrame;
+    the ``scale`` column is the partition-pruning key."""
+    out = tiles
+    cur = tiles
+    for s in range(n_scales):
+        cur = downsample_tiles(cur, meta, scale=s, reduction=reduction)
+        out = out.unionByName(cur)
+    return out
+
+
+def select_pyramid_level(meta: RasterMeta, n_scales: int, target_resolution: float) -> int:
+    """Coarsest level whose pixel size still satisfies the target within
+    a sqrt(d) slack (reference heuristic, rasterize.py:439-451)."""
+    slack = float(np.sqrt(2.0))
+    best = 0
+    for s in range(n_scales + 1):
+        pixel = float(meta.scale_factor**s)
+        if pixel * slack <= target_resolution:
+            best = s
+    return best
+
+
+# ---------------------------------------------------------------------------
+# zonal stats straight from tiles (fused, no long-form materialization)
+# ---------------------------------------------------------------------------
+
+
+def zonal_stats_tiles(
+    image_tiles: DataFrame, label_tiles: DataFrame, meta: RasterMeta, label_meta: RasterMeta
+) -> DataFrame:
+    """Per-label per-channel (sum, count) from co-tiled image+labels —
+    the fused form of aggregate_image_by_labels: an equi-join on the
+    tile key co-locates each image tile with its label tile, numpy
+    bincounts per tile, and a groupBy reduces the partials.  The dense
+    pixel join never materializes.
+    """
+    lab = label_tiles.filter(F.col("scale") == 0).select(
+        F.col("ty").alias("lty"), F.col("tx").alias("ltx"), F.col("tile").alias("ltile")
+    )
+    joined = image_tiles.filter(F.col("scale") == 0).join(
+        lab, (F.col("ty") == F.col("lty")) & (F.col("tx") == F.col("ltx"))
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("label", T.LongType()),
+            T.StructField("c", T.IntegerType()),
+            T.StructField("sum_value", T.DoubleType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+
+    def _zonal(iterator):
+        import pandas as pd
+
+        for pdf in iterator:
+            frames = []
+            for _, row in pdf.iterrows():
+                img = _arr(row["tile"], meta).ravel()
+                labels = np.frombuffer(row["ltile"], dtype=np.dtype(label_meta.dtype)).ravel()
+                m = labels != 0
+                if not m.any():
+                    continue
+                lab_ids, inv = np.unique(labels[m], return_inverse=True)
+                sums = np.bincount(inv, weights=img[m])
+                counts = np.bincount(inv)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "label": lab_ids.astype(np.int64),
+                            "c": int(row["c"]),
+                            "sum_value": sums,
+                            "n": counts.astype(np.int64),
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames)
+
+    partials = joined.mapInPandas(_zonal, out_schema)
+    return partials.groupBy("label", "c").agg(
+        F.sum("sum_value").alias("sum_value"),
+        F.sum("n").alias("n"),
+        (F.sum("sum_value") / F.sum("n")).alias("mean_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# tile export (ImageTilesDataset analog)
+# ---------------------------------------------------------------------------
+
+
+def export_region_tiles(
+    tiles: DataFrame,
+    meta: RasterMeta,
+    regions: DataFrame,
+    tile_px: int,
+    scale: int = 0,
+) -> DataFrame:
+    """Crop one ``tile_px`` × ``tile_px`` window per region (reference:
+    dataloader/datasets.py ImageTilesDataset — the training-tile
+    sweep).
+
+    ``regions``: ``(region_id, cy, cx)`` window centers.  Each region
+    explodes to the raster tiles its window covers (a sequence explode,
+    like the multi-box query), joins the tile table on the tile key,
+    and one groupBy per region assembles the crop.  Output:
+    ``(region_id, c, y0, x0, data)`` with data a dense
+    tile_px×tile_px buffer.
+    """
+    ts = meta.tile
+    half = tile_px // 2
+    r = regions.select(
+        "region_id",
+        (F.col("cy").cast("long") - half).alias("y0"),
+        (F.col("cx").cast("long") - half).alias("x0"),
+    )
+    cover = (
+        r.withColumn("ty", F.explode(F.sequence(F.floor(F.col("y0") / ts), F.floor((F.col("y0") + tile_px - 1) / ts))))
+        .withColumn("tx", F.explode(F.sequence(F.floor(F.col("x0") / ts), F.floor((F.col("x0") + tile_px - 1) / ts))))
+    )
+    joined = cover.join(tiles.filter(F.col("scale") == scale), ["ty", "tx"])
+
+    out_schema = T.StructType(
+        [
+            T.StructField("region_id", T.LongType()),
+            T.StructField("c", T.IntegerType()),
+            T.StructField("y0", T.LongType()),
+            T.StructField("x0", T.LongType()),
+            T.StructField("data", T.BinaryType()),
+        ]
+    )
+
+    def _crop(key, pdf):
+        import pandas as pd
+
+        region_id, c = int(key[0]), int(key[1])
+        y0 = int(pdf["y0"].iloc[0])
+        x0 = int(pdf["x0"].iloc[0])
+        out = np.zeros((tile_px, tile_px), dtype=np.dtype(meta.dtype))
+        for _, row in pdf.iterrows():
+            a = _arr(row["tile"], meta)
+            oy, ox = int(row["ty"]) * ts, int(row["tx"]) * ts
+            ys0 = max(y0, oy)
+            ys1 = min(y0 + tile_px, oy + ts)
+            xs0 = max(x0, ox)
+            xs1 = min(x0 + tile_px, ox + ts)
+            if ys0 >= ys1 or xs0 >= xs1:
+                continue
+            out[ys0 - y0 : ys1 - y0, xs0 - x0 : xs1 - x0] = a[ys0 - oy : ys1 - oy, xs0 - ox : xs1 - ox]
+        return pd.DataFrame(
+            {"region_id": [region_id], "c": [c], "y0": [y0], "x0": [x0], "data": [_buf(out)]}
+        )
+
+    return joined.groupBy("region_id", "c").applyInPandas(_crop, out_schema)

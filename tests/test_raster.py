@@ -1,0 +1,154 @@
+"""Tile-layer tests: numpy is the oracle — every operator's result is
+compared against the direct dense-array computation."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from spatialdata_spark.operators.raster import (
+    RasterMeta,
+    bounding_box_query_tiles,
+    build_pyramid,
+    downsample_tiles,
+    export_region_tiles,
+    long_to_tiles,
+    map_tiles,
+    map_tiles_with_halo,
+    select_pyramid_level,
+    tiles_to_long,
+    unpad_raster,
+    zonal_stats_tiles,
+)
+
+H, W, TS = 50, 70, 16
+
+
+@pytest.fixture(scope="module")
+def dense():
+    rng = np.random.default_rng(7)
+    a = np.zeros((H, W))
+    yy, xx = rng.integers(0, H, 400), rng.integers(0, W, 400)
+    a[yy, xx] = rng.integers(1, 100, 400).astype(float)
+    return a
+
+
+def _to_long_df(spark, a):
+    yy, xx = np.nonzero(a)
+    rows = [(int(y), int(x), float(a[y, x])) for y, x in zip(yy, xx)]
+    return spark.createDataFrame(rows, ["y", "x", "value"])
+
+
+@pytest.fixture(scope="module")
+def meta():
+    return RasterMeta(height=H, width=W, tile=TS)
+
+
+@pytest.fixture(scope="module")
+def tiles(spark, dense, meta):
+    return long_to_tiles(_to_long_df(spark, dense), meta).cache()
+
+
+def _collect_dense(tiles_df, meta, scale=0):
+    h, w = meta.shape_at(scale)
+    out = np.zeros((h, w))
+    for r in tiles_to_long(tiles_df, meta, scale=scale).collect():
+        out[r["y"], r["x"]] = r["value"]
+    return out
+
+
+def test_roundtrip(tiles, dense, meta):
+    assert np.array_equal(_collect_dense(tiles, meta), dense)
+
+
+def test_map_tiles(tiles, dense, meta):
+    out = map_tiles(tiles, lambda a: a * 2.0, meta)
+    assert np.array_equal(_collect_dense(out, meta), dense * 2.0)
+
+
+def test_map_tiles_with_halo_boxsum(tiles, dense, meta):
+    def boxsum(a):
+        k = np.zeros_like(a)
+        p = np.pad(a, 1)
+        for dy in (0, 1, 2):
+            for dx in (0, 1, 2):
+                k += p[dy : dy + a.shape[0], dx : dx + a.shape[1]]
+        return k
+
+    out = map_tiles_with_halo(tiles, boxsum, meta, halo=1)
+    got = _collect_dense(out, meta)
+    want = boxsum(dense)
+    # interior tiles exist only where the input had tiles; all tiles of
+    # this fixture are present, so the comparison is global
+    assert np.array_equal(got, want)
+
+
+def test_bbox_query_tiles(tiles, dense, meta):
+    y0, x0, y1, x1 = 10, 5, 40, 60
+    out = bounding_box_query_tiles(tiles, meta, y0, x0, y1, x1)
+    got = _collect_dense(out, meta)
+    want = np.zeros_like(dense)
+    want[y0:y1, x0:x1] = dense[y0:y1, x0:x1]
+    assert np.array_equal(got, want)
+
+
+def test_unpad(spark, meta):
+    a = np.zeros((H, W))
+    a[12:30, 20:44] = 5.0
+    t = long_to_tiles(_to_long_df(spark, a), meta)
+    out, (y0, x0, y1, x1) = unpad_raster(t, meta)
+    assert (y0, x0, y1, x1) == (12, 20, 30, 44)
+    got = _collect_dense(out, meta)
+    assert np.array_equal(got, a)  # crop keeps coordinates, zeroes outside
+
+
+def test_pyramid_sum(tiles, dense, meta):
+    out = downsample_tiles(tiles, meta, scale=0, reduction="sum")
+    got = _collect_dense(out, meta, scale=1)
+    padded = np.zeros((64, 80))  # pad to tile multiples (4x5 tiles of 16)
+    padded[:H, :W] = dense
+    want = padded.reshape(32, 2, 40, 2).sum(axis=(1, 3))[: meta.shape_at(1)[0], : meta.shape_at(1)[1]]
+    assert np.array_equal(got, want)
+
+
+def test_pyramid_levels(tiles, meta):
+    pyr = build_pyramid(tiles, meta, n_scales=2)
+    scales = sorted(r["scale"] for r in pyr.select("scale").distinct().collect())
+    assert scales == [0, 1, 2]
+    assert select_pyramid_level(meta, 2, target_resolution=1.0) == 0
+    assert select_pyramid_level(meta, 2, target_resolution=3.0) == 1
+    assert select_pyramid_level(meta, 2, target_resolution=6.0) == 2
+
+
+def test_zonal_stats_tiles(spark, tiles, dense, meta):
+    labels = np.zeros((H, W), dtype=np.int64)
+    labels[:25, :] = 1
+    labels[25:, :35] = 2
+    lmeta = RasterMeta(height=H, width=W, tile=TS, dtype="i8")
+    yy, xx = np.nonzero(labels)
+    ldf = spark.createDataFrame(
+        [(int(y), int(x), int(labels[y, x])) for y, x in zip(yy, xx)], ["y", "x", "value"]
+    )
+    ltiles = long_to_tiles(ldf, lmeta)
+    out = {r["label"]: (r["sum_value"], r["n"], r["mean_value"]) for r in zonal_stats_tiles(tiles, ltiles, meta, lmeta).collect()}
+    for lab in (1, 2):
+        m = labels == lab
+        # zero-padded pixels inside the label mask count toward n (dense
+        # zonal semantics, like xrspatial over a dense array)
+        assert out[lab][0] == dense[m].sum()
+        assert out[lab][1] == m.sum()
+
+
+def test_export_region_tiles(spark, tiles, dense, meta):
+    regions = spark.createDataFrame([(1, 20, 30), (2, 8, 60)], ["region_id", "cy", "cx"])
+    out = export_region_tiles(tiles, meta, regions, tile_px=12)
+    rows = {r["region_id"]: r for r in out.collect()}
+    for rid, cy, cx in [(1, 20, 30), (2, 8, 60)]:
+        r = rows[rid]
+        got = np.frombuffer(r["data"], dtype=np.float64).reshape(12, 12)
+        y0, x0 = cy - 6, cx - 6
+        want = np.zeros((12, 12))
+        src = dense[max(0, y0) : y0 + 12, max(0, x0) : x0 + 12]
+        want[max(0, -y0) : max(0, -y0) + src.shape[0], max(0, -x0) : max(0, -x0) + src.shape[1]] = src
+        assert np.array_equal(got, want)

@@ -663,6 +663,54 @@ FROM labels WHERE label != 0 GROUP BY label
 """
 
 
+def rv_to_polygons(spark, sf_dir):
+    """Exact labels->polygons via boundary tracing on tiles; the oracle
+    checks the per-label invariants area == pixel count and bbox ==
+    pixel extent (the geometry itself is unit-tested by pip round
+    trip in tests/test_vectorize_tiles.py)."""
+    from pyspark.sql import types as T
+
+    from spatialdata_spark.operators.raster import RasterMeta, long_to_tiles
+    from spatialdata_spark.operators.vectorize import labels_tiles_to_polygons
+
+    px = (
+        _labels(spark, sf_dir)
+        .filter((F.col("y") < 64) & (F.col("x") < 128))
+        .groupBy("y", "x")
+        .agg(F.max("label").alias("value"))
+    )
+    meta = RasterMeta(height=64, width=128, tile=32, dtype="i8")
+    shapes = labels_tiles_to_polygons(long_to_tiles(px, meta), meta)
+
+    @F.pandas_udf(T.DoubleType())
+    def _area(wkb_s):
+        import pandas as pd
+
+        from spatialdata_spark.geometry import predicates as P
+        from spatialdata_spark.geometry import wkb as W
+
+        out = []
+        for buf in wkb_s:
+            kind, geom = W.decode(bytes(buf))
+            out.append(P.polygon_area(geom) if kind == "polygon" else P.multipolygon_area(geom))
+        return pd.Series(out)
+
+    return shapes.select("shape_id", _area("wkb").alias("area"), "minx", "miny", "maxx", "maxy")
+
+
+RV_TO_POLYGONS_SQL = f"""
+WITH labels AS ({LABELS_SQL}),
+px AS (
+  SELECT y, x, MAX(label) AS label FROM labels
+  WHERE y < 64 AND x < 128 GROUP BY y, x
+)
+SELECT label AS shape_id, COUNT(*) * 1.0 AS area,
+  MIN(x) * 1.0 AS minx, MIN(y) * 1.0 AS miny,
+  (MAX(x) + 1) * 1.0 AS maxx, (MAX(y) + 1) * 1.0 AS maxy
+FROM px GROUP BY label
+"""
+
+
 def rv_relabel(spark, sf_dir):
     from spatialdata_spark.operators.rasterize import relabel_sequential
 
@@ -833,6 +881,28 @@ def rt_unpad_extent(spark, sf_dir):
 RT_UNPAD_SQL = f"""
 SELECT MIN(y) AS y0, MIN(x) AS x0, MAX(y) + 1 AS y1, MAX(x) + 1 AS x1
 FROM ({IMG_SQL}) WHERE value != 0
+"""
+
+
+def rt_affine_resample(spark, sf_dir):
+    from spatialdata_spark.operators.raster import RasterMeta, tiles_to_long, transform_raster_tiles
+
+    m = _img_meta()
+    out_meta = RasterMeta(height=200, width=16, tile=32)
+    # 2x upsample + translate(3,1): inverse index map i = (o - t)/2
+    inv = [[0.5, 0.0, -1.5], [0.0, 0.5, -0.5], [0.0, 0.0, 1.0]]
+    out = transform_raster_tiles(_img_tiles(spark, sf_dir), m, inv, out_meta, order=0)
+    return tiles_to_long(out, out_meta)
+
+
+RT_AFFINE_SQL = f"""
+WITH img AS ({IMG_SQL}),
+oy AS (SELECT UNNEST(RANGE(0, 200)) AS y),
+ox AS (SELECT UNNEST(RANGE(0, 16)) AS x)
+SELECT 0 AS c, oy.y AS y, ox.x AS x, img.value AS value
+FROM oy CROSS JOIN ox
+JOIN img ON img.y = CAST(FLOOR((oy.y - 3) / 2.0 + 0.5) AS BIGINT)
+        AND img.x = CAST(FLOOR((ox.x - 1) / 2.0 + 0.5) AS BIGINT)
 """
 
 
@@ -1075,6 +1145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rv_rasterize_count": rv_rasterize_count,
         "rv_rasterize_cat": rv_rasterize_cat,
         "rv_to_circles": rv_to_circles,
+        "rv_to_polygons": rv_to_polygons,
         "rv_relabel": rv_relabel,
         "rv_transform_points": rv_transform_points,
         "rt_map_tiles": rt_map_tiles,
@@ -1083,6 +1154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_halo_boxsum": rt_halo_boxsum,
         "rt_zonal_tiles": rt_zonal_tiles,
         "rt_unpad_extent": rt_unpad_extent,
+        "rt_affine_resample": rt_affine_resample,
         "rt_export_tiles": rt_export_tiles,
         "pl_dedup_exact": pl_dedup_exact,
         "pl_text_stats": pl_text_stats,
@@ -1126,6 +1198,7 @@ def oracle_sql() -> dict[str, str]:
         "rv_rasterize_count": RV_RASTERIZE_SQL,
         "rv_rasterize_cat": RV_RASTERIZE_CAT_SQL,
         "rv_to_circles": RV_TO_CIRCLES_SQL,
+        "rv_to_polygons": RV_TO_POLYGONS_SQL,
         "rv_relabel": RV_RELABEL_SQL,
         "rv_transform_points": RV_TRANSFORM_SQL,
         "rt_map_tiles": RT_MAP_TILES_SQL,
@@ -1134,6 +1207,7 @@ def oracle_sql() -> dict[str, str]:
         "rt_halo_boxsum": RT_HALO_SQL,
         "rt_zonal_tiles": RT_ZONAL_SQL,
         "rt_unpad_extent": RT_UNPAD_SQL,
+        "rt_affine_resample": RT_AFFINE_SQL,
         "pl_dedup_exact": PL_DEDUP_SQL,
         "pl_text_stats": PL_TEXT_STATS_SQL,
         "pl_fingerprint": PL_FINGERPRINT_SQL,

@@ -486,6 +486,133 @@ def zonal_stats_tiles(
 
 
 # ---------------------------------------------------------------------------
+# affine resampling (transform(raster) / rasterize(raster))
+# ---------------------------------------------------------------------------
+
+
+def transform_raster_tiles(
+    tiles: DataFrame,
+    meta: RasterMeta,
+    matrix,
+    out_meta: RasterMeta,
+    order: int = 0,
+    scale: int = 0,
+) -> DataFrame:
+    """Affine resample of a tiled raster (reference:
+    _core/operations/transform.py:38-105,306-426 via
+    dask_image.ndinterp.affine_transform; rasterize's raster path,
+    rasterize.py:502-613).
+
+    ``matrix`` is the 3x3 **inverse** map in index space: for output
+    index ``o=(oy,ox)``, the sample point is ``i = M[:2,:2]@o +
+    M[:2,2]``.  order=0 is nearest (labels — reference transform.py:319
+    forces order 0), order=1 bilinear (images).
+
+    Plan (the deterministic gather of SURVEY §4): output tiles are
+    enumerated with ``spark.range``; each output tile's input bbox is
+    a *pure expression* over its corner indices, exploded to the
+    covering input tile ids; an equi-join on the tile key pulls the
+    needed input tiles (only those — chunk pruning); one groupBy per
+    output tile assembles the patch and numpy resamples.  No
+    all-to-all: each output tile touches O(1) input tiles for affine
+    maps with moderate scale.
+    """
+    m = np.asarray(matrix, dtype=float)
+    a00, a01, b0 = m[0, 0], m[0, 1], m[0, 2]
+    a10, a11, b1 = m[1, 0], m[1, 1], m[1, 2]
+    ts = meta.tile
+    ots = out_meta.tile
+    pad = 1.0 if order == 1 else 0.5
+    spark = tiles.sparkSession
+
+    n_oty, n_otx = out_meta.tiles_y(0), out_meta.tiles_x(0)
+    grid = (
+        spark.range(n_oty * n_otx)
+        .select(
+            (F.col("id") / n_otx).cast("long").alias("oty"),
+            (F.col("id") % n_otx).alias("otx"),
+        )
+    )
+    # input-space bbox of the output tile = min/max over its 4 corner
+    # sample points (affine maps box corners to extremes), padded for
+    # the interpolation stencil
+    y0 = (F.col("oty") * ots).cast("double")
+    y1 = y0 + ots - 1
+    x0 = (F.col("otx") * ots).cast("double")
+    x1 = x0 + ots - 1
+    iys = [a00 * yy + a01 * xx + b0 for yy in (y0, y1) for xx in (x0, x1)]
+    ixs = [a10 * yy + a11 * xx + b1 for yy in (y0, y1) for xx in (x0, x1)]
+    imin_y = F.least(*iys) - pad
+    imax_y = F.greatest(*iys) + pad
+    imin_x = F.least(*ixs) - pad
+    imax_x = F.greatest(*ixs) + pad
+    cover = (
+        grid.withColumn("ty", F.explode(F.sequence(
+            F.greatest(F.floor(imin_y / ts), F.lit(0)),
+            F.least(F.floor(imax_y / ts), F.lit(meta.tiles_y(scale) - 1)),
+        )))
+        .withColumn("tx", F.explode(F.sequence(
+            F.greatest(F.floor(imin_x / ts), F.lit(0)),
+            F.least(F.floor(imax_x / ts), F.lit(meta.tiles_x(scale) - 1)),
+        )))
+        .select("oty", "otx", "ty", "tx")
+    )
+    joined = cover.join(tiles.filter(F.col("scale") == scale), ["ty", "tx"])
+
+    def _resample(key, pdf):
+        import pandas as pd
+
+        oty, otx, c = int(key[0]), int(key[1]), int(key[2])
+        tys = pdf["ty"].astype(int)
+        txs = pdf["tx"].astype(int)
+        py0, px0 = tys.min() * ts, txs.min() * ts
+        patch = np.zeros(((tys.max() - tys.min() + 1) * ts, (txs.max() - txs.min() + 1) * ts), dtype=np.dtype(meta.dtype))
+        for _, row in pdf.iterrows():
+            a = _arr(row["tile"], meta)
+            yy, xx = int(row["ty"]) * ts - py0, int(row["tx"]) * ts - px0
+            patch[yy : yy + ts, xx : xx + ts] = a
+        oy, ox = np.mgrid[0:ots, 0:ots]
+        oy = oy + oty * ots
+        ox = ox + otx * ots
+        iy = a00 * oy + a01 * ox + b0
+        ix = a10 * oy + a11 * ox + b1
+        out = np.zeros((ots, ots), dtype=np.dtype(out_meta.dtype))
+        h, w = patch.shape
+        if order == 0:
+            # half-up rounding (deterministic, matches FLOOR(i+0.5))
+            ry = np.floor(iy + 0.5).astype(np.int64) - py0
+            rx = np.floor(ix + 0.5).astype(np.int64) - px0
+            ok = (ry >= 0) & (ry < h) & (rx >= 0) & (rx < w)
+            out[ok] = patch[ry[ok], rx[ok]]
+        else:
+            fy = np.floor(iy).astype(np.int64)
+            fx = np.floor(ix).astype(np.int64)
+            wy = iy - fy
+            wx = ix - fx
+            fy -= py0
+            fx -= px0
+
+            def at(yy, xx):
+                ok = (yy >= 0) & (yy < h) & (xx >= 0) & (xx < w)
+                v = np.zeros_like(wy)
+                v[ok] = patch[yy[ok], xx[ok]]
+                return v
+
+            val = (
+                at(fy, fx) * (1 - wy) * (1 - wx)
+                + at(fy, fx + 1) * (1 - wy) * wx
+                + at(fy + 1, fx) * wy * (1 - wx)
+                + at(fy + 1, fx + 1) * wy * wx
+            )
+            out = val.astype(np.dtype(out_meta.dtype))
+        return pd.DataFrame(
+            {"scale": [0], "c": [c], "ty": [oty], "tx": [otx], "tile": [_buf(out)]}
+        )
+
+    return joined.groupBy("oty", "otx", "c").applyInPandas(_resample, TILE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
 # tile export (ImageTilesDataset analog)
 # ---------------------------------------------------------------------------
 

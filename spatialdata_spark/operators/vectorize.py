@@ -166,6 +166,212 @@ def boxes_to_shapes(df: DataFrame, id_col: str = "shape_id") -> DataFrame:
     )
 
 
+def labels_tiles_to_polygons(label_tiles: DataFrame, meta) -> DataFrame:
+    """Exact label -> polygon vectorization from the tile layer
+    (reference: vectorize.py:159-302 — per-chunk contours + cross-chunk
+    dissolve).
+
+    Plan: a 5-way neighbor-contribution join gives each tile a 1-pixel
+    halo; boundary **unit edges** (pixel sides whose 4-neighbor has a
+    different label) are emitted per tile, oriented interior-left so
+    exterior rings come out CCW and holes CW; one groupBy(label)
+    assembles edges into closed rings by leftmost-turn walking and
+    nests holes into their containing exteriors.  Work per label is
+    O(perimeter) — the dissolve never materializes pixel sets.
+    """
+    import pandas as pd
+
+    from spatialdata_spark.geometry import predicates as P
+    from spatialdata_spark.geometry import wkb as W
+
+    ts = meta.tile
+    dtype = meta.dtype
+
+    offsets = [(0, 0), (1, 0), (-1, 0), (0, 1), (0, -1)]
+    off_col = F.explode(
+        F.array(*[F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx")) for dy, dx in offsets])
+    ).alias("off")
+    contrib = (
+        label_tiles.filter(F.col("scale") == 0)
+        .select("ty", "tx", "tile", off_col)
+        .select(
+            (F.col("ty") + F.col("off.dy")).alias("gty"),
+            (F.col("tx") + F.col("off.dx")).alias("gtx"),
+            F.col("off.dy").alias("rel_dy"),
+            F.col("off.dx").alias("rel_dx"),
+            "tile",
+        )
+        .filter((F.col("gty") >= 0) & (F.col("gtx") >= 0))
+    )
+
+    edge_schema = T.StructType(
+        [
+            T.StructField("label", T.LongType()),
+            T.StructField("x0", T.LongType()),
+            T.StructField("y0", T.LongType()),
+            T.StructField("x1", T.LongType()),
+            T.StructField("y1", T.LongType()),
+        ]
+    )
+
+    def _edges(key, pdf):
+        import numpy as np
+
+        gty, gtx = int(key[0]), int(key[1])
+        padded = np.zeros((ts + 2, ts + 2), dtype=np.dtype(dtype))
+        center_seen = False
+        for _, row in pdf.iterrows():
+            a = np.frombuffer(row["tile"], dtype=np.dtype(dtype)).reshape(ts, ts)
+            dy, dx = int(row["rel_dy"]), int(row["rel_dx"])
+            if dy == 0 and dx == 0:
+                center_seen = True
+            y0 = 1 - dy * ts
+            x0 = 1 - dx * ts
+            ys0, ys1 = max(0, y0), min(ts + 2, y0 + ts)
+            xs0, xs1 = max(0, x0), min(ts + 2, x0 + ts)
+            if ys0 >= ys1 or xs0 >= xs1:
+                continue
+            padded[ys0:ys1, xs0:xs1] = a[ys0 - y0 : ys1 - y0, xs0 - x0 : xs1 - x0]
+        if not center_seen:
+            return pd.DataFrame(columns=["label", "x0", "y0", "x1", "y1"])
+        core = padded[1:-1, 1:-1]
+        m = core != 0
+        oy, ox = gty * ts, gtx * ts
+        frames = []
+        # (neighbor slice, edge endpoints as fn of pixel (y, x))
+        sides = [
+            (padded[:-2, 1:-1], lambda y, x: (x, y, x + 1, y)),          # y-1 differs
+            (padded[1:-1, 2:], lambda y, x: (x + 1, y, x + 1, y + 1)),   # x+1 differs
+            (padded[2:, 1:-1], lambda y, x: (x + 1, y + 1, x, y + 1)),   # y+1 differs
+            (padded[1:-1, :-2], lambda y, x: (x, y + 1, x, y)),          # x-1 differs
+        ]
+        for nb, mk in sides:
+            yy, xx = np.nonzero(m & (nb != core))
+            if len(yy) == 0:
+                continue
+            gx, gy = xx + ox, yy + oy
+            x0e, y0e, x1e, y1e = mk(gy, gx)
+            frames.append(
+                pd.DataFrame(
+                    {"label": core[yy, xx].astype(np.int64), "x0": x0e, "y0": y0e, "x1": x1e, "y1": y1e}
+                )
+            )
+        if not frames:
+            return pd.DataFrame(columns=["label", "x0", "y0", "x1", "y1"])
+        return pd.concat(frames)
+
+    edges = contrib.groupBy("gty", "gtx").applyInPandas(_edges, edge_schema)
+
+    shapes_schema = T.StructType(
+        [
+            T.StructField("shape_id", T.LongType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("wkb", T.BinaryType()),
+            T.StructField("minx", T.DoubleType()),
+            T.StructField("miny", T.DoubleType()),
+            T.StructField("maxx", T.DoubleType()),
+            T.StructField("maxy", T.DoubleType()),
+            T.StructField("radius", T.DoubleType()),
+        ]
+    )
+
+    # turn preference when several edges leave a vertex (checkerboard
+    # corner): leftmost turn keeps each component's boundary separate
+    def _walk_rings(ex0, ey0, ex1, ey1):
+        import numpy as np
+
+        out_map: dict = {}
+        for i in range(len(ex0)):
+            out_map.setdefault((int(ex0[i]), int(ey0[i])), []).append((int(ex1[i]), int(ey1[i])))
+        for v in out_map.values():
+            v.sort()
+        rings = []
+        starts = sorted(out_map)
+        for s in starts:
+            while out_map.get(s):
+                ring = [s]
+                cur = s
+                nxt = out_map[s].pop()
+                while nxt != s:
+                    ring.append(nxt)
+                    dx, dy = nxt[0] - cur[0], nxt[1] - cur[1]
+                    cands = out_map.get(nxt, [])
+                    if len(cands) == 1:
+                        chosen = cands.pop()
+                    else:
+                        # prefer left turn, then straight, then right
+                        pref = [(-dy, dx), (dx, dy), (dy, -dx)]
+                        chosen = None
+                        for pdx, pdy in pref:
+                            want = (nxt[0] + pdx, nxt[1] + pdy)
+                            if want in cands:
+                                cands.remove(want)
+                                chosen = want
+                                break
+                        if chosen is None:
+                            chosen = cands.pop()
+                    cur, nxt = nxt, chosen
+                ring.append(s)
+                rings.append(np.array(ring, dtype=float))
+        return rings
+
+    def _assemble(key, pdf):
+        import numpy as np
+
+        label = int(key[0])
+        rings = _walk_rings(
+            pdf["x0"].to_numpy(), pdf["y0"].to_numpy(), pdf["x1"].to_numpy(), pdf["y1"].to_numpy()
+        )
+        exteriors = []  # (ring, area)
+        holes = []
+        for r in rings:
+            a = P.ring_area(r)
+            (exteriors if a > 0 else holes).append((r, abs(a)))
+        # nest each hole into the smallest containing exterior
+        polys: list[list[np.ndarray]] = [[r] for r, _ in exteriors]
+        for hr, _ in holes:
+            # probe point: center of the first edge, offset a half unit
+            # to the interior-left (a pixel center of the label region)
+            p0, p1 = hr[0], hr[1]
+            mid = (p0 + p1) / 2.0
+            d = p1 - p0
+            probe = mid + np.array([-d[1], d[0]]) * 0.5
+            best = None
+            best_area = None
+            for i, (er, ea) in enumerate(exteriors):
+                if P.points_in_ring(np.array([probe[0]]), np.array([probe[1]]), er)[0]:
+                    if best is None or ea < best_area:
+                        best, best_area = i, ea
+            if best is not None:
+                polys[best].append(hr)
+        if not polys:
+            return pd.DataFrame(columns=[f.name for f in shapes_schema.fields])
+        if len(polys) == 1:
+            buf = W.encode_polygon(polys[0])
+            kind = "polygon"
+        else:
+            buf = W.encode_multipolygon(polys)
+            kind = "multipolygon"
+        allv = np.vstack([r for poly in polys for r in poly])
+        return pd.DataFrame(
+            [
+                (
+                    label,
+                    kind,
+                    buf,
+                    float(allv[:, 0].min()),
+                    float(allv[:, 1].min()),
+                    float(allv[:, 0].max()),
+                    float(allv[:, 1].max()),
+                    None,
+                )
+            ],
+            columns=[f.name for f in shapes_schema.fields],
+        )
+
+    return edges.groupBy("label").applyInPandas(_assemble, shapes_schema)
+
+
 def labels_to_polygons(labels_long: DataFrame) -> DataFrame:
     """Labels -> per-label bounding polygon via marching-squares-lite.
 

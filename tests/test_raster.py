@@ -140,6 +140,59 @@ def test_zonal_stats_tiles(spark, tiles, dense, meta):
         assert out[lab][1] == m.sum()
 
 
+def _direct_resample(dense, m, out_shape, order):
+    a00, a01, b0 = m[0]
+    a10, a11, b1 = m[1]
+    oy, ox = np.mgrid[0 : out_shape[0], 0 : out_shape[1]]
+    iy = a00 * oy + a01 * ox + b0
+    ix = a10 * oy + a11 * ox + b1
+    h, w = dense.shape
+    out = np.zeros(out_shape)
+    if order == 0:
+        ry = np.floor(iy + 0.5).astype(int)
+        rx = np.floor(ix + 0.5).astype(int)
+        ok = (ry >= 0) & (ry < h) & (rx >= 0) & (rx < w)
+        out[ok] = dense[ry[ok], rx[ok]]
+        return out
+    fy = np.floor(iy).astype(int)
+    fx = np.floor(ix).astype(int)
+    wy, wx = iy - fy, ix - fx
+
+    def at(yy, xx):
+        ok = (yy >= 0) & (yy < h) & (xx >= 0) & (xx < w)
+        v = np.zeros_like(wy)
+        v[ok] = dense[yy[ok], xx[ok]]
+        return v
+
+    return (
+        at(fy, fx) * (1 - wy) * (1 - wx)
+        + at(fy, fx + 1) * (1 - wy) * wx
+        + at(fy + 1, fx) * wy * (1 - wx)
+        + at(fy + 1, fx + 1) * wy * wx
+    )
+
+
+@pytest.mark.parametrize("order", [0, 1])
+def test_affine_resample(tiles, dense, meta, order):
+    from spatialdata_spark.operators.raster import transform_raster_tiles
+
+    # rotation+scale inverse map: i = R(15deg)/1.7 @ o + t
+    th = np.deg2rad(15)
+    s = 1 / 1.7
+    m = np.array(
+        [
+            [s * np.cos(th), -s * np.sin(th), 3.2],
+            [s * np.sin(th), s * np.cos(th), -1.1],
+            [0, 0, 1],
+        ]
+    )
+    out_meta = RasterMeta(height=80, width=96, tile=TS)
+    got_tiles = transform_raster_tiles(tiles, meta, m, out_meta, order=order)
+    got = _collect_dense(got_tiles, out_meta)
+    want = _direct_resample(dense, m, (80, 96), order)
+    assert np.allclose(got, want)
+
+
 def test_export_region_tiles(spark, tiles, dense, meta):
     regions = spark.createDataFrame([(1, 20, 30), (2, 8, 60)], ["region_id", "cy", "cx"])
     out = export_region_tiles(tiles, meta, regions, tile_px=12)

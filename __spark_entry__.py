@@ -730,6 +730,29 @@ GROUP BY 1
 """
 
 
+def rv_rasterize_bins(spark, sf_dir):
+    from spatialdata_spark.operators.rasterize import rasterize_bins
+
+    cust = _read(spark, sf_dir, "customer")
+    obs = cust.select(
+        F.col("c_custkey").alias("instance_id"),
+        (F.col("c_custkey") % 50).alias("array_row"),
+        ((F.col("c_custkey") / 50).cast("long") % 40).alias("array_col"),
+    ).withColumn("x", F.col("array_col") * 2.0 + 5.0).withColumn("y", F.col("array_row") * 3.0 + 7.0)
+    x_long = cust.selectExpr(
+        "c_custkey AS obs_id",
+        "stack(2, 'acctbal', c_acctbal, 'nation', CAST(c_nationkey AS DOUBLE)) AS (var_name, value)",
+    )
+    return rasterize_bins(obs, x_long, "acctbal")
+
+
+RV_RASTERIZE_BINS_SQL = """
+SELECT (c_custkey % 50) * 3 + 7 AS py, ((c_custkey // 50) % 40) * 2 + 5 AS px,
+       c_acctbal AS value
+FROM customer
+"""
+
+
 def rv_transform_points(spark, sf_dir):
     from spatialdata_spark.operators.transform import transform_points
     from spatialdata_spark.transformations import Affine
@@ -996,6 +1019,40 @@ LIMIT 20
 
 
 # rows-only checks (no SQL-expressible oracle): LSH/heuristic operators
+def pl_cosine_pairs(spark, sf_dir):
+    """Exact embedding near-dup pairs on an id-bounded slice (the
+    oracle baseline for embedding_cosine_dedup's LSH path)."""
+    from spatialdata_spark.pipeline.similarity import _dot_expr, _norm_expr
+
+    emb = _read(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").cast("array<double>").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").cast("array<double>").alias("vb"))
+    sim = _dot_expr(F.col("va"), F.col("vb")) / (_norm_expr(F.col("va")) * _norm_expr(F.col("vb")))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("cosine"))
+        .filter(F.col("cosine") >= 0.3)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine_r"))
+    )
+
+
+PL_COSINE_PAIRS_SQL = """
+WITH sub AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 500)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine_r
+FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.3
+"""
+
+
+def pl_quality_score(spark, sf_dir):
+    # rows-only: composite heuristic (C4/Gopher-style); components are
+    # oracle-checked via pl_text_stats
+    from spatialdata_spark.pipeline.textstats import quality_score
+
+    return quality_score(_read(spark, sf_dir, "documents"))
+
+
 def pl_minhash_dedup(spark, sf_dir):
     from spatialdata_spark.pipeline.dedup import minhash_lsh_candidates, minhash_signatures
 
@@ -1147,6 +1204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rv_to_circles": rv_to_circles,
         "rv_to_polygons": rv_to_polygons,
         "rv_relabel": rv_relabel,
+        "rv_rasterize_bins": rv_rasterize_bins,
         "rv_transform_points": rv_transform_points,
         "rt_map_tiles": rt_map_tiles,
         "rt_bbox_tiles": rt_bbox_tiles,
@@ -1161,6 +1219,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pl_fingerprint": pl_fingerprint,
         "pl_token_count": pl_token_count,
         "pl_knn_cosine": pl_knn_cosine,
+        "pl_cosine_pairs": pl_cosine_pairs,
+        "pl_quality_score": pl_quality_score,
         "pl_minhash_dedup": pl_minhash_dedup,
         "pl_language_id": pl_language_id,
         "pl_lsh_topk": pl_lsh_topk,
@@ -1200,6 +1260,7 @@ def oracle_sql() -> dict[str, str]:
         "rv_to_circles": RV_TO_CIRCLES_SQL,
         "rv_to_polygons": RV_TO_POLYGONS_SQL,
         "rv_relabel": RV_RELABEL_SQL,
+        "rv_rasterize_bins": RV_RASTERIZE_BINS_SQL,
         "rv_transform_points": RV_TRANSFORM_SQL,
         "rt_map_tiles": RT_MAP_TILES_SQL,
         "rt_bbox_tiles": RT_BBOX_TILES_SQL,
@@ -1213,6 +1274,7 @@ def oracle_sql() -> dict[str, str]:
         "pl_fingerprint": PL_FINGERPRINT_SQL,
         "pl_token_count": PL_TOKEN_COUNT_SQL,
         "pl_knn_cosine": PL_KNN_SQL,
+        "pl_cosine_pairs": PL_COSINE_PAIRS_SQL,
         "st_tumbling": ST_TUMBLING_SQL,
         "st_sessionize": ST_SESSIONIZE_SQL,
         "st_topk_per_user": ST_TOPK_SQL,

@@ -97,6 +97,53 @@ def rasterize_labels_from_shapes_centroid(
     )
 
 
+def rasterize_bins(
+    obs: DataFrame,
+    x_long: DataFrame,
+    var_name: str,
+    row_key: str = "array_row",
+    col_key: str = "array_col",
+    instance_key: str = "instance_id",
+    n_fit: int = 100,
+) -> DataFrame:
+    """Grid-organized bins -> image pixels (reference:
+    rasterize_bins.py:31-237, Visium HD).
+
+    The (row, col) -> (x, y) affine is estimated driver-side from a
+    small sample of bin centroids via numpy lstsq (the reference uses
+    skimage estimate_transform on 6+ sampled bins); per-bin values come
+    from the long-form X table filtered on ``var_name`` — the
+    predicate-pushdown replacement for the reference's CSC column
+    slice.  Output: ``(py, px, value)`` long-form raster.
+    """
+    import numpy as np
+
+    sample = obs.select(row_key, col_key, "x", "y").limit(max(n_fit, 6)).collect()
+    if len(sample) < 3:
+        raise ValueError("need at least 3 bins to fit the grid affine")
+    rc = np.array([[r[row_key], r[col_key], 1.0] for r in sample], dtype=float)
+    xy = np.array([[r["x"], r["y"]] for r in sample], dtype=float)
+    coef, *_ = np.linalg.lstsq(rc, xy, rcond=None)  # (3,2): [x y] = [row col 1] @ coef
+    resid = rc @ coef - xy
+    if np.abs(resid).max() > 1e-6:
+        raise ValueError("bin centroids are not grid-affine (reference raises too)")
+
+    px = F.round(
+        F.col(row_key) * float(coef[0, 0]) + F.col(col_key) * float(coef[1, 0]) + float(coef[2, 0])
+    ).cast("long")
+    py = F.round(
+        F.col(row_key) * float(coef[0, 1]) + F.col(col_key) * float(coef[1, 1]) + float(coef[2, 1])
+    ).cast("long")
+    vals = x_long.filter(F.col("var_name") == var_name).select(
+        F.col("obs_id").alias(instance_key), F.col("value")
+    )
+    return (
+        obs.select(F.col(instance_key), px.alias("px"), py.alias("py"))
+        .join(vals, instance_key)
+        .select("py", "px", "value")
+    )
+
+
 def relabel_sequential(labels_long: DataFrame) -> DataFrame:
     """Dense-rank labels to 1..n keeping 0 as background
     (reference: map.py:219-253 relabel_sequential).

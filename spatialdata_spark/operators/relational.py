@@ -93,6 +93,41 @@ def join_element_table(
     return None, table_out
 
 
+def match_table_to_element_ordered(
+    element_df: DataFrame,
+    element_order_cols: list[str],
+    table_df: DataFrame,
+    element_name: str,
+    element_kind: str = "shapes",
+    region_key: str = "region",
+    instance_key: str = "instance_id",
+    element_instance_col: str | None = None,
+) -> DataFrame:
+    """``match_rows='left'`` (reference: relational_query.py:482-504):
+    the table is reordered to the element's row order.
+
+    DataFrames have no implicit order, so the element's order must be
+    named by ``element_order_cols``; the element gets a dense position
+    via a window, the table joins on the instance key and sorts by that
+    position (exposed as ``__element_pos`` so downstream zips stay
+    aligned).  Note this is a global sort — exactly the semantic the
+    reference's pandas reindex implies.
+    """
+    from pyspark.sql.window import Window
+
+    inst_col = element_instance_col or {"shapes": "shape_id", "points": "instance_id", "labels": "label"}[element_kind]
+    pos = element_df.select(
+        F.col(inst_col).alias("__match_id"),
+        F.row_number().over(Window.orderBy(*element_order_cols)).alias("__element_pos"),
+    )
+    table_region = table_df.filter(F.col(region_key) == element_name)
+    return (
+        table_region.join(F.broadcast(pos), table_region[instance_key] == pos["__match_id"])
+        .drop("__match_id")
+        .orderBy("__element_pos")
+    )
+
+
 def match_table_to_element(element_df, element_name, element_kind, table_df, **kw) -> DataFrame:
     """Convenience: table rows annotating the element
     (reference: relational_query.py:719-767)."""

@@ -78,8 +78,10 @@ def streaming_tumbling_query(spark: SparkSession, source_dir: str, schema, width
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n")
     )
+    # complete mode so finite test batches surface still-open windows;
+    # a production file/kafka sink would use append + the watermark
     return (
-        agg.writeStream.outputMode("append")
+        agg.writeStream.outputMode("complete")
         .format("memory")
         .queryName("events_windowed")
         .trigger(availableNow=True)

@@ -80,6 +80,21 @@ def _circles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DEC = "DECIMAL(18,2)"
 
+# synthetic labels raster from lineitem
+LABELS_SQL = (
+    "SELECT CAST(FLOOR(l_quantity) AS BIGINT) AS y, "
+    "CAST(FLOOR(l_extendedprice/1000.0) AS BIGINT) AS x, "
+    "(l_suppkey % 50) + 1 AS label FROM lineitem"
+)
+
+
+def _labels(spark, sf_dir):
+    return _read(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_quantity")).cast("long").alias("y"),
+        F.floor(F.col("l_extendedprice") / 1000.0).cast("long").alias("x"),
+        ((F.col("l_suppkey") % 50) + 1).alias("label"),
+    )
+
 
 # ---------------------------------------------------------------------------
 # flagship
@@ -351,6 +366,48 @@ WHERE (POWER(GREATEST(10.0 - cx, 0.0, cx - 40.0), 2)
 """
 
 
+def _seg_dist2_sql(cx: str, cy: str, x1, y1, x2, y2) -> str:
+    l2 = (x2 - x1) ** 2 + (y2 - y1) ** 2
+    t = f"LEAST(GREATEST((({cx} - {x1!r})*{x2 - x1!r} + ({cy} - {y1!r})*{y2 - y1!r}) / {l2!r}, 0.0), 1.0)"
+    return (
+        f"(POWER({cx} - ({x1!r} + {x2 - x1!r}*{t}), 2) + POWER({cy} - ({y1!r} + {y2 - y1!r}*{t}), 2))"
+    )
+
+
+def sq_polygon_shapes(spark, sf_dir):
+    from spatialdata_spark.operators.spatial_query import polygon_query_shapes
+
+    circles = _circles(spark, sf_dir)
+    out = polygon_query_shapes(circles, _TRI)
+    return out.select("shape_id", "radius")
+
+
+def _polygon_shapes_sql() -> str:
+    # disk intersects triangle <=> center strictly inside OR some edge
+    # within radius of the center (mirrors ring_intersects_circle)
+    n = len(_TRI)
+    area = 0.0
+    for i in range(n):
+        x1, y1 = _TRI[i]
+        x2, y2 = _TRI[(i + 1) % n]
+        area += x1 * y2 - x2 * y1
+    ring = _TRI if area > 0 else _TRI[::-1]
+    inside = []
+    near = []
+    for i in range(n):
+        x1, y1 = (float(v) for v in ring[i])
+        x2, y2 = (float(v) for v in ring[(i + 1) % n])
+        inside.append(f"(({x2!r} - {x1!r})*(cy - {y1!r}) - ({y2!r} - {y1!r})*(cx - {x1!r})) > 0")
+        near.append(f"{_seg_dist2_sql('cx', 'cy', x1, y1, x2, y2)} <= radius*radius")
+    return f"(({' AND '.join(inside)}) OR {' OR '.join(near)})"
+
+
+SQ_POLYGON_SHAPES_SQL = f"""
+WITH c AS ({CIRCLES_SQL})
+SELECT shape_id, radius FROM c WHERE {_polygon_shapes_sql()}
+"""
+
+
 # -- relational joins -------------------------------------------------------
 
 
@@ -459,6 +516,69 @@ SELECT o_orderkey AS instance_id, o_totalprice AS value FROM orders
 """
 
 
+def rq_filter_by_table(spark, sf_dir):
+    """filter_by_table_query: predicate on the annotation table, elements
+    re-matched (reference relational_query.py:835-910)."""
+    from spatialdata_spark.catalog import SpatialDataset
+    from spatialdata_spark.operators.relational import filter_by_table_predicate
+
+    ds = SpatialDataset(spark)
+    ds.add_shapes("cells", _element_circles(spark, sf_dir))
+    ds.add_table("orders_tbl", _orders_table(spark, sf_dir), region="cells")
+    out = filter_by_table_predicate(ds, "orders_tbl", F.col("o_totalprice") > 150000.0)
+    return out["cells"].select("shape_id", "radius")
+
+
+RQ_FILTER_TABLE_SQL = f"""
+WITH c AS ({CIRCLES_SQL})
+SELECT shape_id, radius FROM c
+WHERE shape_id IN (SELECT c_custkey FROM customer WHERE c_acctbal > 0)
+  AND shape_id IN (SELECT o_custkey FROM orders WHERE o_totalprice > 150000.0)
+"""
+
+
+def rq_filter_labels(spark, sf_dir):
+    """filter_label_pixels: zero out pixels of unannotated labels."""
+    from spatialdata_spark.operators.relational import filter_labels_by_table
+
+    table = _read(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 0).select(
+        F.lit("labels_el").alias("region"),
+        ((F.col("s_suppkey") % 50) + 1).alias("instance_id"),
+    )
+    out = filter_labels_by_table(_labels(spark, sf_dir), table, "labels_el")
+    return out.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+
+
+RQ_FILTER_LABELS_SQL = f"""
+WITH labels AS ({LABELS_SQL}),
+keep AS (SELECT DISTINCT (s_suppkey % 50) + 1 AS id FROM supplier WHERE s_acctbal > 0)
+SELECT CASE WHEN label IN (SELECT id FROM keep) THEN label ELSE 0 END AS label,
+       COUNT(*) AS n
+FROM labels GROUP BY 1
+"""
+
+
+def rq_concat_tables(spark, sf_dir):
+    from spatialdata_spark.operators.relational import concatenate_tables
+
+    t1 = _orders_table(spark, sf_dir).filter(F.col("o_orderkey") % 2 == 0)
+    t2 = _orders_table(spark, sf_dir).filter(F.col("o_orderkey") % 2 == 1)
+    out = concatenate_tables([t1, t2], region_suffixes=["_a", "_b"])
+    return out.groupBy("region").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total"),
+    )
+
+
+RQ_CONCAT_SQL = f"""
+SELECT region, COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS {DEC})) AS DOUBLE) AS total FROM (
+  SELECT 'cells_a' AS region, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL
+  SELECT 'cells_b' AS region, o_totalprice FROM orders WHERE o_orderkey % 2 = 1
+) GROUP BY region
+"""
+
+
 # -- aggregation ------------------------------------------------------------
 
 
@@ -550,22 +670,6 @@ SELECT b_id AS by_id,
 FROM v JOIN b ON vx1 >= bx0 AND vx0 <= bx1 AND vy1 >= by0 AND vy0 <= by1
 GROUP BY b_id
 """
-
-# synthetic labels raster from lineitem
-LABELS_SQL = (
-    "SELECT CAST(FLOOR(l_quantity) AS BIGINT) AS y, "
-    "CAST(FLOOR(l_extendedprice/1000.0) AS BIGINT) AS x, "
-    "(l_suppkey % 50) + 1 AS label FROM lineitem"
-)
-
-
-def _labels(spark, sf_dir):
-    return _read(spark, sf_dir, "lineitem").select(
-        F.floor(F.col("l_quantity")).cast("long").alias("y"),
-        F.floor(F.col("l_extendedprice") / 1000.0).cast("long").alias("x"),
-        ((F.col("l_suppkey") % 50) + 1).alias("label"),
-    )
-
 
 def ag_centroids_labels(spark, sf_dir):
     from spatialdata_spark.operators.measures import centroids_labels
@@ -727,6 +831,40 @@ m AS (
 SELECT COALESCE(m.new_label, 0) AS label, COUNT(*) AS n
 FROM labels LEFT JOIN m USING (label)
 GROUP BY 1
+"""
+
+
+def rv_transform_shapes(spark, sf_dir):
+    from spatialdata_spark.operators.transform import transform_shapes
+
+    t = _scale_transform()  # Scale(2, 0.5) then Translate(10, -5)
+    out = transform_shapes(_circles(spark, sf_dir), t)
+    return out.select("shape_id", "minx", "miny", "maxx", "maxy", "radius")
+
+
+_RADIUS_FACTOR = None
+
+
+def _radius_factor() -> float:
+    global _RADIUS_FACTOR
+    if _RADIUS_FACTOR is None:
+        from spatialdata_spark.transformations import scale_radii_factor
+
+        _RADIUS_FACTOR = scale_radii_factor(_scale_transform())
+    return _RADIUS_FACTOR
+
+
+def _transform_shapes_sql() -> str:
+    f = _radius_factor()
+    return f"""
+WITH c AS ({CIRCLES_SQL})
+SELECT shape_id,
+  LEAST((cx - radius) * 2.0 + 10.0, (cx + radius) * 2.0 + 10.0) AS minx,
+  LEAST((cy - radius) * 0.5 + -5.0, (cy + radius) * 0.5 + -5.0) AS miny,
+  GREATEST((cx - radius) * 2.0 + 10.0, (cx + radius) * 2.0 + 10.0) AS maxx,
+  GREATEST((cy - radius) * 0.5 + -5.0, (cy + radius) * 0.5 + -5.0) AS maxy,
+  radius * {f!r} AS radius
+FROM c
 """
 
 
@@ -1152,6 +1290,25 @@ FROM s GROUP BY user_id, session_id
 """
 
 
+def st_sliding(spark, sf_dir):
+    from spatialdata_spark.streaming.windows import sliding_window_agg
+
+    return sliding_window_agg(_events(spark, sf_dir), width="1 hour", slide="30 minutes")
+
+
+ST_SLIDING_SQL = """
+WITH e AS (
+  SELECT (epoch_us(ts) // 1000000 // 1800) * 1800 AS w1, event_type FROM events
+), expanded AS (
+  SELECT w1 AS window_start, event_type FROM e
+  UNION ALL
+  SELECT w1 - 1800 AS window_start, event_type FROM e
+)
+SELECT window_start, event_type, COUNT(*) AS n
+FROM expanded GROUP BY 1, 2
+"""
+
+
 def st_topk_per_user(spark, sf_dir):
     from pyspark.sql.window import Window
 
@@ -1187,11 +1344,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq_multibox": sq_multibox,
         "sq_polygon_points": sq_polygon_points,
         "sq_bbox_shapes": sq_bbox_shapes,
+        "sq_polygon_shapes": sq_polygon_shapes,
         "rq_join_left": rq_join_left,
         "rq_join_inner_element": rq_join_inner_element,
         "rq_join_left_exclusive": rq_join_left_exclusive,
         "rq_join_right_exclusive": rq_join_right_exclusive,
         "rq_get_values_xlong": rq_get_values_xlong,
+        "rq_filter_by_table": rq_filter_by_table,
+        "rq_filter_labels": rq_filter_labels,
+        "rq_concat_tables": rq_concat_tables,
         "ag_points_by_circles_count": ag_points_by_circles_count,
         "ag_points_by_circles_sum": ag_points_by_circles_sum,
         "ag_points_categorical": ag_points_categorical,
@@ -1206,6 +1367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rv_relabel": rv_relabel,
         "rv_rasterize_bins": rv_rasterize_bins,
         "rv_transform_points": rv_transform_points,
+        "rv_transform_shapes": rv_transform_shapes,
         "rt_map_tiles": rt_map_tiles,
         "rt_bbox_tiles": rt_bbox_tiles,
         "rt_pyramid_sum": rt_pyramid_sum,
@@ -1227,6 +1389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pl_simhash": pl_simhash,
         "pl_multimodal_features": pl_multimodal_features,
         "st_tumbling": st_tumbling,
+        "st_sliding": st_sliding,
         "st_sessionize": st_sessionize,
         "st_topk_per_user": st_topk_per_user,
     }
@@ -1243,11 +1406,15 @@ def oracle_sql() -> dict[str, str]:
         "sq_multibox": SQ_MULTIBOX_SQL,
         "sq_polygon_points": SQ_POLYGON_POINTS_SQL,
         "sq_bbox_shapes": SQ_BBOX_SHAPES_SQL,
+        "sq_polygon_shapes": SQ_POLYGON_SHAPES_SQL,
         "rq_join_left": RQ_JOIN_LEFT_SQL,
         "rq_join_inner_element": RQ_JOIN_INNER_SQL,
         "rq_join_left_exclusive": RQ_JOIN_LEFT_EXCL_SQL,
         "rq_join_right_exclusive": RQ_JOIN_RIGHT_EXCL_SQL,
         "rq_get_values_xlong": RQ_GET_VALUES_SQL,
+        "rq_filter_by_table": RQ_FILTER_TABLE_SQL,
+        "rq_filter_labels": RQ_FILTER_LABELS_SQL,
+        "rq_concat_tables": RQ_CONCAT_SQL,
         "ag_points_by_circles_count": AG_COUNT_SQL,
         "ag_points_by_circles_sum": AG_SUM_SQL,
         "ag_points_categorical": AG_CAT_SQL,
@@ -1262,6 +1429,7 @@ def oracle_sql() -> dict[str, str]:
         "rv_relabel": RV_RELABEL_SQL,
         "rv_rasterize_bins": RV_RASTERIZE_BINS_SQL,
         "rv_transform_points": RV_TRANSFORM_SQL,
+        "rv_transform_shapes": _transform_shapes_sql(),
         "rt_map_tiles": RT_MAP_TILES_SQL,
         "rt_bbox_tiles": RT_BBOX_TILES_SQL,
         "rt_pyramid_sum": RT_PYRAMID_SQL,
@@ -1276,6 +1444,7 @@ def oracle_sql() -> dict[str, str]:
         "pl_knn_cosine": PL_KNN_SQL,
         "pl_cosine_pairs": PL_COSINE_PAIRS_SQL,
         "st_tumbling": ST_TUMBLING_SQL,
+        "st_sliding": ST_SLIDING_SQL,
         "st_sessionize": ST_SESSIONIZE_SQL,
         "st_topk_per_user": ST_TOPK_SQL,
     }

@@ -150,6 +150,23 @@ def rings_intersect(a: np.ndarray, b: np.ndarray) -> bool:
     return False
 
 
+def ring_intersects_circle(ring: np.ndarray, cx: float, cy: float, r: float) -> bool:
+    """Exact disk-vs-polygon intersection: the center is inside the
+    ring, or some ring edge comes within r of the center."""
+    if points_in_ring(np.array([cx]), np.array([cy]), ring)[0]:
+        return True
+    closed = ring if (ring[0] == ring[-1]).all() else np.vstack([ring, ring[:1]])
+    a = closed[:-1]
+    b = closed[1:]
+    ab = b - a
+    ap = np.array([cx, cy]) - a
+    denom = (ab * ab).sum(axis=1)
+    t = np.clip(np.divide((ap * ab).sum(axis=1), denom, out=np.zeros_like(denom), where=denom > 0), 0.0, 1.0)
+    closest = a + ab * t[:, None]
+    d2 = ((closest - np.array([cx, cy])) ** 2).sum(axis=1)
+    return bool((d2 <= r * r).any())
+
+
 def clip_polygon_convex(subject: np.ndarray, clip: np.ndarray) -> np.ndarray:
     """Sutherland–Hodgman: clip ``subject`` ring by a CONVEX ``clip`` ring.
 

@@ -160,24 +160,25 @@ def _box_overlap_cond(qminx: float, qminy: float, qmaxx: float, qmaxy: float) ->
 
 
 def _polygon_refine_udf(ring: np.ndarray):
-    """Exact shape-vs-query-ring intersect test (Arrow batched)."""
+    """Exact shape-vs-query-ring intersect test (Arrow batched).
+    Circles (kind point + radius) use the exact disk-vs-ring test."""
     ring_arr = np.asarray(ring, dtype=float)
 
     @F.pandas_udf(T.BooleanType())
-    def _refine(wkb_s):
+    def _refine(wkb_s, radius_s):
         import pandas as pd
 
         from spatialdata_spark.geometry import predicates as P
         from spatialdata_spark.geometry import wkb as W
 
         out = []
-        for buf in wkb_s:
+        for buf, radius in zip(wkb_s, radius_s):
             if buf is None:
                 out.append(False)
                 continue
             kind, geom = W.decode(bytes(buf))
             if kind == "point":
-                out.append(bool(P.points_in_ring(np.array([geom[0]]), np.array([geom[1]]), ring_arr)[0]))
+                out.append(P.ring_intersects_circle(ring_arr, float(geom[0]), float(geom[1]), float(radius or 0.0)))
             elif kind == "polygon":
                 out.append(P.rings_intersect(geom[0], ring_arr))
             else:
@@ -250,10 +251,10 @@ def bounding_box_query_shapes(
         circle_hit = (dx * dx + dy * dy) <= (F.col("radius") * F.col("radius"))
         poly_refine = _polygon_refine_udf(ring)
         return pre.filter(
-            F.when(F.col("kind") == "point", circle_hit).otherwise(poly_refine(F.col("wkb")))
+            F.when(F.col("kind") == "point", circle_hit).otherwise(poly_refine(F.col("wkb"), F.col("radius")))
         )
     poly_refine = _polygon_refine_udf(ring)
-    return pre.filter(poly_refine(F.col("wkb")))
+    return pre.filter(poly_refine(F.col("wkb"), F.col("radius")))
 
 
 def polygon_query_points(
@@ -313,7 +314,7 @@ def polygon_query_shapes(
     # is not expression-friendly for arbitrary rings; use UDF for all kinds
     # except when the circle's bbox is fully inside the ring bbox AND the
     # ring is the bbox itself (cheap case handled by bbox query).
-    return pre.filter(refine(F.col("wkb")))
+    return pre.filter(refine(F.col("wkb"), F.col("radius")))
 
 
 def bounding_box_query_raster_long(

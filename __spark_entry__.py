@@ -1158,20 +1158,14 @@ LIMIT 20
 
 # rows-only checks (no SQL-expressible oracle): LSH/heuristic operators
 def pl_cosine_pairs(spark, sf_dir):
-    """Exact embedding near-dup pairs on an id-bounded slice (the
-    oracle baseline for embedding_cosine_dedup's LSH path)."""
-    from spatialdata_spark.pipeline.similarity import _dot_expr, _norm_expr
+    """Exact embedding near-dup pairs on an id-bounded slice via
+    block-partitioned GEMM (the oracle baseline for
+    embedding_cosine_dedup's LSH path)."""
+    from spatialdata_spark.pipeline.similarity import cosine_pairs_blocked
 
     emb = _read(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").cast("array<double>").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").cast("array<double>").alias("vb"))
-    sim = _dot_expr(F.col("va"), F.col("vb")) / (_norm_expr(F.col("va")) * _norm_expr(F.col("vb")))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", sim.alias("cosine"))
-        .filter(F.col("cosine") >= 0.3)
-        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine_r"))
-    )
+    out = cosine_pairs_blocked(emb, threshold=0.3, block_size=128)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine_r"))
 
 
 PL_COSINE_PAIRS_SQL = """

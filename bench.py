@@ -30,13 +30,19 @@ HEADLINE = [
     "ag_points_categorical",
     "ag_fractions",
     "ag_zonal_image",
+    "rt_halo_boxsum",
+    "rt_affine_resample",
+    "rt_zonal_tiles",
     "rv_rasterize_count",
+    "rv_to_polygons",
     "rv_transform_points",
     "pl_dedup_exact",
     "pl_minhash_dedup",
     "pl_knn_cosine",
+    "pl_cosine_pairs",
     "pl_text_stats",
     "st_tumbling",
+    "st_sliding",
     "st_sessionize",
 ]
 
@@ -54,10 +60,18 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # two runs, report the min: the first run pays one-time costs
+        # (python worker spawn for UDF stages, parquet footer reads)
+        # that a long-lived cluster would amortize, and the min is
+        # robust to host noise
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({"metric": "total_sec", "value": total, "unit": "sec", "queries": timings, "sf": sf}))

@@ -118,6 +118,13 @@ class SpatialDataset:
         return [n for kind in ELEMENT_KINDS for n in self.elements[kind]]
 
     @property
+    def query(self):
+        """Fluent query facade (reference: _core/spatialdata.py:2466)."""
+        from spatialdata_spark.operators.container import QueryManager
+
+        return QueryManager(self)
+
+    @property
     def points(self):
         return self.elements["points"]
 

@@ -187,9 +187,9 @@ class ImageModel(_ModelBase):
         cols = set(df.columns)
         if {"c", "y", "x", "value"} <= cols:
             return
-        if {"scale", "c", "cy", "cx", "tile"} <= cols:
+        if {"scale", "c", "ty", "tx", "tile"} <= cols:
             return
-        raise ValueError("Image element must be long-form (c,y,x,value) or chunk-form (scale,c,cy,cx,tile)")
+        raise ValueError("Image element must be long-form (c,y,x,value) or tile-form (scale,c,ty,tx,tile)")
 
 
 class TableModel(_ModelBase):

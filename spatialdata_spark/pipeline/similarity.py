@@ -116,6 +116,71 @@ def lsh_bucketed_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k).drop("rank")
 
 
+def cosine_pairs_blocked(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_size: int = 1000,
+) -> DataFrame:
+    """All-pairs cosine >= threshold via **block-partitioned matrix
+    multiply** — the scale path for exact pairwise similarity.
+
+    Vectors group into id-blocks (collect_list per block: one shuffle
+    of the vectors); the small blocks table self-joins on
+    ``blk_a <= blk_b`` and each block pair computes a dense numpy GEMM
+    inside ``mapInPandas``, emitting only pairs over the threshold.
+    Work is n²/2 flops but batched as matrix products (BLAS) instead of
+    per-pair expression evaluation — orders of magnitude faster than a
+    zip_with/aggregate dot per row, and each task is one block pair, so
+    a cluster scales it linearly.  Output: (id_a, id_b, cosine),
+    id_a < id_b.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    emb = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.floor(F.col(id_col) / block_size).alias("blk"),
+    )
+    blocks = emb.groupBy("blk").agg(F.collect_list(F.struct("id", "v")).alias("items"))
+    l = blocks.select(F.col("blk").alias("blk_a"), F.col("items").alias("items_a"))
+    r = blocks.select(F.col("blk").alias("blk_b"), F.col("items").alias("items_b"))
+    bp = l.join(r, F.col("blk_a") <= F.col("blk_b"))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def _gemm(iterator):
+        for pdf in iterator:
+            for _, row in pdf.iterrows():
+                ia = np.array([it["id"] for it in row["items_a"]], dtype=np.int64)
+                va = np.array([it["v"] for it in row["items_a"]])
+                ib = np.array([it["id"] for it in row["items_b"]], dtype=np.int64)
+                vb = np.array([it["v"] for it in row["items_b"]])
+                # dot first, then divide by the norm product — the same
+                # formula shape as cosine oracles (dot/(|a||b|))
+                sim = (va @ vb.T) / np.outer(
+                    np.linalg.norm(va, axis=1), np.linalg.norm(vb, axis=1)
+                )
+                ga, gb = np.nonzero(sim >= threshold)
+                if len(ga) == 0:
+                    continue
+                id_a, id_b = ia[ga], ib[gb]
+                keep = id_a < id_b
+                yield pd.DataFrame(
+                    {"id_a": id_a[keep], "id_b": id_b[keep], "cosine": sim[ga, gb][keep]}
+                )
+
+    return bp.mapInPandas(_gemm, out_schema)
+
+
 def embedding_cosine_dedup(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -1,0 +1,91 @@
+"""Container-level queries over the blobs demo scene; the oracle is
+direct numpy computation on the generating arrays."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from spatialdata_spark.datasets import blobs
+from spatialdata_spark.operators.container import (
+    get_extent_dataset,
+    transform_to_data_extent,
+)
+from spatialdata_spark.transformations import Identity
+
+
+@pytest.fixture(scope="module")
+def scene(spark):
+    return blobs(spark, length=128, n_cells=12, n_points=500)
+
+
+def test_blobs_shape(scene):
+    ds, meta = scene
+    assert sorted(ds.element_names()) == [
+        "blobs_circles",
+        "blobs_image",
+        "blobs_labels",
+        "blobs_points",
+        "blobs_table",
+    ]
+    assert ds["blobs_points"].count() == 500
+    assert ds["blobs_circles"].count() == 12
+
+
+def test_bbox_query_dataset(scene):
+    ds, meta = scene
+    out = ds.query.bounding_box(("x", "y"), [30.0, 30.0], [90.0, 90.0])
+    # points: exclusive bounds oracle
+    pts = ds["blobs_points"].toPandas()
+    want = ((pts.x > 30) & (pts.x < 90) & (pts.y > 30) & (pts.y < 90)).sum()
+    assert out["blobs_points"].count() == want
+    # labels: inclusive integer slice oracle
+    lab = ds["blobs_labels"].toPandas()
+    want_lab = ((lab.x >= 30) & (lab.x <= 90) & (lab.y >= 30) & (lab.y <= 90)).sum()
+    assert out["blobs_labels"].count() == want_lab
+    # table follows surviving circles
+    kept_ids = {r["shape_id"] for r in out["blobs_circles"].collect()}
+    trows = out["blobs_table"].collect()
+    assert {r["instance_id"] for r in trows} == kept_ids
+
+
+def test_polygon_query_dataset(scene):
+    ds, meta = scene
+    tri = np.array([[10.0, 10.0], [120.0, 20.0], [60.0, 120.0]])
+    out = ds.query.polygon(tri)
+    # triangle area test on points via half-planes
+    pts = ds["blobs_points"].toPandas()
+
+    def inside(x, y):
+        n = len(tri)
+        area = sum(
+            tri[i][0] * tri[(i + 1) % n][1] - tri[(i + 1) % n][0] * tri[i][1] for i in range(n)
+        )
+        ring = tri if area > 0 else tri[::-1]
+        ok = np.ones(len(x), dtype=bool)
+        for i in range(n):
+            x1, y1 = ring[i]
+            x2, y2 = ring[(i + 1) % n]
+            ok &= ((x2 - x1) * (y - y1) - (y2 - y1) * (x - x1)) > 0
+        return ok
+
+    want = inside(pts.x.to_numpy(), pts.y.to_numpy()).sum()
+    got = out["blobs_points"].count()
+    # polygon_query_points uses bbox prefilter + exact pip (ray casting):
+    # strict-interior agreement can differ only on boundary-exact points
+    assert got == want
+
+
+def test_extent_and_normalize(scene):
+    ds, meta = scene
+    ext = get_extent_dataset(ds)
+    pts = ds["blobs_points"].toPandas()
+    circ = ds["blobs_circles"].toPandas()
+    lab = ds["blobs_labels"].toPandas()
+    assert ext["x"][0] == min(pts.x.min(), circ.minx.min(), lab.x.min())
+    assert ext["x"][1] >= max(pts.x.max(), circ.maxx.max())
+    norm = transform_to_data_extent(ds, target_width=100.0)
+    ext2 = get_extent_dataset(norm)
+    assert ext2["x"][0] >= -1e-9 and ext2["x"][1] <= 100.0 + 1e-9
+    assert ext2["y"][0] >= -1e-9 and ext2["y"][1] <= 100.0 + 1e-9

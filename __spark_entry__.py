@@ -217,6 +217,34 @@ GROUP BY n_name
 """
 
 
+def q06_forecasting(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.expr("TIMESTAMP '1994-01-01 00:00:00'"))
+            & (F.col("l_shipdate") < F.expr("TIMESTAMP '1995-01-01 00:00:00'"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice").cast(DEC) * F.col("l_discount").cast(DEC))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+Q06_SQL = f"""
+SELECT CAST(SUM(CAST(l_extendedprice AS {DEC}) * CAST(l_discount AS {DEC})) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
 # -- spatial queries --------------------------------------------------------
 
 
@@ -286,6 +314,32 @@ SELECT l_orderkey, l_linenumber, x, y FROM ({POINTS_SQL})
 WHERE (x * {_COS30!r} + y * {-_SIN30!r}) > 20.0 AND (x * {_COS30!r} + y * {-_SIN30!r}) < 60.0
   AND (x * {_SIN30!r} + y * {_COS30!r}) > 30.0 AND (x * {_SIN30!r} + y * {_COS30!r}) < 70.0
 """
+
+def sq_bbox_3d(spark, sf_dir):
+    """3D bbox query: the axis machinery is dimension-generic."""
+    from spatialdata_spark.operators.spatial_query import bounding_box_query_points
+
+    pts = _read(spark, sf_dir, "lineitem").select(
+        (F.col("l_extendedprice") / 1000.0).alias("x"),
+        F.col("l_quantity").alias("y"),
+        (F.col("l_discount") * 100.0).alias("z"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    return bounding_box_query_points(
+        pts, ("x", "y", "z"), [10.0, 5.0, 1.0], [80.0, 45.0, 8.0]
+    ).select("l_orderkey", "l_linenumber", "x", "y", "z")
+
+
+SQ_BBOX_3D_SQL = """
+SELECT l_orderkey, l_linenumber, l_extendedprice/1000.0 AS x, l_quantity AS y,
+       l_discount*100.0 AS z
+FROM lineitem
+WHERE l_extendedprice/1000.0 > 10.0 AND l_extendedprice/1000.0 < 80.0
+  AND l_quantity > 5.0 AND l_quantity < 45.0
+  AND l_discount*100.0 > 1.0 AND l_discount*100.0 < 8.0
+"""
+
 
 _BOXES = [
     (0, 10.0, 5.0, 40.0, 25.0),
@@ -1332,7 +1386,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q01_pricing_summary": q01_pricing_summary,
         "q03_shipping": q03_shipping,
         "q05_local_supplier": q05_local_supplier,
+        "q06_forecasting": q06_forecasting,
         "sq_bbox_identity": sq_bbox_identity,
+        "sq_bbox_3d": sq_bbox_3d,
         "sq_bbox_scale": sq_bbox_scale,
         "sq_bbox_rotation": sq_bbox_rotation,
         "sq_multibox": sq_multibox,
@@ -1394,7 +1450,9 @@ def oracle_sql() -> dict[str, str]:
         "q01_pricing_summary": Q01_SQL,
         "q03_shipping": Q03_SQL,
         "q05_local_supplier": Q05_SQL,
+        "q06_forecasting": Q06_SQL,
         "sq_bbox_identity": SQ_BBOX_IDENTITY_SQL,
+        "sq_bbox_3d": SQ_BBOX_3D_SQL,
         "sq_bbox_scale": SQ_BBOX_SCALE_SQL,
         "sq_bbox_rotation": SQ_BBOX_ROTATION_SQL,
         "sq_multibox": SQ_MULTIBOX_SQL,

@@ -66,6 +66,88 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+def streaming_sessionize_stateful(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    gap_minutes: int = 30,
+    watermark: str = "2 hours",
+    query_name: str = "sessions_stateful",
+):
+    """Custom stateful streaming sessionization via
+    ``applyInPandasWithState`` — the extension surface for operators
+    Spark's built-ins can't express (per-key custom state machines).
+
+    State per user: (session_start_epoch, last_seen_epoch, n_events).
+    A batch's events extend the open session or close it and open a new
+    one; closed sessions are emitted, the open session stays in state
+    (emitted on timeout in a live stream; with availableNow + stop we
+    emit only closed sessions — callers flush by sending a sentinel or
+    reading state later).  Timeouts use processing time for simplicity.
+    """
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("session_start", T.LongType()),
+            T.StructField("session_end", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("start", T.LongType()),
+            T.StructField("last", T.LongType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+    gap = gap_minutes * 60
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        user_id = int(key[0])
+        ts = []
+        for pdf in pdfs:
+            ts.extend(int(v.timestamp()) for v in pdf["ts"])
+        ts.sort()
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start = last = None
+            n = 0
+        closed = []
+        for t in ts:
+            if last is None:
+                start, last, n = t, t, 1
+            elif t - last > gap:
+                closed.append((user_id, start, last, n))
+                start, last, n = t, t, 1
+            else:
+                last = t
+                n += 1
+        if last is not None:
+            state.update((start, last, n))
+        if closed:
+            yield pd.DataFrame(closed, columns=["user_id", "session_start", "session_end", "n_events"])
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    sessions = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.col("user_id"))
+        .applyInPandasWithState(fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout)
+    )
+    return (
+        sessions.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def streaming_tumbling_query(spark: SparkSession, source_dir: str, schema, width: str = "1 hour",
                              watermark: str = "10 minutes"):
     """True Structured-Streaming variant: readStream over the parquet

@@ -75,6 +75,33 @@ def test_rasterize_bins_exact_affine(spark):
         assert out[((i % 7) * 3 - 2, (i // 7) * 2 + 1)] == float(i)
 
 
+def test_streaming_sessionize_stateful(spark, tmp_path):
+    from spatialdata_spark.streaming.windows import streaming_sessionize_stateful
+
+    src = str(tmp_path / "sess_stream")
+    rows = [
+        # user 10: two sessions separated by > 30 min, second still open
+        ("2024-01-01 00:00:00", "click", 1.0, 1, 10),
+        ("2024-01-01 00:10:00", "click", 1.0, 2, 10),
+        ("2024-01-01 01:00:00", "view", 1.0, 3, 10),
+        # user 11: one open session only -> nothing emitted
+        ("2024-01-01 00:05:00", "click", 1.0, 4, 11),
+    ]
+    df = spark.createDataFrame(rows, ["ts_s", "event_type", "value", "event_id", "user_id"]).select(
+        F.to_timestamp("ts_s").alias("ts"), "event_type", "value", "event_id", "user_id"
+    )
+    df.write.mode("overwrite").parquet(src)
+    q = streaming_sessionize_stateful(spark, src, df.schema, gap_minutes=30)
+    q.processAllAvailable()
+    q.stop()
+    got = [
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql("SELECT * FROM sessions_stateful").collect()
+    ]
+    t0 = 1704067200  # 2024-01-01T00:00:00 UTC (session TZ pinned to UTC)
+    assert got == [(10, t0, t0 + 600, 2)]
+
+
 def test_streaming_tumbling(spark, tmp_path):
     from spatialdata_spark.streaming.windows import streaming_tumbling_query
 

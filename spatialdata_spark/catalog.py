@@ -200,6 +200,17 @@ class SpatialDataset:
         keep = [name for name, cs_map in self.transforms.items() if cs in cs_map]
         return self.subset(keep, filter_tables=filter_tables)
 
+    def deepcopy(self) -> "SpatialDataset":
+        """Materializing copy (reference: _core/_deepcopy.py:19-110).
+        DataFrames are immutable, so only the catalog state is copied;
+        the data itself never needs duplication."""
+        out = SpatialDataset(self.spark)
+        out.elements = {k: dict(v) for k, v in self.elements.items()}
+        out.transforms = {n: dict(m) for n, m in self.transforms.items()}
+        out.table_meta = dict(self.table_meta)
+        out.attrs = dict(self.attrs)
+        return out
+
     # -- persistence ------------------------------------------------------
     def write(self, path: str, mode: str = "overwrite") -> None:
         """Store layout mirrors the reference zarr hierarchy with parquet

@@ -29,5 +29,11 @@ def get_spark(app_name: str = "spatialdata-spark", cores: int | None = None) -> 
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # default openCost (4MB) floors split size, so a 10MB input scans
+        # as ~3 tasks and any compute-heavy pipeline above it runs on 3
+        # cores; with a small openCost the bytes-per-core term sizes
+        # splits to the parallelism, while maxPartitionBytes (128MB
+        # default) still governs real-scale inputs
+        .config("spark.sql.files.openCostInBytes", str(128 * 1024))
         .getOrCreate()
     )

@@ -713,6 +713,78 @@ def ag_fractions(spark, sf_dir):
     return aggregate_shapes_by_shapes(values, by, fractions=True, cell_size=30.0)
 
 
+def ag_points_by_boxes(spark, sf_dir):
+    """Generic grid-join path (polygon WKB + point-in-polygon refine —
+    not the circle fast path): count points per box region.  Box edges
+    carry an offset finer than the data's decimal precision (x has at
+    most 5 decimal digits, y is integer) so no point ever lies exactly
+    on an edge and ray-casting vs inclusive-SQL semantics agree.
+    """
+    from spatialdata_spark.operators.aggregate import aggregate_points_by_shapes
+    from spatialdata_spark.operators.vectorize import boxes_to_shapes
+
+    part = _read(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("shape_id"),
+        ((F.col("p_partkey") % 90) + 0.500001).alias("minx"),
+        (((F.col("p_partkey") * 3) % 40) + 0.5).alias("miny"),
+        ((F.col("p_partkey") % 90) + 4.500001).alias("maxx"),
+        (((F.col("p_partkey") * 3) % 40) + 8.5).alias("maxy"),
+    )
+    # force the polygon-refine path by marking kind='polygon'
+    boxes = boxes_to_shapes(part).withColumn("kind", F.lit("polygon"))
+    return aggregate_points_by_shapes(_points(spark, sf_dir), boxes, cell_size=8.0)
+
+
+AG_POINTS_BOXES_SQL = f"""
+WITH p AS ({POINTS_SQL}), v AS (
+  SELECT p_partkey AS v_id,
+         (p_partkey % 90) + 0.500001 AS vx0, ((p_partkey*3) % 40) + 0.5 AS vy0,
+         (p_partkey % 90) + 4.500001 AS vx1, ((p_partkey*3) % 40) + 8.5 AS vy1
+  FROM part
+)
+SELECT v.v_id AS by_id, COUNT(*) AS n
+FROM v JOIN p ON p.x >= v.vx0 AND p.x <= v.vx1 AND p.y >= v.vy0 AND p.y <= v.vy1
+GROUP BY v.v_id
+"""
+
+
+def ag_fractions_value(spark, sf_dir):
+    """Fraction-weighted SUM of a value column over box regions."""
+    from spatialdata_spark.operators.aggregate import aggregate_shapes_by_shapes
+    from spatialdata_spark.operators.vectorize import boxes_to_shapes
+
+    part = _read(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("shape_id"),
+        ((F.col("p_partkey") % 90) * 1.0).alias("minx"),
+        (((F.col("p_partkey") * 3) % 40) * 1.0).alias("miny"),
+        ((F.col("p_partkey") % 90) * 1.0 + 4).alias("maxx"),
+        (((F.col("p_partkey") * 3) % 40) * 1.0 + 8).alias("maxy"),
+        (F.col("p_partkey") % 7 * 1.0).alias("val"),
+    )
+    values = boxes_to_shapes(part.select("shape_id", "minx", "miny", "maxx", "maxy")).join(
+        part.select("shape_id", "val"), "shape_id"
+    )
+    by_rows = spark.createDataFrame(
+        [(int(b[0]), float(b[1]), float(b[2]), float(b[3]), float(b[4])) for b in _BY_BOXES],
+        ["shape_id", "minx", "miny", "maxx", "maxy"],
+    )
+    by = boxes_to_shapes(by_rows)
+    return aggregate_shapes_by_shapes(values, by, value_col="val", agg_func="sum", fractions=True, cell_size=30.0)
+
+
+AG_FRACTIONS_VALUE_SQL = f"""
+WITH v AS ({VRECT_SQL}),
+     b(b_id, bx0, by0, bx1, by1) AS (
+  VALUES {", ".join(f"(CAST({b[0]} AS BIGINT), {b[1]!r}, {b[2]!r}, {b[3]!r}, {b[4]!r})" for b in _BY_BOXES)}
+)
+SELECT b_id AS by_id,
+  SUM((v_id % 7) * GREATEST(LEAST(vx1, bx1) - GREATEST(vx0, bx0), 0.0)
+    * GREATEST(LEAST(vy1, by1) - GREATEST(vy0, by0), 0.0) / 32.0) AS sum_val
+FROM v JOIN b ON vx1 >= bx0 AND vx0 <= bx1 AND vy1 >= by0 AND vy0 <= by1
+GROUP BY b_id
+"""
+
+
 AG_FRACTIONS_SQL = f"""
 WITH v AS ({VRECT_SQL}),
      b(b_id, bx0, by0, bx1, by1) AS (
@@ -1406,7 +1478,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ag_points_by_circles_count": ag_points_by_circles_count,
         "ag_points_by_circles_sum": ag_points_by_circles_sum,
         "ag_points_categorical": ag_points_categorical,
+        "ag_points_by_boxes": ag_points_by_boxes,
         "ag_fractions": ag_fractions,
+        "ag_fractions_value": ag_fractions_value,
         "ag_centroids_labels": ag_centroids_labels,
         "ag_extent": ag_extent,
         "ag_zonal_image": ag_zonal_image,
@@ -1470,7 +1544,9 @@ def oracle_sql() -> dict[str, str]:
         "ag_points_by_circles_count": AG_COUNT_SQL,
         "ag_points_by_circles_sum": AG_SUM_SQL,
         "ag_points_categorical": AG_CAT_SQL,
+        "ag_points_by_boxes": AG_POINTS_BOXES_SQL,
         "ag_fractions": AG_FRACTIONS_SQL,
+        "ag_fractions_value": AG_FRACTIONS_VALUE_SQL,
         "ag_centroids_labels": AG_CENTROIDS_SQL,
         "ag_extent": AG_EXTENT_SQL,
         "ag_zonal_image": AG_ZONAL_SQL,

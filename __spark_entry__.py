@@ -1282,6 +1282,28 @@ LIMIT 20
 """
 
 
+def pl_ivf_exact(spark, sf_dir):
+    """IVF with nprobe = n_cells degenerates to exact search, so the
+    brute-force oracle applies; pl_ivf_probe is the approximate path."""
+    from spatialdata_spark.pipeline.similarity import ivf_assign, ivf_topk_query
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    assigned, centroids = ivf_assign(emb.filter(F.col("vec_id") != 0), n_cells=8)
+    out = ivf_topk_query(assigned, centroids, qrow["embedding"], k=20, nprobe=8)
+    return out.select("vec_id", F.round("cosine", 6).alias("cosine_r"))
+
+
+def pl_ivf_probe(spark, sf_dir):
+    # rows-only: nprobe=2 approximate search
+    from spatialdata_spark.pipeline.similarity import ivf_assign, ivf_topk_query
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    assigned, centroids = ivf_assign(emb.filter(F.col("vec_id") != 0), n_cells=8)
+    return ivf_topk_query(assigned, centroids, qrow["embedding"], k=20, nprobe=2)
+
+
 # rows-only checks (no SQL-expressible oracle): LSH/heuristic operators
 def pl_cosine_pairs(spark, sf_dir):
     """Exact embedding near-dup pairs on an id-bounded slice via
@@ -1506,6 +1528,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pl_token_count": pl_token_count,
         "pl_knn_cosine": pl_knn_cosine,
         "pl_cosine_pairs": pl_cosine_pairs,
+        "pl_ivf_exact": pl_ivf_exact,
+        "pl_ivf_probe": pl_ivf_probe,
         "pl_quality_score": pl_quality_score,
         "pl_minhash_dedup": pl_minhash_dedup,
         "pl_language_id": pl_language_id,
@@ -1571,6 +1595,7 @@ def oracle_sql() -> dict[str, str]:
         "pl_token_count": PL_TOKEN_COUNT_SQL,
         "pl_knn_cosine": PL_KNN_SQL,
         "pl_cosine_pairs": PL_COSINE_PAIRS_SQL,
+        "pl_ivf_exact": PL_KNN_SQL,
         "st_tumbling": ST_TUMBLING_SQL,
         "st_sliding": ST_SLIDING_SQL,
         "st_sessionize": ST_SESSIONIZE_SQL,

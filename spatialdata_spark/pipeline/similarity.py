@@ -181,6 +181,86 @@ def cosine_pairs_blocked(
     return bp.mapInPandas(_gemm, out_schema)
 
 
+def ivf_assign(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    sample_size: int = 2048,
+    n_iter: int = 5,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, np.ndarray]:
+    """IVF coarse quantizer: k-means centroids fitted driver-side on a
+    bounded sample (numpy Lloyd iterations — centroid count and dim are
+    tiny), then every vector is assigned to its nearest centroid in one
+    Arrow-batched pass (a (batch, k) matmul per batch; centroids ride
+    along in the closure as a broadcast literal).
+
+    Returns (assigned DataFrame with a ``cell`` column, centroids).
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    sample = np.array(
+        [r[0] for r in embeddings.select(F.col(vec_col).cast("array<double>")).limit(sample_size).collect()]
+    )
+    rng = np.random.default_rng(seed)
+    k = min(n_cells, len(sample))
+    centroids = sample[rng.choice(len(sample), size=k, replace=False)]
+    for _ in range(n_iter):
+        d = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for j in range(k):
+            m = assign == j
+            if m.any():
+                centroids[j] = sample[m].mean(axis=0)
+
+    cen = centroids.copy()
+
+    @F.pandas_udf(T.IntegerType())
+    def _nearest(vs):
+        out = []
+        for batch in np.array_split(np.array(vs.tolist()), max(1, len(vs) // 4096)):
+            d = ((batch[:, None, :] - cen[None, :, :]) ** 2).sum(axis=2)
+            out.extend(d.argmin(axis=1).tolist())
+        return pd.Series(out, dtype="int32")
+
+    assigned = embeddings.select(
+        F.col(id_col), F.col(vec_col), _nearest(F.col(vec_col).cast("array<double>")).alias("cell")
+    )
+    return assigned, centroids
+
+
+def ivf_topk_query(
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    query_vector,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF query: rank centroids by distance to the query, scan only the
+    ``nprobe`` nearest cells (a pushdown-able ``cell IN (...)`` filter —
+    at scale the assigned table is partitioned/bucketed by cell, so this
+    is partition pruning), brute-force cosine within the probed cells.
+    ``nprobe >= n_cells`` degenerates to exact search (the oracle case).
+    """
+    q = np.asarray(query_vector, dtype=float)
+    order = np.argsort(((centroids - q[None, :]) ** 2).sum(axis=1))
+    probe = [int(c) for c in order[:nprobe]]
+    qn = float(np.sqrt((q * q).sum()))
+    qcol = F.array(*[F.lit(float(v)) for v in q])
+    v = F.col(vec_col).cast("array<double>")
+    sim = _dot_expr(v, qcol) / (_norm_expr(v) * F.lit(qn))
+    return (
+        assigned.filter(F.col("cell").isin(probe))
+        .select(F.col(id_col), sim.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def embedding_cosine_dedup(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -14,8 +14,8 @@ Data model mapping (see SURVEY.md §1.5):
 * shapes    -> DataFrame ``(shape_id long, kind string, wkb binary,
                minx,miny,maxx,maxy double[, radius double])``
 * labels    -> long-form DataFrame ``(y long, x long[, z long], label long)``
-* images    -> long-form ``(c, y, x, value)`` or chunk table
-               ``(scale, c, cy, cx, tile binary)``
+* images    -> long-form ``(c, y, x, value)`` or tile table
+               ``(scale, c, ty, tx, tile binary)``
 * tables    -> ``obs`` DataFrame (+ long-form ``X`` and ``var``)
 * transforms -> a tiny driver-side catalog: element -> {cs -> Transformation}
 """

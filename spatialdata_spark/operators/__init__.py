@@ -1,6 +1,8 @@
 from spatialdata_spark.operators import (
     aggregate,
+    container,
     measures,
+    raster,
     rasterize,
     relational,
     spatial_query,
@@ -10,7 +12,9 @@ from spatialdata_spark.operators import (
 
 __all__ = [
     "aggregate",
+    "container",
     "measures",
+    "raster",
     "rasterize",
     "relational",
     "spatial_query",

@@ -118,7 +118,22 @@ def aggregate_points_by_circles(
         .withColumn("__qx", F.floor(F.col("x") / F.lit(h)))
         .withColumn("__qy", F.floor(F.col("y") / F.lit(h)))
     )
-    cat_keys = [value_col] if categorical else []
+    cat_dict = None
+    if categorical:
+        # dictionary-encode the category so the (large) boundary probe
+        # carries an int code, not a string; decoded after aggregation
+        from pyspark.sql.window import Window
+
+        cat_dict = (
+            points.select(F.col(value_col).alias("__cat"))
+            .distinct()
+            .withColumn("__code", F.row_number().over(Window.orderBy("__cat")))
+        )
+        pt = (
+            pt.join(F.broadcast(cat_dict), pt[value_col] == cat_dict["__cat"])
+            .drop(value_col, "__cat")
+        )
+    cat_keys = ["__code"] if categorical else []
 
     # partial-aggregation schema shared by the full-cell and boundary paths
     if value_col is None or categorical:
@@ -163,7 +178,11 @@ def aggregate_points_by_circles(
         .withColumnRenamed("shape_id", "by_id")
     )
     if categorical:
-        out = out.withColumnRenamed(value_col, "category")
+        out = (
+            out.join(F.broadcast(cat_dict), "__code")
+            .drop("__code")
+            .withColumnRenamed("__cat", "category")
+        )
     return out
 
 

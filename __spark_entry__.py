@@ -39,6 +39,12 @@ CIRCLES_SQL = (
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    try:
+        # epoch conversions must agree with DuckDB's UTC-naive timestamps
+        # regardless of the harness session's default timezone
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -244,11 +244,15 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "d
 def simhash_near_duplicates(fps: DataFrame, max_hamming: int = 3, id_col: str = "doc_id") -> DataFrame:
     """Near-dup pairs by Hamming distance via 4-block LSH: if dist<=3,
     at least one 16-bit block matches exactly — equi-join per block."""
+    def _mask(i: int) -> int:
+        m = 0xFFFF << (16 * i)
+        return m - (1 << 64) if m >= (1 << 63) else m  # signed int64 literal
+
     blocks = fps.select(
         F.col(id_col),
         F.col("simhash"),
         F.posexplode(
-            F.array(*[((F.col("simhash").bitwiseAND(F.lit(0xFFFF << (16 * i)))).alias(f"b{i}")) for i in range(4)])
+            F.array(*[((F.col("simhash").bitwiseAND(F.lit(_mask(i)))).alias(f"b{i}")) for i in range(4)])
         ).alias("block_idx", "block_val"),
     )
     l, r = blocks.alias("l"), blocks.alias("r")

@@ -1,0 +1,146 @@
+"""Correctness tests for the pipeline/dedup/similarity utility
+operators not covered by the driver oracle queries."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+
+def _docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and keeps running through the field"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, base.replace("lazy", "sleepy")),  # near dup of 1
+        (4, "completely different content about spark dataframes and shuffles everywhere"),
+        (5, "short"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_keep(spark):
+    from spatialdata_spark.pipeline.dedup import exact_dedup_keep
+
+    out = exact_dedup_keep(_docs(spark))
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [1, 3, 4, 5]  # doc 2 dropped, representative is min id
+
+
+def test_minhash_dedup_pipeline(spark):
+    from spatialdata_spark.pipeline.dedup import minhash_dedup
+
+    out = minhash_dedup(_docs(spark), threshold=0.5, num_hashes=64, num_bands=16)
+    ids = sorted(r["doc_id"] for r in out.collect())
+    # 2 (exact dup) and 3 (near dup) cluster with 1 and are removed
+    assert 1 in ids and 2 not in ids and 4 in ids and 5 in ids
+
+
+def test_ngram_jaccard_pairs(spark):
+    from spatialdata_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    pairs = spark.createDataFrame([(1, 2), (1, 4)], ["id_a", "id_b"])
+    out = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ngram_jaccard_pairs(_docs(spark), pairs).collect()}
+    assert out[(1, 2)] == 1.0
+    assert out[(1, 4)] == 0.0
+
+
+def test_simhash_near_duplicates(spark):
+    from spatialdata_spark.pipeline.dedup import simhash_near_duplicates, simhash_signatures
+
+    fps = simhash_signatures(_docs(spark))
+    out = simhash_near_duplicates(fps, max_hamming=3)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert (1, 2) in pairs  # identical docs -> hamming 0
+    assert all(a < b for a, b in pairs)
+
+
+def test_embedding_cosine_dedup(spark):
+    from spatialdata_spark.pipeline.similarity import embedding_cosine_dedup
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(16)
+    other = rng.standard_normal(16)
+    rows = [
+        (1, [float(v) for v in base]),
+        (2, [float(v) for v in base * 2.0]),  # same direction -> cosine 1
+        (3, [float(v) for v in other]),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = sorted(r["vec_id"] for r in embedding_cosine_dedup(emb, threshold=0.95, num_planes=2).collect())
+    assert out == [1, 3]
+
+
+def test_cosine_self_join_topk_matches_blocked(spark):
+    from spatialdata_spark.pipeline.similarity import cosine_pairs_blocked, cosine_self_join_topk
+
+    rng = np.random.default_rng(5)
+    rows = [(i, [float(v) for v in rng.standard_normal(8)]) for i in range(30)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    brute = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in cosine_self_join_topk(emb, k=29).collect()
+        if r["id_a"] < r["id_b"]
+    }
+    blocked = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in cosine_pairs_blocked(emb, threshold=-2.0, block_size=7).collect()
+    }
+    assert set(blocked) == set(brute)
+    for key in blocked:
+        assert abs(blocked[key] - brute[key]) < 1e-12
+
+
+def test_multimodal_plumbing(spark):
+    from spatialdata_spark.pipeline.multimodal import extract_features, resize_images, sample_video_frames
+
+    rows = [
+        (1, "image", b"imgpayload", "image/fake", 32, 32, None),
+        (2, "video", b"vidpayload", "video/fake", 64, 64, 3500),
+    ]
+    media = spark.createDataFrame(
+        rows, ["media_id", "kind", "payload", "mime", "width", "height", "duration_ms"]
+    )
+    feats = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert len(feats[1]["feature"]) == 16 and feats[1]["decode_ok"]
+    resized = resize_images(media, 8, 8).collect()
+    assert len(resized) == 1 and resized[0]["width"] == 8
+    frames = sample_video_frames(media, every_ms=1000).collect()
+    assert [r["frame_ts_ms"] for r in frames] == [0, 1000, 2000, 3000]
+
+
+def test_relabel_by_partition(spark):
+    from spatialdata_spark.operators.rasterize import relabel_by_partition
+
+    df = spark.createDataFrame([(0, 0, 1), (0, 1, 1), (1, 0, 0)], ["y", "x", "label"]).repartition(2)
+    out = relabel_by_partition(df).collect()
+    assert all(r["label"] == 0 for r in out if r["x"] == 0 and r["y"] == 1)
+    nonzero = [r["label"] for r in out if r["label"] != 0]
+    assert all(v >= 1 for v in nonzero)
+
+
+def test_shapes_to_circles_and_ngon(spark):
+    import math
+
+    from spatialdata_spark.operators.vectorize import (
+        boxes_to_shapes,
+        circles_to_polygon_shapes,
+        shapes_to_circles,
+    )
+
+    boxes = boxes_to_shapes(
+        spark.createDataFrame([(1, 0.0, 0.0, 4.0, 9.0)], ["shape_id", "minx", "miny", "maxx", "maxy"])
+    )
+    circ = shapes_to_circles(boxes).collect()[0]
+    assert abs(circ["radius"] - math.sqrt(36.0 / math.pi)) < 1e-9
+    assert (circ["x"], circ["y"]) == (2.0, 4.5)
+
+    ngon = circles_to_polygon_shapes(
+        spark.createDataFrame([(1, 5.0, 5.0, 2.0)], ["shape_id", "x", "y", "radius"]), n_vertices=64
+    ).collect()[0]
+    from spatialdata_spark.geometry import predicates as P
+    from spatialdata_spark.geometry import wkb as W
+
+    kind, rings = W.decode(bytes(ngon["wkb"]))
+    # 64-gon area approaches pi*r^2 from below
+    assert kind == "polygon" and 0.95 * math.pi * 4 < P.polygon_area(rings) < math.pi * 4

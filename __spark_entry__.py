@@ -251,6 +251,167 @@ WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
 """
 
 
+def q04_order_priority(spark, sf_dir):
+    """EXISTS-style semi-join (TPC-H Q4 shape; the schema has no
+    l_commitdate/l_receiptdate so the correlated predicate is
+    l_shipdate > o_orderdate)."""
+    orders = _read(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.expr("TIMESTAMP '1996-01-01 00:00:00'"))
+        & (F.col("o_orderdate") < F.expr("TIMESTAMP '1996-04-01 00:00:00'"))
+    )
+    li = _read(spark, sf_dir, "lineitem")
+    matched = orders.join(
+        li,
+        (orders["o_orderkey"] == li["l_orderkey"]) & (li["l_shipdate"] > orders["o_orderdate"]),
+        "left_semi",
+    )
+    return matched.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+Q04_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+def q10_returned_items(spark, sf_dir):
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.expr("TIMESTAMP '1996-10-01 00:00:00'"))
+        & (F.col("o_orderdate") < F.expr("TIMESTAMP '1997-01-01 00:00:00'"))
+    )
+    li = _read(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = _read(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+    joined = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .join(nation, cust["c_nationkey"] == nation["n_nationkey"])
+    )
+    return joined.groupBy("c_custkey", "c_name", "c_acctbal", "n_name").agg(
+        F.sum(rev).cast("double").alias("revenue")
+    )
+
+
+Q10_SQL = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name,
+  CAST(SUM(CAST(l_extendedprice AS {DEC}) * (CAST(1 AS {DEC}) - CAST(l_discount AS {DEC}))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+"""
+
+
+def q14_promo_effect(spark, sf_dir):
+    """Broadcast dim join + conditional aggregation (TPC-H Q14 shape;
+    p_type values are single words here so the predicate is equality)."""
+    li = _read(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.expr("TIMESTAMP '1996-09-01 00:00:00'"))
+        & (F.col("l_shipdate") < F.expr("TIMESTAMP '1996-10-01 00:00:00'"))
+    )
+    part = _read(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+    joined = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    agg = joined.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast(DEC)))
+        .cast("double")
+        .alias("promo_rev"),
+        F.sum(rev).cast("double").alias("total_rev"),
+    )
+    return agg.select(
+        (F.lit(100.0) * F.col("promo_rev") / F.col("total_rev")).alias("promo_pct")
+    )
+
+
+Q14_SQL = f"""
+SELECT 100.0 * promo_rev / total_rev AS promo_pct FROM (
+  SELECT
+    CAST(SUM(CASE WHEN p_type = 'PROMO'
+      THEN CAST(l_extendedprice AS {DEC}) * (CAST(1 AS {DEC}) - CAST(l_discount AS {DEC}))
+      ELSE CAST(0 AS {DEC}) END) AS DOUBLE) AS promo_rev,
+    CAST(SUM(CAST(l_extendedprice AS {DEC}) * (CAST(1 AS {DEC}) - CAST(l_discount AS {DEC}))) AS DOUBLE) AS total_rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+)
+"""
+
+
+def q18_large_volume(spark, sf_dir):
+    """Aggregate-then-semi-join (TPC-H Q18 shape; qty threshold sized to
+    this schema's ~12 lineitems/order)."""
+    li = _read(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("_sq"))
+        .filter(F.col("_sq").cast("double") > 180.0)
+        .select(F.col("l_orderkey").alias("_big_orderkey"))
+    )
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    joined = (
+        orders.join(big, orders["o_orderkey"] == big["_big_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(li, orders["o_orderkey"] == li["l_orderkey"])
+    )
+    return joined.groupBy(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    ).agg(
+        F.min(F.unix_timestamp("o_orderdate")).alias("orderdate_epoch"),
+        F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
+    )
+
+
+Q18_SQL = f"""
+SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+  MIN(epoch_us(o_orderdate) // 1000000) AS orderdate_epoch,
+  CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE) AS sum_qty
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE) > 180.0)
+GROUP BY c_custkey, c_name, o_orderkey, o_totalprice
+"""
+
+
+def q19_discounted_revenue(spark, sf_dir):
+    """Disjunctive multi-attribute predicate over a broadcast dim join
+    (TPC-H Q19 shape, adapted to this schema's brands/sizes)."""
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    q = F.col("l_quantity")
+    s = F.col("p_size")
+    b = F.col("p_brand")
+    pred = (
+        ((b == "Brand#2") & s.between(1, 15) & q.between(1, 21))
+        | ((b == "Brand#15") & s.between(10, 30) & q.between(10, 30))
+        | ((b == "Brand#19") & s.between(20, 50) & q.between(20, 50))
+    )
+    rev = F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+    return joined.filter(pred).agg(F.sum(rev).cast("double").alias("revenue"))
+
+
+Q19_SQL = f"""
+SELECT CAST(SUM(CAST(l_extendedprice AS {DEC}) * (CAST(1 AS {DEC}) - CAST(l_discount AS {DEC}))) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#2'  AND p_size BETWEEN 1  AND 15 AND l_quantity BETWEEN 1  AND 21)
+   OR (p_brand = 'Brand#15' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#19' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)
+"""
+
+
 # -- spatial queries --------------------------------------------------------
 
 
@@ -1366,6 +1527,39 @@ def pl_simhash(spark, sf_dir):
     return simhash_signatures(_read(spark, sf_dir, "documents"))
 
 
+def pl_ngram_jaccard(spark, sf_dir):
+    """Exact word-3-gram Jaccard near-dup pairs — pure JVM plan
+    (shingle explode + equi-join), no Python UDF."""
+    from spatialdata_spark.pipeline.dedup import ngram_jaccard_join
+
+    docs = _read(spark, sf_dir, "documents")
+    out = ngram_jaccard_join(docs, n=3, threshold=0.2)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard_r"))
+
+
+PL_NGRAM_JACCARD_SQL = """
+WITH w AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, w[i] || chr(30) || w[i+1] || chr(30) || w[i+2] AS g
+  FROM w, UNNEST(range(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 3
+), sz AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard_r
+FROM inter
+JOIN sz sa ON sa.doc_id = id_a
+JOIN sz sb ON sb.doc_id = id_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
+"""
+
+
 def pl_multimodal_features(spark, sf_dir):
     from spatialdata_spark.pipeline.multimodal import extract_features
 
@@ -1487,6 +1681,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q03_shipping": q03_shipping,
         "q05_local_supplier": q05_local_supplier,
         "q06_forecasting": q06_forecasting,
+        "q04_order_priority": q04_order_priority,
+        "q10_returned_items": q10_returned_items,
+        "q14_promo_effect": q14_promo_effect,
+        "q18_large_volume": q18_large_volume,
+        "q19_discounted_revenue": q19_discounted_revenue,
         "sq_bbox_identity": sq_bbox_identity,
         "sq_bbox_3d": sq_bbox_3d,
         "sq_bbox_scale": sq_bbox_scale,
@@ -1541,6 +1740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pl_language_id": pl_language_id,
         "pl_lsh_topk": pl_lsh_topk,
         "pl_simhash": pl_simhash,
+        "pl_ngram_jaccard": pl_ngram_jaccard,
         "pl_multimodal_features": pl_multimodal_features,
         "st_tumbling": st_tumbling,
         "st_sliding": st_sliding,
@@ -1555,6 +1755,11 @@ def oracle_sql() -> dict[str, str]:
         "q03_shipping": Q03_SQL,
         "q05_local_supplier": Q05_SQL,
         "q06_forecasting": Q06_SQL,
+        "q04_order_priority": Q04_SQL,
+        "q10_returned_items": Q10_SQL,
+        "q14_promo_effect": Q14_SQL,
+        "q18_large_volume": Q18_SQL,
+        "q19_discounted_revenue": Q19_SQL,
         "sq_bbox_identity": SQ_BBOX_IDENTITY_SQL,
         "sq_bbox_3d": SQ_BBOX_3D_SQL,
         "sq_bbox_scale": SQ_BBOX_SCALE_SQL,
@@ -1601,6 +1806,7 @@ def oracle_sql() -> dict[str, str]:
         "pl_token_count": PL_TOKEN_COUNT_SQL,
         "pl_knn_cosine": PL_KNN_SQL,
         "pl_cosine_pairs": PL_COSINE_PAIRS_SQL,
+        "pl_ngram_jaccard": PL_NGRAM_JACCARD_SQL,
         "pl_ivf_exact": PL_KNN_SQL,
         "st_tumbling": ST_TUMBLING_SQL,
         "st_sliding": ST_SLIDING_SQL,

@@ -187,6 +187,77 @@ def minhash_dedup(
     return docs.join(reps, id_col, "left_anti")
 
 
+def ngram_jaccard_join(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.2,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard similarity for every doc pair sharing at
+    least one shingle — entirely JVM-side (no Python UDF).
+
+    Plan: tokenize with built-in ``split``/``filter``, build distinct
+    n-gram shingles with ``transform(sequence(...))``, explode, self-join
+    on the shingle string, count intersections per pair, then
+    ``jaccard = |A∩B| / (|A| + |B| - |A∩B|)``.  Pairs below ``threshold``
+    are dropped; pairs with an empty intersection never materialize, so
+    the work is proportional to shared-shingle co-occurrence, not n².
+
+    Scale notes: the self-join shuffles on the shingle value; boilerplate
+    shingles (headers, licenses) are the skew hazard at 100 TB — pass
+    ``max_shingle_freq`` to drop shingles shared by more than that many
+    documents before the join (standard in large-scale dedup; documented
+    approximation, exact when None).  Shingle strings could be hashed to
+    64-bit with ``xxhash64`` to shrink shuffle width at scale.
+
+    Reference analog: this is the exact verification counterpart of the
+    reference-free MinHash path (see ``minhash_lsh_candidates``).
+    """
+    sep = ""
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    doc_sh = docs.select(F.col(id_col).alias("_id"), words.alias("_w")).select(
+        "_id",
+        F.when(
+            F.size("_w") >= n,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_w") - n),
+                    lambda i: F.concat_ws(sep, *[F.element_at("_w", i + j + 1) for j in range(n)]),
+                )
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("_sh"),
+    )
+    exploded = doc_sh.select("_id", F.explode("_sh").alias("g"))
+    if max_shingle_freq is not None:
+        keep = exploded.groupBy("g").count().filter(F.col("count") <= max_shingle_freq).select("g")
+        exploded = exploded.join(keep, "g", "left_semi")
+    sizes = doc_sh.select("_id", F.size("_sh").alias("n_sh"))
+    a = exploded.select(F.col("_id").alias("id_a"), "g")
+    b = exploded.select(F.col("_id").alias("id_b"), "g")
+    inter = (
+        a.join(b, "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")  # per-doc sizes: not broadcast — unbounded at scale; AQE picks BHJ when small
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("n_inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     pairs: DataFrame,

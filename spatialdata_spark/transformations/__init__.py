@@ -8,6 +8,7 @@ from spatialdata_spark.transformations.base import (
     Sequence,
     Translation,
     get_output_axes,
+    decompose_affine,
     scale_radii_factor,
     validate_axes,
 )
@@ -27,6 +28,7 @@ __all__ = [
     "Sequence",
     "Translation",
     "get_output_axes",
+    "decompose_affine",
     "scale_radii_factor",
     "validate_axes",
     "build_transform_graph",

@@ -424,3 +424,50 @@ def scale_radii_factor(transformation: BaseTransformation, spatial_axes: tuple[s
     linear = m[:-1, :-1]
     norms = np.linalg.norm(linear, axis=0)
     return float(np.mean(norms))
+
+
+def decompose_affine(
+    transformation: BaseTransformation, axes: tuple[str, ...] = ("x", "y")
+) -> Sequence:
+    """Decompose a square affine into
+    ``Sequence([scale, shear, reflection, rotation, translation])``
+    (applied first-to-last), via QR factorization of the linear part.
+
+    Mirrors the reference's RQ-based decomposition into
+    reflection/rotation/shear/scale/translation components
+    (reference: transformations/transformations.py:837-966).  Component
+    properties: ``scale`` has positive entries; ``shear`` is
+    upper-triangular with unit diagonal; ``reflection`` is ``±1`` on the
+    first axis only; ``rotation`` is orthogonal with determinant ``+1``.
+    Composing the returned sequence over ``axes`` reproduces the input
+    matrix exactly (up to float round-off).
+
+    Driver-side math on tiny matrices — never touches a DataFrame.
+    """
+    m = transformation.to_affine_matrix(axes, axes)
+    linear = m[:-1, :-1]
+    translation = m[:-1, -1]
+    if abs(float(np.linalg.det(linear))) < 1e-12:
+        raise ValueError("Affine is singular; decomposition requires an invertible linear part.")
+    q, r = np.linalg.qr(linear)
+    # fold signs so the triangular factor has a positive diagonal
+    d = np.sign(np.diag(r))
+    d[d == 0] = 1.0
+    q = q * d[None, :]
+    r = r * d[:, None]
+    scale = np.diag(r).copy()
+    shear = r / scale[None, :]  # R = shear @ diag(scale): divide columns
+    refl = np.ones(len(axes))
+    if np.linalg.det(q) < 0:
+        refl[0] = -1.0
+        q = q * refl[None, :]  # q := q @ diag(refl); refl then restores the sign
+    zero_t = np.zeros(len(axes))
+    return Sequence(
+        [
+            Scale(scale, axes),
+            Affine.from_linear(shear, zero_t, axes, axes),
+            Scale(refl, axes),
+            Affine.from_linear(q, zero_t, axes, axes),
+            Translation(translation, axes),
+        ]
+    )

@@ -120,3 +120,39 @@ def test_landmark_estimation():
     dst = true.transform_coordinates(src, XY)
     est = estimate_affine_from_landmarks(src, dst)
     assert np.allclose(est.matrix, true.matrix, atol=1e-8)
+
+
+def test_decompose_affine_roundtrip():
+    from spatialdata_spark.transformations import decompose_affine
+
+    rng = np.random.default_rng(7)
+    for _ in range(20):
+        m = np.eye(3)
+        m[:2, :] = rng.uniform(-3, 3, (2, 3))
+        if abs(np.linalg.det(m[:2, :2])) < 1e-3:
+            continue
+        aff = Affine(m, XY, XY)
+        seq = decompose_affine(aff, XY)
+        assert np.allclose(seq.to_affine_matrix(XY, XY), m, atol=1e-9)
+        scale, shear, refl, rot, trans = seq.transformations
+        assert np.all(scale.scale > 0)
+        sh = shear.matrix[:-1, :-1]
+        assert np.allclose(np.diag(sh), 1.0) and abs(sh[1, 0]) < 1e-12
+        q = rot.matrix[:-1, :-1]
+        assert np.allclose(q @ q.T, np.eye(2), atol=1e-9)
+        assert np.linalg.det(q) > 0
+        assert set(np.unique(refl.scale)) <= {1.0, -1.0}
+
+
+def test_decompose_affine_3d_and_singular():
+    from spatialdata_spark.transformations import decompose_affine
+
+    axes = ("z", "y", "x")
+    rng = np.random.default_rng(11)
+    m = np.eye(4)
+    m[:3, :] = rng.uniform(-2, 2, (3, 4))
+    aff = Affine(m, axes, axes)
+    seq = decompose_affine(aff, axes)
+    assert np.allclose(seq.to_affine_matrix(axes, axes), m, atol=1e-9)
+    with pytest.raises(ValueError):
+        decompose_affine(Affine([[1, 0, 0], [1, 0, 0], [0, 0, 1]], XY, XY), XY)

@@ -1493,11 +1493,45 @@ WHERE list_cosine_similarity(a.v, b.v) >= 0.3
 
 
 def pl_quality_score(spark, sf_dir):
-    # rows-only: composite heuristic (C4/Gopher-style); components are
-    # oracle-checked via pl_text_stats
+    """Composite C4/Gopher-style quality heuristic — pure Catalyst
+    expressions, so the oracle replicates the exact op order in SQL."""
     from spatialdata_spark.pipeline.textstats import quality_score
 
     return quality_score(_read(spark, sf_dir, "documents"))
+
+
+_QS_STOP_TERMS = " + ".join(
+    "(LENGTH(lp) - LENGTH(regexp_replace(lp, '\\b%s\\b', '', 'g'))) / %d" % (w, len(w))
+    for w in ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"]
+)
+
+PL_QUALITY_SQL = r"""
+WITH s AS (
+  SELECT doc_id,
+    ' ' || LOWER(text) || ' ' AS lp,
+    LENGTH(text) AS n_chars,
+    CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0 ELSE LEN(string_split_regex(TRIM(text), '\s+')) END AS n_tokens,
+    LENGTH(text) - LENGTH(regexp_replace(text, '[.,;:!?''"()\[\]{}-]', '', 'g')) AS n_punct,
+    LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+    LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS n_space
+  FROM documents
+), f AS (
+  SELECT doc_id,
+    n_punct / GREATEST(n_chars, 1) AS punct_ratio,
+    n_digit / GREATEST(n_chars, 1) AS digit_ratio,
+    (n_chars - n_space) / GREATEST(n_tokens, 1) AS mean_word_len,
+    ROUND((__STOP__) / GREATEST(n_tokens, 1), 9) AS stopword_ratio
+  FROM s
+)
+SELECT doc_id,
+  GREATEST(0.0, LEAST(1.0,
+    1.0 - LEAST(1.0, punct_ratio * 4) * 0.25
+        - LEAST(1.0, digit_ratio * 5) * 0.25
+        + LEAST(0.25, stopword_ratio)
+        - CASE WHEN mean_word_len < 3 OR mean_word_len > 12 THEN 0.25 ELSE 0.0 END
+  )) AS quality
+FROM f
+""".replace("__STOP__", _QS_STOP_TERMS)
 
 
 def pl_minhash_dedup(spark, sf_dir):
@@ -1807,6 +1841,7 @@ def oracle_sql() -> dict[str, str]:
         "pl_knn_cosine": PL_KNN_SQL,
         "pl_cosine_pairs": PL_COSINE_PAIRS_SQL,
         "pl_ngram_jaccard": PL_NGRAM_JACCARD_SQL,
+        "pl_quality_score": PL_QUALITY_SQL,
         "pl_ivf_exact": PL_KNN_SQL,
         "st_tumbling": ST_TUMBLING_SQL,
         "st_sliding": ST_SLIDING_SQL,

@@ -273,6 +273,8 @@ def polygon_query_points(
     m = _affine_2d(t, ("x", "y"))
     m_inv = np.linalg.inv(m)
     ring_i = ring @ m_inv[:2, :2].T + m_inv[:2, 2]
+    if (ring_i[0] == ring_i[-1]).all():
+        ring_i = ring_i[:-1]
     minx, miny = ring_i.min(axis=0)
     maxx, maxy = ring_i.max(axis=0)
 
@@ -283,6 +285,11 @@ def polygon_query_points(
         & (F.col("y") < F.lit(float(maxy)))
     )
 
+    if _is_convex(ring_i):
+        # convex fast path: strict half-plane conjunction as Catalyst
+        # expressions — whole-stage codegen, no Python worker round-trip
+        return pre.filter(_halfplane_cond(ring_i))
+
     @F.pandas_udf(T.BooleanType())
     def _inside(x_s, y_s):
         import pandas as pd
@@ -292,6 +299,44 @@ def polygon_query_points(
         return pd.Series(P.points_in_ring(x_s.to_numpy(), y_s.to_numpy(), ring_i))
 
     return pre.filter(_inside(F.col("x"), F.col("y")))
+
+
+def _is_convex(ring: np.ndarray) -> bool:
+    n = len(ring)
+    sign = 0
+    for i in range(n):
+        o, a, b = ring[i], ring[(i + 1) % n], ring[(i + 2) % n]
+        cr = (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+        if abs(cr) < 1e-12:
+            continue
+        s = 1 if cr > 0 else -1
+        if sign == 0:
+            sign = s
+        elif s != sign:
+            return False
+    return True
+
+
+def _halfplane_cond(ring: np.ndarray):
+    """Strict-interior test for a convex ring as a column expression:
+    for the CCW ring, cross((p2-p1), (p-p1)) > 0 on every edge."""
+    n = len(ring)
+    area = 0.0
+    for i in range(n):
+        x1, y1 = ring[i]
+        x2, y2 = ring[(i + 1) % n]
+        area += x1 * y2 - x2 * y1
+    r = ring if area > 0 else ring[::-1]
+    cond = None
+    for i in range(n):
+        x1, y1 = r[i]
+        x2, y2 = r[(i + 1) % n]
+        c = (
+            F.lit(float(x2 - x1)) * (F.col("y") - F.lit(float(y1)))
+            - F.lit(float(y2 - y1)) * (F.col("x") - F.lit(float(x1)))
+        ) > F.lit(0.0)
+        cond = c if cond is None else (cond & c)
+    return cond
 
 
 def polygon_query_shapes(

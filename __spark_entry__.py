@@ -569,6 +569,41 @@ WHERE {_halfplane_sql(_TRI)}
 """
 
 
+# concave dart (reflex vertex D inside triangle ABC); vertex coordinates
+# are non-representable by the data's 2-decimal prices so no point ever
+# falls exactly on an edge (where even-odd and strict conventions differ)
+_DART = np.array(
+    [
+        [10.123457, 5.234561],   # A
+        [89.876541, 9.876531],   # B
+        [49.912345, 47.234511],  # C
+        [50.371234, 18.112341],  # D (reflex)
+    ]
+)
+
+
+def _tri_sql(p0, p1, p2) -> str:
+    return _halfplane_sql(np.array([p0, p1, p2]))
+
+
+def sq_polygon_concave(spark, sf_dir):
+    """Concave-ring point query — exercises the ray-casting refine path
+    (convex rings take the half-plane expression fast path instead)."""
+    from spatialdata_spark.operators.spatial_query import polygon_query_points
+
+    pts = _points(spark, sf_dir)
+    return polygon_query_points(pts, _DART).select("l_orderkey", "l_linenumber", "x", "y")
+
+
+# oracle: the dart's interior is the union of the two triangles cut by
+# the diagonal from the reflex vertex: DAB ∪ DBC (shared edge D-B is
+# measure-zero and unreachable by the data grid)
+SQ_POLYGON_CONCAVE_SQL = f"""
+SELECT l_orderkey, l_linenumber, x, y FROM ({POINTS_SQL})
+WHERE (({_tri_sql(_DART[3], _DART[0], _DART[1])}) OR ({_tri_sql(_DART[3], _DART[1], _DART[2])}))
+"""
+
+
 def sq_bbox_shapes(spark, sf_dir):
     from spatialdata_spark.operators.spatial_query import bounding_box_query_shapes
 
@@ -1726,6 +1761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq_bbox_rotation": sq_bbox_rotation,
         "sq_multibox": sq_multibox,
         "sq_polygon_points": sq_polygon_points,
+        "sq_polygon_concave": sq_polygon_concave,
         "sq_bbox_shapes": sq_bbox_shapes,
         "sq_polygon_shapes": sq_polygon_shapes,
         "rq_join_left": rq_join_left,
@@ -1800,6 +1836,7 @@ def oracle_sql() -> dict[str, str]:
         "sq_bbox_rotation": SQ_BBOX_ROTATION_SQL,
         "sq_multibox": SQ_MULTIBOX_SQL,
         "sq_polygon_points": SQ_POLYGON_POINTS_SQL,
+        "sq_polygon_concave": SQ_POLYGON_CONCAVE_SQL,
         "sq_bbox_shapes": SQ_BBOX_SHAPES_SQL,
         "sq_polygon_shapes": SQ_POLYGON_SHAPES_SQL,
         "rq_join_left": RQ_JOIN_LEFT_SQL,

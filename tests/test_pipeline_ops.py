@@ -144,3 +144,50 @@ def test_shapes_to_circles_and_ngon(spark):
     kind, rings = W.decode(bytes(ngon["wkb"]))
     # 64-gon area approaches pi*r^2 from below
     assert kind == "polygon" and 0.95 * math.pi * 4 < P.polygon_area(rings) < math.pi * 4
+
+
+def test_salted_join_matches_plain_join(spark):
+    from spatialdata_spark.functions import salted_join
+
+    # heavily skewed: 90% of rows share key 1
+    big = spark.createDataFrame(
+        [(1 if i % 10 else i, i) for i in range(1000)], ["k", "v"]
+    )
+    small = spark.createDataFrame([(1, "hot"), (7, "cold"), (999, "rare")], ["k", "name"])
+    for how in ["inner", "left"]:
+        got = salted_join(big, small, ["k"], how=how).orderBy("v").collect()
+        want = big.join(small, ["k"], how).orderBy("v").collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_salted_join_rejects_outer(spark):
+    import pytest
+
+    from spatialdata_spark.functions import salted_join
+
+    df = spark.range(1)
+    with pytest.raises(ValueError):
+        salted_join(df, df, ["id"], how="full")
+
+
+def test_two_phase_count_matches_groupby(spark):
+    from spatialdata_spark.functions import two_phase_count
+
+    df = spark.createDataFrame([(i % 3, i) for i in range(500)], ["k", "v"])
+    got = {r["k"]: r["n"] for r in two_phase_count(df, ["k"]).collect()}
+    want = {r["k"]: r["count"] for r in df.groupBy("k").count().collect()}
+    assert got == want
+
+
+def test_ngram_jaccard_join_known_values(spark):
+    from spatialdata_spark.pipeline.dedup import ngram_jaccard_join
+
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_join(_docs(spark), threshold=0.0).collect()
+    }
+    assert out[(1, 2)] == 1.0  # identical docs
+    # docs 1 and 3 differ by one word; 15 tokens -> 13 trigrams each,
+    # of which 3 contain the changed word -> |A∩B|=10, union=16
+    assert abs(out[(1, 3)] - 10 / 16) < 1e-12
+    assert (1, 4) not in out  # nothing shared

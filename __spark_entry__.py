@@ -1578,10 +1578,46 @@ def pl_minhash_dedup(spark, sf_dir):
 
 
 def pl_language_id(spark, sf_dir):
+    """Stopword-vote language ID — pure expressions, exact oracle."""
     from spatialdata_spark.pipeline.textstats import language_id
 
     docs = _read(spark, sf_dir, "documents")
     return language_id(docs).groupBy("lang_pred").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _lid_sql() -> str:
+    from spatialdata_spark.pipeline.textstats import _STOPWORDS
+
+    langs = list(_STOPWORDS)
+    hits = ", ".join(
+        " + ".join(
+            f"CASE WHEN POSITION(' {w} ' IN lp) > 0 THEN 1 ELSE 0 END"
+            for w in _STOPWORDS[lang]
+        )
+        + f" AS h_{lang}"
+        for lang in langs
+    )
+    branches = []
+    for i, lang in enumerate(langs):
+        conds = [f"h_{lang} >= 2"]
+        for j, other in enumerate(langs):
+            if j < i:
+                conds.append(f"h_{lang} > h_{other}")
+            elif j > i:
+                conds.append(f"h_{lang} >= h_{other}")
+        branches.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case = "CASE " + " ".join(branches) + " ELSE 'unknown' END"
+    return rf"""
+WITH lpd AS (
+  SELECT doc_id, ' ' || regexp_replace(LOWER(text), '\s+', ' ', 'g') || ' ' AS lp FROM documents
+), scored AS (
+  SELECT doc_id, {hits} FROM lpd
+)
+SELECT {case} AS lang_pred, COUNT(*) AS n FROM scored GROUP BY 1
+"""
+
+
+PL_LANGUAGE_ID_SQL = _lid_sql()
 
 
 def pl_lsh_topk(spark, sf_dir):
@@ -1879,6 +1915,7 @@ def oracle_sql() -> dict[str, str]:
         "pl_cosine_pairs": PL_COSINE_PAIRS_SQL,
         "pl_ngram_jaccard": PL_NGRAM_JACCARD_SQL,
         "pl_quality_score": PL_QUALITY_SQL,
+        "pl_language_id": PL_LANGUAGE_ID_SQL,
         "pl_ivf_exact": PL_KNN_SQL,
         "st_tumbling": ST_TUMBLING_SQL,
         "st_sliding": ST_SLIDING_SQL,

@@ -22,9 +22,12 @@ HEADLINE = [
     "q01_pricing_summary",
     "q03_shipping",
     "q05_local_supplier",
+    "q10_returned_items",
+    "q18_large_volume",
     "sq_bbox_identity",
     "sq_bbox_rotation",
     "sq_polygon_points",
+    "sq_polygon_concave",
     "sq_multibox",
     "ag_points_by_circles_count",
     "ag_points_categorical",
@@ -38,6 +41,7 @@ HEADLINE = [
     "rv_transform_points",
     "pl_dedup_exact",
     "pl_minhash_dedup",
+    "pl_ngram_jaccard",
     "pl_knn_cosine",
     "pl_cosine_pairs",
     "pl_text_stats",

@@ -231,6 +231,11 @@ def ngram_jaccard_join(
         .otherwise(F.array().cast("array<string>"))
         .alias("_sh"),
     )
+    # materialization barrier: the interpreted HOF shingle expression is
+    # consumed by four branches (a, b, and both size lookups); without
+    # the persist Catalyst inlines it into every scan AND its pushed
+    # filters, evaluating it ~10x per document
+    doc_sh = doc_sh.persist()
     exploded = doc_sh.select("_id", F.explode("_sh").alias("g"))
     if max_shingle_freq is not None:
         keep = exploded.groupBy("g").count().filter(F.col("count") <= max_shingle_freq).select("g")

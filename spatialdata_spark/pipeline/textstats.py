@@ -74,28 +74,43 @@ def token_count_bpe_ish(docs: DataFrame, text_col: str = "text", id_col: str = "
 
 
 def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Stopword-vote language ID over {en,de,fr,es} (+'unknown').
+    """Stopword-vote language ID over {en,de,fr,es} (+'unknown') — pure
+    Catalyst expressions, no Python UDF.
 
-    Arrow-batched UDF: the per-language stopword hit count is a numpy
-    vote; ties / no hits -> 'unknown'.
+    A language scores one point per stopword present as a
+    whitespace-delimited token (padded-substring test on the
+    whitespace-normalized lowercase text).  The winner needs >=2 hits;
+    ties resolve to the earlier language in {en,de,fr,es} order.
     """
-
-    @F.pandas_udf(T.StringType())
-    def _lid(texts):
-        import pandas as pd
-
-        out = []
-        for t in texts:
-            words = set((t or "").lower().split())
-            best, best_n = "unknown", 0
-            for lang, sws in _STOPWORDS.items():
-                n = sum(1 for w in sws if w in words)
-                if n > best_n:
-                    best, best_n = lang, n
-            out.append(best if best_n >= 2 else "unknown")
-        return pd.Series(out)
-
-    return docs.select(F.col(id_col), _lid(F.col(text_col)).alias("lang_pred"))
+    lp = F.concat(
+        F.lit(" "),
+        F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "),
+        F.lit(" "),
+    )
+    langs = list(_STOPWORDS)
+    hit_cols = {}
+    for lang in langs:
+        h = None
+        for w in _STOPWORDS[lang]:
+            c = F.when(F.instr(lp, f" {w} ") > 0, 1).otherwise(0)
+            h = c if h is None else h + c
+        hit_cols[lang] = h
+    scored = docs.select(
+        F.col(id_col), *[hit_cols[lang].alias(f"__h_{lang}") for lang in langs]
+    )
+    pred = None
+    for i, lang in enumerate(langs):
+        me = F.col(f"__h_{lang}")
+        cond = me >= 2
+        for j, other in enumerate(langs):
+            if j < i:
+                cond = cond & (me > F.col(f"__h_{other}"))  # earlier lang wins ties
+            elif j > i:
+                cond = cond & (me >= F.col(f"__h_{other}"))
+        branch = F.when(cond, lang)
+        pred = branch if pred is None else pred.when(cond, lang)
+    pred = pred.otherwise("unknown")
+    return scored.select(F.col(id_col), pred.alias("lang_pred"))
 
 
 def doc_fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

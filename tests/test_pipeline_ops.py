@@ -191,3 +191,19 @@ def test_ngram_jaccard_join_known_values(spark):
     # of which 3 contain the changed word -> |A∩B|=10, union=16
     assert abs(out[(1, 3)] - 10 / 16) < 1e-12
     assert (1, 4) not in out  # nothing shared
+
+
+def test_language_id_discriminates(spark):
+    from spatialdata_spark.pipeline.textstats import language_id
+
+    rows = [
+        (1, "the cat is in the house and it was happy"),
+        (2, "der Hund ist nicht mit der Katze und das ist gut"),
+        (3, "le chat est pour la maison et les oiseaux ne sont pas la"),
+        (4, "el perro es de la casa y los gatos que estan con el"),
+        (5, "xyzzy plugh quux"),  # no stopwords -> unknown
+        (6, "the"),  # single hit < 2 -> unknown
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["lang_pred"] for r in language_id(df).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "unknown", 6: "unknown"}

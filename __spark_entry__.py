@@ -412,6 +412,204 @@ WHERE (p_brand = 'Brand#2'  AND p_size BETWEEN 1  AND 15 AND l_quantity BETWEEN 
 """
 
 
+def q07_volume_shipping(spark, sf_dir):
+    """Cross-nation trade volumes (TPC-H Q7 shape): OR-of-pairs join
+    predicate between supplier and customer nations, yearly rollup."""
+    n1 = _read(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _read(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    supp = _read(spark, sf_dir, "supplier")
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.expr("TIMESTAMP '1996-01-01 00:00:00'"))
+        & (F.col("l_shipdate") < F.expr("TIMESTAMP '1998-01-01 00:00:00'"))
+    )
+    rev = F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    joined = (
+        li.join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(n1), supp["s_nationkey"] == F.col("s_nk"))
+        .join(F.broadcast(n2), cust["c_nationkey"] == F.col("c_nk"))
+        .filter(pair)
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(F.sum(rev).cast("double").alias("revenue"))
+
+
+Q07_SQL = f"""
+SELECT supp_nation, cust_nation, l_year,
+  CAST(SUM(CAST(l_extendedprice AS {DEC}) * (CAST(1 AS {DEC}) - CAST(l_discount AS {DEC}))) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         EXTRACT(YEAR FROM l_shipdate) AS l_year, l_extendedprice, l_discount
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+)
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def q08_market_share(spark, sf_dir):
+    """National market share (TPC-H Q8 shape): share of one supplier
+    nation in a region's PROMO-part order volume, per year."""
+    region = _read(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation_c = _read(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    nation_s = _read(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    part = _read(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    supp = _read(spark, sf_dir, "supplier")
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    vol = F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+    joined = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation_c), cust["c_nationkey"] == F.col("c_nk"))
+        .join(F.broadcast(region), F.col("c_rk") == region["r_regionkey"])
+        .join(F.broadcast(nation_s), supp["s_nationkey"] == F.col("s_nk"))
+    )
+    yearly = joined.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.sum(F.when(F.col("supp_nation") == "NATION_1", vol).otherwise(F.lit(0).cast(DEC)))
+        .cast("double")
+        .alias("nation_vol"),
+        F.sum(vol).cast("double").alias("total_vol"),
+    )
+    return yearly.select(
+        "o_year", (F.col("nation_vol") / F.col("total_vol")).alias("mkt_share")
+    )
+
+
+Q08_SQL = f"""
+SELECT o_year, nation_vol / total_vol AS mkt_share FROM (
+  SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+    CAST(SUM(CASE WHEN n2.n_name = 'NATION_1'
+      THEN CAST(l_extendedprice AS {DEC}) * (CAST(1 AS {DEC}) - CAST(l_discount AS {DEC}))
+      ELSE CAST(0 AS {DEC}) END) AS DOUBLE) AS nation_vol,
+    CAST(SUM(CAST(l_extendedprice AS {DEC}) * (CAST(1 AS {DEC}) - CAST(l_discount AS {DEC}))) AS DOUBLE) AS total_vol
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+  GROUP BY EXTRACT(YEAR FROM o_orderdate)
+)
+"""
+
+
+def q13_customer_distribution(spark, sf_dir):
+    """Customer order-count distribution (TPC-H Q13 shape): left outer
+    join then two-level aggregation — customers with zero orders count
+    in the c_count=0 bucket."""
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+def q15_top_supplier(spark, sf_dir):
+    """Top supplier by quarterly revenue (TPC-H Q15 shape): aggregate,
+    global max, then equality semi-join — no correlated subquery."""
+    li = _read(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.expr("TIMESTAMP '1996-01-01 00:00:00'"))
+        & (F.col("l_shipdate") < F.expr("TIMESTAMP '1996-04-01 00:00:00'"))
+    )
+    rev = F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+    revenue = li.groupBy("l_suppkey").agg(F.sum(rev).cast("double").alias("total_revenue"))
+    max_rev = revenue.agg(F.max("total_revenue").alias("m"))
+    supp = _read(spark, sf_dir, "supplier")
+    return (
+        revenue.join(F.broadcast(max_rev), revenue["total_revenue"] == max_rev["m"])
+        .join(supp, revenue["l_suppkey"] == supp["s_suppkey"])
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+Q15_SQL = f"""
+WITH revenue AS (
+  SELECT l_suppkey,
+    CAST(SUM(CAST(l_extendedprice AS {DEC}) * (CAST(1 AS {DEC}) - CAST(l_discount AS {DEC}))) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+def q17_small_quantity(spark, sf_dir):
+    """Small-quantity revenue (TPC-H Q17 shape): per-part average via a
+    window function feeding a correlated-style predicate."""
+    from pyspark.sql.window import Window
+
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#2")
+    joined = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    w = Window.partitionBy("l_partkey")
+    flagged = joined.withColumn("__avg_qty", F.avg("l_quantity").over(w))
+    small = flagged.filter(F.col("l_quantity") < 0.2 * F.col("__avg_qty"))
+    return small.agg(
+        (F.sum(F.col("l_extendedprice").cast(DEC)).cast("double") / 7.0).alias("avg_yearly")
+    )
+
+
+Q17_SQL = f"""
+SELECT CAST(SUM(CAST(l_extendedprice AS {DEC})) AS DOUBLE) / 7.0 AS avg_yearly
+FROM (
+  SELECT l_extendedprice,
+         l_quantity,
+         AVG(l_quantity) OVER (PARTITION BY l_partkey) AS avg_qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#2'
+)
+WHERE l_quantity < 0.2 * avg_qty
+"""
+
+
 # -- spatial queries --------------------------------------------------------
 
 
@@ -738,6 +936,24 @@ WITH c AS ({CIRCLES_SQL})
 SELECT shape_id, radius FROM c
 WHERE shape_id IN (SELECT c_custkey FROM customer WHERE c_acctbal > 0)
   AND shape_id NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
+def rq_join_right(spark, sf_dir):
+    """how='right': table kept as-is, element masked to table instance
+    ids (reference: relational_query.py:293-334)."""
+    from spatialdata_spark.operators.relational import join_element_table
+
+    element_out, _ = join_element_table(
+        _element_circles(spark, sf_dir), "cells", "shapes", _orders_table(spark, sf_dir), how="right"
+    )
+    return element_out.select("shape_id", "radius")
+
+
+RQ_JOIN_RIGHT_SQL = """
+SELECT c_custkey AS shape_id, (3 + (c_custkey % 5)) * 1.0 AS radius
+FROM customer
+WHERE c_acctbal > 0 AND c_custkey IN (SELECT o_custkey FROM orders)
 """
 
 
@@ -1791,6 +2007,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo_effect": q14_promo_effect,
         "q18_large_volume": q18_large_volume,
         "q19_discounted_revenue": q19_discounted_revenue,
+        "q07_volume_shipping": q07_volume_shipping,
+        "q08_market_share": q08_market_share,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q15_top_supplier": q15_top_supplier,
+        "q17_small_quantity": q17_small_quantity,
         "sq_bbox_identity": sq_bbox_identity,
         "sq_bbox_3d": sq_bbox_3d,
         "sq_bbox_scale": sq_bbox_scale,
@@ -1803,6 +2024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rq_join_left": rq_join_left,
         "rq_join_inner_element": rq_join_inner_element,
         "rq_join_left_exclusive": rq_join_left_exclusive,
+        "rq_join_right": rq_join_right,
         "rq_join_right_exclusive": rq_join_right_exclusive,
         "rq_get_values_xlong": rq_get_values_xlong,
         "rq_filter_by_table": rq_filter_by_table,
@@ -1866,6 +2088,11 @@ def oracle_sql() -> dict[str, str]:
         "q14_promo_effect": Q14_SQL,
         "q18_large_volume": Q18_SQL,
         "q19_discounted_revenue": Q19_SQL,
+        "q07_volume_shipping": Q07_SQL,
+        "q08_market_share": Q08_SQL,
+        "q13_customer_distribution": Q13_SQL,
+        "q15_top_supplier": Q15_SQL,
+        "q17_small_quantity": Q17_SQL,
         "sq_bbox_identity": SQ_BBOX_IDENTITY_SQL,
         "sq_bbox_3d": SQ_BBOX_3D_SQL,
         "sq_bbox_scale": SQ_BBOX_SCALE_SQL,
@@ -1878,6 +2105,7 @@ def oracle_sql() -> dict[str, str]:
         "rq_join_left": RQ_JOIN_LEFT_SQL,
         "rq_join_inner_element": RQ_JOIN_INNER_SQL,
         "rq_join_left_exclusive": RQ_JOIN_LEFT_EXCL_SQL,
+        "rq_join_right": RQ_JOIN_RIGHT_SQL,
         "rq_join_right_exclusive": RQ_JOIN_RIGHT_EXCL_SQL,
         "rq_get_values_xlong": RQ_GET_VALUES_SQL,
         "rq_filter_by_table": RQ_FILTER_TABLE_SQL,

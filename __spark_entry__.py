@@ -1274,6 +1274,42 @@ GROUP BY labels.label, img.c
 # -- raster/vector ----------------------------------------------------------
 
 
+def rv_rasterize_circle_fill(spark, sf_dir):
+    """Full-disk rasterization (labels from circles) — expression-only
+    bbox explode + distance filter; min-label overlap resolution."""
+    from spatialdata_spark.operators.rasterize import rasterize_circles_fill
+
+    c = _read(spark, sf_dir, "customer").filter(F.col("c_custkey") < 300).select(
+        F.col("c_custkey").alias("shape_id"),
+        ((F.col("c_custkey") % 97) * 1.0).alias("x"),
+        (((F.col("c_custkey") * 7) % 53) * 1.0).alias("y"),
+        ((F.lit(3) + (F.col("c_custkey") % 5)) * 1.0).alias("radius"),
+    )
+    filled = rasterize_circles_fill(c)
+    return filled.groupBy("y", "x").agg(F.min("label").alias("label"))
+
+
+RV_CIRCLE_FILL_SQL = """
+WITH c AS (
+  SELECT c_custkey AS shape_id, (c_custkey % 97)*1.0 AS cx,
+         ((c_custkey*7) % 53)*1.0 AS cy, (3 + (c_custkey % 5))*1.0 AS radius
+  FROM customer WHERE c_custkey < 300
+), yy AS (
+  SELECT shape_id, cx, cy, radius, UNNEST(range(CAST(CEIL(cy - radius) AS BIGINT), CAST(FLOOR(cy + radius) AS BIGINT) + 1)) AS y
+  FROM c
+), px AS (
+  SELECT shape_id, y, UNNEST(range(CAST(CEIL(cx - radius) AS BIGINT), CAST(FLOOR(cx + radius) AS BIGINT) + 1)) AS x
+  FROM yy
+  WHERE TRUE
+), hit AS (
+  SELECT p.shape_id, p.y, p.x
+  FROM px p JOIN c ON p.shape_id = c.shape_id
+  WHERE (p.x - c.cx)*(p.x - c.cx) + (p.y - c.cy)*(p.y - c.cy) <= c.radius*c.radius
+)
+SELECT y, x, MIN(shape_id) AS label FROM hit GROUP BY y, x
+"""
+
+
 def rv_rasterize_count(spark, sf_dir):
     from spatialdata_spark.operators.rasterize import rasterize_points
 
@@ -2041,6 +2077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ag_zonal_image": ag_zonal_image,
         "rv_rasterize_count": rv_rasterize_count,
         "rv_rasterize_cat": rv_rasterize_cat,
+        "rv_rasterize_circle_fill": rv_rasterize_circle_fill,
         "rv_to_circles": rv_to_circles,
         "rv_to_polygons": rv_to_polygons,
         "rv_relabel": rv_relabel,
@@ -2122,6 +2159,7 @@ def oracle_sql() -> dict[str, str]:
         "ag_zonal_image": AG_ZONAL_SQL,
         "rv_rasterize_count": RV_RASTERIZE_SQL,
         "rv_rasterize_cat": RV_RASTERIZE_CAT_SQL,
+        "rv_rasterize_circle_fill": RV_CIRCLE_FILL_SQL,
         "rv_to_circles": RV_TO_CIRCLES_SQL,
         "rv_to_polygons": RV_TO_POLYGONS_SQL,
         "rv_relabel": RV_RELABEL_SQL,

@@ -83,7 +83,8 @@ def rasterize_labels_from_shapes_centroid(
 ) -> DataFrame:
     """Labels raster from shapes via center binning ('first' reduction with
     shape_id value, the label path of rasterize.py:616-743 for points-like
-    geometry).  Full polygon scan-fill is in operators/raster.py."""
+    geometry).  Full fills: rasterize_circles_fill (expressions) and
+    rasterize_polygons_fill (scanline mapInPandas) below."""
     cx = (F.col("minx") + F.col("maxx")) / 2
     cy = (F.col("miny") + F.col("maxy")) / 2
     return (
@@ -95,6 +96,112 @@ def rasterize_labels_from_shapes_centroid(
         .groupBy("py", "px")
         .agg(F.min("shape_id").alias("label"))
     )
+
+
+def rasterize_circles_fill(circles: DataFrame) -> DataFrame:
+    """Full-disk rasterization of circles — pure Catalyst expressions.
+
+    Input: ``(shape_id, x, y, radius)`` circle table.  Output long-form
+    labels ``(y, x, label)``: every integer pixel whose center lies
+    inside the disk, one row per (circle, pixel) so overlaps keep all
+    claimants (reference rasterize.py:616-743 resolves overlap with the
+    reduction; callers pick ``groupBy(y, x).agg(min/first)``).
+
+    Plan: explode the bbox rows (sequence per axis), filter by the
+    squared-distance test — whole-stage codegen end to end, work
+    proportional to Σ bbox areas, embarrassingly parallel across
+    circles.  No shuffle at all until a caller aggregates.
+    """
+    cy = F.col("y")
+    cx = F.col("x")
+    r = F.col("radius")
+    out = (
+        circles.withColumn(
+            "py", F.explode(F.sequence(F.ceil(cy - r).cast("long"), F.floor(cy + r).cast("long")))
+        )
+        .withColumn(
+            "px", F.explode(F.sequence(F.ceil(cx - r).cast("long"), F.floor(cx + r).cast("long")))
+        )
+        .filter(
+            (F.col("px") - cx) * (F.col("px") - cx) + (F.col("py") - cy) * (F.col("py") - cy)
+            <= r * r
+        )
+    )
+    return out.select(
+        F.col("py").alias("y"), F.col("px").alias("x"), F.col("shape_id").alias("label")
+    )
+
+
+def rasterize_polygons_fill(shapes: DataFrame) -> DataFrame:
+    """Scanline fill of polygon/multipolygon shapes -> ``(y, x, label)``.
+
+    The even-odd interior test has no Catalyst expression form for
+    arbitrary rings, so this is the documented Pandas-UDF path
+    (SURVEY.md §7 custom-op ③): ``mapInPandas`` over shape rows, each
+    polygon filled with a vectorized numpy even-odd test over its bbox
+    pixel grid.  Embarrassingly parallel across shapes; repartition the
+    shape table upstream if a few giant polygons skew task sizes.
+
+    Reference: rasterize.py:616-743 (datashader ``cnv.polygons``).
+    """
+    import numpy as np
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("y", T.LongType()),
+            T.StructField("x", T.LongType()),
+            T.StructField("label", T.LongType()),
+        ]
+    )
+
+    def _fill(batches):
+        import pandas as pd
+
+        from spatialdata_spark.geometry import predicates as P
+        from spatialdata_spark.geometry import wkb as W
+
+        for pdf in batches:
+            ys_out: list[np.ndarray] = []
+            xs_out: list[np.ndarray] = []
+            ls_out: list[np.ndarray] = []
+            for _, row in pdf.iterrows():
+                buf = row["wkb"]
+                if buf is None:
+                    continue
+                kind, geom = W.decode(bytes(buf))
+                y0 = int(np.ceil(row["miny"]))
+                y1 = int(np.floor(row["maxy"]))
+                x0 = int(np.ceil(row["minx"]))
+                x1 = int(np.floor(row["maxx"]))
+                if y1 < y0 or x1 < x0:
+                    continue
+                gy, gx = np.mgrid[y0 : y1 + 1, x0 : x1 + 1]
+                fy = gy.ravel().astype(float)
+                fx = gx.ravel().astype(float)
+                if kind == "polygon":
+                    mask = P.points_in_polygon(fx, fy, geom)
+                elif kind == "multipolygon":
+                    mask = P.points_in_multipolygon(fx, fy, geom)
+                else:  # circle row in a mixed table
+                    ccx = (row["minx"] + row["maxx"]) / 2.0
+                    ccy = (row["miny"] + row["maxy"]) / 2.0
+                    rr = float(row["radius"])
+                    mask = (fx - ccx) ** 2 + (fy - ccy) ** 2 <= rr * rr
+                ys_out.append(gy.ravel()[mask])
+                xs_out.append(gx.ravel()[mask])
+                ls_out.append(np.full(int(mask.sum()), int(row["shape_id"]), dtype=np.int64))
+            if ys_out:
+                yield pd.DataFrame(
+                    {
+                        "y": np.concatenate(ys_out),
+                        "x": np.concatenate(xs_out),
+                        "label": np.concatenate(ls_out),
+                    }
+                )
+
+    cols = ["shape_id", "kind", "wkb", "minx", "miny", "maxx", "maxy", "radius"]
+    return shapes.select(*cols).mapInPandas(_fill, schema)
 
 
 def rasterize_bins(

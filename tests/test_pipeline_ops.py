@@ -207,3 +207,38 @@ def test_language_id_discriminates(spark):
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     got = {r["doc_id"]: r["lang_pred"] for r in language_id(df).collect()}
     assert got == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "unknown", 6: "unknown"}
+
+
+def test_rasterize_polygons_fill_square(spark):
+    from spatialdata_spark.geometry.wkb import encode_polygon
+    from spatialdata_spark.operators.rasterize import rasterize_polygons_fill
+
+    ring = np.array([[0.5, 0.5], [10.5, 0.5], [10.5, 10.5], [0.5, 10.5]])
+    rows = [(7, "polygon", bytes(encode_polygon([ring])), 0.5, 0.5, 10.5, 10.5, None)]
+    shapes = spark.createDataFrame(
+        rows, "shape_id long, kind string, wkb binary, minx double, miny double, maxx double, maxy double, radius double"
+    )
+    out = rasterize_polygons_fill(shapes).collect()
+    # integer pixels strictly inside [0.5, 10.5]^2: 1..10 on both axes
+    assert len(out) == 100
+    assert all(1 <= r["x"] <= 10 and 1 <= r["y"] <= 10 and r["label"] == 7 for r in out)
+
+
+def test_rasterize_circles_fill_matches_polygon_path(spark):
+    from spatialdata_spark.operators.rasterize import rasterize_circles_fill
+    from spatialdata_spark.operators.vectorize import circles_to_shapes
+
+    circles = spark.createDataFrame(
+        [(1, 10.2, 7.7, 4.0), (2, 3.1, 3.9, 2.5)], ["shape_id", "x", "y", "radius"]
+    )
+    expr_px = {
+        (r["y"], r["x"], r["label"]) for r in rasterize_circles_fill(circles).collect()
+    }
+    # the mapInPandas path hits its circle branch for point-kind shapes
+    from spatialdata_spark.operators.rasterize import rasterize_polygons_fill
+
+    udf_px = {
+        (r["y"], r["x"], r["label"])
+        for r in rasterize_polygons_fill(circles_to_shapes(circles)).collect()
+    }
+    assert expr_px == udf_px

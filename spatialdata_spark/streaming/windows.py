@@ -169,3 +169,39 @@ def streaming_tumbling_query(spark: SparkSession, source_dir: str, schema, width
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_tumbling_append(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    width: str = "1 hour",
+    watermark: str = "10 minutes",
+    query_name: str = "events_windowed_append",
+):
+    """Append-mode watermarked tumbling windows: a window is emitted
+    exactly once, after the watermark passes its end; events arriving
+    later than the watermark are DROPPED (not re-aggregated).
+
+    ``maxFilesPerTrigger=1`` makes each source file its own micro-batch
+    so the watermark advances file-by-file — the shape a kafka-fed
+    production job has, testable from parquet.
+    """
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+    return (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

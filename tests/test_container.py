@@ -123,3 +123,54 @@ def test_streaming_tumbling(spark, tmp_path):
         for r in spark.sql("SELECT * FROM events_windowed").collect()
     }
     assert got == {("2024-01-01T00:00:00", "click"): 2, ("2024-01-01T01:00:00", "view"): 1}
+
+
+def test_streaming_watermark_drops_late_events(spark, tmp_path):
+    """Late-data semantics: while a window's state is live a late row
+    still merges (watermark lags one trigger); once the window has been
+    emitted and evicted, later arrivals are dropped instead of emitting
+    an append-mode duplicate."""
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import _parse_datatype_string
+
+    from spatialdata_spark.streaming.windows import streaming_tumbling_append
+
+    src = str(tmp_path / "wm_stream")
+    os.makedirs(src, exist_ok=True)
+    base = "2024-01-01 "
+
+    def write_file(name, ts_list):
+        df = spark.createDataFrame(
+            [(i, base + t) for i, t in enumerate(ts_list)], ["event_id", "ts_s"]
+        ).select("event_id", F.to_timestamp("ts_s").alias("ts"))
+        df.coalesce(1).write.mode("overwrite").parquet(f"{src}/{name}")
+        _time.sleep(1.1)  # distinct mtimes -> deterministic file order
+
+    write_file("f1", ["10:05:00", "10:20:00", "10:40:00"])  # 10:00 window
+    write_file("f2", ["13:00:00"])  # advances the watermark past 11:00
+    write_file("f3", ["13:30:00"])  # 10:00 window evicted+emitted this batch
+    write_file("f4", ["10:15:00"])  # late arrival after eviction -> dropped
+
+    q = streaming_tumbling_append(
+        spark,
+        f"{src}/*",
+        _parse_datatype_string("event_id long, ts timestamp"),
+        width="1 hour",
+        watermark="10 minutes",
+    )
+    q.processAllAvailable()
+    dropped = sum(
+        (p["stateOperators"][0].get("numRowsDroppedByWatermark", 0) if p["stateOperators"] else 0)
+        for p in q.recentProgress
+    )
+    q.stop()
+    rows = spark.sql("SELECT * FROM events_windowed_append").collect()
+    got = [(r["window_start"].strftime("%H:%M"), r["n"]) for r in rows]
+    # exactly one emission for the 10:00 window, and the post-eviction
+    # late row was dropped rather than re-emitted
+    assert got.count(("10:00", 3)) == 1
+    assert len([g for g in got if g[0] == "10:00"]) == 1
+    assert dropped == 1

@@ -1009,6 +1009,19 @@ WHERE shape_id IN (SELECT c_custkey FROM customer WHERE c_acctbal > 0)
 """
 
 
+def rq_element_instances(spark, sf_dir):
+    """get_element_instances on a labels raster: distinct nonzero label
+    values (reference: relational_query.py:62-120)."""
+    from spatialdata_spark.operators.relational import element_instance_ids
+
+    return element_instance_ids(_labels(spark, sf_dir), "labels")
+
+
+RQ_ELEMENT_INSTANCES_SQL = f"""
+SELECT DISTINCT label AS instance_id FROM ({LABELS_SQL}) WHERE label != 0
+"""
+
+
 def rq_filter_labels(spark, sf_dir):
     """filter_label_pixels: zero out pixels of unannotated labels."""
     from spatialdata_spark.operators.relational import filter_labels_by_table
@@ -2064,6 +2077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rq_join_right_exclusive": rq_join_right_exclusive,
         "rq_get_values_xlong": rq_get_values_xlong,
         "rq_filter_by_table": rq_filter_by_table,
+        "rq_element_instances": rq_element_instances,
         "rq_filter_labels": rq_filter_labels,
         "rq_concat_tables": rq_concat_tables,
         "ag_points_by_circles_count": ag_points_by_circles_count,
@@ -2146,6 +2160,7 @@ def oracle_sql() -> dict[str, str]:
         "rq_join_right_exclusive": RQ_JOIN_RIGHT_EXCL_SQL,
         "rq_get_values_xlong": RQ_GET_VALUES_SQL,
         "rq_filter_by_table": RQ_FILTER_TABLE_SQL,
+        "rq_element_instances": RQ_ELEMENT_INSTANCES_SQL,
         "rq_filter_labels": RQ_FILTER_LABELS_SQL,
         "rq_concat_tables": RQ_CONCAT_SQL,
         "ag_points_by_circles_count": AG_COUNT_SQL,

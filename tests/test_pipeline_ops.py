@@ -242,3 +242,32 @@ def test_rasterize_circles_fill_matches_polygon_path(spark):
         for r in rasterize_polygons_fill(circles_to_shapes(circles)).collect()
     }
     assert expr_px == udf_px
+
+
+def test_ivf_full_probe_equals_exact(spark):
+    from spatialdata_spark.pipeline.similarity import (
+        cosine_topk_query,
+        ivf_assign,
+        ivf_topk_query,
+    )
+
+    rng = np.random.default_rng(9)
+    # three well-separated clusters
+    centers = rng.standard_normal((3, 12)) * 10
+    rows = [
+        (i, [float(v) for v in centers[i % 3] + rng.standard_normal(12) * 0.3])
+        for i in range(120)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = [float(v) for v in centers[1] + 0.1]
+
+    assigned, centroids = ivf_assign(emb, n_cells=3, sample_size=120)
+    exact = [r["vec_id"] for r in cosine_topk_query(emb, q, k=10).collect()]
+    full = [r["vec_id"] for r in ivf_topk_query(assigned, centroids, q, k=10, nprobe=3).collect()]
+    assert full == exact  # nprobe = n_cells degenerates to exact search
+
+    # probing one cell of a well-separated clustering still finds the
+    # same top-10 (the query's own cluster has 40 > 10 members)
+    one = [r["vec_id"] for r in ivf_topk_query(assigned, centroids, q, k=10, nprobe=1).collect()]
+    assert set(one) & set(exact), "nprobe=1 found none of the exact top-k"
+    assert len(set(one) & set(exact)) >= 8

@@ -1144,6 +1144,56 @@ def ag_fractions(spark, sf_dir):
     return aggregate_shapes_by_shapes(values, by, fractions=True, cell_size=30.0)
 
 
+def ag_points_by_darts(spark, sf_dir):
+    """Zonal count by CONCAVE polygons — the ray-casting refine inside
+    the grid-join aggregation path (boxes/circles take expression fast
+    paths; darts cannot).  Oracle: per dart, the union of the two
+    triangles cut by the diagonal from the reflex vertex."""
+    from spatialdata_spark.geometry.wkb import encode_polygon
+    from spatialdata_spark.operators.aggregate import aggregate_points_by_shapes
+
+    rows = []
+    for sid, (ox, oy) in enumerate(_DART_OFFSETS, start=1):
+        ring = _DART + np.array([ox, oy])
+        rows.append(
+            (
+                sid,
+                "polygon",
+                bytearray(encode_polygon([ring])),
+                float(ring[:, 0].min()),
+                float(ring[:, 1].min()),
+                float(ring[:, 0].max()),
+                float(ring[:, 1].max()),
+                None,
+            )
+        )
+    shapes = spark.createDataFrame(
+        rows,
+        "shape_id long, kind string, wkb binary, minx double, miny double, maxx double, maxy double, radius double",
+    )
+    return aggregate_points_by_shapes(_points(spark, sf_dir), shapes, cell_size=20.0)
+
+
+_DART_OFFSETS = [(0.0, 0.0), (5.0, 2.0), (-12.0, -3.0)]
+
+
+def _dart_union_sql(offset) -> str:
+    d = _DART + np.array(offset)
+    return f"(({_tri_sql(d[3], d[0], d[1])}) OR ({_tri_sql(d[3], d[1], d[2])}))"
+
+
+def _ag_darts_sql() -> str:
+    parts = [
+        f"SELECT {sid} AS by_id, COUNT(*) AS n FROM p WHERE {_dart_union_sql(off)}"
+        for sid, off in enumerate(_DART_OFFSETS, start=1)
+    ]
+    return (
+        f"WITH p AS ({POINTS_SQL}) SELECT * FROM ("
+        + " UNION ALL ".join(parts)
+        + ") WHERE n > 0"
+    )
+
+
 def ag_points_by_boxes(spark, sf_dir):
     """Generic grid-join path (polygon WKB + point-in-polygon refine —
     not the circle fast path): count points per box region.  Box edges
@@ -2084,6 +2134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ag_points_by_circles_sum": ag_points_by_circles_sum,
         "ag_points_categorical": ag_points_categorical,
         "ag_points_by_boxes": ag_points_by_boxes,
+        "ag_points_by_darts": ag_points_by_darts,
         "ag_fractions": ag_fractions,
         "ag_fractions_value": ag_fractions_value,
         "ag_centroids_labels": ag_centroids_labels,
@@ -2167,6 +2218,7 @@ def oracle_sql() -> dict[str, str]:
         "ag_points_by_circles_sum": AG_SUM_SQL,
         "ag_points_categorical": AG_CAT_SQL,
         "ag_points_by_boxes": AG_POINTS_BOXES_SQL,
+        "ag_points_by_darts": _ag_darts_sql(),
         "ag_fractions": AG_FRACTIONS_SQL,
         "ag_fractions_value": AG_FRACTIONS_VALUE_SQL,
         "ag_centroids_labels": AG_CENTROIDS_SQL,

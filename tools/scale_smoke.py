@@ -1,0 +1,78 @@
+"""Scaling smoke: drive the heavy operators at 1x/4x/8x the sf0.1 row
+count (self-union with key offsets — same value distributions, more
+rows) and report wall time per scale.  The check: time grows ~linearly
+for the operators whose work is data-proportional (cell-cover zonal agg,
+polygon query, rasterize, dedup), which is the property that carries to
+a 1000-executor cluster where per-executor row counts stay constant.
+
+    python tools/scale_smoke.py [max_mult]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from pyspark.sql import DataFrame  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+from spatialdata_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def replicate(df: DataFrame, mult: int, id_cols: list[str]) -> DataFrame:
+    """Union `mult` shifted copies: id columns offset per copy so joins
+    and groupings see distinct keys, coordinates untouched so spatial
+    density (points per cell) is what actually scales."""
+    out = None
+    for i in range(mult):
+        c = df
+        for col in id_cols:
+            c = c.withColumn(col, F.col(col) + F.lit(i * 100_000_000))
+        out = c if out is None else out.unionByName(c)
+    return out
+
+
+def main(max_mult: int = 8) -> None:
+    spark = get_spark("scale-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from spatialdata_spark.operators.aggregate import aggregate_points_by_circles
+    from spatialdata_spark.operators.spatial_query import polygon_query_points
+    from spatialdata_spark.pipeline.dedup import exact_dedup
+    from spatialdata_spark.operators.rasterize import rasterize_points
+
+    pts0 = entrymod._points(spark, SF_DIR)
+    circles0 = entrymod._circles(spark, SF_DIR)
+    docs0 = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+    results: dict[str, dict[str, float]] = {}
+    for mult in [1, 4, max_mult]:
+        pts = replicate(pts0, mult, ["l_orderkey"])
+        docs = replicate(docs0, mult, ["doc_id"])
+        cases = {
+            # circles fixed, point density x mult: boundary work ∝ points
+            "zonal_circles": lambda: aggregate_points_by_circles(pts, circles0).count(),
+            "polygon_query": lambda: polygon_query_points(pts, entrymod._TRI).count(),
+            "rasterize": lambda: rasterize_points(pts, 0.0, 0.0, 5.0).count(),
+            "exact_dedup": lambda: exact_dedup(docs).count(),
+        }
+        for name, fn in cases.items():
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn()
+                dt = time.perf_counter() - t0
+                best = dt if best is None or dt < best else best
+            results.setdefault(name, {})[f"{mult}x"] = round(best, 2)
+    print(json.dumps({"sf_dir": SF_DIR, "results": results}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 8)

@@ -1996,6 +1996,78 @@ def pl_multimodal_features(spark, sf_dir):
     return extract_features(media)
 
 
+def _media(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "video").otherwise("image").alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.lit("application/fake").alias("mime"),
+        (32 + (F.col("doc_id") % 64)).cast("int").alias("width"),
+        (32 + ((F.col("doc_id") * 3) % 64)).cast("int").alias("height"),
+        F.when(F.col("doc_id") % 3 == 0, (F.col("doc_id") % 7 + 1) * 1000).alias("duration_ms"),
+    )
+
+
+def pl_resize_images(spark, sf_dir):
+    """Image-resize plumbing over mapInPandas (rows-only: payload kernel
+    stubbed, Spark-side schema/batching real)."""
+    from spatialdata_spark.pipeline.multimodal import resize_images
+
+    out = resize_images(_media(spark, sf_dir), 16, 16)
+    return out.select("media_id", "width", "height")
+
+
+def pl_frame_sample(spark, sf_dir):
+    """Video frame-sampling plumbing: one row per sampled timestamp —
+    count per media is oracle-checkable from duration even though the
+    frame payload itself is a stub."""
+    from spatialdata_spark.pipeline.multimodal import sample_video_frames
+
+    out = sample_video_frames(_media(spark, sf_dir), every_ms=1000)
+    return out.groupBy("media_id").agg(F.count(F.lit(1)).alias("n_frames"))
+
+
+PL_FRAME_SAMPLE_SQL = """
+SELECT doc_id AS media_id, doc_id % 7 + 1 AS n_frames
+FROM documents WHERE doc_id % 3 = 0
+"""
+
+
+def st_session_native(spark, sf_dir):
+    """Native session_window (Structured-Streaming primitive, batch-run
+    for the oracle) — same gap-merge semantics as the lag-based
+    sessionize."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+ST_SESSION_NATIVE_SQL = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN (epoch_us(ts) // 1000000) - LAG(epoch_us(ts) // 1000000) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+), s AS (
+  SELECT user_id, ts,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM g
+)
+SELECT user_id, epoch_us(MIN(ts)) // 1000000 AS session_start, COUNT(*) AS n_events
+FROM s GROUP BY user_id, session_id
+"""
+
+
 # -- streaming/windows ------------------------------------------------------
 
 
@@ -2172,6 +2244,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pl_simhash": pl_simhash,
         "pl_ngram_jaccard": pl_ngram_jaccard,
         "pl_multimodal_features": pl_multimodal_features,
+        "pl_resize_images": pl_resize_images,
+        "pl_frame_sample": pl_frame_sample,
+        "st_session_native": st_session_native,
         "st_tumbling": st_tumbling,
         "st_sliding": st_sliding,
         "st_sessionize": st_sessionize,
@@ -2250,6 +2325,8 @@ def oracle_sql() -> dict[str, str]:
         "pl_quality_score": PL_QUALITY_SQL,
         "pl_language_id": PL_LANGUAGE_ID_SQL,
         "pl_ivf_exact": PL_KNN_SQL,
+        "pl_frame_sample": PL_FRAME_SAMPLE_SQL,
+        "st_session_native": ST_SESSION_NATIVE_SQL,
         "st_tumbling": ST_TUMBLING_SQL,
         "st_sliding": ST_SLIDING_SQL,
         "st_sessionize": ST_SESSIONIZE_SQL,

@@ -18,6 +18,8 @@ import os
 import re
 from dataclasses import dataclass
 
+import numpy as np
+
 from pyspark.sql import DataFrame, SparkSession
 
 from spatialdata_spark.models.schemas import get_model
@@ -228,6 +230,64 @@ class SpatialDataset:
         os.makedirs(path, exist_ok=True)
         with open(os.path.join(path, "spatialdataset.json"), "w") as f:
             json.dump(meta, f, indent=2)
+
+    def write_element_spatially_partitioned(
+        self, path: str, name: str, cell_size: float, axes: tuple[str, ...] = ("x", "y")
+    ) -> None:
+        """Write a points element partitioned by a coarse grid cell so
+        bounding-box reads prune whole directories (the parquet analog
+        of zarr chunk-index pruning, SURVEY §4: 'lazy slicing of zarr
+        chunks' → partition pruning on chunk-index columns).
+
+        The partition key is ``floor(coord / cell_size)`` per axis;
+        readers that filter on the same derived columns (see
+        ``read_element_bbox``) scan only the touched cells — at 100 TB
+        this is the difference between a full scan and reading a few
+        partitions.
+        """
+        from pyspark.sql import functions as F
+
+        kind = self.kind_of(name)
+        df = self.elements[kind][name]
+        keys = []
+        for ax in axes:
+            key = f"__cell_{ax}"
+            df = df.withColumn(key, F.floor(F.col(ax) / F.lit(float(cell_size))))
+            keys.append(key)
+        df.write.mode("overwrite").partitionBy(*keys).parquet(
+            os.path.join(path, kind, name, "data.parquet")
+        )
+
+    @staticmethod
+    def read_element_bbox(
+        spark: SparkSession,
+        path: str,
+        kind: str,
+        name: str,
+        cell_size: float,
+        min_coordinate,
+        max_coordinate,
+        axes: tuple[str, ...] = ("x", "y"),
+    ) -> DataFrame:
+        """Bbox read over a spatially-partitioned element: the range
+        predicate on the partition columns prunes directories before any
+        file is opened; the exact exclusive-bounds filter runs on the
+        surviving rows."""
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(os.path.join(path, kind, name, "data.parquet"))
+        cond = None
+        for i, ax in enumerate(axes):
+            lo = float(min_coordinate[i])
+            hi = float(max_coordinate[i])
+            c = (
+                (F.col(f"__cell_{ax}") >= int(np.floor(lo / cell_size)))
+                & (F.col(f"__cell_{ax}") <= int(np.floor(hi / cell_size)))
+                & (F.col(ax) > lo)
+                & (F.col(ax) < hi)
+            )
+            cond = c if cond is None else (cond & c)
+        return df.filter(cond).drop(*[f"__cell_{ax}" for ax in axes])
 
     def write_element(self, path: str, name: str) -> None:
         """Incremental single-element overwrite (reference:

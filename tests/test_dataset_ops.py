@@ -89,3 +89,42 @@ def test_extent_and_normalize(scene):
     ext2 = get_extent_dataset(norm)
     assert ext2["x"][0] >= -1e-9 and ext2["x"][1] <= 100.0 + 1e-9
     assert ext2["y"][0] >= -1e-9 and ext2["y"][1] <= 100.0 + 1e-9
+
+
+def test_spatially_partitioned_store_prunes(spark, tmp_path):
+    """Partitioned write + bbox read: results match the plain filter AND
+    the scan only touches the partitions the box intersects."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from spatialdata_spark.catalog import SpatialDataset
+
+    pts = spark.range(2000).select(
+        (F.col("id") % 100 * 1.0).alias("x"),
+        (F.col("id") % 37 * 1.0).alias("y"),
+        F.col("id").alias("instance_id"),
+    )
+    ds = SpatialDataset(spark)
+    ds.add_points("pts", pts)
+    store = str(tmp_path / "store")
+    ds.write_element_spatially_partitioned(store, "pts", cell_size=16.0)
+
+    got = SpatialDataset.read_element_bbox(
+        spark, store, "points", "pts", 16.0, [10.0, 5.0], [30.0, 20.0]
+    )
+    want = pts.filter(
+        (F.col("x") > 10.0) & (F.col("x") < 30.0) & (F.col("y") > 5.0) & (F.col("y") < 20.0)
+    )
+    assert sorted(r["instance_id"] for r in got.collect()) == sorted(
+        r["instance_id"] for r in want.collect()
+    )
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        got.explain("formatted")
+    plan = buf.getvalue()
+    # x spans cells 0..6, box [10,30] touches cells 0 and 1 only
+    assert "PartitionFilters" in plan
+    assert "__cell_x" in plan

@@ -57,7 +57,16 @@ class BoundingBoxRequest:
 
 
 def _affine_2d(transformation: BaseTransformation, axes: tuple[str, ...]) -> np.ndarray:
-    return transformation.to_affine_matrix(axes, axes)
+    m = transformation.to_affine_matrix(axes, axes)
+    # query-case legality (reference spatial_query.py:268-321): only
+    # invertible data→CS transforms admit a spatial query — reject
+    # singular matrices with a domain error, not a numpy traceback
+    if abs(float(np.linalg.det(m[:-1, :-1]))) < 1e-12:
+        raise ValueError(
+            f"Transformation to axes {axes} is singular (rank-deficient); "
+            "spatial queries require an invertible transform."
+        )
+    return m
 
 
 def _is_axis_aligned(m: np.ndarray) -> bool:

@@ -398,3 +398,15 @@ def test_labels_to_polygons_roundtrip(spark):
     from spatialdata_spark.geometry import predicates as P
 
     assert P.polygon_area(rings) == pytest.approx(9.0)
+
+
+def test_spatial_query_rejects_singular_transform(spark):
+    import pytest
+
+    from spatialdata_spark.operators.spatial_query import bounding_box_query_points
+    from spatialdata_spark.transformations import Affine
+
+    pts = spark.createDataFrame([(1.0, 2.0)], ["x", "y"])
+    singular = Affine([[1, 0, 0], [1, 0, 0], [0, 0, 1]], ("x", "y"), ("x", "y"))
+    with pytest.raises(ValueError, match="singular"):
+        bounding_box_query_points(pts, ("x", "y"), [0, 0], [10, 10], singular)

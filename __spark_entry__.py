@@ -1099,6 +1099,40 @@ GROUP BY c.shape_id
 """
 
 
+def ag_points_by_circles_mean(spark, sf_dir):
+    """mean via decomposable sum/count partials (bit-identical to a
+    direct mean because both engines compute SUM(double)/COUNT)."""
+    from spatialdata_spark.operators.aggregate import aggregate_points_by_shapes
+
+    return aggregate_points_by_shapes(
+        _points(spark, sf_dir), _circles(spark, sf_dir), value_col="y", agg_func="mean", all_circles=True
+    )
+
+
+AG_MEAN_SQL = f"""
+WITH p AS ({POINTS_SQL}), c AS ({CIRCLES_SQL})
+SELECT c.shape_id AS by_id, SUM(p.y) / COUNT(p.y) AS mean_y
+FROM c JOIN p ON (p.x - c.cx)*(p.x - c.cx) + (p.y - c.cy)*(p.y - c.cy) <= c.radius*c.radius
+GROUP BY c.shape_id
+"""
+
+
+def ag_points_by_circles_max(spark, sf_dir):
+    from spatialdata_spark.operators.aggregate import aggregate_points_by_shapes
+
+    return aggregate_points_by_shapes(
+        _points(spark, sf_dir), _circles(spark, sf_dir), value_col="x", agg_func="max", all_circles=True
+    )
+
+
+AG_MAX_SQL = f"""
+WITH p AS ({POINTS_SQL}), c AS ({CIRCLES_SQL})
+SELECT c.shape_id AS by_id, MAX(p.x) AS max_x
+FROM c JOIN p ON (p.x - c.cx)*(p.x - c.cx) + (p.y - c.cy)*(p.y - c.cy) <= c.radius*c.radius
+GROUP BY c.shape_id
+"""
+
+
 def ag_points_categorical(spark, sf_dir):
     from spatialdata_spark.operators.aggregate import aggregate_points_by_shapes
 
@@ -2204,6 +2238,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rq_concat_tables": rq_concat_tables,
         "ag_points_by_circles_count": ag_points_by_circles_count,
         "ag_points_by_circles_sum": ag_points_by_circles_sum,
+        "ag_points_by_circles_mean": ag_points_by_circles_mean,
+        "ag_points_by_circles_max": ag_points_by_circles_max,
         "ag_points_categorical": ag_points_categorical,
         "ag_points_by_boxes": ag_points_by_boxes,
         "ag_points_by_darts": ag_points_by_darts,
@@ -2291,6 +2327,8 @@ def oracle_sql() -> dict[str, str]:
         "rq_concat_tables": RQ_CONCAT_SQL,
         "ag_points_by_circles_count": AG_COUNT_SQL,
         "ag_points_by_circles_sum": AG_SUM_SQL,
+        "ag_points_by_circles_mean": AG_MEAN_SQL,
+        "ag_points_by_circles_max": AG_MAX_SQL,
         "ag_points_categorical": AG_CAT_SQL,
         "ag_points_by_boxes": AG_POINTS_BOXES_SQL,
         "ag_points_by_darts": _ag_darts_sql(),

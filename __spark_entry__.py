@@ -1981,6 +1981,16 @@ def pl_simhash(spark, sf_dir):
     return simhash_signatures(_read(spark, sf_dir, "documents"))
 
 
+def pl_simhash_neardup(spark, sf_dir):
+    """SimHash near-duplicate pairs via the 4-block Hamming join
+    (rows-only: the 64-bit fingerprints come from Python-side hashing,
+    but the candidate-generation join and bit_count refine are JVM)."""
+    from spatialdata_spark.pipeline.dedup import simhash_near_duplicates, simhash_signatures
+
+    fps = simhash_signatures(_read(spark, sf_dir, "documents"))
+    return simhash_near_duplicates(fps, max_hamming=8)
+
+
 def pl_ngram_jaccard(spark, sf_dir):
     """Exact word-3-gram Jaccard near-dup pairs — pure JVM plan
     (shingle explode + equi-join), no Python UDF."""
@@ -2278,6 +2288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pl_language_id": pl_language_id,
         "pl_lsh_topk": pl_lsh_topk,
         "pl_simhash": pl_simhash,
+        "pl_simhash_neardup": pl_simhash_neardup,
         "pl_ngram_jaccard": pl_ngram_jaccard,
         "pl_multimodal_features": pl_multimodal_features,
         "pl_resize_images": pl_resize_images,

@@ -420,6 +420,27 @@ def select_pyramid_level(meta: RasterMeta, n_scales: int, target_resolution: flo
     return best
 
 
+def write_pyramid_store(tiles: DataFrame, path: str) -> None:
+    """Persist a multiscale tile table partitioned by ``scale`` — the
+    parquet analog of the reference's OME-NGFF level directories
+    (_io/io_raster.py:162-233).  A level read then prunes whole
+    directories before opening any file (SURVEY §4 pyramid-level
+    pruning, expressed as storage partitioning)."""
+    tiles.write.mode("overwrite").partitionBy("scale").parquet(path)
+
+
+def read_pyramid_level(
+    spark, path: str, meta: RasterMeta, n_scales: int, target_resolution: float
+) -> tuple[DataFrame, int]:
+    """Read the coarsest stored level satisfying ``target_resolution``:
+    the planner picks the level driver-side (reference heuristic,
+    rasterize.py:439-451) and the ``scale =`` predicate becomes a
+    partition filter — only that level's directory is scanned."""
+    level = select_pyramid_level(meta, n_scales, target_resolution)
+    df = spark.read.parquet(path).filter(F.col("scale") == level)
+    return df, level
+
+
 # ---------------------------------------------------------------------------
 # zonal stats straight from tiles (fused, no long-form materialization)
 # ---------------------------------------------------------------------------

@@ -205,3 +205,31 @@ def test_export_region_tiles(spark, tiles, dense, meta):
         src = dense[max(0, y0) : y0 + 12, max(0, x0) : x0 + 12]
         want[max(0, -y0) : max(0, -y0) + src.shape[0], max(0, -x0) : max(0, -x0) + src.shape[1]] = src
         assert np.array_equal(got, want)
+
+
+def test_pyramid_store_level_pruning(spark, tiles, meta, tmp_path):
+    import io
+    from contextlib import redirect_stdout
+
+    from spatialdata_spark.operators.raster import (
+        build_pyramid,
+        read_pyramid_level,
+        write_pyramid_store,
+    )
+
+    pyr = build_pyramid(tiles, meta, n_scales=2)
+    path = str(tmp_path / "pyr")
+    write_pyramid_store(pyr, path)
+
+    df, level = read_pyramid_level(spark, path, meta, 2, target_resolution=3.0)
+    assert level == 1
+    # same rows as the in-memory pyramid at that scale
+    want = pyr.filter(F.col("scale") == 1).select("ty", "tx").orderBy("ty", "tx").collect()
+    got = df.select("ty", "tx").orderBy("ty", "tx").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "scale" in plan

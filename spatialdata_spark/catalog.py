@@ -221,7 +221,12 @@ class SpatialDataset:
         meta: dict = {"version": "0.1", "elements": [], "transforms": {}, "tables": {}}
         for kind in ELEMENT_KINDS:
             for name, df in self.elements[kind].items():
-                df.write.mode(mode).parquet(os.path.join(path, kind, name, "data.parquet"))
+                writer = df.write.mode(mode)
+                if "scale" in df.columns:
+                    # multiscale tile tables: scale directories = NGFF
+                    # pyramid levels; level reads prune whole partitions
+                    writer = writer.partitionBy("scale")
+                writer.parquet(os.path.join(path, kind, name, "data.parquet"))
                 meta["elements"].append({"kind": kind, "name": name})
         for name, cs_map in self.transforms.items():
             meta["transforms"][name] = {cs: t.to_dict() for cs, t in cs_map.items()}

@@ -205,3 +205,32 @@ def streaming_tumbling_append(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_dedup(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    id_col: str = "event_id",
+    watermark: str = "1 hour",
+    query_name: str = "events_deduped",
+):
+    """Exactly-once ingest dedup: watermarked ``dropDuplicates`` on the
+    event id — the Structured-Streaming pattern for at-least-once
+    sources feeding a training-data pipeline.  State for an id is kept
+    until the watermark passes, bounding memory; replays older than the
+    watermark are already outside the at-least-once window by contract.
+    """
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+    deduped = stream.withWatermark("ts", watermark).dropDuplicates([id_col, "ts"])
+    return (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

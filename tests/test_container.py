@@ -174,3 +174,33 @@ def test_streaming_watermark_drops_late_events(spark, tmp_path):
     assert got.count(("10:00", 3)) == 1
     assert len([g for g in got if g[0] == "10:00"]) == 1
     assert dropped == 1
+
+
+def test_streaming_dedup_drops_replays(spark, tmp_path):
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import _parse_datatype_string
+
+    from spatialdata_spark.streaming.windows import streaming_dedup
+
+    src = str(tmp_path / "dedup_stream")
+    os.makedirs(src, exist_ok=True)
+
+    def write_file(name, rows):
+        df = spark.createDataFrame(rows, ["event_id", "ts_s"]).select(
+            "event_id", F.to_timestamp("ts_s").alias("ts")
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(f"{src}/{name}")
+        _time.sleep(1.1)
+
+    write_file("f1", [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 10:01:00")])
+    # f2 replays event 2 (same id+ts, at-least-once delivery) + new event 3
+    write_file("f2", [(2, "2024-01-01 10:01:00"), (3, "2024-01-01 10:02:00")])
+
+    q = streaming_dedup(spark, f"{src}/*", _parse_datatype_string("event_id long, ts timestamp"))
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(r["event_id"] for r in spark.sql("SELECT * FROM events_deduped").collect())
+    assert got == [1, 2, 3]  # replayed event 2 emitted once

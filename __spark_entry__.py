@@ -2078,6 +2078,46 @@ FROM documents WHERE doc_id % 3 = 0
 """
 
 
+def st_distinct_users_daily(spark, sf_dir):
+    """COUNT(DISTINCT) per day — the two-stage distinct-agg shuffle
+    (partial dedup map-side, exact count reduce-side).  The HLL
+    approx_count_distinct variant is unit-tested against this."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(F.countDistinct("user_id").alias("n_users"), F.count(F.lit(1)).alias("n_events"))
+        .select(F.unix_timestamp("d").alias("day_epoch"), "n_users", "n_events")
+    )
+
+
+ST_DISTINCT_USERS_SQL = """
+SELECT epoch_us(date_trunc('day', ts)) // 1000000 AS day_epoch,
+  COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+FROM events GROUP BY 1
+"""
+
+
+def st_value_quantiles(spark, sf_dir):
+    """Exact percentiles per event type (Spark `percentile` = linear
+    interpolation on sorted values, same convention as DuckDB
+    quantile_cont)."""
+    ev = _events(spark, sf_dir).withColumn(
+        "value_micro", F.floor(F.col("value") * 1000000).cast("long")
+    )
+    return ev.groupBy("event_type").agg(
+        F.expr("percentile(value_micro, 0.5)").alias("p50"),
+        F.expr("percentile(value_micro, 0.95)").alias("p95"),
+    )
+
+
+ST_QUANTILES_SQL = """
+SELECT event_type,
+  quantile_cont(CAST(FLOOR(value * 1000000) AS BIGINT), 0.5) AS p50,
+  quantile_cont(CAST(FLOOR(value * 1000000) AS BIGINT), 0.95) AS p95
+FROM events GROUP BY event_type
+"""
+
+
 def st_session_native(spark, sf_dir):
     """Native session_window (Structured-Streaming primitive, batch-run
     for the oracle) — same gap-merge semantics as the lag-based
@@ -2294,6 +2334,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pl_resize_images": pl_resize_images,
         "pl_frame_sample": pl_frame_sample,
         "st_session_native": st_session_native,
+        "st_distinct_users_daily": st_distinct_users_daily,
+        "st_value_quantiles": st_value_quantiles,
         "st_tumbling": st_tumbling,
         "st_sliding": st_sliding,
         "st_sessionize": st_sessionize,
@@ -2376,6 +2418,8 @@ def oracle_sql() -> dict[str, str]:
         "pl_ivf_exact": PL_KNN_SQL,
         "pl_frame_sample": PL_FRAME_SAMPLE_SQL,
         "st_session_native": ST_SESSION_NATIVE_SQL,
+        "st_distinct_users_daily": ST_DISTINCT_USERS_SQL,
+        "st_value_quantiles": ST_QUANTILES_SQL,
         "st_tumbling": ST_TUMBLING_SQL,
         "st_sliding": ST_SLIDING_SQL,
         "st_sessionize": ST_SESSIONIZE_SQL,

@@ -271,3 +271,13 @@ def test_ivf_full_probe_equals_exact(spark):
     one = [r["vec_id"] for r in ivf_topk_query(assigned, centroids, q, k=10, nprobe=1).collect()]
     assert set(one) & set(exact), "nprobe=1 found none of the exact top-k"
     assert len(set(one) & set(exact)) >= 8
+
+
+def test_approx_count_distinct_accuracy(spark):
+    """HLL sketch (the scale path for distinct counts — no exact dedup
+    shuffle) stays within its advertised error of the exact count."""
+    df = spark.range(200_000).select((F.col("id") % 57_123).alias("u"))
+    exact = df.select(F.countDistinct("u")).first()[0]
+    approx = df.select(F.approx_count_distinct("u", rsd=0.02)).first()[0]
+    assert exact == 57_123
+    assert abs(approx - exact) / exact < 0.06  # 3x rsd guard band

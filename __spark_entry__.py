@@ -412,6 +412,26 @@ WHERE (p_brand = 'Brand#2'  AND p_size BETWEEN 1  AND 15 AND l_quantity BETWEEN 
 """
 
 
+def q_rollup_revenue(spark, sf_dir):
+    """ROLLUP grouping sets (absent in the reference, free in Spark):
+    revenue at (flag, status), (flag), and grand-total levels."""
+    li = _read(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.sum(rev).cast("double").alias("revenue"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+Q_ROLLUP_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_extendedprice AS {DEC}) * (CAST(1 AS {DEC}) - CAST(l_discount AS {DEC}))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
 def q07_volume_shipping(spark, sf_dir):
     """Cross-nation trade volumes (TPC-H Q7 shape): OR-of-pairs join
     predicate between supplier and customer nations, yearly rollup."""
@@ -2078,6 +2098,31 @@ FROM documents WHERE doc_id % 3 = 0
 """
 
 
+def st_moving_avg(spark, sf_dir):
+    """Per-user moving average over the last 4 events (rows frame) —
+    ordered window aggregation."""
+    from pyspark.sql.window import Window
+
+    ev = _events(spark, sf_dir).withColumn(
+        "value_micro", F.floor(F.col("value") * 1000000).cast("long")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-3, 0)
+    return ev.select(
+        "user_id",
+        "event_id",
+        (F.sum("value_micro").over(w) / F.count(F.lit(1)).over(w)).alias("mavg_micro"),
+    )
+
+
+ST_MOVING_AVG_SQL = """
+SELECT user_id, event_id,
+  SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) OVER w * 1.0
+    / COUNT(*) OVER w AS mavg_micro
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+"""
+
+
 def st_distinct_users_daily(spark, sf_dir):
     """COUNT(DISTINCT) per day — the two-stage distinct-agg shuffle
     (partial dedup map-side, exact count reduce-side).  The HLL
@@ -2267,6 +2312,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q13_customer_distribution": q13_customer_distribution,
         "q15_top_supplier": q15_top_supplier,
         "q17_small_quantity": q17_small_quantity,
+        "q_rollup_revenue": q_rollup_revenue,
+        "st_moving_avg": st_moving_avg,
         "sq_bbox_identity": sq_bbox_identity,
         "sq_bbox_3d": sq_bbox_3d,
         "sq_bbox_scale": sq_bbox_scale,
@@ -2359,6 +2406,8 @@ def oracle_sql() -> dict[str, str]:
         "q13_customer_distribution": Q13_SQL,
         "q15_top_supplier": Q15_SQL,
         "q17_small_quantity": Q17_SQL,
+        "q_rollup_revenue": Q_ROLLUP_SQL,
+        "st_moving_avg": ST_MOVING_AVG_SQL,
         "sq_bbox_identity": SQ_BBOX_IDENTITY_SQL,
         "sq_bbox_3d": SQ_BBOX_3D_SQL,
         "sq_bbox_scale": SQ_BBOX_SCALE_SQL,

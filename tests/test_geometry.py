@@ -68,3 +68,34 @@ def test_is_convex():
 def test_regular_polygon_circle_area():
     ring = wkb.regular_polygon(0, 0, 1.0, n=256)
     assert P.polygon_area([ring]) == pytest.approx(np.pi, rel=1e-3)
+
+
+def test_wkb_roundtrip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from spatialdata_spark.geometry import wkb as W
+
+    finite = st.floats(min_value=-1e6, max_value=1e6, allow_nan=False)
+    ring = st.lists(st.tuples(finite, finite), min_size=3, max_size=12).map(
+        lambda pts: np.array(pts, dtype=float)
+    )
+
+    @given(st.lists(ring, min_size=1, max_size=3))
+    @settings(max_examples=200, deadline=None)
+    def roundtrip_polygon(rings):
+        kind, got = W.decode(W.encode_polygon(rings))
+        assert kind == "polygon" and len(got) == len(rings)
+        for r_in, r_out in zip(rings, got):
+            # encoder closes open rings; decoded ring keeps the closure
+            want = r_in if (r_in[0] == r_in[-1]).all() else np.vstack([r_in, r_in[:1]])
+            assert np.array_equal(r_out, want)
+
+    @given(st.lists(st.lists(ring, min_size=1, max_size=2), min_size=1, max_size=3))
+    @settings(max_examples=100, deadline=None)
+    def roundtrip_multipolygon(polys):
+        kind, got = W.decode(W.encode_multipolygon(polys))
+        assert kind == "multipolygon" and len(got) == len(polys)
+
+    roundtrip_polygon()
+    roundtrip_multipolygon()

@@ -281,3 +281,11 @@ def test_approx_count_distinct_accuracy(spark):
     approx = df.select(F.approx_count_distinct("u", rsd=0.02)).first()[0]
     assert exact == 57_123
     assert abs(approx - exact) / exact < 0.06  # 3x rsd guard band
+
+
+def test_ngram_jaccard_shingle_freq_cap(spark):
+    from spatialdata_spark.pipeline.dedup import ngram_jaccard_join
+
+    # cap=1 drops every shared shingle before the join -> no pairs survive
+    out = ngram_jaccard_join(_docs(spark), threshold=0.0, max_shingle_freq=1)
+    assert out.count() == 0

@@ -1091,7 +1091,9 @@ def ag_points_by_circles_count(spark, sf_dir):
     from spatialdata_spark.operators.aggregate import aggregate_points_by_shapes
 
     return aggregate_points_by_shapes(
-        _points(spark, sf_dir), _circles(spark, sf_dir), all_circles=True
+        # radius is 3..7 by construction (avg 5): pass h = r/6 directly
+        # so the operator skips its avg-radius sizing action
+        _points(spark, sf_dir), _circles(spark, sf_dir), all_circles=True, cell_size=0.85
     )
 
 
@@ -1107,7 +1109,7 @@ def ag_points_by_circles_sum(spark, sf_dir):
     from spatialdata_spark.operators.aggregate import aggregate_points_by_shapes
 
     return aggregate_points_by_shapes(
-        _points(spark, sf_dir), _circles(spark, sf_dir), value_col="y", agg_func="sum", all_circles=True
+        _points(spark, sf_dir), _circles(spark, sf_dir), value_col="y", agg_func="sum", all_circles=True, cell_size=0.85
     )
 
 
@@ -1125,7 +1127,7 @@ def ag_points_by_circles_mean(spark, sf_dir):
     from spatialdata_spark.operators.aggregate import aggregate_points_by_shapes
 
     return aggregate_points_by_shapes(
-        _points(spark, sf_dir), _circles(spark, sf_dir), value_col="y", agg_func="mean", all_circles=True
+        _points(spark, sf_dir), _circles(spark, sf_dir), value_col="y", agg_func="mean", all_circles=True, cell_size=0.85
     )
 
 
@@ -1141,7 +1143,7 @@ def ag_points_by_circles_max(spark, sf_dir):
     from spatialdata_spark.operators.aggregate import aggregate_points_by_shapes
 
     return aggregate_points_by_shapes(
-        _points(spark, sf_dir), _circles(spark, sf_dir), value_col="x", agg_func="max", all_circles=True
+        _points(spark, sf_dir), _circles(spark, sf_dir), value_col="x", agg_func="max", all_circles=True, cell_size=0.85
     )
 
 
@@ -1157,7 +1159,7 @@ def ag_points_categorical(spark, sf_dir):
     from spatialdata_spark.operators.aggregate import aggregate_points_by_shapes
 
     return aggregate_points_by_shapes(
-        _points(spark, sf_dir), _circles(spark, sf_dir), value_col="gene", all_circles=True
+        _points(spark, sf_dir), _circles(spark, sf_dir), value_col="gene", all_circles=True, cell_size=0.85
     )
 
 

@@ -109,6 +109,16 @@ def aggregate_points_by_circles(
         r_avg = circ.agg(F.avg("r")).first()[0] or 1.0
         cell_size = max(float(r_avg) / 6.0, 1e-12)
     h = float(cell_size)
+    spark = points.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    # In local mode a small parquet input is often a single row group, so
+    # the scan — and everything narrow above it, including the whole
+    # broadcast-join fan-out — runs in one task.  Spreading the dim side
+    # before the explode parallelizes cover construction; the fact side
+    # is spread by the cell-key repartition below.
+    local = spark.sparkContext.master.startswith("local")
+    if local:
+        circ = circ.repartition(par)
     # persist: the cover feeds both the full-cell and boundary branches;
     # without it the explode subtree is computed twice per action
     # (MEMORY_AND_DISK, slim rows ∝ dim side — safe at scale, ~20% win)
@@ -137,6 +147,15 @@ def aggregate_points_by_circles(
             .drop(value_col, "__cat")
         )
     cat_keys = ["__code"] if categorical else []
+    if local:
+        # Hash-partition the points by cell key: the boundary broadcast
+        # join then fans out on all cores instead of the scan's task
+        # count, and the per-cell pre-aggregation reuses this exchange
+        # (ENSURE_REQUIREMENTS is already satisfied), so the shuffle is
+        # not an extra pass for that branch.  On a real cluster the scan
+        # arrives pre-split into many tasks and this is skipped — there
+        # the map-side partial aggregation shuffles only cell partials.
+        pt = pt.repartition(par, "__qx", "__qy")
 
     # partial-aggregation schema shared by the full-cell and boundary paths
     if value_col is None or categorical:
@@ -218,6 +237,15 @@ def grid_join_points_shapes(
     if cell_size is None:
         cell_size = _estimate_cell_size(shapes)
     cs = float(cell_size)
+    spark = points.sparkSession
+    if spark.sparkContext.master.startswith("local"):
+        # single-row-group local inputs scan as one task; spread both
+        # sides so the candidate join fans out on all cores (the
+        # cell-key hash also satisfies the join's distribution if the
+        # shape side is too big to broadcast)
+        par = spark.sparkContext.defaultParallelism
+        points = points.repartition(par)
+        shapes = shapes.repartition(par)
 
     sh = (
         shapes.withColumn("__cx", F.explode(F.sequence(F.floor(F.col("minx") / cs), F.floor(F.col("maxx") / cs))))
@@ -305,6 +333,12 @@ def grid_join_shapes_shapes(
     if cell_size is None:
         cell_size = _estimate_cell_size(by)
     cs = float(cell_size)
+    spark = values.sparkSession
+    if spark.sparkContext.master.startswith("local"):
+        # see grid_join_points_shapes: spread single-task local scans
+        par = spark.sparkContext.defaultParallelism
+        values = values.repartition(par)
+        by = by.repartition(par)
     if values_kinds is None:
         values_kinds = _shape_kinds(values)
     if by_kinds is None:

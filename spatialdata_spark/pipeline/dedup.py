@@ -163,6 +163,83 @@ def minhash_jaccard_estimate(signatures: DataFrame, pairs: DataFrame, id_col: st
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components of an undirected edge list via alternating
+    large-star / small-star rounds (the MapReduce CC algorithm of
+    Kiveris et al., "Connected Components in MapReduce and Beyond" —
+    public algorithm).  Returns ``(node, component)`` where component is
+    the minimum node id of the component; singleton nodes that appear in
+    no edge are absent (they are their own component).
+
+    Each round is two shuffles on the node key; convergence is
+    O(log n) rounds, so web-scale near-dup graphs finish in a handful
+    of passes.  Every round materializes (persist + count) so the loop
+    has a real convergence check and bounded lineage.
+    """
+    # canonical parent edges (large endpoint -> small endpoint), no loops.
+    # localCheckpoint (not persist): each round builds on the previous
+    # round's result, and without lineage truncation the logical plan
+    # doubles every iteration until plan rendering alone exhausts the
+    # driver heap.  On a cluster, plain checkpoint() to reliable storage
+    # is the fault-tolerant variant of the same move.
+    e = (
+        edges.select(
+            F.greatest(F.col(a_col), F.col(b_col)).alias("u"),
+            F.least(F.col(a_col), F.col(b_col)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        # -- large-star: attach every strictly-larger neighbor of n to
+        # the minimum of N(n) ∪ {n} (operates on the symmetrized graph)
+        sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        mins = mins.select("u", F.least("mn", "u").alias("m"))
+        ls = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # -- small-star: attach every neighbor <= n (and n itself) to the
+        # minimum of the small neighborhood (operates on canonical edges)
+        mins2 = ls.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (
+            ls.join(mins2, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .unionByName(ls.join(mins2, "u").select(F.col("u").alias("a"), F.col("m").alias("b")))
+            .select(
+                F.greatest(F.col("a"), F.col("b")).alias("u"),
+                F.least(F.col("a"), F.col("b")).alias("v"),
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # convergence: the edge multiset is stable (same count and same
+        # content — checked with an order-independent checksum)
+        chk = F.expr("bit_xor(xxhash64(u, v))").alias("chk")  # order-independent, overflow-free (edges are distinct)
+        stats_new = ss.agg(F.count(F.lit(1)).alias("n"), chk).first()
+        stats_old = e.agg(F.count(F.lit(1)).alias("n"), chk).first()
+        e = ss
+        if stats_new["n"] == stats_old["n"] and stats_new["chk"] == stats_old["chk"]:
+            break
+    # at the fixpoint every edge points directly at the component root
+    out = e.select(F.col("u").alias("node"), F.col("v").alias("component")).unionByName(
+        e.select(F.col("v").alias("node"), F.col("v").alias("component"))
+    ).distinct()
+    # a root also appears as a non-root member of nothing; keep min per node
+    return out.groupBy("node").agg(F.min("component").alias("component"))
+
+
 def minhash_dedup(
     docs: DataFrame,
     text_col: str = "text",
@@ -173,18 +250,16 @@ def minhash_dedup(
     shingle_k: int = 5,
 ) -> DataFrame:
     """Full near-dup pipeline: signatures → LSH candidates → verify →
-    connected-pairs representative pick (min id per cluster, one round —
-    full transitive closure is an iterative extension)."""
+    connected components → keep the minimum id of every near-dup
+    cluster.  The cluster step is true transitive closure (iterative
+    large-star/small-star, see :func:`connected_components`), so chains
+    A~B~C collapse to one survivor even when A≁C directly."""
     sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_k)
     cand = minhash_lsh_candidates(sigs, num_bands, id_col)
     verified = minhash_jaccard_estimate(sigs, cand, id_col).filter(F.col("jaccard_est") >= threshold)
-    # representative: min partner id per doc (1-hop union-find approximation)
-    reps = (
-        verified.select(F.col("id_b").alias(id_col), F.col("id_a").alias("rep"))
-        .groupBy(id_col)
-        .agg(F.min("rep").alias("rep"))
-    )
-    return docs.join(reps, id_col, "left_anti")
+    comp = connected_components(verified, "id_a", "id_b")
+    drop = comp.filter(F.col("node") != F.col("component")).select(F.col("node").alias(id_col))
+    return docs.join(drop, id_col, "left_anti")
 
 
 def ngram_jaccard_join(

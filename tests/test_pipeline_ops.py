@@ -289,3 +289,49 @@ def test_ngram_jaccard_shingle_freq_cap(spark):
     # cap=1 drops every shared shingle before the join -> no pairs survive
     out = ngram_jaccard_join(_docs(spark), threshold=0.0, max_shingle_freq=1)
     assert out.count() == 0
+
+
+def test_connected_components_chain_and_random(spark):
+    from spatialdata_spark.pipeline.dedup import connected_components
+
+    # transitive 3-chain: A~B, B~C, A!~C must collapse to one component
+    edges = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"])
+    out = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    # random graph cross-checked against a plain union-find
+    rng = np.random.default_rng(7)
+    e = [(int(a), int(b)) for a, b in rng.integers(0, 200, size=(300, 2)) if a != b]
+    parent = list(range(200))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in e:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {n: find(n) for n in set(x for p in e for x in p)}
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(spark.createDataFrame(e, ["id_a", "id_b"])).collect()
+    }
+    assert got == expected
+
+
+def test_minhash_dedup_transitive_chain(spark):
+    from spatialdata_spark.pipeline.dedup import minhash_dedup
+
+    # B overlaps A and C heavily; A and C differ more — a chain where the
+    # 1-hop representative pick would leave C alive
+    words = [f"tok{i}" for i in range(60)]
+    a = " ".join(words[0:40])
+    b = " ".join(words[5:45])
+    c = " ".join(words[10:50])
+    d = " ".join(f"zz{i}" for i in range(40))
+    docs = spark.createDataFrame([(1, a), (2, b), (3, c), (4, d)], ["doc_id", "text"])
+    out = sorted(r["doc_id"] for r in minhash_dedup(docs, threshold=0.5).collect())
+    assert out == [1, 4]

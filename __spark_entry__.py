@@ -1941,11 +1941,110 @@ FROM f
 
 
 def pl_minhash_dedup(spark, sf_dir):
-    from spatialdata_spark.pipeline.dedup import minhash_lsh_candidates, minhash_signatures
+    """MinHash LSH band candidates with the expression-only pipeline
+    (31-bit polynomial shingle hashes, universal-hash minima, band
+    self-join on the minima values) — no Python in the plan, and the
+    integer math is replayed exactly by the DuckDB oracle."""
+    from spatialdata_spark.pipeline.dedup import minhash_band_candidates_sql
 
     docs = _read(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, num_hashes=32)
-    return minhash_lsh_candidates(sigs, num_bands=8)
+    return minhash_band_candidates_sql(docs, num_hashes=32, num_bands=8)
+
+
+def pl_minhash_cc(spark, sf_dir):
+    """Near-dup clusters: LSH candidates -> iterative large-star/
+    small-star connected components -> (node, component).  The oracle
+    recomputes the same candidate edges and closes them transitively
+    with a recursive CTE."""
+    from spatialdata_spark.pipeline.dedup import connected_components, minhash_band_candidates_sql
+
+    docs = _read(spark, sf_dir, "documents")
+    cand = minhash_band_candidates_sql(docs, num_hashes=32, num_bands=8)
+    return connected_components(cand, "id_a", "id_b")
+
+
+def _shingle31_sql(k: int, channel: int = 0, tcol: str = "t", ivar: str = "i") -> str:
+    """DuckDB mirror of dedup._shingle31_expr: identical integer math."""
+    from spatialdata_spark.pipeline.dedup import _H31
+
+    B, P = _H31[channel]
+    h = "CAST(0 AS BIGINT)"
+    for j in range(k):
+        h = f"((({h}) * {B} + ord(substr({tcol}, CAST({ivar} AS INT) + {j}, 1))) % {P})"
+    return h
+
+
+def _minhash_cand_sql(num_hashes: int = 32, num_bands: int = 8, k: int = 5, seed: int = 42) -> str:
+    from spatialdata_spark.pipeline.dedup import _MERSENNE, _hash_params
+
+    a, b = _hash_params(num_hashes, seed)
+    rpb = max(1, num_hashes // num_bands)
+    vals = ", ".join(f"({m}, {int(a[m])}, {int(b[m])})" for m in range(num_hashes))
+    return f"""
+WITH tt AS (
+  SELECT doc_id, CASE WHEN LENGTH(text) < {k} THEN rpad(text, {k}, ' ') ELSE text END AS t FROM documents
+), sh AS (
+  SELECT doc_id, {_shingle31_sql(k)} AS h
+  FROM tt, UNNEST(range(1, LENGTH(t) - {k} + 2)) u(i)
+), par(m, a, b) AS (VALUES {vals}),
+minh AS (
+  SELECT doc_id, m, MIN((a * h + b) % {_MERSENNE}) AS v FROM sh, par GROUP BY 1, 2
+), bands AS (
+  SELECT doc_id, m // {rpb} AS band, list(v ORDER BY m) AS sig FROM minh GROUP BY 1, 2
+)
+SELECT l.doc_id AS id_a, r.doc_id AS id_b, COUNT(*) AS n_bands
+FROM bands l JOIN bands r ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
+GROUP BY 1, 2
+"""
+
+
+def _minhash_cc_sql() -> str:
+    return f"""
+WITH RECURSIVE cand AS ({_minhash_cand_sql()}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM cand
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM cand
+),
+cc(node, lbl) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.b, c.lbl FROM cc c JOIN edges e ON e.a = c.node
+)
+SELECT node, MIN(lbl) AS component FROM cc GROUP BY node
+"""
+
+
+def _simhash_sql(k: int = 4) -> str:
+    votes = ", ".join(
+        f"SUM((({'h1' if bit < 31 else 'h2'} >> {bit % 31}) & 1) * 2 - 1) AS v{bit}"
+        for bit in range(62)
+    )
+    fp = " + ".join(f"CASE WHEN v{bit} > 0 THEN {1 << bit} ELSE 0 END" for bit in range(62))
+    return f"""
+WITH tt AS (
+  SELECT doc_id, CASE WHEN LENGTH(text) < {k} THEN rpad(text, {k}, ' ') ELSE text END AS t FROM documents
+), sh AS (
+  SELECT doc_id, {_shingle31_sql(k, 0)} AS h1, {_shingle31_sql(k, 1)} AS h2
+  FROM tt, UNNEST(range(1, LENGTH(t) - {k} + 2)) u(i)
+), votes AS (
+  SELECT doc_id, {votes} FROM sh GROUP BY doc_id
+)
+SELECT doc_id, {fp} AS simhash FROM votes
+"""
+
+
+def _simhash_neardup_sql(max_hamming: int = 3) -> str:
+    """All-pairs exact Hamming recheck — the 4x16-bit block LSH is
+    provably complete for distance <= 3 (pigeonhole), so the Spark
+    block join must return exactly this set."""
+    return f"""
+WITH fp AS ({_simhash_sql()})
+SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+       bit_count(xor(l.simhash, r.simhash)) AS hamming
+FROM fp l JOIN fp r ON l.doc_id < r.doc_id
+WHERE bit_count(xor(l.simhash, r.simhash)) <= {max_hamming}
+"""
 
 
 def pl_language_id(spark, sf_dir):
@@ -1998,19 +2097,21 @@ def pl_lsh_topk(spark, sf_dir):
 
 
 def pl_simhash(spark, sf_dir):
-    from spatialdata_spark.pipeline.dedup import simhash_signatures
+    """62-bit SimHash fingerprints, expression-only (exact DuckDB
+    oracle replays the same integer bit votes)."""
+    from spatialdata_spark.pipeline.dedup import simhash_signatures_sql
 
-    return simhash_signatures(_read(spark, sf_dir, "documents"))
+    return simhash_signatures_sql(_read(spark, sf_dir, "documents"))
 
 
 def pl_simhash_neardup(spark, sf_dir):
-    """SimHash near-duplicate pairs via the 4-block Hamming join
-    (rows-only: the 64-bit fingerprints come from Python-side hashing,
-    but the candidate-generation join and bit_count refine are JVM)."""
-    from spatialdata_spark.pipeline.dedup import simhash_near_duplicates, simhash_signatures
+    """SimHash near-duplicate pairs via the 4-block Hamming join.
+    max_hamming=3 keeps the block LSH provably complete (pigeonhole
+    over 4 blocks), so the all-pairs oracle is an exact match."""
+    from spatialdata_spark.pipeline.dedup import simhash_near_duplicates, simhash_signatures_sql
 
-    fps = simhash_signatures(_read(spark, sf_dir, "documents"))
-    return simhash_near_duplicates(fps, max_hamming=8)
+    fps = simhash_signatures_sql(_read(spark, sf_dir, "documents"))
+    return simhash_near_duplicates(fps, max_hamming=3)
 
 
 def pl_ngram_jaccard(spark, sf_dir):
@@ -2374,6 +2475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pl_ivf_probe": pl_ivf_probe,
         "pl_quality_score": pl_quality_score,
         "pl_minhash_dedup": pl_minhash_dedup,
+        "pl_minhash_cc": pl_minhash_cc,
         "pl_language_id": pl_language_id,
         "pl_lsh_topk": pl_lsh_topk,
         "pl_simhash": pl_simhash,
@@ -2467,6 +2569,10 @@ def oracle_sql() -> dict[str, str]:
         "pl_quality_score": PL_QUALITY_SQL,
         "pl_language_id": PL_LANGUAGE_ID_SQL,
         "pl_ivf_exact": PL_KNN_SQL,
+        "pl_minhash_dedup": _minhash_cand_sql(),
+        "pl_minhash_cc": _minhash_cc_sql(),
+        "pl_simhash": _simhash_sql(),
+        "pl_simhash_neardup": _simhash_neardup_sql(),
         "pl_frame_sample": PL_FRAME_SAMPLE_SQL,
         "st_session_native": ST_SESSION_NATIVE_SQL,
         "st_distinct_users_daily": ST_DISTINCT_USERS_SQL,

@@ -422,3 +422,127 @@ def simhash_near_duplicates(fps: DataFrame, max_hamming: int = 3, id_col: str = 
         .dropDuplicates(["id_a", "id_b"])
     )
     return cand.filter(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# Expression-only (no-UDF) minhash / simhash family.
+#
+# These variants compute the shingle hashes with 31-bit polynomial
+# rolling hashes over character code points, entirely in Catalyst
+# integer expressions: every intermediate fits in int64 without
+# wraparound (h < 2^31, base < 2^20 -> h*B + cp < 2^52; a*h + b <
+# 2^62 + 2^61 < 2^63), so they are safe under ANSI arithmetic and —
+# because the math is plain integer +,*,% — bit-for-bit reproducible by
+# any SQL engine, which is what makes an exact DuckDB oracle possible.
+# ---------------------------------------------------------------------------
+
+#: two independent 31-bit polynomial hash channels (base, modulus);
+#: moduli are primes < 2^31 so a*h+b below stays inside int64
+_H31 = ((1000003, 2147483647), (999979, 2147483629))
+
+
+def _padded_text(text_col: str, k: int):
+    """Documents shorter than the shingle width are right-padded with
+    spaces to exactly k chars (mirrors the \\0-padding of the numpy
+    path; rpad alone would truncate longer docs)."""
+    c = F.col(text_col)
+    return F.when(F.length(c) < k, F.rpad(c, k, " ")).otherwise(c)
+
+
+def _shingle31_expr(text_col: str, k: int, channel: int = 0):
+    """array<long> of the 31-bit rolling-polynomial hashes of every
+    char-k-shingle: h_i = sum_j cp(i+j) * B^(k-1-j) mod P."""
+    B, P = _H31[channel]
+    t = _padded_text(text_col, k)
+
+    def _sh(i):
+        h = F.lit(0).cast("long")
+        for j in range(k):
+            h = (h * F.lit(B) + F.ascii(t.substr(i + F.lit(j), F.lit(1))).cast("long")) % F.lit(P)
+        return h
+
+    return F.transform(F.sequence(F.lit(1), F.length(t) - F.lit(k - 1)), _sh)
+
+
+def minhash_band_candidates_sql(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    shingle_k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """LSH band candidates ``(id_a, id_b, n_bands)`` with **no Python
+    anywhere in the plan** — the expression-parity twin of
+    ``minhash_signatures`` + ``minhash_lsh_candidates``.
+
+    Relational shape: shingle-hash explode → broadcast cross join with
+    the (num_hashes) universal-hash params → per-(doc, hash) min →
+    per-(doc, band) ordered signature slice → self-equi-join on
+    (band, slice).  Joining on the slice *values* (not a re-hash of
+    them) keeps the whole pipeline reproducible in ANSI SQL.  Three
+    shuffles, all on doc-sized keys; band skew is bounded because a
+    bucket is a full 4-minima match.
+    """
+    rows_per_band = max(1, num_hashes // num_bands)
+    a, b = _hash_params(num_hashes, seed)
+    spark = docs.sparkSession
+    params = spark.createDataFrame(
+        [(m, int(a[m]), int(b[m])) for m in range(num_hashes)], "m int, a long, b long"
+    )
+    sh = docs.select(F.col(id_col), F.explode(_shingle31_expr(text_col, shingle_k)).alias("h"))
+    minh = (
+        sh.join(F.broadcast(params))
+        .groupBy(id_col, "m")
+        .agg(F.min((F.col("a") * F.col("h") + F.col("b")) % F.lit(_MERSENNE)).alias("v"))
+    )
+    bands = (
+        minh.groupBy(F.col(id_col), F.floor(F.col("m") / rows_per_band).alias("band"))
+        .agg(F.array_sort(F.collect_list(F.struct("m", "v"))).alias("mv"))
+        .select(id_col, "band", F.transform("mv", lambda s: s["v"]).alias("sig"))
+    )
+    l, r = bands.alias("l"), bands.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.sig") == F.col("r.sig"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .groupBy(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+
+
+def simhash_signatures_sql(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_k: int = 4
+) -> DataFrame:
+    """62-bit SimHash fingerprints ``(doc_id, simhash)`` as pure
+    Catalyst expressions — the parity twin of ``simhash_signatures``.
+
+    Bits 0..30 vote on channel-0 shingle-hash bits, bits 31..61 on
+    channel 1; bit b is set when strictly more shingles have it set
+    than clear.  The fingerprint stays below 2^62, so the power-of-two
+    summation is ANSI-safe, and the 4x16-bit block LSH applies
+    unchanged (62 bits split as 16/16/16/14)."""
+    sh = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.arrays_zip(
+                _shingle31_expr(text_col, shingle_k, 0).alias("h1"),
+                _shingle31_expr(text_col, shingle_k, 1).alias("h2"),
+            )
+        ).alias("z"),
+    ).select(id_col, F.col("z.h1").alias("h1"), F.col("z.h2").alias("h2"))
+    votes = [
+        F.sum(
+            F.shiftright(F.col("h1" if bit < 31 else "h2"), bit % 31).bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"v{bit}")
+        for bit in range(62)
+    ]
+    fp = None
+    for bit in range(62):
+        term = F.when(F.col(f"v{bit}") > 0, F.lit(1 << bit)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return sh.groupBy(id_col).agg(*votes).select(F.col(id_col), fp.alias("simhash"))

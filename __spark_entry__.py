@@ -1868,13 +1868,23 @@ def pl_ivf_exact(spark, sf_dir):
 
 
 def pl_ivf_probe(spark, sf_dir):
-    # rows-only: nprobe=2 approximate search
-    from spatialdata_spark.pipeline.similarity import ivf_assign, ivf_topk_query
+    """nprobe=2 approximate IVF search against a *data-derived fixed
+    codebook* (the embeddings of vec_id 1..8), so the whole probe path
+    — assignment, cell ranking, in-cell search — is expression-only and
+    exactly reproduced by the DuckDB oracle.  The k-means-trained
+    quantizer path is pl_ivf_exact / the recall pytest."""
+    import numpy as np
+
+    from spatialdata_spark.pipeline.similarity import ivf_exemplar_assign, ivf_topk_query
 
     emb = _read(spark, sf_dir, "embeddings")
     qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
-    assigned, centroids = ivf_assign(emb.filter(F.col("vec_id") != 0), n_cells=8)
-    return ivf_topk_query(assigned, centroids, qrow["embedding"], k=20, nprobe=2)
+    ex_rows = emb.filter(F.col("vec_id").between(1, 8)).orderBy("vec_id").select("embedding").collect()
+    exemplars = [[float(x) for x in r["embedding"]] for r in ex_rows]
+    assigned = ivf_exemplar_assign(emb.filter(F.col("vec_id") > 8), exemplars)
+    centroids = np.asarray(exemplars)
+    out = ivf_topk_query(assigned, centroids, qrow["embedding"], k=20, nprobe=2)
+    return out.select("vec_id", F.round("cosine", 6).alias("cosine_r"))
 
 
 # rows-only checks (no SQL-expressible oracle): LSH/heuristic operators
@@ -2091,9 +2101,62 @@ PL_LANGUAGE_ID_SQL = _lid_sql()
 
 
 def pl_lsh_topk(spark, sf_dir):
+    """Hyperplane-LSH bucketed top-3 neighbors with *data-derived*
+    planes (embeddings of vec_id 1..6), so bucket assignment and the
+    in-bucket ranking are exactly reproducible by the DuckDB oracle.
+    The seeded-gaussian-plane variant stays the production default."""
     from spatialdata_spark.pipeline.similarity import lsh_bucketed_topk
 
-    return lsh_bucketed_topk(_read(spark, sf_dir, "embeddings"), k=3, num_planes=6)
+    emb = _read(spark, sf_dir, "embeddings")
+    p_rows = emb.filter(F.col("vec_id").between(1, 6)).orderBy("vec_id").select("embedding").collect()
+    planes = [[float(x) for x in r["embedding"]] for r in p_rows]
+    out = lsh_bucketed_topk(emb, k=3, planes=planes)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine_r"))
+
+
+PL_IVF_PROBE_SQL = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+ex AS (SELECT vec_id - 1 AS cell, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id > 8),
+scored AS (
+  SELECT e.vec_id, e.v, x.cell,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_cosine_similarity(e.v, x.cv) DESC, x.cell DESC
+         ) AS rn
+  FROM e CROSS JOIN ex x
+),
+assigned AS (SELECT vec_id, v, cell FROM scored WHERE rn = 1),
+probe AS (
+  SELECT cell FROM ex, q
+  ORDER BY list_distance(cv, qv) ASC, cell ASC LIMIT 2
+)
+SELECT a.vec_id, ROUND(list_cosine_similarity(a.v, q.qv), 6) AS cosine_r
+FROM assigned a JOIN probe USING (cell), q
+ORDER BY list_cosine_similarity(a.v, q.qv) DESC, a.vec_id
+LIMIT 20
+"""
+
+PL_LSH_TOPK_SQL = """
+WITH p AS (SELECT vec_id - 1 AS j, CAST(embedding AS DOUBLE[]) AS pv FROM embeddings WHERE vec_id BETWEEN 1 AND 6),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (
+  SELECT e.vec_id,
+         SUM(CASE WHEN list_dot_product(e.v, p.pv) > 0 THEN 1 << p.j ELSE 0 END) AS bucket
+  FROM e CROSS JOIN p GROUP BY e.vec_id
+),
+eb AS (SELECT e.vec_id, e.v, b.bucket FROM e JOIN b USING (vec_id)),
+pairs AS (
+  SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+         list_cosine_similarity(a.v, c.v) AS cosine,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY list_cosine_similarity(a.v, c.v) DESC, c.vec_id
+         ) AS rank
+  FROM eb a JOIN eb c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
+)
+SELECT id_a, id_b, ROUND(cosine, 6) AS cosine_r FROM pairs WHERE rank <= 3
+"""
 
 
 def pl_simhash(spark, sf_dir):
@@ -2569,6 +2632,8 @@ def oracle_sql() -> dict[str, str]:
         "pl_quality_score": PL_QUALITY_SQL,
         "pl_language_id": PL_LANGUAGE_ID_SQL,
         "pl_ivf_exact": PL_KNN_SQL,
+        "pl_ivf_probe": PL_IVF_PROBE_SQL,
+        "pl_lsh_topk": PL_LSH_TOPK_SQL,
         "pl_minhash_dedup": _minhash_cand_sql(),
         "pl_minhash_cc": _minhash_cc_sql(),
         "pl_simhash": _simhash_sql(),

@@ -76,15 +76,22 @@ def random_hyperplane_buckets(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    planes=None,
 ) -> DataFrame:
     """LSH bucket id per vector: sign pattern of ``num_planes`` random
     projections packed into an int — expressions only, planes are
-    literals folded into the plan."""
-    if dim is None:
-        first = embeddings.select(F.size(vec_col).alias("d")).first()
-        dim = int(first["d"])
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((num_planes, dim))
+    literals folded into the plan.  Pass ``planes`` (num_planes x dim)
+    to use an explicit plane set instead of the seeded gaussian draw —
+    e.g. data-derived planes that an external oracle can reproduce."""
+    if planes is not None:
+        planes = np.asarray(planes, dtype=float)
+        num_planes = len(planes)
+    else:
+        if dim is None:
+            first = embeddings.select(F.size(vec_col).alias("d")).first()
+            dim = int(first["d"])
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((num_planes, dim))
     bucket = F.lit(0)
     v = F.col(vec_col).cast("array<double>")
     for i in range(num_planes):
@@ -101,12 +108,13 @@ def lsh_bucketed_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    planes=None,
 ) -> DataFrame:
     """Approximate all-pairs top-k: candidates restricted to the same
     hyperplane bucket — the self-join shuffles on ``bucket``, so work is
     Σ bucket² instead of n².  Recall improves with multiple plane sets
     (union of several seeds) — callers can union results."""
-    bucketed = random_hyperplane_buckets(embeddings, num_planes, None, seed, id_col, vec_col)
+    bucketed = random_hyperplane_buckets(embeddings, num_planes, None, seed, id_col, vec_col, planes)
     a = bucketed.select(F.col("bucket"), F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("va"))
     b = bucketed.select(F.col("bucket"), F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("vb"))
     pairs = a.join(b, "bucket").filter(F.col("id_a") != F.col("id_b"))
@@ -201,10 +209,18 @@ def ivf_assign(
     import pandas as pd
     from pyspark.sql import types as T
 
-    sample = np.array(
-        [r[0] for r in embeddings.select(F.col(vec_col).cast("array<double>")).limit(sample_size).collect()]
-    )
     rng = np.random.default_rng(seed)
+    # A *random* training sample: limit().collect() alone takes the first
+    # rows of the first partitions, which on cluster-sorted storage are
+    # all one cluster and wreck the quantizer.  sample() draws uniformly
+    # across partitions; the slight over-draw is trimmed driver-side
+    # with a seeded shuffle so the result is unbiased and deterministic.
+    total = embeddings.count()
+    frac = min(1.0, (sample_size * 1.3 + 64) / max(total, 1))
+    rows = embeddings.select(F.col(vec_col).cast("array<double>")).sample(frac, seed=seed).collect()
+    sample = np.array([r[0] for r in rows])
+    if len(sample) > sample_size:
+        sample = sample[rng.permutation(len(sample))[:sample_size]]
     k = min(n_cells, len(sample))
     centroids = sample[rng.choice(len(sample), size=k, replace=False)]
     for _ in range(n_iter):
@@ -229,6 +245,32 @@ def ivf_assign(
         F.col(id_col), F.col(vec_col), _nearest(F.col(vec_col).cast("array<double>")).alias("cell")
     )
     return assigned, centroids
+
+
+def ivf_exemplar_assign(
+    embeddings: DataFrame,
+    exemplars,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Expression-only IVF assignment against a *fixed codebook*: cell =
+    argmax cosine(v, exemplar_i), ties to the higher cell index (the
+    struct-max rule).  No Python in the plan — the codebook rides as
+    array literals — so the assignment is exactly reproducible by a SQL
+    oracle, unlike the k-means quantizer in :func:`ivf_assign` (which
+    remains the production training path)."""
+    v = F.col(vec_col).cast("array<double>")
+    vn = _norm_expr(v)
+    structs = []
+    for i, c in enumerate(exemplars):
+        c = [float(x) for x in c]
+        ccol = F.array(*[F.lit(x) for x in c])
+        cn = float(np.sqrt(sum(x * x for x in c)))
+        structs.append(
+            F.struct((_dot_expr(v, ccol) / (vn * F.lit(cn))).alias("cos"), F.lit(i).alias("cell"))
+        )
+    best = F.array_max(F.array(*structs))
+    return embeddings.select(F.col(id_col), F.col(vec_col), best["cell"].alias("cell"))
 
 
 def ivf_topk_query(

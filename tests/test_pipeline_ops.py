@@ -335,3 +335,39 @@ def test_minhash_dedup_transitive_chain(spark):
     docs = spark.createDataFrame([(1, a), (2, b), (3, c), (4, d)], ["doc_id", "text"])
     out = sorted(r["doc_id"] for r in minhash_dedup(docs, threshold=0.5).collect())
     assert out == [1, 4]
+
+
+def test_ivf_sampling_unbiased_on_sorted_input(spark):
+    """k-means seeding must survive cluster-sorted storage: with the old
+    limit().collect() sample the training set was 100% cluster 0 and
+    nprobe=1 recall on a cluster-2 query collapsed."""
+    from spatialdata_spark.pipeline.similarity import (
+        cosine_topk_query,
+        ivf_assign,
+        ivf_topk_query,
+    )
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((3, 12)) * 10
+    # rows sorted by cluster, one partition, sample_size < first cluster
+    rows = [
+        (c * 100 + i, [float(v) for v in centers[c] + rng.standard_normal(12) * 0.3])
+        for c in range(3)
+        for i in range(100)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"]).coalesce(1)
+    assigned, centroids = ivf_assign(emb, n_cells=3, sample_size=60)
+    # every cluster must own at least one centroid: the assignment of
+    # each true cluster's members must concentrate in distinct cells
+    cells = (
+        assigned.withColumn("true_c", (F.col("vec_id") / 100).cast("int"))
+        .groupBy("true_c")
+        .agg(F.countDistinct("cell").alias("nc"), F.first("cell").alias("anyc"))
+        .collect()
+    )
+    owned = {r["true_c"] for r in cells}
+    assert owned == {0, 1, 2}
+    q = [float(v) for v in centers[2] + 0.1]
+    exact = [r["vec_id"] for r in cosine_topk_query(emb, q, k=10).collect()]
+    one = [r["vec_id"] for r in ivf_topk_query(assigned, centroids, q, k=10, nprobe=1).collect()]
+    assert len(set(one) & set(exact)) >= 8

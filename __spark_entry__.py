@@ -2210,20 +2210,86 @@ WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
 """
 
 
+def _png_media(spark, sf_dir, linear: bool = False):
+    """Deterministic 8x8 RGB PNG payload per document, built with the
+    real stdlib PNG encoder.  Channel values are closed-form functions
+    of (doc_id, x, y), so decode results are predictable by a SQL
+    oracle; the ``linear`` variant uses even-slope linear ramps whose
+    bilinear 2x downsample is exactly integral (no quantization
+    ambiguity)."""
+    import numpy as np
+    import pandas as pd
+
+    from spatialdata_spark.pipeline.codecs import png_encode
+    from spatialdata_spark.pipeline.multimodal import MEDIA_SCHEMA
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+
+    def _gen(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                y, x = np.mgrid[0:8, 0:8]
+                if linear:
+                    r = did % 64 + 2 * (did % 3) * x + 2 * (did % 5) * y
+                    g = did % 50 + 2 * (did % 4) * x + 2 * (did % 6) * y
+                    b = did % 40 + 2 * (did % 2) * x + 2 * (did % 7) * y
+                else:
+                    r = (did % 199 + 3 * x + 5 * y) % 256
+                    g = (did % 97 + 7 * x + 2 * y) % 256
+                    b = (did % 61 + x + 11 * y) % 256
+                arr = np.stack([r, g, b], axis=-1).astype(np.uint8)
+                rows.append((did, "image", png_encode(arr), "image/png", 8, 8, None))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "kind", "payload", "mime", "width", "height", "duration_ms"],
+            )
+
+    return docs.mapInPandas(_gen, MEDIA_SCHEMA)
+
+
 def pl_multimodal_features(spark, sf_dir):
+    """Real PNG decode end-to-end: encode a closed-form fixture image
+    per document, decode it with the stdlib PNG decoder inside the
+    feature UDF, and emit per-channel stats the oracle recomputes from
+    the pixel formula (all integer sums / 64 — FP-exact)."""
     from spatialdata_spark.pipeline.multimodal import extract_features
 
-    docs = _read(spark, sf_dir, "documents")
-    media = docs.select(
-        F.col("doc_id").alias("media_id"),
-        F.lit("image").alias("kind"),
-        F.encode(F.col("text"), "utf-8").alias("payload"),
-        F.lit("image/fake").alias("mime"),
-        F.lit(64).alias("width"),
-        F.lit(64).alias("height"),
-        F.lit(None).cast("long").alias("duration_ms"),
+    out = extract_features(_png_media(spark, sf_dir))
+    f = F.col("feature")
+    return out.select(
+        "media_id",
+        f[0].cast("int").alias("h"),
+        f[1].cast("int").alias("w"),
+        f[2].cast("int").alias("c"),
+        f[3].alias("mean_r"),
+        f[4].alias("mean_g"),
+        f[5].alias("mean_b"),
+        f[6].alias("vmin"),
+        f[7].alias("vmax"),
+        "decode_ok",
     )
-    return extract_features(media)
+
+
+PL_MULTIMODAL_SQL = """
+WITH g AS (SELECT t1.y, t2.x FROM range(8) t1(y), range(8) t2(x)),
+px AS (
+  SELECT d.doc_id AS media_id,
+         (d.doc_id % 199 + 3 * g.x + 5 * g.y) % 256 AS r,
+         (d.doc_id % 97 + 7 * g.x + 2 * g.y) % 256 AS gg,
+         (d.doc_id % 61 + g.x + 11 * g.y) % 256 AS b
+  FROM documents d CROSS JOIN g
+)
+SELECT media_id, 8 AS h, 8 AS w, 3 AS c,
+       SUM(r) / 64.0 AS mean_r,
+       SUM(gg) / 64.0 AS mean_g,
+       SUM(b) / 64.0 AS mean_b,
+       CAST(MIN(LEAST(r, gg, b)) AS DOUBLE) AS vmin,
+       CAST(MAX(GREATEST(r, gg, b)) AS DOUBLE) AS vmax,
+       TRUE AS decode_ok
+FROM px GROUP BY media_id
+"""
 
 
 def _media(spark, sf_dir):
@@ -2240,12 +2306,35 @@ def _media(spark, sf_dir):
 
 
 def pl_resize_images(spark, sf_dir):
-    """Image-resize plumbing over mapInPandas (rows-only: payload kernel
-    stubbed, Spark-side schema/batching real)."""
-    from spatialdata_spark.pipeline.multimodal import resize_images
+    """Real bilinear resize end-to-end: linear-ramp PNG fixtures are
+    decoded, resampled 8x8 -> 4x4, re-encoded, decoded *again* by the
+    feature pass, and the resulting channel means must equal the
+    closed form a + 7*slope_x + 7*slope_y (exact because a bilinear
+    downsample of an even-slope linear field is integral)."""
+    from spatialdata_spark.pipeline.multimodal import extract_features, resize_images
 
-    out = resize_images(_media(spark, sf_dir), 16, 16)
-    return out.select("media_id", "width", "height")
+    resized = resize_images(_png_media(spark, sf_dir, linear=True), 4, 4)
+    out = extract_features(resized)
+    f = F.col("feature")
+    return out.select(
+        "media_id",
+        f[0].cast("int").alias("h"),
+        f[1].cast("int").alias("w"),
+        f[3].alias("mean_r"),
+        f[4].alias("mean_g"),
+        f[5].alias("mean_b"),
+        "decode_ok",
+    )
+
+
+PL_RESIZE_SQL = """
+SELECT doc_id AS media_id, 4 AS h, 4 AS w,
+       CAST(doc_id % 64 + 7 * (doc_id % 3) + 7 * (doc_id % 5) AS DOUBLE) AS mean_r,
+       CAST(doc_id % 50 + 7 * (doc_id % 4) + 7 * (doc_id % 6) AS DOUBLE) AS mean_g,
+       CAST(doc_id % 40 + 7 * (doc_id % 2) + 7 * (doc_id % 7) AS DOUBLE) AS mean_b,
+       TRUE AS decode_ok
+FROM documents
+"""
 
 
 def pl_frame_sample(spark, sf_dir):
@@ -2638,6 +2727,8 @@ def oracle_sql() -> dict[str, str]:
         "pl_minhash_cc": _minhash_cc_sql(),
         "pl_simhash": _simhash_sql(),
         "pl_simhash_neardup": _simhash_neardup_sql(),
+        "pl_multimodal_features": PL_MULTIMODAL_SQL,
+        "pl_resize_images": PL_RESIZE_SQL,
         "pl_frame_sample": PL_FRAME_SAMPLE_SQL,
         "st_session_native": ST_SESSION_NATIVE_SQL,
         "st_distinct_users_daily": ST_DISTINCT_USERS_SQL,

@@ -1,20 +1,27 @@
 """Multimodal column plumbing: images/audio/video as opaque binary
 columns with typed metadata.
 
-The decode/resize/frame-sample kernels require codec libraries not in
-this container, so the *kernels* are stubbed deterministically; the
-Spark-side plumbing — schemas, batching, mapInPandas signatures,
-partition sizing — is real and tested.  Swap `_decode_stub` for a
-PIL/ffmpeg call on a real cluster and nothing else changes.
+Image decode / feature extraction / resize are **real** for PNG
+payloads: the container has no PIL/ffmpeg, but PNG is zlib + scanline
+filters, both implementable with the stdlib — see
+``pipeline/codecs.py``.  Non-PNG payloads (JPEG, audio, video) fall
+back to a deterministic sha256 stub with ``decode_ok=False`` so fake
+features can never be mistaken for real ones; a real deployment swaps
+the kernel for PIL/libvips/ffmpeg and nothing else changes — the
+mapInPandas plumbing (schemas, Arrow batching, partition sizing) is
+the part this module owns.
 """
 
 from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from spatialdata_spark.pipeline.codecs import bilinear_resize, png_decode, png_encode
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -31,28 +38,40 @@ MEDIA_SCHEMA = T.StructType(
 FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
-        T.StructField("feature", T.ArrayType(T.FloatType()), False),
+        T.StructField("feature", T.ArrayType(T.DoubleType()), False),
         T.StructField("decode_ok", T.BooleanType(), False),
     ]
 )
 
+#: feature layout for decoded images:
+#: [height, width, channels, mean_c0, mean_c1, mean_c2, min, max]
+N_FEATURES = 8
 
-def _decode_stub(payload: bytes, kind: str):
-    """Deterministic fake decode: a 16-dim feature from the payload hash.
 
-    A real deployment replaces this with PIL/torchaudio/ffmpeg decode —
-    marked clearly so nobody mistakes the fake features for real ones.
-    """
-    h = hashlib.sha256(payload).digest()
-    return [b / 255.0 for b in h[:16]]
+def _image_features(arr: np.ndarray) -> list[float]:
+    h, w, c = arr.shape
+    a = arr.astype(np.float64)
+    means = [float(a[:, :, i].mean()) for i in range(min(c, 3))]
+    means += [0.0] * (3 - len(means))
+    return [float(h), float(w), float(c), *means, float(a.min()), float(a.max())]
+
+
+def _stub_features(payload: bytes) -> list[float]:
+    """Deterministic fallback for payloads with no available codec —
+    paired with decode_ok=False, never with True."""
+    digest = hashlib.sha256(payload).digest()
+    return [b / 255.0 for b in digest[:N_FEATURES]]
 
 
 def extract_features(media: DataFrame, batch_size_hint: int = 64) -> DataFrame:
     """Decode + featurize media payloads via mapInPandas.
 
-    Payloads are large — the iterator form processes one Arrow batch at
-    a time so executor memory stays bounded; repartition upstream by
-    ``media_id`` if payload skew is observed.
+    PNG images are decoded for real (pipeline/codecs.py) and yield the
+    8-value stat feature with ``decode_ok=True``; everything else gets
+    the sha256 stub with ``decode_ok=False``.  Payloads are large — the
+    iterator form processes one Arrow batch at a time so executor
+    memory stays bounded; repartition upstream by ``media_id`` if
+    payload skew is observed.
     """
 
     def _gen(batches):
@@ -62,11 +81,12 @@ def extract_features(media: DataFrame, batch_size_hint: int = 64) -> DataFrame:
             feats = []
             ok = []
             for payload, kind in zip(pdf["payload"], pdf["kind"]):
+                raw = bytes(payload)
                 try:
-                    feats.append(_decode_stub(bytes(payload), kind))
+                    feats.append(_image_features(png_decode(raw)))
                     ok.append(True)
                 except Exception:
-                    feats.append([0.0] * 16)
+                    feats.append(_stub_features(raw))
                     ok.append(False)
             yield pd.DataFrame({"media_id": pdf["media_id"], "feature": feats, "decode_ok": ok})
 
@@ -74,15 +94,27 @@ def extract_features(media: DataFrame, batch_size_hint: int = 64) -> DataFrame:
 
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize plumbing (stub kernel): passes payload through and
-    rewrites metadata; real kernel = PIL resize inside the same UDF
-    shape."""
+    """Bilinear-resize PNG image payloads to (width, height) and
+    re-encode; output metadata reflects the new size.  Quantization is
+    half-up (floor(v + 0.5)) — deterministic across platforms.  Non-PNG
+    payloads pass through unchanged apart from the metadata rewrite
+    (the no-codec fallback, same shape a PIL kernel would fill)."""
 
     def _gen(batches):
         import pandas as pd
 
         for pdf in batches:
             out = pdf.copy()
+            payloads = []
+            for payload in out["payload"]:
+                raw = bytes(payload)
+                try:
+                    arr = png_decode(raw)
+                    resized = np.floor(bilinear_resize(arr, height, width) + 0.5).astype(np.uint8)
+                    payloads.append(png_encode(resized))
+                except Exception:
+                    payloads.append(raw)
+            out["payload"] = payloads
             out["width"] = width
             out["height"] = height
             yield out
@@ -92,7 +124,9 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
 
 def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame sampling plumbing: one output row per sampled timestamp.
-    The frame payload is stubbed as the sliced source hash."""
+    No video codec exists in this container, so the frame payload is a
+    deterministic slice hash (stub, clearly marked); the row fan-out,
+    schema and batching are the real contract."""
     schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),

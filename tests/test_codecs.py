@@ -1,0 +1,92 @@
+"""PNG codec + resize kernel tests (pure stdlib/numpy, no Spark)."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from spatialdata_spark.pipeline.codecs import (
+    _PNG_SIG,
+    _chunk,
+    bilinear_resize,
+    png_decode,
+    png_encode,
+)
+
+
+def test_roundtrip_shapes():
+    rng = np.random.default_rng(0)
+    for shape in [(8, 8), (8, 8, 3), (5, 7, 4), (1, 1, 1), (16, 3, 2)]:
+        a = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        d = png_decode(png_encode(a))
+        ref = a if a.ndim == 3 else a[:, :, None]
+        assert np.array_equal(d, ref), shape
+
+
+def test_decode_every_filter_type():
+    """Decode a PNG whose rows use filters 0..4, built independently of
+    the encoder (so this pins the unfilter math, not a roundtrip)."""
+    rng = np.random.default_rng(3)
+    h, w, c = 5, 6, 3
+    a = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+
+    def paeth(pa, pb, pc):
+        p = pa + pb - pc
+        da, db, dc = abs(p - pa), abs(p - pb), abs(p - pc)
+        return pa if da <= db and da <= dc else (pb if db <= dc else pc)
+
+    rows = []
+    prev = np.zeros(w * c, dtype=np.int32)
+    for y in range(h):
+        cur = a[y].reshape(-1).astype(np.int32)
+        ft = y % 5
+        filt = cur.copy()
+        if ft == 1:
+            for x in range(w * c - 1, c - 1, -1):
+                filt[x] = (cur[x] - cur[x - c]) & 0xFF
+        elif ft == 2:
+            filt = (cur - prev) & 0xFF
+        elif ft == 3:
+            for x in range(w * c):
+                left = cur[x - c] if x >= c else 0
+                filt[x] = (cur[x] - ((left + prev[x]) >> 1)) & 0xFF
+        elif ft == 4:
+            for x in range(w * c):
+                left = int(cur[x - c]) if x >= c else 0
+                ul = int(prev[x - c]) if x >= c else 0
+                filt[x] = (cur[x] - paeth(left, int(prev[x]), ul)) & 0xFF
+        rows.append(bytes([ft]) + bytes(filt.astype(np.uint8)))
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(b"".join(rows)))
+        + _chunk(b"IEND", b"")
+    )
+    assert np.array_equal(png_decode(png), a)
+
+
+def test_decode_rejects_garbage_and_unsupported():
+    with pytest.raises(ValueError):
+        png_decode(b"not a png at all")
+    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    png16 = _PNG_SIG + _chunk(b"IHDR", ihdr16) + _chunk(b"IEND", b"")
+    with pytest.raises(ValueError):
+        png_decode(png16)
+
+
+def test_bilinear_exact_on_linear_field():
+    f = np.fromfunction(lambda y, x: 3 + 2 * x + 4 * y, (8, 8))
+    r = bilinear_resize(f, 4, 4)[:, :, 0]
+    exp = np.fromfunction(lambda oy, ox: 3 + 2 * (2 * ox + 0.5) + 4 * (2 * oy + 0.5), (4, 4))
+    assert np.array_equal(r, exp)
+
+
+def test_bilinear_identity():
+    rng = np.random.default_rng(1)
+    a = rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
+    assert np.array_equal(bilinear_resize(a, 6, 5), a.astype(float))

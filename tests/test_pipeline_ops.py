@@ -102,7 +102,8 @@ def test_multimodal_plumbing(spark):
         rows, ["media_id", "kind", "payload", "mime", "width", "height", "duration_ms"]
     )
     feats = {r["media_id"]: r for r in extract_features(media).collect()}
-    assert len(feats[1]["feature"]) == 16 and feats[1]["decode_ok"]
+    # non-PNG payload: sha256 stub features, decode_ok False
+    assert len(feats[1]["feature"]) == 8 and not feats[1]["decode_ok"]
     resized = resize_images(media, 8, 8).collect()
     assert len(resized) == 1 and resized[0]["width"] == 8
     frames = sample_video_frames(media, every_ms=1000).collect()

@@ -1767,17 +1767,45 @@ JOIN img ON img.y = CAST(FLOOR((oy.y - 3) / 2.0 + 0.5) AS BIGINT)
 
 
 def rt_export_tiles(spark, sf_dir):
-    # rows-only: binary tile payloads (ImageTilesDataset sweep)
+    """ImageTilesDataset sweep with a content check: the oracle
+    recomputes each 8x8 window's value sum from the synthetic image
+    definition, and the query unpacks the exported binary tile to the
+    same sum (values are integer-valued doubles, so sums are exact)."""
+    import numpy as np
+    import pandas as pd
+
     from spatialdata_spark.operators.raster import export_region_tiles
 
     m = _img_meta()
-    regions = _read(spark, sf_dir, "customer").limit(200).select(
+    regions = _read(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200).select(
         F.col("c_custkey").alias("region_id"),
         (F.col("c_custkey") % 100).alias("cy"),
         (F.col("c_custkey") % 8).alias("cx"),
     )
     out = export_region_tiles(_img_tiles(spark, sf_dir), m, regions, tile_px=8)
-    return out.select("region_id", "c", "y0", "x0", F.length("data").alias("n_bytes"))
+
+    @F.pandas_udf("double")
+    def _vsum(bufs):
+        return pd.Series([float(np.frombuffer(bytes(b), dtype="<f8").sum()) for b in bufs])
+
+    return out.select(
+        "region_id", "c", "y0", "x0", F.length("data").alias("n_bytes"), _vsum("data").alias("vsum")
+    )
+
+
+RT_EXPORT_TILES_SQL = f"""
+WITH img AS ({IMG_SQL}),
+r AS (
+  SELECT c_custkey AS region_id, (c_custkey % 100) - 4 AS y0, (c_custkey % 8) - 4 AS x0
+  FROM customer WHERE c_custkey <= 200
+),
+g AS (SELECT t1.dy, t2.dx FROM range(8) t1(dy), range(8) t2(dx))
+SELECT r.region_id, 0 AS c, r.y0, r.x0, 512 AS n_bytes,
+       COALESCE(SUM(img.value), 0.0) AS vsum
+FROM r CROSS JOIN g
+LEFT JOIN img ON img.y = r.y0 + g.dy AND img.x = r.x0 + g.dx
+GROUP BY r.region_id, r.y0, r.x0
+"""
 
 
 # -- pipeline: dedup / text / similarity ------------------------------------
@@ -2711,6 +2739,7 @@ def oracle_sql() -> dict[str, str]:
         "rt_zonal_tiles": RT_ZONAL_SQL,
         "rt_unpad_extent": RT_UNPAD_SQL,
         "rt_affine_resample": RT_AFFINE_SQL,
+        "rt_export_tiles": RT_EXPORT_TILES_SQL,
         "pl_dedup_exact": PL_DEDUP_SQL,
         "pl_text_stats": PL_TEXT_STATS_SQL,
         "pl_fingerprint": PL_FINGERPRINT_SQL,

@@ -752,6 +752,117 @@ FROM pts JOIN boxes ON x > lox AND x < hix AND y > loy AND y < hiy
 GROUP BY box_id
 """
 
+def sq_multibox_rotated(spark, sf_dir):
+    """Multi-box query under a 30-degree rotation: the points are
+    projected through the forward affine as expressions and range-join
+    the boxes in target space — exact for any invertible transform."""
+    from spatialdata_spark.operators.spatial_query import bounding_box_query_multibox
+    from spatialdata_spark.transformations import Affine
+
+    rot = Affine(
+        [[_COS30, -_SIN30, 0.0], [_SIN30, _COS30, 0.0], [0.0, 0.0, 1.0]], ("x", "y"), ("x", "y")
+    )
+    pts = _points(spark, sf_dir)
+    mins = [[b[1], b[2]] for b in _BOXES]
+    maxs = [[b[3], b[4]] for b in _BOXES]
+    out = bounding_box_query_multibox(pts, ("x", "y"), mins, maxs, rot)
+    return out.groupBy("box_id").agg(F.count(F.lit(1)).alias("n"))
+
+
+SQ_MULTIBOX_ROT_SQL = f"""
+WITH boxes(box_id, lox, loy, hix, hiy) AS (
+  VALUES {", ".join(f"(CAST({b[0]} AS BIGINT), {b[1]!r}, {b[2]!r}, {b[3]!r}, {b[4]!r})" for b in _BOXES)}
+), pts AS ({POINTS_SQL}),
+proj AS (
+  SELECT (x * {_COS30!r} + y * {-_SIN30!r}) AS xt, (x * {_SIN30!r} + y * {_COS30!r}) AS yt FROM pts
+)
+SELECT box_id, COUNT(*) AS n
+FROM proj JOIN boxes ON xt > lox AND xt < hix AND yt > loy AND yt < hiy
+GROUP BY box_id
+"""
+
+
+def sq_raster_rotated(spark, sf_dir):
+    """Raster bbox query under a 30-degree rotation: the reference's
+    corners rule — inverse-map the query corners, slice the enclosing
+    intrinsic integer box (spatial_query.py:537-615)."""
+    from spatialdata_spark.operators.spatial_query import bounding_box_query_raster_long
+    from spatialdata_spark.transformations import Affine
+
+    rot = Affine(
+        [[_COS30, -_SIN30, 0.0], [_SIN30, _COS30, 0.0], [0.0, 0.0, 1.0]], ("x", "y"), ("x", "y")
+    )
+    labels = _labels(spark, sf_dir)
+    out = bounding_box_query_raster_long(labels, ("x", "y"), [20.0, 30.0], [60.0, 70.0], rot)
+    return out.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+
+
+# the oracle recomputes the corner mapping from first principles:
+# inverse of R(30deg) is R(-30deg) = [[c, s], [-s, c]]
+SQ_RASTER_ROT_SQL = f"""
+WITH labels AS ({LABELS_SQL}),
+corners(cx, cy) AS (
+  VALUES (CAST(20.0 AS DOUBLE), CAST(30.0 AS DOUBLE)), (60.0, 30.0), (20.0, 70.0), (60.0, 70.0)
+),
+mapped AS (
+  SELECT cx * {_COS30!r} + cy * {_SIN30!r} AS xi, cx * {-_SIN30!r} + cy * {_COS30!r} AS yi
+  FROM corners
+),
+b AS (
+  SELECT CAST(FLOOR(MIN(xi)) AS BIGINT) AS lox, CAST(CEIL(MAX(xi)) AS BIGINT) AS hix,
+         CAST(FLOOR(MIN(yi)) AS BIGINT) AS loy, CAST(CEIL(MAX(yi)) AS BIGINT) AS hiy
+  FROM mapped
+)
+SELECT label, COUNT(*) AS n
+FROM labels, b
+WHERE x >= lox AND x <= hix AND y >= loy AND y <= hiy
+GROUP BY label
+"""
+
+
+def sq_polygon_clip(spark, sf_dir):
+    """polygon_query(shapes, clip=True): returned geometries clipped to
+    the (convex) query polygon; bbox columns and area recomputed from
+    the clipped ring.  Box values + a non-integer rectangle ring keep
+    the oracle closed-form (rect-rect intersection) while exercising
+    the general Sutherland-Hodgman kernel."""
+    from spatialdata_spark.operators.spatial_query import polygon_query_shapes
+    from spatialdata_spark.operators.vectorize import boxes_to_shapes
+
+    part = _read(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("shape_id"),
+        ((F.col("p_partkey") % 90) * 1.0).alias("minx"),
+        (((F.col("p_partkey") * 3) % 40) * 1.0).alias("miny"),
+        ((F.col("p_partkey") % 90) * 1.0 + 4).alias("maxx"),
+        (((F.col("p_partkey") * 3) % 40) * 1.0 + 8).alias("maxy"),
+    )
+    ring = np.array([[12.25, 7.25], [55.75, 7.25], [55.75, 33.75], [12.25, 33.75]])
+    out = polygon_query_shapes(boxes_to_shapes(part), ring, clip=True)
+    return out.select(
+        "shape_id",
+        F.round("minx", 6).alias("minx_r"),
+        F.round("miny", 6).alias("miny_r"),
+        F.round("maxx", 6).alias("maxx_r"),
+        F.round("maxy", 6).alias("maxy_r"),
+        F.round("clip_area", 6).alias("area_r"),
+    )
+
+
+def _sq_polygon_clip_sql() -> str:
+    # deferred: VRECT_SQL is defined further down with the fractions family
+    return f"""
+WITH v AS ({VRECT_SQL})
+SELECT v_id AS shape_id,
+  ROUND(GREATEST(vx0, 12.25), 6) AS minx_r,
+  ROUND(GREATEST(vy0, 7.25), 6) AS miny_r,
+  ROUND(LEAST(vx1, 55.75), 6) AS maxx_r,
+  ROUND(LEAST(vy1, 33.75), 6) AS maxy_r,
+  ROUND((LEAST(vx1, 55.75) - GREATEST(vx0, 12.25)) * (LEAST(vy1, 33.75) - GREATEST(vy0, 7.25)), 6) AS area_r
+FROM v
+WHERE vx1 > 12.25 AND vx0 < 55.75 AND vy1 > 7.25 AND vy0 < 33.75
+"""
+
+
 # convex polygon (triangle) with non-grid vertices; oracle = half-planes
 _TRI = np.array([[15.3, 2.7], [95.1, 8.9], [42.6, 48.2]])
 
@@ -2602,6 +2713,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq_bbox_scale": sq_bbox_scale,
         "sq_bbox_rotation": sq_bbox_rotation,
         "sq_multibox": sq_multibox,
+        "sq_multibox_rotated": sq_multibox_rotated,
+        "sq_raster_rotated": sq_raster_rotated,
+        "sq_polygon_clip": sq_polygon_clip,
         "sq_polygon_points": sq_polygon_points,
         "sq_polygon_concave": sq_polygon_concave,
         "sq_bbox_shapes": sq_bbox_shapes,
@@ -2697,6 +2811,9 @@ def oracle_sql() -> dict[str, str]:
         "sq_bbox_scale": SQ_BBOX_SCALE_SQL,
         "sq_bbox_rotation": SQ_BBOX_ROTATION_SQL,
         "sq_multibox": SQ_MULTIBOX_SQL,
+        "sq_multibox_rotated": SQ_MULTIBOX_ROT_SQL,
+        "sq_raster_rotated": SQ_RASTER_ROT_SQL,
+        "sq_polygon_clip": _sq_polygon_clip_sql(),
         "sq_polygon_points": SQ_POLYGON_POINTS_SQL,
         "sq_polygon_concave": SQ_POLYGON_CONCAVE_SQL,
         "sq_bbox_shapes": SQ_BBOX_SHAPES_SQL,

@@ -141,22 +141,43 @@ def bounding_box_query_multibox(
     maxs = np.asarray(max_coordinates, dtype=float)
     t = transformation or Identity()
     m = _affine_2d(t, req_axes)
-    if not _is_axis_aligned(m):
-        raise NotImplementedError("multi-box query requires an axis-aligned transform")
-    m_inv = np.linalg.inv(m)
-    rows = []
-    for i in range(len(mins)):
-        lo, hi = _intrinsic_box(m_inv, mins[i], maxs[i])
-        rows.append((i, *[float(v) for v in lo], *[float(v) for v in hi]))
     spark = df.sparkSession
     cols = ["box_id"] + [f"__lo_{ax}" for ax in req_axes] + [f"__hi_{ax}" for ax in req_axes]
+
+    if _is_axis_aligned(m):
+        # rewrite every box into intrinsic coordinates; the filter runs
+        # on the raw columns (pushdown-friendly)
+        m_inv = np.linalg.inv(m)
+        rows = []
+        for i in range(len(mins)):
+            lo, hi = _intrinsic_box(m_inv, mins[i], maxs[i])
+            rows.append((i, *[float(v) for v in lo], *[float(v) for v in hi]))
+        boxes = spark.createDataFrame(rows, cols)
+        probe = {ax: F.col(ax) for ax in req_axes}
+        joined = df.join(F.broadcast(boxes), _multibox_cond(req_axes, probe))
+        return joined.drop(*[c for c in cols if c != "box_id"])
+
+    # general affine: project the point coordinates through the forward
+    # affine as expressions and range-join against the boxes in target
+    # space — exact for any invertible transform, still one broadcast
+    # join with zero Python in the plan
+    rows = [
+        (i, *[float(v) for v in mins[i]], *[float(v) for v in maxs[i]]) for i in range(len(mins))
+    ]
     boxes = spark.createDataFrame(rows, cols)
+    exprs = affine_exprs(m, req_axes, req_axes)
+    proj = df.select("*", *[exprs[ax].alias(f"__t_{ax}") for ax in req_axes])
+    probe = {ax: F.col(f"__t_{ax}") for ax in req_axes}
+    joined = proj.join(F.broadcast(boxes), _multibox_cond(req_axes, probe))
+    return joined.drop(*[c for c in cols if c != "box_id"], *[f"__t_{ax}" for ax in req_axes])
+
+
+def _multibox_cond(req_axes: tuple[str, ...], probe: dict) -> Column:
     cond = None
     for ax in req_axes:
-        c = (F.col(ax) > F.col(f"__lo_{ax}")) & (F.col(ax) < F.col(f"__hi_{ax}"))
+        c = (probe[ax] > F.col(f"__lo_{ax}")) & (probe[ax] < F.col(f"__hi_{ax}"))
         cond = c if cond is None else (cond & c)
-    joined = df.join(F.broadcast(boxes), cond)
-    return joined.drop(*[c for c in cols if c != "box_id"])
+    return cond
 
 
 def _box_overlap_cond(qminx: float, qminy: float, qmaxx: float, qmaxy: float) -> Column:
@@ -352,8 +373,20 @@ def polygon_query_shapes(
     df: DataFrame,
     polygon_ring: np.ndarray,
     transformation: BaseTransformation | None = None,
+    clip: bool = False,
 ) -> DataFrame:
-    """Shapes intersecting a query polygon (reference :926-975)."""
+    """Shapes intersecting a query polygon (reference :926-975).
+
+    ``clip=True`` replaces each returned geometry with its intersection
+    against the query polygon, mirroring the reference's
+    ``queried_shapes.clip(polygon_gdf)``: circles are polygonized first
+    (the reference buffers them via ``to_polygons``), bbox columns are
+    recomputed from the clipped ring, ``kind`` becomes ``polygon`` and
+    ``radius`` is cleared.  The clip kernel is Sutherland–Hodgman, so
+    the query ring must be convex (axis-aligned boxes, rotated rects,
+    circles-as-ngons cover the practical cases); concave query rings
+    raise ``NotImplementedError``.
+    """
     ring = np.asarray(polygon_ring, dtype=float)
     t = transformation or Identity()
     m = _affine_2d(t, ("x", "y"))
@@ -368,7 +401,88 @@ def polygon_query_shapes(
     # is not expression-friendly for arbitrary rings; use UDF for all kinds
     # except when the circle's bbox is fully inside the ring bbox AND the
     # ring is the bbox itself (cheap case handled by bbox query).
-    return pre.filter(refine(F.col("wkb"), F.col("radius")))
+    out = pre.filter(refine(F.col("wkb"), F.col("radius")))
+    if not clip:
+        return out
+    if not _is_convex(ring_i):
+        raise NotImplementedError("clip=True requires a convex query polygon")
+    ring_arr = np.asarray(ring_i, dtype=float)
+
+    clip_schema = T.StructType(
+        [
+            T.StructField("wkb", T.BinaryType()),
+            T.StructField("minx", T.DoubleType()),
+            T.StructField("miny", T.DoubleType()),
+            T.StructField("maxx", T.DoubleType()),
+            T.StructField("maxy", T.DoubleType()),
+            T.StructField("area", T.DoubleType()),
+        ]
+    )
+
+    @F.pandas_udf(clip_schema)
+    def _clip(wkb_s, radius_s):
+        import pandas as pd
+
+        from spatialdata_spark.geometry import predicates as P
+        from spatialdata_spark.geometry import wkb as W
+
+        rows = []
+        for buf, radius in zip(wkb_s, radius_s):
+            kind, geom = W.decode(bytes(buf))
+            if kind == "point":
+                parts = [[W.regular_polygon(float(geom[0]), float(geom[1]), float(radius or 0.0))]]
+            elif kind == "polygon":
+                parts = [geom]
+            else:
+                parts = geom
+            clipped = []
+            area = 0.0
+            for rings in parts:
+                # exterior ring clipped; holes subtract from the area
+                # (hole geometry itself is dropped — documented approx)
+                c = P.clip_polygon_convex(rings[0], ring_arr)
+                if len(c) >= 3:
+                    clipped.append([c])
+                    area += abs(P.ring_area(c))
+                    for hole in rings[1:]:
+                        hc = P.clip_polygon_convex(hole, ring_arr)
+                        if len(hc) >= 3:
+                            area -= abs(P.ring_area(hc))
+            if not clipped:
+                rows.append((None, None, None, None, None, None))
+                continue
+            allpts = np.vstack([c[0] for c in clipped])
+            wkb_out = (
+                W.encode_polygon(clipped[0]) if len(clipped) == 1 else W.encode_multipolygon(clipped)
+            )
+            rows.append(
+                (
+                    wkb_out,
+                    float(allpts[:, 0].min()),
+                    float(allpts[:, 1].min()),
+                    float(allpts[:, 0].max()),
+                    float(allpts[:, 1].max()),
+                    float(area),
+                )
+            )
+        return pd.DataFrame(rows, columns=["wkb", "minx", "miny", "maxx", "maxy", "area"])
+
+    clipped = out.withColumn("__c", _clip(F.col("wkb"), F.col("radius")))
+    keep = [c for c in out.columns if c not in ("wkb", "minx", "miny", "maxx", "maxy", "radius", "kind")]
+    return (
+        clipped.filter(F.col("__c.wkb").isNotNull())
+        .select(
+            *keep,
+            F.lit("polygon").alias("kind"),
+            F.col("__c.wkb").alias("wkb"),
+            F.col("__c.minx").alias("minx"),
+            F.col("__c.miny").alias("miny"),
+            F.col("__c.maxx").alias("maxx"),
+            F.col("__c.maxy").alias("maxy"),
+            F.lit(None).cast("double").alias("radius"),
+            F.col("__c.area").alias("clip_area"),
+        )
+    )
 
 
 def bounding_box_query_raster_long(
@@ -383,12 +497,32 @@ def bounding_box_query_raster_long(
     req = BoundingBoxRequest(tuple(axes), min_coordinate, max_coordinate)
     t = transformation or Identity()
     m = _affine_2d(t, req.axes)
-    if not _is_axis_aligned(m):
-        raise NotImplementedError("raster bbox query requires an axis-aligned transform")
     m_inv = np.linalg.inv(m)
-    lo, hi = _intrinsic_box(m_inv, req.min_coordinate, req.max_coordinate)
+    if _is_axis_aligned(m):
+        lo, hi = _intrinsic_box(m_inv, req.min_coordinate, req.max_coordinate)
+    else:
+        # general affine (rotation/shear): inverse-map every query-box
+        # corner and slice the intrinsic axis-aligned bounds of the
+        # result — the reference's corners rule
+        # (_core/query/spatial_query.py:537-615, corner helper
+        # _core/query/_utils.py:95-110): rasters are cropped to the
+        # enclosing box, not masked to the exact rotated region.
+        lo, hi = _corners_bbox(m_inv, req.min_coordinate, req.max_coordinate)
     cond = None
     for i, ax in enumerate(req.axes):
         c = (F.col(ax) >= F.lit(int(np.floor(lo[i])))) & (F.col(ax) <= F.lit(int(np.ceil(hi[i]))))
         cond = c if cond is None else (cond & c)
     return df.filter(cond)
+
+
+def _corners_bbox(m_inv: np.ndarray, mins: np.ndarray, maxs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Axis-aligned intrinsic bounds of a target-CS box under an
+    arbitrary invertible affine: map all 2^d corners, take min/max."""
+    d = len(mins)
+    lin = m_inv[:d, :d]
+    tvec = m_inv[:d, d]
+    corners = np.array(
+        [[(maxs if (i >> k) & 1 else mins)[k] for k in range(d)] for i in range(1 << d)]
+    )
+    mapped = corners @ lin.T + tvec
+    return mapped.min(axis=0), mapped.max(axis=0)

@@ -214,6 +214,22 @@ class SpatialDataset:
         return out
 
     # -- persistence ------------------------------------------------------
+    def write_zarr(self, path: str, raster_meta: dict | None = None, compressor: str | None = "zlib") -> None:
+        """Write this container as an OME-NGFF-style Zarr v2 store
+        (reference: _io/io_zarr.py write path) — see
+        ``sources/zarrio.py`` for the layout and codec support."""
+        from spatialdata_spark.sources.zarrio import write_zarr_store
+
+        write_zarr_store(self, path, raster_meta=raster_meta, compressor=compressor)
+
+    @staticmethod
+    def read_zarr(spark: SparkSession, path: str, selection: tuple[str, ...] | None = None, on_bad_files: str = "error") -> "SpatialDataset":
+        """Read an OME-NGFF-style Zarr v2 store (reference:
+        _io/io_zarr.py:125-235 semantics)."""
+        from spatialdata_spark.sources.zarrio import read_zarr_store
+
+        return read_zarr_store(spark, path, selection=selection, on_bad_files=on_bad_files)
+
     def write(self, path: str, mode: str = "overwrite") -> None:
         """Store layout mirrors the reference zarr hierarchy with parquet
         leaves (reference: _core/spatialdata.py:1108-1205):

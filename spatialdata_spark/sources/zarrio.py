@@ -1,0 +1,548 @@
+"""Zarr v2 / OME-NGFF store IO — pure stdlib + Spark.
+
+The container has no ``zarr`` package, so this module implements the
+Zarr v2 *format* directly (it is JSON metadata plus one file per
+chunk): ``.zgroup`` / ``.zarray`` / ``.zattrs`` documents and C-order
+chunk files compressed with a stdlib codec.  Spec reference: the
+public Zarr v2 storage specification; store layout reference:
+``/root/reference/src/spatialdata/_io/io_zarr.py:125-235`` (element
+group dispatch, selection, on_bad_files) and ``_io/io_raster.py``
+(NGFF multiscales metadata), re-expressed Spark-first:
+
+* **Chunks are the unit of distribution.** Reading a raster lists the
+  chunk keys (driver, metadata-only), parallelizes the key list, and
+  each executor decodes its chunks straight into the repo's dense tile
+  rows — the Spark analog of dask's lazy per-chunk graph.  Writing
+  reverses it: each executor encodes and writes its own tiles; the
+  driver writes only JSON metadata.
+* **Codecs**: raw, zlib and gzip (stdlib).  Blosc — the zarr-python
+  default — needs the C blosc library; stores using it fail with a
+  clear error naming the missing codec rather than garbage data.
+* **Points / shapes / tables** live as parquet inside the store
+  (matching the reference's V02+ formats: ``points.parquet`` /
+  ``shapes.parquet``), readable by any Spark/DuckDB/pandas directly.
+* Transformations are serialized in the NGFF dict form
+  (type/payload + input/output coordinate systems) under the same
+  attrs keys the reference uses (``coordinateTransformations`` on
+  non-raster groups, inside ``multiscales[0]`` for rasters).
+"""
+
+from __future__ import annotations
+
+import bz2
+import gzip
+import json
+import os
+import zlib
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spatialdata_spark.operators.raster import TILE_SCHEMA, RasterMeta, long_to_tiles, tiles_to_long
+from spatialdata_spark.transformations import BaseTransformation
+
+ZARR_FORMAT = 2
+_SDATA_VERSION = "0.1"
+
+
+# ---------------------------------------------------------------------------
+# codecs + JSON documents
+# ---------------------------------------------------------------------------
+
+
+def _compress(codec: str | None, buf: bytes) -> bytes:
+    if codec is None:
+        return buf
+    if codec == "zlib":
+        return zlib.compress(buf)
+    if codec == "gzip":
+        return gzip.compress(buf)
+    if codec == "bz2":
+        return bz2.compress(buf)
+    raise ValueError(f"unsupported zarr codec {codec!r}")
+
+
+def _decompress(codec: str | None, buf: bytes) -> bytes:
+    if codec is None:
+        return buf
+    if codec == "zlib":
+        return zlib.decompress(buf)
+    if codec == "gzip":
+        return gzip.decompress(buf)
+    if codec == "bz2":
+        return bz2.decompress(buf)
+    raise ValueError(
+        f"unsupported zarr compressor {codec!r}: this store needs a codec "
+        "library not present in this environment (e.g. blosc); re-write the "
+        "store with zlib/gzip/raw chunks to read it here"
+    )
+
+
+def _codec_of(compressor: dict | None) -> str | None:
+    if compressor is None:
+        return None
+    cid = compressor.get("id")
+    if cid in ("zlib", "gzip", "bz2"):
+        return cid
+    raise ValueError(
+        f"unsupported zarr compressor {cid!r}: this store needs a codec "
+        "library not present in this environment (e.g. blosc); re-write the "
+        "store with zlib/gzip/raw chunks to read it here"
+    )
+
+
+def _write_json(path: str, doc: dict) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=2, sort_keys=True)
+
+
+def _read_json(path: str) -> dict:
+    with open(path) as f:
+        return json.load(f)
+
+
+def write_group(path: str, attrs: dict | None = None) -> None:
+    _write_json(os.path.join(path, ".zgroup"), {"zarr_format": ZARR_FORMAT})
+    if attrs is not None:
+        _write_json(os.path.join(path, ".zattrs"), attrs)
+
+
+def read_attrs(path: str) -> dict:
+    p = os.path.join(path, ".zattrs")
+    return _read_json(p) if os.path.exists(p) else {}
+
+
+# ---------------------------------------------------------------------------
+# driver-side array read/write (small arrays, metadata, tests)
+# ---------------------------------------------------------------------------
+
+
+def zarr_write_array(
+    path: str,
+    arr: np.ndarray,
+    chunks: tuple[int, ...] | None = None,
+    compressor: str | None = "zlib",
+    attrs: dict | None = None,
+) -> None:
+    """Write one array driver-side (small payloads: codebooks, axes,
+    test fixtures).  Big rasters go through :func:`write_tiles_to_zarr`
+    so executors do the chunk encoding."""
+    a = np.ascontiguousarray(arr)
+    if chunks is None:
+        chunks = a.shape
+    meta = {
+        "zarr_format": ZARR_FORMAT,
+        "shape": list(a.shape),
+        "chunks": list(chunks),
+        "dtype": a.dtype.str,
+        "compressor": {"id": compressor} if compressor else None,
+        "fill_value": 0,
+        "order": "C",
+        "filters": None,
+    }
+    _write_json(os.path.join(path, ".zarray"), meta)
+    if attrs is not None:
+        _write_json(os.path.join(path, ".zattrs"), attrs)
+    grid = [range(-(-s // c)) for s, c in zip(a.shape, chunks)]
+    idx: list[tuple[int, ...]] = [()]
+    for g in grid:
+        idx = [t + (i,) for t in idx for i in g]
+    for key in idx:
+        sl = tuple(slice(k * c, min((k + 1) * c, s)) for k, c, s in zip(key, chunks, a.shape))
+        block = a[sl]
+        full = np.zeros(chunks, dtype=a.dtype)
+        full[tuple(slice(0, b) for b in block.shape)] = block
+        name = ".".join(str(k) for k in key) or "0"
+        with open(os.path.join(path, name), "wb") as f:
+            f.write(_compress(compressor, full.tobytes()))
+
+
+def zarr_read_array(path: str) -> np.ndarray:
+    """Driver-side full read of one zarr v2 array."""
+    meta = _read_json(os.path.join(path, ".zarray"))
+    if meta.get("zarr_format") != ZARR_FORMAT:
+        raise ValueError(f"not a zarr v2 array: {path}")
+    if meta.get("filters"):
+        raise ValueError("zarr filters are not supported")
+    if meta.get("order", "C") != "C":
+        raise ValueError("only C-order zarr arrays are supported")
+    shape = tuple(meta["shape"])
+    chunks = tuple(meta["chunks"])
+    dtype = np.dtype(meta["dtype"])
+    codec = _codec_of(meta.get("compressor"))
+    out = np.full(shape, meta.get("fill_value") or 0, dtype=dtype)
+    grid = [range(-(-s // c)) for s, c in zip(shape, chunks)]
+    idx: list[tuple[int, ...]] = [()]
+    for g in grid:
+        idx = [t + (i,) for t in idx for i in g]
+    for key in idx:
+        name = ".".join(str(k) for k in key) or "0"
+        p = os.path.join(path, name)
+        if not os.path.exists(p):
+            continue  # missing chunk = fill_value
+        with open(p, "rb") as f:
+            block = np.frombuffer(_decompress(codec, f.read()), dtype=dtype).reshape(chunks)
+        sl = tuple(slice(k * c, min((k + 1) * c, s)) for k, c, s in zip(key, chunks, shape))
+        out[sl] = block[tuple(slice(0, s.stop - s.start) for s in sl)]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# distributed raster <-> zarr chunks
+# ---------------------------------------------------------------------------
+
+
+def write_tiles_to_zarr(
+    tiles: DataFrame,
+    meta: RasterMeta,
+    path: str,
+    scale: int = 0,
+    compressor: str | None = "zlib",
+    attrs: dict | None = None,
+) -> int:
+    """Write one pyramid level's tile table as a zarr array
+    ``(c, y, x)`` with chunks ``(1, tile, tile)``.
+
+    The executors each encode and write their own chunk files (the
+    tile grid maps 1:1 onto the zarr chunk grid, so no shuffle); the
+    driver writes only the JSON metadata.  Returns the chunk count.
+    """
+    h, w = meta.shape_at(scale)
+    ts = meta.tile
+    dtype = np.dtype(meta.dtype)
+    arr_meta = {
+        "zarr_format": ZARR_FORMAT,
+        "shape": [meta.n_channels, h, w],
+        "chunks": [1, ts, ts],
+        "dtype": dtype.str,
+        "compressor": {"id": compressor} if compressor else None,
+        "fill_value": 0,
+        "order": "C",
+        "filters": None,
+    }
+    _write_json(os.path.join(path, ".zarray"), arr_meta)
+    if attrs is not None:
+        _write_json(os.path.join(path, ".zattrs"), attrs)
+
+    codec = compressor
+
+    def _write_part(rows):
+        n = 0
+        for row in rows:
+            buf = _compress(codec, bytes(row["tile"]))
+            name = f"{int(row['c'])}.{int(row['ty'])}.{int(row['tx'])}"
+            with open(os.path.join(path, name), "wb") as f:
+                f.write(buf)
+            n += 1
+        yield n
+
+    counts = (
+        tiles.filter(F.col("scale") == scale)
+        .select("c", "ty", "tx", "tile")
+        .rdd.mapPartitions(_write_part)
+        .collect()
+    )
+    return int(sum(counts))
+
+
+def read_zarr_tiles(
+    spark: SparkSession, path: str, scale: int = 0
+) -> tuple[DataFrame, RasterMeta]:
+    """Read a zarr v2 ``(c, y, x)`` (or ``(y, x)``) array as a dense
+    tile DataFrame.  The driver reads only ``.zarray`` and the chunk
+    *names*; executors open and decode the chunk payloads — on a real
+    cluster against object storage this is an embarrassingly parallel
+    scan of exactly the chunks that exist.
+    """
+    ameta = _read_json(os.path.join(path, ".zarray"))
+    if ameta.get("filters"):
+        raise ValueError("zarr filters are not supported")
+    codec = _codec_of(ameta.get("compressor"))
+    shape = tuple(ameta["shape"])
+    chunks = tuple(ameta["chunks"])
+    dtype = np.dtype(ameta["dtype"])
+    if len(shape) == 2:
+        shape = (1,) + shape
+        chunks = (1,) + chunks
+    if len(shape) != 3 or chunks[0] != 1 or chunks[1] != chunks[2]:
+        raise ValueError(
+            f"unsupported chunk layout {chunks} for shape {shape}: expected "
+            "(1, t, t) raster chunks — re-chunk on write for other layouts"
+        )
+    ts = int(chunks[1])
+    dstr = "f8" if dtype.kind == "f" else "i8"
+    meta = RasterMeta(height=int(shape[1]), width=int(shape[2]), tile=ts, dtype=dstr, n_channels=int(shape[0]))
+    keys = []
+    two_d = len(tuple(ameta["shape"])) == 2
+    for name in os.listdir(path):
+        if name.startswith("."):
+            continue
+        parts = name.split(".")
+        try:
+            nums = [int(p) for p in parts]
+        except ValueError:
+            continue
+        if two_d and len(nums) == 2:
+            keys.append((0, nums[0], nums[1], name))
+        elif not two_d and len(nums) == 3:
+            keys.append((nums[0], nums[1], nums[2], name))
+    kdf = spark.createDataFrame(keys, "c int, ty long, tx long, chunk string")
+    src_dtype = dtype
+
+    def _decode(iterator):
+        import pandas as pd
+
+        for pdf in iterator:
+            rows = {"scale": [], "c": [], "ty": [], "tx": [], "tile": []}
+            for _, row in pdf.iterrows():
+                with open(os.path.join(path, row["chunk"]), "rb") as f:
+                    raw = _decompress(codec, f.read())
+                a = np.frombuffer(raw, dtype=src_dtype).reshape(ts, ts)
+                rows["scale"].append(scale)
+                rows["c"].append(int(row["c"]))
+                rows["ty"].append(int(row["ty"]))
+                rows["tx"].append(int(row["tx"]))
+                rows["tile"].append(np.ascontiguousarray(a, dtype=np.dtype(dstr)).tobytes())
+            yield pd.DataFrame(rows)
+
+    return kdf.mapInPandas(_decode, TILE_SCHEMA), meta
+
+
+# ---------------------------------------------------------------------------
+# NGFF transformation (de)serialization
+# ---------------------------------------------------------------------------
+
+
+def _ngff_cs(name: str, axes: tuple[str, ...]) -> dict:
+    return {
+        "name": name,
+        "axes": [
+            {"name": ax, "type": "channel" if ax == "c" else "space"} for ax in axes
+        ],
+    }
+
+
+def transformation_to_ngff(
+    t: BaseTransformation, input_axes: tuple[str, ...], output_cs: str
+) -> dict:
+    """Our transformation -> NGFF dict (type + payload + input/output
+    coordinate systems), the schema the reference writes
+    (transformations/ngff/ngff_transformations.py to_dict)."""
+    d = dict(t.to_dict())
+    kind = d.pop("type")
+    payload: dict
+    if kind == "identity":
+        payload = {"type": "identity"}
+    elif kind == "translation":
+        payload = {"type": "translation", "translation": d["translation"]}
+    elif kind == "scale":
+        payload = {"type": "scale", "scale": d["scale"]}
+    elif kind == "affine":
+        m = np.asarray(d["matrix"], dtype=float)
+        payload = {"type": "affine", "affine": m[:-1, :].tolist()}
+    elif kind == "sequence":
+        payload = {
+            "type": "sequence",
+            "transformations": [
+                transformation_to_ngff(s, input_axes, output_cs) for s in t.transformations
+            ],
+        }
+    elif kind == "map_axis":
+        payload = {"type": "mapAxis", "mapAxis": d["map_axis"]}
+    else:
+        raise ValueError(f"cannot serialize transformation type {kind!r} to NGFF")
+    payload["input"] = _ngff_cs("intrinsic", tuple(input_axes))
+    payload["output"] = _ngff_cs(output_cs, tuple(input_axes))
+    return payload
+
+
+def transformation_from_ngff(d: dict) -> tuple[BaseTransformation, str]:
+    """NGFF dict -> (transformation, output coordinate-system name)."""
+    from spatialdata_spark.transformations import Affine, Identity, MapAxis, Scale, Sequence, Translation
+
+    axes = tuple(a["name"] for a in d.get("input", {}).get("axes", [])) or ("x", "y")
+    cs = d.get("output", {}).get("name", "global")
+    kind = d["type"]
+    if kind == "identity":
+        return Identity(), cs
+    if kind == "translation":
+        return Translation(d["translation"], axes), cs
+    if kind == "scale":
+        return Scale(d["scale"], axes), cs
+    if kind == "affine":
+        rows = [list(r) for r in d["affine"]]
+        rows.append([0.0] * len(rows[0][:-1]) + [1.0])
+        return Affine(rows, axes, axes), cs
+    if kind == "sequence":
+        parts = [transformation_from_ngff(s)[0] for s in d["transformations"]]
+        return Sequence(parts), cs
+    if kind == "mapAxis":
+        return MapAxis(d["mapAxis"]), cs
+    raise ValueError(f"cannot parse NGFF transformation type {kind!r}")
+
+
+def _transforms_attr(transforms: dict[str, BaseTransformation], axes: tuple[str, ...]) -> list[dict]:
+    return [transformation_to_ngff(t, axes, cs) for cs, t in sorted(transforms.items())]
+
+
+def _transforms_from_attr(items: list[dict]) -> dict[str, BaseTransformation]:
+    out: dict[str, BaseTransformation] = {}
+    for d in items:
+        t, cs = transformation_from_ngff(d)
+        out[cs] = t
+    return out
+
+
+# ---------------------------------------------------------------------------
+# container-level store
+# ---------------------------------------------------------------------------
+
+
+def write_zarr_store(
+    ds,
+    path: str,
+    raster_meta: dict[str, RasterMeta] | None = None,
+    compressor: str | None = "zlib",
+) -> None:
+    """Write a SpatialDataset as an OME-NGFF-style zarr store.
+
+    Layout (reference _io/io_zarr.py / io_points.py / io_shapes.py):
+    ``<path>/.zgroup`` + root attrs with ``spatialdata_attrs.version``;
+    ``points/<name>/points.parquet``; ``shapes/<name>/shapes.parquet``;
+    ``tables/<name>/table.parquet``; ``images|labels/<name>/<level>``
+    NGFF multiscale zarr arrays with multiscales metadata.  Raster
+    elements (long form) need a :class:`RasterMeta` in ``raster_meta``.
+    """
+    raster_meta = raster_meta or {}
+    write_group(path, {"spatialdata_attrs": {"version": _SDATA_VERSION}})
+    for kind in ("points", "shapes", "tables"):
+        for name, df in ds.elements[kind].items():
+            gpath = os.path.join(path, kind, name)
+            leaf = {"points": "points.parquet", "shapes": "shapes.parquet", "tables": "table.parquet"}[kind]
+            df.write.mode("overwrite").parquet(os.path.join(gpath, leaf))
+            axes = ("x", "y", "z") if "z" in df.columns else ("x", "y")
+            attrs: dict = {
+                "spatialdata_attrs": {"version": _SDATA_VERSION},
+                "coordinateTransformations": _transforms_attr(ds.transforms.get(name, {}), axes),
+            }
+            if kind == "tables" and name in ds.table_meta:
+                tm = ds.table_meta[name]
+                attrs["spatialdata_attrs"].update(
+                    {"region": tm.region, "region_key": tm.region_key, "instance_key": tm.instance_key}
+                )
+            write_group(gpath, attrs)
+        if ds.elements[kind]:
+            write_group(os.path.join(path, kind))
+    for kind in ("images", "labels"):
+        for name, df in ds.elements[kind].items():
+            meta = raster_meta.get(name)
+            if meta is None:
+                raise ValueError(f"writing raster {name!r} to zarr needs a RasterMeta in raster_meta")
+            gpath = os.path.join(path, kind, name)
+            axes = ("c", "y", "x") if kind == "images" else ("y", "x")
+            scales = sorted(
+                r["scale"] for r in df.select("scale").distinct().collect()
+            ) if "scale" in df.columns else [0]
+            if "scale" in df.columns and "tile" in df.columns:
+                tiles = df
+            else:
+                long_df = df.withColumnRenamed("label", "value") if "label" in df.columns else df
+                tiles = long_to_tiles(long_df, meta)
+            datasets = []
+            for s in scales:
+                lvl_path = os.path.join(gpath, str(s))
+                write_tiles_to_zarr(tiles, meta, lvl_path, scale=int(s), compressor=compressor)
+                datasets.append(
+                    {
+                        "path": str(s),
+                        "coordinateTransformations": [
+                            {"type": "scale", "scale": [1.0] * (len(axes) - 2) + [float(meta.scale_factor**s)] * 2}
+                        ],
+                    }
+                )
+            attrs = {
+                "multiscales": [
+                    {
+                        "version": "0.4",
+                        "axes": [
+                            {"name": ax, "type": "channel" if ax == "c" else "space"} for ax in axes
+                        ],
+                        "datasets": datasets,
+                        "coordinateTransformations": _transforms_attr(
+                            ds.transforms.get(name, {}), axes
+                        ),
+                    }
+                ],
+                "spatialdata_attrs": {"version": _SDATA_VERSION},
+            }
+            write_group(gpath, attrs)
+        if ds.elements[kind]:
+            write_group(os.path.join(path, kind))
+
+
+def read_zarr_store(
+    spark: SparkSession,
+    path: str,
+    selection: tuple[str, ...] | None = None,
+    on_bad_files: str = "error",
+):
+    """Read an OME-NGFF-style zarr store into a SpatialDataset
+    (reference semantics: _io/io_zarr.py:125-235 — element-group
+    dispatch, ``selection`` restricting kinds, ``on_bad_files='warn'``
+    skipping unreadable elements).  Rasters come back as long-form
+    DataFrames (scale 0), decoded chunk-parallel on the executors; the
+    full tile tables are available via :func:`read_zarr_tiles`.
+    """
+    from spatialdata_spark.catalog import SpatialDataset, TableMeta
+
+    ds = SpatialDataset(spark)
+    kinds = ("images", "labels", "points", "shapes", "tables")
+    selector = set(selection) if selection else set(kinds)
+    for kind in kinds:
+        kpath = os.path.join(path, kind)
+        if kind not in selector or not os.path.isdir(kpath):
+            continue
+        for name in sorted(os.listdir(kpath)):
+            gpath = os.path.join(kpath, name)
+            if not os.path.isdir(gpath):
+                continue
+            try:
+                attrs = read_attrs(gpath)
+                if kind in ("points", "shapes", "tables"):
+                    leaf = {"points": "points.parquet", "shapes": "shapes.parquet", "tables": "table.parquet"}[kind]
+                    df = spark.read.parquet(os.path.join(gpath, leaf))
+                    ds.elements[kind][name] = df
+                    tf = attrs.get("coordinateTransformations", [])
+                    if tf:
+                        ds.transforms[name] = _transforms_from_attr(tf)
+                    sa = attrs.get("spatialdata_attrs", {})
+                    if kind == "tables" and "region" in sa:
+                        ds.table_meta[name] = TableMeta(
+                            region=sa["region"], region_key=sa["region_key"], instance_key=sa["instance_key"]
+                        )
+                else:
+                    ms = attrs.get("multiscales", [{}])[0]
+                    level0 = ms.get("datasets", [{"path": "0"}])[0]["path"]
+                    tiles, meta = read_zarr_tiles(spark, os.path.join(gpath, level0))
+                    long_df = tiles_to_long(tiles, meta)
+                    if kind == "labels":
+                        long_df = long_df.select(
+                            "y", "x", F.col("value").cast("long").alias("label")
+                        )
+                    ds.elements[kind][name] = long_df
+                    tf = ms.get("coordinateTransformations", [])
+                    # NGFF per-dataset scale entries are pyramid bookkeeping;
+                    # the element->CS transforms are the typed entries
+                    typed = [d for d in tf if "input" in d]
+                    if typed:
+                        ds.transforms[name] = _transforms_from_attr(typed)
+            except Exception:
+                if on_bad_files == "warn":
+                    import warnings
+
+                    warnings.warn(f"Skipping unreadable zarr element {kind}/{name}", stacklevel=2)
+                    continue
+                raise
+    return ds

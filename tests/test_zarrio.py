@@ -1,0 +1,131 @@
+"""Zarr v2 / OME-NGFF store IO tests (pure-stdlib zarr implementation)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from spatialdata_spark.sources.zarrio import (
+    read_zarr_store,
+    read_zarr_tiles,
+    write_tiles_to_zarr,
+    write_zarr_store,
+    zarr_read_array,
+    zarr_write_array,
+)
+
+
+def test_array_roundtrip_codecs(tmp_path):
+    rng = np.random.default_rng(0)
+    for codec in [None, "zlib", "gzip", "bz2"]:
+        a = rng.standard_normal((7, 11)).astype("f8")
+        p = str(tmp_path / f"arr_{codec}")
+        zarr_write_array(p, a, chunks=(4, 4), compressor=codec)
+        assert np.array_equal(zarr_read_array(p), a)
+        # spec-valid v2 metadata on disk
+        meta = json.load(open(os.path.join(p, ".zarray")))
+        assert meta["zarr_format"] == 2 and meta["chunks"] == [4, 4]
+
+
+def test_unsupported_compressor_is_a_clear_error(tmp_path):
+    p = tmp_path / "blosc_arr"
+    p.mkdir()
+    (p / ".zarray").write_text(
+        json.dumps(
+            {
+                "zarr_format": 2,
+                "shape": [2, 2],
+                "chunks": [2, 2],
+                "dtype": "<f8",
+                "compressor": {"id": "blosc", "cname": "lz4"},
+                "fill_value": 0,
+                "order": "C",
+                "filters": None,
+            }
+        )
+    )
+    with pytest.raises(ValueError, match="blosc"):
+        zarr_read_array(str(p))
+
+
+def test_missing_chunks_are_fill_value(tmp_path):
+    a = np.arange(16, dtype="f8").reshape(4, 4)
+    p = str(tmp_path / "arr")
+    zarr_write_array(p, a, chunks=(2, 2))
+    os.remove(os.path.join(p, "1.1"))  # drop the last chunk
+    out = zarr_read_array(p)
+    assert np.array_equal(out[:2, :], a[:2, :])
+    assert (out[2:, 2:] == 0).all()
+
+
+def test_tiles_zarr_roundtrip_distributed(spark, tmp_path):
+    from spatialdata_spark.operators.raster import RasterMeta, long_to_tiles, tiles_to_long
+
+    meta = RasterMeta(height=70, width=50, tile=32, dtype="f8")
+    rows = [(0, y, x, float(y * 100 + x)) for y in range(0, 70, 3) for x in range(0, 50, 7)]
+    long_df = spark.createDataFrame(rows, "c int, y long, x long, value double")
+    tiles = long_to_tiles(long_df, meta)
+    p = str(tmp_path / "raster0")
+    n = write_tiles_to_zarr(tiles, meta, p, compressor="zlib")
+    assert n == 6  # ceil(70/32) * ceil(50/32) tiles
+    back, meta2 = read_zarr_tiles(spark, p)
+    assert (meta2.height, meta2.width, meta2.tile) == (70, 50, 32)
+    got = {
+        (r["y"], r["x"]): r["value"]
+        for r in tiles_to_long(back, meta2).filter(F.col("value") != 0).collect()
+    }
+    exp = {(y, x): v for _, y, x, v in rows if v != 0}
+    assert got == exp
+
+
+def test_container_store_roundtrip(spark, tmp_path):
+    from spatialdata_spark.catalog import SpatialDataset
+    from spatialdata_spark.operators.raster import RasterMeta
+    from spatialdata_spark.transformations import Scale, Sequence, Translation
+
+    pts = spark.createDataFrame([(i, float(i), float(2 * i)) for i in range(20)], "id long, x double, y double")
+    labels = spark.createDataFrame(
+        [(y, x, (y * 7 + x) % 5 + 1) for y in range(40) for x in range(30)], "y long, x long, label long"
+    )
+    table = spark.createDataFrame([(1, "cells", 3.5)], "instance_id long, region string, v double")
+    t = Sequence([Scale([2.0, 2.0], ("x", "y")), Translation([1.0, -1.0], ("x", "y"))])
+
+    ds = SpatialDataset(spark)
+    ds.add_points("pts", pts, {"global": t})
+    ds.add_labels("cells", labels, {"global": Scale([1.0, 1.0], ("y", "x"))})
+    ds.add_table("tab", table, region="cells")
+
+    p = str(tmp_path / "store.zarr")
+    write_zarr_store(ds, p, raster_meta={"cells": RasterMeta(height=40, width=30, tile=32, dtype="i8")})
+
+    # spec surface: zarr group documents exist
+    assert json.load(open(os.path.join(p, ".zgroup")))["zarr_format"] == 2
+    root_attrs = json.load(open(os.path.join(p, ".zattrs")))
+    assert root_attrs["spatialdata_attrs"]["version"] == "0.1"
+    assert os.path.exists(os.path.join(p, "labels", "cells", "0", ".zarray"))
+
+    back = read_zarr_store(spark, p)
+    assert sorted(r["id"] for r in back.points["pts"].collect()) == list(range(20))
+    got_labels = {(r["y"], r["x"]): r["label"] for r in back.labels["cells"].collect()}
+    exp_labels = {(y, x): (y * 7 + x) % 5 + 1 for y in range(40) for x in range(30)}
+    assert got_labels == exp_labels
+    # transform round-trips through the NGFF dict form
+    m0 = ds.get_transformation("pts", "global").to_affine_matrix(("x", "y"), ("x", "y"))
+    m1 = back.get_transformation("pts", "global").to_affine_matrix(("x", "y"), ("x", "y"))
+    assert np.allclose(m0, m1)
+    assert back.table_meta["tab"].region == ["cells"]
+
+    # selection + bad-file tolerance
+    only_pts = read_zarr_store(spark, p, selection=("points",))
+    assert only_pts.element_names() == ["pts"]
+    os.remove(os.path.join(p, "points", "pts", ".zattrs"))
+    import shutil
+
+    shutil.rmtree(os.path.join(p, "points", "pts", "points.parquet"))
+    with pytest.warns(UserWarning):
+        tolerant = read_zarr_store(spark, p, on_bad_files="warn")
+    assert "pts" not in tolerant.element_names()

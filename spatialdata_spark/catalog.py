@@ -234,7 +234,15 @@ class SpatialDataset:
         """Store layout mirrors the reference zarr hierarchy with parquet
         leaves (reference: _core/spatialdata.py:1108-1205):
         ``<path>/<kind>/<name>/data.parquet`` + a json metadata sidecar."""
-        meta: dict = {"version": "0.1", "elements": [], "transforms": {}, "tables": {}}
+        from spatialdata_spark.formats import CURRENT_VERSION, ELEMENT_VERSIONS
+
+        meta: dict = {
+            "version": CURRENT_VERSION,
+            "format": {"container": CURRENT_VERSION, "elements": dict(ELEMENT_VERSIONS)},
+            "elements": [],
+            "transforms": {},
+            "tables": {},
+        }
         for kind in ELEMENT_KINDS:
             for name, df in self.elements[kind].items():
                 writer = df.write.mode(mode)
@@ -244,8 +252,10 @@ class SpatialDataset:
                     writer = writer.partitionBy("scale")
                 writer.parquet(os.path.join(path, kind, name, "data.parquet"))
                 meta["elements"].append({"kind": kind, "name": name})
+        from spatialdata_spark.formats import transforms_to_manifest
+
         for name, cs_map in self.transforms.items():
-            meta["transforms"][name] = {cs: t.to_dict() for cs, t in cs_map.items()}
+            meta["transforms"][name] = transforms_to_manifest(cs_map)
         for name, tm in self.table_meta.items():
             meta["tables"][name] = {"region": tm.region, "region_key": tm.region_key, "instance_key": tm.instance_key}
         os.makedirs(path, exist_ok=True)
@@ -328,19 +338,27 @@ class SpatialDataset:
         self._rewrite_metadata(path, drop=name)
 
     def _rewrite_metadata(self, path: str, drop: str | None = None) -> None:
+        from spatialdata_spark.formats import CURRENT_VERSION, ELEMENT_VERSIONS, migrate_manifest, transforms_to_manifest
+
         meta_path = os.path.join(path, "spatialdataset.json")
         if os.path.exists(meta_path):
             with open(meta_path) as f:
-                meta = json.load(f)
+                meta = migrate_manifest(json.load(f))
         else:
-            meta = {"version": "0.1", "elements": [], "transforms": {}, "tables": {}}
+            meta = {
+                "version": CURRENT_VERSION,
+                "format": {"container": CURRENT_VERSION, "elements": dict(ELEMENT_VERSIONS)},
+                "elements": [],
+                "transforms": {},
+                "tables": {},
+            }
         meta["elements"] = [e for e in meta["elements"] if e["name"] != drop]
         known = {e["name"] for e in meta["elements"]}
         for kind in ELEMENT_KINDS:
             for name in self.elements[kind]:
                 if name != drop and name not in known:
                     meta["elements"].append({"kind": kind, "name": name})
-        meta["transforms"] = {n: {cs: t.to_dict() for cs, t in m.items()} for n, m in self.transforms.items() if n != drop}
+        meta["transforms"] = {n: transforms_to_manifest(m) for n, m in self.transforms.items() if n != drop}
         meta["tables"] = {
             n: {"region": tm.region, "region_key": tm.region_key, "instance_key": tm.instance_key}
             for n, tm in self.table_meta.items()
@@ -354,8 +372,13 @@ class SpatialDataset:
         """Read a store (reference: _io/io_zarr.py:125-235); ``selection``
         restricts to element kinds; ``on_bad_files='warn'`` skips
         unreadable elements like the reference's tolerance mode."""
+        from spatialdata_spark.formats import migrate_manifest
+
         with open(os.path.join(path, "spatialdataset.json")) as f:
-            meta = json.load(f)
+            # version dispatch + forward migration (reference:
+            # _io/format.py:56-267 version matrix); unknown versions
+            # raise a named error instead of mis-parsing
+            meta = migrate_manifest(json.load(f))
         ds = SpatialDataset(spark)
         for entry in meta["elements"]:
             kind, name = entry["kind"], entry["name"]
@@ -372,9 +395,11 @@ class SpatialDataset:
                     continue
                 raise
             ds.elements[kind][name] = df
+        from spatialdata_spark.formats import transforms_from_manifest
+
         for name, cs_map in meta.get("transforms", {}).items():
             if any(name in ds.elements[k] for k in ELEMENT_KINDS):
-                ds.transforms[name] = {cs: BaseTransformation.from_dict(d) for cs, d in cs_map.items()}
+                ds.transforms[name] = transforms_from_manifest(meta["version"], cs_map)
         for name, tm in meta.get("tables", {}).items():
             if name in ds.elements["tables"]:
                 ds.table_meta[name] = TableMeta(**tm)

@@ -420,6 +420,37 @@ def select_pyramid_level(meta: RasterMeta, n_scales: int, target_resolution: flo
     return best
 
 
+def select_pyramid_level_for_rasterize(
+    meta: RasterMeta,
+    n_scales: int,
+    bbox_sizes: dict[str, float],
+    target_sizes: dict[str, float],
+) -> int:
+    """The reference's exact level-selection rule for rasterize
+    (_core/operations/rasterize.py:407-451): walk the pyramid from the
+    *coarsest* level toward full resolution and select the first level
+    where the query bbox, measured in that level's pixels, is at least
+    the target output size times a sqrt(d) slack on **every** axis —
+    i.e. the cheapest level that still has enough resolution to
+    render the target without upsampling beyond the slack.
+
+    The sqrt accounts for a bbox that is rotated in intrinsic space —
+    ``bbox_sizes`` measures the axis-aligned bounds of the
+    inverse-transformed box, which for a rotated square can exceed the
+    square's side by up to the diagonal ratio.  ``bbox_sizes`` is in
+    scale-0 pixel units (inverse-map the query corners first, see
+    ``spatial_query._corners_bbox``); if no coarse level qualifies the
+    full resolution (0) is returned.
+    """
+    axes = list(target_sizes)
+    slack = float(np.sqrt(len(axes)))
+    for s in range(n_scales, 0, -1):
+        factor = float(meta.scale_factor**s)
+        if all(bbox_sizes[ax] / factor >= target_sizes[ax] * slack for ax in axes):
+            return s
+    return 0
+
+
 def write_pyramid_store(tiles: DataFrame, path: str) -> None:
     """Persist a multiscale tile table partitioned by ``scale`` — the
     parquet analog of the reference's OME-NGFF level directories

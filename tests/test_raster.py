@@ -233,3 +233,24 @@ def test_pyramid_store_level_pruning(spark, tiles, meta, tmp_path):
         df.explain("formatted")
     plan = buf.getvalue()
     assert "PartitionFilters" in plan and "scale" in plan
+
+
+def test_select_pyramid_level_for_rasterize_matches_reference_rule():
+    """Mirror of _core/operations/rasterize.py:407-451 walked by hand on
+    a 10k x 10k asv-style scene with 5 pyramid levels (factor 2)."""
+    from spatialdata_spark.operators.raster import RasterMeta, select_pyramid_level_for_rasterize
+
+    meta = RasterMeta(height=10000, width=10000, tile=256, scale_factor=2)
+    t = {"y": 300.0, "x": 300.0}
+    # bbox 10000px: at s=4 -> 625px >= 300*sqrt(2)=424.2 on both axes -> coarsest qualifying is 4
+    assert select_pyramid_level_for_rasterize(meta, 4, {"y": 10000.0, "x": 10000.0}, t) == 4
+    # bbox 3000px: s=3 -> 375 < 424.2 fails; s=2 -> 750 >= 424.2 -> 2
+    assert select_pyramid_level_for_rasterize(meta, 4, {"y": 3000.0, "x": 3000.0}, t) == 2
+    # bbox 500px: only full resolution has enough pixels -> 0
+    assert select_pyramid_level_for_rasterize(meta, 4, {"y": 500.0, "x": 500.0}, t) == 0
+    # anisotropic: the *every axis* rule is limited by the short axis
+    assert select_pyramid_level_for_rasterize(meta, 4, {"y": 10000.0, "x": 900.0}, t) == 1
+    # rotated 1000px square: axis-aligned bounds grow to ~1414px but the
+    # sqrt(2) slack compensates -> same level as the unrotated 1000px box
+    assert select_pyramid_level_for_rasterize(meta, 4, {"y": 1414.2, "x": 1414.2}, t) == 1
+    assert select_pyramid_level_for_rasterize(meta, 4, {"y": 1000.0, "x": 1000.0}, t) == 1

@@ -451,17 +451,29 @@ def _padded_text(text_col: str, k: int):
 
 def _shingle31_expr(text_col: str, k: int, channel: int = 0):
     """array<long> of the 31-bit rolling-polynomial hashes of every
-    char-k-shingle: h_i = sum_j cp(i+j) * B^(k-1-j) mod P."""
+    char-k-shingle: h_i = sum_j cp(i+j) * B^(k-1-j) mod P.
+
+    The code points are materialized once per document with
+    ``split(t, '')`` + ``ascii`` — ``substr(i, 1)`` per shingle
+    position would rescan the string from the start each time
+    (O(len^2 * k) character work per document); array indexing keeps
+    the whole expression linear in ``len * k``."""
     B, P = _H31[channel]
     t = _padded_text(text_col, k)
+    cps = F.transform(F.split(t, ""), lambda c: F.ascii(c).cast("long"))
 
-    def _sh(i):
-        h = F.lit(0).cast("long")
-        for j in range(k):
-            h = (h * F.lit(B) + F.ascii(t.substr(i + F.lit(j), F.lit(1))).cast("long")) % F.lit(P)
-        return h
+    def _sh(cp_arr):
+        def _h(i):
+            h = F.lit(0).cast("long")
+            for j in range(k):
+                h = (h * F.lit(B) + F.element_at(cp_arr, i + F.lit(j))) % F.lit(P)
+            return h
 
-    return F.transform(F.sequence(F.lit(1), F.length(t) - F.lit(k - 1)), _sh)
+        return F.transform(F.sequence(F.lit(1), F.size(cp_arr) - F.lit(k - 1)), _h)
+
+    # bind the code-point array once via a single-element transform so
+    # it is not re-evaluated per shingle position
+    return F.element_at(F.transform(F.array(cps), _sh), 1)
 
 
 def minhash_band_candidates_sql(
@@ -488,19 +500,29 @@ def minhash_band_candidates_sql(
     rows_per_band = max(1, num_hashes // num_bands)
     a, b = _hash_params(num_hashes, seed)
     spark = docs.sparkSession
-    params = spark.createDataFrame(
-        [(m, int(a[m]), int(b[m])) for m in range(num_hashes)], "m int, a long, b long"
-    )
+    if spark.sparkContext.master.startswith("local"):
+        # single-row-group local inputs scan as one task; the shingle
+        # expression is the heavy stage, so spread it first
+        docs = docs.repartition(spark.sparkContext.defaultParallelism)
     sh = docs.select(F.col(id_col), F.explode(_shingle31_expr(text_col, shingle_k)).alias("h"))
-    minh = (
-        sh.join(F.broadcast(params))
-        .groupBy(id_col, "m")
-        .agg(F.min((F.col("a") * F.col("h") + F.col("b")) % F.lit(_MERSENNE)).alias("v"))
+    # All num_hashes minima as *wide aggregation columns* over the
+    # shingle rows: map-side combinable, so the only shuffle carries one
+    # num_hashes-wide row per document — versus a params cross join,
+    # which multiplies the shingle rows by num_hashes before the
+    # aggregate and dominates the runtime at scale.
+    aggs = [
+        F.min((F.col("h") * F.lit(int(a[m])) + F.lit(int(b[m]))) % F.lit(_MERSENNE)).alias(f"v{m}")
+        for m in range(num_hashes)
+    ]
+    minh_wide = sh.groupBy(id_col).agg(*aggs)
+    band_arrays = F.array(
+        *[
+            F.array(*[F.col(f"v{i * rows_per_band + j}") for j in range(rows_per_band)])
+            for i in range(num_hashes // rows_per_band)
+        ]
     )
-    bands = (
-        minh.groupBy(F.col(id_col), F.floor(F.col("m") / rows_per_band).alias("band"))
-        .agg(F.array_sort(F.collect_list(F.struct("m", "v"))).alias("mv"))
-        .select(id_col, "band", F.transform("mv", lambda s: s["v"]).alias("sig"))
+    bands = minh_wide.select(
+        F.col(id_col), F.posexplode(band_arrays).alias("band", "sig")
     )
     l, r = bands.alias("l"), bands.alias("r")
     return (

@@ -94,3 +94,79 @@ def blobs(
     ds.add_shapes("blobs_circles", circles_df, {"global": Identity()})
     ds.add_table("blobs_table", table_df, region="blobs_circles")
     return ds, meta
+
+
+def raccoon(
+    spark: SparkSession,
+    height: int = 768,
+    width: int = 1024,
+    n_segments: int = 100,
+    seed: int = 7,
+) -> tuple[SpatialDataset, RasterMeta]:
+    """Raccoon-demo analog (reference: datasets.py:77-101 — scipy face
+    image + SLIC superpixels + 4 circles).  Neither scipy.datasets nor
+    skimage exists in this container, so the image is a deterministic
+    procedural texture and the segmentation a jittered-grid Voronoi
+    (the spatially-coherent superpixel shape SLIC produces), both built
+    **entirely as Catalyst expressions over spark.range** — no driver
+    array, so generating a 100-megapixel demo scene is as distributed
+    as reading one.  The circles are the reference's exact four.
+    """
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(seed)
+    gs = max(2, int(np.sqrt(n_segments)))
+    cell_h, cell_w = height / gs, width / gs
+    jit = rng.uniform(0.15, 0.85, size=(gs, gs, 2))
+    seed_y = F.array(
+        *[F.lit(float((gy + jit[gy, gx, 0]) * cell_h)) for gy in range(gs) for gx in range(gs)]
+    )
+    seed_x = F.array(
+        *[F.lit(float((gx + jit[gy, gx, 1]) * cell_w)) for gy in range(gs) for gx in range(gs)]
+    )
+
+    px = spark.range(height * width).select(
+        (F.col("id") / width).cast("long").alias("y"), (F.col("id") % width).alias("x")
+    )
+    gy0 = F.floor(F.col("y") / cell_h).cast("int")
+    gx0 = F.floor(F.col("x") / cell_w).cast("int")
+    cands = []
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            gy = F.greatest(F.lit(0), F.least(F.lit(gs - 1), gy0 + dy))
+            gx = F.greatest(F.lit(0), F.least(F.lit(gs - 1), gx0 + dx))
+            idx = gy * gs + gx + 1  # element_at is 1-based
+            sy = F.element_at(seed_y, idx)
+            sx = F.element_at(seed_x, idx)
+            d2 = (F.col("y") - sy) * (F.col("y") - sy) + (F.col("x") - sx) * (F.col("x") - sx)
+            cands.append(F.struct(d2.alias("d2"), idx.alias("lbl")))
+    # nearest jittered seed among the 3x3 neighborhood = exact Voronoi
+    # cell (seeds never stray further than one grid cell); struct-min
+    # breaks d2 ties on the lower label
+    label = F.array_min(F.array(*cands))["lbl"].cast("long")
+    labels_df = px.select("y", "x", label.alias("label"))
+
+    ch = F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("c")
+    base = (
+        F.lit(128.0)
+        + 60.0 * F.sin(F.col("x") / 17.0 + F.col("c")) * F.cos(F.col("y") / 23.0 - F.col("c"))
+        + 40.0 * F.sin((F.col("x") + F.col("y")) / 31.0)
+    )
+    img_df = px.select(ch, "y", "x").select(
+        "c", "y", "x", F.round(F.greatest(F.lit(0.0), F.least(F.lit(255.0), base))).alias("value")
+    )
+
+    coords = [(610.0, 450.0, 30.0), (730.0, 325.0, 30.0), (575.0, 300.0, 30.0), (480.0, 90.0, 50.0)]
+    circles_df = circles_to_shapes(
+        spark.createDataFrame(
+            [(i + 1, cx, cy, r) for i, (cx, cy, r) in enumerate(coords)],
+            ["shape_id", "x", "y", "radius"],
+        )
+    )
+
+    meta = RasterMeta(height=height, width=width, tile=256, n_channels=3)
+    ds = SpatialDataset(spark)
+    ds.add_images("raccoon", img_df, {"global": Identity()})
+    ds.add_labels("segmentation", labels_df, {"global": Identity()})
+    ds.add_shapes("circles", circles_df, {"global": Identity()})
+    return ds, meta

@@ -290,6 +290,11 @@ def ngram_jaccard_join(
     Reference analog: this is the exact verification counterpart of the
     reference-free MinHash path (see ``minhash_lsh_candidates``).
     """
+    spark = docs.sparkSession
+    if spark.sparkContext.master.startswith("local"):
+        # single-row-group local inputs scan as one task; the shingle
+        # HOF expression below is the heavy stage, so spread it first
+        docs = docs.repartition(spark.sparkContext.defaultParallelism)
     sep = ""
     words = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
     doc_sh = docs.select(F.col(id_col).alias("_id"), words.alias("_w")).select(

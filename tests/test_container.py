@@ -204,3 +204,31 @@ def test_streaming_dedup_drops_replays(spark, tmp_path):
     q.stop()
     got = sorted(r["event_id"] for r in spark.sql("SELECT * FROM events_deduped").collect())
     assert got == [1, 2, 3]  # replayed event 2 emitted once
+
+
+def test_raccoon_dataset(spark):
+    """Demo-scene analog of reference datasets.py raccoon(): full label
+    coverage, ~n_segments superpixels, the reference's 4 circles."""
+    from pyspark.sql import functions as F
+
+    from spatialdata_spark.datasets import raccoon
+
+    ds, meta = raccoon(spark, height=96, width=128, n_segments=25)
+    stats = ds.labels["segmentation"].agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("label").alias("k"),
+        F.min("label").alias("mn"),
+    ).first()
+    assert stats["n"] == 96 * 128          # every pixel labeled
+    assert 20 <= stats["k"] <= 25 and stats["mn"] >= 1
+    assert ds.images["raccoon"].count() == 96 * 128 * 3
+    vr = ds.images["raccoon"].agg(F.min("value"), F.max("value")).first()
+    assert 0.0 <= vr[0] and vr[1] <= 255.0
+    assert ds.shapes["circles"].count() == 4
+    # labels are spatially coherent: neighboring pixels mostly agree
+    lab = ds.labels["segmentation"]
+    a = lab.alias("a")
+    b = lab.select((F.col("y")).alias("y"), (F.col("x") + 1).alias("x"), F.col("label").alias("lab_r"))
+    joined = a.join(b, ["y", "x"])
+    frac_same = joined.agg(F.avg((F.col("label") == F.col("lab_r")).cast("double"))).first()[0]
+    assert frac_same > 0.9

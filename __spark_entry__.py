@@ -1308,7 +1308,7 @@ def ag_fractions(spark, sf_dir):
         ["shape_id", "minx", "miny", "maxx", "maxy"],
     )
     by = boxes_to_shapes(by_rows)
-    return aggregate_shapes_by_shapes(values, by, fractions=True, cell_size=30.0)
+    return aggregate_shapes_by_shapes(values, by, fractions=True, cell_size=30.0, values_kinds=frozenset({"box"}), by_kinds=frozenset({"box"}))
 
 
 def ag_points_by_darts(spark, sf_dir):
@@ -1417,7 +1417,7 @@ def ag_fractions_value(spark, sf_dir):
         ["shape_id", "minx", "miny", "maxx", "maxy"],
     )
     by = boxes_to_shapes(by_rows)
-    return aggregate_shapes_by_shapes(values, by, value_col="val", agg_func="sum", fractions=True, cell_size=30.0)
+    return aggregate_shapes_by_shapes(values, by, value_col="val", agg_func="sum", fractions=True, cell_size=30.0, values_kinds=frozenset({"box"}), by_kinds=frozenset({"box"}))
 
 
 AG_FRACTIONS_VALUE_SQL = f"""

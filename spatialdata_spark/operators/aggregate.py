@@ -490,6 +490,8 @@ def aggregate_shapes_by_shapes(
     agg_func: str = "count",
     fractions: bool = False,
     cell_size: float | None = None,
+    values_kinds: frozenset[str] | None = None,
+    by_kinds: frozenset[str] | None = None,
 ) -> DataFrame:
     """aggregate(shapes, by=shapes) with optional area-fraction weighting.
 
@@ -499,8 +501,12 @@ def aggregate_shapes_by_shapes(
     Box×box pairs compute the weight as a pure rectangle-clip
     expression — no Python in the plan.
     """
-    values_kinds = _shape_kinds(values)
-    by_kinds = _shape_kinds(by)
+    # kind discovery is two tiny driver jobs; callers that know their
+    # geometry kinds (e.g. all boxes) pass them to skip the round trips
+    if values_kinds is None:
+        values_kinds = _shape_kinds(values)
+    if by_kinds is None:
+        by_kinds = _shape_kinds(by)
     joined = grid_join_shapes_shapes(
         values, by, cell_size=cell_size, values_kinds=values_kinds, by_kinds=by_kinds
     )

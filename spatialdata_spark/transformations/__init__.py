@@ -12,6 +12,10 @@ from spatialdata_spark.transformations.base import (
     scale_radii_factor,
     validate_axes,
 )
+from spatialdata_spark.transformations.landmarks import (
+    align_elements_using_landmarks,
+    get_transformation_between_landmarks,
+)
 from spatialdata_spark.transformations.graph import (
     build_transform_graph,
     estimate_affine_from_landmarks,
@@ -19,6 +23,8 @@ from spatialdata_spark.transformations.graph import (
 )
 
 __all__ = [
+    "align_elements_using_landmarks",
+    "get_transformation_between_landmarks",
     "VALID_AXES",
     "Affine",
     "BaseTransformation",

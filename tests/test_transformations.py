@@ -156,3 +156,74 @@ def test_decompose_affine_3d_and_singular():
     assert np.allclose(seq.to_affine_matrix(axes, axes), m, atol=1e-9)
     with pytest.raises(ValueError):
         decompose_affine(Affine([[1, 0, 0], [1, 0, 0], [0, 0, 1]], XY, XY), XY)
+
+
+def test_landmark_similarity_recovered_exactly(spark):
+    """A known rotation+scale+translation is recovered to machine
+    precision from 5 landmark pairs (reference operations.py:347-444)."""
+    import numpy as np
+
+    from spatialdata_spark.transformations import get_transformation_between_landmarks
+
+    rng = np.random.default_rng(3)
+    mov = rng.uniform(0, 100, size=(5, 2))
+    th, s, t = 0.7, 1.8, np.array([12.0, -4.0])
+    rot = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+    ref = mov @ (s * rot).T + t
+
+    mdf = spark.createDataFrame([(float(x), float(y)) for x, y in mov], ["x", "y"])
+    rdf = spark.createDataFrame([(float(x), float(y)) for x, y in ref], ["x", "y"])
+    aff = get_transformation_between_landmarks(rdf, mdf)
+    m = aff.to_affine_matrix(("x", "y"), ("x", "y"))
+    mapped = mov @ m[:2, :2].T + m[:2, 2]
+    assert np.allclose(mapped, ref, atol=1e-9)
+
+
+def test_landmark_reflection_case(spark):
+    """Mirrored landmarks: the affine pre-fit detects det<0 and the
+    flip-compose path still maps moving onto reference."""
+    import numpy as np
+
+    from spatialdata_spark.transformations import get_transformation_between_landmarks
+
+    rng = np.random.default_rng(5)
+    mov = rng.uniform(0, 50, size=(6, 2))
+    ref = np.column_stack([-mov[:, 0] * 2.0 + 7.0, mov[:, 1] * 2.0 + 3.0])  # reflect+scale+shift
+    aff = get_transformation_between_landmarks(ref, mov)
+    m = aff.to_affine_matrix(("x", "y"), ("x", "y"))
+    assert np.linalg.det(m[:2, :2]) < 0  # reflection preserved
+    mapped = mov @ m[:2, :2].T + m[:2, 2]
+    assert np.allclose(mapped, ref, atol=1e-9)
+
+
+def test_align_elements_using_landmarks(spark):
+    import numpy as np
+
+    from spatialdata_spark.catalog import SpatialDataset
+    from spatialdata_spark.transformations import (
+        Identity,
+        Scale,
+        align_elements_using_landmarks,
+    )
+
+    pts_ref = spark.createDataFrame([(i, float(i * 3), float(i)) for i in range(4)], "id long, x double, y double")
+    pts_mov = spark.createDataFrame([(i, float(i), float(i * 2)) for i in range(4)], "id long, x double, y double")
+    ds = SpatialDataset(spark)
+    ds.add_points("ref", pts_ref, {"global": Identity()})
+    ds.add_points("mov", pts_mov, {"global": Scale([2.0, 2.0], ("x", "y"))})
+
+    # landmarks: mov corners should land on ref corners
+    mov_lm = np.array([[0.0, 0.0], [10.0, 0.0], [10.0, 10.0]])
+    ref_lm = np.array([[5.0, 5.0], [25.0, 5.0], [25.0, 25.0]])
+    new_t = align_elements_using_landmarks(ds, ref_lm, mov_lm, "ref", "mov", new_coordinate_system="aligned")
+    assert "aligned" in ds.transforms["mov"] and "aligned" in ds.transforms["ref"]
+    # the new transform = old scale then the landmark similarity
+    m = new_t.to_affine_matrix(("x", "y"), ("x", "y"))
+    mapped = mov_lm / 2.0 @ m[:2, :2].T + m[:2, 2]  # undo: landmarks were in post-scale space?
+    # landmark fit maps the raw landmark space; verify the similarity part alone
+    sim = ds.get_transformation("mov", "aligned")
+    lm_mapped = np.hstack([mov_lm, np.ones((3, 1))]) @ sim.to_affine_matrix(("x", "y"), ("x", "y"))[:2, :].T
+    # composed transform includes the old scale first, so feed pre-scale coords
+    pre = mov_lm / 2.0
+    lm2 = np.hstack([pre, np.ones((3, 1))]) @ m[:2, :].T
+    assert np.allclose(lm2, ref_lm, atol=1e-9)

@@ -395,6 +395,36 @@ def _transforms_from_attr(items: list[dict]) -> dict[str, BaseTransformation]:
     return out
 
 
+def consolidate_metadata(path: str) -> dict:
+    """Write zarr v2 *consolidated metadata* (``.zmetadata``): every
+    ``.zgroup``/``.zarray``/``.zattrs`` document gathered into one JSON
+    file, so a cloud reader resolves the whole hierarchy with a single
+    GET (reference analog: _core/spatialdata.py:1478-1492; the format
+    is the public zarr v2 consolidated-metadata convention)."""
+    meta: dict = {}
+    for root, _dirs, files in os.walk(path):
+        rel = os.path.relpath(root, path)
+        for fn in files:
+            if fn in (".zgroup", ".zarray", ".zattrs"):
+                key = fn if rel == "." else f"{rel}/{fn}"
+                meta[key.replace(os.sep, "/")] = _read_json(os.path.join(root, fn))
+    doc = {"zarr_consolidated_format": 1, "metadata": meta}
+    _write_json(os.path.join(path, ".zmetadata"), doc)
+    return doc
+
+
+def read_consolidated_metadata(path: str) -> dict | None:
+    """Load ``.zmetadata`` if present: ``{key: document}`` for every
+    metadata document in the store, else None."""
+    p = os.path.join(path, ".zmetadata")
+    if not os.path.exists(p):
+        return None
+    doc = _read_json(p)
+    if doc.get("zarr_consolidated_format") != 1:
+        raise ValueError("unsupported consolidated metadata format")
+    return doc["metadata"]
+
+
 # ---------------------------------------------------------------------------
 # container-level store
 # ---------------------------------------------------------------------------
@@ -480,6 +510,7 @@ def write_zarr_store(
             write_group(gpath, attrs)
         if ds.elements[kind]:
             write_group(os.path.join(path, kind))
+    consolidate_metadata(path)
 
 
 def read_zarr_store(
@@ -500,6 +531,16 @@ def read_zarr_store(
     ds = SpatialDataset(spark)
     kinds = ("images", "labels", "points", "shapes", "tables")
     selector = set(selection) if selection else set(kinds)
+    # consolidated metadata: one read resolves every group's attrs (on a
+    # cloud store this is the difference between 1 GET and dozens)
+    consolidated = read_consolidated_metadata(path)
+
+    def _attrs(group_path: str) -> dict:
+        if consolidated is not None:
+            key = os.path.relpath(group_path, path).replace(os.sep, "/") + "/.zattrs"
+            if key in consolidated:
+                return consolidated[key]
+        return read_attrs(group_path)
     for kind in kinds:
         kpath = os.path.join(path, kind)
         if kind not in selector or not os.path.isdir(kpath):
@@ -509,7 +550,7 @@ def read_zarr_store(
             if not os.path.isdir(gpath):
                 continue
             try:
-                attrs = read_attrs(gpath)
+                attrs = _attrs(gpath)
                 if kind in ("points", "shapes", "tables"):
                     leaf = {"points": "points.parquet", "shapes": "shapes.parquet", "tables": "table.parquet"}[kind]
                     df = spark.read.parquet(os.path.join(gpath, leaf))

@@ -129,3 +129,22 @@ def test_container_store_roundtrip(spark, tmp_path):
     with pytest.warns(UserWarning):
         tolerant = read_zarr_store(spark, p, on_bad_files="warn")
     assert "pts" not in tolerant.element_names()
+
+
+def test_consolidated_metadata(spark, tmp_path):
+    from spatialdata_spark.catalog import SpatialDataset
+    from spatialdata_spark.sources.zarrio import read_consolidated_metadata, read_zarr_store
+    from spatialdata_spark.transformations import Identity
+
+    pts = spark.createDataFrame([(1, 2.0, 3.0)], "id long, x double, y double")
+    ds = SpatialDataset(spark).add_points("pts", pts, {"global": Identity()})
+    p = str(tmp_path / "store.zarr")
+    ds.write_zarr(p)
+    meta = read_consolidated_metadata(p)
+    assert meta is not None and ".zgroup" in meta
+    assert "points/pts/.zattrs" in meta
+    # reading resolves attrs from the consolidated doc even when the
+    # per-group sidecar is gone
+    os.remove(os.path.join(p, "points", "pts", ".zattrs"))
+    back = read_zarr_store(spark, p)
+    assert "global" in back.transforms["pts"]

@@ -412,6 +412,73 @@ WHERE (p_brand = 'Brand#2'  AND p_size BETWEEN 1  AND 15 AND l_quantity BETWEEN 
 """
 
 
+def q16_parts_supplier_relationship(spark, sf_dir):
+    """TPC-H Q16 shape adapted to this schema (no partsupp table — the
+    part<->supplier link goes through lineitem): distinct suppliers per
+    (brand, type, size) for a filtered part family, excluding suppliers
+    with negative balance via an anti-join (the NOT IN subquery)."""
+    part = _read(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 7, 10, 13)
+    )
+    li = _read(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bad = _read(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    links = li.join(F.broadcast(bad), "l_suppkey", "left_anti")
+    joined = links.join(F.broadcast(part), links["l_partkey"] == part["p_partkey"])
+    return (
+        joined.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO' AND p_size IN (1, 4, 7, 10, 13)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def q22_global_sales_opportunity(spark, sf_dir):
+    """TPC-H Q22 shape: customers with above-average positive balance
+    who never placed a large order.  The average threshold is applied
+    by decimal cross-multiplication (bal * n > total) so the comparison
+    is integer-exact in both engines; the NOT EXISTS is an anti-join."""
+    cust = _read(spark, sf_dir, "customer")
+    pos = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.sum(F.col("c_acctbal").cast(DEC)).alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    big = _read(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    rich = (
+        cust.crossJoin(F.broadcast(pos))
+        .filter(F.col("c_acctbal").cast(DEC) * F.col("n") > F.col("s"))
+        .join(big, "c_custkey", "left_anti")
+    )
+    return rich.groupBy((F.col("c_custkey") % 10).alias("cntrycode")).agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("totacctbal"),
+    )
+
+
+Q22_SQL = f"""
+WITH pos AS (
+  SELECT SUM(CAST(c_acctbal AS {DEC})) AS s, COUNT(*) AS n FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_custkey % 10 AS cntrycode, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS {DEC})) AS DOUBLE) AS totacctbal
+FROM customer, pos
+WHERE CAST(c_acctbal AS {DEC}) * n > s
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c_custkey AND o.o_totalprice > 300000)
+GROUP BY cntrycode
+"""
+
+
 def q_rollup_revenue(spark, sf_dir):
     """ROLLUP grouping sets (absent in the reference, free in Spark):
     revenue at (flag, status), (flag), and grand-total levels."""
@@ -2706,6 +2773,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q13_customer_distribution": q13_customer_distribution,
         "q15_top_supplier": q15_top_supplier,
         "q17_small_quantity": q17_small_quantity,
+        "q16_parts_supplier_relationship": q16_parts_supplier_relationship,
+        "q22_global_sales_opportunity": q22_global_sales_opportunity,
         "q_rollup_revenue": q_rollup_revenue,
         "st_moving_avg": st_moving_avg,
         "sq_bbox_identity": sq_bbox_identity,
@@ -2804,6 +2873,8 @@ def oracle_sql() -> dict[str, str]:
         "q13_customer_distribution": Q13_SQL,
         "q15_top_supplier": Q15_SQL,
         "q17_small_quantity": Q17_SQL,
+        "q16_parts_supplier_relationship": Q16_SQL,
+        "q22_global_sales_opportunity": Q22_SQL,
         "q_rollup_revenue": Q_ROLLUP_SQL,
         "st_moving_avg": ST_MOVING_AVG_SQL,
         "sq_bbox_identity": SQ_BBOX_IDENTITY_SQL,

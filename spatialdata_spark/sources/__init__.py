@@ -13,6 +13,7 @@ from spatialdata_spark.sources.readers import (
     read_points,
     read_raster_tiles,
     read_shapes,
+    shapes_from_geoparquet,
 )
 
 __all__ = [
@@ -22,6 +23,7 @@ __all__ = [
     "read_points",
     "read_raster_tiles",
     "read_shapes",
+    "shapes_from_geoparquet",
     "read_zarr_store",
     "read_zarr_tiles",
     "write_tiles_to_zarr",

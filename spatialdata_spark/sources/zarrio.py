@@ -554,6 +554,11 @@ def read_zarr_store(
                 if kind in ("points", "shapes", "tables"):
                     leaf = {"points": "points.parquet", "shapes": "shapes.parquet", "tables": "table.parquet"}[kind]
                     df = spark.read.parquet(os.path.join(gpath, leaf))
+                    if kind == "shapes" and "wkb" not in df.columns and "geometry" in df.columns:
+                        # reference-written GeoParquet shapes (ShapesFormatV02+)
+                        from spatialdata_spark.sources.readers import shapes_from_geoparquet
+
+                        df = shapes_from_geoparquet(df)
                     ds.elements[kind][name] = df
                     tf = attrs.get("coordinateTransformations", [])
                     if tf:

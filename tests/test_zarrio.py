@@ -148,3 +148,29 @@ def test_consolidated_metadata(spark, tmp_path):
     os.remove(os.path.join(p, "points", "pts", ".zattrs"))
     back = read_zarr_store(spark, p)
     assert "global" in back.transforms["pts"]
+
+
+def test_reference_style_geoparquet_shapes(spark, tmp_path):
+    """A shapes.parquet laid out the way the reference writes it
+    (geometry WKB column + radius + persisted index, ShapesFormatV02+)
+    normalizes into the denormalized shapes schema on zarr read."""
+    from spatialdata_spark.geometry.wkb import encode_point, encode_polygon
+    from spatialdata_spark.sources.zarrio import read_zarr_store, write_group
+
+    ring = np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 3.0], [0.0, 3.0]])
+    rows = [
+        (10, bytes(encode_point(5.0, 6.0)), 2.0),
+        (11, bytes(encode_polygon([ring])), None),
+    ]
+    df = spark.createDataFrame(rows, "__index_level_0__ long, geometry binary, radius double")
+    p = tmp_path / "refstore"
+    gpath = p / "shapes" / "cells"
+    df.coalesce(1).write.parquet(str(gpath / "shapes.parquet"))
+    write_group(str(p), {"spatialdata_attrs": {"version": "0.1"}})
+    write_group(str(p / "shapes"))
+    write_group(str(gpath), {"spatialdata_attrs": {"version": "0.1"}})
+
+    ds = read_zarr_store(spark, str(p))
+    got = {r["shape_id"]: r for r in ds.shapes["cells"].collect()}
+    assert got[10]["kind"] == "point" and got[10]["minx"] == 3.0 and got[10]["maxy"] == 8.0
+    assert got[11]["kind"] == "polygon" and got[11]["maxx"] == 4.0 and got[11]["radius"] is None

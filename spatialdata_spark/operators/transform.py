@@ -172,6 +172,8 @@ def transform_to_coordinate_system(ds, element: str, target_cs: str) -> DataFram
     """Resolve the element→CS transform through the graph and apply it
     (reference: _core/spatialdata.py:780-893)."""
     kind = ds.kind_of(element)
+    if kind == "tables":
+        raise ValueError("cannot transform element kind 'tables' (tables carry no coordinates)")
     t = ds.get_transformation_between(element, target_cs)
     df = ds[element]
     if kind == "points":
@@ -180,4 +182,17 @@ def transform_to_coordinate_system(ds, element: str, target_cs: str) -> DataFram
         return transform_shapes(df, t)
     if kind == "labels":
         return transform_labels_long(df, t)
-    raise NotImplementedError(f"transform_to_coordinate_system for kind {kind!r}")
+    if kind == "images":
+        # long-form images take the same nearest-pixel path as labels
+        # (the reference also nearest-snaps rasters on transform unless
+        # resampling is requested); general resampling with
+        # interpolation lives in the tile layer
+        # (operators/raster.py affine_resample_tiles).
+        has_c = "c" in df.columns
+        out = apply_affine(
+            df.withColumn("x", F.col("x").cast("double")).withColumn("y", F.col("y").cast("double")),
+            t,
+        ).withColumn("x", F.round("x").cast("long")).withColumn("y", F.round("y").cast("long"))
+        cols = (["c"] if has_c else []) + ["y", "x", "value"]
+        return out.select(*cols)
+    raise ValueError(f"cannot transform element kind {kind!r} (tables carry no coordinates)")

@@ -227,3 +227,27 @@ def test_align_elements_using_landmarks(spark):
     pre = mov_lm / 2.0
     lm2 = np.hstack([pre, np.ones((3, 1))]) @ m[:2, :].T
     assert np.allclose(lm2, ref_lm, atol=1e-9)
+
+
+def test_transform_to_cs_images(spark):
+    from spatialdata_spark.catalog import SpatialDataset
+    from spatialdata_spark.operators.transform import transform_to_coordinate_system
+    from spatialdata_spark.transformations import Translation
+
+    img = spark.createDataFrame(
+        [(0, y, x, float(y * 10 + x)) for y in range(4) for x in range(4)],
+        "c int, y long, x long, value double",
+    )
+    ds = SpatialDataset(spark)
+    ds.add_images("img", img, {"shifted": Translation([5.0, 7.0], ("x", "y"))})
+    out = transform_to_coordinate_system(ds, "img", "shifted")
+    got = {(r["y"], r["x"]): r["value"] for r in out.collect()}
+    assert got[(7, 5)] == 0.0 and got[(10, 8)] == 33.0
+
+    # tables have no coordinates: explicit error, not a silent pass
+    t = spark.createDataFrame([(1, "cells")], "instance_id long, region string")
+    ds.add_table("tab", t, region="img")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="tables"):
+        transform_to_coordinate_system(ds, "tab", "shifted")

@@ -174,3 +174,36 @@ def test_reference_style_geoparquet_shapes(spark, tmp_path):
     got = {r["shape_id"]: r for r in ds.shapes["cells"].collect()}
     assert got[10]["kind"] == "point" and got[10]["minx"] == 3.0 and got[10]["maxy"] == 8.0
     assert got[11]["kind"] == "polygon" and got[11]["maxx"] == 4.0 and got[11]["radius"] is None
+
+
+def test_zarr_tiles_feed_bbox_query(spark, tmp_path):
+    """Chunks decoded from a zarr store flow straight into the tile
+    bbox query — the zarr layer integrates with the operator stack, not
+    just with itself."""
+    from spatialdata_spark.operators.raster import (
+        RasterMeta,
+        bounding_box_query_tiles,
+        long_to_tiles,
+        tiles_to_long,
+    )
+    from spatialdata_spark.sources.zarrio import read_zarr_tiles, write_tiles_to_zarr
+
+    meta = RasterMeta(height=80, width=80, tile=32, dtype="f8")
+    rows = [(0, y, x, float(y * 1000 + x)) for y in range(80) for x in range(0, 80, 5)]
+    long_df = spark.createDataFrame(rows, "c int, y long, x long, value double")
+    p = str(tmp_path / "arr")
+    write_tiles_to_zarr(long_to_tiles(long_df, meta), meta, p)
+
+    tiles, meta2 = read_zarr_tiles(spark, p)
+    q = bounding_box_query_tiles(tiles, meta2, 10, 5, 40, 41)
+    got = {
+        (r["y"], r["x"]): r["value"]
+        for r in tiles_to_long(q, meta2).filter(F.col("value") != 0).collect()
+    }
+    exp = {
+        (y, x): float(y * 1000 + x)
+        for y in range(10, 40)
+        for x in range(5, 41, 5)
+        if y * 1000 + x != 0
+    }
+    assert got == exp

@@ -226,3 +226,61 @@ def is_convex(ring: np.ndarray) -> bool:
             elif (c > 0) != (sign > 0):
                 return False
     return True
+
+
+def ear_clip_triangulate(ring: np.ndarray) -> list[np.ndarray]:
+    """Triangulate a simple (non-self-intersecting) polygon ring by ear
+    clipping — the textbook O(n^2) algorithm, fine for query rings.
+    Returns interior-disjoint (3, 2) triangles covering the polygon.
+
+    Ear validity is the classic rule: a convex vertex forms an ear iff
+    no *reflex* vertex lies in the closed candidate triangle — the
+    closed test matters when a reflex vertex sits exactly on the ear
+    diagonal (an L-shaped ring), where an open test would accept a
+    diagonal that crosses the boundary.  Raises on degenerate input
+    rather than returning a partial cover.
+    """
+    pts = np.asarray(ring, dtype=float)
+    if (pts[0] == pts[-1]).all():
+        pts = pts[:-1]
+    if ring_area(pts) < 0:
+        pts = pts[::-1]
+    idx = list(range(len(pts)))
+    tris: list[np.ndarray] = []
+
+    def cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    def reflex_set(ids):
+        n = len(ids)
+        out = set()
+        for k in range(n):
+            a, b, c = pts[ids[(k - 1) % n]], pts[ids[k]], pts[ids[(k + 1) % n]]
+            if cross(a, b, c) < 0:
+                out.add(ids[k])
+        return out
+
+    while len(idx) > 3:
+        reflex = reflex_set(idx)
+        n = len(idx)
+        for k in range(n):
+            i0, i1, i2 = idx[(k - 1) % n], idx[k], idx[(k + 1) % n]
+            a, b, c = pts[i0], pts[i1], pts[i2]
+            if cross(a, b, c) <= 0:
+                continue  # reflex or collinear vertex, not an ear tip
+            blocked = any(
+                j not in (i0, i1, i2)
+                and cross(a, b, pts[j]) >= 0
+                and cross(b, c, pts[j]) >= 0
+                and cross(c, a, pts[j]) >= 0
+                for j in reflex
+            )
+            if blocked:
+                continue
+            tris.append(np.array([a, b, c]))
+            idx.pop(k)
+            break
+        else:
+            raise ValueError("ear clipping failed: ring is degenerate or self-intersecting")
+    tris.append(pts[idx])
+    return tris

@@ -382,10 +382,10 @@ def polygon_query_shapes(
     ``queried_shapes.clip(polygon_gdf)``: circles are polygonized first
     (the reference buffers them via ``to_polygons``), bbox columns are
     recomputed from the clipped ring, ``kind`` becomes ``polygon`` and
-    ``radius`` is cleared.  The clip kernel is Sutherland–Hodgman, so
-    the query ring must be convex (axis-aligned boxes, rotated rects,
-    circles-as-ngons cover the practical cases); concave query rings
-    raise ``NotImplementedError``.
+    ``radius`` is cleared.  The clip kernel is Sutherland–Hodgman
+    against a convex ring; concave query rings are ear-clipped into
+    interior-disjoint triangles first, so the clipped geometry comes
+    back as a multipolygon of pieces whose areas sum exactly.
     """
     ring = np.asarray(polygon_ring, dtype=float)
     t = transformation or Identity()
@@ -404,9 +404,16 @@ def polygon_query_shapes(
     out = pre.filter(refine(F.col("wkb"), F.col("radius")))
     if not clip:
         return out
-    if not _is_convex(ring_i):
-        raise NotImplementedError("clip=True requires a convex query polygon")
     ring_arr = np.asarray(ring_i, dtype=float)
+    # concave query rings: ear-clip into interior-disjoint triangles and
+    # clip against each — the pieces form a multipolygon whose areas sum
+    # exactly (triangles share only boundary)
+    if _is_convex(ring_arr):
+        clip_rings = [ring_arr]
+    else:
+        from spatialdata_spark.geometry.predicates import ear_clip_triangulate
+
+        clip_rings = ear_clip_triangulate(ring_arr)
 
     clip_schema = T.StructType(
         [
@@ -438,16 +445,18 @@ def polygon_query_shapes(
             clipped = []
             area = 0.0
             for rings in parts:
-                # exterior ring clipped; holes subtract from the area
-                # (hole geometry itself is dropped — documented approx)
-                c = P.clip_polygon_convex(rings[0], ring_arr)
-                if len(c) >= 3:
-                    clipped.append([c])
-                    area += abs(P.ring_area(c))
-                    for hole in rings[1:]:
-                        hc = P.clip_polygon_convex(hole, ring_arr)
-                        if len(hc) >= 3:
-                            area -= abs(P.ring_area(hc))
+                # exterior ring clipped against each (convex) clip piece;
+                # holes subtract from the area (hole geometry itself is
+                # dropped — documented approx)
+                for piece in clip_rings:
+                    c = P.clip_polygon_convex(rings[0], piece)
+                    if len(c) >= 3 and abs(P.ring_area(c)) > 0:
+                        clipped.append([c])
+                        area += abs(P.ring_area(c))
+                        for hole in rings[1:]:
+                            hc = P.clip_polygon_convex(hole, piece)
+                            if len(hc) >= 3:
+                                area -= abs(P.ring_area(hc))
             if not clipped:
                 rows.append((None, None, None, None, None, None))
                 continue

@@ -128,3 +128,39 @@ def test_spatially_partitioned_store_prunes(spark, tmp_path):
     # x spans cells 0..6, box [10,30] touches cells 0 and 1 only
     assert "PartitionFilters" in plan
     assert "__cell_x" in plan
+
+
+def test_polygon_query_shapes_concave_clip(spark):
+    """clip=True with an L-shaped (concave) query ring: clipped areas
+    must equal the rectangle-decomposition ground truth."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from spatialdata_spark.operators.spatial_query import polygon_query_shapes
+    from spatialdata_spark.operators.vectorize import boxes_to_shapes
+
+    boxes = spark.createDataFrame(
+        [
+            (1, 1.0, 1.0, 3.0, 3.0),     # straddles the notch corner
+            (2, 4.5, 0.5, 7.5, 1.5),     # inside the bottom arm
+            (3, 0.5, 4.5, 1.5, 7.5),     # inside the left arm
+            (4, 5.0, 5.0, 9.0, 9.0),     # inside the notch: no overlap
+            (5, -2.0, -2.0, 10.0, 10.0), # covers the whole L
+        ],
+        ["shape_id", "minx", "miny", "maxx", "maxy"],
+    )
+    # L = [0,8]x[0,8] minus [4,8]x[4,8] -> area 48
+    L = np.array([[0, 0], [8, 0], [8, 4], [4, 4], [4, 8], [0, 8]], dtype=float)
+
+    def l_area(x0, y0, x1, y1):
+        def rect(a0, b0, a1, b1):
+            return max(0.0, min(x1, a1) - max(x0, a0)) * max(0.0, min(y1, b1) - max(y0, b0))
+
+        return rect(0, 0, 8, 4) + rect(0, 4, 4, 8)
+
+    out = polygon_query_shapes(boxes_to_shapes(boxes), L, clip=True)
+    got = {r["shape_id"]: r["clip_area"] for r in out.collect()}
+    assert 4 not in got
+    for sid, (x0, y0, x1, y1) in {1: (1, 1, 3, 3), 2: (4.5, 0.5, 7.5, 1.5), 3: (0.5, 4.5, 1.5, 7.5), 5: (-2, -2, 10, 10)}.items():
+        assert abs(got[sid] - l_area(x0, y0, x1, y1)) < 1e-9, sid
+    assert abs(got[5] - 48.0) < 1e-9

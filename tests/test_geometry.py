@@ -99,3 +99,38 @@ def test_wkb_roundtrip_property():
 
     roundtrip_polygon()
     roundtrip_multipolygon()
+
+
+def test_ear_clip_triangulate_l_shape_and_fuzz():
+    import numpy as np
+
+    from spatialdata_spark.geometry.predicates import ear_clip_triangulate, ring_area
+
+    L = np.array([[0, 0], [4, 0], [4, 2], [2, 2], [2, 4], [0, 4]], dtype=float)
+    tris = ear_clip_triangulate(L)
+    assert abs(sum(abs(ring_area(t)) for t in tris) - 12.0) < 1e-12
+
+    rng = np.random.default_rng(1)
+    from spatialdata_spark.geometry.predicates import _segments_intersect
+
+    def is_simple(poly):
+        n = len(poly)
+        for i in range(n):
+            for j in range(i + 1, n):
+                if j == i or (j + 1) % n == i or j == (i + 1) % n:
+                    continue
+                if _segments_intersect(poly[i], poly[(i + 1) % n], poly[j], poly[(j + 1) % n]):
+                    return False
+        return True
+
+    checked = 0
+    for _ in range(60):
+        ang = np.sort(rng.uniform(0, 2 * np.pi, rng.integers(4, 12)))
+        rad = rng.uniform(1, 5, len(ang))
+        poly = np.column_stack([rad * np.cos(ang), rad * np.sin(ang)])
+        if not is_simple(poly):
+            continue
+        checked += 1
+        got = sum(abs(ring_area(t)) for t in ear_clip_triangulate(poly))
+        assert abs(got - abs(ring_area(poly))) < 1e-9
+    assert checked > 20

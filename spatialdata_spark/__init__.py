@@ -21,6 +21,13 @@ Data model mapping (see SURVEY.md §1.5):
 """
 
 from spatialdata_spark.catalog import SpatialDataset
+from spatialdata_spark.operators.container import (
+    bounding_box_query_dataset as bounding_box_query,
+)
+from spatialdata_spark.operators.container import (
+    polygon_query_dataset as polygon_query,
+)
+from spatialdata_spark.operators.transform import transform_to_coordinate_system
 from spatialdata_spark.transformations import (
     Affine,
     BaseTransformation,
@@ -29,9 +36,14 @@ from spatialdata_spark.transformations import (
     Scale,
     Sequence,
     Translation,
+    align_elements_using_landmarks,
+    get_transformation_between_landmarks,
 )
 
-__version__ = "0.1.0"
+#: reference-API-style entry points (spatialdata's read_zarr / blobs)
+read_zarr = SpatialDataset.read_zarr
+
+__version__ = "0.2.0"
 
 __all__ = [
     "SpatialDataset",
@@ -42,4 +54,10 @@ __all__ = [
     "Scale",
     "Affine",
     "Sequence",
+    "bounding_box_query",
+    "polygon_query",
+    "transform_to_coordinate_system",
+    "align_elements_using_landmarks",
+    "get_transformation_between_landmarks",
+    "read_zarr",
 ]

@@ -2758,7 +2758,57 @@ SELECT user_id, event_id, value, rank FROM (
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Dict order matters: the correctness driver oracles the FIRST 50 entries.
+    # Rounds 1-3 driver-checked the TPC-H/sq_/rq_/ag_ families (all green three
+    # rounds running and locked by tests/test_oracle_parity.py); lead with the
+    # families that have not yet had a driver-green row (rv_/rt_/pl_/st_ plus
+    # ag_extent/ag_zonal_image), then the locked ones.
     return {
+        "ag_extent": ag_extent,
+        "ag_zonal_image": ag_zonal_image,
+        "rv_rasterize_count": rv_rasterize_count,
+        "rv_rasterize_cat": rv_rasterize_cat,
+        "rv_rasterize_circle_fill": rv_rasterize_circle_fill,
+        "rv_to_circles": rv_to_circles,
+        "rv_to_polygons": rv_to_polygons,
+        "rv_relabel": rv_relabel,
+        "rv_rasterize_bins": rv_rasterize_bins,
+        "rv_transform_points": rv_transform_points,
+        "rv_transform_shapes": rv_transform_shapes,
+        "rt_map_tiles": rt_map_tiles,
+        "rt_bbox_tiles": rt_bbox_tiles,
+        "rt_pyramid_sum": rt_pyramid_sum,
+        "rt_halo_boxsum": rt_halo_boxsum,
+        "rt_zonal_tiles": rt_zonal_tiles,
+        "rt_unpad_extent": rt_unpad_extent,
+        "rt_affine_resample": rt_affine_resample,
+        "rt_export_tiles": rt_export_tiles,
+        "pl_dedup_exact": pl_dedup_exact,
+        "pl_text_stats": pl_text_stats,
+        "pl_fingerprint": pl_fingerprint,
+        "pl_token_count": pl_token_count,
+        "pl_knn_cosine": pl_knn_cosine,
+        "pl_cosine_pairs": pl_cosine_pairs,
+        "pl_ivf_exact": pl_ivf_exact,
+        "pl_ivf_probe": pl_ivf_probe,
+        "pl_quality_score": pl_quality_score,
+        "pl_minhash_dedup": pl_minhash_dedup,
+        "pl_minhash_cc": pl_minhash_cc,
+        "pl_language_id": pl_language_id,
+        "pl_lsh_topk": pl_lsh_topk,
+        "pl_simhash": pl_simhash,
+        "pl_simhash_neardup": pl_simhash_neardup,
+        "pl_ngram_jaccard": pl_ngram_jaccard,
+        "pl_multimodal_features": pl_multimodal_features,
+        "pl_resize_images": pl_resize_images,
+        "pl_frame_sample": pl_frame_sample,
+        "st_session_native": st_session_native,
+        "st_distinct_users_daily": st_distinct_users_daily,
+        "st_value_quantiles": st_value_quantiles,
+        "st_tumbling": st_tumbling,
+        "st_sliding": st_sliding,
+        "st_sessionize": st_sessionize,
+        "st_topk_per_user": st_topk_per_user,
         "q01_pricing_summary": q01_pricing_summary,
         "q03_shipping": q03_shipping,
         "q05_local_supplier": q05_local_supplier,
@@ -2809,51 +2859,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ag_fractions": ag_fractions,
         "ag_fractions_value": ag_fractions_value,
         "ag_centroids_labels": ag_centroids_labels,
-        "ag_extent": ag_extent,
-        "ag_zonal_image": ag_zonal_image,
-        "rv_rasterize_count": rv_rasterize_count,
-        "rv_rasterize_cat": rv_rasterize_cat,
-        "rv_rasterize_circle_fill": rv_rasterize_circle_fill,
-        "rv_to_circles": rv_to_circles,
-        "rv_to_polygons": rv_to_polygons,
-        "rv_relabel": rv_relabel,
-        "rv_rasterize_bins": rv_rasterize_bins,
-        "rv_transform_points": rv_transform_points,
-        "rv_transform_shapes": rv_transform_shapes,
-        "rt_map_tiles": rt_map_tiles,
-        "rt_bbox_tiles": rt_bbox_tiles,
-        "rt_pyramid_sum": rt_pyramid_sum,
-        "rt_halo_boxsum": rt_halo_boxsum,
-        "rt_zonal_tiles": rt_zonal_tiles,
-        "rt_unpad_extent": rt_unpad_extent,
-        "rt_affine_resample": rt_affine_resample,
-        "rt_export_tiles": rt_export_tiles,
-        "pl_dedup_exact": pl_dedup_exact,
-        "pl_text_stats": pl_text_stats,
-        "pl_fingerprint": pl_fingerprint,
-        "pl_token_count": pl_token_count,
-        "pl_knn_cosine": pl_knn_cosine,
-        "pl_cosine_pairs": pl_cosine_pairs,
-        "pl_ivf_exact": pl_ivf_exact,
-        "pl_ivf_probe": pl_ivf_probe,
-        "pl_quality_score": pl_quality_score,
-        "pl_minhash_dedup": pl_minhash_dedup,
-        "pl_minhash_cc": pl_minhash_cc,
-        "pl_language_id": pl_language_id,
-        "pl_lsh_topk": pl_lsh_topk,
-        "pl_simhash": pl_simhash,
-        "pl_simhash_neardup": pl_simhash_neardup,
-        "pl_ngram_jaccard": pl_ngram_jaccard,
-        "pl_multimodal_features": pl_multimodal_features,
-        "pl_resize_images": pl_resize_images,
-        "pl_frame_sample": pl_frame_sample,
-        "st_session_native": st_session_native,
-        "st_distinct_users_daily": st_distinct_users_daily,
-        "st_value_quantiles": st_value_quantiles,
-        "st_tumbling": st_tumbling,
-        "st_sliding": st_sliding,
-        "st_sessionize": st_sessionize,
-        "st_topk_per_user": st_topk_per_user,
     }
 
 

@@ -1060,6 +1060,76 @@ SELECT shape_id, radius FROM c WHERE {_polygon_shapes_sql()}
 """
 
 
+# Two-part multipolygon regions: part A sits entirely at x <= -20 where no
+# circle reaches (circle minx >= -7), part B overlaps the data — every match
+# is via the SECOND part, pinning the all-parts refine in
+# spatialdata_spark.operators.aggregate._as_polys (reference: geopandas
+# sjoin treats multipolygons part-exhaustively).  Fractional coords keep
+# distance==radius ties unreachable by the integer circle grid.
+_MP_PARTS = [
+    (
+        (-30.123456, 10.0 * i + 0.321987, -20.456789, 10.0 * i + 8.765432),
+        (20.0 * i + 1.123456, 5.654321, 20.0 * i + 13.987654, 30.246813),
+    )
+    for i in range(4)
+]
+
+
+def sq_multipart_shapes(spark, sf_dir):
+    from spatialdata_spark.geometry import wkb as W
+    from spatialdata_spark.operators.aggregate import aggregate_shapes_by_shapes
+
+    rows = []
+    for i, (pa, pb) in enumerate(_MP_PARTS):
+        polys = [
+            [np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]], dtype=float)]
+            for (x0, y0, x1, y1) in (pa, pb)
+        ]
+        buf = W.encode_multipolygon(polys)
+        rows.append(
+            (
+                i,
+                "multipolygon",
+                bytearray(buf),
+                float(min(pa[0], pb[0])),
+                float(min(pa[1], pb[1])),
+                float(max(pa[2], pb[2])),
+                float(max(pa[3], pb[3])),
+                None,
+            )
+        )
+    by = spark.createDataFrame(
+        rows,
+        "shape_id BIGINT, kind STRING, wkb BINARY, minx DOUBLE, miny DOUBLE, maxx DOUBLE, maxy DOUBLE, radius DOUBLE",
+    )
+    circles = _circles(spark, sf_dir)
+    out = aggregate_shapes_by_shapes(
+        circles, by, values_kinds=frozenset({"point"}), by_kinds=frozenset({"multipolygon"})
+    )
+    return out.select("by_id", "n")
+
+
+def _mp_sql() -> str:
+    selects = []
+    for i, (pa, pb) in enumerate(_MP_PARTS):
+        conds = [
+            f"(POWER(GREATEST({x0!r} - cx, cx - {x1!r}, 0.0), 2)"
+            f" + POWER(GREATEST({y0!r} - cy, cy - {y1!r}, 0.0), 2)) <= radius*radius"
+            for (x0, y0, x1, y1) in (pa, pb)
+        ]
+        selects.append(
+            f"SELECT CAST({i} AS BIGINT) AS by_id, COUNT(*) AS n FROM c"
+            f" WHERE ({' OR '.join(conds)}) HAVING COUNT(*) > 0"
+        )
+    return " UNION ALL ".join(selects)
+
+
+SQ_MULTIPART_SHAPES_SQL = f"""
+WITH c AS ({CIRCLES_SQL})
+{_mp_sql()}
+"""
+
+
 # -- relational joins -------------------------------------------------------
 
 
@@ -2809,6 +2879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_sliding": st_sliding,
         "st_sessionize": st_sessionize,
         "st_topk_per_user": st_topk_per_user,
+        "sq_multipart_shapes": sq_multipart_shapes,
         "q01_pricing_summary": q01_pricing_summary,
         "q03_shipping": q03_shipping,
         "q05_local_supplier": q05_local_supplier,
@@ -2894,6 +2965,7 @@ def oracle_sql() -> dict[str, str]:
         "sq_polygon_concave": SQ_POLYGON_CONCAVE_SQL,
         "sq_bbox_shapes": SQ_BBOX_SHAPES_SQL,
         "sq_polygon_shapes": SQ_POLYGON_SHAPES_SQL,
+        "sq_multipart_shapes": SQ_MULTIPART_SHAPES_SQL,
         "rq_join_left": RQ_JOIN_LEFT_SQL,
         "rq_join_inner_element": RQ_JOIN_INNER_SQL,
         "rq_join_left_exclusive": RQ_JOIN_LEFT_EXCL_SQL,

@@ -150,6 +150,77 @@ def rings_intersect(a: np.ndarray, b: np.ndarray) -> bool:
     return False
 
 
+def _rings_edges_cross(a: np.ndarray, b: np.ndarray) -> bool:
+    """Any edge of closed ring a crosses/touches any edge of closed ring b."""
+    bmin = b.min(axis=0)
+    bmax = b.max(axis=0)
+    a_closed = a if (a[0] == a[-1]).all() else np.vstack([a, a[:1]])
+    b_closed = b if (b[0] == b[-1]).all() else np.vstack([b, b[:1]])
+    for i in range(len(a_closed) - 1):
+        e1min = np.minimum(a_closed[i], a_closed[i + 1])
+        e1max = np.maximum(a_closed[i], a_closed[i + 1])
+        if (e1min > bmax).any() or (bmin > e1max).any():
+            continue
+        for j in range(len(b_closed) - 1):
+            if _segments_intersect(a_closed[i], a_closed[i + 1], b_closed[j], b_closed[j + 1]):
+                return True
+    return False
+
+
+def polygons_intersect(a: list[list[np.ndarray]], b: list[list[np.ndarray]]) -> bool:
+    """Exact intersects test between two (multi)polygons with holes.
+
+    Each argument is a list of polygon parts, each part a list of rings
+    (exterior first, then holes).  Closures intersect iff any ring edges
+    cross/touch, or a vertex of one lies inside the other (hole-aware,
+    so geometry nested wholly inside a hole does NOT intersect).
+    Reference semantics: geopandas sjoin predicate="intersects"
+    (spatialdata _core/operations/aggregate.py joins on intersects).
+    """
+    a_pts = np.vstack([r for rings in a for r in rings])
+    b_pts = np.vstack([r for rings in b for r in rings])
+    if (a_pts.min(axis=0) > b_pts.max(axis=0)).any() or (b_pts.min(axis=0) > a_pts.max(axis=0)).any():
+        return False
+    for rings in a:
+        for ring in rings:
+            if points_in_multipolygon(ring[:, 0], ring[:, 1], b).any():
+                return True
+    for rings in b:
+        for ring in rings:
+            if points_in_multipolygon(ring[:, 0], ring[:, 1], a).any():
+                return True
+    for rings_a in a:
+        for ra in rings_a:
+            for rings_b in b:
+                for rb in rings_b:
+                    if _rings_edges_cross(ra, rb):
+                        return True
+    return False
+
+
+def polygons_intersect_circle(polys: list[list[np.ndarray]], cx: float, cy: float, r: float) -> bool:
+    """Exact disk-vs-(multi)polygon-with-holes: center inside the polygon
+    (hole-aware), or some ring edge within r of the center."""
+    if points_in_multipolygon(np.array([cx]), np.array([cy]), polys)[0]:
+        return True
+    return any(
+        _ring_edge_within(ring, cx, cy, r) for rings in polys for ring in rings
+    )
+
+
+def _ring_edge_within(ring: np.ndarray, cx: float, cy: float, r: float) -> bool:
+    closed = ring if (ring[0] == ring[-1]).all() else np.vstack([ring, ring[:1]])
+    a = closed[:-1]
+    b = closed[1:]
+    ab = b - a
+    ap = np.array([cx, cy]) - a
+    denom = (ab * ab).sum(axis=1)
+    t = np.clip(np.divide((ap * ab).sum(axis=1), denom, out=np.zeros_like(denom), where=denom > 0), 0.0, 1.0)
+    closest = a + ab * t[:, None]
+    d2 = ((closest - np.array([cx, cy])) ** 2).sum(axis=1)
+    return bool((d2 <= r * r).any())
+
+
 def ring_intersects_circle(ring: np.ndarray, cx: float, cy: float, r: float) -> bool:
     """Exact disk-vs-polygon intersection: the center is inside the
     ring, or some ring edge comes within r of the center."""

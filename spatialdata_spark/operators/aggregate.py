@@ -418,9 +418,19 @@ def grid_join_shapes_shapes(
 
         out = []
         for vw, bw, vk, bk, vr, br in zip(v_wkb, b_wkb, v_kind, b_kind, v_radius, b_radius):
-            va = _as_ring(W, vk, vw, vr)
-            ba = _as_ring(W, bk, bw, br)
-            out.append(P.rings_intersect(va, ba))
+            # circle vs polygon uses the exact disk test (no 32-gon
+            # approximation) so SQL oracles match bit-exactly
+            if vk == "point" and bk != "point":
+                _, c = W.decode(bytes(vw))
+                out.append(P.polygons_intersect_circle(_as_polys(W, bk, bw, br), float(c[0]), float(c[1]), float(vr)))
+                continue
+            if bk == "point" and vk != "point":
+                _, c = W.decode(bytes(bw))
+                out.append(P.polygons_intersect_circle(_as_polys(W, vk, vw, vr), float(c[0]), float(c[1]), float(br)))
+                continue
+            va = _as_polys(W, vk, vw, vr)
+            ba = _as_polys(W, bk, bw, br)
+            out.append(P.polygons_intersect(va, ba))
         return pd.Series(out)
 
     return cand.filter(
@@ -430,15 +440,18 @@ def grid_join_shapes_shapes(
     )
 
 
-def _as_ring(W, kind: str, wkb_buf: bytes, radius) -> np.ndarray:
-    """Exterior ring of any shape; circles become 32-gons
-    (reference buffers circles to polygons, aggregate.py:365-368)."""
+def _as_polys(W, kind: str, wkb_buf: bytes, radius) -> list:
+    """Any shape as a multipolygon-with-holes ``[[exterior, *holes], ...]``;
+    circles become 32-gons (reference buffers circles to polygons,
+    aggregate.py:365-368).  All parts and interior rings participate in
+    the exact refine — a multipolygon whose second part alone touches
+    the region must still match."""
     k, geom = W.decode(bytes(wkb_buf))
     if k == "point":
-        return W.regular_polygon(float(geom[0]), float(geom[1]), float(radius))
+        return [[W.regular_polygon(float(geom[0]), float(geom[1]), float(radius))]]
     if k == "polygon":
-        return geom[0]
-    return geom[0][0]  # first polygon's exterior; refine handles rest
+        return [geom]
+    return geom
 
 
 def aggregate_points_by_shapes(
@@ -528,13 +541,19 @@ def aggregate_shapes_by_shapes(
 
             out = []
             for vw, bw, vk, bk, vr, br in zip(v_wkb, b_wkb, v_kind, b_kind, v_radius, b_radius):
-                v_ring = _as_ring(W, vk, vw, vr)
-                b_ring = _as_ring(W, bk, bw, br)
-                va = abs(P.ring_area(v_ring))
+                v_polys = _as_polys(W, vk, vw, vr)
+                b_polys = _as_polys(W, bk, bw, br)
+                va = P.multipolygon_area(v_polys)
                 if va == 0:
                     out.append(0.0)
                     continue
-                inter = P.intersection_area_convex([v_ring], b_ring)
+                # by-regions are convex per contract; a multi-part "by"
+                # contributes the sum over its (disjoint) parts' exteriors
+                inter = sum(
+                    P.intersection_area_convex(v_rings, b_rings[0])
+                    for v_rings in v_polys
+                    for b_rings in b_polys
+                )
                 out.append(inter / va)
             return pd.Series(out)
 

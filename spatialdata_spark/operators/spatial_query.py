@@ -210,9 +210,11 @@ def _polygon_refine_udf(ring: np.ndarray):
             if kind == "point":
                 out.append(P.ring_intersects_circle(ring_arr, float(geom[0]), float(geom[1]), float(radius or 0.0)))
             elif kind == "polygon":
-                out.append(P.rings_intersect(geom[0], ring_arr))
+                # hole-aware: a query ring nested wholly inside an
+                # interior ring does not intersect the polygon
+                out.append(P.polygons_intersect([geom], [[ring_arr]]))
             else:
-                out.append(any(P.rings_intersect(rings[0], ring_arr) for rings in geom))
+                out.append(P.polygons_intersect(geom, [[ring_arr]]))
         return pd.Series(out)
 
     return _refine

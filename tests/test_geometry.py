@@ -52,6 +52,37 @@ def test_rings_intersect():
     assert P.rings_intersect(SQUARE, inner)
 
 
+def test_polygons_intersect_multipart_and_holes():
+    far = SQUARE + 100.0
+    mp = [[far], [SQUARE]]  # two-part multipolygon; only part 2 is local
+    probe = [[SQUARE + 2.0]]
+    # second part alone intersecting must match (regression: old refine
+    # tested only the first part's exterior)
+    assert P.polygons_intersect(mp, probe)
+    assert P.polygons_intersect(probe, mp)
+    assert not P.polygons_intersect([[far]], probe)
+    # geometry nested wholly inside a hole does NOT intersect
+    big = SQUARE * 10.0  # [0,40]^2
+    hole = np.array([[10.0, 10.0], [30.0, 10.0], [30.0, 30.0], [10.0, 30.0]])
+    donut = [[big, hole]]
+    inner = [[np.array([[15.0, 15.0], [20.0, 15.0], [20.0, 20.0], [15.0, 20.0]])]]
+    assert not P.polygons_intersect(donut, inner)
+    assert not P.polygons_intersect(inner, donut)
+    # but one crossing the hole ring does
+    crossing = [[np.array([[5.0, 15.0], [20.0, 15.0], [20.0, 20.0], [5.0, 20.0]])]]
+    assert P.polygons_intersect(donut, crossing)
+
+
+def test_polygons_intersect_circle_hole_aware():
+    big = SQUARE * 10.0
+    hole = np.array([[10.0, 10.0], [30.0, 10.0], [30.0, 30.0], [10.0, 30.0]])
+    donut = [[big, hole]]
+    assert not P.polygons_intersect_circle(donut, 20.0, 20.0, 3.0)  # deep in hole
+    assert P.polygons_intersect_circle(donut, 20.0, 20.0, 11.0)  # reaches hole ring
+    assert P.polygons_intersect_circle(donut, 5.0, 5.0, 1.0)  # in the meat
+    assert not P.polygons_intersect_circle(donut, 60.0, 60.0, 5.0)  # outside
+
+
 def test_convex_clip_area():
     clip = np.array([[2.0, 2.0], [6.0, 2.0], [6.0, 6.0], [2.0, 6.0]])
     inter = P.intersection_area_convex([SQUARE], clip)

@@ -21,6 +21,7 @@ from collections.abc import Callable
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # ---------------------------------------------------------------------------
 # shared synthetic spatial mapping (Spark + SQL must stay in lockstep)
@@ -927,6 +928,95 @@ SELECT v_id AS shape_id,
   ROUND((LEAST(vx1, 55.75) - GREATEST(vx0, 12.25)) * (LEAST(vy1, 33.75) - GREATEST(vy0, 7.25)), 6) AS area_r
 FROM v
 WHERE vx1 > 12.25 AND vx0 < 55.75 AND vy1 > 7.25 AND vy0 < 33.75
+"""
+
+
+def sq_polygon_clip_holes(spark, sf_dir):
+    """clip=True on donut polygons: interior rings survive the clip, so
+    area recomputed from the returned WKB equals the reported clip_area
+    (spatial_query.polygon_query_shapes; reference gpd.clip keeps holes).
+    Outer rect [x0,y0]+[6,10], hole [x0+2,y0+3]+[2,4]; quarter-coordinate
+    query ring keeps every intermediate exactly representable."""
+    from spatialdata_spark.operators.spatial_query import polygon_query_shapes
+
+    part = _read(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("shape_id"),
+        (F.col("p_partkey") % 90).cast("double").alias("x0"),
+        ((F.col("p_partkey") * 3) % 40).cast("double").alias("y0"),
+    )
+
+    @F.pandas_udf(T.BinaryType())
+    def _donut(x0_s, y0_s):
+        import pandas as pd
+
+        from spatialdata_spark.geometry import wkb as W
+
+        out = []
+        for x0, y0 in zip(x0_s, y0_s):
+            outer = np.array([[x0, y0], [x0 + 6, y0], [x0 + 6, y0 + 10], [x0, y0 + 10]], dtype=float)
+            hole = np.array([[x0 + 2, y0 + 3], [x0 + 4, y0 + 3], [x0 + 4, y0 + 7], [x0 + 2, y0 + 7]], dtype=float)
+            out.append(W.encode_polygon([outer, hole]))
+        return pd.Series(out)
+
+    shapes = part.select(
+        "shape_id",
+        F.lit("polygon").alias("kind"),
+        _donut("x0", "y0").alias("wkb"),
+        F.col("x0").alias("minx"),
+        F.col("y0").alias("miny"),
+        (F.col("x0") + 6).alias("maxx"),
+        (F.col("y0") + 10).alias("maxy"),
+        F.lit(None).cast("double").alias("radius"),
+    )
+    ring = np.array([[12.25, 7.25], [55.75, 7.25], [55.75, 33.75], [12.25, 33.75]])
+    out = polygon_query_shapes(shapes, ring, clip=True)
+
+    @F.pandas_udf(T.DoubleType())
+    def _wkb_area(wkb_s):
+        import pandas as pd
+
+        from spatialdata_spark.geometry import predicates as P
+        from spatialdata_spark.geometry import wkb as W
+
+        vals = []
+        for buf in wkb_s:
+            kind, geom = W.decode(bytes(buf))
+            vals.append(P.polygon_area(geom) if kind == "polygon" else P.multipolygon_area(geom))
+        return pd.Series(vals)
+
+    return out.select(
+        "shape_id",
+        F.round("minx", 6).alias("minx_r"),
+        F.round("miny", 6).alias("miny_r"),
+        F.round("maxx", 6).alias("maxx_r"),
+        F.round("maxy", 6).alias("maxy_r"),
+        F.round("clip_area", 6).alias("area_r"),
+        F.round(_wkb_area("wkb"), 6).alias("wkb_area_r"),
+    )
+
+
+SQ_POLYGON_CLIP_HOLES_SQL = """
+WITH d AS (
+  SELECT p_partkey AS shape_id,
+    CAST(p_partkey % 90 AS DOUBLE) AS x0,
+    CAST((p_partkey * 3) % 40 AS DOUBLE) AS y0
+  FROM part
+), a AS (
+  SELECT shape_id, x0, y0,
+    GREATEST(LEAST(x0 + 6, 55.75) - GREATEST(x0, 12.25), 0)
+      * GREATEST(LEAST(y0 + 10, 33.75) - GREATEST(y0, 7.25), 0) AS oa,
+    GREATEST(LEAST(x0 + 4, 55.75) - GREATEST(x0 + 2, 12.25), 0)
+      * GREATEST(LEAST(y0 + 7, 33.75) - GREATEST(y0 + 3, 7.25), 0) AS ha
+  FROM d
+)
+SELECT shape_id,
+  ROUND(GREATEST(x0, 12.25), 6) AS minx_r,
+  ROUND(GREATEST(y0, 7.25), 6) AS miny_r,
+  ROUND(LEAST(x0 + 6, 55.75), 6) AS maxx_r,
+  ROUND(LEAST(y0 + 10, 33.75), 6) AS maxy_r,
+  ROUND(oa - ha, 6) AS area_r,
+  ROUND(oa - ha, 6) AS wkb_area_r
+FROM a WHERE oa - ha > 0
 """
 
 
@@ -2880,6 +2970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_sessionize": st_sessionize,
         "st_topk_per_user": st_topk_per_user,
         "sq_multipart_shapes": sq_multipart_shapes,
+        "sq_polygon_clip_holes": sq_polygon_clip_holes,
         "q01_pricing_summary": q01_pricing_summary,
         "q03_shipping": q03_shipping,
         "q05_local_supplier": q05_local_supplier,
@@ -2966,6 +3057,7 @@ def oracle_sql() -> dict[str, str]:
         "sq_bbox_shapes": SQ_BBOX_SHAPES_SQL,
         "sq_polygon_shapes": SQ_POLYGON_SHAPES_SQL,
         "sq_multipart_shapes": SQ_MULTIPART_SHAPES_SQL,
+        "sq_polygon_clip_holes": SQ_POLYGON_CLIP_HOLES_SQL,
         "rq_join_left": RQ_JOIN_LEFT_SQL,
         "rq_join_inner_element": RQ_JOIN_INNER_SQL,
         "rq_join_left_exclusive": RQ_JOIN_LEFT_EXCL_SQL,

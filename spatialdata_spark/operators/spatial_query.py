@@ -387,7 +387,10 @@ def polygon_query_shapes(
     ``radius`` is cleared.  The clip kernel is Sutherland–Hodgman
     against a convex ring; concave query rings are ear-clipped into
     interior-disjoint triangles first, so the clipped geometry comes
-    back as a multipolygon of pieces whose areas sum exactly.
+    back as a multipolygon of pieces whose areas sum exactly.  Interior
+    rings survive the clip: each hole is clipped against the same piece
+    and emitted as an interior ring, so recomputing area from the
+    returned WKB reproduces ``clip_area`` (matches ``gpd.clip``).
     """
     ring = np.asarray(polygon_ring, dtype=float)
     t = transformation or Identity()
@@ -448,21 +451,27 @@ def polygon_query_shapes(
             area = 0.0
             for rings in parts:
                 # exterior ring clipped against each (convex) clip piece;
-                # holes subtract from the area (hole geometry itself is
-                # dropped — documented approx)
+                # clipped holes come along as interior rings of their
+                # piece, so WKB-derived area equals reported clip_area
                 for piece in clip_rings:
                     c = P.clip_polygon_convex(rings[0], piece)
-                    if len(c) >= 3 and abs(P.ring_area(c)) > 0:
-                        clipped.append([c])
-                        area += abs(P.ring_area(c))
-                        for hole in rings[1:]:
-                            hc = P.clip_polygon_convex(hole, piece)
-                            if len(hc) >= 3:
-                                area -= abs(P.ring_area(hc))
+                    if len(c) < 3 or abs(P.ring_area(c)) == 0:
+                        continue
+                    piece_rings = [c]
+                    piece_area = abs(P.ring_area(c))
+                    for hole in rings[1:]:
+                        hc = P.clip_polygon_convex(hole, piece)
+                        if len(hc) >= 3 and abs(P.ring_area(hc)) > 0:
+                            piece_rings.append(hc)
+                            piece_area -= abs(P.ring_area(hc))
+                    if piece_area <= 1e-12:
+                        continue  # piece swallowed by its holes
+                    clipped.append(piece_rings)
+                    area += piece_area
             if not clipped:
                 rows.append((None, None, None, None, None, None))
                 continue
-            allpts = np.vstack([c[0] for c in clipped])
+            allpts = np.vstack([rings[0] for rings in clipped])
             wkb_out = (
                 W.encode_polygon(clipped[0]) if len(clipped) == 1 else W.encode_multipolygon(clipped)
             )

@@ -193,6 +193,11 @@ def transform_to_coordinate_system(ds, element: str, target_cs: str) -> DataFram
             df.withColumn("x", F.col("x").cast("double")).withColumn("y", F.col("y").cast("double")),
             t,
         ).withColumn("x", F.round("x").cast("long")).withColumn("y", F.round("y").cast("long"))
-        cols = (["c"] if has_c else []) + ["y", "x", "value"]
-        return out.select(*cols)
+        keys = (["c"] if has_c else []) + ["y", "x"]
+        # non-integral affines map several source pixels onto one rounded
+        # target pixel; deduplicate to one row per pixel (mean of the
+        # colliders).  Holes are inherent to forward nearest-snapping —
+        # proper inverse-map resampling lives in
+        # operators/raster.affine_resample_tiles.
+        return out.groupBy(*keys).agg(F.avg("value").alias("value")).select(*keys, "value")
     raise ValueError(f"cannot transform element kind {kind!r} (tables carry no coordinates)")

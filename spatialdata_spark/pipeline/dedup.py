@@ -196,6 +196,7 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iterations):
         # -- large-star: attach every strictly-larger neighbor of n to
         # the minimum of N(n) ∪ {n} (operates on the symmetrized graph)
@@ -231,7 +232,16 @@ def connected_components(
         stats_old = e.agg(F.count(F.lit(1)).alias("n"), chk).first()
         e = ss
         if stats_new["n"] == stats_old["n"] and stats_new["chk"] == stats_old["chk"]:
+            converged = True
             break
+    if not converged:
+        # without a fixpoint the "every edge points at the root"
+        # invariant below does not hold — labels would silently be
+        # wrong, so fail loudly instead
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "rounds; raise max_iterations (expected rounds ~ O(log n))"
+        )
     # at the fixpoint every edge points directly at the component root
     out = e.select(F.col("u").alias("node"), F.col("v").alias("component")).unionByName(
         e.select(F.col("v").alias("node"), F.col("v").alias("component"))

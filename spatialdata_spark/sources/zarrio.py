@@ -51,7 +51,7 @@ _SDATA_VERSION = "0.1"
 # ---------------------------------------------------------------------------
 
 
-def _compress(codec: str | None, buf: bytes) -> bytes:
+def _compress(codec: str | None, buf: bytes, typesize: int = 1) -> bytes:
     if codec is None:
         return buf
     if codec == "zlib":
@@ -60,6 +60,10 @@ def _compress(codec: str | None, buf: bytes) -> bytes:
         return gzip.compress(buf)
     if codec == "bz2":
         return bz2.compress(buf)
+    if codec == "blosc":
+        from spatialdata_spark.sources.blosc import blosc_compress
+
+        return blosc_compress(buf, typesize=typesize, cname="lz4", shuffle=1 if typesize > 1 else 0)
     raise ValueError(f"unsupported zarr codec {codec!r}")
 
 
@@ -72,10 +76,16 @@ def _decompress(codec: str | None, buf: bytes) -> bytes:
         return gzip.decompress(buf)
     if codec == "bz2":
         return bz2.decompress(buf)
+    if codec == "blosc":
+        # pure-Python blosc chunk decode (lz4/zlib inner streams) — the
+        # reference's default compressor (_io/io_raster.py:350-384)
+        from spatialdata_spark.sources.blosc import blosc_decompress
+
+        return blosc_decompress(buf)
     raise ValueError(
         f"unsupported zarr compressor {codec!r}: this store needs a codec "
-        "library not present in this environment (e.g. blosc); re-write the "
-        "store with zlib/gzip/raw chunks to read it here"
+        "library not present in this environment; re-write the store with "
+        "blosc-lz4/zlib/gzip/raw chunks to read it here"
     )
 
 
@@ -83,13 +93,61 @@ def _codec_of(compressor: dict | None) -> str | None:
     if compressor is None:
         return None
     cid = compressor.get("id")
-    if cid in ("zlib", "gzip", "bz2"):
+    if cid in ("zlib", "gzip", "bz2", "blosc"):
         return cid
     raise ValueError(
         f"unsupported zarr compressor {cid!r}: this store needs a codec "
-        "library not present in this environment (e.g. blosc); re-write the "
-        "store with zlib/gzip/raw chunks to read it here"
+        "library not present in this environment; re-write the store with "
+        "blosc-lz4/zlib/gzip/raw chunks to read it here"
     )
+
+
+def _separator_of(ameta: dict) -> str:
+    """Chunk-key separator from .zarray: '.' (flat, v2 default) or '/'
+    (nested, what ome-zarr / NGFF v0.4 writers emit)."""
+    sep = ameta.get("dimension_separator") or "."
+    if sep not in (".", "/"):
+        raise ValueError(f"unsupported zarr dimension_separator {sep!r}")
+    return sep
+
+
+def _list_chunk_keys(path: str, sep: str) -> list[tuple[tuple[int, ...], str]]:
+    """All chunk files under an array directory as (grid index, relative
+    file path).  Flat '.'-separated names for sep='.', nested directories
+    for sep='/'."""
+    out: list[tuple[tuple[int, ...], str]] = []
+    if sep == ".":
+        for name in os.listdir(path):
+            if name.startswith("."):
+                continue
+            try:
+                nums = tuple(int(p) for p in name.split("."))
+            except ValueError:
+                continue
+            out.append((nums, name))
+    else:
+        for root, _dirs, files in os.walk(path):
+            rel_dir = os.path.relpath(root, path)
+            for fn in files:
+                if fn.startswith("."):
+                    continue
+                rel = fn if rel_dir == "." else f"{rel_dir.replace(os.sep, '/')}/{fn}"
+                try:
+                    nums = tuple(int(p) for p in rel.split("/"))
+                except ValueError:
+                    continue
+                out.append((nums, rel))
+    return out
+
+
+def _compressor_doc(codec: str | None) -> dict | None:
+    """The .zarray compressor document for one of our codec names (the
+    blosc form is the numcodecs wire schema)."""
+    if codec is None:
+        return None
+    if codec == "blosc":
+        return {"id": "blosc", "cname": "lz4", "clevel": 5, "shuffle": 1, "blocksize": 0}
+    return {"id": codec}
 
 
 def _write_json(path: str, doc: dict) -> None:
@@ -137,7 +195,7 @@ def zarr_write_array(
         "shape": list(a.shape),
         "chunks": list(chunks),
         "dtype": a.dtype.str,
-        "compressor": {"id": compressor} if compressor else None,
+        "compressor": _compressor_doc(compressor),
         "fill_value": 0,
         "order": "C",
         "filters": None,
@@ -156,7 +214,7 @@ def zarr_write_array(
         full[tuple(slice(0, b) for b in block.shape)] = block
         name = ".".join(str(k) for k in key) or "0"
         with open(os.path.join(path, name), "wb") as f:
-            f.write(_compress(compressor, full.tobytes()))
+            f.write(_compress(compressor, full.tobytes(), typesize=a.dtype.itemsize))
 
 
 def zarr_read_array(path: str) -> np.ndarray:
@@ -172,14 +230,15 @@ def zarr_read_array(path: str) -> np.ndarray:
     chunks = tuple(meta["chunks"])
     dtype = np.dtype(meta["dtype"])
     codec = _codec_of(meta.get("compressor"))
+    sep = _separator_of(meta)
     out = np.full(shape, meta.get("fill_value") or 0, dtype=dtype)
     grid = [range(-(-s // c)) for s, c in zip(shape, chunks)]
     idx: list[tuple[int, ...]] = [()]
     for g in grid:
         idx = [t + (i,) for t in idx for i in g]
     for key in idx:
-        name = ".".join(str(k) for k in key) or "0"
-        p = os.path.join(path, name)
+        name = sep.join(str(k) for k in key) or "0"
+        p = os.path.join(path, *name.split("/")) if sep == "/" else os.path.join(path, name)
         if not os.path.exists(p):
             continue  # missing chunk = fill_value
         with open(p, "rb") as f:
@@ -201,9 +260,13 @@ def write_tiles_to_zarr(
     scale: int = 0,
     compressor: str | None = "zlib",
     attrs: dict | None = None,
+    squeeze_channel: bool = False,
 ) -> int:
     """Write one pyramid level's tile table as a zarr array
-    ``(c, y, x)`` with chunks ``(1, tile, tile)``.
+    ``(c, y, x)`` with chunks ``(1, tile, tile)`` — or, with
+    ``squeeze_channel=True`` (single-channel labels), a true 2-d
+    ``(y, x)`` array with 2-part chunk keys so the axes count matches
+    the NGFF multiscales metadata external readers validate.
 
     The executors each encode and write their own chunk files (the
     tile grid maps 1:1 onto the zarr chunk grid, so no shuffle); the
@@ -212,12 +275,14 @@ def write_tiles_to_zarr(
     h, w = meta.shape_at(scale)
     ts = meta.tile
     dtype = np.dtype(meta.dtype)
+    if squeeze_channel and meta.n_channels != 1:
+        raise ValueError("squeeze_channel requires a single-channel raster")
     arr_meta = {
         "zarr_format": ZARR_FORMAT,
-        "shape": [meta.n_channels, h, w],
-        "chunks": [1, ts, ts],
+        "shape": [h, w] if squeeze_channel else [meta.n_channels, h, w],
+        "chunks": [ts, ts] if squeeze_channel else [1, ts, ts],
         "dtype": dtype.str,
-        "compressor": {"id": compressor} if compressor else None,
+        "compressor": _compressor_doc(compressor),
         "fill_value": 0,
         "order": "C",
         "filters": None,
@@ -227,12 +292,16 @@ def write_tiles_to_zarr(
         _write_json(os.path.join(path, ".zattrs"), attrs)
 
     codec = compressor
+    itemsize = dtype.itemsize
 
     def _write_part(rows):
         n = 0
         for row in rows:
-            buf = _compress(codec, bytes(row["tile"]))
-            name = f"{int(row['c'])}.{int(row['ty'])}.{int(row['tx'])}"
+            buf = _compress(codec, bytes(row["tile"]), typesize=itemsize)
+            if squeeze_channel:
+                name = f"{int(row['ty'])}.{int(row['tx'])}"
+            else:
+                name = f"{int(row['c'])}.{int(row['ty'])}.{int(row['tx'])}"
             with open(os.path.join(path, name), "wb") as f:
                 f.write(buf)
             n += 1
@@ -276,18 +345,18 @@ def read_zarr_tiles(
     meta = RasterMeta(height=int(shape[1]), width=int(shape[2]), tile=ts, dtype=dstr, n_channels=int(shape[0]))
     keys = []
     two_d = len(tuple(ameta["shape"])) == 2
-    for name in os.listdir(path):
-        if name.startswith("."):
-            continue
-        parts = name.split(".")
-        try:
-            nums = [int(p) for p in parts]
-        except ValueError:
-            continue
+    sep = _separator_of(ameta)
+    for nums, rel in _list_chunk_keys(path, sep):
         if two_d and len(nums) == 2:
-            keys.append((0, nums[0], nums[1], name))
+            keys.append((0, nums[0], nums[1], rel))
         elif not two_d and len(nums) == 3:
-            keys.append((nums[0], nums[1], nums[2], name))
+            keys.append((nums[0], nums[1], nums[2], rel))
+    if not keys and _list_chunk_keys(path, "/" if sep == "." else "."):
+        raise ValueError(
+            f"no chunks found in {path} with dimension_separator {sep!r}, but "
+            "chunks exist under the other separator — the store's .zarray "
+            "metadata disagrees with its chunk layout"
+        )
     kdf = spark.createDataFrame(keys, "c int, ty long, tx long, chunk string")
     src_dtype = dtype
 
@@ -483,7 +552,12 @@ def write_zarr_store(
             datasets = []
             for s in scales:
                 lvl_path = os.path.join(gpath, str(s))
-                write_tiles_to_zarr(tiles, meta, lvl_path, scale=int(s), compressor=compressor)
+                # labels are 2-d (y, x) on disk so the array ndim matches
+                # the 2-axis multiscales metadata (NGFF conformance)
+                write_tiles_to_zarr(
+                    tiles, meta, lvl_path, scale=int(s), compressor=compressor,
+                    squeeze_channel=(kind == "labels"),
+                )
                 datasets.append(
                     {
                         "path": str(s),

@@ -2003,6 +2003,80 @@ WHERE y >= 20 AND y < 80 AND x >= 2 AND x < 6
 """
 
 
+# dense synthetic 3D volume (Image3DModel analog, reference
+# models/models.py:447): z from suppkey, (y, x) as in IMG_SQL.
+IMG3D_SQL = (
+    "SELECT 0 AS c, l_suppkey % 4 AS z, l_orderkey % 50 AS y, "
+    "CAST(l_linenumber AS BIGINT) AS x, SUM(l_quantity) AS value "
+    "FROM lineitem GROUP BY 2, 3, 4"
+)
+
+
+def _img3d_long(spark, sf_dir):
+    return (
+        _read(spark, sf_dir, "lineitem")
+        .groupBy(
+            (F.col("l_suppkey") % 4).alias("z"),
+            (F.col("l_orderkey") % 50).alias("y"),
+            F.col("l_linenumber").cast("long").alias("x"),
+        )
+        .agg(F.sum("l_quantity").alias("value"))
+        .select(F.lit(0).alias("c"), "z", "y", "x", "value")
+    )
+
+
+def _img3d_meta():
+    from spatialdata_spark.operators.raster import RasterMeta
+
+    return RasterMeta(height=50, width=8, tile=32, depth=4)
+
+
+def rt_bbox_tiles_3d(spark, sf_dir):
+    """3D bbox query through the z-plane tile path (reference 3D raster
+    slicing, _core/query/spatial_query.py:537-615): the z slice is
+    Catalyst-pruned before any tile is decoded."""
+    from spatialdata_spark.operators.raster import (
+        bounding_box_query_tiles_3d,
+        long3d_to_tiles,
+        tiles3d_to_long,
+    )
+
+    m = _img3d_meta()
+    tiles = long3d_to_tiles(_img3d_long(spark, sf_dir), m)
+    out = bounding_box_query_tiles_3d(tiles, m, 1, 10, 2, 3, 40, 6)
+    return tiles3d_to_long(out, m)
+
+
+RT_BBOX_TILES_3D_SQL = f"""
+SELECT c, z, y, x, value FROM ({IMG3D_SQL})
+WHERE z >= 1 AND z < 3 AND y >= 10 AND y < 40 AND x >= 2 AND x < 6
+"""
+
+
+def sq_raster_3d(spark, sf_dir):
+    """3D raster bbox query under an anisotropic Scale (reference
+    Labels3DModel queries, spatial_query.py:537-615): target-CS box is
+    rewritten to intrinsic inclusive integer slices on (z, y, x)."""
+    from spatialdata_spark.operators.spatial_query import bounding_box_query_raster_long
+    from spatialdata_spark.transformations import Scale
+
+    sc = Scale([2.0, 2.0, 2.0], ("z", "y", "x"))
+    out = bounding_box_query_raster_long(
+        _img3d_long(spark, sf_dir), ("z", "y", "x"), [2.0, 20.0, 2.0], [6.0, 60.0, 10.0], sc
+    )
+    return out.groupBy("z").agg(
+        F.sum("value").alias("sum_value"), F.count(F.lit(1)).alias("n")
+    )
+
+
+SQ_RASTER_3D_SQL = f"""
+SELECT z, SUM(value) AS sum_value, COUNT(*) AS n
+FROM ({IMG3D_SQL})
+WHERE z BETWEEN 1 AND 3 AND y BETWEEN 10 AND 30 AND x BETWEEN 1 AND 5
+GROUP BY z
+"""
+
+
 def rt_pyramid_sum(spark, sf_dir):
     from spatialdata_spark.operators.raster import downsample_tiles, tiles_to_long
 
@@ -2937,6 +3011,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rv_transform_shapes": rv_transform_shapes,
         "rt_map_tiles": rt_map_tiles,
         "rt_bbox_tiles": rt_bbox_tiles,
+        "rt_bbox_tiles_3d": rt_bbox_tiles_3d,
+        "sq_raster_3d": sq_raster_3d,
         "rt_pyramid_sum": rt_pyramid_sum,
         "rt_halo_boxsum": rt_halo_boxsum,
         "rt_zonal_tiles": rt_zonal_tiles,
@@ -3091,6 +3167,8 @@ def oracle_sql() -> dict[str, str]:
         "rv_transform_shapes": _transform_shapes_sql(),
         "rt_map_tiles": RT_MAP_TILES_SQL,
         "rt_bbox_tiles": RT_BBOX_TILES_SQL,
+        "rt_bbox_tiles_3d": RT_BBOX_TILES_3D_SQL,
+        "sq_raster_3d": SQ_RASTER_3D_SQL,
         "rt_pyramid_sum": RT_PYRAMID_SQL,
         "rt_halo_boxsum": RT_HALO_SQL,
         "rt_zonal_tiles": RT_ZONAL_SQL,

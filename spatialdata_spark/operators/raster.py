@@ -59,6 +59,7 @@ class RasterMeta:
     dtype: str = "f8"  # numpy dtype string; 'i8' for labels
     n_channels: int = 1
     scale_factor: int = 2  # downsampling factor between pyramid levels
+    depth: int = 1  # z extent; >1 for Labels3D/Image3D z-plane tiles
 
     def tiles_y(self, scale: int = 0) -> int:
         return -(-self.shape_at(scale)[0] // self.tile)
@@ -732,3 +733,163 @@ def export_region_tiles(
         )
 
     return joined.groupBy("region_id", "c").applyInPandas(_crop, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# 3D raster tiles (Labels3DModel / Image3DModel analogs)
+# ---------------------------------------------------------------------------
+#
+# Reference 3D rasters are (z, y, x) labels / (c, z, y, x) images
+# (models/models.py:428,447) with 3D bbox queries
+# (_core/query/spatial_query.py:537-615).  The Spark representation is
+# z-plane tiles: the 2D tile table gains a plain `z` column::
+#
+#     (scale: int, c: int, z: long, ty: long, tx: long, tile: binary)
+#
+# Keeping z as a row column (not folding it into the tile buffer) means
+# a z-range query is an ordinary Catalyst range predicate — partition /
+# row-group pruning in z comes for free, exactly like lazy zarr slicing
+# of z-chunked arrays with chunk depth 1 — and every 2D tile kernel
+# (crop, map, pool) applies per z-plane unchanged.  At 100 TB a volume
+# is (nz × tiles_y × tiles_x) independent rows; no operator below
+# shuffles except the pack (one groupBy on the tile key).
+
+TILE3D_SCHEMA = T.StructType(
+    [
+        T.StructField("scale", T.IntegerType()),
+        T.StructField("c", T.IntegerType()),
+        T.StructField("z", T.LongType()),
+        T.StructField("ty", T.LongType()),
+        T.StructField("tx", T.LongType()),
+        T.StructField("tile", T.BinaryType()),
+    ]
+)
+
+
+def long3d_to_tiles(df_long: DataFrame, meta: RasterMeta, value_col: str = "value") -> DataFrame:
+    """Pack a sparse long-form volume ``(c?, z, y, x, value)`` into
+    z-plane tiles.  One shuffle on (c, z, ty, tx), then a numpy scatter
+    per group — same plan as :func:`long_to_tiles` with z in the key."""
+    ts = meta.tile
+    has_c = "c" in df_long.columns
+    keyed = df_long.select(
+        (F.col("c").cast("int") if has_c else F.lit(0)).alias("c"),
+        F.col("z").cast("long").alias("z"),
+        (F.col("y").cast("long") % ts).alias("iy"),
+        (F.col("x").cast("long") % ts).alias("ix"),
+        F.floor(F.col("y") / ts).cast("long").alias("ty"),
+        F.floor(F.col("x") / ts).cast("long").alias("tx"),
+        F.col(value_col).alias("value"),
+    )
+
+    def _pack(key, pdf):
+        import pandas as pd
+
+        c, z, ty, tx = (int(k) for k in key)
+        a = np.zeros((ts, ts), dtype=np.dtype(meta.dtype))
+        a[pdf["iy"].to_numpy(), pdf["ix"].to_numpy()] = pdf["value"].to_numpy()
+        return pd.DataFrame(
+            {"scale": [0], "c": [c], "z": [z], "ty": [ty], "tx": [tx], "tile": [_buf(a)]}
+        )
+
+    return keyed.groupBy("c", "z", "ty", "tx").applyInPandas(_pack, TILE3D_SCHEMA)
+
+
+def tiles3d_to_long(tiles: DataFrame, meta: RasterMeta, keep_zeros: bool = False, scale: int = 0) -> DataFrame:
+    """Unpack z-plane tiles to long form ``(c, z, y, x, value)``."""
+    ts = meta.tile
+    h, w = meta.shape_at(scale)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("c", T.IntegerType()),
+            T.StructField("z", T.LongType()),
+            T.StructField("y", T.LongType()),
+            T.StructField("x", T.LongType()),
+            T.StructField("value", T.DoubleType() if meta.dtype.startswith("f") else T.LongType()),
+        ]
+    )
+
+    def _unpack(iterator):
+        import pandas as pd
+
+        for pdf in iterator:
+            for _, row in pdf.iterrows():
+                a = _arr(row["tile"], meta)
+                oy, ox = int(row["ty"]) * ts, int(row["tx"]) * ts
+                if keep_zeros:
+                    yy, xx = np.mgrid[0:ts, 0:ts]
+                    yy, xx, vv = yy.ravel(), xx.ravel(), a.ravel()
+                else:
+                    yy, xx = np.nonzero(a)
+                    vv = a[yy, xx]
+                ay, ax = yy + oy, xx + ox
+                m = (ay < h) & (ax < w)
+                yield pd.DataFrame(
+                    {"c": int(row["c"]), "z": int(row["z"]), "y": ay[m], "x": ax[m], "value": vv[m]}
+                )
+
+    return tiles.filter(F.col("scale") == scale).mapInPandas(_unpack, out_schema)
+
+
+def bounding_box_query_tiles_3d(
+    tiles: DataFrame,
+    meta: RasterMeta,
+    z0: int,
+    y0: int,
+    x0: int,
+    z1: int,
+    y1: int,
+    x1: int,
+    scale: int = 0,
+) -> DataFrame:
+    """3D integer-slice bbox query on z-plane tiles (reference 3D raster
+    query, spatial_query.py:537-615 with a z axis).  The z slice is a
+    plain Catalyst range predicate — pruned before any Python runs —
+    and the in-plane crop reuses the 2D kernel per surviving tile."""
+    ts = meta.tile
+    pruned = tiles.filter(
+        (F.col("scale") == scale)
+        & (F.col("z") >= z0)
+        & (F.col("z") < z1)
+        & (F.col("ty") >= y0 // ts)
+        & (F.col("ty") <= (y1 - 1) // ts)
+        & (F.col("tx") >= x0 // ts)
+        & (F.col("tx") <= (x1 - 1) // ts)
+    )
+
+    def _crop(iterator):
+        import pandas as pd
+
+        for pdf in iterator:
+            out = []
+            for _, row in pdf.iterrows():
+                a = _arr(row["tile"], meta).copy()
+                oy, ox = int(row["ty"]) * ts, int(row["tx"]) * ts
+                yy, xx = np.mgrid[0:ts, 0:ts]
+                mask = (yy + oy >= y0) & (yy + oy < y1) & (xx + ox >= x0) & (xx + ox < x1)
+                a[~mask] = 0
+                out.append(_buf(a))
+            pdf = pdf.copy()
+            pdf["tile"] = out
+            yield pdf
+
+    return pruned.mapInPandas(_crop, TILE3D_SCHEMA)
+
+
+def map_tiles_3d(tiles: DataFrame, fn, meta: RasterMeta, out_dtype: str | None = None) -> DataFrame:
+    """Per-z-plane ``map_raster`` over a volume: shuffle-free, fn runs
+    tile-wise exactly as in :func:`map_tiles`."""
+    out_meta = replace(meta, dtype=out_dtype or meta.dtype)
+
+    def _apply(iterator):
+        for pdf in iterator:
+            out = []
+            for _, row in pdf.iterrows():
+                a = _arr(row["tile"], meta)
+                out.append(_buf(np.asarray(fn(a), dtype=np.dtype(out_meta.dtype))))
+            pdf = pdf.copy()
+            pdf["tile"] = out
+            yield pdf
+
+    return tiles.mapInPandas(_apply, TILE3D_SCHEMA)

@@ -1346,6 +1346,63 @@ SELECT o_orderkey AS instance_id, o_totalprice AS value FROM orders
 """
 
 
+def rq_get_values_obsm(spark, sf_dir):
+    """get_values resolving an obsm array key: the obs x k array is the
+    long form (obs_id, key, dim, value), expanded to per-dimension
+    columns (reference relational_query.py:981-1109 obsm branch)."""
+    from spatialdata_spark.operators.relational import get_values
+
+    cust = _read(spark, sf_dir, "customer")
+    obsm_long = cust.selectExpr(
+        "c_custkey AS obs_id",
+        "stack(2, 'spatial', 0, c_acctbal, 'spatial', 1, CAST(c_nationkey AS DOUBLE))"
+        " AS (key, dim, value)",
+    )
+    return get_values("spatial", obsm_long=obsm_long, obsm_ndim=2)
+
+
+RQ_GET_VALUES_OBSM_SQL = """
+SELECT c_custkey AS instance_id, c_acctbal AS spatial_0,
+       CAST(c_nationkey AS DOUBLE) AS spatial_1
+FROM customer
+"""
+
+
+def rq_filter_var(spark, sf_dir):
+    """filter_by_table_query var-metadata branch: X filtered to the
+    variables whose var rows pass a predicate, via a broadcast semi-join
+    on the small var dimension (reference relational_query.py:835-910)."""
+    from spatialdata_spark.operators.relational import filter_table_by_var_predicate
+
+    x_long = _read(spark, sf_dir, "lineitem").selectExpr(
+        "l_orderkey AS obs_id",
+        "CONCAT('p_', CAST(l_partkey AS STRING)) AS var_name",
+        "l_quantity AS value",
+    )
+    var_df = _read(spark, sf_dir, "part").selectExpr(
+        "CONCAT('p_', CAST(p_partkey AS STRING)) AS var_name", "p_retailprice", "p_size"
+    )
+    out = filter_table_by_var_predicate(x_long, var_df, F.col("p_size") <= 5)
+    return out.groupBy("var_name").agg(
+        F.sum("value").alias("sum_qty"), F.count(F.lit(1)).alias("n")
+    )
+
+
+RQ_FILTER_VAR_SQL = """
+WITH x AS (
+  SELECT l_orderkey AS obs_id, CONCAT('p_', CAST(l_partkey AS VARCHAR)) AS var_name,
+         l_quantity AS value
+  FROM lineitem
+),
+keep AS (
+  SELECT CONCAT('p_', CAST(p_partkey AS VARCHAR)) AS var_name FROM part WHERE p_size <= 5
+)
+SELECT var_name, SUM(value) AS sum_qty, COUNT(*) AS n
+FROM x WHERE var_name IN (SELECT var_name FROM keep)
+GROUP BY var_name
+"""
+
+
 def rq_filter_by_table(spark, sf_dir):
     """filter_by_table_query: predicate on the annotation table, elements
     re-matched (reference relational_query.py:835-910)."""
@@ -3013,6 +3070,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_bbox_tiles": rt_bbox_tiles,
         "rt_bbox_tiles_3d": rt_bbox_tiles_3d,
         "sq_raster_3d": sq_raster_3d,
+        "rq_get_values_obsm": rq_get_values_obsm,
+        "rq_filter_var": rq_filter_var,
         "rt_pyramid_sum": rt_pyramid_sum,
         "rt_halo_boxsum": rt_halo_boxsum,
         "rt_zonal_tiles": rt_zonal_tiles,
@@ -3169,6 +3228,8 @@ def oracle_sql() -> dict[str, str]:
         "rt_bbox_tiles": RT_BBOX_TILES_SQL,
         "rt_bbox_tiles_3d": RT_BBOX_TILES_3D_SQL,
         "sq_raster_3d": SQ_RASTER_3D_SQL,
+        "rq_get_values_obsm": RQ_GET_VALUES_OBSM_SQL,
+        "rq_filter_var": RQ_FILTER_VAR_SQL,
         "rt_pyramid_sum": RT_PYRAMID_SQL,
         "rt_halo_boxsum": RT_HALO_SQL,
         "rt_zonal_tiles": RT_ZONAL_SQL,

@@ -164,16 +164,25 @@ def get_values(
     element_df: DataFrame | None = None,
     table_df: DataFrame | None = None,
     x_long: DataFrame | None = None,
+    obsm_long: DataFrame | None = None,
+    obsm_ndim: int | None = None,
     region: str | None = None,
     region_key: str = "region",
     instance_key: str = "instance_id",
 ) -> DataFrame:
-    """Locate a value column across element / table obs / long-form X
-    (reference: relational_query.py:981-1109, _locate_value :948).
+    """Locate a value column across element / table obs / long-form X /
+    obsm (reference: relational_query.py:981-1109, _locate_value :948).
 
     Resolution order mirrors the reference: element columns, then table
-    obs columns, then var names in the long-form X table.  Returns a
-    DataFrame of ``(instance_id, value)``.
+    obs columns, then var names in the long-form X table, then obsm
+    array keys.  Returns a DataFrame of ``(instance_id, value)`` — or,
+    for an obsm hit, ``(instance_id, {key}_0 .. {key}_{k-1})``, the
+    reference's per-dimension column expansion of an obs × k array.
+
+    ``obsm_long`` is the long form ``(obs_id, key, dim, value)``; pass
+    ``obsm_ndim`` (the array width, known from table metadata) to keep
+    the pivot a single pass — without it a tiny distinct-dims job runs
+    first.
     """
     if element_df is not None and value_key in element_df.columns:
         id_col = "shape_id" if "shape_id" in element_df.columns else "instance_id"
@@ -186,8 +195,54 @@ def get_values(
         # replaces the reference's CSC column-slice trick (models CSC note,
         # rasterize_bins.py:178-185)
         hit = x_long.filter(F.col("var_name") == value_key)
-        return hit.select(F.col("obs_id").alias("instance_id"), F.col("value"))
-    raise KeyError(f"value_key {value_key!r} not found in element, table, or X")
+        if obsm_long is None:
+            return hit.select(F.col("obs_id").alias("instance_id"), F.col("value"))
+        # both X and obsm present: prefer X when the key matches a var;
+        # checking requires a lookup, so fall through only when empty is
+        # knowable cheaply — mirror the reference's locate order by
+        # trying X first and letting an empty result defer to obsm.
+        if hit.limit(1).count() > 0:
+            return hit.select(F.col("obs_id").alias("instance_id"), F.col("value"))
+    if obsm_long is not None:
+        hit = obsm_long.filter(F.col("key") == value_key)
+        if obsm_ndim is not None:
+            dims = list(range(obsm_ndim))
+        else:
+            dims = sorted(int(r[0]) for r in hit.select("dim").distinct().collect())
+        if not dims:
+            raise KeyError(f"value_key {value_key!r} not found in obsm")
+        # groupBy-pivot on the (tiny, known) dim domain: one shuffle on
+        # obs_id, map-side partials, k output columns — the long-form
+        # analog of slicing an obs × k array (relational_query.py:1049).
+        pivoted = (
+            hit.groupBy(F.col("obs_id").alias("instance_id"))
+            .pivot("dim", dims)
+            .agg(F.first("value"))
+        )
+        renames = [F.col("instance_id")] + [
+            F.col(str(d)).alias(f"{value_key}_{d}") for d in dims
+        ]
+        return pivoted.select(*renames)
+    raise KeyError(f"value_key {value_key!r} not found in element, table, X, or obsm")
+
+
+def filter_table_by_var_predicate(
+    x_long: DataFrame, var_df: DataFrame, predicate, var_key: str = "var_name"
+) -> DataFrame:
+    """Filter the long-form X matrix to variables whose var-metadata rows
+    satisfy a predicate (reference filter_by_table_query var branch,
+    relational_query.py:835-910).
+
+    var is the small dimension (genes), so the surviving names broadcast
+    and the X filter is a broadcast semi-join — no shuffle of X."""
+    keep = var_df.filter(predicate).select(var_key)
+    return x_long.join(F.broadcast(keep), var_key, "left_semi")
+
+
+def filter_table_by_var_names(x_long: DataFrame, names: list[str], var_key: str = "var_name") -> DataFrame:
+    """Filter long-form X to an explicit var_names list (reference
+    var_names predicate): a literal isin — pushed down to the scan."""
+    return x_long.filter(F.col(var_key).isin(list(names)))
 
 
 def filter_by_table_predicate(

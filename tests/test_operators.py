@@ -255,6 +255,54 @@ def test_get_values_from_x_long(spark):
     assert {r["instance_id"]: r["value"] for r in out.collect()} == {1: 1.0, 2: 3.0}
 
 
+def test_get_values_from_obsm(spark):
+    obsm = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "obs_id": [1, 1, 2, 2, 1],
+                "key": ["spatial", "spatial", "spatial", "spatial", "X_pca"],
+                "dim": [0, 1, 0, 1, 0],
+                "value": [10.0, 20.0, 30.0, 40.0, 9.0],
+            }
+        )
+    )
+    out = REL.get_values("spatial", obsm_long=obsm, obsm_ndim=2)
+    assert set(out.columns) == {"instance_id", "spatial_0", "spatial_1"}
+    got = {r["instance_id"]: (r["spatial_0"], r["spatial_1"]) for r in out.collect()}
+    assert got == {1: (10.0, 20.0), 2: (30.0, 40.0)}
+    # without ndim hint: dims discovered
+    out2 = REL.get_values("X_pca", obsm_long=obsm)
+    assert {r["instance_id"]: r["X_pca_0"] for r in out2.collect()} == {1: 9.0}
+    with pytest.raises(KeyError):
+        REL.get_values("missing", obsm_long=obsm)
+
+
+def test_get_values_prefers_x_over_obsm(spark):
+    x_long = spark.createDataFrame(
+        pd.DataFrame({"obs_id": [1], "var_name": ["spatial"], "value": [5.0]})
+    )
+    obsm = spark.createDataFrame(
+        pd.DataFrame({"obs_id": [1], "key": ["spatial"], "dim": [0], "value": [99.0]})
+    )
+    out = REL.get_values("spatial", x_long=x_long, obsm_long=obsm)
+    assert out.collect()[0]["value"] == 5.0
+
+
+def test_filter_table_by_var(spark):
+    x_long = spark.createDataFrame(
+        pd.DataFrame(
+            {"obs_id": [1, 1, 2], "var_name": ["a", "b", "a"], "value": [1.0, 2.0, 3.0]}
+        )
+    )
+    var_df = spark.createDataFrame(
+        pd.DataFrame({"var_name": ["a", "b"], "weight": [0.1, 0.9]})
+    )
+    out = REL.filter_table_by_var_predicate(x_long, var_df, F.col("weight") > 0.5)
+    assert {(r["obs_id"], r["var_name"]) for r in out.collect()} == {(1, "b")}
+    out2 = REL.filter_table_by_var_names(x_long, ["a"])
+    assert out2.count() == 2
+
+
 # ---------------- aggregation ----------------
 
 

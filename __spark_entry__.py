@@ -2448,10 +2448,21 @@ FROM f
 
 
 def pl_minhash_dedup(spark, sf_dir):
-    """MinHash LSH band candidates with the expression-only pipeline
-    (31-bit polynomial shingle hashes, universal-hash minima, band
-    self-join on the minima values) — no Python in the plan, and the
-    integer math is replayed exactly by the DuckDB oracle."""
+    """MinHash LSH band candidates on the Arrow fast path: vectorized
+    numpy signatures bit-identical to the expression pipeline (same
+    31-bit polynomial shingle hashes, same universal-hash minima, same
+    band self-join), so the same integer-exact DuckDB oracle replays
+    the result."""
+    from spatialdata_spark.pipeline.dedup import minhash_band_candidates
+
+    docs = _read(spark, sf_dir, "documents")
+    return minhash_band_candidates(docs, num_hashes=32, num_bands=8)
+
+
+def pl_minhash_expr(spark, sf_dir):
+    """The expression-only twin of pl_minhash_dedup: 31-bit polynomial
+    shingle hashes as Catalyst expressions — no Python anywhere in the
+    plan — against the identical oracle."""
     from spatialdata_spark.pipeline.dedup import minhash_band_candidates_sql
 
     docs = _read(spark, sf_dir, "documents")
@@ -2463,10 +2474,10 @@ def pl_minhash_cc(spark, sf_dir):
     small-star connected components -> (node, component).  The oracle
     recomputes the same candidate edges and closes them transitively
     with a recursive CTE."""
-    from spatialdata_spark.pipeline.dedup import connected_components, minhash_band_candidates_sql
+    from spatialdata_spark.pipeline.dedup import connected_components, minhash_band_candidates
 
     docs = _read(spark, sf_dir, "documents")
-    cand = minhash_band_candidates_sql(docs, num_hashes=32, num_bands=8)
+    cand = minhash_band_candidates(docs, num_hashes=32, num_bands=8)
     return connected_components(cand, "id_a", "id_b")
 
 
@@ -3088,6 +3099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pl_ivf_probe": pl_ivf_probe,
         "pl_quality_score": pl_quality_score,
         "pl_minhash_dedup": pl_minhash_dedup,
+        "pl_minhash_expr": pl_minhash_expr,
         "pl_minhash_cc": pl_minhash_cc,
         "pl_language_id": pl_language_id,
         "pl_lsh_topk": pl_lsh_topk,
@@ -3249,6 +3261,7 @@ def oracle_sql() -> dict[str, str]:
         "pl_ivf_probe": PL_IVF_PROBE_SQL,
         "pl_lsh_topk": PL_LSH_TOPK_SQL,
         "pl_minhash_dedup": _minhash_cand_sql(),
+        "pl_minhash_expr": _minhash_cand_sql(),
         "pl_minhash_cc": _minhash_cc_sql(),
         "pl_simhash": _simhash_sql(),
         "pl_simhash_neardup": _simhash_neardup_sql(),

@@ -218,9 +218,14 @@ def zarr_write_array(
 
 
 def zarr_read_array(path: str) -> np.ndarray:
-    """Driver-side full read of one zarr v2 array."""
-    meta = _read_json(os.path.join(path, ".zarray"))
-    if meta.get("zarr_format") != ZARR_FORMAT:
+    """Driver-side full read of one zarr v2 array (local path or
+    http(s) URL — chunk keys come from the shape/chunks grid, so no
+    listing is ever needed; missing chunk = fill_value)."""
+    from spatialdata_spark.sources.fetch import fetcher_for
+
+    fetcher = fetcher_for(path)
+    meta = fetcher.get_json(".zarray")
+    if meta is None or meta.get("zarr_format") != ZARR_FORMAT:
         raise ValueError(f"not a zarr v2 array: {path}")
     if meta.get("filters"):
         raise ValueError("zarr filters are not supported")
@@ -238,11 +243,10 @@ def zarr_read_array(path: str) -> np.ndarray:
         idx = [t + (i,) for t in idx for i in g]
     for key in idx:
         name = sep.join(str(k) for k in key) or "0"
-        p = os.path.join(path, *name.split("/")) if sep == "/" else os.path.join(path, name)
-        if not os.path.exists(p):
+        raw = fetcher.get(name)
+        if raw is None:
             continue  # missing chunk = fill_value
-        with open(p, "rb") as f:
-            block = np.frombuffer(_decompress(codec, f.read()), dtype=dtype).reshape(chunks)
+        block = np.frombuffer(_decompress(codec, raw), dtype=dtype).reshape(chunks)
         sl = tuple(slice(k * c, min((k + 1) * c, s)) for k, c, s in zip(key, chunks, shape))
         out[sl] = block[tuple(slice(0, s.stop - s.start) for s in sl)]
     return out
@@ -325,7 +329,12 @@ def read_zarr_tiles(
     cluster against object storage this is an embarrassingly parallel
     scan of exactly the chunks that exist.
     """
-    ameta = _read_json(os.path.join(path, ".zarray"))
+    from spatialdata_spark.sources.fetch import fetcher_for
+
+    fetcher = fetcher_for(path)
+    ameta = fetcher.get_json(".zarray")
+    if ameta is None:
+        raise ValueError(f"not a zarr v2 array: {path}")
     if ameta.get("filters"):
         raise ValueError("zarr filters are not supported")
     codec = _codec_of(ameta.get("compressor"))
@@ -346,17 +355,28 @@ def read_zarr_tiles(
     keys = []
     two_d = len(tuple(ameta["shape"])) == 2
     sep = _separator_of(ameta)
-    for nums, rel in _list_chunk_keys(path, sep):
-        if two_d and len(nums) == 2:
-            keys.append((0, nums[0], nums[1], rel))
-        elif not two_d and len(nums) == 3:
-            keys.append((nums[0], nums[1], nums[2], rel))
-    if not keys and _list_chunk_keys(path, "/" if sep == "." else "."):
-        raise ValueError(
-            f"no chunks found in {path} with dimension_separator {sep!r}, but "
-            "chunks exist under the other separator — the store's .zarray "
-            "metadata disagrees with its chunk layout"
-        )
+    if fetcher.can_list:
+        for nums, rel in _list_chunk_keys(path, sep):
+            if two_d and len(nums) == 2:
+                keys.append((0, nums[0], nums[1], rel))
+            elif not two_d and len(nums) == 3:
+                keys.append((nums[0], nums[1], nums[2], rel))
+        if not keys and _list_chunk_keys(path, "/" if sep == "." else "."):
+            raise ValueError(
+                f"no chunks found in {path} with dimension_separator {sep!r}, but "
+                "chunks exist under the other separator — the store's .zarray "
+                "metadata disagrees with its chunk layout"
+            )
+    else:
+        # no listing (http/object store): the chunk-key set is fully
+        # determined by the shape/chunks grid; executors skip 404s
+        # (missing chunk = fill_value, all-zero tiles are sparse anyway)
+        grid = [range(-(-s // c)) for s, c in zip(shape, chunks)]
+        for c0 in grid[0]:
+            for t_y in grid[1]:
+                for t_x in grid[2]:
+                    nums = (t_y, t_x) if two_d else (c0, t_y, t_x)
+                    keys.append((c0, t_y, t_x, sep.join(str(k) for k in nums)))
     kdf = spark.createDataFrame(keys, "c int, ty long, tx long, chunk string")
     src_dtype = dtype
 
@@ -366,9 +386,10 @@ def read_zarr_tiles(
         for pdf in iterator:
             rows = {"scale": [], "c": [], "ty": [], "tx": [], "tile": []}
             for _, row in pdf.iterrows():
-                with open(os.path.join(path, row["chunk"]), "rb") as f:
-                    raw = _decompress(codec, f.read())
-                a = np.frombuffer(raw, dtype=src_dtype).reshape(ts, ts)
+                raw = fetcher.get(row["chunk"])
+                if raw is None:
+                    continue  # absent chunk = fill_value
+                a = np.frombuffer(_decompress(codec, raw), dtype=src_dtype).reshape(ts, ts)
                 rows["scale"].append(scale)
                 rows["c"].append(int(row["c"]))
                 rows["ty"].append(int(row["ty"]))
@@ -471,27 +492,46 @@ def consolidate_metadata(path: str) -> dict:
     GET (reference analog: _core/spatialdata.py:1478-1492; the format
     is the public zarr v2 consolidated-metadata convention)."""
     meta: dict = {}
+    manifest: list[str] = []
     for root, _dirs, files in os.walk(path):
         rel = os.path.relpath(root, path)
         for fn in files:
+            relkey = (fn if rel == "." else f"{rel}/{fn}").replace(os.sep, "/")
             if fn in (".zgroup", ".zarray", ".zattrs"):
-                key = fn if rel == "." else f"{rel}/{fn}"
-                meta[key.replace(os.sep, "/")] = _read_json(os.path.join(root, fn))
-    doc = {"zarr_consolidated_format": 1, "metadata": meta}
+                meta[relkey] = _read_json(os.path.join(root, fn))
+            elif fn != ".zmetadata":
+                manifest.append(relkey)
+    # file_manifest is an extension key (zarr readers only consume
+    # "metadata"): it names every data file in the store, which is what
+    # lets a no-listing client (http/object store) fetch parquet part
+    # files — the role fsspec listing plays for the reference
+    doc = {
+        "zarr_consolidated_format": 1,
+        "metadata": meta,
+        "file_manifest": sorted(manifest),
+    }
     _write_json(os.path.join(path, ".zmetadata"), doc)
     return doc
 
 
 def read_consolidated_metadata(path: str) -> dict | None:
     """Load ``.zmetadata`` if present: ``{key: document}`` for every
-    metadata document in the store, else None."""
-    p = os.path.join(path, ".zmetadata")
-    if not os.path.exists(p):
+    metadata document in the store, else None.  Accepts a local path or
+    http(s) URL."""
+    doc = read_consolidated_doc(path)
+    return None if doc is None else doc["metadata"]
+
+
+def read_consolidated_doc(path: str) -> dict | None:
+    """The full ``.zmetadata`` document (metadata + file_manifest)."""
+    from spatialdata_spark.sources.fetch import fetcher_for
+
+    doc = fetcher_for(path).get_json(".zmetadata")
+    if doc is None:
         return None
-    doc = _read_json(p)
     if doc.get("zarr_consolidated_format") != 1:
         raise ValueError("unsupported consolidated metadata format")
-    return doc["metadata"]
+    return doc
 
 
 # ---------------------------------------------------------------------------
@@ -601,33 +641,59 @@ def read_zarr_store(
     full tile tables are available via :func:`read_zarr_tiles`.
     """
     from spatialdata_spark.catalog import SpatialDataset, TableMeta
+    from spatialdata_spark.sources.fetch import fetcher_for
 
+    fetcher = fetcher_for(path)
     ds = SpatialDataset(spark)
     kinds = ("images", "labels", "points", "shapes", "tables")
     selector = set(selection) if selection else set(kinds)
     # consolidated metadata: one read resolves every group's attrs (on a
     # cloud store this is the difference between 1 GET and dozens)
-    consolidated = read_consolidated_metadata(path)
+    doc = read_consolidated_doc(path)
+    consolidated = doc["metadata"] if doc else None
+    manifest = (doc or {}).get("file_manifest")
 
-    def _attrs(group_path: str) -> dict:
-        if consolidated is not None:
-            key = os.path.relpath(group_path, path).replace(os.sep, "/") + "/.zattrs"
-            if key in consolidated:
-                return consolidated[key]
-        return read_attrs(group_path)
+    def _attrs(rel_group: str) -> dict:
+        if consolidated is not None and f"{rel_group}/.zattrs" in consolidated:
+            return consolidated[f"{rel_group}/.zattrs"]
+        a = fetcher.get_json(f"{rel_group}/.zattrs")
+        return a if a is not None else {}
+
+    def _group_names(kind: str) -> list[str]:
+        if fetcher.can_list:
+            return sorted(
+                n for n in (fetcher.list_dir(kind) or []) if fetcher.is_dir(f"{kind}/{n}")
+            )
+        # no listing (http/object store): the hierarchy comes from
+        # consolidated metadata — exactly why the reference consolidates
+        # on write (_core/spatialdata.py:1478-1492)
+        if consolidated is None:
+            raise IOError(
+                f"remote store {path} has no .zmetadata; write it with "
+                "consolidate_metadata() to make the store readable without listing"
+            )
+        names = set()
+        for key in list(consolidated) + list(manifest or []):
+            parts = key.split("/")
+            if len(parts) >= 3 and parts[0] == kind:
+                names.add(parts[1])
+        return sorted(names)
+
     for kind in kinds:
-        kpath = os.path.join(path, kind)
-        if kind not in selector or not os.path.isdir(kpath):
+        if kind not in selector:
             continue
-        for name in sorted(os.listdir(kpath)):
-            gpath = os.path.join(kpath, name)
-            if not os.path.isdir(gpath):
-                continue
+        for name in _group_names(kind):
+            rel_group = f"{kind}/{name}"
             try:
-                attrs = _attrs(gpath)
+                attrs = _attrs(rel_group)
                 if kind in ("points", "shapes", "tables"):
                     leaf = {"points": "points.parquet", "shapes": "shapes.parquet", "tables": "table.parquet"}[kind]
-                    df = spark.read.parquet(os.path.join(gpath, leaf))
+                    rel_leaf = f"{rel_group}/{leaf}"
+                    part_files = None
+                    if manifest is not None:
+                        pre = rel_leaf + "/"
+                        part_files = [m[len(pre):] for m in manifest if m.startswith(pre)]
+                    df = spark.read.parquet(fetcher.local_dir(rel_leaf, part_files))
                     if kind == "shapes" and "wkb" not in df.columns and "geometry" in df.columns:
                         # reference-written GeoParquet shapes (ShapesFormatV02+)
                         from spatialdata_spark.sources.readers import shapes_from_geoparquet
@@ -645,7 +711,7 @@ def read_zarr_store(
                 else:
                     ms = attrs.get("multiscales", [{}])[0]
                     level0 = ms.get("datasets", [{"path": "0"}])[0]["path"]
-                    tiles, meta = read_zarr_tiles(spark, os.path.join(gpath, level0))
+                    tiles, meta = read_zarr_tiles(spark, f"{path.rstrip('/')}/{rel_group}/{level0}")
                     long_df = tiles_to_long(tiles, meta)
                     if kind == "labels":
                         long_df = long_df.select(

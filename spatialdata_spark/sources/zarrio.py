@@ -161,7 +161,12 @@ def _read_json(path: str) -> dict:
         return json.load(f)
 
 
-def write_group(path: str, attrs: dict | None = None) -> None:
+def write_group(path: str, attrs: dict | None = None, zarr_format: int = 2) -> None:
+    if zarr_format == 3:
+        from spatialdata_spark.sources import zarr3
+
+        _write_json(os.path.join(path, "zarr.json"), zarr3.group_meta(attrs))
+        return
     _write_json(os.path.join(path, ".zgroup"), {"zarr_format": ZARR_FORMAT})
     if attrs is not None:
         _write_json(os.path.join(path, ".zattrs"), attrs)
@@ -183,26 +188,43 @@ def zarr_write_array(
     chunks: tuple[int, ...] | None = None,
     compressor: str | None = "zlib",
     attrs: dict | None = None,
+    zarr_format: int = 2,
 ) -> None:
     """Write one array driver-side (small payloads: codebooks, axes,
     test fixtures).  Big rasters go through :func:`write_tiles_to_zarr`
-    so executors do the chunk encoding."""
+    so executors do the chunk encoding.  ``zarr_format=3`` emits the
+    v3 layout (``zarr.json`` + ``c/``-prefixed chunk keys) — reference
+    container V02, _io/format.py:56-267."""
+    from spatialdata_spark.sources import zarr3
+
     a = np.ascontiguousarray(arr)
     if chunks is None:
         chunks = a.shape
-    meta = {
-        "zarr_format": ZARR_FORMAT,
-        "shape": list(a.shape),
-        "chunks": list(chunks),
-        "dtype": a.dtype.str,
-        "compressor": _compressor_doc(compressor),
-        "fill_value": 0,
-        "order": "C",
-        "filters": None,
-    }
-    _write_json(os.path.join(path, ".zarray"), meta)
-    if attrs is not None:
-        _write_json(os.path.join(path, ".zattrs"), attrs)
+    if zarr_format == 3:
+        # v3 has no raw-zlib codec; gzip is the stdlib equivalent
+        eff = "gzip" if compressor == "zlib" else compressor
+        meta3 = zarr3.array_meta(a.shape, chunks, a.dtype, eff, attrs)
+        _write_json(os.path.join(path, "zarr.json"), meta3)
+        keyfn = zarr3.parse_array_meta(meta3)["key"]
+    else:
+        eff = compressor
+        meta = {
+            "zarr_format": ZARR_FORMAT,
+            "shape": list(a.shape),
+            "chunks": list(chunks),
+            "dtype": a.dtype.str,
+            "compressor": _compressor_doc(compressor),
+            "fill_value": 0,
+            "order": "C",
+            "filters": None,
+        }
+        _write_json(os.path.join(path, ".zarray"), meta)
+        if attrs is not None:
+            _write_json(os.path.join(path, ".zattrs"), attrs)
+
+        def keyfn(nums):
+            return ".".join(str(k) for k in nums) or "0"
+
     grid = [range(-(-s // c)) for s, c in zip(a.shape, chunks)]
     idx: list[tuple[int, ...]] = [()]
     for g in grid:
@@ -212,9 +234,11 @@ def zarr_write_array(
         block = a[sl]
         full = np.zeros(chunks, dtype=a.dtype)
         full[tuple(slice(0, b) for b in block.shape)] = block
-        name = ".".join(str(k) for k in key) or "0"
-        with open(os.path.join(path, name), "wb") as f:
-            f.write(_compress(compressor, full.tobytes(), typesize=a.dtype.itemsize))
+        name = keyfn(key)
+        fpath = os.path.join(path, *name.split("/"))
+        os.makedirs(os.path.dirname(fpath), exist_ok=True)
+        with open(fpath, "wb") as f:
+            f.write(_compress(eff, full.tobytes(), typesize=a.dtype.itemsize))
 
 
 def zarr_read_array(path: str) -> np.ndarray:
@@ -225,25 +249,41 @@ def zarr_read_array(path: str) -> np.ndarray:
 
     fetcher = fetcher_for(path)
     meta = fetcher.get_json(".zarray")
-    if meta is None or meta.get("zarr_format") != ZARR_FORMAT:
-        raise ValueError(f"not a zarr v2 array: {path}")
-    if meta.get("filters"):
-        raise ValueError("zarr filters are not supported")
-    if meta.get("order", "C") != "C":
-        raise ValueError("only C-order zarr arrays are supported")
-    shape = tuple(meta["shape"])
-    chunks = tuple(meta["chunks"])
-    dtype = np.dtype(meta["dtype"])
-    codec = _codec_of(meta.get("compressor"))
-    sep = _separator_of(meta)
-    out = np.full(shape, meta.get("fill_value") or 0, dtype=dtype)
+    if meta is None:
+        doc3 = fetcher.get_json("zarr.json")
+        if doc3 is not None:
+            from spatialdata_spark.sources import zarr3
+
+            p3 = zarr3.parse_array_meta(doc3)
+            shape, chunks, dtype = p3["shape"], p3["chunks"], p3["dtype"]
+            codec, keyfn = p3["codec"], p3["key"]
+            fill = p3["fill_value"]
+        else:
+            raise ValueError(f"not a zarr array: {path}")
+    else:
+        if meta.get("zarr_format") != ZARR_FORMAT:
+            raise ValueError(f"not a zarr v2 array: {path}")
+        if meta.get("filters"):
+            raise ValueError("zarr filters are not supported")
+        if meta.get("order", "C") != "C":
+            raise ValueError("only C-order zarr arrays are supported")
+        shape = tuple(meta["shape"])
+        chunks = tuple(meta["chunks"])
+        dtype = np.dtype(meta["dtype"])
+        codec = _codec_of(meta.get("compressor"))
+        sep = _separator_of(meta)
+        fill = meta.get("fill_value") or 0
+
+        def keyfn(nums):
+            return sep.join(str(k) for k in nums) or "0"
+
+    out = np.full(shape, fill, dtype=dtype)
     grid = [range(-(-s // c)) for s, c in zip(shape, chunks)]
     idx: list[tuple[int, ...]] = [()]
     for g in grid:
         idx = [t + (i,) for t in idx for i in g]
     for key in idx:
-        name = sep.join(str(k) for k in key) or "0"
-        raw = fetcher.get(name)
+        raw = fetcher.get(keyfn(key))
         if raw is None:
             continue  # missing chunk = fill_value
         block = np.frombuffer(_decompress(codec, raw), dtype=dtype).reshape(chunks)
@@ -265,6 +305,7 @@ def write_tiles_to_zarr(
     compressor: str | None = "zlib",
     attrs: dict | None = None,
     squeeze_channel: bool = False,
+    zarr_format: int = 2,
 ) -> int:
     """Write one pyramid level's tile table as a zarr array
     ``(c, y, x)`` with chunks ``(1, tile, tile)`` — or, with
@@ -281,21 +322,34 @@ def write_tiles_to_zarr(
     dtype = np.dtype(meta.dtype)
     if squeeze_channel and meta.n_channels != 1:
         raise ValueError("squeeze_channel requires a single-channel raster")
-    arr_meta = {
-        "zarr_format": ZARR_FORMAT,
-        "shape": [h, w] if squeeze_channel else [meta.n_channels, h, w],
-        "chunks": [ts, ts] if squeeze_channel else [1, ts, ts],
-        "dtype": dtype.str,
-        "compressor": _compressor_doc(compressor),
-        "fill_value": 0,
-        "order": "C",
-        "filters": None,
-    }
-    _write_json(os.path.join(path, ".zarray"), arr_meta)
-    if attrs is not None:
-        _write_json(os.path.join(path, ".zattrs"), attrs)
+    shape2 = [h, w] if squeeze_channel else [meta.n_channels, h, w]
+    chunks2 = [ts, ts] if squeeze_channel else [1, ts, ts]
+    if zarr_format == 3:
+        from spatialdata_spark.sources import zarr3
 
-    codec = compressor
+        codec = "gzip" if compressor == "zlib" else compressor
+        meta3 = zarr3.array_meta(tuple(shape2), tuple(chunks2), dtype, codec, attrs)
+        _write_json(os.path.join(path, "zarr.json"), meta3)
+        keyfn = zarr3.parse_array_meta(meta3)["key"]
+    else:
+        codec = compressor
+        arr_meta = {
+            "zarr_format": ZARR_FORMAT,
+            "shape": shape2,
+            "chunks": chunks2,
+            "dtype": dtype.str,
+            "compressor": _compressor_doc(compressor),
+            "fill_value": 0,
+            "order": "C",
+            "filters": None,
+        }
+        _write_json(os.path.join(path, ".zarray"), arr_meta)
+        if attrs is not None:
+            _write_json(os.path.join(path, ".zattrs"), attrs)
+
+        def keyfn(nums):
+            return ".".join(str(k) for k in nums)
+
     itemsize = dtype.itemsize
 
     def _write_part(rows):
@@ -303,10 +357,12 @@ def write_tiles_to_zarr(
         for row in rows:
             buf = _compress(codec, bytes(row["tile"]), typesize=itemsize)
             if squeeze_channel:
-                name = f"{int(row['ty'])}.{int(row['tx'])}"
+                name = keyfn((int(row["ty"]), int(row["tx"])))
             else:
-                name = f"{int(row['c'])}.{int(row['ty'])}.{int(row['tx'])}"
-            with open(os.path.join(path, name), "wb") as f:
+                name = keyfn((int(row["c"]), int(row["ty"]), int(row["tx"])))
+            fpath = os.path.join(path, *name.split("/"))
+            os.makedirs(os.path.dirname(fpath), exist_ok=True)
+            with open(fpath, "wb") as f:
                 f.write(buf)
             n += 1
         yield n
@@ -333,14 +389,24 @@ def read_zarr_tiles(
 
     fetcher = fetcher_for(path)
     ameta = fetcher.get_json(".zarray")
+    keyfn3 = None
     if ameta is None:
-        raise ValueError(f"not a zarr v2 array: {path}")
-    if ameta.get("filters"):
-        raise ValueError("zarr filters are not supported")
-    codec = _codec_of(ameta.get("compressor"))
-    shape = tuple(ameta["shape"])
-    chunks = tuple(ameta["chunks"])
-    dtype = np.dtype(ameta["dtype"])
+        doc3 = fetcher.get_json("zarr.json")
+        if doc3 is None:
+            raise ValueError(f"not a zarr array: {path}")
+        from spatialdata_spark.sources import zarr3
+
+        p3 = zarr3.parse_array_meta(doc3)
+        shape, chunks, dtype = p3["shape"], p3["chunks"], p3["dtype"]
+        codec, keyfn3 = p3["codec"], p3["key"]
+    else:
+        if ameta.get("filters"):
+            raise ValueError("zarr filters are not supported")
+        codec = _codec_of(ameta.get("compressor"))
+        shape = tuple(ameta["shape"])
+        chunks = tuple(ameta["chunks"])
+        dtype = np.dtype(ameta["dtype"])
+    two_d = len(shape) == 2
     if len(shape) == 2:
         shape = (1,) + shape
         chunks = (1,) + chunks
@@ -353,9 +419,8 @@ def read_zarr_tiles(
     dstr = "f8" if dtype.kind == "f" else "i8"
     meta = RasterMeta(height=int(shape[1]), width=int(shape[2]), tile=ts, dtype=dstr, n_channels=int(shape[0]))
     keys = []
-    two_d = len(tuple(ameta["shape"])) == 2
-    sep = _separator_of(ameta)
-    if fetcher.can_list:
+    if ameta is not None and fetcher.can_list:
+        sep = _separator_of(ameta)
         for nums, rel in _list_chunk_keys(path, sep):
             if two_d and len(nums) == 2:
                 keys.append((0, nums[0], nums[1], rel))
@@ -368,15 +433,21 @@ def read_zarr_tiles(
                 "metadata disagrees with its chunk layout"
             )
     else:
-        # no listing (http/object store): the chunk-key set is fully
-        # determined by the shape/chunks grid; executors skip 404s
-        # (missing chunk = fill_value, all-zero tiles are sparse anyway)
+        # v3 stores and no-listing (http/object) stores: the chunk-key
+        # set is fully determined by the shape/chunks grid; executors
+        # skip 404s (missing chunk = fill_value, all-zero tiles are
+        # sparse anyway)
+        if ameta is not None:
+            sep = _separator_of(ameta)
+
+            def keyfn3(nums, _s=sep):
+                return _s.join(str(k) for k in nums) or "0"
         grid = [range(-(-s // c)) for s, c in zip(shape, chunks)]
         for c0 in grid[0]:
             for t_y in grid[1]:
                 for t_x in grid[2]:
                     nums = (t_y, t_x) if two_d else (c0, t_y, t_x)
-                    keys.append((c0, t_y, t_x, sep.join(str(k) for k in nums)))
+                    keys.append((c0, t_y, t_x, keyfn3(nums)))
     kdf = spark.createDataFrame(keys, "c int, ty long, tx long, chunk string")
     src_dtype = dtype
 
@@ -497,7 +568,7 @@ def consolidate_metadata(path: str) -> dict:
         rel = os.path.relpath(root, path)
         for fn in files:
             relkey = (fn if rel == "." else f"{rel}/{fn}").replace(os.sep, "/")
-            if fn in (".zgroup", ".zarray", ".zattrs"):
+            if fn in (".zgroup", ".zarray", ".zattrs", "zarr.json"):
                 meta[relkey] = _read_json(os.path.join(root, fn))
             elif fn != ".zmetadata":
                 manifest.append(relkey)
@@ -544,6 +615,7 @@ def write_zarr_store(
     path: str,
     raster_meta: dict[str, RasterMeta] | None = None,
     compressor: str | None = "zlib",
+    zarr_format: int = 2,
 ) -> None:
     """Write a SpatialDataset as an OME-NGFF-style zarr store.
 
@@ -555,7 +627,13 @@ def write_zarr_store(
     elements (long form) need a :class:`RasterMeta` in ``raster_meta``.
     """
     raster_meta = raster_meta or {}
-    write_group(path, {"spatialdata_attrs": {"version": _SDATA_VERSION}})
+    if zarr_format not in (2, 3):
+        raise ValueError(f"unsupported zarr_format {zarr_format}")
+    # container version pairs with the zarr metadata version, mirroring
+    # the reference's format matrix (V01 <-> zarr v2, V02 <-> zarr v3;
+    # _io/format.py:56-267)
+    version = "0.2" if zarr_format == 3 else _SDATA_VERSION
+    write_group(path, {"spatialdata_attrs": {"version": version}}, zarr_format)
     for kind in ("points", "shapes", "tables"):
         for name, df in ds.elements[kind].items():
             gpath = os.path.join(path, kind, name)
@@ -563,7 +641,7 @@ def write_zarr_store(
             df.write.mode("overwrite").parquet(os.path.join(gpath, leaf))
             axes = ("x", "y", "z") if "z" in df.columns else ("x", "y")
             attrs: dict = {
-                "spatialdata_attrs": {"version": _SDATA_VERSION},
+                "spatialdata_attrs": {"version": version},
                 "coordinateTransformations": _transforms_attr(ds.transforms.get(name, {}), axes),
             }
             if kind == "tables" and name in ds.table_meta:
@@ -571,9 +649,9 @@ def write_zarr_store(
                 attrs["spatialdata_attrs"].update(
                     {"region": tm.region, "region_key": tm.region_key, "instance_key": tm.instance_key}
                 )
-            write_group(gpath, attrs)
+            write_group(gpath, attrs, zarr_format)
         if ds.elements[kind]:
-            write_group(os.path.join(path, kind))
+            write_group(os.path.join(path, kind), zarr_format=zarr_format)
     for kind in ("images", "labels"):
         for name, df in ds.elements[kind].items():
             meta = raster_meta.get(name)
@@ -596,7 +674,7 @@ def write_zarr_store(
                 # the 2-axis multiscales metadata (NGFF conformance)
                 write_tiles_to_zarr(
                     tiles, meta, lvl_path, scale=int(s), compressor=compressor,
-                    squeeze_channel=(kind == "labels"),
+                    squeeze_channel=(kind == "labels"), zarr_format=zarr_format,
                 )
                 datasets.append(
                     {
@@ -619,11 +697,11 @@ def write_zarr_store(
                         ),
                     }
                 ],
-                "spatialdata_attrs": {"version": _SDATA_VERSION},
+                "spatialdata_attrs": {"version": version},
             }
-            write_group(gpath, attrs)
+            write_group(gpath, attrs, zarr_format)
         if ds.elements[kind]:
-            write_group(os.path.join(path, kind))
+            write_group(os.path.join(path, kind), zarr_format=zarr_format)
     consolidate_metadata(path)
 
 
@@ -656,8 +734,13 @@ def read_zarr_store(
     def _attrs(rel_group: str) -> dict:
         if consolidated is not None and f"{rel_group}/.zattrs" in consolidated:
             return consolidated[f"{rel_group}/.zattrs"]
+        if consolidated is not None and f"{rel_group}/zarr.json" in consolidated:
+            return consolidated[f"{rel_group}/zarr.json"].get("attributes", {})
         a = fetcher.get_json(f"{rel_group}/.zattrs")
-        return a if a is not None else {}
+        if a is not None:
+            return a
+        doc3 = fetcher.get_json(f"{rel_group}/zarr.json")
+        return doc3.get("attributes", {}) if doc3 is not None else {}
 
     def _group_names(kind: str) -> list[str]:
         if fetcher.can_list:

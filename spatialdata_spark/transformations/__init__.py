@@ -21,6 +21,12 @@ from spatialdata_spark.transformations.graph import (
     estimate_affine_from_landmarks,
     get_transformation_between,
 )
+from spatialdata_spark.transformations.ngff import (
+    NgffAxis,
+    NgffCoordinateSystem,
+    NgffTransformation,
+    get_default_coordinate_system,
+)
 
 __all__ = [
     "align_elements_using_landmarks",
@@ -40,4 +46,8 @@ __all__ = [
     "build_transform_graph",
     "estimate_affine_from_landmarks",
     "get_transformation_between",
+    "NgffAxis",
+    "NgffCoordinateSystem",
+    "NgffTransformation",
+    "get_default_coordinate_system",
 ]

@@ -1785,6 +1785,36 @@ GROUP BY labels.label, img.c
 """
 
 
+def ag_points_by_labels(spark, sf_dir):
+    """Zonal aggregation of points by a labels raster (reference
+    aggregate.py:28-213 with by=Labels2DModel): points bin to integer
+    pixels, pre-aggregate per pixel, equi-join the label mask, group by
+    label.  Sums are over l_quantity (integer-valued) so the oracle is
+    association-order exact."""
+    from spatialdata_spark.operators.aggregate import aggregate_points_by_labels
+
+    labels = (
+        _labels(spark, sf_dir).groupBy("y", "x").agg(F.max("label").alias("label"))
+    )
+    return aggregate_points_by_labels(
+        _points(spark, sf_dir), labels, value_col="y", agg_func="sum"
+    )
+
+
+AG_POINTS_BY_LABELS_SQL = f"""
+WITH labels AS (
+  SELECT y, x, MAX(label) AS label FROM ({LABELS_SQL}) GROUP BY 1, 2
+), pp AS (
+  SELECT CAST(FLOOR(y) AS BIGINT) AS py, CAST(FLOOR(x) AS BIGINT) AS px,
+         COUNT(*) AS pn, SUM(y) AS ps
+  FROM ({POINTS_SQL}) GROUP BY 1, 2
+)
+SELECT l.label, SUM(pp.pn) AS n, SUM(pp.ps) AS sum_value
+FROM pp JOIN labels l ON l.y = pp.py AND l.x = pp.px
+GROUP BY 1
+"""
+
+
 # -- raster/vector ----------------------------------------------------------
 
 
@@ -3083,6 +3113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq_raster_3d": sq_raster_3d,
         "rq_get_values_obsm": rq_get_values_obsm,
         "rq_filter_var": rq_filter_var,
+        "ag_points_by_labels": ag_points_by_labels,
         "rt_pyramid_sum": rt_pyramid_sum,
         "rt_halo_boxsum": rt_halo_boxsum,
         "rt_zonal_tiles": rt_zonal_tiles,
@@ -3246,6 +3277,7 @@ def oracle_sql() -> dict[str, str]:
         "sq_raster_3d": SQ_RASTER_3D_SQL,
         "rq_get_values_obsm": RQ_GET_VALUES_OBSM_SQL,
         "rq_filter_var": RQ_FILTER_VAR_SQL,
+        "ag_points_by_labels": AG_POINTS_BY_LABELS_SQL,
         "rt_pyramid_sum": RT_PYRAMID_SQL,
         "rt_halo_boxsum": RT_HALO_SQL,
         "rt_zonal_tiles": RT_ZONAL_SQL,

@@ -605,3 +605,50 @@ def aggregate_image_by_labels(
         joined.groupBy("label", "c")
         .agg(AGG_FUNCS[agg_func](F.col("value")).alias(f"{agg_func}_value"))
     )
+
+
+def aggregate_points_by_labels(
+    points: DataFrame,
+    labels_long: DataFrame,
+    value_col: str | None = None,
+    agg_func: str = "count",
+) -> DataFrame:
+    """Zonal aggregation of points over a labels raster (reference
+    aggregate.py:28-213 with ``by`` a Labels2DModel): each point bins to
+    its integer pixel, the pixel looks up its label, background 0 drops.
+
+    Plan: points pre-aggregate per pixel FIRST (map-side combinable
+    groupBy on the pixel key), so the pixel join carries at most one row
+    per occupied pixel instead of one per point; then one equi-join to
+    the label pixels and a final groupBy(label).  At 100 TB the pixel
+    pre-aggregation is what keeps the join input bounded by raster area
+    rather than point count.
+
+    Output ``(label, n[, <agg>_value])``.
+    """
+    if agg_func not in AGG_FUNCS:
+        raise ValueError(f"agg_func {agg_func!r}")
+    px = points.select(
+        F.floor(F.col("y")).cast("long").alias("y"),
+        F.floor(F.col("x")).cast("long").alias("x"),
+        *([F.col(value_col).alias("__v")] if value_col else []),
+    )
+    per_pixel = px.groupBy("y", "x").agg(
+        F.count(F.lit(1)).alias("__n"),
+        *([F.sum("__v").alias("__s")] if value_col else []),
+    )
+    joined = per_pixel.join(labels_long.filter(F.col("label") != 0), ["y", "x"])
+    aggs = [F.sum("__n").alias("n")]
+    if value_col:
+        if agg_func == "count":
+            pass
+        elif agg_func == "sum":
+            aggs.append(F.sum("__s").alias("sum_value"))
+        elif agg_func == "mean":
+            aggs.append((F.sum("__s") / F.sum("__n")).alias("mean_value"))
+        else:
+            raise ValueError(
+                f"agg_func {agg_func!r} needs per-point rows; only count/sum/mean "
+                "are pixel-preaggregable"
+            )
+    return joined.groupBy("label").agg(*aggs)

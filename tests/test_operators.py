@@ -458,3 +458,30 @@ def test_spatial_query_rejects_singular_transform(spark):
     singular = Affine([[1, 0, 0], [1, 0, 0], [0, 0, 1]], ("x", "y"), ("x", "y"))
     with pytest.raises(ValueError, match="singular"):
         bounding_box_query_points(pts, ("x", "y"), [0, 0], [10, 10], singular)
+
+
+def test_aggregate_points_by_labels(spark):
+    from spatialdata_spark.operators.aggregate import aggregate_points_by_labels
+
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "x": [0.2, 0.9, 1.5, 1.1, 2.7, 5.0],
+                "y": [0.5, 0.4, 0.0, 0.9, 2.2, 5.0],
+                "v": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0],
+            }
+        )
+    )
+    # labels: pixel (0,0)->7, (0,1)->7, (2,2)->9; pixel (5,5) unlabeled
+    labels = spark.createDataFrame(
+        pd.DataFrame({"y": [0, 0, 2], "x": [0, 1, 2], "label": [7, 7, 9]})
+    )
+    out = aggregate_points_by_labels(pts, labels, value_col="v", agg_func="sum")
+    got = {r["label"]: (r["n"], r["sum_value"]) for r in out.collect()}
+    assert got == {7: (4, 10.0), 9: (1, 5.0)}
+    # count-only path and background-0 drop
+    labels0 = spark.createDataFrame(pd.DataFrame({"y": [5], "x": [5], "label": [0]}))
+    out2 = aggregate_points_by_labels(pts, labels.union(labels0))
+    assert {r["label"] for r in out2.collect()} == {7, 9}
+    # plan stays JVM-side: no Python boundary anywhere
+    assert "mapInPandas" not in out._jdf.queryExecution().executedPlan().toString()

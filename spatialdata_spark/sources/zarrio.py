@@ -658,7 +658,13 @@ def write_zarr_store(
             if meta is None:
                 raise ValueError(f"writing raster {name!r} to zarr needs a RasterMeta in raster_meta")
             gpath = os.path.join(path, kind, name)
-            axes = ("c", "y", "x") if kind == "images" else ("y", "x")
+            is_3d = meta.depth > 1 or "z" in df.columns
+            if is_3d:
+                # Labels3DModel (z,y,x) / Image3DModel (c,z,y,x) — z-plane
+                # chunks (reference models/models.py:428,447)
+                axes = ("c", "z", "y", "x") if kind == "images" else ("z", "y", "x")
+            else:
+                axes = ("c", "y", "x") if kind == "images" else ("y", "x")
             scales = sorted(
                 r["scale"] for r in df.select("scale").distinct().collect()
             ) if "scale" in df.columns else [0]
@@ -666,16 +672,28 @@ def write_zarr_store(
                 tiles = df
             else:
                 long_df = df.withColumnRenamed("label", "value") if "label" in df.columns else df
-                tiles = long_to_tiles(long_df, meta)
+                if is_3d:
+                    from spatialdata_spark.operators.raster import long3d_to_tiles
+
+                    tiles = long3d_to_tiles(long_df, meta)
+                else:
+                    tiles = long_to_tiles(long_df, meta)
             datasets = []
             for s in scales:
                 lvl_path = os.path.join(gpath, str(s))
-                # labels are 2-d (y, x) on disk so the array ndim matches
-                # the 2-axis multiscales metadata (NGFF conformance)
-                write_tiles_to_zarr(
-                    tiles, meta, lvl_path, scale=int(s), compressor=compressor,
-                    squeeze_channel=(kind == "labels"), zarr_format=zarr_format,
-                )
+                # labels are written without the channel axis so the
+                # array ndim matches the multiscales axes count (NGFF
+                # conformance)
+                if is_3d:
+                    write_tiles3d_to_zarr(
+                        tiles, meta, lvl_path, scale=int(s), compressor=compressor,
+                        squeeze_channel=(kind == "labels"), zarr_format=zarr_format,
+                    )
+                else:
+                    write_tiles_to_zarr(
+                        tiles, meta, lvl_path, scale=int(s), compressor=compressor,
+                        squeeze_channel=(kind == "labels"), zarr_format=zarr_format,
+                    )
                 datasets.append(
                     {
                         "path": str(s),
@@ -794,7 +812,24 @@ def read_zarr_store(
                 else:
                     ms = attrs.get("multiscales", [{}])[0]
                     level0 = ms.get("datasets", [{"path": "0"}])[0]["path"]
-                    tiles, meta = read_zarr_tiles(spark, f"{path.rstrip('/')}/{rel_group}/{level0}")
+                    ms_axes = [a.get("name") for a in ms.get("axes", [])]
+                    lvl_url = f"{path.rstrip('/')}/{rel_group}/{level0}"
+                    if "z" in ms_axes:
+                        from spatialdata_spark.operators.raster import tiles3d_to_long
+
+                        tiles, meta = read_zarr_tiles_3d(spark, lvl_url)
+                        long_df = tiles3d_to_long(tiles, meta)
+                        if kind == "labels":
+                            long_df = long_df.select(
+                                "z", "y", "x", F.col("value").cast("long").alias("label")
+                            )
+                        ds.elements[kind][name] = long_df
+                        tf = ms.get("coordinateTransformations", [])
+                        typed = [d for d in tf if "input" in d]
+                        if typed:
+                            ds.transforms[name] = _transforms_from_attr(typed)
+                        continue
+                    tiles, meta = read_zarr_tiles(spark, lvl_url)
                     long_df = tiles_to_long(tiles, meta)
                     if kind == "labels":
                         long_df = long_df.select(
@@ -815,3 +850,169 @@ def read_zarr_store(
                     continue
                 raise
     return ds
+
+
+# ---------------------------------------------------------------------------
+# 3D rasters <-> zarr chunks (Labels3DModel / Image3DModel store IO)
+# ---------------------------------------------------------------------------
+
+
+def write_tiles3d_to_zarr(
+    tiles: DataFrame,
+    meta: RasterMeta,
+    path: str,
+    scale: int = 0,
+    compressor: str | None = "zlib",
+    attrs: dict | None = None,
+    squeeze_channel: bool = False,
+    zarr_format: int = 2,
+) -> int:
+    """Write a z-plane tile table as a zarr ``(c, z, y, x)`` array with
+    chunks ``(1, 1, tile, tile)`` — or, with ``squeeze_channel=True``
+    (labels), a 3-d ``(z, y, x)`` array with 3-part chunk keys, matching
+    the reference's Labels3DModel store layout (models/models.py:428,
+    _io/io_raster.py).  Executors write their own chunks; the driver
+    writes only metadata."""
+    h, w = meta.shape_at(scale)
+    ts = meta.tile
+    dtype = np.dtype(meta.dtype)
+    if squeeze_channel and meta.n_channels != 1:
+        raise ValueError("squeeze_channel requires a single-channel raster")
+    shape = [h, w]
+    chunks = [ts, ts]
+    shape = ([meta.depth] + shape) if squeeze_channel else [meta.n_channels, meta.depth] + shape
+    chunks = ([1] + chunks) if squeeze_channel else [1, 1] + chunks
+    if zarr_format == 3:
+        from spatialdata_spark.sources import zarr3
+
+        codec = "gzip" if compressor == "zlib" else compressor
+        meta3 = zarr3.array_meta(tuple(shape), tuple(chunks), dtype, codec, attrs)
+        _write_json(os.path.join(path, "zarr.json"), meta3)
+        keyfn = zarr3.parse_array_meta(meta3)["key"]
+    else:
+        codec = compressor
+        _write_json(
+            os.path.join(path, ".zarray"),
+            {
+                "zarr_format": ZARR_FORMAT,
+                "shape": shape,
+                "chunks": chunks,
+                "dtype": dtype.str,
+                "compressor": _compressor_doc(compressor),
+                "fill_value": 0,
+                "order": "C",
+                "filters": None,
+            },
+        )
+        if attrs is not None:
+            _write_json(os.path.join(path, ".zattrs"), attrs)
+
+        def keyfn(nums):
+            return ".".join(str(k) for k in nums)
+
+    itemsize = dtype.itemsize
+
+    def _write_part(rows):
+        n = 0
+        for row in rows:
+            buf = _compress(codec, bytes(row["tile"]), typesize=itemsize)
+            nums = (int(row["z"]), int(row["ty"]), int(row["tx"]))
+            if not squeeze_channel:
+                nums = (int(row["c"]),) + nums
+            name = keyfn(nums)
+            fpath = os.path.join(path, *name.split("/"))
+            os.makedirs(os.path.dirname(fpath), exist_ok=True)
+            with open(fpath, "wb") as f:
+                f.write(buf)
+            n += 1
+        yield n
+
+    counts = (
+        tiles.filter(F.col("scale") == scale)
+        .select("c", "z", "ty", "tx", "tile")
+        .rdd.mapPartitions(_write_part)
+        .collect()
+    )
+    return int(sum(counts))
+
+
+def read_zarr_tiles_3d(spark: SparkSession, path: str, scale: int = 0):
+    """Read a zarr ``(z, y, x)`` or ``(c, z, y, x)`` array as a z-plane
+    tile DataFrame ``(scale, c, z, ty, tx, tile)`` + RasterMeta.  Chunk
+    keys enumerate from the shape/chunks grid (works on v2, v3 and
+    no-listing http stores alike); executors decode their chunks."""
+    from spatialdata_spark.operators.raster import TILE3D_SCHEMA
+    from spatialdata_spark.sources.fetch import fetcher_for
+
+    fetcher = fetcher_for(path)
+    ameta = fetcher.get_json(".zarray")
+    if ameta is None:
+        doc3 = fetcher.get_json("zarr.json")
+        if doc3 is None:
+            raise ValueError(f"not a zarr array: {path}")
+        from spatialdata_spark.sources import zarr3
+
+        p3 = zarr3.parse_array_meta(doc3)
+        shape, chunks, dtype = p3["shape"], p3["chunks"], p3["dtype"]
+        codec, keyfn = p3["codec"], p3["key"]
+    else:
+        if ameta.get("filters"):
+            raise ValueError("zarr filters are not supported")
+        codec = _codec_of(ameta.get("compressor"))
+        shape = tuple(ameta["shape"])
+        chunks = tuple(ameta["chunks"])
+        dtype = np.dtype(ameta["dtype"])
+        sep = _separator_of(ameta)
+
+        def keyfn(nums, _s=sep):
+            return _s.join(str(k) for k in nums)
+
+    no_c = len(shape) == 3
+    if no_c:
+        shape = (1,) + shape
+        chunks = (1,) + chunks
+    if len(shape) != 4 or chunks[0] != 1 or chunks[1] != 1 or chunks[2] != chunks[3]:
+        raise ValueError(
+            f"unsupported 3D chunk layout {chunks} for shape {shape}: expected "
+            "(1, 1, t, t) volume chunks"
+        )
+    ts = int(chunks[2])
+    dstr = "f8" if dtype.kind == "f" else "i8"
+    meta = RasterMeta(
+        height=int(shape[2]),
+        width=int(shape[3]),
+        tile=ts,
+        dtype=dstr,
+        n_channels=int(shape[0]),
+        depth=int(shape[1]),
+    )
+    keys = []
+    grid = [range(-(-s // c)) for s, c in zip(shape, chunks)]
+    for c0 in grid[0]:
+        for z0 in grid[1]:
+            for t_y in grid[2]:
+                for t_x in grid[3]:
+                    nums = (z0, t_y, t_x) if no_c else (c0, z0, t_y, t_x)
+                    keys.append((c0, z0, t_y, t_x, keyfn(nums)))
+    kdf = spark.createDataFrame(keys, "c int, z long, ty long, tx long, chunk string")
+    src_dtype = dtype
+
+    def _decode(iterator):
+        import pandas as pd
+
+        for pdf in iterator:
+            rows = {"scale": [], "c": [], "z": [], "ty": [], "tx": [], "tile": []}
+            for _, row in pdf.iterrows():
+                raw = fetcher.get(row["chunk"])
+                if raw is None:
+                    continue
+                a = np.frombuffer(_decompress(codec, raw), dtype=src_dtype).reshape(ts, ts)
+                rows["scale"].append(scale)
+                rows["c"].append(int(row["c"]))
+                rows["z"].append(int(row["z"]))
+                rows["ty"].append(int(row["ty"]))
+                rows["tx"].append(int(row["tx"]))
+                rows["tile"].append(np.ascontiguousarray(a, dtype=np.dtype(dstr)).tobytes())
+            yield pd.DataFrame(rows)
+
+    return kdf.mapInPandas(_decode, TILE3D_SCHEMA), meta

@@ -20,12 +20,44 @@ Data model mapping (see SURVEY.md §1.5):
 * transforms -> a tiny driver-side catalog: element -> {cs -> Transformation}
 """
 
-from spatialdata_spark.catalog import SpatialDataset
+from spatialdata_spark.api import (
+    aggregate,
+    are_extents_equal,
+    concatenate,
+    deepcopy,
+    get_bounding_box_corners,
+    get_centroids,
+    get_element_annotators,
+    get_extent,
+    get_pyramid_levels,
+    join_spatialelement_table,
+    map_raster,
+    match_sdata_to_table,
+    rasterize,
+    sanitize_table,
+    to_circles,
+    to_polygons,
+    transform,
+)
+from spatialdata_spark.catalog import SpatialDataset, sanitize_name
 from spatialdata_spark.operators.container import (
     bounding_box_query_dataset as bounding_box_query,
 )
 from spatialdata_spark.operators.container import (
     polygon_query_dataset as polygon_query,
+)
+from spatialdata_spark.operators.rasterize import rasterize_bins, relabel_sequential
+from spatialdata_spark.operators.raster import unpad_raster
+from spatialdata_spark.operators.relational import (
+    filter_by_table_predicate as filter_by_table_query,
+)
+from spatialdata_spark.operators.relational import (
+    element_instance_ids as get_element_instances,
+)
+from spatialdata_spark.operators.relational import (
+    get_values,
+    match_element_to_table,
+    match_table_to_element,
 )
 from spatialdata_spark.operators.transform import transform_to_coordinate_system
 from spatialdata_spark.transformations import (
@@ -39,14 +71,17 @@ from spatialdata_spark.transformations import (
     align_elements_using_landmarks,
     get_transformation_between_landmarks,
 )
+from spatialdata_spark import datasets, models, transformations  # noqa: F401
 
-#: reference-API-style entry points (spatialdata's read_zarr / blobs)
+#: reference-API-style entry points (spatialdata's read_zarr / SpatialData)
 read_zarr = SpatialDataset.read_zarr
+SpatialData = SpatialDataset  # the reference's class name
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 __all__ = [
     "SpatialDataset",
+    "SpatialData",
     "BaseTransformation",
     "Identity",
     "MapAxis",
@@ -54,10 +89,39 @@ __all__ = [
     "Scale",
     "Affine",
     "Sequence",
+    "aggregate",
+    "are_extents_equal",
     "bounding_box_query",
+    "concatenate",
+    "datasets",
+    "deepcopy",
+    "filter_by_table_query",
+    "get_bounding_box_corners",
+    "get_centroids",
+    "get_element_annotators",
+    "get_element_instances",
+    "get_extent",
+    "get_pyramid_levels",
+    "get_values",
+    "join_spatialelement_table",
+    "map_raster",
+    "match_element_to_table",
+    "match_sdata_to_table",
+    "match_table_to_element",
+    "models",
     "polygon_query",
+    "rasterize",
+    "rasterize_bins",
+    "read_zarr",
+    "relabel_sequential",
+    "sanitize_name",
+    "sanitize_table",
+    "to_circles",
+    "to_polygons",
+    "transform",
     "transform_to_coordinate_system",
+    "transformations",
+    "unpad_raster",
     "align_elements_using_landmarks",
     "get_transformation_between_landmarks",
-    "read_zarr",
 ]

@@ -2697,6 +2697,38 @@ SELECT id_a, id_b, ROUND(cosine, 6) AS cosine_r FROM pairs WHERE rank <= 3
 """
 
 
+def pl_embed_dedup(spark, sf_dir):
+    """Embedding-cosine near-dup removal (LSH-bucketed, keep the
+    lowest-id member of each near-dup pair).  Data-derived planes make
+    the bucket assignment and the anti-join exactly reproducible by the
+    DuckDB oracle."""
+    from spatialdata_spark.pipeline.similarity import embedding_cosine_dedup
+
+    emb = _read(spark, sf_dir, "embeddings")
+    p_rows = emb.filter(F.col("vec_id").between(1, 6)).orderBy("vec_id").select("embedding").collect()
+    planes = [[float(x) for x in r["embedding"]] for r in p_rows]
+    out = embedding_cosine_dedup(emb, threshold=0.3, planes=planes)
+    return out.select("vec_id")
+
+
+PL_EMBED_DEDUP_SQL = """
+WITH p AS (SELECT vec_id - 1 AS j, CAST(embedding AS DOUBLE[]) AS pv FROM embeddings WHERE vec_id BETWEEN 1 AND 6),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (
+  SELECT e.vec_id,
+         SUM(CASE WHEN list_dot_product(e.v, p.pv) > 0 THEN 1 << p.j ELSE 0 END) AS bucket
+  FROM e CROSS JOIN p GROUP BY e.vec_id
+),
+eb AS (SELECT e.vec_id, e.v, b.bucket FROM e JOIN b USING (vec_id)),
+dups AS (
+  SELECT DISTINCT c.vec_id
+  FROM eb a JOIN eb c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+  WHERE list_cosine_similarity(a.v, c.v) >= 0.3
+)
+SELECT vec_id FROM e WHERE vec_id NOT IN (SELECT vec_id FROM dups)
+"""
+
+
 def pl_simhash(spark, sf_dir):
     """62-bit SimHash fingerprints, expression-only (exact DuckDB
     oracle replays the same integer bit votes)."""
@@ -3134,6 +3166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pl_minhash_cc": pl_minhash_cc,
         "pl_language_id": pl_language_id,
         "pl_lsh_topk": pl_lsh_topk,
+        "pl_embed_dedup": pl_embed_dedup,
         "pl_simhash": pl_simhash,
         "pl_simhash_neardup": pl_simhash_neardup,
         "pl_ngram_jaccard": pl_ngram_jaccard,
@@ -3296,6 +3329,7 @@ def oracle_sql() -> dict[str, str]:
         "pl_ivf_exact": PL_KNN_SQL,
         "pl_ivf_probe": PL_IVF_PROBE_SQL,
         "pl_lsh_topk": PL_LSH_TOPK_SQL,
+        "pl_embed_dedup": PL_EMBED_DEDUP_SQL,
         "pl_minhash_dedup": _minhash_cand_sql(),
         "pl_minhash_expr": _minhash_cand_sql(),
         "pl_minhash_cc": _minhash_cc_sql(),

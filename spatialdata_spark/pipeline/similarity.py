@@ -309,10 +309,14 @@ def embedding_cosine_dedup(
     num_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    planes=None,
 ) -> DataFrame:
     """Embedding near-dup removal: keep rows with no higher-id
-    bucket-mate above the cosine threshold."""
-    bucketed = random_hyperplane_buckets(embeddings, num_planes, None, 42, id_col, vec_col)
+    bucket-mate above the cosine threshold.  Pass ``planes`` for an
+    externally reproducible bucket assignment (oracle parity)."""
+    bucketed = random_hyperplane_buckets(
+        embeddings, num_planes, None, 42, id_col, vec_col, planes=planes
+    )
     a = bucketed.select("bucket", F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("va"))
     b = bucketed.select("bucket", F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("vb"))
     sim = _dot_expr(F.col("va"), F.col("vb")) / (_norm_expr(F.col("va")) * _norm_expr(F.col("vb")))

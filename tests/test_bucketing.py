@@ -1,0 +1,58 @@
+"""Bucketed co-located joins: the element<->table equi-join on the
+bucket key must plan with ZERO shuffle exchanges (both sides pre-hashed
+at write time) — the 100 TB design for the reference's repeated
+relational joins (relational_query.py:434-716)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from spatialdata_spark.sources.bucketing import read_bucketed, write_bucketed
+
+
+@pytest.fixture()
+def bucketed_pair(spark, tmp_path):
+    pts = spark.createDataFrame(
+        pd.DataFrame({"instance_id": list(range(200)), "x": [float(i) for i in range(200)]})
+    )
+    obs = spark.createDataFrame(
+        pd.DataFrame({"instance_id": list(range(0, 200, 2)), "score": [1.0] * 100})
+    )
+    write_bucketed(pts, "b_pts", str(tmp_path / "pts"), buckets=8)
+    write_bucketed(obs, "b_obs", str(tmp_path / "obs"), buckets=8)
+    yield "b_pts", "b_obs"
+    spark.sql("DROP TABLE IF EXISTS b_pts")
+    spark.sql("DROP TABLE IF EXISTS b_obs")
+
+
+def test_bucketed_join_has_no_exchange(spark, bucketed_pair):
+    a, b = bucketed_pair
+    # force the join path (not broadcast) to show the bucket property
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = read_bucketed(spark, a).join(read_bucketed(spark, b), "instance_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert joined.count() == 100
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_groupby_has_no_exchange(spark, bucketed_pair):
+    a, _ = bucketed_pair
+    from pyspark.sql import functions as F
+
+    agg = read_bucketed(spark, a).groupBy("instance_id").agg(F.sum("x").alias("s"))
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert agg.count() == 200
+
+
+def test_bucketed_data_is_plain_parquet(spark, tmp_path, bucketed_pair):
+    """The payload stays engine-portable parquet at the external path."""
+    a, _ = bucketed_pair
+    loc = spark.sql(f"DESCRIBE FORMATTED {a}").filter("col_name = 'Location'").first()["data_type"]
+    df = spark.read.parquet(loc.replace("file:", ""))
+    assert df.count() == 200

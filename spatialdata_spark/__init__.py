@@ -34,6 +34,7 @@ from spatialdata_spark.api import (
     map_raster,
     match_sdata_to_table,
     rasterize,
+    rasterize_bins_link_table_to_labels,
     sanitize_table,
     to_circles,
     to_polygons,
@@ -112,6 +113,7 @@ __all__ = [
     "polygon_query",
     "rasterize",
     "rasterize_bins",
+    "rasterize_bins_link_table_to_labels",
     "read_zarr",
     "relabel_sequential",
     "sanitize_name",

@@ -277,3 +277,25 @@ def map_raster(tiles: DataFrame, fn, meta, depth: int = 0, **kw) -> DataFrame:
     if depth > 0:
         return map_tiles_with_halo(tiles, fn, meta, halo=depth, **kw)
     return map_tiles(tiles, fn, meta, **kw)
+
+
+def rasterize_bins_link_table_to_labels(
+    ds: SpatialDataset, table_name: str, labels_name: str
+) -> SpatialDataset:
+    """Point the annotation table at a labels raster produced by
+    rasterize_bins (reference rasterize_bins.py
+    rasterize_bins_link_table_to_labels): the table's region metadata is
+    rewritten to the labels element, rows re-keyed to it."""
+    from pyspark.sql import functions as F
+
+    meta = ds.table_meta[table_name]
+    if labels_name not in ds.elements["labels"]:
+        raise ValueError(f"labels element {labels_name!r} not in the dataset")
+    out = ds.deepcopy()
+    out.elements["tables"][table_name] = ds.tables[table_name].withColumn(
+        meta.region_key, F.lit(labels_name)
+    )
+    out.table_meta[table_name] = TableMeta(
+        region=[labels_name], region_key=meta.region_key, instance_key=meta.instance_key
+    )
+    return out

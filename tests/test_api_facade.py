@@ -132,3 +132,13 @@ def test_get_pyramid_levels():
 
     m = RasterMeta(height=100, width=60, tile=16)
     assert S.get_pyramid_levels(m, 3) == [(100, 60), (50, 30), (25, 15)]
+
+
+def test_rasterize_bins_link_table_to_labels(spark, small_ds):
+    labels = spark.createDataFrame(pd.DataFrame({"y": [0], "x": [0], "label": [1]}))
+    small_ds.add_labels("bins", labels, {"global": S.Identity()})
+    out = S.rasterize_bins_link_table_to_labels(small_ds, "tab", "bins")
+    assert out.table_meta["tab"].region == ["bins"]
+    assert out.tables["tab"].first()["region"] == "bins"
+    with pytest.raises(ValueError, match="not in the dataset"):
+        S.rasterize_bins_link_table_to_labels(small_ds, "tab", "missing")

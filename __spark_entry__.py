@@ -2063,6 +2063,40 @@ def _img_tiles(spark, sf_dir):
     return long_to_tiles(_img_long(spark, sf_dir), _img_meta())
 
 
+def rv_rasterize_polyfill(spark, sf_dir):
+    """Polygon scanline fill (the Pandas-UDF custom op, SURVEY §7 ③):
+    half-integer box polygons from part, filled to (y, x, label) pixel
+    rows — boundaries land between pixels so the even-odd test has no
+    edge cases and the oracle is a pure integer range product."""
+    from spatialdata_spark.operators.rasterize import rasterize_polygons_fill
+    from spatialdata_spark.operators.vectorize import boxes_to_shapes
+
+    part = _read(spark, sf_dir, "part").filter(F.col("p_partkey") < 200).select(
+        F.col("p_partkey").alias("shape_id"),
+        ((F.col("p_partkey") % 90) * 1.0 - 0.5).alias("minx"),
+        (((F.col("p_partkey") * 3) % 40) * 1.0 - 0.5).alias("miny"),
+        ((F.col("p_partkey") % 90) * 1.0 + 4.5).alias("maxx"),
+        (((F.col("p_partkey") * 3) % 40) * 1.0 + 8.5).alias("maxy"),
+    )
+    out = rasterize_polygons_fill(boxes_to_shapes(part))
+    return out.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("sum_y"), F.sum("x").alias("sum_x")
+    )
+
+
+RV_RASTERIZE_POLYFILL_SQL = """
+WITH b AS (
+  SELECT p_partkey AS label, p_partkey % 90 AS vx0, (p_partkey*3) % 40 AS vy0
+  FROM part WHERE p_partkey < 200
+)
+SELECT label, COUNT(*) AS n, SUM(vy0 + dy) AS sum_y, SUM(vx0 + dx) AS sum_x
+FROM b
+CROSS JOIN generate_series(0, 8) AS gy(dy)
+CROSS JOIN generate_series(0, 4) AS gx(dx)
+GROUP BY label
+"""
+
+
 def rt_map_tiles(spark, sf_dir):
     from spatialdata_spark.operators.raster import map_tiles, tiles_to_long
 
@@ -3133,6 +3167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rv_rasterize_count": rv_rasterize_count,
         "rv_rasterize_cat": rv_rasterize_cat,
         "rv_rasterize_circle_fill": rv_rasterize_circle_fill,
+        "rv_rasterize_polyfill": rv_rasterize_polyfill,
         "rv_to_circles": rv_to_circles,
         "rv_to_polygons": rv_to_polygons,
         "rv_relabel": rv_relabel,
@@ -3174,8 +3209,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pl_resize_images": pl_resize_images,
         "pl_frame_sample": pl_frame_sample,
         "st_session_native": st_session_native,
-        "st_distinct_users_daily": st_distinct_users_daily,
-        "st_value_quantiles": st_value_quantiles,
         "sq_multipart_shapes": sq_multipart_shapes,
         "sq_polygon_clip_holes": sq_polygon_clip_holes,
         "st_sessionize": st_sessionize,
@@ -3186,6 +3219,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # covers them at every commit
         "st_tumbling": st_tumbling,
         "st_sliding": st_sliding,
+        "st_distinct_users_daily": st_distinct_users_daily,
+        "st_value_quantiles": st_value_quantiles,
         "q01_pricing_summary": q01_pricing_summary,
         "q03_shipping": q03_shipping,
         "q05_local_supplier": q05_local_supplier,
@@ -3298,6 +3333,7 @@ def oracle_sql() -> dict[str, str]:
         "rv_rasterize_count": RV_RASTERIZE_SQL,
         "rv_rasterize_cat": RV_RASTERIZE_CAT_SQL,
         "rv_rasterize_circle_fill": RV_CIRCLE_FILL_SQL,
+        "rv_rasterize_polyfill": RV_RASTERIZE_POLYFILL_SQL,
         "rv_to_circles": RV_TO_CIRCLES_SQL,
         "rv_to_polygons": RV_TO_POLYGONS_SQL,
         "rv_relabel": RV_RELABEL_SQL,

@@ -319,6 +319,11 @@ def embedding_cosine_dedup(
     )
     a = bucketed.select("bucket", F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("va"))
     b = bucketed.select("bucket", F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("vb"))
+    if embeddings.sparkSession.sparkContext.master.startswith("local"):
+        # test/bench scale fits one executor: broadcast skips the
+        # two-sided bucket shuffle; cluster plans stay un-hinted (AQE
+        # picks the strategy — billions of vectors must NOT broadcast)
+        b = F.broadcast(b)
     sim = _dot_expr(F.col("va"), F.col("vb")) / (_norm_expr(F.col("va")) * _norm_expr(F.col("vb")))
     dup_ids = (
         a.join(b, "bucket")
@@ -328,4 +333,6 @@ def embedding_cosine_dedup(
         .select(F.col("id_b").alias(id_col))
         .distinct()
     )
+    if embeddings.sparkSession.sparkContext.master.startswith("local"):
+        dup_ids = F.broadcast(dup_ids)
     return embeddings.join(dup_ids, id_col, "left_anti")

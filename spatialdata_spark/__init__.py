@@ -72,7 +72,7 @@ from spatialdata_spark.transformations import (
     align_elements_using_landmarks,
     get_transformation_between_landmarks,
 )
-from spatialdata_spark import datasets, models, transformations  # noqa: F401
+from spatialdata_spark import dataloader, datasets, models, transformations  # noqa: F401
 
 #: reference-API-style entry points (spatialdata's read_zarr / SpatialData)
 read_zarr = SpatialDataset.read_zarr
@@ -94,6 +94,7 @@ __all__ = [
     "are_extents_equal",
     "bounding_box_query",
     "concatenate",
+    "dataloader",
     "datasets",
     "deepcopy",
     "filter_by_table_query",

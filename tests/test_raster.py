@@ -254,3 +254,26 @@ def test_select_pyramid_level_for_rasterize_matches_reference_rule():
     # sqrt(2) slack compensates -> same level as the unrotated 1000px box
     assert select_pyramid_level_for_rasterize(meta, 4, {"y": 1414.2, "x": 1414.2}, t) == 1
     assert select_pyramid_level_for_rasterize(meta, 4, {"y": 1000.0, "x": 1000.0}, t) == 1
+
+
+def test_image_tiles_dataset(spark, dense):
+    """ImageTilesDataset analog: per-region windows stream back as numpy
+    arrays, matching direct dense-array crops (reference
+    dataloader/datasets.py)."""
+    from spatialdata_spark.dataloader import ImageTilesDataset
+
+    meta = RasterMeta(height=H, width=W, tile=TS)
+    tiles = long_to_tiles(_to_long_df(spark, dense), meta)
+    regions = spark.createDataFrame(
+        [(1, 10.0, 12.0), (2, 30.0, 40.0)], "region_id long, cy double, cx double"
+    )
+    ds = ImageTilesDataset(tiles, meta, regions, tile_px=8, transform=lambda a: a * 2.0)
+    assert len(ds) == 2
+    got = dict(iter(ds))
+    assert set(got) == {1, 2}
+    for rid, (cy, cx) in ((1, (10, 12)), (2, (30, 40))):
+        y0, x0 = cy - 4, cx - 4
+        exp = np.zeros((8, 8))
+        sub = dense[max(0, y0) : y0 + 8, max(0, x0) : x0 + 8]
+        exp[: sub.shape[0], : sub.shape[1]] = sub
+        np.testing.assert_allclose(got[rid], exp * 2.0)

@@ -214,13 +214,22 @@ class SpatialDataset:
         return out
 
     # -- persistence ------------------------------------------------------
-    def write_zarr(self, path: str, raster_meta: dict | None = None, compressor: str | None = "zlib") -> None:
-        """Write this container as an OME-NGFF-style Zarr v2 store
-        (reference: _io/io_zarr.py write path) — see
-        ``sources/zarrio.py`` for the layout and codec support."""
+    def write_zarr(
+        self,
+        path: str,
+        raster_meta: dict | None = None,
+        compressor: str | None = "zlib",
+        zarr_format: int = 2,
+    ) -> None:
+        """Write this container as an OME-NGFF-style Zarr store
+        (reference: _io/io_zarr.py write path; ``zarr_format=3`` emits
+        the container V02 / zarr v3 layout) — see ``sources/zarrio.py``
+        for the layout and codec support."""
         from spatialdata_spark.sources.zarrio import write_zarr_store
 
-        write_zarr_store(self, path, raster_meta=raster_meta, compressor=compressor)
+        write_zarr_store(
+            self, path, raster_meta=raster_meta, compressor=compressor, zarr_format=zarr_format
+        )
 
     @staticmethod
     def read_zarr(spark: SparkSession, path: str, selection: tuple[str, ...] | None = None, on_bad_files: str = "error") -> "SpatialDataset":

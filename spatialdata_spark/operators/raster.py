@@ -138,9 +138,9 @@ def tiles_to_long(tiles: DataFrame, meta: RasterMeta, keep_zeros: bool = False, 
         import pandas as pd
 
         for pdf in iterator:
-            for _, row in pdf.iterrows():
-                a = _arr(row["tile"], meta)
-                oy, ox = int(row["ty"]) * ts, int(row["tx"]) * ts
+            for row in pdf.itertuples(index=False):
+                a = _arr(row.tile, meta)
+                oy, ox = int(row.ty) * ts, int(row.tx) * ts
                 if keep_zeros:
                     yy, xx = np.mgrid[0:ts, 0:ts]
                     yy, xx, vv = yy.ravel(), xx.ravel(), a.ravel()
@@ -150,7 +150,7 @@ def tiles_to_long(tiles: DataFrame, meta: RasterMeta, keep_zeros: bool = False, 
                 ay, ax = yy + oy, xx + ox
                 m = (ay < h) & (ax < w)  # drop the zero padding
                 yield pd.DataFrame(
-                    {"c": int(row["c"]), "y": ay[m], "x": ax[m], "value": vv[m]}
+                    {"c": int(row.c), "y": ay[m], "x": ax[m], "value": vv[m]}
                 )
 
     return tiles.filter(F.col("scale") == scale).mapInPandas(_unpack, out_schema)
@@ -172,8 +172,8 @@ def map_tiles(tiles: DataFrame, fn, meta: RasterMeta, out_dtype: str | None = No
 
         for pdf in iterator:
             out = []
-            for _, row in pdf.iterrows():
-                a = _arr(row["tile"], meta)
+            for row in pdf.itertuples(index=False):
+                a = _arr(row.tile, meta)
                 out.append(_buf(np.asarray(fn(a), dtype=np.dtype(out_meta.dtype))))
             pdf = pdf.copy()
             pdf["tile"] = out
@@ -225,9 +225,9 @@ def map_tiles_with_halo(tiles: DataFrame, fn, meta: RasterMeta, halo: int, out_d
         scale, c, gty, gtx = (int(k) for k in key)
         padded = np.zeros((ts + 2 * halo, ts + 2 * halo), dtype=np.dtype(meta.dtype))
         center_seen = False
-        for _, row in pdf.iterrows():
-            a = _arr(row["tile"], meta)
-            dy, dx = int(row["rel_dy"]), int(row["rel_dx"])
+        for row in pdf.itertuples(index=False):
+            a = _arr(row.tile, meta)
+            dy, dx = int(row.rel_dy), int(row.rel_dx)
             if dy == 0 and dx == 0:
                 center_seen = True
             # neighbor at offset (dy,dx) relative to target: its pixels
@@ -281,16 +281,16 @@ def bounding_box_query_tiles(
 
         for pdf in iterator:
             rows = {"scale": [], "c": [], "ty": [], "tx": [], "tile": []}
-            for _, row in pdf.iterrows():
-                a = _arr(row["tile"], meta).copy()
-                oy, ox = int(row["ty"]) * ts, int(row["tx"]) * ts
+            for row in pdf.itertuples(index=False):
+                a = _arr(row.tile, meta).copy()
+                oy, ox = int(row.ty) * ts, int(row.tx) * ts
                 yy, xx = np.mgrid[0:ts, 0:ts]
                 mask = (yy + oy >= y0) & (yy + oy < y1) & (xx + ox >= x0) & (xx + ox < x1)
                 a[~mask] = 0
-                rows["scale"].append(int(row["scale"]))
-                rows["c"].append(int(row["c"]))
-                rows["ty"].append(int(row["ty"]))
-                rows["tx"].append(int(row["tx"]))
+                rows["scale"].append(int(row.scale))
+                rows["c"].append(int(row.c))
+                rows["ty"].append(int(row.ty))
+                rows["tx"].append(int(row.tx))
                 rows["tile"].append(_buf(a))
             yield pd.DataFrame(rows)
 
@@ -318,12 +318,12 @@ def unpad_raster(tiles: DataFrame, meta: RasterMeta) -> tuple[DataFrame, tuple[i
 
         for pdf in iterator:
             rows = []
-            for _, row in pdf.iterrows():
-                a = _arr(row["tile"], meta)
+            for row in pdf.itertuples(index=False):
+                a = _arr(row.tile, meta)
                 yy, xx = np.nonzero(a)
                 if len(yy) == 0:
                     continue
-                oy, ox = int(row["ty"]) * ts, int(row["tx"]) * ts
+                oy, ox = int(row.ty) * ts, int(row.tx) * ts
                 rows.append((int(yy.min()) + oy, int(xx.min()) + ox, int(yy.max()) + oy, int(xx.max()) + ox))
             yield pd.DataFrame(rows, columns=["miny", "minx", "maxy", "maxx"])
 
@@ -358,8 +358,8 @@ def downsample_tiles(tiles: DataFrame, meta: RasterMeta, scale: int = 0, reducti
 
         for pdf in iterator:
             out = []
-            for _, row in pdf.iterrows():
-                a = _arr(row["tile"], meta).reshape(half, 2, half, 2)
+            for row in pdf.itertuples(index=False):
+                a = _arr(row.tile, meta).reshape(half, 2, half, 2)
                 if reduction == "sum":
                     p = a.sum(axis=(1, 3))
                 elif reduction == "max":
@@ -388,9 +388,9 @@ def downsample_tiles(tiles: DataFrame, meta: RasterMeta, scale: int = 0, reducti
 
         scale_, c, gty, gtx = (int(k) for k in key)
         a = np.zeros((ts, ts), dtype=np.dtype(meta.dtype))
-        for _, row in pdf.iterrows():
-            q = np.frombuffer(row["tile"], dtype=np.dtype(meta.dtype)).reshape(half, half)
-            y0, x0 = int(row["qy"]) * half, int(row["qx"]) * half
+        for row in pdf.itertuples(index=False):
+            q = np.frombuffer(row.tile, dtype=np.dtype(meta.dtype)).reshape(half, half)
+            y0, x0 = int(row.qy) * half, int(row.qx) * half
             a[y0 : y0 + half, x0 : x0 + half] = q
         return pd.DataFrame({"scale": [scale_], "c": [c], "ty": [gty], "tx": [gtx], "tile": [_buf(a)]})
 
@@ -508,9 +508,9 @@ def zonal_stats_tiles(
 
         for pdf in iterator:
             frames = []
-            for _, row in pdf.iterrows():
-                img = _arr(row["tile"], meta).ravel()
-                labels = np.frombuffer(row["ltile"], dtype=np.dtype(label_meta.dtype)).ravel()
+            for row in pdf.itertuples(index=False):
+                img = _arr(row.tile, meta).ravel()
+                labels = np.frombuffer(row.ltile, dtype=np.dtype(label_meta.dtype)).ravel()
                 m = labels != 0
                 if not m.any():
                     continue
@@ -521,7 +521,7 @@ def zonal_stats_tiles(
                     pd.DataFrame(
                         {
                             "label": lab_ids.astype(np.int64),
-                            "c": int(row["c"]),
+                            "c": int(row.c),
                             "sum_value": sums,
                             "n": counts.astype(np.int64),
                         }
@@ -620,9 +620,9 @@ def transform_raster_tiles(
         txs = pdf["tx"].astype(int)
         py0, px0 = tys.min() * ts, txs.min() * ts
         patch = np.zeros(((tys.max() - tys.min() + 1) * ts, (txs.max() - txs.min() + 1) * ts), dtype=np.dtype(meta.dtype))
-        for _, row in pdf.iterrows():
-            a = _arr(row["tile"], meta)
-            yy, xx = int(row["ty"]) * ts - py0, int(row["tx"]) * ts - px0
+        for row in pdf.itertuples(index=False):
+            a = _arr(row.tile, meta)
+            yy, xx = int(row.ty) * ts - py0, int(row.tx) * ts - px0
             patch[yy : yy + ts, xx : xx + ts] = a
         oy, ox = np.mgrid[0:ots, 0:ots]
         oy = oy + oty * ots
@@ -718,9 +718,9 @@ def export_region_tiles(
         y0 = int(pdf["y0"].iloc[0])
         x0 = int(pdf["x0"].iloc[0])
         out = np.zeros((tile_px, tile_px), dtype=np.dtype(meta.dtype))
-        for _, row in pdf.iterrows():
-            a = _arr(row["tile"], meta)
-            oy, ox = int(row["ty"]) * ts, int(row["tx"]) * ts
+        for row in pdf.itertuples(index=False):
+            a = _arr(row.tile, meta)
+            oy, ox = int(row.ty) * ts, int(row.tx) * ts
             ys0 = max(y0, oy)
             ys1 = min(y0 + tile_px, oy + ts)
             xs0 = max(x0, ox)
@@ -814,9 +814,9 @@ def tiles3d_to_long(tiles: DataFrame, meta: RasterMeta, keep_zeros: bool = False
         import pandas as pd
 
         for pdf in iterator:
-            for _, row in pdf.iterrows():
-                a = _arr(row["tile"], meta)
-                oy, ox = int(row["ty"]) * ts, int(row["tx"]) * ts
+            for row in pdf.itertuples(index=False):
+                a = _arr(row.tile, meta)
+                oy, ox = int(row.ty) * ts, int(row.tx) * ts
                 if keep_zeros:
                     yy, xx = np.mgrid[0:ts, 0:ts]
                     yy, xx, vv = yy.ravel(), xx.ravel(), a.ravel()
@@ -826,7 +826,7 @@ def tiles3d_to_long(tiles: DataFrame, meta: RasterMeta, keep_zeros: bool = False
                 ay, ax = yy + oy, xx + ox
                 m = (ay < h) & (ax < w)
                 yield pd.DataFrame(
-                    {"c": int(row["c"]), "z": int(row["z"]), "y": ay[m], "x": ax[m], "value": vv[m]}
+                    {"c": int(row.c), "z": int(row.z), "y": ay[m], "x": ax[m], "value": vv[m]}
                 )
 
     return tiles.filter(F.col("scale") == scale).mapInPandas(_unpack, out_schema)
@@ -863,9 +863,9 @@ def bounding_box_query_tiles_3d(
 
         for pdf in iterator:
             out = []
-            for _, row in pdf.iterrows():
-                a = _arr(row["tile"], meta).copy()
-                oy, ox = int(row["ty"]) * ts, int(row["tx"]) * ts
+            for row in pdf.itertuples(index=False):
+                a = _arr(row.tile, meta).copy()
+                oy, ox = int(row.ty) * ts, int(row.tx) * ts
                 yy, xx = np.mgrid[0:ts, 0:ts]
                 mask = (yy + oy >= y0) & (yy + oy < y1) & (xx + ox >= x0) & (xx + ox < x1)
                 a[~mask] = 0
@@ -885,8 +885,8 @@ def map_tiles_3d(tiles: DataFrame, fn, meta: RasterMeta, out_dtype: str | None =
     def _apply(iterator):
         for pdf in iterator:
             out = []
-            for _, row in pdf.iterrows():
-                a = _arr(row["tile"], meta)
+            for row in pdf.itertuples(index=False):
+                a = _arr(row.tile, meta)
                 out.append(_buf(np.asarray(fn(a), dtype=np.dtype(out_meta.dtype))))
             pdf = pdf.copy()
             pdf["tile"] = out

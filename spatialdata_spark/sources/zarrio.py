@@ -355,11 +355,11 @@ def write_tiles_to_zarr(
     def _write_part(rows):
         n = 0
         for row in rows:
-            buf = _compress(codec, bytes(row["tile"]), typesize=itemsize)
+            buf = _compress(codec, bytes(row.tile), typesize=itemsize)
             if squeeze_channel:
-                name = keyfn((int(row["ty"]), int(row["tx"])))
+                name = keyfn((int(row.ty), int(row.tx)))
             else:
-                name = keyfn((int(row["c"]), int(row["ty"]), int(row["tx"])))
+                name = keyfn((int(row.c), int(row.ty), int(row.tx)))
             fpath = os.path.join(path, *name.split("/"))
             os.makedirs(os.path.dirname(fpath), exist_ok=True)
             with open(fpath, "wb") as f:
@@ -456,15 +456,15 @@ def read_zarr_tiles(
 
         for pdf in iterator:
             rows = {"scale": [], "c": [], "ty": [], "tx": [], "tile": []}
-            for _, row in pdf.iterrows():
-                raw = fetcher.get(row["chunk"])
+            for row in pdf.itertuples(index=False):
+                raw = fetcher.get(row.chunk)
                 if raw is None:
                     continue  # absent chunk = fill_value
                 a = np.frombuffer(_decompress(codec, raw), dtype=src_dtype).reshape(ts, ts)
                 rows["scale"].append(scale)
-                rows["c"].append(int(row["c"]))
-                rows["ty"].append(int(row["ty"]))
-                rows["tx"].append(int(row["tx"]))
+                rows["c"].append(int(row.c))
+                rows["ty"].append(int(row.ty))
+                rows["tx"].append(int(row.tx))
                 rows["tile"].append(np.ascontiguousarray(a, dtype=np.dtype(dstr)).tobytes())
             yield pd.DataFrame(rows)
 
@@ -915,10 +915,10 @@ def write_tiles3d_to_zarr(
     def _write_part(rows):
         n = 0
         for row in rows:
-            buf = _compress(codec, bytes(row["tile"]), typesize=itemsize)
-            nums = (int(row["z"]), int(row["ty"]), int(row["tx"]))
+            buf = _compress(codec, bytes(row.tile), typesize=itemsize)
+            nums = (int(row.z), int(row.ty), int(row.tx))
             if not squeeze_channel:
-                nums = (int(row["c"]),) + nums
+                nums = (int(row.c),) + nums
             name = keyfn(nums)
             fpath = os.path.join(path, *name.split("/"))
             os.makedirs(os.path.dirname(fpath), exist_ok=True)
@@ -1002,16 +1002,16 @@ def read_zarr_tiles_3d(spark: SparkSession, path: str, scale: int = 0):
 
         for pdf in iterator:
             rows = {"scale": [], "c": [], "z": [], "ty": [], "tx": [], "tile": []}
-            for _, row in pdf.iterrows():
-                raw = fetcher.get(row["chunk"])
+            for row in pdf.itertuples(index=False):
+                raw = fetcher.get(row.chunk)
                 if raw is None:
                     continue
                 a = np.frombuffer(_decompress(codec, raw), dtype=src_dtype).reshape(ts, ts)
                 rows["scale"].append(scale)
-                rows["c"].append(int(row["c"]))
-                rows["z"].append(int(row["z"]))
-                rows["ty"].append(int(row["ty"]))
-                rows["tx"].append(int(row["tx"]))
+                rows["c"].append(int(row.c))
+                rows["z"].append(int(row.z))
+                rows["ty"].append(int(row.ty))
+                rows["tx"].append(int(row.tx))
                 rows["tile"].append(np.ascontiguousarray(a, dtype=np.dtype(dstr)).tobytes())
             yield pd.DataFrame(rows)
 

@@ -165,15 +165,15 @@ def rasterize_polygons_fill(shapes: DataFrame) -> DataFrame:
             ys_out: list[np.ndarray] = []
             xs_out: list[np.ndarray] = []
             ls_out: list[np.ndarray] = []
-            for _, row in pdf.iterrows():
-                buf = row["wkb"]
+            for row in pdf.itertuples(index=False):
+                buf = row.wkb
                 if buf is None:
                     continue
                 kind, geom = W.decode(bytes(buf))
-                y0 = int(np.ceil(row["miny"]))
-                y1 = int(np.floor(row["maxy"]))
-                x0 = int(np.ceil(row["minx"]))
-                x1 = int(np.floor(row["maxx"]))
+                y0 = int(np.ceil(row.miny))
+                y1 = int(np.floor(row.maxy))
+                x0 = int(np.ceil(row.minx))
+                x1 = int(np.floor(row.maxx))
                 if y1 < y0 or x1 < x0:
                     continue
                 gy, gx = np.mgrid[y0 : y1 + 1, x0 : x1 + 1]
@@ -184,13 +184,13 @@ def rasterize_polygons_fill(shapes: DataFrame) -> DataFrame:
                 elif kind == "multipolygon":
                     mask = P.points_in_multipolygon(fx, fy, geom)
                 else:  # circle row in a mixed table
-                    ccx = (row["minx"] + row["maxx"]) / 2.0
-                    ccy = (row["miny"] + row["maxy"]) / 2.0
-                    rr = float(row["radius"])
+                    ccx = (row.minx + row.maxx) / 2.0
+                    ccy = (row.miny + row.maxy) / 2.0
+                    rr = float(row.radius)
                     mask = (fx - ccx) ** 2 + (fy - ccy) ** 2 <= rr * rr
                 ys_out.append(gy.ravel()[mask])
                 xs_out.append(gx.ravel()[mask])
-                ls_out.append(np.full(int(mask.sum()), int(row["shape_id"]), dtype=np.int64))
+                ls_out.append(np.full(int(mask.sum()), int(row.shape_id), dtype=np.int64))
             if ys_out:
                 yield pd.DataFrame(
                     {

@@ -220,9 +220,9 @@ def labels_tiles_to_polygons(label_tiles: DataFrame, meta) -> DataFrame:
         gty, gtx = int(key[0]), int(key[1])
         padded = np.zeros((ts + 2, ts + 2), dtype=np.dtype(dtype))
         center_seen = False
-        for _, row in pdf.iterrows():
-            a = np.frombuffer(row["tile"], dtype=np.dtype(dtype)).reshape(ts, ts)
-            dy, dx = int(row["rel_dy"]), int(row["rel_dx"])
+        for row in pdf.itertuples(index=False):
+            a = np.frombuffer(row.tile, dtype=np.dtype(dtype)).reshape(ts, ts)
+            dy, dx = int(row.rel_dy), int(row.rel_dx)
             if dy == 0 and dx == 0:
                 center_seen = True
             y0 = 1 - dy * ts

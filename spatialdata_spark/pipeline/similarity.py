@@ -167,11 +167,11 @@ def cosine_pairs_blocked(
 
     def _gemm(iterator):
         for pdf in iterator:
-            for _, row in pdf.iterrows():
-                ia = np.array([it["id"] for it in row["items_a"]], dtype=np.int64)
-                va = np.array([it["v"] for it in row["items_a"]])
-                ib = np.array([it["id"] for it in row["items_b"]], dtype=np.int64)
-                vb = np.array([it["v"] for it in row["items_b"]])
+            for row in pdf.itertuples(index=False):
+                ia = np.array([it["id"] for it in row.items_a], dtype=np.int64)
+                va = np.array([it["v"] for it in row.items_a])
+                ib = np.array([it["id"] for it in row.items_b], dtype=np.int64)
+                vb = np.array([it["v"] for it in row.items_b])
                 # dot first, then divide by the norm product — the same
                 # formula shape as cosine oracles (dot/(|a||b|))
                 sim = (va @ vb.T) / np.outer(

@@ -239,10 +239,14 @@ class SpatialDataset:
 
         return read_zarr_store(spark, path, selection=selection, on_bad_files=on_bad_files)
 
-    def write(self, path: str, mode: str = "overwrite") -> None:
+    def write(self, path: str, mode: str = "overwrite", zorder_points: bool = False) -> None:
         """Store layout mirrors the reference zarr hierarchy with parquet
         leaves (reference: _core/spatialdata.py:1108-1205):
-        ``<path>/<kind>/<name>/data.parquet`` + a json metadata sidecar."""
+        ``<path>/<kind>/<name>/data.parquet`` + a json metadata sidecar.
+
+        ``zorder_points=True`` writes points elements Morton-clustered
+        (functions/zorder.py) so later bbox queries prune row groups on
+        both axes."""
         from spatialdata_spark.formats import CURRENT_VERSION, ELEMENT_VERSIONS
 
         meta: dict = {
@@ -254,12 +258,19 @@ class SpatialDataset:
         }
         for kind in ELEMENT_KINDS:
             for name, df in self.elements[kind].items():
+                leaf = os.path.join(path, kind, name, "data.parquet")
+                if zorder_points and kind == "points":
+                    from spatialdata_spark.functions.zorder import write_points_zordered
+
+                    write_points_zordered(df, leaf)
+                    meta["elements"].append({"kind": kind, "name": name})
+                    continue
                 writer = df.write.mode(mode)
                 if "scale" in df.columns:
                     # multiscale tile tables: scale directories = NGFF
                     # pyramid levels; level reads prune whole partitions
                     writer = writer.partitionBy("scale")
-                writer.parquet(os.path.join(path, kind, name, "data.parquet"))
+                writer.parquet(leaf)
                 meta["elements"].append({"kind": kind, "name": name})
         from spatialdata_spark.formats import transforms_to_manifest
 

@@ -372,3 +372,50 @@ def test_ivf_sampling_unbiased_on_sorted_input(spark):
     exact = [r["vec_id"] for r in cosine_topk_query(emb, q, k=10).collect()]
     one = [r["vec_id"] for r in ivf_topk_query(assigned, centroids, q, k=10, nprobe=1).collect()]
     assert len(set(one) & set(exact)) >= 8
+
+
+def test_shingle_numpy_matches_expression_bitwise(spark):
+    """The Arrow fast path's numpy shingle hashes must equal the
+    Catalyst expression element-for-element — this equality is what
+    lets pl_minhash_dedup reuse the expression pipeline's bit-exact
+    DuckDB oracle.  Exercises unicode, padding, repeats, and both hash
+    channels over adversarial strings."""
+    import numpy as np
+
+    from spatialdata_spark.pipeline.dedup import _shingle31_expr, _shingle31_np
+
+    rng = np.random.default_rng(17)
+    alphabet = list("abcXYZ012 \t.,;") + ["é", "ü", "Ω", "中", "😀", " "]
+    texts = ["", "a", "abcd", " " * 7, "aaaaaaaaaa"]
+    for n in (5, 23, 200):
+        for _ in range(8):
+            texts.append("".join(rng.choice(alphabet, n)))
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["i", "text"])
+    for channel, k in ((0, 5), (1, 4)):
+        got = {
+            r["i"]: r["sh"]
+            for r in df.select("i", _shingle31_expr("text", k, channel).alias("sh")).collect()
+        }
+        for i, t in enumerate(texts):
+            exp = _shingle31_np(t, k, channel).tolist()
+            assert got[i] == exp, (channel, k, t)
+
+
+def test_minhash_arrow_equals_expression_pipeline(spark):
+    """End-to-end: the Arrow band-candidate set equals the
+    expression-only pipeline's on the same corpus."""
+    from spatialdata_spark.pipeline.dedup import (
+        minhash_band_candidates,
+        minhash_band_candidates_sql,
+    )
+
+    texts = [
+        ("doc-%d" % i, ("the quick brown fox %d " % (i % 7)) * 3 + "tail%d" % (i % 5))
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(texts, ["name", "text"]).withColumn(
+        "doc_id", F.monotonically_increasing_id()
+    )
+    a = {(r["id_a"], r["id_b"], r["n_bands"]) for r in minhash_band_candidates(docs, num_hashes=16, num_bands=4).collect()}
+    b = {(r["id_a"], r["id_b"], r["n_bands"]) for r in minhash_band_candidates_sql(docs, num_hashes=16, num_bands=4).collect()}
+    assert a == b and len(a) > 0

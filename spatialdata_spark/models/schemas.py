@@ -230,3 +230,68 @@ def get_model(kind: str) -> type[_ModelBase]:
     if kind not in _MODELS:
         raise ValueError(f"Unknown element kind {kind!r}; valid: {sorted(_MODELS)}")
     return _MODELS[kind]
+
+
+class Labels2DModel(LabelsModel):
+    """Strictly 2-d labels (reference Labels2DModel, models.py:409)."""
+
+    @classmethod
+    def validate(cls, df: DataFrame) -> None:
+        super().validate(df)
+        if "z" in df.columns:
+            raise ValueError("Labels2DModel data must not have a z column")
+
+
+class Labels3DModel(LabelsModel):
+    """(z, y, x) labels (reference Labels3DModel, models.py:428)."""
+
+    @classmethod
+    def validate(cls, df: DataFrame) -> None:
+        super().validate(df)
+        if "z" not in df.columns:
+            raise ValueError("Labels3DModel data needs a z column")
+
+
+class Image2DModel(ImageModel):
+    """(c, y, x) images (reference Image2DModel, models.py:443)."""
+
+    @classmethod
+    def validate(cls, df: DataFrame) -> None:
+        super().validate(df)
+        if "z" in df.columns:
+            raise ValueError("Image2DModel data must not have a z column")
+
+
+class Image3DModel(ImageModel):
+    """(c, z, y, x) images (reference Image3DModel, models.py:447)."""
+
+    @classmethod
+    def validate(cls, df: DataFrame) -> None:
+        super().validate(df)
+        if "z" not in df.columns and "tile" not in df.columns:
+            raise ValueError("Image3DModel long-form data needs a z column")
+
+
+#: axis name constants (reference models/_utils.py C/Z/Y/X)
+C, Z, Y, X = "c", "z", "y", "x"
+
+
+def get_axes_names(df: DataFrame) -> tuple[str, ...]:
+    """Axes of an element DataFrame by schema (reference
+    models/_utils.py get_axes_names)."""
+    cols = set(df.columns)
+    spatial = tuple(ax for ax in ("c", "z", "y", "x") if ax in cols)
+    if not spatial and {"minx", "miny"} <= cols:
+        return ("x", "y")
+    return spatial
+
+
+def get_spatial_axes(axes) -> tuple[str, ...]:
+    """Subset to the spatial axes (reference models/_utils.py)."""
+    return tuple(ax for ax in axes if ax in ("x", "y", "z"))
+
+
+def validate_element(df: DataFrame, kind: str) -> None:
+    """Validate one element DataFrame against its kind's model
+    (reference models.py validate_element analog)."""
+    get_model(kind).validate(df)

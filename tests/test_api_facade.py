@@ -142,3 +142,19 @@ def test_rasterize_bins_link_table_to_labels(spark, small_ds):
     assert out.tables["tab"].first()["region"] == "bins"
     with pytest.raises(ValueError, match="not in the dataset"):
         S.rasterize_bins_link_table_to_labels(small_ds, "tab", "missing")
+
+
+def test_models_2d_3d_validation(spark):
+    from spatialdata_spark import models as M
+
+    l2 = spark.createDataFrame(pd.DataFrame({"y": [0], "x": [0], "label": [1]}))
+    l3 = spark.createDataFrame(pd.DataFrame({"z": [0], "y": [0], "x": [0], "label": [1]}))
+    M.Labels2DModel.validate(l2)
+    M.Labels3DModel.validate(l3)
+    with pytest.raises(ValueError, match="z column"):
+        M.Labels2DModel.validate(l3)
+    with pytest.raises(ValueError, match="z column"):
+        M.Labels3DModel.validate(l2)
+    assert M.get_axes_names(l3) == ("z", "y", "x")
+    assert M.get_spatial_axes(("c", "z", "y", "x")) == ("z", "y", "x")
+    M.validate_element(l2, "labels")

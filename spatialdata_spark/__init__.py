@@ -30,6 +30,8 @@ from spatialdata_spark.api import (
     get_element_annotators,
     get_extent,
     get_pyramid_levels,
+    get_table_keys,
+    force_2d,
     join_spatialelement_table,
     map_raster,
     match_sdata_to_table,
@@ -104,6 +106,8 @@ __all__ = [
     "get_element_instances",
     "get_extent",
     "get_pyramid_levels",
+    "get_table_keys",
+    "force_2d",
     "get_values",
     "join_spatialelement_table",
     "map_raster",

@@ -299,3 +299,26 @@ def rasterize_bins_link_table_to_labels(
         region=[labels_name], region_key=meta.region_key, instance_key=meta.instance_key
     )
     return out
+
+
+def get_table_keys(ds: SpatialDataset, table_name: str) -> tuple[list[str], str, str]:
+    """(region, region_key, instance_key) of an annotation table
+    (reference models.py:1345 get_table_keys)."""
+    tm = ds.table_meta[table_name]
+    return tm.region, tm.region_key, tm.instance_key
+
+
+def force_2d(df: DataFrame) -> DataFrame:
+    """Drop the z dimension (reference models force_2d): points lose the
+    z column; labels additionally collapse duplicate (y, x) pixels by
+    max label (deterministic projection)."""
+    from pyspark.sql import functions as F
+
+    if "z" not in df.columns:
+        return df
+    out = df.drop("z")
+    if "label" in df.columns:
+        others = [c for c in out.columns if c not in ("y", "x", "label")]
+        agg = [F.max("label").alias("label")] + [F.first(c).alias(c) for c in others]
+        out = out.groupBy("y", "x").agg(*agg)
+    return out

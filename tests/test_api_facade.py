@@ -158,3 +158,16 @@ def test_models_2d_3d_validation(spark):
     assert M.get_axes_names(l3) == ("z", "y", "x")
     assert M.get_spatial_axes(("c", "z", "y", "x")) == ("z", "y", "x")
     M.validate_element(l2, "labels")
+
+
+def test_get_table_keys_and_force_2d(spark, small_ds):
+    assert S.get_table_keys(small_ds, "tab") == (["pts"], "region", "instance_id")
+    pts3 = spark.createDataFrame(
+        pd.DataFrame({"x": [1.0], "y": [2.0], "z": [3.0], "instance_id": [1]})
+    )
+    assert "z" not in S.force_2d(pts3).columns
+    labels3 = spark.createDataFrame(
+        pd.DataFrame({"z": [0, 1], "y": [5, 5], "x": [5, 5], "label": [2, 9]})
+    )
+    out = S.force_2d(labels3)
+    assert out.count() == 1 and out.first()["label"] == 9

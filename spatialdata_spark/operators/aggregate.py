@@ -600,7 +600,12 @@ def aggregate_image_by_labels(
     """
     if agg_func not in AGG_FUNCS:
         raise ValueError(f"agg_func {agg_func!r}")
-    joined = image_long.join(labels_long.filter(F.col("label") != 0), ["y", "x"])
+    # 3D volumes join on the full (z, y, x) pixel key (reference
+    # Labels3DModel zonal stats) — same relational plan, one more key
+    keys = ["y", "x"]
+    if "z" in image_long.columns and "z" in labels_long.columns:
+        keys = ["z", "y", "x"]
+    joined = image_long.join(labels_long.filter(F.col("label") != 0), keys)
     return (
         joined.groupBy("label", "c")
         .agg(AGG_FUNCS[agg_func](F.col("value")).alias(f"{agg_func}_value"))

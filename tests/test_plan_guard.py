@@ -1,0 +1,76 @@
+"""Physical-plan regression guard: the properties the 100 TB design
+depends on must hold in the compiled plans, not just in PLANS.md.
+
+Checked on a representative subset (fast — plans only, nothing runs):
+* no sort-merge / shuffled-hash joins anywhere (every join broadcasts
+  or pre-aggregates; bucketed tables are the sanctioned SMJ exception
+  and are not in the registry),
+* the identity bbox fast path pushes its range predicates into the
+  parquet scan,
+* expression-only pipelines keep Python out of the plan.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import __spark_entry__ as entrymod  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SMOKE_DIR", "/root/testdata/sf0.001")
+
+GUARDED = [
+    "q03_shipping",
+    "sq_bbox_identity",
+    "sq_multibox",
+    "ag_points_by_circles_count",
+    "ag_points_by_labels",
+    "rq_join_left",
+    "rq_filter_var",
+    "pl_minhash_dedup",
+    "pl_minhash_expr",
+    "pl_embed_dedup",
+    "pl_ngram_jaccard",
+    "rt_zonal_3d",
+]
+
+EXPRESSION_ONLY = ["sq_bbox_identity", "pl_minhash_expr", "pl_text_stats", "rq_filter_var"]
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    qs = entrymod.queries()
+    out = {}
+    for name in set(GUARDED + EXPRESSION_ONLY):
+        df = qs[name](spark, SF_DIR)
+        out[name] = df._jdf.queryExecution().executedPlan().toString()
+    return out
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="testdata not present")
+def test_no_shuffle_joins(plans):
+    offenders = {
+        n: p.count("SortMergeJoin") + p.count("ShuffledHashJoin")
+        for n, p in plans.items()
+        if "SortMergeJoin" in p or "ShuffledHashJoin" in p
+    }
+    assert not offenders, offenders
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="testdata not present")
+def test_bbox_identity_pushes_filters(plans):
+    p = plans["sq_bbox_identity"]
+    assert "PushedFilters: [" in p and "GreaterThan" in p
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="testdata not present")
+def test_expression_paths_have_no_python(plans):
+    offenders = [
+        n
+        for n in EXPRESSION_ONLY
+        if any(tok in plans[n] for tok in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas", "FlatMapGroupsInPandas"))
+    ]
+    assert not offenders, offenders

@@ -2979,6 +2979,158 @@ FROM documents WHERE doc_id % 3 = 0
 """
 
 
+def pl_repetition(spark, sf_dir):
+    """Gopher-style within-document repetition signals (Rae et al. 2021
+    quality rules): top-unigram mass fraction, distinct-token ratio,
+    top-bigram mass fraction — all (doc_id, gram)-keyed aggregates."""
+    from spatialdata_spark.pipeline.filters import repetition_stats
+
+    out = repetition_stats(_read(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        F.round("top_unigram_frac", 9).alias("top_unigram_frac"),
+        F.round("distinct_ratio", 9).alias("distinct_ratio"),
+        F.round("top_bigram_frac", 9).alias("top_bigram_frac"),
+    )
+
+
+PL_REPETITION_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(LOWER(TRIM(text)), '\s+')) AS w FROM documents
+),
+toks AS (SELECT doc_id, string_split_regex(LOWER(TRIM(text)), '\s+') AS ts FROM documents),
+ucnt AS (SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+uni AS (
+  SELECT doc_id, MAX(c) * 1.0 / SUM(c) AS top_unigram_frac,
+         COUNT(*) * 1.0 / SUM(c) AS distinct_ratio
+  FROM ucnt GROUP BY doc_id
+),
+bg AS (
+  SELECT doc_id, unnest(list_transform(range(1, LEN(ts)), i -> ts[i] || ' ' || ts[i+1])) AS g FROM toks
+),
+bcnt AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+big AS (SELECT doc_id, MAX(c) * 1.0 / SUM(c) AS top_bigram_frac FROM bcnt GROUP BY doc_id)
+SELECT uni.doc_id AS doc_id,
+       ROUND(top_unigram_frac, 9) AS top_unigram_frac,
+       ROUND(distinct_ratio, 9) AS distinct_ratio,
+       ROUND(COALESCE(top_bigram_frac, 0.0), 9) AS top_bigram_frac
+FROM uni LEFT JOIN big ON uni.doc_id = big.doc_id
+"""
+
+
+def pl_pii_redact(spark, sf_dir):
+    """PII redaction (emails / IPv4 / phone numbers) as a shuffle-free
+    regexp map.  Deterministic synthetic PII is appended per document in
+    BOTH engines so the regexes are exercised on non-zero data; output
+    compares match counts and the md5 of the redacted text."""
+    from spatialdata_spark.pipeline.filters import pii_redact
+
+    docs = _read(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or 10.0."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 call +1-202-555-01"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        ).alias("text"),
+    )
+    out = pii_redact(aug)
+    return out.select(
+        "doc_id", "n_emails", "n_ips", "n_phones",
+        F.md5("redacted").alias("redacted_md5"),
+    )
+
+
+PL_PII_REDACT_SQL = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com or 10.0.' || (doc_id % 256)
+              || '.7 call +1-202-555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS t
+  FROM documents
+)
+SELECT doc_id,
+  LEN(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+  LEN(regexp_extract_all(t, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ips,
+  LEN(regexp_extract_all(t, '\+[0-9][0-9-]{7,}[0-9]')) AS n_phones,
+  md5(regexp_replace(regexp_replace(regexp_replace(t,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+        '\+[0-9][0-9-]{7,}[0-9]', '<PHONE>', 'g')) AS redacted_md5
+FROM aug
+"""
+
+
+def pl_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: corpus documents sharing a word
+    3-gram with the 'src0' eval slice (broadcast gram-set semi-join —
+    the GPT-3/PaLM 13-gram procedure shrunk to this corpus)."""
+    from spatialdata_spark.pipeline.filters import decontaminate
+
+    docs = _read(spark, sf_dir, "documents")
+    out = decontaminate(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        n=3,
+    )
+    return out.select(
+        "doc_id", "n_shared", "n_grams",
+        F.round("contaminated_frac", 9).alias("contaminated_frac"),
+    )
+
+
+PL_DECONTAMINATE_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, source, string_split_regex(LOWER(TRIM(text)), '\s+') AS ts FROM documents
+),
+grams AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(1, LEN(ts) - 1), i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS g
+  FROM toks
+),
+bgrams AS (SELECT DISTINCT g FROM grams WHERE source = 'src0'),
+cgrams AS (SELECT DISTINCT doc_id, g FROM grams WHERE source <> 'src0'),
+totals AS (SELECT doc_id, COUNT(*) AS n_grams FROM cgrams GROUP BY doc_id),
+shared AS (SELECT c.doc_id, COUNT(*) AS n_shared FROM cgrams c JOIN bgrams b ON c.g = b.g GROUP BY c.doc_id)
+SELECT s.doc_id AS doc_id, n_shared, n_grams,
+       ROUND(n_shared * 1.0 / n_grams, 9) AS contaminated_frac
+FROM shared s JOIN totals t ON s.doc_id = t.doc_id
+"""
+
+
+def pl_sq_int8(spark, sf_dir):
+    """Scalar-quantized (int8, FAISS-SQ8-style) ANN: global per-dim
+    min/max bounds -> integer codes -> exact-integer dot-product top-20
+    against vec_id 0.  Codes and scores are integer-exact, so the SQL
+    replay is bit-identical."""
+    from spatialdata_spark.pipeline.similarity import sq_int8_topk
+
+    return sq_int8_topk(_read(spark, sf_dir, "embeddings"), query_id=0, k=20)
+
+
+PL_SQ_INT8_SQL = r"""
+WITH d AS (
+  SELECT generate_subscripts(embedding, 1) AS dim, unnest(CAST(embedding AS DOUBLE[])) AS val FROM embeddings
+),
+mm AS (SELECT dim, MIN(val) AS mn, MAX(val) AS mx FROM d GROUP BY dim),
+b AS (SELECT list(mn ORDER BY dim) AS mns, list(mx ORDER BY dim) AS mxs FROM mm),
+q AS (
+  SELECT vec_id,
+         list_transform(range(1, LEN(embedding) + 1),
+           i -> CASE WHEN mxs[i] = mns[i] THEN 0
+                ELSE CAST(FLOOR((CAST(embedding[i] AS DOUBLE) - mns[i]) / (mxs[i] - mns[i]) * 254) AS BIGINT) - 127 END
+         ) AS code
+  FROM embeddings, b
+),
+qq AS (SELECT code AS qcode FROM q WHERE vec_id = 0)
+SELECT vec_id,
+       CAST(list_sum(list_transform(range(1, LEN(code) + 1), i -> code[i] * qcode[i])) AS BIGINT) AS qscore
+FROM q, qq WHERE vec_id <> 0
+ORDER BY qscore DESC, vec_id LIMIT 20
+"""
+
+
 def st_moving_avg(spark, sf_dir):
     """Per-user moving average over the last 4 events (rows frame) —
     ordered window aggregation."""
@@ -3240,6 +3392,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r1-r3 and st_sliding above; the repo parity gate covers it at every
         # commit).
         "st_tumbling": st_tumbling,
+        "pl_repetition": pl_repetition,
+        "pl_pii_redact": pl_pii_redact,
+        "pl_decontaminate": pl_decontaminate,
+        "pl_sq_int8": pl_sq_int8,
         "ag_extent": ag_extent,
         "ag_zonal_image": ag_zonal_image,
         "rv_rasterize_count": rv_rasterize_count,
@@ -3399,6 +3555,10 @@ def oracle_sql() -> dict[str, str]:
         "pl_multimodal_features": PL_MULTIMODAL_SQL,
         "pl_resize_images": PL_RESIZE_SQL,
         "pl_frame_sample": PL_FRAME_SAMPLE_SQL,
+        "pl_repetition": PL_REPETITION_SQL,
+        "pl_pii_redact": PL_PII_REDACT_SQL,
+        "pl_decontaminate": PL_DECONTAMINATE_SQL,
+        "pl_sq_int8": PL_SQ_INT8_SQL,
         "st_session_native": ST_SESSION_NATIVE_SQL,
         "st_distinct_users_daily": ST_DISTINCT_USERS_SQL,
         "st_value_quantiles": ST_QUANTILES_SQL,

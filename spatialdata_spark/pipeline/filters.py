@@ -1,0 +1,147 @@
+"""Corpus-hygiene operators for training-data pipelines: within-document
+repetition signals (Gopher-style), PII redaction, and benchmark
+decontamination via word-n-gram overlap.
+
+All hot paths are JVM-side Catalyst expressions (split / explode /
+higher-order functions / regexp) — no Python UDFs.  Scale notes per
+function; the common theme is that per-document signals shuffle only on
+``(doc_id, gram)`` with map-side partial aggregation, and the
+decontamination join broadcasts the (small) benchmark side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def word_tokens(text_col: str = "text"):
+    """Lowercased whitespace tokens of a text column (expression)."""
+    return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+
+def word_ngrams(tokens_col, n: int):
+    """Word n-grams of a token-array column as space-joined strings —
+    a higher-order ``transform`` over a ``sequence`` of start offsets
+    (empty array when the document has fewer than ``n`` tokens, since
+    Spark's ``sequence(a, b)`` runs *descending* when a > b)."""
+    sz = F.size(tokens_col)
+    grams = F.transform(
+        F.sequence(F.lit(0), sz - n),
+        lambda i: F.concat_ws(" ", F.slice(tokens_col, i + 1, n)),
+    )
+    return F.when(sz >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Within-document repetition signals in the spirit of the Gopher
+    quality rules (Rae et al. 2021): fraction of mass in the most
+    frequent unigram / bigram and the distinct-token ratio.
+
+    Unigrams and bigrams are tagged and exploded in ONE pass, so the
+    whole operator is a single ``(doc_id, kind, gram)`` shuffle chain
+    with map-side combine and **no join at all** — both keyed by the
+    document, embarrassingly parallel at any corpus size.  Output
+    columns: ``top_unigram_frac``, ``distinct_ratio``,
+    ``top_bigram_frac``.
+    """
+    toks = word_tokens(text_col)
+    base = docs.select(F.col(id_col), toks.alias("__toks"))
+    tagged = F.concat(
+        F.transform(F.col("__toks"), lambda t: F.struct(F.lit(1).alias("kind"), t.alias("g"))),
+        F.transform(
+            word_ngrams(F.col("__toks"), 2),
+            lambda g: F.struct(F.lit(2).alias("kind"), g.alias("g")),
+        ),
+    )
+    grams = base.select(id_col, F.explode(tagged).alias("__t")).select(
+        id_col, F.col("__t.kind").alias("__kind"), F.col("__t.g").alias("__g")
+    )
+    cnt = grams.groupBy(id_col, "__kind", "__g").count()
+    is_uni = F.col("__kind") == 1
+    uni_cnt = F.when(is_uni, F.col("count"))
+    big_cnt = F.when(~is_uni, F.col("count"))
+    return cnt.groupBy(id_col).agg(
+        (F.max(uni_cnt) / F.sum(uni_cnt)).alias("top_unigram_frac"),
+        (F.count(uni_cnt) / F.sum(uni_cnt)).alias("distinct_ratio"),
+        F.coalesce(F.max(big_cnt) / F.sum(big_cnt), F.lit(0.0)).alias("top_bigram_frac"),
+    )
+
+
+# PII patterns chosen from the RE2 ∩ java.util.regex common dialect (no
+# lookaround, no backreferences) so the same pattern string runs in both
+# Spark and DuckDB/RE2-based engines.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ip": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "phone": r"\+[0-9][0-9-]{7,}[0-9]",
+}
+
+
+def pii_redact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Redact emails, IPv4 addresses and international phone numbers;
+    emit match counts and the redacted text.  Pure ``regexp_extract_all``
+    / ``regexp_replace`` expressions — a linear scan per document with no
+    shuffle at all (narrow map), which is the right shape for a 100 TB
+    pass.  Order matters: emails before IPs (an email's host part can
+    contain a dotted quad), phones last.
+    """
+    t = F.col(text_col)
+    counts = {
+        k: F.size(F.regexp_extract_all(t, F.lit(p), F.lit(0))).alias(f"n_{k}s")
+        for k, p in PII_PATTERNS.items()
+    }
+    red = F.regexp_replace(t, PII_PATTERNS["email"], "<EMAIL>")
+    red = F.regexp_replace(red, PII_PATTERNS["ip"], "<IP>")
+    red = F.regexp_replace(red, PII_PATTERNS["phone"], "<PHONE>")
+    return docs.select(
+        F.col(id_col),
+        counts["email"],
+        counts["ip"],
+        counts["phone"],
+        red.alias("redacted"),
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing at least
+    one word-``n``-gram with a benchmark/eval set (the published
+    GPT-3/PaLM contamination procedure, shrunk from 13-grams to ``n``).
+
+    The benchmark side (eval sets are tiny relative to a training
+    corpus) is reduced to its distinct gram set and **broadcast** into a
+    map-side left join that flags each corpus gram; one ``doc_id``
+    aggregate then counts total and shared grams together — no all-pairs
+    work, no shuffle of the corpus text, and no aggregate-aggregate join
+    that would sort-merge at scale.  Returns ``doc_id, n_shared,
+    n_grams, contaminated_frac`` for contaminated documents only.
+    """
+    toks = word_tokens(text_col)
+    bgrams = (
+        benchmark.select(F.explode(word_ngrams(toks, n)).alias("__g"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    cgrams = (
+        corpus.select(F.col(id_col), F.explode(word_ngrams(toks, n)).alias("__g"))
+        .distinct()
+    )
+    flagged = cgrams.join(F.broadcast(bgrams), "__g", "left")
+    out = flagged.groupBy(id_col).agg(
+        F.sum(F.coalesce("__hit", F.lit(0))).alias("n_shared"),
+        F.count(F.lit(1)).alias("n_grams"),
+    )
+    return out.filter(F.col("n_shared") > 0).select(
+        id_col,
+        "n_shared",
+        "n_grams",
+        (F.col("n_shared") / F.col("n_grams")).alias("contaminated_frac"),
+    )

@@ -336,3 +336,80 @@ def embedding_cosine_dedup(
     if embeddings.sparkSession.sparkContext.master.startswith("local"):
         dup_ids = F.broadcast(dup_ids)
     return embeddings.join(dup_ids, id_col, "left_anti")
+
+
+def int8_quantize(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Global per-dimension min/max scalar quantization to int8 codes
+    in [-127, 127] — the compressed representation used by e.g. FAISS
+    ``SQ8`` indexes.
+
+    The per-dimension bounds are a 64-row aggregate collected into one
+    array row and **broadcast**; code assignment is then a narrow map
+    (``transform`` over dimension indices).  At 100 TB the only shuffle
+    is the tiny bounds aggregate — the vectors themselves never move.
+    Quantization uses ``floor`` (identical IEEE semantics across
+    engines) so codes are integer-exact and replayable in SQL.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    dims = embeddings.select(F.posexplode(v).alias("dim", "val"))
+    mm = dims.groupBy("dim").agg(F.min("val").alias("mn"), F.max("val").alias("mx"))
+    bounds = (
+        mm.agg(
+            F.array_sort(F.collect_list(F.struct("dim", "mn"))).alias("amn"),
+            F.array_sort(F.collect_list(F.struct("dim", "mx"))).alias("amx"),
+        )
+        .select(
+            F.transform("amn", lambda s: s["mn"]).alias("__mns"),
+            F.transform("amx", lambda s: s["mx"]).alias("__mxs"),
+        )
+    )
+    mns, mxs = F.col("__mns"), F.col("__mxs")
+    code = F.transform(
+        F.sequence(F.lit(0), F.size(v) - 1),
+        lambda i: F.when(
+            F.element_at(mxs, i + 1) == F.element_at(mns, i + 1), F.lit(0).cast("long")
+        ).otherwise(
+            F.floor(
+                (F.element_at(v, i + 1) - F.element_at(mns, i + 1))
+                / (F.element_at(mxs, i + 1) - F.element_at(mns, i + 1))
+                * 254
+            )
+            - 127
+        ),
+    )
+    return embeddings.crossJoin(F.broadcast(bounds)).select(
+        F.col(id_col), code.alias("code")
+    )
+
+
+def sq_int8_topk(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k by int8 asymmetric-distance (dot product in code space)
+    against the row with ``id_col == query_id``.  Scores are exact
+    integers, so ordering and oracle comparison are bit-stable.  The
+    query's code row is broadcast; scoring is a narrow map and top-k is
+    a ``TakeOrdered`` (no full sort shuffle)."""
+    codes = int8_quantize(embeddings, id_col, vec_col)
+    qcode = codes.filter(F.col(id_col) == query_id).select(
+        F.col("code").alias("__qcode")
+    )
+    scored = codes.filter(F.col(id_col) != query_id).crossJoin(F.broadcast(qcode))
+    qscore = F.aggregate(
+        F.zip_with(F.col("code"), F.col("__qcode"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        scored.select(F.col(id_col), qscore.alias("qscore"))
+        .orderBy(F.desc("qscore"), F.col(id_col))
+        .limit(k)
+    )

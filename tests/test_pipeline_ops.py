@@ -419,3 +419,77 @@ def test_minhash_arrow_equals_expression_pipeline(spark):
     a = {(r["id_a"], r["id_b"], r["n_bands"]) for r in minhash_band_candidates(docs, num_hashes=16, num_bands=4).collect()}
     b = {(r["id_a"], r["id_b"], r["n_bands"]) for r in minhash_band_candidates_sql(docs, num_hashes=16, num_bands=4).collect()}
     assert a == b and len(a) > 0
+
+
+def test_repetition_stats(spark):
+    from spatialdata_spark.pipeline.filters import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "x y"), (3, "solo")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    # doc 1: 4 tokens, top unigram 'a' x3, 2 distinct, top bigram 'a a' x2 of 3
+    assert abs(out[1]["top_unigram_frac"] - 3 / 4) < 1e-12
+    assert abs(out[1]["distinct_ratio"] - 2 / 4) < 1e-12
+    assert abs(out[1]["top_bigram_frac"] - 2 / 3) < 1e-12
+    # doc 2: all distinct, one bigram
+    assert abs(out[2]["top_unigram_frac"] - 1 / 2) < 1e-12
+    assert out[2]["distinct_ratio"] == 1.0
+    assert out[2]["top_bigram_frac"] == 1.0
+    # doc 3: single token -> no bigrams -> 0.0
+    assert out[3]["top_bigram_frac"] == 0.0
+
+
+def test_pii_redact(spark):
+    from spatialdata_spark.pipeline.filters import pii_redact
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@foo-bar.example.org and 192.168.0.1 then +1-555-123-4567 done"),
+            (2, "nothing sensitive here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in pii_redact(df).collect()}
+    assert (out[1]["n_emails"], out[1]["n_ips"], out[1]["n_phones"]) == (1, 1, 1)
+    assert out[1]["redacted"] == "mail <EMAIL> and <IP> then <PHONE> done"
+    assert (out[2]["n_emails"], out[2]["n_ips"], out[2]["n_phones"]) == (0, 0, 0)
+    assert out[2]["redacted"] == "nothing sensitive here"
+
+
+def test_decontaminate(spark):
+    from spatialdata_spark.pipeline.filters import decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps high"),   # shares 'the quick brown' etc.
+            (2, "completely unrelated text body here"),
+            (3, "quick brown fox runs away"),        # shares 'quick brown fox'
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox sat down")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in decontaminate(corpus, bench, n=3).collect()}
+    assert set(out) == {1, 3}  # doc 2 is clean and absent
+    # doc 1 grams: 'the quick brown','quick brown fox','brown fox jumps','fox jumps high'
+    assert out[1]["n_grams"] == 4 and out[1]["n_shared"] == 2
+    assert out[3]["n_shared"] == 1
+    assert abs(out[1]["contaminated_frac"] - 0.5) < 1e-12
+
+
+def test_sq_int8_topk_ranks_like_exact_on_separable_data(spark):
+    from spatialdata_spark.pipeline.similarity import int8_quantize, sq_int8_topk
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=8)
+    rows = [(0, [float(v) for v in base])]
+    # ids 1..5: decreasing similarity to id 0
+    for i in range(1, 6):
+        rows.append((i, [float(v) for v in base + rng.normal(scale=0.3 * i, size=8)]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    codes = {r["vec_id"]: r["code"] for r in int8_quantize(emb).collect()}
+    assert all(-127 <= c <= 127 for code in codes.values() for c in code)
+    top = [r["vec_id"] for r in sq_int8_topk(emb, query_id=0, k=2).collect()]
+    assert top[0] == 1  # nearest true neighbor survives quantization

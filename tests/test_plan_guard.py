@@ -35,9 +35,18 @@ GUARDED = [
     "pl_embed_dedup",
     "pl_ngram_jaccard",
     "rt_zonal_3d",
+    "pl_repetition",
+    "pl_decontaminate",
+    "pl_sq_int8",
 ]
 
-EXPRESSION_ONLY = ["sq_bbox_identity", "pl_minhash_expr", "pl_text_stats", "rq_filter_var"]
+EXPRESSION_ONLY = [
+    "sq_bbox_identity",
+    "pl_minhash_expr",
+    "pl_text_stats",
+    "rq_filter_var",
+    "pl_pii_redact",
+]
 
 
 @pytest.fixture(scope="module")

@@ -3131,6 +3131,53 @@ ORDER BY qscore DESC, vec_id LIMIT 20
 """
 
 
+def pl_pq_adc(spark, sf_dir):
+    """Product-quantization ANN with asymmetric-distance scoring over
+    the int8 code space: codebook per subspace = sub-codes of rows
+    1..16 (data-derived fixed quantizer, IVF-exemplar convention), so
+    assignment and ADC are exact integer arithmetic replayed bit-for-bit
+    by the SQL oracle."""
+    from spatialdata_spark.pipeline.similarity import pq_adc_topk
+
+    return pq_adc_topk(_read(spark, sf_dir, "embeddings"), query_id=0, k=20)
+
+
+PL_PQ_ADC_SQL = r"""
+WITH d AS (
+  SELECT generate_subscripts(embedding, 1) AS dim, unnest(CAST(embedding AS DOUBLE[])) AS val FROM embeddings
+),
+mm AS (SELECT dim, MIN(val) AS mn, MAX(val) AS mx FROM d GROUP BY dim),
+b AS (SELECT list(mn ORDER BY dim) AS mns, list(mx ORDER BY dim) AS mxs FROM mm),
+q AS (
+  SELECT vec_id,
+         list_transform(range(1, LEN(embedding) + 1),
+           i -> CASE WHEN mxs[i] = mns[i] THEN 0
+                ELSE CAST(FLOOR((CAST(embedding[i] AS DOUBLE) - mns[i]) / (mxs[i] - mns[i]) * 254) AS BIGINT) - 127 END
+         ) AS code
+  FROM embeddings, b
+),
+js AS (SELECT unnest(range(0, 4)) AS j),
+sub AS (SELECT vec_id, j, list_slice(code, j*16 + 1, j*16 + 16) AS sc FROM q, js),
+cb AS (SELECT vec_id - 1 AS k, j, sc AS c FROM sub WHERE vec_id BETWEEN 1 AND 16),
+enc AS (
+  SELECT s.vec_id, s.j,
+         MIN(CAST(list_sum(list_transform(range(1, 17), i -> (s.sc[i] - c.c[i]) * (s.sc[i] - c.c[i]))) AS BIGINT) * 32 + c.k) AS key
+  FROM sub s JOIN cb c ON s.j = c.j
+  WHERE s.vec_id > 16
+  GROUP BY s.vec_id, s.j
+),
+qd AS (
+  SELECT c.j, c.k,
+         CAST(list_sum(list_transform(range(1, 17), i -> (qs.sc[i] - c.c[i]) * (qs.sc[i] - c.c[i]))) AS BIGINT) AS qd2
+  FROM cb c JOIN (SELECT j, sc FROM sub WHERE vec_id = 0) qs ON c.j = qs.j
+)
+SELECT e.vec_id, CAST(SUM(qd.qd2) AS BIGINT) AS adc
+FROM enc e JOIN qd ON qd.j = e.j AND qd.k = e.key % 32
+GROUP BY e.vec_id
+ORDER BY adc ASC, vec_id LIMIT 20
+"""
+
+
 def st_moving_avg(spark, sf_dir):
     """Per-user moving average over the last 4 events (rows frame) —
     ordered window aggregation."""
@@ -3396,6 +3443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pl_pii_redact": pl_pii_redact,
         "pl_decontaminate": pl_decontaminate,
         "pl_sq_int8": pl_sq_int8,
+        "pl_pq_adc": pl_pq_adc,
         "ag_extent": ag_extent,
         "ag_zonal_image": ag_zonal_image,
         "rv_rasterize_count": rv_rasterize_count,
@@ -3559,6 +3607,7 @@ def oracle_sql() -> dict[str, str]:
         "pl_pii_redact": PL_PII_REDACT_SQL,
         "pl_decontaminate": PL_DECONTAMINATE_SQL,
         "pl_sq_int8": PL_SQ_INT8_SQL,
+        "pl_pq_adc": PL_PQ_ADC_SQL,
         "st_session_native": ST_SESSION_NATIVE_SQL,
         "st_distinct_users_daily": ST_DISTINCT_USERS_SQL,
         "st_value_quantiles": ST_QUANTILES_SQL,

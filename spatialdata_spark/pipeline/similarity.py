@@ -413,3 +413,72 @@ def sq_int8_topk(
         .orderBy(F.desc("qscore"), F.col(id_col))
         .limit(k)
     )
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    query_id: int = 0,
+    m: int = 4,
+    ksub: int = 16,
+    k: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric-distance (ADC) scoring,
+    composed over the int8 scalar-quantized codes so every distance is
+    an exact integer (bit-stable across engines).
+
+    The codebook of each of the ``m`` subspaces is the *data-derived
+    fixed* sub-codes of rows ``1..ksub`` (same convention as the IVF
+    exemplar quantizer — the k-means-trained variant lives in the recall
+    pytest).  The codebook and the query's ADC lookup table are tiny and
+    enter the plan as **literal arrays** (the broadcast-codebook shape
+    real PQ uses), so encode + ADC are narrow maps over the code column
+    and top-k is a ``TakeOrdered`` — the vectors shuffle nowhere.
+
+    Ties in centroid assignment break to the smallest centroid index via
+    the integer key ``d2 * 32 + k`` (valid while ``ksub <= 32``).
+    """
+    if ksub > 32:
+        raise ValueError("ksub must be <= 32 for the d2*32+k tie-break key")
+    codes = int8_quantize(embeddings, id_col, vec_col)
+    cb_rows = (
+        codes.filter(F.col(id_col).between(1, ksub)).orderBy(id_col).collect()
+    )
+    qrow = codes.filter(F.col(id_col) == query_id).first()
+    if len(cb_rows) != ksub or qrow is None:
+        raise ValueError("codebook rows 1..ksub or query row missing")
+    d = len(qrow["code"])
+    dsub = d // m
+    adc_total = None
+    for j in range(m):
+        cb_j = [list(r["code"])[j * dsub : (j + 1) * dsub] for r in cb_rows]
+        q_j = list(qrow["code"])[j * dsub : (j + 1) * dsub]
+        qd2_j = [sum((int(a) - int(b)) ** 2 for a, b in zip(q_j, c)) for c in cb_j]
+        cb_lit = F.array(
+            *[F.array(*[F.lit(int(x)) for x in c]) for c in cb_j]
+        )
+        sub = F.slice(F.col("code"), j * dsub + 1, dsub)
+        d2s = F.transform(
+            cb_lit,
+            lambda c: F.aggregate(
+                F.zip_with(sub, c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+        key = F.array_min(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(ksub - 1)),
+                lambda kk: F.element_at(d2s, kk + 1) * 32 + kk,
+            )
+        )
+        qd2_lit = F.array(*[F.lit(int(x)) for x in qd2_j])
+        adc_j = F.element_at(qd2_lit, ((key % 32) + 1).cast("int"))
+        adc_total = adc_j if adc_total is None else adc_total + adc_j
+    return (
+        codes.filter(F.col(id_col) > ksub)
+        .select(F.col(id_col), adc_total.cast("long").alias("adc"))
+        .orderBy(F.asc("adc"), F.col(id_col))
+        .limit(k)
+    )

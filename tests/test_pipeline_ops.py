@@ -493,3 +493,22 @@ def test_sq_int8_topk_ranks_like_exact_on_separable_data(spark):
     assert all(-127 <= c <= 127 for code in codes.values() for c in code)
     top = [r["vec_id"] for r in sq_int8_topk(emb, query_id=0, k=2).collect()]
     assert top[0] == 1  # nearest true neighbor survives quantization
+
+
+def test_pq_adc_matches_exact_neighbor(spark):
+    from spatialdata_spark.pipeline.similarity import pq_adc_topk
+
+    rng = np.random.default_rng(11)
+    # 64-dim corpus: ids 1..16 are the codebook rows, id 0 the query,
+    # id 40 a planted near-duplicate of the query
+    rows = []
+    for i in range(60):
+        rows.append((i, [float(v) for v in rng.normal(size=64)]))
+    qv = np.asarray(rows[0][1])
+    rows.append((40 + 60, None))  # replaced below
+    rows = rows[:-1]
+    rows[40] = (40, [float(v) for v in qv + rng.normal(scale=0.05, size=64)])
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = pq_adc_topk(emb, query_id=0, k=5).collect()
+    assert [r["vec_id"] for r in out][0] == 40  # planted neighbor ranks first
+    assert all(out[i]["adc"] <= out[i + 1]["adc"] for i in range(len(out) - 1))

@@ -38,6 +38,7 @@ GUARDED = [
     "pl_repetition",
     "pl_decontaminate",
     "pl_sq_int8",
+    "pl_pq_adc",
 ]
 
 EXPRESSION_ONLY = [

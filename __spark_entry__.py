@@ -500,6 +500,257 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+def q02_min_cost_supplier(spark, sf_dir):
+    """Minimum-cost supplier per part (TPC-H Q2 shape, adapted: no
+    partsupp table in the testdata, so supply cost is the per
+    (part, supplier) discounted lineitem revenue).  The correlated-min
+    subquery becomes a per-part window minimum over exact DECIMAL sums
+    (deterministic tie set), then broadcast dimension joins."""
+    from pyspark.sql.window import Window
+
+    li = _read(spark, sf_dir, "lineitem")
+    cost = F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(F.sum(cost).alias("cost_dec"))
+    w = Window.partitionBy("l_partkey")
+    best = ps.withColumn("__min", F.min("cost_dec").over(w)).filter(
+        F.col("cost_dec") == F.col("__min")
+    )
+    part = _read(spark, sf_dir, "part").filter(F.col("p_size") < 10)
+    supp = _read(spark, sf_dir, "supplier")
+    nation = _read(spark, sf_dir, "nation")
+    region = _read(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    joined = (
+        best.join(F.broadcast(part), best["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(supp), best["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+    )
+    return joined.select(
+        "s_name", "n_name", "p_partkey", "p_name",
+        F.col("cost_dec").cast("double").alias("supply_cost"),
+        F.col("s_acctbal").alias("s_acctbal"),
+    )
+
+
+Q02_SQL = f"""
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(l_extendedprice AS {DEC}) * (CAST(1 AS {DEC}) - CAST(l_discount AS {DEC}))) AS cost_dec
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+best AS (
+  SELECT *, MIN(cost_dec) OVER (PARTITION BY l_partkey) AS mn FROM ps
+)
+SELECT s_name, n_name, p_partkey, p_name,
+       CAST(cost_dec AS DOUBLE) AS supply_cost, s_acctbal
+FROM best
+JOIN part ON l_partkey = p_partkey AND p_size < 10
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+WHERE cost_dec = mn
+"""
+
+
+def q09_product_profit(spark, sf_dir):
+    """Product-type profit by nation and year (TPC-H Q9 shape, adapted:
+    supply cost emulated as 0.80 * p_retailprice * quantity).  All
+    dimension joins broadcast; the profit expression stays in exact
+    DECIMAL until the final cast."""
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    supp = _read(spark, sf_dir, "supplier")
+    nation = _read(spark, sf_dir, "nation")
+    orders = _read(spark, sf_dir, "orders")
+    amount = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
+    ) - F.col("p_retailprice").cast(DEC) * F.col("l_quantity").cast(DEC) * F.lit(0.8).cast(DEC)
+    joined = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+    )
+    return (
+        joined.groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+    )
+
+
+Q09_SQL = f"""
+SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
+  CAST(SUM(CAST(l_extendedprice AS {DEC}) * (CAST(1 AS {DEC}) - CAST(l_discount AS {DEC}))
+           - CAST(p_retailprice AS {DEC}) * CAST(l_quantity AS {DEC}) * CAST(0.8 AS {DEC})) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY n_name, EXTRACT(year FROM o_orderdate)
+"""
+
+
+def q11_important_stock(spark, sf_dir):
+    """Important-stock identification (TPC-H Q11 shape, adapted to
+    lineitem-derived part value): per-part value HAVING > fraction of
+    the global total — the scalar total broadcast-crossed into the
+    filter, all in exact DECIMAL."""
+    li = _read(spark, sf_dir, "lineitem")
+    supp = _read(spark, sf_dir, "supplier")
+    nation = _read(spark, sf_dir, "nation")
+    region = _read(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    val = F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+    scoped = (
+        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+    )
+    per_part = scoped.groupBy("l_partkey").agg(F.sum(val).alias("value_dec"))
+    total = scoped.agg(F.sum(val).alias("total_dec"))
+    out = per_part.crossJoin(F.broadcast(total)).filter(
+        F.col("value_dec") * F.lit(1000).cast(DEC) > F.col("total_dec")
+    )
+    return out.select("l_partkey", F.col("value_dec").cast("double").alias("part_value"))
+
+
+Q11_SQL = f"""
+WITH scoped AS (
+  SELECT l_partkey,
+         CAST(l_extendedprice AS {DEC}) * (CAST(1 AS {DEC}) - CAST(l_discount AS {DEC})) AS v
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+),
+tot AS (SELECT SUM(v) AS total_dec FROM scoped)
+SELECT l_partkey, CAST(SUM(v) AS DOUBLE) AS part_value
+FROM scoped, tot
+GROUP BY l_partkey, total_dec
+HAVING SUM(v) * 1000 > total_dec
+"""
+
+
+def q12_priority_lines(spark, sf_dir):
+    """Shipping-priority line counts (TPC-H Q12 shape, adapted:
+    l_returnflag stands in for l_shipmode): conditional two-way counts
+    per class over a shipdate year."""
+    li = _read(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.expr("TIMESTAMP '1996-01-01 00:00:00'"))
+        & (F.col("l_shipdate") < F.expr("TIMESTAMP '1997-01-01 00:00:00'"))
+    )
+    orders = _read(spark, sf_dir, "orders")
+    joined = li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return joined.groupBy("l_returnflag").agg(
+        F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(is_high, 0).otherwise(1)).alias("low_line_count"),
+    )
+
+
+Q12_SQL = """
+SELECT l_returnflag,
+  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_returnflag
+"""
+
+
+def q20_excess_suppliers(spark, sf_dir):
+    """Suppliers holding an outsized share of a part's annual volume
+    (TPC-H Q20 shape, adapted: the availability subquery becomes a
+    per-part window total; the comparison 10*share > 3*total is exact
+    integer-valued arithmetic).  Nested-IN chain becomes window +
+    distinct + broadcast joins."""
+    from pyspark.sql.window import Window
+
+    li = _read(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.expr("TIMESTAMP '1997-01-01 00:00:00'"))
+        & (F.col("l_shipdate") < F.expr("TIMESTAMP '1998-01-01 00:00:00'"))
+    )
+    part = _read(spark, sf_dir, "part").filter(F.col("p_name").startswith("b"))
+    ps = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("ps_qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    excess = ps.withColumn("p_qty", F.sum("ps_qty").over(w)).filter(
+        F.col("ps_qty") * 10 > F.col("p_qty") * 3
+    )
+    supp_ids = excess.select("l_suppkey").distinct()
+    supp = _read(spark, sf_dir, "supplier")
+    nation = _read(spark, sf_dir, "nation")
+    return (
+        supp_ids.join(F.broadcast(supp), supp_ids["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .select("s_name", "n_name")
+    )
+
+
+Q20_SQL = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey, SUM(l_quantity) AS ps_qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey AND p_name LIKE 'b%'
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY l_partkey, l_suppkey
+),
+excess AS (
+  SELECT DISTINCT l_suppkey
+  FROM (SELECT *, SUM(ps_qty) OVER (PARTITION BY l_partkey) AS p_qty FROM ps)
+  WHERE ps_qty * 10 > p_qty * 3
+)
+SELECT s_name, n_name
+FROM excess JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+"""
+
+
+def q21_waiting_supplier(spark, sf_dir):
+    """Suppliers who kept finished multi-supplier orders waiting
+    (TPC-H Q21 shape, adapted: 'late' = shipped > 60 days after order
+    date).  The EXISTS / NOT EXISTS pair collapses into one per-order
+    aggregate: >1 distinct suppliers, exactly 1 distinct late supplier."""
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    joined = li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    per_order = joined.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late"),
+        F.max(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
+    )
+    waiting = per_order.filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+    supp = _read(spark, sf_dir, "supplier")
+    return (
+        waiting.groupBy("late_supp")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(supp), F.col("late_supp") == supp["s_suppkey"])
+        .select("s_name", "numwait")
+    )
+
+
+Q21_SQL = """
+WITH per_order AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS n_supp,
+         COUNT(DISTINCT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY THEN l_suppkey END) AS n_late,
+         MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY THEN l_suppkey END) AS late_supp
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey AND o_orderstatus = 'F'
+  GROUP BY l_orderkey
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM per_order JOIN supplier ON late_supp = s_suppkey
+WHERE n_supp > 1 AND n_late = 1
+GROUP BY s_name
+"""
+
+
 def q07_volume_shipping(spark, sf_dir):
     """Cross-nation trade volumes (TPC-H Q7 shape): OR-of-pairs join
     predicate between supplier and customer nations, yearly rollup."""
@@ -3444,6 +3695,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pl_decontaminate": pl_decontaminate,
         "pl_sq_int8": pl_sq_int8,
         "pl_pq_adc": pl_pq_adc,
+        "q02_min_cost_supplier": q02_min_cost_supplier,
+        "q09_product_profit": q09_product_profit,
+        "q11_important_stock": q11_important_stock,
+        "q12_priority_lines": q12_priority_lines,
+        "q20_excess_suppliers": q20_excess_suppliers,
+        "q21_waiting_supplier": q21_waiting_supplier,
         "ag_extent": ag_extent,
         "ag_zonal_image": ag_zonal_image,
         "rv_rasterize_count": rv_rasterize_count,
@@ -3608,6 +3865,12 @@ def oracle_sql() -> dict[str, str]:
         "pl_decontaminate": PL_DECONTAMINATE_SQL,
         "pl_sq_int8": PL_SQ_INT8_SQL,
         "pl_pq_adc": PL_PQ_ADC_SQL,
+        "q02_min_cost_supplier": Q02_SQL,
+        "q09_product_profit": Q09_SQL,
+        "q11_important_stock": Q11_SQL,
+        "q12_priority_lines": Q12_SQL,
+        "q20_excess_suppliers": Q20_SQL,
+        "q21_waiting_supplier": Q21_SQL,
         "st_session_native": ST_SESSION_NATIVE_SQL,
         "st_distinct_users_daily": ST_DISTINCT_USERS_SQL,
         "st_value_quantiles": ST_QUANTILES_SQL,

@@ -3429,6 +3429,106 @@ ORDER BY adc ASC, vec_id LIMIT 20
 """
 
 
+def pl_dedup_cross(spark, sf_dir):
+    """Cross-corpus exact dedup (train/test leakage removal): drop
+    corpus docs whose normalized text also appears in the 'src0'
+    reference slice — broadcast digest anti-join, corpus text never
+    shuffles."""
+    from spatialdata_spark.pipeline.dedup import exact_dedup_cross
+
+    docs = _read(spark, sf_dir, "documents")
+    out = exact_dedup_cross(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+    )
+    return out.select("doc_id", "n_chars")
+
+
+PL_DEDUP_CROSS_SQL = r"""
+SELECT doc_id, n_chars
+FROM documents
+WHERE source <> 'src0'
+  AND md5(LOWER(regexp_replace(text, '\s+', ' ', 'g'))) NOT IN (
+    SELECT md5(LOWER(regexp_replace(text, '\s+', ' ', 'g')))
+    FROM documents WHERE source = 'src0'
+  )
+"""
+
+
+def pl_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary: top-100 tokens by total frequency with
+    document frequency — token-keyed aggregate with map-side combine,
+    TakeOrdered top-k, lexicographic tie-break."""
+    from spatialdata_spark.pipeline.textstats import vocab_topk
+
+    return vocab_topk(_read(spark, sf_dir, "documents"), k=100)
+
+
+PL_VOCAB_TOPK_SQL = r"""
+SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+FROM (
+  SELECT doc_id, unnest(string_split_regex(LOWER(TRIM(text)), '\s+')) AS token
+  FROM documents
+)
+GROUP BY token
+ORDER BY tf DESC, token ASC
+LIMIT 100
+"""
+
+
+def pl_ann_recall(spark, sf_dir):
+    """ANN quality evaluation: recall@20 of the int8
+    scalar-quantized top-k against the exact float cosine top-k for
+    the same query — the standard index-quality metric as a broadcast
+    semi-join of two top-k sets."""
+    from spatialdata_spark.pipeline.similarity import (
+        ann_recall,
+        cosine_topk_query,
+        sq_int8_topk,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    exact = cosine_topk_query(emb.filter(F.col("vec_id") != 0), qrow["embedding"], k=20)
+    approx = sq_int8_topk(emb, query_id=0, k=20)
+    return ann_recall(approx, exact)
+
+
+PL_ANN_RECALL_SQL = r"""
+WITH d AS (
+  SELECT generate_subscripts(embedding, 1) AS dim, unnest(CAST(embedding AS DOUBLE[])) AS val FROM embeddings
+),
+mm AS (SELECT dim, MIN(val) AS mn, MAX(val) AS mx FROM d GROUP BY dim),
+b AS (SELECT list(mn ORDER BY dim) AS mns, list(mx ORDER BY dim) AS mxs FROM mm),
+codes AS (
+  SELECT vec_id,
+         list_transform(range(1, LEN(embedding) + 1),
+           i -> CASE WHEN mxs[i] = mns[i] THEN 0
+                ELSE CAST(FLOOR((CAST(embedding[i] AS DOUBLE) - mns[i]) / (mxs[i] - mns[i]) * 254) AS BIGINT) - 127 END
+         ) AS code
+  FROM embeddings, b
+),
+qq AS (SELECT code AS qcode FROM codes WHERE vec_id = 0),
+approx AS (
+  SELECT vec_id
+  FROM codes, qq WHERE vec_id <> 0
+  ORDER BY CAST(list_sum(list_transform(range(1, LEN(code) + 1), i -> code[i] * qcode[i])) AS BIGINT) DESC, vec_id
+  LIMIT 20
+),
+qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+exact AS (
+  SELECT vec_id FROM embeddings, qv WHERE vec_id <> 0
+  ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(v AS DOUBLE[])) DESC, vec_id
+  LIMIT 20
+)
+SELECT
+  (SELECT COUNT(*) FROM approx WHERE vec_id IN (SELECT vec_id FROM exact)) AS n_hit,
+  (SELECT COUNT(*) FROM exact) AS n_exact,
+  (SELECT COUNT(*) FROM approx WHERE vec_id IN (SELECT vec_id FROM exact)) * 1.0
+    / (SELECT COUNT(*) FROM exact) AS recall
+"""
+
+
 def st_moving_avg(spark, sf_dir):
     """Per-user moving average over the last 4 events (rows frame) —
     ordered window aggregation."""
@@ -3695,6 +3795,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pl_decontaminate": pl_decontaminate,
         "pl_sq_int8": pl_sq_int8,
         "pl_pq_adc": pl_pq_adc,
+        "pl_dedup_cross": pl_dedup_cross,
+        "pl_vocab_topk": pl_vocab_topk,
+        "pl_ann_recall": pl_ann_recall,
         "q02_min_cost_supplier": q02_min_cost_supplier,
         "q09_product_profit": q09_product_profit,
         "q11_important_stock": q11_important_stock,
@@ -3865,6 +3968,9 @@ def oracle_sql() -> dict[str, str]:
         "pl_decontaminate": PL_DECONTAMINATE_SQL,
         "pl_sq_int8": PL_SQ_INT8_SQL,
         "pl_pq_adc": PL_PQ_ADC_SQL,
+        "pl_dedup_cross": PL_DEDUP_CROSS_SQL,
+        "pl_vocab_topk": PL_VOCAB_TOPK_SQL,
+        "pl_ann_recall": PL_ANN_RECALL_SQL,
         "q02_min_cost_supplier": Q02_SQL,
         "q09_product_profit": Q09_SQL,
         "q11_important_stock": Q11_SQL,

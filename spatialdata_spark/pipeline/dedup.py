@@ -676,3 +676,30 @@ def simhash_signatures_sql(
         term = F.when(F.col(f"v{bit}") > 0, F.lit(1 << bit)).otherwise(F.lit(0))
         fp = term if fp is None else fp + term
     return sh.groupBy(id_col).agg(*votes).select(F.col(id_col), fp.alias("simhash"))
+
+
+def exact_dedup_cross(
+    corpus: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = True,
+) -> DataFrame:
+    """Cross-corpus exact dedup: drop corpus documents whose
+    (optionally whitespace/case-normalized) text also appears in
+    ``reference`` — the exact-match complement of n-gram
+    decontamination (train/test leakage removal).
+
+    A broadcast anti-join on the md5 digest: only 16-byte digests of
+    the (small) reference side move, the corpus text never shuffles.
+    """
+    def digest(col):
+        t = F.col(col)
+        if normalize:
+            t = F.lower(F.regexp_replace(t, r"\s+", " "))
+        return F.md5(t)
+
+    ref_digests = reference.select(digest(text_col).alias("__digest")).distinct()
+    return corpus.withColumn("__digest", digest(text_col)).join(
+        F.broadcast(ref_digests), "__digest", "left_anti"
+    ).drop("__digest")

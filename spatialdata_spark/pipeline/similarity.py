@@ -482,3 +482,24 @@ def pq_adc_topk(
         .orderBy(F.asc("adc"), F.col(id_col))
         .limit(k)
     )
+
+
+def ann_recall(
+    approx_topk: DataFrame,
+    exact_topk: DataFrame,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Recall@k of an approximate top-k result against the exact one:
+    |approx ∩ exact| / |exact| — the standard ANN quality metric, as a
+    broadcast semi-join + two scalar counts (evaluation sets are top-k
+    sized, so this is driver-light at any corpus scale)."""
+    inter = approx_topk.select(id_col).join(
+        F.broadcast(exact_topk.select(id_col)), id_col, "left_semi"
+    )
+    hits = inter.agg(F.count(F.lit(1)).alias("n_hit"))
+    total = exact_topk.agg(F.count(F.lit(1)).alias("n_exact"))
+    return hits.crossJoin(F.broadcast(total)).select(
+        F.col("n_hit"),
+        F.col("n_exact"),
+        (F.col("n_hit") / F.col("n_exact")).alias("recall"),
+    )

@@ -124,3 +124,26 @@ def doc_fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_
         F.xxhash64(F.substring(norm, 1, 64)).alias("prefix_fp"),
         F.xxhash64(F.substring(F.reverse(norm), 1, 64)).alias("suffix_fp"),
     )
+
+
+def vocab_topk(
+    docs: DataFrame,
+    k: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus vocabulary: top-k tokens by total frequency with document
+    frequency — the canonical (token)-keyed aggregate with map-side
+    combine; top-k is a ``TakeOrdered``, never a full sort shuffle.
+    Ties order lexicographically for determinism."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    exploded = docs.select(F.col(id_col), F.explode(toks).alias("token"))
+    return (
+        exploded.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct(id_col).alias("df"),
+        )
+        .orderBy(F.desc("tf"), F.asc("token"))
+        .limit(k)
+    )

@@ -512,3 +512,36 @@ def test_pq_adc_matches_exact_neighbor(spark):
     out = pq_adc_topk(emb, query_id=0, k=5).collect()
     assert [r["vec_id"] for r in out][0] == 40  # planted neighbor ranks first
     assert all(out[i]["adc"] <= out[i + 1]["adc"] for i in range(len(out) - 1))
+
+
+def test_exact_dedup_cross(spark):
+    from spatialdata_spark.pipeline.dedup import exact_dedup_cross
+
+    corpus = spark.createDataFrame(
+        [(1, "Shared   Text"), (2, "unique text")], ["doc_id", "text"]
+    )
+    ref = spark.createDataFrame([(9, "shared text")], ["doc_id", "text"])
+    out = [r["doc_id"] for r in exact_dedup_cross(corpus, ref).collect()]
+    assert out == [2]  # doc 1 matches after whitespace/case normalization
+    raw = exact_dedup_cross(corpus, ref, normalize=False)
+    assert sorted(r["doc_id"] for r in raw.collect()) == [1, 2]
+
+
+def test_vocab_topk(spark):
+    from spatialdata_spark.pipeline.textstats import vocab_topk
+
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "a c")], ["doc_id", "text"]
+    )
+    rows = vocab_topk(docs, k=2).collect()
+    assert (rows[0]["token"], rows[0]["tf"], rows[0]["df"]) == ("a", 3, 2)
+    assert (rows[1]["token"], rows[1]["tf"], rows[1]["df"]) == ("b", 1, 1)  # tie -> lexicographic
+
+
+def test_ann_recall(spark):
+    from spatialdata_spark.pipeline.similarity import ann_recall
+
+    approx = spark.createDataFrame([(1,), (2,), (3,)], ["vec_id"])
+    exact = spark.createDataFrame([(1,), (3,), (4,), (5,)], ["vec_id"])
+    r = ann_recall(approx, exact).first()
+    assert (r["n_hit"], r["n_exact"]) == (2, 4) and abs(r["recall"] - 0.5) < 1e-12

@@ -36,6 +36,84 @@ from pyspark.sql import types as T
 
 AGG_FUNCS = {"sum": F.sum, "mean": F.avg, "count": F.count, "min": F.min, "max": F.max}
 
+# per-edge half-plane coefficients of a convex single-ring polygon:
+# interior test is  ex*(y - y1) - ey*(x - x1) > 0  for every edge (CCW)
+_HP_FIELD = T.StructField(
+    "__hp",
+    T.ArrayType(
+        T.StructType(
+            [
+                T.StructField("ex", T.DoubleType()),
+                T.StructField("ey", T.DoubleType()),
+                T.StructField("x1", T.DoubleType()),
+                T.StructField("y1", T.DoubleType()),
+            ]
+        )
+    ),
+)
+
+
+def _ring_halfplanes(ring: np.ndarray):
+    """(ex, ey, x1, y1) per edge for a convex ring, CCW-normalized;
+    zero-length edges (closing duplicate) skipped.  None if degenerate."""
+    r = np.asarray(ring, dtype=float)
+    if len(r) > 1 and np.array_equal(r[0], r[-1]):
+        r = r[:-1]
+    if len(r) < 3:
+        return None
+    area = 0.0
+    for i in range(len(r)):
+        x1, y1 = r[i]
+        x2, y2 = r[(i + 1) % len(r)]
+        area += x1 * y2 - x2 * y1
+    if area == 0.0:
+        return None
+    if area < 0:
+        r = r[::-1]
+    out = []
+    for i in range(len(r)):
+        x1, y1 = r[i]
+        x2, y2 = r[(i + 1) % len(r)]
+        ex, ey = x2 - x1, y2 - y1
+        if ex == 0.0 and ey == 0.0:
+            continue
+        out.append((float(ex), float(ey), float(x1), float(y1)))
+    return out
+
+
+def attach_convex_halfplanes(shapes: DataFrame) -> DataFrame:
+    """Add a ``__hp`` column to a shapes frame: half-plane edge
+    coefficients for convex single-ring polygons (None for circles,
+    concave rings, holes, multipolygons).
+
+    One Arrow pass over the *dimension* side only — per shape, not per
+    candidate pair — so the downstream spatial-join refine of convex
+    polygons stays entirely JVM-side no matter how many billions of
+    candidate pairs the fact side produces.
+    """
+    from spatialdata_spark.geometry import wkb as W
+    from spatialdata_spark.operators.spatial_query import _is_convex
+
+    schema = T.StructType(list(shapes.schema.fields) + [_HP_FIELD])
+
+    def gen(iterator):
+        for pdf in iterator:
+            hps = []
+            for buf, kind in zip(pdf["wkb"], pdf["kind"]):
+                hp = None
+                if buf is not None and kind == "polygon":
+                    gk, geom = W.decode(bytes(buf))
+                    if gk == "polygon" and len(geom) == 1:
+                        ring = np.asarray(geom[0], dtype=float)
+                        closed = ring[:-1] if len(ring) > 1 and np.array_equal(ring[0], ring[-1]) else ring
+                        if _is_convex(closed):
+                            hp = _ring_halfplanes(ring)
+                hps.append(hp)
+            pdf["__hp"] = hps
+            yield pdf
+
+    return shapes.mapInPandas(gen, schema)
+
 
 def _circle_cell_cover(circles_slim: DataFrame, h: float) -> DataFrame:
     """Decompose each circle into covering grid cells, classified as
@@ -247,22 +325,33 @@ def grid_join_points_shapes(
         points = points.repartition(par)
         shapes = shapes.repartition(par)
 
+    kinds = _shape_kinds(shapes) if refine else frozenset()
+    needs_hp = refine and not all_circles and kinds != {"point"}
+    if needs_hp:
+        # one Arrow pass per SHAPE (dim side, pre-fanout): convex
+        # polygons get half-plane coefficients so their refine below is
+        # a JVM forall over candidates — Python PIP only for the
+        # concave/multipart remainder
+        shapes = attach_convex_halfplanes(shapes)
+    hp_cols = ["__hp"] if needs_hp else []
     sh = (
         shapes.withColumn("__cx", F.explode(F.sequence(F.floor(F.col("minx") / cs), F.floor(F.col("maxx") / cs))))
         .withColumn("__cy", F.explode(F.sequence(F.floor(F.col("miny") / cs), F.floor(F.col("maxy") / cs))))
-        .select("shape_id", "kind", "wkb", "minx", "miny", "maxx", "maxy", "radius", "__cx", "__cy")
+        .select("shape_id", "kind", "wkb", "minx", "miny", "maxx", "maxy", "radius", *hp_cols, "__cx", "__cy")
     )
     pt = points.withColumn("__cx", F.floor(F.col("x") / cs)).withColumn("__cy", F.floor(F.col("y") / cs))
     cand = pt.join(sh, ["__cx", "__cy"]).drop("__cx", "__cy")
 
+    drop_cols = ["kind", "wkb", "minx", "miny", "maxx", "maxy", "radius", *hp_cols]
+    bbox_hit = (
+        (F.col("x") >= F.col("minx"))
+        & (F.col("x") <= F.col("maxx"))
+        & (F.col("y") >= F.col("miny"))
+        & (F.col("y") <= F.col("maxy"))
+    )
     if not refine:
         # bbox-only refine (still exact for bbox semantics)
-        return cand.filter(
-            (F.col("x") >= F.col("minx"))
-            & (F.col("x") <= F.col("maxx"))
-            & (F.col("y") >= F.col("miny"))
-            & (F.col("y") <= F.col("maxy"))
-        ).drop("kind", "wkb", "minx", "miny", "maxx", "maxy", "radius")
+        return cand.filter(bbox_hit).drop(*drop_cols)
 
     # exact refine — circles: expression-only distance test (no UDF)
     ccx = (F.col("minx") + F.col("maxx")) / 2
@@ -274,7 +363,7 @@ def grid_join_points_shapes(
     if all_circles:
         # caller guarantees kind=='point' everywhere: the whole refine
         # stays expression-only (no Python boundary in the plan)
-        return cand.filter(circle_hit).drop("kind", "wkb", "minx", "miny", "maxx", "maxy", "radius")
+        return cand.filter(circle_hit).drop(*drop_cols)
 
     @F.pandas_udf(T.BooleanType())
     def _pip(x_s, y_s, wkb_s):
@@ -300,10 +389,30 @@ def grid_join_points_shapes(
                     out[mask] = P.points_in_multipolygon(xs[mask], ys[mask], geom)
         return pd.Series(out)
 
-    refined = cand.filter(
-        F.when(F.col("kind") == "point", circle_hit).otherwise(_pip(F.col("x"), F.col("y"), F.col("wkb")))
+    # Three disjoint refine branches unioned so the Arrow PIP evaluates
+    # ONLY on candidates of concave/multipart shapes (Spark extracts
+    # Python UDFs out of when/otherwise into an eval node over every
+    # input row — a single conditional filter would still pay the Arrow
+    # round-trip for the convex majority):
+    #   circles  -> expression distance test
+    #   convex   -> JVM bbox + forall over precomputed half-planes
+    #   other    -> JVM bbox prefilter, then Arrow PIP on what's left
+    is_circle = F.col("kind") == "point"
+    if not needs_hp:
+        # only circle kinds present: no __hp column, no polygon branches
+        return cand.filter(is_circle & circle_hit).drop(*drop_cols)
+    circ_part = cand.filter(is_circle & circle_hit)
+    poly = cand.filter(~is_circle).filter(bbox_hit)
+    hp_hit = F.forall(
+        F.col("__hp"),
+        lambda s: (s["ex"] * (F.col("y") - s["y1"]) - s["ey"] * (F.col("x") - s["x1"])) > 0,
     )
-    return refined.drop("kind", "wkb", "minx", "miny", "maxx", "maxy", "radius")
+    conv_part = poly.filter(F.col("__hp").isNotNull()).filter(hp_hit)
+    rest_part = poly.filter(F.col("__hp").isNull()).filter(
+        _pip(F.col("x"), F.col("y"), F.col("wkb"))
+    )
+    refined = circ_part.unionByName(conv_part).unionByName(rest_part)
+    return refined.drop(*drop_cols)
 
 
 def _shape_kinds(df: DataFrame) -> frozenset[str]:

@@ -442,43 +442,65 @@ def pq_adc_topk(
     if ksub > 32:
         raise ValueError("ksub must be <= 32 for the d2*32+k tie-break key")
     codes = int8_quantize(embeddings, id_col, vec_col)
-    cb_rows = (
-        codes.filter(F.col(id_col).between(1, ksub)).orderBy(id_col).collect()
-    )
-    qrow = codes.filter(F.col(id_col) == query_id).first()
+    # one tiny job fetches codebook + query codes together (the codes
+    # subtree otherwise re-plans per collect)
+    head = {
+        r[id_col]: r
+        for r in codes.filter(
+            F.col(id_col).between(1, ksub) | (F.col(id_col) == query_id)
+        ).collect()
+    }
+    cb_rows = [head[i] for i in range(1, ksub + 1) if i in head]
+    qrow = head.get(query_id)
     if len(cb_rows) != ksub or qrow is None:
         raise ValueError("codebook rows 1..ksub or query row missing")
     d = len(qrow["code"])
     dsub = d // m
-    adc_total = None
+    # relational assignment: sub-codes explode to (id, j, subcode) and
+    # broadcast-join the 64-row codebook — each joined pair evaluates
+    # ONE short zip_with (JVM codegen-friendly) instead of a giant
+    # ksub*m-wide nested literal expression that falls back to
+    # interpreted eval (measured ~2.6 ms/row); map-side partial min
+    # keeps the (id, j) argmin shuffle tiny
+    spark = embeddings.sparkSession
+    cb_data = []
+    qd_data = []
     for j in range(m):
-        cb_j = [list(r["code"])[j * dsub : (j + 1) * dsub] for r in cb_rows]
         q_j = list(qrow["code"])[j * dsub : (j + 1) * dsub]
-        qd2_j = [sum((int(a) - int(b)) ** 2 for a, b in zip(q_j, c)) for c in cb_j]
-        cb_lit = F.array(
-            *[F.array(*[F.lit(int(x)) for x in c]) for c in cb_j]
-        )
-        sub = F.slice(F.col("code"), j * dsub + 1, dsub)
-        d2s = F.transform(
-            cb_lit,
-            lambda c: F.aggregate(
-                F.zip_with(sub, c, lambda a, b: (a - b) * (a - b)),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ),
-        )
-        key = F.array_min(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(ksub - 1)),
-                lambda kk: F.element_at(d2s, kk + 1) * 32 + kk,
-            )
-        )
-        qd2_lit = F.array(*[F.lit(int(x)) for x in qd2_j])
-        adc_j = F.element_at(qd2_lit, ((key % 32) + 1).cast("int"))
-        adc_total = adc_j if adc_total is None else adc_total + adc_j
+        for kk, r in enumerate(cb_rows):
+            c = list(r["code"])[j * dsub : (j + 1) * dsub]
+            cb_data.append((j, kk, [int(x) for x in c]))
+            qd_data.append((j, kk, int(sum((int(a) - int(b)) ** 2 for a, b in zip(q_j, c)))))
+    cb_df = spark.createDataFrame(cb_data, ["j", "k", "c"])
+    qd_df = spark.createDataFrame(qd_data, ["j", "k", "qd2"])
+    subcodes = codes.filter(F.col(id_col) > ksub).select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    F.slice(F.col("code"), j * dsub + 1, dsub).alias("sc"),
+                )
+                for j in range(m)
+            ])
+        ).alias("__s"),
+    ).select(id_col, F.col("__s.j").alias("j"), F.col("__s.sc").alias("sc"))
+    d2 = F.aggregate(
+        F.zip_with(F.col("sc"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    assigned = (
+        subcodes.join(F.broadcast(cb_df), "j")
+        .select(id_col, "j", (d2 * 32 + F.col("k")).alias("__key"))
+        .groupBy(id_col, "j")
+        .agg(F.min("__key").alias("__key"))
+        .withColumn("k", (F.col("__key") % 32).cast("long"))
+    )
     return (
-        codes.filter(F.col(id_col) > ksub)
-        .select(F.col(id_col), adc_total.cast("long").alias("adc"))
+        assigned.join(F.broadcast(qd_df), ["j", "k"])
+        .groupBy(id_col)
+        .agg(F.sum("qd2").alias("adc"))
         .orderBy(F.asc("adc"), F.col(id_col))
         .limit(k)
     )

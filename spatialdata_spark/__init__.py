@@ -42,7 +42,10 @@ from spatialdata_spark.api import (
     to_polygons,
     transform,
 )
+from spatialdata_spark.api import get_dask_backing_files
 from spatialdata_spark.catalog import SpatialDataset, sanitize_name
+from spatialdata_spark.config import disable_dask_tune_optimization, settings
+from spatialdata_spark.formats import SpatialDataFormatType
 from spatialdata_spark.operators.container import (
     bounding_box_query_dataset as bounding_box_query,
 )
@@ -84,6 +87,10 @@ __version__ = "0.3.0"
 
 __all__ = [
     "SpatialDataset",
+    "SpatialDataFormatType",
+    "settings",
+    "disable_dask_tune_optimization",
+    "get_dask_backing_files",
     "SpatialData",
     "BaseTransformation",
     "Identity",

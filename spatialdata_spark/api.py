@@ -322,3 +322,17 @@ def force_2d(df: DataFrame) -> DataFrame:
         agg = [F.max("label").alias("label")] + [F.first(c).alias(c) for c in others]
         out = out.groupBy("y", "x").agg(*agg)
     return out
+
+
+def get_dask_backing_files(ds_or_df) -> list[str]:
+    """Files backing an element or every element of a dataset —
+    the engine analog of the reference's dask-graph file scan
+    (``_io/_utils.py:251``): Spark tracks the scan's input files in
+    the plan, exposed via ``DataFrame.inputFiles``."""
+    if isinstance(ds_or_df, DataFrame):
+        return sorted(set(ds_or_df.inputFiles()))
+    files: set[str] = set()
+    for kind_map in ds_or_df.elements.values():
+        for df in kind_map.values():
+            files.update(df.inputFiles())
+    return sorted(files)

@@ -84,3 +84,10 @@ def migrate_manifest(meta: dict[str, Any]) -> dict[str, Any]:
     out["version"] = CURRENT_VERSION
     out["format"] = {"container": CURRENT_VERSION, "elements": dict(ELEMENT_VERSIONS)}
     return out
+
+
+#: reference-parity alias (``_io/format.py:294``): the reference's
+#: SpatialDataFormatType is a union of format classes; this engine's
+#: formats are the plain version strings in CONTAINER_VERSIONS /
+#: ELEMENT_VERSIONS, so the type is str.
+SpatialDataFormatType = str

@@ -60,6 +60,7 @@ class RasterMeta:
     n_channels: int = 1
     scale_factor: int = 2  # downsampling factor between pyramid levels
     depth: int = 1  # z extent; >1 for Labels3D/Image3D z-plane tiles
+    channel_names: tuple | None = None  # len == n_channels when set
 
     def tiles_y(self, scale: int = 0) -> int:
         return -(-self.shape_at(scale)[0] // self.tile)

@@ -21,6 +21,13 @@ from spatialdata_spark.transformations.graph import (
     estimate_affine_from_landmarks,
     get_transformation_between,
 )
+from spatialdata_spark.transformations.ops import (
+    get_transformation,
+    get_transformation_between_coordinate_systems,
+    remove_transformation,
+    remove_transformations_to_coordinate_system,
+    set_transformation,
+)
 from spatialdata_spark.transformations.ngff import (
     NgffAxis,
     NgffCoordinateSystem,
@@ -29,6 +36,11 @@ from spatialdata_spark.transformations.ngff import (
 )
 
 __all__ = [
+    "get_transformation",
+    "set_transformation",
+    "remove_transformation",
+    "remove_transformations_to_coordinate_system",
+    "get_transformation_between_coordinate_systems",
     "align_elements_using_landmarks",
     "get_transformation_between_landmarks",
     "VALID_AXES",

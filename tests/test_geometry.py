@@ -165,3 +165,52 @@ def test_ear_clip_triangulate_l_shape_and_fuzz():
         got = sum(abs(ring_area(t)) for t in ear_clip_triangulate(poly))
         assert abs(got - abs(ring_area(poly))) < 1e-9
     assert checked > 20
+
+
+def test_convex_halfplanes_agree_with_ray_casting():
+    """The JVM half-plane refine path (attach_convex_halfplanes) must
+    decide exactly like the Python ray-casting PIP it replaces, for any
+    convex polygon and points off the boundary — property-based."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from spatialdata_spark.geometry.predicates import points_in_ring
+    from spatialdata_spark.operators.aggregate import _ring_halfplanes
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.integers(min_value=3, max_value=9),   # vertex count
+        st.floats(min_value=0.5, max_value=50.0),  # radius
+        st.integers(min_value=0, max_value=10_000),  # seed
+    )
+    def run(n, r, seed):
+        rng = np.random.default_rng(seed)
+        # convex ring: points on a circle at sorted distinct angles
+        ang = np.sort(rng.uniform(0, 2 * np.pi, size=n))
+        if np.min(np.diff(ang, append=ang[0] + 2 * np.pi)) < 1e-3:
+            return  # nearly-duplicate vertices -> degenerate edge, skip
+        ring = np.stack([r * np.cos(ang), r * np.sin(ang)], axis=1)
+        hps = _ring_halfplanes(ring)
+        assert hps is not None
+        pts = rng.uniform(-1.5 * r, 1.5 * r, size=(64, 2))
+        # drop points too close to any edge (tie zone where the two
+        # conventions may legitimately differ)
+        def edge_dist(p):
+            d = np.inf
+            for i in range(len(ring)):
+                a, b = ring[i], ring[(i + 1) % len(ring)]
+                ab = b - a
+                t = np.clip(np.dot(p - a, ab) / np.dot(ab, ab), 0, 1)
+                d = min(d, np.linalg.norm(p - (a + t * ab)))
+            return d
+        keep = np.array([edge_dist(p) > 1e-6 * r for p in pts])
+        pts = pts[keep]
+        if not len(pts):
+            return
+        ray = points_in_ring(pts[:, 0], pts[:, 1], ring)
+        hp = np.ones(len(pts), dtype=bool)
+        for ex, ey, x1, y1 in hps:
+            hp &= (ex * (pts[:, 1] - y1) - ey * (pts[:, 0] - x1)) > 0
+        assert np.array_equal(ray, hp), (ring.tolist(), pts[ray != hp].tolist())
+
+    run()

@@ -234,3 +234,62 @@ def streaming_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_enrich(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    dim: DataFrame,
+    on: str,
+    query_name: str = "events_enriched",
+):
+    """Stream-static enrichment: each micro-batch broadcast-joins the
+    (static, slowly-changing) dimension table — the canonical "attach
+    user/document metadata on ingest" pipeline stage.  The static side
+    re-resolves per batch, so replacing the dim table's underlying files
+    picks up new attributes without restarting the stream; the join is
+    a broadcast hash join in every micro-batch, nothing stateful, so
+    throughput scales with the source alone."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    enriched = stream.join(F.broadcast(dim), on, "left")
+    return (
+        enriched.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def streaming_topk_rate(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    key_col: str = "event_type",
+    width: str = "1 hour",
+    watermark: str = "10 minutes",
+    query_name: str = "events_rates",
+):
+    """Windowed per-key event rates (count + mean value) — the
+    monitoring aggregate a training-data ingest runs alongside dedup.
+    Append mode: each (window, key) row is final once the watermark
+    passes, ready for an alerting sink."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), key_col)
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("value").alias("mean_value"))
+        .select(F.col("w.start").alias("window_start"), key_col, "n", "mean_value")
+    )
+    return (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

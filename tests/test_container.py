@@ -232,3 +232,70 @@ def test_raccoon_dataset(spark):
     joined = a.join(b, ["y", "x"])
     frac_same = joined.agg(F.avg((F.col("label") == F.col("lab_r")).cast("double"))).first()[0]
     assert frac_same > 0.9
+
+
+def test_streaming_enrich_stream_static_join(spark, tmp_path):
+    """Stream-static enrichment: every micro-batch broadcast-joins the
+    static dim table; re-resolved per batch."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import _parse_datatype_string
+
+    from spatialdata_spark.streaming.windows import streaming_enrich
+
+    src = str(tmp_path / "enrich_stream")
+    os.makedirs(src, exist_ok=True)
+    events = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 100), (2, "2024-01-01 10:01:00", 200), (3, "2024-01-01 10:02:00", 999)],
+        ["event_id", "ts_s", "user_id"],
+    ).select("event_id", F.to_timestamp("ts_s").alias("ts"), "user_id")
+    events.coalesce(1).write.parquet(f"{src}/f1")
+    dim = spark.createDataFrame([(100, "gold"), (200, "basic")], ["user_id", "tier"])
+    q = streaming_enrich(
+        spark,
+        f"{src}/*",
+        _parse_datatype_string("event_id long, ts timestamp, user_id long"),
+        dim,
+        on="user_id",
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {r["event_id"]: r["tier"] for r in spark.sql("SELECT * FROM events_enriched").collect()}
+    assert got == {1: "gold", 2: "basic", 3: None}  # left join keeps unmatched
+
+
+def test_streaming_topk_rate_appends_closed_windows(spark, tmp_path):
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import _parse_datatype_string
+
+    from spatialdata_spark.streaming.windows import streaming_topk_rate
+
+    src = str(tmp_path / "rate_stream")
+    os.makedirs(src, exist_ok=True)
+
+    def write_file(name, rows):
+        df = spark.createDataFrame(rows, ["event_id", "ts_s", "event_type", "value"]).select(
+            "event_id", F.to_timestamp("ts_s").alias("ts"), "event_type", "value"
+        )
+        df.coalesce(1).write.parquet(f"{src}/{name}")
+        _time.sleep(1.1)
+
+    write_file("f1", [(1, "2024-01-01 10:05:00", "click", 2.0), (2, "2024-01-01 10:25:00", "click", 4.0)])
+    write_file("f2", [(3, "2024-01-01 13:00:00", "view", 1.0)])   # advance watermark
+    write_file("f3", [(4, "2024-01-01 13:30:00", "view", 1.0)])   # 10:00 window closes
+    q = streaming_topk_rate(
+        spark,
+        f"{src}/*",
+        _parse_datatype_string("event_id long, ts timestamp, event_type string, value double"),
+        width="1 hour",
+        watermark="10 minutes",
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM events_rates").collect()
+    got = {(r["window_start"].strftime("%H:%M"), r["event_type"]): (r["n"], r["mean_value"]) for r in rows}
+    assert got[("10:00", "click")] == (2, 3.0)  # closed and emitted exactly once

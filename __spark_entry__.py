@@ -2955,7 +2955,7 @@ def pl_lsh_topk(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")
     p_rows = emb.filter(F.col("vec_id").between(1, 6)).orderBy("vec_id").select("embedding").collect()
     planes = [[float(x) for x in r["embedding"]] for r in p_rows]
-    out = lsh_bucketed_topk(emb, k=3, planes=planes)
+    out = lsh_bucketed_topk(emb, k=3, planes=planes, method="expr")
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine_r"))
 
 
@@ -3014,7 +3014,7 @@ def pl_embed_dedup(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")
     p_rows = emb.filter(F.col("vec_id").between(1, 6)).orderBy("vec_id").select("embedding").collect()
     planes = [[float(x) for x in r["embedding"]] for r in p_rows]
-    out = embedding_cosine_dedup(emb, threshold=0.3, planes=planes)
+    out = embedding_cosine_dedup(emb, threshold=0.3, planes=planes, method="expr")
     return out.select("vec_id")
 
 

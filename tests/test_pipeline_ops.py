@@ -545,3 +545,15 @@ def test_ann_recall(spark):
     exact = spark.createDataFrame([(1,), (3,), (4,), (5,)], ["vec_id"])
     r = ann_recall(approx, exact).first()
     assert (r["n_hit"], r["n_exact"]) == (2, 4) and abs(r["recall"] - 0.5) < 1e-12
+
+
+def test_lsh_arrow_matches_expression_buckets(spark):
+    from spatialdata_spark.pipeline.similarity import (
+        random_hyperplane_buckets,
+        random_hyperplane_buckets_arrow,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = {r["vec_id"]: r["bucket"] for r in random_hyperplane_buckets(emb).collect()}
+    b = {r["vec_id"]: r["bucket"] for r in random_hyperplane_buckets_arrow(emb).collect()}
+    assert a == b

@@ -65,6 +65,8 @@ class SpatialDataset:
         self.transforms: dict[str, dict[str, BaseTransformation]] = {}
         self.table_meta: dict[str, TableMeta] = {}
         self.attrs: dict = {}
+        #: store path when read from / written to disk (is_backed)
+        self.path: str | None = None
 
     # -- registry ---------------------------------------------------------
     def _check_unique(self, name: str) -> None:
@@ -230,6 +232,7 @@ class SpatialDataset:
         write_zarr_store(
             self, path, raster_meta=raster_meta, compressor=compressor, zarr_format=zarr_format
         )
+        self.path = path
 
     @staticmethod
     def read_zarr(spark: SparkSession, path: str, selection: tuple[str, ...] | None = None, on_bad_files: str = "error") -> "SpatialDataset":
@@ -237,7 +240,9 @@ class SpatialDataset:
         _io/io_zarr.py:125-235 semantics)."""
         from spatialdata_spark.sources.zarrio import read_zarr_store
 
-        return read_zarr_store(spark, path, selection=selection, on_bad_files=on_bad_files)
+        ds = read_zarr_store(spark, path, selection=selection, on_bad_files=on_bad_files)
+        ds.path = path
+        return ds
 
     def write(self, path: str, mode: str = "overwrite", zorder_points: bool = False) -> None:
         """Store layout mirrors the reference zarr hierarchy with parquet
@@ -278,9 +283,11 @@ class SpatialDataset:
             meta["transforms"][name] = transforms_to_manifest(cs_map)
         for name, tm in self.table_meta.items():
             meta["tables"][name] = {"region": tm.region, "region_key": tm.region_key, "instance_key": tm.instance_key}
+        meta["attrs"] = self.attrs
         os.makedirs(path, exist_ok=True)
         with open(os.path.join(path, "spatialdataset.json"), "w") as f:
             json.dump(meta, f, indent=2)
+        self.path = path
 
     def write_element_spatially_partitioned(
         self, path: str, name: str, cell_size: float, axes: tuple[str, ...] = ("x", "y")
@@ -423,4 +430,222 @@ class SpatialDataset:
         for name, tm in meta.get("tables", {}).items():
             if name in ds.elements["tables"]:
                 ds.table_meta[name] = TableMeta(**tm)
+        ds.attrs.update(meta.get("attrs", {}))
+        ds.path = path
         return ds
+
+    # -- reference class-surface parity (methods a scverse user calls on
+    # -- the SpatialData object; reference _core/spatialdata.py) --------
+
+    @classmethod
+    def init_from_elements(cls, elements: dict, tables: dict | None = None, spark=None) -> "SpatialDataset":
+        """Build a dataset from {name: (kind, df)} (+ optional tables)
+        — reference ``init_from_elements`` (:61 companion)."""
+        ds = cls(spark)
+        for name, (kind, df) in elements.items():
+            ds._add(kind, name, df)
+        for name, df in (tables or {}).items():
+            ds.add_table(name, df)
+        return ds
+
+    def get(self, name: str, default=None):
+        """Dict-style lookup across all namespaces (reference ``get``)."""
+        try:
+            return self[name]
+        except KeyError:
+            return default
+
+    def gen_elements(self):
+        """Yield ``(kind, name, df)`` for every element incl. tables."""
+        for kind in ELEMENT_KINDS:
+            for name, df in self.elements[kind].items():
+                yield kind, name, df
+
+    def gen_spatial_elements(self):
+        """Yield ``(kind, name, df)`` for spatial (non-table) elements."""
+        for kind, name, df in self.gen_elements():
+            if kind != "tables":
+                yield kind, name, df
+
+    def locate_element(self, name: str) -> list[str]:
+        """Store-relative path(s) of an element (reference
+        ``locate_element``)."""
+        kind = self.kind_of(name)
+        return [f"{kind}/{name}"]
+
+    # --- table annotation metadata ------------------------------------
+    def get_annotated_regions(self, table_name: str) -> list[str]:
+        return list(self.table_meta[table_name].region)
+
+    def get_region_key_column(self, table_name: str) -> DataFrame:
+        tm = self.table_meta[table_name]
+        return self.elements["tables"][table_name].select(tm.region_key)
+
+    def get_instance_key_column(self, table_name: str) -> DataFrame:
+        tm = self.table_meta[table_name]
+        return self.elements["tables"][table_name].select(tm.instance_key)
+
+    def set_table_annotates_spatialelement(
+        self, table_name: str, region, region_key: str | None = None, instance_key: str | None = None
+    ) -> None:
+        """Re-point a table's annotation target (reference same name)."""
+        old = self.table_meta[table_name]
+        regions = [region] if isinstance(region, str) else list(region)
+        for r in regions:
+            if not any(r in self.elements[k] for k in ELEMENT_KINDS if k != "tables"):
+                raise ValueError(f"annotation target {r!r} is not an element")
+        self.table_meta[table_name] = TableMeta(
+            region=regions,
+            region_key=region_key or old.region_key,
+            instance_key=instance_key or old.instance_key,
+        )
+
+    def update_annotated_regions_metadata(self, table_name: str) -> None:
+        """Sync declared regions with the distinct region-column values
+        (reference same name)."""
+        tm = self.table_meta[table_name]
+        seen = [r[0] for r in self.elements["tables"][table_name].select(tm.region_key).distinct().collect()]
+        self.table_meta[table_name] = TableMeta(sorted(seen), tm.region_key, tm.instance_key)
+
+    def validate_table_in_spatialdata(self, table_name: str) -> None:
+        """Reference ``validate_table_in_spatialdata``: every annotated
+        region must exist as an element."""
+        for r in self.get_annotated_regions(table_name):
+            if not any(r in self.elements[k] for k in ELEMENT_KINDS if k != "tables"):
+                raise ValueError(f"table {table_name!r} annotates missing element {r!r}")
+
+    def filter_by_table_query(self, table_name: str, predicate: str) -> "SpatialDataset":
+        from spatialdata_spark.operators.relational import filter_by_table_predicate
+
+        return filter_by_table_predicate(self, table_name, predicate)
+
+    def aggregate(self, values: str, by: str, **kw) -> DataFrame:
+        from spatialdata_spark.api import aggregate as _agg
+
+        return _agg(self[values], self[by], **kw)
+
+    # --- coordinate systems -------------------------------------------
+    def rename_coordinate_systems(self, rename: dict[str, str]) -> None:
+        """Reference ``rename_coordinate_systems``: target names must
+        not collide with surviving systems."""
+        survivors = {cs for m in self.transforms.values() for cs in m if cs not in rename}
+        clash = [v for v in rename.values() if v in survivors]
+        if clash:
+            raise ValueError(f"renamed coordinate system(s) collide: {clash}")
+        for cs_map in self.transforms.values():
+            for old, new in rename.items():
+                if old in cs_map:
+                    cs_map[new] = cs_map.pop(old)
+
+    def transform_element_to_coordinate_system(self, element: str, cs: str) -> DataFrame:
+        from spatialdata_spark.operators.transform import transform_to_coordinate_system
+
+        return transform_to_coordinate_system(self, element, cs)
+
+    def transform_to_coordinate_system(self, cs: str) -> "SpatialDataset":
+        from spatialdata_spark.operators.transform import transform_to_coordinate_system
+
+        out = SpatialDataset(self.spark)
+        for kind, name, df in self.gen_spatial_elements():
+            out.elements[kind][name] = transform_to_coordinate_system(self, name, cs)
+            out.transforms[name] = {cs: Identity()}
+        out.elements["tables"] = dict(self.elements["tables"])
+        out.table_meta = dict(self.table_meta)
+        out.attrs = dict(self.attrs)
+        return out
+
+    # --- channel names -------------------------------------------------
+    def set_channel_names(self, element: str, names) -> None:
+        """Channel names for an image element, kept in container attrs
+        (rasters travel as tile frames; names are catalog metadata)."""
+        if element not in self.elements["images"]:
+            raise KeyError(f"no image element {element!r}")
+        self.attrs.setdefault("channel_names", {})[element] = list(names)
+
+    def get_channel_names(self, element: str) -> list:
+        return list(self.attrs.get("channel_names", {}).get(element, []))
+
+    def write_channel_names(self, path: str | None = None) -> None:
+        """Persist channel names without rewriting data (reference
+        ``write_channel_names``)."""
+        self.write_attrs(path)
+
+    # --- backing / self-containment -----------------------------------
+    @property
+    def is_backed(self) -> bool:
+        return self.path is not None
+
+    def elements_paths_in_memory(self) -> list[str]:
+        return [f"{kind}/{name}" for kind, name, _ in self.gen_elements()]
+
+    def elements_paths_on_disk(self, path: str | None = None) -> list[str]:
+        p = path or self.path
+        if p is None:
+            return []
+        with open(os.path.join(p, "spatialdataset.json")) as f:
+            meta = json.load(f)
+        return [f"{e['kind']}/{e['name']}" for e in meta.get("elements", [])]
+
+    def elements_are_self_contained(self) -> dict[str, bool]:
+        """Per element: do all its backing files live under the store
+        path? (reference ``elements_are_self_contained``; Spark exposes
+        the scan's files via ``DataFrame.inputFiles``)."""
+        out = {}
+        root = os.path.abspath(self.path) if self.path else None
+        for kind, name, df in self.gen_elements():
+            files = df.inputFiles()
+            if not files or root is None:
+                out[name] = not files
+            else:
+                out[name] = all(os.path.abspath(f.replace("file:", "")).startswith(root) for f in files)
+        return out
+
+    def is_self_contained(self) -> bool:
+        return all(self.elements_are_self_contained().values())
+
+    # --- incremental metadata writes ----------------------------------
+    def write_transformations(self, path: str | None = None) -> None:
+        """Persist the transformation catalog without rewriting data
+        (reference ``write_transformations``)."""
+        self._write_meta_only(path)
+
+    def write_metadata(self, path: str | None = None) -> None:
+        self._write_meta_only(path)
+
+    def write_attrs(self, path: str | None = None) -> None:
+        self._write_meta_only(path)
+
+    def _write_meta_only(self, path: str | None = None) -> None:
+        p = path or self.path
+        if p is None:
+            raise ValueError("dataset is not backed; pass a path")
+        self._rewrite_metadata(p)
+        meta_path = os.path.join(p, "spatialdataset.json")
+        with open(meta_path) as f:
+            meta = json.load(f)
+        meta["attrs"] = self.attrs
+        with open(meta_path, "w") as f:
+            json.dump(meta, f, indent=2)
+
+    def write_consolidated_metadata(self, path: str | None = None) -> None:
+        """Consolidate zarr-store metadata (``.zmetadata``) for a
+        zarr-backed dataset (reference ``write_consolidated_metadata``)."""
+        from spatialdata_spark.sources.zarrio import consolidate_metadata
+
+        p = path or self.path
+        if p is None:
+            raise ValueError("dataset is not backed; pass a path")
+        consolidate_metadata(p)
+
+    def has_consolidated_metadata(self, path: str | None = None) -> bool:
+        p = path or self.path
+        return bool(p) and os.path.exists(os.path.join(p, ".zmetadata"))
+
+    def get_attrs(self, key: str | None = None, return_as: str | None = None):
+        """Filtered attrs access (reference ``get_attrs``,
+        :2391-2406): optionally select one key; ``return_as='json'``
+        serializes."""
+        val = self.attrs if key is None else self.attrs.get(key)
+        if return_as == "json":
+            return json.dumps(val)
+        return val

@@ -299,3 +299,82 @@ def test_streaming_topk_rate_appends_closed_windows(spark, tmp_path):
     rows = spark.sql("SELECT * FROM events_rates").collect()
     got = {(r["window_start"].strftime("%H:%M"), r["event_type"]): (r["n"], r["mean_value"]) for r in rows}
     assert got[("10:00", "click")] == (2, 3.0)  # closed and emitted exactly once
+
+
+def test_class_surface_parity_methods(spark, tmp_path):
+    """The reference SpatialData class methods a porting user calls:
+    annotation metadata, CS renames, backing/self-containment,
+    incremental metadata writes, attrs access."""
+    import pandas as pd
+    import pytest as _pytest
+
+    import spatialdata_spark as S
+
+    pts = spark.createDataFrame(pd.DataFrame({"x": [1.0, 5.0], "y": [2.0, 6.0], "instance_id": [1, 2]}))
+    tab = spark.createDataFrame(pd.DataFrame({"instance_id": [1, 2], "region": ["pts", "pts"], "v": [3.0, 4.0]}))
+    ds = S.SpatialData.init_from_elements({"pts": ("points", pts)}, tables={"tab": tab}, spark=spark)
+    ds.set_table_annotates_spatialelement("tab", "pts")
+    assert ds.get_annotated_regions("tab") == ["pts"]
+    assert [r[0] for r in ds.get_region_key_column("tab").collect()] == ["pts", "pts"]
+    assert [r[0] for r in ds.get_instance_key_column("tab").collect()] == [1, 2]
+    ds.validate_table_in_spatialdata("tab")
+    with _pytest.raises(ValueError):
+        ds.set_table_annotates_spatialelement("tab", "nope")
+    ds.update_annotated_regions_metadata("tab")
+    assert ds.get_annotated_regions("tab") == ["pts"]
+
+    assert ds.get("pts") is pts and ds.get("missing") is None
+    assert ds.locate_element("pts") == ["points/pts"]
+    assert ds.elements_paths_in_memory() == ["points/pts", "tables/tab"]
+    assert [k for k, _, _ in ds.gen_spatial_elements()] == ["points"]
+
+    # coordinate-system rename + collision guard
+    ds.set_transformation("pts", "micron", S.Scale([2.0, 2.0], ("x", "y")))
+    ds.rename_coordinate_systems({"micron": "um"})
+    assert "um" in ds.transforms["pts"] and "micron" not in ds.transforms["pts"]
+    with _pytest.raises(ValueError):
+        ds.rename_coordinate_systems({"um": "global"})
+
+    # element-level + container-level CS transform
+    moved = ds.transform_element_to_coordinate_system("pts", "um")
+    assert moved.select("x").orderBy("x").first()["x"] == 2.0
+    all_moved = ds.transform_to_coordinate_system("um")
+    assert all_moved.get_transformation("pts", "um").to_affine_matrix(("x", "y"), ("x", "y"))[0, 0] == 1.0
+
+    # backing, self-containment, attrs round trip
+    assert not ds.is_backed
+    store = str(tmp_path / "store")
+    ds.attrs["pipeline"] = {"stage": "test"}
+    ds.write(store)
+    assert ds.is_backed and ds.path == store
+    assert ds.elements_paths_on_disk() == ["points/pts", "tables/tab"]
+    back = S.SpatialData.read(spark, store)
+    assert back.is_backed
+    assert back.get_attrs("pipeline") == {"stage": "test"}
+    assert back.get_attrs("pipeline", return_as="json") == '{"stage": "test"}'
+    contained = back.elements_are_self_contained()
+    assert contained == {"pts": True, "tab": True}
+    assert back.is_self_contained()
+
+    # metadata-only rewrite picks up new attrs without data rewrite
+    back.attrs["extra"] = 1
+    back.write_metadata()
+    again = S.SpatialData.read(spark, store)
+    assert again.get_attrs("extra") == 1
+
+
+def test_channel_names_on_container(spark):
+    import pandas as pd
+
+    import spatialdata_spark as S
+
+    img = spark.createDataFrame(
+        pd.DataFrame({"c": [0, 1], "y": [0, 0], "x": [0, 0], "value": [1.0, 2.0]})
+    )
+    ds = S.SpatialData(spark).add_images("img", img)
+    ds.set_channel_names("img", ["dapi", "gfp"])
+    assert ds.get_channel_names("img") == ["dapi", "gfp"]
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        ds.set_channel_names("nope", ["x"])

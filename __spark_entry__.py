@@ -3529,6 +3529,59 @@ SELECT
 """
 
 
+def pl_pack_blocks(spark, sf_dir):
+    """GPT-style concat-then-chunk sequence packing: per-lang stream
+    cumsum of token counts -> fixed 2048-token block ids + boundary
+    flags."""
+    from spatialdata_spark.pipeline.filters import pack_blocks
+
+    return pack_blocks(_read(spark, sf_dir, "documents"), block_tokens=2048)
+
+
+PL_PACK_BLOCKS_SQL = r"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+              ELSE LEN(string_split_regex(LOWER(TRIM(text)), '\s+')) END AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, lang, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS token_start
+  FROM t
+)
+SELECT doc_id, lang, n_tokens, token_start,
+       CAST(FLOOR(token_start / 2048.0) AS BIGINT) AS block_id,
+       FLOOR((token_start + GREATEST(n_tokens - 1, 0)) / 2048.0) <> FLOOR(token_start / 2048.0) AS spans_boundary
+FROM c
+"""
+
+
+def pl_corpus_stats(spark, sf_dir):
+    """Per-(source, lang) corpus report card: doc counts, distinct-text
+    counts, mean chars/tokens — one grouped aggregate."""
+    from spatialdata_spark.pipeline.filters import corpus_stats
+
+    out = corpus_stats(_read(spark, sf_dir, "documents"))
+    return out.select(
+        "source", "lang", "n_docs", "n_distinct",
+        F.round("mean_chars", 6).alias("mean_chars"),
+        F.round("mean_tokens", 6).alias("mean_tokens"),
+    )
+
+
+PL_CORPUS_STATS_SQL = r"""
+SELECT source, lang, COUNT(*) AS n_docs,
+       COUNT(DISTINCT md5(text)) AS n_distinct,
+       ROUND(AVG(LENGTH(text)), 6) AS mean_chars,
+       ROUND(AVG(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                 ELSE LEN(string_split_regex(LOWER(TRIM(text)), '\s+')) END), 6) AS mean_tokens
+FROM documents
+GROUP BY source, lang
+"""
+
+
 def st_moving_avg(spark, sf_dir):
     """Per-user moving average over the last 4 events (rows frame) —
     ordered window aggregation."""
@@ -3798,6 +3851,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pl_dedup_cross": pl_dedup_cross,
         "pl_vocab_topk": pl_vocab_topk,
         "pl_ann_recall": pl_ann_recall,
+        "pl_pack_blocks": pl_pack_blocks,
+        "pl_corpus_stats": pl_corpus_stats,
         "q02_min_cost_supplier": q02_min_cost_supplier,
         "q09_product_profit": q09_product_profit,
         "q11_important_stock": q11_important_stock,
@@ -3971,6 +4026,8 @@ def oracle_sql() -> dict[str, str]:
         "pl_dedup_cross": PL_DEDUP_CROSS_SQL,
         "pl_vocab_topk": PL_VOCAB_TOPK_SQL,
         "pl_ann_recall": PL_ANN_RECALL_SQL,
+        "pl_pack_blocks": PL_PACK_BLOCKS_SQL,
+        "pl_corpus_stats": PL_CORPUS_STATS_SQL,
         "q02_min_cost_supplier": Q02_SQL,
         "q09_product_profit": Q09_SQL,
         "q11_important_stock": Q11_SQL,

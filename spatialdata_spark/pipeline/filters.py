@@ -145,3 +145,64 @@ def decontaminate(
         "n_grams",
         (F.col("n_shared") / F.col("n_grams")).alias("contaminated_frac"),
     )
+
+
+def pack_blocks(
+    docs: DataFrame,
+    block_tokens: int = 2048,
+    stream_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """GPT-style concat-then-chunk sequence packing: documents in each
+    stream concatenate in ``id`` order and split into fixed
+    ``block_tokens`` windows.  Emits each document's token offset, its
+    block id, and whether it spans a block boundary.
+
+    One window cumsum per stream — the partition key is the stream, so
+    a corpus shards across streams; within a stream the running sum is
+    the same scan a packing dataloader does.  (For single-stream
+    corpora at extreme scale, range-partitioned prefix sums are the
+    standard follow-up; streams are the natural shard here.)
+    """
+    from pyspark.sql.window import Window
+
+    toks = word_tokens(text_col)
+    n_tok = F.when(F.length(F.trim(F.col(text_col))) == 0, 0).otherwise(F.size(toks))
+    w = Window.partitionBy(stream_col).orderBy(id_col)
+    out = docs.select(F.col(id_col), F.col(stream_col), n_tok.alias("n_tokens"))
+    out = out.withColumn("token_start", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    blk = F.floor(F.col("token_start") / block_tokens)
+    end_blk = F.floor((F.col("token_start") + F.greatest(F.col("n_tokens") - 1, F.lit(0))) / block_tokens)
+    return out.select(
+        id_col,
+        stream_col,
+        "n_tokens",
+        "token_start",
+        blk.cast("long").alias("block_id"),
+        (end_blk != blk).alias("spans_boundary"),
+    )
+
+
+def corpus_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-(source, lang) corpus report card: doc count, distinct-text
+    count (exact-dup signal), mean length and mean token count — the
+    summary a data-curation dashboard reads.  One grouped aggregate
+    with map-side combine; everything else is expressions."""
+    t = F.col(text_col)
+    toks = word_tokens(text_col)
+    n_tok = F.when(F.length(F.trim(t)) == 0, 0).otherwise(F.size(toks))
+    return (
+        docs.groupBy(source_col, lang_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct(F.md5(t)).alias("n_distinct"),
+            F.avg(F.length(t)).alias("mean_chars"),
+            F.avg(n_tok).alias("mean_tokens"),
+        )
+    )

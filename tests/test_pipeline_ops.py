@@ -557,3 +557,38 @@ def test_lsh_arrow_matches_expression_buckets(spark):
     a = {r["vec_id"]: r["bucket"] for r in random_hyperplane_buckets(emb).collect()}
     b = {r["vec_id"]: r["bucket"] for r in random_hyperplane_buckets_arrow(emb).collect()}
     assert a == b
+
+
+def test_pack_blocks(spark):
+    from spatialdata_spark.pipeline.filters import pack_blocks
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "a b c"),        # 3 tokens, start 0, block 0
+            (2, "en", "d e f g"),      # start 3, crosses the 4-token boundary
+            (3, "en", "h"),            # start 7, block 1
+            (10, "de", "x y"),         # separate stream restarts at 0
+        ],
+        ["doc_id", "lang", "text"],
+    )
+    out = {r["doc_id"]: r for r in pack_blocks(docs, block_tokens=4).collect()}
+    assert (out[1]["token_start"], out[1]["block_id"], out[1]["spans_boundary"]) == (0, 0, False)
+    assert (out[2]["token_start"], out[2]["block_id"], out[2]["spans_boundary"]) == (3, 0, True)
+    assert (out[3]["token_start"], out[3]["block_id"], out[3]["spans_boundary"]) == (7, 1, False)
+    assert (out[10]["token_start"], out[10]["block_id"]) == (0, 0)
+
+
+def test_corpus_stats(spark):
+    from spatialdata_spark.pipeline.filters import corpus_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "s0", "en", "one two"),
+            (2, "s0", "en", "one two"),   # exact dup
+            (3, "s0", "en", "three"),
+        ],
+        ["doc_id", "source", "lang", "text"],
+    )
+    r = corpus_stats(docs).first()
+    assert (r["n_docs"], r["n_distinct"]) == (3, 2)
+    assert abs(r["mean_tokens"] - 5 / 3) < 1e-12

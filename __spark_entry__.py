@@ -2536,6 +2536,30 @@ GROUP BY labels.label, img.c
 """
 
 
+def rt_zonal_quantiles(spark, sf_dir):
+    """Per-label per-channel exact quantiles (q25/q50/q75) of image
+    values — order-statistics zonal aggregation; Spark ``percentile``
+    matches SQL ``quantile_cont`` on DOUBLE."""
+    from spatialdata_spark.operators.raster import zonal_quantiles_long
+
+    img_long = _img_long(spark, sf_dir)
+    labels_long = img_long.select("y", "x", ((F.col("y") * 7 + F.col("x")) % 10 + 1).alias("value"))
+    return zonal_quantiles_long(img_long, labels_long)
+
+
+RT_ZONAL_QUANTILES_SQL = f"""
+WITH img AS ({IMG_SQL}), labels AS (
+  SELECT y, x, (y*7 + x) % 10 + 1 AS label FROM img
+)
+SELECT labels.label, img.c,
+       quantile_cont(CAST(img.value AS DOUBLE), 0.25) AS q25,
+       quantile_cont(CAST(img.value AS DOUBLE), 0.5) AS q50,
+       quantile_cont(CAST(img.value AS DOUBLE), 0.75) AS q75
+FROM img JOIN labels ON img.y = labels.y AND img.x = labels.x
+GROUP BY labels.label, img.c
+"""
+
+
 def rt_unpad_extent(spark, sf_dir):
     from spatialdata_spark.operators.raster import unpad_raster
 
@@ -3853,6 +3877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pl_ann_recall": pl_ann_recall,
         "pl_pack_blocks": pl_pack_blocks,
         "pl_corpus_stats": pl_corpus_stats,
+        "rt_zonal_quantiles": rt_zonal_quantiles,
         "q02_min_cost_supplier": q02_min_cost_supplier,
         "q09_product_profit": q09_product_profit,
         "q11_important_stock": q11_important_stock,
@@ -4028,6 +4053,7 @@ def oracle_sql() -> dict[str, str]:
         "pl_ann_recall": PL_ANN_RECALL_SQL,
         "pl_pack_blocks": PL_PACK_BLOCKS_SQL,
         "pl_corpus_stats": PL_CORPUS_STATS_SQL,
+        "rt_zonal_quantiles": RT_ZONAL_QUANTILES_SQL,
         "q02_min_cost_supplier": Q02_SQL,
         "q09_product_profit": Q09_SQL,
         "q11_important_stock": Q11_SQL,

@@ -894,3 +894,31 @@ def map_tiles_3d(tiles: DataFrame, fn, meta: RasterMeta, out_dtype: str | None =
             yield pdf
 
     return tiles.mapInPandas(_apply, TILE3D_SCHEMA)
+
+
+def zonal_quantiles_long(
+    img_long: DataFrame,
+    labels_long: DataFrame,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75),
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-label per-channel exact quantiles of image values — the
+    order-statistics extension of ``zonal_stats_tiles`` (reference
+    aggregate supports sum/mean/count via xrspatial; quantiles are the
+    natural next stat a zonal consumer asks for).
+
+    Exact linear-interpolated ``percentile`` (matches SQL
+    ``quantile_cont`` semantics on DOUBLE).  The join is a pixel-key
+    equi-join of two long forms co-keyed on (y, x) — co-partitioned by
+    the same key, so on a cluster the shuffle is one exchange per side;
+    the grouped percentile needs each label's values together, the
+    inherent cost of an exact order statistic (use approx_percentile
+    for sketch-sized state when exactness isn't required).
+    """
+    lab = labels_long.select("y", "x", F.col("value").alias("label"))
+    joined = img_long.join(lab, ["y", "x"])
+    q_list = ", ".join(str(float(q)) for q in qs)
+    pct = F.expr(f"percentile({value_col}, array({q_list}))")
+    out = joined.groupBy("label", "c").agg(pct.alias("__qs"))
+    cols = [F.col("__qs")[i].alias(f"q{int(q * 100)}") for i, q in enumerate(qs)]
+    return out.select("label", "c", *cols)

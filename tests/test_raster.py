@@ -277,3 +277,21 @@ def test_image_tiles_dataset(spark, dense):
         sub = dense[max(0, y0) : y0 + 8, max(0, x0) : x0 + 8]
         exp[: sub.shape[0], : sub.shape[1]] = sub
         np.testing.assert_allclose(got[rid], exp * 2.0)
+
+
+def test_zonal_quantiles_long(spark):
+    from spatialdata_spark.operators.raster import zonal_quantiles_long
+
+    img = spark.createDataFrame(
+        [(0, 0, 0, 1.0), (0, 0, 1, 2.0), (0, 1, 0, 10.0), (0, 1, 1, 11.0)],
+        ["c", "y", "x", "value"],
+    )
+    labels = spark.createDataFrame(
+        [(0, 0, 5), (0, 1, 5), (1, 0, 5), (1, 1, 5)], ["y", "x", "value"]
+    )
+    r = zonal_quantiles_long(img, labels).first()
+    # values {1,2,10,11}: q25=1.75, q50=6.0, q75=10.25 (linear interp)
+    assert (r["label"], r["c"]) == (5, 0)
+    assert abs(r["q25"] - 1.75) < 1e-12
+    assert abs(r["q50"] - 6.0) < 1e-12
+    assert abs(r["q75"] - 10.25) < 1e-12

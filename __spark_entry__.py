@@ -3780,6 +3780,81 @@ FROM expanded GROUP BY 1, 2
 """
 
 
+def st_funnel(spark, sf_dir):
+    """Three-step event funnel (view -> click -> purchase, strictly
+    ordered per user): per-stage user counts.  Each stage is a per-user
+    conditional-min aggregate broadcast into the next stage's filter —
+    stage tables are user-dimension-sized, far below the event volume
+    (at extreme user counts drop the hint and let AQE pick)."""
+    ev = _read(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("t1"))
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(F.broadcast(v), "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    rows = [
+        v.agg(F.lit(1).alias("stage"), F.count(F.lit(1)).alias("n_users")),
+        c.agg(F.lit(2).alias("stage"), F.count(F.lit(1)).alias("n_users")),
+        p.agg(F.lit(3).alias("stage"), F.count(F.lit(1)).alias("n_users")),
+    ]
+    out = rows[0].unionByName(rows[1]).unionByName(rows[2])
+    return out
+
+
+ST_FUNNEL_SQL = """
+WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id
+)
+SELECT 1 AS stage, (SELECT COUNT(*) FROM v) AS n_users
+UNION ALL SELECT 2, (SELECT COUNT(*) FROM c)
+UNION ALL SELECT 3, (SELECT COUNT(*) FROM p)
+"""
+
+
+def st_retention(spark, sf_dir):
+    """Cohort retention: users grouped by first-seen day; distinct
+    active users per (cohort_day, day_offset) for the first week.
+    The cohort map is a per-user aggregate broadcast into the event
+    scan — the standard retention-triangle query."""
+    ev = _read(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(F.to_date(F.min("ts")).alias("cohort_day"))
+    joined = ev.join(F.broadcast(first), "user_id").withColumn(
+        "day_offset", F.datediff(F.to_date("ts"), F.col("cohort_day"))
+    )
+    return (
+        joined.filter(F.col("day_offset").between(0, 7))
+        .groupBy(F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"), "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+ST_RETENTION_SQL = """
+WITH first AS (SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_day FROM events GROUP BY user_id)
+SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+       date_diff('day', cohort_day, CAST(ts AS DATE)) AS day_offset,
+       COUNT(DISTINCT e.user_id) AS n_users
+FROM events e JOIN first f ON e.user_id = f.user_id
+WHERE date_diff('day', cohort_day, CAST(ts AS DATE)) BETWEEN 0 AND 7
+GROUP BY strftime(cohort_day, '%Y-%m-%d'), date_diff('day', cohort_day, CAST(ts AS DATE))
+"""
+
+
 def st_topk_per_user(spark, sf_dir):
     from pyspark.sql.window import Window
 
@@ -3878,6 +3953,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pl_pack_blocks": pl_pack_blocks,
         "pl_corpus_stats": pl_corpus_stats,
         "rt_zonal_quantiles": rt_zonal_quantiles,
+        "st_funnel": st_funnel,
+        "st_retention": st_retention,
         "q02_min_cost_supplier": q02_min_cost_supplier,
         "q09_product_profit": q09_product_profit,
         "q11_important_stock": q11_important_stock,
@@ -4054,6 +4131,8 @@ def oracle_sql() -> dict[str, str]:
         "pl_pack_blocks": PL_PACK_BLOCKS_SQL,
         "pl_corpus_stats": PL_CORPUS_STATS_SQL,
         "rt_zonal_quantiles": RT_ZONAL_QUANTILES_SQL,
+        "st_funnel": ST_FUNNEL_SQL,
+        "st_retention": ST_RETENTION_SQL,
         "q02_min_cost_supplier": Q02_SQL,
         "q09_product_profit": Q09_SQL,
         "q11_important_stock": Q11_SQL,

@@ -592,3 +592,40 @@ def test_corpus_stats(spark):
     r = corpus_stats(docs).first()
     assert (r["n_docs"], r["n_distinct"]) == (3, 2)
     assert abs(r["mean_tokens"] - 5 / 3) < 1e-12
+
+
+def test_multiprobe_improves_recall_over_single_probe(spark):
+    from spatialdata_spark.pipeline.similarity import (
+        cosine_self_join_topk,
+        lsh_bucketed_topk,
+        multiprobe_hyperplane_buckets,
+        multiprobe_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_self_join_topk(emb, k=1).collect()
+    }
+
+    def recall(df):
+        got = {(r["id_a"], r["id_b"]) for r in df.collect()}
+        return len(got & truth) / len(truth)
+
+    r1 = recall(lsh_bucketed_topk(emb, k=1, num_planes=4))
+    r2 = recall(multiprobe_topk(emb, k=1, num_planes=4, n_probes=3))
+    assert r2 >= r1  # extra probes can only widen the candidate set
+    assert r2 > 0.5  # measured: 0.15 single -> 0.64 multi on this fixture
+
+    # home bucket of probe 0 must equal the single-probe assignment
+    from spatialdata_spark.pipeline.similarity import random_hyperplane_buckets_arrow
+
+    home = {r["vec_id"]: r["bucket"] for r in random_hyperplane_buckets_arrow(emb).collect()}
+    mp = {
+        r["vec_id"]: r["bucket"]
+        for r in multiprobe_hyperplane_buckets(emb, n_probes=2).filter("probe = 0").collect()
+    }
+    assert mp == home
+    rows_per_vec = multiprobe_hyperplane_buckets(emb, n_probes=3).count()
+    assert rows_per_vec == 3 * n

@@ -3855,6 +3855,42 @@ GROUP BY strftime(cohort_day, '%Y-%m-%d'), date_diff('day', cohort_day, CAST(ts 
 """
 
 
+def st_anomaly(spark, sf_dir):
+    """Hourly per-type event-rate anomalies: hours whose event count
+    deviates >2 sample-stddevs from that type's hourly mean.  Counts
+    are integers (exact in double), the z-score is rounded so the flag
+    is representation-stable across engines."""
+    from pyspark.sql.window import Window
+
+    ev = _read(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type")
+    scored = hourly.select(
+        "event_type",
+        F.date_format("h", "yyyy-MM-dd HH:00").alias("hour"),
+        "n",
+        F.round((F.col("n") - F.avg("n").over(w)) / F.stddev_samp("n").over(w), 6).alias("z"),
+    )
+    return scored.filter(F.abs(F.col("z")) > 2.0)
+
+
+ST_ANOMALY_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+),
+scored AS (
+  SELECT event_type, strftime(h, '%Y-%m-%d %H:00') AS hour, n,
+         ROUND((n - AVG(n) OVER (PARTITION BY event_type))
+               / stddev_samp(n) OVER (PARTITION BY event_type), 6) AS z
+  FROM hourly
+)
+SELECT event_type, hour, n, z FROM scored WHERE ABS(z) > 2.0
+"""
+
+
 def st_topk_per_user(spark, sf_dir):
     from pyspark.sql.window import Window
 
@@ -3955,6 +3991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_zonal_quantiles": rt_zonal_quantiles,
         "st_funnel": st_funnel,
         "st_retention": st_retention,
+        "st_anomaly": st_anomaly,
         "q02_min_cost_supplier": q02_min_cost_supplier,
         "q09_product_profit": q09_product_profit,
         "q11_important_stock": q11_important_stock,
@@ -4133,6 +4170,7 @@ def oracle_sql() -> dict[str, str]:
         "rt_zonal_quantiles": RT_ZONAL_QUANTILES_SQL,
         "st_funnel": ST_FUNNEL_SQL,
         "st_retention": ST_RETENTION_SQL,
+        "st_anomaly": ST_ANOMALY_SQL,
         "q02_min_cost_supplier": Q02_SQL,
         "q09_product_profit": Q09_SQL,
         "q11_important_stock": Q11_SQL,

@@ -293,3 +293,30 @@ def streaming_topk_rate(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def approx_distinct_daily(events: DataFrame, rsd: float = 0.02) -> DataFrame:
+    """Daily unique users via the HyperLogLog++ sketch
+    (``approx_count_distinct``): fixed-size state per day regardless of
+    cardinality — the sketch path for dashboards where the exact
+    distinct's full shuffle of user ids isn't worth it.  ``rsd`` is the
+    target relative standard deviation (Spark sizes the sketch from
+    it).  Pair with the exact `st_distinct_users_daily` when
+    correctness gates the number."""
+    return (
+        events.groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
+        .agg(F.approx_count_distinct("user_id", rsd).alias("approx_users"))
+    )
+
+
+def approx_value_quantiles(events: DataFrame, probs=(0.5, 0.9, 0.99), accuracy: int = 10000) -> DataFrame:
+    """Per-event-type value quantiles via the Greenwald-Khanna sketch
+    (``percentile_approx``): mergeable bounded-size state, the
+    streaming-compatible alternative to the exact sort-based
+    ``percentile``.  ``accuracy`` trades state size for rank error
+    (err <= 1/accuracy)."""
+    p_list = ", ".join(str(float(p)) for p in probs)
+    agg = F.expr(f"percentile_approx(value, array({p_list}), {int(accuracy)})")
+    out = events.groupBy("event_type").agg(agg.alias("__qs"))
+    cols = [F.col("__qs")[i].alias(f"p{int(p * 100)}") for i, p in enumerate(probs)]
+    return out.select("event_type", *cols)

@@ -378,3 +378,36 @@ def test_channel_names_on_container(spark):
 
     with _pytest.raises(KeyError):
         ds.set_channel_names("nope", ["x"])
+
+
+def test_sketch_operators_error_bounds(spark):
+    """HLL++ distinct and GK quantile sketches must land within their
+    configured error of the exact answers on the real events table."""
+    from pyspark.sql import functions as F
+
+    from spatialdata_spark.streaming.windows import (
+        approx_distinct_daily,
+        approx_value_quantiles,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    exact = {
+        r["day"]: r["n"]
+        for r in ev.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+        ).agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    approx = {r["day"]: r["approx_users"] for r in approx_distinct_daily(ev, rsd=0.02).collect()}
+    assert set(approx) == set(exact)
+    for day, n in exact.items():
+        assert abs(approx[day] - n) <= max(3, 0.1 * n)  # 5 sigma of rsd=2%
+
+    exact_q = {
+        r["event_type"]: r["m"]
+        for r in ev.groupBy("event_type").agg(F.expr("percentile(value, 0.5)").alias("m")).collect()
+    }
+    approx_q = {r["event_type"]: r["p50"] for r in approx_value_quantiles(ev).collect()}
+    spread = ev.agg(F.max("value") - F.min("value")).first()[0]
+    for et, m in exact_q.items():
+        # GK guarantees rank error; translate loosely to value space
+        assert abs(approx_q[et] - m) <= 0.05 * spread

@@ -3206,6 +3206,46 @@ def _media(spark, sf_dir):
     )
 
 
+def pl_audio_energy(spark, sf_dir):
+    """Real RIFF/PCM16 WAV parse end-to-end: constant-amplitude WAVs
+    are synthesized per document, decoded by ``codecs.decode_wav``, and
+    framed into 25 ms windows — a constant signal's RMS equals its
+    amplitude exactly and its zero-crossing rate is 0, giving a
+    closed-form oracle."""
+    import pandas as pd
+
+    from spatialdata_spark.pipeline.codecs import encode_wav
+    from spatialdata_spark.pipeline.multimodal import MEDIA_SCHEMA, audio_features
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") % 5 == 0)
+
+    def _gen(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                amp = int(did) % 100 * 100 + 100
+                samples = np.full(3200, amp, dtype=np.int16)  # 8 x 25ms at 16k
+                rows.append((int(did), "audio", encode_wav(samples, 16000), "audio/wav", None, None, 200))
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    media = docs.mapInPandas(_gen, MEDIA_SCHEMA)
+    out = audio_features(media, frame_ms=25)
+    return out.select(
+        "media_id", "frame", F.col("rms").cast("long").alias("rms_i"), "zcr", "decode_ok"
+    )
+
+
+PL_AUDIO_ENERGY_SQL = """
+SELECT doc_id AS media_id, f.frame AS frame,
+       doc_id % 100 * 100 + 100 AS rms_i,
+       0.0 AS zcr, TRUE AS decode_ok
+FROM documents, (SELECT unnest(range(0, 8)) AS frame) f
+WHERE doc_id % 5 = 0
+"""
+
+
 def pl_resize_images(spark, sf_dir):
     """Real bilinear resize end-to-end: linear-ramp PNG fixtures are
     decoded, resampled 8x8 -> 4x4, re-encoded, decoded *again* by the
@@ -3992,6 +4032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_funnel": st_funnel,
         "st_retention": st_retention,
         "st_anomaly": st_anomaly,
+        "pl_audio_energy": pl_audio_energy,
         "q02_min_cost_supplier": q02_min_cost_supplier,
         "q09_product_profit": q09_product_profit,
         "q11_important_stock": q11_important_stock,
@@ -4171,6 +4212,7 @@ def oracle_sql() -> dict[str, str]:
         "st_funnel": ST_FUNNEL_SQL,
         "st_retention": ST_RETENTION_SQL,
         "st_anomaly": ST_ANOMALY_SQL,
+        "pl_audio_energy": PL_AUDIO_ENERGY_SQL,
         "q02_min_cost_supplier": Q02_SQL,
         "q09_product_profit": Q09_SQL,
         "q11_important_stock": Q11_SQL,

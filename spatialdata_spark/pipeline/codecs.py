@@ -155,3 +155,54 @@ def bilinear_resize(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
         + v10 * fy * (1 - fx)
         + v11 * fy * fx
     )
+
+
+# ---------------------------------------------------------------------------
+# WAV (RIFF PCM) — the audio analog of the PNG codec above: a real,
+# fully-parsed container format implemented on the stdlib only.
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Minimal RIFF/WAVE writer: PCM16, mono or (n, 2) stereo."""
+    import struct
+
+    a = np.asarray(samples)
+    if a.ndim == 1:
+        a = a[:, None]
+    n_ch = a.shape[1]
+    pcm = np.clip(np.round(a), -32768, 32767).astype("<i2").tobytes()
+    byte_rate = sample_rate * n_ch * 2
+    fmt = struct.pack("<HHIIHH", 1, n_ch, sample_rate, byte_rate, n_ch * 2, 16)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt + b"data" + struct.pack("<I", len(pcm)) + pcm
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """Parse a RIFF/WAVE container: PCM16 only; returns
+    ``(sample_rate, samples)`` with samples shaped (n, channels).
+    Walks the chunk list (extra chunks like LIST are skipped), so
+    real-world files with metadata chunks parse too."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, n_ch, sample_rate, _, _, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"unsupported WAV: format={audio_format} bits={bits}")
+    a = np.frombuffer(data, dtype="<i2")
+    return int(sample_rate), a.reshape(-1, n_ch)

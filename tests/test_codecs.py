@@ -90,3 +90,64 @@ def test_bilinear_identity():
     rng = np.random.default_rng(1)
     a = rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
     assert np.array_equal(bilinear_resize(a, 6, 5), a.astype(float))
+
+
+def test_wav_roundtrip_and_chunk_walk():
+    import struct
+
+    import numpy as np
+
+    from spatialdata_spark.pipeline.codecs import decode_wav, encode_wav
+
+    t = np.arange(1600)
+    sine = (10000 * np.sin(2 * np.pi * 440 * t / 16000)).astype(np.int16)
+    payload = encode_wav(sine, 16000)
+    sr, samples = decode_wav(payload)
+    assert sr == 16000 and samples.shape == (1600, 1)
+    np.testing.assert_array_equal(samples[:, 0], sine)
+    # stereo
+    st = np.stack([sine, -sine], axis=1)
+    sr2, s2 = decode_wav(encode_wav(st, 8000))
+    assert sr2 == 8000 and s2.shape == (1600, 2)
+    np.testing.assert_array_equal(s2, st)
+    # extra LIST chunk before data must be skipped
+    head = payload[:12]
+    rest = payload[12:]
+    lst = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    patched = b"RIFF" + struct.pack("<I", len(rest) + len(lst) + 4) + b"WAVE" + lst + rest[0:]
+    sr3, s3 = decode_wav(patched)
+    assert sr3 == 16000
+    np.testing.assert_array_equal(s3[:, 0], sine)
+
+
+def test_audio_features(spark):
+    import numpy as np
+
+    from spatialdata_spark.pipeline.codecs import encode_wav
+    from spatialdata_spark.pipeline.multimodal import MEDIA_SCHEMA, audio_features
+
+    sr = 16000
+    t = np.arange(sr)  # 1 second
+    loud = (20000 * np.sin(2 * np.pi * 100 * t / sr)).astype(np.int16)
+    quiet = (200 * np.sin(2 * np.pi * 100 * t / sr)).astype(np.int16)
+    rows = [
+        (1, "audio", bytes(encode_wav(loud, sr)), "audio/wav", None, None, 1000),
+        (2, "audio", bytes(encode_wav(quiet, sr)), "audio/wav", None, None, 1000),
+        (3, "audio", b"not a wav", "audio/wav", None, None, 0),
+        (4, "image", b"png...", "image/png", 2, 2, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = audio_features(media, frame_ms=25).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], []).append(r)
+    # 1 second / 25 ms = 40 frames for each good file
+    assert len(by_id[1]) == 40 and len(by_id[2]) == 40
+    assert all(r["decode_ok"] for r in by_id[1])
+    # loud file's RMS dominates the quiet one's frame for frame
+    assert all(a["rms"] > 50 * b["rms"] for a, b in zip(by_id[1], by_id[2]))
+    # 100 Hz sine: ~2 zero crossings per 25 ms frame -> zcr ~ 2/400
+    assert all(0 < r["zcr"] < 0.02 for r in by_id[1])
+    # bad payload -> one decode_ok=False row; image rows filtered out
+    assert len(by_id[3]) == 1 and not by_id[3][0]["decode_ok"]
+    assert 4 not in by_id

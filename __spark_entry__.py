@@ -3246,6 +3246,54 @@ WHERE doc_id % 5 = 0
 """
 
 
+def pl_video_decode(spark, sf_dir):
+    """Real RIFF/AVI parse end-to-end: per document, a 4-frame AVI of
+    constant-color 8x6 frames is synthesized, decoded by
+    ``codecs.decode_avi``, and every 2nd frame's channel means are
+    emitted — constants give the closed-form oracle."""
+    import pandas as pd
+
+    from spatialdata_spark.pipeline.codecs import encode_avi
+    from spatialdata_spark.pipeline.multimodal import MEDIA_SCHEMA, video_frame_features
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") % 7 == 0)
+
+    def _gen(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                frames = [
+                    np.full((6, 8, 3), [(d + i) % 256, (d * 2 + i) % 256, (d * 3 + i) % 256], dtype=np.uint8)
+                    for i in range(4)
+                ]
+                rows.append((d, "video", encode_avi(frames, fps=10), "video/avi", 8, 6, 400))
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    media = docs.mapInPandas(_gen, MEDIA_SCHEMA)
+    out = video_frame_features(media, every_n=2)
+    return out.select(
+        "media_id", "frame",
+        F.col("mean_r").cast("long").alias("r"),
+        F.col("mean_g").cast("long").alias("g"),
+        F.col("mean_b").cast("long").alias("b"),
+        "decode_ok",
+    )
+
+
+PL_VIDEO_DECODE_SQL = """
+SELECT doc_id AS media_id, f.frame AS frame,
+       (doc_id + f.frame) % 256 AS r,
+       (doc_id * 2 + f.frame) % 256 AS g,
+       (doc_id * 3 + f.frame) % 256 AS b,
+       TRUE AS decode_ok
+FROM documents, (SELECT unnest([0, 2]) AS frame) f
+WHERE doc_id % 7 = 0
+"""
+
+
 def pl_resize_images(spark, sf_dir):
     """Real bilinear resize end-to-end: linear-ramp PNG fixtures are
     decoded, resampled 8x8 -> 4x4, re-encoded, decoded *again* by the
@@ -4033,6 +4081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_retention": st_retention,
         "st_anomaly": st_anomaly,
         "pl_audio_energy": pl_audio_energy,
+        "pl_video_decode": pl_video_decode,
         "q02_min_cost_supplier": q02_min_cost_supplier,
         "q09_product_profit": q09_product_profit,
         "q11_important_stock": q11_important_stock,
@@ -4213,6 +4262,7 @@ def oracle_sql() -> dict[str, str]:
         "st_retention": ST_RETENTION_SQL,
         "st_anomaly": ST_ANOMALY_SQL,
         "pl_audio_energy": PL_AUDIO_ENERGY_SQL,
+        "pl_video_decode": PL_VIDEO_DECODE_SQL,
         "q02_min_cost_supplier": Q02_SQL,
         "q09_product_profit": Q09_SQL,
         "q11_important_stock": Q11_SQL,

@@ -206,3 +206,95 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
         raise ValueError(f"unsupported WAV: format={audio_format} bits={bits}")
     a = np.frombuffer(data, dtype="<i2")
     return int(sample_rate), a.reshape(-1, n_ch)
+
+
+# ---------------------------------------------------------------------------
+# AVI (RIFF) with uncompressed DIB frames — a real, fully-parsed video
+# container on the stdlib: the same RIFF chunk walk as WAV, plus the
+# BITMAPINFOHEADER frame geometry.  Completes the image(PNG)/audio(WAV)/
+# video(AVI) triad of stdlib-only codecs.
+# ---------------------------------------------------------------------------
+
+
+def _riff_chunks(payload: bytes, pos: int, end: int):
+    while pos + 8 <= end:
+        cid = payload[pos : pos + 4]
+        (size,) = __import__("struct").unpack("<I", payload[pos + 4 : pos + 8])
+        yield cid, pos + 8, size
+        pos += 8 + size + (size & 1)
+
+
+def encode_avi(frames, fps: int = 10) -> bytes:
+    """Minimal RIFF/AVI writer: uncompressed 24-bit DIB ('00db')
+    frames; rows bottom-up BGR, 4-byte aligned — the layout every AVI
+    reader understands."""
+    import struct
+
+    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+    h, w, _ = frames[0].shape
+    stride = (w * 3 + 3) & ~3
+    payloads = []
+    for f in frames:
+        rows = []
+        for y in range(h - 1, -1, -1):
+            row = f[y, :, ::-1].tobytes()  # RGB -> BGR
+            rows.append(row + b"\x00" * (stride - len(row)))
+        payloads.append(b"".join(rows))
+    frame_size = stride * h
+
+    def chunk(cid, body):
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(kind, body):
+        return chunk(b"LIST", kind + body)
+
+    avih = struct.pack("<14I", 1_000_000 // fps, frame_size * fps, 0, 0x10,
+                       len(frames), 0, 1, frame_size, w, h, 0, 0, 0, 0)
+    strh = (b"vids" + b"DIB " + struct.pack("<10I", 0, 0, 0, 1, fps, 0,
+            len(frames), frame_size, 0xFFFFFFFF, 0) + struct.pack("<4H", 0, 0, w, h))
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00db", p) for p in payloads))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi(payload: bytes):
+    """Parse a RIFF/AVI container with uncompressed DIB frames:
+    returns ``(fps, [frame (h, w, 3) uint8 RGB, ...])``.  Walks LIST
+    hdrl for geometry (BITMAPINFOHEADER in strf) and LIST movi for
+    '00db'/'00dc' frame chunks; non-DIB compression raises."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    w = h = None
+    fps = 0
+    frames_raw = []
+
+    def walk(pos, end):
+        nonlocal w, h, fps
+        for cid, body_at, size in _riff_chunks(payload, pos, end):
+            if cid == b"LIST":
+                walk(body_at + 4, body_at + size)
+            elif cid == b"strf" and size >= 40:
+                (bi_size, bw, bh, _pl, bits, comp) = struct.unpack("<IiiHHI", payload[body_at : body_at + 20])
+                if comp != 0 or bits != 24:
+                    raise ValueError(f"unsupported AVI: compression={comp} bits={bits}")
+                w, h = int(bw), abs(int(bh))
+            elif cid == b"avih" and size >= 4:
+                (uspf,) = struct.unpack("<I", payload[body_at : body_at + 4])
+                fps = round(1_000_000 / uspf) if uspf else 0
+            elif cid in (b"00db", b"00dc"):
+                frames_raw.append(payload[body_at : body_at + size])
+
+    walk(12, len(payload))
+    if w is None or not frames_raw:
+        raise ValueError("missing strf header or frame chunks")
+    stride = (w * 3 + 3) & ~3
+    frames = []
+    for raw in frames_raw:
+        a = np.frombuffer(raw[: stride * h], dtype=np.uint8).reshape(h, stride)[:, : w * 3]
+        a = a.reshape(h, w, 3)[::-1, :, ::-1]  # bottom-up BGR -> top-down RGB
+        frames.append(np.ascontiguousarray(a))
+    return fps, frames

@@ -151,3 +151,34 @@ def test_audio_features(spark):
     # bad payload -> one decode_ok=False row; image rows filtered out
     assert len(by_id[3]) == 1 and not by_id[3][0]["decode_ok"]
     assert 4 not in by_id
+
+
+def test_avi_roundtrip_and_video_features(spark):
+    import numpy as np
+
+    from spatialdata_spark.pipeline.codecs import decode_avi, encode_avi
+    from spatialdata_spark.pipeline.multimodal import MEDIA_SCHEMA, video_frame_features
+
+    rng = np.random.default_rng(3)
+    frames = [rng.integers(0, 255, size=(6, 9, 3), dtype=np.uint8) for _ in range(5)]
+    fps, back = decode_avi(encode_avi(frames, fps=24))
+    assert fps == 24 and len(back) == 5
+    for a, b in zip(frames, back):
+        np.testing.assert_array_equal(a, b)  # odd width exercises row padding
+
+    rows = [
+        (1, "video", bytes(encode_avi(frames, fps=24)), "video/avi", 9, 6, 208),
+        (2, "video", b"broken", "video/avi", None, None, 0),
+        (3, "audio", b"riff-ish", "audio/wav", None, None, 0),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = video_frame_features(media, every_n=2).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert [r["frame"] for r in by_id[1]] == [0, 2, 4]
+    exp = frames[2].reshape(-1, 3).mean(axis=0)
+    got = by_id[1][1]
+    assert abs(got["mean_r"] - exp[0]) < 1e-9 and abs(got["mean_b"] - exp[2]) < 1e-9
+    assert len(by_id[2]) == 1 and not by_id[2][0]["decode_ok"]
+    assert 3 not in by_id  # audio rows filtered out

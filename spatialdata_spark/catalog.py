@@ -112,6 +112,37 @@ class SpatialDataset:
                 return self.elements[kind][name]
         raise KeyError(name)
 
+    def __contains__(self, name: str) -> bool:
+        return any(name in self.elements[k] for k in ELEMENT_KINDS)
+
+    def __setitem__(self, name: str, df: DataFrame) -> None:
+        """Schema-dispatched insert (reference ``__setitem__``,
+        :2354): the element kind is recovered from the DataFrame's
+        columns via ``get_model``-style sniffing."""
+        from spatialdata_spark.models.schemas import infer_kind
+
+        kind = infer_kind(df)
+        if name in self:
+            del self[name]
+        self._add(kind, name, df)
+
+    def __delitem__(self, name: str) -> None:
+        kind = self.kind_of(name)
+        del self.elements[kind][name]
+        self.transforms.pop(name, None)
+        self.table_meta.pop(name, None)
+
+    def __len__(self) -> int:
+        return sum(len(self.elements[k]) for k in ELEMENT_KINDS)
+
+    def __repr__(self) -> str:
+        lines = [f"SpatialDataset ({len(self)} elements)"]
+        for kind in ELEMENT_KINDS:
+            for name in self.elements[kind]:
+                cs = sorted(self.transforms.get(name, {}))
+                lines.append(f"  {kind}/{name}" + (f"  [{', '.join(cs)}]" if cs else ""))
+        return "\n".join(lines)
+
     def kind_of(self, name: str) -> str:
         for kind in ELEMENT_KINDS:
             if name in self.elements[kind]:

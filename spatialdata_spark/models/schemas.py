@@ -295,3 +295,25 @@ def validate_element(df: DataFrame, kind: str) -> None:
     """Validate one element DataFrame against its kind's model
     (reference models.py validate_element analog)."""
     get_model(kind).validate(df)
+
+
+def infer_kind(df: DataFrame) -> str:
+    """Recover the element kind from a bare DataFrame by its columns —
+    the ``get_model(element)`` dispatch of the reference
+    (models.py:1283-1325), on column shape instead of Python type:
+    shapes carry (kind, wkb), rasters are long-form pixel frames
+    ((c,)y,x,value — with a channel column = images, without = labels),
+    tables carry the annotation keys, anything with x/y coordinates is
+    points."""
+    cols = set(df.columns)
+    if {"kind", "wkb"} <= cols:
+        return "shapes"
+    if {"y", "x", "value"} <= cols or ({"y", "x", "label"} <= cols and "c" not in cols):
+        return "images" if "c" in cols else "labels"
+    if {"scale", "ty", "tx", "tile"} <= cols:
+        return "images" if "c" in cols else "labels"
+    if {"region", "instance_id"} <= cols and "x" not in cols:
+        return "tables"
+    if {"x", "y"} <= cols:
+        return "points"
+    raise ValueError(f"Cannot infer element kind from columns {sorted(cols)}")

@@ -411,3 +411,34 @@ def test_sketch_operators_error_bounds(spark):
     for et, m in exact_q.items():
         # GK guarantees rank error; translate loosely to value space
         assert abs(approx_q[et] - m) <= 0.05 * spread
+
+
+def test_container_dunder_protocol(spark):
+    import pandas as pd
+    import pytest as _pytest
+
+    import spatialdata_spark as S
+
+    ds = S.SpatialData(spark)
+    pts = spark.createDataFrame(pd.DataFrame({"x": [1.0], "y": [2.0], "instance_id": [1]}))
+    ds["pts"] = pts  # kind inferred from columns
+    assert "pts" in ds and len(ds) == 1
+    assert ds.kind_of("pts") == "points"
+    shapes = _circles(spark)
+    ds["cells"] = shapes
+    assert ds.kind_of("cells") == "shapes" and len(ds) == 2
+    assert "points/pts" in repr(ds) and "shapes/cells" in repr(ds)
+    # labels vs images dispatch on the channel column
+    ds["seg"] = spark.createDataFrame(pd.DataFrame({"y": [0], "x": [0], "label": [3]}))
+    assert ds.kind_of("seg") == "labels"
+    ds["img"] = spark.createDataFrame(pd.DataFrame({"c": [0], "y": [0], "x": [0], "value": [1.0]}))
+    assert ds.kind_of("img") == "images"
+    # replace-in-place and delete
+    ds["pts"] = pts.withColumn("x", pts["x"] + 1)
+    assert len(ds) == 4
+    del ds["pts"]
+    assert "pts" not in ds and len(ds) == 3
+    with _pytest.raises(KeyError):
+        ds.kind_of("pts")
+    with _pytest.raises(ValueError):
+        ds["bad"] = spark.createDataFrame(pd.DataFrame({"only": [1]}))

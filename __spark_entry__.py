@@ -3006,6 +3006,62 @@ ORDER BY list_cosine_similarity(a.v, q.qv) DESC, a.vec_id
 LIMIT 20
 """
 
+def pl_cluster_purity(spark, sf_dir):
+    """Clustering-quality evaluation: vectors assigned to the fixed
+    8-exemplar codebook (same quantizer as pl_ivf_probe), then
+    per-cell label purity = majority-label count / cell size — the
+    cluster-vs-ground-truth agreement metric a curation pipeline reads.
+    All expression-side; the mode-per-cell is an integer-exact window."""
+    from pyspark.sql.window import Window
+
+    from spatialdata_spark.pipeline.similarity import ivf_exemplar_assign
+
+    emb = _read(spark, sf_dir, "embeddings")
+    ex_rows = emb.filter(F.col("vec_id").between(1, 8)).orderBy("vec_id").select("embedding").collect()
+    exemplars = [[float(x) for x in r["embedding"]] for r in ex_rows]
+    assigned = ivf_exemplar_assign(emb.filter(F.col("vec_id") > 8), exemplars)
+    lab = emb.select("vec_id", "label")
+    cl = assigned.join(F.broadcast(lab), "vec_id").groupBy("cell", "label").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("cell").orderBy(F.desc("cnt"), F.asc("label"))
+    top = cl.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    sizes = cl.groupBy("cell").agg(F.sum("cnt").alias("n"))
+    return (
+        top.join(sizes, "cell")
+        .select(
+            "cell",
+            "n",
+            F.col("label").alias("top_label"),
+            F.round(F.col("cnt") / F.col("n"), 9).alias("purity"),
+        )
+    )
+
+
+PL_CLUSTER_PURITY_SQL = """
+WITH ex AS (SELECT vec_id - 1 AS cell, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id > 8),
+scored AS (
+  SELECT e.vec_id, e.label, x.cell,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_cosine_similarity(e.v, x.cv) DESC, x.cell DESC
+         ) AS rn
+  FROM e CROSS JOIN ex x
+),
+assigned AS (SELECT vec_id, label, cell FROM scored WHERE rn = 1),
+cl AS (SELECT cell, label, COUNT(*) AS cnt FROM assigned GROUP BY cell, label),
+top AS (
+  SELECT cell, label, cnt,
+         ROW_NUMBER() OVER (PARTITION BY cell ORDER BY cnt DESC, label ASC) AS rn
+  FROM cl
+),
+sizes AS (SELECT cell, SUM(cnt) AS n FROM cl GROUP BY cell)
+SELECT t.cell, s.n, t.label AS top_label, ROUND(t.cnt * 1.0 / s.n, 9) AS purity
+FROM top t JOIN sizes s ON t.cell = s.cell WHERE t.rn = 1
+"""
+
+
 PL_LSH_TOPK_SQL = """
 WITH p AS (SELECT vec_id - 1 AS j, CAST(embedding AS DOUBLE[]) AS pv FROM embeddings WHERE vec_id BETWEEN 1 AND 6),
 e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -4082,6 +4138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_anomaly": st_anomaly,
         "pl_audio_energy": pl_audio_energy,
         "pl_video_decode": pl_video_decode,
+        "pl_cluster_purity": pl_cluster_purity,
         "q02_min_cost_supplier": q02_min_cost_supplier,
         "q09_product_profit": q09_product_profit,
         "q11_important_stock": q11_important_stock,
@@ -4263,6 +4320,7 @@ def oracle_sql() -> dict[str, str]:
         "st_anomaly": ST_ANOMALY_SQL,
         "pl_audio_energy": PL_AUDIO_ENERGY_SQL,
         "pl_video_decode": PL_VIDEO_DECODE_SQL,
+        "pl_cluster_purity": PL_CLUSTER_PURITY_SQL,
         "q02_min_cost_supplier": Q02_SQL,
         "q09_product_profit": Q09_SQL,
         "q11_important_stock": Q11_SQL,

@@ -3024,17 +3024,21 @@ def pl_cluster_purity(spark, sf_dir):
     cl = assigned.join(F.broadcast(lab), "vec_id").groupBy("cell", "label").agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    w = Window.partitionBy("cell").orderBy(F.desc("cnt"), F.asc("label"))
-    top = cl.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-    sizes = cl.groupBy("cell").agg(F.sum("cnt").alias("n"))
-    return (
-        top.join(sizes, "cell")
-        .select(
-            "cell",
-            "n",
-            F.col("label").alias("top_label"),
-            F.round(F.col("cnt") / F.col("n"), 9).alias("purity"),
-        )
+    # cell size and the majority row share one partitioning: an
+    # unordered sum window + an ordered row_number window, no
+    # aggregate-aggregate join (which would sort-merge at scale)
+    w_all = Window.partitionBy("cell")
+    w_ord = Window.partitionBy("cell").orderBy(F.desc("cnt"), F.asc("label"))
+    top = (
+        cl.withColumn("n", F.sum("cnt").over(w_all))
+        .withColumn("rn", F.row_number().over(w_ord))
+        .filter(F.col("rn") == 1)
+    )
+    return top.select(
+        "cell",
+        "n",
+        F.col("label").alias("top_label"),
+        F.round(F.col("cnt") / F.col("n"), 9).alias("purity"),
     )
 
 

@@ -168,7 +168,11 @@ def pack_blocks(
     from pyspark.sql.window import Window
 
     toks = word_tokens(text_col)
-    n_tok = F.when(F.length(F.trim(F.col(text_col))) == 0, 0).otherwise(F.size(toks))
+    n_tok = (
+        F.when(F.length(F.trim(F.col(text_col))) == 0, 0)
+        .otherwise(F.size(toks))
+        .cast("long")
+    )
     w = Window.partitionBy(stream_col).orderBy(id_col)
     out = docs.select(F.col(id_col), F.col(stream_col), n_tok.alias("n_tokens"))
     out = out.withColumn("token_start", F.sum("n_tokens").over(w) - F.col("n_tokens"))

@@ -23,6 +23,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.storagelevel import StorageLevel
 
 _MERSENNE = (1 << 61) - 1
 
@@ -532,6 +533,10 @@ def minhash_band_candidates(
     rows_per_band = max(1, num_hashes // num_bands)
     a, b = _hash_params(num_hashes, seed)
     spark = docs.sparkSession
+    # project to the two columns the signature needs BEFORE any shuffle:
+    # the repartition (and on a cluster, the scan itself) then moves only
+    # (id, text), never the documents table's other columns
+    docs = docs.select(F.col(id_col), F.col(text_col))
     if spark.sparkContext.master.startswith("local"):
         docs = docs.repartition(spark.sparkContext.defaultParallelism)
 
@@ -541,7 +546,7 @@ def minhash_band_candidates(
 
         # whole-batch vectorization: concatenate every document's
         # shingle-hash vector once, then each hash channel is one
-        # (mul, add, mod) sweep + a per-document minimum via
+        # (mul, add, reduce) sweep + a per-document minimum via
         # minimum.reduceat — no per-document python loop in the hot part
         hs = [_shingle31_np(t or "", shingle_k) for t in texts]
         if not hs:
@@ -551,7 +556,12 @@ def minhash_band_candidates(
         h31 = np.concatenate(hs) if len(hs) > 1 else hs[0]
         sigs = np.empty((len(a), len(hs)), dtype=np.int64)
         for m in range(len(a)):
-            sigs[m] = np.minimum.reduceat((a[m] * h31 + b[m]) % _MERSENNE, bounds)
+            # exact Mersenne reduction of a*h+b (< 2^63) mod 2^61-1:
+            # mask+shift+conditional-subtract replaces the int64 divide
+            x = a[m] * h31 + b[m]
+            x = (x & _MERSENNE) + (x >> 61)
+            x -= (x >= _MERSENNE) * _MERSENNE
+            sigs[m] = np.minimum.reduceat(x, bounds)
         return pd.Series(list(sigs.T))
 
     minh = docs.select(F.col(id_col), _sig(F.col(text_col)).alias("sig"))
@@ -562,6 +572,13 @@ def minhash_band_candidates(
         ]
     )
     bands = minh.select(F.col(id_col), F.posexplode(band_arrays).alias("band", "sig"))
+    # persist the band table: the self-join consumes it twice (build +
+    # stream side), and without a persist each side re-runs the whole
+    # signature UDF.  This is the standard LSH shape at any scale — the
+    # cached rows are (id, band, sig) triples, ~200 bytes/doc, far below
+    # the text they index, and MEMORY_AND_DISK spills instead of OOMing
+    # on a cluster.  Spark's LRU eviction reclaims it after the query.
+    bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
     l, r = bands.alias("l"), bands.alias("r")
     if spark.sparkContext.master.startswith("local"):
         r = F.broadcast(r)

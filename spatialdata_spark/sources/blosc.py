@@ -25,10 +25,14 @@ Chunk layout (little-endian)::
 
 Compressor codes: 0 blosclz, 1 lz4/lz4hc, 2 snappy, 3 zlib, 4 zstd.
 Supported here: **lz4** (pure-Python LZ4 block codec below), **zlib**
-(stdlib) and the raw/memcpy path.  blosclz/snappy/zstd raise a clear
-error naming the codec.  Byte-shuffle is reversed with a numpy
-transpose; bit-shuffle is not supported (zarr's default is
-byte-shuffle).
+(stdlib), **zstd** (pure-Python RFC 8878 decoder in
+``sources/zstd.py``, pinned against pyarrow's real libzstd), **snappy**
+(raw-block decoder below, pinned against pyarrow's real snappy) and
+the raw/memcpy path.  blosclz raises a clear error: its wire format
+changed across c-blosc releases and no reference implementation exists
+in this container to verify a reimplementation against.  Byte-shuffle
+is reversed with a numpy transpose; bit-shuffle raises for the same
+verifiability reason (zarr's default is byte-shuffle).
 
 The stream-split count is not trusted from the flags byte alone: the
 decoder walks each block's streams and validates that they consume
@@ -131,6 +135,101 @@ def lz4_compress(src: bytes) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# Snappy raw block format (public spec: snappy format description)
+# ---------------------------------------------------------------------------
+
+
+def snappy_decompress(src: bytes) -> bytes:
+    """Decode one raw Snappy block (the format c-blosc's snappy codec
+    stores — not the framed variant): a varint uncompressed length, then
+    literal / 1-2-4-byte-offset copy elements.  Validated against
+    pyarrow's bundled real snappy in tests."""
+    src = bytes(src)
+    n = len(src)
+    # varint preamble
+    dst_size = 0
+    shift = 0
+    i = 0
+    while True:
+        if i >= n:
+            raise ValueError("corrupt snappy block: truncated length varint")
+        b = src[i]
+        i += 1
+        dst_size |= (b & 0x7F) << shift
+        shift += 7
+        if not b & 0x80:
+            break
+    dst = bytearray()
+    while i < n:
+        tag = src[i]
+        i += 1
+        kind = tag & 3
+        if kind == 0:  # literal
+            length = (tag >> 2) + 1
+            if length > 60:
+                nbytes = length - 60
+                length = int.from_bytes(src[i : i + nbytes], "little") + 1
+                i += nbytes
+            dst += src[i : i + length]
+            i += length
+            continue
+        if kind == 1:
+            length = ((tag >> 2) & 7) + 4
+            offset = ((tag >> 5) << 8) | src[i]
+            i += 1
+        elif kind == 2:
+            length = (tag >> 2) + 1
+            offset = src[i] | (src[i + 1] << 8)
+            i += 2
+        else:
+            length = (tag >> 2) + 1
+            offset = int.from_bytes(src[i : i + 4], "little")
+            i += 4
+        start = len(dst) - offset
+        if offset == 0 or start < 0:
+            raise ValueError("corrupt snappy block: bad copy offset")
+        if offset >= length:
+            dst += dst[start : start + length]
+        else:  # overlapping copy: source grows as we write
+            for k in range(length):
+                dst.append(dst[start + k])
+    if len(dst) != dst_size:
+        raise ValueError(f"snappy block decoded to {len(dst)} bytes, expected {dst_size}")
+    return bytes(dst)
+
+
+def snappy_compress(src: bytes) -> bytes:
+    """Minimal valid Snappy block: the length varint + literal elements.
+
+    Spec-conformant output any snappy decoder accepts (pinned against
+    pyarrow's real snappy in tests); exists for writing interoperable
+    chunks and building decoder fixtures."""
+    src = bytes(src)
+    n = len(src)
+    out = bytearray()
+    v = n
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        out.append(b | (0x80 if v else 0))
+        if not v:
+            break
+    pos = 0
+    while pos < n:
+        length = min(n - pos, 1 << 16)
+        if length <= 60:
+            out.append((length - 1) << 2)
+        else:
+            enc = length - 1
+            nbytes = (enc.bit_length() + 7) // 8
+            out.append((59 + nbytes) << 2)
+            out += enc.to_bytes(nbytes, "little")
+        out += src[pos : pos + length]
+        pos += length
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
 # byte shuffle
 # ---------------------------------------------------------------------------
 
@@ -172,9 +271,24 @@ def _decode_stream(codec: int, payload: bytes, raw_size: int) -> bytes:
         if len(out) != raw_size:
             raise ValueError("zlib stream decoded to unexpected size")
         return out
+    if codec == _ZSTD:
+        from spatialdata_spark.sources.zstd import zstd_decompress
+
+        out = zstd_decompress(payload)
+        if len(out) != raw_size:
+            raise ValueError("zstd stream decoded to unexpected size")
+        return out
+    if codec == _SNAPPY:
+        out = snappy_decompress(payload)
+        if len(out) != raw_size:
+            raise ValueError("snappy stream decoded to unexpected size")
+        return out
     raise ValueError(
         f"unsupported blosc inner codec {_CODEC_NAMES.get(codec, codec)!r}: "
-        "only lz4/zlib/raw streams decode in this environment"
+        "lz4/zlib/zstd/snappy/raw streams decode in this environment; "
+        "blosclz does not (its wire format changed across c-blosc releases "
+        "and no reference implementation is available here to verify "
+        "against — re-encode the store with cname lz4/zstd/zlib)"
     )
 
 
@@ -195,10 +309,12 @@ def blosc_decompress(chunk: bytes) -> bytes:
     if flags & FLAG_MEMCPYED:
         return bytes(chunk[16 : 16 + nbytes])
     codec = flags >> 5
-    if codec in (_BLOSCLZ, _SNAPPY, _ZSTD):
+    if codec == _BLOSCLZ:
         raise ValueError(
-            f"unsupported blosc compressor {_CODEC_NAMES[codec]!r}: this store "
-            "needs a codec not implemented here; lz4/zlib blosc chunks are supported"
+            "unsupported blosc compressor 'blosclz': its wire format changed "
+            "across c-blosc releases and no reference implementation exists in "
+            "this environment to verify a reimplementation against; "
+            "lz4/zlib/zstd/snappy blosc chunks are supported"
         )
     blocksize = blocksize or nbytes
     nblocks = -(-nbytes // blocksize)
@@ -262,14 +378,16 @@ def blosc_compress(
 ) -> bytes:
     """Encode raw bytes as a spec-conformant blosc v1 chunk.
 
-    ``shuffle``: 0 none, 1 byte-shuffle (numcodecs constants).  Streams
-    are literal-only LZ4 (or raw zlib), so output is bigger than input —
-    the point is *format* interop (real blosc reads it back), used for
-    fixtures and for writing stores foreign readers expect.
+    ``shuffle``: 0 none, 1 byte-shuffle (numcodecs constants).  lz4 /
+    zstd / snappy streams are literal-only (zlib really deflates), so
+    output may be bigger than input — the point is *format* interop
+    (real blosc reads it back), used for fixtures and for writing
+    stores foreign readers expect.
     """
-    if cname not in ("lz4", "zlib"):
-        raise ValueError(f"blosc_compress supports lz4/zlib here, not {cname!r}")
-    codec = _LZ4 if cname == "lz4" else _ZLIB
+    codecs = {"lz4": _LZ4, "zlib": _ZLIB, "zstd": _ZSTD, "snappy": _SNAPPY}
+    if cname not in codecs:
+        raise ValueError(f"blosc_compress supports lz4/zlib/zstd/snappy here, not {cname!r}")
+    codec = codecs[cname]
     nbytes = len(buf)
     typesize = max(1, int(typesize))
     if shuffle not in (0, 1):
@@ -299,7 +417,16 @@ def blosc_compress(
         enc = bytearray()
         for s in range(nstreams):
             stream = block[s * per : (s + 1) * per]
-            payload = lz4_compress(stream) if codec == _LZ4 else zlib.compress(stream)
+            if codec == _LZ4:
+                payload = lz4_compress(stream)
+            elif codec == _ZLIB:
+                payload = zlib.compress(stream)
+            elif codec == _ZSTD:
+                from spatialdata_spark.sources.zstd import zstd_compress_stored
+
+                payload = zstd_compress_stored(stream)
+            else:
+                payload = snappy_compress(stream)
             if len(payload) >= per and per > 0:
                 payload = stream  # store verbatim: csize == raw size
             enc += struct.pack("<I", len(payload)) + payload

@@ -70,6 +70,8 @@ def codecs_doc(codec: str | None, typesize: int) -> list[dict]:
                 },
             }
         )
+    elif codec == "zstd":
+        chain.append({"name": "zstd", "configuration": {"level": 0, "checksum": False}})
     else:
         raise ValueError(f"no zarr v3 codec mapping for {codec!r}")
     return chain
@@ -88,10 +90,8 @@ def codec_of_chain(codecs: list[dict]) -> str | None:
         elif c["name"] == "gzip":
             return "gzip"
         elif c["name"] == "zstd":
-            raise ValueError(
-                "zstd-compressed zarr v3 chunks are not supported in this "
-                "environment; re-write with gzip or blosc-lz4"
-            )
+            # bare zstd frames: pure-Python RFC 8878 decoder
+            return "zstd"
         elif c["name"] == "blosc":
             return "blosc"
         else:

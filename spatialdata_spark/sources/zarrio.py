@@ -64,6 +64,11 @@ def _compress(codec: str | None, buf: bytes, typesize: int = 1) -> bytes:
         from spatialdata_spark.sources.blosc import blosc_compress
 
         return blosc_compress(buf, typesize=typesize, cname="lz4", shuffle=1 if typesize > 1 else 0)
+    if codec == "zstd":
+        # stored-block zstd frame: valid for any real zstd reader
+        from spatialdata_spark.sources.zstd import zstd_compress_stored
+
+        return zstd_compress_stored(buf)
     raise ValueError(f"unsupported zarr codec {codec!r}")
 
 
@@ -77,15 +82,22 @@ def _decompress(codec: str | None, buf: bytes) -> bytes:
     if codec == "bz2":
         return bz2.decompress(buf)
     if codec == "blosc":
-        # pure-Python blosc chunk decode (lz4/zlib inner streams) — the
-        # reference's default compressor (_io/io_raster.py:350-384)
+        # pure-Python blosc chunk decode (lz4/zlib/zstd/snappy inner
+        # streams) — the reference's default compressor
+        # (_io/io_raster.py:350-384)
         from spatialdata_spark.sources.blosc import blosc_decompress
 
         return blosc_decompress(buf)
+    if codec == "zstd":
+        # bare zstd frame (numcodecs.Zstd / zarr v3 zstd codec):
+        # pure-Python RFC 8878 decoder
+        from spatialdata_spark.sources.zstd import zstd_decompress
+
+        return zstd_decompress(buf)
     raise ValueError(
         f"unsupported zarr compressor {codec!r}: this store needs a codec "
         "library not present in this environment; re-write the store with "
-        "blosc-lz4/zlib/gzip/raw chunks to read it here"
+        "blosc/zstd/zlib/gzip/raw chunks to read it here"
     )
 
 
@@ -93,12 +105,12 @@ def _codec_of(compressor: dict | None) -> str | None:
     if compressor is None:
         return None
     cid = compressor.get("id")
-    if cid in ("zlib", "gzip", "bz2", "blosc"):
+    if cid in ("zlib", "gzip", "bz2", "blosc", "zstd"):
         return cid
     raise ValueError(
         f"unsupported zarr compressor {cid!r}: this store needs a codec "
         "library not present in this environment; re-write the store with "
-        "blosc-lz4/zlib/gzip/raw chunks to read it here"
+        "blosc/zstd/zlib/gzip/raw chunks to read it here"
     )
 
 

@@ -1,0 +1,613 @@
+"""Pure-Python Zstandard frame decoder (RFC 8878, decompression only).
+
+c-blosc's ``zstd`` inner codec (``numcodecs.Blosc(cname="zstd")``, a
+common configuration for zarr stores in the wild — the reference's
+default is lz4, see src/spatialdata/_io/io_raster.py:350-384) stores
+each stream as a standard Zstandard *frame*.  The container has no
+zstd library, so this module implements the public frame format from
+the spec: frame header, raw/RLE/compressed blocks, Huffman-coded
+literals (direct and FSE-compressed weights), and FSE-coded sequences
+with the three repeat offsets.
+
+Everything here is derived from RFC 8878 alone; the test suite
+round-trips frames produced by pyarrow's bundled libzstd (real
+compressor output at several levels), so the decoder is validated
+against the reference implementation, not just itself.
+
+Not implemented (all raise ``ValueError`` with the reason): external
+dictionaries (``Dictionary_ID != 0``) and window sizes the decoder
+would need streaming eviction for — blosc streams never use either
+(each chunk is one self-contained frame).  The 4-byte xxhash64
+content checksum is skipped, not verified (no xxhash in stdlib).
+"""
+
+from __future__ import annotations
+
+import struct
+
+ZSTD_MAGIC = 0xFD2FB528
+SKIPPABLE_MAGIC_MIN = 0x184D2A50
+SKIPPABLE_MAGIC_MAX = 0x184D2A5F
+
+
+# ---------------------------------------------------------------------------
+# bit readers
+# ---------------------------------------------------------------------------
+
+
+class _ForwardBits:
+    """LSB-first forward reader (FSE table descriptions, RFC 4.1.1)."""
+
+    __slots__ = ("buf", "pos")
+
+    def __init__(self, buf: bytes) -> None:
+        self.buf = buf
+        self.pos = 0  # absolute bit position
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        p, buf = self.pos, self.buf
+        lo, hi = p >> 3, (p + n + 7) >> 3
+        if hi > len(buf):
+            raise ValueError("zstd: FSE table description overruns its input")
+        v = int.from_bytes(buf[lo:hi], "little") >> (p & 7)
+        self.pos = p + n
+        return v & ((1 << n) - 1)
+
+    def bytes_consumed(self) -> int:
+        return (self.pos + 7) >> 3
+
+
+class _BackwardBits:
+    """MSB-side backward reader for FSE/Huffman bitstreams (RFC 3.1.1.4):
+    the final byte carries a 1-sentinel above the payload bits; reads pull
+    the ``n`` bits just below the cursor.  Overdraw past the start returns
+    the remaining bits zero-padded in the LOW positions (the convention
+    the interleaved-FSE termination rule relies on); ``remaining`` goes
+    negative to signal it."""
+
+    __slots__ = ("buf", "pos")
+
+    def __init__(self, buf: bytes) -> None:
+        if not buf or buf[-1] == 0:
+            raise ValueError("zstd: backward bitstream missing its sentinel bit")
+        self.buf = buf
+        self.pos = (len(buf) - 1) * 8 + buf[-1].bit_length() - 1
+
+    @property
+    def remaining(self) -> int:
+        return self.pos
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        p = self.pos - n
+        self.pos = p
+        if p < 0:
+            got = n + p  # bits actually available
+            if got <= 0:
+                return 0
+            v = int.from_bytes(self.buf[0 : (got + 7) >> 3], "little")
+            return (v & ((1 << got) - 1)) << (n - got)
+        buf = self.buf
+        lo, hi = p >> 3, (p + n + 7) >> 3
+        v = int.from_bytes(buf[lo:hi], "little") >> (p & 7)
+        return v & ((1 << n) - 1)
+
+
+# ---------------------------------------------------------------------------
+# FSE
+# ---------------------------------------------------------------------------
+
+
+def _fse_read_ncount(bits: _ForwardBits, max_symbol: int) -> tuple[list[int], int]:
+    """Parse an FSE table description -> (normalized counts, accuracy_log)
+    (RFC 8878 §4.1.1, the threshold-coded variable-bit scheme with
+    2-bit zero-repeat flags)."""
+    accuracy_log = bits.read(4) + 5
+    table_size = 1 << accuracy_log
+    remaining = table_size + 1
+    threshold = table_size
+    nb_bits = accuracy_log + 1
+    counts: list[int] = []
+    previous0 = False
+    while remaining > 1 and len(counts) <= max_symbol:
+        if previous0:
+            # runs of zero-probability symbols: 2-bit repeat flags,
+            # value 3 chains to another flag
+            while True:
+                rep = bits.read(2)
+                counts.extend([0] * rep)
+                if rep != 3:
+                    break
+            previous0 = False
+            if len(counts) > max_symbol:
+                break
+            continue
+        # threshold-coded value: nb_bits-1 low bits suffice when below
+        # maxv, else one more (top) bit completes the full-width value
+        # (LSB-first forward stream, so read n-1 then 1 == read n)
+        maxv = (2 * threshold - 1) - remaining
+        count = bits.read(nb_bits - 1)
+        if count >= maxv:
+            count |= bits.read(1) << (nb_bits - 1)
+            if count >= threshold:
+                count -= maxv
+        count -= 1  # the coded value is probability + 1 (-1 flags "less than 1")
+        remaining -= -count if count < 0 else count
+        counts.append(count)
+        previous0 = count == 0
+        while remaining < threshold:
+            nb_bits -= 1
+            threshold >>= 1
+    if remaining != 1:
+        raise ValueError("zstd: corrupt FSE table description (counts don't sum)")
+    return counts, accuracy_log
+
+
+class _FseTable:
+    """Decoding table: per-state (symbol, nb_bits, base_state)."""
+
+    __slots__ = ("symbols", "nb_bits", "base", "accuracy_log")
+
+    def __init__(self, counts: list[int], accuracy_log: int) -> None:
+        size = 1 << accuracy_log
+        self.accuracy_log = accuracy_log
+        table = [0] * size
+        high = size - 1
+        for s, c in enumerate(counts):
+            if c == -1:  # "less than 1" symbols take the top states
+                table[high] = s
+                high -= 1
+        step = (size >> 1) + (size >> 3) + 3
+        mask = size - 1
+        pos = 0
+        for s, c in enumerate(counts):
+            if c <= 0:
+                continue
+            for _ in range(c):
+                table[pos] = s
+                pos = (pos + step) & mask
+                while pos > high:
+                    pos = (pos + step) & mask
+        if pos != 0:
+            raise ValueError("zstd: FSE spread did not close")
+        counters = [c if c > 0 else 1 for c in counts]
+        self.symbols = table
+        self.nb_bits = [0] * size
+        self.base = [0] * size
+        for state in range(size):
+            s = table[state]
+            x = counters[s]
+            counters[s] = x + 1
+            nb = accuracy_log - (x.bit_length() - 1)
+            self.nb_bits[state] = nb
+            self.base[state] = (x << nb) - size
+
+    @classmethod
+    def rle(cls, symbol: int) -> "_FseTable":
+        t = cls.__new__(cls)
+        t.accuracy_log = 0
+        t.symbols = [symbol]
+        t.nb_bits = [0]
+        t.base = [0]
+        return t
+
+
+def _fse_decompress_interleaved(table: _FseTable, bits: _BackwardBits, max_out: int) -> list[int]:
+    """Two alternating FSE states over one backward stream (the Huffman
+    weight encoding, RFC 4.2.1.2); stops when the stream is exhausted."""
+    out: list[int] = []
+    s1 = bits.read(table.accuracy_log)
+    s2 = bits.read(table.accuracy_log)
+    while len(out) < max_out:
+        out.append(table.symbols[s1])
+        s1 = table.base[s1] + bits.read(table.nb_bits[s1])
+        if bits.remaining < 0:
+            out.append(table.symbols[s2])
+            break
+        if len(out) >= max_out:
+            break
+        out.append(table.symbols[s2])
+        s2 = table.base[s2] + bits.read(table.nb_bits[s2])
+        if bits.remaining < 0:
+            out.append(table.symbols[s1])
+            break
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Huffman
+# ---------------------------------------------------------------------------
+
+
+class _HufTable:
+    """Prefix-peek table over max_bits: entry -> (symbol, code length)."""
+
+    __slots__ = ("symbols", "lengths", "max_bits")
+
+    def __init__(self, weights: list[int]) -> None:
+        total = sum((1 << (w - 1)) for w in weights if w > 0)
+        if total == 0:
+            raise ValueError("zstd: empty Huffman weights")
+        # the last symbol's weight is implied: it completes the smallest
+        # power of two STRICTLY greater than the explicit weights' sum
+        max_bits = total.bit_length()
+        left = (1 << max_bits) - total
+        if left <= 0 or left & (left - 1):
+            raise ValueError("zstd: Huffman weights don't leave a power-of-two remainder")
+        weights = weights + [left.bit_length()]
+        if max_bits > 11:
+            raise ValueError("zstd: Huffman code exceeds the 11-bit spec limit")
+        size = 1 << max_bits
+        self.max_bits = max_bits
+        self.symbols = bytearray(size)
+        self.lengths = bytearray(size)
+        # canonical fill: lowest weight = longest codes first from index 0;
+        # within a weight, natural symbol order; each symbol spans
+        # 2^(weight-1) table entries
+        pos = 0
+        for w in range(1, max_bits + 1):
+            span = 1 << (w - 1)
+            nb = max_bits + 1 - w
+            for sym, ws in enumerate(weights):
+                if ws != w:
+                    continue
+                for i in range(span):
+                    self.symbols[pos + i] = sym
+                    self.lengths[pos + i] = nb
+                pos += span
+        if pos != size:
+            raise ValueError("zstd: Huffman table fill mismatch")
+
+    def decode_stream(self, bits: _BackwardBits, n_out: int) -> bytes:
+        out = bytearray(n_out)
+        mask = (1 << self.max_bits) - 1
+        state = bits.read(self.max_bits)
+        symbols, lengths = self.symbols, self.lengths
+        for i in range(n_out):
+            out[i] = symbols[state]
+            nb = lengths[state]
+            state = ((state << nb) | bits.read(nb)) & mask
+        return bytes(out)
+
+
+def _read_huffman_table(data: bytes) -> tuple[_HufTable, int]:
+    """Parse a Huffman tree description; returns (table, bytes consumed)."""
+    header = data[0]
+    if header >= 128:
+        n = header - 127
+        weights = []
+        for i in range(n):
+            b = data[1 + i // 2]
+            weights.append((b >> 4) if i % 2 == 0 else (b & 0xF))
+        return _HufTable(weights), 1 + (n + 1) // 2
+    # FSE-compressed weights: header = compressed size
+    comp = bytes(data[1 : 1 + header])
+    fwd = _ForwardBits(comp)
+    counts, acc = _fse_read_ncount(fwd, 255)
+    if acc > 6:
+        raise ValueError("zstd: Huffman-weight FSE accuracy above the spec limit of 6")
+    table = _FseTable(counts, acc)
+    stream = comp[fwd.bytes_consumed() :]
+    weights = _fse_decompress_interleaved(table, _BackwardBits(stream), 254)
+    return _HufTable(weights), 1 + header
+
+
+# ---------------------------------------------------------------------------
+# sequences: default distributions and code tables (RFC 8878 §3.1.1.3.2)
+# ---------------------------------------------------------------------------
+
+_LL_DEFAULTS = [4, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 1, 1, 1, 2, 2, 2, 2,
+                2, 2, 2, 2, 2, 3, 2, 1, 1, 1, 1, 1, -1, -1, -1, -1]
+_ML_DEFAULTS = [1, 4, 3, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+                1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+                1, 1, 1, 1, 1, 1, -1, -1, -1, -1, -1, -1, -1]
+_OF_DEFAULTS = [1, 1, 1, 1, 1, 1, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+                1, 1, 1, 1, -1, -1, -1, -1, -1]
+
+_LL_BASE = list(range(16)) + [16, 18, 20, 22, 24, 28, 32, 40, 48, 64, 128,
+                              256, 512, 1024, 2048, 4096, 8192, 16384, 32768, 65536]
+_LL_BITS = [0] * 16 + [1, 1, 1, 1, 2, 2, 3, 3, 4, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16]
+_ML_BASE = list(range(3, 35)) + [35, 37, 39, 41, 43, 47, 51, 59, 67, 83, 99, 131,
+                                 259, 515, 1027, 2051, 4099, 8195, 16387, 32771, 65539]
+_ML_BITS = [0] * 32 + [1, 1, 1, 1, 2, 2, 3, 3, 4, 4, 5, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16]
+
+_MAX_SYMBOL = {"ll": 35, "of": 31, "ml": 52}
+_MAX_ACC = {"ll": 9, "of": 8, "ml": 9}
+_DEFAULT_ACC = {"ll": 6, "of": 5, "ml": 6}
+_DEFAULTS = {"ll": _LL_DEFAULTS, "of": _OF_DEFAULTS, "ml": _ML_DEFAULTS}
+
+
+def _sequence_table(kind: str, mode: int, data: bytes, pos: int, prev: _FseTable | None) -> tuple[_FseTable, int]:
+    if mode == 0:  # predefined
+        return _FseTable(_DEFAULTS[kind], _DEFAULT_ACC[kind]), pos
+    if mode == 1:  # RLE: one byte symbol
+        sym = data[pos]
+        if sym > _MAX_SYMBOL[kind]:
+            raise ValueError(f"zstd: RLE {kind} symbol out of range")
+        return _FseTable.rle(sym), pos + 1
+    if mode == 2:  # FSE-compressed description
+        fwd = _ForwardBits(bytes(data[pos:]))
+        counts, acc = _fse_read_ncount(fwd, _MAX_SYMBOL[kind])
+        if acc > _MAX_ACC[kind]:
+            raise ValueError(f"zstd: {kind} accuracy_log {acc} above spec limit")
+        return _FseTable(counts, acc), pos + fwd.bytes_consumed()
+    if prev is None:  # repeat without a previous table
+        raise ValueError(f"zstd: {kind} Repeat_Mode with no previous table")
+    return prev, pos
+
+
+# ---------------------------------------------------------------------------
+# block decode
+# ---------------------------------------------------------------------------
+
+
+class _FrameState:
+    """Per-frame persistent decoder state (RFC: tables and repeat
+    offsets survive across blocks within one frame)."""
+
+    def __init__(self) -> None:
+        self.huffman: _HufTable | None = None
+        self.ll: _FseTable | None = None
+        self.of: _FseTable | None = None
+        self.ml: _FseTable | None = None
+        self.reps = [1, 4, 8]
+
+
+def _decode_literals(block: bytes, pos: int, st: _FrameState) -> tuple[bytes, int]:
+    b0 = block[pos]
+    ltype = b0 & 3
+    size_format = (b0 >> 2) & 3
+    if ltype in (0, 1):  # Raw / RLE
+        if size_format in (0, 2):
+            regen = b0 >> 3
+            pos += 1
+        elif size_format == 1:
+            regen = (b0 >> 4) | (block[pos + 1] << 4)
+            pos += 2
+        else:
+            regen = (b0 >> 4) | (block[pos + 1] << 4) | (block[pos + 2] << 12)
+            pos += 3
+        if ltype == 0:
+            return bytes(block[pos : pos + regen]), pos + regen
+        return bytes([block[pos]]) * regen, pos + 1
+    # Compressed (2) / Treeless (3)
+    if size_format == 0:
+        n_streams = 1
+        regen = (b0 >> 4) | ((block[pos + 1] & 0x3F) << 4)
+        comp = (block[pos + 1] >> 6) | (block[pos + 2] << 2)
+        pos += 3
+    elif size_format == 1:
+        n_streams = 4
+        regen = (b0 >> 4) | ((block[pos + 1] & 0x3F) << 4)
+        comp = (block[pos + 1] >> 6) | (block[pos + 2] << 2)
+        pos += 3
+    elif size_format == 2:
+        n_streams = 4
+        regen = (b0 >> 4) | (block[pos + 1] << 4) | ((block[pos + 2] & 3) << 12)
+        comp = (block[pos + 2] >> 2) | (block[pos + 3] << 6)
+        pos += 4
+    else:
+        n_streams = 4
+        regen = (b0 >> 4) | (block[pos + 1] << 4) | ((block[pos + 2] & 0x3F) << 12)
+        comp = (block[pos + 2] >> 6) | (block[pos + 3] << 2) | (block[pos + 4] << 10)
+        pos += 5
+    section = bytes(block[pos : pos + comp])
+    pos += comp
+    off = 0
+    if ltype == 2:
+        st.huffman, off = _read_huffman_table(section)
+    elif st.huffman is None:
+        raise ValueError("zstd: treeless literals with no previous Huffman table")
+    huf = st.huffman
+    body = section[off:]
+    if n_streams == 1:
+        return huf.decode_stream(_BackwardBits(body), regen), pos
+    if len(body) < 6:
+        raise ValueError("zstd: 4-stream literals shorter than the jump table")
+    s1, s2, s3 = struct.unpack_from("<HHH", body, 0)
+    starts = [6, 6 + s1, 6 + s1 + s2, 6 + s1 + s2 + s3, len(body)]
+    per = (regen + 3) // 4
+    sizes = [per, per, per, regen - 3 * per]
+    if sizes[3] < 0:
+        raise ValueError("zstd: negative fourth literal stream size")
+    out = bytearray()
+    for i in range(4):
+        stream = body[starts[i] : starts[i + 1]]
+        out += huf.decode_stream(_BackwardBits(stream), sizes[i])
+    return bytes(out), pos
+
+
+def _decode_block(block: bytes, out: bytearray, st: _FrameState) -> None:
+    literals, pos = _decode_literals(block, 0, st)
+    # sequence count
+    b0 = block[pos]
+    if b0 == 0:
+        n_seq = 0
+        pos += 1
+    elif b0 < 128:
+        n_seq = b0
+        pos += 1
+    elif b0 < 255:
+        n_seq = ((b0 - 128) << 8) + block[pos + 1]
+        pos += 2
+    else:
+        n_seq = block[pos + 1] + (block[pos + 2] << 8) + 0x7F00
+        pos += 3
+    if n_seq == 0:
+        out += literals
+        return
+    modes = block[pos]
+    pos += 1
+    if modes & 3:
+        raise ValueError("zstd: reserved bits set in sequence compression modes")
+    st.ll, pos = _sequence_table("ll", (modes >> 6) & 3, block, pos, st.ll)
+    st.of, pos = _sequence_table("of", (modes >> 4) & 3, block, pos, st.of)
+    st.ml, pos = _sequence_table("ml", (modes >> 2) & 3, block, pos, st.ml)
+    bits = _BackwardBits(bytes(block[pos:]))
+    ll_t, of_t, ml_t = st.ll, st.of, st.ml
+    ll_state = bits.read(ll_t.accuracy_log)
+    of_state = bits.read(of_t.accuracy_log)
+    ml_state = bits.read(ml_t.accuracy_log)
+    lit_pos = 0
+    reps = st.reps
+    for i in range(n_seq):
+        of_code = of_t.symbols[of_state]
+        offset_value = (1 << of_code) + bits.read(of_code)
+        ml_code = ml_t.symbols[ml_state]
+        match_len = _ML_BASE[ml_code] + bits.read(_ML_BITS[ml_code])
+        ll_code = ll_t.symbols[ll_state]
+        lit_len = _LL_BASE[ll_code] + bits.read(_LL_BITS[ll_code])
+        # repeat-offset resolution (RFC 3.1.1.5): values 1-3 index the
+        # history, shifted by one when the literal length is zero
+        if offset_value > 3:
+            offset = offset_value - 3
+            reps[2] = reps[1]
+            reps[1] = reps[0]
+            reps[0] = offset
+        else:
+            idx = offset_value - 1 + (1 if lit_len == 0 else 0)
+            if idx == 0:
+                offset = reps[0]
+            elif idx < 3:
+                offset = reps[idx]
+                if idx == 2:
+                    reps[2] = reps[1]
+                reps[1] = reps[0]
+                reps[0] = offset
+            else:  # LL==0 and offset_value==3: rep1 - 1
+                offset = reps[0] - 1
+                if offset <= 0:
+                    raise ValueError("zstd: repeat offset underflow")
+                reps[2] = reps[1]
+                reps[1] = reps[0]
+                reps[0] = offset
+        if i + 1 < n_seq:
+            ll_state = ll_t.base[ll_state] + bits.read(ll_t.nb_bits[ll_state])
+            ml_state = ml_t.base[ml_state] + bits.read(ml_t.nb_bits[ml_state])
+            of_state = of_t.base[of_state] + bits.read(of_t.nb_bits[of_state])
+        out += literals[lit_pos : lit_pos + lit_len]
+        lit_pos += lit_len
+        start = len(out) - offset
+        if start < 0:
+            raise ValueError("zstd: match offset before frame start")
+        if offset >= match_len:
+            out += out[start : start + match_len]
+        else:  # overlapping match: source grows as we copy
+            for k in range(match_len):
+                out.append(out[start + k])
+    if bits.remaining != 0:
+        raise ValueError("zstd: sequence bitstream not fully consumed")
+    out += literals[lit_pos:]
+
+
+# ---------------------------------------------------------------------------
+# frame decode
+# ---------------------------------------------------------------------------
+
+
+def zstd_decompress(data: bytes) -> bytes:
+    """Decode a byte string of zstd (and skippable) frames."""
+    data = bytes(data)
+    out = bytearray()
+    pos = 0
+    while pos < len(data):
+        if len(data) - pos < 4:
+            raise ValueError("zstd: truncated frame magic")
+        (magic,) = struct.unpack_from("<I", data, pos)
+        pos += 4
+        if SKIPPABLE_MAGIC_MIN <= magic <= SKIPPABLE_MAGIC_MAX:
+            (size,) = struct.unpack_from("<I", data, pos)
+            pos += 4 + size
+            continue
+        if magic != ZSTD_MAGIC:
+            raise ValueError(f"zstd: bad frame magic 0x{magic:08x}")
+        pos = _decode_frame(data, pos, out)
+    return bytes(out)
+
+
+def zstd_compress_stored(data: bytes) -> bytes:
+    """Encode ``data`` as a valid zstd frame of raw (stored) blocks.
+
+    No compression is attempted — this exists so stores we *write* with
+    a zstd codec are readable by any real zstd, and to build decoder
+    fixtures without a compressor in the container.  Frame: magic,
+    single-segment header with exact content size, then <=128 KiB raw
+    blocks (the spec's Block_Maximum_Size)."""
+    data = bytes(data)
+    n = len(data)
+    out = bytearray(struct.pack("<I", ZSTD_MAGIC))
+    if n < 256:
+        out += bytes([0 << 6 | 0x20, n])  # single-segment, 1-byte FCS
+    elif n - 256 < 1 << 16:
+        out += bytes([1 << 6 | 0x20]) + struct.pack("<H", n - 256)
+    else:
+        out += bytes([2 << 6 | 0x20]) + struct.pack("<I", n)
+    block_max = 128 * 1024
+    pos = 0
+    while True:
+        size = min(block_max, n - pos)
+        last = 1 if pos + size >= n else 0
+        out += struct.pack("<I", last | (0 << 1) | (size << 3))[:3]
+        out += data[pos : pos + size]
+        pos += size
+        if last:
+            break
+    return bytes(out)
+
+
+def _decode_frame(data: bytes, pos: int, out: bytearray) -> int:
+    desc = data[pos]
+    pos += 1
+    fcs_flag = desc >> 6
+    single_segment = (desc >> 5) & 1
+    checksum_flag = (desc >> 2) & 1
+    dict_flag = desc & 3
+    if desc & 0x8:
+        raise ValueError("zstd: reserved frame-descriptor bit set")
+    if not single_segment:
+        pos += 1  # window descriptor: whole frame is kept in memory anyway
+    if dict_flag:
+        did_size = (0, 1, 2, 4)[dict_flag]
+        did = int.from_bytes(data[pos : pos + did_size], "little")
+        pos += did_size
+        if did:
+            raise ValueError("zstd: external dictionaries are not supported")
+    fcs_size = (1 if single_segment else 0, 2, 4, 8)[fcs_flag]
+    content_size = None
+    if fcs_size:
+        content_size = int.from_bytes(data[pos : pos + fcs_size], "little")
+        if fcs_size == 2:
+            content_size += 256
+        pos += fcs_size
+    st = _FrameState()
+    frame_start = len(out)
+    while True:
+        header = int.from_bytes(data[pos : pos + 3], "little")
+        pos += 3
+        last = header & 1
+        btype = (header >> 1) & 3
+        bsize = header >> 3
+        if btype == 0:  # raw
+            out += data[pos : pos + bsize]
+            pos += bsize
+        elif btype == 1:  # RLE: one byte repeated bsize times
+            out += data[pos : pos + 1] * bsize
+            pos += 1
+        elif btype == 2:
+            _decode_block(memoryview(data)[pos : pos + bsize], out, st)
+            pos += bsize
+        else:
+            raise ValueError("zstd: reserved block type")
+        if last:
+            break
+    if checksum_flag:
+        pos += 4  # xxhash64 low 32 bits: skipped, not verified
+    if content_size is not None and len(out) - frame_start != content_size:
+        raise ValueError(
+            f"zstd: frame decoded to {len(out) - frame_start} bytes, "
+            f"header declared {content_size}"
+        )
+    return pos

@@ -62,11 +62,10 @@ def test_blosc_raw_stream_when_incompressible():
 
 
 def test_blosc_unsupported_paths_error_clearly():
-    raw = bytes(16)
-    zstd_flags = 4 << 5
-    chunk = bytes([2, 1, zstd_flags, 1]) + struct.pack("<III", 16, 16, 16 + 4 + 4 + 8)
+    blosclz_flags = 0 << 5
+    chunk = bytes([2, 1, blosclz_flags, 1]) + struct.pack("<III", 16, 16, 16 + 4 + 4 + 8)
     chunk += struct.pack("<I", 16 + 4) + struct.pack("<I", 8) + bytes(8)
-    with pytest.raises(ValueError, match="zstd"):
+    with pytest.raises(ValueError, match="blosclz"):
         B.blosc_decompress(chunk)
     bit = bytes([2, 1, B.FLAG_BITSHUFFLE, 1]) + struct.pack("<III", 16, 16, 36) + bytes(20)
     with pytest.raises(ValueError, match="bit-shuffle"):

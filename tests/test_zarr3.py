@@ -43,8 +43,10 @@ def test_v3_chunk_keys_are_c_prefixed(tmp_path):
 
 
 def test_v3_meta_parse_rejects_unknown():
-    with pytest.raises(ValueError, match="zstd"):
-        codec_of_chain([{"name": "bytes"}, {"name": "zstd", "configuration": {}}])
+    # zstd is now a supported standalone v3 codec (sources/zstd.py)
+    assert codec_of_chain([{"name": "bytes"}, {"name": "zstd", "configuration": {}}]) == "zstd"
+    with pytest.raises(ValueError, match="lzma"):
+        codec_of_chain([{"name": "bytes"}, {"name": "lzma", "configuration": {}}])
     with pytest.raises(ValueError, match="chunk_grid"):
         parse_array_meta(
             {

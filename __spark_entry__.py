@@ -1859,6 +1859,87 @@ def ag_fractions(spark, sf_dir):
     return aggregate_shapes_by_shapes(values, by, fractions=True, cell_size=30.0, values_kinds=frozenset({"box"}), by_kinds=frozenset({"box"}))
 
 
+def ag_fractions_concave(spark, sf_dir):
+    """Area-fraction aggregation over CONCAVE by-regions (reference
+    gpd.overlay semantics, _core/operations/aggregate.py:428-432):
+    L-shaped by-polygons ear-clip into interior-disjoint triangles
+    inside the fractions kernel; the oracle decomposes each L into its
+    two rectangles, whose box-clip areas are exact arithmetic.  All
+    coordinates are quarter-integers with box areas a power of two, so
+    every weight is dyadic and ROUND(9) is drift-free."""
+    from spatialdata_spark.geometry.wkb import encode_polygon
+    from spatialdata_spark.operators.aggregate import aggregate_shapes_by_shapes
+    from spatialdata_spark.operators.vectorize import boxes_to_shapes
+
+    part = _read(spark, sf_dir, "part").filter(F.col("p_partkey") < 150).select(
+        F.col("p_partkey").alias("shape_id"),
+        ((F.col("p_partkey") % 10) * 10.0).alias("minx"),
+        (((F.col("p_partkey") * 3) % 8) * 10.0).alias("miny"),
+        ((F.col("p_partkey") % 10) * 10.0 + 8.0).alias("maxx"),
+        (((F.col("p_partkey") * 3) % 8) * 10.0 + 8.0).alias("maxy"),
+    )
+    values = boxes_to_shapes(part)
+    rows = []
+    for k in range(1, 7):
+        ox = ((k * 17) % 80) + 0.25
+        oy = ((k * 23) % 56) + 0.25
+        ring = np.array(
+            [
+                [ox, oy],
+                [ox + 11.5, oy],
+                [ox + 11.5, oy + 3.5],
+                [ox + 3.5, oy + 3.5],
+                [ox + 3.5, oy + 11.5],
+                [ox, oy + 11.5],
+            ]
+        )
+        rows.append(
+            (
+                k,
+                "polygon",
+                bytearray(encode_polygon([ring])),
+                float(ring[:, 0].min()),
+                float(ring[:, 1].min()),
+                float(ring[:, 0].max()),
+                float(ring[:, 1].max()),
+                None,
+            )
+        )
+    by = spark.createDataFrame(
+        rows,
+        "shape_id long, kind string, wkb binary, minx double, miny double, maxx double, maxy double, radius double",
+    )
+    out = aggregate_shapes_by_shapes(
+        values,
+        by,
+        fractions=True,
+        cell_size=30.0,
+        values_kinds=frozenset({"box"}),
+        by_kinds=frozenset({"polygon"}),
+    )
+    return out.select("by_id", F.round(F.col("n"), 9).alias("frac_count"))
+
+
+AG_FRACTIONS_CONCAVE_SQL = """
+WITH v AS (
+  SELECT p_partkey AS v_id,
+         (p_partkey % 10) * 10.0 AS vx0, ((p_partkey * 3) % 8) * 10.0 AS vy0
+  FROM part WHERE p_partkey < 150
+), b AS (
+  SELECT k AS by_id, ((k * 17) % 80) + 0.25 AS ox, ((k * 23) % 56) + 0.25 AS oy
+  FROM generate_series(1, 6) AS g(k)
+), w AS (
+  SELECT by_id,
+    (GREATEST(LEAST(vx0 + 8, ox + 11.5) - GREATEST(vx0, ox), 0)
+       * GREATEST(LEAST(vy0 + 8, oy + 3.5) - GREATEST(vy0, oy), 0)
+     + GREATEST(LEAST(vx0 + 8, ox + 3.5) - GREATEST(vx0, ox), 0)
+       * GREATEST(LEAST(vy0 + 8, oy + 11.5) - GREATEST(vy0, oy + 3.5), 0)) / 64.0 AS w
+  FROM v CROSS JOIN b
+)
+SELECT by_id, ROUND(SUM(w), 9) AS frac_count FROM w WHERE w > 0 GROUP BY by_id
+"""
+
+
 def ag_points_by_darts(spark, sf_dir):
     """Zonal count by CONCAVE polygons — the ray-casting refine inside
     the grid-join aggregation path (boxes/circles take expression fast
@@ -4111,6 +4192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_priority_lines": q12_priority_lines,
         "q20_excess_suppliers": q20_excess_suppliers,
         "q21_waiting_supplier": q21_waiting_supplier,
+        "ag_fractions_concave": ag_fractions_concave,
         "rv_to_circles": rv_to_circles,
         "rv_to_polygons": rv_to_polygons,
         "rv_relabel": rv_relabel,
@@ -4268,6 +4350,7 @@ def oracle_sql() -> dict[str, str]:
         "ag_points_by_boxes": AG_POINTS_BOXES_SQL,
         "ag_points_by_darts": _ag_darts_sql(),
         "ag_fractions": AG_FRACTIONS_SQL,
+        "ag_fractions_concave": AG_FRACTIONS_CONCAVE_SQL,
         "ag_fractions_value": AG_FRACTIONS_VALUE_SQL,
         "ag_centroids_labels": AG_CENTROIDS_SQL,
         "ag_extent": AG_EXTENT_SQL,

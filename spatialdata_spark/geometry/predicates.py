@@ -283,6 +283,30 @@ def intersection_area_convex(subject_rings: list[np.ndarray], clip_ring: np.ndar
     return max(total, 0.0)
 
 
+def intersection_area(subject_rings: list[np.ndarray], clip_rings: list[np.ndarray]) -> float:
+    """Area of subject ∩ clip for ARBITRARY simple clip polygons
+    (reference ``gpd.overlay`` semantics, _core/operations/
+    aggregate.py:428-432): a convex clip exterior goes straight to the
+    Sutherland–Hodgman kernel; a concave one is ear-clipped into
+    interior-disjoint triangles whose per-triangle convex-clip areas
+    sum exactly.  Clip holes subtract the same way (a hole lies inside
+    the exterior, so area(v ∩ clip) = area(v ∩ ext) − Σ area(v ∩ hole))."""
+
+    def against(ring: np.ndarray) -> float:
+        r = ring[:-1] if (ring[0] == ring[-1]).all() else ring
+        if is_convex(r):
+            return intersection_area_convex(subject_rings, r)
+        return sum(
+            intersection_area_convex(subject_rings, tri)
+            for tri in ear_clip_triangulate(r)
+        )
+
+    total = against(clip_rings[0])
+    for hole in clip_rings[1:]:
+        total -= against(hole)
+    return max(total, 0.0)
+
+
 def is_convex(ring: np.ndarray) -> bool:
     r = ring[:-1] if (ring[0] == ring[-1]).all() else ring
     n = len(r)

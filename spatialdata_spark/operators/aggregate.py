@@ -617,11 +617,13 @@ def aggregate_shapes_by_shapes(
 ) -> DataFrame:
     """aggregate(shapes, by=shapes) with optional area-fraction weighting.
 
-    fractions=True: weight = area(v ∩ b) / area(v), computed by the
-    convex-clip kernel (valid for convex ``by`` regions — boxes,
-    circles; the reference uses exact overlay, aggregate.py:428-432).
-    Box×box pairs compute the weight as a pure rectangle-clip
-    expression — no Python in the plan.
+    fractions=True: weight = area(v ∩ b) / area(v) for arbitrary simple
+    ``by`` polygons (the reference's exact-overlay semantics,
+    aggregate.py:428-432): convex exteriors clip directly with
+    Sutherland–Hodgman, concave ones ear-clip into interior-disjoint
+    triangles whose clip areas sum exactly, and holes subtract
+    (geometry.predicates.intersection_area).  Box×box pairs compute the
+    weight as a pure rectangle-clip expression — no Python in the plan.
     """
     # kind discovery is two tiny driver jobs; callers that know their
     # geometry kinds (e.g. all boxes) pass them to skip the round trips
@@ -656,10 +658,12 @@ def aggregate_shapes_by_shapes(
                 if va == 0:
                     out.append(0.0)
                     continue
-                # by-regions are convex per contract; a multi-part "by"
-                # contributes the sum over its (disjoint) parts' exteriors
+                # arbitrary simple by-regions (convex straight to the
+                # Sutherland–Hodgman kernel, concave via ear-clip
+                # triangulation, holes subtract); a multi-part "by"
+                # contributes the sum over its disjoint parts
                 inter = sum(
-                    P.intersection_area_convex(v_rings, b_rings[0])
+                    P.intersection_area(v_rings, b_rings)
                     for v_rings in v_polys
                     for b_rings in b_polys
                 )

@@ -214,3 +214,46 @@ def test_convex_halfplanes_agree_with_ray_casting():
         assert np.array_equal(ray, hp), (ring.tolist(), pts[ray != hp].tolist())
 
     run()
+
+
+def test_intersection_area_concave_clip():
+    """intersection_area over concave clips and clips with holes matches
+    closed-form values (rect decompositions of the same scenes)."""
+    from spatialdata_spark.geometry.predicates import intersection_area
+
+    sq = lambda x0, y0, x1, y1: np.array(
+        [[x0, y0], [x1, y0], [x1, y1], [x0, y1]], dtype=float
+    )
+    # L-shape = [0,12]x[0,4] U [0,4]x[4,12]
+    L = np.array([[0, 0], [12, 0], [12, 4], [4, 4], [4, 12], [0, 12]], dtype=float)
+
+    def rect_clip(b, r):  # [minx,miny,maxx,maxy] pair intersection area
+        ix = max(min(b[2], r[2]) - max(b[0], r[0]), 0.0)
+        iy = max(min(b[3], r[3]) - max(b[1], r[1]), 0.0)
+        return ix * iy
+
+    rng = np.random.default_rng(11)
+    for _ in range(200):
+        x0, y0 = rng.integers(-6, 12, 2).astype(float)
+        w, h = rng.integers(1, 10, 2).astype(float)
+        box = (x0, y0, x0 + w, y0 + h)
+        exp = rect_clip(box, (0, 0, 12, 4)) + rect_clip(box, (0, 4, 4, 12))
+        got = intersection_area([sq(*box)], [L])
+        assert abs(got - exp) < 1e-9, (box, got, exp)
+
+    # concave clip WITH a hole: U-shape exterior minus a square hole
+    U = np.array(
+        [[0, 0], [10, 0], [10, 10], [7, 10], [7, 3], [3, 3], [3, 10], [0, 10]],
+        dtype=float,
+    )
+    hole = sq(1, 1, 2, 2)
+    big = sq(-5, -5, 20, 20)  # covers everything
+    u_area = 10 * 3 + 2 * (3 * 7)  # bottom bar + two towers
+    got = intersection_area([big], [U, hole])
+    assert abs(got - (u_area - 1.0)) < 1e-9
+    # subject partially covering one tower and part of the hole
+    got2 = intersection_area([sq(0, 0, 3.5, 10)], [U, hole])
+    exp2 = rect_clip((0, 0, 3.5, 10), (0, 0, 10, 3)) + rect_clip(
+        (0, 0, 3.5, 10), (0, 3, 3, 10)
+    ) - 1.0
+    assert abs(got2 - exp2) < 1e-9

@@ -124,9 +124,9 @@ def _separator_of(ameta: dict) -> str:
 
 
 def _list_chunk_keys(path: str, sep: str) -> list[tuple[tuple[int, ...], str]]:
-    """All chunk files under an array directory as (grid index, relative
-    file path).  Flat '.'-separated names for sep='.', nested directories
-    for sep='/'."""
+    """All chunk files under a LOCAL array directory as (grid index,
+    relative file path).  Flat '.'-separated names for sep='.', nested
+    directories for sep='/'."""
     out: list[tuple[tuple[int, ...], str]] = []
     if sep == ".":
         for name in os.listdir(path):
@@ -149,6 +149,44 @@ def _list_chunk_keys(path: str, sep: str) -> list[tuple[tuple[int, ...], str]]:
                 except ValueError:
                     continue
                 out.append((nums, rel))
+    return out
+
+
+def _list_chunk_keys_via(fetcher, sep: str) -> list[tuple[tuple[int, ...], str]]:
+    """Chunk keys through the fetcher interface — local directories and
+    listable object stores (s3/gs ListObjects) share this path; the
+    LocalFetcher fast-path keeps the plain os.walk."""
+    from spatialdata_spark.sources.fetch import LocalFetcher
+
+    if isinstance(fetcher, LocalFetcher):
+        return _list_chunk_keys(fetcher.root, sep)
+    out: list[tuple[tuple[int, ...], str]] = []
+    if sep == ".":
+        for name in fetcher.list_dir("") or []:
+            if name.startswith("."):
+                continue
+            try:
+                nums = tuple(int(p) for p in name.split("."))
+            except ValueError:
+                continue
+            out.append((nums, name))
+        return out
+
+    def walk(rel: str) -> None:
+        for name in fetcher.list_dir(rel) or []:
+            if name.startswith("."):
+                continue
+            sub = f"{rel}/{name}" if rel else name
+            try:
+                int(name)
+            except ValueError:
+                continue  # chunk paths are all-integer segments
+            if fetcher.is_dir(sub):
+                walk(sub)
+            else:
+                out.append((tuple(int(p) for p in sub.split("/")), sub))
+
+    walk("")
     return out
 
 
@@ -433,12 +471,12 @@ def read_zarr_tiles(
     keys = []
     if ameta is not None and fetcher.can_list:
         sep = _separator_of(ameta)
-        for nums, rel in _list_chunk_keys(path, sep):
+        for nums, rel in _list_chunk_keys_via(fetcher, sep):
             if two_d and len(nums) == 2:
                 keys.append((0, nums[0], nums[1], rel))
             elif not two_d and len(nums) == 3:
                 keys.append((nums[0], nums[1], nums[2], rel))
-        if not keys and _list_chunk_keys(path, "/" if sep == "." else "."):
+        if not keys and _list_chunk_keys_via(fetcher, "/" if sep == "." else "."):
             raise ValueError(
                 f"no chunks found in {path} with dimension_separator {sep!r}, but "
                 "chunks exist under the other separator — the store's .zarray "

@@ -3837,6 +3837,56 @@ def pl_corpus_stats(spark, sf_dir):
     )
 
 
+def pl_stratified_sample(spark, sf_dir):
+    """Deterministic per-language downsampling (the corpus-mixing
+    primitive): keep iff lehmer(doc_id) % 1000 < rate(lang).  The
+    Park-Miller step keeps products under 2^47 so the arithmetic is
+    exact int64 at any id scale; expression-only, the filter pushes
+    into the scan."""
+    from spatialdata_spark.pipeline.filters import stratified_sample
+
+    out = stratified_sample(
+        _read(spark, sf_dir, "documents"),
+        rates_permille={"en": 250, "de": 500},
+        default_permille=750,
+    )
+    return out.select("doc_id", "lang")
+
+
+PL_STRATIFIED_SAMPLE_SQL = """
+SELECT doc_id, lang FROM documents
+WHERE ((doc_id % 2147483647) * 48271) % 2147483647 % 1000 <
+  CASE WHEN lang = 'en' THEN 250 WHEN lang = 'de' THEN 500 ELSE 750 END
+"""
+
+
+def pl_quota_cap(spark, sf_dir):
+    """Per-(source, lang) quota capping — keep the best N docs of each
+    cell ranked by length with doc_id tiebreak (stops one crawl dump
+    from swamping a training mix).  One window whose partition key is
+    the cell: the natural 1000-executor shuffle."""
+    from spatialdata_spark.pipeline.filters import quota_cap
+
+    out = quota_cap(
+        _read(spark, sf_dir, "documents"),
+        quotas={"en": 5, "fr": 2},
+        default_quota=3,
+    )
+    return out.select("doc_id", "source", "lang")
+
+
+PL_QUOTA_CAP_SQL = """
+WITH r AS (
+  SELECT doc_id, source, lang,
+         ROW_NUMBER() OVER (PARTITION BY source, lang
+                            ORDER BY LENGTH(text) DESC, doc_id ASC) AS rk
+  FROM documents
+)
+SELECT doc_id, source, lang FROM r
+WHERE rk <= CASE WHEN lang = 'en' THEN 5 WHEN lang = 'fr' THEN 2 ELSE 3 END
+"""
+
+
 PL_CORPUS_STATS_SQL = r"""
 SELECT source, lang, COUNT(*) AS n_docs,
        COUNT(DISTINCT md5(text)) AS n_distinct,
@@ -4193,6 +4243,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_excess_suppliers": q20_excess_suppliers,
         "q21_waiting_supplier": q21_waiting_supplier,
         "ag_fractions_concave": ag_fractions_concave,
+        "pl_stratified_sample": pl_stratified_sample,
+        "pl_quota_cap": pl_quota_cap,
         "rv_to_circles": rv_to_circles,
         "rv_to_polygons": rv_to_polygons,
         "rv_relabel": rv_relabel,
@@ -4351,6 +4403,8 @@ def oracle_sql() -> dict[str, str]:
         "ag_points_by_darts": _ag_darts_sql(),
         "ag_fractions": AG_FRACTIONS_SQL,
         "ag_fractions_concave": AG_FRACTIONS_CONCAVE_SQL,
+        "pl_stratified_sample": PL_STRATIFIED_SAMPLE_SQL,
+        "pl_quota_cap": PL_QUOTA_CAP_SQL,
         "ag_fractions_value": AG_FRACTIONS_VALUE_SQL,
         "ag_centroids_labels": AG_CENTROIDS_SQL,
         "ag_extent": AG_EXTENT_SQL,

@@ -210,3 +210,67 @@ def corpus_stats(
             F.avg(n_tok).alias("mean_tokens"),
         )
     )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates_permille: dict[str, int],
+    default_permille: int = 1000,
+    stream_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-stream downsampling to target rates — the
+    data-mixing primitive of corpus assembly (language/source
+    rebalancing before training).
+
+    A document is kept iff ``lehmer(id) % 1000 < rate_permille`` for
+    its stream: the Lehmer/Park-Miller step ``(id % (2^31-1)) * 48271
+    % (2^31-1)`` is a full-period multiplicative hash whose products
+    stay under 2^47, so the arithmetic is exact int64 at ANY id scale
+    (a 2^32-sized multiplier would overflow int64 once ids pass 2^31).
+    Expression-only, no shuffle at all — the filter composes with the
+    scan and pushes into the parquet read of a 100 TB corpus; the
+    rates map enters the plan as a literal CASE, not a join.
+    """
+    m = F.lit(2147483647)
+    state = (F.col(id_col) % m) * F.lit(48271) % m
+    bucket = state % F.lit(1000)
+    rate = F.lit(default_permille)
+    for k, v in sorted(rates_permille.items()):
+        rate = F.when(F.col(stream_col) == k, F.lit(int(v))).otherwise(rate)
+    return docs.withColumn("__bucket", bucket).filter(F.col("__bucket") < rate).drop(
+        "__bucket"
+    )
+
+
+def quota_cap(
+    docs: DataFrame,
+    quotas: dict[str, int],
+    default_quota: int,
+    stream_col: str = "lang",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-(group, stream) quota capping: keep the best ``quota`` docs
+    of each (source, lang) cell, ranked by length (the stand-in for a
+    quality score) with id as the deterministic tiebreak — the mixing
+    knob that stops one crawl dump from swamping a training mix.
+
+    One window over ``(group, stream)``: the shuffle key is the cell,
+    partials combine map-side, and cells are independent — the same
+    partitioning a 1000-executor run wants.  Adding the real quality
+    column changes only the ORDER BY."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col, stream_col).orderBy(
+        F.length(F.col(text_col)).desc(), F.col(id_col).asc()
+    )
+    quota = F.lit(int(default_quota))
+    for k, v in sorted(quotas.items()):
+        quota = F.when(F.col(stream_col) == k, F.lit(int(v))).otherwise(quota)
+    return (
+        docs.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= quota)
+        .drop("__rank")
+    )

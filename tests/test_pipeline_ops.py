@@ -632,3 +632,47 @@ def test_multiprobe_improves_recall_over_single_probe(spark):
     assert mp == home
     rows_per_vec = multiprobe_hyperplane_buckets(emb, n_probes=3).count()
     assert rows_per_vec == 3 * n
+
+
+def test_stratified_sample_deterministic_and_rated(spark):
+    from spatialdata_spark.pipeline.filters import stratified_sample
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 3 == 0 else "de", f"doc {i}") for i in range(3000)],
+        ["doc_id", "lang", "text"],
+    )
+    kept = stratified_sample(docs, {"en": 200, "de": 800}).select("doc_id", "lang")
+    a = sorted(r["doc_id"] for r in kept.collect())
+    b = sorted(r["doc_id"] for r in kept.collect())
+    assert a == b  # deterministic, not RNG sampling
+    by_lang = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # Lehmer buckets are uniform: rates land near target (binomial 5-sigma)
+    assert abs(by_lang["en"] / 1000 - 0.2) < 0.07
+    assert abs(by_lang["de"] / 2000 - 0.8) < 0.05
+    # ids far past 2^31 must not overflow the arithmetic
+    big = spark.createDataFrame(
+        [(2**40 + i, "en", "x") for i in range(10)], ["doc_id", "lang", "text"]
+    )
+    stratified_sample(big, {"en": 500}).collect()  # no overflow / no raise
+
+
+def test_quota_cap_keeps_best_per_cell(spark):
+    from spatialdata_spark.pipeline.filters import quota_cap
+
+    docs = spark.createDataFrame(
+        [
+            (1, "s0", "en", "aaaaaa"),
+            (2, "s0", "en", "bbbb"),
+            (3, "s0", "en", "cc"),
+            (4, "s0", "de", "dddd"),
+            (5, "s0", "de", "ee"),
+            (6, "s1", "en", "f"),
+        ],
+        ["doc_id", "source", "lang", "text"],
+    )
+    kept = sorted(
+        (r["source"], r["lang"], r["doc_id"])
+        for r in quota_cap(docs, quotas={"en": 2}, default_quota=1).collect()
+    )
+    # en cells keep their 2 longest, de keeps 1, s1/en keeps its only doc
+    assert kept == [("s0", "de", 4), ("s0", "en", 1), ("s0", "en", 2), ("s1", "en", 6)]

@@ -262,14 +262,43 @@ class _HufTable:
             raise ValueError("zstd: Huffman table fill mismatch")
 
     def decode_stream(self, bits: _BackwardBits, n_out: int) -> bytes:
+        """Decode ``n_out`` literals from one backward stream.  The
+        per-symbol loop is the decoder's hot path (literal-heavy data is
+        one symbol per output byte), so the bit reads are inlined over a
+        sliding 16-byte window instead of going through
+        ``_BackwardBits.read`` — same semantics incl. zero-padded
+        overdraw, ~10x fewer Python ops per symbol."""
         out = bytearray(n_out)
         mask = (1 << self.max_bits) - 1
-        state = bits.read(self.max_bits)
         symbols, lengths = self.symbols, self.lengths
+        buf = bits.buf
+        pos = bits.pos - self.max_bits
+        # window covers bits [base, base + 128); refill keeps pos-11 >= base
+        base = max(0, (pos >> 3) - 8) << 3
+        win = int.from_bytes(buf[base >> 3 : (base >> 3) + 16], "little")
+        if pos >= 0:
+            state = (win >> (pos - base)) & mask
+        else:
+            state = bits.read(self.max_bits)  # degenerate tiny stream
+            pos = bits.pos
         for i in range(n_out):
             out[i] = symbols[state]
             nb = lengths[state]
-            state = ((state << nb) | bits.read(nb)) & mask
+            pos -= nb
+            if pos < base:
+                if pos < 0:
+                    # overdraw: the generic reader zero-pads below (the
+                    # padding property keeps the final symbols correct)
+                    bits.pos = pos + nb
+                    state = ((state << nb) | bits.read(nb)) & mask
+                    pos = bits.pos
+                    base = 0
+                    win = int.from_bytes(buf[0:16], "little")
+                    continue
+                base = max(0, (pos >> 3) - 8) << 3
+                win = int.from_bytes(buf[base >> 3 : (base >> 3) + 16], "little")
+            state = ((state << nb) | ((win >> (pos - base)) & ((1 << nb) - 1))) & mask
+        bits.pos = pos
         return bytes(out)
 
 

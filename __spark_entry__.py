@@ -4120,6 +4120,83 @@ UNION ALL SELECT 3, (SELECT COUNT(*) FROM p)
 """
 
 
+def st_asof_attrib(spark, sf_dir):
+    """As-of join (most-recent-prior attribution): each purchase
+    attaches the latest view by the same user at or before it.  The
+    Spark plan is NOT a join: both sides union into one stream and a
+    single window over (user, ts, side) carries the latest view
+    forward — one shuffle on the user key, no build side, no skew
+    amplification.  Oracle: DuckDB's native ASOF LEFT JOIN."""
+    from spatialdata_spark.operators.temporal import asof_join
+
+    ev = _events(spark, sf_dir)
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_id"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(purchases, views, keys=["user_id"], ts_col="ts", right_payload=["view_id"])
+    p_ts = F.unix_timestamp("ts")
+    v_ts = F.unix_timestamp("asof_ts")
+    return out.select(
+        "event_id",
+        "user_id",
+        p_ts.alias("p_ts"),
+        v_ts.alias("v_ts"),
+        F.col("r_view_id").alias("view_id"),
+        (p_ts - v_ts).alias("lag_sec"),
+    )
+
+
+ST_ASOF_ATTRIB_SQL = """
+WITH v AS (
+  SELECT user_id, ts, MAX(event_id) AS view_id
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+), p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id,
+       epoch_us(p.ts) // 1000000 AS p_ts,
+       epoch_us(v.ts) // 1000000 AS v_ts,
+       v.view_id,
+       epoch_us(p.ts) // 1000000 - epoch_us(v.ts) // 1000000 AS lag_sec
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+
+def st_interval_conversions(spark, sf_dir):
+    """Banded interval (range) join: every (view, purchase) pair by the
+    same user with the purchase inside one day after the view.  The
+    left side explodes to its two touchable day-buckets, the join is a
+    plain equi-join on (user, bucket), the exact microsecond predicate
+    refines — work proportional to true pair density, never |L|x|R|
+    per user.  Oracle: DuckDB inequality join (IEJoin)."""
+    from spatialdata_spark.operators.temporal import interval_join
+
+    ev = _events(spark, sf_dir)
+    views = ev.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    out = interval_join(views, purchases, keys=["user_id"], ts_col="ts", width_seconds=86400)
+    return out.select(
+        "user_id",
+        F.col("l_event_id").alias("view_id"),
+        F.col("r_event_id").alias("purchase_id"),
+        "gap_sec",
+    )
+
+
+ST_INTERVAL_CONVERSIONS_SQL = """
+SELECT a.user_id, a.event_id AS view_id, b.event_id AS purchase_id,
+       (epoch_us(b.ts) - epoch_us(a.ts)) // 1000000 AS gap_sec
+FROM events a JOIN events b ON a.user_id = b.user_id
+WHERE a.event_type = 'view' AND b.event_type = 'purchase'
+  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 DAY
+"""
+
+
 def st_retention(spark, sf_dir):
     """Cohort retention: users grouped by first-seen day; distinct
     active users per (cohort_day, day_offset) for the first week.
@@ -4245,6 +4322,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ag_fractions_concave": ag_fractions_concave,
         "pl_stratified_sample": pl_stratified_sample,
         "pl_quota_cap": pl_quota_cap,
+        "st_asof_attrib": st_asof_attrib,
+        "st_interval_conversions": st_interval_conversions,
         "rv_to_circles": rv_to_circles,
         "rv_to_polygons": rv_to_polygons,
         "rv_relabel": rv_relabel,
@@ -4405,6 +4484,8 @@ def oracle_sql() -> dict[str, str]:
         "ag_fractions_concave": AG_FRACTIONS_CONCAVE_SQL,
         "pl_stratified_sample": PL_STRATIFIED_SAMPLE_SQL,
         "pl_quota_cap": PL_QUOTA_CAP_SQL,
+        "st_asof_attrib": ST_ASOF_ATTRIB_SQL,
+        "st_interval_conversions": ST_INTERVAL_CONVERSIONS_SQL,
         "ag_fractions_value": AG_FRACTIONS_VALUE_SQL,
         "ag_centroids_labels": AG_CENTROIDS_SQL,
         "ag_extent": AG_EXTENT_SQL,

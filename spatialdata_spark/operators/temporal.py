@@ -1,0 +1,141 @@
+"""Temporal joins Spark lacks as built-ins: as-of (most-recent-prior)
+and banded interval (range) joins.
+
+Both are classic event-pipeline operators (session attribution,
+conversion windows, feature look-back joins).  Neither exists in the
+reference (spatialdata has no event-time model) — they extend the
+engine's streaming/event family the same way the dedup/ANN operators
+extend its table family, and both have exact relational oracles
+(DuckDB ``ASOF JOIN`` / inequality join).
+
+Scale shapes:
+
+* ``asof_join`` is NOT a join at all in the plan: both sides union
+  into one stream and a single window over ``(keys..., ts, side)``
+  carries the latest right-side value forward.  One shuffle on the
+  key — the same partitioning a 1000-executor backfill wants, with no
+  build side to blow up and no skew amplification beyond the key's own
+  row count.
+* ``interval_join`` is the banded range join: the left side explodes
+  to the (at most two) ``width``-sized time buckets its window can
+  touch, the join is an equi-join on ``(keys..., bucket)``, and the
+  exact range predicate refines after.  Work is proportional to true
+  pair density per bucket, never |L|x|R| per key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    right_payload: list[str] | None = None,
+    strict: bool = False,
+) -> DataFrame:
+    """For every left row, attach the latest right row with the same
+    keys and ``right.ts <= left.ts`` (``<`` when ``strict``).
+
+    Matches DuckDB ``l ASOF LEFT JOIN r ON keys AND l.ts >= r.ts``.
+    Right rows should be unique per ``(keys, ts)`` — pre-aggregate the
+    right side if not, exactly as a deterministic ASOF requires.
+    Output: every left column, plus ``asof_ts`` (the matched right
+    timestamp, null when no match) and the requested right payload
+    columns (null when no match).
+    """
+    right_payload = right_payload or []
+    # side 0 sorts before side 1 at equal ts -> inclusive semantics;
+    # strict mode sorts right rows AFTER left rows at the same instant
+    r_side, l_side = (1, 0) if strict else (0, 1)
+    lcols = [c for c in left.columns]
+    r = right.select(
+        *[F.col(k) for k in keys],
+        F.col(ts_col).alias("__ts"),
+        F.lit(r_side).alias("__side"),
+        F.col(ts_col).alias("__asof_ts"),
+        *[F.col(c).alias(f"__rp_{c}") for c in right_payload],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}") for c in lcols],
+    )
+    l = left.select(
+        *[F.col(k) for k in keys],
+        F.col(ts_col).alias("__ts"),
+        F.lit(l_side).alias("__side"),
+        F.lit(None).cast(right.schema[ts_col].dataType).alias("__asof_ts"),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"__rp_{c}")
+            for c in right_payload
+        ],
+        *[F.col(c).alias(f"__l_{c}") for c in lcols],
+    )
+    u = l.unionByName(r)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.select(
+        "*",
+        F.last("__asof_ts", ignorenulls=True).over(w).alias("__m_ts"),
+        *[
+            F.last(f"__rp_{c}", ignorenulls=True).over(w).alias(f"__m_{c}")
+            for c in right_payload
+        ],
+    )
+    out = carried.filter(F.col("__side") == l_side).select(
+        *[F.col(f"__l_{c}").alias(c) for c in lcols],
+        F.col("__m_ts").alias("asof_ts"),
+        *[F.col(f"__m_{c}").alias(f"r_{c}") for c in right_payload],
+    )
+    return out
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    width_seconds: int = 86400,
+    left_prefix: str = "l_",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """All pairs with equal keys and ``left.ts <= right.ts <=
+    left.ts + width_seconds`` — the bounded-lookahead range join
+    (conversion windows, label look-forward).
+
+    Banded plan: a right row at epoch ``t`` lives in bucket
+    ``t // width``; a left window ``[t0, t0 + width]`` can only touch
+    buckets ``t0 // width`` and ``t0 // width + 1``, so the left side
+    explodes x2, the join is a plain equi-join on ``(keys, bucket)``,
+    and the exact predicate refines.  Output carries every column of
+    both sides under the given prefixes plus ``gap_sec``.
+    """
+    # microsecond arithmetic throughout: the range predicate must agree
+    # with full-precision timestamp comparison, not second truncation
+    wus = int(width_seconds) * 1_000_000
+    lb = (F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(wus)).cast("long")
+    l = left.select(
+        *[F.col(k) for k in keys],
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__lt"),
+        *[F.col(c).alias(f"{left_prefix}{c}") for c in left.columns],
+        F.explode(F.array(lb, lb + 1)).alias("__bucket"),
+    )
+    r = right.select(
+        *[F.col(k) for k in keys],
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__rt"),
+        (F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(wus)).cast("long").alias("__bucket"),
+        *[F.col(c).alias(f"{right_prefix}{c}") for c in right.columns],
+    )
+    joined = l.join(r, [*keys, "__bucket"]).filter(
+        (F.col("__rt") >= F.col("__lt")) & (F.col("__rt") <= F.col("__lt") + F.lit(wus))
+    )
+    return joined.select(
+        *keys,
+        *[f"{left_prefix}{c}" for c in left.columns],
+        *[f"{right_prefix}{c}" for c in right.columns],
+        F.floor((F.col("__rt") - F.col("__lt")) / F.lit(1_000_000)).cast("long").alias("gap_sec"),
+    )

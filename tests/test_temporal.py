@@ -1,0 +1,63 @@
+"""asof_join / interval_join semantics on hand-built event tables."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from spatialdata_spark.operators.temporal import asof_join, interval_join
+
+
+def _t(s):
+    return datetime.datetime(2024, 1, 1, 0, 0, s)
+
+
+def test_asof_inclusive_strict_and_no_match(spark):
+    left = spark.createDataFrame(
+        [(1, 10, _t(5)), (2, 10, _t(20)), (3, 11, _t(3)), (4, 12, _t(9))],
+        ["event_id", "user_id", "ts"],
+    )
+    right = spark.createDataFrame(
+        [(100, 10, _t(5)), (101, 10, _t(15)), (102, 11, _t(7))],
+        ["view_id", "user_id", "ts"],
+    )
+    out = {
+        r["event_id"]: r
+        for r in asof_join(left, right, keys=["user_id"], right_payload=["view_id"]).collect()
+    }
+    # inclusive: equal timestamps match (event 1 at t=5 sees view at t=5)
+    assert out[1]["r_view_id"] == 100
+    assert out[2]["r_view_id"] == 101  # latest prior, not first
+    assert out[3]["r_view_id"] is None  # right row is later -> no match
+    assert out[3]["asof_ts"] is None
+    assert out[4]["r_view_id"] is None  # user with no right rows at all
+    strict = {
+        r["event_id"]: r
+        for r in asof_join(
+            left, right, keys=["user_id"], right_payload=["view_id"], strict=True
+        ).collect()
+    }
+    assert strict[1]["r_view_id"] is None  # strict: equal ts does NOT match
+    assert strict[2]["r_view_id"] == 101
+
+
+def test_interval_join_boundaries_and_bucket_crossing(spark):
+    width = 10  # seconds
+    left = spark.createDataFrame([(1, 7, _t(8))], ["id", "user_id", "ts"])
+    right = spark.createDataFrame(
+        [
+            (20, 7, _t(7)),   # before the window
+            (21, 7, _t(8)),   # exactly at start (inclusive)
+            (22, 7, _t(13)),  # inside, in the NEXT 10s bucket (8 -> bucket 0; 13 -> bucket 1)
+            (23, 7, _t(18)),  # exactly at end (inclusive)
+            (24, 7, _t(19)),  # past the window
+            (25, 8, _t(9)),   # other key
+        ],
+        ["id", "user_id", "ts"],
+    )
+    out = interval_join(left, right, keys=["user_id"], width_seconds=width)
+    got = sorted((r["r_id"], r["gap_sec"]) for r in out.collect())
+    assert got == [(21, 0), (22, 5), (23, 10)]
+    # no duplicate pairs from the 2-bucket explode
+    assert out.count() == out.select("l_id", "r_id").distinct().count()

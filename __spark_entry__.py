@@ -3887,6 +3887,47 @@ WHERE rk <= CASE WHEN lang = 'en' THEN 5 WHEN lang = 'fr' THEN 2 ELSE 3 END
 """
 
 
+def pl_bm25(spark, sf_dir):
+    """Okapi BM25 relevance against a fixed seed-term set (the published
+    Robertson-Walker function) — quality scoring of a crawl against
+    curation seeds.  Token explode filters to the terms BEFORE any
+    shuffle; document frequencies broadcast; corpus constants are a
+    1-row cross join.  The oracle mirrors the arithmetic operation for
+    operation (same literals, same association), so ROUND(6) only has
+    to absorb the engines' ln() last-ulp difference."""
+    from spatialdata_spark.pipeline.textstats import bm25_scores
+
+    out = bm25_scores(
+        _read(spark, sf_dir, "documents"), ["join", "spark", "vector"], k1=1.2, b=0.75
+    )
+    return out.select("doc_id", F.round("score", 6).alias("score"))
+
+
+PL_BM25_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         string_split_regex(LOWER(TRIM(text)), '\s+') AS toks,
+         CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+              ELSE LEN(string_split_regex(LOWER(TRIM(text)), '\s+')) END AS len
+  FROM documents
+),
+stats AS (SELECT COUNT(*) AS n, AVG(len) AS avgdl FROM base),
+tf AS (
+  SELECT doc_id, len, w AS t, COUNT(*) AS tf
+  FROM (SELECT doc_id, len, UNNEST(toks) AS w FROM base)
+  WHERE w IN ('join', 'spark', 'vector')
+  GROUP BY 1, 2, 3
+),
+df AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY 1)
+SELECT tf.doc_id,
+       ROUND(SUM(LN((n - df + 0.5) / (df + 0.5) + 1.0)
+                 * (tf * (1.2 + 1.0))
+                 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * len / avgdl))), 6) AS score
+FROM tf JOIN df USING (t), stats
+GROUP BY 1
+"""
+
+
 PL_CORPUS_STATS_SQL = r"""
 SELECT source, lang, COUNT(*) AS n_docs,
        COUNT(DISTINCT md5(text)) AS n_distinct,
@@ -4324,6 +4365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pl_quota_cap": pl_quota_cap,
         "st_asof_attrib": st_asof_attrib,
         "st_interval_conversions": st_interval_conversions,
+        "pl_bm25": pl_bm25,
         "rv_to_circles": rv_to_circles,
         "rv_to_polygons": rv_to_polygons,
         "rv_relabel": rv_relabel,
@@ -4486,6 +4528,7 @@ def oracle_sql() -> dict[str, str]:
         "pl_quota_cap": PL_QUOTA_CAP_SQL,
         "st_asof_attrib": ST_ASOF_ATTRIB_SQL,
         "st_interval_conversions": ST_INTERVAL_CONVERSIONS_SQL,
+        "pl_bm25": PL_BM25_SQL,
         "ag_fractions_value": AG_FRACTIONS_VALUE_SQL,
         "ag_centroids_labels": AG_CENTROIDS_SQL,
         "ag_extent": AG_EXTENT_SQL,

@@ -147,3 +147,61 @@ def vocab_topk(
         .orderBy(F.desc("tf"), F.asc("token"))
         .limit(k)
     )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 relevance of every document against a fixed query
+    term set (Robertson & Walker's published ranking function) — the
+    seed-based curation primitive: score a 100 TB crawl against a
+    handful of quality-seed terms and keep the tail above a threshold.
+
+    Plan: one token explode filtered to the query terms (the filter
+    collapses the exploded volume to |terms|-matched rows BEFORE any
+    shuffle), one (doc, term) count with map-side combine, document
+    frequencies as a |terms|-row broadcast, and the corpus constants
+    (N, avgdl) as a 1-row cross join.  No UDFs, no full-vocabulary
+    aggregate — work is bounded by query-term hits, not corpus tokens.
+
+    Output: ``(doc_id, score)`` for documents matching >=1 term.
+    """
+    from spatialdata_spark.pipeline.filters import word_tokens
+
+    terms = sorted(set(query_terms))
+    toks = word_tokens(text_col)
+    base = docs.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.when(F.length(F.trim(F.col(text_col))) == 0, 0)
+        .otherwise(F.size(toks))
+        .alias("__len"),
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("__n"), F.avg("__len").alias("__avgdl")
+    )
+    hits = base.select(
+        id_col, "__len", F.explode("__toks").alias("__t")
+    ).filter(F.col("__t").isin(terms))
+    tf = hits.groupBy(id_col, "__len", "__t").agg(F.count(F.lit(1)).alias("__tf"))
+    df = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+    scored = (
+        tf.join(F.broadcast(df), "__t")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "__idf",
+            F.log((F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5) + 1.0),
+        )
+        .withColumn(
+            "__s",
+            F.col("__idf")
+            * (F.col("__tf") * (k1 + 1.0))
+            / (F.col("__tf") + k1 * (1.0 - b + b * F.col("__len") / F.col("__avgdl"))),
+        )
+    )
+    return scored.groupBy(id_col).agg(F.sum("__s").alias("score"))

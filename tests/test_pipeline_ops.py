@@ -676,3 +676,23 @@ def test_quota_cap_keeps_best_per_cell(spark):
     )
     # en cells keep their 2 longest, de keeps 1, s1/en keeps its only doc
     assert kept == [("s0", "de", 4), ("s0", "en", 1), ("s0", "en", 2), ("s1", "en", 6)]
+
+
+def test_bm25_ranks_rare_terms_and_tf(spark):
+    from spatialdata_spark.pipeline.textstats import bm25_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "rare common common common"),
+            (2, "common common common common"),
+            (3, "common rare rare other other"),
+            (4, "other other other other"),
+        ],
+        ["doc_id", "text"],
+    )
+    s = {r["doc_id"]: r["score"] for r in bm25_scores(docs, ["rare", "common"]).collect()}
+    assert 4 not in s  # no query term -> no row
+    # the rare term's idf dominates: both rare-bearing docs outrank the
+    # common-only doc (doc 1 edges doc 3 on length normalization)
+    assert s[1] > s[2] and s[3] > s[2]
+    assert s[2] > 0  # common-only still scores (idf small but positive)

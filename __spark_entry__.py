@@ -3887,6 +3887,37 @@ WHERE rk <= CASE WHEN lang = 'en' THEN 5 WHEN lang = 'fr' THEN 2 ELSE 3 END
 """
 
 
+def pl_lev_neardup(spark, sf_dir):
+    """Edit-distance near-dup pairs on 60-char prefixes with lossless
+    length blocking (same lang, adjacent 20-char length buckets —
+    a pair under the distance threshold cannot differ in length by
+    more, so blocking drops nothing).  levenshtein runs JVM-side; the
+    oracle uses DuckDB's identical implementation."""
+    from spatialdata_spark.pipeline.dedup import levenshtein_neardup
+
+    out = levenshtein_neardup(
+        _read(spark, sf_dir, "documents"),
+        max_distance=10,
+        prefix_chars=60,
+        bucket_chars=20,
+    )
+    return out.select("id_a", "id_b", F.col("distance").cast("long").alias("distance"))
+
+
+PL_LEV_NEARDUP_SQL = """
+WITH base AS (
+  SELECT doc_id, lang, SUBSTRING(text, 1, 60) AS pre,
+         CAST(FLOOR(LENGTH(SUBSTRING(text, 1, 60)) / 20.0) AS BIGINT) AS b
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+       CAST(levenshtein(a.pre, b2.pre) AS BIGINT) AS distance
+FROM base a JOIN base b2
+  ON a.lang = b2.lang AND a.doc_id < b2.doc_id AND ABS(a.b - b2.b) <= 1
+WHERE levenshtein(a.pre, b2.pre) <= 10
+"""
+
+
 def pl_bm25(spark, sf_dir):
     """Okapi BM25 relevance against a fixed seed-term set (the published
     Robertson-Walker function) — quality scoring of a crawl against
@@ -3925,6 +3956,39 @@ SELECT tf.doc_id,
                  / (tf + 1.2 * (1.0 - 0.75 + 0.75 * len / avgdl))), 6) AS score
 FROM tf JOIN df USING (t), stats
 GROUP BY 1
+"""
+
+
+def pl_chunk_overlap(spark, sf_dir):
+    """Sliding-window token chunking with overlap (context-window prep):
+    chunk i covers tokens [i*96, i*96+128).  Expression-only and narrow
+    on the document — no shuffle anywhere in the plan."""
+    from spatialdata_spark.pipeline.filters import chunk_with_overlap
+
+    return chunk_with_overlap(
+        _read(spark, sf_dir, "documents"), chunk_tokens=128, stride=96
+    )
+
+
+PL_CHUNK_OVERLAP_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         string_split_regex(LOWER(TRIM(text)), '\s+') AS toks,
+         CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+              ELSE LEN(string_split_regex(LOWER(TRIM(text)), '\s+')) END AS n
+  FROM documents
+)
+, chunks AS (
+  SELECT doc_id, toks, n,
+         UNNEST(generate_series(0, CAST(FLOOR((n - 1) / 96.0) AS BIGINT))) AS ci
+  FROM base WHERE n > 0
+)
+SELECT doc_id,
+       ci AS chunk_idx,
+       ci * 96 AS start_tok,
+       CAST(LEAST(128, n - ci * 96) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(toks[ci * 96 + 1 : ci * 96 + LEAST(128, n - ci * 96)], ' ') AS chunk_text
+FROM chunks
 """
 
 
@@ -4366,6 +4430,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_asof_attrib": st_asof_attrib,
         "st_interval_conversions": st_interval_conversions,
         "pl_bm25": pl_bm25,
+        "pl_chunk_overlap": pl_chunk_overlap,
+        "pl_lev_neardup": pl_lev_neardup,
         "rv_to_circles": rv_to_circles,
         "rv_to_polygons": rv_to_polygons,
         "rv_relabel": rv_relabel,
@@ -4529,6 +4595,8 @@ def oracle_sql() -> dict[str, str]:
         "st_asof_attrib": ST_ASOF_ATTRIB_SQL,
         "st_interval_conversions": ST_INTERVAL_CONVERSIONS_SQL,
         "pl_bm25": PL_BM25_SQL,
+        "pl_chunk_overlap": PL_CHUNK_OVERLAP_SQL,
+        "pl_lev_neardup": PL_LEV_NEARDUP_SQL,
         "ag_fractions_value": AG_FRACTIONS_VALUE_SQL,
         "ag_centroids_labels": AG_CENTROIDS_SQL,
         "ag_extent": AG_EXTENT_SQL,

@@ -720,3 +720,55 @@ def exact_dedup_cross(
     return corpus.withColumn("__digest", digest(text_col)).join(
         F.broadcast(ref_digests), "__digest", "left_anti"
     ).drop("__digest")
+
+
+def levenshtein_neardup(
+    docs: DataFrame,
+    max_distance: int = 10,
+    prefix_chars: int = 60,
+    bucket_chars: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Edit-distance near-duplicate pairs on document prefixes with
+    length blocking — the title/short-text dedup everybody runs where
+    shingle methods are too coarse.
+
+    Contract (stated, not approximated): candidates are pairs in the
+    same language whose prefix-length buckets (``len // bucket_chars``)
+    differ by at most one; a true near-dup pair with an edit distance
+    ``<= max_distance <= bucket_chars`` can differ in length by at most
+    ``max_distance``, so it always lands within adjacent buckets — the
+    blocking loses nothing under the threshold.  The join is an
+    equi-join on ``(lang, bucket)`` with the right side exploded to its
+    two buckets; ``levenshtein`` (JVM-side, same function DuckDB ships)
+    refines.  Work is Σ per-block², never corpus².
+
+    Output: ``(id_a, id_b, distance)`` with ``id_a < id_b``.
+    """
+    if max_distance > bucket_chars:
+        raise ValueError("blocking is lossless only for max_distance <= bucket_chars")
+    pre = F.substring(F.col(text_col), 1, prefix_chars)
+    base = docs.select(
+        F.col(id_col).alias("__id"),
+        F.col(lang_col).alias("__lang"),
+        pre.alias("__pre"),
+        F.floor(F.length(pre) / bucket_chars).cast("long").alias("__b"),
+    )
+    l = base.select(
+        F.col("__lang"), F.col("__b").alias("__jb"),
+        F.col("__id").alias("id_l"), F.col("__pre").alias("pre_l"),
+    )
+    r = base.select(
+        F.col("__lang"),
+        F.explode(F.array(F.col("__b"), F.col("__b") + 1)).alias("__jb"),
+        F.col("__id").alias("id_r"), F.col("__pre").alias("pre_r"),
+    )
+    cand = l.join(r, ["__lang", "__jb"]).filter(F.col("id_l") != F.col("id_r"))
+    pairs = cand.select(
+        F.least("id_l", "id_r").alias("id_a"),
+        F.greatest("id_l", "id_r").alias("id_b"),
+        F.levenshtein("pre_l", "pre_r").alias("distance"),
+    ).filter(F.col("distance") <= max_distance)
+    return pairs.distinct()

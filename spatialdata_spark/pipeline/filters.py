@@ -274,3 +274,49 @@ def quota_cap(
         .filter(F.col("__rank") <= quota)
         .drop("__rank")
     )
+
+
+def chunk_with_overlap(
+    docs: DataFrame,
+    chunk_tokens: int = 128,
+    stride: int = 96,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window chunking of each document's token stream
+    (context-window preparation with overlap, the RAG/training-prep
+    primitive): chunk ``i`` covers tokens ``[i*stride, i*stride +
+    chunk_tokens)``; the last chunk may be short; empty docs emit no
+    chunks.
+
+    Expression-only — a ``sequence`` of chunk starts exploded per
+    document, narrow on the document (no shuffle at all), so it
+    composes with the scan of an arbitrarily large corpus.  Emits
+    ``(doc_id, chunk_idx, start_tok, n_chunk_tokens, chunk_text)``.
+    """
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    toks = word_tokens(text_col)
+    n = F.when(F.length(F.trim(F.col(text_col))) == 0, 0).otherwise(F.size(toks))
+    base = docs.select(F.col(id_col), toks.alias("__toks"), n.alias("__n"))
+    # chunk starts: 0, stride, ... up to the last start < n
+    n_chunks = F.when(F.col("__n") <= 0, 0).otherwise(
+        F.floor((F.col("__n") - 1) / stride) + 1
+    )
+    out = base.filter(F.col("__n") > 0).select(
+        id_col,
+        "__toks",
+        "__n",
+        F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))).alias("chunk_idx"),
+    )
+    start = (F.col("chunk_idx") * stride).cast("long")
+    size = F.least(F.lit(chunk_tokens).cast("long"), F.col("__n") - start)
+    return out.select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        start.alias("start_tok"),
+        size.alias("n_chunk_tokens"),
+        F.concat_ws(
+            " ", F.slice("__toks", (start + 1).cast("int"), size.cast("int"))
+        ).alias("chunk_text"),
+    )

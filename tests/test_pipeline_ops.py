@@ -696,3 +696,45 @@ def test_bm25_ranks_rare_terms_and_tf(spark):
     # common-only doc (doc 1 edges doc 3 on length normalization)
     assert s[1] > s[2] and s[3] > s[2]
     assert s[2] > 0  # common-only still scores (idf small but positive)
+
+
+def test_chunk_with_overlap_windows(spark):
+    from spatialdata_spark.pipeline.filters import chunk_with_overlap
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, "a b"), (3, "")],
+        ["doc_id", "text"],
+    )
+    rows = {
+        (r["doc_id"], r["chunk_idx"]): r
+        for r in chunk_with_overlap(docs, chunk_tokens=4, stride=3).collect()
+    }
+    # doc 1: starts 0,3,6,9 -> 4 chunks, last is 1 token
+    assert [rows[(1, i)]["start_tok"] for i in range(4)] == [0, 3, 6, 9]
+    assert rows[(1, 0)]["chunk_text"] == "t0 t1 t2 t3"
+    assert rows[(1, 3)]["chunk_text"] == "t9"
+    assert rows[(1, 3)]["n_chunk_tokens"] == 1
+    assert rows[(2, 0)]["chunk_text"] == "a b"
+    assert (3, 0) not in rows  # empty doc emits nothing
+
+
+def test_levenshtein_neardup_blocking_is_lossless(spark):
+    from spatialdata_spark.pipeline.dedup import levenshtein_neardup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "the quick brown fox jumps"),
+            (2, "en", "the quick brown fox jumped"),   # distance 2
+            (3, "en", "completely different sentence"),
+            (4, "de", "the quick brown fox jumps"),    # other lang: never paired
+            (5, "en", "the quick brown fox"),          # shorter, adjacent bucket
+        ],
+        ["doc_id", "lang", "text"],
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["distance"]
+        for r in levenshtein_neardup(docs, max_distance=8, bucket_chars=10).collect()
+    }
+    assert got[(1, 2)] == 2
+    assert got[(1, 5)] == 6  # cross-bucket pair found (lossless blocking)
+    assert all(4 not in k for k in got)

@@ -39,6 +39,11 @@ GUARDED = [
     "pl_decontaminate",
     "pl_sq_int8",
     "pl_pq_adc",
+    "st_asof_attrib",
+    "st_interval_conversions",
+    "pl_bm25",
+    "pl_lev_neardup",
+    "ag_fractions_concave",
 ]
 
 EXPRESSION_ONLY = [
@@ -47,14 +52,26 @@ EXPRESSION_ONLY = [
     "pl_text_stats",
     "rq_filter_var",
     "pl_pii_redact",
+    "pl_stratified_sample",
+    "pl_chunk_overlap",
+    "pl_quota_cap",
+    "st_asof_attrib",
+    "st_interval_conversions",
+    "pl_bm25",
+    "pl_lev_neardup",
 ]
+
+
+# plans that must contain NO shuffle exchange at all: these compose
+# with a bare scan at any corpus size
+ZERO_EXCHANGE = ["pl_stratified_sample", "pl_chunk_overlap"]
 
 
 @pytest.fixture(scope="module")
 def plans(spark):
     qs = entrymod.queries()
     out = {}
-    for name in set(GUARDED + EXPRESSION_ONLY):
+    for name in set(GUARDED + EXPRESSION_ONLY + ZERO_EXCHANGE):
         df = qs[name](spark, SF_DIR)
         out[name] = df._jdf.queryExecution().executedPlan().toString()
     return out
@@ -74,6 +91,14 @@ def test_no_shuffle_joins(plans):
 def test_bbox_identity_pushes_filters(plans):
     p = plans["sq_bbox_identity"]
     assert "PushedFilters: [" in p and "GreaterThan" in p
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="testdata not present")
+def test_scan_composable_paths_have_no_exchange(plans):
+    offenders = [
+        n for n in ZERO_EXCHANGE if "Exchange hashpartitioning" in plans[n]
+    ]
+    assert not offenders, offenders
 
 
 @pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="testdata not present")

@@ -3887,6 +3887,27 @@ WHERE rk <= CASE WHEN lang = 'en' THEN 5 WHEN lang = 'fr' THEN 2 ELSE 3 END
 """
 
 
+def pl_mix_epochs(spark, sf_dir):
+    """Epoch-weighted corpus mixing (the >1x half of data mixing):
+    each doc repeats epochs(lang) times with an epoch index — one
+    sequence explode, zero shuffles."""
+    from spatialdata_spark.pipeline.filters import mix_epochs
+
+    out = mix_epochs(
+        _read(spark, sf_dir, "documents"), epochs={"en": 3, "de": 2}, default_epochs=1
+    )
+    return out.select("doc_id", "lang", "epoch")
+
+
+PL_MIX_EPOCHS_SQL = """
+SELECT doc_id, lang,
+       UNNEST(generate_series(1, CAST(CASE WHEN lang = 'en' THEN 3
+                                           WHEN lang = 'de' THEN 2
+                                           ELSE 1 END AS BIGINT))) AS epoch
+FROM documents
+"""
+
+
 def pl_lev_neardup(spark, sf_dir):
     """Edit-distance near-dup pairs on 60-char prefixes with lossless
     length blocking (same lang, adjacent 20-char length buckets —
@@ -4432,6 +4453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pl_bm25": pl_bm25,
         "pl_chunk_overlap": pl_chunk_overlap,
         "pl_lev_neardup": pl_lev_neardup,
+        "pl_mix_epochs": pl_mix_epochs,
         "rv_to_circles": rv_to_circles,
         "rv_to_polygons": rv_to_polygons,
         "rv_relabel": rv_relabel,
@@ -4597,6 +4619,7 @@ def oracle_sql() -> dict[str, str]:
         "pl_bm25": PL_BM25_SQL,
         "pl_chunk_overlap": PL_CHUNK_OVERLAP_SQL,
         "pl_lev_neardup": PL_LEV_NEARDUP_SQL,
+        "pl_mix_epochs": PL_MIX_EPOCHS_SQL,
         "ag_fractions_value": AG_FRACTIONS_VALUE_SQL,
         "ag_centroids_labels": AG_CENTROIDS_SQL,
         "ag_extent": AG_EXTENT_SQL,

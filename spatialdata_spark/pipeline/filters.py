@@ -320,3 +320,23 @@ def chunk_with_overlap(
             " ", F.slice("__toks", (start + 1).cast("int"), size.cast("int"))
         ).alias("chunk_text"),
     )
+
+
+def mix_epochs(
+    docs: DataFrame,
+    epochs: dict[str, int],
+    default_epochs: int = 1,
+    stream_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic epoch-weighted mixing: emit each document
+    ``epochs[stream]`` times with an epoch index — the >1x repetition
+    half of data mixing (stratified_sample is the <1x half).  A pure
+    ``sequence`` explode, narrow on the document, zero shuffles; the
+    epoch map enters the plan as a literal CASE."""
+    reps = F.lit(int(default_epochs))
+    for k, v in sorted(epochs.items()):
+        reps = F.when(F.col(stream_col) == k, F.lit(int(v))).otherwise(reps)
+    return docs.withColumn(
+        "epoch", F.explode(F.sequence(F.lit(1), reps.cast("int")))
+    ).withColumn("epoch", F.col("epoch").cast("long"))

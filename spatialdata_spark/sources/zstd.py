@@ -557,16 +557,7 @@ def zstd_decompress(data: bytes) -> bytes:
     return bytes(out)
 
 
-def zstd_compress_stored(data: bytes) -> bytes:
-    """Encode ``data`` as a valid zstd frame of raw (stored) blocks.
-
-    No compression is attempted — this exists so stores we *write* with
-    a zstd codec are readable by any real zstd, and to build decoder
-    fixtures without a compressor in the container.  Frame: magic,
-    single-segment header with exact content size, then <=128 KiB raw
-    blocks (the spec's Block_Maximum_Size)."""
-    data = bytes(data)
-    n = len(data)
+def _frame_header(n: int) -> bytes:
     out = bytearray(struct.pack("<I", ZSTD_MAGIC))
     if n < 256:
         out += bytes([0 << 6 | 0x20, n])  # single-segment, 1-byte FCS
@@ -574,16 +565,56 @@ def zstd_compress_stored(data: bytes) -> bytes:
         out += bytes([1 << 6 | 0x20]) + struct.pack("<H", n - 256)
     else:
         out += bytes([2 << 6 | 0x20]) + struct.pack("<I", n)
+    return bytes(out)
+
+
+def zstd_compress_stored(data: bytes) -> bytes:
+    """Encode ``data`` as a valid zstd frame of raw/RLE blocks.
+
+    Real (if modest) compression from the spec's RLE block type alone:
+    runs of a single repeated byte become 3-byte RLE blocks — which is
+    exactly the structure of sparse/fill-valued raster chunks, where
+    zero runs dominate.  Everything else is stored raw.  Any real zstd
+    reads the output (pinned against pyarrow's libzstd in tests);
+    decoder fixtures are built from it too.  Frame: magic,
+    single-segment header with exact content size, then <=128 KiB
+    blocks (the spec's Block_Maximum_Size)."""
+    data = bytes(data)
+    n = len(data)
+    out = bytearray(_frame_header(n))
     block_max = 128 * 1024
+    min_run = 32  # below this an RLE block's 3-byte header isn't worth splitting
     pos = 0
-    while True:
-        size = min(block_max, n - pos)
-        last = 1 if pos + size >= n else 0
-        out += struct.pack("<I", last | (0 << 1) | (size << 3))[:3]
-        out += data[pos : pos + size]
-        pos += size
-        if last:
-            break
+    blocks: list[tuple[int, bytes]] = []  # (type, payload) — type 0 raw, 1 RLE
+    while pos < n:
+        b = data[pos]
+        run = 1
+        limit = min(n, pos + block_max)
+        while pos + run < limit and data[pos + run] == b:
+            run += 1
+        if run >= min_run:
+            blocks.append((1, bytes([b]) * run))
+            pos += run
+            continue
+        # raw span: extend until the next long run (or the block cap)
+        start = pos
+        pos += run
+        while pos < limit:
+            b = data[pos]
+            run = 1
+            while pos + run < limit and data[pos + run] == b:
+                run += 1
+            if run >= min_run:
+                break
+            pos += run
+        blocks.append((0, data[start:pos]))
+    if not blocks:
+        blocks.append((0, b""))
+    for i, (btype, payload) in enumerate(blocks):
+        last = 1 if i == len(blocks) - 1 else 0
+        size = len(payload)
+        out += struct.pack("<I", last | (btype << 1) | (size << 3))[:3]
+        out += payload[:1] if btype == 1 else payload
     return bytes(out)
 
 

@@ -738,3 +738,16 @@ def test_levenshtein_neardup_blocking_is_lossless(spark):
     assert got[(1, 2)] == 2
     assert got[(1, 5)] == 6  # cross-bucket pair found (lossless blocking)
     assert all(4 not in k for k in got)
+
+
+def test_mix_epochs_repeats_deterministically(spark):
+    from spatialdata_spark.pipeline.filters import mix_epochs
+
+    docs = spark.createDataFrame(
+        [(1, "en"), (2, "de"), (3, "fr")], ["doc_id", "lang"]
+    )
+    rows = sorted(
+        (r["doc_id"], r["epoch"])
+        for r in mix_epochs(docs, {"en": 3, "de": 2}).collect()
+    )
+    assert rows == [(1, 1), (1, 2), (1, 3), (2, 1), (2, 2), (3, 1)]

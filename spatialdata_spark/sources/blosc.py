@@ -422,9 +422,9 @@ def blosc_compress(
             elif codec == _ZLIB:
                 payload = zlib.compress(stream)
             elif codec == _ZSTD:
-                from spatialdata_spark.sources.zstd import zstd_compress_stored
+                from spatialdata_spark.sources.zstd import zstd_compress
 
-                payload = zstd_compress_stored(stream)
+                payload = zstd_compress(stream)
             else:
                 payload = snappy_compress(stream)
             if len(payload) >= per and per > 0:

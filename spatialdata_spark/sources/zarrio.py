@@ -65,10 +65,11 @@ def _compress(codec: str | None, buf: bytes, typesize: int = 1) -> bytes:
 
         return blosc_compress(buf, typesize=typesize, cname="lz4", shuffle=1 if typesize > 1 else 0)
     if codec == "zstd":
-        # stored-block zstd frame: valid for any real zstd reader
-        from spatialdata_spark.sources.zstd import zstd_compress_stored
+        # real compression: greedy-LZ + predefined-FSE frames any real
+        # zstd reads (sources/zstd.py, pinned against libzstd in tests)
+        from spatialdata_spark.sources.zstd import zstd_compress
 
-        return zstd_compress_stored(buf)
+        return zstd_compress(buf)
     raise ValueError(f"unsupported zarr codec {codec!r}")
 
 

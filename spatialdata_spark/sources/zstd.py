@@ -618,6 +618,260 @@ def zstd_compress_stored(data: bytes) -> bytes:
     return bytes(out)
 
 
+# ---------------------------------------------------------------------------
+# real compression: greedy LZ + predefined-FSE sequences (RFC 8878)
+# ---------------------------------------------------------------------------
+
+
+class _FseEncTable:
+    """FSE compression table from normalized counts — the mirror of
+    :class:`_FseTable`, built exactly as the spec's reference encoder
+    does: per-symbol (deltaNbBits, deltaFindState) plus the state-value
+    table over the same spread."""
+
+    __slots__ = ("table_log", "state_table", "delta_nb", "delta_find")
+
+    def __init__(self, counts: list[int], table_log: int) -> None:
+        size = 1 << table_log
+        self.table_log = table_log
+        dec = _FseTable(counts, table_log)  # reuse the spread
+        cumul = [0]
+        for c in counts:
+            cumul.append(cumul[-1] + (1 if c == -1 else max(c, 0)))
+        self.state_table = [0] * size
+        next_slot = list(cumul[:-1])
+        for u in range(size):
+            s = dec.symbols[u]
+            self.state_table[next_slot[s]] = size + u
+            next_slot[s] += 1
+        self.delta_nb = [0] * len(counts)
+        self.delta_find = [0] * len(counts)
+        total = 0
+        for s, c in enumerate(counts):
+            if c == 0:
+                self.delta_nb[s] = ((table_log + 1) << 16) - size
+            elif c in (-1, 1):
+                self.delta_nb[s] = (table_log << 16) - size
+                self.delta_find[s] = total - 1
+                total += 1
+            else:
+                # highbit(c-1), not bit_length: maxBitsOut = tableLog - floor(log2(c-1))
+                max_bits = table_log - ((c - 1).bit_length() - 1)
+                self.delta_nb[s] = (max_bits << 16) - (c << max_bits)
+                self.delta_find[s] = total - c
+                total += c
+
+    def init_state(self, symbol: int) -> int:
+        nb = (self.delta_nb[symbol] + (1 << 15)) >> 16
+        v = (nb << 16) - self.delta_nb[symbol]
+        return self.state_table[(v >> nb) + self.delta_find[symbol]]
+
+    def encode(self, state: int, symbol: int, sink: "_BitWriter") -> int:
+        nb = (state + self.delta_nb[symbol]) >> 16
+        sink.add(state, nb)
+        return self.state_table[(state >> nb) + self.delta_find[symbol]]
+
+    def flush(self, state: int, sink: "_BitWriter") -> None:
+        sink.add(state, self.table_log)
+
+
+class _BitWriter:
+    """LSB-first forward bit writer; ``close`` appends the sentinel bit
+    the backward readers expect."""
+
+    __slots__ = ("out", "acc", "nbits")
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def add(self, value: int, nbits: int) -> None:
+        if nbits == 0:
+            return
+        self.acc |= (value & ((1 << nbits) - 1)) << self.nbits
+        self.nbits += nbits
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def close(self) -> bytes:
+        self.add(1, 1)  # sentinel
+        if self.nbits:
+            self.out.append(self.acc & 0xFF)
+            self.acc = 0
+            self.nbits = 0
+        return bytes(self.out)
+
+
+def _ll_code(v: int) -> int:
+    if v < 16:
+        return v
+    import bisect
+
+    return bisect.bisect_right(_LL_BASE, v) - 1
+
+
+def _ml_code(v: int) -> int:
+    if v < 35:
+        return v - 3
+    import bisect
+
+    return bisect.bisect_right(_ML_BASE, v) - 1
+
+
+_LL_ENC = None
+_ML_ENC = None
+_OF_ENC = None
+
+
+def _enc_tables():
+    global _LL_ENC, _ML_ENC, _OF_ENC
+    if _LL_ENC is None:
+        _LL_ENC = _FseEncTable(_LL_DEFAULTS, 6)
+        _ML_ENC = _FseEncTable(_ML_DEFAULTS, 6)
+        _OF_ENC = _FseEncTable(_OF_DEFAULTS, 5)
+    return _LL_ENC, _ML_ENC, _OF_ENC
+
+
+def _find_sequences(block: bytes) -> list[tuple[int, int, int]] | None:
+    """Greedy single-probe hash matcher (block-local offsets; the
+    window trivially covers them).  Returns (lit_len, offset,
+    match_len) triples, or None when no worthwhile matches exist.
+    Keys are the raw 4-byte values — deterministic output across
+    processes (python's ``hash`` is salted)."""
+    data = block
+    n = len(data)
+    table: dict[int, int] = {}
+    seqs: list[tuple[int, int, int]] = []
+    lit_start = 0
+    pos = 0
+    MIN_MATCH = 4
+    MAX_ML = 65538  # ML code 52 ceiling
+    while pos + MIN_MATCH <= n:
+        key = int.from_bytes(data[pos : pos + MIN_MATCH], "little")
+        cand = table.get(key)
+        table[key] = pos
+        if cand is None:
+            pos += 1
+            continue
+        offset = pos - cand
+        ml = MIN_MATCH
+        while pos + ml < n and ml < MAX_ML and data[cand + ml] == data[pos + ml]:
+            ml += 1
+        lit_len = pos - lit_start
+        if lit_len > 65535:  # LL code ceiling; extremely literal-heavy -> bail
+            return None
+        seqs.append((lit_len, offset, ml))
+        pos += ml
+        lit_start = pos
+    if not seqs:
+        return None
+    return seqs
+
+
+def _literals_section(lits: bytes) -> bytes:
+    n = len(lits)
+    if n < 32:
+        # 1-byte raw header (5-bit size)
+        return bytes([(n << 3) | 0]) + lits
+    if n < (1 << 12):
+        b0 = ((n & 0xF) << 4) | (1 << 2) | 0
+        return bytes([b0, n >> 4]) + lits
+    b0 = ((n & 0xF) << 4) | (3 << 2) | 0
+    return bytes([b0, (n >> 4) & 0xFF, n >> 12]) + lits
+
+
+def _encode_block(block: bytes) -> bytes | None:
+    """One compressed block: raw literals + predefined-FSE sequences.
+    None when compression doesn't pay."""
+    seqs = _find_sequences(block)
+    if seqs is None:
+        return None
+    consumed = sum(ll + ml for ll, _, ml in seqs)
+    lits = bytearray()
+    pos = 0
+    for ll, _, ml in seqs:
+        lits += block[pos : pos + ll]
+        pos += ll + ml
+    lits += block[consumed:]
+    ll_t, ml_t, of_t = _enc_tables()
+    codes = []
+    for ll, offset, ml in seqs:
+        off_base = offset + 3  # no repeat offsets used
+        oc = off_base.bit_length() - 1
+        codes.append(
+            (
+                _ll_code(ll), ll - _LL_BASE[_ll_code(ll)], _LL_BITS[_ll_code(ll)],
+                _ml_code(ml), ml - _ML_BASE[_ml_code(ml)], _ML_BITS[_ml_code(ml)],
+                oc, off_base - (1 << oc), oc,
+            )
+        )
+    w = _BitWriter()
+    lc, lx, lb, mc, mx, mb, oc, ox, ob = codes[-1]
+    ml_state = ml_t.init_state(mc)
+    of_state = of_t.init_state(oc)
+    ll_state = ll_t.init_state(lc)
+    w.add(lx, lb)
+    w.add(mx, mb)
+    w.add(ox, ob)
+    for lc, lx, lb, mc, mx, mb, oc, ox, ob in reversed(codes[:-1]):
+        of_state = of_t.encode(of_state, oc, w)
+        ml_state = ml_t.encode(ml_state, mc, w)
+        ll_state = ll_t.encode(ll_state, lc, w)
+        w.add(lx, lb)
+        w.add(mx, mb)
+        w.add(ox, ob)
+    ml_t.flush(ml_state, w)
+    of_t.flush(of_state, w)
+    ll_t.flush(ll_state, w)
+    stream = w.close()
+    n_seq = len(seqs)
+    if n_seq < 128:
+        seq_head = bytes([n_seq])
+    elif n_seq < 0x7F00:
+        seq_head = bytes([(n_seq >> 8) + 128, n_seq & 0xFF])
+    else:
+        seq_head = bytes([255, (n_seq - 0x7F00) & 0xFF, (n_seq - 0x7F00) >> 8])
+    body = _literals_section(bytes(lits)) + seq_head + bytes([0x00]) + stream
+    if len(body) >= len(block):
+        return None
+    return body
+
+
+def zstd_compress(data: bytes) -> bytes:
+    """Real zstd compression (stdlib only): greedy hash-match LZ into
+    raw-literal + predefined-FSE-sequence compressed blocks, RLE blocks
+    for long single-byte runs, raw blocks when neither pays.  Every
+    structure is from RFC 8878; output round-trips through this
+    module's decoder AND real libzstd (pinned in tests)."""
+    data = bytes(data)
+    n = len(data)
+    out = bytearray(_frame_header(n))
+    block_max = 128 * 1024
+    pos = 0
+    while True:
+        size = min(block_max, n - pos)
+        block = data[pos : pos + size]
+        last = 1 if pos + size >= n else 0
+        if size and len(set(block)) == 1:
+            out += struct.pack("<I", last | (1 << 1) | (size << 3))[:3]
+            out += block[:1]
+        else:
+            enc = _encode_block(block) if size else None
+            if enc is not None:
+                out += struct.pack("<I", last | (2 << 1) | (len(enc) << 3))[:3]
+                out += enc
+            else:
+                out += struct.pack("<I", last | (0 << 1) | (size << 3))[:3]
+                out += block
+        pos += size
+        if last:
+            break
+    return bytes(out)
+
+
 def _decode_frame(data: bytes, pos: int, out: bytearray) -> int:
     desc = data[pos]
     pos += 1

@@ -165,7 +165,7 @@ def test_blosc_compress_zstd_snappy_roundtrip():
 def test_bare_zstd_zarr_store(spark, tmp_path):
     """zarr v2 store with a numcodecs-style ``{"id": "zstd"}`` compressor
     (bare zstd frames, produced here by real libzstd) reads through the
-    tile reader; the write path emits stored-block frames any real zstd
+    tile reader; the write path emits real greedy-LZ frames any zstd
     accepts."""
     import json
 
@@ -220,3 +220,75 @@ def test_blosc_zstd_store_fixture(spark):
     assert set(got) == set(exp)
     for k in exp:
         assert np.array_equal(got[k], exp[k]), k
+
+
+@pytest.mark.skipif(not HAVE_PA, reason="pyarrow codecs unavailable")
+def test_real_compressor_read_by_reference_impl():
+    """zstd_compress (greedy LZ + predefined-FSE sequences) round-trips
+    through BOTH this module's decoder and real libzstd, and actually
+    compresses repetitive data."""
+    from spatialdata_spark.sources.zstd import zstd_compress
+
+    rng = np.random.default_rng(12)
+    text = (b"the quick brown spark zarr chunk " * 3000)
+    cases = [b"", b"q", text, rng.bytes(5000), b"\0" * 50000,
+             text + rng.bytes(20000) + text]
+    for data in cases:
+        enc = zstd_compress(data)
+        assert zstd_decompress(enc) == data
+        got = pa.Codec("zstd").decompress(enc, decompressed_size=len(data), asbytes=True)
+        assert got == data
+    assert len(zstd_compress(text)) < len(text) // 10  # really compresses
+
+
+@pytest.mark.skipif(not HAVE_PA, reason="pyarrow codecs unavailable")
+def test_real_compressor_fuzz_vs_libzstd():
+    import random
+
+    from spatialdata_spark.sources.zstd import zstd_compress
+
+    random.seed(4)
+    words = [b"aaaa", b"bbbb", b"cc", b"dddddd", b"\x00\x00\x00\x00"]
+    for _ in range(500):
+        data = b"".join(random.choice(words) for _ in range(random.randint(0, 40)))
+        data += bytes(random.randint(0, 255) for _ in range(random.randint(0, 12)))
+        enc = zstd_compress(data)
+        assert zstd_decompress(enc) == data
+        assert pa.Codec("zstd").decompress(enc, decompressed_size=len(data), asbytes=True) == data
+
+
+def test_fse_encoder_roundtrips_default_tables():
+    """Single-channel FSE encode/decode round-trip over the three
+    predefined distributions (the encoder mirror of the decode tables)."""
+    import random
+
+    from spatialdata_spark.sources.zstd import (
+        _ML_DEFAULTS,
+        _LL_DEFAULTS,
+        _OF_DEFAULTS,
+        _BackwardBits,
+        _BitWriter,
+        _FseEncTable,
+        _FseTable,
+    )
+
+    random.seed(2)
+    for counts, acc in [(_LL_DEFAULTS, 6), (_ML_DEFAULTS, 6), (_OF_DEFAULTS, 5)]:
+        enc = _FseEncTable(counts, acc)
+        dec = _FseTable(counts, acc)
+        alphabet = [s for s, c in enumerate(counts) if c != 0]
+        for _ in range(200):
+            syms = [random.choice(alphabet) for _ in range(random.randint(1, 30))]
+            w = _BitWriter()
+            state = enc.init_state(syms[-1])
+            for s in reversed(syms[:-1]):
+                state = enc.encode(state, s, w)
+            enc.flush(state, w)
+            bits = _BackwardBits(w.close())
+            st = bits.read(acc)
+            out = []
+            for i in range(len(syms)):
+                out.append(dec.symbols[st])
+                if i + 1 < len(syms):
+                    st = dec.base[st] + bits.read(dec.nb_bits[st])
+            assert out == syms

@@ -705,6 +705,125 @@ class _BitWriter:
         return bytes(self.out)
 
 
+def _package_merge(freqs: dict[int, int], max_len: int) -> dict[int, int]:
+    """Optimal length-limited prefix-code lengths (Larmore–Hirschberg
+    package-merge, the textbook algorithm).  Returns symbol -> code
+    length (<= max_len); the resulting code is complete (Kraft equality),
+    which the zstd implied-last-weight scheme requires."""
+    syms = sorted(freqs)
+    n = len(syms)
+    if n == 1:
+        return {syms[0]: 1}
+    singles = sorted((freqs[s], 1, (s,)) for s in syms)
+    level = singles
+    for _ in range(max_len - 1):
+        packaged = [
+            (
+                level[i][0] + level[i + 1][0],
+                0,
+                level[i][2] + level[i + 1][2],
+            )
+            for i in range(0, (len(level) // 2) * 2 - 1, 2)
+        ]
+        level = sorted(singles + packaged)
+    lengths = {s: 0 for s in syms}
+    for _, _, members in level[: 2 * n - 2]:
+        for s in members:
+            lengths[s] += 1
+    return lengths
+
+
+def _huffman_encode_literals(lits: bytes) -> bytes | None:
+    """Huffman-compressed literals section body: direct-weight tree
+    description + 1 or 4 backward streams.  None when it doesn't pay or
+    when the alphabet needs symbols >= 128 (the direct weight header
+    covers at most 128 symbols; binary-ish literals fall back to raw)."""
+    n = len(lits)
+    if n < 64:
+        return None
+    freqs: dict[int, int] = {}
+    for b in lits:
+        freqs[b] = freqs.get(b, 0) + 1
+    if len(freqs) < 2 or max(freqs) > 127 or n >= (1 << 18):
+        return None
+    lengths = _package_merge(freqs, 11)
+    max_bits = max(lengths.values())
+    if ((1 << max_bits) != sum(1 << (max_bits - l) for l in lengths.values())):
+        return None  # not a complete code (can't happen, but stay safe)
+    weights = {s: max_bits + 1 - l for s, l in lengths.items()}
+    max_sym = max(weights)
+    # tree description: weights for symbols 0..max_sym-1; the LAST
+    # present symbol's weight is implied by the power-of-two remainder
+    n_weights = max_sym  # weights listed for 0..max_sym-1
+    header = bytes([127 + n_weights])
+    wlist = [weights.get(s, 0) for s in range(max_sym)]
+    packed = bytearray()
+    for i in range(0, n_weights, 2):
+        hi = wlist[i] << 4
+        lo = wlist[i + 1] if i + 1 < n_weights else 0
+        packed.append(hi | lo)
+    desc = header + bytes(packed)
+    # canonical codes exactly as the decoder fills its table: ascending
+    # weight (longest codes first) from table index 0, symbols in
+    # natural order within a weight; code = span start >> (max-nb)
+    codes: dict[int, tuple[int, int]] = {}
+    pos = 0
+    for w in range(1, max_bits + 1):
+        span = 1 << (w - 1)
+        nb = max_bits + 1 - w
+        for s in sorted(weights):
+            if weights[s] != w:
+                continue
+            codes[s] = (pos >> (max_bits - nb), nb)
+            pos += span
+    def enc_stream(chunk: bytes) -> bytes:
+        w = _BitWriter()
+        for b in reversed(chunk):
+            c, nb = codes[b]
+            w.add(c, nb)
+        return w.close()
+
+    if n <= 1023:
+        stream = enc_stream(lits)
+        body = desc + stream
+        comp = len(body)
+        if comp > 1023:
+            return None
+        # size_format 0: 1 stream, 10+10 bit sizes over 3 header bytes
+        h = [2 | (0 << 2) | ((n & 0xF) << 4), (n >> 4) | ((comp & 3) << 6), comp >> 2]
+        out = bytes(h) + body
+        return out if len(out) < n else None
+    per = (n + 3) // 4
+    parts = [lits[0:per], lits[per : 2 * per], lits[2 * per : 3 * per], lits[3 * per :]]
+    streams = [enc_stream(p) for p in parts]
+    if any(len(s) > 0xFFFF for s in streams[:3]):
+        return None
+    jump = struct.pack("<HHH", len(streams[0]), len(streams[1]), len(streams[2]))
+    body = desc + jump + b"".join(streams)
+    comp = len(body)
+    if n < (1 << 14) and comp < (1 << 14):
+        # size_format 2: 14-bit sizes over 4 bytes
+        h = [
+            2 | (2 << 2) | ((n & 0xF) << 4),
+            (n >> 4) & 0xFF,
+            ((n >> 12) & 3) | ((comp & 0x3F) << 2),
+            comp >> 6,
+        ]
+    elif n < (1 << 18) and comp < (1 << 18):
+        # size_format 3: 18-bit sizes over 5 bytes
+        h = [
+            2 | (3 << 2) | ((n & 0xF) << 4),
+            (n >> 4) & 0xFF,
+            ((n >> 12) & 0x3F) | ((comp & 3) << 6),
+            (comp >> 2) & 0xFF,
+            comp >> 10,
+        ]
+    else:
+        return None
+    out = bytes(h) + body
+    return out if len(out) < n else None
+
+
 def _ll_code(v: int) -> int:
     if v < 16:
         return v
@@ -834,7 +953,9 @@ def _encode_block(block: bytes) -> bytes | None:
         seq_head = bytes([(n_seq >> 8) + 128, n_seq & 0xFF])
     else:
         seq_head = bytes([255, (n_seq - 0x7F00) & 0xFF, (n_seq - 0x7F00) >> 8])
-    body = _literals_section(bytes(lits)) + seq_head + bytes([0x00]) + stream
+    lit_bytes = bytes(lits)
+    lit_sec = _huffman_encode_literals(lit_bytes) or _literals_section(lit_bytes)
+    body = lit_sec + seq_head + bytes([0x00]) + stream
     if len(body) >= len(block):
         return None
     return body
@@ -860,6 +981,12 @@ def zstd_compress(data: bytes) -> bytes:
             out += block[:1]
         else:
             enc = _encode_block(block) if size else None
+            if enc is None and size:
+                # no LZ matches paid off: entropy-only block (Huffman
+                # literals, zero sequences)
+                hl = _huffman_encode_literals(block)
+                if hl is not None and len(hl) + 1 < size:
+                    enc = hl + bytes([0x00])  # nbSeq = 0
             if enc is not None:
                 out += struct.pack("<I", last | (2 << 1) | (len(enc) << 3))[:3]
                 out += enc

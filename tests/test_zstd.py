@@ -292,3 +292,38 @@ def test_fse_encoder_roundtrips_default_tables():
                 if i + 1 < len(syms):
                     st = dec.base[st] + bits.read(dec.nb_bits[st])
             assert out == syms
+
+
+@pytest.mark.skipif(not HAVE_PA, reason="pyarrow codecs unavailable")
+def test_huffman_literals_compress_and_decode_by_libzstd():
+    """ASCII-alphabet blocks get Huffman-coded literals (package-merge
+    length-limited canonical codes, direct-weight header) — verified by
+    real libzstd decoding the output."""
+    import random
+
+    from spatialdata_spark.sources.zstd import zstd_compress
+
+    random.seed(6)
+    skewed = bytes(random.choice(b"aaaaaaabbbc") for _ in range(20000))
+    enc = zstd_compress(skewed)
+    assert len(enc) < len(skewed) * 0.6  # really entropy-coded
+    assert zstd_decompress(enc) == skewed
+    assert pa.Codec("zstd").decompress(enc, decompressed_size=len(skewed), asbytes=True) == skewed
+    # > 1023 literals exercises the 4-stream path; < 1024 the 1-stream path
+    small = bytes(random.choice(b"xxyyz") for _ in range(600)) + b"\xff" * 0
+    enc2 = zstd_compress(small + np.random.default_rng(0).bytes(3))
+    assert zstd_decompress(enc2) == small + np.random.default_rng(0).bytes(3)
+
+
+def test_package_merge_kraft_equality():
+    import random
+
+    from spatialdata_spark.sources.zstd import _package_merge
+
+    random.seed(8)
+    for _ in range(200):
+        n = random.randint(2, 100)
+        freqs = {s: random.randint(1, 10000) for s in range(n)}
+        lens = _package_merge(freqs, 11)
+        assert max(lens.values()) <= 11
+        assert sum(2 ** (11 - l) for l in lens.values()) == 2**11  # complete code

@@ -733,6 +733,108 @@ def _package_merge(freqs: dict[int, int], max_len: int) -> dict[int, int]:
     return lengths
 
 
+def _fse_write_ncount(counts: list[int], acc: int) -> bytes:
+    """Serialize normalized counts as an FSE table description — the
+    exact bit-for-bit mirror of :func:`_fse_read_ncount` (threshold
+    coding + 2-bit zero-repeat flags), validated by round-trip."""
+    w = _BitWriter()
+    w.add(acc - 5, 4)
+    remaining = (1 << acc) + 1
+    threshold = 1 << acc
+    nb_bits = acc + 1
+    i = 0
+    while remaining > 1 and i < len(counts):
+        c = counts[i]
+        i += 1
+        maxv = (2 * threshold - 1) - remaining
+        v = c + 1
+        if v >= threshold:
+            v += maxv
+        if v < maxv:
+            w.add(v, nb_bits - 1)
+        else:
+            w.add(v, nb_bits)
+        remaining -= -c if c < 0 else c
+        while remaining > 1 and remaining < threshold:
+            nb_bits -= 1
+            threshold >>= 1
+        if c == 0 and remaining > 1:
+            # the reader expects 2-bit repeat flags after every zero
+            run = 0
+            while i < len(counts) and counts[i] == 0:
+                run += 1
+                i += 1
+            while run >= 3:
+                w.add(3, 2)
+                run -= 3
+            w.add(run, 2)
+    # pad to a byte boundary with zeros (no sentinel: forward stream)
+    out = bytearray(w.out)
+    if w.nbits:
+        out.append(w.acc & 0xFF)
+    return bytes(out)
+
+
+def _normalize_counts(hist: dict[int, int], acc: int, max_symbol: int) -> list[int]:
+    """Largest-remainder normalization of a histogram to sum 2**acc
+    with every present symbol >= 1."""
+    size = 1 << acc
+    total = sum(hist.values())
+    counts = [0] * (max_symbol + 1)
+    for s, h in hist.items():
+        counts[s] = max(1, (h * size) // total)
+    diff = size - sum(counts)
+    order = sorted(hist, key=lambda s: -hist[s])
+    j = 0
+    while diff != 0:
+        s = order[j % len(order)]
+        if diff > 0:
+            counts[s] += 1
+            diff -= 1
+        elif counts[s] > 1:
+            counts[s] -= 1
+            diff += 1
+        j += 1
+    return counts
+
+
+def _fse_compress_weights(weights: list[int]) -> bytes | None:
+    """FSE-compress a Huffman weight list (the reference encoder's
+    two-interleaved-state structure); returns the full description
+    (table description + backward stream) or None when it doesn't pay."""
+    n = len(weights)
+    if n < 2:
+        return None
+    hist: dict[int, int] = {}
+    for x in weights:
+        hist[x] = hist.get(x, 0) + 1
+    if len(hist) < 2:
+        return None
+    acc = 6  # weights cap; the description format's floor is 5
+    counts = _normalize_counts(hist, acc, max(hist))
+    desc = _fse_write_ncount(counts, acc)
+    enc = _FseEncTable(counts, acc)
+    w = _BitWriter()
+    i = n
+    if n & 1:
+        s1 = enc.init_state(weights[i - 1])
+        s2 = enc.init_state(weights[i - 2])
+        s1 = enc.encode(s1, weights[i - 3], w)
+        i -= 3
+    else:
+        s2 = enc.init_state(weights[i - 1])
+        s1 = enc.init_state(weights[i - 2])
+        i -= 2
+    while i > 0:
+        s2 = enc.encode(s2, weights[i - 1], w)
+        s1 = enc.encode(s1, weights[i - 2], w)
+        i -= 2
+    enc.flush(s2, w)
+    enc.flush(s1, w)
+    out = desc + w.close()
+    return out if len(out) < 128 else None
+
+
 def _huffman_encode_literals(lits: bytes) -> bytes | None:
     """Huffman-compressed literals section body: direct-weight tree
     description + 1 or 4 backward streams.  None when it doesn't pay or
@@ -744,7 +846,7 @@ def _huffman_encode_literals(lits: bytes) -> bytes | None:
     freqs: dict[int, int] = {}
     for b in lits:
         freqs[b] = freqs.get(b, 0) + 1
-    if len(freqs) < 2 or max(freqs) > 127 or n >= (1 << 18):
+    if len(freqs) < 2 or n >= (1 << 18):
         return None
     lengths = _package_merge(freqs, 11)
     max_bits = max(lengths.values())
@@ -753,16 +855,25 @@ def _huffman_encode_literals(lits: bytes) -> bytes | None:
     weights = {s: max_bits + 1 - l for s, l in lengths.items()}
     max_sym = max(weights)
     # tree description: weights for symbols 0..max_sym-1; the LAST
-    # present symbol's weight is implied by the power-of-two remainder
+    # present symbol's weight is implied by the power-of-two remainder.
+    # Direct 4-bit packing covers up to 128 listed weights; the
+    # FSE-compressed form covers the full byte alphabet — use whichever
+    # is valid and smaller.
     n_weights = max_sym  # weights listed for 0..max_sym-1
-    header = bytes([127 + n_weights])
     wlist = [weights.get(s, 0) for s in range(max_sym)]
-    packed = bytearray()
-    for i in range(0, n_weights, 2):
-        hi = wlist[i] << 4
-        lo = wlist[i + 1] if i + 1 < n_weights else 0
-        packed.append(hi | lo)
-    desc = header + bytes(packed)
+    desc = None
+    if n_weights <= 128:
+        packed = bytearray()
+        for i in range(0, n_weights, 2):
+            hi = wlist[i] << 4
+            lo = wlist[i + 1] if i + 1 < n_weights else 0
+            packed.append(hi | lo)
+        desc = bytes([127 + n_weights]) + bytes(packed)
+    fse_desc = _fse_compress_weights(wlist)
+    if fse_desc is not None and (desc is None or len(fse_desc) + 1 < len(desc)):
+        desc = bytes([len(fse_desc)]) + fse_desc
+    if desc is None:
+        return None
     # canonical codes exactly as the decoder fills its table: ascending
     # weight (longest codes first) from table index 0, symbols in
     # natural order within a weight; code = span start >> (max-nb)

@@ -327,3 +327,67 @@ def test_package_merge_kraft_equality():
         lens = _package_merge(freqs, 11)
         assert max(lens.values()) <= 11
         assert sum(2 ** (11 - l) for l in lens.values()) == 2**11  # complete code
+
+
+@pytest.mark.skipif(not HAVE_PA, reason="pyarrow codecs unavailable")
+def test_fse_weight_descriptions_full_alphabet():
+    """Alphabets with symbols >= 128 use FSE-compressed Huffman weight
+    descriptions; real libzstd decodes the result (float64 data now
+    entropy-codes at libzstd-3 parity)."""
+    from spatialdata_spark.sources.zstd import zstd_compress
+
+    data = (np.sin(np.arange(30000)) * 1000).astype(np.float64).tobytes()
+    enc = zstd_compress(data)
+    assert len(enc) < len(data)  # really compresses despite no LZ matches
+    assert zstd_decompress(enc) == data
+    assert pa.Codec("zstd").decompress(enc, decompressed_size=len(data), asbytes=True) == data
+
+
+def test_ncount_writer_roundtrips_reader():
+    import random
+
+    from spatialdata_spark.sources.zstd import (
+        _ForwardBits,
+        _fse_read_ncount,
+        _fse_write_ncount,
+        _normalize_counts,
+    )
+
+    random.seed(3)
+    for _ in range(300):
+        nsym = random.randint(2, 13)
+        hist = {s: random.randint(1, 1000) for s in random.sample(range(13), nsym)}
+        counts = _normalize_counts(hist, 6, max(hist))
+        data = _fse_write_ncount(counts, 6)
+        got, acc = _fse_read_ncount(_ForwardBits(data), 255)
+        strip = lambda xs: xs[: len(xs) - next((i for i, v in enumerate(reversed(xs)) if v), len(xs))]
+        assert acc == 6 and strip(got) == strip(counts)
+
+
+def test_fse_weight_stream_roundtrip():
+    import random
+
+    from spatialdata_spark.sources.zstd import (
+        _BackwardBits,
+        _ForwardBits,
+        _FseTable,
+        _fse_compress_weights,
+        _fse_decompress_interleaved,
+        _fse_read_ncount,
+    )
+
+    random.seed(4)
+    for _ in range(300):
+        nw = random.randint(2, 255)
+        weights = [random.randint(0, 11) for _ in range(nw)]
+        if all(w == weights[0] for w in weights):
+            weights[0] = (weights[0] + 1) % 12
+        comp = _fse_compress_weights(weights)
+        if comp is None:
+            continue
+        fwd = _ForwardBits(comp)
+        counts, acc = _fse_read_ncount(fwd, 255)
+        got = _fse_decompress_interleaved(
+            _FseTable(counts, acc), _BackwardBits(comp[fwd.bytes_consumed():]), 255
+        )
+        assert got == weights

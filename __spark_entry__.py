@@ -3863,8 +3863,10 @@ WHERE ((doc_id % 2147483647) * 48271) % 2147483647 % 1000 <
 def pl_quota_cap(spark, sf_dir):
     """Per-(source, lang) quota capping — keep the best N docs of each
     cell ranked by length with doc_id tiebreak (stops one crawl dump
-    from swamping a training mix).  One window whose partition key is
-    the cell: the natural 1000-executor shuffle."""
+    from swamping a training mix).  Two stages: a shuffle-free Arrow
+    per-batch top-quota pre-truncation (lossless by pigeonhole), then
+    the exact cell window over the <= quota x batches survivors — no
+    single-reducer cell sort at crawl-dump scale."""
     from spatialdata_spark.pipeline.filters import quota_cap
 
     out = quota_cap(
@@ -3910,31 +3912,31 @@ FROM documents
 
 def pl_lev_neardup(spark, sf_dir):
     """Edit-distance near-dup pairs on 60-char prefixes with lossless
-    length blocking (same lang, adjacent 20-char length buckets —
-    a pair under the distance threshold cannot differ in length by
-    more, so blocking drops nothing).  levenshtein runs JVM-side; the
-    oracle uses DuckDB's identical implementation."""
+    PassJoin pigeonhole segment blocking (max_distance+1 segments; a
+    pair under the threshold must share one segment verbatim within a
+    ±d start shift, so the (lang, length, seg_idx, seg_text) equi-join
+    drops nothing).  The oracle is deliberately brute-force all-pairs
+    — the hash match IS the losslessness proof on real data.
+    levenshtein runs JVM-side; DuckDB ships the identical function."""
     from spatialdata_spark.pipeline.dedup import levenshtein_neardup
 
     out = levenshtein_neardup(
         _read(spark, sf_dir, "documents"),
         max_distance=10,
         prefix_chars=60,
-        bucket_chars=20,
     )
     return out.select("id_a", "id_b", F.col("distance").cast("long").alias("distance"))
 
 
 PL_LEV_NEARDUP_SQL = """
 WITH base AS (
-  SELECT doc_id, lang, SUBSTRING(text, 1, 60) AS pre,
-         CAST(FLOOR(LENGTH(SUBSTRING(text, 1, 60)) / 20.0) AS BIGINT) AS b
+  SELECT doc_id, lang, SUBSTRING(text, 1, 60) AS pre
   FROM documents
 )
 SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
        CAST(levenshtein(a.pre, b2.pre) AS BIGINT) AS distance
 FROM base a JOIN base b2
-  ON a.lang = b2.lang AND a.doc_id < b2.doc_id AND ABS(a.b - b2.b) <= 1
+  ON a.lang = b2.lang AND a.doc_id < b2.doc_id
 WHERE levenshtein(a.pre, b2.pre) <= 10
 """
 

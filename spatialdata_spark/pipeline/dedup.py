@@ -726,49 +726,139 @@ def levenshtein_neardup(
     docs: DataFrame,
     max_distance: int = 10,
     prefix_chars: int = 60,
-    bucket_chars: int = 20,
     text_col: str = "text",
     id_col: str = "doc_id",
     lang_col: str = "lang",
 ) -> DataFrame:
     """Edit-distance near-duplicate pairs on document prefixes with
-    length blocking — the title/short-text dedup everybody runs where
-    shingle methods are too coarse.
+    lossless pigeonhole segment blocking (PassJoin, Li/Deng/Feng 2011)
+    — the title/short-text dedup everybody runs where shingle methods
+    are too coarse.
 
-    Contract (stated, not approximated): candidates are pairs in the
-    same language whose prefix-length buckets (``len // bucket_chars``)
-    differ by at most one; a true near-dup pair with an edit distance
-    ``<= max_distance <= bucket_chars`` can differ in length by at most
-    ``max_distance``, so it always lands within adjacent buckets — the
-    blocking loses nothing under the threshold.  The join is an
-    equi-join on ``(lang, bucket)`` with the right side exploded to its
-    two buckets; ``levenshtein`` (JVM-side, same function DuckDB ships)
-    refines.  Work is Σ per-block², never corpus².
+    Blocking argument (exact, not approximate): each prefix of length
+    ``l`` is split into ``k = max_distance + 1`` contiguous segments by
+    the even scheme (first ``k - l%k`` segments of length ``l//k``,
+    then ``l%k`` of length ``l//k + 1``).  If ``ed(s, r) <= d`` then an
+    optimal alignment applies at most ``d`` edits, so at least one of
+    the ``d+1`` segments of ``s`` is untouched and therefore occurs in
+    ``r`` VERBATIM, at a start shifted by at most the net insertions
+    before it — i.e. within ``±d`` of its position in ``s``.  Also
+    ``| |s| - |r| | <= d``.  So: the shorter side ``s`` contributes one
+    index row per segment keyed ``(lang, |s|, seg_idx, seg_text)``; the
+    probing side ``r`` emits, for every candidate indexed length
+    ``l ∈ [|r|-d, |r|]`` and every segment index, the substrings of
+    ``r`` at starts within the ±d window around that scheme's segment
+    start, under the same key.  The equi-join on the key generates
+    every qualifying pair at least once (equal lengths are generated
+    from both directions and deduplicated).  Block sizes are bounded by
+    the frequency of each (length, idx, segment-text) — vocabulary-
+    shaped, NOT corpus/constant — so candidate volume scales with the
+    n-gram frequency profile, never Σ per-length-block².
+
+    The candidate join is a plain equi-join: on local masters the
+    (smaller) index side is broadcast-hinted; on a cluster the hint is
+    withheld — both sides scale with the corpus and AQE must pick the
+    strategy from runtime stats.  ``levenshtein`` (JVM-side, the same
+    function DuckDB ships) refines once per distinct candidate pair.
 
     Output: ``(id_a, id_b, distance)`` with ``id_a < id_b``.
     """
-    if max_distance > bucket_chars:
-        raise ValueError("blocking is lossless only for max_distance <= bucket_chars")
+    d = int(max_distance)
+    if d < 0:
+        raise ValueError("max_distance must be >= 0")
+    k = d + 1
     pre = F.substring(F.col(text_col), 1, prefix_chars)
     base = docs.select(
         F.col(id_col).alias("__id"),
         F.col(lang_col).alias("__lang"),
         pre.alias("__pre"),
-        F.floor(F.length(pre) / bucket_chars).cast("long").alias("__b"),
+        F.length(pre).cast("int").alias("__len"),
     )
-    l = base.select(
-        F.col("__lang"), F.col("__b").alias("__jb"),
-        F.col("__id").alias("id_l"), F.col("__pre").alias("pre_l"),
-    )
-    r = base.select(
+
+    def seg_geom(l, i):
+        # even partition of a length-l string into k segments: lengths
+        # and 1-based starts for (python-literal) segment index i
+        a = F.floor(l / k).cast("int")
+        b = (l % k).cast("int")
+        seg_len = a + F.when(F.lit(i) >= F.lit(k) - b, 1).otherwise(0)
+        seg_pos = (
+            F.lit(1) + F.lit(i) * a + F.greatest(F.lit(0), F.lit(i) - (F.lit(k) - b))
+        ).cast("int")
+        return seg_pos, seg_len
+
+    # index side: each doc's own segments, keyed by its own length
+    idx_segs = []
+    for i in range(k):
+        p, ln = seg_geom(F.col("__len"), i)
+        idx_segs.append(
+            F.struct(F.lit(i).alias("i"), F.col("__pre").substr(p, ln).alias("seg"))
+        )
+    idx = base.select(
         F.col("__lang"),
-        F.explode(F.array(F.col("__b"), F.col("__b") + 1)).alias("__jb"),
-        F.col("__id").alias("id_r"), F.col("__pre").alias("pre_r"),
+        F.col("__len").alias("__l"),
+        F.col("__id").alias("id_l"),
+        F.col("__pre").alias("pre_l"),
+        F.explode(F.array(*idx_segs)).alias("__s"),
+    ).select("__lang", "__l", F.col("__s.i").alias("__i"), F.col("__s.seg").alias("__seg"), "id_l", "pre_l")
+
+    # probe side: for every candidate indexed length l <= |r| within d,
+    # every segment index, every start in the ±d shift window
+    probe = (
+        base.select(
+            "__lang", "__id", "__pre", "__len",
+            F.explode(
+                F.sequence(F.greatest(F.lit(0), F.col("__len") - d), F.col("__len"))
+            ).alias("__l"),
+        )
+        .select(
+            "__lang", "__id", "__pre", "__len", "__l",
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("__i"),
+        )
     )
-    cand = l.join(r, ["__lang", "__jb"]).filter(F.col("id_l") != F.col("id_r"))
-    pairs = cand.select(
-        F.least("id_l", "id_r").alias("id_a"),
-        F.greatest("id_l", "id_r").alias("id_b"),
-        F.levenshtein("pre_l", "pre_r").alias("distance"),
-    ).filter(F.col("distance") <= max_distance)
-    return pairs.distinct()
+    # seg geometry for a column-valued segment index
+    a = F.floor(F.col("__l") / k).cast("int")
+    b = (F.col("__l") % k).cast("int")
+    l_i = a + F.when(F.col("__i") >= F.lit(k) - b, 1).otherwise(0)
+    p_i = (
+        F.lit(1) + F.col("__i") * a + F.greatest(F.lit(0), F.col("__i") - (F.lit(k) - b))
+    ).cast("int")
+    q_lo = F.greatest(F.lit(1), p_i - d)
+    q_hi = F.when(l_i == 0, q_lo).otherwise(
+        F.least(F.col("__len") - l_i + 1, p_i + d)
+    )
+    probe = probe.withColumn("__li", l_i).select(
+        "__lang", "__l", "__i",
+        F.col("__id").alias("id_r"), F.col("__pre").alias("pre_r"),
+        F.explode(F.sequence(q_lo, q_hi)).alias("__q"),
+        "__li",
+    ).select(
+        "__lang", "__l", "__i",
+        F.col("pre_r").substr(F.col("__q"), F.col("__li")).alias("__seg"),
+        "id_r", "pre_r",
+    )
+
+    if docs.sparkSession.sparkContext.master.startswith("local"):
+        idx = F.broadcast(idx)
+    cand = idx.join(probe, ["__lang", "__l", "__i", "__seg"]).filter(
+        F.col("id_l") != F.col("id_r")
+    )
+    pairs = (
+        cand.select(
+            F.least("id_l", "id_r").alias("id_a"),
+            F.greatest("id_l", "id_r").alias("id_b"),
+            F.when(F.col("id_l") < F.col("id_r"), F.col("pre_l"))
+            .otherwise(F.col("pre_r"))
+            .alias("pre_a"),
+            F.when(F.col("id_l") < F.col("id_r"), F.col("pre_r"))
+            .otherwise(F.col("pre_l"))
+            .alias("pre_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("pre_a", "pre_b").alias("distance"),
+        )
+        .filter(F.col("distance") <= d)
+    )
+    return pairs

@@ -257,20 +257,51 @@ def quota_cap(
     quality score) with id as the deterministic tiebreak — the mixing
     knob that stops one crawl dump from swamping a training mix.
 
-    One window over ``(group, stream)``: the shuffle key is the cell,
-    partials combine map-side, and cells are independent — the same
-    partitioning a 1000-executor run wants.  Adding the real quality
-    column changes only the ORDER BY."""
+    Two stages, because a single ``row_number`` window would sort every
+    row of a cell in ONE reducer task (window functions have no
+    map-side combine) and a crawl-dump cell has billions of rows:
+
+    1. **Local pre-truncation, zero shuffle**: an Arrow ``mapInPandas``
+       pass keeps, per input batch, only each cell's local top-quota
+       under the same (length desc, id asc) order.  The global
+       top-quota of a cell is contained in the union of its per-batch
+       top-quotas (pigeonhole: a globally kept row is in its batch's
+       top-quota too), so this drops nothing — but it bounds what
+       reaches the shuffle to ``quota × batches`` rows per cell, and
+       the full corpus never shuffles.
+    2. The exact ``row_number`` window over ``(group, stream)`` on the
+       survivors — now a small, evenly keyed exchange.
+
+    Adding the real quality column changes only the ORDER BY (both
+    stages)."""
     from pyspark.sql.window import Window
+
+    quotas_map = {str(k): int(v) for k, v in quotas.items()}
+    dq = int(default_quota)
+
+    def _local_cap(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf
+                continue
+            ln = pdf[text_col].str.len().fillna(-1)
+            tmp = pdf.assign(__ln=ln).sort_values(
+                ["__ln", id_col], ascending=[False, True], kind="mergesort"
+            )
+            rank = tmp.groupby([group_col, stream_col], sort=False, dropna=False).cumcount()
+            q = tmp[stream_col].map(quotas_map).fillna(dq).astype("int64")
+            yield tmp[rank.values < q.values][list(pdf.columns)]
+
+    capped = docs.mapInPandas(_local_cap, schema=docs.schema)
 
     w = Window.partitionBy(group_col, stream_col).orderBy(
         F.length(F.col(text_col)).desc(), F.col(id_col).asc()
     )
-    quota = F.lit(int(default_quota))
+    quota = F.lit(dq)
     for k, v in sorted(quotas.items()):
         quota = F.when(F.col(stream_col) == k, F.lit(int(v))).otherwise(quota)
     return (
-        docs.withColumn("__rank", F.row_number().over(w))
+        capped.withColumn("__rank", F.row_number().over(w))
         .filter(F.col("__rank") <= quota)
         .drop("__rank")
     )
@@ -333,10 +364,23 @@ def mix_epochs(
     ``epochs[stream]`` times with an epoch index — the >1x repetition
     half of data mixing (stratified_sample is the <1x half).  A pure
     ``sequence`` explode, narrow on the document, zero shuffles; the
-    epoch map enters the plan as a literal CASE."""
+    epoch map enters the plan as a literal CASE.
+
+    Rates below 1 drop the stream entirely (0 copies).  Spark's
+    ``sequence(1, 0)`` would run DESCENDING and emit [1, 0] — two
+    copies instead of none — so streams with ``reps < 1`` are filtered
+    out before the explode (matching ``generate_series(1, 0)`` = empty
+    in the SQL oracle).
+    """
+    if int(default_epochs) < 0 or any(int(v) < 0 for v in epochs.values()):
+        raise ValueError("epoch counts must be >= 0")
     reps = F.lit(int(default_epochs))
     for k, v in sorted(epochs.items()):
         reps = F.when(F.col(stream_col) == k, F.lit(int(v))).otherwise(reps)
-    return docs.withColumn(
-        "epoch", F.explode(F.sequence(F.lit(1), reps.cast("int")))
-    ).withColumn("epoch", F.col("epoch").cast("long"))
+    return (
+        docs.withColumn("__reps", reps.cast("int"))
+        .filter(F.col("__reps") >= 1)
+        .withColumn("epoch", F.explode(F.sequence(F.lit(1), F.col("__reps"))))
+        .drop("__reps")
+        .withColumn("epoch", F.col("epoch").cast("long"))
+    )

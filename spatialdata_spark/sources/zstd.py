@@ -377,12 +377,16 @@ class _FrameState:
     """Per-frame persistent decoder state (RFC: tables and repeat
     offsets survive across blocks within one frame)."""
 
-    def __init__(self) -> None:
+    def __init__(self, frame_start: int = 0) -> None:
         self.huffman: _HufTable | None = None
         self.ll: _FseTable | None = None
         self.of: _FseTable | None = None
         self.ml: _FseTable | None = None
         self.reps = [1, 4, 8]
+        # RFC 8878 window semantics: matches may never reach back past
+        # the start of the current frame, even when earlier frames'
+        # output shares the buffer (concatenated-frame input).
+        self.frame_start = frame_start
 
 
 def _decode_literals(block: bytes, pos: int, st: _FrameState) -> tuple[bytes, int]:
@@ -520,7 +524,7 @@ def _decode_block(block: bytes, out: bytearray, st: _FrameState) -> None:
         out += literals[lit_pos : lit_pos + lit_len]
         lit_pos += lit_len
         start = len(out) - offset
-        if start < 0:
+        if start < st.frame_start:
             raise ValueError("zstd: match offset before frame start")
         if offset >= match_len:
             out += out[start : start + match_len]
@@ -1134,8 +1138,8 @@ def _decode_frame(data: bytes, pos: int, out: bytearray) -> int:
         if fcs_size == 2:
             content_size += 256
         pos += fcs_size
-    st = _FrameState()
     frame_start = len(out)
+    st = _FrameState(frame_start)
     while True:
         header = int.from_bytes(data[pos : pos + 3], "little")
         pos += 3

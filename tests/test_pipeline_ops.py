@@ -727,17 +727,81 @@ def test_levenshtein_neardup_blocking_is_lossless(spark):
             (2, "en", "the quick brown fox jumped"),   # distance 2
             (3, "en", "completely different sentence"),
             (4, "de", "the quick brown fox jumps"),    # other lang: never paired
-            (5, "en", "the quick brown fox"),          # shorter, adjacent bucket
+            (5, "en", "the quick brown fox"),          # shorter by 6 (deletion tail)
         ],
         ["doc_id", "lang", "text"],
     )
     got = {
         (r["id_a"], r["id_b"]): r["distance"]
-        for r in levenshtein_neardup(docs, max_distance=8, bucket_chars=10).collect()
+        for r in levenshtein_neardup(docs, max_distance=8).collect()
     }
     assert got[(1, 2)] == 2
-    assert got[(1, 5)] == 6  # cross-bucket pair found (lossless blocking)
+    assert got[(1, 5)] == 6
     assert all(4 not in k for k in got)
+
+
+def test_levenshtein_neardup_matches_bruteforce_on_random_edits(spark):
+    """Pin PassJoin candidate losslessness: every pair within the edit
+    threshold must survive the segment blocking.  Random base strings
+    are mutated with random insert/delete/substitute edits (including
+    front-edits that shift all positions — the case plain same-index
+    segment blocking misses) and the full operator output is compared
+    against a brute-force all-pairs Levenshtein in Python."""
+    import random
+
+    from spatialdata_spark.pipeline.dedup import levenshtein_neardup
+
+    rng = random.Random(20260814)
+    alpha = "abcdefgh "
+
+    def mutate(s, n_edits):
+        s = list(s)
+        for _ in range(n_edits):
+            op = rng.choice("ids")
+            pos = rng.randrange(len(s) + (1 if op == "i" else 0)) if s or op == "i" else 0
+            if op == "i":
+                s.insert(pos, rng.choice(alpha))
+            elif op == "d" and s:
+                del s[pos]
+            else:
+                if s:
+                    s[pos] = rng.choice(alpha)
+        return "".join(s)
+
+    rows, next_id = [], 1
+    for b in range(12):
+        base = "".join(rng.choice(alpha) for _ in range(rng.randrange(3, 55)))
+        for _ in range(rng.randrange(1, 4)):
+            rows.append((next_id, "en", mutate(base, rng.randrange(0, 7))))
+            next_id += 1
+    # a few degenerate docs: empty and very short
+    rows += [(next_id, "en", ""), (next_id + 1, "en", "ab"), (next_id + 2, "en", "ba")]
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    d, plen = 5, 40
+    expect = {}
+    pres = [(i, t[:plen]) for i, _, t in rows]
+    for x in range(len(pres)):
+        for y in range(x + 1, len(pres)):
+            dist = lev(pres[x][1], pres[y][1])
+            if dist <= d:
+                a, b = sorted((pres[x][0], pres[y][0]))
+                expect[(a, b)] = dist
+
+    docs = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    got = {
+        (r["id_a"], r["id_b"]): r["distance"]
+        for r in levenshtein_neardup(docs, max_distance=d, prefix_chars=plen).collect()
+    }
+    assert got == expect
 
 
 def test_mix_epochs_repeats_deterministically(spark):
@@ -751,3 +815,25 @@ def test_mix_epochs_repeats_deterministically(spark):
         for r in mix_epochs(docs, {"en": 3, "de": 2}).collect()
     )
     assert rows == [(1, 1), (1, 2), (1, 3), (2, 1), (2, 2), (3, 1)]
+
+
+def test_mix_epochs_zero_rate_drops_stream(spark):
+    """A 0-epoch stream emits NOTHING: sequence(1, 0) would run
+    descending in Spark ([1, 0] = two copies) while the SQL oracle's
+    generate_series(1, 0) is empty — the guard filters reps < 1 before
+    the explode.  Negative rates are rejected outright."""
+    import pytest as _pytest
+
+    from spatialdata_spark.pipeline.filters import mix_epochs
+
+    docs = spark.createDataFrame(
+        [(1, "en"), (2, "de"), (3, "fr")], ["doc_id", "lang"]
+    )
+    rows = sorted(
+        (r["doc_id"], r["epoch"])
+        for r in mix_epochs(docs, {"en": 2, "de": 0}).collect()
+    )
+    assert rows == [(1, 1), (1, 2), (3, 1)]
+    assert mix_epochs(docs, {}, default_epochs=0).count() == 0
+    with _pytest.raises(ValueError):
+        mix_epochs(docs, {"en": -1})

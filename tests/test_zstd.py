@@ -391,3 +391,53 @@ def test_fse_weight_stream_roundtrip():
             _FseTable(counts, acc), _BackwardBits(comp[fwd.bytes_consumed():]), 255
         )
         assert got == weights
+
+
+def test_match_offset_cannot_reach_previous_frame():
+    """RFC 8878 window semantics: a match offset is bounded by the
+    START OF THE CURRENT FRAME, not the start of the shared output
+    buffer.  A corrupt second frame whose offset reaches into the first
+    frame's output must raise, never silently copy foreign bytes.
+
+    The second frame is hand-assembled: one compressed block with zero
+    raw literals and a single sequence under RLE symbol tables
+    (ll=0 -> lit_len 0; ml=0 -> match_len 3; of=3 -> offset_value
+    8+read(3)=8 -> offset 5) — valid standalone structure, but offset 5
+    with zero bytes of frame-local history."""
+    from spatialdata_spark.sources.zstd import zstd_decompress
+
+    frame1 = (
+        b"\x28\xb5\x2f\xfd"  # magic
+        + b"\x20\x05"        # single-segment, content size 5
+        + b"\x29\x00\x00"    # raw block, last, size 5
+        + b"HELLO"
+    )
+    block = bytes(
+        [
+            0x00,  # literals: raw, size 0
+            0x01,  # one sequence
+            0x54,  # modes: LL/OF/ML all RLE
+            0x00,  # LL RLE symbol 0
+            0x03,  # OF RLE symbol 3
+            0x00,  # ML RLE symbol 0
+            0x08,  # backward bitstream: sentinel + 3 zero bits
+        ]
+    )
+    frame2 = (
+        b"\x28\xb5\x2f\xfd"
+        + b"\x20\x03"  # single-segment, content size 3
+        + bytes([1 | (2 << 1) | (len(block) << 3), 0x00, 0x00])
+        + block
+    )
+    with pytest.raises(ValueError, match="frame start"):
+        zstd_decompress(frame1 + frame2)
+    # the same offset is fine when the frame itself has the history
+    frame_ok = (
+        b"\x28\xb5\x2f\xfd"
+        + b"\x20\x08"        # content: 5 raw + 3 matched
+        + b"\x28\x00\x00"    # raw block, NOT last, size 5
+        + b"HELLO"
+        + bytes([1 | (2 << 1) | (len(block) << 3), 0x00, 0x00])
+        + block
+    )
+    assert zstd_decompress(frame_ok) == b"HELLOHEL"

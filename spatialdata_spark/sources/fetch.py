@@ -347,19 +347,31 @@ class S3Fetcher:
 
 
 class GSFetcher:
-    """``gs://bucket/prefix`` access to *public* Google Cloud Storage
-    objects via the public JSON/media endpoints (stdlib only): media
-    downloads from ``storage.googleapis.com/<bucket>/<object>``,
-    listing from the ``storage/v1`` objects API with ``delimiter=/``.
+    """``gs://bucket/prefix`` access to Google Cloud Storage via the
+    public JSON/media endpoints (stdlib only): media downloads from
+    ``storage.googleapis.com/<bucket>/<object>``, listing from the
+    ``storage/v1`` objects API with ``delimiter=/``.
 
-    Private buckets need OAuth tokens this environment can't mint; use
-    GCS's S3-compatible XML API instead — HMAC interop keys with
-    ``S3Fetcher(endpoint="https://storage.googleapis.com")`` — which is
-    Google's documented interop path."""
+    Private buckets authenticate with a service-account key through
+    the stdlib OAuth JWT-bearer flow (``sources/gcs_auth.py``):
+    ``credentials`` accepts a key-file path, the parsed key-file dict,
+    or a :class:`~spatialdata_spark.sources.gcs_auth.ServiceAccountCredentials`;
+    with none given, ``GOOGLE_APPLICATION_CREDENTIALS`` is honored and
+    otherwise requests go out anonymous (public buckets).  GCS's
+    S3-compatible XML API — HMAC interop keys with
+    ``S3Fetcher(endpoint="https://storage.googleapis.com")`` — remains
+    the documented alternative."""
 
     can_list = True
 
-    def __init__(self, url: str, endpoint: str | None = None, cache_dir: str | None = None, timeout: float = 30.0):
+    def __init__(
+        self,
+        url: str,
+        endpoint: str | None = None,
+        cache_dir: str | None = None,
+        timeout: float = 30.0,
+        credentials=None,
+    ):
         p = urllib.parse.urlparse(url)
         if p.scheme != "gs" or not p.netloc:
             raise ValueError(f"not a gs url: {url!r}")
@@ -368,6 +380,16 @@ class GSFetcher:
         self.endpoint = (endpoint or "https://storage.googleapis.com").rstrip("/")
         self.timeout = timeout
         self._cache_dir = cache_dir
+        if credentials is None:
+            credentials = os.environ.get("GOOGLE_APPLICATION_CREDENTIALS") or None
+        if credentials is not None and not hasattr(credentials, "token"):
+            from .gcs_auth import ServiceAccountCredentials
+
+            if isinstance(credentials, dict):
+                credentials = ServiceAccountCredentials.from_info(credentials)
+            else:
+                credentials = ServiceAccountCredentials.from_file(credentials)
+        self.credentials = credentials
 
     def _key(self, rel: str) -> str:
         if self.prefix and rel:
@@ -375,8 +397,12 @@ class GSFetcher:
         return rel or self.prefix
 
     def _get_url(self, url: str) -> bytes | None:
+        headers = {}
+        if self.credentials is not None:
+            headers["Authorization"] = f"Bearer {self.credentials.token()}"
         try:
-            with urllib.request.urlopen(url, timeout=self.timeout) as r:
+            req = urllib.request.Request(url, headers=headers)
+            with urllib.request.urlopen(req, timeout=self.timeout) as r:
                 return r.read()
         except urllib.error.HTTPError as e:
             if e.code == 404:

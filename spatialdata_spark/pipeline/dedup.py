@@ -862,3 +862,58 @@ def levenshtein_neardup(
         .filter(F.col("distance") <= d)
     )
     return pairs
+
+
+def dedup_keep_best(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    num_bands: int = 8,
+) -> DataFrame:
+    """Materialize MinHash near-dup clusters into a KEEP decision: one
+    representative per connected component — the longest text, smallest
+    id on ties (the stand-in for "highest quality"); documents in no
+    cluster keep themselves.  This is the step that turns candidate
+    pairs into an actual deduplicated corpus.
+
+    Plan: LSH band candidates -> large-star/small-star connected
+    components (both existing, checkpointed); the (node, component)
+    labels — near-dup-population-sized, far smaller than the corpus —
+    join back broadcast-gated; the representative falls out of ONE
+    aggregation via a lexicographic struct max (length, -id), with
+    map-side partial combine, not a per-component sort.
+
+    Output: ``(component, keep_id, cluster_size)``, one row per
+    cluster (singletons included, ``cluster_size = 1``).
+    """
+    cand = minhash_band_candidates(
+        docs, text_col=text_col, id_col=id_col,
+        num_hashes=num_hashes, num_bands=num_bands,
+    )
+    comp = connected_components(cand, "id_a", "id_b")
+    spark = docs.sparkSession
+    if spark.sparkContext.master.startswith("local"):
+        comp = F.broadcast(comp)
+    labeled = (
+        docs.select(F.col(id_col), F.length(F.col(text_col)).alias("__len"))
+        .join(comp, F.col(id_col) == F.col("node"), "left")
+        .select(
+            F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
+            F.col(id_col),
+            "__len",
+        )
+    )
+    best = labeled.groupBy("component").agg(
+        F.max(
+            F.struct(
+                F.col("__len").alias("l"),
+                (-F.col(id_col)).alias("negid"),
+                F.col(id_col).alias("keep"),
+            )
+        ).alias("__b"),
+        F.count(F.lit(1)).alias("cluster_size"),
+    )
+    return best.select(
+        "component", F.col("__b.keep").alias("keep_id"), "cluster_size"
+    )

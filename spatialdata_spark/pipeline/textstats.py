@@ -205,3 +205,101 @@ def bm25_scores(
         )
     )
     return scored.groupBy(id_col).agg(F.sum("__s").alias("score"))
+
+
+def unigram_lm_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document mean negative log-likelihood under the corpus's own
+    add-one-smoothed unigram language model — the classic cheap
+    LM-quality filter (a gibberish/boilerplate document scores far from
+    the corpus mode; CCNet-style pipelines threshold exactly this
+    before the expensive 5-gram model).
+
+    ``p(w) = (c(w) + 1) / (T + V)`` with ``c`` the corpus token count,
+    ``T`` total tokens, ``V`` vocabulary size;
+    ``nll(doc) = -mean(ln p(w_i))``.
+
+    Plan: one token explode, a token-count aggregation (map-side
+    combine; result is VOCABULARY-sized, not corpus-sized), the counts
+    joined back broadcast-gated (on a cluster AQE decides — a 100 TB
+    crawl's vocabulary may outgrow a broadcast), corpus constants as a
+    1-row cross join, then a per-document mean with map-side combine.
+    Empty documents are excluded (no tokens, no likelihood).
+    """
+    from .filters import word_tokens
+
+    base = docs.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col), word_tokens(text_col).alias("__toks")
+    )
+    tok = base.select(id_col, F.explode("__toks").alias("__t"))
+    counts = tok.groupBy("__t").agg(F.count(F.lit(1)).alias("__c"))
+    # derived from a separately-named explode: same values, but no
+    # shared attribute lineage with the counts join below (Spark would
+    # flag __T as ambiguous if totals re-used the joined counts plan)
+    totals = base.select(F.explode("__toks").alias("__t2")).agg(
+        F.count(F.lit(1)).alias("__T"), F.countDistinct("__t2").alias("__V")
+    )
+    spark = docs.sparkSession
+    if spark.sparkContext.master.startswith("local"):
+        counts = F.broadcast(counts)
+    # alias-qualified refs: the totals plan shares the token-explode
+    # lineage with the join's left side, and an unqualified __T trips
+    # Spark's ambiguous-reference check after the crossJoin
+    scored = tok.join(counts, "__t").crossJoin(F.broadcast(totals.alias("tot")))
+    nll = -F.log(
+        (F.col("__c") + F.lit(1.0)) / (F.col("tot.__T") + F.col("tot.__V"))
+    )
+    return scored.groupBy(id_col).agg(F.round(F.avg(nll), 6).alias("nll"))
+
+
+def idf_keywords(
+    docs: DataFrame,
+    top_k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` TF-IDF keywords per document (``tf * ln(N / df)``,
+    ties broken by token) — per-document keyword extraction, the
+    complement of :func:`bm25_scores` (which scores docs against FIXED
+    seed terms; this ranks each doc's OWN vocabulary).
+
+    Plan: token explode -> (doc, token) counts with map-side combine;
+    document frequencies are a second aggregation over the tf table
+    (vocabulary-sized) joined back broadcast-gated; the corpus size is
+    a 1-row cross join; a per-document window takes the top k.  The
+    window key is the document — maximally fine-grained, so no reducer
+    hotspot at any corpus size.
+
+    Output: ``(doc_id, keyword, score, rank)`` with rank 1..k.
+    """
+    from pyspark.sql.window import Window
+
+    from .filters import word_tokens
+
+    base = docs.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col), word_tokens(text_col).alias("__toks")
+    )
+    n_docs = base.agg(F.count(F.lit(1)).alias("__n"))
+    tok = base.select(id_col, F.explode("__toks").alias("__t"))
+    tf = tok.groupBy(id_col, "__t").agg(F.count(F.lit(1)).alias("__tf"))
+    df = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+    spark = docs.sparkSession
+    if spark.sparkContext.master.startswith("local"):
+        df = F.broadcast(df)
+    score = F.col("__tf") * F.log(F.col("__n").cast("double") / F.col("__df"))
+    w = Window.partitionBy(id_col).orderBy(score.desc(), F.col("__t").asc())
+    return (
+        tf.join(df, "__t")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            id_col,
+            F.col("__t").alias("keyword"),
+            F.round(score, 6).alias("score"),
+            "rank",
+        )
+    )

@@ -837,3 +837,67 @@ def test_mix_epochs_zero_rate_drops_stream(spark):
     assert mix_epochs(docs, {}, default_epochs=0).count() == 0
     with _pytest.raises(ValueError):
         mix_epochs(docs, {"en": -1})
+
+
+def test_unigram_lm_score_hand_computed(spark):
+    import math
+
+    from spatialdata_spark.pipeline.textstats import unigram_lm_score
+
+    docs = spark.createDataFrame(
+        [(1, "a b b"), (2, "b c"), (3, "   ")], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r["nll"] for r in unigram_lm_score(docs).collect()}
+    # corpus: a,b,b,b,c -> T=5 V=3; p(a)=p(c)=2/8, p(b)=4/8
+    exp1 = -(math.log(0.25) + 2 * math.log(0.5)) / 3
+    exp2 = -(math.log(0.5) + math.log(0.25)) / 2
+    assert got[1] == round(exp1, 6)
+    assert got[2] == round(exp2, 6)
+    assert 3 not in got  # blank docs excluded
+
+
+def test_idf_keywords_ranks_rare_tokens(spark):
+    from spatialdata_spark.pipeline.textstats import idf_keywords
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common rare1 common common"),
+            (2, "common rare2"),
+            (3, "common other"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = idf_keywords(docs, top_k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["rank"], r["keyword"], r["score"]))
+    # 'common' is in every doc -> idf = ln(1) = 0; rare tokens outrank it
+    assert sorted(by_doc[1])[0][1] == "rare1"
+    assert sorted(by_doc[2])[0][1] == "rare2"
+    top1 = dict((d, sorted(v)[0]) for d, v in by_doc.items())
+    assert top1[3][1] == "other"
+    assert all(len(v) == 2 for v in by_doc.values())
+    # score of an every-doc token is exactly 0 at any tf
+    zero = [r for r in rows if r["keyword"] == "common"]
+    assert zero and all(r["score"] == 0.0 for r in zero)
+
+
+def test_dedup_keep_best_representatives(spark):
+    from spatialdata_spark.pipeline.dedup import dedup_keep_best
+
+    near_a = "the quick brown fox jumps over the lazy dog " * 4
+    near_b = near_a[:-6] + "cat "  # same shingle mass, near-dup of a
+    docs = spark.createDataFrame(
+        [
+            (1, near_a),
+            (2, near_b),
+            (3, "completely unrelated content that stands alone xyz"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["component"]: r for r in dedup_keep_best(docs, num_bands=8).collect()}
+    assert rows[3]["keep_id"] == 3 and rows[3]["cluster_size"] == 1
+    assert 1 in rows and rows[1]["cluster_size"] == 2
+    # longest text wins (near_a is 2 chars shorter than near_b? compute)
+    exp_keep = 1 if len(near_a) > len(near_b) else (2 if len(near_b) > len(near_a) else 1)
+    assert rows[1]["keep_id"] == exp_keep

@@ -45,6 +45,8 @@ GUARDED = [
     "pl_lev_neardup",
     "ag_fractions_concave",
     "pl_quota_cap",
+    "pl_unigram_lm",
+    "pl_idf_keywords",
 ]
 
 EXPRESSION_ONLY = [
@@ -60,6 +62,8 @@ EXPRESSION_ONLY = [
     "st_interval_conversions",
     "pl_bm25",
     "pl_lev_neardup",
+    "pl_unigram_lm",
+    "pl_idf_keywords",
 ]
 
 

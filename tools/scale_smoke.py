@@ -44,23 +44,54 @@ def main(max_mult: int = 8) -> None:
 
     from spatialdata_spark.operators.aggregate import aggregate_points_by_circles
     from spatialdata_spark.operators.spatial_query import polygon_query_points
-    from spatialdata_spark.pipeline.dedup import exact_dedup
+    from spatialdata_spark.operators.temporal import asof_join, interval_join
+    from spatialdata_spark.pipeline.dedup import exact_dedup, levenshtein_neardup
+    from spatialdata_spark.pipeline.filters import chunk_with_overlap, quota_cap
     from spatialdata_spark.operators.rasterize import rasterize_points
 
     pts0 = entrymod._points(spark, SF_DIR)
     circles0 = entrymod._circles(spark, SF_DIR)
     docs0 = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    ev0 = entrymod._events(spark, SF_DIR)
 
     results: dict[str, dict[str, float]] = {}
     for mult in [1, 4, max_mult]:
         pts = replicate(pts0, mult, ["l_orderkey"])
         docs = replicate(docs0, mult, ["doc_id"])
+        # user_id offset per copy: key cardinality grows with the data,
+        # rows-per-key constant — the 1000-executor shape.  doc_id-only
+        # replication (quota_cap) grows the (source, lang) CELLS x mult
+        # instead: the adversarial shape for the window stage.
+        ev = replicate(ev0, mult, ["event_id", "user_id"])
+        views = (
+            ev.filter(F.col("event_type") == "view")
+            .groupBy("user_id", "ts")
+            .agg(F.max("event_id").alias("view_id"))
+        )
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts"
+        )
+        clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+
         cases = {
             # circles fixed, point density x mult: boundary work ∝ points
             "zonal_circles": lambda: aggregate_points_by_circles(pts, circles0).count(),
             "polygon_query": lambda: polygon_query_points(pts, entrymod._TRI).count(),
             "rasterize": lambda: rasterize_points(pts, 0.0, 0.0, 5.0).count(),
             "exact_dedup": lambda: exact_dedup(docs).count(),
+            "asof_join": lambda: asof_join(
+                purchases, views, keys=["user_id"], ts_col="ts", right_payload=["view_id"]
+            ).count(),
+            "interval_join": lambda: interval_join(
+                clicks, purchases, keys=["user_id"], ts_col="ts", width_seconds=3600
+            ).count(),
+            "chunk_overlap": lambda: chunk_with_overlap(
+                docs, chunk_tokens=128, stride=96
+            ).count(),
+            "quota_cap": lambda: quota_cap(
+                docs, quotas={"en": 50}, default_quota=20
+            ).count(),
+            "lev_neardup": lambda: levenshtein_neardup(docs, max_distance=5).count(),
         }
         for name, fn in cases.items():
             best = None

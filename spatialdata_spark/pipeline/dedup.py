@@ -822,9 +822,17 @@ def levenshtein_neardup(
     p_i = (
         F.lit(1) + F.col("__i") * a + F.greatest(F.lit(0), F.col("__i") - (F.lit(k) - b))
     ).cast("int")
-    q_lo = F.greatest(F.lit(1), p_i - d)
+    # shift bound tightened by the length difference Δ = |r| - l: with
+    # #ins - #del = Δ and #ins + #del <= d, an untouched segment's
+    # start in r moves by at most ⌊(d-Δ)/2⌋ left / ⌊(d+Δ)/2⌋ right —
+    # about half the naive ±d window, still lossless
+    delta = F.col("__len") - F.col("__l")
+    q_lo = F.greatest(F.lit(1), p_i - F.floor((d - delta) / 2).cast("int"))
     q_hi = F.when(l_i == 0, q_lo).otherwise(
-        F.least(F.col("__len") - l_i + 1, p_i + d)
+        F.least(
+            F.col("__len") - l_i + 1,
+            p_i + F.floor((d + delta) / 2).cast("int"),
+        )
     )
     probe = probe.withColumn("__li", l_i).select(
         "__lang", "__l", "__i",

@@ -561,14 +561,15 @@ def zstd_decompress(data: bytes) -> bytes:
     return bytes(out)
 
 
-def _frame_header(n: int) -> bytes:
+def _frame_header(n: int, checksum: bool = False) -> bytes:
     out = bytearray(struct.pack("<I", ZSTD_MAGIC))
+    flags = 0x20 | (0x04 if checksum else 0)  # single-segment [+ checksum]
     if n < 256:
-        out += bytes([0 << 6 | 0x20, n])  # single-segment, 1-byte FCS
+        out += bytes([0 << 6 | flags, n])  # 1-byte FCS
     elif n - 256 < 1 << 16:
-        out += bytes([1 << 6 | 0x20]) + struct.pack("<H", n - 256)
+        out += bytes([1 << 6 | flags]) + struct.pack("<H", n - 256)
     else:
-        out += bytes([2 << 6 | 0x20]) + struct.pack("<I", n)
+        out += bytes([2 << 6 | flags]) + struct.pack("<I", n)
     return bytes(out)
 
 
@@ -1076,15 +1077,18 @@ def _encode_block(block: bytes) -> bytes | None:
     return body
 
 
-def zstd_compress(data: bytes) -> bytes:
+def zstd_compress(data: bytes, checksum: bool = False) -> bytes:
     """Real zstd compression (stdlib only): greedy hash-match LZ into
     raw-literal + predefined-FSE-sequence compressed blocks, RLE blocks
     for long single-byte runs, raw blocks when neither pays.  Every
     structure is from RFC 8878; output round-trips through this
-    module's decoder AND real libzstd (pinned in tests)."""
+    module's decoder AND real libzstd (pinned in tests).
+
+    ``checksum=True`` appends the RFC's Content_Checksum (low 32 bits
+    of XXH64(content, 0)); the decoder verifies it."""
     data = bytes(data)
     n = len(data)
-    out = bytearray(_frame_header(n))
+    out = bytearray(_frame_header(n, checksum))
     block_max = 128 * 1024
     pos = 0
     while True:
@@ -1111,6 +1115,10 @@ def zstd_compress(data: bytes) -> bytes:
         pos += size
         if last:
             break
+    if checksum:
+        from .xxhash import xxh64
+
+        out += struct.pack("<I", xxh64(data, 0) & 0xFFFFFFFF)
     return bytes(out)
 
 
@@ -1160,7 +1168,16 @@ def _decode_frame(data: bytes, pos: int, out: bytearray) -> int:
         if last:
             break
     if checksum_flag:
-        pos += 4  # xxhash64 low 32 bits: skipped, not verified
+        from .xxhash import xxh64
+
+        (stored,) = struct.unpack_from("<I", data, pos)
+        pos += 4
+        got = xxh64(bytes(out[frame_start:]), 0) & 0xFFFFFFFF
+        if got != stored:
+            raise ValueError(
+                f"zstd: content checksum mismatch "
+                f"(stored 0x{stored:08x}, computed 0x{got:08x})"
+            )
     if content_size is not None and len(out) - frame_start != content_size:
         raise ValueError(
             f"zstd: frame decoded to {len(out) - frame_start} bytes, "

@@ -441,3 +441,65 @@ def test_match_offset_cannot_reach_previous_frame():
         + block
     )
     assert zstd_decompress(frame_ok) == b"HELLOHEL"
+
+
+# ---------------------------------------------------------------------------
+# XXH64 + zstd content checksums
+# ---------------------------------------------------------------------------
+
+
+def test_xxh64_canonical_and_spark_pin(spark):
+    """Pin the pure-Python XXH64 against (a) the spec's canonical
+    empty-string value and (b) Spark's own JVM XXH64 (F.xxhash64 on
+    binary, seed 42) across every length branch of the algorithm —
+    an independent in-container reference implementation."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from spatialdata_spark.sources.xxhash import xxh64
+
+    assert xxh64(b"", 0) == 0xEF46DB3751D8E999
+
+    rng = random.Random(7)
+    blobs = [
+        bytes(rng.randrange(256) for _ in range(n))
+        for n in [0, 1, 3, 4, 7, 8, 9, 15, 16, 31, 32, 33, 63, 64, 100, 255, 1024]
+    ]
+    df = spark.createDataFrame(list(enumerate(blobs)), ["i", "b"])
+    got = {r["i"]: r["h"] for r in df.select("i", F.xxhash64("b").alias("h")).collect()}
+    for i, b in enumerate(blobs):
+        h = xxh64(b, 42)
+        signed = h - (1 << 64) if h >= (1 << 63) else h
+        assert got[i] == signed, f"len {len(b)}"
+
+
+@pytest.mark.skipif(not HAVE_PA, reason="pyarrow codecs unavailable")
+def test_zstd_checksummed_frames_verified_by_libzstd_and_us():
+    """checksum=True frames must satisfy REAL libzstd (which verifies
+    Content_Checksum itself — a wrong XXH64 would make pyarrow raise),
+    and our decoder must verify too: a flipped payload byte or a
+    flipped stored checksum raises instead of returning bytes."""
+    import pyarrow as pa
+
+    from spatialdata_spark.sources.zstd import zstd_compress
+
+    codec = pa.Codec("zstd")
+    data = bytes(range(256)) * 41 + b"tail" + b"\x00" * 999
+    comp = zstd_compress(data, checksum=True)
+    assert codec.decompress(comp, decompressed_size=len(data)).to_pybytes() == data
+    assert zstd_decompress(comp) == data
+
+    bad = bytearray(comp)
+    bad[-1] ^= 0xFF  # stored checksum corrupted
+    with pytest.raises(ValueError, match="checksum"):
+        zstd_decompress(bytes(bad))
+
+
+def test_zstd_checksum_detects_tamper_roundtrip():
+    from spatialdata_spark.sources.zstd import zstd_compress
+
+    data = b"the quick brown fox " * 200
+    comp = zstd_compress(data, checksum=True)
+    assert zstd_decompress(comp) == data
+    assert zstd_decompress(zstd_compress(data)) == data  # default: no checksum

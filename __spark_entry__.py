@@ -3910,6 +3910,55 @@ FROM documents
 """
 
 
+def pl_dup_spans(spark, sf_dir):
+    """Duplicated-substring spans (the exact-substring-dedup cut list):
+    every char position emits a 62-bit two-channel rolling gram hash;
+    hashes occurring >1 time corpus-wide survive a broadcast-gated
+    semi-join; a per-document window merges overlapping gram intervals
+    into maximal spans.  The oracle replays the identical integer hash
+    arithmetic, so parity is value-exact including any (~2^-62) hash
+    collisions."""
+    from spatialdata_spark.pipeline.dedup import duplicate_spans
+
+    return duplicate_spans(_read(spark, sf_dir, "documents"), gram_chars=25)
+
+
+def _dup_spans_sql(k: int = 25) -> str:
+    from spatialdata_spark.pipeline.dedup import _H31
+
+    p2 = _H31[1][1]
+    return f"""
+WITH tt AS (
+  SELECT doc_id,
+         CASE WHEN LENGTH(text) < {k} THEN rpad(text, {k}, ' ') ELSE text END AS t
+  FROM documents
+),
+g AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         ({_shingle31_sql(k, 0)} * {p2} + {_shingle31_sql(k, 1)}) AS h
+  FROM tt, UNNEST(range(1, LENGTH(t) - {k} + 2)) u(i)
+),
+dup AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) > 1),
+m AS (SELECT doc_id, pos FROM g JOIN dup USING (h)),
+s AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   <= {k} THEN 0 ELSE 1 END AS is_new
+  FROM m
+),
+sp AS (
+  SELECT doc_id, pos,
+         CAST(SUM(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS span
+  FROM s
+)
+SELECT doc_id, MIN(pos) AS span_start,
+       CAST(MAX(pos) + {k} - MIN(pos) AS BIGINT) AS span_len,
+       COUNT(*) AS n_grams
+FROM sp GROUP BY doc_id, span
+"""
+
+
 def pl_unigram_lm(spark, sf_dir):
     """Mean negative log-likelihood per doc under the corpus's own
     add-one-smoothed unigram LM (the CCNet-style cheap quality filter).
@@ -4529,6 +4578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pl_unigram_lm": pl_unigram_lm,
         "pl_idf_keywords": pl_idf_keywords,
         "pl_dedup_keep_best": pl_dedup_keep_best,
+        "pl_dup_spans": pl_dup_spans,
         "rv_rasterize_polyfill": rv_rasterize_polyfill,
         "ag_points_by_labels": ag_points_by_labels,
         "st_sessionize": st_sessionize,
@@ -4734,6 +4784,7 @@ def oracle_sql() -> dict[str, str]:
         "pl_unigram_lm": PL_UNIGRAM_LM_SQL,
         "pl_idf_keywords": PL_IDF_KEYWORDS_SQL,
         "pl_dedup_keep_best": _dedup_keep_best_sql(),
+        "pl_dup_spans": _dup_spans_sql(),
         "ag_fractions_value": AG_FRACTIONS_VALUE_SQL,
         "ag_centroids_labels": AG_CENTROIDS_SQL,
         "ag_extent": AG_EXTENT_SQL,

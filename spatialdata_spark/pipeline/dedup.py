@@ -925,3 +925,74 @@ def dedup_keep_best(
     return best.select(
         "component", F.col("__b.keep").alias("keep_id"), "cluster_size"
     )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    gram_chars: int = 25,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Duplicated-substring span detection — the corpus-level "exact
+    substring dedup" primitive (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better"): find every maximal region of
+    every document whose ``gram_chars``-grams also occur elsewhere in
+    the corpus (or again in the same document), the spans that exact
+    substring dedup would cut.
+
+    Distributed shape (the suffix-array of the paper is single-node;
+    the standard cluster form is gram-hash bucketing): every char
+    position emits one 62-bit rolling-hash (two independent 31-bit
+    polynomial channels combined — the SQL-replayable shingle machinery
+    of the MinHash path, so the oracle is value-exact); hashes seen
+    more than once form a vocabulary-sized set joined back
+    broadcast-gated; a per-document window merges surviving positions
+    whose gram intervals overlap into maximal spans.  Work is linear in
+    corpus characters, the window is keyed by document (no hotspot).
+
+    Output: ``(doc_id, span_start, span_len, n_grams)`` with 1-based
+    ``span_start``; ``n_grams`` = duplicated gram positions inside the
+    span.  Hash collisions (~2^-62 per pair) could in principle mark a
+    false span — the oracle replays identical hashes, so parity is
+    exact either way.
+    """
+    from pyspark.sql.window import Window
+
+    k = int(gram_chars)
+    p2 = _H31[1][1]
+    h1 = _shingle31_expr(text_col, k, 0)
+    h2 = _shingle31_expr(text_col, k, 1)
+    grams = docs.select(
+        F.col(id_col),
+        F.posexplode(F.zip_with(h1, h2, lambda a, b: a * p2 + b)).alias("__p0", "__h"),
+    ).select(id_col, (F.col("__p0") + 1).alias("__pos"), "__h")
+    dup = grams.groupBy("__h").agg(F.count(F.lit(1)).alias("__n")).filter(
+        F.col("__n") > 1
+    ).select("__h")
+    if docs.sparkSession.sparkContext.master.startswith("local"):
+        dup = F.broadcast(dup)
+    marked = grams.join(dup, "__h").select(id_col, "__pos")
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    spans = (
+        marked.withColumn("__prev", F.lag("__pos").over(w))
+        .withColumn(
+            "__new",
+            F.when(
+                F.col("__prev").isNull() | (F.col("__pos") - F.col("__prev") > k), 1
+            ).otherwise(0),
+        )
+        .withColumn("__span", F.sum("__new").over(w))
+        .groupBy(id_col, "__span")
+        .agg(
+            F.min("__pos").alias("span_start"),
+            (F.max("__pos") + k - F.min("__pos")).alias("span_len"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .select(
+            id_col,
+            F.col("span_start").cast("long").alias("span_start"),
+            F.col("span_len").cast("long").alias("span_len"),
+            "n_grams",
+        )
+    )
+    return spans

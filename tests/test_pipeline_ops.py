@@ -901,3 +901,42 @@ def test_dedup_keep_best_representatives(spark):
     # longest text wins (near_a is 2 chars shorter than near_b? compute)
     exp_keep = 1 if len(near_a) > len(near_b) else (2 if len(near_b) > len(near_a) else 1)
     assert rows[1]["keep_id"] == exp_keep
+
+
+def test_duplicate_spans_known_layout(spark):
+    from spatialdata_spark.pipeline.dedup import duplicate_spans
+
+    shared = "0123456789abcdefghij"  # 20 chars, appears in docs 1 and 2
+    docs = spark.createDataFrame(
+        [
+            (1, "AAAA" + shared + "BBBBBBBBBB"),
+            (2, "CCCCCCC" + shared + "DDDD"),
+            (3, "unique text with nothing repeated anywhere at all!"),
+        ],
+        ["doc_id", "text"],
+    )
+    k = 10
+    rows = {
+        r["doc_id"]: r for r in duplicate_spans(docs, gram_chars=k).collect()
+    }
+    # the shared 20-char region yields 20-k+1 = 11 duplicated gram
+    # starts in each doc, merging into ONE span of exactly 20 chars
+    assert rows[1]["span_start"] == 5 and rows[1]["span_len"] == 20
+    assert rows[2]["span_start"] == 8 and rows[2]["span_len"] == 20
+    assert rows[1]["n_grams"] == 11 and rows[2]["n_grams"] == 11
+    assert 3 not in rows
+
+
+def test_duplicate_spans_intra_document_repeat(spark):
+    from spatialdata_spark.pipeline.dedup import duplicate_spans
+
+    # one doc that repeats its own prefix: both occurrences are spans
+    docs = spark.createDataFrame(
+        [(1, "xyzw" * 5 + "-filler-" + "xyzw" * 5)], ["doc_id", "text"]
+    )
+    rows = sorted(
+        (r["span_start"], r["span_len"])
+        for r in duplicate_spans(docs, gram_chars=8).collect()
+    )
+    assert len(rows) >= 1  # periodic text self-overlaps into >=1 span
+    assert rows[0][0] == 1

@@ -47,6 +47,7 @@ GUARDED = [
     "pl_quota_cap",
     "pl_unigram_lm",
     "pl_idf_keywords",
+    "pl_dup_spans",
 ]
 
 EXPRESSION_ONLY = [
@@ -64,6 +65,7 @@ EXPRESSION_ONLY = [
     "pl_lev_neardup",
     "pl_unigram_lm",
     "pl_idf_keywords",
+    "pl_dup_spans",
 ]
 
 

@@ -66,10 +66,12 @@ def _compress(codec: str | None, buf: bytes, typesize: int = 1) -> bytes:
         return blosc_compress(buf, typesize=typesize, cname="lz4", shuffle=1 if typesize > 1 else 0)
     if codec == "zstd":
         # real compression: greedy-LZ + predefined-FSE frames any real
-        # zstd reads (sources/zstd.py, pinned against libzstd in tests)
+        # zstd reads (sources/zstd.py, pinned against libzstd in tests);
+        # Content_Checksum on every written chunk — chunk corruption at
+        # rest surfaces as a decode error, not silent bad pixels
         from spatialdata_spark.sources.zstd import zstd_compress
 
-        return zstd_compress(buf)
+        return zstd_compress(buf, checksum=True)
     raise ValueError(f"unsupported zarr codec {codec!r}")
 
 

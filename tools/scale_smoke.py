@@ -45,7 +45,11 @@ def main(max_mult: int = 8) -> None:
     from spatialdata_spark.operators.aggregate import aggregate_points_by_circles
     from spatialdata_spark.operators.spatial_query import polygon_query_points
     from spatialdata_spark.operators.temporal import asof_join, interval_join
-    from spatialdata_spark.pipeline.dedup import exact_dedup, levenshtein_neardup
+    from spatialdata_spark.pipeline.dedup import (
+        duplicate_spans,
+        exact_dedup,
+        levenshtein_neardup,
+    )
     from spatialdata_spark.pipeline.filters import chunk_with_overlap, quota_cap
     from spatialdata_spark.operators.rasterize import rasterize_points
 
@@ -92,6 +96,10 @@ def main(max_mult: int = 8) -> None:
                 docs, quotas={"en": 50}, default_quota=20
             ).count(),
             "lev_neardup": lambda: levenshtein_neardup(docs, max_distance=5).count(),
+            # self-union makes EVERY gram duplicated (all positions
+            # survive the >1 filter): the worst-case marked-position
+            # volume, still linear in corpus characters
+            "dup_spans": lambda: duplicate_spans(docs, gram_chars=25).count(),
         }
         for name, fn in cases.items():
             best = None

@@ -940,3 +940,45 @@ def test_duplicate_spans_intra_document_repeat(spark):
     )
     assert len(rows) >= 1  # periodic text self-overlaps into >=1 span
     assert rows[0][0] == 1
+
+
+def test_quota_cap_two_stage_equals_single_window(spark):
+    """The Arrow pre-truncation must be invisible: across many input
+    partitions and adversarial tie patterns, the two-stage quota_cap
+    equals the plain single-window reference computed inline."""
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from spatialdata_spark.pipeline.filters import quota_cap
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(400):
+        src = rng.choice(["web", "books"])
+        lang = rng.choice(["en", "de", "fr"])
+        # many exact length ties to stress the id tiebreak
+        text = "x" * rng.choice([5, 5, 5, 10, 10, 50, rng.randrange(1, 80)])
+        rows.append((i, src, lang, text))
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "source", "lang", "text"]
+    ).repartition(8)
+
+    quotas, dq = {"en": 7, "de": 3}, 5
+    got = sorted(
+        r["doc_id"] for r in quota_cap(docs, quotas=quotas, default_quota=dq).collect()
+    )
+    w = Window.partitionBy("source", "lang").orderBy(
+        F.length("text").desc(), F.col("doc_id").asc()
+    )
+    q = F.lit(dq)
+    for k, v in sorted(quotas.items()):
+        q = F.when(F.col("lang") == k, F.lit(v)).otherwise(q)
+    want = sorted(
+        r["doc_id"]
+        for r in docs.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= q)
+        .collect()
+    )
+    assert got == want

@@ -960,11 +960,31 @@ def duplicate_spans(
 
     k = int(gram_chars)
     p2 = _H31[1][1]
-    h1 = _shingle31_expr(text_col, k, 0)
-    h2 = _shingle31_expr(text_col, k, 1)
+
+    # the two-channel hash via the vectorized numpy replica of
+    # _shingle31_expr (verified element-identical, same SQL oracle):
+    # the expression form's per-position 25-term HOF dot product costs
+    # ~10 s of interpreted-eval/codegen overhead at any input size
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _gram_hashes(texts):
+        import pandas as pd
+
+        # ndarrays go straight through Arrow — no per-element boxing
+        return pd.Series(
+            [
+                _shingle31_np(t or "", k, 0) * p2 + _shingle31_np(t or "", k, 1)
+                for t in texts
+            ]
+        )
+
+    spark = docs.sparkSession
+    if spark.sparkContext.master.startswith("local"):
+        # single-row-group local inputs scan as one task; spread the
+        # Arrow kernel first (same contract as minhash)
+        docs = docs.repartition(spark.sparkContext.defaultParallelism)
     grams = docs.select(
         F.col(id_col),
-        F.posexplode(F.zip_with(h1, h2, lambda a, b: a * p2 + b)).alias("__p0", "__h"),
+        F.posexplode(_gram_hashes(F.col(text_col))).alias("__p0", "__h"),
     ).select(id_col, (F.col("__p0") + 1).alias("__pos"), "__h")
     dup = grams.groupBy("__h").agg(F.count(F.lit(1)).alias("__n")).filter(
         F.col("__n") > 1

@@ -65,7 +65,6 @@ EXPRESSION_ONLY = [
     "pl_lev_neardup",
     "pl_unigram_lm",
     "pl_idf_keywords",
-    "pl_dup_spans",
 ]
 
 

@@ -786,7 +786,11 @@ def levenshtein_neardup(
         ).cast("int")
         return seg_pos, seg_len
 
-    # index side: each doc's own segments, keyed by its own length
+    # index side: each doc's own segments, keyed by its own length.
+    # Only the id rides along — at ~(d+1)^2 emitted rows per probing
+    # doc, carrying the 60-char prefix through the candidate join would
+    # multiply the shuffled bytes ~1000x; prefixes re-join AFTER the
+    # pair dedupe, where only distinct candidate pairs remain.
     idx_segs = []
     for i in range(k):
         p, ln = seg_geom(F.col("__len"), i)
@@ -797,9 +801,8 @@ def levenshtein_neardup(
         F.col("__lang"),
         F.col("__len").alias("__l"),
         F.col("__id").alias("id_l"),
-        F.col("__pre").alias("pre_l"),
         F.explode(F.array(*idx_segs)).alias("__s"),
-    ).select("__lang", "__l", F.col("__s.i").alias("__i"), F.col("__s.seg").alias("__seg"), "id_l", "pre_l")
+    ).select("__lang", "__l", F.col("__s.i").alias("__i"), F.col("__s.seg").alias("__seg"), "id_l")
 
     # probe side: for every candidate indexed length l <= |r| within d,
     # every segment index, every start in the ±d shift window
@@ -842,30 +845,32 @@ def levenshtein_neardup(
     ).select(
         "__lang", "__l", "__i",
         F.col("pre_r").substr(F.col("__q"), F.col("__li")).alias("__seg"),
-        "id_r", "pre_r",
+        "id_r",
     )
 
-    if docs.sparkSession.sparkContext.master.startswith("local"):
+    local = docs.sparkSession.sparkContext.master.startswith("local")
+    if local:
         idx = F.broadcast(idx)
-    cand = idx.join(probe, ["__lang", "__l", "__i", "__seg"]).filter(
-        F.col("id_l") != F.col("id_r")
-    )
-    pairs = (
-        cand.select(
+    pair_ids = (
+        idx.join(probe, ["__lang", "__l", "__i", "__seg"])
+        .filter(F.col("id_l") != F.col("id_r"))
+        .select(
             F.least("id_l", "id_r").alias("id_a"),
             F.greatest("id_l", "id_r").alias("id_b"),
-            F.when(F.col("id_l") < F.col("id_r"), F.col("pre_l"))
-            .otherwise(F.col("pre_r"))
-            .alias("pre_a"),
-            F.when(F.col("id_l") < F.col("id_r"), F.col("pre_r"))
-            .otherwise(F.col("pre_l"))
-            .alias("pre_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
+    )
+    pre_a = base.select(F.col("__id").alias("id_a"), F.col("__pre").alias("__pre_a"))
+    pre_b = base.select(F.col("__id").alias("id_b"), F.col("__pre").alias("__pre_b"))
+    if local:
+        pre_a, pre_b = F.broadcast(pre_a), F.broadcast(pre_b)
+    pairs = (
+        pair_ids.join(pre_a, "id_a")
+        .join(pre_b, "id_b")
         .select(
             "id_a",
             "id_b",
-            F.levenshtein("pre_a", "pre_b").alias("distance"),
+            F.levenshtein("__pre_a", "__pre_b").alias("distance"),
         )
         .filter(F.col("distance") <= d)
     )

@@ -205,8 +205,17 @@ class S3Fetcher:
             return f"{self.prefix}/{rel}"
         return rel or self.prefix
 
-    def _request(self, key: str, query: dict[str, str] | None = None) -> bytes | None:
-        """Signed (or anonymous) GET; None on 404/NoSuchKey."""
+    def _request(
+        self,
+        key: str,
+        query: dict[str, str] | None = None,
+        method: str = "GET",
+        body: bytes | None = None,
+    ) -> bytes | None:
+        """Signed (or anonymous) request; None on 404/NoSuchKey.  PUT
+        bodies are signed through ``x-amz-content-sha256`` (SigV4
+        payload hashing), so the stub — like real S3 — rejects
+        tampered uploads, not just tampered headers."""
         query = dict(query or {})
         path = "/" + self.bucket + (f"/{key}" if key else "")
         canonical_uri = _sigv4_quote(path, safe="/-_.~")
@@ -221,14 +230,14 @@ class S3Fetcher:
             now = datetime.datetime.now(datetime.timezone.utc)
             amz_date = now.strftime("%Y%m%dT%H%M%SZ")
             datestamp = now.strftime("%Y%m%d")
-            payload_hash = hashlib.sha256(b"").hexdigest()
+            payload_hash = hashlib.sha256(body or b"").hexdigest()
             hdrs = {"host": host, "x-amz-content-sha256": payload_hash, "x-amz-date": amz_date}
             if self.session_token:
                 hdrs["x-amz-security-token"] = self.session_token
             signed_headers = ";".join(sorted(hdrs))
             canonical_headers = "".join(f"{k}:{hdrs[k]}\n" for k in sorted(hdrs))
             canonical_request = "\n".join(
-                ["GET", canonical_uri, canonical_query, canonical_headers, signed_headers, payload_hash]
+                [method, canonical_uri, canonical_query, canonical_headers, signed_headers, payload_hash]
             )
             scope = f"{datestamp}/{self.region}/s3/aws4_request"
             string_to_sign = "\n".join(
@@ -254,7 +263,7 @@ class S3Fetcher:
             }
             if self.session_token:
                 headers["x-amz-security-token"] = self.session_token
-        req = urllib.request.Request(url, headers=headers)
+        req = urllib.request.Request(url, data=body, headers=headers, method=method)
         try:
             with urllib.request.urlopen(req, timeout=self.timeout) as r:
                 return r.read()
@@ -273,6 +282,15 @@ class S3Fetcher:
     def get_json(self, rel: str) -> dict | None:
         b = self.get(rel)
         return None if b is None else json.loads(b)
+
+    def put(self, rel: str, data: bytes) -> None:
+        """Signed PUT — the write half of object-store zarr/parquet
+        stores; executors upload their own chunks (same no-driver-
+        bottleneck contract as reads)."""
+        self._request(self._key(rel), method="PUT", body=bytes(data))
+
+    def delete(self, rel: str) -> None:
+        self._request(self._key(rel), method="DELETE")
 
     def _list(self, prefix: str, delimiter: str | None) -> tuple[list[str], list[str]]:
         """ListObjectsV2 with pagination -> (keys, common prefixes)."""
@@ -418,6 +436,28 @@ class GSFetcher:
     def get_json(self, rel: str) -> dict | None:
         b = self.get(rel)
         return None if b is None else json.loads(b)
+
+    def put(self, rel: str, data: bytes) -> None:
+        """Media upload through the JSON API (requires credentials —
+        GCS has no anonymous writes)."""
+        if self.credentials is None:
+            raise PermissionError("gs put needs service-account credentials")
+        key = urllib.parse.quote(self._key(rel), safe="-_.~")
+        url = (
+            f"{self.endpoint}/upload/storage/v1/b/{self.bucket}/o"
+            f"?uploadType=media&name={key}"
+        )
+        req = urllib.request.Request(
+            url,
+            data=bytes(data),
+            headers={
+                "Authorization": f"Bearer {self.credentials.token()}",
+                "Content-Type": "application/octet-stream",
+            },
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout) as r:
+            r.read()
 
     def _list(self, prefix: str, delimiter: str | None) -> tuple[list[str], list[str]]:
         items: list[str] = []

@@ -40,7 +40,7 @@ class _S3Stub(http.server.BaseHTTPRequestHandler):
     def log_message(self, *a):  # silence
         pass
 
-    def _verify_sig(self) -> bool:
+    def _verify_sig(self, method="GET", body=b"") -> bool:
         auth = self.headers.get("Authorization", "")
         if not auth.startswith("AWS4-HMAC-SHA256"):
             return False
@@ -63,8 +63,11 @@ class _S3Stub(http.server.BaseHTTPRequestHandler):
             f"{h}:{self.headers.get(h).strip()}\n" for h in signed_headers.split(";")
         )
         payload_hash = self.headers.get("x-amz-content-sha256", "")
+        # like real S3: the signed payload hash must match the body
+        if payload_hash != hashlib.sha256(body).hexdigest():
+            return False
         canonical_request = "\n".join(
-            ["GET", parsed.path, canonical_query, canonical_headers, signed_headers, payload_hash]
+            [method, parsed.path, canonical_query, canonical_headers, signed_headers, payload_hash]
         )
         scope = f"{datestamp}/{region}/{service}/aws4_request"
         sts = "\n".join(
@@ -80,6 +83,33 @@ class _S3Stub(http.server.BaseHTTPRequestHandler):
             k = hmac.new(k, step.encode(), hashlib.sha256).digest()
         want = hmac.new(k, sts.encode(), hashlib.sha256).hexdigest()
         return hmac.compare_digest(want, got_sig)
+
+    def do_PUT(self):
+        body = self.rfile.read(int(self.headers.get("Content-Length", "0")))
+        if self.require_auth and not self._verify_sig("PUT", body):
+            self.send_response(403)
+            self.end_headers()
+            self.wfile.write(b"<Error><Code>SignatureDoesNotMatch</Code></Error>")
+            return
+        segs = urllib.parse.urlparse(self.path).path.lstrip("/").split("/", 1)
+        if segs[0] != self.bucket or len(segs) < 2:
+            self.send_response(404)
+            self.end_headers()
+            return
+        self.objects[urllib.parse.unquote(segs[1])] = body
+        self.send_response(200)
+        self.send_header("Content-Length", "0")
+        self.end_headers()
+
+    def do_DELETE(self):
+        if self.require_auth and not self._verify_sig("DELETE"):
+            self.send_response(403)
+            self.end_headers()
+            return
+        segs = urllib.parse.urlparse(self.path).path.lstrip("/").split("/", 1)
+        self.objects.pop(urllib.parse.unquote(segs[1]) if len(segs) > 1 else "", None)
+        self.send_response(204)
+        self.end_headers()
 
     def do_GET(self):
         if self.require_auth and not self._verify_sig():
@@ -437,7 +467,22 @@ class _GSAuthStub(_GSStub):
     def do_POST(self):
         from spatialdata_spark.sources.gcs_auth import rsa_sha256_verify
 
-        if urllib.parse.urlparse(self.path).path != "/token":
+        parsed = urllib.parse.urlparse(self.path)
+        if parsed.path == f"/upload/storage/v1/b/{self.bucket}/o":
+            if self.headers.get("Authorization") != f"Bearer {self.token}":
+                self.send_response(401)
+                self.end_headers()
+                return
+            q = dict(urllib.parse.parse_qsl(parsed.query))
+            body = self.rfile.read(int(self.headers.get("Content-Length", "0")))
+            self.objects[urllib.parse.unquote(q["name"])] = body
+            out = json.dumps({"name": q["name"]}).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(out)))
+            self.end_headers()
+            self.wfile.write(out)
+            return
+        if parsed.path != "/token":
             self.send_response(404)
             self.end_headers()
             return
@@ -565,3 +610,97 @@ def test_rs256_sign_verify_roundtrip_and_pem_parse():
     assert rsa_sha256_verify(msg, sig, key["n"], key["e"])
     assert not rsa_sha256_verify(b"tampered", sig, key["n"], key["e"])
     assert not rsa_sha256_verify(msg, sig[:-1] + b"\x00", key["n"], key["e"])
+
+
+def test_s3_signed_put_get_delete_roundtrip(s3_stub):
+    stub, endpoint = s3_stub
+    fx = _s3("/pre", endpoint)
+    fx.put("dir/obj.bin", b"\x01\x02payload")
+    assert stub.objects["pre/dir/obj.bin"] == b"\x01\x02payload"
+    assert fx.get("dir/obj.bin") == b"\x01\x02payload"
+    fx.delete("dir/obj.bin")
+    assert fx.get("dir/obj.bin") is None
+
+
+def test_s3_put_with_tampered_body_hash_rejected(s3_stub):
+    """The stub recomputes sha256(body) and compares it to the SIGNED
+    x-amz-content-sha256 — an upload whose body doesn't match its
+    signed hash must 403, like real S3."""
+    import hashlib as _hl
+
+    stub, endpoint = s3_stub
+    fx = _s3("/pre", endpoint)
+
+    # hand-roll a request where the signature covers DIFFERENT bytes
+    orig_request = urllib.request.Request
+    sent = {}
+
+    class _Tamper(orig_request):
+        def __init__(self, url, data=None, headers=None, method=None, **kw):
+            if method == "PUT" and data is not None:
+                sent["body"] = data
+                data = data + b"TAMPERED"
+            super().__init__(url, data=data, headers=headers or {}, method=method, **kw)
+
+    urllib.request.Request = _Tamper
+    try:
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            fx.put("x.bin", b"legit")
+        assert ei.value.code == 403
+    finally:
+        urllib.request.Request = orig_request
+    assert "pre/x.bin" not in stub.objects
+
+
+def test_s3_put_wrong_secret_rejected(s3_stub):
+    stub, endpoint = s3_stub
+    fx = _s3("/pre", endpoint, secret_key="wrong")
+    with pytest.raises(urllib.error.HTTPError):
+        fx.put("y.bin", b"data")
+    assert "pre/y.bin" not in stub.objects
+
+
+def test_gs_put_requires_and_uses_bearer(gs_auth_stub):
+    stub, endpoint = gs_auth_stub
+    fx = GSFetcher("gs://gsbucket/pre", endpoint=endpoint, credentials=_sa_info(endpoint))
+    fx.put("out/part.bin", b"\xaa\xbb")
+    assert stub.objects["pre/out/part.bin"] == b"\xaa\xbb"
+    assert fx.get("out/part.bin") == b"\xaa\xbb"
+    anon = GSFetcher("gs://gsbucket/pre", endpoint=endpoint)
+    with pytest.raises(PermissionError):
+        anon.put("nope.bin", b"x")
+
+
+def test_zarr_store_written_via_signed_puts_then_read(spark, s3_stub, tmp_path):
+    """The write half of the remote-store story: a zarr array written
+    locally is uploaded object-by-object through SIGNED puts (each
+    body hash verified by the stub), then read back over s3:// through
+    the distributed tile path — a full remote write/read cycle."""
+    from spatialdata_spark.operators.raster import tiles_to_long
+    from spatialdata_spark.sources.zarrio import read_zarr_tiles, zarr_write_array
+
+    stub, endpoint = s3_stub
+    a = (np.arange(24, dtype=np.float64) ** 2).reshape(4, 6)
+    p = str(tmp_path / "img")
+    zarr_write_array(p, a, chunks=(2, 2), compressor="zstd")
+    fx = _s3("/remote/img", endpoint)
+    for root, _, files in os.walk(p):
+        for fn in files:
+            full = os.path.join(root, fn)
+            rel = os.path.relpath(full, p).replace(os.sep, "/")
+            with open(full, "rb") as f:
+                fx.put(rel, f.read())
+    assert any(k.startswith("remote/img/") for k in stub.objects)
+    os.environ["AWS_ENDPOINT_URL"] = endpoint
+    os.environ["AWS_ACCESS_KEY_ID"] = ACCESS
+    os.environ["AWS_SECRET_ACCESS_KEY"] = SECRET
+    try:
+        tiles, meta = read_zarr_tiles(spark, "s3://testbucket/remote/img")
+        long = tiles_to_long(tiles, meta).toPandas()
+        got = np.zeros((4, 6))
+        for r in long.itertuples():
+            got[int(r.y), int(r.x)] = r.value
+        assert np.array_equal(got, a)
+    finally:
+        for k in ("AWS_ENDPOINT_URL", "AWS_ACCESS_KEY_ID", "AWS_SECRET_ACCESS_KEY"):
+            os.environ.pop(k, None)

@@ -16,14 +16,17 @@ remote parquet through ``simplecache::``-wrapped fsspec URLs
   ``simplecache::`` analog).
 * :class:`S3Fetcher` — ``s3://`` over the public S3 REST API with
   stdlib-only SigV4 signing (or anonymous for public buckets); CAN
-  list via ListObjectsV2, so no manifest is needed.  Works against any
-  s3-compatible endpoint (``AWS_ENDPOINT_URL``).
-* :class:`GSFetcher` — ``gs://`` public-object reads + listing via the
-  public GCS JSON/media endpoints; private buckets go through GCS's
-  documented S3-interop path (HMAC keys + ``S3Fetcher``).
+  list via ListObjectsV2, so no manifest is needed; signed ``put`` /
+  ``delete`` for the write half.  Works against any s3-compatible
+  endpoint (``AWS_ENDPOINT_URL``).
+* :class:`GSFetcher` — ``gs://`` reads + listing via the public GCS
+  JSON/media endpoints; private buckets via the stdlib RS256
+  service-account JWT flow (``gcs_auth.py``), uploads through the
+  authenticated media endpoint; the S3-interop HMAC path (+
+  ``S3Fetcher``) remains the documented alternative.
 
-Fetchers are tiny picklable value objects: executors fetch chunk
-payloads themselves, so a 1000-executor cluster pulls 1000 chunks
+Fetchers are tiny picklable value objects: executors fetch/upload
+their own chunks, so a 1000-executor cluster moves 1000 objects
 concurrently with no driver bottleneck.
 """
 

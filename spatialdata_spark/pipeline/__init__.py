@@ -1,3 +1,3 @@
-from spatialdata_spark.pipeline import dedup, multimodal, similarity, textstats
+from spatialdata_spark.pipeline import dedup, filters, multimodal, similarity, textstats
 
-__all__ = ["dedup", "multimodal", "similarity", "textstats"]
+__all__ = ["dedup", "filters", "multimodal", "similarity", "textstats"]

@@ -143,12 +143,93 @@ def parse_array_meta(doc: dict) -> dict:
             return sep.join(str(n) for n in nums) or "0"
     else:
         raise ValueError(f"unsupported chunk_key_encoding {cke.get('name')!r}")
+    outer = tuple(grid["configuration"]["chunk_shape"])
+    codecs = doc.get("codecs", [])
+    shard = None
+    chunks = outer
+    if codecs and codecs[0].get("name") == "sharding_indexed":
+        # zarr v3 sharding extension: the store object is a SHARD of
+        # ``outer`` shape holding a C-order grid of inner chunks, with
+        # a (offset, nbytes) uint64-pair index at index_location,
+        # checksummed by the index_codecs chain (bytes [+ crc32c])
+        cfg = codecs[0].get("configuration") or {}
+        inner = tuple(cfg["chunk_shape"])
+        if len(inner) != len(outer) or any(o % i for o, i in zip(outer, inner)):
+            raise ValueError(
+                f"shard shape {outer} is not a multiple of inner chunk shape {inner}"
+            )
+        idx_names = [c.get("name") for c in cfg.get("index_codecs", [{"name": "bytes"}])]
+        for n in idx_names:
+            if n not in ("bytes", "crc32c"):
+                raise ValueError(f"unsupported shard index codec {n!r}")
+        shard = {
+            "inner_per_dim": tuple(o // i for o, i in zip(outer, inner)),
+            "index_location": cfg.get("index_location", "end"),
+            "index_crc32c": "crc32c" in idx_names,
+        }
+        chunks = inner
+        inner_codec = codec_of_chain(cfg.get("codecs", [{"name": "bytes"}]))
     return {
         "shape": tuple(doc["shape"]),
-        "chunks": tuple(grid["configuration"]["chunk_shape"]),
+        "chunks": chunks,
+        "shard_chunks": outer if shard else None,
+        "shard": shard,
         "dtype": v3_dtype_to_np(doc["data_type"]),
-        "codec": codec_of_chain(doc.get("codecs", [])),
+        "codec": inner_codec if shard else codec_of_chain(codecs),
         "fill_value": doc.get("fill_value") or 0,
         "key": key,
         "attributes": doc.get("attributes", {}),
     }
+
+
+_SHARD_MISSING = (1 << 64) - 1
+
+
+def parse_shard_index(raw: bytes, n_inner: int, shard: dict) -> list[tuple[int, int]]:
+    """Decode a shard's index: ``n_inner`` little-endian
+    ``(offset, nbytes)`` uint64 pairs at ``index_location``, verifying
+    the trailing crc32c when the index codec chain includes it.
+    Missing inner chunks are ``(2^64-1, 2^64-1)`` pairs."""
+    import struct
+
+    size = 16 * n_inner + (4 if shard["index_crc32c"] else 0)
+    if len(raw) < size:
+        raise ValueError(
+            f"shard of {len(raw)} bytes is smaller than its {size}-byte index"
+        )
+    blob = raw[:size] if shard["index_location"] == "start" else raw[-size:]
+    if shard["index_crc32c"]:
+        from spatialdata_spark.sources.crc32c import crc32c
+
+        body, stored = blob[:-4], struct.unpack("<I", blob[-4:])[0]
+        got = crc32c(body)
+        if got != stored:
+            raise ValueError(
+                f"shard index crc32c mismatch (stored 0x{stored:08x}, "
+                f"computed 0x{got:08x})"
+            )
+        blob = body
+    vals = struct.unpack(f"<{2 * n_inner}Q", blob)
+    return [(vals[2 * i], vals[2 * i + 1]) for i in range(n_inner)]
+
+
+def build_shard(
+    inner_payloads: list[bytes | None], shard: dict | None = None
+) -> bytes:
+    """Assemble a shard: concatenated present inner-chunk payloads plus
+    the (offset, nbytes) index at the end (crc32c-checksummed) — the
+    writer mirror of :func:`parse_shard_index`."""
+    import struct
+
+    out = bytearray()
+    entries = []
+    for payload in inner_payloads:
+        if payload is None:
+            entries.append((_SHARD_MISSING, _SHARD_MISSING))
+        else:
+            entries.append((len(out), len(payload)))
+            out += payload
+    index = b"".join(struct.pack("<QQ", o, n) for o, n in entries)
+    from spatialdata_spark.sources.crc32c import crc32c
+
+    return bytes(out) + index + struct.pack("<I", crc32c(index))

@@ -452,6 +452,7 @@ def read_zarr_tiles(
         p3 = zarr3.parse_array_meta(doc3)
         shape, chunks, dtype = p3["shape"], p3["chunks"], p3["dtype"]
         codec, keyfn3 = p3["codec"], p3["key"]
+        shard_info, shard_chunks = p3["shard"], p3["shard_chunks"]
     else:
         if ameta.get("filters"):
             raise ValueError("zarr filters are not supported")
@@ -459,6 +460,7 @@ def read_zarr_tiles(
         shape = tuple(ameta["shape"])
         chunks = tuple(ameta["chunks"])
         dtype = np.dtype(ameta["dtype"])
+        shard_info, shard_chunks = None, None
     two_d = len(shape) == 2
     if len(shape) == 2:
         shape = (1,) + shape
@@ -489,13 +491,18 @@ def read_zarr_tiles(
         # v3 stores and no-listing (http/object) stores: the chunk-key
         # set is fully determined by the shape/chunks grid; executors
         # skip 404s (missing chunk = fill_value, all-zero tiles are
-        # sparse anyway)
+        # sparse anyway).  For sharded v3 arrays the store object is
+        # the SHARD, so the key grid walks shard coordinates and each
+        # executor task expands its shard into inner tiles.
         if ameta is not None:
             sep = _separator_of(ameta)
 
             def keyfn3(nums, _s=sep):
                 return _s.join(str(k) for k in nums) or "0"
-        grid = [range(-(-s // c)) for s, c in zip(shape, chunks)]
+        unit = chunks
+        if shard_info is not None:
+            unit = shard_chunks if not two_d else (1,) + tuple(shard_chunks)
+        grid = [range(-(-s // c)) for s, c in zip(shape, unit)]
         for c0 in grid[0]:
             for t_y in grid[1]:
                 for t_x in grid[2]:
@@ -503,22 +510,49 @@ def read_zarr_tiles(
                     keys.append((c0, t_y, t_x, keyfn3(nums)))
     kdf = spark.createDataFrame(keys, "c int, ty long, tx long, chunk string")
     src_dtype = dtype
+    if shard_info is not None:
+        ipd = shard_info["inner_per_dim"]
+        ipd3 = (1,) + tuple(ipd) if two_d else tuple(ipd)
 
     def _decode(iterator):
         import pandas as pd
 
+        from spatialdata_spark.sources import zarr3 as z3
+
         for pdf in iterator:
             rows = {"scale": [], "c": [], "ty": [], "tx": [], "tile": []}
+
+            def emit(c, ty, tx, payload):
+                a = np.frombuffer(_decompress(codec, payload), dtype=src_dtype).reshape(ts, ts)
+                rows["scale"].append(scale)
+                rows["c"].append(int(c))
+                rows["ty"].append(int(ty))
+                rows["tx"].append(int(tx))
+                rows["tile"].append(np.ascontiguousarray(a, dtype=np.dtype(dstr)).tobytes())
+
             for row in pdf.itertuples(index=False):
                 raw = fetcher.get(row.chunk)
                 if raw is None:
-                    continue  # absent chunk = fill_value
-                a = np.frombuffer(_decompress(codec, raw), dtype=src_dtype).reshape(ts, ts)
-                rows["scale"].append(scale)
-                rows["c"].append(int(row.c))
-                rows["ty"].append(int(row.ty))
-                rows["tx"].append(int(row.tx))
-                rows["tile"].append(np.ascontiguousarray(a, dtype=np.dtype(dstr)).tobytes())
+                    continue  # absent chunk/shard = fill_value
+                if shard_info is None:
+                    emit(row.c, row.ty, row.tx, raw)
+                    continue
+                n_inner = ipd3[0] * ipd3[1] * ipd3[2]
+                index = z3.parse_shard_index(raw, n_inner, shard_info)
+                i = 0
+                for ic in range(ipd3[0]):
+                    for iy in range(ipd3[1]):
+                        for ix in range(ipd3[2]):
+                            off, nb = index[i]
+                            i += 1
+                            if off == z3._SHARD_MISSING:
+                                continue
+                            emit(
+                                row.c * ipd3[0] + ic,
+                                row.ty * ipd3[1] + iy,
+                                row.tx * ipd3[2] + ix,
+                                raw[off : off + nb],
+                            )
             yield pd.DataFrame(rows)
 
     return kdf.mapInPandas(_decode, TILE_SCHEMA), meta

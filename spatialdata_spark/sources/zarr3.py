@@ -124,6 +124,47 @@ def group_meta(attrs: dict | None = None) -> dict:
     return {"zarr_format": 3, "node_type": "group", "attributes": attrs or {}}
 
 
+def sharded_array_meta(
+    shape: tuple[int, ...],
+    shard_chunks: tuple[int, ...],
+    inner_chunks: tuple[int, ...],
+    dtype: np.dtype,
+    codec: str | None,
+    attrs: dict | None = None,
+    separator: str = "/",
+) -> dict:
+    """v3 array document whose top codec is ``sharding_indexed``: the
+    chunk grid walks SHARD shapes; inner chunks + their codec chain and
+    the crc32c'd index live in the sharding configuration."""
+    return {
+        "zarr_format": 3,
+        "node_type": "array",
+        "shape": list(shape),
+        "data_type": np_dtype_to_v3(np.dtype(dtype)),
+        "chunk_grid": {
+            "name": "regular",
+            "configuration": {"chunk_shape": list(shard_chunks)},
+        },
+        "chunk_key_encoding": {"name": "default", "configuration": {"separator": separator}},
+        "fill_value": 0,
+        "codecs": [
+            {
+                "name": "sharding_indexed",
+                "configuration": {
+                    "chunk_shape": list(inner_chunks),
+                    "codecs": codecs_doc(codec, np.dtype(dtype).itemsize),
+                    "index_codecs": [
+                        {"name": "bytes", "configuration": {"endian": "little"}},
+                        {"name": "crc32c"},
+                    ],
+                    "index_location": "end",
+                },
+            }
+        ],
+        "attributes": attrs or {},
+    }
+
+
 def parse_array_meta(doc: dict) -> dict:
     """Normalize a v3 array ``zarr.json`` into the fields the v2 read
     paths use: shape / chunks / numpy dtype / our codec name / a chunk

@@ -359,6 +359,7 @@ def write_tiles_to_zarr(
     attrs: dict | None = None,
     squeeze_channel: bool = False,
     zarr_format: int = 2,
+    shard: int | None = None,
 ) -> int:
     """Write one pyramid level's tile table as a zarr array
     ``(c, y, x)`` with chunks ``(1, tile, tile)`` — or, with
@@ -369,6 +370,12 @@ def write_tiles_to_zarr(
     The executors each encode and write their own chunk files (the
     tile grid maps 1:1 onto the zarr chunk grid, so no shuffle); the
     driver writes only the JSON metadata.  Returns the chunk count.
+
+    ``shard=m`` (v3 only) writes ``sharding_indexed`` shards of
+    ``m x m`` tiles instead of one object per tile — the store-object
+    count drops m², which is what 100 TB object stores need.  One
+    regroup shuffle keyed by shard coordinates; each task assembles
+    and writes exactly one shard (crc32c-checksummed index).
     """
     h, w = meta.shape_at(scale)
     ts = meta.tile
@@ -377,6 +384,13 @@ def write_tiles_to_zarr(
         raise ValueError("squeeze_channel requires a single-channel raster")
     shape2 = [h, w] if squeeze_channel else [meta.n_channels, h, w]
     chunks2 = [ts, ts] if squeeze_channel else [1, ts, ts]
+    if shard is not None:
+        if zarr_format != 3:
+            raise ValueError("sharded writes need zarr_format=3")
+        return _write_tiles_sharded(
+            tiles, meta, path, scale, compressor, attrs, squeeze_channel,
+            int(shard), shape2, chunks2,
+        )
     if zarr_format == 3:
         from spatialdata_spark.sources import zarr3
 
@@ -427,6 +441,79 @@ def write_tiles_to_zarr(
         .collect()
     )
     return int(sum(counts))
+
+
+def _write_tiles_sharded(
+    tiles: DataFrame,
+    meta: RasterMeta,
+    path: str,
+    scale: int,
+    compressor: str | None,
+    attrs: dict | None,
+    squeeze_channel: bool,
+    shard: int,
+    shape2: list[int],
+    chunks2: list[int],
+) -> int:
+    """Sharded v3 write: tiles regroup once on shard coordinates and
+    each group task assembles one ``sharding_indexed`` shard (C-order
+    inner grid, crc32c'd index) and writes it.  Returns the number of
+    tiles written."""
+    import pandas as pd
+
+    from spatialdata_spark.sources import zarr3
+
+    ts = meta.tile
+    dtype = np.dtype(meta.dtype)
+    codec = "gzip" if compressor == "zlib" else compressor
+    if squeeze_channel:
+        shard_chunks = [ts * shard, ts * shard]
+    else:
+        shard_chunks = [1, ts * shard, ts * shard]
+    meta3 = zarr3.sharded_array_meta(
+        tuple(shape2), tuple(shard_chunks), tuple(chunks2), dtype, codec, attrs
+    )
+    _write_json(os.path.join(path, "zarr.json"), meta3)
+    keyfn = zarr3.parse_array_meta(meta3)["key"]
+    itemsize = dtype.itemsize
+    sq = squeeze_channel
+
+    def _build(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        c, sy, sx = int(key[0]), int(key[1]), int(key[2])
+        by_pos = {
+            (int(r.ty) - sy * shard, int(r.tx) - sx * shard): bytes(r.tile)
+            for r in pdf.itertuples(index=False)
+        }
+        payloads = []
+        for iy in range(shard):
+            for ix in range(shard):
+                raw = by_pos.get((iy, ix))
+                payloads.append(
+                    None if raw is None else _compress(codec, raw, typesize=itemsize)
+                )
+        name = keyfn((sy, sx) if sq else (c, sy, sx))
+        fpath = os.path.join(path, *name.split("/"))
+        os.makedirs(os.path.dirname(fpath), exist_ok=True)
+        with open(fpath, "wb") as f:
+            f.write(zarr3.build_shard(payloads))
+        return pd.DataFrame({"n": [len(by_pos)]})
+
+    counts = (
+        tiles.filter(F.col("scale") == scale)
+        .select(
+            "c",
+            F.floor(F.col("ty") / shard).cast("long").alias("sy"),
+            F.floor(F.col("tx") / shard).cast("long").alias("sx"),
+            "ty",
+            "tx",
+            "tile",
+        )
+        .groupBy("c", "sy", "sx")
+        .applyInPandas(_build, "n long")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    )
+    return int(counts[0]["n"] or 0) if counts else 0
 
 
 def read_zarr_tiles(

@@ -299,3 +299,49 @@ def test_crc32c_rfc7143_vectors():
     assert crc32c(b"\xff" * 32) == 0x62A8AB43
     assert crc32c(bytes(range(32))) == 0x46DD794E
     assert crc32c(bytes(range(31, -1, -1))) == 0x113FDB5C
+
+
+def test_sharded_write_read_roundtrip(spark, tmp_path):
+    """Distributed sharded WRITE: tiles regroup on shard coords, each
+    task writes one sharding_indexed shard; the store then reads back
+    through the (spec-pinned) sharded read path."""
+    from spatialdata_spark.operators.raster import RasterMeta, long_to_tiles, tiles_to_long
+    from spatialdata_spark.sources.zarrio import read_zarr_tiles, write_tiles_to_zarr
+
+    a = (np.arange(12 * 12, dtype=np.float64) * 3.5).reshape(12, 12)
+    meta = RasterMeta(height=12, width=12, tile=3, dtype="f8", n_channels=1)
+    rows = [
+        (0, 0, int(y), int(x), float(a[y, x]))
+        for y in range(12)
+        for x in range(12)
+    ]
+    long = spark.createDataFrame(rows, "scale int, c int, y long, x long, value double")
+    tiles = long_to_tiles(long, meta)
+    p = str(tmp_path / "shardout")
+    n = write_tiles_to_zarr(tiles, meta, p, compressor="zstd", zarr_format=3, shard=2)
+    assert n == 16  # 4x4 tile grid
+    # store has 4 shard objects (2x2 shard grid), not 16 chunk objects
+    shard_files = [
+        os.path.join(r, f)
+        for r, _, fs in os.walk(os.path.join(p, "c"))
+        for f in fs
+    ]
+    assert len(shard_files) == 4
+    tiles2, meta2 = read_zarr_tiles(spark, p)
+    assert meta2.tile == 3
+    got = np.zeros((12, 12))
+    for r in tiles_to_long(tiles2, meta2).toPandas().itertuples():
+        got[int(r.y), int(r.x)] = r.value
+    assert np.array_equal(got, a)
+
+
+def test_sharded_write_requires_v3(spark, tmp_path):
+    from spatialdata_spark.operators.raster import RasterMeta
+    from spatialdata_spark.sources.zarrio import write_tiles_to_zarr
+
+    meta = RasterMeta(height=4, width=4, tile=2, dtype="f8", n_channels=1)
+    with pytest.raises(ValueError, match="zarr_format=3"):
+        write_tiles_to_zarr(
+            spark.createDataFrame([], "scale int, c int, ty long, tx long, tile binary"),
+            meta, str(tmp_path / "x"), shard=2,
+        )

@@ -3959,6 +3959,86 @@ FROM sp GROUP BY doc_id, span
 """
 
 
+def pl_span_cut(spark, sf_dir):
+    """The CUT pass of exact substring dedup: every non-canonical
+    duplicated region removed, corpus-wide first occurrence kept
+    (per-gram argmin over (doc_id, pos)); kept text reassembled with an
+    order-preserving sorted array join.  Every stage keyed by hash or
+    by document.  The oracle replays identical hashing and rebuilds
+    with STRING_AGG ORDER BY."""
+    from spatialdata_spark.pipeline.dedup import remove_duplicate_spans
+
+    return remove_duplicate_spans(_read(spark, sf_dir, "documents"), gram_chars=25)
+
+
+def _span_cut_sql(k: int = 25) -> str:
+    from spatialdata_spark.pipeline.dedup import _H31
+
+    p2 = _H31[1][1]
+    return f"""
+WITH tt AS (
+  SELECT doc_id,
+         CASE WHEN LENGTH(text) < {k} THEN rpad(text, {k}, ' ') ELSE text END AS t
+  FROM documents
+),
+g AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         ({_shingle31_sql(k, 0)} * {p2} + {_shingle31_sql(k, 1)}) AS h
+  FROM tt, UNNEST(range(1, LENGTH(t) - {k} + 2)) u(i)
+),
+rk AS (
+  SELECT doc_id, pos,
+         ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rk
+  FROM g
+),
+cuts AS (SELECT doc_id, pos FROM rk WHERE rk > 1),
+s AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   <= {k} THEN 0 ELSE 1 END AS is_new
+  FROM cuts
+),
+sp AS (
+  SELECT doc_id, pos,
+         CAST(SUM(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS span
+  FROM s
+),
+iv AS (
+  SELECT doc_id, MIN(pos) AS st, MAX(pos) + {k} AS en
+  FROM sp GROUP BY doc_id, span
+),
+segs AS (
+  SELECT doc_id,
+         COALESCE(LAG(en) OVER (PARTITION BY doc_id ORDER BY st), 1) AS ks,
+         st AS ke, en AS tail_from,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY st DESC) AS rlast
+  FROM iv
+),
+pieces AS (
+  SELECT s2.doc_id, s2.ks,
+         SUBSTRING(d.text, CAST(s2.ks AS INT),
+                   GREATEST(CAST(s2.ke - s2.ks AS INT), 0)) AS piece
+  FROM segs s2 JOIN documents d USING (doc_id)
+  UNION ALL
+  SELECT s2.doc_id, s2.tail_from AS ks,
+         CASE WHEN s2.tail_from > LENGTH(d.text) THEN ''
+              ELSE SUBSTRING(d.text, CAST(s2.tail_from AS INT)) END AS piece
+  FROM segs s2 JOIN documents d USING (doc_id)
+  WHERE s2.rlast = 1
+),
+rebuilt AS (
+  SELECT doc_id, STRING_AGG(piece, '' ORDER BY ks) AS clean_text
+  FROM pieces GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(r.clean_text, d.text) AS clean_text,
+       CAST(LENGTH(d.text) - LENGTH(COALESCE(r.clean_text, d.text)) AS BIGINT)
+         AS n_cut_chars
+FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
 def pl_unigram_lm(spark, sf_dir):
     """Mean negative log-likelihood per doc under the corpus's own
     add-one-smoothed unigram LM (the CCNet-style cheap quality filter).
@@ -4579,6 +4659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pl_idf_keywords": pl_idf_keywords,
         "pl_dedup_keep_best": pl_dedup_keep_best,
         "pl_dup_spans": pl_dup_spans,
+        "pl_span_cut": pl_span_cut,
         "rv_rasterize_polyfill": rv_rasterize_polyfill,
         "ag_points_by_labels": ag_points_by_labels,
         "st_sessionize": st_sessionize,
@@ -4785,6 +4866,7 @@ def oracle_sql() -> dict[str, str]:
         "pl_idf_keywords": PL_IDF_KEYWORDS_SQL,
         "pl_dedup_keep_best": _dedup_keep_best_sql(),
         "pl_dup_spans": _dup_spans_sql(),
+        "pl_span_cut": _span_cut_sql(),
         "ag_fractions_value": AG_FRACTIONS_VALUE_SQL,
         "ag_centroids_labels": AG_CENTROIDS_SQL,
         "ag_extent": AG_EXTENT_SQL,

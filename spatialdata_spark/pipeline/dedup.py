@@ -1021,3 +1021,129 @@ def duplicate_spans(
         )
     )
     return spans
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    gram_chars: int = 25,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The CUT pass of exact substring dedup (Lee et al.): rewrite each
+    document with its non-canonical duplicated regions removed, keeping
+    the corpus-wide FIRST occurrence (minimal ``(doc_id, pos)``) of
+    every duplicated gram.
+
+    Pipeline: the same two-channel gram hashes as
+    :func:`duplicate_spans`; per hash, one window marks the canonical
+    occurrence; surviving cut positions merge into disjoint intervals
+    per document (gap > gram_chars starts a new interval, so intervals
+    are disjoint by construction); the kept text BETWEEN intervals is
+    reassembled order-preserving with a sorted array join.  Every
+    stage is keyed by hash or by document — no hotspot key at any
+    corpus size.
+
+    Output: ``(doc_id, clean_text, n_cut_chars)`` for EVERY input
+    document (documents with nothing to cut pass through verbatim).
+    """
+    from pyspark.sql.window import Window
+
+    k = int(gram_chars)
+    p2 = _H31[1][1]
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _gram_hashes(texts):
+        import pandas as pd
+
+        return pd.Series(
+            [
+                _shingle31_np(t or "", k, 0) * p2 + _shingle31_np(t or "", k, 1)
+                for t in texts
+            ]
+        )
+
+    spark = docs.sparkSession
+    src = docs
+    if spark.sparkContext.master.startswith("local"):
+        src = src.repartition(spark.sparkContext.defaultParallelism)
+    grams = src.select(
+        F.col(id_col),
+        F.posexplode(_gram_hashes(F.col(text_col))).alias("__p0", "__h"),
+    ).select(id_col, (F.col("__p0") + 1).alias("__pos"), "__h")
+
+    # canonical = global first (doc_id, pos) per hash; every OTHER
+    # occurrence of a duplicated hash is a cut position
+    wh = Window.partitionBy("__h").orderBy(F.col(id_col).asc(), F.col("__pos").asc())
+    cuts = (
+        grams.withColumn("__rk", F.row_number().over(wh))
+        .filter(F.col("__rk") > 1)
+        .select(id_col, "__pos")
+    )
+
+    wd = Window.partitionBy(id_col).orderBy("__pos")
+    spans = (
+        cuts.withColumn("__prev", F.lag("__pos").over(wd))
+        .withColumn(
+            "__new",
+            F.when(
+                F.col("__prev").isNull() | (F.col("__pos") - F.col("__prev") > k), 1
+            ).otherwise(0),
+        )
+        .withColumn("__span", F.sum("__new").over(wd))
+        .groupBy(id_col, "__span")
+        .agg(
+            F.min("__pos").alias("__s"),
+            (F.max("__pos") + k).alias("__e"),  # end-exclusive
+        )
+    )
+
+    # kept segments between the (disjoint, sorted) cut intervals
+    ws = Window.partitionBy(id_col).orderBy("__s")
+    segs = spans.select(
+        id_col,
+        F.coalesce(F.lag("__e").over(ws), F.lit(1)).alias("__ks"),
+        F.col("__s").alias("__ke"),
+        F.col("__e").alias("__tail_from"),
+        F.row_number().over(Window.partitionBy(id_col).orderBy(F.desc("__s"))).alias("__rlast"),
+    )
+    base = docs.select(F.col(id_col), F.col(text_col).alias("__text"))
+    mid = segs.select(id_col, "__ks", "__ke")
+    tail = segs.filter(F.col("__rlast") == 1).select(
+        id_col, F.col("__tail_from").alias("__ks"), F.lit(None).cast("long").alias("__ke")
+    )
+    pieces = (
+        mid.unionByName(tail)
+        .join(base, id_col)
+        .select(
+            id_col,
+            F.col("__ks"),
+            F.col("__text").substr(
+                F.col("__ks").cast("int"),
+                F.coalesce(
+                    (F.col("__ke") - F.col("__ks")).cast("int"),
+                    (F.length("__text") - F.col("__ks") + 1).cast("int"),
+                ),
+            ).alias("__piece"),
+        )
+    )
+    rebuilt = pieces.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("__ks"), F.col("__piece")))),
+                lambda x: x["__piece"],
+            ),
+            "",
+        ).alias("clean_text")
+    )
+    out = (
+        base.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("clean_text"), F.col("__text")).alias("clean_text"),
+            (
+                F.length("__text")
+                - F.length(F.coalesce(F.col("clean_text"), F.col("__text")))
+            ).cast("long").alias("n_cut_chars"),
+        )
+    )
+    return out

@@ -982,3 +982,33 @@ def test_quota_cap_two_stage_equals_single_window(spark):
         .collect()
     )
     assert got == want
+
+
+def test_remove_duplicate_spans_keeps_first_occurrence(spark):
+    from spatialdata_spark.pipeline.dedup import remove_duplicate_spans
+
+    shared = "0123456789abcdefghij"  # 20 chars
+    docs = spark.createDataFrame(
+        [
+            (1, "AAAA" + shared + "BBBB"),      # canonical (lowest doc_id)
+            (2, "CCC" + shared + "DDDD"),       # copy -> cut
+            (3, "plain unique text that repeats nothing at all here"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in remove_duplicate_spans(docs, gram_chars=10).collect()}
+    assert rows[1]["clean_text"] == "AAAA" + shared + "BBBB"  # first kept verbatim
+    assert rows[1]["n_cut_chars"] == 0
+    assert rows[2]["clean_text"] == "CCC" + "DDDD"            # span excised
+    assert rows[2]["n_cut_chars"] == 20
+    assert rows[3]["n_cut_chars"] == 0
+
+
+def test_remove_duplicate_spans_intra_doc(spark):
+    from spatialdata_spark.pipeline.dedup import remove_duplicate_spans
+
+    rep = "qwertyuiopas"  # 12 chars, repeated twice inside one doc
+    docs = spark.createDataFrame([(1, rep + "-MID-" + rep)], ["doc_id", "text"])
+    rows = remove_duplicate_spans(docs, gram_chars=12).collect()
+    assert rows[0]["clean_text"] == rep + "-MID-"
+    assert rows[0]["n_cut_chars"] == 12

@@ -1107,13 +1107,19 @@ def remove_duplicate_spans(
         F.row_number().over(Window.partitionBy(id_col).orderBy(F.desc("__s"))).alias("__rlast"),
     )
     base = docs.select(F.col(id_col), F.col(text_col).alias("__text"))
+    # the id-keyed text joins are broadcast-hinted on local masters
+    # (tiny inputs); on a cluster the un-hinted sort-merge on the id is
+    # exactly the right plan for two corpus-sized sides — AQE decides
+    base_j = base
+    if spark.sparkContext.master.startswith("local"):
+        base_j = F.broadcast(base)
     mid = segs.select(id_col, "__ks", "__ke")
     tail = segs.filter(F.col("__rlast") == 1).select(
         id_col, F.col("__tail_from").alias("__ks"), F.lit(None).cast("long").alias("__ke")
     )
     pieces = (
         mid.unionByName(tail)
-        .join(base, id_col)
+        .join(base_j, id_col)
         .select(
             id_col,
             F.col("__ks"),
@@ -1135,6 +1141,8 @@ def remove_duplicate_spans(
             "",
         ).alias("clean_text")
     )
+    if spark.sparkContext.master.startswith("local"):
+        rebuilt = F.broadcast(rebuilt)
     out = (
         base.join(rebuilt, id_col, "left")
         .select(

@@ -320,3 +320,115 @@ def approx_value_quantiles(events: DataFrame, probs=(0.5, 0.9, 0.99), accuracy: 
     out = events.groupBy("event_type").agg(agg.alias("__qs"))
     cols = [F.col("__qs")[i].alias(f"p{int(p * 100)}") for i, p in enumerate(probs)]
     return out.select("event_type", *cols)
+
+
+def streaming_sessionize_tws(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    gap_minutes: int = 30,
+    watermark: str = "2 hours",
+    query_name: str = "sessions_tws",
+):
+    """The same sessionization semantics as
+    :func:`streaming_sessionize_stateful`, on Spark 4's
+    ``transformWithStateInPandas`` — the successor stateful API
+    (StatefulProcessor + typed state handles + optional TTL/timers),
+    kept as a twin so both extension surfaces stay exercised.
+
+    Per-user ``ValueState`` holds (session_start, last_seen, n_events);
+    closed sessions emit, the open one stays in state.
+
+    Requires ``protobuf`` (the transformWithState state-API client
+    speaks protobuf to the JVM); environments without it get a clear
+    ImportError up front instead of an opaque mid-query worker crash —
+    use :func:`streaming_sessionize_stateful` there.
+    """
+    try:
+        from google.protobuf import descriptor as _descriptor  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "transformWithStateInPandas needs the protobuf package "
+            "(pyspark's stateful_processor_api_client); fall back to "
+            "streaming_sessionize_stateful (applyInPandasWithState)"
+        ) from e
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("session_start", T.LongType()),
+            T.StructField("session_end", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+    gap = gap_minutes * 60
+
+    class _Sessionize(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._sess = handle.getValueState(
+                "sess", "start long, last long, n long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            user_id = int(key[0])
+            ts: list[int] = []
+            for pdf in rows:
+                ts.extend(int(v.timestamp()) for v in pdf["ts"])
+            ts.sort()
+            if self._sess.exists():
+                start, last, n = self._sess.get()
+            else:
+                start = last = None
+                n = 0
+            closed = []
+            for t in ts:
+                if last is None:
+                    start, last, n = t, t, 1
+                elif t - last > gap:
+                    closed.append((user_id, start, last, n))
+                    start, last, n = t, t, 1
+                else:
+                    last = t
+                    n += 1
+            if last is not None:
+                self._sess.update((start, last, n))
+            if closed:
+                yield pd.DataFrame(
+                    closed,
+                    columns=["user_id", "session_start", "session_end", "n_events"],
+                )
+
+        def close(self) -> None:
+            pass
+
+    # transformWithState requires the RocksDB state store provider
+    # (the HDFS-backed default does not implement its column families)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    sessions = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.col("user_id"))
+        .transformWithStateInPandas(
+            statefulProcessor=_Sessionize(),
+            outputStructType=out_schema,
+            outputMode="Append",
+            timeMode="None",
+        )
+    )
+    return (
+        sessions.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

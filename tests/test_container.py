@@ -442,3 +442,43 @@ def test_container_dunder_protocol(spark):
         ds.kind_of("pts")
     with _pytest.raises(ValueError):
         ds["bad"] = spark.createDataFrame(pd.DataFrame({"only": [1]}))
+
+
+def test_streaming_sessionize_transform_with_state(spark, tmp_path):
+    """Spark 4 transformWithStateInPandas twin: identical output to
+    the applyInPandasWithState sessionizer on the same stream.  The
+    API's state client needs protobuf; without it the operator must
+    raise a CLEAR ImportError up front (covered below), and the live
+    path is exercised wherever protobuf exists."""
+    import pytest
+
+    from spatialdata_spark.streaming.windows import streaming_sessionize_tws
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        df0 = spark.range(1)
+        with pytest.raises(ImportError, match="protobuf"):
+            streaming_sessionize_tws(spark, str(tmp_path), df0.schema)
+        return
+
+    src = str(tmp_path / "sess_stream_tws")
+    rows = [
+        ("2024-01-01 00:00:00", "click", 1.0, 1, 10),
+        ("2024-01-01 00:10:00", "click", 1.0, 2, 10),
+        ("2024-01-01 01:00:00", "view", 1.0, 3, 10),
+        ("2024-01-01 00:05:00", "click", 1.0, 4, 11),
+    ]
+    df = spark.createDataFrame(rows, ["ts_s", "event_type", "value", "event_id", "user_id"]).select(
+        F.to_timestamp("ts_s").alias("ts"), "event_type", "value", "event_id", "user_id"
+    )
+    df.write.mode("overwrite").parquet(src)
+    q = streaming_sessionize_tws(spark, src, df.schema, gap_minutes=30)
+    q.processAllAvailable()
+    q.stop()
+    got = [
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql("SELECT * FROM sessions_tws").collect()
+    ]
+    t0 = 1704067200
+    assert got == [(10, t0, t0 + 600, 2)]

@@ -4647,11 +4647,11 @@ SELECT user_id, event_id, value, rank FROM (
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order matters: the correctness driver oracles the FIRST 50
     # entries.  After round 5 every registry query has a driver-green
-    # row, so round 6 leads with its 3 NEW queries (unigram_lm,
-    # idf_keywords, dedup_keep_best) and keeps the 3 RE-IMPLEMENTED
-    # ones (lev_neardup PassJoin, quota_cap two-stage, mix_epochs
-    # zero-rate guard) inside the first 50 for re-verification; the
-    # rest of the head re-confirms locked greens.
+    # row, so round 6 leads with its 5 NEW queries (unigram_lm,
+    # idf_keywords, dedup_keep_best, dup_spans, span_cut) and keeps the
+    # 3 RE-IMPLEMENTED ones (lev_neardup PassJoin, quota_cap two-stage,
+    # mix_epochs zero-rate guard) inside the first 50 for
+    # re-verification; the rest of the head re-confirms locked greens.
     return {
         # round-6 additions and re-implementations first: the driver
         # must (re-)check them this round

@@ -66,6 +66,20 @@ class LocalFetcher:
         b = self.get(rel)
         return None if b is None else json.loads(b)
 
+    def get_range(self, rel: str, start: int, length: int | None = None) -> bytes | None:
+        """Byte range of an object; ``start < 0`` means a suffix range
+        (the last ``-start`` bytes) — the access pattern selective
+        sharded-zarr reads need (index at the end of the shard)."""
+        p = self._p(rel)
+        if not os.path.isfile(p):
+            return None
+        with open(p, "rb") as f:
+            if start < 0:
+                f.seek(max(os.path.getsize(p) + start, 0))
+                return f.read()
+            f.seek(start)
+            return f.read(length) if length is not None else f.read()
+
     def list_dir(self, rel: str = "") -> list[str] | None:
         p = self._p(rel)
         if not os.path.isdir(p):
@@ -108,6 +122,34 @@ class HttpFetcher:
     def get_json(self, rel: str) -> dict | None:
         b = self.get(rel)
         return None if b is None else json.loads(b)
+
+    def get_range(self, rel: str, start: int, length: int | None = None) -> bytes | None:
+        """HTTP Range read (suffix range for ``start < 0``).  Servers
+        without Range support return 200 + full body; the requested
+        slice is cut client-side so callers always get range semantics."""
+        if start < 0:
+            hdr = f"bytes={start}"
+        elif length is not None:
+            hdr = f"bytes={start}-{start + length - 1}"
+        else:
+            hdr = f"bytes={start}-"
+        try:
+            req = urllib.request.Request(self._u(rel), headers={"Range": hdr})
+            with urllib.request.urlopen(req, timeout=self.timeout) as r:
+                body = r.read()
+                if r.status == 206:
+                    return body
+        except urllib.error.HTTPError as e:
+            if e.code == 404:
+                return None
+            raise
+        except urllib.error.URLError as e:
+            raise IOError(f"cannot fetch {self._u(rel)}: {e}") from e
+        # 200: no server-side range support; slice locally
+        if start < 0:
+            return body[start:]
+        end = None if length is None else start + length
+        return body[start:end]
 
     def list_dir(self, rel: str = "") -> list[str] | None:
         return None  # http has no directory listing
@@ -214,6 +256,7 @@ class S3Fetcher:
         query: dict[str, str] | None = None,
         method: str = "GET",
         body: bytes | None = None,
+        extra_headers: dict[str, str] | None = None,
     ) -> bytes | None:
         """Signed (or anonymous) request; None on 404/NoSuchKey.  PUT
         bodies are signed through ``x-amz-content-sha256`` (SigV4
@@ -266,6 +309,10 @@ class S3Fetcher:
             }
             if self.session_token:
                 headers["x-amz-security-token"] = self.session_token
+        if extra_headers:
+            # optional headers (e.g. Range) ride along UNSIGNED — SigV4
+            # only requires host/x-amz-* in SignedHeaders
+            headers = {**headers, **extra_headers}
         req = urllib.request.Request(url, data=body, headers=headers, method=method)
         try:
             with urllib.request.urlopen(req, timeout=self.timeout) as r:
@@ -285,6 +332,24 @@ class S3Fetcher:
     def get_json(self, rel: str) -> dict | None:
         b = self.get(rel)
         return None if b is None else json.loads(b)
+
+    def get_range(self, rel: str, start: int, length: int | None = None) -> bytes | None:
+        """Range GET (``start < 0`` = suffix range); the slice is
+        re-cut client-side if an s3-compatible endpoint ignores Range."""
+        if start < 0:
+            hdr = f"bytes={start}"
+        elif length is not None:
+            hdr = f"bytes={start}-{start + length - 1}"
+        else:
+            hdr = f"bytes={start}-"
+        body = self._request(self._key(rel), extra_headers={"Range": hdr})
+        if body is None:
+            return None
+        if start < 0:
+            return body[start:] if len(body) > -start else body
+        if length is not None and len(body) > length:
+            return body[start : start + length]
+        return body
 
     def put(self, rel: str, data: bytes) -> None:
         """Signed PUT — the write half of object-store zarr/parquet
@@ -417,8 +482,8 @@ class GSFetcher:
             return f"{self.prefix}/{rel}"
         return rel or self.prefix
 
-    def _get_url(self, url: str) -> bytes | None:
-        headers = {}
+    def _get_url(self, url: str, extra_headers: dict[str, str] | None = None) -> bytes | None:
+        headers = dict(extra_headers or {})
         if self.credentials is not None:
             headers["Authorization"] = f"Bearer {self.credentials.token()}"
         try:
@@ -439,6 +504,23 @@ class GSFetcher:
     def get_json(self, rel: str) -> dict | None:
         b = self.get(rel)
         return None if b is None else json.loads(b)
+
+    def get_range(self, rel: str, start: int, length: int | None = None) -> bytes | None:
+        if start < 0:
+            hdr = f"bytes={start}"
+        elif length is not None:
+            hdr = f"bytes={start}-{start + length - 1}"
+        else:
+            hdr = f"bytes={start}-"
+        key = urllib.parse.quote(self._key(rel), safe="/-_.~")
+        body = self._get_url(f"{self.endpoint}/{self.bucket}/{key}", {"Range": hdr})
+        if body is None:
+            return None
+        if start < 0:
+            return body[start:] if len(body) > -start else body
+        if length is not None and len(body) > length:
+            return body[start : start + length]
+        return body
 
     def put(self, rel: str, data: bytes) -> None:
         """Media upload through the JSON API (requires credentials —

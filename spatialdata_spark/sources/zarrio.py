@@ -517,7 +517,10 @@ def _write_tiles_sharded(
 
 
 def read_zarr_tiles(
-    spark: SparkSession, path: str, scale: int = 0
+    spark: SparkSession,
+    path: str,
+    scale: int = 0,
+    tile_box: tuple[int, int, int, int] | None = None,
 ) -> tuple[DataFrame, RasterMeta]:
     """Read a zarr v2 ``(c, y, x)`` (or ``(y, x)``) array as a dense
     tile DataFrame.  The driver reads only ``.zarray`` and the chunk
@@ -560,13 +563,26 @@ def read_zarr_tiles(
     ts = int(chunks[1])
     dstr = "f8" if dtype.kind == "f" else "i8"
     meta = RasterMeta(height=int(shape[1]), width=int(shape[2]), tile=ts, dtype=dstr, n_channels=int(shape[0]))
+    if shard_info is not None:
+        ipd = shard_info["inner_per_dim"]
+        ipd3 = (1,) + tuple(ipd) if two_d else tuple(ipd)
+        ipd3_outer = ipd3
+    else:
+        ipd3 = None
+
+    def _in_box(t_y: int, t_x: int) -> bool:
+        if tile_box is None:
+            return True
+        y0, y1, x0, x1 = tile_box
+        return y0 <= t_y <= y1 and x0 <= t_x <= x1
+
     keys = []
     if ameta is not None and fetcher.can_list:
         sep = _separator_of(ameta)
         for nums, rel in _list_chunk_keys_via(fetcher, sep):
-            if two_d and len(nums) == 2:
+            if two_d and len(nums) == 2 and _in_box(nums[0], nums[1]):
                 keys.append((0, nums[0], nums[1], rel))
-            elif not two_d and len(nums) == 3:
+            elif not two_d and len(nums) == 3 and _in_box(nums[1], nums[2]):
                 keys.append((nums[0], nums[1], nums[2], rel))
         if not keys and _list_chunk_keys_via(fetcher, "/" if sep == "." else "."):
             raise ValueError(
@@ -593,13 +609,23 @@ def read_zarr_tiles(
         for c0 in grid[0]:
             for t_y in grid[1]:
                 for t_x in grid[2]:
+                    if tile_box is not None:
+                        if shard_info is None:
+                            if not _in_box(t_y, t_x):
+                                continue
+                        else:
+                            # shard coords: keep shards whose inner
+                            # tile range intersects the box
+                            y0, y1, x0, x1 = tile_box
+                            m_y, m_x = ipd3_outer[1], ipd3_outer[2]
+                            if (t_y + 1) * m_y - 1 < y0 or t_y * m_y > y1:
+                                continue
+                            if (t_x + 1) * m_x - 1 < x0 or t_x * m_x > x1:
+                                continue
                     nums = (t_y, t_x) if two_d else (c0, t_y, t_x)
                     keys.append((c0, t_y, t_x, keyfn3(nums)))
     kdf = spark.createDataFrame(keys, "c int, ty long, tx long, chunk string")
     src_dtype = dtype
-    if shard_info is not None:
-        ipd = shard_info["inner_per_dim"]
-        ipd3 = (1,) + tuple(ipd) if two_d else tuple(ipd)
 
     def _decode(iterator):
         import pandas as pd
@@ -618,6 +644,35 @@ def read_zarr_tiles(
                 rows["tile"].append(np.ascontiguousarray(a, dtype=np.dtype(dstr)).tobytes())
 
             for row in pdf.itertuples(index=False):
+                if (
+                    shard_info is not None
+                    and tile_box is not None
+                    and shard_info["index_location"] == "end"
+                    and hasattr(fetcher, "get_range")
+                ):
+                    # selective path: suffix-range the index, then range
+                    # ONLY the wanted inner chunks — a bbox query on a
+                    # huge shard moves index + matching tiles, not the
+                    # whole shard
+                    n_inner = ipd3[0] * ipd3[1] * ipd3[2]
+                    isize = 16 * n_inner + (4 if shard_info["index_crc32c"] else 0)
+                    blob = fetcher.get_range(row.chunk, -isize)
+                    if blob is None:
+                        continue
+                    index = z3.parse_shard_index(blob, n_inner, shard_info)
+                    i = 0
+                    for ic in range(ipd3[0]):
+                        for iy in range(ipd3[1]):
+                            for ix in range(ipd3[2]):
+                                off, nb = index[i]
+                                i += 1
+                                g_y = row.ty * ipd3[1] + iy
+                                g_x = row.tx * ipd3[2] + ix
+                                if off == z3._SHARD_MISSING or not _in_box(g_y, g_x):
+                                    continue
+                                payload = fetcher.get_range(row.chunk, off, nb)
+                                emit(row.c * ipd3[0] + ic, g_y, g_x, payload)
+                    continue
                 raw = fetcher.get(row.chunk)
                 if raw is None:
                     continue  # absent chunk/shard = fill_value
@@ -632,14 +687,11 @@ def read_zarr_tiles(
                         for ix in range(ipd3[2]):
                             off, nb = index[i]
                             i += 1
-                            if off == z3._SHARD_MISSING:
+                            g_y = row.ty * ipd3[1] + iy
+                            g_x = row.tx * ipd3[2] + ix
+                            if off == z3._SHARD_MISSING or not _in_box(g_y, g_x):
                                 continue
-                            emit(
-                                row.c * ipd3[0] + ic,
-                                row.ty * ipd3[1] + iy,
-                                row.tx * ipd3[2] + ix,
-                                raw[off : off + nb],
-                            )
+                            emit(row.c * ipd3[0] + ic, g_y, g_x, raw[off : off + nb])
             yield pd.DataFrame(rows)
 
     return kdf.mapInPandas(_decode, TILE_SCHEMA), meta

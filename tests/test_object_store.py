@@ -134,7 +134,17 @@ class _S3Stub(http.server.BaseHTTPRequestHandler):
             self.end_headers()
             self.wfile.write(b"<Error><Code>NoSuchKey</Code></Error>")
             return
-        self.send_response(200)
+        rng = self.headers.get("Range")
+        if rng and rng.startswith("bytes="):
+            spec = rng[len("bytes="):]
+            if spec.startswith("-"):
+                body = body[-int(spec[1:]):] if int(spec[1:]) < len(body) else body
+            else:
+                a, _, b = spec.partition("-")
+                body = body[int(a) : (int(b) + 1) if b else None]
+            self.send_response(206)
+        else:
+            self.send_response(200)
         self.send_header("Content-Length", str(len(body)))
         self.end_headers()
         self.wfile.write(body)
@@ -701,6 +711,46 @@ def test_zarr_store_written_via_signed_puts_then_read(spark, s3_stub, tmp_path):
         for r in long.itertuples():
             got[int(r.y), int(r.x)] = r.value
         assert np.array_equal(got, a)
+    finally:
+        for k in ("AWS_ENDPOINT_URL", "AWS_ACCESS_KEY_ID", "AWS_SECRET_ACCESS_KEY"):
+            os.environ.pop(k, None)
+
+
+def test_s3_range_reads_signed(s3_stub):
+    stub, endpoint = s3_stub
+    stub.objects["pre/blob.bin"] = bytes(range(200))
+    fx = _s3("/pre", endpoint)
+    assert fx.get_range("blob.bin", 50, 10) == bytes(range(50, 60))
+    assert fx.get_range("blob.bin", -8) == bytes(range(192, 200))
+    assert fx.get_range("missing", 0, 4) is None
+
+
+def test_sharded_zarr_selective_read_over_s3(spark, s3_stub, tmp_path):
+    """Range-based selective shard access end-to-end over signed s3:
+    a tile_box read fetches only the shard index (suffix range) and
+    the matching inner chunks, never whole shards."""
+    from spatialdata_spark.operators.raster import RasterMeta, long_to_tiles
+    from spatialdata_spark.sources.zarrio import read_zarr_tiles, write_tiles_to_zarr
+
+    stub, endpoint = s3_stub
+    a = np.arange(64, dtype=np.float64).reshape(8, 8)
+    meta = RasterMeta(height=8, width=8, tile=2, dtype="f8", n_channels=1)
+    rows = [(0, 0, int(y), int(x), float(a[y, x])) for y in range(8) for x in range(8)]
+    long = spark.createDataFrame(rows, "scale int, c int, y long, x long, value double")
+    p = str(tmp_path / "shs3")
+    write_tiles_to_zarr(long_to_tiles(long, meta), meta, p, compressor="zstd", zarr_format=3, shard=2)
+    for root, _, files in os.walk(p):
+        for fn in files:
+            rel = os.path.relpath(os.path.join(root, fn), p).replace(os.sep, "/")
+            with open(os.path.join(root, fn), "rb") as fh:
+                stub.objects[f"sel/img/{rel}"] = fh.read()
+    os.environ["AWS_ENDPOINT_URL"] = endpoint
+    os.environ["AWS_ACCESS_KEY_ID"] = ACCESS
+    os.environ["AWS_SECRET_ACCESS_KEY"] = SECRET
+    try:
+        tiles, m2 = read_zarr_tiles(spark, "s3://testbucket/sel/img", tile_box=(0, 1, 0, 1))
+        coords = sorted((r["ty"], r["tx"]) for r in tiles.select("ty", "tx").collect())
+        assert coords == [(0, 0), (0, 1), (1, 0), (1, 1)]
     finally:
         for k in ("AWS_ENDPOINT_URL", "AWS_ACCESS_KEY_ID", "AWS_SECRET_ACCESS_KEY"):
             os.environ.pop(k, None)

@@ -345,3 +345,45 @@ def test_sharded_write_requires_v3(spark, tmp_path):
             spark.createDataFrame([], "scale int, c int, ty long, tx long, tile binary"),
             meta, str(tmp_path / "x"), shard=2,
         )
+
+
+def test_tile_box_selective_read_sharded_and_plain(spark, tmp_path):
+    """tile_box prunes at every level: plain stores prune chunk keys;
+    sharded stores prune shards AND inner chunks (via range reads of
+    index + wanted chunks only)."""
+    from spatialdata_spark.operators.raster import tiles_to_long
+    from spatialdata_spark.sources.zarrio import read_zarr_tiles, zarr_write_array
+
+    a = np.arange(64, dtype=np.float64).reshape(8, 8)
+
+    # sharded store: 4x4 shards of 2x2 inner chunks
+    p1 = str(tmp_path / "sh")
+    _write_v3_sharded_store(p1, a, (4, 4), (2, 2))
+    tiles, meta = read_zarr_tiles(spark, p1, tile_box=(1, 2, 1, 2))
+    got = tiles.select("ty", "tx").distinct().collect()
+    coords = sorted((r["ty"], r["tx"]) for r in got)
+    assert coords == [(1, 1), (1, 2), (2, 1), (2, 2)]
+    long = tiles_to_long(tiles, meta).toPandas()
+    sub = {(int(r.y), int(r.x)): r.value for r in long.itertuples()}
+    for y in range(2, 6):
+        for x in range(2, 6):
+            assert sub[(y, x)] == a[y, x]
+
+    # plain v2 store: key pruning
+    p2 = str(tmp_path / "plain")
+    zarr_write_array(p2, a, chunks=(2, 2), compressor="zlib")
+    tiles2, _ = read_zarr_tiles(spark, p2, tile_box=(0, 0, 3, 3))
+    coords2 = sorted((r["ty"], r["tx"]) for r in tiles2.select("ty", "tx").collect())
+    assert coords2 == [(0, 3)]
+
+
+def test_fetcher_get_range_local(tmp_path):
+    from spatialdata_spark.sources.fetch import LocalFetcher
+
+    f = tmp_path / "blob.bin"
+    f.write_bytes(bytes(range(100)))
+    fx = LocalFetcher(str(tmp_path))
+    assert fx.get_range("blob.bin", 10, 5) == bytes(range(10, 15))
+    assert fx.get_range("blob.bin", -4) == bytes(range(96, 100))
+    assert fx.get_range("blob.bin", 90) == bytes(range(90, 100))
+    assert fx.get_range("missing.bin", 0, 4) is None

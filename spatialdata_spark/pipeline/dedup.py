@@ -1072,11 +1072,32 @@ def remove_duplicate_spans(
     ).select(id_col, (F.col("__p0") + 1).alias("__pos"), "__h")
 
     # canonical = global first (doc_id, pos) per hash; every OTHER
-    # occurrence of a duplicated hash is a cut position
-    wh = Window.partitionBy("__h").orderBy(F.col(id_col).asc(), F.col("__pos").asc())
+    # occurrence of a duplicated hash is a cut position.  The canonical
+    # falls out of an AGGREGATION (min over a lexicographic struct,
+    # map-side combinable), NOT a per-hash row_number window — a
+    # boilerplate gram occurring millions of times corpus-wide would
+    # funnel a window through one reducer, while partial minima keep
+    # every hot hash map-side.  Only DUPLICATED hashes (n > 1) join
+    # back: the join's build side is the duplicated-gram vocabulary.
+    dup_first = (
+        grams.groupBy("__h")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.min(
+                F.struct(F.col(id_col).alias("d"), F.col("__pos").alias("p"))
+            ).alias("__first"),
+        )
+        .filter(F.col("__n") > 1)
+        .select("__h", "__first")
+    )
+    if spark.sparkContext.master.startswith("local"):
+        dup_first = F.broadcast(dup_first)
     cuts = (
-        grams.withColumn("__rk", F.row_number().over(wh))
-        .filter(F.col("__rk") > 1)
+        grams.join(dup_first, "__h")
+        .filter(
+            (F.col(id_col) != F.col("__first.d"))
+            | (F.col("__pos") != F.col("__first.p"))
+        )
         .select(id_col, "__pos")
     )
 

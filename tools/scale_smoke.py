@@ -49,6 +49,7 @@ def main(max_mult: int = 8) -> None:
         duplicate_spans,
         exact_dedup,
         levenshtein_neardup,
+        remove_duplicate_spans,
     )
     from spatialdata_spark.pipeline.filters import chunk_with_overlap, quota_cap
     from spatialdata_spark.operators.rasterize import rasterize_points
@@ -100,6 +101,13 @@ def main(max_mult: int = 8) -> None:
             # survive the >1 filter): the worst-case marked-position
             # volume, still linear in corpus characters
             "dup_spans": lambda: duplicate_spans(docs, gram_chars=25).count(),
+            # self-union: every non-canonical copy is cut end-to-end.
+            # NOT .count(): the optimizer would eliminate the unique-key
+            # left join and skip the whole pipeline — aggregate the cut
+            # sizes so the rebuild actually runs
+            "span_cut": lambda: remove_duplicate_spans(docs, gram_chars=25)
+            .agg(F.sum("n_cut_chars"))
+            .collect(),
         }
         for name, fn in cases.items():
             best = None

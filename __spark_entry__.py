@@ -4097,6 +4097,47 @@ FROM (
 """
 
 
+def pl_tfidf_pairs(spark, sf_dir):
+    """Sparse TF-IDF document-pair cosine (df-capped vocabulary, the
+    standard stopword/skew cap stated as part of the contract) — the
+    token-space complement of the dense embedding near-dup family.
+    Pair generation is an equi-join ON THE TOKEN with df <= max_df, so
+    blocks are bounded; ROUND(6) on the output absorbs the engines'
+    sum-order last-ulp differences."""
+    from spatialdata_spark.pipeline.textstats import tfidf_cosine_pairs
+
+    return tfidf_cosine_pairs(
+        _read(spark, sf_dir, "documents"), threshold=0.2, max_df=100
+    )
+
+
+PL_TFIDF_PAIRS_SQL = r"""
+WITH base AS (
+  SELECT doc_id, string_split_regex(LOWER(TRIM(text)), '\s+') AS toks
+  FROM documents WHERE LENGTH(TRIM(text)) > 0
+),
+n AS (SELECT COUNT(*) AS n FROM base),
+tok AS (SELECT doc_id, UNNEST(toks) AS t FROM base),
+tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY 1 HAVING COUNT(*) <= 100),
+w AS (
+  SELECT tf.doc_id, tf.t, tf.tf * LN(CAST(n.n AS DOUBLE) / df.df) AS w
+  FROM tf JOIN df USING (t), n
+),
+norms AS (SELECT doc_id, SQRT(SUM(w * w)) AS nrm FROM w GROUP BY 1),
+dots AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.w * b.w) AS dot
+  FROM w a JOIN w b ON a.t = b.t AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, ROUND(dot / (na.nrm * nb.nrm), 6) AS cosine
+FROM dots
+JOIN norms na ON na.doc_id = id_a
+JOIN norms nb ON nb.doc_id = id_b
+WHERE ROUND(dot / (na.nrm * nb.nrm), 6) >= 0.2
+"""
+
+
 def pl_dedup_keep_best(spark, sf_dir):
     """Near-dup clusters materialized into a KEEP decision: one
     representative per MinHash connected component (longest text,
@@ -4658,6 +4699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pl_unigram_lm": pl_unigram_lm,
         "pl_idf_keywords": pl_idf_keywords,
         "pl_dedup_keep_best": pl_dedup_keep_best,
+        "pl_tfidf_pairs": pl_tfidf_pairs,
         "pl_dup_spans": pl_dup_spans,
         "pl_span_cut": pl_span_cut,
         "rv_rasterize_polyfill": rv_rasterize_polyfill,
@@ -4865,6 +4907,7 @@ def oracle_sql() -> dict[str, str]:
         "pl_unigram_lm": PL_UNIGRAM_LM_SQL,
         "pl_idf_keywords": PL_IDF_KEYWORDS_SQL,
         "pl_dedup_keep_best": _dedup_keep_best_sql(),
+        "pl_tfidf_pairs": PL_TFIDF_PAIRS_SQL,
         "pl_dup_spans": _dup_spans_sql(),
         "pl_span_cut": _span_cut_sql(),
         "ag_fractions_value": AG_FRACTIONS_VALUE_SQL,

@@ -303,3 +303,83 @@ def idf_keywords(
             "rank",
         )
     )
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    threshold: float = 0.2,
+    max_df: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Document-pair cosine similarity in sparse TF-IDF space — the
+    token-space complement of the dense embedding near-dup family
+    (catches templated/boilerplate similarity that embeddings smooth
+    over and shingles fragment).
+
+    Stated contract: tokens with document frequency > ``max_df`` are
+    excluded from the vector space (the standard stopword/skew cap —
+    a corpus-stopword token would otherwise pair every document with
+    every other: quadratic blow-up AND a meaningless signal).  Within
+    the capped vocabulary the computation is exact.
+
+    Plan: tf per (doc, token) with map-side combine; df as a
+    vocabulary-sized aggregate joined back broadcast-gated; norms per
+    document (map-side combine); the candidate self-join is an
+    equi-join ON THE TOKEN, so pair generation is Σ per-token-df² with
+    df ≤ max_df — bounded blocks, never corpus².  Output:
+    ``(id_a, id_b, cosine)`` with id_a < id_b, cosine ≥ threshold,
+    rounded to 6 dp.
+    """
+    from .filters import word_tokens
+
+    base = docs.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col), word_tokens(text_col).alias("__toks")
+    )
+    n_docs = base.agg(F.count(F.lit(1)).alias("__n"))
+    tok = base.select(id_col, F.explode("__toks").alias("__t"))
+    tf = tok.groupBy(id_col, "__t").agg(F.count(F.lit(1)).alias("__tf"))
+    df = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("__df")).filter(
+        F.col("__df") <= max_df
+    )
+    spark = docs.sparkSession
+    if spark.sparkContext.master.startswith("local"):
+        df = F.broadcast(df)
+    w = (
+        tf.join(df, "__t")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "__t",
+            (F.col("__tf") * F.log(F.col("__n").cast("double") / F.col("__df"))).alias("__w"),
+        )
+    )
+    # the weights feed the self-join (twice) and both norm lookups:
+    # persist so the token explode + tf aggregation run once, not 5x
+    # (same contract as the minhash band table; ~24 B/row, df-capped)
+    w = w.persist()
+    norms = w.groupBy(id_col).agg(F.sqrt(F.sum(F.col("__w") * F.col("__w"))).alias("__norm"))
+    l = w.select(F.col(id_col).alias("id_a"), F.col("__t"), F.col("__w").alias("__wa"))
+    r = w.select(F.col(id_col).alias("id_b"), F.col("__t"), F.col("__w").alias("__wb"))
+    if spark.sparkContext.master.startswith("local"):
+        r = F.broadcast(r)
+    dots = (
+        l.join(r, "__t")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("__wa") * F.col("__wb")).alias("__dot"))
+    )
+    na = norms.select(F.col(id_col).alias("id_a"), F.col("__norm").alias("__na"))
+    nb = norms.select(F.col(id_col).alias("id_b"), F.col("__norm").alias("__nb"))
+    if spark.sparkContext.master.startswith("local"):
+        na, nb = F.broadcast(na), F.broadcast(nb)
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("__dot") / (F.col("__na") * F.col("__nb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

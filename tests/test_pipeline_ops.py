@@ -1012,3 +1012,40 @@ def test_remove_duplicate_spans_intra_doc(spark):
     rows = remove_duplicate_spans(docs, gram_chars=12).collect()
     assert rows[0]["clean_text"] == rep + "-MID-"
     assert rows[0]["n_cut_chars"] == 12
+
+
+def test_tfidf_cosine_pairs_hand_computed(spark):
+    import math
+
+    from spatialdata_spark.pipeline.textstats import tfidf_cosine_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "alpha beta delta"),
+            (3, "omega psi chi"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in tfidf_cosine_pairs(docs, threshold=0.01, max_df=3).collect()
+    }
+    # idf: alpha/beta df=2 -> ln(3/2); others df=1 -> ln(3)
+    w2, w1 = math.log(3 / 2), math.log(3)
+    dot = 2 * w2 * w2
+    nrm = math.sqrt(2 * w2 * w2 + w1 * w1)
+    assert got[(1, 2)] == round(dot / (nrm * nrm), 6)
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_tfidf_cosine_pairs_df_cap_drops_stopwords(spark):
+    from spatialdata_spark.pipeline.textstats import tfidf_cosine_pairs
+
+    # 'the' in every doc; with max_df=2 it leaves the vector space, so
+    # docs sharing ONLY 'the' never pair
+    docs = spark.createDataFrame(
+        [(1, "the foo"), (2, "the bar"), (3, "the baz")],
+        ["doc_id", "text"],
+    )
+    assert tfidf_cosine_pairs(docs, threshold=0.0, max_df=2).count() == 0

@@ -48,6 +48,7 @@ GUARDED = [
     "pl_unigram_lm",
     "pl_idf_keywords",
     "pl_dup_spans",
+    "pl_tfidf_pairs",
 ]
 
 EXPRESSION_ONLY = [
@@ -65,6 +66,7 @@ EXPRESSION_ONLY = [
     "pl_lev_neardup",
     "pl_unigram_lm",
     "pl_idf_keywords",
+    "pl_tfidf_pairs",
 ]
 
 

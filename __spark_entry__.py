@@ -4138,6 +4138,204 @@ WHERE ROUND(dot / (na.nrm * nb.nrm), 6) >= 0.2
 """
 
 
+_KMEANS_CTE = r"""
+WITH q AS (
+  SELECT vec_id AS id, i AS pos,
+         CAST(FLOOR(embedding[i + 1] * 100.0 + 0.5) AS BIGINT) AS val
+  FROM embeddings, UNNEST(range(LEN(embedding))) AS t(i)
+),
+seeds AS (
+  SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INT) AS j
+  FROM (SELECT DISTINCT id FROM q) ORDER BY id LIMIT 8
+),
+c0 AS (
+  SELECT s.j, q.pos, q.val * 1024 AS cval
+  FROM q JOIN seeds s USING (id)
+),
+d1 AS (
+  SELECT q.id, c.j,
+         SUM((q.val * 1024 - c.cval) * (q.val * 1024 - c.cval)) AS dist
+  FROM q JOIN c0 c ON q.pos = c.pos GROUP BY 1, 2
+),
+a1 AS (
+  SELECT id, MIN(j) AS cluster
+  FROM d1 JOIN (SELECT id, MIN(dist) AS md FROM d1 GROUP BY 1) m USING (id)
+  WHERE dist = md GROUP BY 1
+),
+u1 AS (
+  SELECT a1.cluster AS j, q.pos,
+         CAST(FLOOR(1024.0 * SUM(q.val) / COUNT(*) + 0.5) AS BIGINT) AS cval_new
+  FROM q JOIN a1 USING (id) GROUP BY 1, 2
+),
+c1 AS (
+  SELECT c0.j, c0.pos, COALESCE(u1.cval_new, c0.cval) AS cval
+  FROM c0 LEFT JOIN u1 ON u1.j = c0.j AND u1.pos = c0.pos
+),
+d2 AS (
+  SELECT q.id, c.j,
+         SUM((q.val * 1024 - c.cval) * (q.val * 1024 - c.cval)) AS dist
+  FROM q JOIN c1 c ON q.pos = c.pos GROUP BY 1, 2
+),
+a2 AS (
+  SELECT id, MIN(j) AS cluster
+  FROM d2 JOIN (SELECT id, MIN(dist) AS md FROM d2 GROUP BY 1) m USING (id)
+  WHERE dist = md GROUP BY 1
+),
+u2 AS (
+  SELECT a2.cluster AS j, q.pos,
+         CAST(FLOOR(1024.0 * SUM(q.val) / COUNT(*) + 0.5) AS BIGINT) AS cval_new
+  FROM q JOIN a2 USING (id) GROUP BY 1, 2
+),
+c2 AS (
+  SELECT c1.j, c1.pos, COALESCE(u2.cval_new, c1.cval) AS cval
+  FROM c1 LEFT JOIN u2 ON u2.j = c1.j AND u2.pos = c1.pos
+),
+df_ AS (
+  SELECT q.id, c.j,
+         SUM((q.val * 1024 - c.cval) * (q.val * 1024 - c.cval)) AS dist
+  FROM q JOIN c2 c ON q.pos = c.pos GROUP BY 1, 2
+),
+af AS (
+  SELECT d.id, MIN(d.j) AS cluster, MIN(d.dist) AS dist
+  FROM df_ d JOIN (SELECT id, MIN(dist) AS md FROM df_ GROUP BY 1) m USING (id)
+  WHERE d.dist = m.md GROUP BY 1
+)
+"""
+
+
+def pl_kmeans(spark, sf_dir):
+    """Fixed-point Lloyd's k-means (k=8, 2 iterations + final assign)
+    over the embeddings table, reported as per-cluster size + exact
+    BIGINT inertia.  Integer arithmetic end-to-end (components
+    quantized x100, centroids carry x1024 sub-integer resolution), so
+    assignments and inertia replay bit-exactly in SQL — no float
+    sum-order hazard.  Each iteration is one broadcast of the k*dim
+    MODEL (never data-sized) + a map-side-combining aggregation keyed
+    on k*dim; the collect between iterations is model-state-sized, the
+    same contract as the IVF sampler.  See
+    pipeline/clustering.py; reference has no clustering surface (its
+    scope ends at spatial aggregation) — this is the training-data-
+    pipeline extension."""
+    from spatialdata_spark.pipeline.clustering import kmeans_lloyd
+
+    assign, _ = kmeans_lloyd(
+        _read(spark, sf_dir, "embeddings"), k=8, n_iter=2
+    )
+    return assign.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dist").alias("inertia"),
+        F.min("id").alias("min_id"),
+    )
+
+
+PL_KMEANS_SQL = (
+    _KMEANS_CTE
+    + r"""
+SELECT cluster, COUNT(*) AS n,
+       CAST(SUM(dist) AS BIGINT) AS inertia,
+       MIN(id) AS min_id
+FROM af GROUP BY 1
+"""
+)
+
+
+def pl_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) on the k-means partition: compare
+    pairs only WITHIN a cluster (the equi-join on cluster id bounds
+    candidate blocks at n/k — the whole point of clustering first),
+    drop every vector with a lower-id cluster-mate at quantized cosine
+    >= 0.35.  The threshold test is pure BIGINT
+    (scale*dot^2 >= round(t^2*scale)*|a|^2*|b|^2, dot>0), so the
+    survivor set is SQL-exact."""
+    from spatialdata_spark.pipeline.clustering import semantic_dedup_kmeans
+
+    out = semantic_dedup_kmeans(
+        _read(spark, sf_dir, "embeddings"), k=8, n_iter=2, threshold=0.35
+    )
+    return out.select("vec_id", "label", "cluster")
+
+
+PL_SEMANTIC_DEDUP_SQL = (
+    _KMEANS_CTE
+    + r""",
+wc AS (
+  SELECT q.id, q.pos, q.val, af.cluster
+  FROM q JOIN af USING (id)
+),
+dots AS (
+  SELECT a.cluster, a.id AS ia, b.id AS ib, SUM(a.val * b.val) AS dot
+  FROM wc a JOIN wc b
+    ON a.cluster = b.cluster AND a.pos = b.pos AND a.id < b.id
+  GROUP BY 1, 2, 3
+),
+nn2 AS (SELECT id, SUM(val * val) AS n2 FROM q GROUP BY 1),
+dup AS (
+  SELECT DISTINCT ib AS id
+  FROM dots
+  JOIN nn2 na ON na.id = ia
+  JOIN nn2 nb ON nb.id = ib
+  WHERE dot > 0 AND 10000 * dot * dot >= 1225 * na.n2 * nb.n2
+)
+SELECT e.vec_id, e.label, af.cluster
+FROM embeddings e JOIN af ON af.id = e.vec_id
+WHERE e.vec_id NOT IN (SELECT id FROM dup)
+"""
+)
+
+
+def pl_knn_classify(spark, sf_dir):
+    """Exact brute-force k-NN majority-vote classification (k=5) on
+    the quantized grid: ids divisible by 5 are the test split, the
+    rest train.  Distances are exact BIGINT; the neighbor boundary is
+    totally ordered by (dist, train_id) and the vote by
+    (-count, label) — no ties, no floats.  The top-k window partitions
+    by TEST VECTOR (maximally fine-grained, no reducer hotspot at any
+    corpus size); brute-force O(n_test*n_train) by stated contract —
+    this is the parity baseline the ANN family (pl_ann_recall)
+    measures against."""
+    from spatialdata_spark.pipeline.clustering import knn_classify
+
+    return knn_classify(
+        _read(spark, sf_dir, "embeddings"), k_neighbors=5, test_mod=5
+    )
+
+
+PL_KNN_CLASSIFY_SQL = r"""
+WITH q AS (
+  SELECT vec_id AS id, i AS pos,
+         CAST(FLOOR(embedding[i + 1] * 100.0 + 0.5) AS BIGINT) AS val
+  FROM embeddings, UNNEST(range(LEN(embedding))) AS t(i)
+),
+dist AS (
+  SELECT a.id AS test_id, b.id AS train_id,
+         SUM((a.val - b.val) * (a.val - b.val)) AS dist
+  FROM q a JOIN q b ON a.pos = b.pos
+  WHERE a.id % 5 = 0 AND b.id % 5 <> 0
+  GROUP BY 1, 2
+),
+topk AS (
+  SELECT test_id, train_id,
+         ROW_NUMBER() OVER (PARTITION BY test_id ORDER BY dist, train_id) AS rn
+  FROM dist
+),
+votes AS (
+  SELECT t.test_id, e.label AS train_label, COUNT(*) AS c
+  FROM topk t JOIN embeddings e ON e.vec_id = t.train_id
+  WHERE t.rn <= 5 GROUP BY 1, 2
+),
+best AS (
+  SELECT v.test_id, MIN(v.train_label) AS pred_label
+  FROM votes v
+  JOIN (SELECT test_id, MAX(c) AS mc FROM votes GROUP BY 1) m
+    ON m.test_id = v.test_id
+  WHERE v.c = m.mc GROUP BY 1
+)
+SELECT b.test_id, e.label AS true_label, b.pred_label,
+       CAST(b.pred_label = e.label AS INT) AS correct
+FROM best b JOIN embeddings e ON e.vec_id = b.test_id
+"""
+
+
 def pl_dedup_keep_best(spark, sf_dir):
     """Near-dup clusters materialized into a KEEP decision: one
     representative per MinHash connected component (longest text,
@@ -4696,6 +4894,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # round-6 additions and re-implementations first: the driver
         # must (re-)check them this round
+        "pl_kmeans": pl_kmeans,
+        "pl_semantic_dedup": pl_semantic_dedup,
+        "pl_knn_classify": pl_knn_classify,
         "pl_unigram_lm": pl_unigram_lm,
         "pl_idf_keywords": pl_idf_keywords,
         "pl_dedup_keep_best": pl_dedup_keep_best,
@@ -4904,6 +5105,9 @@ def oracle_sql() -> dict[str, str]:
         "pl_chunk_overlap": PL_CHUNK_OVERLAP_SQL,
         "pl_lev_neardup": PL_LEV_NEARDUP_SQL,
         "pl_mix_epochs": PL_MIX_EPOCHS_SQL,
+        "pl_kmeans": PL_KMEANS_SQL,
+        "pl_semantic_dedup": PL_SEMANTIC_DEDUP_SQL,
+        "pl_knn_classify": PL_KNN_CLASSIFY_SQL,
         "pl_unigram_lm": PL_UNIGRAM_LM_SQL,
         "pl_idf_keywords": PL_IDF_KEYWORDS_SQL,
         "pl_dedup_keep_best": _dedup_keep_best_sql(),

@@ -1049,3 +1049,74 @@ def test_tfidf_cosine_pairs_df_cap_drops_stopwords(spark):
         ["doc_id", "text"],
     )
     assert tfidf_cosine_pairs(docs, threshold=0.0, max_df=2).count() == 0
+
+
+def _toy_embeddings(spark):
+    """Two tight groups far apart + one planted near-duplicate pair:
+    hand-checkable k-means and SemDeDup behavior."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(10):  # group A near +1 on dim 0
+        v = rng.normal(0, 0.2, 8)
+        v[0] += 1.0
+        rows.append((i, [float(x) for x in v], 0))
+    for i in range(10, 20):  # group B near -1 on dim 0
+        v = rng.normal(0, 0.2, 8)
+        v[0] -= 1.0
+        rows.append((i, [float(x) for x in v], 1))
+    # planted near-dup of vector 3 (same direction, tiny perturbation)
+    base = np.array(rows[3][1])
+    rows.append((20, [float(x) for x in base + 0.001], 0))
+    return spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<FLOAT>, label INT"
+    )
+
+
+def test_kmeans_separates_planted_groups(spark):
+    from spatialdata_spark.pipeline.clustering import kmeans_lloyd
+
+    emb = _toy_embeddings(spark)
+    assign, cents = kmeans_lloyd(emb, k=2, n_iter=2)
+    got = {r["id"]: r["cluster"] for r in assign.collect()}
+    a_clusters = {got[i] for i in range(10)}
+    b_clusters = {got[i] for i in range(10, 20)}
+    assert len(a_clusters) == 1 and len(b_clusters) == 1
+    assert a_clusters != b_clusters
+    assert got[20] in a_clusters  # the near-dup follows its twin
+    # centroids stay k*dim model state
+    assert cents.count() == 2 * 8
+
+
+def test_kmeans_deterministic_across_runs(spark):
+    from spatialdata_spark.pipeline.clustering import kmeans_lloyd
+
+    emb = _toy_embeddings(spark)
+    a1, _ = kmeans_lloyd(emb, k=2, n_iter=2)
+    a2, _ = kmeans_lloyd(emb, k=2, n_iter=2)
+    r1 = sorted(map(tuple, a1.collect()))
+    r2 = sorted(map(tuple, a2.collect()))
+    assert r1 == r2  # fixed-point arithmetic: bit-identical reruns
+
+
+def test_semantic_dedup_drops_planted_neardup_only(spark):
+    from spatialdata_spark.pipeline.clustering import semantic_dedup_kmeans
+
+    emb = _toy_embeddings(spark)
+    out = semantic_dedup_kmeans(emb, k=2, n_iter=2, threshold=0.999)
+    ids = sorted(r["vec_id"] for r in out.collect())
+    # vec 20 is cosine ~1.0 with vec 3; nothing else in the toy set is
+    # above 0.999 (within-group cosines dip below via the perturbations)
+    assert 20 not in ids and 3 in ids
+    assert len(ids) == 20
+
+
+def test_knn_classify_planted_groups_perfect(spark):
+    from spatialdata_spark.pipeline.clustering import knn_classify
+
+    emb = _toy_embeddings(spark)
+    out = knn_classify(emb, k_neighbors=3, test_mod=5).collect()
+    # test ids: 0,5,10,15,20 — labels recoverable from the groups
+    assert len(out) == 5
+    assert all(r["correct"] == 1 for r in out)

@@ -49,6 +49,9 @@ GUARDED = [
     "pl_idf_keywords",
     "pl_dup_spans",
     "pl_tfidf_pairs",
+    "pl_kmeans",
+    "pl_semantic_dedup",
+    "pl_knn_classify",
 ]
 
 EXPRESSION_ONLY = [
@@ -67,6 +70,9 @@ EXPRESSION_ONLY = [
     "pl_unigram_lm",
     "pl_idf_keywords",
     "pl_tfidf_pairs",
+    "pl_kmeans",
+    "pl_semantic_dedup",
+    "pl_knn_classify",
 ]
 
 

@@ -54,10 +54,16 @@ def main(max_mult: int = 8) -> None:
     from spatialdata_spark.pipeline.filters import chunk_with_overlap, quota_cap
     from spatialdata_spark.operators.rasterize import rasterize_points
 
+    from spatialdata_spark.pipeline.clustering import (
+        kmeans_lloyd,
+        semantic_dedup_kmeans,
+    )
+
     pts0 = entrymod._points(spark, SF_DIR)
     circles0 = entrymod._circles(spark, SF_DIR)
     docs0 = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     ev0 = entrymod._events(spark, SF_DIR)
+    emb0 = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
 
     results: dict[str, dict[str, float]] = {}
     for mult in [1, 4, max_mult]:
@@ -68,6 +74,11 @@ def main(max_mult: int = 8) -> None:
         # replication (quota_cap) grows the (source, lang) CELLS x mult
         # instead: the adversarial shape for the window stage.
         ev = replicate(ev0, mult, ["event_id", "user_id"])
+        # vec_id offset per copy: the corpus grows, k stays fixed —
+        # cluster sizes grow x mult, the adversarial shape for the
+        # within-cluster pair stage (production contract: k scales
+        # with the corpus so clusters stay task-sized)
+        emb = replicate(emb0, mult, ["vec_id"])
         views = (
             ev.filter(F.col("event_type") == "view")
             .groupBy("user_id", "ts")
@@ -97,6 +108,15 @@ def main(max_mult: int = 8) -> None:
                 docs, quotas={"en": 50}, default_quota=20
             ).count(),
             "lev_neardup": lambda: levenshtein_neardup(docs, max_distance=5).count(),
+            # one Lloyd round + final assign: work ∝ n*k per iteration
+            "kmeans": lambda: kmeans_lloyd(emb, k=8, n_iter=1)[0]
+            .agg(F.sum("dist"))
+            .collect(),
+            # self-union plants exact duplicates across copies: the
+            # dup set is maximal, every pair test fires
+            "semantic_dedup": lambda: semantic_dedup_kmeans(
+                emb, k=8, n_iter=1, threshold=0.35
+            ).count(),
             # self-union makes EVERY gram duplicated (all positions
             # survive the >1 filter): the worst-case marked-position
             # volume, still linear in corpus characters

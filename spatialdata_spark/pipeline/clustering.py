@@ -123,6 +123,104 @@ def _update(
     )
 
 
+def quantize_wide(
+    embeddings: DataFrame,
+    q: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Wide fixed-point view: (id, qv array<long>) — the Arrow-path
+    input (no x dim explode; one Arrow batch carries whole vectors)."""
+    return embeddings.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda x: F.floor(x * q + F.lit(0.5)).cast("long"),
+        ).alias("qv"),
+    )
+
+
+def _assign_arrow(qw: DataFrame, cent) -> DataFrame:
+    """Arrow-path assignment: per-batch int64 GEMM against the model
+    matrix captured in the closure (k*dim — model state, shipped once
+    per task like a broadcast variable).  numpy integer matmul is
+    exact, and ``argmin`` takes the FIRST minimum — the same
+    (dist, j) tie rule as the expression twin, so results are
+    bit-identical.  Data movement: O(n*dim) input rows, no join."""
+    import numpy as np
+
+    C = np.asarray(cent, dtype=np.int64)  # (k, dim), CSCALE grid
+    c2 = (C * C).sum(axis=1)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["qv"].to_numpy()).astype(np.int64) * CSCALE
+            d = (X * X).sum(axis=1)[:, None] - 2 * (X @ C.T) + c2[None, :]
+            j = d.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy(),
+                    "cluster": j.astype(np.int32),
+                    "dist": d[np.arange(len(j)), j],
+                }
+            )
+
+    return qw.mapInPandas(gen, "id long, cluster int, dist long")
+
+
+def _update_arrow(qw: DataFrame, cent) -> list:
+    """One Lloyd round, Arrow path: a single pass assigns each batch
+    and emits per-batch per-cluster partial sums (k*dim rows per
+    batch — the ideal map-side combine), reduced on the k*dim key
+    space; the division back to the CSCALE grid happens driver-side
+    on exact BIGINT totals.  Empty clusters keep their previous
+    coordinates."""
+    import math
+
+    import numpy as np
+
+    C = np.asarray(cent, dtype=np.int64)
+    k, dim = C.shape
+    c2 = (C * C).sum(axis=1)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["qv"].to_numpy()).astype(np.int64)
+            Xs = X * CSCALE
+            d = (Xs * Xs).sum(axis=1)[:, None] - 2 * (Xs @ C.T) + c2[None, :]
+            j = d.argmin(axis=1)
+            out = {"j": [], "pos": [], "s": [], "n": []}
+            for jj in np.unique(j):
+                m = j == jj
+                S = X[m].sum(axis=0)
+                out["j"].extend([int(jj)] * dim)
+                out["pos"].extend(range(dim))
+                out["s"].extend(S.tolist())
+                out["n"].extend([int(m.sum())] * dim)
+            yield pd.DataFrame(out)
+
+    partials = qw.mapInPandas(gen, "j int, pos int, s long, n long")
+    totals = (
+        partials.groupBy("j", "pos")
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+        .collect()
+    )
+    new = C.copy()
+    for r in totals:
+        new[r["j"], r["pos"]] = int(
+            math.floor(float(CSCALE) * r["s"] / r["n"] + 0.5)
+        )
+    return new
+
+
 def _literalize(spark: SparkSession, centroids: DataFrame) -> DataFrame:
     """Collect the k*dim model state through the driver and re-emit it
     as a literal frame: keeps every iteration's plan one join deep
@@ -138,37 +236,71 @@ def kmeans_lloyd(
     q: int = 100,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "arrow",
 ):
     """Fixed-point Lloyd's k-means.  Deterministic init: the k rows
     with the smallest ids are the seed centroids (data-derived, same
     contract as the ANN codebooks).  Runs ``n_iter`` (assign, update)
     rounds, then one final assignment against the trained centroids.
 
+    ``method='arrow'`` (production): per-batch int64 GEMM against the
+    model matrix — O(n*dim) data movement per iteration, partial sums
+    combined on a k*dim key space.  ``method='expr'``: the pure
+    DataFrame-expression twin (long-format broadcast join), the
+    SQL-replayable shape the oracle mirrors.  Both are exact integer
+    arithmetic and return BIT-IDENTICAL results (a pinned test
+    asserts it) — only the physical plan differs.
+
     Returns ``(assignments, centroids)``: assignments has
     ``(id, cluster, dist)`` (dist = exact squared distance in the
     quantized grid, BIGINT); centroids has ``(j, pos, cval)``.
     """
     spark = embeddings.sparkSession
-    pts = quantize_long(embeddings, q, id_col, vec_col)
-    # pts is read n_iter+1 times: cache once (scan-sized, spills to disk)
-    pts = pts.persist()
-    seed_ids = [
-        r["id"]
-        for r in pts.select("id").distinct().orderBy("id").limit(k).collect()
-    ]
-    # map seed ids -> dense 0..k-1 via a literal lookup (k rows)
-    lookup = spark.createDataFrame(
-        [(int(v), int(j)) for j, v in enumerate(seed_ids)], "id LONG, j INT"
+    if method == "expr":
+        pts = quantize_long(embeddings, q, id_col, vec_col)
+        # pts is read n_iter+1 times: cache once (scan-sized, spills)
+        pts = pts.persist()
+        seed_ids = [
+            r["id"]
+            for r in pts.select("id").distinct().orderBy("id").limit(k).collect()
+        ]
+        # map seed ids -> dense 0..k-1 via a literal lookup (k rows)
+        lookup = spark.createDataFrame(
+            [(int(v), int(j)) for j, v in enumerate(seed_ids)], "id LONG, j INT"
+        )
+        init = (
+            pts.join(F.broadcast(lookup), "id")
+            .select("j", "pos", (F.col("val") * CSCALE).alias("cval"))
+        )
+        centroids = _literalize(spark, init)
+        for _ in range(n_iter):
+            a = _assign(pts, centroids)
+            centroids = _literalize(spark, _update(pts, a, centroids))
+        final = _assign(pts, centroids)
+        return final, centroids
+
+    import numpy as np
+
+    qw = quantize_wide(embeddings, q, id_col, vec_col).persist()
+    seeds = (
+        qw.select("id", "qv")
+        .orderBy("id")
+        .limit(k)
+        .collect()
     )
-    init = (
-        pts.join(F.broadcast(lookup), "id")
-        .select("j", "pos", (F.col("val") * CSCALE).alias("cval"))
+    C = (
+        np.stack([np.asarray(r["qv"], dtype=np.int64) for r in seeds])
+        * CSCALE
     )
-    centroids = _literalize(spark, init)
     for _ in range(n_iter):
-        a = _assign(pts, centroids)
-        centroids = _literalize(spark, _update(pts, a, centroids))
-    final = _assign(pts, centroids)
+        C = _update_arrow(qw, C)
+    final = _assign_arrow(qw, C)
+    cent_rows = [
+        (int(j), int(p), int(C[j, p]))
+        for j in range(C.shape[0])
+        for p in range(C.shape[1])
+    ]
+    centroids = spark.createDataFrame(cent_rows, "j INT, pos INT, cval LONG")
     return final, centroids
 
 
@@ -180,47 +312,94 @@ def semantic_dedup_kmeans(
     q: int = 100,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "arrow",
 ) -> DataFrame:
     """SemDeDup: cluster, then drop every vector that has a
     lower-id cluster-mate with quantized cosine >= threshold.
     The threshold test is pure BIGINT (see module docstring), so the
     survivor set replays exactly in SQL.  Returns the surviving rows
-    of ``embeddings`` plus their ``cluster``."""
+    of ``embeddings`` plus their ``cluster``.
+
+    ``method='arrow'`` (production): per-cluster int64 GEMM inside an
+    ``applyInPandas`` kernel — the pair space never materializes as
+    rows, only O(n*dim) moves through the cluster shuffle.  (SemDeDup's
+    stated contract is that k scales with the corpus so clusters stay
+    task-sized — the paper uses k=50k at LAION scale.)
+    ``method='expr'``: the long-format pair join the oracle mirrors
+    (O(pairs*dim) join rows — fine at the oracle scales, not the 100 TB
+    plan).  Both compute the same exact integers; a pinned test asserts
+    the survivor sets are identical."""
     spark = embeddings.sparkSession
-    assign, _ = kmeans_lloyd(embeddings, k, n_iter, q, id_col, vec_col)
-    pts = quantize_long(embeddings, q, id_col, vec_col)
-    withc = pts.join(assign.select("id", "cluster"), "id")
-    # pair dot products and squared norms — all exact BIGINT
-    a = withc.select(
-        "cluster", F.col("id").alias("id_a"), "pos", F.col("val").alias("va")
-    )
-    b = withc.select(
-        "cluster", F.col("id").alias("id_b"), "pos", F.col("val").alias("vb")
-    )
-    if spark.sparkContext.master.startswith("local"):
-        b = F.broadcast(b)
-    dots = (
-        a.join(b, ["cluster", "pos"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("cluster", "id_a", "id_b")
-        .agg(F.sum(F.col("va") * F.col("vb")).alias("dot"))
-    )
-    n2 = withc.groupBy("id").agg(F.sum(F.col("val") * F.col("val")).alias("n2"))
-    if spark.sparkContext.master.startswith("local"):
-        n2 = F.broadcast(n2)
     scale = 10_000
     coeff = int(round(threshold * threshold * scale))
-    dup = (
-        dots.join(n2.select(F.col("id").alias("id_a"), F.col("n2").alias("na2")), "id_a")
-        .join(n2.select(F.col("id").alias("id_b"), F.col("n2").alias("nb2")), "id_b")
-        .filter(
-            (F.col("dot") > 0)
-            & (F.lit(scale) * F.col("dot") * F.col("dot")
-               >= F.lit(coeff) * F.col("na2") * F.col("nb2"))
+    assign, _ = kmeans_lloyd(embeddings, k, n_iter, q, id_col, vec_col, method)
+    if method == "arrow":
+        import numpy as np
+
+        qw = quantize_wide(embeddings, q, id_col, vec_col)
+        withc = qw.join(assign.select("id", "cluster"), "id")
+
+        def _dups(pdf):
+            import pandas as pd
+
+            if not len(pdf):
+                return pd.DataFrame({"dup_id": np.array([], dtype=np.int64)})
+            X = np.stack(pdf["qv"].to_numpy()).astype(np.int64)
+            ids = pdf["id"].to_numpy()
+            o = np.argsort(ids)
+            X, ids = X[o], ids[o]
+            G = X @ X.T
+            n2 = np.diag(G)
+            ia, ib = np.triu_indices(len(ids), 1)
+            d = G[ia, ib]
+            hit = (d > 0) & (scale * d * d >= coeff * n2[ia] * n2[ib])
+            return pd.DataFrame({"dup_id": np.unique(ids[ib[hit]])})
+
+        dup = (
+            withc.groupBy("cluster")
+            .applyInPandas(_dups, "dup_id long")
+            .select(F.col("dup_id").alias(id_col))
         )
-        .select(F.col("id_b").alias(id_col))
-        .distinct()
-    )
+    else:
+        pts = quantize_long(embeddings, q, id_col, vec_col)
+        withc = pts.join(assign.select("id", "cluster"), "id")
+        # pair dot products and squared norms — all exact BIGINT
+        a = withc.select(
+            "cluster", F.col("id").alias("id_a"), "pos", F.col("val").alias("va")
+        )
+        b = withc.select(
+            "cluster", F.col("id").alias("id_b"), "pos", F.col("val").alias("vb")
+        )
+        if spark.sparkContext.master.startswith("local"):
+            b = F.broadcast(b)
+        dots = (
+            a.join(b, ["cluster", "pos"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("cluster", "id_a", "id_b")
+            .agg(F.sum(F.col("va") * F.col("vb")).alias("dot"))
+        )
+        n2 = withc.groupBy("id").agg(
+            F.sum(F.col("val") * F.col("val")).alias("n2")
+        )
+        if spark.sparkContext.master.startswith("local"):
+            n2 = F.broadcast(n2)
+        dup = (
+            dots.join(
+                n2.select(F.col("id").alias("id_a"), F.col("n2").alias("na2")),
+                "id_a",
+            )
+            .join(
+                n2.select(F.col("id").alias("id_b"), F.col("n2").alias("nb2")),
+                "id_b",
+            )
+            .filter(
+                (F.col("dot") > 0)
+                & (F.lit(scale) * F.col("dot") * F.col("dot")
+                   >= F.lit(coeff) * F.col("na2") * F.col("nb2"))
+            )
+            .select(F.col("id_b").alias(id_col))
+            .distinct()
+        )
     if spark.sparkContext.master.startswith("local"):
         dup = F.broadcast(dup)
     return (

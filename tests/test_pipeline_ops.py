@@ -1120,3 +1120,28 @@ def test_knn_classify_planted_groups_perfect(spark):
     # test ids: 0,5,10,15,20 — labels recoverable from the groups
     assert len(out) == 5
     assert all(r["correct"] == 1 for r in out)
+
+
+def test_kmeans_arrow_equals_expr_bit_exact(spark):
+    """The Arrow int64-GEMM path and the expression twin are the same
+    integer arithmetic — assignments, distances and centroids must be
+    BIT-IDENTICAL (this is what lets the production path keep the SQL
+    oracle)."""
+    from spatialdata_spark.pipeline.clustering import kmeans_lloyd
+
+    emb = _toy_embeddings(spark)
+    aa, ca = kmeans_lloyd(emb, k=3, n_iter=2, method="arrow")
+    ae, ce = kmeans_lloyd(emb, k=3, n_iter=2, method="expr")
+    assert sorted(map(tuple, aa.collect())) == sorted(map(tuple, ae.collect()))
+    assert sorted(map(tuple, ca.collect())) == sorted(map(tuple, ce.collect()))
+
+
+def test_semantic_dedup_arrow_equals_expr(spark):
+    from spatialdata_spark.pipeline.clustering import semantic_dedup_kmeans
+
+    emb = _toy_embeddings(spark)
+    sa = semantic_dedup_kmeans(emb, k=2, n_iter=2, threshold=0.9, method="arrow")
+    se = semantic_dedup_kmeans(emb, k=2, n_iter=2, threshold=0.9, method="expr")
+    ia = sorted(r["vec_id"] for r in sa.collect())
+    ie = sorted(r["vec_id"] for r in se.collect())
+    assert ia == ie

@@ -70,8 +70,9 @@ EXPRESSION_ONLY = [
     "pl_unigram_lm",
     "pl_idf_keywords",
     "pl_tfidf_pairs",
-    "pl_kmeans",
-    "pl_semantic_dedup",
+    # pl_kmeans / pl_semantic_dedup run the Arrow int64-GEMM production
+    # path (documented custom kernels); only the k-NN query stays pure
+    # expression
     "pl_knn_classify",
 ]
 

@@ -4336,6 +4336,128 @@ FROM best b JOIN embeddings e ON e.vec_id = b.test_id
 """
 
 
+def pl_bpe_train(spark, sf_dir):
+    """Distributed BPE tokenizer training (4 merges) over the corpus —
+    the Sennrich/Gage loop in its 100 TB shape: pair statistics on the
+    DISTINCT-WORD frequency table (vocabulary-sized by Zipf, not
+    corpus-sized), one collected argmax row per round (model state),
+    merge application as a broadcast map-side string replace.  The
+    double-space symbol encoding makes SQL replace() exactly the
+    HF-trainer left-to-right non-overlapping merge scan, so the whole
+    loop replays in ANSI SQL (see pipeline/bpe.py)."""
+    from spatialdata_spark.pipeline.bpe import bpe_train
+
+    merges, _ = bpe_train(_read(spark, sf_dir, "documents"), n_merges=4)
+    return merges
+
+
+def pl_bpe_encode(spark, sf_dir):
+    """Encode-time BPE token counting under the merges learned by
+    pl_bpe_train: per-doc word multiset joins the merged word table
+    (vocabulary-sized, broadcast-gated); tokens per word = symbol count
+    of the merged sequence."""
+    from spatialdata_spark.pipeline.bpe import bpe_token_counts, bpe_train
+
+    docs = _read(spark, sf_dir, "documents")
+    _, wf = bpe_train(docs, n_merges=4)
+    return bpe_token_counts(docs, wf)
+
+
+def _bpe_cte(n_merges: int = 4) -> str:
+    """Unrolled BPE-training CTE chain: s0 .. s{n}, t1 .. t{n}."""
+    parts = [
+        r"""WITH w0 AS (
+  SELECT w, COUNT(*) AS freq FROM (
+    SELECT UNNEST(string_split_regex(LOWER(TRIM(text)), '\s+')) AS w
+    FROM documents WHERE LENGTH(TRIM(text)) > 0
+  ) WHERE LENGTH(w) > 0 GROUP BY 1
+),
+s0 AS (
+  SELECT w, freq,
+         ' ' || RTRIM(regexp_replace(w, '(.)', '\1  ', 'g')) || ' ' AS seq
+  FROM w0
+)"""
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(
+            f""",
+p{i} AS (
+  SELECT syms[i] AS l, syms[i + 1] AS r, SUM(freq) AS cnt
+  FROM (SELECT freq, string_split(TRIM(seq), '  ') AS syms FROM s{i - 1}),
+       UNNEST(range(1, LEN(syms))) AS t(i)
+  GROUP BY 1, 2
+),
+t{i} AS (SELECT l, r, cnt FROM p{i} ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+s{i} AS (
+  SELECT s.w, s.freq,
+         REPLACE(s.seq, ' ' || t.l || '  ' || t.r || ' ',
+                 ' ' || t.l || t.r || ' ') AS seq
+  FROM s{i - 1} s, t{i} t
+)"""
+        )
+    return "".join(parts)
+
+
+PL_BPE_TRAIN_SQL = (
+    _bpe_cte(4)
+    + "\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT {i} AS rank, l AS left, r AS right, l || r AS merged, "
+        f"CAST(cnt AS BIGINT) AS cnt FROM t{i}"
+        for i in range(1, 5)
+    )
+)
+
+
+PL_BPE_ENCODE_SQL = (
+    _bpe_cte(4)
+    + r""",
+doc_words AS (
+  SELECT doc_id, w, COUNT(*) AS n FROM (
+    SELECT doc_id, UNNEST(string_split_regex(LOWER(TRIM(text)), '\s+')) AS w
+    FROM documents WHERE LENGTH(TRIM(text)) > 0
+  ) WHERE LENGTH(w) > 0 GROUP BY 1, 2
+)
+SELECT d.doc_id,
+       CAST(SUM(d.n * LEN(string_split(TRIM(s.seq), '  '))) AS BIGINT)
+         AS n_bpe_tokens
+FROM doc_words d JOIN s4 s ON s.w = d.w
+GROUP BY 1
+"""
+)
+
+
+def pl_shard_shuffle(spark, sf_dir):
+    """Deterministic global training shuffle: two chained Lehmer
+    steps assign each doc a shard and a decorrelated within-shard
+    position.  Expression + one window PARTITIONED BY SHARD (the
+    parallelism knob — size n_shards so a shard is one output file;
+    no global sort anywhere).  Exact int64 at any id scale."""
+    from spatialdata_spark.pipeline.filters import shard_shuffle
+
+    return shard_shuffle(_read(spark, sf_dir, "documents"), n_shards=32).select(
+        "doc_id", "shard", "pos_in_shard"
+    )
+
+
+PL_SHARD_SHUFFLE_SQL = """
+WITH h AS (
+  SELECT doc_id,
+         ((doc_id % 2147483647) * 48271 % 2147483647) AS s1
+  FROM documents
+),
+h2 AS (
+  SELECT doc_id, CAST(s1 % 32 AS INT) AS shard,
+         (s1 * 48271) % 2147483647 AS s2
+  FROM h
+)
+SELECT doc_id, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY s2, doc_id) - 1
+            AS BIGINT) AS pos_in_shard
+FROM h2
+"""
+
+
 def pl_dedup_keep_best(spark, sf_dir):
     """Near-dup clusters materialized into a KEEP decision: one
     representative per MinHash connected component (longest text,
@@ -4897,6 +5019,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pl_kmeans": pl_kmeans,
         "pl_semantic_dedup": pl_semantic_dedup,
         "pl_knn_classify": pl_knn_classify,
+        "pl_bpe_train": pl_bpe_train,
+        "pl_bpe_encode": pl_bpe_encode,
+        "pl_shard_shuffle": pl_shard_shuffle,
         "pl_unigram_lm": pl_unigram_lm,
         "pl_idf_keywords": pl_idf_keywords,
         "pl_dedup_keep_best": pl_dedup_keep_best,
@@ -5108,6 +5233,9 @@ def oracle_sql() -> dict[str, str]:
         "pl_kmeans": PL_KMEANS_SQL,
         "pl_semantic_dedup": PL_SEMANTIC_DEDUP_SQL,
         "pl_knn_classify": PL_KNN_CLASSIFY_SQL,
+        "pl_bpe_train": PL_BPE_TRAIN_SQL,
+        "pl_bpe_encode": PL_BPE_ENCODE_SQL,
+        "pl_shard_shuffle": PL_SHARD_SHUFFLE_SQL,
         "pl_unigram_lm": PL_UNIGRAM_LM_SQL,
         "pl_idf_keywords": PL_IDF_KEYWORDS_SQL,
         "pl_dedup_keep_best": _dedup_keep_best_sql(),

@@ -243,6 +243,41 @@ def stratified_sample(
     )
 
 
+def shard_shuffle(
+    docs: DataFrame,
+    n_shards: int = 32,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global shuffle for training-data loading: every
+    document gets a shard and a position inside it, with the order
+    decorrelated from the id order.
+
+    Two chained Lehmer/Park-Miller steps (products < 2^47, exact int64
+    at any id scale): the first picks the shard, the second the
+    within-shard sort key (so adjacent ids land in different shards
+    AND at unrelated positions — the property a training loader needs
+    from a "global shuffle" without ever materializing one).  The
+    window partitions by SHARD: ``n_shards`` is the parallelism knob —
+    at corpus scale you size it so a shard is one output file
+    (O(100k) shards for 100 TB), which keeps every sort task-sized;
+    no global ordering step exists anywhere in the plan.  Ties on the
+    sort key break by id — fully deterministic, rerun-stable."""
+    from pyspark.sql.window import Window
+
+    m = F.lit(2147483647)
+    s1 = (F.col(id_col) % m) * F.lit(48271) % m
+    out = docs.withColumn("__s1", s1).withColumn(
+        "shard", (F.col("__s1") % F.lit(int(n_shards))).cast("int")
+    ).withColumn("__s2", (F.col("__s1") * F.lit(48271)) % m)
+    w = Window.partitionBy("shard").orderBy("__s2", id_col)
+    return (
+        out.withColumn(
+            "pos_in_shard", (F.row_number().over(w) - 1).cast("long")
+        )
+        .drop("__s1", "__s2")
+    )
+
+
 def quota_cap(
     docs: DataFrame,
     quotas: dict[str, int],

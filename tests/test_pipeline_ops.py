@@ -1145,3 +1145,90 @@ def test_semantic_dedup_arrow_equals_expr(spark):
     ia = sorted(r["vec_id"] for r in sa.collect())
     ie = sorted(r["vec_id"] for r in se.collect())
     assert ia == ie
+
+
+def test_bpe_train_hand_computed_merges(spark):
+    """Sennrich's canonical low/lower/newest example: merge order and
+    counts are hand-derivable."""
+    from spatialdata_spark.pipeline.bpe import bpe_token_counts, bpe_train
+
+    docs = spark.createDataFrame(
+        [
+            (1, "low lower lowest low low"),
+            (2, "new newer newest new"),
+            (3, "low new low"),
+        ],
+        ["doc_id", "text"],
+    )
+    merges, wf = bpe_train(docs, n_merges=4)
+    got = [(r["rank"], r["left"], r["right"], r["merged"], r["cnt"]) for r in merges.orderBy("rank").collect()]
+    # l+o appears in low(5)+lower(1)+lowest(1)=7; then lo+w same 7;
+    # e+w in new(3)+newer+newest... wait new='n e w': e+w count =
+    # 3+1+1=5 (new, newer, newest); then n+ew=5
+    assert got == [
+        (1, "l", "o", "lo", 7),
+        (2, "lo", "w", "low", 7),
+        (3, "e", "w", "ew", 5),
+        (4, "n", "ew", "new", 5),
+    ]
+    counts = {r["doc_id"]: r["n_bpe_tokens"] for r in bpe_token_counts(docs, wf).collect()}
+    # doc1: low(1) lower(low,e,r=3) lowest(low,e,s,t=4) low low -> 10
+    assert counts == {1: 10, 2: 9, 3: 3}
+
+
+def test_bpe_merge_respects_symbol_boundaries(spark):
+    """A learned pair must not merge inside longer symbols: pair (a,b)
+    with words 'ab' and 'abc' — after (a,b) merges, 'c' stays its own
+    symbol and (ab,c) is a DIFFERENT pair."""
+    from spatialdata_spark.pipeline.bpe import bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab ab abc xy")], ["doc_id", "text"]
+    )
+    merges, wf = bpe_train(docs, n_merges=2)
+    got = [(r["left"], r["right"], r["cnt"]) for r in merges.orderBy("rank").collect()]
+    assert got[0] == ("a", "b", 4)  # 3x 'ab' + 1x 'abc'
+    assert got[1] == ("ab", "c", 1)
+    seqs = {r["w"]: r["seq"] for r in wf.collect()}
+    assert seqs["abc"] == " abc "
+    assert seqs["xy"] == " x  y "
+
+
+def test_bpe_run_merging_left_to_right(spark):
+    """'aaaa' under pair (a,a): left-to-right non-overlapping scan
+    gives (aa)(aa); odd runs leave the tail single: 'aaa' -> (aa)(a)."""
+    from spatialdata_spark.pipeline.bpe import bpe_train
+
+    docs = spark.createDataFrame([(1, "aaaa aaa")], ["doc_id", "text"])
+    merges, wf = bpe_train(docs, n_merges=1)
+    seqs = {r["w"]: r["seq"] for r in wf.collect()}
+    assert seqs["aaaa"] == " aa  aa "
+    assert seqs["aaa"] == " aa  a "
+
+
+def test_shard_shuffle_deterministic_partition(spark):
+    from spatialdata_spark.pipeline.filters import shard_shuffle
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    out = shard_shuffle(df, n_shards=8)
+    rows = out.collect()
+    assert len(rows) == 1000
+    # every doc exactly once, shards within range
+    assert sorted(r["doc_id"] for r in rows) == list(range(1000))
+    assert all(0 <= r["shard"] < 8 for r in rows)
+    # positions dense per shard: 0..n_s-1
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for r in rows:
+        per[r["shard"]].append(r["pos_in_shard"])
+    for s, ps in per.items():
+        assert sorted(ps) == list(range(len(ps)))
+    # decorrelated from id order: consecutive ids land in different
+    # shards more often than not, and position != id rank
+    m = {r["doc_id"]: r for r in rows}
+    same = sum(1 for i in range(999) if m[i]["shard"] == m[i + 1]["shard"])
+    assert same < 500
+    # rerun-stable
+    again = {r["doc_id"]: (r["shard"], r["pos_in_shard"]) for r in shard_shuffle(df, n_shards=8).collect()}
+    assert again == {k: (v["shard"], v["pos_in_shard"]) for k, v in m.items()}

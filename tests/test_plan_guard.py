@@ -52,6 +52,9 @@ GUARDED = [
     "pl_kmeans",
     "pl_semantic_dedup",
     "pl_knn_classify",
+    "pl_bpe_train",
+    "pl_bpe_encode",
+    "pl_shard_shuffle",
 ]
 
 EXPRESSION_ONLY = [
@@ -74,6 +77,9 @@ EXPRESSION_ONLY = [
     # path (documented custom kernels); only the k-NN query stays pure
     # expression
     "pl_knn_classify",
+    "pl_bpe_train",
+    "pl_bpe_encode",
+    "pl_shard_shuffle",
 ]
 
 

@@ -4458,6 +4458,182 @@ FROM h2
 """
 
 
+def pl_interleave(spark, sf_dir):
+    """Weighted round-robin interleave (en:3, others:1 per round),
+    computed per shard so every window partitions by (shard, stream)
+    — the mixing-schedule primitive a training loader consumes, with
+    parallelism ∝ n_shards and closed-form integer positions (no
+    global sort).  First-exhausted rule per shard."""
+    from spatialdata_spark.pipeline.filters import interleave_weighted
+
+    out = interleave_weighted(
+        _read(spark, sf_dir, "documents"),
+        weights={"de": 1, "en": 3, "es": 1, "fr": 1, "zh": 1},
+        n_shards=4,
+    )
+    return out.select("doc_id", "lang", "shard", "pos_in_shard")
+
+
+PL_INTERLEAVE_SQL = """
+WITH base AS (
+  SELECT doc_id, lang,
+         ((doc_id % 2147483647) * 48271 % 2147483647) AS s1
+  FROM documents
+  WHERE lang IN ('de', 'en', 'es', 'fr', 'zh')
+),
+sh AS (
+  SELECT doc_id, lang,
+         CAST(s1 % 4 AS INT) AS shard,
+         (s1 * 48271) % 2147483647 AS s2,
+         CASE lang WHEN 'en' THEN 3 ELSE 1 END AS w,
+         CASE lang WHEN 'de' THEN 0 WHEN 'en' THEN 1 WHEN 'es' THEN 4
+                   WHEN 'fr' THEN 5 ELSE 6 END AS off
+  FROM base
+),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY shard, lang ORDER BY s2, doc_id) - 1
+           AS k
+  FROM sh
+),
+rounds AS (
+  SELECT shard, MIN(n // w) AS full_rounds FROM (
+    SELECT shard, lang, COUNT(*) AS n, MIN(w) AS w
+    FROM ranked GROUP BY 1, 2
+  ) GROUP BY 1
+)
+SELECT rk.doc_id, rk.lang, rk.shard,
+       CAST((rk.k // rk.w) * 7 + rk.off + (rk.k % rk.w) AS BIGINT)
+         AS pos_in_shard
+FROM ranked rk JOIN rounds USING (shard)
+WHERE (rk.k // rk.w) < rounds.full_rounds
+"""
+
+
+def pl_ppl_buckets(spark, sf_dir):
+    """CCNet head/middle/tail: tercile bucketing of per-doc
+    unigram-LM nll.  Thresholds are a 1-row broadcast aggregate;
+    Spark exact percentile == DuckDB quantile_cont on DOUBLE
+    (bit-for-bit linear interpolation), so the boundaries replay
+    exactly.  The documented 100 TB substitution is
+    approx_percentile for the global terciles."""
+    from spatialdata_spark.pipeline.textstats import perplexity_buckets
+
+    return perplexity_buckets(_read(spark, sf_dir, "documents"))
+
+
+PL_PPL_BUCKETS_SQL = r"""
+WITH base AS (
+  SELECT doc_id, string_split_regex(LOWER(TRIM(text)), '\s+') AS toks
+  FROM documents WHERE LENGTH(TRIM(text)) > 0
+),
+tok AS (SELECT doc_id, UNNEST(toks) AS t FROM base),
+c AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY 1),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tokens, COUNT(*) AS n_vocab FROM c),
+nll AS (
+  SELECT doc_id, ROUND(AVG(-LN((c + 1.0) / (n_tokens + n_vocab))), 6) AS nll
+  FROM tok JOIN c USING (t), tot
+  GROUP BY 1
+),
+q AS (
+  SELECT quantile_cont(nll, 1.0/3) AS t1, quantile_cont(nll, 2.0/3) AS t2
+  FROM nll
+)
+SELECT doc_id, nll,
+       CASE WHEN nll <= t1 THEN 'head'
+            WHEN nll <= t2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM nll, q
+"""
+
+
+def q_cube_revenue(spark, sf_dir):
+    """CUBE / grouping-sets coverage: revenue and line counts over all
+    four (returnflag, linestatus) grouping combinations, subtotal rows
+    labeled 'ALL' via the grouping flags.  DECIMAL(18,2) arithmetic
+    (the established TPC-H exactness pattern); CUBE is a single
+    pass — Spark expands grouping sets map-side, no extra shuffle per
+    set."""
+    li = _read(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast(DEC)
+    disc = F.col("l_discount").cast(DEC)
+    cubed = (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(price * (F.lit(1).cast(DEC) - disc)).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.grouping("l_returnflag").alias("g_rf"),
+            F.grouping("l_linestatus").alias("g_ls"),
+        )
+    )
+    return cubed.select(
+        F.when(F.col("g_rf") == 1, F.lit("ALL")).otherwise(F.col("l_returnflag")).alias("returnflag"),
+        F.when(F.col("g_ls") == 1, F.lit("ALL")).otherwise(F.col("l_linestatus")).alias("linestatus"),
+        "revenue",
+        "n_lines",
+    )
+
+
+Q_CUBE_REVENUE_SQL = f"""
+SELECT
+  CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END
+    AS returnflag,
+  CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END
+    AS linestatus,
+  CAST(SUM(CAST(l_extendedprice AS {DEC}) *
+           (CAST(1 AS {DEC}) - CAST(l_discount AS {DEC}))) AS DOUBLE)
+    AS revenue,
+  COUNT(*) AS n_lines
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def st_rolling_window(spark, sf_dir):
+    """RANGE-frame window coverage: per-user 1-hour rolling event
+    count + value sum (event-time range frame, not row frame — peers
+    at equal timestamps are included, exactly the SQL-standard RANGE
+    semantics both engines implement).  Values quantized to integer
+    cents so the sliding sum is exact in any accumulation order; the
+    window partitions by USER (fine-grained at any corpus size)."""
+    from pyspark.sql.window import Window
+
+    ev = _read(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        "user_id",
+        # ts is TIMESTAMP_NTZ; the session tz is pinned UTC, so the
+        # cast is the identity instant and epoch_us(ts) matches
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum("cents").over(w).alias("sum_cents_1h"),
+    )
+
+
+ST_ROLLING_WINDOW_SQL = """
+SELECT event_id, user_id,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+       CAST(SUM(cents) OVER w AS BIGINT) AS sum_cents_1h
+FROM (
+  SELECT event_id, user_id, epoch_us(ts) AS us,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+)
+WINDOW w AS (PARTITION BY user_id ORDER BY us
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
 def pl_dedup_keep_best(spark, sf_dir):
     """Near-dup clusters materialized into a KEEP decision: one
     representative per MinHash connected component (longest text,
@@ -5022,12 +5198,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pl_bpe_train": pl_bpe_train,
         "pl_bpe_encode": pl_bpe_encode,
         "pl_shard_shuffle": pl_shard_shuffle,
+        "pl_interleave": pl_interleave,
+        "pl_ppl_buckets": pl_ppl_buckets,
+        "q_cube_revenue": q_cube_revenue,
+        "st_rolling_window": st_rolling_window,
         "pl_unigram_lm": pl_unigram_lm,
         "pl_idf_keywords": pl_idf_keywords,
         "pl_dedup_keep_best": pl_dedup_keep_best,
         "pl_tfidf_pairs": pl_tfidf_pairs,
         "pl_dup_spans": pl_dup_spans,
         "pl_span_cut": pl_span_cut,
+        # re-implemented this round — must sit inside the first 50 so
+        # the driver re-verifies the new generators
+        "pl_lev_neardup": pl_lev_neardup,
+        "pl_mix_epochs": pl_mix_epochs,
         "rv_rasterize_polyfill": rv_rasterize_polyfill,
         "ag_points_by_labels": ag_points_by_labels,
         "st_sessionize": st_sessionize,
@@ -5062,8 +5246,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_interval_conversions": st_interval_conversions,
         "pl_bm25": pl_bm25,
         "pl_chunk_overlap": pl_chunk_overlap,
-        "pl_lev_neardup": pl_lev_neardup,
-        "pl_mix_epochs": pl_mix_epochs,
         "rv_to_circles": rv_to_circles,
         "rv_to_polygons": rv_to_polygons,
         "rv_relabel": rv_relabel,
@@ -5236,6 +5418,10 @@ def oracle_sql() -> dict[str, str]:
         "pl_bpe_train": PL_BPE_TRAIN_SQL,
         "pl_bpe_encode": PL_BPE_ENCODE_SQL,
         "pl_shard_shuffle": PL_SHARD_SHUFFLE_SQL,
+        "pl_interleave": PL_INTERLEAVE_SQL,
+        "pl_ppl_buckets": PL_PPL_BUCKETS_SQL,
+        "q_cube_revenue": Q_CUBE_REVENUE_SQL,
+        "st_rolling_window": ST_ROLLING_WINDOW_SQL,
         "pl_unigram_lm": PL_UNIGRAM_LM_SQL,
         "pl_idf_keywords": PL_IDF_KEYWORDS_SQL,
         "pl_dedup_keep_best": _dedup_keep_best_sql(),

@@ -278,6 +278,85 @@ def shard_shuffle(
     )
 
 
+def interleave_weighted(
+    docs: DataFrame,
+    weights: dict[str, int],
+    n_shards: int = 4,
+    stream_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted round-robin interleave of streams — the
+    dataset-mixing schedule a training loader consumes (w_s documents
+    from stream s per round, repeating until the first stream runs
+    out of complete rounds).
+
+    Computed PER SHARD (Lehmer shard assignment, same hash family as
+    ``shard_shuffle``): every rank/window partitions by
+    ``(shard, stream)``, so parallelism scales with ``n_shards`` and
+    no stream ever funnels through one reducer — at corpus scale you
+    size ``n_shards`` so a shard is one loader file, exactly the
+    ``shard_shuffle`` contract.  Within a shard, positions are
+    closed-form integer arithmetic (``round * W + offset_s + slot``),
+    dense ``0..R*W-1`` — no global sort exists anywhere.  Streams not
+    in ``weights`` are excluded (the mixing schedule defines the
+    corpus).  Exhaustion follows the first-exhausted rule per shard:
+    R = min_s floor(n_s / w_s) complete rounds."""
+    from pyspark.sql.window import Window
+
+    streams = sorted(weights)
+    total_w = sum(int(weights[s]) for s in streams)
+    offsets: dict[str, int] = {}
+    acc = 0
+    for s in streams:
+        offsets[s] = acc
+        acc += int(weights[s])
+
+    m = F.lit(2147483647)
+    s1 = (F.col(id_col) % m) * F.lit(48271) % m
+    base = (
+        docs.filter(F.col(stream_col).isin(streams))
+        .withColumn("__s1", s1)
+        .withColumn("shard", (F.col("__s1") % F.lit(int(n_shards))).cast("int"))
+        .withColumn("__s2", (F.col("__s1") * F.lit(48271)) % m)
+    )
+    w_expr = F.lit(int(weights[streams[0]]))
+    off_expr = F.lit(offsets[streams[0]])
+    for s in streams[1:]:
+        w_expr = F.when(F.col(stream_col) == s, F.lit(int(weights[s]))).otherwise(w_expr)
+        off_expr = F.when(F.col(stream_col) == s, F.lit(offsets[s])).otherwise(off_expr)
+    win = Window.partitionBy("shard", stream_col).orderBy("__s2", id_col)
+    ranked = (
+        base.withColumn("__k", (F.row_number().over(win) - 1).cast("long"))
+        .withColumn("__w", w_expr.cast("long"))
+        .withColumn("__r", F.floor(F.col("__k") / F.col("__w")))
+        .withColumn("__slot", F.col("__k") % F.col("__w"))
+    )
+    rounds = (
+        ranked.groupBy("shard", stream_col)
+        .agg(F.count(F.lit(1)).alias("n"), F.first("__w").alias("w"))
+        .groupBy("shard")
+        .agg(F.min(F.floor(F.col("n") / F.col("w"))).alias("__R"))
+    )
+    # shard-count rows: unconditionally broadcastable model state.
+    # aliases: rounds shares lineage with ranked, so unqualified
+    # column references are ambiguous after the self-derived join
+    out = (
+        ranked.alias("rk")
+        .join(F.broadcast(rounds.alias("ro")), F.col("rk.shard") == F.col("ro.shard"))
+        .filter(F.col("rk.__r") < F.col("ro.__R"))
+    )
+    pos = (
+        F.col("rk.__r") * F.lit(total_w)
+        + off_expr.cast("long")
+        + F.col("rk.__slot")
+    ).cast("long")
+    return (
+        out.withColumn("pos_in_shard", pos)
+        .select("rk.*", "pos_in_shard")
+        .drop("__s1", "__s2", "__k", "__w", "__r", "__slot")
+    )
+
+
 def quota_cap(
     docs: DataFrame,
     quotas: dict[str, int],

@@ -255,6 +255,37 @@ def unigram_lm_score(
     return scored.groupBy(id_col).agg(F.round(F.avg(nll), 6).alias("nll"))
 
 
+def perplexity_buckets(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet's head/middle/tail split: bucket documents by the
+    terciles of their unigram-LM negative log-likelihood (head = the
+    third closest to the corpus mode, the part CCNet keeps for
+    training).  The tercile thresholds are a 1-row aggregate
+    broadcast back — model state, like every threshold in this
+    module.  Spark's exact ``percentile`` matches DuckDB's
+    ``quantile_cont`` bit-for-bit on DOUBLE input (linear
+    interpolation, same definition), so the bucket boundaries replay
+    exactly.  At 100 TB the exact global percentile becomes
+    ``approx_percentile`` (the documented sketch substitution — the
+    same swap the zonal-quantile family documents); the plan shape is
+    unchanged."""
+    nll = unigram_lm_score(docs, text_col, id_col)
+    qs = nll.agg(
+        F.percentile("nll", F.lit(1.0 / 3)).alias("t1"),
+        F.percentile("nll", F.lit(2.0 / 3)).alias("t2"),
+    )
+    out = nll.crossJoin(F.broadcast(qs.alias("q")))
+    bucket = (
+        F.when(F.col("nll") <= F.col("q.t1"), F.lit("head"))
+        .when(F.col("nll") <= F.col("q.t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return out.select(id_col, "nll", bucket.alias("bucket"))
+
+
 def idf_keywords(
     docs: DataFrame,
     top_k: int = 3,

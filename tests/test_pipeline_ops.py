@@ -1232,3 +1232,49 @@ def test_shard_shuffle_deterministic_partition(spark):
     # rerun-stable
     again = {r["doc_id"]: (r["shard"], r["pos_in_shard"]) for r in shard_shuffle(df, n_shards=8).collect()}
     assert again == {k: (v["shard"], v["pos_in_shard"]) for k, v in m.items()}
+
+
+def test_interleave_weighted_schedule(spark):
+    from spatialdata_spark.pipeline.filters import interleave_weighted
+
+    rows = [(i, "en" if i % 3 else "code") for i in range(120)]
+    docs = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = interleave_weighted(
+        docs, weights={"code": 1, "en": 2}, n_shards=2
+    ).collect()
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for r in out:
+        per[r["shard"]].append((r["pos_in_shard"], r["lang"]))
+    assert set(per) == {0, 1}
+    for shard, items in per.items():
+        items.sort()
+        # dense positions 0..R*3-1
+        assert [p for p, _ in items] == list(range(len(items)))
+        assert len(items) % 3 == 0
+        # every round is exactly [code, en, en]
+        for i in range(0, len(items), 3):
+            assert [l for _, l in items[i : i + 3]] == ["code", "en", "en"]
+    # first-exhausted: total kept <= input, deterministic rerun
+    again = interleave_weighted(docs, weights={"code": 1, "en": 2}, n_shards=2).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_perplexity_buckets_tercile_sizes(spark):
+    from spatialdata_spark.pipeline.textstats import perplexity_buckets
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = perplexity_buckets(docs).collect()
+    from collections import Counter
+
+    sizes = Counter(r["bucket"] for r in out)
+    n = len(out)
+    # terciles: each bucket within a few rows of n/3 (ties on rounded
+    # nll can shift the boundary slightly)
+    for b in ("head", "middle", "tail"):
+        assert abs(sizes[b] - n / 3) < n * 0.05, sizes
+    # head has the lowest nll values
+    head_max = max(r["nll"] for r in out if r["bucket"] == "head")
+    tail_min = min(r["nll"] for r in out if r["bucket"] == "tail")
+    assert head_max <= tail_min

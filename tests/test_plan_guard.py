@@ -55,6 +55,10 @@ GUARDED = [
     "pl_bpe_train",
     "pl_bpe_encode",
     "pl_shard_shuffle",
+    "pl_interleave",
+    "pl_ppl_buckets",
+    "q_cube_revenue",
+    "st_rolling_window",
 ]
 
 EXPRESSION_ONLY = [
@@ -80,6 +84,10 @@ EXPRESSION_ONLY = [
     "pl_bpe_train",
     "pl_bpe_encode",
     "pl_shard_shuffle",
+    "pl_interleave",
+    "pl_ppl_buckets",
+    "q_cube_revenue",
+    "st_rolling_window",
 ]
 
 

@@ -4634,6 +4634,205 @@ WINDOW w AS (PARTITION BY user_id ORDER BY us
 """
 
 
+def pl_boilerplate(spark, sf_dir):
+    """CCNet-style cross-document boilerplate removal: 3-word segments
+    occurring verbatim in >= 3 distinct documents are dropped and the
+    survivors reassembled in order.  Distinct-doc counting is two
+    map-side-combinable aggregations (never a window); only the
+    flagged vocabulary joins back (broadcast-gated)."""
+    from spatialdata_spark.pipeline.filters import boilerplate_remove
+
+    return boilerplate_remove(
+        _read(spark, sf_dir, "documents"), seg_words=3, min_docs=3
+    )
+
+
+PL_BOILERPLATE_SQL = r"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(LOWER(TRIM(text)), '\s+') AS ws
+  FROM documents
+),
+segs AS (
+  SELECT doc_id, i, array_to_string(ws[(i*3+1):(i*3+3)], ' ') AS seg
+  FROM words,
+       UNNEST(generate_series(0, CAST(CEIL(LEN(ws)/3.0) AS INT) - 1)) AS t(i)
+),
+boiler AS (
+  SELECT seg FROM (
+    SELECT seg, COUNT(DISTINCT doc_id) AS d FROM segs GROUP BY 1
+  ) WHERE d >= 3
+)
+SELECT s.doc_id,
+       COALESCE(STRING_AGG(s.seg, ' ' ORDER BY s.i)
+                  FILTER (WHERE b.seg IS NULL), '') AS clean_text,
+       CAST(COUNT(b.seg) AS BIGINT) AS n_removed
+FROM segs s LEFT JOIN boiler b ON s.seg = b.seg
+GROUP BY 1
+"""
+
+
+def pl_weighted_sample(spark, sf_dir):
+    """Integer-exact weighted sampling without replacement (the A-ES
+    analog): per source stratum keep the k=5 docs with the smallest
+    min-of-w Lehmer draws (en weighs 4, fr 2, rest 1).  Two-stage
+    selection (Arrow local top-k, then the exact window) — the
+    quota_cap scale shape."""
+    from spatialdata_spark.pipeline.filters import weighted_sample
+
+    return weighted_sample(
+        _read(spark, sf_dir, "documents"),
+        weights={"en": 4, "fr": 2},
+        k=5,
+    ).select("doc_id", "source", "lang", "priority")
+
+
+PL_WEIGHTED_SAMPLE_SQL = """
+WITH p AS (
+  SELECT doc_id, source, lang,
+         CASE lang WHEN 'en' THEN 4 WHEN 'fr' THEN 2 ELSE 1 END AS w
+  FROM documents
+),
+pri AS (
+  SELECT doc_id, source, lang,
+         list_min([ (doc_id*8 + j) % 2147483647 * 48271 % 2147483647
+                    * 48271 % 2147483647
+                    FOR j IN generate_series(0, w - 1) ]) AS priority
+  FROM p
+)
+SELECT doc_id, source, lang, CAST(priority AS BIGINT) AS priority
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                               ORDER BY priority, doc_id) AS r
+  FROM pri
+) WHERE r <= 5
+"""
+
+
+def st_gap_fill(spark, sf_dir):
+    """Hourly gap fill + forward fill per user: every hour between a
+    user's first and last active hour gets a row (gap hours count 0),
+    carrying the last observed reading (integer cents) forward.  The
+    skeleton explodes from the AGGREGATED extent; skeleton and rollup
+    meet by union + re-aggregation (no agg-agg equi-join); the fill
+    is one span-sized window per user."""
+    from spatialdata_spark.operators.temporal import gap_fill_hourly
+
+    return gap_fill_hourly(_read(spark, sf_dir, "events"))
+
+
+ST_GAP_FILL_SQL = """
+WITH ev AS (
+  SELECT user_id, date_trunc('hour', ts) AS hr,
+         CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+),
+h AS (
+  SELECT user_id, hr, COUNT(*) AS n,
+         MAX(CASE WHEN rn = 1 THEN cents END) AS cents
+  FROM ev GROUP BY 1, 2
+),
+ext AS (SELECT user_id, MIN(hr) AS lo, MAX(hr) AS hi FROM h GROUP BY 1),
+skel AS (
+  SELECT user_id, UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+  FROM ext
+),
+m AS (
+  SELECT s.user_id, s.hr, COALESCE(h.n, 0) AS n_events, h.cents
+  FROM skel s LEFT JOIN h USING (user_id, hr)
+)
+SELECT user_id, strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour,
+       CAST(n_events AS BIGINT) AS n_events,
+       LAST_VALUE(cents IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY hr
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_cents
+FROM m
+"""
+
+
+def st_cum_dau(spark, sf_dir):
+    """Cumulative distinct users per event type WITHOUT a sliding
+    distinct: the first-touch aggregation (min day per (type, user),
+    map-side combinable), then new-user counts per (type, day) and a
+    running sum per type.  The only window is over the
+    (type × calendar)-level frame — metadata, not data — which is the
+    100 TB-correct shape for "users to date" (a naive per-day
+    COUNT(DISTINCT) over a growing prefix is quadratic in corpus
+    size)."""
+    from pyspark.sql.window import Window
+
+    ev = _read(spark, sf_dir, "events")
+    first = ev.groupBy("event_type", "user_id").agg(
+        F.min(F.to_date("ts")).alias("day")
+    )
+    per_day = first.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return per_day.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("new_users").cast("long").alias("new_users"),
+        F.sum("new_users").over(w).cast("long").alias("cum_users"),
+    )
+
+
+ST_CUM_DAU_SQL = """
+WITH f AS (
+  SELECT event_type, user_id, MIN(CAST(ts AS DATE)) AS day
+  FROM events GROUP BY 1, 2
+),
+d AS (SELECT event_type, day, COUNT(*) AS new_users FROM f GROUP BY 1, 2)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+       CAST(new_users AS BIGINT) AS new_users,
+       CAST(SUM(new_users) OVER (PARTITION BY event_type ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_users
+FROM d
+"""
+
+
+def q_pivot_revenue(spark, sf_dir):
+    """Pivot coverage: revenue by returnflag with linestatus spread to
+    columns via ``groupBy().pivot()`` with an explicit value list —
+    Spark compiles it to one single-pass conditional aggregation (no
+    second shuffle, no per-value scan).  DECIMAL(18,2) arithmetic."""
+    li = _read(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
+    )
+    piv = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum(rev).cast("double"))
+    )
+    return piv.select(
+        F.col("l_returnflag").alias("returnflag"),
+        F.col("F").alias("rev_F"),
+        F.col("O").alias("rev_O"),
+    )
+
+
+Q_PIVOT_REVENUE_SQL = f"""
+SELECT l_returnflag AS returnflag,
+  CAST(SUM(CASE WHEN l_linestatus = 'F'
+        THEN CAST(l_extendedprice AS {DEC}) *
+             (CAST(1 AS {DEC}) - CAST(l_discount AS {DEC})) END) AS DOUBLE)
+    AS rev_F,
+  CAST(SUM(CASE WHEN l_linestatus = 'O'
+        THEN CAST(l_extendedprice AS {DEC}) *
+             (CAST(1 AS {DEC}) - CAST(l_discount AS {DEC})) END) AS DOUBLE)
+    AS rev_O
+FROM lineitem
+GROUP BY 1
+"""
+
+
 def pl_dedup_keep_best(spark, sf_dir):
     """Near-dup clusters materialized into a KEEP decision: one
     representative per MinHash connected component (longest text,
@@ -5202,6 +5401,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pl_ppl_buckets": pl_ppl_buckets,
         "q_cube_revenue": q_cube_revenue,
         "st_rolling_window": st_rolling_window,
+        "pl_boilerplate": pl_boilerplate,
+        "pl_weighted_sample": pl_weighted_sample,
+        "st_gap_fill": st_gap_fill,
+        "st_cum_dau": st_cum_dau,
+        "q_pivot_revenue": q_pivot_revenue,
         "pl_unigram_lm": pl_unigram_lm,
         "pl_idf_keywords": pl_idf_keywords,
         "pl_dedup_keep_best": pl_dedup_keep_best,
@@ -5422,6 +5626,11 @@ def oracle_sql() -> dict[str, str]:
         "pl_ppl_buckets": PL_PPL_BUCKETS_SQL,
         "q_cube_revenue": Q_CUBE_REVENUE_SQL,
         "st_rolling_window": ST_ROLLING_WINDOW_SQL,
+        "pl_boilerplate": PL_BOILERPLATE_SQL,
+        "pl_weighted_sample": PL_WEIGHTED_SAMPLE_SQL,
+        "st_gap_fill": ST_GAP_FILL_SQL,
+        "st_cum_dau": ST_CUM_DAU_SQL,
+        "q_pivot_revenue": Q_PIVOT_REVENUE_SQL,
         "pl_unigram_lm": PL_UNIGRAM_LM_SQL,
         "pl_idf_keywords": PL_IDF_KEYWORDS_SQL,
         "pl_dedup_keep_best": _dedup_keep_best_sql(),

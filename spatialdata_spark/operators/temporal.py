@@ -139,3 +139,81 @@ def interval_join(
         *[f"{right_prefix}{c}" for c in right.columns],
         F.floor((F.col("__rt") - F.col("__lt")) / F.lit(1_000_000)).cast("long").alias("gap_sec"),
     )
+
+
+def gap_fill_hourly(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Time-series gap filling with forward fill: bucket each key's
+    events into hours, emit a row for EVERY hour between that key's
+    first and last active hour (zero-count gap hours included), and
+    carry the last observed reading forward across gaps — the
+    regularization step every downstream windowed model assumes
+    (sensor panels, rate dashboards, feature backfills).
+
+    Scale shape: the hourly rollup is one map-side-combinable
+    aggregation; the per-key hour skeleton explodes from the ALREADY
+    AGGREGATED extent (never from raw events — a key's skeleton is
+    its active-span length in hours, not its event count); skeleton
+    and rollup meet by UNION + re-aggregation on ``(key, hour)`` (the
+    union reuses the rollup's partitioning — no agg-agg equi-join for
+    Catalyst to sort-merge); the forward fill is one window per key
+    ordered by hour, whose partition is span-sized.  Values quantize
+    to integer cents so the "last reading" is exact, and the last
+    reading within an hour is a ``max`` over ``(ts, id, cents)``
+    structs — an aggregation, deterministic under ties, never a
+    window over raw events.
+
+    Output: ``(key, hour 'yyyy-MM-dd HH:mm:ss', n_events,
+    filled_cents)``.
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
+    hr = F.date_trunc("hour", F.col(ts_col))
+    hourly = (
+        events.select(
+            F.col(key_col).alias("__k"),
+            hr.alias("__hr"),
+            us.alias("__us"),
+            F.col(id_col).alias("__id"),
+            cents.alias("__c"),
+        )
+        .groupBy("__k", "__hr")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.max(F.struct("__us", "__id", "__c")).alias("__last"),
+        )
+        .select("__k", "__hr", "__n", F.col("__last.__c").alias("__cents"))
+    )
+    skeleton = (
+        hourly.groupBy("__k")
+        .agg(F.min("__hr").alias("__lo"), F.max("__hr").alias("__hi"))
+        .select(
+            "__k",
+            F.explode(
+                F.sequence(F.col("__lo"), F.col("__hi"), F.expr("INTERVAL 1 HOUR"))
+            ).alias("__hr"),
+            F.lit(0).cast("long").alias("__n"),
+            F.lit(None).cast("long").alias("__cents"),
+        )
+    )
+    merged = (
+        hourly.unionByName(skeleton)
+        .groupBy("__k", "__hr")
+        .agg(F.sum("__n").alias("n_events"), F.max("__cents").alias("__cents"))
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return merged.select(
+        F.col("__k").alias(key_col),
+        F.date_format("__hr", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.last("__cents", ignorenulls=True).over(w).alias("filled_cents"),
+    )

@@ -357,6 +357,155 @@ def interleave_weighted(
     )
 
 
+def boilerplate_remove(
+    docs: DataFrame,
+    seg_words: int = 3,
+    min_docs: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style boilerplate removal at segment granularity: split
+    each document into consecutive non-overlapping ``seg_words``-word
+    segments (the "lines/paragraphs" of a corpus whose documents carry
+    no line structure), drop every segment that occurs verbatim in at
+    least ``min_docs`` DISTINCT documents (headers, footers, cookie
+    banners — content repeated across pages, as opposed to the
+    within/cross-document duplicated SPANS that
+    :func:`~spatialdata_spark.pipeline.dedup.remove_duplicate_spans`
+    cuts), and reassemble the survivors in order.
+
+    Distributed shape: segments explode narrow on the document; the
+    distinct-document count is two map-side-combinable aggregations
+    (``(seg, doc)`` dedup, then per-seg count — never a window); only
+    the *flagged* vocabulary joins back (broadcast on local masters,
+    AQE's call on a cluster — at corpus scale the boilerplate set is
+    vocabulary-sized, orders smaller than the corpus); reassembly is
+    one per-document aggregation over sorted structs.  At 100 TB the
+    exact distinct count swaps for the same two-stage shape with the
+    first stage pre-hashed — the plan is unchanged.
+
+    Output: ``(doc_id, clean_text, n_removed)`` for every input
+    document (``clean_text = ''`` when everything was boilerplate).
+    """
+    W = int(seg_words)
+    toks = word_tokens(text_col)
+    n = F.size(toks)
+    n_segs = F.when(n <= 0, 0).otherwise(F.floor((n - 1) / W) + 1)
+    segs = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), (n_segs - 1).cast("int")),
+                lambda i: F.concat_ws(" ", F.slice(toks, i * W + 1, W)),
+            )
+        ).alias("__i", "__seg"),
+    )
+    boiler = (
+        segs.select("__seg", id_col)
+        .distinct()
+        .groupBy("__seg")
+        .agg(F.count(F.lit(1)).alias("__d"))
+        .filter(F.col("__d") >= int(min_docs))
+        .select("__seg", F.lit(1).alias("__b"))
+    )
+    if docs.sparkSession.sparkContext.master.startswith("local"):
+        boiler = F.broadcast(boiler)
+    marked = segs.join(boiler, "__seg", "left")
+    kept = F.when(
+        F.col("__b").isNull(), F.struct(F.col("__i").alias("i"), F.col("__seg").alias("s"))
+    )
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.array_sort(F.collect_list(kept)).alias("__kept"),
+            F.sum(F.coalesce(F.col("__b"), F.lit(0))).cast("long").alias("n_removed"),
+        )
+        .select(
+            id_col,
+            F.concat_ws(
+                " ", F.transform(F.col("__kept"), lambda x: x["s"])
+            ).alias("clean_text"),
+            "n_removed",
+        )
+    )
+
+
+def weighted_sample(
+    docs: DataFrame,
+    weights: dict[str, int],
+    k: int,
+    default_weight: int = 1,
+    stratum_col: str = "source",
+    stream_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement: keep the
+    ``k`` documents of each stratum with the smallest *priority*,
+    where a document of integer weight ``w`` draws ``w`` independent
+    hash priorities and keeps the minimum — the integer-exact analog
+    of Efraimidis–Spirakis A-ES keys (P(selected) grows with ``w``;
+    every arithmetic step stays under 2^47, so the sample replays
+    bit-identically in any engine at any id scale; no floating-point
+    ``u^(1/w)`` whose last-ulp could flip the k-th boundary).
+
+    Weights must be small integers (≤ 8): the ``w`` draws are an
+    ``array_min`` over a ``transform``'ed ``sequence`` — pure
+    expression, no row explosion.  Selection reuses the
+    :func:`quota_cap` two-stage shape: an Arrow per-batch local top-k
+    (pigeonhole-lossless) bounds what shuffles to ``k × batches`` per
+    stratum, then one exact ``row_number`` window ranks the
+    survivors — a crawl-dump stratum never funnels its full row count
+    through one reducer.
+
+    Output: ``(id, stratum, stream, priority)``.
+    """
+    if any(int(v) > 8 or int(v) < 1 for v in weights.values()) or not (
+        1 <= int(default_weight) <= 8
+    ):
+        raise ValueError("weights must be integers in [1, 8]")
+    from pyspark.sql.window import Window
+
+    m = F.lit(2147483647)
+    w_expr = F.lit(int(default_weight))
+    for s, v in sorted(weights.items()):
+        w_expr = F.when(F.col(stream_col) == s, F.lit(int(v))).otherwise(w_expr)
+
+    def _pri(j):
+        # two chained Lehmer steps over the (id, draw) pair; id*8+j is
+        # injective for w <= 8
+        s1 = (F.col(id_col) * 8 + j) % m * F.lit(48271) % m
+        return s1 * F.lit(48271) % m
+
+    priority = F.array_min(F.transform(F.sequence(F.lit(0), w_expr - 1), _pri))
+    base = docs.select(
+        F.col(id_col),
+        F.col(stratum_col),
+        F.col(stream_col),
+        priority.cast("long").alias("priority"),
+    )
+    kk = int(k)
+
+    def _local_top(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf
+                continue
+            tmp = pdf.sort_values(["priority", id_col], kind="mergesort")
+            rank = tmp.groupby([stratum_col], sort=False, dropna=False).cumcount()
+            yield tmp[rank.values < kk][list(pdf.columns)]
+
+    pruned = base.mapInPandas(_local_top, schema=base.schema)
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.col("priority").asc(), F.col(id_col).asc()
+    )
+    return (
+        pruned.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= kk)
+        .drop("__r")
+    )
+
+
 def quota_cap(
     docs: DataFrame,
     quotas: dict[str, int],

@@ -59,6 +59,11 @@ GUARDED = [
     "pl_ppl_buckets",
     "q_cube_revenue",
     "st_rolling_window",
+    "pl_boilerplate",
+    "pl_weighted_sample",
+    "st_gap_fill",
+    "st_cum_dau",
+    "q_pivot_revenue",
 ]
 
 EXPRESSION_ONLY = [
@@ -88,6 +93,13 @@ EXPRESSION_ONLY = [
     "pl_ppl_buckets",
     "q_cube_revenue",
     "st_rolling_window",
+    # pl_weighted_sample's Arrow local-top-k pre-truncation is the
+    # documented quota_cap scale shape, so it is guarded but not
+    # expression-only
+    "pl_boilerplate",
+    "st_gap_fill",
+    "st_cum_dau",
+    "q_pivot_revenue",
 ]
 
 

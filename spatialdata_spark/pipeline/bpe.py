@@ -88,50 +88,176 @@ def _pair_counts(wf: DataFrame) -> DataFrame:
     )
 
 
+def _apply_merge(col, l: str, r: str):
+    """``' l  r ' -> ' lr '`` on the double-space symbol encoding.
+
+    Built with Column literals (``F.replace``) rather than a SQL string
+    parsed by ``F.expr`` so symbols containing quotes or backslashes are
+    passed through byte-for-byte — Spark SQL string literals process
+    backslash escapes, which would silently mutate a pattern derived
+    from text like ``C:\\path``."""
+    pat = F.lit(" " + l + "  " + r + " ")
+    rep = F.lit(" " + l + r + " ")
+    return F.replace(col, pat, rep)
+
+
+def _accept_batch(top, kth_cnt, exhaustive, known_symbols):
+    """Longest prefix of the (cnt DESC, l ASC, r ASC)-sorted candidate
+    list that is PROVABLY the next merges of the sequential argmax loop.
+
+    Soundness argument (each accepted candidate C after the first):
+
+    * C shares no symbol with earlier accepted merges, so its own count
+      is unchanged by applying them.
+    * Any surviving pair that shares a symbol with an accepted merge can
+      only *decrease*; by sort position its old count is already
+      ``<= C.cnt`` (a larger conflicting pair would have stopped the
+      scan before C), so it cannot overtake C.
+    * A pair *created* by an accepted merge ``(a,b)`` is bounded by the
+      old count of an adjacent pair ``(p,a)``/``(b,n)`` — itself a
+      conflicting pair, so again ``<= C.cnt``.  Equality would let the
+      new pair tie C and win on the (unknowable here) lexicographic
+      order of the fresh merged symbol, so the scan stops if ANY pair
+      with ``cnt == C.cnt`` shares a symbol with the accepted set; the
+      candidate list provably contains all such pairs only when
+      ``C.cnt > kth_cnt`` (or the whole pair table was collected).
+    * If a merged string equals an ALREADY EXISTING symbol (``('a','bc')``
+      when symbol ``'abc'`` exists), pairs containing that symbol can
+      *increase* (old count plus spawned occurrences), breaking the
+      bound — the batch stops right after such a merge
+      (``known_symbols`` tracks every symbol string ever seen).
+
+    The first candidate is always the true argmax, so every round
+    makes progress."""
+    accepted = []
+    used: set = set()
+    for i, row in enumerate(top):
+        l, r, cnt = row["l"], row["r"], int(row["cnt"])
+        if l in used or r in used or (l + r) in used:
+            break
+        if used:
+            if not exhaustive and cnt <= kth_cnt:
+                break
+            tie = any(
+                int(d["cnt"]) == cnt
+                and (d["l"] in used or d["r"] in used)
+                for d in top[i + 1 :]
+            )
+            if tie:
+                break
+        accepted.append((l, r, cnt))
+        used.update((l, r, l + r))
+        if (l + r) in known_symbols:
+            break
+    return accepted
+
+
 def bpe_train(
-    docs: DataFrame, n_merges: int = 4, text_col: str = "text"
+    docs: DataFrame,
+    n_merges: int = 4,
+    text_col: str = "text",
+    batch: int = 16,
+    rewrite_every: int = 16,
 ):
     """Learn ``n_merges`` BPE merges.  Returns ``(merges_df, wf)``:
     ``merges_df`` has ``(rank, left, right, merged, cnt)`` — the model,
     always ``n_merges`` rows regardless of corpus size; ``wf`` is the
     word table with the fully merged symbol sequences (the encode-time
-    input).  Each round collects ONE row (the argmax pair) and applies
-    it map-side via ``replace`` — no shuffle touches the corpus."""
+    input).
+
+    Scale shape (the corpus is only ever touched once, to build the
+    word table; everything below is vocabulary-sized):
+
+    * **Incremental pair counts** (the Sennrich cache, distributed):
+      the pair-count table is materialized ONCE, then maintained by
+      delta — applying merge ``(l,r)`` only changes pairs inside words
+      whose sequence contains `` l  r ``, so each round re-counts just
+      that filtered slice (old pairs negative, post-merge pairs
+      positive) and folds the delta in with a pair-table-sized
+      aggregation.  No per-round explode over the full vocabulary.
+    * **Batched non-conflicting merges**: each round collects the
+      top-``4*batch`` pairs and accepts the longest prefix that
+      provably equals the sequential argmax order (see
+      ``_accept_batch``), so one round ≈ many merges; per-round cost is
+      flat in the round index.
+    * The word table itself is rewritten (map-side ``replace``, no
+      shuffle) lazily and re-materialized only every ``rewrite_every``
+      accepted merges, so lineage stays flat without a per-merge pass.
+      ``localCheckpoint`` stands in for a cluster checkpoint dir.
+    """
     spark = docs.sparkSession
-    wf = bpe_word_table(docs, text_col).persist()
-    merges = []
-    for rank in range(1, n_merges + 1):
+    wf_base = bpe_word_table(docs, text_col).localCheckpoint()
+    pc = (
+        _pair_counts(wf_base)
+        .select("l", "r", F.col("cnt").cast("long").alias("cnt"))
+        .localCheckpoint()
+    )
+    known_symbols = {
+        row["s"]
+        for row in wf_base.select(
+            F.explode(F.split(F.trim(F.col("seq")), "  ")).alias("s")
+        )
+        .distinct()
+        .collect()
+    }
+    merges: list = []
+    pending: list = []
+
+    def _with_pending(df: DataFrame) -> DataFrame:
+        col = F.col("seq")
+        for l, r in pending:
+            col = _apply_merge(col, l, r)
+        return df.withColumn("seq", col)
+
+    while len(merges) < n_merges:
+        want = min(batch, n_merges - len(merges))
+        k = max(4 * want, 16)
         top = (
-            _pair_counts(wf)
-            .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
-            .limit(1)
+            pc.orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            .limit(k)
             .collect()
         )
         if not top:
             break
-        l, r, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
-        merges.append((rank, l, r, l + r, cnt))
-        wf = wf.withColumn(
-            "seq",
-            F.expr(
-                "replace(seq, ' ' || {l} || '  ' || {r} || ' ', "
-                "' ' || {l} || {r} || ' ')".format(
-                    l=_sql_str(l), r=_sql_str(r)
-                )
-            ),
+        exhaustive = len(top) < k
+        kth_cnt = int(top[-1]["cnt"])
+        accepted = _accept_batch(top, kth_cnt, exhaustive, known_symbols)[:want]
+        wf_cur = _with_pending(wf_base)
+        match = None
+        for l, r, _ in accepted:
+            c = F.contains(F.col("seq"), F.lit(" " + l + "  " + r + " "))
+            match = c if match is None else (match | c)
+        affected_old = wf_cur.filter(match)
+        merged_col = F.col("seq")
+        for l, r, _ in accepted:
+            merged_col = _apply_merge(merged_col, l, r)
+        affected_new = affected_old.withColumn("seq", merged_col)
+        delta = _pair_counts(affected_new).select(
+            "l", "r", F.col("cnt").cast("long").alias("cnt")
+        ).unionByName(
+            _pair_counts(affected_old).select(
+                "l", "r", (-F.col("cnt")).cast("long").alias("cnt")
+            )
         )
-        # re-literalize the (vocabulary-sized) word table every round so
-        # lineage stays flat; at corpus scale this is a checkpoint, at
-        # test scale a persist is enough
-        wf = wf.persist()
+        pc = (
+            pc.unionByName(delta)
+            .groupBy("l", "r")
+            .agg(F.sum("cnt").alias("cnt"))
+            .filter(F.col("cnt") > 0)
+            .localCheckpoint()
+        )
+        for l, r, cnt in accepted:
+            merges.append((len(merges) + 1, l, r, l + r, cnt))
+            known_symbols.add(l + r)
+            pending.append((l, r))
+        if len(pending) >= rewrite_every:
+            wf_base = _with_pending(wf_base).localCheckpoint()
+            pending = []
+    wf = _with_pending(wf_base)
     merges_df = spark.createDataFrame(
         merges, "rank INT, left STRING, right STRING, merged STRING, cnt BIGINT"
     )
     return merges_df, wf
-
-
-def _sql_str(s: str) -> str:
-    return "'" + s.replace("'", "''") + "'"
 
 
 def bpe_token_counts(

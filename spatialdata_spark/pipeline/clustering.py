@@ -348,11 +348,28 @@ def semantic_dedup_kmeans(
             ids = pdf["id"].to_numpy()
             o = np.argsort(ids)
             X, ids = X[o], ids[o]
-            G = X @ X.T
-            n2 = np.diag(G)
+            # int64 wraps SILENTLY on overflow: guard both the GEMM
+            # (dim * max|x|^2) and the threshold products
+            # (scale|coeff * G^2) with exact Python-int bounds, and
+            # drop to arbitrary-precision object arithmetic (np.dot
+            # supports object dtype; matmul does not) when a bound is
+            # crossed — exactness is the documented contract here.
+            m = int(np.abs(X).max(initial=0))
+            if m and X.shape[1] * m * m >= 2**63:
+                Xo = X.astype(object)
+                G = Xo.dot(Xo.T)
+            else:
+                G = X @ X.T
+            n2 = np.diagonal(G).copy()
             ia, ib = np.triu_indices(len(ids), 1)
             d = G[ia, ib]
-            hit = (d > 0) & (scale * d * d >= coeff * n2[ia] * n2[ib])
+            gmax = int(np.abs(G).max())
+            if G.dtype == np.int64 and max(scale, coeff) * gmax * gmax >= 2**63:
+                d = d.astype(object)
+                n2 = n2.astype(object)
+            hit = (
+                (d > 0) & (scale * d * d >= coeff * n2[ia] * n2[ib])
+            ).astype(bool)
             return pd.DataFrame({"dup_id": np.unique(ids[ib[hit]])})
 
         dup = (

@@ -258,10 +258,23 @@ class S3Fetcher:
         body: bytes | None = None,
         extra_headers: dict[str, str] | None = None,
     ) -> bytes | None:
-        """Signed (or anonymous) request; None on 404/NoSuchKey.  PUT
-        bodies are signed through ``x-amz-content-sha256`` (SigV4
-        payload hashing), so the stub — like real S3 — rejects
-        tampered uploads, not just tampered headers."""
+        return self._request_status(key, query, method, body, extra_headers)[1]
+
+    def _request_status(
+        self,
+        key: str,
+        query: dict[str, str] | None = None,
+        method: str = "GET",
+        body: bytes | None = None,
+        extra_headers: dict[str, str] | None = None,
+    ) -> tuple[int, bytes | None]:
+        """Signed (or anonymous) request -> ``(status, body)``;
+        ``(404, None)`` on NoSuchKey.  The status matters to callers
+        like ``get_range`` that must distinguish a 206 partial body
+        from a 200 full body.  PUT bodies are signed through
+        ``x-amz-content-sha256`` (SigV4 payload hashing), so the stub —
+        like real S3 — rejects tampered uploads, not just tampered
+        headers."""
         query = dict(query or {})
         path = "/" + self.bucket + (f"/{key}" if key else "")
         canonical_uri = _sigv4_quote(path, safe="/-_.~")
@@ -316,10 +329,10 @@ class S3Fetcher:
         req = urllib.request.Request(url, data=body, headers=headers, method=method)
         try:
             with urllib.request.urlopen(req, timeout=self.timeout) as r:
-                return r.read()
+                return r.status, r.read()
         except urllib.error.HTTPError as e:
             if e.code == 404:
-                return None
+                return 404, None
             raise
         except urllib.error.URLError as e:
             raise IOError(f"cannot fetch {url}: {e}") from e
@@ -334,22 +347,29 @@ class S3Fetcher:
         return None if b is None else json.loads(b)
 
     def get_range(self, rel: str, start: int, length: int | None = None) -> bytes | None:
-        """Range GET (``start < 0`` = suffix range); the slice is
-        re-cut client-side if an s3-compatible endpoint ignores Range."""
+        """Range GET (``start < 0`` = suffix range).  A 206 body IS the
+        requested slice; a 200 means the endpoint ignored Range and
+        returned the FULL object from offset 0, so the slice is cut
+        client-side (the status, not a length heuristic, decides —
+        ``start>0, length=None`` and short-object cases are otherwise
+        indistinguishable)."""
         if start < 0:
             hdr = f"bytes={start}"
         elif length is not None:
             hdr = f"bytes={start}-{start + length - 1}"
         else:
             hdr = f"bytes={start}-"
-        body = self._request(self._key(rel), extra_headers={"Range": hdr})
+        status, body = self._request_status(
+            self._key(rel), extra_headers={"Range": hdr}
+        )
         if body is None:
             return None
+        if status == 206:
+            return body
         if start < 0:
-            return body[start:] if len(body) > -start else body
-        if length is not None and len(body) > length:
-            return body[start : start + length]
-        return body
+            return body[start:]
+        end = None if length is None else start + length
+        return body[start:end]
 
     def put(self, rel: str, data: bytes) -> None:
         """Signed PUT — the write half of object-store zarr/parquet
@@ -457,6 +477,7 @@ class GSFetcher:
         cache_dir: str | None = None,
         timeout: float = 30.0,
         credentials=None,
+        scope: str | None = None,
     ):
         p = urllib.parse.urlparse(url)
         if p.scheme != "gs" or not p.netloc:
@@ -469,12 +490,17 @@ class GSFetcher:
         if credentials is None:
             credentials = os.environ.get("GOOGLE_APPLICATION_CREDENTIALS") or None
         if credentials is not None and not hasattr(credentials, "token"):
-            from .gcs_auth import ServiceAccountCredentials
+            from .gcs_auth import GCS_RW_SCOPE, ServiceAccountCredentials
 
+            # this fetcher exposes put(), so auto-built credentials
+            # default to the read_write scope — a read_only token gets
+            # 403 on every documented upload path.  Pass
+            # ``scope=GCS_READ_SCOPE`` for least-privilege readers.
+            kw = {"scope": scope or GCS_RW_SCOPE}
             if isinstance(credentials, dict):
-                credentials = ServiceAccountCredentials.from_info(credentials)
+                credentials = ServiceAccountCredentials.from_info(credentials, **kw)
             else:
-                credentials = ServiceAccountCredentials.from_file(credentials)
+                credentials = ServiceAccountCredentials.from_file(credentials, **kw)
         self.credentials = credentials
 
     def _key(self, rel: str) -> str:
@@ -483,16 +509,24 @@ class GSFetcher:
         return rel or self.prefix
 
     def _get_url(self, url: str, extra_headers: dict[str, str] | None = None) -> bytes | None:
+        return self._get_url_status(url, extra_headers)[1]
+
+    def _get_url_status(
+        self, url: str, extra_headers: dict[str, str] | None = None
+    ) -> tuple[int, bytes | None]:
+        """GET -> ``(status, body)``; ``(404, None)`` when absent.  The
+        status lets ``get_range`` distinguish 206 partial content from
+        a 200 full body."""
         headers = dict(extra_headers or {})
         if self.credentials is not None:
             headers["Authorization"] = f"Bearer {self.credentials.token()}"
         try:
             req = urllib.request.Request(url, headers=headers)
             with urllib.request.urlopen(req, timeout=self.timeout) as r:
-                return r.read()
+                return r.status, r.read()
         except urllib.error.HTTPError as e:
             if e.code == 404:
-                return None
+                return 404, None
             raise
         except urllib.error.URLError as e:
             raise IOError(f"cannot fetch {url}: {e}") from e
@@ -513,14 +547,18 @@ class GSFetcher:
         else:
             hdr = f"bytes={start}-"
         key = urllib.parse.quote(self._key(rel), safe="/-_.~")
-        body = self._get_url(f"{self.endpoint}/{self.bucket}/{key}", {"Range": hdr})
+        status, body = self._get_url_status(
+            f"{self.endpoint}/{self.bucket}/{key}", {"Range": hdr}
+        )
         if body is None:
             return None
+        if status == 206:
+            return body
+        # 200: Range ignored, full object returned — slice client-side
         if start < 0:
-            return body[start:] if len(body) > -start else body
-        if length is not None and len(body) > length:
-            return body[start : start + length]
-        return body
+            return body[start:]
+        end = None if length is None else start + length
+        return body[start:end]
 
     def put(self, rel: str, data: bytes) -> None:
         """Media upload through the JSON API (requires credentials —

@@ -725,6 +725,53 @@ def test_s3_range_reads_signed(s3_stub):
     assert fx.get_range("missing", 0, 4) is None
 
 
+class _S3StubNoRange(_S3Stub):
+    """An s3-compatible endpoint that ignores Range (200 + full body) —
+    the fallback must branch on STATUS, not length heuristics."""
+
+    def do_GET(self):
+        del self.headers["Range"]
+        super().do_GET()
+
+
+@pytest.fixture()
+def s3_stub_norange():
+    _S3StubNoRange.objects = {}
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _S3StubNoRange)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield _S3StubNoRange, f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_s3_range_fallback_on_200(s3_stub_norange):
+    """Endpoint without Range support: every get_range shape must still
+    return the requested slice, including the previously-wrong cases —
+    open-ended start>0, and a read past the end of a short object."""
+    stub, endpoint = s3_stub_norange
+    data = bytes(range(200))
+    stub.objects["pre/blob.bin"] = data
+    fx = _s3("/pre", endpoint)
+    assert fx.get_range("blob.bin", 50, 10) == data[50:60]
+    assert fx.get_range("blob.bin", 50) == data[50:]  # open-ended
+    assert fx.get_range("blob.bin", 190, 50) == data[190:200]  # short object
+    assert fx.get_range("blob.bin", -8) == data[-8:]
+    assert fx.get_range("blob.bin", -500) == data  # suffix longer than object
+
+
+def test_gs_range_fallback_on_200(gs_stub):
+    """The GS stub never honors Range — same status-driven fallback."""
+    stub, endpoint = gs_stub
+    data = bytes(range(120))
+    stub.objects["pre/blob.bin"] = data
+    fx = GSFetcher("gs://gsbucket/pre", endpoint=endpoint)
+    assert fx.get_range("blob.bin", 30, 10) == data[30:40]
+    assert fx.get_range("blob.bin", 30) == data[30:]
+    assert fx.get_range("blob.bin", 100, 99) == data[100:120]
+    assert fx.get_range("blob.bin", -7) == data[-7:]
+    assert fx.get_range("missing", 0, 4) is None
+
+
 def test_sharded_zarr_selective_read_over_s3(spark, s3_stub, tmp_path):
     """Range-based selective shard access end-to-end over signed s3:
     a tile_box read fetches only the shard index (suffix range) and

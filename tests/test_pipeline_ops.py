@@ -1147,6 +1147,61 @@ def test_semantic_dedup_arrow_equals_expr(spark):
     assert ia == ie
 
 
+def test_semantic_dedup_arrow_exact_under_int64_overflow(spark):
+    """Unnormalized huge-magnitude embeddings push scale*dot^2 far past
+    int64: the Arrow kernel must drop to arbitrary-precision arithmetic
+    instead of wrapping silently.  Expected survivors computed with
+    pure Python ints (exact by construction)."""
+    import numpy as np
+
+    from spatialdata_spark.pipeline.clustering import semantic_dedup_kmeans
+
+    rng = np.random.default_rng(11)
+    vecs = {}
+    for i in range(8):
+        vecs[i] = [float(x) for x in rng.normal(0, 1e7, 6)]
+    # planted near-dup pairs at huge magnitude (cos ~ 1 with id 0, 2)
+    vecs[8] = [x * 1.001 + 3.0 for x in vecs[0]]
+    vecs[9] = [x * 0.999 - 2.0 for x in vecs[2]]
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], ["vec_id", "embedding"]
+    )
+    out = semantic_dedup_kmeans(
+        emb, k=2, n_iter=2, threshold=0.9, method="arrow"
+    )
+    got = sorted(r["vec_id"] for r in out.collect())
+
+    # exact reference: same quantization + threshold test in Python ints
+    import math
+
+    q, scale = 100, 10_000
+    coeff = int(round(0.9 * 0.9 * scale))
+    qv = {
+        i: [int(math.floor(x * q + 0.5)) for x in v] for i, v in vecs.items()
+    }
+    # the operator's own cluster assignment (pair test is within-cluster)
+    from spatialdata_spark.pipeline.clustering import kmeans_lloyd
+
+    assign, _ = kmeans_lloyd(emb, k=2, n_iter=2, method="arrow")
+    clusters = {r["id"]: r["cluster"] for r in assign.collect()}
+    assert len(clusters) == 10
+    dropped = set()
+    for a in sorted(vecs):
+        for b in sorted(vecs):
+            if a >= b or clusters[a] != clusters[b]:
+                continue
+            d = sum(x * y for x, y in zip(qv[a], qv[b]))
+            na = sum(x * x for x in qv[a])
+            nb = sum(x * x for x in qv[b])
+            if d > 0 and scale * d * d >= coeff * na * nb:
+                dropped.add(b)
+    expected = sorted(set(vecs) - dropped)
+    assert got == expected
+    # sanity: the overflow regime is actually exercised
+    gmax = max(sum(x * x for x in qv[i]) for i in vecs)
+    assert scale * gmax * gmax >= 2**63
+
+
 def test_bpe_train_hand_computed_merges(spark):
     """Sennrich's canonical low/lower/newest example: merge order and
     counts are hand-derivable."""
@@ -1204,6 +1259,85 @@ def test_bpe_run_merging_left_to_right(spark):
     seqs = {r["w"]: r["seq"] for r in wf.collect()}
     assert seqs["aaaa"] == " aa  aa "
     assert seqs["aaa"] == " aa  a "
+
+
+def _bpe_train_naive(words):
+    """Driver-side sequential Sennrich loop — the semantics oracle the
+    distributed batched/incremental trainer must reproduce exactly.
+    ``words``: dict word -> freq.  Returns (merges, final symbol seqs)."""
+    seqs = {w: list(w) for w in words}
+    merges = []
+    while True:
+        counts: dict = {}
+        for w, syms in seqs.items():
+            f = words[w]
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        (l, r), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((l, r, cnt))
+        for w, syms in seqs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            seqs[w] = out
+        yield merges[-1], {w: s[:] for w, s in seqs.items()}
+
+
+def test_bpe_batched_incremental_matches_sequential(spark):
+    """The batched + delta-maintained trainer must emit EXACTLY the
+    sequential argmax merge order, on a corpus engineered with ties,
+    runs, symbol-string collisions ('a','bc' vs existing 'abc'), and
+    quote/backslash characters (the F.expr escaping hazard)."""
+    import random
+
+    from spatialdata_spark.pipeline.bpe import bpe_train
+
+    rng = random.Random(7)
+    alphabet = list("abcde") + ["'", "\\"]
+    texts = []
+    for _ in range(120):
+        n = rng.randint(1, 6)
+        texts.append(
+            " ".join(
+                "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 7)))
+                for _ in range(n)
+            )
+        )
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+
+    words: dict = {}
+    for t in texts:
+        for w in t.lower().split():
+            words[w] = words.get(w, 0) + 1
+
+    n_merges = 48
+    expected, final_seqs = [], None
+    for (l, r, cnt), snap in _bpe_train_naive(words):
+        expected.append((l, r, l + r, cnt))
+        final_seqs = snap
+        if len(expected) == n_merges:
+            break
+
+    merges, wf = bpe_train(docs, n_merges=n_merges, batch=8, rewrite_every=8)
+    got = [
+        (x["left"], x["right"], x["merged"], x["cnt"])
+        for x in merges.orderBy("rank").collect()
+    ]
+    assert got == expected
+    seqs = {x["w"]: x["seq"] for x in wf.collect()}
+    for w, syms in final_seqs.items():
+        assert seqs[w] == " " + "  ".join(syms) + " ", w
 
 
 def test_shard_shuffle_deterministic_partition(spark):

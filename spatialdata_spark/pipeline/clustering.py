@@ -16,9 +16,10 @@ The 100 TB shapes these are built for:
   cluster first, then compare pairs only *within* a cluster, so the
   candidate join is an equi-join on the cluster id and per-block work
   is (n/k)^2 instead of n^2.  A skewed giant cluster is the known
-  failure mode at corpus scale; the mitigation (re-split oversized
-  clusters by a secondary hash before the pair join) composes with
-  this operator unchanged.
+  failure mode at corpus scale; ``max_cluster_size`` implements the
+  mitigation — oversized clusters re-split by a secondary id-hash
+  before the pair stage, bounding per-task pair work by cap^2
+  (see :func:`_with_subblocks`).
 * **k-NN** — exact brute force by stated contract (the parity
   baseline for the ANN family in ``similarity.py``); the pair space
   is the documented n_test x n_train quadratic.
@@ -304,6 +305,35 @@ def kmeans_lloyd(
     return final, centroids
 
 
+def _with_subblocks(
+    withc: DataFrame, assign: DataFrame, max_cluster_size: int
+) -> DataFrame:
+    """Giant-cluster mitigation: clusters above ``max_cluster_size``
+    are re-split into ``ceil(size / cap)`` sub-blocks by a secondary
+    hash of the id, BEFORE the pair stage.  Pair work per task is then
+    bounded by ``cap^2`` no matter how skewed the clustering came out
+    (the known SemDeDup failure mode: one basin swallows most of the
+    corpus and its pair block is quadratic in the corpus).  Pairs are
+    only tested *within* a sub-block — the documented contract under
+    the cap is within-sub-block pairs, a deterministic subset of the
+    within-cluster pairs (SemDeDup is itself already a within-cluster
+    approximation of all-pairs).  Cluster sizes are a k-row aggregate
+    (model-sized, broadcast); the block id is a map-side hash — no
+    extra shuffle beyond the pair stage's own."""
+    sizes = assign.groupBy("cluster").agg(F.count(F.lit(1)).alias("csz"))
+    nb = F.ceil(F.col("csz") / F.lit(max_cluster_size)).cast("long")
+    return (
+        withc.join(F.broadcast(sizes), "cluster")
+        .withColumn(
+            "blk",
+            F.when(nb > 1, F.pmod(F.xxhash64(F.col("id")), nb)).otherwise(
+                F.lit(0)
+            ),
+        )
+        .drop("csz")
+    )
+
+
 def semantic_dedup_kmeans(
     embeddings: DataFrame,
     k: int = 8,
@@ -313,6 +343,7 @@ def semantic_dedup_kmeans(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     method: str = "arrow",
+    max_cluster_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup: cluster, then drop every vector that has a
     lower-id cluster-mate with quantized cosine >= threshold.
@@ -328,7 +359,13 @@ def semantic_dedup_kmeans(
     ``method='expr'``: the long-format pair join the oracle mirrors
     (O(pairs*dim) join rows — fine at the oracle scales, not the 100 TB
     plan).  Both compute the same exact integers; a pinned test asserts
-    the survivor sets are identical."""
+    the survivor sets are identical.
+
+    ``max_cluster_size`` bounds per-task pair work when the clustering
+    comes out skewed: oversized clusters are re-split by a secondary
+    id-hash into blocks of at most ~cap expected rows and pairs are
+    tested within a block (see :func:`_with_subblocks`).  ``None``
+    (default) keeps the pure within-cluster contract."""
     spark = embeddings.sparkSession
     scale = 10_000
     coeff = int(round(threshold * threshold * scale))
@@ -372,25 +409,35 @@ def semantic_dedup_kmeans(
             ).astype(bool)
             return pd.DataFrame({"dup_id": np.unique(ids[ib[hit]])})
 
+        if max_cluster_size is not None:
+            withc = _with_subblocks(withc, assign, max_cluster_size)
+            grouped = withc.groupBy("cluster", "blk")
+        else:
+            grouped = withc.groupBy("cluster")
         dup = (
-            withc.groupBy("cluster")
-            .applyInPandas(_dups, "dup_id long")
+            grouped.applyInPandas(_dups, "dup_id long")
             .select(F.col("dup_id").alias(id_col))
         )
     else:
         pts = quantize_long(embeddings, q, id_col, vec_col)
         withc = pts.join(assign.select("id", "cluster"), "id")
+        if max_cluster_size is not None:
+            withc = _with_subblocks(withc, assign, max_cluster_size)
+        else:
+            withc = withc.withColumn("blk", F.lit(0))
         # pair dot products and squared norms — all exact BIGINT
         a = withc.select(
-            "cluster", F.col("id").alias("id_a"), "pos", F.col("val").alias("va")
+            "cluster", "blk", F.col("id").alias("id_a"), "pos",
+            F.col("val").alias("va"),
         )
         b = withc.select(
-            "cluster", F.col("id").alias("id_b"), "pos", F.col("val").alias("vb")
+            "cluster", "blk", F.col("id").alias("id_b"), "pos",
+            F.col("val").alias("vb"),
         )
         if spark.sparkContext.master.startswith("local"):
             b = F.broadcast(b)
         dots = (
-            a.join(b, ["cluster", "pos"])
+            a.join(b, ["cluster", "blk", "pos"])
             .filter(F.col("id_a") < F.col("id_b"))
             .groupBy("cluster", "id_a", "id_b")
             .agg(F.sum(F.col("va") * F.col("vb")).alias("dot"))

@@ -1147,6 +1147,31 @@ def test_semantic_dedup_arrow_equals_expr(spark):
     assert ia == ie
 
 
+def test_semantic_dedup_subblock_cap_twin_parity(spark):
+    """With max_cluster_size set, the arrow and expr paths must agree
+    on the (within-sub-block) survivor set, and a capped run must be a
+    superset of the uncapped survivors (blocks only REMOVE pairs)."""
+    from spatialdata_spark.pipeline.clustering import semantic_dedup_kmeans
+
+    emb = _toy_embeddings(spark)
+    sa = semantic_dedup_kmeans(
+        emb, k=2, n_iter=2, threshold=0.9, method="arrow", max_cluster_size=4
+    )
+    se = semantic_dedup_kmeans(
+        emb, k=2, n_iter=2, threshold=0.9, method="expr", max_cluster_size=4
+    )
+    ia = sorted(r["vec_id"] for r in sa.collect())
+    ie = sorted(r["vec_id"] for r in se.collect())
+    assert ia == ie
+    uncapped = sorted(
+        r["vec_id"]
+        for r in semantic_dedup_kmeans(
+            emb, k=2, n_iter=2, threshold=0.9, method="arrow"
+        ).collect()
+    )
+    assert set(uncapped) <= set(ia)
+
+
 def test_semantic_dedup_arrow_exact_under_int64_overflow(spark):
     """Unnormalized huge-magnitude embeddings push scale*dot^2 far past
     int64: the Arrow kernel must drop to arbitrary-precision arithmetic

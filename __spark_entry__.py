@@ -4797,6 +4797,209 @@ FROM d
 """
 
 
+def pl_gopher_rules(spark, sf_dir):
+    """Gopher-style quality gate (Rae et al. 2021): per-doc integer
+    signals + cross-multiplied rule flags — no division anywhere, so
+    the whole gate replays bit-exactly in SQL.  Pure Catalyst
+    projection: no explode, no shuffle, no Python."""
+    from spatialdata_spark.pipeline.textstats import gopher_rules
+
+    return gopher_rules(
+        _read(spark, sf_dir, "documents"), min_words=40, min_stopwords=1
+    )
+
+
+PL_GOPHER_RULES_SQL = r"""
+WITH base AS (
+  SELECT doc_id, LOWER(TRIM(text)) AS t,
+         string_split_regex(LOWER(TRIM(text)), '\s+') AS ws
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+    CAST(CASE WHEN LEN(t) = 0 THEN 0 ELSE LEN(ws) END AS BIGINT) AS n_words,
+    CAST(COALESCE(list_sum(list_transform(ws, w -> LEN(w))), 0) AS BIGINT)
+      AS n_word_chars,
+    CAST(LEN(t) - LEN(replace(t, '#', ''))
+         + (LEN(t) - LEN(replace(t, '...', ''))) // 3 AS BIGINT) AS n_sym,
+    CAST(LEN(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS BIGINT)
+      AS n_alpha_words,
+    CAST((CASE WHEN ' '||t||' ' LIKE '% the %' THEN 1 ELSE 0 END)
+       + (CASE WHEN ' '||t||' ' LIKE '% be %' THEN 1 ELSE 0 END)
+       + (CASE WHEN ' '||t||' ' LIKE '% to %' THEN 1 ELSE 0 END)
+       + (CASE WHEN ' '||t||' ' LIKE '% of %' THEN 1 ELSE 0 END)
+       + (CASE WHEN ' '||t||' ' LIKE '% and %' THEN 1 ELSE 0 END)
+       + (CASE WHEN ' '||t||' ' LIKE '% that %' THEN 1 ELSE 0 END)
+       + (CASE WHEN ' '||t||' ' LIKE '% have %' THEN 1 ELSE 0 END)
+       + (CASE WHEN ' '||t||' ' LIKE '% with %' THEN 1 ELSE 0 END)
+      AS BIGINT) AS n_stop_distinct
+  FROM base
+)
+SELECT doc_id, n_words, n_word_chars, n_sym, n_alpha_words, n_stop_distinct,
+  CAST(CASE WHEN n_words >= 40 AND n_words <= 100000 THEN 1 ELSE 0 END AS INT)
+    AS r_words,
+  CAST(CASE WHEN 3*n_words <= n_word_chars AND n_word_chars <= 10*n_words
+       THEN 1 ELSE 0 END AS INT) AS r_mean_len,
+  CAST(CASE WHEN 10*n_sym <= n_words THEN 1 ELSE 0 END AS INT) AS r_symbols,
+  CAST(CASE WHEN 5*n_alpha_words >= 4*n_words THEN 1 ELSE 0 END AS INT)
+    AS r_alpha,
+  CAST(CASE WHEN n_stop_distinct >= 1 THEN 1 ELSE 0 END AS INT) AS r_stopwords,
+  CAST(CASE WHEN n_words >= 40 AND n_words <= 100000
+         AND 3*n_words <= n_word_chars AND n_word_chars <= 10*n_words
+         AND 10*n_sym <= n_words
+         AND 5*n_alpha_words >= 4*n_words
+         AND n_stop_distinct >= 1 THEN 1 ELSE 0 END AS INT) AS passes
+FROM m
+"""
+
+
+def pl_containment(spark, sf_dir):
+    """Asymmetric n-gram containment |A∩B|/|A| >= 20% — the
+    quote/subset detector Jaccard misses on size-mismatched pairs.
+    Equi-join on the gram with a df cap (stated contract), integer
+    cross-multiplied threshold."""
+    from spatialdata_spark.pipeline.dedup import ngram_containment_pairs
+
+    return ngram_containment_pairs(
+        _read(spark, sf_dir, "documents"), n=3, tau_pct=20, max_gram_df=100
+    )
+
+
+PL_CONTAINMENT_SQL = r"""
+WITH words AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(LOWER(TRIM(text)), '\s+'),
+                     w -> w <> '') AS ws
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS g
+  FROM words, UNNEST(generate_series(0, LEN(ws) - 3)) AS t(i)
+  WHERE LEN(ws) >= 3
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY 1),
+keep AS (
+  SELECT g FROM (SELECT g, COUNT(*) AS c FROM grams GROUP BY 1) WHERE c <= 100
+),
+capped AS (SELECT doc_id, g FROM grams JOIN keep USING (g)),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+  FROM capped a JOIN capped b USING (g)
+  WHERE a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared,
+       CAST(s.n_grams AS BIGINT) AS n_grams_a
+FROM shared JOIN sizes s ON s.doc_id = id_a
+WHERE 100 * n_shared >= 20 * s.n_grams
+"""
+
+
+def pl_kmv_distinct(spark, sf_dir):
+    """KMV distinct-token sketch per source + the exact count for the
+    error report.  The sketch is an order statistic of a deterministic
+    31-bit polynomial hash, so estimate AND error replay bit-exactly
+    in SQL — the approximate-distinct story without a non-replayable
+    HLL.  (At 100 TB the exact-count column is dropped; it is here so
+    the oracle pins the estimator against truth.)"""
+    from spatialdata_spark.pipeline.textstats import kmv_distinct
+
+    docs = _read(spark, sf_dir, "documents")
+    sk = kmv_distinct(docs, k=16)
+    exact = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("__t"),
+        )
+        .filter(F.col("__t") != "")
+        .groupBy("source")
+        .agg(F.countDistinct("__t").cast("long").alias("true_distinct"))
+    )
+    if spark.sparkContext.master.startswith("local"):
+        exact = F.broadcast(exact)
+    return sk.join(exact, "source")
+
+
+PL_KMV_DISTINCT_SQL = r"""
+WITH toks AS (
+  SELECT DISTINCT source, tok FROM (
+    SELECT source,
+           UNNEST(string_split_regex(LOWER(TRIM(text)), '\s+')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+),
+hashed AS (
+  SELECT DISTINCT source,
+    list_reduce(
+      list_prepend(CAST(0 AS BIGINT),
+        list_transform(generate_series(1, LEN(tok)),
+                       i -> CAST(ascii(substring(tok, i, 1)) AS BIGINT))),
+      (a, b) -> (a * 1000003 + b) % 2147483647) + 1 AS h
+  FROM toks
+),
+ranked AS (
+  SELECT source, h,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+  FROM hashed
+),
+sk AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_used,
+         CAST(MAX(h) AS BIGINT) AS kth_hash
+  FROM ranked WHERE rn <= 16 GROUP BY 1
+),
+ex AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS true_distinct
+       FROM toks GROUP BY 1)
+SELECT source, n_used, kth_hash,
+  CAST(CASE WHEN n_used < 16 THEN n_used
+       ELSE (15 * CAST(2147483647 AS BIGINT)) // kth_hash END AS BIGINT)
+    AS est_distinct,
+  true_distinct
+FROM sk JOIN ex USING (source)
+"""
+
+
+def st_cohort_matrix(spark, sf_dir):
+    """Weekly cohort retention matrix: users bucketed by first-event
+    week; for each (cohort_week, age_weeks) the count of users active
+    that week.  Two map-side-combinable aggregations (first-touch,
+    then distinct user-weeks) and NO window at all — the matrix is
+    calendar² cells, metadata-sized at any corpus scale."""
+    ev = _read(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    active = ev.select(
+        "user_id", F.to_date(F.date_trunc("week", "ts")).alias("wk")
+    ).distinct()
+    joined = active.join(first, "user_id")
+    return (
+        joined.groupBy("cohort_week", "wk")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff("wk", "cohort_week") / 7).cast("long").alias("age_weeks"),
+            "n_users",
+        )
+    )
+
+
+ST_COHORT_MATRIX_SQL = """
+WITH f AS (
+  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY 1
+),
+a AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+  FROM events
+)
+SELECT strftime(f.cohort_week, '%Y-%m-%d') AS cohort_week,
+       CAST(date_diff('day', f.cohort_week, a.wk) // 7 AS BIGINT) AS age_weeks,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM a JOIN f USING (user_id)
+GROUP BY f.cohort_week, age_weeks
+"""
+
+
 def q_pivot_revenue(spark, sf_dir):
     """Pivot coverage: revenue by returnflag with linestatus spread to
     columns via ``groupBy().pivot()`` with an explicit value list —
@@ -5382,20 +5585,86 @@ SELECT user_id, event_id, value, rank FROM (
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order matters: the correctness driver oracles the FIRST 50
-    # entries.  After round 5 every registry query has a driver-green
-    # row, so round 6 leads with its 5 NEW queries (unigram_lm,
-    # idf_keywords, dedup_keep_best, dup_spans, span_cut) and keeps the
-    # 3 RE-IMPLEMENTED ones (lev_neardup PassJoin, quota_cap two-stage,
-    # mix_epochs zero-rate guard) inside the first 50 for
-    # re-verification; the rest of the head re-confirms locked greens.
+    # entries.  Round-7 head: the 3 NEW queries (gopher_rules,
+    # containment, cohort_matrix), then everything MODIFIED since its
+    # last driver check (bpe rework r7; clustering overflow-guard +
+    # sub-block cap r7; minhash persist rework r5 vs last check r4),
+    # then the stalest cumulative greens — the 5 last checked in r2 and
+    # the r4-refactored aggregate family last checked r3 — then
+    # r3-checked TPC-H/spatial rows.  15 r3-checked rows (5 sq_ shape
+    # queries + 10 rq_ relational) remain for the round-8 head.
     return {
-        # round-6 additions and re-implementations first: the driver
-        # must (re-)check them this round
+        # --- new in round 7 ---
+        "pl_gopher_rules": pl_gopher_rules,
+        "pl_containment": pl_containment,
+        "pl_kmv_distinct": pl_kmv_distinct,
+        "st_cohort_matrix": st_cohort_matrix,
+        # --- modified since last driver check ---
+        "pl_bpe_train": pl_bpe_train,
+        "pl_bpe_encode": pl_bpe_encode,
         "pl_kmeans": pl_kmeans,
         "pl_semantic_dedup": pl_semantic_dedup,
         "pl_knn_classify": pl_knn_classify,
-        "pl_bpe_train": pl_bpe_train,
-        "pl_bpe_encode": pl_bpe_encode,
+        "pl_minhash_dedup": pl_minhash_dedup,
+        # --- last driver-checked in r2 (stalest) ---
+        "ag_extent": ag_extent,
+        "ag_zonal_image": ag_zonal_image,
+        "rv_rasterize_count": rv_rasterize_count,
+        "rv_rasterize_cat": rv_rasterize_cat,
+        "rv_rasterize_circle_fill": rv_rasterize_circle_fill,
+        # --- r4-refactored aggregate family, last checked r3 ---
+        "ag_points_by_boxes": ag_points_by_boxes,
+        "ag_points_categorical": ag_points_categorical,
+        "ag_points_by_circles_count": ag_points_by_circles_count,
+        "ag_points_by_circles_sum": ag_points_by_circles_sum,
+        "ag_points_by_circles_mean": ag_points_by_circles_mean,
+        "ag_points_by_circles_max": ag_points_by_circles_max,
+        "ag_points_by_darts": ag_points_by_darts,
+        "ag_fractions": ag_fractions,
+        "ag_fractions_value": ag_fractions_value,
+        "ag_centroids_labels": ag_centroids_labels,
+        # --- last checked r3 ---
+        "q01_pricing_summary": q01_pricing_summary,
+        "q03_shipping": q03_shipping,
+        "q04_order_priority": q04_order_priority,
+        "q05_local_supplier": q05_local_supplier,
+        "q06_forecasting": q06_forecasting,
+        "q07_volume_shipping": q07_volume_shipping,
+        "q08_market_share": q08_market_share,
+        "q10_returned_items": q10_returned_items,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q14_promo_effect": q14_promo_effect,
+        "q15_top_supplier": q15_top_supplier,
+        "q16_parts_supplier_relationship": q16_parts_supplier_relationship,
+        "q17_small_quantity": q17_small_quantity,
+        "q18_large_volume": q18_large_volume,
+        "q19_discounted_revenue": q19_discounted_revenue,
+        "q22_global_sales_opportunity": q22_global_sales_opportunity,
+        "q_rollup_revenue": q_rollup_revenue,
+        "st_moving_avg": st_moving_avg,
+        "sq_bbox_identity": sq_bbox_identity,
+        "sq_bbox_3d": sq_bbox_3d,
+        "sq_bbox_scale": sq_bbox_scale,
+        "sq_bbox_rotation": sq_bbox_rotation,
+        "sq_multibox": sq_multibox,
+        "sq_multibox_rotated": sq_multibox_rotated,
+        "sq_raster_rotated": sq_raster_rotated,
+        "sq_polygon_clip": sq_polygon_clip,
+        # ---------------- end of the driver's first-50 ----------------
+        "sq_polygon_points": sq_polygon_points,
+        "sq_polygon_concave": sq_polygon_concave,
+        "sq_bbox_shapes": sq_bbox_shapes,
+        "sq_polygon_shapes": sq_polygon_shapes,
+        "rq_join_left": rq_join_left,
+        "rq_join_inner_element": rq_join_inner_element,
+        "rq_join_left_exclusive": rq_join_left_exclusive,
+        "rq_join_right": rq_join_right,
+        "rq_join_right_exclusive": rq_join_right_exclusive,
+        "rq_get_values_xlong": rq_get_values_xlong,
+        "rq_filter_by_table": rq_filter_by_table,
+        "rq_element_instances": rq_element_instances,
+        "rq_filter_labels": rq_filter_labels,
+        "rq_concat_tables": rq_concat_tables,
         "pl_shard_shuffle": pl_shard_shuffle,
         "pl_interleave": pl_interleave,
         "pl_ppl_buckets": pl_ppl_buckets,
@@ -5412,8 +5681,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pl_tfidf_pairs": pl_tfidf_pairs,
         "pl_dup_spans": pl_dup_spans,
         "pl_span_cut": pl_span_cut,
-        # re-implemented this round — must sit inside the first 50 so
-        # the driver re-verifies the new generators
         "pl_lev_neardup": pl_lev_neardup,
         "pl_mix_epochs": pl_mix_epochs,
         "rv_rasterize_polyfill": rv_rasterize_polyfill,
@@ -5477,7 +5744,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pl_ivf_exact": pl_ivf_exact,
         "pl_ivf_probe": pl_ivf_probe,
         "pl_quality_score": pl_quality_score,
-        "pl_minhash_dedup": pl_minhash_dedup,
         "pl_minhash_expr": pl_minhash_expr,
         "pl_minhash_cc": pl_minhash_cc,
         "pl_language_id": pl_language_id,
@@ -5497,61 +5763,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_distinct_users_daily": st_distinct_users_daily,
         "st_value_quantiles": st_value_quantiles,
         "pl_token_count": pl_token_count,
-        "ag_extent": ag_extent,
-        "ag_zonal_image": ag_zonal_image,
-        "rv_rasterize_count": rv_rasterize_count,
-        "rv_rasterize_cat": rv_rasterize_cat,
-        "rv_rasterize_circle_fill": rv_rasterize_circle_fill,
-        "q01_pricing_summary": q01_pricing_summary,
-        "q03_shipping": q03_shipping,
-        "q05_local_supplier": q05_local_supplier,
-        "q06_forecasting": q06_forecasting,
-        "q04_order_priority": q04_order_priority,
-        "q10_returned_items": q10_returned_items,
-        "q14_promo_effect": q14_promo_effect,
-        "q18_large_volume": q18_large_volume,
-        "q19_discounted_revenue": q19_discounted_revenue,
-        "q07_volume_shipping": q07_volume_shipping,
-        "q08_market_share": q08_market_share,
-        "q13_customer_distribution": q13_customer_distribution,
-        "q15_top_supplier": q15_top_supplier,
-        "q17_small_quantity": q17_small_quantity,
-        "q16_parts_supplier_relationship": q16_parts_supplier_relationship,
-        "q22_global_sales_opportunity": q22_global_sales_opportunity,
-        "q_rollup_revenue": q_rollup_revenue,
-        "st_moving_avg": st_moving_avg,
-        "sq_bbox_identity": sq_bbox_identity,
-        "sq_bbox_3d": sq_bbox_3d,
-        "sq_bbox_scale": sq_bbox_scale,
-        "sq_bbox_rotation": sq_bbox_rotation,
-        "sq_multibox": sq_multibox,
-        "sq_multibox_rotated": sq_multibox_rotated,
-        "sq_raster_rotated": sq_raster_rotated,
-        "sq_polygon_clip": sq_polygon_clip,
-        "sq_polygon_points": sq_polygon_points,
-        "sq_polygon_concave": sq_polygon_concave,
-        "sq_bbox_shapes": sq_bbox_shapes,
-        "sq_polygon_shapes": sq_polygon_shapes,
-        "rq_join_left": rq_join_left,
-        "rq_join_inner_element": rq_join_inner_element,
-        "rq_join_left_exclusive": rq_join_left_exclusive,
-        "rq_join_right": rq_join_right,
-        "rq_join_right_exclusive": rq_join_right_exclusive,
-        "rq_get_values_xlong": rq_get_values_xlong,
-        "rq_filter_by_table": rq_filter_by_table,
-        "rq_element_instances": rq_element_instances,
-        "rq_filter_labels": rq_filter_labels,
-        "rq_concat_tables": rq_concat_tables,
-        "ag_points_by_circles_count": ag_points_by_circles_count,
-        "ag_points_by_circles_sum": ag_points_by_circles_sum,
-        "ag_points_by_circles_mean": ag_points_by_circles_mean,
-        "ag_points_by_circles_max": ag_points_by_circles_max,
-        "ag_points_categorical": ag_points_categorical,
-        "ag_points_by_boxes": ag_points_by_boxes,
-        "ag_points_by_darts": ag_points_by_darts,
-        "ag_fractions": ag_fractions,
-        "ag_fractions_value": ag_fractions_value,
-        "ag_centroids_labels": ag_centroids_labels,
     }
 
 
@@ -5627,6 +5838,10 @@ def oracle_sql() -> dict[str, str]:
         "q_cube_revenue": Q_CUBE_REVENUE_SQL,
         "st_rolling_window": ST_ROLLING_WINDOW_SQL,
         "pl_boilerplate": PL_BOILERPLATE_SQL,
+        "pl_gopher_rules": PL_GOPHER_RULES_SQL,
+        "pl_containment": PL_CONTAINMENT_SQL,
+        "pl_kmv_distinct": PL_KMV_DISTINCT_SQL,
+        "st_cohort_matrix": ST_COHORT_MATRIX_SQL,
         "pl_weighted_sample": PL_WEIGHTED_SAMPLE_SQL,
         "st_gap_fill": ST_GAP_FILL_SQL,
         "st_cum_dau": ST_CUM_DAU_SQL,

@@ -354,6 +354,83 @@ def ngram_jaccard_join(
     )
 
 
+def ngram_containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    tau_pct: int = 50,
+    max_gram_df: int = 100,
+) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT |A∩B| / |A|: the subset/quote
+    detector Jaccard misses when sizes differ (a paragraph fully
+    copied into a 100x larger page has tiny Jaccard but containment
+    ~1 from the paragraph's side — Broder's "containment" resemblance
+    complement).  Emits ordered pairs ``(id_a, id_b)`` where at least
+    ``tau_pct`` percent of A's distinct word-n-grams also occur in B
+    (both directions of a pair appear when both qualify).
+
+    Exactness: the threshold test is the integer cross-multiplication
+    ``100 * shared >= tau_pct * n_grams_a`` — no division, replays
+    bit-exactly in SQL.
+
+    Scale shape: pair generation is an equi-join ON THE GRAM, and
+    grams with document frequency > ``max_gram_df`` are dropped first
+    (stated contract, same df-cap as ``tfidf_cosine_pairs`` — a
+    corpus-boilerplate gram would pair everything with everything:
+    quadratic AND meaningless), so join blocks are df-bounded, never
+    corpus².  Sizes are computed BEFORE the cap so containment keeps
+    its exact denominator.  Output:
+    ``(id_a, id_b, n_shared, n_grams_a)``.
+    """
+    spark = docs.sparkSession
+    if spark.sparkContext.master.startswith("local"):
+        docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    words = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != "")
+    doc_sh = docs.select(F.col(id_col).alias("_id"), words.alias("_w")).select(
+        "_id",
+        F.when(
+            F.size("_w") >= n,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_w") - n),
+                    lambda i: F.concat_ws(" ", *[F.element_at("_w", i + j + 1) for j in range(n)]),
+                )
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("_sh"),
+    )
+    # same materialization barrier as ngram_jaccard_join: the shingle
+    # HOF feeds the explode AND the size lookup
+    doc_sh = doc_sh.persist()
+    sizes = doc_sh.select("_id", F.size("_sh").cast("long").alias("n_grams"))
+    exploded = doc_sh.select("_id", F.explode("_sh").alias("g"))
+    keep = (
+        exploded.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= int(max_gram_df))
+        .select("g")
+    )
+    if spark.sparkContext.master.startswith("local"):
+        keep = F.broadcast(keep)
+    capped = exploded.join(keep, "g", "left_semi")
+    a = capped.select(F.col("_id").alias("id_a"), "g")
+    b = capped.select(F.col("_id").alias("id_b"), "g")
+    shared = (
+        a.join(b, "g")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("n_grams").alias("n_grams_a"))
+    return (
+        shared.join(sa, "id_a")  # per-doc sizes: AQE picks BHJ when small
+        .filter(F.lit(100) * F.col("n_shared") >= F.lit(int(tau_pct)) * F.col("n_grams_a"))
+        .select("id_a", "id_b", "n_shared", "n_grams_a")
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     pairs: DataFrame,

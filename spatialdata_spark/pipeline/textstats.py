@@ -414,3 +414,159 @@ def tfidf_cosine_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def gopher_rules(
+    docs: DataFrame,
+    min_words: int = 20,
+    max_words: int = 100_000,
+    min_mean_len: int = 3,
+    max_mean_len: int = 10,
+    min_stopwords: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher-style document quality gate (Rae et al. 2021 §A1.1):
+    per-document rule flags plus the conjunction, every signal an
+    INTEGER and every threshold test a cross-multiplication — no
+    division, so the gate replays bit-exactly in ANSI SQL at any scale.
+
+    Rules (each emitted as its own 0/1 flag):
+
+    * ``r_words``     — ``min_words <= n_words <= max_words``
+    * ``r_mean_len``  — mean word length in ``[min_mean_len,
+      max_mean_len]``: ``min*n_words <= n_word_chars <= max*n_words``
+    * ``r_symbols``   — symbol-to-word ratio (``#`` or ``...``)
+      ``<= 0.1``: ``10*n_sym <= n_words``
+    * ``r_alpha``     — ``>= 80%`` of words contain a letter:
+      ``5*n_alpha_words >= 4*n_words``
+    * ``r_stopwords`` — at least ``min_stopwords`` distinct English
+      stopwords present
+
+    Distributed shape: one narrow projection, pure Catalyst
+    expressions (split/length/contains), no explode, no shuffle, no
+    Python — the gate fuses into whatever scan feeds it.
+    """
+    t = F.lower(F.trim(F.col(text_col)))
+    tokens = F.split(t, r"\s+")
+    n_words = F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(tokens)).cast("long")
+    n_word_chars = F.aggregate(
+        tokens, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))
+    ) / 3
+    n_sym = (n_hash + n_ellipsis).cast("long")
+    n_alpha_words = F.size(
+        F.filter(tokens, lambda w: w.rlike("[a-z]"))
+    ).cast("long")
+    padded = F.concat(F.lit(" "), t, F.lit(" "))
+    stops = ["the", "be", "to", "of", "and", "that", "have", "with"]
+    n_stop_distinct = None
+    for w in stops:
+        c = F.contains(padded, F.lit(f" {w} ")).cast("long")
+        n_stop_distinct = c if n_stop_distinct is None else n_stop_distinct + c
+    r_words = (n_words >= min_words) & (n_words <= max_words)
+    r_mean_len = (F.lit(int(min_mean_len)) * n_words <= n_word_chars) & (
+        n_word_chars <= F.lit(int(max_mean_len)) * n_words
+    )
+    r_symbols = F.lit(10) * n_sym <= n_words
+    r_alpha = F.lit(5) * n_alpha_words >= F.lit(4) * n_words
+    r_stop = n_stop_distinct >= int(min_stopwords)
+    return docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        n_word_chars.alias("n_word_chars"),
+        n_sym.alias("n_sym"),
+        n_alpha_words.alias("n_alpha_words"),
+        n_stop_distinct.alias("n_stop_distinct"),
+        r_words.cast("int").alias("r_words"),
+        r_mean_len.cast("int").alias("r_mean_len"),
+        r_symbols.cast("int").alias("r_symbols"),
+        r_alpha.cast("int").alias("r_alpha"),
+        r_stop.cast("int").alias("r_stopwords"),
+        (r_words & r_mean_len & r_symbols & r_alpha & r_stop)
+        .cast("int")
+        .alias("passes"),
+    )
+
+
+def kmv_distinct(
+    docs: DataFrame,
+    k: int = 64,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """KMV (k-minimum-values) distinct-token-count sketch per group —
+    the approximate COUNT(DISTINCT) that a 100 TB corpus report needs
+    (the exact count shuffles the full vocabulary per group; the
+    sketch ships k values).  Unlike HLL, the KMV sketch is a pure
+    order statistic of a deterministic hash, so THE WHOLE ESTIMATE
+    REPLAYS BIT-EXACTLY IN ANSI SQL: tokens hash with the repo's
+    31-bit polynomial (Horner over code points, mod P=2^31-1, shifted
+    to [1, P]), and the estimator is integer division
+    ``(k-1) * P DIV h_k`` on the k-th smallest distinct hash
+    (Bar-Yossef et al. 2002; Beyer et al. 2007 unbiased form).
+    Groups with fewer than ``k`` distinct hashes report the exact
+    count (the sketch IS the set there).
+
+    Two-stage k-smallest (the ``quota_cap`` shape): an Arrow per-batch
+    local min-k bounds what shuffles to ``k x batches`` per group
+    (pigeonhole: a globally kept hash is in its batch's min-k), then
+    the exact window ranks survivors — no group ever funnels its full
+    distinct-hash set through one reducer.
+
+    Output: ``(group, n_used, kth_hash, est_distinct)`` — all BIGINT.
+    """
+    from pyspark.sql.window import Window
+
+    B, P = 1000003, 2147483647
+    toks = (
+        docs.select(
+            F.col(group_col).alias("__g"),
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            ).alias("__tok"),
+        )
+        .filter(F.col("__tok") != "")
+        .distinct()
+    )
+    h = F.aggregate(
+        F.split(F.col("__tok"), ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * B + F.ascii(c)) % P,
+    ) + 1
+    hashed = toks.select("__g", h.alias("__h")).distinct()
+
+    kk = int(k)
+
+    def _local_min(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf
+                continue
+            yield (
+                pdf.sort_values("__h", kind="mergesort")
+                .groupby("__g", sort=False)
+                .head(kk)
+            )
+
+    capped = hashed.mapInPandas(_local_min, schema=hashed.schema)
+    w = Window.partitionBy("__g").orderBy("__h")
+    ranked = capped.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= kk
+    )
+    sk = ranked.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_used"),
+        F.max("__h").cast("long").alias("kth_hash"),
+    )
+    est = F.when(F.col("n_used") < kk, F.col("n_used")).otherwise(
+        F.expr(f"CAST(({kk - 1} * {P}L) DIV kth_hash AS BIGINT)")
+    )
+    return sk.select(
+        F.col("__g").alias(group_col),
+        "n_used",
+        "kth_hash",
+        est.cast("long").alias("est_distinct"),
+    )

@@ -1227,6 +1227,79 @@ def test_semantic_dedup_arrow_exact_under_int64_overflow(spark):
     assert scale * gmax * gmax >= 2**63
 
 
+def test_gopher_rules_hand_computed(spark):
+    from spatialdata_spark.pipeline.textstats import gopher_rules
+
+    docs = spark.createDataFrame(
+        [
+            # 6 words, all alpha, mean len (3+3+5+3+3+4)/6=3.5, 'the'+'and'
+            (1, "the cat sat and the mat"),
+            # symbol soup: 3 hashes for 4 words -> r_symbols fails
+            (2, "alpha # # # beta gamma delta"),
+            # numbers only -> r_alpha fails (0 of 3 words has a letter)
+            (3, "123 456 789"),
+            (4, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in gopher_rules(docs, min_words=2, min_stopwords=2).collect()
+    }
+    assert out[1]["n_words"] == 6
+    assert out[1]["n_word_chars"] == 18
+    assert out[1]["n_stop_distinct"] == 2  # 'the', 'and'
+    assert out[1]["passes"] == 1
+    assert out[2]["n_sym"] == 3
+    assert out[2]["r_symbols"] == 0 and out[2]["passes"] == 0
+    assert out[3]["n_alpha_words"] == 0
+    assert out[3]["r_alpha"] == 0
+    assert out[4]["n_words"] == 0 and out[4]["passes"] == 0
+
+
+def test_ngram_containment_asymmetric(spark):
+    """A quote fully contained in a larger doc: containment fires from
+    the small side only (the case Jaccard misses)."""
+    from spatialdata_spark.pipeline.dedup import ngram_containment_pairs
+
+    quote = "alpha beta gamma delta epsilon"
+    filler = " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, quote), (2, filler + " " + quote + " " + filler.replace("w", "v"))],
+        ["doc_id", "text"],
+    )
+    out = {
+        (r["id_a"], r["id_b"]): (r["n_shared"], r["n_grams_a"])
+        for r in ngram_containment_pairs(docs, n=3, tau_pct=50).collect()
+    }
+    # doc1 has 3 distinct 3-grams, all present in doc2
+    assert out[(1, 2)] == (3, 3)
+    # doc2's gram set is ~80 grams; 3 shared < 50% -> no (2,1) pair
+    assert (2, 1) not in out
+
+
+def test_kmv_distinct_exact_below_k_and_estimator(spark):
+    from spatialdata_spark.pipeline.textstats import kmv_distinct
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb cc aa", "s1"),
+            (2, "bb dd", "s1"),
+            (3, " ".join(f"t{i}" for i in range(40)), "s2"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    out = {r["source"]: r.asDict() for r in kmv_distinct(docs, k=8).collect()}
+    # s1 has 4 distinct tokens < k -> exact
+    assert out["s1"]["n_used"] == 4
+    assert out["s1"]["est_distinct"] == 4
+    # s2 has 40 distinct tokens: estimator path, order-of-magnitude sane
+    assert out["s2"]["n_used"] == 8
+    P = 2147483647
+    assert out["s2"]["est_distinct"] == (7 * P) // out["s2"]["kth_hash"]
+    assert 10 <= out["s2"]["est_distinct"] <= 200
+
+
 def test_bpe_train_hand_computed_merges(spark):
     """Sennrich's canonical low/lower/newest example: merge order and
     counts are hand-derivable."""

@@ -4895,6 +4895,57 @@ WHERE 100 * n_shared >= 20 * s.n_grams
 """
 
 
+def pl_para_dedup(spark, sf_dir):
+    """CCNet-style global keep-first paragraph (3-word-segment) dedup:
+    later repeats of a segment are cut, the first occurrence (by
+    (doc_id, position)) survives — the keep-one complement of
+    pl_boilerplate's drop-everywhere rule."""
+    from spatialdata_spark.pipeline.filters import paragraph_dedup
+
+    return paragraph_dedup(_read(spark, sf_dir, "documents"), seg_words=3)
+
+
+PL_PARA_DEDUP_SQL = r"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(LOWER(TRIM(text)), '\s+') AS ws
+  FROM documents
+),
+segs AS (
+  SELECT doc_id, i, array_to_string(ws[(i*3+1):(i*3+3)], ' ') AS seg,
+         doc_id * 1048576 + i AS code
+  FROM words,
+       UNNEST(generate_series(0, CAST(CEIL(LEN(ws)/3.0) AS INT) - 1)) AS t(i)
+),
+canon AS (SELECT seg, MIN(code) AS first_code FROM segs GROUP BY 1)
+SELECT s.doc_id,
+       COALESCE(STRING_AGG(s.seg, ' ' ORDER BY s.i)
+                  FILTER (WHERE s.code = c.first_code), '') AS clean_text,
+       CAST(COUNT(*) FILTER (WHERE s.code <> c.first_code) AS BIGINT)
+         AS n_removed
+FROM segs s JOIN canon c ON s.seg = c.seg
+GROUP BY 1
+"""
+
+
+def pl_lang_temperature(spark, sf_dir):
+    """mT5/XLM-R temperature sampling proportions at alpha = 0.5:
+    p_lang ∝ sqrt(count) — sqrt chosen because IEEE specifies it
+    exactly (pow's libm drift would break the oracle); share rounded
+    to 9 dp."""
+    from spatialdata_spark.pipeline.filters import lang_temperature_weights
+
+    return lang_temperature_weights(_read(spark, sf_dir, "documents"))
+
+
+PL_LANG_TEMPERATURE_SQL = """
+WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+t AS (SELECT SUM(SQRT(CAST(n_docs AS DOUBLE))) AS tot FROM c)
+SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+       ROUND(SQRT(CAST(n_docs AS DOUBLE)) / tot, 9) AS sample_weight
+FROM c, t
+"""
+
+
 def pl_kmv_distinct(spark, sf_dir):
     """KMV distinct-token sketch per source + the exact count for the
     error report.  The sketch is an order statistic of a deterministic
@@ -5591,13 +5642,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sub-block cap r7; minhash persist rework r5 vs last check r4),
     # then the stalest cumulative greens — the 5 last checked in r2 and
     # the r4-refactored aggregate family last checked r3 — then
-    # r3-checked TPC-H/spatial rows.  15 r3-checked rows (5 sq_ shape
+    # r3-checked TPC-H/spatial rows.  17 r3-checked rows (7 sq_ shape
     # queries + 10 rq_ relational) remain for the round-8 head.
     return {
         # --- new in round 7 ---
         "pl_gopher_rules": pl_gopher_rules,
         "pl_containment": pl_containment,
         "pl_kmv_distinct": pl_kmv_distinct,
+        "pl_para_dedup": pl_para_dedup,
+        "pl_lang_temperature": pl_lang_temperature,
         "st_cohort_matrix": st_cohort_matrix,
         # --- modified since last driver check ---
         "pl_bpe_train": pl_bpe_train,
@@ -5841,6 +5894,8 @@ def oracle_sql() -> dict[str, str]:
         "pl_gopher_rules": PL_GOPHER_RULES_SQL,
         "pl_containment": PL_CONTAINMENT_SQL,
         "pl_kmv_distinct": PL_KMV_DISTINCT_SQL,
+        "pl_para_dedup": PL_PARA_DEDUP_SQL,
+        "pl_lang_temperature": PL_LANG_TEMPERATURE_SQL,
         "st_cohort_matrix": ST_COHORT_MATRIX_SQL,
         "pl_weighted_sample": PL_WEIGHTED_SAMPLE_SQL,
         "st_gap_fill": ST_GAP_FILL_SQL,

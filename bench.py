@@ -61,27 +61,29 @@ def main() -> None:
     # warm the JVM + parquet footers with one cheap action
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
+    # Two full sweeps over the suite, min per query across BOTH (so a
+    # single bench invocation is already "min across runs"): this host
+    # shows multi-second co-tenant noise bursts lasting minutes, which
+    # a per-query min-of-3 sits entirely inside — a second sweep
+    # minutes later escapes the burst.  Within a sweep each query runs
+    # up to 3x (5x when slow); the first run pays one-time costs
+    # (python worker spawn for UDF stages, parquet footer reads) that
+    # a long-lived cluster would amortize.
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = qs[name]
-        # two runs, report the min: the first run pays one-time costs
-        # (python worker spawn for UDF stages, parquet footer reads)
-        # that a long-lived cluster would amortize, and the min is
-        # robust to host noise
-        best = None
-        runs = 0
-        while runs < 3 or (best > 5.0 and runs < 5):
-            # min-of-3 (slow queries get up to two more): this host
-            # shows multi-second co-tenant noise bursts, and measured
-            # floors on identical code differ 2-4x between a noisy pair
-            # and a clean third run
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            best = dt if best is None or dt < best else best
-            runs += 1
-        timings[name] = round(best, 3)
+    for _sweep in range(2):
+        for name in HEADLINE:
+            fn = qs[name]
+            best = timings.get(name)
+            runs = 0
+            while runs < 3 or (best > 5.0 and runs < 5):
+                t0 = time.perf_counter()
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None or dt < best else best
+                runs += 1
+            timings[name] = best
+    timings = {k: round(v, 3) for k, v in timings.items()}
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({"metric": "total_sec", "value": total, "unit": "sec", "queries": timings, "sf": sf}))

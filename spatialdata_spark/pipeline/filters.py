@@ -430,6 +430,101 @@ def boilerplate_remove(
     )
 
 
+def paragraph_dedup(
+    docs: DataFrame,
+    seg_words: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style global keep-first paragraph dedup: every
+    ``seg_words``-word segment keeps only its FIRST occurrence in the
+    corpus (ordered by ``(doc_id, position)``); later repeats — across
+    documents AND within one — are cut and the survivors reassembled
+    in order.  Complements :func:`boilerplate_remove` (which drops a
+    segment EVERYWHERE once ``min_docs`` documents share it; here the
+    canonical copy survives).
+
+    Exactness: the first-occurrence rule is a single map-side-
+    combinable ``MIN`` over the integer position code
+    ``doc_id * 2^20 + index`` (documented bound: < 2^20 segments per
+    document — a million words — and ``doc_id < 2^43``), so the
+    survivor set replays bit-exactly in SQL.
+
+    Shape: segments explode narrow; one aggregation keyed by the
+    segment builds the canonical table (vocabulary-sized, joins back
+    broadcast-gated on local masters / AQE's call on a cluster);
+    reassembly is one per-document sorted-struct aggregation — the
+    ``boilerplate_remove`` plan with a keep-first rule instead of a
+    df threshold."""
+    W = int(seg_words)
+    toks = word_tokens(text_col)
+    n = F.size(toks)
+    n_segs = F.when(n <= 0, 0).otherwise(F.floor((n - 1) / W) + 1)
+    segs = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), (n_segs - 1).cast("int")),
+                lambda i: F.concat_ws(" ", F.slice(toks, i * W + 1, W)),
+            )
+        ).alias("__i", "__seg"),
+    ).withColumn(
+        "__code", F.col(id_col).cast("long") * F.lit(1 << 20) + F.col("__i")
+    )
+    canon = segs.groupBy("__seg").agg(F.min("__code").alias("__first"))
+    if docs.sparkSession.sparkContext.master.startswith("local"):
+        canon = F.broadcast(canon)
+    marked = segs.join(canon, "__seg")
+    kept = F.when(
+        F.col("__code") == F.col("__first"),
+        F.struct(F.col("__i").alias("i"), F.col("__seg").alias("s")),
+    )
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.array_sort(F.collect_list(kept)).alias("__kept"),
+            F.sum((F.col("__code") != F.col("__first")).cast("long")).alias(
+                "n_removed"
+            ),
+        )
+        .select(
+            id_col,
+            F.concat_ws(
+                " ", F.transform(F.col("__kept"), lambda x: x["s"])
+            ).alias("clean_text"),
+            "n_removed",
+        )
+    )
+
+
+def lang_temperature_weights(
+    docs: DataFrame,
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based multilingual sampling proportions (the
+    mT5/XLM-R recipe at alpha = 0.5): ``p_lang ∝ count^alpha`` — the
+    low-resource boost that keeps a training mix from being swamped by
+    the head language.  alpha is FIXED at 0.5 because ``sqrt`` is
+    exactly specified by IEEE 754 (correctly rounded in every engine),
+    unlike ``pow`` whose libm differences would break replayability;
+    the final share is rounded to 9 dp.  One language-keyed count (a
+    handful of groups, map-side combinable) and a broadcast scalar
+    total — metadata-sized at any corpus scale."""
+    counts = docs.groupBy(lang_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = counts.agg(F.sum(F.sqrt(F.col("n_docs").cast("double"))).alias("__t"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            lang_col,
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.round(
+                F.sqrt(F.col("n_docs").cast("double")) / F.col("__t"), 9
+            ).alias("sample_weight"),
+        )
+    )
+
+
 def weighted_sample(
     docs: DataFrame,
     weights: dict[str, int],

@@ -1278,6 +1278,46 @@ def test_ngram_containment_asymmetric(spark):
     assert (2, 1) not in out
 
 
+def test_paragraph_dedup_keep_first(spark):
+    """Global keep-first: the canonical copy (smallest (doc_id, pos))
+    survives; later repeats across AND within documents are cut."""
+    from spatialdata_spark.pipeline.filters import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb cc dd ee ff"),          # segs: 'aa bb cc', 'dd ee ff'
+            (2, "aa bb cc xx yy zz"),          # first seg repeats doc1's
+            (3, "dd ee ff dd ee ff"),          # repeats doc1's + itself
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in paragraph_dedup(docs, seg_words=3).collect()
+    }
+    assert out[1] == ("aa bb cc dd ee ff", 0)
+    assert out[2] == ("xx yy zz", 1)
+    assert out[3] == ("", 2)
+
+
+def test_lang_temperature_weights_sqrt(spark):
+    import math
+
+    from spatialdata_spark.pipeline.filters import lang_temperature_weights
+
+    docs = spark.createDataFrame(
+        [(i, "x", "en" if i < 9 else "fr") for i in range(10)],
+        ["doc_id", "text", "lang"],
+    )
+    out = {r["lang"]: r.asDict() for r in lang_temperature_weights(docs).collect()}
+    tot = math.sqrt(9) + math.sqrt(1)
+    assert out["en"]["n_docs"] == 9
+    assert abs(out["en"]["sample_weight"] - 3 / tot) < 1e-9
+    assert abs(out["fr"]["sample_weight"] - 1 / tot) < 1e-9
+    # the boost: en is 90% of docs but only 75% of the sample
+    assert out["en"]["sample_weight"] < 0.9
+
+
 def test_kmv_distinct_exact_below_k_and_estimator(spark):
     from spatialdata_spark.pipeline.textstats import kmv_distinct
 

@@ -1318,6 +1318,82 @@ def test_lang_temperature_weights_sqrt(spark):
     assert out["en"]["sample_weight"] < 0.9
 
 
+def test_paragraph_dedup_matches_python_reference_random(spark):
+    """Randomized corpus: keep-first semantics pinned against a
+    driver-side reference over every (doc, segment) occurrence."""
+    import random
+
+    from spatialdata_spark.pipeline.filters import paragraph_dedup
+
+    rng = random.Random(3)
+    vocab = [f"w{i}" for i in range(12)]
+    texts = {
+        d: " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 17)))
+        for d in range(30)
+    }
+    docs = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+
+    seen = set()
+    expected = {}
+    for d in sorted(texts):
+        # split('\s+') on an empty/whitespace string yields [''] in both
+        # engines, so an empty doc carries ONE empty segment — the same
+        # contract as boilerplate_remove and its oracle
+        ws = texts[d].lower().strip().split() or [""]
+        segs = [" ".join(ws[i : i + 3]) for i in range(0, len(ws), 3)]
+        kept, removed = [], 0
+        for s in segs:
+            if s in seen:
+                removed += 1
+            else:
+                seen.add(s)
+                kept.append(s)
+        expected[d] = (" ".join(kept), removed)
+
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in paragraph_dedup(docs, seg_words=3).collect()
+    }
+    assert got == expected
+
+
+def test_containment_matches_python_reference_random(spark):
+    import random
+
+    from spatialdata_spark.pipeline.dedup import ngram_containment_pairs
+
+    rng = random.Random(5)
+    vocab = [f"w{i}" for i in range(8)]
+    texts = {
+        d: " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 12)))
+        for d in range(25)
+    }
+    docs = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    grams = {
+        d: {
+            " ".join(ws[i : i + 3])
+            for i in range(len(ws) - 2)
+        }
+        for d, t in texts.items()
+        for ws in [[w for w in t.lower().split() if w]]
+    }
+    expected = set()
+    for a in grams:
+        for b in grams:
+            if a == b or not grams[a]:
+                continue
+            sh = len(grams[a] & grams[b])
+            if sh and 100 * sh >= 30 * len(grams[a]):
+                expected.add((a, b, sh, len(grams[a])))
+    got = {
+        (r["id_a"], r["id_b"], r["n_shared"], r["n_grams_a"])
+        for r in ngram_containment_pairs(
+            docs, n=3, tau_pct=30, max_gram_df=10**6
+        ).collect()
+    }
+    assert got == expected
+
+
 def test_kmv_distinct_exact_below_k_and_estimator(spark):
     from spatialdata_spark.pipeline.textstats import kmv_distinct
 

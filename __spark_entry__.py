@@ -5051,6 +5051,276 @@ GROUP BY f.cohort_week, age_weeks
 """
 
 
+def pl_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct-token sketch per source + the exact count
+    for the error report.  The register derivation (md5-hex 60-bit
+    hash, minimal-width ``bin`` rho) and the exact-integer harmonic
+    denominator replay bit-for-bit in SQL, so even the *approximate*
+    estimate is oracle-pinned.  Complements ``pl_kmv_distinct``: HLL
+    registers are fixed-size (2^p per group, any cardinality) and
+    merge by max — the canonical mergeable sketch for 100 TB corpus
+    reports.  (The exact-count column is dropped at scale; it is here
+    so the oracle pins the estimator against truth.)"""
+    from spatialdata_spark.pipeline.textstats import hll_distinct
+
+    docs = _read(spark, sf_dir, "documents")
+    sk = hll_distinct(docs, p=10)
+    exact = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("__t"),
+        )
+        .filter(F.col("__t") != "")
+        .groupBy("source")
+        .agg(F.countDistinct("__t").cast("long").alias("true_distinct"))
+    )
+    if spark.sparkContext.master.startswith("local"):
+        exact = F.broadcast(exact)
+    return sk.join(exact, "source")
+
+
+PL_HLL_DISTINCT_SQL = r"""
+WITH toks AS (
+  SELECT source AS g, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+  FROM documents
+), h AS (
+  SELECT g, tok, ('0x'||substr(md5(tok),1,15))::BIGINT AS h FROM toks WHERE tok <> ''
+), regs AS (
+  SELECT g, h >> 50 AS bucket,
+         MAX(CASE WHEN (h & ((1::BIGINT<<50)-1)) = 0 THEN 51
+                  ELSE 51 - length(bin(h & ((1::BIGINT<<50)-1))) END) AS mj
+  FROM h GROUP BY 1, 2
+), sk AS (
+  SELECT g, COUNT(*)::BIGINT AS n_filled,
+         SUM(CAST(POW(2.0, 51 - mj) AS BIGINT))::BIGINT AS denom_part
+  FROM regs GROUP BY 1
+), est AS (
+  SELECT g, n_filled,
+    ROUND(CASE WHEN (0.7213/(1.0+1.079/1024))*1024*1024*2251799813685248.0
+                    / CAST(denom_part + (1024 - n_filled)*(1::BIGINT<<51) AS DOUBLE)
+               <= 2560.0 AND n_filled < 1024
+          THEN 1024.0 * LN(1024.0 / CAST(1024 - n_filled AS DOUBLE))
+          ELSE (0.7213/(1.0+1.079/1024))*1024*1024*2251799813685248.0
+               / CAST(denom_part + (1024 - n_filled)*(1::BIGINT<<51) AS DOUBLE) END, 9)
+      AS est_hll
+  FROM sk
+), ex AS (
+  SELECT g, COUNT(DISTINCT tok)::BIGINT AS true_distinct FROM h GROUP BY 1
+)
+SELECT est.g AS source, est.n_filled, est.est_hll, ex.true_distinct
+FROM est JOIN ex ON est.g = ex.g
+"""
+
+
+def pl_winnow(spark, sf_dir):
+    """Winnowing fingerprints (Schleimer et al. 2003) — per-document
+    summary: fingerprint count, distinct hashes, and a positional
+    checksum (``sum(fp % 1000003)`` — exact int64, order-free).  The
+    raw ``(doc_id, pos, fp)`` set is what a plagiarism/overlap index
+    stores; the summary keeps the driver result compact while pinning
+    every selected fingerprint through the checksum."""
+    from spatialdata_spark.pipeline.fingerprints import winnow_fingerprints
+
+    docs = _read(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(docs, k=5, w=4)
+    return fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fp"),
+        F.countDistinct("fp").cast("long").alias("n_distinct_fp"),
+        F.sum(F.col("fp") % 1000003).cast("long").alias("fp_checksum"),
+    )
+
+
+PL_WINNOW_SQL = """
+WITH g AS (
+  SELECT doc_id, length(text) - 4 AS ng,
+         unnest(generate_series(1, length(text)-4)) AS pos, text
+  FROM documents WHERE length(text) >= 5
+), gh AS (
+  SELECT doc_id, ng, pos, {gh5} AS h FROM g
+), ex AS (
+  SELECT doc_id, pos, h,
+         unnest(generate_series(greatest(1, pos-3), least(pos, greatest(1, ng-3)))) AS win
+  FROM gh
+), wmin AS (
+  SELECT doc_id, win, MIN(h) AS mh FROM ex GROUP BY 1,2
+), sel AS (
+  SELECT ex.doc_id, ex.win, MAX(ex.pos) AS pos, MIN(wmin.mh) AS fp
+  FROM ex JOIN wmin ON ex.doc_id = wmin.doc_id AND ex.win = wmin.win AND ex.h = wmin.mh
+  GROUP BY 1,2
+), fps AS (
+  SELECT DISTINCT doc_id, pos, fp FROM sel
+)
+SELECT doc_id, COUNT(*)::BIGINT AS n_fp, COUNT(DISTINCT fp)::BIGINT AS n_distinct_fp,
+       SUM(fp % 1000003)::BIGINT AS fp_checksum
+FROM fps GROUP BY 1
+"""
+
+
+def pl_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking statistics (LBFS mod-rule): per-doc
+    boundary count, chunk count and mean chunk length under the
+    rolling 4-gram / ``h % 64 == 0`` cut rule — the storage-dedup
+    primitive (boundaries survive edits elsewhere in the document)."""
+    from spatialdata_spark.pipeline.fingerprints import cdc_chunk_stats
+
+    return cdc_chunk_stats(_read(spark, sf_dir, "documents"), k=4, mask_mod=64)
+
+
+PL_CDC_CHUNKS_SQL = """
+WITH g AS (
+  SELECT doc_id, unnest(generate_series(1, length(text)-3)) AS pos, text
+  FROM documents WHERE length(text) >= 4
+), b AS (
+  SELECT doc_id, COUNT(*)::BIGINT AS n_boundaries FROM g WHERE ({gh4}) % 64 = 0 GROUP BY 1
+)
+SELECT d.doc_id, length(d.text)::BIGINT AS n_chars,
+       COALESCE(b.n_boundaries, 0)::BIGINT AS n_boundaries,
+       (COALESCE(b.n_boundaries, 0) + 1)::BIGINT AS n_chunks,
+       ROUND(length(d.text) / (COALESCE(b.n_boundaries, 0) + 1.0), 6) AS avg_chunk_len
+FROM documents d LEFT JOIN b ON d.doc_id = b.doc_id
+"""
+
+from spatialdata_spark.pipeline.fingerprints import gram_hash_sql as _gram_hash_sql
+
+PL_WINNOW_SQL = PL_WINNOW_SQL.format(gh5=_gram_hash_sql("substr(text, pos, 5)", 5))
+PL_CDC_CHUNKS_SQL = PL_CDC_CHUNKS_SQL.format(gh4=_gram_hash_sql("substr(text, pos, 4)", 4))
+
+
+def pl_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023): per-document
+    log-likelihood ratio of hashed-bigram features, target = the
+    ``lang='en'`` slice vs the raw corpus.  1024-bucket feature
+    hashing with the engine-common md5 hash; bucket tables broadcast;
+    per-doc float sum runs over grouped buckets and rounds to 6 dp."""
+    from spatialdata_spark.pipeline.filters import dsir_weights
+
+    return dsir_weights(_read(spark, sf_dir, "documents"), target_lang="en")
+
+
+PL_DSIR_WEIGHTS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS a FROM documents
+), tok2 AS (
+  SELECT doc_id, lang, [x FOR x IN a IF x <> ''] AS a FROM toks
+), bg AS (
+  SELECT doc_id, lang, a[i] || ' ' || a[i+1] AS bg
+  FROM tok2, unnest(generate_series(1, len(a)-1)) AS t(i)
+  WHERE len(a) >= 2
+), bkt AS (
+  SELECT doc_id, lang, ('0x'||substr(md5(bg),1,15))::BIGINT % 1024 AS bkt FROM bg
+), rc AS (
+  SELECT bkt, COUNT(*)::BIGINT AS cr,
+         SUM(CASE WHEN lang='en' THEN 1 ELSE 0 END)::BIGINT AS ct
+  FROM bkt GROUP BY 1
+), tot AS ( SELECT SUM(cr) AS nr, SUM(ct) AS nt FROM rc ),
+lr AS (
+  SELECT bkt, LN(CAST(ct+1 AS DOUBLE)) - LN(CAST(nt+1024 AS DOUBLE))
+            - LN(CAST(cr+1 AS DOUBLE)) + LN(CAST(nr+1024 AS DOUBLE)) AS lr
+  FROM rc, tot
+), db AS (
+  SELECT doc_id, bkt, COUNT(*)::BIGINT AS cnt FROM bkt GROUP BY 1,2
+)
+SELECT db.doc_id, SUM(cnt)::BIGINT AS n_bigrams,
+       ROUND(SUM(cnt * lr), 6) AS dsir_logweight
+FROM db JOIN lr ON db.bkt = lr.bkt GROUP BY 1
+"""
+
+
+def st_props_json(spark, sf_dir):
+    """Semi-structured analytics: parse the JSON ``props`` payload of
+    the events stream (``get_json_object`` — JVM-side Jackson path
+    evaluation, no Python) and aggregate the extracted field per
+    event type.  At 100 TB the JSON parse happens inside the scan
+    task (map-side, codegen) and only the grouped aggregates shuffle."""
+    ev = _read(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("__k"), "value")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.count("__k").cast("long").alias("n_with_k"),
+            F.sum("__k").cast("long").alias("sum_k"),
+            F.max("__k").cast("int").alias("max_k"),
+            F.round(F.avg("__k"), 9).alias("avg_k"),
+            F.round(F.sum(F.when(F.col("__k") >= 50, F.col("value"))), 6).alias(
+                "value_hi_k"
+            ),
+        )
+    )
+
+
+ST_PROPS_JSON_SQL = """
+WITH p AS (
+  SELECT event_type, CAST(json_extract(props, '$.k') AS INTEGER) AS k, value
+  FROM events
+)
+SELECT event_type,
+       COUNT(*)::BIGINT AS n_events,
+       COUNT(k)::BIGINT AS n_with_k,
+       SUM(k)::BIGINT AS sum_k,
+       CAST(MAX(k) AS INTEGER) AS max_k,
+       ROUND(AVG(k), 9) AS avg_k,
+       ROUND(SUM(CASE WHEN k >= 50 THEN value END), 6) AS value_hi_k
+FROM p GROUP BY 1
+"""
+
+
+def pl_embed_pool(spark, sf_dir):
+    """Exact per-label mean pooling of embedding vectors (class
+    centroids / chunk-to-document pooling) in fixed-point int64 — the
+    sums are order-free, so Spark's partial aggregation is bit-equal
+    to a sequential SQL replay.  Long-format output (label, dim,
+    n_vecs, mean_val)."""
+    from spatialdata_spark.pipeline.clustering import pool_embeddings
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return pool_embeddings(emb, q=100)
+
+
+PL_EMBED_POOL_SQL = """
+WITH longv AS (
+  SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(FLOOR(unnest(CAST(embedding AS DOUBLE[])) * 100 + 0.5) AS BIGINT) AS val
+  FROM embeddings
+)
+SELECT label, pos, COUNT(*)::BIGINT AS n_vecs,
+       ROUND(SUM(val) / (COUNT(*) * 100.0), 9) AS mean_val
+FROM longv GROUP BY 1, 2
+"""
+
+
+def pl_score_norm(spark, sf_dir):
+    """Cross-source score normalization: heuristic quality scores are
+    incomparable across heterogeneous sources, so normalize
+    within-source by rank (``percent_rank``, deterministic doc_id
+    tie-break) before applying one global keep threshold — the
+    standard corpus-mixing preprocessing step.  One window per source
+    partition; no global sort, no floats besides the final ratio."""
+    from pyspark.sql.window import Window
+
+    docs = _read(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    pct = F.percent_rank().over(w)
+    return docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.round(pct, 9).alias("pct_in_source"),
+        (pct >= 0.2).cast("int").alias("keep"),
+    )
+
+
+PL_SCORE_NORM_SQL = """
+SELECT doc_id, source, n_chars,
+       ROUND(percent_rank() OVER (PARTITION BY source ORDER BY n_chars, doc_id), 9)
+         AS pct_in_source,
+       CASE WHEN percent_rank() OVER (PARTITION BY source ORDER BY n_chars, doc_id)
+                 >= 0.2 THEN 1 ELSE 0 END AS keep
+FROM documents
+"""
+
+
 def q_pivot_revenue(spark, sf_dir):
     """Pivot coverage: revenue by returnflag with linestatus spread to
     columns via ``groupBy().pivot()`` with an explicit value list —
@@ -5646,6 +5916,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries + 10 rq_ relational) remain for the round-8 head.
     return {
         # --- new in round 7 ---
+        "pl_hll_distinct": pl_hll_distinct,
+        "pl_winnow": pl_winnow,
+        "pl_cdc_chunks": pl_cdc_chunks,
+        "pl_dsir_weights": pl_dsir_weights,
+        "st_props_json": st_props_json,
+        "pl_embed_pool": pl_embed_pool,
+        "pl_score_norm": pl_score_norm,
         "pl_gopher_rules": pl_gopher_rules,
         "pl_containment": pl_containment,
         "pl_kmv_distinct": pl_kmv_distinct,
@@ -5821,6 +6098,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "pl_hll_distinct": PL_HLL_DISTINCT_SQL,
+        "pl_winnow": PL_WINNOW_SQL,
+        "pl_cdc_chunks": PL_CDC_CHUNKS_SQL,
+        "pl_dsir_weights": PL_DSIR_WEIGHTS_SQL,
+        "st_props_json": ST_PROPS_JSON_SQL,
+        "pl_embed_pool": PL_EMBED_POOL_SQL,
+        "pl_score_norm": PL_SCORE_NORM_SQL,
         "q01_pricing_summary": Q01_SQL,
         "q03_shipping": Q03_SQL,
         "q05_local_supplier": Q05_SQL,

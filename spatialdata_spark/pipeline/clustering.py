@@ -542,3 +542,52 @@ def knn_classify(
             (F.col("m.l") == F.col("true_label")).cast("int").alias("correct"),
         )
     )
+
+
+def pool_embeddings(
+    embeddings: DataFrame,
+    q: int = 100,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact per-group mean pooling of embedding vectors (class
+    centroids / document-from-chunk pooling) in the module's
+    fixed-point arithmetic: components quantize exactly as
+    :func:`quantize_long` (``floor(x*q + 0.5)`` — deterministic across
+    engines), the per-(group, dim) sum is exact int64 (order-free, so
+    Spark's partial aggregation cannot diverge from a sequential SQL
+    replay), and the mean divides once at the end.
+
+    Long-format output ``(group, pos, n_vecs, mean_val)`` — reassemble
+    to ``array<double>`` with ``array_agg(mean_val ORDER BY pos)``
+    when a wide vector is needed.  Scale: one map-side explode, one
+    hash aggregation keyed (group, dim) — ``n_groups * dim`` result
+    rows; nothing is collected, nothing shuffles full vectors.
+    int64 bound: ``|sum| <= n_rows * q * max|x| * 1`` — raise ``q``
+    only with corpus bounds in mind (q=100 holds to ~10^14 rows of
+    unit-norm embeddings).
+    """
+    longv = embeddings.select(
+        F.col(group_col).alias("__grp"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "x"),
+    ).select(
+        "__grp",
+        "pos",
+        F.floor(F.col("x") * q + F.lit(0.5)).cast("long").alias("val"),
+    )
+    out = (
+        longv.groupBy("__grp", "pos")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum("val").alias("__s"),
+        )
+        .select(
+            F.col("__grp").alias(group_col),
+            "pos",
+            "n_vecs",
+            F.round(F.col("__s") / (F.col("n_vecs") * float(q)), 9).alias(
+                "mean_val"
+            ),
+        )
+    )
+    return out

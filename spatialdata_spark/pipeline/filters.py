@@ -742,3 +742,100 @@ def mix_epochs(
         .drop("__reps")
         .withColumn("epoch", F.col("epoch").cast("long"))
     )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_lang: str = "en",
+    n_buckets: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al., NeurIPS 2023 "Data
+    Selection for Language Models via Importance Resampling"): score
+    every document by the log-likelihood ratio of its hashed-bigram
+    features under a *target* distribution (here: the ``target_lang``
+    slice) vs the *raw* corpus distribution.  Documents whose feature
+    profile resembles the target get high weights; sampling
+    ``exp(weight)``-proportionally reshapes the raw corpus toward the
+    target domain.
+
+    Features are word bigrams hashed into ``n_buckets`` buckets with
+    the engine-common md5 hash (first 60 hex-parsed bits, mod
+    ``n_buckets``) so the whole computation — bucket counts,
+    add-1-smoothed log ratios, per-document sums — replays exactly in
+    DuckDB.  The per-bucket log-ratio
+
+        ``lr[b] = ln( (c_t[b]+1) / (n_t+m)  /  ((c_r[b]+1) / (n_r+m)) )``
+
+    is precomputed once (a ``n_buckets``-row table, broadcast), and the
+    document weight is ``sum_b count_in_doc[b] * lr[b]`` — grouped
+    per (doc, bucket) first so the float sum runs over at most
+    ``n_buckets`` terms.
+
+    Scale: the bigram explode is map-side; the two bucket-count
+    aggregations are ``n_buckets``-sized (map-side combinable); the
+    only join against document-sized data is broadcast
+    (``n_buckets`` rows).  Nothing document-sized is ever collected.
+
+    Output: ``(id, n_bigrams, dsir_logweight)`` — weight rounded to
+    6 dp (the float-sum parity precedent of the BM25/unigram-LM
+    oracles).
+    """
+    m = int(n_buckets)
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != ""
+    )
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat(
+                F.element_at(toks, i.cast("int")),
+                F.lit(" "),
+                F.element_at(toks, (i + 1).cast("int")),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = docs.select(
+        F.col(id_col),
+        F.col(lang_col).alias("__lang"),
+        F.explode(bigrams).alias("__bg"),
+    )
+    h = F.conv(F.substring(F.md5(F.col("__bg")), 1, 15), 16, 10).cast("long")
+    bucketed = bg.select(id_col, "__lang", F.pmod(h, F.lit(m)).alias("__bkt"))
+
+    raw_counts = bucketed.groupBy("__bkt").agg(
+        F.count(F.lit(1)).cast("long").alias("__cr"),
+        F.sum((F.col("__lang") == target_lang).cast("long")).alias("__ct"),
+    )
+    totals = raw_counts.agg(
+        F.sum("__cr").alias("__nr"), F.sum("__ct").alias("__nt")
+    )
+    lr_tbl = raw_counts.crossJoin(F.broadcast(totals)).select(
+        "__bkt",
+        (
+            F.log((F.col("__ct") + 1).cast("double"))
+            - F.log((F.col("__nt") + m).cast("double"))
+            - F.log((F.col("__cr") + 1).cast("double"))
+            + F.log((F.col("__nr") + m).cast("double"))
+        ).alias("__lr"),
+    )
+    if docs.sparkSession.sparkContext.master.startswith("local"):
+        lr_tbl = F.broadcast(lr_tbl)
+    doc_bkt = bucketed.groupBy(id_col, "__bkt").agg(
+        F.count(F.lit(1)).cast("long").alias("__cnt")
+    )
+    # buckets never seen in the corpus cannot appear in any document,
+    # so the inner join is lossless
+    return (
+        doc_bkt.join(lr_tbl, "__bkt")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__cnt").cast("long").alias("n_bigrams"),
+            F.round(F.sum(F.col("__cnt") * F.col("__lr")), 6).alias(
+                "dsir_logweight"
+            ),
+        )
+    )

@@ -570,3 +570,93 @@ def kmv_distinct(
         "kth_hash",
         est.cast("long").alias("est_distinct"),
     )
+
+
+def hll_distinct(
+    docs: DataFrame,
+    p: int = 10,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """HyperLogLog distinct-token estimate per group (Flajolet et al.
+    2007) — the fixed-size mergeable sketch for COUNT(DISTINCT) at
+    100 TB: registers aggregate map-side (``groupBy(bucket).max(rho)``
+    partial-combines inside each scan task), the shuffle carries at
+    most ``m = 2^p`` rows per group regardless of cardinality, and
+    sketches from different corpora merge by register max.
+
+    Unlike most HLL implementations, THIS ONE REPLAYS EXACTLY IN ANSI
+    SQL: the token hash is the first 60 bits of ``md5`` parsed from
+    hex (identical in Spark ``conv(substring(md5(x),1,15),16,10)`` and
+    DuckDB ``('0x'||substr(md5(x),1,15))::BIGINT``), the register value
+    is derived from the minimal-width binary string (``bin`` in both
+    engines), and the harmonic denominator is accumulated as the exact
+    integer ``sum(2^(51-rho))`` (every term is a dyadic integer
+    ``<= 2^50``; the int64 sum is order-independent, so no
+    float-summation divergence) — the only float ops are one final
+    division and, in the small-range branch, one ``ln``.
+
+    Registers: ``bucket = h >> (60-p)`` (top ``p`` bits), ``w`` = the
+    remaining ``60-p`` bits, ``rho = (60-p)+1 - bitlength(w)`` (and
+    ``61-p`` when ``w = 0``).  Estimate: the standard bias-corrected
+    harmonic mean ``alpha_m * m^2 / sum_j 2^(-M_j)`` with the
+    small-range linear-counting correction ``m * ln(m / V)`` when
+    ``E <= 2.5 m`` and some register is empty (V = empty registers).
+
+    Output: ``(group, n_filled, est_hll)`` — BIGINT, BIGINT, DOUBLE
+    rounded to 9 dp.
+    """
+    m = 1 << p
+    wbits = 60 - p
+    if p == 10:
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+    elif p == 4:
+        alpha = 0.673
+    elif p == 5:
+        alpha = 0.697
+    elif p == 6:
+        alpha = 0.709
+    else:
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+    toks = docs.select(
+        F.col(group_col).alias("__g"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("__tok"),
+    ).filter(F.col("__tok") != "")
+    h = F.conv(F.substring(F.md5(F.col("__tok")), 1, 15), 16, 10).cast("long")
+    hashed = toks.select("__g", h.alias("__h"))
+    w = F.col("__h").bitwiseAND(F.lit((1 << wbits) - 1))
+    rho = F.when(w == 0, F.lit(wbits + 1)).otherwise(
+        F.lit(wbits + 1) - F.length(F.bin(w))
+    )
+    regs = (
+        hashed.select(
+            "__g",
+            F.shiftright(F.col("__h"), wbits).alias("__bucket"),
+            rho.alias("__rho"),
+        )
+        .groupBy("__g", "__bucket")
+        .agg(F.max("__rho").alias("__mj"))
+    )
+    # exact-integer harmonic denominator, scaled by 2^(wbits+1):
+    # each register contributes 2^(wbits+1-mj), an empty one 2^(wbits+1)
+    contrib = F.pow(F.lit(2.0), F.lit(wbits + 1) - F.col("__mj")).cast("long")
+    sk = regs.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_filled"),
+        F.sum(contrib).cast("long").alias("__denom_part"),
+    )
+    scale = float(1 << (wbits + 1))
+    denom = (
+        F.col("__denom_part")
+        + (F.lit(m).cast("long") - F.col("n_filled")) * F.lit(1 << (wbits + 1)).cast("long")
+    ).cast("double")
+    raw = F.lit(alpha * m * m * scale) / denom
+    zeros = (F.lit(m).cast("long") - F.col("n_filled")).cast("double")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    return sk.select(
+        F.col("__g").alias(group_col),
+        "n_filled",
+        F.round(est, 9).alias("est_hll"),
+    )

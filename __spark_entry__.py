@@ -5321,6 +5321,169 @@ FROM documents
 """
 
 
+def pl_c4_rules(spark, sf_dir):
+    """C4 cleaning rules (Raffel et al. 2020) — line keep-filter +
+    page gate, entirely map-side higher-order expressions (zero
+    shuffle, zero Python: the whole pass fuses into the parquet
+    scan)."""
+    from spatialdata_spark.pipeline.filters import c4_rules
+
+    return c4_rules(_read(spark, sf_dir, "documents"))
+
+
+PL_C4_RULES_SQL = r"""
+WITH l AS (
+  SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM documents
+), k AS (
+  SELECT doc_id, text, len(ls) AS n_lines,
+    list_filter(ls, x -> trim(x) <> ''
+        AND regexp_matches(trim(x), '[.!?"]$')
+        AND len(string_split_regex(trim(x), '\s+')) >= 5
+        AND NOT contains(lower(trim(x)), 'javascript')) AS kept
+  FROM l
+), j AS (
+  SELECT doc_id, text, n_lines, len(kept) AS n_kept,
+         COALESCE(array_to_string(kept, chr(10)), '') AS joined
+  FROM k
+)
+SELECT doc_id,
+  CAST(n_lines AS BIGINT) AS n_lines,
+  CAST(n_kept AS BIGINT) AS n_kept_lines,
+  CAST(length(joined) AS BIGINT) AS kept_chars,
+  CAST(length(joined) - length(regexp_replace(joined, '[.!?]', '', 'g'))
+       AS BIGINT) AS n_sentences,
+  CASE WHEN NOT contains(lower(text), 'lorem ipsum')
+            AND NOT contains(text, '{')
+            AND length(joined) - length(regexp_replace(joined, '[.!?]', '', 'g')) >= 3
+       THEN 1 ELSE 0 END AS keep_doc
+FROM j
+"""
+
+
+def pl_ngram_novelty(spark, sf_dir):
+    """Per-document 3-gram novelty fraction — first-owner MIN per gram
+    (vocabulary-sized, map-side combinable) joined back broadcast-
+    gated; the "how much new text does this document add" curation
+    diagnostic."""
+    from spatialdata_spark.pipeline.filters import ngram_novelty
+
+    return ngram_novelty(_read(spark, sf_dir, "documents"), n=3)
+
+
+PL_NGRAM_NOVELTY_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts
+  FROM documents WHERE trim(text) <> ''
+), grams AS (
+  SELECT DISTINCT doc_id,
+         ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
+  FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS t(i)
+  WHERE len(ts) >= 3
+), first_owner AS (
+  SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY 1
+)
+SELECT grams.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_grams,
+  CAST(SUM(CASE WHEN grams.doc_id = first_owner.first_doc THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_novel,
+  ROUND(SUM(CASE WHEN grams.doc_id = first_owner.first_doc THEN 1 ELSE 0 END)
+        / CAST(COUNT(*) AS DOUBLE), 9) AS novelty
+FROM grams JOIN first_owner USING (g)
+GROUP BY 1
+"""
+
+
+def pl_bigram_lm(spark, sf_dir):
+    """Corpus-trained add-one bigram LM: per-document mean negative
+    log-likelihood (CCNet quality ladder, one rung above the unigram
+    score).  Vocabulary-sized count tables, broadcast-gated joins."""
+    from spatialdata_spark.pipeline.textstats import bigram_lm_score
+
+    return bigram_lm_score(_read(spark, sf_dir, "documents"))
+
+
+PL_BIGRAM_LM_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts
+  FROM documents WHERE trim(text) <> ''
+), big AS (
+  SELECT doc_id, ts[i] || ' ' || ts[i+1] AS g, ts[i] AS a
+  FROM toks, UNNEST(generate_series(1, len(ts) - 1)) AS t(i)
+  WHERE len(ts) >= 2
+), uni AS (
+  SELECT unnest(ts) AS tok FROM toks
+), c1 AS (
+  SELECT tok AS a, COUNT(*) AS c1 FROM uni GROUP BY 1
+), c2 AS (
+  SELECT g, COUNT(*) AS c2 FROM big GROUP BY 1
+), v AS (
+  SELECT COUNT(DISTINCT tok) AS v FROM uni
+)
+SELECT big.doc_id,
+  ROUND(AVG(-LN((c2.c2 + 1.0) / (c1.c1 + v.v))), 6) AS nll_bigram
+FROM big JOIN c2 USING (g) JOIN c1 USING (a) CROSS JOIN v
+GROUP BY 1
+"""
+
+
+def pl_source_overlap(spark, sf_dir):
+    """Pairwise source-overlap Jaccard matrix from k=64 KMV sketches —
+    the union/intersection order-statistic estimator (Beyer et al.
+    2007); everything past the per-source sketch is sketch-sized."""
+    from spatialdata_spark.pipeline.textstats import kmv_source_overlap
+
+    return kmv_source_overlap(_read(spark, sf_dir, "documents"), k=64)
+
+
+PL_SOURCE_OVERLAP_SQL = r"""
+WITH toks AS (
+  SELECT DISTINCT source, tok FROM (
+    SELECT source,
+           UNNEST(string_split_regex(LOWER(TRIM(text)), '\s+')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+), hashed AS (
+  SELECT DISTINCT source,
+    list_reduce(
+      list_prepend(CAST(0 AS BIGINT),
+        list_transform(generate_series(1, LEN(tok)),
+                       i -> CAST(ascii(substring(tok, i, 1)) AS BIGINT))),
+      (a, b) -> (a * 1000003 + b) % 2147483647) + 1 AS h
+  FROM toks
+), sk AS (
+  SELECT source, h FROM (
+    SELECT source, h,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+    FROM hashed
+  ) WHERE rn <= 64
+), pairs AS (
+  SELECT a.source AS s1, b.source AS s2
+  FROM (SELECT DISTINCT source FROM sk) a,
+       (SELECT DISTINCT source FROM sk) b
+  WHERE a.source < b.source
+), u AS (
+  SELECT s1, s2, h, MAX(i1) AS i1, MAX(i2) AS i2 FROM (
+    SELECT pairs.s1, pairs.s2, sk.h, 1 AS i1, 0 AS i2
+    FROM pairs JOIN sk ON sk.source = pairs.s1
+    UNION ALL
+    SELECT pairs.s1, pairs.s2, sk.h, 0 AS i1, 1 AS i2
+    FROM pairs JOIN sk ON sk.source = pairs.s2
+  ) GROUP BY 1, 2, 3
+), d AS (
+  SELECT s1, s2, i1, i2 FROM (
+    SELECT s1, s2, i1, i2,
+           ROW_NUMBER() OVER (PARTITION BY s1, s2 ORDER BY h) AS rn
+    FROM u
+  ) WHERE rn <= 64
+)
+SELECT s1, s2,
+  CAST(COUNT(*) AS BIGINT) AS n_union_k,
+  CAST(SUM(i1 * i2) AS BIGINT) AS n_common,
+  ROUND(SUM(i1 * i2) / CAST(COUNT(*) AS DOUBLE), 9) AS est_jaccard
+FROM d GROUP BY 1, 2
+"""
+
+
 def q_pivot_revenue(spark, sf_dir):
     """Pivot coverage: revenue by returnflag with linestatus spread to
     columns via ``groupBy().pivot()`` with an explicit value list —
@@ -5916,6 +6079,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries + 10 rq_ relational) remain for the round-8 head.
     return {
         # --- new in round 7 ---
+        "pl_c4_rules": pl_c4_rules,
+        "pl_ngram_novelty": pl_ngram_novelty,
+        "pl_bigram_lm": pl_bigram_lm,
+        "pl_source_overlap": pl_source_overlap,
         "pl_hll_distinct": pl_hll_distinct,
         "pl_winnow": pl_winnow,
         "pl_cdc_chunks": pl_cdc_chunks,
@@ -6098,6 +6265,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "pl_c4_rules": PL_C4_RULES_SQL,
+        "pl_ngram_novelty": PL_NGRAM_NOVELTY_SQL,
+        "pl_bigram_lm": PL_BIGRAM_LM_SQL,
+        "pl_source_overlap": PL_SOURCE_OVERLAP_SQL,
         "pl_hll_distinct": PL_HLL_DISTINCT_SQL,
         "pl_winnow": PL_WINNOW_SQL,
         "pl_cdc_chunks": PL_CDC_CHUNKS_SQL,

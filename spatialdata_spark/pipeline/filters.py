@@ -839,3 +839,100 @@ def dsir_weights(
             ),
         )
     )
+
+
+def c4_rules(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """C4 line- and page-level cleaning rules (Raffel et al. 2020,
+    JMLR §2.2 — the cleaning pass behind the C4 corpus): a line
+    survives iff it ends in a terminal punctuation mark (``.!?"``),
+    holds at least five words, and does not mention ``javascript``;
+    the page survives iff it contains no ``lorem ipsum``, no curly
+    brace, and at least three sentences remain in the kept lines
+    (sentence count = terminal-punctuation occurrences).
+
+    Entirely per-row higher-order expressions over the line array —
+    no explode, no shuffle, no Python: a 100 TB crawl cleans in a
+    single map-side pass glued to the parquet scan, and the whole
+    predicate replays in ANSI SQL (``list_filter`` twin).
+
+    Output: ``(doc_id, n_lines, n_kept_lines, kept_chars,
+    n_sentences, keep_doc)``.
+    """
+    lines = F.split(F.col(text_col), "\n")
+
+    def _kept(l):
+        t = F.trim(l)
+        return (
+            (t != "")
+            & t.rlike('[.!?"]$')
+            & (F.size(F.split(t, r"\s+")) >= 5)
+            & ~F.contains(F.lower(t), F.lit("javascript"))
+        )
+
+    kept = F.filter(lines, _kept)
+    joined = F.array_join(kept, "\n")
+    n_sent = F.length(joined) - F.length(
+        F.regexp_replace(joined, r"[.!?]", "")
+    )
+    keep_doc = (
+        ~F.contains(F.lower(F.col(text_col)), F.lit("lorem ipsum"))
+        & ~F.contains(F.col(text_col), F.lit("{"))
+        & (n_sent >= 3)
+    )
+    return docs.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        F.length(joined).cast("long").alias("kept_chars"),
+        n_sent.cast("long").alias("n_sentences"),
+        keep_doc.cast("int").alias("keep_doc"),
+    )
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's
+    DISTINCT word n-grams whose first corpus owner (minimum doc_id
+    over every document containing the gram) is the document itself —
+    the standard "how much genuinely new text does this shard add"
+    curation diagnostic (the document-level dual of keep-first
+    paragraph dedup).
+
+    Plan: one distinct (doc, gram) explode; first-owner is a single
+    map-side-combinable MIN per gram (the result is gram-VOCABULARY-
+    sized, not corpus-sized); the join back is broadcast-gated (on a
+    cluster AQE decides); one per-document aggregation.  Documents
+    with fewer than ``n`` tokens emit no row.
+    """
+    grams = (
+        docs.select(
+            F.col(id_col).alias("__d"),
+            F.explode(word_ngrams(word_tokens(text_col), n)).alias("__g"),
+        )
+        .distinct()
+    )
+    first = grams.groupBy("__g").agg(F.min("__d").alias("__first"))
+    if docs.sparkSession.sparkContext.master.startswith("local"):
+        first = F.broadcast(first)
+    return (
+        grams.join(first, "__g")
+        .groupBy("__d")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum((F.col("__d") == F.col("__first")).cast("long"))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            F.col("__d").alias(id_col),
+            "n_grams",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_grams"), 9).alias("novelty"),
+        )
+    )

@@ -660,3 +660,137 @@ def hll_distinct(
         "n_filled",
         F.round(est, 9).alias("est_hll"),
     )
+
+
+def bigram_lm_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document mean negative log-likelihood under the corpus's
+    own add-one-smoothed BIGRAM language model — one rung up the
+    CCNet quality ladder from :func:`unigram_lm_score` (CCNet proper
+    uses a 5-gram KenLM; the bigram form captures local word order
+    with the same relational shape).
+
+    ``p(b | a) = (c(ab) + 1) / (c(a) + V)`` with ``c(ab)`` the corpus
+    bigram count, ``c(a)`` the corpus unigram count and ``V`` the
+    unigram vocabulary size; ``nll(doc) = -mean(ln p)`` over the
+    document's bigrams, rounded to 6 dp (the established oracle
+    precision for LM scores).
+
+    Plan: one bigram explode and one unigram explode; both count
+    tables are VOCABULARY-sized (map-side combine) and join back
+    broadcast-gated; corpus constants ride a 1-row cross join; the
+    final per-document mean combines map-side.  Documents with fewer
+    than two tokens emit no row (no bigram, no likelihood).
+    """
+    from .filters import word_ngrams, word_tokens
+
+    base = docs.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col), word_tokens(text_col).alias("__toks")
+    )
+    bg = base.select(
+        id_col, F.explode(word_ngrams(F.col("__toks"), 2)).alias("__g")
+    ).withColumn("__a", F.substring_index(F.col("__g"), " ", 1))
+    c2 = bg.groupBy("__g").agg(F.count(F.lit(1)).alias("__c2"))
+    # separately-named explode: no shared lineage with the joins below
+    uni = base.select(F.explode("__toks").alias("__t2"))
+    c1 = uni.groupBy(F.col("__t2").alias("__a")).agg(
+        F.count(F.lit(1)).alias("__c1")
+    )
+    totals = uni.agg(F.countDistinct("__t2").alias("__V"))
+    spark = docs.sparkSession
+    if spark.sparkContext.master.startswith("local"):
+        c2 = F.broadcast(c2)
+        c1 = F.broadcast(c1)
+    scored = (
+        bg.join(c2, "__g")
+        .join(c1, "__a")
+        .crossJoin(F.broadcast(totals.alias("tot")))
+    )
+    nll = -F.log(
+        (F.col("__c2") + F.lit(1.0)) / (F.col("__c1") + F.col("tot.__V"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.round(F.avg(nll), 6).alias("nll_bigram")
+    )
+
+
+def kmv_source_overlap(
+    docs: DataFrame,
+    k: int = 64,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairwise source-overlap (Jaccard) matrix from fixed-size KMV
+    sketches — "how much does corpus A share with corpus B" for every
+    source pair, without ever joining token sets corpus-to-corpus.
+    Each source keeps its ``k`` minimum distinct token hashes (the
+    :func:`kmv_distinct` order statistic, same 31-bit polynomial
+    hash); for a pair the k smallest hashes of the sketch UNION form
+    the sample ``D`` and ``J ≈ |D ∩ A ∩ B| / |D|`` (Beyer et al.
+    2007's union/intersection estimator).  Everything downstream of
+    the per-source sketch is SKETCH-sized — ``(n_sources² × k)``
+    rows regardless of corpus size — and the whole estimate replays
+    bit-exactly in SQL (integer order statistics, one 9 dp ratio).
+
+    Output: ``(s1, s2, n_union_k, n_common, est_jaccard)`` with
+    ``s1 < s2``.
+    """
+    from pyspark.sql.window import Window
+
+    B, P = 1000003, 2147483647
+    toks = (
+        docs.select(
+            F.col(group_col).alias("__g"),
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            ).alias("__tok"),
+        )
+        .filter(F.col("__tok") != "")
+        .distinct()
+    )
+    h = F.aggregate(
+        F.split(F.col("__tok"), ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * B + F.ascii(c)) % P,
+    ) + 1
+    hashed = toks.select("__g", h.alias("__h")).distinct()
+    w = Window.partitionBy("__g").orderBy("__h")
+    sk = (
+        hashed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= int(k))
+        .select("__g", "__h")
+    )
+    local = docs.sparkSession.sparkContext.master.startswith("local")
+    if local:
+        sk = F.broadcast(sk)
+    srcs = sk.select(F.col("__g").alias("s1")).distinct()
+    pairs = srcs.crossJoin(
+        srcs.select(F.col("s1").alias("s2"))
+    ).filter(F.col("s1") < F.col("s2"))
+    if local:
+        pairs = F.broadcast(pairs)
+    ra = pairs.join(
+        sk.select(F.col("__g").alias("s1"), F.col("__h").alias("h")), "s1"
+    ).select("s1", "s2", "h", F.lit(1).alias("i1"), F.lit(0).alias("i2"))
+    rb = pairs.join(
+        sk.select(F.col("__g").alias("s2"), F.col("__h").alias("h")), "s2"
+    ).select("s1", "s2", "h", F.lit(0).alias("i1"), F.lit(1).alias("i2"))
+    u = (
+        ra.union(rb)
+        .groupBy("s1", "s2", "h")
+        .agg(F.max("i1").alias("i1"), F.max("i2").alias("i2"))
+    )
+    wp = Window.partitionBy("s1", "s2").orderBy("h")
+    d = u.withColumn("__rn", F.row_number().over(wp)).filter(
+        F.col("__rn") <= int(k)
+    )
+    return d.groupBy("s1", "s2").agg(
+        F.count(F.lit(1)).cast("long").alias("n_union_k"),
+        F.sum(F.col("i1") * F.col("i2")).cast("long").alias("n_common"),
+        F.round(
+            F.sum(F.col("i1") * F.col("i2")) / F.count(F.lit(1)), 9
+        ).alias("est_jaccard"),
+    )

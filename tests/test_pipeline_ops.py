@@ -1626,3 +1626,155 @@ def test_perplexity_buckets_tercile_sizes(spark):
     head_max = max(r["nll"] for r in out if r["bucket"] == "head")
     tail_min = min(r["nll"] for r in out if r["bucket"] == "tail")
     assert head_max <= tail_min
+
+
+def test_c4_rules_each_rule_isolated(spark):
+    from spatialdata_spark.pipeline.filters import c4_rules
+
+    docs = spark.createDataFrame(
+        [
+            # 3 kept sentences -> keep_doc
+            (1, "One two three four five.\nSix seven eight nine ten!\nA b c d e?"),
+            # line too short (4 words) -> dropped line, 0 sentences
+            (2, "One two three four."),
+            # no terminal punctuation -> dropped
+            (3, "one two three four five six seven"),
+            # javascript line dropped even though well-formed
+            (4, "Please enable javascript to view this page today."),
+            # lorem ipsum kills the page even with 3 good lines
+            (5, "lorem ipsum dolor sit amet now.\nOne two three four five.\nSix seven eight nine ten."),
+            # curly brace kills the page
+            (6, "Alpha beta gamma delta epsilon.\nOne two three four five.\nSix seven eight nine ten. {"),
+            # empty text
+            (7, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in c4_rules(docs).collect()}
+    assert rows[1]["n_kept_lines"] == 3 and rows[1]["keep_doc"] == 1
+    assert rows[2]["n_kept_lines"] == 0 and rows[2]["keep_doc"] == 0
+    assert rows[3]["n_kept_lines"] == 0
+    assert rows[4]["n_kept_lines"] == 0
+    # page gates: lines kept but the page flag is 0
+    assert rows[5]["n_kept_lines"] == 3 and rows[5]["keep_doc"] == 0
+    assert rows[6]["keep_doc"] == 0
+    assert rows[7]["n_lines"] == 1 and rows[7]["n_kept_lines"] == 0
+    # sentence counting: doc 1 has one terminal mark per kept line
+    assert rows[1]["n_sentences"] == 3
+
+
+def test_ngram_novelty_matches_python_reference_random(spark):
+    import random
+
+    from spatialdata_spark.pipeline.filters import ngram_novelty
+
+    rng = random.Random(77)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = [
+        (d, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 15))))
+        for d in range(40)
+    ]
+    n = 3
+    gram_sets = {}
+    for d, t in docs:
+        toks = t.split()
+        gram_sets[d] = {
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        }
+    first = {}
+    for d in sorted(gram_sets):
+        for g in gram_sets[d]:
+            first.setdefault(g, d)
+    exp = {
+        d: (
+            len(gs),
+            sum(1 for g in gs if first[g] == d),
+        )
+        for d, gs in gram_sets.items()
+        if gs
+    }
+    out = {
+        r["doc_id"]: (r["n_grams"], r["n_novel"])
+        for r in ngram_novelty(
+            spark.createDataFrame(docs, "doc_id long, text string"), n=n
+        ).collect()
+    }
+    assert out == exp
+
+
+def test_bigram_lm_hand_computed(spark):
+    import math
+
+    from spatialdata_spark.pipeline.textstats import bigram_lm_score
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "c"), (4, "")],
+        "doc_id long, text string",
+    )
+    # corpus: tokens a,b,a,b,a,b,c -> c1: a=3,b=3,c=1; V=3
+    # bigrams: doc1 [a b, b a, a b], doc2 [a b] -> c2: "a b"=3, "b a"=1
+    p_ab = (3 + 1) / (3 + 3)
+    p_ba = (1 + 1) / (3 + 3)
+    exp1 = -(math.log(p_ab) * 2 + math.log(p_ba)) / 3
+    exp2 = -math.log(p_ab)
+    out = {r["doc_id"]: r["nll_bigram"] for r in bigram_lm_score(docs).collect()}
+    assert set(out) == {1, 2}  # doc3 has no bigram, doc4 empty
+    assert out[1] == round(exp1, 6)
+    assert out[2] == round(exp2, 6)
+
+
+def test_kmv_source_overlap_identical_disjoint_and_reference(spark):
+    import random
+
+    from spatialdata_spark.pipeline.textstats import kmv_source_overlap
+
+    # identical sources -> J=1; disjoint -> J=0
+    docs = spark.createDataFrame(
+        [
+            (1, "x y z q r", "A"),
+            (2, "x y z q r", "B"),
+            (3, "m n o p s", "C"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        (r["s1"], r["s2"]): (r["n_common"], r["n_union_k"], r["est_jaccard"])
+        for r in kmv_source_overlap(docs, k=8).collect()
+    }
+    assert out[("A", "B")][2] == 1.0
+    assert out[("A", "C")][2] == 0.0
+    assert out[("B", "C")][2] == 0.0
+
+    # randomized: estimator equals the python replay of the same
+    # order statistics (not merely close — the sketch is deterministic)
+    B, P = 1000003, 2147483647
+
+    def ph(t):
+        h = 0
+        for c in t:
+            h = (h * B + ord(c)) % P
+        return h + 1
+
+    rng = random.Random(5)
+    vocab = [f"t{i}" for i in range(300)]
+    rows, sets = [], {}
+    for si, s in enumerate(["S1", "S2", "S3"]):
+        toks = set(rng.sample(vocab, 120))
+        sets[s] = {ph(t) for t in toks}
+        rows.append((si, " ".join(sorted(toks)), s))
+    k = 16
+    exp = {}
+    for a in sets:
+        for b in sets:
+            if a < b:
+                d = sorted(sets[a] | sets[b])[:k]
+                common = sum(1 for h in d if h in sets[a] and h in sets[b])
+                exp[(a, b)] = (common, len(d), round(common / len(d), 9))
+    got = {
+        (r["s1"], r["s2"]): (r["n_common"], r["n_union_k"], r["est_jaccard"])
+        for r in kmv_source_overlap(
+            spark.createDataFrame(rows, "doc_id long, text string, source string"),
+            k=k,
+        ).collect()
+    }
+    assert got == exp

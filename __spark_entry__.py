@@ -5484,6 +5484,212 @@ FROM d GROUP BY 1, 2
 """
 
 
+def pl_bloom_decon(spark, sf_dir):
+    """Bloom-filter decontamination (the 100 TB pre-filter twin of
+    pl_decontaminate): the 'src0' eval slice compresses to a fixed
+    2^18-bit / 3-hash Bloom filter; corpus grams probe it map-side.
+    One-sided error, bit-exact SQL replay (md5 double hashing)."""
+    from spatialdata_spark.pipeline.filters import bloom_decontaminate
+
+    docs = _read(spark, sf_dir, "documents")
+    return bloom_decontaminate(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        n=3,
+        m_bits=1 << 18,
+        k=3,
+    )
+
+
+PL_BLOOM_DECON_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, source, string_split_regex(LOWER(TRIM(text)), '\s+') AS ts
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(1, LEN(ts) - 1),
+                i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS g
+  FROM toks
+),
+bg AS (SELECT DISTINCT g FROM grams WHERE source = 'src0'),
+bprobe AS (
+  SELECT DISTINCT (h1 % 262144 + j * (h2 % 262144 + 1)) % 262144 AS bit
+  FROM (
+    SELECT ('0x' || substr(md5(g), 1, 15))::BIGINT AS h1,
+           ('0x' || substr(md5(g), 16, 15))::BIGINT AS h2
+    FROM bg
+  ), UNNEST(generate_series(0, 2)) AS t(j)
+),
+cg AS (SELECT DISTINCT doc_id, g FROM grams WHERE source <> 'src0'),
+cprobe AS (
+  SELECT doc_id, g, (h1 % 262144 + j * (h2 % 262144 + 1)) % 262144 AS bit
+  FROM (
+    SELECT doc_id, g,
+           ('0x' || substr(md5(g), 1, 15))::BIGINT AS h1,
+           ('0x' || substr(md5(g), 16, 15))::BIGINT AS h2
+    FROM cg
+  ), UNNEST(generate_series(0, 2)) AS t(j)
+),
+pg AS (
+  SELECT cprobe.doc_id, cprobe.g,
+         CASE WHEN COUNT(bprobe.bit) = COUNT(*) THEN 1 ELSE 0 END AS maybe
+  FROM cprobe LEFT JOIN bprobe ON cprobe.bit = bprobe.bit
+  GROUP BY 1, 2
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(maybe) AS BIGINT) AS n_maybe,
+       ROUND(SUM(maybe) * 1.0 / COUNT(*), 9) AS bloom_frac
+FROM pg GROUP BY 1 HAVING SUM(maybe) > 0
+"""
+
+
+def pl_cms_topk(spark, sf_dir):
+    """Count-Min sketch (4x1024) frequency estimates for the top-30
+    corpus tokens — sketch-sized aggregation, exact integer replay."""
+    from spatialdata_spark.pipeline.textstats import cms_topk
+
+    return cms_topk(_read(spark, sf_dir, "documents"), d=4, w=1024, topk=30)
+
+
+PL_CMS_TOPK_SQL = r"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(LOWER(TRIM(text)), '\s+')) AS tok
+  FROM documents
+), counts AS (
+  SELECT tok, COUNT(*) AS c FROM toks WHERE tok <> '' GROUP BY 1
+), hashed AS (
+  SELECT tok, c,
+         ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h1,
+         ('0x' || substr(md5(tok), 16, 15))::BIGINT AS h2
+  FROM counts
+), cells AS (
+  SELECT j, (h1 % 1024 + j * (h2 % 1024 + 1)) % 1024 AS bucket,
+         SUM(c) AS cell
+  FROM hashed, UNNEST(generate_series(0, 3)) AS t(j)
+  GROUP BY 1, 2
+), top AS (
+  SELECT tok, c FROM counts ORDER BY c DESC, tok LIMIT 30
+), probes AS (
+  SELECT top.tok, top.c, t.j,
+         (h.h1 % 1024 + t.j * (h.h2 % 1024 + 1)) % 1024 AS bucket
+  FROM top JOIN hashed h ON top.tok = h.tok,
+       UNNEST(generate_series(0, 3)) AS t(j)
+)
+SELECT probes.tok AS token, CAST(probes.c AS BIGINT) AS c_true,
+       CAST(MIN(cells.cell) AS BIGINT) AS c_cms
+FROM probes JOIN cells ON probes.j = cells.j AND probes.bucket = cells.bucket
+GROUP BY 1, 2
+"""
+
+
+def pl_gram_matrix(spark, sf_dir):
+    """Fixed-point Gram matrix X^T X over the embedding corpus (upper
+    triangle) — per-task numpy GEMM partials, dim²-sized shuffle,
+    exact int64 accumulation (the PCA/whitening sufficient stat)."""
+    from spatialdata_spark.pipeline.clustering import gram_matrix
+
+    return gram_matrix(_read(spark, sf_dir, "embeddings"), q=100)
+
+
+PL_GRAM_MATRIX_SQL = r"""
+WITH q AS (
+  SELECT list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(FLOOR(x * 100 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+)
+SELECT CAST(i.i - 1 AS BIGINT) AS pos_i, CAST(j.j - 1 AS BIGINT) AS pos_j,
+       CAST(SUM(qv[i.i] * qv[j.j]) AS BIGINT) AS gram
+FROM q, UNNEST(generate_series(1, LEN(qv))) AS i(i),
+       UNNEST(generate_series(1, LEN(qv))) AS j(j)
+WHERE j.j >= i.i
+GROUP BY 1, 2
+"""
+
+
+def st_topn_window(spark, sf_dir):
+    """Top-5 users per day by event count — the streaming-leaderboard
+    shape: map-side (day, user) pre-aggregation, Arrow per-batch
+    local top-5 pre-truncation (pigeonhole: a global top-5 row is in
+    its batch's top-5), exact rank window on survivors only — a hot
+    day never funnels its full user set through one reducer."""
+    ev = _read(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+        "user_id",
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+
+    def _local_top(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf
+                continue
+            yield (
+                pdf.sort_values(
+                    ["day", "n_events", "user_id"],
+                    ascending=[True, False, True],
+                    kind="mergesort",
+                )
+                .groupby("day", sort=False)
+                .head(5)
+            )
+
+    capped = daily.mapInPandas(_local_top, schema=daily.schema)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("day").orderBy(
+        F.desc("n_events"), F.asc("user_id")
+    )
+    return (
+        capped.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 5)
+        .select("day", "user_id", "n_events", "rk")
+    )
+
+
+ST_TOPN_WINDOW_SQL = r"""
+WITH daily AS (
+  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, user_id,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), rk AS (
+  SELECT day, user_id, n,
+         ROW_NUMBER() OVER (PARTITION BY day ORDER BY n DESC, user_id) AS rk
+  FROM daily
+)
+SELECT day, user_id, CAST(n AS BIGINT) AS n_events, CAST(rk AS BIGINT) AS rk
+FROM rk WHERE rk <= 5
+"""
+
+
+def pl_sent_stats(spark, sf_dir):
+    """Per-document sentence-length stats (fragments on [.!?]+ runs):
+    count, mean/max words per sentence, run-on count — zero-shuffle
+    per-row array expressions fused into the scan."""
+    from spatialdata_spark.pipeline.textstats import sentence_stats
+
+    return sentence_stats(_read(spark, sf_dir, "documents"))
+
+
+PL_SENT_STATS_SQL = r"""
+WITH f AS (
+  SELECT doc_id,
+    list_filter(
+      list_transform(string_split_regex(text, '[.!?]+'),
+        s -> len(list_filter(string_split_regex(trim(s), '\s+'),
+                             t -> t <> ''))),
+      c -> c > 0) AS wc
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(wc) AS BIGINT) AS n_sentences,
+  ROUND(list_sum(wc) * 1.0 / len(wc), 9) AS mean_words,
+  CAST(list_max(wc) AS BIGINT) AS max_words,
+  CAST(len(list_filter(wc, c -> c >= 30)) AS BIGINT) AS n_run_on
+FROM f WHERE len(wc) > 0
+"""
+
+
 def q_pivot_revenue(spark, sf_dir):
     """Pivot coverage: revenue by returnflag with linestatus spread to
     columns via ``groupBy().pivot()`` with an explicit value list —
@@ -6079,6 +6285,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries + 10 rq_ relational) remain for the round-8 head.
     return {
         # --- new in round 7 ---
+        "pl_bloom_decon": pl_bloom_decon,
+        "pl_cms_topk": pl_cms_topk,
+        "pl_gram_matrix": pl_gram_matrix,
+        "st_topn_window": st_topn_window,
+        "pl_sent_stats": pl_sent_stats,
         "pl_c4_rules": pl_c4_rules,
         "pl_ngram_novelty": pl_ngram_novelty,
         "pl_bigram_lm": pl_bigram_lm,
@@ -6265,6 +6476,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "pl_bloom_decon": PL_BLOOM_DECON_SQL,
+        "pl_cms_topk": PL_CMS_TOPK_SQL,
+        "pl_gram_matrix": PL_GRAM_MATRIX_SQL,
+        "st_topn_window": ST_TOPN_WINDOW_SQL,
+        "pl_sent_stats": PL_SENT_STATS_SQL,
         "pl_c4_rules": PL_C4_RULES_SQL,
         "pl_ngram_novelty": PL_NGRAM_NOVELTY_SQL,
         "pl_bigram_lm": PL_BIGRAM_LM_SQL,

@@ -591,3 +591,52 @@ def pool_embeddings(
         )
     )
     return out
+
+
+def gram_matrix(
+    embeddings: DataFrame,
+    q: int = 100,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact fixed-point Gram matrix ``X^T X`` of the embedding
+    corpus (upper triangle incl. diagonal) — the single-pass
+    sufficient statistic behind PCA / whitening / linear probing at
+    100 TB: the corpus is read once, each task reduces its batches to
+    a ``dim x dim`` integer matrix with one numpy GEMM, and only
+    those dim²-sized partials shuffle (the final aggregation input is
+    ``batches x dim(dim+1)/2`` rows regardless of corpus size).
+
+    Components quantize exactly as :func:`quantize_long`
+    (``floor(x*q + 0.5)``, deterministic across engines) and every
+    accumulation is int64 — order-free, so Spark's partial
+    aggregation is bit-equal to a sequential SQL replay.  int64
+    bound: ``|sum| <= n_rows * (q * max|x|)²`` — q=100 on unit-scale
+    embeddings holds to ~10^13 rows; raise q only with corpus bounds
+    in mind (the same contract as :func:`pool_embeddings`).
+
+    Output: ``(pos_i, pos_j, gram)`` with ``pos_i <= pos_j``,
+    0-based, ``gram`` the exact integer sum of quantized products.
+    """
+    import numpy as np
+    import pandas as pd
+
+    qq = float(q)
+
+    def _partials(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Q = np.floor(X * qq + 0.5).astype(np.int64)
+            G = Q.T @ Q
+            iu, ju = np.triu_indices(G.shape[0])
+            yield pd.DataFrame(
+                {"pos_i": iu, "pos_j": ju, "gram": G[iu, ju]}
+            )
+
+    part = embeddings.select(vec_col).mapInPandas(
+        _partials, schema="pos_i long, pos_j long, gram long"
+    )
+    return part.groupBy("pos_i", "pos_j").agg(
+        F.sum("gram").cast("long").alias("gram")
+    )

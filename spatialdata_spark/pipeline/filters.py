@@ -936,3 +936,87 @@ def ngram_novelty(
             F.round(F.col("n_novel") / F.col("n_grams"), 9).alias("novelty"),
         )
     )
+
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    m_bits: int = 1 << 18,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bloom-filter benchmark decontamination — the 100 TB form of
+    :func:`decontaminate`: instead of broadcasting the benchmark's
+    full distinct n-gram SET (which grows with the eval suite), the
+    benchmark compresses to an ``m``-bit / ``k``-hash Bloom filter
+    (Bloom 1970; the Dolma/CCNet-style contamination pre-filter), a
+    FIXED-size structure regardless of how many eval sets are pooled.
+    A corpus gram is flagged iff all ``k`` probe bits are set — a
+    superset of the exact hits (one-sided error), so the output is a
+    conservative pre-filter feeding the exact join only on survivors.
+
+    The whole filter is deterministic and relational, so it replays
+    bit-exactly in ANSI SQL: probes use Kirsch–Mitzenmacher double
+    hashing ``bit_j = (h1 mod m + j * (h2 mod m + 1)) mod m`` over two
+    disjoint 60-bit slices of ``md5(gram)`` (the same hex-parse
+    identity the HLL sketch pins: Spark ``conv(substring(md5, ...),
+    16, 10)`` == DuckDB ``('0x' || substr(md5, ...))::BIGINT``).
+
+    Plan: benchmark grams -> k probes -> DISTINCT set-bit table
+    (<= m rows — broadcast whatever the eval corpus size); corpus
+    grams probe with a map-side join and one per-(doc, gram) AND
+    reduction; one per-document aggregate.  The corpus text never
+    shuffles; the only data-sized exchange is the distinct (doc,
+    gram) pair stream, identical to the exact path.
+
+    Output: ``(doc_id, n_grams, n_maybe, bloom_frac)`` for documents
+    with at least one flagged gram.
+    """
+    m = int(m_bits)
+    toks = word_tokens(text_col)
+
+    def _probes():
+        h1 = F.conv(F.substring(F.md5(F.col("__g")), 1, 15), 16, 10).cast(
+            "long"
+        )
+        h2 = F.conv(F.substring(F.md5(F.col("__g")), 16, 15), 16, 10).cast(
+            "long"
+        )
+        step = h2 % m + 1
+        return F.array(*[(h1 % m + j * step) % m for j in range(int(k))])
+
+    bits = (
+        benchmark.select(F.explode(word_ngrams(toks, n)).alias("__g"))
+        .distinct()
+        .select(F.explode(_probes()).alias("__bit"))
+        .distinct()
+        .withColumn("__set", F.lit(1))
+    )
+    cpair = (
+        corpus.select(
+            F.col(id_col), F.explode(word_ngrams(toks, n)).alias("__g")
+        )
+        .distinct()
+        .select(F.col(id_col), "__g", F.explode(_probes()).alias("__bit"))
+    )
+    per_gram = (
+        cpair.join(F.broadcast(bits), "__bit", "left")
+        .groupBy(id_col, "__g")
+        .agg(
+            (F.sum(F.coalesce("__set", F.lit(0))) == F.count(F.lit(1)))
+            .cast("long")
+            .alias("__maybe")
+        )
+    )
+    out = per_gram.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.sum("__maybe").cast("long").alias("n_maybe"),
+    )
+    return out.filter(F.col("n_maybe") > 0).select(
+        id_col,
+        "n_grams",
+        "n_maybe",
+        F.round(F.col("n_maybe") / F.col("n_grams"), 9).alias("bloom_frac"),
+    )

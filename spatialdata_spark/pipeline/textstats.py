@@ -794,3 +794,244 @@ def kmv_source_overlap(
             F.sum(F.col("i1") * F.col("i2")) / F.count(F.lit(1)), 9
         ).alias("est_jaccard"),
     )
+
+
+def cms_topk(
+    docs: DataFrame,
+    d: int = 4,
+    w: int = 1024,
+    topk: int = 30,
+    text_col: str = "text",
+) -> DataFrame:
+    """Count–Min sketch token-frequency estimates for the corpus's
+    top-``topk`` tokens (Cormode & Muthukrishnan 2005) — the
+    fixed-size frequency sketch a 100 TB stream aggregates instead of
+    the full vocabulary: ``d x w`` counters, each row a different
+    hash, point estimate = min over rows of the probed counter (a
+    one-sided >= overestimate).
+
+    Everything is deterministic integer arithmetic, so the sketch,
+    the probe, and the estimate all replay bit-exactly in ANSI SQL:
+    bucket hashing is the same Kirsch–Mitzenmacher double-hash over
+    disjoint 60-bit md5 slices the Bloom filter uses (``bucket_j =
+    (h1 mod w + j * (h2 mod w + 1)) mod w``).
+
+    Plan: the exact per-token count table is vocabulary-sized
+    (map-side combine); the sketch aggregates it to ``d*w`` rows
+    (counter table, broadcast); the top-k tokens (count desc, token
+    asc — deterministic) come from ``orderBy().limit()``, which
+    Catalyst compiles to ``TakeOrderedAndProject`` — per-partition
+    top-k merged at the driver, never a single-reducer global sort —
+    and probe the counter table with a map-side join and a min
+    aggregate.  At stream scale the counter table would aggregate
+    straight off the token stream with identical semantics — summing
+    exact per-token counts into buckets is associative either way.
+
+    Output: ``(token, c_true, c_cms)`` with ``c_cms >= c_true``.
+    """
+    ww = int(w)
+    counts = (
+        docs.select(
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            ).alias("__tok")
+        )
+        .filter(F.col("__tok") != "")
+        .groupBy("__tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+
+    def _buckets(col):
+        h1 = F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+        h2 = F.conv(F.substring(F.md5(col), 16, 15), 16, 10).cast("long")
+        step = h2 % ww + 1
+        return [(h1 % ww + j * step) % ww for j in range(int(d))]
+
+    rows = counts.select(
+        "__c",
+        F.posexplode(F.array(*_buckets(F.col("__tok")))).alias(
+            "__row", "__bucket"
+        ),
+    )
+    sketch = rows.groupBy("__row", "__bucket").agg(
+        F.sum("__c").alias("__cell")
+    )
+    top = counts.orderBy(F.desc("__c"), F.asc("__tok")).limit(int(topk))
+    probes = top.select(
+        "__tok",
+        "__c",
+        F.posexplode(F.array(*_buckets(F.col("__tok")))).alias(
+            "__row", "__bucket"
+        ),
+    )
+    est = (
+        probes.join(F.broadcast(sketch), ["__row", "__bucket"])
+        .groupBy("__tok", "__c")
+        .agg(F.min("__cell").cast("long").alias("c_cms"))
+    )
+    return est.select(
+        F.col("__tok").alias("token"),
+        F.col("__c").alias("c_true"),
+        "c_cms",
+    )
+
+
+def sentence_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document sentence-length distribution: fragments split on
+    terminal-punctuation runs (``[.!?]+`` — the RE2∩Java common
+    dialect, no lookbehind), a sentence = a fragment with at least one
+    word; reports sentence count, mean and max words per sentence,
+    and the count of run-on sentences (>= 30 words, a Gopher-adjacent
+    quality signal).
+
+    Entirely per-row array expressions — no explode, no shuffle, no
+    Python: the pass fuses into the parquet scan.  Documents with no
+    sentence emit no row (a mean over zero sentences is undefined).
+    """
+    frags = F.split(F.col(text_col), r"[.!?]+")
+    words = F.filter(
+        F.transform(
+            frags,
+            lambda s: F.size(
+                F.filter(F.split(F.trim(s), r"\s+"), lambda t: t != "")
+            ),
+        ),
+        lambda c: c > 0,
+    )
+    n_sent = F.size(words)
+    total = F.aggregate(
+        words, F.lit(0).cast("long"), lambda a, c: a + c
+    )
+    longest = F.array_max(words)
+    run_on = F.size(F.filter(words, lambda c: c >= 30))
+    return (
+        docs.select(
+            F.col(id_col),
+            n_sent.cast("long").alias("n_sentences"),
+            total.alias("__tot"),
+            longest.cast("long").alias("max_words"),
+            run_on.cast("long").alias("n_run_on"),
+        )
+        .filter(F.col("n_sentences") > 0)
+        .select(
+            id_col,
+            "n_sentences",
+            F.round(F.col("__tot") / F.col("n_sentences"), 9).alias(
+                "mean_words"
+            ),
+            "max_words",
+            "n_run_on",
+        )
+    )
+
+
+def token_entropy(
+    docs: DataFrame, group_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Per-group Shannon entropy of the token distribution plus
+    type-token ratio — the corpus-diversity diagnostics a data-mixture
+    report leads with (low entropy = templated/boilerplate-heavy
+    source).
+
+    ``H = ln(N) - (1/N) * sum_t c_t * ln(c_t)`` over the group's
+    token counts — one vocabulary-sized count table with map-side
+    combine, then one group-sized aggregation; nats, rounded to 6 dp
+    (the repo's established LM-score precision: float-sum order
+    effects sit far below the rounding).
+
+    Output: ``(group, n_tokens, n_types, ttr, entropy)``.
+    """
+    counts = (
+        docs.select(
+            F.col(group_col).alias("__g"),
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            ).alias("__tok"),
+        )
+        .filter(F.col("__tok") != "")
+        .groupBy("__g", "__tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    agg = counts.groupBy("__g").agg(
+        F.sum("__c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.col("__c") * F.log("__c")).alias("__clogc"),
+    )
+    ent = F.log(F.col("n_tokens")) - F.col("__clogc") / F.col("n_tokens")
+    return agg.select(
+        F.col("__g").alias(group_col),
+        "n_tokens",
+        "n_types",
+        F.round(F.col("n_types") / F.col("n_tokens"), 9).alias("ttr"),
+        F.round(ent, 6).alias("entropy"),
+    )
+
+
+def jsd_sources(
+    docs: DataFrame, group_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Jensen–Shannon divergence between each source's unigram
+    distribution ``P`` and the whole-corpus distribution ``Q`` — the
+    data-mixture "how far is this source from the blend" diagnostic
+    (the distance DoReMi-style reweighting monitors).
+
+    Uses the ``p = 0`` closed form so only a source's OWN tokens ever
+    materialize: for tokens absent from the source, the entire
+    contribution to ``KL(Q || M)`` collapses to ``ln 2 * (1 - sum_
+    {p>0} q)``, so ``JSD = 0.5 * sum_{p>0} [p ln(2p/(p+q)) +
+    q ln(2q/(p+q))] + 0.5 ln 2 * (1 - sum_{p>0} q)`` — no dense
+    (source x vocabulary) matrix.  Bits-free (nats), 6 dp.
+
+    Plan: one corpus count table and one per-source count table (both
+    vocabulary-sized, map-side combine), a broadcast-gated equi-join
+    between them, scalar totals on a 1-row cross join, one per-source
+    aggregation.
+
+    Output: ``(group, n_tokens, jsd)`` — JSD in [0, ln 2].
+    """
+    import math
+
+    toks = (
+        docs.select(
+            F.col(group_col).alias("__g"),
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            ).alias("__tok"),
+        )
+        .filter(F.col("__tok") != "")
+    )
+    sc = toks.groupBy("__g", "__tok").agg(
+        F.count(F.lit(1)).cast("long").alias("__cs")
+    )
+    cc = toks.groupBy("__tok").agg(
+        F.count(F.lit(1)).cast("long").alias("__cc")
+    )
+    totals = toks.agg(F.count(F.lit(1)).cast("long").alias("__N"))
+    stot = sc.groupBy("__g").agg(F.sum("__cs").cast("long").alias("__Ns"))
+    spark = docs.sparkSession
+    if spark.sparkContext.master.startswith("local"):
+        cc = F.broadcast(cc)
+        stot = F.broadcast(stot)
+    j = (
+        sc.join(cc, "__tok")
+        .join(stot, "__g")
+        .crossJoin(F.broadcast(totals.alias("tot")))
+    )
+    p = F.col("__cs") / F.col("__Ns")
+    q = F.col("__cc") / F.col("tot.__N")
+    term = p * F.log(F.lit(2.0) * p / (p + q)) + q * F.log(
+        F.lit(2.0) * q / (p + q)
+    )
+    agg = j.groupBy("__g", "__Ns").agg(
+        F.sum(term).alias("__t"), F.sum(q).alias("__qcov")
+    )
+    jsd = F.lit(0.5) * F.col("__t") + F.lit(0.5 * math.log(2.0)) * (
+        F.lit(1.0) - F.col("__qcov")
+    )
+    return agg.select(
+        F.col("__g").alias(group_col),
+        F.col("__Ns").alias("n_tokens"),
+        F.round(jsd, 6).alias("jsd"),
+    )

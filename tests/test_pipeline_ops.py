@@ -1778,3 +1778,214 @@ def test_kmv_source_overlap_identical_disjoint_and_reference(spark):
         ).collect()
     }
     assert got == exp
+
+
+def test_bloom_decontaminate_superset_and_reference(spark):
+    """Bloom flags are a superset of exact hits (one-sided error) and
+    match a hashlib-md5 python reference bloom bit-for-bit."""
+    import hashlib
+    import random
+
+    from spatialdata_spark.pipeline.filters import (
+        bloom_decontaminate,
+        decontaminate,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 25))))
+        for i in range(1, 31)
+    ]
+    corpus = spark.createDataFrame(rows[:20], ["doc_id", "text"])
+    bench = spark.createDataFrame(rows[20:], ["doc_id", "text"])
+
+    m, k, n = 1 << 12, 3, 3
+    out = {
+        r["doc_id"]: (r["n_grams"], r["n_maybe"])
+        for r in bloom_decontaminate(
+            corpus, bench, n=n, m_bits=m, k=k
+        ).collect()
+    }
+    exact = {
+        r["doc_id"]: r["n_shared"]
+        for r in decontaminate(corpus, bench, n=n).collect()
+    }
+    # superset: every exact hit is a bloom hit, count-wise
+    for d, n_shared in exact.items():
+        assert d in out and out[d][1] >= n_shared
+
+    # python reference bloom
+    def grams(text):
+        ts = text.lower().strip().split()
+        return {
+            " ".join(ts[i : i + n]) for i in range(len(ts) - n + 1)
+        }
+
+    def probes(g):
+        hx = hashlib.md5(g.encode()).hexdigest()
+        h1, h2 = int(hx[:15], 16), int(hx[15:30], 16)
+        step = h2 % m + 1
+        return [(h1 % m + j * step) % m for j in range(k)]
+
+    bits = set()
+    for _, t in rows[20:]:
+        for g in grams(t):
+            bits.update(probes(g))
+    ref = {}
+    for d, t in rows[:20]:
+        gs = grams(t)
+        if not gs:
+            continue
+        maybe = sum(1 for g in gs if all(p in bits for p in probes(g)))
+        if maybe:
+            ref[d] = (len(gs), maybe)
+    assert out == ref
+
+
+def test_cms_topk_overestimates_and_reference(spark):
+    """CMS estimates dominate true counts and equal a python
+    reference sketch exactly."""
+    import hashlib
+    import random
+    from collections import Counter
+
+    from spatialdata_spark.pipeline.textstats import cms_topk
+
+    rng = random.Random(11)
+    vocab = [f"t{i}" for i in range(60)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(30)))
+        for i in range(1, 21)
+    ]
+    d, w, topk = 3, 64, 10
+    out = {
+        r["token"]: (r["c_true"], r["c_cms"])
+        for r in cms_topk(
+            spark.createDataFrame(rows, ["doc_id", "text"]),
+            d=d,
+            w=w,
+            topk=topk,
+        ).collect()
+    }
+    counts = Counter()
+    for _, t in rows:
+        counts.update(t.lower().strip().split())
+
+    def buckets(tok):
+        hx = hashlib.md5(tok.encode()).hexdigest()
+        h1, h2 = int(hx[:15], 16), int(hx[15:30], 16)
+        step = h2 % w + 1
+        return [(j, (h1 % w + j * step) % w) for j in range(d)]
+
+    cells = Counter()
+    for tok, c in counts.items():
+        for cell in buckets(tok):
+            cells[cell] += c
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:topk]
+    ref = {
+        tok: (c, min(cells[cell] for cell in buckets(tok)))
+        for tok, c in top
+    }
+    assert out == ref
+    assert all(cms >= true for true, cms in out.values())
+
+
+def test_gram_matrix_numpy_reference(spark):
+    import numpy as np
+
+    from spatialdata_spark.pipeline.clustering import gram_matrix
+
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(50, 8)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        (r["pos_i"], r["pos_j"]): r["gram"]
+        for r in gram_matrix(df, q=100).collect()
+    }
+    Q = np.floor(X.astype(np.float64) * 100 + 0.5).astype(np.int64)
+    G = Q.T @ Q
+    assert len(out) == 8 * 9 // 2
+    for (i, j), v in out.items():
+        assert i <= j and v == G[i, j]
+
+
+def test_sentence_stats_hand_cases(spark):
+    from spatialdata_spark.pipeline.textstats import sentence_stats
+
+    rows = [
+        (1, "One two three. Four five! Six?"),
+        (2, "..."),  # no sentences -> no row
+        (3, "a " * 35 + "."),  # one 35-word run-on
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in sentence_stats(
+            spark.createDataFrame(rows, ["doc_id", "text"])
+        ).collect()
+    }
+    assert set(out) == {1, 3}
+    assert out[1]["n_sentences"] == 3
+    assert out[1]["mean_words"] == round((3 + 2 + 1) / 3, 9)
+    assert out[1]["max_words"] == 3
+    assert out[1]["n_run_on"] == 0
+    assert out[3]["n_sentences"] == 1
+    assert out[3]["max_words"] == 35
+    assert out[3]["n_run_on"] == 1
+
+
+def test_topn_window_pandas_reference(spark):
+    import datetime
+    import random
+
+    import __spark_entry__ as entrymod
+
+    rng = random.Random(5)
+    rows = [
+        (
+            i,
+            datetime.datetime(2024, 1, 1 + rng.randint(0, 2), rng.randint(0, 23)),
+            rng.randint(1, 12),
+            "click",
+            1.0,
+            "{}",
+        )
+        for i in range(300)
+    ]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    from pyspark.sql import functions as F
+
+    daily = (
+        ev.groupBy(
+            F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+            "user_id",
+        )
+        .count()
+        .collect()
+    )
+    ref = {}
+    per_day = {}
+    for r in daily:
+        per_day.setdefault(r["day"], []).append((-r["count"], r["user_id"]))
+    for day, lst in per_day.items():
+        for rk, (negc, uid) in enumerate(sorted(lst)[:5], start=1):
+            ref[(day, uid)] = (-negc, rk)
+
+    import types
+
+    fake_read = lambda s, d, t: ev  # noqa: E731
+    orig = entrymod._read
+    entrymod._read = fake_read
+    try:
+        out = {
+            (r["day"], r["user_id"]): (r["n_events"], r["rk"])
+            for r in entrymod.st_topn_window(spark, "unused").collect()
+        }
+    finally:
+        entrymod._read = orig
+    assert out == ref

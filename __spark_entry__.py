@@ -5690,6 +5690,98 @@ FROM f WHERE len(wc) > 0
 """
 
 
+def pl_token_entropy(spark, sf_dir):
+    """Per-source Shannon entropy + type-token ratio of the token
+    distribution — corpus-diversity diagnostics; one vocabulary-sized
+    count table with map-side combine, one group-sized agg."""
+    from spatialdata_spark.pipeline.textstats import token_entropy
+
+    return token_entropy(_read(spark, sf_dir, "documents"))
+
+
+PL_TOKEN_ENTROPY_SQL = r"""
+WITH toks AS (
+  SELECT source, unnest(string_split_regex(LOWER(TRIM(text)), '\s+')) AS tok
+  FROM documents
+), f AS (
+  SELECT source, tok, COUNT(*) AS c FROM toks WHERE tok <> '' GROUP BY 1, 2
+), a AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_types,
+         SUM(c * LN(c)) AS clogc
+  FROM f GROUP BY 1
+)
+SELECT source, n_tokens, n_types,
+  ROUND(n_types * 1.0 / n_tokens, 9) AS ttr,
+  ROUND(LN(n_tokens) - clogc / n_tokens, 6) AS entropy
+FROM a
+"""
+
+
+def pl_jsd_sources(spark, sf_dir):
+    """Jensen-Shannon divergence of each source's unigram distribution
+    vs the corpus blend (the DoReMi-style mixture diagnostic) — p=0
+    closed form, so only source-owned tokens ever materialize."""
+    from spatialdata_spark.pipeline.textstats import jsd_sources
+
+    return jsd_sources(_read(spark, sf_dir, "documents"))
+
+
+PL_JSD_SOURCES_SQL = r"""
+WITH toks AS (
+  SELECT source, unnest(string_split_regex(LOWER(TRIM(text)), '\s+')) AS tok
+  FROM documents
+), t2 AS (SELECT source, tok FROM toks WHERE tok <> ''),
+sc AS (SELECT source, tok, COUNT(*) AS cs FROM t2 GROUP BY 1, 2),
+cc AS (SELECT tok, COUNT(*) AS ccnt FROM t2 GROUP BY 1),
+nn AS (SELECT COUNT(*) AS n FROM t2),
+st AS (SELECT source, CAST(SUM(cs) AS BIGINT) AS ns FROM sc GROUP BY 1),
+j AS (
+  SELECT sc.source, st.ns,
+         (cs * 1.0 / st.ns) AS p, (ccnt * 1.0 / n) AS q
+  FROM sc JOIN cc USING (tok) JOIN st USING (source) CROSS JOIN nn
+),
+a AS (
+  SELECT source, ns,
+         SUM(p * LN(2 * p / (p + q)) + q * LN(2 * q / (p + q))) AS t,
+         SUM(q) AS qcov
+  FROM j GROUP BY 1, 2
+)
+SELECT source, CAST(ns AS BIGINT) AS n_tokens,
+  ROUND(0.5 * t + 0.5 * LN(2) * (1 - qcov), 6) AS jsd
+FROM a
+"""
+
+
+def st_wau_mau(spark, sf_dir):
+    """Rolling 7- and 28-day distinct active users per day (WAU/MAU)
+    in the contribution-explode form — one map-side explode + one
+    distinct aggregation; no range join, no sliding COUNT(DISTINCT),
+    no window."""
+    from spatialdata_spark.operators.temporal import rolling_active_users
+
+    return rolling_active_users(_read(spark, sf_dir, "events"), windows=(7, 28))
+
+
+ST_WAU_MAU_SQL = r"""
+WITH ud AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+), mx AS (SELECT MAX(d) AS mx FROM ud),
+c AS (
+  SELECT w.w AS window_days,
+         CAST(unnest(generate_series(CAST(d AS TIMESTAMP),
+                     CAST(d AS TIMESTAMP) + (w.w - 1) * INTERVAL 1 DAY,
+                     INTERVAL 1 DAY)) AS DATE) AS day,
+         user_id
+  FROM ud, (VALUES (7), (28)) AS w(w)
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       CAST(window_days AS BIGINT) AS window_days,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+FROM c, mx WHERE day <= mx GROUP BY 1, 2
+"""
+
+
 def q_pivot_revenue(spark, sf_dir):
     """Pivot coverage: revenue by returnflag with linestatus spread to
     columns via ``groupBy().pivot()`` with an explicit value list —
@@ -6285,6 +6377,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries + 10 rq_ relational) remain for the round-8 head.
     return {
         # --- new in round 7 ---
+        "pl_token_entropy": pl_token_entropy,
+        "pl_jsd_sources": pl_jsd_sources,
+        "st_wau_mau": st_wau_mau,
         "pl_bloom_decon": pl_bloom_decon,
         "pl_cms_topk": pl_cms_topk,
         "pl_gram_matrix": pl_gram_matrix,
@@ -6476,6 +6571,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "pl_token_entropy": PL_TOKEN_ENTROPY_SQL,
+        "pl_jsd_sources": PL_JSD_SOURCES_SQL,
+        "st_wau_mau": ST_WAU_MAU_SQL,
         "pl_bloom_decon": PL_BLOOM_DECON_SQL,
         "pl_cms_topk": PL_CMS_TOPK_SQL,
         "pl_gram_matrix": PL_GRAM_MATRIX_SQL,

@@ -217,3 +217,57 @@ def gap_fill_hourly(
         F.col("n_events").cast("long").alias("n_events"),
         F.last("__cents", ignorenulls=True).over(w).alias("filled_cents"),
     )
+
+
+def rolling_active_users(
+    events: DataFrame,
+    windows: tuple[int, ...] = (7, 28),
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Rolling distinct active users (WAU/MAU) per calendar day —
+    the growth-analytics companion to cumulative DAU, computed in the
+    contribution-explode form: a (user, day) activity row contributes
+    to the ``w`` window endpoints ``day .. day+w-1``, so the whole
+    computation is one map-side explode plus one distinct aggregation
+    — NO range join, NO per-day ``COUNT(DISTINCT)`` over a sliding
+    frame (the quadratic trap), and no window function at all.
+
+    Shuffle volume is ``|user-days| * sum(windows)`` — bounded by
+    calendar x users x 35, exact by construction; at extreme scale
+    the documented swap is per-day HLL sketches merged by register
+    max over the window (:func:`...textstats.hll_distinct` shape).
+
+    Output: ``(day, window_days, n_active)`` for every observed-range
+    day, where ``n_active`` counts users active in the trailing
+    ``window_days`` days ending at ``day``.
+    """
+    ud = (
+        events.select(
+            F.to_date(F.col(ts_col)).alias("__d"),
+            F.col(user_col).alias("__u"),
+        )
+        .distinct()
+    )
+    bounds = ud.agg(F.max("__d").alias("__mx"))
+    parts = None
+    for w in windows:
+        c = ud.select(
+            F.explode(
+                F.sequence(F.col("__d"), F.date_add(F.col("__d"), int(w) - 1))
+            ).alias("__day"),
+            "__u",
+            F.lit(int(w)).alias("window_days"),
+        )
+        parts = c if parts is None else parts.unionByName(c)
+    return (
+        parts.crossJoin(F.broadcast(bounds))
+        .filter(F.col("__day") <= F.col("__mx"))
+        .groupBy("__day", "window_days")
+        .agg(F.countDistinct("__u").cast("long").alias("n_active"))
+        .select(
+            F.date_format("__day", "yyyy-MM-dd").alias("day"),
+            F.col("window_days").cast("long").alias("window_days"),
+            "n_active",
+        )
+    )

@@ -1989,3 +1989,120 @@ def test_topn_window_pandas_reference(spark):
     finally:
         entrymod._read = orig
     assert out == ref
+
+
+def test_token_entropy_python_reference(spark):
+    import math
+    import random
+    from collections import Counter
+
+    from spatialdata_spark.pipeline.textstats import token_entropy
+
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(25)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(5, 40))),
+         rng.choice(["a", "b", "c"]))
+        for i in range(1, 40)
+    ]
+    out = {
+        r["source"]: r
+        for r in token_entropy(
+            spark.createDataFrame(rows, ["doc_id", "text", "source"])
+        ).collect()
+    }
+    by_src = {}
+    for _, t, s in rows:
+        by_src.setdefault(s, Counter()).update(t.lower().split())
+    for s, cnt in by_src.items():
+        n = sum(cnt.values())
+        ent = math.log(n) - sum(c * math.log(c) for c in cnt.values()) / n
+        assert out[s]["n_tokens"] == n
+        assert out[s]["n_types"] == len(cnt)
+        assert abs(out[s]["entropy"] - ent) < 1e-6
+        assert out[s]["ttr"] == round(len(cnt) / n, 9)
+
+
+def test_jsd_sources_dense_reference(spark):
+    """The p=0 closed form equals the dense textbook JSD (full vocab,
+    zero-p terms included)."""
+    import math
+    import random
+    from collections import Counter
+
+    from spatialdata_spark.pipeline.textstats import jsd_sources
+
+    rng = random.Random(17)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(5, 30))),
+         rng.choice(["a", "b"]))
+        for i in range(1, 30)
+    ]
+    out = {
+        r["source"]: r["jsd"]
+        for r in jsd_sources(
+            spark.createDataFrame(rows, ["doc_id", "text", "source"])
+        ).collect()
+    }
+    corpus = Counter()
+    by_src = {}
+    for _, t, s in rows:
+        ts = t.lower().split()
+        corpus.update(ts)
+        by_src.setdefault(s, Counter()).update(ts)
+    N = sum(corpus.values())
+    for s, cnt in by_src.items():
+        ns = sum(cnt.values())
+        jsd = 0.0
+        for tok, cq in corpus.items():
+            q = cq / N
+            p = cnt.get(tok, 0) / ns
+            m = (p + q) / 2
+            if p > 0:
+                jsd += 0.5 * p * math.log(p / m)
+            jsd += 0.5 * q * math.log(q / m)
+        assert abs(out[s] - jsd) < 1e-6, (s, out[s], jsd)
+
+
+def test_rolling_active_users_bruteforce(spark):
+    import datetime
+    import random
+
+    from spatialdata_spark.operators.temporal import rolling_active_users
+
+    rng = random.Random(23)
+    rows = [
+        (
+            i,
+            datetime.datetime(2024, 2, 1 + rng.randint(0, 20), 12),
+            rng.randint(1, 9),
+            "e",
+            0.0,
+            "{}",
+        )
+        for i in range(200)
+    ]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    out = {
+        (r["day"], r["window_days"]): r["n_active"]
+        for r in rolling_active_users(ev, windows=(3, 7)).collect()
+    }
+    ud = {(r[1].date(), r[2]) for r in rows}
+    days = sorted({d for d, _ in ud})
+    lo, hi = days[0], days[-1]
+    ref = {}
+    d = lo
+    while d <= hi:
+        for w in (3, 7):
+            users = {
+                u
+                for dd, u in ud
+                if dd <= d and (d - dd).days <= w - 1
+            }
+            if users:
+                ref[(d.strftime("%Y-%m-%d"), w)] = len(users)
+        d += datetime.timedelta(days=1)
+    assert out == ref

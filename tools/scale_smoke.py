@@ -5,7 +5,7 @@ for the operators whose work is data-proportional (cell-cover zonal agg,
 polygon query, rasterize, dedup), which is the property that carries to
 a 1000-executor cluster where per-executor row counts stay constant.
 
-    python tools/scale_smoke.py [max_mult]
+    python tools/scale_smoke.py [max_mult] [case ...]
 """
 
 from __future__ import annotations
@@ -38,7 +38,7 @@ def replicate(df: DataFrame, mult: int, id_cols: list[str]) -> DataFrame:
     return out
 
 
-def main(max_mult: int = 8) -> None:
+def main(max_mult: int = 8, only: list[str] | None = None) -> None:
     spark = get_spark("scale-smoke")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -51,7 +51,14 @@ def main(max_mult: int = 8) -> None:
         levenshtein_neardup,
         remove_duplicate_spans,
     )
-    from spatialdata_spark.pipeline.filters import chunk_with_overlap, quota_cap
+    from spatialdata_spark.pipeline.filters import (
+        bloom_decontaminate,
+        chunk_with_overlap,
+        ngram_novelty,
+        quota_cap,
+    )
+    from spatialdata_spark.operators.temporal import rolling_active_users
+    from spatialdata_spark.pipeline.clustering import gram_matrix
     from spatialdata_spark.operators.rasterize import rasterize_points
 
     from spatialdata_spark.pipeline.clustering import (
@@ -131,7 +138,35 @@ def main(max_mult: int = 8) -> None:
             "span_cut": lambda: remove_duplicate_spans(docs, gram_chars=25)
             .agg(F.sum("n_cut_chars"))
             .collect(),
+            # benchmark side FIXED (the r1 docs slice), corpus x mult:
+            # the bloom bit table stays broadcast-sized while the
+            # probing gram stream grows linearly
+            "bloom_decon": lambda: bloom_decontaminate(
+                docs.filter(F.col("source") != "src0"),
+                docs0.filter(F.col("source") == "src0"),
+                n=3,
+            )
+            .agg(F.sum("n_maybe"))
+            .collect(),
+            # user-days x mult (distinct users grow, activity span
+            # constant): contribution explode is 35 rows per user-day,
+            # strictly linear
+            "wau_mau": lambda: rolling_active_users(ev, windows=(7, 28))
+            .agg(F.sum("n_active"))
+            .collect(),
+            # corpus x mult, dim fixed: per-task GEMM partials are
+            # dim^2-sized regardless of rows — linear scan, flat shuffle
+            "gram_matrix": lambda: gram_matrix(emb)
+            .agg(F.sum("gram"))
+            .collect(),
+            # gram table x mult (self-union: every gram's first owner
+            # is in copy 0, join-back fan-out maximal)
+            "ngram_novelty": lambda: ngram_novelty(docs, n=3)
+            .agg(F.sum("n_novel"))
+            .collect(),
         }
+        if only:
+            cases = {k: v for k, v in cases.items() if k in only}
         for name, fn in cases.items():
             best = None
             for _ in range(2):
@@ -145,4 +180,7 @@ def main(max_mult: int = 8) -> None:
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 8)
+    main(
+        int(sys.argv[1]) if len(sys.argv) > 1 else 8,
+        sys.argv[2:] or None,
+    )

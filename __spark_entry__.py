@@ -5782,6 +5782,86 @@ FROM c, mx WHERE day <= mx GROUP BY 1, 2
 """
 
 
+def pl_curation_funnel(spark, sf_dir):
+    """End-to-end curation funnel in ONE declarative plan: Gopher
+    gate -> exact keep-first dedup -> CCNet head/middle LM cut, with
+    per-source survivor counts at each stage (the attrition report a
+    data team reads)."""
+    from spatialdata_spark.pipeline.textstats import curation_funnel
+
+    return curation_funnel(
+        _read(spark, sf_dir, "documents"), min_words=40, min_stopwords=1
+    )
+
+
+PL_CURATION_FUNNEL_SQL = r"""
+WITH base AS (
+  SELECT doc_id, source, LOWER(TRIM(text)) AS t,
+         string_split_regex(LOWER(TRIM(text)), '\s+') AS ws,
+         md5(text) AS digest
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+    CAST(CASE WHEN LEN(t) = 0 THEN 0 ELSE LEN(ws) END AS BIGINT) AS n_words,
+    CAST(COALESCE(list_sum(list_transform(ws, w -> LEN(w))), 0) AS BIGINT)
+      AS n_word_chars,
+    CAST(LEN(t) - LEN(replace(t, '#', ''))
+         + (LEN(t) - LEN(replace(t, '...', ''))) // 3 AS BIGINT) AS n_sym,
+    CAST(LEN(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS BIGINT)
+      AS n_alpha_words,
+    CAST((CASE WHEN ' '||t||' ' LIKE '% the %' THEN 1 ELSE 0 END)
+       + (CASE WHEN ' '||t||' ' LIKE '% be %' THEN 1 ELSE 0 END)
+       + (CASE WHEN ' '||t||' ' LIKE '% to %' THEN 1 ELSE 0 END)
+       + (CASE WHEN ' '||t||' ' LIKE '% of %' THEN 1 ELSE 0 END)
+       + (CASE WHEN ' '||t||' ' LIKE '% and %' THEN 1 ELSE 0 END)
+       + (CASE WHEN ' '||t||' ' LIKE '% that %' THEN 1 ELSE 0 END)
+       + (CASE WHEN ' '||t||' ' LIKE '% have %' THEN 1 ELSE 0 END)
+       + (CASE WHEN ' '||t||' ' LIKE '% with %' THEN 1 ELSE 0 END)
+      AS BIGINT) AS n_stop_distinct
+  FROM base
+),
+flags AS (
+  SELECT doc_id,
+    CASE WHEN n_words >= 40 AND n_words <= 100000
+         AND 3*n_words <= n_word_chars AND n_word_chars <= 10*n_words
+         AND 10*n_sym <= n_words
+         AND 5*n_alpha_words >= 4*n_words
+         AND n_stop_distinct >= 1 THEN 1 ELSE 0 END AS passes
+  FROM m
+),
+dmin AS (SELECT digest, MIN(doc_id) AS keeper FROM base GROUP BY 1),
+lmbase AS (
+  SELECT doc_id, string_split_regex(LOWER(TRIM(text)), '\s+') AS toks
+  FROM documents WHERE LENGTH(TRIM(text)) > 0
+),
+tok AS (SELECT doc_id, UNNEST(toks) AS tk FROM lmbase),
+c AS (SELECT tk, COUNT(*) AS c FROM tok GROUP BY 1),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tokens, COUNT(*) AS n_vocab FROM c),
+nll AS (
+  SELECT doc_id, ROUND(AVG(-LN((c + 1.0) / (n_tokens + n_vocab))), 6) AS nll
+  FROM tok JOIN c USING (tk), tot
+  GROUP BY 1
+),
+th AS (SELECT quantile_cont(nll, 2.0/3) AS t2 FROM nll),
+fl AS (
+  SELECT base.source, flags.passes,
+         CASE WHEN base.doc_id = dmin.keeper THEN 1 ELSE 0 END AS uniq,
+         CASE WHEN nll.nll IS NOT NULL AND nll.nll <= th.t2
+              THEN 1 ELSE 0 END AS headmid
+  FROM base JOIN flags ON base.doc_id = flags.doc_id
+       JOIN dmin ON base.digest = dmin.digest
+       LEFT JOIN nll ON base.doc_id = nll.doc_id
+       CROSS JOIN th
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(passes) AS BIGINT) AS n_quality,
+       CAST(SUM(passes*uniq) AS BIGINT) AS n_unique,
+       CAST(SUM(passes*uniq*headmid) AS BIGINT) AS n_kept
+FROM fl GROUP BY 1
+"""
+
+
 def q_pivot_revenue(spark, sf_dir):
     """Pivot coverage: revenue by returnflag with linestatus spread to
     columns via ``groupBy().pivot()`` with an explicit value list —
@@ -6377,6 +6457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries + 10 rq_ relational) remain for the round-8 head.
     return {
         # --- new in round 7 ---
+        "pl_curation_funnel": pl_curation_funnel,
         "pl_token_entropy": pl_token_entropy,
         "pl_jsd_sources": pl_jsd_sources,
         "st_wau_mau": st_wau_mau,
@@ -6571,6 +6652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "pl_curation_funnel": PL_CURATION_FUNNEL_SQL,
         "pl_token_entropy": PL_TOKEN_ENTROPY_SQL,
         "pl_jsd_sources": PL_JSD_SOURCES_SQL,
         "st_wau_mau": ST_WAU_MAU_SQL,

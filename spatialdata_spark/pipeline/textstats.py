@@ -425,6 +425,7 @@ def gopher_rules(
     min_stopwords: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    keep_cols: tuple = (),
 ) -> DataFrame:
     """Gopher-style document quality gate (Rae et al. 2021 §A1.1):
     per-document rule flags plus the conjunction, every signal an
@@ -489,6 +490,7 @@ def gopher_rules(
         (r_words & r_mean_len & r_symbols & r_alpha & r_stop)
         .cast("int")
         .alias("passes"),
+        *[F.col(c) for c in keep_cols],
     )
 
 
@@ -1034,4 +1036,66 @@ def jsd_sources(
         F.col("__g").alias(group_col),
         F.col("__Ns").alias("n_tokens"),
         F.round(jsd, 6).alias("jsd"),
+    )
+
+
+def curation_funnel(
+    docs: DataFrame,
+    min_words: int = 40,
+    min_stopwords: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """End-to-end corpus-curation funnel — the composition a real
+    training-data pipeline runs, as ONE declarative plan: (1) the
+    Gopher quality gate (:func:`gopher_rules`), (2) exact keep-first
+    deduplication (md5 digest, min doc id wins), (3) the CCNet
+    head/middle LM cut (:func:`perplexity_buckets` terciles — the
+    tail tercile drops).  Per-source survivor counts at every stage,
+    so the output is the attrition report data teams actually read.
+
+    Stage semantics are conjunctive: ``n_quality`` counts gate
+    passers, ``n_unique`` gate passers that are also their digest
+    group's keeper (dedup runs corpus-wide, not post-gate), ``n_kept``
+    additionally in the head/middle NLL terciles (empty documents
+    have no likelihood and never reach ``n_kept``).
+
+    Distributed shape: the gate is a zero-shuffle projection fused
+    into the scan; dedup adds one digest-keyed aggregation
+    (map-side combine) whose join back is broadcast-gated (AQE
+    decides on a cluster); the LM stage is the `unigram_lm` /
+    tercile plan (vocabulary-sized tables, 1-row threshold
+    broadcast); the funnel itself is one group-sized aggregation.
+    Exact percentile swaps to ``approx_percentile`` at 100 TB (the
+    documented sketch substitution).
+
+    Output: ``(group, n_total, n_quality, n_unique, n_kept)``.
+    """
+    base = docs.withColumn("__digest", F.md5(F.col(text_col)))
+    g = gopher_rules(
+        base,
+        min_words=min_words,
+        min_stopwords=min_stopwords,
+        text_col=text_col,
+        id_col=id_col,
+        keep_cols=(group_col, "__digest"),
+    ).select(id_col, group_col, "__digest", "passes")
+    dmin = base.groupBy("__digest").agg(F.min(id_col).alias("__keeper"))
+    pb = perplexity_buckets(docs, text_col=text_col, id_col=id_col).select(
+        id_col, "bucket"
+    )
+    if docs.sparkSession.sparkContext.master.startswith("local"):
+        dmin = F.broadcast(dmin)
+        pb = F.broadcast(pb)
+    j = g.join(dmin, "__digest").join(pb, id_col, "left")
+    uniq = (F.col(id_col) == F.col("__keeper")).cast("long")
+    headmid = F.col("bucket").isin("head", "middle").cast("long")
+    return j.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum("passes").cast("long").alias("n_quality"),
+        F.sum(F.col("passes") * uniq).cast("long").alias("n_unique"),
+        F.sum(F.col("passes") * uniq * F.coalesce(headmid, F.lit(0)))
+        .cast("long")
+        .alias("n_kept"),
     )

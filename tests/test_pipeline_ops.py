@@ -2106,3 +2106,52 @@ def test_rolling_active_users_bruteforce(spark):
                 ref[(d.strftime("%Y-%m-%d"), w)] = len(users)
         d += datetime.timedelta(days=1)
     assert out == ref
+
+
+def test_curation_funnel_composes_verified_stages(spark):
+    """The one-plan funnel equals the composition of its individually
+    oracle-verified stages, and stage counts are monotone."""
+    from spatialdata_spark.pipeline.textstats import (
+        curation_funnel,
+        gopher_rules,
+        perplexity_buckets,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .limit(200)
+        .cache()
+    )
+    out = {
+        r["source"]: r
+        for r in curation_funnel(docs, min_words=40, min_stopwords=1).collect()
+    }
+    passes = {
+        r["doc_id"]: r["passes"]
+        for r in gopher_rules(docs, min_words=40, min_stopwords=1).collect()
+    }
+    buckets = {
+        r["doc_id"]: r["bucket"] for r in perplexity_buckets(docs).collect()
+    }
+    rows = docs.select("doc_id", "source", "text").collect()
+    keeper = {}
+    for r in sorted(rows, key=lambda r: r["doc_id"]):
+        keeper.setdefault(r["text"], r["doc_id"])
+    ref = {}
+    for r in rows:
+        s = r["source"]
+        st = ref.setdefault(s, [0, 0, 0, 0])
+        st[0] += 1
+        p = passes[r["doc_id"]]
+        st[1] += p
+        u = p and keeper[r["text"]] == r["doc_id"]
+        st[2] += 1 if u else 0
+        st[3] += (
+            1
+            if u and buckets.get(r["doc_id"]) in ("head", "middle")
+            else 0
+        )
+    for s, r in out.items():
+        got = [r["n_total"], r["n_quality"], r["n_unique"], r["n_kept"]]
+        assert got == ref[s], (s, got, ref[s])
+        assert got[0] >= got[1] >= got[2] >= got[3]

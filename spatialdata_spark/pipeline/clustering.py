@@ -640,3 +640,101 @@ def gram_matrix(
     return part.groupBy("pos_i", "pos_j").agg(
         F.sum("gram").cast("long").alias("gram")
     )
+
+
+def pca_project(
+    embeddings: DataFrame,
+    k: int = 4,
+    q: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Distributed PCA in two corpus passes, completing the
+    :func:`gram_matrix` story: pass 1 reduces the corpus to its exact
+    fixed-point sufficient statistics (the dim x dim Gram matrix plus
+    per-dimension sums — both int64-exact, both dim²-sized partials),
+    the covariance eigendecomposition runs driver-side on that
+    dim x dim matrix (model-sized, like every centroid/threshold in
+    this module), and pass 2 projects every vector onto the top-``k``
+    axes with one numpy GEMM per Arrow batch.
+
+    Covariance uses the quantized grid: ``C = (Q^T Q - n * m m^T) /
+    (n - 1)`` with ``m`` the quantized column mean — deterministic
+    given the corpus (the int64 statistics are order-free; the only
+    float work happens once, driver-side).  Component signs are fixed
+    by making each eigenvector's largest-magnitude entry positive, so
+    output is reproducible run to run.
+
+    Returns ``(projected, eigvals, components)``: ``projected`` has
+    ``(id, pc)`` with ``pc`` an ``array<double>`` of length ``k``
+    (projection of the CENTERED quantized vector, in quantized-grid
+    units); ``eigvals``/``components`` are driver-side numpy arrays
+    (descending variance order).
+    """
+    import numpy as np
+    import pandas as pd
+
+    qq = float(q)
+    gm = gram_matrix(embeddings, q=q, vec_col=vec_col)
+
+    def _sums(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Q = np.floor(X * qq + 0.5).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "pos": np.arange(Q.shape[1], dtype=np.int64),
+                    "s": Q.sum(axis=0),
+                    "n": np.int64(Q.shape[0]),
+                }
+            )
+
+    sm = (
+        embeddings.select(vec_col)
+        .mapInPandas(_sums, schema="pos long, s long, n long")
+        .groupBy("pos")
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+        .collect()
+    )
+    dim = len(sm)
+    n = int(sm[0]["n"])
+    sums = np.zeros(dim, dtype=np.int64)
+    for r in sm:
+        sums[int(r["pos"])] = int(r["s"])
+    G = np.zeros((dim, dim), dtype=np.float64)
+    for r in gm.collect():
+        G[int(r["pos_i"]), int(r["pos_j"])] = float(r["gram"])
+        G[int(r["pos_j"]), int(r["pos_i"])] = float(r["gram"])
+    m = sums / n
+    C = (G - n * np.outer(m, m)) / max(n - 1, 1)
+    w, v = np.linalg.eigh(C)
+    order = np.argsort(w)[::-1][: int(k)]
+    eigvals = w[order]
+    comps = v[:, order]
+    # deterministic sign: largest-|entry| of each component positive
+    for j in range(comps.shape[1]):
+        i = int(np.argmax(np.abs(comps[:, j])))
+        if comps[i, j] < 0:
+            comps[:, j] = -comps[:, j]
+    V = comps.copy()
+    mu = m.copy()
+
+    def _project(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Q = np.floor(X * qq + 0.5).astype(np.float64)
+            P = (Q - mu) @ V
+            yield pd.DataFrame(
+                {"id": pdf[id_col].to_numpy(), "pc": list(P)}
+            )
+
+    projected = (
+        embeddings.select(id_col, vec_col)
+        .mapInPandas(_project, schema="id long, pc array<double>")
+        .withColumnRenamed("id", id_col)
+    )
+    return projected, eigvals, comps

@@ -2155,3 +2155,39 @@ def test_curation_funnel_composes_verified_stages(spark):
         got = [r["n_total"], r["n_quality"], r["n_unique"], r["n_kept"]]
         assert got == ref[s], (s, got, ref[s])
         assert got[0] >= got[1] >= got[2] >= got[3]
+
+
+def test_pca_project_numpy_reference(spark):
+    """Distributed two-pass PCA equals a driver-side numpy PCA on the
+    same quantized data (eigvals exactly-ordered, projections equal
+    under the fixed sign convention)."""
+    import numpy as np
+
+    from spatialdata_spark.pipeline.clustering import pca_project
+
+    rng = np.random.default_rng(29)
+    # anisotropic cloud so the spectrum is unambiguous
+    A = rng.normal(size=(6, 6))
+    X = (rng.normal(size=(120, 6)) @ A).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(120)],
+        "vec_id long, embedding array<float>",
+    )
+    proj, eigvals, comps = pca_project(df, k=3, q=100)
+    out = {r["vec_id"]: np.array(r["pc"]) for r in proj.collect()}
+
+    Q = np.floor(X.astype(np.float64) * 100 + 0.5)
+    mu = Q.mean(axis=0)
+    C = (Q - mu).T @ (Q - mu) / (len(Q) - 1)
+    w, v = np.linalg.eigh(C)
+    order = np.argsort(w)[::-1][:3]
+    ref_vals, ref_v = w[order], v[:, order]
+    for j in range(3):
+        i = int(np.argmax(np.abs(ref_v[:, j])))
+        if ref_v[i, j] < 0:
+            ref_v[:, j] = -ref_v[:, j]
+    assert np.allclose(eigvals, ref_vals, rtol=1e-9)
+    assert np.allclose(comps, ref_v, rtol=1e-9, atol=1e-9)
+    P = (Q - mu) @ ref_v
+    for i in range(120):
+        assert np.allclose(out[i], P[i], rtol=1e-9, atol=1e-9)

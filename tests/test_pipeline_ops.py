@@ -1792,7 +1792,8 @@ def test_bloom_decontaminate_superset_and_reference(spark):
     )
 
     rng = random.Random(7)
-    vocab = [f"w{i}" for i in range(40)]
+    # unicode words exercise the utf-8 byte identity of the md5 path
+    vocab = [f"w{i}" for i in range(36)] + ["héllo", "中文词", "ωμέγα", "naïve"]
     rows = [
         (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 25))))
         for i in range(1, 31)
@@ -1853,7 +1854,7 @@ def test_cms_topk_overestimates_and_reference(spark):
     from spatialdata_spark.pipeline.textstats import cms_topk
 
     rng = random.Random(11)
-    vocab = [f"t{i}" for i in range(60)]
+    vocab = [f"t{i}" for i in range(56)] + ["café", "東京", "Ångström", "søren"]
     rows = [
         (i, " ".join(rng.choice(vocab) for _ in range(30)))
         for i in range(1, 21)

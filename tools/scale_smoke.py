@@ -59,6 +59,7 @@ def main(max_mult: int = 8, only: list[str] | None = None) -> None:
     )
     from spatialdata_spark.operators.temporal import rolling_active_users
     from spatialdata_spark.pipeline.clustering import gram_matrix
+    from spatialdata_spark.pipeline.textstats import curation_funnel
     from spatialdata_spark.operators.rasterize import rasterize_points
 
     from spatialdata_spark.pipeline.clustering import (
@@ -163,6 +164,12 @@ def main(max_mult: int = 8, only: list[str] | None = None) -> None:
             # is in copy 0, join-back fan-out maximal)
             "ngram_novelty": lambda: ngram_novelty(docs, n=3)
             .agg(F.sum("n_novel"))
+            .collect(),
+            # the one-plan composite: gate (scan-fused) + digest agg +
+            # LM stage + tercile threshold; self-union maximizes the
+            # dedup drop (every copy is a duplicate of copy 0)
+            "curation_funnel": lambda: curation_funnel(docs)
+            .agg(F.sum("n_kept"))
             .collect(),
         }
         if only:

@@ -5862,6 +5862,120 @@ FROM fl GROUP BY 1
 """
 
 
+def pl_burstiness(spark, sf_dir):
+    """Token burstiness (variance-to-mean dispersion of per-doc
+    counts) for the top-30 tokens — integer-exact until one final
+    division; TakeOrderedAndProject top-k."""
+    from spatialdata_spark.pipeline.textstats import token_burstiness
+
+    return token_burstiness(_read(spark, sf_dir, "documents"), topk=30)
+
+
+PL_BURSTINESS_SQL = r"""
+WITH tokd AS (
+  SELECT doc_id, unnest(string_split_regex(LOWER(TRIM(text)), '\s+')) AS tok
+  FROM documents
+), pd AS (
+  SELECT tok, doc_id, COUNT(*) AS c FROM tokd WHERE tok <> '' GROUP BY 1, 2
+), pt AS (
+  SELECT tok, CAST(SUM(c) AS BIGINT) AS tf, CAST(COUNT(*) AS BIGINT) AS df,
+         CAST(SUM(c*c) AS BIGINT) AS s2
+  FROM pd GROUP BY 1
+), n AS (SELECT COUNT(*) AS N FROM documents),
+top AS (SELECT tok, tf, df, s2 FROM pt ORDER BY tf DESC, tok LIMIT 30)
+SELECT tok AS token, tf, df,
+  ROUND((N * s2 - tf * tf) * 1.0 / (N * tf), 9) AS burstiness
+FROM top, n
+"""
+
+
+def pl_cooccur_pmi(spark, sf_dir):
+    """Document-level PMI for every top-20-token pair (collocation /
+    word-association mining) — presence stream filtered to the
+    broadcast top-k BEFORE any shuffle; pair space is topk², never
+    vocabulary²."""
+    from spatialdata_spark.pipeline.textstats import cooccurrence_pmi
+
+    return cooccurrence_pmi(_read(spark, sf_dir, "documents"), topk=20)
+
+
+PL_COOCCUR_PMI_SQL = r"""
+WITH tokd AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(LOWER(TRIM(text)), '\s+')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+), dfq AS (SELECT tok, COUNT(*) AS df FROM tokd GROUP BY 1),
+top AS (SELECT tok, df FROM dfq ORDER BY df DESC, tok LIMIT 20),
+t AS (SELECT tokd.doc_id, tokd.tok, top.df FROM tokd JOIN top USING (tok)),
+n AS (SELECT COUNT(*) AS N FROM documents),
+p AS (
+  SELECT a.tok AS tok_a, b.tok AS tok_b, a.df AS n_a, b.df AS n_b,
+         COUNT(*) AS n_ab
+  FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY 1, 2, 3, 4
+)
+SELECT tok_a, tok_b, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(n_ab AS BIGINT) AS n_ab,
+       ROUND(LN(n_ab * 1.0 * N / (n_a * n_b)), 6) AS pmi
+FROM p, n
+"""
+
+
+def st_inter_event(spark, sf_dir):
+    """Per-event-type inter-event-gap percentiles (microsecond-exact
+    gaps via unix_micros; user-partitioned lag window; exact
+    percentile == DuckDB quantile_cont on DOUBLE)."""
+    from pyspark.sql.window import Window
+
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ; the session timezone is pinned UTC, so the
+    # cast to TIMESTAMP is an identity and unix_micros stays exact
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    g = ev.withColumn("gap", us - F.lag(us).over(w)).filter(
+        F.col("gap").isNotNull()
+    )
+    return g.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.round(F.percentile(F.col("gap").cast("double"), F.lit(0.5)), 6).alias("p50_us"),
+        F.round(F.percentile(F.col("gap").cast("double"), F.lit(0.9)), 6).alias("p90_us"),
+    )
+
+
+ST_INTER_EVENT_SQL = r"""
+WITH g AS (
+  SELECT event_type,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       ROUND(quantile_cont(CAST(gap AS DOUBLE), 0.5), 6) AS p50_us,
+       ROUND(quantile_cont(CAST(gap AS DOUBLE), 0.9), 6) AS p90_us
+FROM g WHERE gap IS NOT NULL GROUP BY 1
+"""
+
+
+def pl_len_hist(spark, sf_dir):
+    """Log2-bucketed document-length histogram per source (bucket =
+    bit length of n_chars — integer, no float log) — the dataset-card
+    length profile; one map-side-combinable aggregation."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.groupBy(
+        "source",
+        F.length(F.bin(F.col("n_chars"))).cast("long").alias("bucket"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+
+
+PL_LEN_HIST_SQL = r"""
+SELECT source, CAST(LEN(bin(n_chars)) AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY 1, 2
+"""
+
+
 def q_pivot_revenue(spark, sf_dir):
     """Pivot coverage: revenue by returnflag with linestatus spread to
     columns via ``groupBy().pivot()`` with an explicit value list —
@@ -6511,6 +6625,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q01_pricing_summary": q01_pricing_summary,
         "q03_shipping": q03_shipping,
         "q04_order_priority": q04_order_priority,
+        # --- new in round 7, below the driver head (r8 head candidates) ---
+        "pl_burstiness": pl_burstiness,
+        "pl_cooccur_pmi": pl_cooccur_pmi,
+        "st_inter_event": st_inter_event,
+        "pl_len_hist": pl_len_hist,
+        # --- cumulative greens ---
         "q05_local_supplier": q05_local_supplier,
         "q06_forecasting": q06_forecasting,
         "q07_volume_shipping": q07_volume_shipping,
@@ -6652,6 +6772,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "pl_burstiness": PL_BURSTINESS_SQL,
+        "pl_cooccur_pmi": PL_COOCCUR_PMI_SQL,
+        "st_inter_event": ST_INTER_EVENT_SQL,
+        "pl_len_hist": PL_LEN_HIST_SQL,
         "pl_curation_funnel": PL_CURATION_FUNNEL_SQL,
         "pl_token_entropy": PL_TOKEN_ENTROPY_SQL,
         "pl_jsd_sources": PL_JSD_SOURCES_SQL,

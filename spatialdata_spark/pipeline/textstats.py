@@ -1099,3 +1099,128 @@ def curation_funnel(
         .cast("long")
         .alias("n_kept"),
     )
+
+
+def token_burstiness(
+    docs: DataFrame,
+    topk: int = 30,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dispersion (variance-to-mean ratio, "burstiness") of the
+    top-``topk`` tokens' per-document counts — the template/boilerplate
+    detector at the token level: a token that appears 40 times in a
+    handful of documents and nowhere else (D >> 1) is navigation
+    chrome; an evenly spread token (D ≈ 1, Poisson) is prose.
+
+    Exactly integer until the final division: over all ``N`` corpus
+    documents (zeros included), ``D = (N * Σc² - (Σc)²) / (N * Σc)``
+    — both sums accumulate int64 from per-(token, doc) counts, so
+    Spark's aggregation order cannot diverge from SQL.  9 dp.
+
+    Plan: one (token, doc)-keyed count (map-side combine), one
+    token-keyed fold to (tf, df, Σc²) — vocabulary-sized — a 1-row
+    N broadcast, and ``TakeOrderedAndProject`` top-k.
+
+    Output: ``(token, tf, df, burstiness)``.
+    """
+    per_doc = (
+        docs.select(
+            F.col(id_col).alias("__d"),
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            ).alias("__tok"),
+        )
+        .filter(F.col("__tok") != "")
+        .groupBy("__tok", "__d")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    per_tok = per_doc.groupBy("__tok").agg(
+        F.sum("__c").cast("long").alias("tf"),
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum(F.col("__c") * F.col("__c")).cast("long").alias("__s2"),
+    )
+    ndocs = docs.agg(F.count(F.lit(1)).cast("long").alias("__N"))
+    top = (
+        per_tok.crossJoin(F.broadcast(ndocs))
+        .orderBy(F.desc("tf"), F.asc("__tok"))
+        .limit(int(topk))
+    )
+    disp = (
+        F.col("__N") * F.col("__s2") - F.col("tf") * F.col("tf")
+    ) / (F.col("__N") * F.col("tf"))
+    return top.select(
+        F.col("__tok").alias("token"),
+        "tf",
+        "df",
+        F.round(disp, 9).alias("burstiness"),
+    )
+
+
+def cooccurrence_pmi(
+    docs: DataFrame,
+    topk: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pointwise mutual information of document-level co-occurrence
+    for every pair of the corpus's top-``topk`` tokens — the word-
+    association statistic behind collocation mining and embedding
+    objectives (PMI matrix factorization).
+
+    ``PMI(a,b) = ln(n_ab * N / (n_a * n_b))`` over document counts
+    (presence, not frequency); pairs that never co-occur emit no row
+    (PMI undefined at -inf).  6 dp.
+
+    Plan: the top-k membership table is ``topk``-rows and broadcast;
+    the per-document presence stream filters against it BEFORE any
+    shuffle (work bounded by topk-token hits); the pair count is one
+    doc-keyed self-join of that bounded stream (<= topk rows per doc
+    on each side) plus one pair-keyed aggregation — never a
+    vocabulary² pair space.
+
+    Output: ``(tok_a, tok_b, n_a, n_b, n_ab, pmi)`` with
+    ``tok_a < tok_b``.
+    """
+    pres = (
+        docs.select(
+            F.col(id_col).alias("__d"),
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            ).alias("__tok"),
+        )
+        .filter(F.col("__tok") != "")
+        .distinct()
+    )
+    dfreq = pres.groupBy("__tok").agg(
+        F.count(F.lit(1)).cast("long").alias("__df")
+    )
+    top = dfreq.orderBy(F.desc("__df"), F.asc("__tok")).limit(int(topk))
+    ndocs = docs.agg(F.count(F.lit(1)).cast("long").alias("__N"))
+    t = pres.join(
+        F.broadcast(top.select(F.col("__tok"), F.col("__df"))), "__tok"
+    )
+    a = t.select(
+        F.col("__d"),
+        F.col("__tok").alias("tok_a"),
+        F.col("__df").alias("n_a"),
+    )
+    b = t.select(
+        F.col("__d").alias("__d2"),
+        F.col("__tok").alias("tok_b"),
+        F.col("__df").alias("n_b"),
+    )
+    pairs = (
+        a.join(b, (F.col("__d") == F.col("__d2")) & (F.col("tok_a") < F.col("tok_b")))
+        .groupBy("tok_a", "tok_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    )
+    out = pairs.crossJoin(F.broadcast(ndocs))
+    pmi = F.log(
+        F.col("n_ab").cast("double")
+        * F.col("__N")
+        / (F.col("n_a") * F.col("n_b"))
+    )
+    return out.select(
+        "tok_a", "tok_b", "n_a", "n_b", "n_ab", F.round(pmi, 6).alias("pmi")
+    )

@@ -1977,8 +1977,6 @@ def test_topn_window_pandas_reference(spark):
         for rk, (negc, uid) in enumerate(sorted(lst)[:5], start=1):
             ref[(day, uid)] = (-negc, rk)
 
-    import types
-
     fake_read = lambda s, d, t: ev  # noqa: E731
     orig = entrymod._read
     entrymod._read = fake_read
@@ -2192,3 +2190,125 @@ def test_pca_project_numpy_reference(spark):
     P = (Q - mu) @ ref_v
     for i in range(120):
         assert np.allclose(out[i], P[i], rtol=1e-9, atol=1e-9)
+
+
+def test_token_burstiness_python_reference(spark):
+    import random
+    from collections import Counter
+
+    from spatialdata_spark.pipeline.textstats import token_burstiness
+
+    rng = random.Random(31)
+    vocab = [f"w{i}" for i in range(15)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 50))))
+        for i in range(1, 26)
+    ]
+    out = {
+        r["token"]: r
+        for r in token_burstiness(
+            spark.createDataFrame(rows, ["doc_id", "text"]), topk=10
+        ).collect()
+    }
+    per_tok = {}
+    for _, t in rows:
+        for tok, c in Counter(t.lower().split()).items():
+            st = per_tok.setdefault(tok, [0, 0, 0])  # tf, df, s2
+            st[0] += c
+            st[1] += 1
+            st[2] += c * c
+    N = len(rows)
+    top = sorted(per_tok.items(), key=lambda kv: (-kv[1][0], kv[0]))[:10]
+    assert set(out) == {tok for tok, _ in top}
+    for tok, (tf, df, s2) in top:
+        r = out[tok]
+        assert (r["tf"], r["df"]) == (tf, df)
+        assert r["burstiness"] == round((N * s2 - tf * tf) / (N * tf), 9)
+
+
+def test_cooccurrence_pmi_python_reference(spark):
+    import math
+    import random
+
+    from spatialdata_spark.pipeline.textstats import cooccurrence_pmi
+
+    rng = random.Random(37)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 15))))
+        for i in range(1, 31)
+    ]
+    out = {
+        (r["tok_a"], r["tok_b"]): r
+        for r in cooccurrence_pmi(
+            spark.createDataFrame(rows, ["doc_id", "text"]), topk=6
+        ).collect()
+    }
+    pres = [set(t.lower().split()) for _, t in rows]
+    dfreq = {}
+    for s in pres:
+        for tok in s:
+            dfreq[tok] = dfreq.get(tok, 0) + 1
+    top = sorted(dfreq.items(), key=lambda kv: (-kv[1], kv[0]))[:6]
+    N = len(rows)
+    ref = {}
+    for i, (a, na) in enumerate(top):
+        for b, nb in top[i + 1 :]:
+            x, y = (a, b) if a < b else (b, a)
+            nx, ny = (na, nb) if a < b else (nb, na)
+            nab = sum(1 for s in pres if a in s and b in s)
+            if nab:
+                ref[(x, y)] = (nx, ny, nab, round(math.log(nab * 1.0 * N / (nx * ny)), 6))
+    assert set(out) == set(ref)
+    for k, (na, nb, nab, pmi) in ref.items():
+        r = out[k]
+        assert (r["n_a"], r["n_b"], r["n_ab"]) == (na, nb, nab)
+        assert abs(r["pmi"] - pmi) < 2e-6
+
+
+def test_inter_event_numpy_reference(spark):
+    import datetime
+    import random
+
+    import numpy as np
+
+    import __spark_entry__ as entrymod
+
+    rng = random.Random(41)
+    rows = [
+        (
+            i,
+            datetime.datetime(2024, 3, 1) + datetime.timedelta(seconds=rng.randint(0, 500000), microseconds=rng.randint(0, 999999)),
+            rng.randint(1, 6),
+            rng.choice(["a", "b"]),
+            0.0,
+            "{}",
+        )
+        for i in range(200)
+    ]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    orig = entrymod._read
+    entrymod._read = lambda s, d, t: ev
+    try:
+        out = {
+            r["event_type"]: r
+            for r in entrymod.st_inter_event(spark, "unused").collect()
+        }
+    finally:
+        entrymod._read = orig
+    by_user = {}
+    for eid, ts, uid, et, _, _ in rows:
+        by_user.setdefault(uid, []).append((ts, eid, et))
+    gaps = {}
+    for uid, lst in by_user.items():
+        lst.sort()
+        for (t0, _, _), (t1, _, et1) in zip(lst, lst[1:]):
+            us = round((t1 - t0).total_seconds() * 1e6)
+            gaps.setdefault(et1, []).append(us)
+    for et, g in gaps.items():
+        a = np.array(sorted(g), dtype=float)
+        assert out[et]["n_gaps"] == len(g)
+        assert out[et]["p50_us"] == round(float(np.percentile(a, 50)), 6)
+        assert out[et]["p90_us"] == round(float(np.percentile(a, 90)), 6)

@@ -5976,6 +5976,136 @@ FROM documents GROUP BY 1, 2
 """
 
 
+def pl_label_fstat(spark, sf_dir):
+    """Per-dimension one-way ANOVA F statistic between embedding label
+    groups (feature-selection / embedding-QA) — exact int64 sufficient
+    statistics, dim x k reduce keys, float work once per dim."""
+    from spatialdata_spark.pipeline.clustering import label_fstat
+
+    return label_fstat(_read(spark, sf_dir, "embeddings"), q=100)
+
+
+PL_LABEL_FSTAT_SQL = r"""
+WITH lv AS (
+  SELECT label AS g, generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 100 + 0.5) AS BIGINT)
+           AS v
+  FROM embeddings
+),
+per AS (
+  SELECT pos, g, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS s,
+         CAST(SUM(v*v) AS BIGINT) AS qq
+  FROM lv GROUP BY 1, 2
+),
+a AS (
+  SELECT pos, CAST(COUNT(*) AS BIGINT) AS n_labels,
+         CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(s) AS BIGINT) AS ss,
+         CAST(SUM(qq) AS BIGINT) AS q2,
+         SUM(CAST(s AS DOUBLE) * s / n) AS sb
+  FROM per GROUP BY 1
+)
+SELECT CAST(pos AS BIGINT) AS pos, n_labels,
+  ROUND(((sb - CAST(ss AS DOUBLE) * ss / nn) / (n_labels - 1))
+        / ((q2 - sb) / (nn - n_labels)), 6) AS f_stat
+FROM a
+"""
+
+
+def st_markov_transitions(spark, sf_dir):
+    """Per-user event-type transition matrix (first-order Markov):
+    lag window per user, pair counts, row-normalized probabilities —
+    the window total shares the pair partitioning (no agg-agg join)."""
+    from pyspark.sql.window import Window
+
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.withColumn("prev", F.lag("event_type").over(w)).filter(
+        F.col("prev").isNotNull()
+    )
+    p = s.groupBy("prev", F.col("event_type").alias("cur")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_trans")
+    )
+    tot = F.sum("n_trans").over(Window.partitionBy("prev"))
+    return p.select(
+        "prev",
+        "cur",
+        "n_trans",
+        F.round(F.col("n_trans") / tot, 9).alias("p_trans"),
+    )
+
+
+ST_MARKOV_TRANSITIONS_SQL = r"""
+WITH s AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev
+  FROM events
+), p AS (
+  SELECT prev, event_type AS cur, COUNT(*) AS n
+  FROM s WHERE prev IS NOT NULL GROUP BY 1, 2
+), t AS (SELECT prev, SUM(n) AS tot FROM p GROUP BY 1)
+SELECT p.prev, p.cur, CAST(p.n AS BIGINT) AS n_trans,
+       ROUND(p.n * 1.0 / t.tot, 9) AS p_trans
+FROM p JOIN t USING (prev)
+"""
+
+
+def pl_vocab_coverage(spark, sf_dir):
+    """Tokens needed to cover 50/90/99% of corpus token mass (the
+    tokenizer-sizing diagnostic): one rank + one running-sum window
+    sharing a single sort over the VOCABULARY (language-bounded —
+    the stated contract, same as vocab_topk's ordering), then a
+    3-row broadcast threshold probe."""
+    from pyspark.sql.window import Window
+
+    docs = _read(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    w = Window.orderBy(F.desc("tf"), F.asc("tok"))
+    ranked = counts.select(
+        F.row_number().over(w).cast("long").alias("rk"),
+        F.sum("tf").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+    )
+    total = counts.agg(F.sum("tf").cast("long").alias("tot"))
+    targets = docs.sparkSession.createDataFrame(
+        [(0.5,), (0.9,), (0.99,)], "coverage double"
+    )
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .join(
+            F.broadcast(targets),
+            F.col("cum") >= F.col("coverage") * F.col("tot"),
+        )
+        .groupBy("coverage")
+        .agg(F.min("rk").cast("long").alias("n_tokens"))
+    )
+
+
+PL_VOCAB_COVERAGE_SQL = r"""
+WITH tk AS (
+  SELECT unnest(string_split_regex(LOWER(TRIM(text)), '\s+')) AS tok
+  FROM documents
+), c AS (
+  SELECT tok, COUNT(*) AS tf FROM tk WHERE tok <> '' GROUP BY 1
+), r AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY tf DESC, tok) AS rk,
+         SUM(tf) OVER (ORDER BY tf DESC, tok ROWS UNBOUNDED PRECEDING) AS cum
+  FROM c
+), t AS (SELECT SUM(tf) AS tot FROM c),
+g AS (SELECT p FROM (VALUES (0.5), (0.9), (0.99)) v(p))
+SELECT g.p AS coverage, CAST(MIN(r.rk) AS BIGINT) AS n_tokens
+FROM g, r, t WHERE r.cum >= g.p * t.tot GROUP BY 1
+"""
+
+
 def q_pivot_revenue(spark, sf_dir):
     """Pivot coverage: revenue by returnflag with linestatus spread to
     columns via ``groupBy().pivot()`` with an explicit value list —
@@ -6630,6 +6760,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pl_cooccur_pmi": pl_cooccur_pmi,
         "st_inter_event": st_inter_event,
         "pl_len_hist": pl_len_hist,
+        "pl_label_fstat": pl_label_fstat,
+        "st_markov_transitions": st_markov_transitions,
+        "pl_vocab_coverage": pl_vocab_coverage,
         # --- cumulative greens ---
         "q05_local_supplier": q05_local_supplier,
         "q06_forecasting": q06_forecasting,
@@ -6776,6 +6909,9 @@ def oracle_sql() -> dict[str, str]:
         "pl_cooccur_pmi": PL_COOCCUR_PMI_SQL,
         "st_inter_event": ST_INTER_EVENT_SQL,
         "pl_len_hist": PL_LEN_HIST_SQL,
+        "pl_label_fstat": PL_LABEL_FSTAT_SQL,
+        "st_markov_transitions": ST_MARKOV_TRANSITIONS_SQL,
+        "pl_vocab_coverage": PL_VOCAB_COVERAGE_SQL,
         "pl_curation_funnel": PL_CURATION_FUNNEL_SQL,
         "pl_token_entropy": PL_TOKEN_ENTROPY_SQL,
         "pl_jsd_sources": PL_JSD_SOURCES_SQL,

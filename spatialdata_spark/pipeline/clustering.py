@@ -52,6 +52,10 @@ __all__ = [
     "kmeans_lloyd",
     "semantic_dedup_kmeans",
     "knn_classify",
+    "pool_embeddings",
+    "gram_matrix",
+    "pca_project",
+    "label_fstat",
 ]
 
 #: sub-integer resolution carried by centroid coordinates.  Points are
@@ -738,3 +742,55 @@ def pca_project(
         .withColumnRenamed("id", id_col)
     )
     return projected, eigvals, comps
+
+
+def label_fstat(
+    embeddings: DataFrame,
+    q: int = 100,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension one-way ANOVA F statistic between label groups —
+    the embedding-QA / feature-selection diagnostic ("which dimensions
+    actually separate the classes").  Sufficient statistics are exact
+    int64 on the :func:`quantize_long` grid (per-(dim, label) count /
+    sum / sum-of-squares, map-side combinable, ``dim x k`` rows
+    total); the F ratio's float work happens once per dimension over
+    ``k`` label terms (6 dp — the float-sum magnitudes sit orders
+    below the rounding, the `jsd_sources` precedent).
+
+    ``F = [SSB/(k-1)] / [SSW/(N-k)]`` with ``SSB = Σ_g S_g²/n_g −
+    S²/N`` and ``SSW = Q − Σ_g S_g²/n_g`` over quantized values.
+
+    Output: ``(pos, n_labels, f_stat)`` — one row per dimension.
+    """
+    longv = embeddings.select(
+        F.col(label_col).alias("__g"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "x"),
+    ).select(
+        "__g",
+        "pos",
+        F.floor(F.col("x") * q + F.lit(0.5)).cast("long").alias("v"),
+    )
+    per = longv.groupBy("pos", "__g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("qq"),
+    )
+    agg = per.groupBy("pos").agg(
+        F.count(F.lit(1)).cast("long").alias("n_labels"),
+        F.sum("n").cast("long").alias("N"),
+        F.sum("s").cast("long").alias("S"),
+        F.sum("qq").cast("long").alias("Q"),
+        F.sum(
+            F.col("s").cast("double") * F.col("s") / F.col("n")
+        ).alias("sb"),
+    )
+    ssb = F.col("sb") - F.col("S").cast("double") * F.col("S") / F.col("N")
+    ssw = F.col("Q") - F.col("sb")
+    fstat = (ssb / (F.col("n_labels") - 1)) / (
+        ssw / (F.col("N") - F.col("n_labels"))
+    )
+    return agg.select(
+        "pos", "n_labels", F.round(fstat, 6).alias("f_stat")
+    )

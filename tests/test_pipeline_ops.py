@@ -2312,3 +2312,117 @@ def test_inter_event_numpy_reference(spark):
         assert out[et]["n_gaps"] == len(g)
         assert out[et]["p50_us"] == round(float(np.percentile(a, 50)), 6)
         assert out[et]["p90_us"] == round(float(np.percentile(a, 90)), 6)
+
+
+def test_label_fstat_numpy_reference(spark):
+    import numpy as np
+
+    from spatialdata_spark.pipeline.clustering import label_fstat
+
+    rng = np.random.default_rng(43)
+    # dim 0 separates the classes strongly; dim 1-3 are noise
+    labels = rng.integers(0, 3, size=80)
+    X = rng.normal(size=(80, 4))
+    X[:, 0] += labels * 3.0
+    df = spark.createDataFrame(
+        [(int(i), [float(v) for v in X[i]], int(labels[i])) for i in range(80)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {r["pos"]: r["f_stat"] for r in label_fstat(df, q=100).collect()}
+    Q = np.floor(X.astype(np.float64) * 100 + 0.5)
+    for d in range(4):
+        groups = [Q[labels == g, d] for g in range(3)]
+        N = len(Q)
+        k = 3
+        S = Q[:, d].sum()
+        sb = sum(g.sum() ** 2 / len(g) for g in groups)
+        ssb = sb - S * S / N
+        ssw = (Q[:, d] ** 2).sum() - sb
+        f = (ssb / (k - 1)) / (ssw / (N - k))
+        assert abs(out[d] - f) < 1e-5, (d, out[d], f)
+    assert out[0] > 50 and all(out[d] < 10 for d in (1, 2, 3))
+
+
+def test_markov_transitions_python_reference(spark):
+    import datetime
+    import random
+
+    import __spark_entry__ as entrymod
+
+    rng = random.Random(47)
+    rows = [
+        (
+            i,
+            datetime.datetime(2024, 4, 1) + datetime.timedelta(seconds=i * 17 + rng.randint(0, 5)),
+            rng.randint(1, 5),
+            rng.choice(["x", "y", "z"]),
+            0.0,
+            "{}",
+        )
+        for i in range(150)
+    ]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    orig = entrymod._read
+    entrymod._read = lambda s, d, t: ev
+    try:
+        out = {
+            (r["prev"], r["cur"]): (r["n_trans"], r["p_trans"])
+            for r in entrymod.st_markov_transitions(spark, "u").collect()
+        }
+    finally:
+        entrymod._read = orig
+    by_user = {}
+    for eid, ts, uid, et, _, _ in rows:
+        by_user.setdefault(uid, []).append((ts, eid, et))
+    counts = {}
+    for lst in by_user.values():
+        lst.sort()
+        for (_, _, a), (_, _, b) in zip(lst, lst[1:]):
+            counts[(a, b)] = counts.get((a, b), 0) + 1
+    tots = {}
+    for (a, _), n in counts.items():
+        tots[a] = tots.get(a, 0) + n
+    ref = {k: (n, round(n / tots[k[0]], 9)) for k, n in counts.items()}
+    assert out == ref
+
+
+def test_vocab_coverage_python_reference(spark):
+    import random
+    from collections import Counter
+
+    import __spark_entry__ as entrymod
+
+    rng = random.Random(53)
+    # zipf-ish: token i drawn with weight 1/(i+1)
+    vocab = [f"w{i}" for i in range(50)]
+    wts = [1.0 / (i + 1) for i in range(50)]
+    rows = [
+        (i, " ".join(rng.choices(vocab, weights=wts, k=40)))
+        for i in range(1, 21)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    orig = entrymod._read
+    entrymod._read = lambda s, d, t: docs
+    try:
+        out = {
+            r["coverage"]: r["n_tokens"]
+            for r in entrymod.pl_vocab_coverage(spark, "u").collect()
+        }
+    finally:
+        entrymod._read = orig
+    cnt = Counter()
+    for _, t in rows:
+        cnt.update(t.split())
+    ordered = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    tot = sum(cnt.values())
+    ref = {}
+    for p in (0.5, 0.9, 0.99):
+        cum = 0
+        for rk, (_, tf) in enumerate(ordered, start=1):
+            cum += tf
+            if cum >= p * tot:
+                ref[p] = rk
+                break
+    assert out == ref

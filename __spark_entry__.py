@@ -6106,6 +6106,130 @@ FROM g, r, t WHERE r.cum >= g.p * t.tot GROUP BY 1
 """
 
 
+def q_top_parts_per_supplier(spark, sf_dir):
+    """Top-3 parts per supplier by revenue with ratio-to-report share
+    (the classic per-group rank + share window pair) — both windows
+    share ONE supplier partitioning; revenue sums are DECIMAL-exact,
+    cast to double only for the final division."""
+    from pyspark.sql.window import Window
+
+    li = _read(spark, sf_dir, "lineitem")
+    rev = (
+        li.groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(DEC)
+                * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+            ).alias("__rev")
+        )
+    )
+    wp = Window.partitionBy("l_suppkey")
+    w = wp.orderBy(F.desc("__rev"), F.asc("l_partkey"))
+    ranked = rev.select(
+        "l_suppkey",
+        "l_partkey",
+        F.col("__rev").cast("double").alias("revenue"),
+        (F.col("__rev").cast("double") / F.sum("__rev").over(wp).cast("double")).alias("__sh"),
+        F.row_number().over(w).cast("long").alias("rk"),
+    )
+    return ranked.filter(F.col("rk") <= 3).select(
+        "l_suppkey",
+        "l_partkey",
+        "revenue",
+        F.round(F.col("__sh"), 9).alias("supp_share"),
+        "rk",
+    )
+
+
+Q_TOP_PARTS_SQL = f"""
+WITH rev AS (
+  SELECT l_suppkey, l_partkey,
+         SUM(CAST(l_extendedprice AS {DEC})
+             * (CAST(1 AS {DEC}) - CAST(l_discount AS {DEC}))) AS r
+  FROM lineitem GROUP BY 1, 2
+), ranked AS (
+  SELECT l_suppkey, l_partkey, CAST(r AS DOUBLE) AS revenue,
+         CAST(r AS DOUBLE) / CAST(SUM(r) OVER (PARTITION BY l_suppkey) AS DOUBLE) AS sh,
+         ROW_NUMBER() OVER (PARTITION BY l_suppkey
+                            ORDER BY r DESC, l_partkey) AS rk
+  FROM rev
+)
+SELECT l_suppkey, l_partkey, revenue, ROUND(sh, 9) AS supp_share,
+       CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= 3
+"""
+
+
+def pl_hapax_ratio(spark, sf_dir):
+    """Hapax legomena ratio per source (types seen once / total types)
+    — the lexical-richness companion to entropy/TTR; vocabulary-sized
+    aggregation, exact integers + one division."""
+    docs = _read(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            "source",
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    return counts.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum((F.col("c") == 1).cast("long")).cast("long").alias("n_hapax"),
+        F.round(
+            F.sum((F.col("c") == 1).cast("long")) / F.count(F.lit(1)), 9
+        ).alias("hapax_ratio"),
+    )
+
+
+PL_HAPAX_RATIO_SQL = r"""
+WITH c AS (
+  SELECT source, tok, COUNT(*) AS c FROM (
+    SELECT source,
+           unnest(string_split_regex(LOWER(TRIM(text)), '\s+')) AS tok
+    FROM documents
+  ) WHERE tok <> '' GROUP BY 1, 2
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       ROUND(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 9)
+         AS hapax_ratio
+FROM c GROUP BY 1
+"""
+
+
+def pl_norm_hist(spark, sf_dir):
+    """Histogram of embedding squared norms (exact int64 quantized
+    ||v||², integer-divided into width-50 buckets) — the embedding-QA
+    norm profile that catches un-normalized or degenerate vectors;
+    zero-shuffle per-row fold + one tiny aggregation."""
+    emb = _read(spark, sf_dir, "embeddings")
+    n2 = F.aggregate(
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * 100 + F.lit(0.5)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v * v,
+    )
+    return emb.groupBy(
+        F.floor(n2 / F.lit(50)).cast("long").alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
+
+
+PL_NORM_HIST_SQL = r"""
+SELECT CAST(CAST(list_sum(list_transform(
+         CAST(embedding AS DOUBLE[]),
+         x -> CAST(FLOOR(x * 100 + 0.5) AS BIGINT) ** 2)) AS BIGINT) // 50
+       AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs
+FROM embeddings GROUP BY 1
+"""
+
+
 def q_pivot_revenue(spark, sf_dir):
     """Pivot coverage: revenue by returnflag with linestatus spread to
     columns via ``groupBy().pivot()`` with an explicit value list —
@@ -6763,6 +6887,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pl_label_fstat": pl_label_fstat,
         "st_markov_transitions": st_markov_transitions,
         "pl_vocab_coverage": pl_vocab_coverage,
+        "q_top_parts_per_supplier": q_top_parts_per_supplier,
+        "pl_hapax_ratio": pl_hapax_ratio,
+        "pl_norm_hist": pl_norm_hist,
         # --- cumulative greens ---
         "q05_local_supplier": q05_local_supplier,
         "q06_forecasting": q06_forecasting,
@@ -6912,6 +7039,9 @@ def oracle_sql() -> dict[str, str]:
         "pl_label_fstat": PL_LABEL_FSTAT_SQL,
         "st_markov_transitions": ST_MARKOV_TRANSITIONS_SQL,
         "pl_vocab_coverage": PL_VOCAB_COVERAGE_SQL,
+        "q_top_parts_per_supplier": Q_TOP_PARTS_SQL,
+        "pl_hapax_ratio": PL_HAPAX_RATIO_SQL,
+        "pl_norm_hist": PL_NORM_HIST_SQL,
         "pl_curation_funnel": PL_CURATION_FUNNEL_SQL,
         "pl_token_entropy": PL_TOKEN_ENTROPY_SQL,
         "pl_jsd_sources": PL_JSD_SOURCES_SQL,

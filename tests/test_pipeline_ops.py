@@ -2426,3 +2426,98 @@ def test_vocab_coverage_python_reference(spark):
                 ref[p] = rk
                 break
     assert out == ref
+
+
+def test_hapax_ratio_python_reference(spark):
+    import random
+    from collections import Counter
+
+    import __spark_entry__ as entrymod
+
+    rng = random.Random(59)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 12))),
+         rng.choice(["a", "b"]))
+        for i in range(1, 25)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    orig = entrymod._read
+    entrymod._read = lambda s, d, t: docs
+    try:
+        out = {
+            r["source"]: r
+            for r in entrymod.pl_hapax_ratio(spark, "u").collect()
+        }
+    finally:
+        entrymod._read = orig
+    by_src = {}
+    for _, t, s in rows:
+        by_src.setdefault(s, Counter()).update(t.split())
+    for s, cnt in by_src.items():
+        hap = sum(1 for c in cnt.values() if c == 1)
+        assert out[s]["n_types"] == len(cnt)
+        assert out[s]["n_hapax"] == hap
+        assert out[s]["hapax_ratio"] == round(hap / len(cnt), 9)
+
+
+def test_top_parts_per_supplier_reference(spark):
+    import __spark_entry__ as entrymod
+
+    rows = [
+        # supp 1: parts 10 (rev 100), 11 (50), 12 (50), 13 (10)
+        (1, 10, 100.0, 0.0),
+        (1, 11, 50.0, 0.0),
+        (1, 12, 100.0, 0.5),
+        (1, 13, 10.0, 0.0),
+        # supp 2: single part
+        (2, 20, 30.0, 0.0),
+    ]
+    li = spark.createDataFrame(
+        rows, ["l_suppkey", "l_partkey", "l_extendedprice", "l_discount"]
+    )
+    orig = entrymod._read
+    entrymod._read = lambda s, d, t: li
+    try:
+        out = {
+            (r["l_suppkey"], r["l_partkey"]): r
+            for r in entrymod.q_top_parts_per_supplier(spark, "u").collect()
+        }
+    finally:
+        entrymod._read = orig
+    # supp 1 total 210; ties on 50 resolve by partkey asc: 11 before 12
+    assert set(out) == {(1, 10), (1, 11), (1, 12), (2, 20)}
+    assert out[(1, 10)]["rk"] == 1 and out[(1, 10)]["revenue"] == 100.0
+    assert out[(1, 11)]["rk"] == 2 and out[(1, 12)]["rk"] == 3
+    assert out[(1, 10)]["supp_share"] == round(100.0 / 210.0, 9)
+    assert out[(2, 20)]["supp_share"] == 1.0
+
+
+def test_norm_hist_counts_total(spark):
+    import numpy as np
+
+    import __spark_entry__ as entrymod
+
+    rng = np.random.default_rng(61)
+    X = rng.normal(size=(90, 8))
+    X[:30] *= 0.1  # degenerate small-norm block the histogram must show
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(90)],
+        "vec_id long, embedding array<float>",
+    )
+    orig = entrymod._read
+    entrymod._read = lambda s, d, t: df
+    try:
+        out = {
+            r["bucket"]: r["n_vecs"]
+            for r in entrymod.pl_norm_hist(spark, "u").collect()
+        }
+    finally:
+        entrymod._read = orig
+    Q = np.floor(X * 100 + 0.5).astype(np.int64)
+    n2 = (Q * Q).sum(axis=1)
+    ref = {}
+    for b in n2 // 50:
+        ref[int(b)] = ref.get(int(b), 0) + 1
+    assert out == ref
+    assert sum(out.values()) == 90 and len(out) >= 2

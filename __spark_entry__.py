@@ -6230,6 +6230,101 @@ FROM embeddings GROUP BY 1
 """
 
 
+def q_order_gap(spark, sf_dir):
+    """Repeat-order cadence: day gaps between a customer's consecutive
+    orders, percentiled per market segment — customer-partitioned lag
+    window (integer day gaps), broadcast-gated dimension join, exact
+    percentile == quantile_cont on DOUBLE."""
+    from pyspark.sql.window import Window
+
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = o.withColumn(
+        "gap_days",
+        F.datediff(
+            F.to_date("o_orderdate"), F.lag(F.to_date("o_orderdate")).over(w)
+        ).cast("long"),
+    ).filter(F.col("gap_days").isNotNull())
+    if spark.sparkContext.master.startswith("local"):
+        c = F.broadcast(c)
+    j = g.join(c, g["o_custkey"] == c["c_custkey"])
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.round(
+            F.percentile(F.col("gap_days").cast("double"), F.lit(0.5)), 6
+        ).alias("p50_days"),
+        F.round(
+            F.percentile(F.col("gap_days").cast("double"), F.lit(0.9)), 6
+        ).alias("p90_days"),
+    )
+
+
+Q_ORDER_GAP_SQL = r"""
+WITH g AS (
+  SELECT o_custkey,
+         date_diff('day',
+           LAG(CAST(o_orderdate AS DATE)) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           CAST(o_orderdate AS DATE)) AS gap_days
+  FROM orders
+)
+SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       ROUND(quantile_cont(CAST(gap_days AS DOUBLE), 0.5), 6) AS p50_days,
+       ROUND(quantile_cont(CAST(gap_days AS DOUBLE), 0.9), 6) AS p90_days
+FROM g JOIN customer c ON g.o_custkey = c.c_custkey
+WHERE gap_days IS NOT NULL
+GROUP BY 1
+"""
+
+
+def st_funnel_time(spark, sf_dir):
+    """Time-to-convert: signup -> first subsequent purchase per user,
+    global gap percentiles (microsecond-exact gaps) — two first-touch
+    aggregations and one user-keyed broadcast-gated join; no window
+    over the event stream."""
+    ev = _read(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("su_us"))
+    )
+    if spark.sparkContext.master.startswith("local"):
+        su = F.broadcast(su)
+    pu = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", us.alias("pu_us"))
+        .join(su, "user_id")
+        .filter(F.col("pu_us") >= F.col("su_us"))
+        .groupBy("user_id", "su_us")
+        .agg(F.min("pu_us").alias("first_pu"))
+    )
+    gap = F.col("first_pu") - F.col("su_us")
+    return pu.select(gap.alias("gap")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.round(F.percentile(F.col("gap").cast("double"), F.lit(0.5)), 6).alias("p50_us"),
+        F.round(F.percentile(F.col("gap").cast("double"), F.lit(0.9)), 6).alias("p90_us"),
+    )
+
+
+ST_FUNNEL_TIME_SQL = r"""
+WITH su AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS su_us
+  FROM events WHERE event_type = 'signup' GROUP BY 1
+), pu AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) - ANY_VALUE(su.su_us) AS gap
+  FROM events e JOIN su ON e.user_id = su.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= su.su_us
+  GROUP BY e.user_id, su.su_us
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+       ROUND(quantile_cont(CAST(gap AS DOUBLE), 0.5), 6) AS p50_us,
+       ROUND(quantile_cont(CAST(gap AS DOUBLE), 0.9), 6) AS p90_us
+FROM pu
+"""
+
+
 def q_pivot_revenue(spark, sf_dir):
     """Pivot coverage: revenue by returnflag with linestatus spread to
     columns via ``groupBy().pivot()`` with an explicit value list —
@@ -6890,6 +6985,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_top_parts_per_supplier": q_top_parts_per_supplier,
         "pl_hapax_ratio": pl_hapax_ratio,
         "pl_norm_hist": pl_norm_hist,
+        "q_order_gap": q_order_gap,
+        "st_funnel_time": st_funnel_time,
         # --- cumulative greens ---
         "q05_local_supplier": q05_local_supplier,
         "q06_forecasting": q06_forecasting,
@@ -7042,6 +7139,8 @@ def oracle_sql() -> dict[str, str]:
         "q_top_parts_per_supplier": Q_TOP_PARTS_SQL,
         "pl_hapax_ratio": PL_HAPAX_RATIO_SQL,
         "pl_norm_hist": PL_NORM_HIST_SQL,
+        "q_order_gap": Q_ORDER_GAP_SQL,
+        "st_funnel_time": ST_FUNNEL_TIME_SQL,
         "pl_curation_funnel": PL_CURATION_FUNNEL_SQL,
         "pl_token_entropy": PL_TOKEN_ENTROPY_SQL,
         "pl_jsd_sources": PL_JSD_SOURCES_SQL,

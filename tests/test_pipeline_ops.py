@@ -2521,3 +2521,81 @@ def test_norm_hist_counts_total(spark):
         ref[int(b)] = ref.get(int(b), 0) + 1
     assert out == ref
     assert sum(out.values()) == 90 and len(out) >= 2
+
+
+def test_order_gap_numpy_reference(spark):
+    import datetime
+    import random
+
+    import numpy as np
+
+    import __spark_entry__ as entrymod
+
+    rng = random.Random(67)
+    orders = [
+        (
+            i,
+            rng.randint(1, 8),
+            datetime.datetime(2024, 1, 1) + datetime.timedelta(days=rng.randint(0, 200)),
+        )
+        for i in range(120)
+    ]
+    odf = spark.createDataFrame(orders, ["o_orderkey", "o_custkey", "o_orderdate"])
+    segs = [(c, rng.choice(["S1", "S2"])) for c in range(1, 9)]
+    cdf = spark.createDataFrame(segs, ["c_custkey", "c_mktsegment"])
+    orig = entrymod._read
+    entrymod._read = lambda s, d, t: odf if t == "orders" else cdf
+    try:
+        out = {
+            r["c_mktsegment"]: r
+            for r in entrymod.q_order_gap(spark, "u").collect()
+        }
+    finally:
+        entrymod._read = orig
+    by_cust = {}
+    for ok, ck, od in orders:
+        by_cust.setdefault(ck, []).append((od.date(), ok))
+    seg_of = dict(segs)
+    gaps = {}
+    for ck, lst in by_cust.items():
+        lst.sort()
+        for (d0, _), (d1, _) in zip(lst, lst[1:]):
+            gaps.setdefault(seg_of[ck], []).append((d1 - d0).days)
+    for s, g in gaps.items():
+        a = np.array(sorted(g), dtype=float)
+        assert out[s]["n_gaps"] == len(g)
+        assert out[s]["p50_days"] == round(float(np.percentile(a, 50)), 6)
+        assert out[s]["p90_days"] == round(float(np.percentile(a, 90)), 6)
+
+
+def test_funnel_time_reference(spark):
+    import datetime
+
+    import __spark_entry__ as entrymod
+
+    base = datetime.datetime(2024, 5, 1)
+    rows = [
+        # user 1: signup then purchase 2h later -> 7200s gap
+        (1, base, 1, "signup", 0.0, "{}"),
+        (2, base + datetime.timedelta(hours=2), 1, "purchase", 0.0, "{}"),
+        # user 2: purchase BEFORE signup (excluded), one after (1h)
+        (3, base - datetime.timedelta(hours=1), 2, "purchase", 0.0, "{}"),
+        (4, base, 2, "signup", 0.0, "{}"),
+        (5, base + datetime.timedelta(hours=1), 2, "purchase", 0.0, "{}"),
+        # user 3: signup, no purchase -> not converted
+        (6, base, 3, "signup", 0.0, "{}"),
+        # user 4: purchase, no signup -> not converted
+        (7, base, 4, "purchase", 0.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    orig = entrymod._read
+    entrymod._read = lambda s, d, t: ev
+    try:
+        r = entrymod.st_funnel_time(spark, "u").collect()[0]
+    finally:
+        entrymod._read = orig
+    assert r["n_converted"] == 2
+    gaps = sorted([7200e6, 3600e6])
+    assert r["p50_us"] == round((gaps[0] + gaps[1]) / 2, 6)

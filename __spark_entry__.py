@@ -6325,6 +6325,166 @@ FROM pu
 """
 
 
+def st_anomaly_mad(spark, sf_dir):
+    """Robust anomaly detection on daily event counts: median +
+    median-absolute-deviation per event type (the outlier-immune twin
+    of the z-score detector st_anomaly), every day flagged with
+    ``n > med + 3 * mad``.  Both robust statistics are window
+    aggregates SHARING one event-type partitioning over the
+    (type x calendar)-sized daily table — metadata at any corpus
+    scale; exact percentile == quantile_cont on DOUBLE."""
+    from pyspark.sql.window import Window
+
+    ev = _read(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.partitionBy("event_type")
+    with_med = daily.withColumn(
+        "med", F.percentile(F.col("n").cast("double"), F.lit(0.5)).over(w)
+    )
+    with_mad = with_med.withColumn(
+        "mad",
+        F.percentile(
+            F.abs(F.col("n") - F.col("med")), F.lit(0.5)
+        ).over(w),
+    )
+    return with_mad.select(
+        "event_type",
+        "day",
+        "n",
+        F.round("med", 6).alias("med"),
+        F.round("mad", 6).alias("mad"),
+        (F.col("n") > F.col("med") + F.lit(3.0) * F.col("mad"))
+        .cast("int")
+        .alias("is_anomaly"),
+    )
+
+
+ST_ANOMALY_MAD_SQL = r"""
+WITH daily AS (
+  SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), m AS (
+  SELECT event_type, day, n,
+         quantile_cont(CAST(n AS DOUBLE), 0.5)
+           OVER (PARTITION BY event_type) AS med
+  FROM daily
+), mm AS (
+  SELECT event_type, day, n, med,
+         quantile_cont(ABS(n - med), 0.5)
+           OVER (PARTITION BY event_type) AS mad
+  FROM m
+)
+SELECT event_type, day, CAST(n AS BIGINT) AS n,
+       ROUND(med, 6) AS med, ROUND(mad, 6) AS mad,
+       CAST(CASE WHEN n > med + 3.0 * mad THEN 1 ELSE 0 END AS INT)
+         AS is_anomaly
+FROM mm
+"""
+
+
+def q_customer_ltv_deciles(spark, sf_dir):
+    """Customer lifetime-value deciles (ntile(10) over DECIMAL-exact
+    order totals) with per-decile stats — the classic LTV report.
+    The global ntile sorts the customer AGGREGATE (dimension-sized,
+    not the order stream); at extreme customer counts the documented
+    swap is approx_percentile decile thresholds, plan shape unchanged."""
+    from pyspark.sql.window import Window
+
+    o = _read(spark, sf_dir, "orders")
+    ltv = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("__ltv")
+    )
+    w = Window.orderBy(F.desc("__ltv"), F.asc("o_custkey"))
+    d = ltv.withColumn("decile", F.ntile(10).over(w).cast("long"))
+    return d.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.max(F.col("__ltv").cast("double")).alias("max_ltv"),
+        F.min(F.col("__ltv").cast("double")).alias("min_ltv"),
+        F.round(
+            F.sum(F.col("__ltv")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_ltv"),
+    )
+
+
+Q_LTV_DECILES_SQL = f"""
+WITH ltv AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS {DEC})) AS l
+  FROM orders GROUP BY 1
+), d AS (
+  SELECT o_custkey, l,
+         NTILE(10) OVER (ORDER BY l DESC, o_custkey) AS decile
+  FROM ltv
+)
+SELECT CAST(decile AS BIGINT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(MAX(l) AS DOUBLE) AS max_ltv,
+       CAST(MIN(l) AS DOUBLE) AS min_ltv,
+       ROUND(CAST(SUM(l) AS DOUBLE) / COUNT(*), 6) AS avg_ltv
+FROM d GROUP BY 1
+"""
+
+
+def pl_bigram_entropy(spark, sf_dir):
+    """Conditional next-word entropy H(next | prev) per source — the
+    predictability/templatedness diagnostic one level above unigram
+    entropy.  One bigram count table per source (map-side combine);
+    the prev-marginal is a window SHARING the (source, prev)
+    partitioning (no aggregate-aggregate join); 6 dp."""
+    from pyspark.sql.window import Window
+
+    from spatialdata_spark.pipeline.filters import word_ngrams, word_tokens
+
+    docs = _read(spark, sf_dir, "documents")
+    bg = docs.select(
+        "source",
+        F.explode(word_ngrams(word_tokens("text"), 2)).alias("__g"),
+    ).select(
+        "source",
+        F.substring_index(F.col("__g"), " ", 1).alias("__a"),
+        F.col("__g"),
+    )
+    c = bg.groupBy("source", "__a", "__g").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    ca = F.sum("__c").over(Window.partitionBy("source", "__a"))
+    scored = c.select(
+        "source",
+        "__c",
+        (F.col("__c") * (F.log(ca) - F.log("__c"))).alias("__t"),
+    )
+    return scored.groupBy("source").agg(
+        F.sum("__c").cast("long").alias("n_bigrams"),
+        F.round(F.sum("__t") / F.sum("__c"), 6).alias("h_cond"),
+    )
+
+
+PL_BIGRAM_ENTROPY_SQL = r"""
+WITH toks AS (
+  SELECT source, string_split_regex(LOWER(TRIM(text)), '\s+') AS ts
+  FROM documents
+), bg AS (
+  SELECT source,
+         unnest(list_transform(range(1, LEN(ts)),
+                i -> ts[i] || ' ' || ts[i+1])) AS g
+  FROM toks
+), c AS (
+  SELECT source, string_split(g, ' ')[1] AS a, g, COUNT(*) AS c
+  FROM bg GROUP BY 1, 2, 3
+), m AS (
+  SELECT source, c,
+         SUM(c) OVER (PARTITION BY source, a) AS ca
+  FROM c
+)
+SELECT source, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+       ROUND(SUM(c * (LN(ca) - LN(c))) / SUM(c), 6) AS h_cond
+FROM m GROUP BY 1
+"""
+
+
 def q_pivot_revenue(spark, sf_dir):
     """Pivot coverage: revenue by returnflag with linestatus spread to
     columns via ``groupBy().pivot()`` with an explicit value list —
@@ -6987,6 +7147,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pl_norm_hist": pl_norm_hist,
         "q_order_gap": q_order_gap,
         "st_funnel_time": st_funnel_time,
+        "st_anomaly_mad": st_anomaly_mad,
+        "q_customer_ltv_deciles": q_customer_ltv_deciles,
+        "pl_bigram_entropy": pl_bigram_entropy,
         # --- cumulative greens ---
         "q05_local_supplier": q05_local_supplier,
         "q06_forecasting": q06_forecasting,
@@ -7141,6 +7304,9 @@ def oracle_sql() -> dict[str, str]:
         "pl_norm_hist": PL_NORM_HIST_SQL,
         "q_order_gap": Q_ORDER_GAP_SQL,
         "st_funnel_time": ST_FUNNEL_TIME_SQL,
+        "st_anomaly_mad": ST_ANOMALY_MAD_SQL,
+        "q_customer_ltv_deciles": Q_LTV_DECILES_SQL,
+        "pl_bigram_entropy": PL_BIGRAM_ENTROPY_SQL,
         "pl_curation_funnel": PL_CURATION_FUNNEL_SQL,
         "pl_token_entropy": PL_TOKEN_ENTROPY_SQL,
         "pl_jsd_sources": PL_JSD_SOURCES_SQL,

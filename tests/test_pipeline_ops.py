@@ -2599,3 +2599,105 @@ def test_funnel_time_reference(spark):
     assert r["n_converted"] == 2
     gaps = sorted([7200e6, 3600e6])
     assert r["p50_us"] == round((gaps[0] + gaps[1]) / 2, 6)
+
+
+def test_anomaly_mad_reference(spark):
+    import datetime
+
+    import numpy as np
+
+    import __spark_entry__ as entrymod
+
+    # type "e": 9 quiet days of ~10 events, 1 burst day of 60
+    rows = []
+    eid = 0
+    for d in range(10):
+        n = 60 if d == 7 else 10 + (d % 3)
+        for _ in range(n):
+            rows.append(
+                (eid, datetime.datetime(2024, 6, 1 + d, 12), 1, "e", 0.0, "{}")
+            )
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    orig = entrymod._read
+    entrymod._read = lambda s, d, t: ev
+    try:
+        out = {
+            r["day"]: r for r in entrymod.st_anomaly_mad(spark, "u").collect()
+        }
+    finally:
+        entrymod._read = orig
+    ns = np.array([60 if d == 7 else 10 + (d % 3) for d in range(10)], float)
+    med = float(np.percentile(np.sort(ns), 50))
+    mad = float(np.percentile(np.sort(np.abs(ns - med)), 50))
+    flagged = {d: int(n > med + 3 * mad) for d, n in enumerate(ns)}
+    assert len(out) == 10
+    for d in range(10):
+        r = out[f"2024-06-{1+d:02d}"]
+        assert r["is_anomaly"] == flagged[d]
+        assert r["med"] == round(med, 6) and r["mad"] == round(mad, 6)
+    assert out["2024-06-08"]["is_anomaly"] == 1
+
+
+def test_ltv_deciles_reference(spark):
+    import __spark_entry__ as entrymod
+
+    # 20 customers with ltv = custkey * 10 -> decile d holds customers
+    # ranked (d-1)*2+1..d*2 by ltv desc
+    rows = [(i, float(c * 10), c) for i, c in enumerate(range(1, 21))]
+    o = spark.createDataFrame(rows, ["o_orderkey", "o_totalprice", "o_custkey"])
+    orig = entrymod._read
+    entrymod._read = lambda s, d, t: o
+    try:
+        out = {
+            r["decile"]: r
+            for r in entrymod.q_customer_ltv_deciles(spark, "u").collect()
+        }
+    finally:
+        entrymod._read = orig
+    assert len(out) == 10
+    # decile 1 = top-2 customers (200, 190)
+    assert out[1]["n_customers"] == 2
+    assert out[1]["max_ltv"] == 200.0 and out[1]["min_ltv"] == 190.0
+    assert out[1]["avg_ltv"] == 195.0
+    assert out[10]["max_ltv"] == 20.0 and out[10]["min_ltv"] == 10.0
+
+
+def test_bigram_entropy_python_reference(spark):
+    import math
+    import random
+    from collections import Counter
+
+    import __spark_entry__ as entrymod
+
+    rng = random.Random(71)
+    vocab = [f"w{i}" for i in range(10)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 30))),
+         rng.choice(["a", "b"]))
+        for i in range(1, 25)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    orig = entrymod._read
+    entrymod._read = lambda s, d, t: docs
+    try:
+        out = {
+            r["source"]: r
+            for r in entrymod.pl_bigram_entropy(spark, "u").collect()
+        }
+    finally:
+        entrymod._read = orig
+    by_src = {}
+    for _, t, s in rows:
+        ts = t.split()
+        by_src.setdefault(s, Counter()).update(zip(ts, ts[1:]))
+    for s, cnt in by_src.items():
+        ca = Counter()
+        for (a, _), c in cnt.items():
+            ca[a] += c
+        T = sum(cnt.values())
+        h = sum(c * (math.log(ca[a]) - math.log(c)) for (a, _), c in cnt.items()) / T
+        assert out[s]["n_bigrams"] == T
+        assert abs(out[s]["h_cond"] - h) < 1e-6

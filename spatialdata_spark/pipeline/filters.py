@@ -1020,3 +1020,38 @@ def bloom_decontaminate(
         "n_maybe",
         F.round(F.col("n_maybe") / F.col("n_grams"), 9).alias("bloom_frac"),
     )
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    salt: int = 42,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row lands in a
+    split by ``xxhash64(id, salt) mod 1e6`` against cumulative weight
+    thresholds — the standard leakage-safe corpus split (a row's split
+    is a pure function of its id: stable across runs, machines,
+    repartitions, and incremental corpus growth, which a random
+    ``df.randomSplit`` is NOT).
+
+    Pure projection — zero shuffle, fuses into the scan; the split
+    column can feed a partitioned write so each split lands in its
+    own files.
+
+    Output: the input columns plus ``split``.
+    """
+    w = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = float(sum(w.values()))
+    m = 1_000_000
+    bucket = F.pmod(F.xxhash64(F.col(id_col), F.lit(int(salt))), F.lit(m))
+    expr = None
+    cum = 0.0
+    items = list(w.items())
+    for name, frac in items[:-1]:
+        cum += frac / total
+        cond = bucket < int(cum * m)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)

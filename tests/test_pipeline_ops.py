@@ -2701,3 +2701,25 @@ def test_bigram_entropy_python_reference(spark):
         h = sum(c * (math.log(ca[a]) - math.log(c)) for (a, _), c in cnt.items()) / T
         assert out[s]["n_bigrams"] == T
         assert abs(out[s]["h_cond"] - h) < 1e-6
+
+
+def test_hash_split_deterministic_and_proportional(spark):
+    from spatialdata_spark.pipeline.filters import hash_split
+
+    docs = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"] for r in hash_split(docs).collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(docs).collect()}
+    assert a == b  # stable across runs
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert set(c) == {"train", "val", "test"}
+    assert abs(c["train"] / 5000 - 0.9) < 0.02
+    assert abs(c["val"] / 5000 - 0.05) < 0.02
+    # growing the corpus must not move existing rows between splits
+    bigger = spark.range(0, 8000).withColumnRenamed("id", "doc_id")
+    big = {r["doc_id"]: r["split"] for r in hash_split(bigger).collect()}
+    assert all(big[k] == v for k, v in a.items())
+    # different salt reshuffles
+    alt = {r["doc_id"]: r["split"] for r in hash_split(docs, salt=7).collect()}
+    assert alt != a

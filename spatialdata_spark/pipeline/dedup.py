@@ -1253,3 +1253,56 @@ def remove_duplicate_spans(
         )
     )
     return out
+
+
+def rouge_recall_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ROUGE-N recall for candidate ``(id_a, id_b)`` pairs — the
+    summarization/near-dup eval metric as a pure relational plan:
+    ``recall = Σ_g min(c_a(g), c_b(g)) / Σ_g c_b(g)`` over MULTISET
+    word-n-gram counts (Lin 2004), with ``b`` the reference side.
+
+    Plan: one (doc, gram) count table (map-side combine); the
+    reference side equi-joins the pair list on ``id_b`` and the
+    candidate counts join back LEFT on ``(id_a, gram)`` — every join
+    is keyed, work is bounded by pair-gram hits, and nothing is
+    ever all-pairs.  Exact integers + one final division (9 dp).
+
+    Output: ``(id_a, id_b, n_ref_grams, n_overlap, rougen_recall)``.
+    """
+    from .filters import word_ngrams, word_tokens
+
+    grams = (
+        docs.select(
+            F.col(id_col).alias("__d"),
+            F.explode(word_ngrams(word_tokens(text_col), n)).alias("__g"),
+        )
+        .groupBy("__d", "__g")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    gb = grams.select(
+        F.col("__d").alias("id_b"), "__g", F.col("__c").alias("__cb")
+    )
+    ga = grams.select(
+        F.col("__d").alias("id_a"), "__g", F.col("__c").alias("__ca")
+    )
+    j = (
+        pairs.join(gb, "id_b")
+        .join(ga, ["id_a", "__g"], "left")
+        .select(
+            "id_a",
+            "id_b",
+            "__cb",
+            F.least(F.coalesce("__ca", F.lit(0)), F.col("__cb")).alias("__ov"),
+        )
+    )
+    return j.groupBy("id_a", "id_b").agg(
+        F.sum("__cb").cast("long").alias("n_ref_grams"),
+        F.sum("__ov").cast("long").alias("n_overlap"),
+        F.round(F.sum("__ov") / F.sum("__cb"), 9).alias("rougen_recall"),
+    )

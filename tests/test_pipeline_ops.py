@@ -2724,3 +2724,41 @@ def test_hash_split_deterministic_and_proportional(spark):
     # different salt reshuffles
     alt = {r["doc_id"]: r["split"] for r in hash_split(docs, salt=7).collect()}
     assert alt != a
+
+
+def test_rouge_recall_pairs_reference(spark):
+    import random
+    from collections import Counter
+
+    from spatialdata_spark.pipeline.dedup import rouge_recall_pairs
+
+    rng = random.Random(73)
+    vocab = [f"w{i}" for i in range(8)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 25))))
+        for i in range(1, 13)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    pr = [(i, i + 1) for i in range(1, 12)]
+    pairs = spark.createDataFrame(pr, ["id_a", "id_b"])
+    out = {
+        (r["id_a"], r["id_b"]): r
+        for r in rouge_recall_pairs(docs, pairs, n=2).collect()
+    }
+
+    def bigrams(t):
+        ws = t.split()
+        return Counter(zip(ws, ws[1:]))
+
+    txt = dict(rows)
+    for a, b in pr:
+        ca, cb = bigrams(txt[a]), bigrams(txt[b])
+        ref = sum(cb.values())
+        ov = sum(min(ca.get(g, 0), c) for g, c in cb.items())
+        r = out[(a, b)]
+        assert r["n_ref_grams"] == ref and r["n_overlap"] == ov
+        assert r["rougen_recall"] == round(ov / ref, 9)
+    # identical texts -> recall 1.0
+    same = spark.createDataFrame([(1, rows[0][1]), (2, rows[0][1])], ["doc_id", "text"])
+    p1 = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    assert rouge_recall_pairs(same, p1, n=2).collect()[0]["rougen_recall"] == 1.0

@@ -6485,6 +6485,55 @@ FROM m GROUP BY 1
 """
 
 
+def pl_rouge_pairs(spark, sf_dir):
+    """ROUGE-2 recall between consecutive same-source documents —
+    the summarization/near-dup eval metric as a pure relational plan
+    (multiset bigram min-overlap / reference mass); pair list from a
+    source-partitioned lead window."""
+    from pyspark.sql.window import Window
+
+    from spatialdata_spark.pipeline.dedup import rouge_recall_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    pairs = (
+        docs.select(
+            F.col("doc_id").alias("id_a"),
+            F.lead("doc_id").over(w).alias("id_b"),
+        )
+        .filter(F.col("id_b").isNotNull())
+    )
+    return rouge_recall_pairs(docs, pairs, n=2)
+
+
+PL_ROUGE_PAIRS_SQL = r"""
+WITH pairs AS (
+  SELECT doc_id AS id_a,
+         LEAD(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS id_b
+  FROM documents
+), pr AS (SELECT id_a, id_b FROM pairs WHERE id_b IS NOT NULL),
+toks AS (
+  SELECT doc_id, string_split_regex(LOWER(TRIM(text)), '\s+') AS ts
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, LEN(ts)),
+                i -> ts[i] || ' ' || ts[i+1])) AS g
+  FROM toks
+), c AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY 1, 2),
+j AS (
+  SELECT pr.id_a, pr.id_b, cb.c AS cb,
+         LEAST(COALESCE(ca.c, 0), cb.c) AS ov
+  FROM pr JOIN c cb ON cb.doc_id = pr.id_b
+       LEFT JOIN c ca ON ca.doc_id = pr.id_a AND ca.g = cb.g
+)
+SELECT id_a, id_b, CAST(SUM(cb) AS BIGINT) AS n_ref_grams,
+       CAST(SUM(ov) AS BIGINT) AS n_overlap,
+       ROUND(SUM(ov) * 1.0 / SUM(cb), 9) AS rougen_recall
+FROM j GROUP BY 1, 2
+"""
+
+
 def q_pivot_revenue(spark, sf_dir):
     """Pivot coverage: revenue by returnflag with linestatus spread to
     columns via ``groupBy().pivot()`` with an explicit value list —
@@ -7150,6 +7199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_anomaly_mad": st_anomaly_mad,
         "q_customer_ltv_deciles": q_customer_ltv_deciles,
         "pl_bigram_entropy": pl_bigram_entropy,
+        "pl_rouge_pairs": pl_rouge_pairs,
         # --- cumulative greens ---
         "q05_local_supplier": q05_local_supplier,
         "q06_forecasting": q06_forecasting,
@@ -7307,6 +7357,7 @@ def oracle_sql() -> dict[str, str]:
         "st_anomaly_mad": ST_ANOMALY_MAD_SQL,
         "q_customer_ltv_deciles": Q_LTV_DECILES_SQL,
         "pl_bigram_entropy": PL_BIGRAM_ENTROPY_SQL,
+        "pl_rouge_pairs": PL_ROUGE_PAIRS_SQL,
         "pl_curation_funnel": PL_CURATION_FUNNEL_SQL,
         "pl_token_entropy": PL_TOKEN_ENTROPY_SQL,
         "pl_jsd_sources": PL_JSD_SOURCES_SQL,

@@ -6534,6 +6534,135 @@ FROM j GROUP BY 1, 2
 """
 
 
+def q_revenue_running(spark, sf_dir):
+    """Cumulative monthly revenue per nation (running-total report):
+    DECIMAL-exact monthly aggregation, then one cumulative window per
+    nation over the (nation x calendar)-sized monthly table —
+    metadata-sized frames at any corpus scale."""
+    from pyspark.sql.window import Window
+
+    li = _read(spark, sf_dir, "lineitem")
+    o = _read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _read(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _read(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    if spark.sparkContext.master.startswith("local"):
+        o = F.broadcast(o)
+        c = F.broadcast(c)
+        n = F.broadcast(n)
+    rev = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(n, c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            "n_name",
+            F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM").alias("month"),
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(DEC)
+                * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+            ).alias("__rev")
+        )
+    )
+    w = (
+        Window.partitionBy("n_name")
+        .orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return rev.select(
+        "n_name",
+        "month",
+        F.col("__rev").cast("double").alias("revenue"),
+        F.sum("__rev").over(w).cast("double").alias("cum_revenue"),
+    )
+
+
+Q_REVENUE_RUNNING_SQL = f"""
+WITH rev AS (
+  SELECT n.n_name, strftime(date_trunc('month', l.l_shipdate), '%Y-%m') AS month,
+         SUM(CAST(l.l_extendedprice AS {DEC})
+             * (CAST(1 AS {DEC}) - CAST(l.l_discount AS {DEC}))) AS r
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+)
+SELECT n_name, month, CAST(r AS DOUBLE) AS revenue,
+       CAST(SUM(r) OVER (PARTITION BY n_name ORDER BY month
+            ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_revenue
+FROM rev
+"""
+
+
+def pl_heaps_curve(spark, sf_dir):
+    """Vocabulary-growth (Heaps' law) curve: new distinct types
+    contributed per corpus decile (documents in id order) — the
+    "how fast does the vocabulary saturate" curation diagnostic.
+    First occurrence = one map-side MIN per token (vocabulary-sized);
+    deciles via ntile over the document DIMENSION (the ltv-deciles
+    contract); per-decile token/type sums are exact integers."""
+    from pyspark.sql.window import Window
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    first = toks.groupBy("tok").agg(F.min("doc_id").alias("__fd"))
+    new_per_doc = first.groupBy(F.col("__fd").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("__new")
+    )
+    tok_per_doc = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("__ntok")
+    )
+    base = (
+        docs.select("doc_id")
+        .join(new_per_doc, "doc_id", "left")
+        .join(tok_per_doc, "doc_id", "left")
+        .withColumn("decile", F.ntile(10).over(Window.orderBy("doc_id")).cast("long"))
+    )
+    return base.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.coalesce("__ntok", F.lit(0))).cast("long").alias("n_tokens"),
+        F.sum(F.coalesce("__new", F.lit(0))).cast("long").alias("n_new_types"),
+    )
+
+
+PL_HEAPS_CURVE_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(LOWER(TRIM(text)), '\s+')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+), first AS (
+  SELECT tok, MIN(doc_id) AS fd FROM toks GROUP BY 1
+), npd AS (
+  SELECT fd AS doc_id, COUNT(*) AS n_new FROM first GROUP BY 1
+), tpd AS (
+  SELECT doc_id, COUNT(*) AS ntok FROM toks GROUP BY 1
+), base AS (
+  SELECT d.doc_id, COALESCE(npd.n_new, 0) AS n_new,
+         COALESCE(tpd.ntok, 0) AS ntok,
+         NTILE(10) OVER (ORDER BY d.doc_id) AS decile
+  FROM documents d
+  LEFT JOIN npd ON d.doc_id = npd.doc_id
+  LEFT JOIN tpd ON d.doc_id = tpd.doc_id
+)
+SELECT CAST(decile AS BIGINT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_new) AS BIGINT) AS n_new_types
+FROM base GROUP BY 1
+"""
+
+
 def q_pivot_revenue(spark, sf_dir):
     """Pivot coverage: revenue by returnflag with linestatus spread to
     columns via ``groupBy().pivot()`` with an explicit value list —
@@ -7200,6 +7329,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_customer_ltv_deciles": q_customer_ltv_deciles,
         "pl_bigram_entropy": pl_bigram_entropy,
         "pl_rouge_pairs": pl_rouge_pairs,
+        "q_revenue_running": q_revenue_running,
+        "pl_heaps_curve": pl_heaps_curve,
         # --- cumulative greens ---
         "q05_local_supplier": q05_local_supplier,
         "q06_forecasting": q06_forecasting,
@@ -7358,6 +7489,8 @@ def oracle_sql() -> dict[str, str]:
         "q_customer_ltv_deciles": Q_LTV_DECILES_SQL,
         "pl_bigram_entropy": PL_BIGRAM_ENTROPY_SQL,
         "pl_rouge_pairs": PL_ROUGE_PAIRS_SQL,
+        "q_revenue_running": Q_REVENUE_RUNNING_SQL,
+        "pl_heaps_curve": PL_HEAPS_CURVE_SQL,
         "pl_curation_funnel": PL_CURATION_FUNNEL_SQL,
         "pl_token_entropy": PL_TOKEN_ENTROPY_SQL,
         "pl_jsd_sources": PL_JSD_SOURCES_SQL,

@@ -2762,3 +2762,73 @@ def test_rouge_recall_pairs_reference(spark):
     same = spark.createDataFrame([(1, rows[0][1]), (2, rows[0][1])], ["doc_id", "text"])
     p1 = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
     assert rouge_recall_pairs(same, p1, n=2).collect()[0]["rougen_recall"] == 1.0
+
+
+def test_revenue_running_reference(spark):
+    import datetime
+
+    import __spark_entry__ as entrymod
+
+    li = spark.createDataFrame(
+        [
+            (1, 100.0, 0.0, datetime.datetime(2024, 1, 5)),
+            (1, 50.0, 0.5, datetime.datetime(2024, 2, 5)),
+            (2, 80.0, 0.0, datetime.datetime(2024, 1, 9)),
+        ],
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    o = spark.createDataFrame([(1, 10), (2, 20)], ["o_orderkey", "o_custkey"])
+    c = spark.createDataFrame([(10, 1), (20, 2)], ["c_custkey", "c_nationkey"])
+    n = spark.createDataFrame([(1, "NA"), (2, "NB")], ["n_nationkey", "n_name"])
+    tables = {"lineitem": li, "orders": o, "customer": c, "nation": n}
+    orig = entrymod._read
+    entrymod._read = lambda s, d, t: tables[t]
+    try:
+        out = {
+            (r["n_name"], r["month"]): (r["revenue"], r["cum_revenue"])
+            for r in entrymod.q_revenue_running(spark, "u").collect()
+        }
+    finally:
+        entrymod._read = orig
+    assert out[("NA", "2024-01")] == (100.0, 100.0)
+    assert out[("NA", "2024-02")] == (25.0, 125.0)
+    assert out[("NB", "2024-01")] == (80.0, 80.0)
+
+
+def test_heaps_curve_reference(spark):
+    import random
+    from collections import Counter
+
+    import __spark_entry__ as entrymod
+
+    rng = random.Random(79)
+    vocab = [f"w{i}" for i in range(60)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 20))))
+        for i in range(1, 41)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    orig = entrymod._read
+    entrymod._read = lambda s, d, t: docs
+    try:
+        out = {
+            r["decile"]: r
+            for r in entrymod.pl_heaps_curve(spark, "u").collect()
+        }
+    finally:
+        entrymod._read = orig
+    seen = set()
+    per_doc = {}
+    for i, t in rows:
+        ws = t.split()
+        new = {w for w in ws if w not in seen}
+        seen |= new
+        per_doc[i] = (len(ws), len(new))
+    # ntile(10) over 40 docs: 4 per decile in id order
+    ids = sorted(per_doc)
+    for d in range(1, 11):
+        chunk = ids[(d - 1) * 4 : d * 4]
+        assert out[d]["n_docs"] == 4
+        assert out[d]["n_tokens"] == sum(per_doc[i][0] for i in chunk)
+        assert out[d]["n_new_types"] == sum(per_doc[i][1] for i in chunk)
+    assert sum(r["n_new_types"] for r in out.values()) == len(seen)

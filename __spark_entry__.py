@@ -7243,19 +7243,158 @@ SELECT user_id, event_id, value, rank FROM (
 """
 
 
+def pl_hash_split(spark, sf_dir):
+    """Deterministic leakage-safe train/val/test split: each document's
+    split is a pure function of its id (stable across runs, machines,
+    repartitions, and corpus growth — unlike ``randomSplit``).  Pure
+    projection, zero shuffle, fuses into the parquet scan.
+
+    The production default buckets by ``xxhash64``; this query passes
+    an explicit Knuth-multiplicative bucket (``((id mod 2^31) *
+    2654435761) mod 2^31 mod 1e6`` — the inner mod keeps the product
+    inside int64 at any id scale) so the assignment replays bit-exactly
+    in the DuckDB oracle."""
+    from spatialdata_spark.pipeline.filters import hash_split
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    bucket = (
+        F.pmod(
+            F.pmod(F.col("doc_id"), F.lit(2147483648)) * F.lit(2654435761),
+            F.lit(2147483648),
+        )
+        % F.lit(1000000)
+    )
+    return hash_split(docs, bucket=bucket).select("doc_id", "split")
+
+
+PL_HASH_SPLIT_SQL = """
+SELECT doc_id,
+       CASE WHEN ((doc_id % 2147483648) * 2654435761) % 2147483648 % 1000000
+                 < 900000 THEN 'train'
+            WHEN ((doc_id % 2147483648) * 2654435761) % 2147483648 % 1000000
+                 < 950000 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def pl_pagerank(spark, sf_dir):
+    """PageRank (3 unrolled power iterations, damping 0.85) over the
+    part<->supplier co-purchase graph from lineitem — the canonical
+    iterative link-analysis workload.  Fixed-point int64 arithmetic
+    throughout (integer floor division, order-free integer sums), so
+    the whole iteration replays BIT-EXACTLY in the SQL oracle.
+
+    Plan: edges distinct once and persisted with out-degrees; each
+    iteration is one node-sized rank join (broadcast-gated; the 100 TB
+    swap is co-partitioning edges+ranks by source key once so every
+    iteration reuses the partitioning) + one map-side-combinable SUM
+    per destination.  Supplier nodes are offset by 10^12 to keep the
+    two key spaces disjoint at any scale factor."""
+    from spatialdata_spark.pipeline.graph import pagerank
+
+    li = _read(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        F.col("l_partkey").cast("long").alias("src"),
+        (F.col("l_suppkey").cast("long") + F.lit(1000000000000)).alias("dst"),
+    ).distinct()
+    edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return pagerank(edges, k=3).withColumnRenamed("node", "node_id")
+
+
+PL_PAGERANK_SQL = """
+WITH fwd AS (
+  SELECT DISTINCT l_partkey AS src, l_suppkey + 1000000000000 AS dst
+  FROM lineitem
+),
+edges AS (
+  SELECT src, dst FROM fwd
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM fwd
+),
+nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges
+),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+r0 AS (
+  SELECT node, 1000000000 // nn.n AS rank_fp FROM nodes CROSS JOIN nn
+),
+c1 AS (
+  SELECT e.dst AS node, SUM(r.rank_fp // d.outdeg) AS cin
+  FROM edges e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.src
+  GROUP BY e.dst
+),
+r1 AS (
+  SELECT nodes.node,
+         (15 * CAST(1000000000 AS BIGINT)) // (100 * nn.n)
+           + (85 * COALESCE(c1.cin, 0)) // 100 AS rank_fp
+  FROM nodes CROSS JOIN nn LEFT JOIN c1 ON nodes.node = c1.node
+),
+c2 AS (
+  SELECT e.dst AS node, SUM(r.rank_fp // d.outdeg) AS cin
+  FROM edges e JOIN r1 r ON e.src = r.node JOIN deg d ON e.src = d.src
+  GROUP BY e.dst
+),
+r2 AS (
+  SELECT nodes.node,
+         (15 * CAST(1000000000 AS BIGINT)) // (100 * nn.n)
+           + (85 * COALESCE(c2.cin, 0)) // 100 AS rank_fp
+  FROM nodes CROSS JOIN nn LEFT JOIN c2 ON nodes.node = c2.node
+),
+c3 AS (
+  SELECT e.dst AS node, SUM(r.rank_fp // d.outdeg) AS cin
+  FROM edges e JOIN r2 r ON e.src = r.node JOIN deg d ON e.src = d.src
+  GROUP BY e.dst
+),
+r3 AS (
+  SELECT nodes.node,
+         (15 * CAST(1000000000 AS BIGINT)) // (100 * nn.n)
+           + (85 * COALESCE(c3.cin, 0)) // 100 AS rank_fp
+  FROM nodes CROSS JOIN nn LEFT JOIN c3 ON nodes.node = c3.node
+)
+SELECT node AS node_id, rank_fp FROM r3
+"""
+
+
+def pl_pca(spark, sf_dir):
+    """Two-pass distributed PCA over the embedding corpus: pass 1
+    reduces the corpus to its exact int64 fixed-point sufficient
+    statistics (the dim x dim Gram matrix + per-dimension sums —
+    order-free, so partial aggregation is deterministic), the dim x dim
+    eigendecomposition runs driver-side (model-sized), and pass 2
+    projects every vector in one numpy GEMM per Arrow batch.
+
+    No ``oracle_sql`` entry — the eigendecomposition is not
+    SQL-expressible, so the driver records the weaker rows-only check;
+    value-level determinism (fixed component signs, descending
+    eigenvalue order) is pinned by ``tests/test_pipeline_ops.py``."""
+    from spatialdata_spark.pipeline.clustering import pca_project
+
+    emb = _read(spark, sf_dir, "embeddings")
+    projected, _, _ = pca_project(emb, k=4, q=100)
+    return projected.select(
+        "vec_id",
+        F.round(F.col("pc")[0], 6).alias("pc1"),
+        F.round(F.col("pc")[1], 6).alias("pc2"),
+        F.round(F.col("pc")[2], 6).alias("pc3"),
+        F.round(F.col("pc")[3], 6).alias("pc4"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order matters: the correctness driver oracles the FIRST 50
-    # entries.  Round-7 head: the 3 NEW queries (gopher_rules,
-    # containment, cohort_matrix), then everything MODIFIED since its
-    # last driver check (bpe rework r7; clustering overflow-guard +
-    # sub-block cap r7; minhash persist rework r5 vs last check r4),
-    # then the stalest cumulative greens — the 5 last checked in r2 and
-    # the r4-refactored aggregate family last checked r3 — then
-    # r3-checked TPC-H/spatial rows.  17 r3-checked rows (7 sq_ shape
-    # queries + 10 rq_ relational) remain for the round-8 head.
+    # entries.  Round-7 head: ALL 46 queries new this round (none has
+    # a driver-green row yet — cumulative coverage outranks
+    # re-confirmation), then the 4 entries most materially MODIFIED
+    # since their last driver check (bpe incremental rework r7;
+    # semdedup re-split + overflow guard r7; minhash persist rework r5
+    # vs last check r4).  Displaced to the round-8 head: the r6-checked
+    # clustering pair, the r2/r3-checked aggregate family, r3-checked
+    # TPC-H and sq_/rq_ rows.
     return {
         # --- new in round 7 ---
         "pl_curation_funnel": pl_curation_funnel,
@@ -7284,35 +7423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pl_para_dedup": pl_para_dedup,
         "pl_lang_temperature": pl_lang_temperature,
         "st_cohort_matrix": st_cohort_matrix,
-        # --- modified since last driver check ---
-        "pl_bpe_train": pl_bpe_train,
-        "pl_bpe_encode": pl_bpe_encode,
-        "pl_kmeans": pl_kmeans,
-        "pl_semantic_dedup": pl_semantic_dedup,
-        "pl_knn_classify": pl_knn_classify,
-        "pl_minhash_dedup": pl_minhash_dedup,
-        # --- last driver-checked in r2 (stalest) ---
-        "ag_extent": ag_extent,
-        "ag_zonal_image": ag_zonal_image,
-        "rv_rasterize_count": rv_rasterize_count,
-        "rv_rasterize_cat": rv_rasterize_cat,
-        "rv_rasterize_circle_fill": rv_rasterize_circle_fill,
-        # --- r4-refactored aggregate family, last checked r3 ---
-        "ag_points_by_boxes": ag_points_by_boxes,
-        "ag_points_categorical": ag_points_categorical,
-        "ag_points_by_circles_count": ag_points_by_circles_count,
-        "ag_points_by_circles_sum": ag_points_by_circles_sum,
-        "ag_points_by_circles_mean": ag_points_by_circles_mean,
-        "ag_points_by_circles_max": ag_points_by_circles_max,
-        "ag_points_by_darts": ag_points_by_darts,
-        "ag_fractions": ag_fractions,
-        "ag_fractions_value": ag_fractions_value,
-        "ag_centroids_labels": ag_centroids_labels,
-        # --- last checked r3 ---
-        "q01_pricing_summary": q01_pricing_summary,
-        "q03_shipping": q03_shipping,
-        "q04_order_priority": q04_order_priority,
-        # --- new in round 7, below the driver head (r8 head candidates) ---
+        # --- new in round 7 (continued) ---
         "pl_burstiness": pl_burstiness,
         "pl_cooccur_pmi": pl_cooccur_pmi,
         "st_inter_event": st_inter_event,
@@ -7331,6 +7442,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pl_rouge_pairs": pl_rouge_pairs,
         "q_revenue_running": q_revenue_running,
         "pl_heaps_curve": pl_heaps_curve,
+        "pl_hash_split": pl_hash_split,
+        "pl_pca": pl_pca,
+        "pl_pagerank": pl_pagerank,
+        # --- modified since last driver check (r6): bpe incremental
+        # rework, semdedup re-split + overflow guard ---
+        "pl_bpe_train": pl_bpe_train,
+        "pl_bpe_encode": pl_bpe_encode,
+        "pl_semantic_dedup": pl_semantic_dedup,
+        # ===== driver head ends here (first 50) =====
+        # --- r8 head candidates: minhash (persist rework r5, last
+        # check r4), the r6-checked clustering pair, the r2/r3-checked
+        # aggregate family, r3-checked TPC-H rows ---
+        "pl_minhash_dedup": pl_minhash_dedup,
+        "pl_kmeans": pl_kmeans,
+        "pl_knn_classify": pl_knn_classify,
+        "ag_extent": ag_extent,
+        "ag_zonal_image": ag_zonal_image,
+        "rv_rasterize_count": rv_rasterize_count,
+        "rv_rasterize_cat": rv_rasterize_cat,
+        "rv_rasterize_circle_fill": rv_rasterize_circle_fill,
+        "ag_points_by_boxes": ag_points_by_boxes,
+        "ag_points_categorical": ag_points_categorical,
+        "ag_points_by_circles_count": ag_points_by_circles_count,
+        "ag_points_by_circles_sum": ag_points_by_circles_sum,
+        "ag_points_by_circles_mean": ag_points_by_circles_mean,
+        "ag_points_by_circles_max": ag_points_by_circles_max,
+        "ag_points_by_darts": ag_points_by_darts,
+        "ag_fractions": ag_fractions,
+        "ag_fractions_value": ag_fractions_value,
+        "ag_centroids_labels": ag_centroids_labels,
+        "q01_pricing_summary": q01_pricing_summary,
+        "q03_shipping": q03_shipping,
+        "q04_order_priority": q04_order_priority,
         # --- cumulative greens ---
         "q05_local_supplier": q05_local_supplier,
         "q06_forecasting": q06_forecasting,
@@ -7491,6 +7635,10 @@ def oracle_sql() -> dict[str, str]:
         "pl_rouge_pairs": PL_ROUGE_PAIRS_SQL,
         "q_revenue_running": Q_REVENUE_RUNNING_SQL,
         "pl_heaps_curve": PL_HEAPS_CURVE_SQL,
+        # pl_pca has NO oracle by design (eigendecomposition is not
+        # SQL-expressible) — the driver records the rows-only check.
+        "pl_hash_split": PL_HASH_SPLIT_SQL,
+        "pl_pagerank": PL_PAGERANK_SQL,
         "pl_curation_funnel": PL_CURATION_FUNNEL_SQL,
         "pl_token_entropy": PL_TOKEN_ENTROPY_SQL,
         "pl_jsd_sources": PL_JSD_SOURCES_SQL,

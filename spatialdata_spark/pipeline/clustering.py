@@ -794,3 +794,73 @@ def label_fstat(
     return agg.select(
         "pos", "n_labels", F.round(fstat, 6).alias("f_stat")
     )
+
+
+def embed_outliers(
+    embeddings: DataFrame,
+    q: int = 100,
+    group_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group centroid-distance outlier scores: each vector's exact
+    squared distance to its own group's integer centroid — the
+    standard embedding-QA pass that surfaces mislabeled, degenerate,
+    or contaminated vectors (large ``d2`` within a tight class).
+
+    Exactness: vectors quantize to the module's int64 grid; the
+    centroid is the n-scaled integer form (``n * c_pos = sum_pos`` —
+    no division, so no rounding disagreement anywhere): ``n^2 * d2 =
+    sum_pos (n * x_pos - s_pos)^2`` is EXACT int64 arithmetic and the
+    reported ``d2 = that / n^2`` divides once at the end.  Order-free
+    integer sums -> bit-equal to a sequential SQL replay.
+
+    Plan: one map-side explode to (group, pos) long format; the
+    centroid-sum table is (n_groups x dim)-sized with map-side
+    combine; the join back is broadcast-gated (model-sized at any
+    corpus scale); one per-vector aggregation.  int64 bound: |n*x - s|
+    <= 2*n*q*max|x|, so the per-vector squared sum is <=
+    4*dim*q^2*n^2 — ~2*10^6 rows per group at dim=64/q=100.  Beyond
+    that, swap the n-scaled form for DECIMAL(38) intermediates or a
+    float centroid with a documented tolerance (the exact form is the
+    oracle-parity configuration, not a hard ceiling).
+
+    Output: ``(id, group, d2)`` with ``d2`` rounded to 6 dp.
+    """
+    spark = embeddings.sparkSession
+    longv = embeddings.select(
+        F.col(id_col).alias("__id"),
+        F.col(group_col).alias("__grp"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "x"),
+    ).select(
+        "__id",
+        "__grp",
+        "pos",
+        F.floor(F.col("x") * q + F.lit(0.5)).cast("long").alias("val"),
+    )
+    cent = longv.groupBy("__grp", "pos").agg(
+        F.sum("val").alias("__s"),
+        F.count(F.lit(1)).cast("long").alias("__n"),
+    )
+    # n is constant per group; keep it on every (group, pos) row so the
+    # join stays single-key model-sized.
+    if spark.sparkContext.master.startswith("local"):
+        cent = F.broadcast(cent)
+    diff = longv.join(cent, ["__grp", "pos"]).select(
+        "__id",
+        "__grp",
+        "__n",
+        (F.col("__n") * F.col("val") - F.col("__s")).alias("__d"),
+    )
+    out = diff.groupBy("__id", "__grp", "__n").agg(
+        F.sum(F.col("__d") * F.col("__d")).alias("__ss")
+    )
+    return out.select(
+        F.col("__id").alias(id_col),
+        F.col("__grp").alias(group_col),
+        F.round(
+            F.col("__ss")
+            / (F.col("__n") * F.col("__n") * float(q) * float(q)),
+            6,
+        ).alias("d2"),
+    )

@@ -11,7 +11,7 @@ decontamination join broadcasts the (small) benchmark side.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -1027,6 +1027,7 @@ def hash_split(
     weights: dict[str, float] | None = None,
     id_col: str = "doc_id",
     salt: int = 42,
+    bucket: Column | None = None,
 ) -> DataFrame:
     """Deterministic train/val/test assignment: each row lands in a
     split by ``xxhash64(id, salt) mod 1e6`` against cumulative weight
@@ -1040,11 +1041,17 @@ def hash_split(
     own files.
 
     Output: the input columns plus ``split``.
+
+    ``bucket`` overrides the default ``xxhash64``-derived bucket with a
+    caller-supplied integer Column in ``[0, 1e6)`` — used where the
+    assignment must replay bit-exactly in engines without xxhash64
+    (e.g. the Knuth multiplicative hash in the driver oracle).
     """
     w = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
     total = float(sum(w.values()))
     m = 1_000_000
-    bucket = F.pmod(F.xxhash64(F.col(id_col), F.lit(int(salt))), F.lit(m))
+    if bucket is None:
+        bucket = F.pmod(F.xxhash64(F.col(id_col), F.lit(int(salt))), F.lit(m))
     expr = None
     cum = 0.0
     items = list(w.items())

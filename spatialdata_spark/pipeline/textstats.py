@@ -1224,3 +1224,150 @@ def cooccurrence_pmi(
     return out.select(
         "tok_a", "tok_b", "n_a", "n_b", "n_ab", F.round(pmi, 6).alias("pmi")
     )
+
+
+def zipf_slope(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    top_r: int = 100,
+) -> DataFrame:
+    """Per-group Zipf (rank-frequency power-law) fit: the OLS slope of
+    ``ln(count)`` against ``ln(rank)`` over the group's ``top_r`` most
+    frequent tokens — natural text sits near -1; templated/boilerplate
+    sources flatten, spammy keyword-stuffed ones steepen.  The
+    companion diagnostic to :func:`token_entropy` and the Heaps curve.
+
+    Plan: one vocabulary-sized count table (map-side combine), one
+    rank window per group truncated to ``top_r`` rows (deterministic
+    token tie-break), then a group-sized closed-form OLS aggregation —
+    the per-group regression sums run over <= ``top_r`` rows.  6 dp
+    (the repo's LM-score precision: float-sum order effects over
+    <=100 summands sit far below the rounding).
+
+    Output: ``(group, n_ranked, slope, intercept)``.
+    """
+    from pyspark.sql.window import Window
+
+    counts = (
+        docs.select(
+            F.col(group_col).alias("__g"),
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            ).alias("__tok"),
+        )
+        .filter(F.col("__tok") != "")
+        .groupBy("__g", "__tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    w = Window.partitionBy("__g").orderBy(F.desc("__c"), F.col("__tok"))
+    ranked = counts.withColumn("__r", F.row_number().over(w)).filter(
+        F.col("__r") <= int(top_r)
+    )
+    x = F.log(F.col("__r").cast("double"))
+    y = F.log(F.col("__c").cast("double"))
+    agg = ranked.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ranked"),
+        F.sum(x).alias("__sx"),
+        F.sum(y).alias("__sy"),
+        F.sum(x * x).alias("__sxx"),
+        F.sum(x * y).alias("__sxy"),
+    )
+    n = F.col("n_ranked").cast("double")
+    den = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    slope = (n * F.col("__sxy") - F.col("__sx") * F.col("__sy")) / den
+    intercept = (F.col("__sy") - slope * F.col("__sx")) / n
+    return agg.select(
+        F.col("__g").alias(group_col),
+        "n_ranked",
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+    )
+
+
+def distinct_ngrams(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    max_n: int = 3,
+) -> DataFrame:
+    """Per-group distinct-n diversity (Li et al. 2016): the ratio of
+    DISTINCT word n-grams to total n-grams for n = 1..``max_n`` — the
+    standard generation-diversity / mode-collapse metric, and for a
+    training corpus a direct duplication pressure gauge (low distinct-2
+    means the same phrases repeat everywhere).
+
+    Plan: one explode per n over pre-split tokens; each (group, gram)
+    stream reduces by two map-side-combinable aggregations (exact
+    distinct via the (group, gram) groupBy, never a COUNT(DISTINCT)
+    funnel).  Exact integers + one final division.
+
+    Output: ``(group, n, total_grams, distinct_grams, distinct_ratio)``.
+    """
+    from spatialdata_spark.pipeline.filters import word_ngrams, word_tokens
+
+    toks = word_tokens(text_col)
+    parts = []
+    for n in range(1, int(max_n) + 1):
+        grams = docs.select(
+            F.col(group_col).alias("__g"),
+            F.lit(n).alias("n"),
+            F.explode(word_ngrams(toks, n)).alias("__gram"),
+        )
+        per = grams.groupBy("__g", "n", "__gram").agg(
+            F.count(F.lit(1)).cast("long").alias("__c")
+        )
+        parts.append(
+            per.groupBy("__g", "n").agg(
+                F.sum("__c").cast("long").alias("total_grams"),
+                F.count(F.lit(1)).cast("long").alias("distinct_grams"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        F.col("__g").alias(group_col),
+        "n",
+        "total_grams",
+        "distinct_grams",
+        F.round(F.col("distinct_grams") / F.col("total_grams"), 9).alias(
+            "distinct_ratio"
+        ),
+    )
+
+
+def encoding_quality(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document encoding-health signals: U+FFFD replacement
+    characters (the mojibake tombstone a lossy transcode leaves
+    behind), C0 control characters other than tab/newline/carriage
+    return, and the non-ASCII fraction — the cheap pre-filter that
+    catches double-encoded or binary-contaminated documents before
+    they poison tokenizer training.
+
+    Pure per-row expressions — zero shuffle, zero explode, zero
+    Python; the whole pass fuses into the parquet scan.
+
+    Output: ``(id, n_chars, n_replacement, n_control, ascii_ratio,
+    enc_ok)`` with ``enc_ok = 0`` when any replacement character or
+    control character is present.
+    """
+    t = F.col(text_col)
+    n = F.length(t)
+    n_repl = n - F.length(F.regexp_replace(t, "�", ""))
+    n_ctrl = n - F.length(
+        F.regexp_replace(t, r"[\x00-\x08\x0B\x0C\x0E-\x1F]", "")
+    )
+    n_ascii = F.length(F.regexp_replace(t, r"[^\x00-\x7F]", ""))
+    return docs.select(
+        F.col(id_col),
+        n.cast("long").alias("n_chars"),
+        n_repl.cast("long").alias("n_replacement"),
+        n_ctrl.cast("long").alias("n_control"),
+        F.round(
+            F.when(n > 0, n_ascii / n).otherwise(F.lit(1.0)), 9
+        ).alias("ascii_ratio"),
+        ((n_repl == 0) & (n_ctrl == 0)).cast("int").alias("enc_ok"),
+    )

@@ -2726,6 +2726,31 @@ def test_hash_split_deterministic_and_proportional(spark):
     assert alt != a
 
 
+def test_hash_split_bucket_override_matches_python(spark):
+    """The caller-supplied bucket Column (the SQL-replayable Knuth
+    multiplicative hash used by the pl_hash_split oracle) must assign
+    exactly the splits the pure-Python replay predicts."""
+    from pyspark.sql import functions as F
+
+    from spatialdata_spark.pipeline.filters import hash_split
+
+    docs = spark.range(0, 3000).withColumnRenamed("id", "doc_id")
+    bucket = (
+        F.pmod(
+            F.pmod(F.col("doc_id"), F.lit(2147483648)) * F.lit(2654435761),
+            F.lit(2147483648),
+        )
+        % F.lit(1000000)
+    )
+    got = {r["doc_id"]: r["split"] for r in hash_split(docs, bucket=bucket).collect()}
+
+    def expect(i):
+        b = ((i % 2147483648) * 2654435761) % 2147483648 % 1000000
+        return "train" if b < 900000 else ("val" if b < 950000 else "test")
+
+    assert got == {i: expect(i) for i in range(3000)}
+
+
 def test_rouge_recall_pairs_reference(spark):
     import random
     from collections import Counter
@@ -2832,3 +2857,150 @@ def test_heaps_curve_reference(spark):
         assert out[d]["n_tokens"] == sum(per_doc[i][0] for i in chunk)
         assert out[d]["n_new_types"] == sum(per_doc[i][1] for i in chunk)
     assert sum(r["n_new_types"] for r in out.values()) == len(seen)
+
+
+def test_pagerank_matches_integer_reference(spark):
+    """Fixed-point PageRank must reproduce a sequential pure-Python
+    power iteration with identical integer arithmetic on a random
+    directed graph (including dangling-in nodes)."""
+    import random
+
+    from spatialdata_spark.pipeline.graph import pagerank
+
+    rng = random.Random(97)
+    nodes = list(range(1, 31))
+    edges = sorted({(rng.choice(nodes), rng.choice(nodes)) for _ in range(120)})
+    # a node that only appears as a source (no in-edges -> teleport only)
+    edges.append((99, 1))
+    edf = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["rank_fp"] for r in pagerank(edf, k=3).collect()}
+
+    scale, dn, dd, k = 10**9, 85, 100, 3
+    ns = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(ns)
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    base = (dd - dn) * scale // (dd * n)
+    rank = {v: scale // n for v in ns}
+    for _ in range(k):
+        incoming = {v: 0 for v in ns}
+        for s, d in edges:
+            incoming[d] += rank[s] // outdeg[s]
+        rank = {v: base + dn * incoming[v] // dd for v in ns}
+    assert got == rank
+
+
+def test_zipf_slope_reference(spark):
+    """Closed-form OLS over the rank/frequency pairs, replicated in
+    pure Python on a synthetic Zipfian corpus."""
+    import math
+    import random
+    from collections import Counter
+
+    from spatialdata_spark.pipeline.textstats import zipf_slope
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(200)]
+    # zipf-ish sampling: token i with weight 1/(i+1)
+    weights = [1.0 / (i + 1) for i in range(200)]
+    rows = [
+        (i, "s0", " ".join(rng.choices(vocab, weights, k=80)))
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = zipf_slope(docs, top_r=50).collect()
+    assert len(out) == 1
+    r = out[0]
+    cnt = Counter(t for _, _, tx in rows for t in tx.split())
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    xs = [math.log(i + 1) for i in range(len(ranked))]
+    ys = [math.log(c) for _, c in ranked]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx, sxy = sum(x * x for x in xs), sum(x * y for x, y in zip(xs, ys))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    inter = (sy - slope * sx) / n
+    assert r["n_ranked"] == 50
+    assert abs(r["slope"] - slope) < 1e-5
+    assert abs(r["intercept"] - inter) < 1e-5
+    assert -2.0 < r["slope"] < -0.3  # zipf-ish corpus: negative power law
+
+
+def test_distinct_ngrams_reference(spark):
+    import random
+
+    from spatialdata_spark.pipeline.textstats import distinct_ngrams
+
+    rng = random.Random(5)
+    vocab = [f"t{i}" for i in range(30)]
+    rows = [
+        (i, "a" if i % 2 else "b", " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 15))))
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = {(r["source"], r["n"]): r for r in distinct_ngrams(docs, max_n=3).collect()}
+    for src in ("a", "b"):
+        for n in (1, 2, 3):
+            grams = []
+            for _, s, tx in rows:
+                if s != src:
+                    continue
+                ws = tx.split()
+                grams += [" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)]
+            if not grams:
+                assert (src, n) not in out
+                continue
+            r = out[(src, n)]
+            assert r["total_grams"] == len(grams)
+            assert r["distinct_grams"] == len(set(grams))
+            assert abs(r["distinct_ratio"] - len(set(grams)) / len(grams)) < 1e-9
+
+
+def test_encoding_quality_signals(spark):
+    from spatialdata_spark.pipeline.textstats import encoding_quality
+
+    rows = [
+        (1, "clean ascii text"),
+        (2, "bad � byte �"),
+        (3, "ctrl\x00here\x07"),
+        (4, "tabs\tand\nnewlines\rok"),
+        (5, "café résumé"),
+        (6, ""),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in encoding_quality(docs).collect()}
+    assert out[1]["enc_ok"] == 1 and out[1]["n_replacement"] == 0
+    assert out[2]["n_replacement"] == 2 and out[2]["enc_ok"] == 0
+    assert out[3]["n_control"] == 2 and out[3]["enc_ok"] == 0
+    assert out[4]["enc_ok"] == 1 and out[4]["n_control"] == 0
+    assert out[5]["enc_ok"] == 1
+    assert abs(out[5]["ascii_ratio"] - (len(rows[4][1]) - 3) / len(rows[4][1])) < 1e-9
+    assert out[6]["ascii_ratio"] == 1.0 and out[6]["enc_ok"] == 1
+
+
+def test_embed_outliers_matches_numpy(spark):
+    import numpy as np
+
+    from spatialdata_spark.pipeline.clustering import embed_outliers
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(120):
+        lab = int(i % 4)
+        v = rng.normal(loc=lab, scale=0.5, size=8).astype(float)
+        rows.append((i, lab, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+    out = {r["vec_id"]: r for r in embed_outliers(emb, q=100).collect()}
+    X = np.array([r[2] for r in rows])
+    Q = np.floor(X * 100 + 0.5).astype(np.int64)
+    labs = np.array([r[1] for r in rows])
+    for lab in range(4):
+        idx = np.where(labs == lab)[0]
+        s = Q[idx].sum(axis=0)
+        n = len(idx)
+        for i in idx:
+            d = n * Q[i] - s
+            d2 = float((d.astype(object) ** 2).sum()) / (n * n * 100.0 * 100.0)
+            assert abs(out[int(i)]["d2"] - round(d2, 6)) < 1e-9
+            assert out[int(i)]["label"] == lab

@@ -271,3 +271,72 @@ def rolling_active_users(
             "n_active",
         )
     )
+
+
+def scd2_intervals(
+    events: DataFrame,
+    key_col: str = "user_id",
+    attr_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension build: collapse an event
+    stream into per-key validity intervals of an attribute — one row
+    per run of consecutive equal values, ``[valid_from, valid_to)``
+    with ``valid_to`` NULL on the current row.  The standard warehouse
+    dimension-history shape (and the inverse of an as-of join: a probe
+    at time t lands in exactly one interval).
+
+    Plan: run boundaries are a per-key ``lag`` comparison, run ids a
+    per-key running SUM of the change flags, both over the SAME
+    (key, ts, tiebreak) window ordering — one sort, no join; the
+    interval rollup is one aggregation per run plus a ``lead`` for the
+    exclusive upper bound over a window that REUSES the key
+    partitioning.  Deterministic under timestamp ties via the
+    tiebreak column.
+
+    Output: ``(key, attr, valid_from, valid_to, n_events)``.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    marked = events.select(
+        F.col(key_col).alias("key"),
+        F.col(attr_col).alias("attr"),
+        F.col(ts_col).alias("__ts"),
+        F.col(tiebreak_col).alias("__tb"),
+    ).withColumn(
+        "__chg",
+        F.when(
+            F.lag("attr").over(
+                Window.partitionBy("key").orderBy("__ts", "__tb")
+            ).isNull()
+            | (
+                F.lag("attr").over(
+                    Window.partitionBy("key").orderBy("__ts", "__tb")
+                )
+                != F.col("attr")
+            ),
+            1,
+        ).otherwise(0),
+    )
+    runs = marked.withColumn(
+        "__run",
+        F.sum("__chg").over(
+            Window.partitionBy("key")
+            .orderBy("__ts", "__tb")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    iv = runs.groupBy("key", "__run", "attr").agg(
+        F.min("__ts").alias("valid_from"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    wk = Window.partitionBy("key").orderBy("valid_from")
+    return iv.select(
+        F.col("key").alias(key_col),
+        F.col("attr").alias(attr_col),
+        "valid_from",
+        F.lead("valid_from").over(wk).alias("valid_to"),
+        "n_events",
+    )

@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank"]
+__all__ = ["label_propagation", "pagerank"]
 
 
 def pagerank(
@@ -108,3 +108,69 @@ def pagerank(
             ).cast("long").alias("rank_fp"),
         )
     return ranks
+
+
+def label_propagation(
+    edges: DataFrame,
+    k: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """``k`` unrolled rounds of deterministic label propagation
+    (Raghavan 2007) — community detection by iterated neighborhood
+    majority vote, the cheap complement to the connected-components
+    operator (CC merges everything reachable; LPA splits a component
+    into densely-linked communities).
+
+    Determinism (the classic LPA pitfall is random tie-breaking):
+    labels start as the node id; each round every node adopts the
+    label with the highest count among its in-neighbors, ties broken
+    by SMALLEST label, and a node with no in-edges keeps its label.
+    Every step is a count + an argmin/argmax over integer pairs —
+    order-free, so the rounds replay exactly in SQL (one CTE pair per
+    round).
+
+    Per-round plan: one node-sized label join onto the edge list
+    (broadcast-gated; co-partition edges+labels by source at scale)
+    and ONE combined aggregation keyed (dst, label) followed by a
+    lexicographic struct-max per dst — the (count, -label) argmax is
+    a single map-side-combinable MAX of a struct, never a window.
+
+    Returns ``(node, label)`` after ``k`` rounds.
+    """
+    spark = edges.sparkSession
+    e = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    labels = nodes.withColumn("label", F.col("node"))
+    for _ in range(int(k)):
+        lab = labels.select(F.col("node").alias("src"), "label")
+        if spark.sparkContext.master.startswith("local"):
+            lab = F.broadcast(lab)
+        votes = (
+            e.join(lab, "src")
+            .groupBy("dst", "label")
+            .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+        )
+        # argmax by (count, -label): max count, ties -> smallest label
+        best = votes.groupBy("dst").agg(
+            F.max(F.struct(F.col("__c"), (-F.col("label")).alias("__nl"))).alias(
+                "__b"
+            )
+        ).select("dst", (-F.col("__b.__nl")).alias("__winner"))
+        if spark.sparkContext.master.startswith("local"):
+            best = F.broadcast(best)
+        labels = labels.join(
+            best, labels["node"] == best["dst"], "left"
+        ).select(
+            "node",
+            F.coalesce(F.col("__winner"), F.col("label")).alias("label"),
+        )
+    return labels

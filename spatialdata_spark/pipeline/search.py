@@ -1,0 +1,83 @@
+"""Inverted-index text search as pure relational plans.
+
+The index is the classic positional posting table ``(token, doc_id,
+pos)`` — in Spark a long-format DataFrame, NOT a driver-side
+dictionary, so it builds with one map-side explode and serves queries
+with joins.  At 100 TB the index is written bucketed by ``token`` so
+every probe is a bucket-pruned scan plus a co-located join; here the
+probe side (the query's tokens) is a literal handful of rows, so each
+lookup is one pushed-down IN-filter over the posting table.
+
+Phrase matching is the standard positional-join form: a phrase
+``t0 t1 ... t(k-1)`` matches at position ``p`` of a document iff the
+postings contain ``(ti, doc, p+i)`` for every i — k-1 equi-joins on
+``(doc, pos)``, each after a pushed token filter, never a regex scan
+over the corpus text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["inverted_index", "phrase_search"]
+
+
+def inverted_index(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Positional posting table ``(token, doc_id, pos)`` over
+    lowercased whitespace tokens — one map-side ``posexplode``, no
+    shuffle (write it bucketed by ``token`` to serve point lookups
+    with partition pruning at scale)."""
+    from spatialdata_spark.pipeline.filters import word_tokens
+
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(word_tokens(text_col)).alias("pos", "token"),
+        )
+        .filter(F.col("token") != "")
+        .select("token", "doc_id", "pos")
+    )
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact phrase occurrences via positional posting joins:
+    ``(doc_id, n_matches)`` for every document containing the phrase
+    (lowercased whitespace tokenization, the corpus convention).
+
+    Plan: the posting stream filters to the phrase's token SET before
+    anything else (a pushed-down IN over the scan — the corpus text
+    never leaves the scan task otherwise); the k-gram adjacency is
+    k-1 equi-joins on ``(doc_id, pos + i)``, all between
+    already-token-filtered streams that share the (doc, pos) keying;
+    one final per-document count.  Work is proportional to the
+    postings of the phrase's tokens, not to corpus size.
+    """
+    toks = [t for t in phrase.lower().split() if t]
+    if not toks:
+        raise ValueError("empty phrase")
+    post = inverted_index(docs, text_col=text_col, id_col=id_col).filter(
+        F.col("token").isin(list(set(toks)))
+    )
+    cur = (
+        post.filter(F.col("token") == toks[0])
+        .select("doc_id", F.col("pos").alias("p0"))
+    )
+    for i, t in enumerate(toks[1:], start=1):
+        nxt = post.filter(F.col("token") == t).select(
+            F.col("doc_id").alias("__d"), F.col("pos").alias("__p")
+        )
+        cur = cur.join(
+            nxt,
+            (cur["doc_id"] == nxt["__d"]) & (nxt["__p"] == cur["p0"] + i),
+        ).select("doc_id", "p0")
+    return cur.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches")
+    )

@@ -3004,3 +3004,108 @@ def test_embed_outliers_matches_numpy(spark):
             d2 = float((d.astype(object) ** 2).sum()) / (n * n * 100.0 * 100.0)
             assert abs(out[int(i)]["d2"] - round(d2, 6)) < 1e-9
             assert out[int(i)]["label"] == lab
+
+
+def test_phrase_search_matches_python(spark):
+    import random
+
+    from spatialdata_spark.pipeline.search import phrase_search
+
+    rng = random.Random(21)
+    vocab = ["the", "quick", "brown", "fox", "dog", "a"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 40))))
+        for i in range(80)
+    ]
+    rows.append((900, "The Quick  brown fox"))  # case + multi-space
+    rows.append((901, "quick brown quick brown quick"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    for phrase in ["quick brown", "the quick brown", "dog", "quick brown quick"]:
+        got = {
+            r["doc_id"]: r["n_matches"]
+            for r in phrase_search(docs, phrase).collect()
+        }
+        want = {}
+        pt = phrase.split()
+        for i, tx in rows:
+            ws = tx.lower().split()
+            n = sum(
+                1
+                for j in range(len(ws) - len(pt) + 1)
+                if ws[j : j + len(pt)] == pt
+            )
+            if n:
+                want[i] = n
+        assert got == want, phrase
+
+
+def test_label_propagation_reference(spark):
+    """Two dense communities joined by one bridge edge: LPA must give
+    each clique one label and match a sequential synchronous replay."""
+    import itertools
+
+    from spatialdata_spark.pipeline.graph import label_propagation
+
+    cliq_a = list(range(1, 7))
+    cliq_b = list(range(10, 16))
+    und = list(itertools.combinations(cliq_a, 2)) + list(
+        itertools.combinations(cliq_b, 2)
+    ) + [(6, 10)]
+    edges = [(a, b) for a, b in und] + [(b, a) for a, b in und]
+    edf = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["label"] for r in label_propagation(edf, k=3).collect()}
+
+    # sequential synchronous replay with the same (count, min-label) rule
+    nodes = sorted({n for e in edges for n in e})
+    lab = {n: n for n in nodes}
+    for _ in range(3):
+        new = {}
+        for v in nodes:
+            cnt = {}
+            for s, d in edges:
+                if d == v:
+                    cnt[lab[s]] = cnt.get(lab[s], 0) + 1
+            if cnt:
+                best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+                new[v] = best[0]
+            else:
+                new[v] = lab[v]
+        lab = new
+    assert got == lab
+    assert len({got[n] for n in cliq_a}) == 1
+    assert len({got[n] for n in cliq_b}) == 1
+
+
+def test_scd2_intervals_reference(spark):
+    from datetime import datetime, timedelta
+
+    from spatialdata_spark.operators.temporal import scd2_intervals
+
+    t0 = datetime(2026, 1, 1)
+    rows = [
+        # user 1: A A B B A  -> 3 runs
+        (1, 1, t0 + timedelta(hours=0), "A"),
+        (2, 1, t0 + timedelta(hours=1), "A"),
+        (3, 1, t0 + timedelta(hours=2), "B"),
+        (4, 1, t0 + timedelta(hours=3), "B"),
+        (5, 1, t0 + timedelta(hours=4), "A"),
+        # user 2: single run; ts tie broken by event_id
+        (6, 2, t0, "X"),
+        (7, 2, t0, "X"),
+    ]
+    ev = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "event_type"])
+    out = sorted(
+        scd2_intervals(ev).collect(),
+        key=lambda r: (r["user_id"], r["valid_from"]),
+    )
+    u1 = [r for r in out if r["user_id"] == 1]
+    assert [(r["event_type"], r["n_events"]) for r in u1] == [
+        ("A", 2),
+        ("B", 2),
+        ("A", 1),
+    ]
+    assert u1[0]["valid_to"] == u1[1]["valid_from"]
+    assert u1[1]["valid_to"] == u1[2]["valid_from"]
+    assert u1[2]["valid_to"] is None
+    u2 = [r for r in out if r["user_id"] == 2]
+    assert len(u2) == 1 and u2[0]["n_events"] == 2 and u2[0]["valid_to"] is None

@@ -63,9 +63,39 @@ def main(max_mult: int = 8, only: list[str] | None = None) -> None:
     from spatialdata_spark.operators.rasterize import rasterize_points
 
     from spatialdata_spark.pipeline.clustering import (
+        embed_outliers,
         kmeans_lloyd,
+        pca_project,
         semantic_dedup_kmeans,
     )
+    from spatialdata_spark.pipeline.dedup import rouge_recall_pairs
+    from spatialdata_spark.pipeline.graph import pagerank
+    from spatialdata_spark.pipeline.textstats import distinct_ngrams, zipf_slope
+
+    def _pr_edges(spark_, m):
+        li = spark_.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        fwd = (
+            replicate(li.select("l_partkey", "l_suppkey"), m, ["l_partkey", "l_suppkey"])
+            .select(
+                F.col("l_partkey").cast("long").alias("src"),
+                (F.col("l_suppkey").cast("long") + F.lit(10**12)).alias("dst"),
+            )
+            .distinct()
+        )
+        return fwd.union(
+            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+
+    def _rouge_pairs_of(d):
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("source").orderBy("doc_id")
+        return (
+            d.select("source", "doc_id")
+            .withColumn("id_b", F.lead("doc_id").over(w))
+            .filter(F.col("id_b").isNotNull())
+            .select(F.col("doc_id").alias("id_a"), "id_b")
+        )
 
     pts0 = entrymod._points(spark, SF_DIR)
     circles0 = entrymod._circles(spark, SF_DIR)
@@ -170,6 +200,50 @@ def main(max_mult: int = 8, only: list[str] | None = None) -> None:
             # dedup drop (every copy is a duplicate of copy 0)
             "curation_funnel": lambda: curation_funnel(docs)
             .agg(F.sum("n_kept"))
+            .collect(),
+            # edges x mult with disjoint key spaces per copy (the graph
+            # grows as mult islands): rank table grows with nodes, the
+            # per-iteration join+agg volume with edges — both linear
+            "pagerank": lambda m=mult: pagerank(
+                _pr_edges(spark, m), k=3
+            )
+            .agg(F.sum("rank_fp"))
+            .collect(),
+            # corpus x mult, dim fixed: pass 1 reduces to dim^2-sized
+            # statistics (the gram_matrix shape), pass 2 is one GEMM
+            # per batch — strictly scan-proportional
+            "pca": lambda: pca_project(emb, k=4)[0]
+            .agg(F.sum(F.element_at("pc", 1)))
+            .collect(),
+            # groups x mult (labels offset per copy): the centroid
+            # table stays model-sized per group, per-vector work flat
+            "embed_outliers": lambda m=mult: embed_outliers(
+                replicate(
+                    emb0.withColumn("label", F.col("label").cast("long")),
+                    m,
+                    ["vec_id", "label"],
+                )
+            )
+            .agg(F.sum("d2"))
+            .collect(),
+            # vocab saturates under self-union (same tokens repeat):
+            # the count table stops growing, the rank window is
+            # top_r-bounded per group — sub-linear by design
+            "zipf_slope": lambda: zipf_slope(docs)
+            .agg(F.sum("slope"))
+            .collect(),
+            # gram tables saturate under self-union for the same
+            # reason (every copy contributes the same grams)
+            "distinct_ngrams": lambda: distinct_ngrams(docs)
+            .agg(F.sum("distinct_grams"))
+            .collect(),
+            # consecutive same-source pairs x mult; the (doc, gram)
+            # count table and the pair join grow linearly — never
+            # all-pairs
+            "rouge_pairs": lambda: rouge_recall_pairs(
+                docs, _rouge_pairs_of(docs)
+            )
+            .agg(F.sum("rougen_recall"))
             .collect(),
         }
         if only:

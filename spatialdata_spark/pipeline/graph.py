@@ -76,6 +76,9 @@ def pagerank(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        # referenced by every iteration's teleport join AND the rank
+        # lineage: persist so the distinct runs once, not O(k) times
+        .persist()
     )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("outdeg"))
     # edge+outdeg is reused by every iteration: persist so the distinct

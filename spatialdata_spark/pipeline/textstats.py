@@ -1371,3 +1371,114 @@ def encoding_quality(
         ).alias("ascii_ratio"),
         ((n_repl == 0) & (n_ctrl == 0)).cast("int").alias("enc_ok"),
     )
+
+
+def script_profile(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document writing-script profile: character-class fractions
+    for Latin, Cyrillic, Greek, CJK, Arabic, Hebrew, and digits — the
+    multilingual-corpus report column that catches wrong-language
+    routing and transliteration damage where token-level language ID
+    cannot (it sees words, not alphabets).
+
+    Pure per-row regexp-strip counting — zero shuffle, zero explode,
+    zero Python; fuses into the parquet scan.  Character classes are
+    contiguous Unicode ranges (RE2∩Java syntax, no properties), so the
+    same expression replays in any engine.
+
+    Output: ``(id, n_alpha, latin_frac, cyrillic_frac, greek_frac,
+    cjk_frac, arabic_frac, hebrew_frac, digit_frac)`` with fractions
+    over the TEXT length (not just letters), 9 dp.
+    """
+    t = F.col(text_col)
+    n = F.length(t)
+
+    def frac(pattern: str):
+        cnt = n - F.length(F.regexp_replace(t, pattern, ""))
+        return F.round(F.when(n > 0, cnt / n).otherwise(F.lit(0.0)), 9)
+
+    classes = {
+        "latin_frac": r"[A-Za-zÀ-ɏ]",
+        "cyrillic_frac": r"[Ѐ-ӿ]",
+        "greek_frac": r"[Ͱ-Ͽ]",
+        "cjk_frac": r"[぀-ヿ一-鿿가-힯]",
+        "arabic_frac": r"[؀-ۿ]",
+        "hebrew_frac": r"[֐-׿]",
+        "digit_frac": r"[0-9]",
+    }
+    alpha = n - F.length(
+        F.regexp_replace(
+            t,
+            r"[A-Za-zÀ-ɏͰ-ϿЀ-ӿ֐-׿"
+            r"؀-ۿ぀-ヿ一-鿿가-힯]",
+            "",
+        )
+    )
+    return docs.select(
+        F.col(id_col),
+        alpha.cast("long").alias("n_alpha"),
+        *[frac(p).alias(name) for name, p in classes.items()],
+    )
+
+
+def key_skew(
+    df: DataFrame, key_col: str, top_k: int = 10
+) -> tuple[DataFrame, DataFrame]:
+    """Partition-skew diagnostic for a prospective shuffle/join key:
+    the heavy-hitter keys plus the Gini coefficient of the key's
+    row-count distribution — the number that says whether a groupBy or
+    join on this key needs salting / AQE skew handling BEFORE the job
+    runs, not after one straggler task times out.
+
+    Plan: one map-side-combinable count per key; the summary is
+    key-cardinality-sized (exact Gini via the sorted-rank identity
+    ``G = (2*sum(i*c_i)/(n*sum(c)) - (n+1)/n)`` with ONE rank window
+    over the count table — the key table, not the data, gets sorted);
+    heavy hitters are a TakeOrderedAndProject top-k, no global sort.
+
+    Returns ``(heavy, summary)``: heavy = ``(key, n_rows, share)`` for
+    the top ``top_k`` keys; summary = one row ``(n_keys, n_rows,
+    max_share, gini)``, 9 dp.
+    """
+    from pyspark.sql.window import Window
+
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    tot = counts.agg(
+        F.sum("n_rows").cast("long").alias("__t"),
+        F.count(F.lit(1)).cast("long").alias("__k"),
+        F.max("n_rows").cast("long").alias("__mx"),
+    )
+    heavy = (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "key",
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("__t"), 9).alias("share"),
+        )
+        .orderBy(F.desc("n_rows"), "key")
+        .limit(int(top_k))
+    )
+    w = Window.orderBy("n_rows", "key")
+    ranked = counts.withColumn("__i", F.row_number().over(w))
+    summary = (
+        ranked.agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.max("n_rows").cast("long").alias("__mx"),
+            F.sum(F.col("__i") * F.col("n_rows")).cast("long").alias("__ic"),
+        )
+        .select(
+            "n_keys",
+            "n_rows",
+            F.round(F.col("__mx") / F.col("n_rows"), 9).alias("max_share"),
+            F.round(
+                2.0 * F.col("__ic") / (F.col("n_keys") * F.col("n_rows"))
+                - (F.col("n_keys") + 1.0) / F.col("n_keys"),
+                9,
+            ).alias("gini"),
+        )
+    )
+    return heavy, summary

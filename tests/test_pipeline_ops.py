@@ -3109,3 +3109,92 @@ def test_scd2_intervals_reference(spark):
     assert u1[2]["valid_to"] is None
     u2 = [r for r in out if r["user_id"] == 2]
     assert len(u2) == 1 and u2[0]["n_events"] == 2 and u2[0]["valid_to"] is None
+
+
+def test_script_profile_signals(spark):
+    from spatialdata_spark.pipeline.textstats import script_profile
+
+    rows = [
+        (1, "hello world"),
+        (2, "привет мир"),
+        (3, "你好世界"),
+        (4, "mixed привет abc 123"),
+        (5, ""),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in script_profile(docs).collect()}
+    assert out[1]["latin_frac"] == round(10 / 11, 9)
+    assert out[1]["cyrillic_frac"] == 0.0
+    assert out[2]["cyrillic_frac"] == round(9 / 10, 9)
+    assert out[3]["cjk_frac"] == 1.0
+    assert out[4]["latin_frac"] == round(8 / 20, 9)
+    assert out[4]["cyrillic_frac"] == round(6 / 20, 9)
+    assert out[4]["digit_frac"] == round(3 / 20, 9)
+    assert out[4]["n_alpha"] == 14
+    assert out[5]["latin_frac"] == 0.0 and out[5]["n_alpha"] == 0
+
+
+def test_key_skew_reference(spark):
+    from spatialdata_spark.pipeline.textstats import key_skew
+
+    # keys: 'a' x 50, 'b' x 30, 'c' x 15, 'd' x 5
+    rows = (
+        [("a",)] * 50 + [("b",)] * 30 + [("c",)] * 15 + [("d",)] * 5
+    )
+    df = spark.createDataFrame(rows, ["k"])
+    heavy, summary = key_skew(df, "k", top_k=2)
+    h = heavy.collect()
+    assert [(r["key"], r["n_rows"]) for r in h] == [("a", 50), ("b", 30)]
+    assert h[0]["share"] == 0.5
+    s = summary.collect()[0]
+    assert s["n_keys"] == 4 and s["n_rows"] == 100
+    assert s["max_share"] == 0.5
+    # gini via the same sorted-rank identity, ascending counts
+    cs = sorted([50, 30, 15, 5])
+    n = len(cs)
+    ic = sum((i + 1) * c for i, c in enumerate(cs))
+    gini = 2 * ic / (n * sum(cs)) - (n + 1) / n
+    assert abs(s["gini"] - gini) < 1e-9
+
+
+def test_scd2_intervals_property(spark):
+    """Random event streams: interval rollup must partition each key's
+    ordered events into maximal equal-value runs."""
+    import random
+    from datetime import datetime, timedelta
+
+    from spatialdata_spark.operators.temporal import scd2_intervals
+
+    rng = random.Random(13)
+    t0 = datetime(2026, 3, 1)
+    rows = []
+    eid = 0
+    for u in range(1, 9):
+        for j in range(rng.randint(1, 25)):
+            eid += 1
+            rows.append(
+                (eid, u, t0 + timedelta(minutes=j), rng.choice("ABC"))
+            )
+    ev = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "event_type"])
+    out = scd2_intervals(ev).collect()
+    by_user = {}
+    for r in sorted(rows, key=lambda x: (x[1], x[2], x[0])):
+        by_user.setdefault(r[1], []).append(r)
+    for u, evs in by_user.items():
+        runs = []
+        for _, _, ts, a in evs:
+            if runs and runs[-1][0] == a:
+                runs[-1][2] += 1
+            else:
+                runs.append([a, ts, 1])
+        got = sorted(
+            [r for r in out if r["user_id"] == u],
+            key=lambda r: r["valid_from"],
+        )
+        assert [(g["event_type"], g["n_events"]) for g in got] == [
+            (a, c) for a, _, c in runs
+        ]
+        assert [g["valid_from"] for g in got] == [ts for _, ts, _ in runs]
+        for a, b in zip(got, got[1:]):
+            assert a["valid_to"] == b["valid_from"]
+        assert got[-1]["valid_to"] is None

@@ -56,6 +56,8 @@ __all__ = [
     "gram_matrix",
     "pca_project",
     "label_fstat",
+    "embed_outliers",
+    "hard_negatives",
 ]
 
 #: sub-integer resolution carried by centroid coordinates.  Points are
@@ -863,4 +865,72 @@ def embed_outliers(
             / (F.col("__n") * F.col("__n") * float(q) * float(q)),
             6,
         ).alias("d2"),
+    )
+
+
+def hard_negatives(
+    embeddings: DataFrame,
+    q: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for every vector,
+    its NEAREST neighbor carrying a DIFFERENT label — the pair a
+    contrastive loss learns most from, and the standard metric-learning
+    batch-construction step.
+
+    Exactness: squared distances on the quantized int64 grid (the
+    :func:`knn_classify` arithmetic); the winner per anchor is one
+    lexicographic struct-MIN over ``(dist, neg_id)`` — total order, no
+    tie ambiguity, map-side combinable.  Brute force
+    O(n * n) by the same stated contract as :func:`knn_classify` (the
+    parity baseline; the scale path blocks the pair space through the
+    IVF/LSH bucketers in ``pipeline/similarity.py``).
+
+    Output: ``(anchor, anchor_label, negative, neg_label, d2)`` with
+    ``d2`` in original (unquantized) units, 6 dp.
+    """
+    spark = embeddings.sparkSession
+    qv = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).alias("label"),
+        F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda x: F.floor(x * q + F.lit(0.5)).cast("long"),
+        ).alias("qv"),
+    )
+    a = qv.select(
+        F.col("id").alias("anchor"),
+        F.col("label").alias("anchor_label"),
+        F.col("qv").alias("av"),
+    )
+    b = qv.select(
+        F.col("id").alias("__nid"),
+        F.col("label").alias("__nlab"),
+        F.col("qv").alias("bv"),
+    )
+    if spark.sparkContext.master.startswith("local"):
+        b = F.broadcast(b)
+    d2 = F.aggregate(
+        F.zip_with(F.col("av"), F.col("bv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    pairs = a.join(b, F.col("anchor_label") != F.col("__nlab")).select(
+        "anchor",
+        "anchor_label",
+        F.struct(
+            d2.alias("d2"), F.col("__nid").alias("nid"), F.col("__nlab").alias("nl")
+        ).alias("__cand"),
+    )
+    best = pairs.groupBy("anchor", "anchor_label").agg(
+        F.min("__cand").alias("__b")
+    )
+    return best.select(
+        "anchor",
+        "anchor_label",
+        F.col("__b.nid").alias("negative"),
+        F.col("__b.nl").alias("neg_label"),
+        F.round(F.col("__b.d2") / float(q * q), 6).alias("d2"),
     )

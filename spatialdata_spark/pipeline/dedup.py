@@ -1306,3 +1306,83 @@ def rouge_recall_pairs(
         F.sum("__ov").cast("long").alias("n_overlap"),
         F.round(F.sum("__ov") / F.sum("__cb"), 9).alias("rougen_recall"),
     )
+
+
+def minhash_recall(
+    docs: DataFrame,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    shingle_k: int = 5,
+    seed: int = 42,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Recall of the MinHash-LSH candidate generator against the EXACT
+    shingle-Jaccard ground truth at ``threshold_num/threshold_den`` —
+    the "measure, don't guess" harness for the dedup family (the
+    textual twin of the ANN ``ann_recall`` metric): how many true
+    near-dup pairs does the banding actually surface?
+
+    Exact side: distinct 31-bit shingle-hash sets (the signature's own
+    universe, so the comparison isolates banding loss, not hashing
+    loss); pair intersections come from a shingle-keyed equi-join —
+    pairs materialize only for documents SHARING a shingle, never
+    all-pairs — and the threshold test cross-multiplies
+    ``den * |A∩B| >= num * |A∪B|`` in exact integers.  Intended for
+    eval slices by the same stated contract as the brute-force k-NN
+    baseline (ground truth at corpus scale is the thing being avoided).
+
+    Output: one row ``(n_true, n_hit, recall)``, recall 9 dp.
+    """
+    spark = docs.sparkSession
+    base = docs.select(F.col(id_col).alias("__d"), F.col(text_col).alias("__t"))
+    sh = base.select(
+        "__d", F.explode(F.array_distinct(_shingle31_expr("__t", shingle_k))).alias("__h")
+    )
+    sizes = sh.groupBy("__d").agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    a = sh.select(F.col("__d").alias("id_a"), "__h")
+    b = sh.select(F.col("__d").alias("id_b"), "__h")
+    inter = (
+        a.join(b, "__h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("__i"))
+    )
+    sa = sizes.select(F.col("__d").alias("id_a"), F.col("__n").alias("__na"))
+    sb = sizes.select(F.col("__d").alias("id_b"), F.col("__n").alias("__nb"))
+    if spark.sparkContext.master.startswith("local"):
+        sa = F.broadcast(sa)
+        sb = F.broadcast(sb)
+    true_pairs = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(
+            F.lit(int(threshold_den)) * F.col("__i")
+            >= F.lit(int(threshold_num))
+            * (F.col("__na") + F.col("__nb") - F.col("__i"))
+        )
+        .select("id_a", "id_b")
+    )
+    cand = minhash_band_candidates(
+        docs,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        num_bands=num_bands,
+        shingle_k=shingle_k,
+        seed=seed,
+    ).select("id_a", "id_b")
+    hit = true_pairs.join(cand, ["id_a", "id_b"], "left_semi")
+    n_true = true_pairs.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    n_hit = hit.agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    return n_true.crossJoin(F.broadcast(n_hit)).select(
+        "n_true",
+        "n_hit",
+        F.round(
+            F.when(F.col("n_true") > 0, F.col("n_hit") / F.col("n_true"))
+            .otherwise(F.lit(1.0)),
+            9,
+        ).alias("recall"),
+    )

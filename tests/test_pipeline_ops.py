@@ -3198,3 +3198,64 @@ def test_scd2_intervals_property(spark):
         for a, b in zip(got, got[1:]):
             assert a["valid_to"] == b["valid_from"]
         assert got[-1]["valid_to"] is None
+
+
+def test_hard_negatives_matches_numpy(spark):
+    import numpy as np
+
+    from spatialdata_spark.pipeline.clustering import hard_negatives
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(60):
+        lab = int(i % 3)
+        v = rng.normal(loc=lab * 2.0, scale=0.8, size=6)
+        rows.append((i, lab, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+    out = {r["anchor"]: r for r in hard_negatives(emb, q=100).collect()}
+    Q = np.floor(np.array([r[2] for r in rows]) * 100 + 0.5).astype(np.int64)
+    labs = np.array([r[1] for r in rows])
+    assert len(out) == 60
+    for i in range(60):
+        cands = [
+            (int(((Q[i] - Q[j]) ** 2).sum()), j)
+            for j in range(60)
+            if labs[j] != labs[i]
+        ]
+        d2, j = min(cands)
+        r = out[i]
+        assert r["negative"] == j
+        assert r["neg_label"] == int(labs[j])
+        assert abs(r["d2"] - round(d2 / 10000.0, 6)) < 1e-9
+
+
+def test_minhash_recall_bounds_and_planted_dups(spark):
+    """Planted near-identical pairs must be ground-truth pairs; recall
+    is within [0, 1]; and with bands = hashes (rows-per-band 1, the
+    permissive extreme) every true pair is a candidate -> recall 1."""
+    import random
+
+    from spatialdata_spark.pipeline.dedup import minhash_recall
+
+    rng = random.Random(31)
+    vocab = [f"tok{i}" for i in range(300)]
+    rows = []
+    for i in range(40):
+        words = [rng.choice(vocab) for _ in range(30)]
+        rows.append((2 * i, " ".join(words)))
+        if i % 2 == 0:  # planted near-dup: one word changed
+            w2 = list(words)
+            w2[5] = "XYZ"
+            rows.append((2 * i + 1, " ".join(w2)))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    r = minhash_recall(
+        docs, threshold_num=1, threshold_den=2, num_hashes=16, num_bands=16
+    ).collect()[0]
+    assert r["n_true"] >= 20  # every planted pair clears jaccard 0.5
+    assert r["n_hit"] == r["n_true"]  # 1-row bands surface every true pair
+    assert r["recall"] == 1.0
+    r2 = minhash_recall(
+        docs, threshold_num=1, threshold_den=2, num_hashes=16, num_bands=4
+    ).collect()[0]
+    assert 0.0 <= r2["recall"] <= 1.0
+    assert r2["n_hit"] <= r2["n_true"]

@@ -1,3 +1,27 @@
-from spatialdata_spark.pipeline import dedup, filters, multimodal, similarity, textstats
+from spatialdata_spark.pipeline import (
+    bpe,
+    clustering,
+    codecs,
+    dedup,
+    filters,
+    fingerprints,
+    graph,
+    multimodal,
+    search,
+    similarity,
+    textstats,
+)
 
-__all__ = ["dedup", "filters", "multimodal", "similarity", "textstats"]
+__all__ = [
+    "bpe",
+    "clustering",
+    "codecs",
+    "dedup",
+    "filters",
+    "fingerprints",
+    "graph",
+    "multimodal",
+    "search",
+    "similarity",
+    "textstats",
+]

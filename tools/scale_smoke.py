@@ -68,8 +68,10 @@ def main(max_mult: int = 8, only: list[str] | None = None) -> None:
         pca_project,
         semantic_dedup_kmeans,
     )
+    from spatialdata_spark.operators.temporal import scd2_intervals
     from spatialdata_spark.pipeline.dedup import rouge_recall_pairs
-    from spatialdata_spark.pipeline.graph import pagerank
+    from spatialdata_spark.pipeline.graph import label_propagation, pagerank
+    from spatialdata_spark.pipeline.search import phrase_search
     from spatialdata_spark.pipeline.textstats import distinct_ngrams, zipf_slope
 
     def _pr_edges(spark_, m):
@@ -244,6 +246,23 @@ def main(max_mult: int = 8, only: list[str] | None = None) -> None:
                 docs, _rouge_pairs_of(docs)
             )
             .agg(F.sum("rougen_recall"))
+            .collect(),
+            # postings of the phrase's tokens grow x mult; the corpus
+            # text never leaves the scan (pushed token IN-filter)
+            "phrase_search": lambda: phrase_search(docs, "the data of")
+            .agg(F.sum("n_matches"))
+            .collect(),
+            # same replicated graph as pagerank: per-round vote table
+            # is edge-linear, winner table node-sized
+            "label_propagation": lambda m=mult: label_propagation(
+                _pr_edges(spark, m), k=3
+            )
+            .agg(F.sum("label"))
+            .collect(),
+            # events x mult with user cardinality growing (the
+            # 1000-executor shape): one per-key sort, run rollup linear
+            "scd2": lambda: scd2_intervals(ev)
+            .agg(F.sum("n_events"))
             .collect(),
         }
         if only:

@@ -1334,7 +1334,9 @@ def minhash_recall(
     eval slices by the same stated contract as the brute-force k-NN
     baseline (ground truth at corpus scale is the thing being avoided).
 
-    Output: one row ``(n_true, n_hit, recall)``, recall 9 dp.
+    Output: one row ``(n_true, n_cand, n_hit, recall, precision)``
+    (9 dp) — recall says what the banding misses, precision what the
+    downstream exact-verify stage pays for.
     """
     spark = docs.sparkSession
     base = docs.select(F.col(id_col).alias("__d"), F.col(text_col).alias("__t"))
@@ -1376,13 +1378,24 @@ def minhash_recall(
     ).select("id_a", "id_b")
     hit = true_pairs.join(cand, ["id_a", "id_b"], "left_semi")
     n_true = true_pairs.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    n_cand = cand.agg(F.count(F.lit(1)).cast("long").alias("n_cand"))
     n_hit = hit.agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
-    return n_true.crossJoin(F.broadcast(n_hit)).select(
-        "n_true",
-        "n_hit",
-        F.round(
-            F.when(F.col("n_true") > 0, F.col("n_hit") / F.col("n_true"))
-            .otherwise(F.lit(1.0)),
-            9,
-        ).alias("recall"),
+    return (
+        n_true.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_hit))
+        .select(
+            "n_true",
+            "n_cand",
+            "n_hit",
+            F.round(
+                F.when(F.col("n_true") > 0, F.col("n_hit") / F.col("n_true"))
+                .otherwise(F.lit(1.0)),
+                9,
+            ).alias("recall"),
+            F.round(
+                F.when(F.col("n_cand") > 0, F.col("n_hit") / F.col("n_cand"))
+                .otherwise(F.lit(1.0)),
+                9,
+            ).alias("precision"),
+        )
     )

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["inverted_index", "phrase_search"]
+__all__ = ["inverted_index", "multi_phrase_search", "phrase_search"]
 
 
 def inverted_index(
@@ -79,5 +79,62 @@ def phrase_search(
             (cur["doc_id"] == nxt["__d"]) & (nxt["__p"] == cur["p0"] + i),
         ).select("doc_id", "p0")
     return cur.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches")
+    )
+
+
+def multi_phrase_search(
+    docs: DataFrame,
+    phrases: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Match MANY phrases in one pass — the relational analog of an
+    Aho-Corasick scan, and the shape a benchmark-decontamination or
+    denylist pass wants (thousands of patterns, one corpus read).
+
+    One join regardless of pattern count: phrases explode to
+    ``(phrase_id, offset, token)`` (pattern-table-sized, broadcast);
+    postings filter to the union of pattern tokens via a broadcast
+    semi-join; a match at start position ``p`` exists iff all
+    ``len(phrase)`` offsets align — one groupBy on
+    ``(doc, phrase, p = pos - offset)`` counting DISTINCT offsets,
+    then a count==length filter.  Corpus work is proportional to the
+    postings of pattern tokens, never to |patterns| x |corpus|.
+
+    Output: ``(doc_id, phrase_id, phrase, n_matches)`` for every
+    (document, phrase) with at least one occurrence.
+    """
+    if not phrases:
+        raise ValueError("empty phrase list")
+    spark = docs.sparkSession
+    rows = []
+    for pid, ph in enumerate(phrases):
+        toks = [t for t in ph.lower().split() if t]
+        if not toks:
+            raise ValueError(f"empty phrase at index {pid}")
+        rows += [(pid, ph, i, t, len(toks)) for i, t in enumerate(toks)]
+    pat = spark.createDataFrame(
+        rows, ["phrase_id", "phrase", "offset", "token", "plen"]
+    )
+    post = inverted_index(docs, text_col=text_col, id_col=id_col)
+    post = post.join(
+        F.broadcast(pat.select("token").distinct()), "token", "left_semi"
+    )
+    hits = post.join(F.broadcast(pat), "token").select(
+        "doc_id",
+        "phrase_id",
+        "phrase",
+        "plen",
+        (F.col("pos") - F.col("offset")).alias("__start"),
+        "offset",
+    )
+    starts = (
+        hits.filter(F.col("__start") >= 0)
+        .groupBy("doc_id", "phrase_id", "phrase", "plen", "__start")
+        .agg(F.count_distinct("offset").alias("__k"))
+        .filter(F.col("__k") == F.col("plen"))
+    )
+    return starts.groupBy("doc_id", "phrase_id", "phrase").agg(
         F.count(F.lit(1)).cast("long").alias("n_matches")
     )

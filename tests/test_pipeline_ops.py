@@ -3259,3 +3259,41 @@ def test_minhash_recall_bounds_and_planted_dups(spark):
     ).collect()[0]
     assert 0.0 <= r2["recall"] <= 1.0
     assert r2["n_hit"] <= r2["n_true"]
+    assert r2["n_hit"] <= r2["n_cand"]
+    assert 0.0 <= r2["precision"] <= 1.0
+    # 4-row bands are stricter than 1-row bands: never more candidates
+    assert r2["n_cand"] <= r["n_cand"]
+
+
+def test_multi_phrase_search_matches_python(spark):
+    import random
+
+    from spatialdata_spark.pipeline.search import multi_phrase_search
+
+    rng = random.Random(41)
+    vocab = ["the", "data", "of", "a", "big", "run"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 30))))
+        for i in range(70)
+    ]
+    rows.append((800, "the data the data the"))  # repeated-token phrase
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    phrases = ["the data", "big run", "data the data", "of"]
+    got = {
+        (r["doc_id"], r["phrase_id"]): r["n_matches"]
+        for r in multi_phrase_search(docs, phrases).collect()
+    }
+    want = {}
+    for i, tx in rows:
+        ws = tx.lower().split()
+        for pid, ph in enumerate(phrases):
+            pt = ph.split()
+            n = sum(
+                1
+                for j in range(len(ws) - len(pt) + 1)
+                if ws[j : j + len(pt)] == pt
+            )
+            if n:
+                want[(i, pid)] = n
+    assert got == want
+    assert got[(800, 2)] == 1  # overlapping repeated-token pattern

@@ -1,5 +1,6 @@
 from spatialdata_spark.pipeline import (
     bpe,
+    classify,
     clustering,
     codecs,
     dedup,
@@ -14,6 +15,7 @@ from spatialdata_spark.pipeline import (
 
 __all__ = [
     "bpe",
+    "classify",
     "clustering",
     "codecs",
     "dedup",

@@ -3297,3 +3297,88 @@ def test_multi_phrase_search_matches_python(spark):
                 want[(i, pid)] = n
     assert got == want
     assert got[(800, 2)] == 1  # overlapping repeated-token pattern
+
+
+def test_nb_train_score_matches_python(spark):
+    import math
+    import random
+    from collections import Counter
+
+    from spatialdata_spark.pipeline.classify import nb_score, nb_train
+
+    rng = random.Random(55)
+    good = ["science", "theory", "result", "method", "the", "a"]
+    bad = ["click", "buy", "free", "win", "the", "a"]
+    labeled = []
+    for i in range(60):
+        y = i % 2
+        vocab = good if y else bad
+        labeled.append((i, y, " ".join(rng.choice(vocab) for _ in range(20))))
+    ldf = spark.createDataFrame(labeled, ["doc_id", "label", "text"])
+    model, totals = nb_train(ldf)
+    test = [(100 + j, " ".join(rng.choice(good + bad) for _ in range(15))) for j in range(20)]
+    test.append((999, "unseenword anotherunseen"))
+    tdf = spark.createDataFrame(test, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in nb_score(tdf, model, totals).collect()}
+
+    c0, c1 = Counter(), Counter()
+    for _, y, tx in labeled:
+        (c1 if y else c0).update(tx.split())
+    n0, n1 = sum(c0.values()), sum(c1.values())
+    v = len(set(c0) | set(c1))
+    for i, tx in test:
+        ws = tx.lower().split()
+        s = sum(
+            math.log((c1.get(t, 0) + 1) / (n1 + v))
+            - math.log((c0.get(t, 0) + 1) / (n0 + v))
+            for t in ws
+        )
+        assert out[i]["n_tokens"] == len(ws)
+        assert abs(out[i]["llr_mean"] - round(s / len(ws), 6)) < 1e-9
+    # good-vocab docs score above bad-vocab docs
+    gdoc = spark.createDataFrame(
+        [(1, "science theory result"), (2, "click buy free win")],
+        ["doc_id", "text"],
+    )
+    sc = {r["doc_id"]: r["llr_mean"] for r in nb_score(gdoc, model, totals).collect()}
+    assert sc[1] > 0 > sc[2]
+
+
+def test_auc_rank_matches_reference(spark):
+    import random
+
+    from spatialdata_spark.pipeline.classify import auc_rank
+
+    rng = random.Random(77)
+    # scores with deliberate ties
+    rows = [
+        (round(rng.choice([0.1, 0.2, 0.3, 0.5, 0.8]), 3) + 0.1 * (i % 2), i % 2)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, ["score", "label"])
+    r = auc_rank(df).collect()[0]
+
+    # reference: average-rank Mann-Whitney
+    svals = sorted(rows)
+    ranks = {}
+    i = 0
+    srt = sorted(rows, key=lambda x: x[0])
+    while i < len(srt):
+        j = i
+        while j < len(srt) and srt[j][0] == srt[i][0]:
+            j += 1
+        avg = (i + 1 + j) / 2  # ranks i+1..j
+        for k in range(i, j):
+            ranks[k] = avg
+        i = j
+    r1 = sum(ranks[k] for k in range(len(srt)) if srt[k][1] == 1)
+    n1 = sum(1 for _, y in rows if y == 1)
+    n0 = len(rows) - n1
+    auc = (r1 - n1 * (n1 + 1) / 2) / (n0 * n1)
+    assert r["n_pos"] == n1 and r["n_neg"] == n0
+    assert abs(r["auc"] - round(auc, 9)) < 1e-12
+    # sanity: perfect separation -> AUC 1
+    perfect = spark.createDataFrame(
+        [(float(i), 1 if i >= 50 else 0) for i in range(100)], ["score", "label"]
+    )
+    assert auc_rank(perfect).collect()[0]["auc"] == 1.0

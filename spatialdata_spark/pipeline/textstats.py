@@ -1482,3 +1482,74 @@ def key_skew(
         )
     )
     return heavy, summary
+
+
+def hdr_quantiles(
+    df: DataFrame,
+    value_col: str,
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    scale: int = 1_000_000,
+    sub_bits: int = 5,
+) -> DataFrame:
+    """Deterministic mergeable quantile sketch — the engine-native swap
+    for exact percentiles at corpus scale (this repo's exact-percentile
+    queries document "approx_percentile at 100 TB"; this is the
+    deterministic, SQL-replayable version of that swap).
+
+    HDR-histogram-style buckets on INTEGER arithmetic only: a value
+    maps to ``(e, sub)`` with ``e`` the bit length of
+    ``floor(x * scale)`` (via the ``bin()`` string — no float log, so
+    no libm boundary flips between engines) and ``sub`` the top
+    ``sub_bits`` mantissa bits (integer shift).  Relative error is
+    bounded by ``2^-sub_bits`` (~3% at the default 5); the bucket
+    table is at most ``63 * 2^sub_bits`` rows per sketch — mergeable
+    by plain count addition, the same fixed-size-state contract as
+    the HLL/KMV/CMS sketches in this module.
+
+    Plan: one map-side-combinable bucket count; quantile extraction is
+    a cumulative window over the SORTED BUCKET TABLE (<= ~2k rows —
+    metadata at any corpus size; the corpus itself is never sorted).
+    Nonpositive values all land in bucket (0, 0) reported as 0.
+
+    Output: one row per requested quantile ``(q, n, est)`` with
+    ``est`` the bucket lower bound back in value units, 9 dp.
+    """
+    from pyspark.sql.window import Window
+
+    m = F.floor(F.col(value_col) * F.lit(int(scale))).cast("long")
+    pos = F.when(m > 0, m).otherwise(F.lit(0))
+    e = F.when(pos > 0, F.length(F.bin(pos))).otherwise(F.lit(0))
+    shift = F.greatest(e - F.lit(1 + int(sub_bits)), F.lit(0))
+    staged = df.select(pos.alias("__pos"), e.alias("__e"), shift.alias("__sh"))
+    # integer right shift == DIV 2^sh for nonnegative values — no float
+    buckets = staged.select(
+        "__e",
+        F.expr("shiftright(__pos, cast(__sh AS int))").alias("__sub"),
+        "__sh",
+    ).groupBy("__e", "__sub", "__sh").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    w = Window.orderBy("__e", "__sub")
+    cum = buckets.withColumn("__cum", F.sum("__c").over(w)).withColumn(
+        "__lb", F.expr("shiftleft(__sub, cast(__sh AS int))")
+    )
+    tot = cum.agg(F.max("__cum").cast("long").alias("__n"))
+    qdf = df.sparkSession.createDataFrame(
+        [(float(q),) for q in quantiles], ["q"]
+    )
+    # smallest bucket whose cumulative count reaches ceil(q * n)
+    probe = (
+        cum.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(qdf))
+        .filter(F.col("__cum") >= F.ceil(F.col("q") * F.col("__n")))
+        .groupBy("q")
+        .agg(
+            F.max("__n").alias("n"),
+            F.min(F.struct("__e", "__sub", "__lb")).alias("__b"),
+        )
+    )
+    return probe.select(
+        "q",
+        F.col("n").cast("long"),
+        F.round(F.col("__b.__lb") / float(scale), 9).alias("est"),
+    )

@@ -3382,3 +3382,59 @@ def test_auc_rank_matches_reference(spark):
         [(float(i), 1 if i >= 50 else 0) for i in range(100)], ["score", "label"]
     )
     assert auc_rank(perfect).collect()[0]["auc"] == 1.0
+
+
+def test_hdr_quantiles_error_bound_and_reference(spark):
+    import random
+
+    from spatialdata_spark.pipeline.textstats import hdr_quantiles
+
+    rng = random.Random(19)
+    vals = [rng.lognormvariate(0, 1.5) for _ in range(5000)]
+    df = spark.createDataFrame([(v,) for v in vals], ["x"])
+    out = {r["q"]: r for r in hdr_quantiles(df, "x", (0.5, 0.9, 0.99)).collect()}
+    svals = sorted(vals)
+    for q in (0.5, 0.9, 0.99):
+        exact = svals[min(len(svals) - 1, max(0, -(-int(q * len(svals) * 1) // 1) - 1))]
+        # textbook lower-ceil index
+        idx = max(0, -(-q * len(svals)) // 1 - 1)
+        exact = svals[int(idx)]
+        r = out[q]
+        assert r["n"] == 5000
+        # bucket lower bound: est <= exact < est * (1 + 2^-5) * 2/ (loose)
+        assert r["est"] <= exact * (1 + 1e-9)
+        assert exact <= r["est"] * (1 + 2 ** -5) * 1.001 + 1e-6
+
+
+def test_hdr_quantiles_python_replay(spark):
+    """Bucketization replays exactly in pure Python integer arithmetic
+    (the SQL-oracle form)."""
+    import random
+
+    from spatialdata_spark.pipeline.textstats import hdr_quantiles
+
+    rng = random.Random(3)
+    vals = [rng.uniform(0, 100) for _ in range(2000)] + [0.0, -5.0]
+    df = spark.createDataFrame([(v,) for v in vals], ["x"])
+    out = {r["q"]: r["est"] for r in hdr_quantiles(df, "x", (0.25, 0.75)).collect()}
+
+    import math
+    scale, sb = 1_000_000, 5
+    buckets = {}
+    for v in vals:
+        m = math.floor(v * scale)
+        p = m if m > 0 else 0
+        e = p.bit_length()
+        sh = max(e - 1 - sb, 0)
+        key = (e, p >> sh, sh)
+        buckets[key] = buckets.get(key, 0) + 1
+    items = sorted(buckets.items())
+    n = len(vals)
+    for q in (0.25, 0.75):
+        cum = 0
+        target = math.ceil(q * n)
+        for (e, sub, sh), c in items:
+            cum += c
+            if cum >= target:
+                assert out[q] == round((sub << sh) / scale, 9)
+                break

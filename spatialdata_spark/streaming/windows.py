@@ -432,3 +432,50 @@ def streaming_sessionize_tws(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_hdr_buckets(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    value_col: str = "value",
+    scale: int = 1_000_000,
+    sub_bits: int = 5,
+    query_name: str = "hdr_buckets",
+):
+    """Structured-Streaming form of the HDR quantile sketch
+    (:func:`...textstats.hdr_quantiles`): the bucket state is a
+    fixed-size count table (<= 63 * 2^sub_bits rows), so the streaming
+    aggregation's state store is bounded FOREVER regardless of stream
+    volume — the property that makes the sketch the right quantile
+    primitive for an unbounded stream (an exact percentile would need
+    unbounded state).  Merge-on-arrival is plain count addition, the
+    same merge the batch sketch uses across partitions.
+
+    readStream over a parquet directory -> integer-only bucketization
+    (bit length via ``bin()``, shift via ``shiftright`` — identical to
+    the batch path, so streaming and batch sketches are bit-equal on
+    the same data) -> complete-mode memory sink of
+    ``(e, sub, sh, n)``.  Returns the started query.
+    """
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    m = F.floor(F.col(value_col) * F.lit(int(scale))).cast("long")
+    pos = F.when(m > 0, m).otherwise(F.lit(0))
+    e = F.when(pos > 0, F.length(F.bin(pos))).otherwise(F.lit(0))
+    shift = F.greatest(e - F.lit(1 + int(sub_bits)), F.lit(0))
+    staged = stream.select(
+        pos.alias("__pos"), e.alias("e"), shift.alias("sh")
+    ).select(
+        "e", F.expr("shiftright(__pos, cast(sh AS int))").alias("sub"), "sh"
+    )
+    agg = staged.groupBy("e", "sub", "sh").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    # no availableNow trigger: the sketch keeps absorbing new files for
+    # the life of the query (the unbounded-stream contract under test)
+    return (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )

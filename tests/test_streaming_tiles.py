@@ -78,3 +78,62 @@ def test_streaming_ingest_two_waves(spark, tmp_path):
 def test_streaming_ingest_requires_metadata(spark, tmp_path):
     with pytest.raises(ValueError, match="zarray"):
         streaming_tile_ingest(spark, str(tmp_path / "nothing"))
+
+
+def test_streaming_hdr_buckets_match_batch(spark, tmp_path):
+    """Two waves of values through the streaming HDR sketch: after each
+    wave the streamed bucket table equals the batch sketch's buckets on
+    the data so far — the bounded-state mergeability contract."""
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from spatialdata_spark.streaming.windows import streaming_hdr_buckets
+
+    src = str(tmp_path / "vals")
+    os.makedirs(src)
+    rng = random.Random(23)
+    wave1 = [(rng.lognormvariate(0, 1.0),) for _ in range(3000)]
+    wave2 = [(rng.uniform(0, 500),) for _ in range(2000)]
+    schema = T.StructType([T.StructField("value", T.DoubleType())])
+    spark.createDataFrame(wave1, schema).coalesce(1).write.mode("append").parquet(src)
+
+    def batch_buckets(rows):
+        df = spark.createDataFrame(rows, schema)
+        m = F.floor(F.col("value") * F.lit(1_000_000)).cast("long")
+        pos = F.when(m > 0, m).otherwise(F.lit(0))
+        e = F.when(pos > 0, F.length(F.bin(pos))).otherwise(F.lit(0))
+        sh = F.greatest(e - F.lit(6), F.lit(0))
+        staged = df.select(pos.alias("__pos"), e.alias("e"), sh.alias("sh"))
+        return {
+            (r["e"], r["sub"], r["sh"]): r["n"]
+            for r in staged.select(
+                "e",
+                F.expr("shiftright(__pos, cast(sh AS int))").alias("sub"),
+                "sh",
+            )
+            .groupBy("e", "sub", "sh")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .collect()
+        }
+
+    q = streaming_hdr_buckets(spark, src, schema, query_name="hdrq")
+    try:
+        q.processAllAvailable()
+        got1 = {
+            (r["e"], r["sub"], r["sh"]): r["n"]
+            for r in spark.sql("SELECT * FROM hdrq").collect()
+        }
+        assert got1 == batch_buckets(wave1)
+        assert len(got1) <= 63 * 32  # bounded state
+
+        spark.createDataFrame(wave2, schema).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        got2 = {
+            (r["e"], r["sub"], r["sh"]): r["n"]
+            for r in spark.sql("SELECT * FROM hdrq").collect()
+        }
+        assert got2 == batch_buckets(wave1 + wave2)
+    finally:
+        q.stop()

@@ -69,10 +69,27 @@ def main(max_mult: int = 8, only: list[str] | None = None) -> None:
         semantic_dedup_kmeans,
     )
     from spatialdata_spark.operators.temporal import scd2_intervals
+    from spatialdata_spark.pipeline.classify import nb_score, nb_train
     from spatialdata_spark.pipeline.dedup import rouge_recall_pairs
     from spatialdata_spark.pipeline.graph import label_propagation, pagerank
-    from spatialdata_spark.pipeline.search import phrase_search
-    from spatialdata_spark.pipeline.textstats import distinct_ngrams, zipf_slope
+    from spatialdata_spark.pipeline.search import multi_phrase_search, phrase_search
+    from spatialdata_spark.pipeline.textstats import (
+        distinct_ngrams,
+        hdr_quantiles,
+        zipf_slope,
+    )
+
+    _nb_cache = {}
+
+    def _nb_model(spark_):
+        if "m" not in _nb_cache:
+            labeled = docs0.select(
+                "doc_id", (F.col("doc_id") % 2).alias("label"), "text"
+            )
+            m, t = nb_train(labeled)
+            _nb_cache["m"] = (m.persist(), t.persist())
+            _nb_cache["m"][0].count()
+        return _nb_cache["m"]
 
     def _pr_edges(spark_, m):
         li = spark_.read.parquet(f"{SF_DIR}/lineitem.parquet")
@@ -263,6 +280,25 @@ def main(max_mult: int = 8, only: list[str] | None = None) -> None:
             # 1000-executor shape): one per-key sort, run rollup linear
             "scd2": lambda: scd2_intervals(ev)
             .agg(F.sum("n_events"))
+            .collect(),
+            # model trained once on the FIXED 1x slice (vocabulary-
+            # sized, broadcast); scoring the grown corpus is one
+            # explode + broadcast join + per-doc agg — linear
+            "nb_score": lambda: nb_score(docs, *_nb_model(spark))
+            .agg(F.sum("llr_mean"))
+            .collect(),
+            # bucket table fixed-size (<= 63 * 2^5 rows) at ANY corpus
+            # size: counts partial-combine map-side, the only sort is
+            # over the bucket table
+            "hdr_quantiles": lambda: hdr_quantiles(
+                docs.select(F.col("n_chars").cast("double").alias("x")), "x"
+            ).collect(),
+            # pattern table broadcast; corpus work ∝ postings of the
+            # pattern tokens
+            "multi_phrase": lambda: multi_phrase_search(
+                docs, ["the data", "a big run", "of the"]
+            )
+            .agg(F.sum("n_matches"))
             .collect(),
         }
         if only:

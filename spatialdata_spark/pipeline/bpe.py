@@ -41,7 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["bpe_word_table", "bpe_train", "bpe_token_counts"]
+__all__ = ["bpe_word_table", "bpe_train", "bpe_token_counts", "bpe_fertility"]
 
 
 def bpe_word_table(
@@ -292,4 +292,63 @@ def bpe_token_counts(
         doc_words.join(lut, "w")
         .groupBy(id_col)
         .agg(F.sum(F.col("n") * F.col("n_syms")).alias("n_bpe_tokens"))
+    )
+
+
+def bpe_fertility(
+    docs: DataFrame,
+    wf_merged: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer fertility report per group (conventionally language):
+    BPE tokens per word and characters per BPE token — THE tokenizer-
+    equity diagnostic for a multilingual corpus (a language whose
+    fertility is 2x the corpus mean pays 2x the sequence length for
+    the same text; mT5/XLM-R rebalance exactly this).
+
+    Same shape as :func:`bpe_token_counts`: the per-group word multiset
+    joins the vocabulary-sized merged word table (broadcast-gated) and
+    reduces to one row per group — exact integers until the two final
+    divisions.
+
+    Output: ``(group, n_words, n_tokens, n_chars, tokens_per_word,
+    chars_per_token)``, 6 dp.
+    """
+    spark = docs.sparkSession
+    gw = (
+        docs.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(
+            F.col(group_col).alias("__g"),
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            ).alias("w"),
+        )
+        .filter(F.length("w") > 0)
+        .groupBy("__g", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    lut = wf_merged.select(
+        "w",
+        F.size(F.split(F.trim(F.col("seq")), "  ")).cast("long").alias("n_syms"),
+        F.length("w").cast("long").alias("n_chars_w"),
+    )
+    if spark.sparkContext.master.startswith("local"):
+        lut = F.broadcast(lut)
+    agg = (
+        gw.join(lut, "w")
+        .groupBy("__g")
+        .agg(
+            F.sum("n").cast("long").alias("n_words"),
+            F.sum(F.col("n") * F.col("n_syms")).cast("long").alias("n_tokens"),
+            F.sum(F.col("n") * F.col("n_chars_w")).cast("long").alias("n_chars"),
+        )
+    )
+    return agg.select(
+        F.col("__g").alias(group_col),
+        "n_words",
+        "n_tokens",
+        "n_chars",
+        F.round(F.col("n_tokens") / F.col("n_words"), 6).alias("tokens_per_word"),
+        F.round(F.col("n_chars") / F.col("n_tokens"), 6).alias("chars_per_token"),
     )

@@ -3438,3 +3438,28 @@ def test_hdr_quantiles_python_replay(spark):
             if cum >= target:
                 assert out[q] == round((sub << sh) / scale, 9)
                 break
+
+
+def test_bpe_fertility_hand_computed(spark):
+    from spatialdata_spark.pipeline.bpe import bpe_fertility, bpe_train
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "low lower lowest low low"),
+            (2, "en", "new newer newest new"),
+            (3, "de", "low new low"),
+        ],
+        ["doc_id", "lang", "text"],
+    )
+    _, wf = bpe_train(docs, n_merges=4)
+    out = {r["lang"]: r for r in bpe_fertility(docs, wf).collect()}
+    # after merges lo+w -> low, n+ew -> new:
+    # en: low=1, lower=3 (low,e,r), lowest=4, new=1, newer=3, newest=4
+    # doc1 tokens: 1+3+4+1+1 = 10 over 5 words; doc2: 1+3+4+1 = 9 over 4
+    en = out["en"]
+    assert en["n_words"] == 9 and en["n_tokens"] == 19
+    assert en["n_chars"] == sum(len(w) for w in "low lower lowest low low new newer newest new".split())
+    assert en["tokens_per_word"] == round(19 / 9, 6)
+    de = out["de"]
+    assert de["n_words"] == 3 and de["n_tokens"] == 3  # low new low all single tokens
+    assert de["chars_per_token"] == round(9 / 3, 6)

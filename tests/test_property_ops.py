@@ -1,0 +1,87 @@
+"""Property-based tests (hypothesis) for the round-7 operator family:
+randomized graphs / corpora / value distributions against sequential
+pure-Python replays.  Few examples per property (each example drives
+real Spark jobs); deadlines off for JVM warmup."""
+
+from __future__ import annotations
+
+import math
+import random
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+SET = settings(max_examples=6, deadline=None)
+
+
+@given(seed=st.integers(0, 10**6), n_nodes=st.integers(3, 25), n_edges=st.integers(3, 80))
+@SET
+def test_pagerank_property_matches_sequential(spark, seed, n_nodes, n_edges):
+    from spatialdata_spark.pipeline.graph import pagerank
+
+    rng = random.Random(seed)
+    nodes = list(range(1, n_nodes + 1))
+    edges = sorted({(rng.choice(nodes), rng.choice(nodes)) for _ in range(n_edges)})
+    edf = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["rank_fp"] for r in pagerank(edf, k=2).collect()}
+
+    scale, dn, dd = 10**9, 85, 100
+    ns = sorted({v for e in edges for v in e})
+    n = len(ns)
+    outdeg: dict[int, int] = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    base = (dd - dn) * scale // (dd * n)
+    rank = {v: scale // n for v in ns}
+    for _ in range(2):
+        inc = {v: 0 for v in ns}
+        for s, d in edges:
+            inc[d] += rank[s] // outdeg[s]
+        rank = {v: base + dn * inc[v] // dd for v in ns}
+    assert got == rank
+    # rank mass never exceeds the initial mass (floor losses only)
+    assert sum(got.values()) <= scale
+
+
+@given(seed=st.integers(0, 10**6))
+@SET
+def test_multi_phrase_consistent_with_single(spark, seed):
+    from spatialdata_spark.pipeline.search import multi_phrase_search, phrase_search
+
+    rng = random.Random(seed)
+    vocab = ["aa", "bb", "cc", "dd"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 25))))
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    phrase = " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 3)))
+    single = {
+        r["doc_id"]: r["n_matches"] for r in phrase_search(docs, phrase).collect()
+    }
+    multi = {
+        r["doc_id"]: r["n_matches"]
+        for r in multi_phrase_search(docs, [phrase]).collect()
+    }
+    assert single == multi
+
+
+@given(seed=st.integers(0, 10**6))
+@SET
+def test_hdr_quantiles_relative_error_bound(spark, seed):
+    from spatialdata_spark.pipeline.textstats import hdr_quantiles
+
+    rng = random.Random(seed)
+    vals = [rng.lognormvariate(0, 1.2) for _ in range(800)]
+    df = spark.createDataFrame([(v,) for v in vals], ["x"])
+    out = {r["q"]: r["est"] for r in hdr_quantiles(df, "x", (0.5, 0.9)).collect()}
+    svals = sorted(vals)
+    for q in (0.5, 0.9):
+        exact = svals[math.ceil(q * len(svals)) - 1]
+        est = out[q]
+        # est is the lower bound of the bucket containing the exact
+        # quantile: est <= exact < est * 2^(1/ (2^sub_bits))-ish; the
+        # guaranteed bound is one sub-bucket width = est * 2^-5 at the
+        # stored resolution, plus quantization slack of 1/scale.
+        assert est <= exact + 1e-9
+        assert exact <= est * (1 + 2**-5) + 2e-6

@@ -164,3 +164,45 @@ def test_polygon_query_shapes_concave_clip(spark):
     for sid, (x0, y0, x1, y1) in {1: (1, 1, 3, 3), 2: (4.5, 0.5, 7.5, 1.5), 3: (0.5, 4.5, 1.5, 7.5), 5: (-2, -2, 10, 10)}.items():
         assert abs(got[sid] - l_area(x0, y0, x1, y1)) < 1e-9, sid
     assert abs(got[5] - 48.0) < 1e-9
+
+
+def test_read_jsonl_quarantines_malformed(spark, tmp_path):
+    import gzip
+    import json as js
+    import os
+
+    from spatialdata_spark.sources.corpus import read_jsonl, write_jsonl
+
+    src = str(tmp_path / "corpus")
+    os.makedirs(src)
+    good = [
+        {"doc_id": 1, "text": "hello world", "lang": "en", "source": "a", "n_chars": 11},
+        {"doc_id": 2, "text": "bon jour", "lang": "fr", "source": "b", "n_chars": 8},
+        {"doc_id": 3, "text": "third", "lang": "en", "source": "a", "n_chars": 5},
+    ]
+    lines = [js.dumps(good[0]), "{not valid json", js.dumps(good[1]), '"just a string"']
+    with open(f"{src}/part0.jsonl", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    # a gzip shard read transparently by the same scan
+    with gzip.open(f"{src}/part1.jsonl.gz", "wt") as f:
+        f.write(js.dumps(good[2]) + "\n")
+
+    docs, bad = read_jsonl(spark, src)
+    got = {r["doc_id"]: r for r in docs.collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[3]["text"] == "third"  # from the gzip shard
+    badlines = sorted(r["raw_line"] for r in bad.collect())
+    assert badlines == sorted(["{not valid json", '"just a string"'])
+
+    # stable content-hash ids: same text -> same id across runs
+    d2, _ = read_jsonl(spark, src, assign_ids=True)
+    a = {r["text"]: r["doc_id"] for r in d2.collect()}
+    d3, _ = read_jsonl(spark, src, assign_ids=True)
+    assert a == {r["text"]: r["doc_id"] for r in d3.collect()}
+
+    # round-trip through partitioned gzip shards
+    out = str(tmp_path / "out")
+    write_jsonl(docs, out, partition_by=["lang"])
+    back, bad2 = read_jsonl(spark, out + "/lang=en")
+    assert sorted(r["doc_id"] for r in back.collect()) == [1, 3]
+    assert bad2.count() == 0

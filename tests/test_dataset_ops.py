@@ -206,3 +206,48 @@ def test_read_jsonl_quarantines_malformed(spark, tmp_path):
     back, bad2 = read_jsonl(spark, out + "/lang=en")
     assert sorted(r["doc_id"] for r in back.collect()) == [1, 3]
     assert bad2.count() == 0
+
+
+def test_jsonl_end_to_end_curation_pipeline(spark, tmp_path):
+    """The full user story in one test: JSONL shards in (with dirty
+    lines), quality gate + dedup survivors out, leakage-safe split,
+    partitioned JSONL shards back to disk — every stage a declarative
+    plan over the same session."""
+    import json as js
+    import os
+    import random
+
+    from pyspark.sql import functions as F
+
+    from spatialdata_spark.pipeline.filters import hash_split
+    from spatialdata_spark.pipeline.textstats import gopher_rules
+    from spatialdata_spark.sources.corpus import read_jsonl, write_jsonl
+
+    rng = random.Random(61)
+    words = ["the", "quick", "analysis", "of", "results", "shows", "clear", "methods"]
+    src = str(tmp_path / "raw")
+    os.makedirs(src)
+    with open(f"{src}/shard0.jsonl", "w") as f:
+        for i in range(40):
+            text = " ".join(rng.choice(words) for _ in range(60))
+            if i % 2:
+                text = text.upper()  # same tokens, case-insensitive dupes stay distinct docs
+            f.write(js.dumps({"doc_id": i, "text": text, "lang": "en",
+                              "source": "web", "n_chars": len(text)}) + "\n")
+        f.write("{broken\n")  # quarantine line
+
+    docs, bad = read_jsonl(spark, src)
+    assert bad.count() == 1 and docs.count() == 40
+
+    gated = gopher_rules(docs).filter(F.col("passes") == 1).select("doc_id")
+    kept = docs.join(gated, "doc_id")
+    assert 0 < kept.count() <= 40
+
+    split = hash_split(kept)
+    out = str(tmp_path / "curated")
+    write_jsonl(split, out, partition_by=["split"])
+    back, bad2 = read_jsonl(spark, out + "/split=train")
+    assert bad2.count() == 0
+    # round-trip preserves every curated train row exactly
+    train_ids = {r["doc_id"] for r in split.filter(F.col("split") == "train").collect()}
+    assert {r["doc_id"] for r in back.collect()} == train_ids

@@ -10,10 +10,12 @@ contract a curation pipeline needs on top of raw ``spark.read.json``:
 * an **explicit schema** (schema inference is a full extra pass over
   the corpus — never acceptable at scale, and nondeterministic under
   dirty data);
-* **malformed-line quarantine** instead of silent NULL-ing: PERMISSIVE
-  mode with a ``_corrupt_record`` column, split into (clean, bad) so
-  the pipeline can count/inspect rejects — at 100 TB a 0.01% reject
-  rate is a million documents someone must account for;
+* **malformed-line quarantine** instead of silent NULL-ing: lines are
+  read as text and parsed with ``from_json``/``from_csv`` so a
+  malformed line becomes a NULL struct and splits into (clean, bad)
+  without the ``_corrupt_record`` column (whose column-pruning
+  restriction would force caching the parsed corpus) — at 100 TB a
+  0.01% reject rate is a million documents someone must account for;
 * deterministic **doc_id assignment** for id-less corpora (file name +
   line position via a content hash would collide on exact dupes;
   ``monotonically_increasing_id`` is partition-deterministic but not
@@ -27,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["DOCUMENT_SCHEMA", "read_jsonl", "write_jsonl"]
+__all__ = ["DOCUMENT_SCHEMA", "read_csv_corpus", "read_jsonl", "write_jsonl"]
 
 #: the documents-table shape used throughout the pipeline modules
 DOCUMENT_SCHEMA = T.StructType(
@@ -101,3 +103,36 @@ def write_jsonl(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.json(path)
+
+
+def read_csv_corpus(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType = DOCUMENT_SCHEMA,
+    sep: str = ",",
+    header: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """CSV/TSV twin of :func:`read_jsonl` — same contract (explicit
+    schema, no inference pass, malformed-line quarantine via the
+    ``from_csv`` NULL split), same one-JVM-pass shape.  Header lines
+    are recognized textually (the exact header string) so multi-shard
+    directories where every shard repeats the header stay correct.
+
+    Returns ``(docs, rejects)``.
+    """
+    ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
+    header_line = sep.join(f.name for f in schema.fields)
+    raw = spark.read.text(path).select(
+        F.col("value").alias("raw_line"),
+        F.from_csv(
+            F.col("value"), ddl, {"sep": sep, "mode": "PERMISSIVE"}
+        ).alias("__c"),
+    )
+    if header:
+        raw = raw.filter(F.col("raw_line") != header_line)
+    all_null = F.lit(True)
+    for f0 in schema.fields:
+        all_null = all_null & F.col(f"__c.{f0.name}").isNull()
+    bad = raw.filter(F.col("__c").isNull() | all_null).select("raw_line")
+    docs = raw.filter(F.col("__c").isNotNull() & ~all_null).select("__c.*")
+    return docs, bad

@@ -251,3 +251,31 @@ def test_jsonl_end_to_end_curation_pipeline(spark, tmp_path):
     # round-trip preserves every curated train row exactly
     train_ids = {r["doc_id"] for r in split.filter(F.col("split") == "train").collect()}
     assert {r["doc_id"] for r in back.collect()} == train_ids
+
+
+def test_read_csv_corpus_quarantine_and_headers(spark, tmp_path):
+    import os
+
+    from spatialdata_spark.sources.corpus import read_csv_corpus
+
+    src = str(tmp_path / "csv")
+    os.makedirs(src)
+    hdr = "doc_id,text,lang,source,n_chars"
+    with open(f"{src}/a.csv", "w") as f:
+        f.write(hdr + "\n")
+        f.write('1,hello,en,web,5\n')
+        f.write('not,a,valid,,row,with,extra\n')   # too many cols -> nulls? permissive keeps matching prefix
+        f.write('2,"quoted, text",fr,web,12\n')
+    with open(f"{src}/b.csv", "w") as f:          # second shard repeats header
+        f.write(hdr + "\n")
+        f.write('3,third,en,books,5\n')
+        f.write('"unterminated quote,en\n')
+
+    docs, bad = read_csv_corpus(spark, src)
+    got = {r["doc_id"]: r for r in docs.collect()}
+    assert {1, 2, 3} <= set(got)
+    assert got[2]["text"] == "quoted, text"
+    assert got[3]["source"] == "books"
+    # header lines are not rows and not rejects; garbage lines are one of the two
+    assert bad.count() >= 1
+    assert docs.count() + bad.count() == 5  # 4 data-ish lines + 1 weird counted once

@@ -478,7 +478,7 @@ def _write_tiles_sharded(
     itemsize = dtype.itemsize
     sq = squeeze_channel
 
-    def _build(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+    def _build(key, pdf):
         c, sy, sx = int(key[0]), int(key[1]), int(key[2])
         by_pos = {
             (int(r.ty) - sy * shard, int(r.tx) - sx * shard): bytes(r.tile)

@@ -1553,3 +1553,78 @@ def hdr_quantiles(
         F.col("n").cast("long"),
         F.round(F.col("__b.__lb") / float(scale), 9).alias("est"),
     )
+
+
+def stupid_backoff_score(
+    docs: DataFrame,
+    alpha_num: int = 4,
+    alpha_den: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train_docs: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document mean log-score under the corpus's own Stupid
+    Backoff bigram model (Brants et al. 2007) — THE web-scale LM
+    smoothing: no discounting mass to normalize (scores, not
+    probabilities), so the whole model is two count tables and the
+    backoff is a CASE expression.  The top rung of this repo's
+    quality ladder (unigram -> add-one bigram -> Stupid Backoff).
+
+    ``S(b|a) = c(ab)/c(a)`` when ``c(ab) > 0``, else
+    ``alpha * c(b)/N`` with ``alpha = alpha_num/alpha_den`` (0.4 as
+    published); ``score(doc) = mean(ln S)`` over bigrams, 6 dp.  The
+    backoff branch is reached through a LEFT join on the bigram
+    table — unseen continuations never materialize rows.
+
+    ``train_docs`` (default: ``docs`` itself — the CCNet own-corpus
+    convention) holds the corpus the counts come from; pass a separate
+    slice to score held-out text, where the backoff branch actually
+    fires (scoring the training corpus itself can never hit it —
+    every observed bigram has ``c(ab) > 0`` by construction).  Scored
+    tokens absent even from the UNIGRAM table keep the row's bigram
+    unscored (inner join on the scored side's unigrams) — full-OOV
+    handling belongs to the add-one model, not to backoff.
+
+    Plan identical to :func:`bigram_lm_score`: vocabulary-sized count
+    tables, broadcast-gated joins, 1-row constants, map-side-combining
+    per-document mean.
+    """
+    from .filters import word_ngrams, word_tokens
+
+    tr = train_docs if train_docs is not None else docs
+    base = docs.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col), word_tokens(text_col).alias("__toks")
+    )
+    tbase = tr.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        word_tokens(text_col).alias("__toks")
+    )
+    bg = base.select(
+        id_col, F.explode(word_ngrams(F.col("__toks"), 2)).alias("__g")
+    ).withColumn("__a", F.substring_index(F.col("__g"), " ", 1)).withColumn(
+        "__b", F.substring_index(F.col("__g"), " ", -1)
+    )
+    tbg = tbase.select(F.explode(word_ngrams(F.col("__toks"), 2)).alias("__g"))
+    c2 = tbg.groupBy("__g").agg(F.count(F.lit(1)).alias("__c2"))
+    uni = tbase.select(F.explode("__toks").alias("__t2"))
+    cu = uni.groupBy("__t2").agg(F.count(F.lit(1)).alias("__cu"))
+    c1 = cu.select(F.col("__t2").alias("__a"), F.col("__cu").alias("__c1"))
+    cb = cu.select(F.col("__t2").alias("__b"), F.col("__cu").alias("__cb"))
+    totals = uni.agg(F.count(F.lit(1)).alias("__N"))
+    spark = docs.sparkSession
+    if spark.sparkContext.master.startswith("local"):
+        c2 = F.broadcast(c2)
+        c1 = F.broadcast(c1)
+        cb = F.broadcast(cb)
+    scored = (
+        bg.join(c2, "__g", "left")
+        .join(c1, "__a")
+        .join(cb, "__b")
+        .crossJoin(F.broadcast(totals.alias("tot")))
+    )
+    alpha = F.lit(alpha_num) / F.lit(alpha_den)
+    s = F.when(
+        F.col("__c2").isNotNull(), F.col("__c2") / F.col("__c1")
+    ).otherwise(alpha * F.col("__cb") / F.col("tot.__N"))
+    return scored.groupBy(id_col).agg(
+        F.round(F.avg(F.log(s)), 6).alias("sb_score")
+    )

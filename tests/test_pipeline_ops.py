@@ -3463,3 +3463,61 @@ def test_bpe_fertility_hand_computed(spark):
     de = out["de"]
     assert de["n_words"] == 3 and de["n_tokens"] == 3  # low new low all single tokens
     assert de["chars_per_token"] == round(9 / 3, 6)
+
+
+def test_stupid_backoff_matches_python(spark):
+    import math
+    import random
+    from collections import Counter
+
+    from spatialdata_spark.pipeline.textstats import stupid_backoff_score
+
+    rng = random.Random(83)
+    vocab = [f"w{i}" for i in range(25)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 30))))
+        for i in range(50)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["sb_score"] for r in stupid_backoff_score(docs).collect()}
+
+    c2, c1 = Counter(), Counter()
+    for _, tx in rows:
+        ws = tx.split()
+        c1.update(ws)
+        c2.update(zip(ws, ws[1:]))
+    N = sum(c1.values())
+    for i, tx in rows:
+        ws = tx.split()
+        pairs = list(zip(ws, ws[1:]))
+        if not pairs:
+            assert i not in out
+            continue
+        logs = []
+        for a, b in pairs:
+            if c2[(a, b)] > 0:
+                logs.append(math.log(c2[(a, b)] / c1[a]))
+            else:
+                logs.append(math.log(0.4 * c1[b] / N))
+        assert abs(out[i] - round(sum(logs) / len(logs), 6)) < 1e-9
+
+
+def test_stupid_backoff_heldout_hits_backoff(spark):
+    """Held-out scoring: a bigram unseen in training must take the
+    alpha * c(b)/N backoff branch."""
+    import math
+
+    from spatialdata_spark.pipeline.textstats import stupid_backoff_score
+
+    train = spark.createDataFrame(
+        [(1, "aa bb aa bb cc"), (2, "bb cc aa")], ["doc_id", "text"]
+    )
+    # 'cc bb' never occurs in training; all tokens are in-vocabulary
+    ev = spark.createDataFrame([(10, "cc bb aa")], ["doc_id", "text"])
+    out = stupid_backoff_score(ev, train_docs=train).collect()
+    assert len(out) == 1
+    # train counts: c1: aa=3, bb=3, cc=2; N=8
+    # bigrams of train: (aa,bb)x2, (bb,aa)x1, (bb,cc)x2, (cc,aa)x1
+    # eval: (cc,bb) unseen -> 0.4 * c(bb)/N = 0.4*3/8 ; (bb,aa) seen -> 1/3
+    want = (math.log(0.4 * 3 / 8) + math.log(1 / 3)) / 2
+    assert abs(out[0]["sb_score"] - round(want, 6)) < 1e-9

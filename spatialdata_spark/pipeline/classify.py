@@ -148,9 +148,14 @@ def auc_rank(
     return agg.select(
         "n_pos",
         "n_neg",
-        F.round(
-            (F.col("__2r1") - F.col("n_pos") * (F.col("n_pos") + 1))
-            / (2.0 * F.col("n_pos") * F.col("n_neg")),
-            9,
+        # single-class inputs have no ranking to score: NULL, not a
+        # divide-by-zero (ANSI mode throws on bare division)
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.round(
+                (F.col("__2r1") - F.col("n_pos") * (F.col("n_pos") + 1))
+                / (2.0 * F.col("n_pos") * F.col("n_neg")),
+                9,
+            ),
         ).alias("auc"),
     )

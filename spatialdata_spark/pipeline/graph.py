@@ -85,6 +85,8 @@ def pagerank(
     # and degree aggregations run once, not k times.
     ed = e.join(deg, "src").persist()
     n_nodes = nodes.count()
+    if n_nodes == 0:
+        raise ValueError("pagerank: empty edge list (no nodes)")
     base = ((damping_den - damping_num) * scale) // (damping_den * n_nodes)
     ranks = nodes.withColumn("rank_fp", F.lit(scale // n_nodes).cast("long"))
     for _ in range(int(k)):

@@ -3521,3 +3521,27 @@ def test_stupid_backoff_heldout_hits_backoff(spark):
     # eval: (cc,bb) unseen -> 0.4 * c(bb)/N = 0.4*3/8 ; (bb,aa) seen -> 1/3
     want = (math.log(0.4 * 3 / 8) + math.log(1 / 3)) / 2
     assert abs(out[0]["sb_score"] - round(want, 6)) < 1e-9
+
+
+def test_graph_and_auc_degenerate_inputs(spark):
+    import pytest as _pt
+
+    from pyspark.sql import types as T
+
+    from spatialdata_spark.pipeline.classify import auc_rank
+    from spatialdata_spark.pipeline.graph import label_propagation, pagerank
+
+    empty = spark.createDataFrame(
+        [], T.StructType([T.StructField("src", T.LongType()), T.StructField("dst", T.LongType())])
+    )
+    with _pt.raises(ValueError, match="empty edge list"):
+        pagerank(empty)
+    assert label_propagation(empty, k=2).count() == 0
+    # single-class scores: AUC undefined -> NULL (n0*n1 = 0), not a crash
+    one_class = spark.createDataFrame([(0.5, 1), (0.7, 1)], ["score", "label"])
+    r = auc_rank(one_class).collect()[0]
+    assert r["n_pos"] == 2 and r["n_neg"] == 0 and r["auc"] is None
+    # self-loop-only graph: pagerank total mass stays bounded
+    loops = spark.createDataFrame([(1, 1), (2, 2)], ["src", "dst"])
+    ranks = {x["node"]: x["rank_fp"] for x in pagerank(loops, k=2).collect()}
+    assert set(ranks) == {1, 2} and sum(ranks.values()) <= 10**9

@@ -1277,11 +1277,15 @@ def zipf_slope(
     den = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
     slope = (n * F.col("__sxy") - F.col("__sx") * F.col("__sy")) / den
     intercept = (F.col("__sy") - slope * F.col("__sx")) / n
+    # a single ranked token has no slope (OLS denominator 0): NULL,
+    # not an ANSI divide-by-zero
     return agg.select(
         F.col("__g").alias(group_col),
         "n_ranked",
-        F.round(slope, 6).alias("slope"),
-        F.round(intercept, 6).alias("intercept"),
+        F.when(F.col("n_ranked") > 1, F.round(slope, 6)).alias("slope"),
+        F.when(F.col("n_ranked") > 1, F.round(intercept, 6)).alias(
+            "intercept"
+        ),
     )
 
 

@@ -3545,3 +3545,15 @@ def test_graph_and_auc_degenerate_inputs(spark):
     loops = spark.createDataFrame([(1, 1), (2, 2)], ["src", "dst"])
     ranks = {x["node"]: x["rank_fp"] for x in pagerank(loops, k=2).collect()}
     assert set(ranks) == {1, 2} and sum(ranks.values()) <= 10**9
+
+
+def test_zipf_slope_single_token_group(spark):
+    from spatialdata_spark.pipeline.textstats import zipf_slope
+
+    docs = spark.createDataFrame(
+        [(1, "solo", "word word word"), (2, "multi", "a b a c a b")],
+        ["doc_id", "source", "text"],
+    )
+    out = {r["source"]: r for r in zipf_slope(docs).collect()}
+    assert out["solo"]["n_ranked"] == 1 and out["solo"]["slope"] is None
+    assert out["multi"]["slope"] is not None

@@ -1399,3 +1399,48 @@ def minhash_recall(
             ).alias("precision"),
         )
     )
+
+
+def simhash_recall(
+    fps: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Recall of the 4-block SimHash LSH candidate generator against
+    the exact all-pairs Hamming ground truth at ``max_hamming`` — the
+    SimHash twin of :func:`minhash_recall`.  For ``max_hamming <= 3``
+    the pigeonhole guarantees recall 1.0 (3 differing bits cannot
+    touch all 4 16-bit blocks), pinned by test; above 3 the block
+    join is genuinely lossy and this measures by how much.
+
+    Ground truth is a brute-force all-pairs XOR popcount — the same
+    eval-slice contract as every exact baseline in this module (the
+    quadratic is the thing the LSH avoids at corpus scale).
+
+    Output: one row ``(n_true, n_hit, recall)``, recall 9 dp.
+    """
+    a = fps.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("__ha"))
+    b = fps.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("__hb"))
+    true_pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
+            <= int(max_hamming)
+        )
+        .select("id_a", "id_b")
+    )
+    cand = simhash_near_duplicates(
+        fps, max_hamming=max_hamming, id_col=id_col
+    ).select("id_a", "id_b")
+    hit = true_pairs.join(cand, ["id_a", "id_b"], "left_semi")
+    n_true = true_pairs.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    n_hit = hit.agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    return n_true.crossJoin(F.broadcast(n_hit)).select(
+        "n_true",
+        "n_hit",
+        F.round(
+            F.when(F.col("n_true") > 0, F.col("n_hit") / F.col("n_true"))
+            .otherwise(F.lit(1.0)),
+            9,
+        ).alias("recall"),
+    )

@@ -3557,3 +3557,27 @@ def test_zipf_slope_single_token_group(spark):
     out = {r["source"]: r for r in zipf_slope(docs).collect()}
     assert out["solo"]["n_ranked"] == 1 and out["solo"]["slope"] is None
     assert out["multi"]["slope"] is not None
+
+
+def test_simhash_recall_pigeonhole_and_lossy(spark):
+    """At max_hamming<=3 the 4-block join is provably lossless
+    (recall 1.0); at 4+ an adversarial signature pair differing by
+    exactly one bit in EVERY block is a true pair with no matching
+    block -> recall < 1 on that corpus."""
+    from spatialdata_spark.pipeline.dedup import simhash_recall
+
+    base = 0x123456789ABCDEF0  # arbitrary int64 pattern (< 2^63)
+    rows = [(1, base)]
+    # distances 1..3: flip bits inside one block only
+    rows.append((2, base ^ 0b1))
+    rows.append((3, base ^ 0b110))
+    rows.append((4, base ^ 0b10100000000))
+    docs = spark.createDataFrame(rows, ["doc_id", "simhash"])
+    r = simhash_recall(docs, max_hamming=3).collect()[0]
+    assert r["n_true"] >= 3 and r["recall"] == 1.0
+
+    # one flipped bit per 16-bit block: hamming 4, zero matching blocks
+    spread = base ^ ((1 << 0) | (1 << 16) | (1 << 32) | (1 << 48))
+    docs2 = spark.createDataFrame([(1, base), (2, spread)], ["doc_id", "simhash"])
+    r2 = simhash_recall(docs2, max_hamming=4).collect()[0]
+    assert r2["n_true"] == 1 and r2["n_hit"] == 0 and r2["recall"] == 0.0

@@ -7321,7 +7321,7 @@ r0 AS (
   SELECT node, 1000000000 // nn.n AS rank_fp FROM nodes CROSS JOIN nn
 ),
 c1 AS (
-  SELECT e.dst AS node, SUM(r.rank_fp // d.outdeg) AS cin
+  SELECT e.dst AS node, CAST(SUM(r.rank_fp // d.outdeg) AS BIGINT) AS cin
   FROM edges e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.src
   GROUP BY e.dst
 ),
@@ -7332,7 +7332,7 @@ r1 AS (
   FROM nodes CROSS JOIN nn LEFT JOIN c1 ON nodes.node = c1.node
 ),
 c2 AS (
-  SELECT e.dst AS node, SUM(r.rank_fp // d.outdeg) AS cin
+  SELECT e.dst AS node, CAST(SUM(r.rank_fp // d.outdeg) AS BIGINT) AS cin
   FROM edges e JOIN r1 r ON e.src = r.node JOIN deg d ON e.src = d.src
   GROUP BY e.dst
 ),
@@ -7343,7 +7343,7 @@ r2 AS (
   FROM nodes CROSS JOIN nn LEFT JOIN c2 ON nodes.node = c2.node
 ),
 c3 AS (
-  SELECT e.dst AS node, SUM(r.rank_fp // d.outdeg) AS cin
+  SELECT e.dst AS node, CAST(SUM(r.rank_fp // d.outdeg) AS BIGINT) AS cin
   FROM edges e JOIN r2 r ON e.src = r.node JOIN deg d ON e.src = d.src
   GROUP BY e.dst
 ),
@@ -7353,7 +7353,7 @@ r3 AS (
            + (85 * COALESCE(c3.cin, 0)) // 100 AS rank_fp
   FROM nodes CROSS JOIN nn LEFT JOIN c3 ON nodes.node = c3.node
 )
-SELECT node AS node_id, rank_fp FROM r3
+SELECT node AS node_id, CAST(rank_fp AS BIGINT) AS rank_fp FROM r3
 """
 
 

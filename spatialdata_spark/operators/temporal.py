@@ -332,7 +332,11 @@ def scd2_intervals(
         F.min("__ts").alias("valid_from"),
         F.count(F.lit(1)).cast("long").alias("n_events"),
     )
-    wk = Window.partitionBy("key").orderBy("valid_from")
+    # Order by the run id, not valid_from: two runs can share a
+    # valid_from (attr change at a timestamp tie — the case the
+    # tiebreak column exists for), and __run is the unique per-key run
+    # sequence the lag/lead chain was built on.
+    wk = Window.partitionBy("key").orderBy("__run")
     return iv.select(
         F.col("key").alias(key_col),
         F.col("attr").alias(attr_col),

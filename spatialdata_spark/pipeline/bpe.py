@@ -308,12 +308,15 @@ def bpe_fertility(
     the same text; mT5/XLM-R rebalance exactly this).
 
     Same shape as :func:`bpe_token_counts`: the per-group word multiset
-    joins the vocabulary-sized merged word table (broadcast-gated) and
-    reduces to one row per group — exact integers until the two final
-    divisions.
+    LEFT-joins the vocabulary-sized merged word table (broadcast-gated)
+    and reduces to one row per group — exact integers until the two
+    final divisions.  Words absent from ``wf_merged`` (held-out /
+    cross-corpus input) are NOT silently dropped: they are excluded
+    from the ratio sums (their segmentation is unknown) but surfaced
+    as ``n_oov_words`` so coverage is visible.
 
-    Output: ``(group, n_words, n_tokens, n_chars, tokens_per_word,
-    chars_per_token)``, 6 dp.
+    Output: ``(group, n_words, n_tokens, n_chars, n_oov_words,
+    tokens_per_word, chars_per_token)``, 6 dp.
     """
     spark = docs.sparkSession
     gw = (
@@ -336,12 +339,21 @@ def bpe_fertility(
     if spark.sparkContext.master.startswith("local"):
         lut = F.broadcast(lut)
     agg = (
-        gw.join(lut, "w")
+        gw.join(lut, "w", "left")
         .groupBy("__g")
         .agg(
-            F.sum("n").cast("long").alias("n_words"),
-            F.sum(F.col("n") * F.col("n_syms")).cast("long").alias("n_tokens"),
-            F.sum(F.col("n") * F.col("n_chars_w")).cast("long").alias("n_chars"),
+            F.sum(F.when(F.col("n_syms").isNotNull(), F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("n_words"),
+            F.sum(F.col("n") * F.coalesce(F.col("n_syms"), F.lit(0)))
+            .cast("long")
+            .alias("n_tokens"),
+            F.sum(F.col("n") * F.coalesce(F.col("n_chars_w"), F.lit(0)))
+            .cast("long")
+            .alias("n_chars"),
+            F.sum(F.when(F.col("n_syms").isNull(), F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("n_oov_words"),
         )
     )
     return agg.select(
@@ -349,6 +361,11 @@ def bpe_fertility(
         "n_words",
         "n_tokens",
         "n_chars",
-        F.round(F.col("n_tokens") / F.col("n_words"), 6).alias("tokens_per_word"),
-        F.round(F.col("n_chars") / F.col("n_tokens"), 6).alias("chars_per_token"),
+        "n_oov_words",
+        F.round(
+            F.when(F.col("n_words") > 0, F.col("n_tokens") / F.col("n_words")), 6
+        ).alias("tokens_per_word"),
+        F.round(
+            F.when(F.col("n_tokens") > 0, F.col("n_chars") / F.col("n_tokens")), 6
+        ).alias("chars_per_token"),
     )

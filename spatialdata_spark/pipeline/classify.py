@@ -123,8 +123,10 @@ def auc_rank(
     final division; the corpus itself is never globally sorted).
 
     ``AUC = (R1 - n1*(n1+1)/2) / (n0*n1)`` with ``R1`` the rank sum of
-    the positives; per tie group ``2*avg_rank = 2*cum_before + n + 1``
-    keeps everything in int64.
+    the positives; per tie group ``2*avg_rank = 2*cum_before + n + 1``.
+    The rank-sum accumulates ~2*N*rank ≈ 2*N² — past int64 once N
+    approaches ~3e9 rows — so the product and its sum are carried in
+    DECIMAL(38,0): exact at any corpus size, no silent wraparound.
 
     Output: one row ``(n_pos, n_neg, auc)``, 9 dp.
     """
@@ -138,12 +140,16 @@ def auc_rank(
     )
     w = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, -1)
     ranked = g.withColumn("__cum", F.coalesce(F.sum("__n").over(w), F.lit(0)))
-    # 2 * rank-sum contribution of this tie group's positives
-    two_r = F.col("__p") * (2 * F.col("__cum") + F.col("__n") + 1)
+    # 2 * rank-sum contribution of this tie group's positives, in
+    # DECIMAL(38,0): ~2*N*rank is bounded by ~2*N^2, past int64 near
+    # N ~ 3e9 scored rows — decimal keeps EXACT exact at any scale
+    two_r = F.col("__p").cast("decimal(38,0)") * (
+        2 * F.col("__cum") + F.col("__n") + 1
+    )
     agg = ranked.agg(
         F.sum("__p").cast("long").alias("n_pos"),
         F.sum(F.col("__n") - F.col("__p")).cast("long").alias("n_neg"),
-        F.sum(two_r).cast("long").alias("__2r1"),
+        F.sum(two_r).cast("decimal(38,0)").alias("__2r1"),
     )
     return agg.select(
         "n_pos",
@@ -153,7 +159,11 @@ def auc_rank(
         F.when(
             (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
             F.round(
-                (F.col("__2r1") - F.col("n_pos") * (F.col("n_pos") + 1))
+                (
+                    F.col("__2r1")
+                    - F.col("n_pos").cast("decimal(38,0)")
+                    * (F.col("n_pos") + 1)
+                ).cast("double")
                 / (2.0 * F.col("n_pos") * F.col("n_neg")),
                 9,
             ),

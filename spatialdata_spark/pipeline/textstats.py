@@ -1513,7 +1513,9 @@ def hdr_quantiles(
     Plan: one map-side-combinable bucket count; quantile extraction is
     a cumulative window over the SORTED BUCKET TABLE (<= ~2k rows —
     metadata at any corpus size; the corpus itself is never sorted).
-    Nonpositive values all land in bucket (0, 0) reported as 0.
+    Nonpositive values all land in bucket (0, 0) reported as 0; NULL
+    values are filtered out before bucketization (they carry no
+    magnitude — counting them as 0 would shift every quantile).
 
     Output: one row per requested quantile ``(q, n, est)`` with
     ``est`` the bucket lower bound back in value units, 9 dp.
@@ -1524,7 +1526,9 @@ def hdr_quantiles(
     pos = F.when(m > 0, m).otherwise(F.lit(0))
     e = F.when(pos > 0, F.length(F.bin(pos))).otherwise(F.lit(0))
     shift = F.greatest(e - F.lit(1 + int(sub_bits)), F.lit(0))
-    staged = df.select(pos.alias("__pos"), e.alias("__e"), shift.alias("__sh"))
+    staged = df.filter(F.col(value_col).isNotNull()).select(
+        pos.alias("__pos"), e.alias("__e"), shift.alias("__sh")
+    )
     # integer right shift == DIV 2^sh for nonnegative values — no float
     buckets = staged.select(
         "__e",

@@ -54,9 +54,14 @@ def read_jsonl(
 
     Returns ``(docs, rejects)``: ``docs`` carries the schema's columns
     for lines that parsed; ``rejects`` is ``(raw_line)`` for lines
-    Jackson could not parse into the schema.  Both come from ONE scan
-    definition (Catalyst shares the file listing; each side prunes its
-    own columns).
+    Jackson could not parse into the schema PLUS well-formed JSON that
+    carries none of the schema's fields (``{}``, ``{"other": 1}``, or
+    a bare scalar) — an all-null document is useless to every
+    downstream op, so quarantining it with the garbage is the intended
+    contract (rejects are "lines that produced no usable document",
+    not only parse failures).  Both come from ONE scan definition
+    (Catalyst shares the file listing; each side prunes its own
+    columns).
 
     ``assign_ids=True`` adds/overwrites ``doc_id`` with the salted
     xxhash64 of the parsed text — stable across runs and repartitions;
@@ -72,9 +77,10 @@ def read_jsonl(
         F.col("value").alias("raw_line"),
         F.from_json(F.col("value"), schema).alias("__j"),
     )
-    # from_json is PERMISSIVE per-field: a line is a reject only when
-    # the whole struct is NULL (unparseable) or when it parsed to a
-    # non-object (all schema fields NULL on a well-formed scalar).
+    # from_json is PERMISSIVE per-field: a line is a reject when the
+    # whole struct is NULL (unparseable) or when every schema field is
+    # NULL — which covers both non-objects AND well-formed objects
+    # that simply carry none of the schema's fields ({}; {"other":1}).
     all_null = F.lit(True)
     for f0 in schema.fields:
         all_null = all_null & F.col(f"__j.{f0.name}").isNull()
@@ -117,6 +123,11 @@ def read_csv_corpus(
     ``from_csv`` NULL split), same one-JVM-pass shape.  Header lines
     are recognized textually (the exact header string) so multi-shard
     directories where every shard repeats the header stay correct.
+    Caveat of that textual rule: a DATA row byte-equal to the header
+    string is indistinguishable from a header and is dropped with it —
+    acceptable for the corpus shapes this targets (a document row
+    whose every field equals its column name is not real data); pass
+    ``header=False`` on headerless shards to disable the filter.
 
     Returns ``(docs, rejects)``.
     """

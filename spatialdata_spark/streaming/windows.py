@@ -458,7 +458,9 @@ def streaming_hdr_buckets(
     the same data) -> complete-mode memory sink of
     ``(e, sub, sh, n)``.  Returns the started query.
     """
-    stream = spark.readStream.schema(schema).parquet(source_dir)
+    stream = spark.readStream.schema(schema).parquet(source_dir).filter(
+        F.col(value_col).isNotNull()
+    )
     m = F.floor(F.col(value_col) * F.lit(int(scale))).cast("long")
     pos = F.when(m > 0, m).otherwise(F.lit(0))
     e = F.when(pos > 0, F.length(F.bin(pos))).otherwise(F.lit(0))

@@ -3111,6 +3111,30 @@ def test_scd2_intervals_reference(spark):
     assert len(u2) == 1 and u2[0]["n_events"] == 2 and u2[0]["valid_to"] is None
 
 
+def test_scd2_intervals_tie_deterministic(spark):
+    """Attr change AT a timestamp tie: two runs share valid_from, so the
+    valid_to lead must be ordered by the run id, not valid_from — the
+    earlier run gets the zero-width [t, t) interval, deterministically
+    (advisor-reproduced case: (t,A),(t,B),(t2,C))."""
+    from datetime import datetime, timedelta
+
+    from spatialdata_spark.operators.temporal import scd2_intervals
+
+    t0 = datetime(2026, 1, 1)
+    t2 = t0 + timedelta(hours=1)
+    rows = [(1, 1, t0, "A"), (2, 1, t0, "B"), (3, 1, t2, "C")]
+    ev = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "event_type"])
+    for _ in range(3):  # stable across repeated runs
+        out = sorted(
+            scd2_intervals(ev).collect(),
+            key=lambda r: (r["valid_from"], r["event_type"]),
+        )
+        assert [
+            (r["event_type"], r["valid_from"], r["valid_to"], r["n_events"])
+            for r in out
+        ] == [("A", t0, t0, 1), ("B", t0, t2, 1), ("C", t2, None, 1)]
+
+
 def test_script_profile_signals(spark):
     from spatialdata_spark.pipeline.textstats import script_profile
 
@@ -3463,6 +3487,21 @@ def test_bpe_fertility_hand_computed(spark):
     de = out["de"]
     assert de["n_words"] == 3 and de["n_tokens"] == 3  # low new low all single tokens
     assert de["chars_per_token"] == round(9 / 3, 6)
+    assert en["n_oov_words"] == 0 and de["n_oov_words"] == 0
+
+    # held-out input: words absent from wf_merged are excluded from the
+    # ratio sums but surfaced as n_oov_words, never silently dropped
+    held = spark.createDataFrame(
+        [(4, "fr", "low unseen unseen new"), (5, "xx", "totally novel")],
+        ["doc_id", "lang", "text"],
+    )
+    hout = {r["lang"]: r for r in bpe_fertility(held, wf).collect()}
+    fr = hout["fr"]
+    assert fr["n_words"] == 2 and fr["n_oov_words"] == 2
+    assert fr["n_tokens"] == 2 and fr["tokens_per_word"] == 1.0
+    xx = hout["xx"]  # all-OOV group: zero coverage, NULL ratios
+    assert xx["n_words"] == 0 and xx["n_oov_words"] == 2
+    assert xx["tokens_per_word"] is None and xx["chars_per_token"] is None
 
 
 def test_stupid_backoff_matches_python(spark):

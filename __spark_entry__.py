@@ -7382,21 +7382,799 @@ def pl_pca(spark, sf_dir):
     )
 
 
+# --------------------------- round 8 ---------------------------------------
+
+
+def pl_zipf_slope(spark, sf_dir):
+    """Per-source Zipf rank-frequency OLS fit over the top-100 tokens
+    — boilerplate/spam gauge.  One vocabulary-sized count table, one
+    rank window per group truncated to 100 rows, group-sized
+    closed-form regression sums."""
+    from spatialdata_spark.pipeline.textstats import zipf_slope
+
+    return zipf_slope(_read(spark, sf_dir, "documents"))
+
+
+PL_ZIPF_SLOPE_SQL = r"""
+WITH toks AS (
+  SELECT source, unnest(string_split_regex(LOWER(TRIM(text)), '\s+')) AS tok
+  FROM documents
+), f AS (
+  SELECT source, tok, COUNT(*) AS c FROM toks WHERE tok <> '' GROUP BY 1, 2
+), r AS (
+  SELECT source, c,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY c DESC, tok) AS rk
+  FROM f
+), t AS (
+  SELECT source, LN(CAST(rk AS DOUBLE)) AS x, LN(CAST(c AS DOUBLE)) AS y
+  FROM r WHERE rk <= 100
+), a AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_ranked,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x*x) AS sxx, SUM(x*y) AS sxy
+  FROM t GROUP BY 1
+)
+SELECT source, n_ranked,
+  CASE WHEN n_ranked > 1 THEN
+    ROUND((n_ranked*sxy - sx*sy) / (n_ranked*sxx - sx*sx), 6) END AS slope,
+  CASE WHEN n_ranked > 1 THEN
+    ROUND((sy - ((n_ranked*sxy - sx*sy) / (n_ranked*sxx - sx*sx)) * sx)
+          / n_ranked, 6) END AS intercept
+FROM a
+"""
+
+
+def pl_distinct_ngrams(spark, sf_dir):
+    """Per-source distinct-n diversity (Li 2016) for n=1..3 — the
+    duplication-pressure gauge.  One explode per n, exact distinct via
+    the (group, gram) groupBy, never a COUNT(DISTINCT) funnel."""
+    from spatialdata_spark.pipeline.textstats import distinct_ngrams
+
+    return distinct_ngrams(_read(spark, sf_dir, "documents"))
+
+
+PL_DISTINCT_NGRAMS_SQL = r"""
+WITH d AS (
+  SELECT source, string_split_regex(LOWER(TRIM(text)), '\s+') AS w
+  FROM documents
+), grams AS (
+  SELECT source, 1 AS n, array_to_string(w[i+1:i+1], ' ') AS gram
+  FROM d, unnest(range(len(w))) AS t(i)
+  UNION ALL
+  SELECT source, 2 AS n, array_to_string(w[i+1:i+2], ' ') AS gram
+  FROM d, unnest(range(len(w) - 1)) AS t(i)
+  UNION ALL
+  SELECT source, 3 AS n, array_to_string(w[i+1:i+3], ' ') AS gram
+  FROM d, unnest(range(len(w) - 2)) AS t(i)
+), per AS (
+  SELECT source, n, gram, COUNT(*) AS c FROM grams GROUP BY 1, 2, 3
+)
+SELECT source, CAST(n AS INT) AS n,
+       CAST(SUM(c) AS BIGINT) AS total_grams,
+       CAST(COUNT(*) AS BIGINT) AS distinct_grams,
+       ROUND(COUNT(*) * 1.0 / SUM(c), 9) AS distinct_ratio
+FROM per GROUP BY 1, 2
+"""
+
+
+def pl_encoding_quality(spark, sf_dir):
+    """Per-document encoding-health signals (U+FFFD tombstones, C0
+    control chars, ASCII fraction) — pure per-row regexp-strip
+    expressions, zero shuffle, fuses into the scan."""
+    from spatialdata_spark.pipeline.textstats import encoding_quality
+
+    return encoding_quality(_read(spark, sf_dir, "documents"))
+
+
+PL_ENCODING_QUALITY_SQL = r"""
+SELECT doc_id,
+  CAST(LENGTH(text) AS BIGINT) AS n_chars,
+  CAST(LENGTH(text) - LENGTH(regexp_replace(text, '\x{FFFD}', '', 'g'))
+       AS BIGINT) AS n_replacement,
+  CAST(LENGTH(text)
+       - LENGTH(regexp_replace(text,
+                 '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g'))
+       AS BIGINT) AS n_control,
+  ROUND(CASE WHEN LENGTH(text) > 0 THEN
+      LENGTH(regexp_replace(text, '[^\x00-\x7F]', '', 'g'))
+      * 1.0 / LENGTH(text) ELSE 1.0 END, 9) AS ascii_ratio,
+  CAST(LENGTH(regexp_replace(text, '\x{FFFD}', '', 'g')) = LENGTH(text)
+       AND LENGTH(regexp_replace(text,
+                   '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g'))
+           = LENGTH(text) AS INT) AS enc_ok
+FROM documents
+"""
+
+
+def pl_script_profile(spark, sf_dir):
+    """Per-document writing-script character-class fractions (Latin /
+    Cyrillic / Greek / CJK / Arabic / Hebrew / digits) — contiguous
+    Unicode ranges only, so the same regex replays in any engine;
+    zero shuffle, fuses into the scan."""
+    from spatialdata_spark.pipeline.textstats import script_profile
+
+    return script_profile(_read(spark, sf_dir, "documents"))
+
+
+PL_SCRIPT_PROFILE_SQL = r"""
+WITH c AS (
+  SELECT doc_id, text, LENGTH(text) AS n FROM documents
+)
+SELECT doc_id,
+  CAST(n - LENGTH(regexp_replace(text,
+    '[A-Za-z\x{C0}-\x{24F}\x{370}-\x{3FF}\x{400}-\x{4FF}\x{590}-\x{5FF}\x{600}-\x{6FF}\x{3040}-\x{30FF}\x{4E00}-\x{9FFF}\x{AC00}-\x{D7AF}]',
+    '', 'g')) AS BIGINT) AS n_alpha,
+  ROUND(CASE WHEN n > 0 THEN (n - LENGTH(regexp_replace(text,
+    '[A-Za-z\x{C0}-\x{24F}]', '', 'g'))) * 1.0 / n ELSE 0.0 END, 9)
+    AS latin_frac,
+  ROUND(CASE WHEN n > 0 THEN (n - LENGTH(regexp_replace(text,
+    '[\x{400}-\x{4FF}]', '', 'g'))) * 1.0 / n ELSE 0.0 END, 9)
+    AS cyrillic_frac,
+  ROUND(CASE WHEN n > 0 THEN (n - LENGTH(regexp_replace(text,
+    '[\x{370}-\x{3FF}]', '', 'g'))) * 1.0 / n ELSE 0.0 END, 9)
+    AS greek_frac,
+  ROUND(CASE WHEN n > 0 THEN (n - LENGTH(regexp_replace(text,
+    '[\x{3040}-\x{30FF}\x{4E00}-\x{9FFF}\x{AC00}-\x{D7AF}]', '', 'g')))
+    * 1.0 / n ELSE 0.0 END, 9) AS cjk_frac,
+  ROUND(CASE WHEN n > 0 THEN (n - LENGTH(regexp_replace(text,
+    '[\x{600}-\x{6FF}]', '', 'g'))) * 1.0 / n ELSE 0.0 END, 9)
+    AS arabic_frac,
+  ROUND(CASE WHEN n > 0 THEN (n - LENGTH(regexp_replace(text,
+    '[\x{590}-\x{5FF}]', '', 'g'))) * 1.0 / n ELSE 0.0 END, 9)
+    AS hebrew_frac,
+  ROUND(CASE WHEN n > 0 THEN (n - LENGTH(regexp_replace(text,
+    '[0-9]', '', 'g'))) * 1.0 / n ELSE 0.0 END, 9) AS digit_frac
+FROM c
+"""
+
+
+def pl_key_skew(spark, sf_dir):
+    """Shuffle-key skew summary for events.user_id: exact Gini of the
+    key's row-count distribution via the sorted-rank identity — ONE
+    rank window over the KEY-CARDINALITY-sized count table (the key
+    table gets sorted, never the data)."""
+    from spatialdata_spark.pipeline.textstats import key_skew
+
+    _, summary = key_skew(_read(spark, sf_dir, "events"), "user_id")
+    return summary
+
+
+PL_KEY_SKEW_SQL = """
+WITH counts AS (
+  SELECT user_id AS key, COUNT(*) AS n_rows FROM events GROUP BY 1
+), ranked AS (
+  SELECT n_rows, ROW_NUMBER() OVER (ORDER BY n_rows, key) AS i FROM counts
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+       ROUND(MAX(n_rows) * 1.0 / SUM(n_rows), 9) AS max_share,
+       ROUND(2.0 * SUM(i * n_rows) / (COUNT(*) * SUM(n_rows))
+             - (COUNT(*) + 1.0) / COUNT(*), 9) AS gini
+FROM ranked
+"""
+
+
+def pl_embed_outliers(spark, sf_dir):
+    """Per-label centroid-distance outlier scores over the embedding
+    corpus: exact int64 n-scaled centroid arithmetic (n*c = sum, no
+    division until the end), so the squared distances replay bit-exact
+    in SQL.  Model-sized centroid table, broadcast-gated join."""
+    from spatialdata_spark.pipeline.clustering import embed_outliers
+
+    return embed_outliers(_read(spark, sf_dir, "embeddings"))
+
+
+PL_EMBED_OUTLIERS_SQL = """
+WITH q AS (
+  SELECT vec_id AS id, label, i AS pos,
+         CAST(FLOOR(embedding[i + 1] * 100.0 + 0.5) AS BIGINT) AS val
+  FROM embeddings, UNNEST(range(LEN(embedding))) AS t(i)
+),
+cent AS (
+  SELECT label, pos, SUM(val) AS s, COUNT(*) AS n FROM q GROUP BY 1, 2
+),
+d AS (
+  SELECT q.id, q.label, c.n, (c.n * q.val - c.s) AS dd
+  FROM q JOIN cent c ON c.label = q.label AND c.pos = q.pos
+),
+o AS (SELECT id, label, n, SUM(dd * dd) AS ss FROM d GROUP BY 1, 2, 3)
+SELECT id AS vec_id, label,
+       ROUND(ss / (n * n * 100.0 * 100.0), 6) AS d2
+FROM o
+"""
+
+
+def pl_hard_negatives(spark, sf_dir):
+    """Hard-negative mining: every vector's nearest different-label
+    neighbor on the quantized int64 grid — one lexicographic
+    struct-MIN per anchor (total order, no tie ambiguity).  Brute
+    force by the knn_classify parity contract; the scale path blocks
+    the pair space through the IVF/LSH bucketers."""
+    from spatialdata_spark.pipeline.clustering import hard_negatives
+
+    return hard_negatives(_read(spark, sf_dir, "embeddings"))
+
+
+PL_HARD_NEGATIVES_SQL = """
+WITH q AS (
+  SELECT vec_id AS id, label, i AS pos,
+         CAST(FLOOR(embedding[i + 1] * 100.0 + 0.5) AS BIGINT) AS val
+  FROM embeddings, UNNEST(range(LEN(embedding))) AS t(i)
+),
+pair AS (
+  SELECT a.id AS anchor, a.label AS anchor_label,
+         b.id AS nid, b.label AS nlab,
+         SUM((a.val - b.val) * (a.val - b.val)) AS d2i
+  FROM q a JOIN q b ON a.pos = b.pos AND a.label <> b.label
+  GROUP BY 1, 2, 3, 4
+),
+best AS (
+  SELECT anchor, anchor_label, nid, nlab, d2i,
+         ROW_NUMBER() OVER (PARTITION BY anchor ORDER BY d2i, nid) AS rn
+  FROM pair
+)
+SELECT anchor, anchor_label, nid AS negative, nlab AS neg_label,
+       ROUND(d2i / 10000.0, 6) AS d2
+FROM best WHERE rn = 1
+"""
+
+
+def pl_nb_score(spark, sf_dir):
+    """Multinomial Naive Bayes quality scoring, trained on the corpus
+    itself (label = is-English): integer count-table model, broadcast
+    scoring join, per-document mean log-likelihood ratio.  The trained
+    model is identical under any partitioning (integer aggregation)."""
+    from spatialdata_spark.pipeline.classify import nb_score, nb_train
+
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "label", (F.col("lang") == "en").cast("int")
+    )
+    model, totals = nb_train(docs)
+    return nb_score(docs, model, totals)
+
+
+PL_NB_SCORE_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(string_split_regex(LOWER(TRIM(text)), '\s+')) AS token
+  FROM documents
+),
+t2 AS (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y, token
+  FROM toks WHERE token <> ''
+),
+model AS (
+  SELECT token,
+         SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS c0,
+         SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS c1
+  FROM t2 GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(c0) AS BIGINT) AS n0, CAST(SUM(c1) AS BIGINT) AS n1,
+         CAST(COUNT(*) AS BIGINT) AS v
+  FROM model
+),
+s AS (
+  SELECT t2.doc_id,
+         LN((COALESCE(m.c1, 0) + 1.0) / (tot.n1 + tot.v))
+           - LN((COALESCE(m.c0, 0) + 1.0) / (tot.n0 + tot.v)) AS llr
+  FROM t2 LEFT JOIN model m USING (token) CROSS JOIN tot
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(SUM(llr) / COUNT(*), 6) AS llr_mean
+FROM s GROUP BY 1
+"""
+
+
+def pl_auc_rank(spark, sf_dir):
+    """Exact ROC AUC by the Mann-Whitney rank-sum identity with
+    average-rank tie handling (score = document length, label =
+    is-English) — computed on the score-COUNT table, never a global
+    sort of the corpus; the rank-sum runs in DECIMAL(38,0)."""
+    from spatialdata_spark.pipeline.classify import auc_rank
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("score"),
+        (F.col("lang") == "en").cast("int").alias("label"),
+    )
+    return auc_rank(docs)
+
+
+PL_AUC_RANK_SQL = """
+WITH g AS (
+  SELECT n_chars AS s, COUNT(*) AS n,
+         SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS p
+  FROM documents GROUP BY 1
+),
+r AS (
+  SELECT s, n, p,
+         COALESCE(SUM(n) OVER (ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM g
+),
+a AS (
+  SELECT CAST(SUM(p) AS BIGINT) AS n_pos,
+         CAST(SUM(n - p) AS BIGINT) AS n_neg,
+         SUM(p * (2 * cum + n + 1)) AS r2
+  FROM r
+)
+SELECT n_pos, n_neg,
+  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+    ROUND((r2 - n_pos * (n_pos + 1.0)) / (2.0 * n_pos * n_neg), 9)
+  END AS auc
+FROM a
+"""
+
+
+def pl_hdr_quantiles(spark, sf_dir):
+    """Deterministic mergeable HDR quantile sketch over event values —
+    integer-only bucketization (bit length via bin(), shifts), bounded
+    bucket table, quantile extraction over the SORTED BUCKET TABLE
+    (metadata-sized; the corpus is never sorted)."""
+    from spatialdata_spark.pipeline.textstats import hdr_quantiles
+
+    return hdr_quantiles(_read(spark, sf_dir, "events"), "value")
+
+
+PL_HDR_QUANTILES_SQL = """
+WITH m AS (
+  SELECT CAST(FLOOR(value * 1000000) AS BIGINT) AS mm
+  FROM events WHERE value IS NOT NULL
+),
+p AS (SELECT CASE WHEN mm > 0 THEN mm ELSE 0 END AS pos FROM m),
+b AS (
+  SELECT pos, CASE WHEN pos > 0 THEN LENGTH(bin(pos)) ELSE 0 END AS e
+  FROM p
+),
+b2 AS (SELECT e, GREATEST(e - 6, 0) AS sh, pos FROM b),
+buckets AS (
+  SELECT e, pos >> sh AS sub, sh, COUNT(*) AS c FROM b2 GROUP BY 1, 2, 3
+),
+cum AS (
+  SELECT e, sub, sh, c, SUM(c) OVER (ORDER BY e, sub) AS cumc,
+         (sub << sh) AS lb
+  FROM buckets
+),
+tot AS (SELECT MAX(cumc) AS n FROM cum),
+qs AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+                      CAST(0.99 AS DOUBLE)]) AS q),
+probe AS (
+  SELECT qs.q, tot.n, cum.lb,
+         ROW_NUMBER() OVER (PARTITION BY qs.q ORDER BY cum.e, cum.sub) AS rn
+  FROM cum CROSS JOIN tot CROSS JOIN qs
+  WHERE cum.cumc >= CEIL(qs.q * tot.n)
+)
+SELECT q, CAST(n AS BIGINT) AS n, ROUND(lb / 1000000.0, 9) AS est
+FROM probe WHERE rn = 1
+"""
+
+
+def pl_phrase_search(spark, sf_dir):
+    """Exact phrase occurrences ('merge join') via positional posting
+    joins — the posting stream filters to the phrase's token set
+    BEFORE anything else (pushed-down IN over the scan), adjacency is
+    an equi-join on (doc, pos+1); work ∝ the phrase tokens' postings,
+    never corpus size."""
+    from spatialdata_spark.pipeline.search import phrase_search
+
+    return phrase_search(_read(spark, sf_dir, "documents"), "merge join")
+
+
+PL_PHRASE_SEARCH_SQL = r"""
+WITH d AS (
+  SELECT doc_id, string_split_regex(LOWER(TRIM(text)), '\s+') AS w
+  FROM documents
+),
+post AS (
+  SELECT doc_id, i AS pos, w[i + 1] AS token
+  FROM d, unnest(range(len(w))) AS t(i)
+  WHERE w[i + 1] <> ''
+),
+m AS (
+  SELECT a.doc_id
+  FROM post a JOIN post b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.token = 'merge' AND b.token = 'join'
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches FROM m GROUP BY 1
+"""
+
+
+def pl_multi_phrase(spark, sf_dir):
+    """Match MANY phrases in one corpus pass (relational Aho-Corasick
+    analog): patterns explode to (phrase, offset, token) and ONE join
+    against the postings finds all aligned starts — corpus work ∝
+    pattern-token postings, never |patterns| x |corpus|."""
+    from spatialdata_spark.pipeline.search import multi_phrase_search
+
+    return multi_phrase_search(
+        _read(spark, sf_dir, "documents"),
+        ["table scan", "hash join", "sort merge join"],
+    )
+
+
+PL_MULTI_PHRASE_SQL = r"""
+WITH pat AS (
+  SELECT * FROM (VALUES
+    (0, 'table scan', 0, 'table', 2),
+    (0, 'table scan', 1, 'scan', 2),
+    (1, 'hash join', 0, 'hash', 2),
+    (1, 'hash join', 1, 'join', 2),
+    (2, 'sort merge join', 0, 'sort', 3),
+    (2, 'sort merge join', 1, 'merge', 3),
+    (2, 'sort merge join', 2, 'join', 3)
+  ) AS t(phrase_id, phrase, off, token, plen)
+),
+d AS (
+  SELECT doc_id, string_split_regex(LOWER(TRIM(text)), '\s+') AS w
+  FROM documents
+),
+post AS (
+  SELECT doc_id, i AS pos, w[i + 1] AS token
+  FROM d, unnest(range(len(w))) AS t(i)
+  WHERE w[i + 1] <> ''
+),
+hits AS (
+  SELECT post.doc_id, pat.phrase_id, pat.phrase, pat.plen,
+         post.pos - pat.off AS strt, pat.off
+  FROM post JOIN pat USING (token)
+),
+starts AS (
+  SELECT doc_id, phrase_id, phrase, strt
+  FROM hits WHERE strt >= 0
+  GROUP BY doc_id, phrase_id, phrase, plen, strt
+  HAVING COUNT(DISTINCT off) = plen
+)
+SELECT doc_id, CAST(phrase_id AS BIGINT) AS phrase_id, phrase,
+       CAST(COUNT(*) AS BIGINT) AS n_matches
+FROM starts GROUP BY 1, 2, 3
+"""
+
+
+def pl_label_prop(spark, sf_dir):
+    """3 unrolled rounds of deterministic label propagation (Raghavan
+    2007) over the part<->supplier co-purchase graph: per-round ONE
+    node-sized label join + ONE (dst,label) count with a lexicographic
+    struct-max argmax (ties -> smallest label) — order-free, so the
+    rounds replay exactly in SQL."""
+    from spatialdata_spark.pipeline.graph import label_propagation
+
+    li = _read(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        F.col("l_partkey").cast("long").alias("src"),
+        (F.col("l_suppkey").cast("long") + F.lit(1000000000000)).alias("dst"),
+    ).distinct()
+    edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return label_propagation(edges, k=3).withColumnRenamed("node", "node_id")
+
+
+PL_LABEL_PROP_SQL = """
+WITH fwd AS (
+  SELECT DISTINCT l_partkey AS src, l_suppkey + 1000000000000 AS dst
+  FROM lineitem
+),
+edges AS (
+  SELECT src, dst FROM fwd
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM fwd
+),
+nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges
+),
+l0 AS (SELECT node, node AS label FROM nodes),
+v1 AS (
+  SELECT e.dst, l.label, COUNT(*) AS c
+  FROM edges e JOIN l0 l ON l.node = e.src GROUP BY 1, 2
+),
+b1 AS (
+  SELECT dst, label AS winner FROM (
+    SELECT dst, label,
+           ROW_NUMBER() OVER (PARTITION BY dst ORDER BY c DESC, label) AS rn
+    FROM v1) WHERE rn = 1
+),
+l1 AS (
+  SELECT l.node, COALESCE(b.winner, l.label) AS label
+  FROM l0 l LEFT JOIN b1 b ON b.dst = l.node
+),
+v2 AS (
+  SELECT e.dst, l.label, COUNT(*) AS c
+  FROM edges e JOIN l1 l ON l.node = e.src GROUP BY 1, 2
+),
+b2 AS (
+  SELECT dst, label AS winner FROM (
+    SELECT dst, label,
+           ROW_NUMBER() OVER (PARTITION BY dst ORDER BY c DESC, label) AS rn
+    FROM v2) WHERE rn = 1
+),
+l2 AS (
+  SELECT l.node, COALESCE(b.winner, l.label) AS label
+  FROM l1 l LEFT JOIN b2 b ON b.dst = l.node
+),
+v3 AS (
+  SELECT e.dst, l.label, COUNT(*) AS c
+  FROM edges e JOIN l2 l ON l.node = e.src GROUP BY 1, 2
+),
+b3 AS (
+  SELECT dst, label AS winner FROM (
+    SELECT dst, label,
+           ROW_NUMBER() OVER (PARTITION BY dst ORDER BY c DESC, label) AS rn
+    FROM v3) WHERE rn = 1
+),
+l3 AS (
+  SELECT l.node, COALESCE(b.winner, l.label) AS label
+  FROM l2 l LEFT JOIN b3 b ON b.dst = l.node
+)
+SELECT node AS node_id, CAST(label AS BIGINT) AS label FROM l3
+"""
+
+
+def st_scd2(spark, sf_dir):
+    """Type-2 SCD build over the event stream: per-user validity
+    intervals of event_type — run boundaries via ONE (user, ts,
+    event_id) sort, interval rollup per run, valid_to lead ordered by
+    the run id (deterministic under timestamp ties)."""
+    from spatialdata_spark.operators.temporal import scd2_intervals
+
+    out = scd2_intervals(_read(spark, sf_dir, "events"))
+    # epoch-micros surface: exact and engine-agnostic (pandas would
+    # otherwise compare Spark ns-unit against DuckDB us-unit datetimes)
+    return out.select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("valid_from").cast("timestamp")).alias(
+            "valid_from_us"
+        ),
+        F.unix_micros(F.col("valid_to").cast("timestamp")).alias("valid_to_us"),
+        "n_events",
+    )
+
+
+ST_SCD2_SQL = """
+WITH m AS (
+  SELECT user_id AS key, event_type AS attr, ts, event_id,
+         CASE WHEN LAG(event_type) OVER w IS NULL
+                   OR LAG(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+runs AS (
+  SELECT key, attr, ts,
+         SUM(chg) OVER (PARTITION BY key ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+  FROM m
+),
+iv AS (
+  SELECT key, run, attr, MIN(ts) AS valid_from,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM runs GROUP BY 1, 2, 3
+)
+SELECT key AS user_id, attr AS event_type,
+       epoch_us(valid_from) AS valid_from_us,
+       epoch_us(LEAD(valid_from) OVER (PARTITION BY key ORDER BY run))
+         AS valid_to_us,
+       n_events
+FROM iv
+"""
+
+
+def pl_bpe_fertility(spark, sf_dir):
+    """Per-language tokenizer fertility under the 4-merge BPE model of
+    pl_bpe_train: tokens-per-word and chars-per-token, with held-out
+    OOV words surfaced (n_oov_words) rather than dropped.  Group word
+    multiset LEFT-joins the vocabulary-sized merged table."""
+    from spatialdata_spark.pipeline.bpe import bpe_fertility, bpe_train
+
+    docs = _read(spark, sf_dir, "documents")
+    _, wf = bpe_train(docs, n_merges=4)
+    return bpe_fertility(docs, wf)
+
+
+PL_BPE_FERTILITY_SQL = (
+    _bpe_cte(4)
+    + r""",
+gw AS (
+  SELECT lang, w, COUNT(*) AS n FROM (
+    SELECT lang, UNNEST(string_split_regex(LOWER(TRIM(text)), '\s+')) AS w
+    FROM documents WHERE LENGTH(TRIM(text)) > 0
+  ) WHERE LENGTH(w) > 0 GROUP BY 1, 2
+),
+ag AS (
+  SELECT gw.lang,
+    CAST(SUM(CASE WHEN s.seq IS NOT NULL THEN gw.n ELSE 0 END) AS BIGINT)
+      AS n_words,
+    CAST(SUM(gw.n * COALESCE(LEN(string_split(TRIM(s.seq), '  ')), 0))
+      AS BIGINT) AS n_tokens,
+    CAST(SUM(gw.n * CASE WHEN s.seq IS NOT NULL THEN LENGTH(gw.w) ELSE 0 END)
+      AS BIGINT) AS n_chars,
+    CAST(SUM(CASE WHEN s.seq IS NULL THEN gw.n ELSE 0 END) AS BIGINT)
+      AS n_oov_words
+  FROM gw LEFT JOIN s4 s ON s.w = gw.w GROUP BY 1
+)
+SELECT lang, n_words, n_tokens, n_chars, n_oov_words,
+  CASE WHEN n_words > 0 THEN ROUND(n_tokens * 1.0 / n_words, 6) END
+    AS tokens_per_word,
+  CASE WHEN n_tokens > 0 THEN ROUND(n_chars * 1.0 / n_tokens, 6) END
+    AS chars_per_token
+FROM ag
+"""
+)
+
+
+def pl_minhash_recall(spark, sf_dir):
+    """Recall/precision of the MinHash-LSH candidate generator against
+    the EXACT shingle-Jaccard ground truth at 1/2 — the
+    measure-don't-guess harness for the dedup family.  True pairs come
+    from a shingle-keyed equi-join (never all-pairs); the threshold
+    cross-multiplies in exact integers."""
+    from spatialdata_spark.pipeline.dedup import minhash_recall
+
+    return minhash_recall(_read(spark, sf_dir, "documents"))
+
+
+def _minhash_recall_sql(k: int = 5) -> str:
+    return f"""
+WITH cand0 AS ({_minhash_cand_sql()}),
+cand AS (SELECT id_a, id_b FROM cand0),
+tt2 AS (
+  SELECT doc_id,
+         CASE WHEN LENGTH(text) < {k} THEN rpad(text, {k}, ' ')
+              ELSE text END AS t
+  FROM documents
+),
+sh2 AS (
+  SELECT DISTINCT doc_id, {_shingle31_sql(k)} AS h
+  FROM tt2, UNNEST(range(1, LENGTH(t) - {k} + 2)) u(i)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh2 GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ix
+  FROM sh2 a JOIN sh2 b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+tp AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = inter.id_a
+  JOIN sizes sb ON sb.doc_id = inter.id_b
+  WHERE 2 * ix >= 1 * (sa.n + sb.n - ix)
+),
+nt AS (SELECT COUNT(*) AS n_true FROM tp),
+nc AS (SELECT COUNT(*) AS n_cand FROM cand),
+nh AS (SELECT COUNT(*) AS n_hit FROM tp JOIN cand USING (id_a, id_b))
+SELECT CAST(n_true AS BIGINT) AS n_true, CAST(n_cand AS BIGINT) AS n_cand,
+       CAST(n_hit AS BIGINT) AS n_hit,
+  ROUND(CASE WHEN n_true > 0 THEN n_hit * 1.0 / n_true ELSE 1.0 END, 9)
+    AS recall,
+  ROUND(CASE WHEN n_cand > 0 THEN n_hit * 1.0 / n_cand ELSE 1.0 END, 9)
+    AS "precision"
+FROM nt, nc, nh
+"""
+
+
+def pl_stupid_backoff(spark, sf_dir):
+    """Held-out Stupid Backoff bigram LM scoring (Brants et al. 2007):
+    train the count tables on the even-doc_id half, score the odd half
+    so the 0.4-weighted unigram backoff branch actually fires.  Two
+    vocabulary-sized count tables, broadcast-gated joins, a 1-row
+    total, one per-document mean — no probability normalization pass
+    (scores, not probabilities, is the published point)."""
+    from spatialdata_spark.pipeline.textstats import stupid_backoff_score
+
+    docs = _read(spark, sf_dir, "documents")
+    return stupid_backoff_score(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        train_docs=docs.filter(F.col("doc_id") % 2 == 0),
+    )
+
+
+PL_STUPID_BACKOFF_SQL = r"""
+WITH tr AS (
+  SELECT string_split_regex(lower(trim(text)), '\s+') AS ts
+  FROM documents WHERE trim(text) <> '' AND doc_id % 2 = 0
+), sc AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts
+  FROM documents WHERE trim(text) <> '' AND doc_id % 2 = 1
+), big AS (
+  SELECT doc_id, ts[i] || ' ' || ts[i+1] AS g, ts[i] AS a, ts[i+1] AS b
+  FROM sc, UNNEST(generate_series(1, len(ts) - 1)) AS t(i)
+  WHERE len(ts) >= 2
+), tbig AS (
+  SELECT ts[i] || ' ' || ts[i+1] AS g
+  FROM tr, UNNEST(generate_series(1, len(ts) - 1)) AS t(i)
+  WHERE len(ts) >= 2
+), c2 AS (
+  SELECT g, COUNT(*) AS c2 FROM tbig GROUP BY 1
+), uni AS (
+  SELECT unnest(ts) AS tok FROM tr
+), cu AS (
+  SELECT tok, COUNT(*) AS cu FROM uni GROUP BY 1
+), tot AS (
+  SELECT COUNT(*) AS n FROM uni
+)
+SELECT big.doc_id,
+  ROUND(AVG(LN(
+    CASE WHEN c2.c2 IS NOT NULL THEN c2.c2 / CAST(ca.cu AS DOUBLE)
+         ELSE (CAST(4 AS DOUBLE) / 10) * cb.cu / tot.n END
+  )), 6) AS sb_score
+FROM big
+LEFT JOIN c2 USING (g)
+JOIN cu ca ON ca.tok = big.a
+JOIN cu cb ON cb.tok = big.b
+CROSS JOIN tot
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order matters: the correctness driver oracles the FIRST 50
-    # entries.  Round-7 head: ALL 46 queries new this round (none has
-    # a driver-green row yet — cumulative coverage outranks
-    # re-confirmation), then the 4 entries most materially MODIFIED
-    # since their last driver check (bpe incremental rework r7;
-    # semdedup re-split + overflow guard r7; minhash persist rework r5
-    # vs last check r4).  Displaced to the round-8 head: the r6-checked
-    # clustering pair, the r2/r3-checked aggregate family, r3-checked
-    # TPC-H and sq_/rq_ rows.
+    # entries.  Round-8 head: the 16 newly-registered library queries
+    # (none has a driver row yet), the pagerank oracle-dtype re-check,
+    # the 3 modified-since-last-check entries, then the oldest-checked
+    # stale greens (r2/r3 aggregate family, TPC-H q01/q03/q04, and 12
+    # of the 17 r3-checked sq_/rq_ rows).
     return {
-        # --- new in round 7 ---
+        # --- new in round 8: the driver oracles the FIRST 50 entries ---
+        "pl_zipf_slope": pl_zipf_slope,
+        "pl_distinct_ngrams": pl_distinct_ngrams,
+        "pl_encoding_quality": pl_encoding_quality,
+        "pl_script_profile": pl_script_profile,
+        "pl_key_skew": pl_key_skew,
+        "pl_embed_outliers": pl_embed_outliers,
+        "pl_hard_negatives": pl_hard_negatives,
+        "pl_nb_score": pl_nb_score,
+        "pl_auc_rank": pl_auc_rank,
+        "pl_hdr_quantiles": pl_hdr_quantiles,
+        "pl_phrase_search": pl_phrase_search,
+        "pl_multi_phrase": pl_multi_phrase,
+        "pl_label_prop": pl_label_prop,
+        "st_scd2": st_scd2,
+        "pl_bpe_fertility": pl_bpe_fertility,
+        "pl_minhash_recall": pl_minhash_recall,
+        "pl_stupid_backoff": pl_stupid_backoff,
+        # --- re-check: oracle SUM cast to BIGINT this round (hash-red r7
+        # was a DuckDB HUGEINT->float64 fetch dtype, values were equal) ---
+        "pl_pagerank": pl_pagerank,
+        # --- modified since last driver check: minhash persist rework r5
+        # (last check r4); kmeans/knn last checked r6 ---
+        "pl_minhash_dedup": pl_minhash_dedup,
+        "pl_kmeans": pl_kmeans,
+        "pl_knn_classify": pl_knn_classify,
+        # --- stale greens: r2/r3-checked aggregate family + TPC-H head ---
+        "ag_extent": ag_extent,
+        "ag_zonal_image": ag_zonal_image,
+        "rv_rasterize_count": rv_rasterize_count,
+        "rv_rasterize_cat": rv_rasterize_cat,
+        "rv_rasterize_circle_fill": rv_rasterize_circle_fill,
+        "ag_points_by_boxes": ag_points_by_boxes,
+        "ag_points_categorical": ag_points_categorical,
+        "ag_points_by_circles_count": ag_points_by_circles_count,
+        "ag_points_by_circles_sum": ag_points_by_circles_sum,
+        "ag_points_by_circles_mean": ag_points_by_circles_mean,
+        "ag_points_by_circles_max": ag_points_by_circles_max,
+        "ag_points_by_darts": ag_points_by_darts,
+        "ag_fractions": ag_fractions,
+        "ag_fractions_value": ag_fractions_value,
+        "ag_centroids_labels": ag_centroids_labels,
+        "q01_pricing_summary": q01_pricing_summary,
+        "q03_shipping": q03_shipping,
+        "q04_order_priority": q04_order_priority,
+        # --- stale greens: r3-checked spatial/relational query rows ---
+        "sq_polygon_points": sq_polygon_points,
+        "sq_polygon_concave": sq_polygon_concave,
+        "sq_bbox_shapes": sq_bbox_shapes,
+        "sq_polygon_shapes": sq_polygon_shapes,
+        "rq_join_left": rq_join_left,
+        "rq_join_inner_element": rq_join_inner_element,
+        "rq_join_left_exclusive": rq_join_left_exclusive,
+        "rq_join_right": rq_join_right,
+        "rq_join_right_exclusive": rq_join_right_exclusive,
+        "rq_get_values_xlong": rq_get_values_xlong,
+        "rq_filter_by_table": rq_filter_by_table,
+        "rq_element_instances": rq_element_instances,
+        # ===== driver head ends here (first 50) =====
+        # --- round-7 head (all driver-green r7) ---
         "pl_curation_funnel": pl_curation_funnel,
         "pl_token_entropy": pl_token_entropy,
         "pl_jsd_sources": pl_jsd_sources,
@@ -7423,7 +8201,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pl_para_dedup": pl_para_dedup,
         "pl_lang_temperature": pl_lang_temperature,
         "st_cohort_matrix": st_cohort_matrix,
-        # --- new in round 7 (continued) ---
         "pl_burstiness": pl_burstiness,
         "pl_cooccur_pmi": pl_cooccur_pmi,
         "st_inter_event": st_inter_event,
@@ -7444,37 +8221,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pl_heaps_curve": pl_heaps_curve,
         "pl_hash_split": pl_hash_split,
         "pl_pca": pl_pca,
-        "pl_pagerank": pl_pagerank,
-        # --- modified since last driver check (r6): bpe incremental
-        # rework, semdedup re-split + overflow guard ---
         "pl_bpe_train": pl_bpe_train,
         "pl_bpe_encode": pl_bpe_encode,
         "pl_semantic_dedup": pl_semantic_dedup,
-        # ===== driver head ends here (first 50) =====
-        # --- r8 head candidates: minhash (persist rework r5, last
-        # check r4), the r6-checked clustering pair, the r2/r3-checked
-        # aggregate family, r3-checked TPC-H rows ---
-        "pl_minhash_dedup": pl_minhash_dedup,
-        "pl_kmeans": pl_kmeans,
-        "pl_knn_classify": pl_knn_classify,
-        "ag_extent": ag_extent,
-        "ag_zonal_image": ag_zonal_image,
-        "rv_rasterize_count": rv_rasterize_count,
-        "rv_rasterize_cat": rv_rasterize_cat,
-        "rv_rasterize_circle_fill": rv_rasterize_circle_fill,
-        "ag_points_by_boxes": ag_points_by_boxes,
-        "ag_points_categorical": ag_points_categorical,
-        "ag_points_by_circles_count": ag_points_by_circles_count,
-        "ag_points_by_circles_sum": ag_points_by_circles_sum,
-        "ag_points_by_circles_mean": ag_points_by_circles_mean,
-        "ag_points_by_circles_max": ag_points_by_circles_max,
-        "ag_points_by_darts": ag_points_by_darts,
-        "ag_fractions": ag_fractions,
-        "ag_fractions_value": ag_fractions_value,
-        "ag_centroids_labels": ag_centroids_labels,
-        "q01_pricing_summary": q01_pricing_summary,
-        "q03_shipping": q03_shipping,
-        "q04_order_priority": q04_order_priority,
         # --- cumulative greens ---
         "q05_local_supplier": q05_local_supplier,
         "q06_forecasting": q06_forecasting,
@@ -7499,19 +8248,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq_multibox_rotated": sq_multibox_rotated,
         "sq_raster_rotated": sq_raster_rotated,
         "sq_polygon_clip": sq_polygon_clip,
-        # ---------------- end of the driver's first-50 ----------------
-        "sq_polygon_points": sq_polygon_points,
-        "sq_polygon_concave": sq_polygon_concave,
-        "sq_bbox_shapes": sq_bbox_shapes,
-        "sq_polygon_shapes": sq_polygon_shapes,
-        "rq_join_left": rq_join_left,
-        "rq_join_inner_element": rq_join_inner_element,
-        "rq_join_left_exclusive": rq_join_left_exclusive,
-        "rq_join_right": rq_join_right,
-        "rq_join_right_exclusive": rq_join_right_exclusive,
-        "rq_get_values_xlong": rq_get_values_xlong,
-        "rq_filter_by_table": rq_filter_by_table,
-        "rq_element_instances": rq_element_instances,
+        # displaced to the round-9 head: the two remaining r3-checked
+        # rq_ rows, then rotation continues by oldest-check-first
         "rq_filter_labels": rq_filter_labels,
         "rq_concat_tables": rq_concat_tables,
         "pl_shard_shuffle": pl_shard_shuffle,
@@ -7617,6 +8355,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # --- round 8 ---
+        "pl_zipf_slope": PL_ZIPF_SLOPE_SQL,
+        "pl_distinct_ngrams": PL_DISTINCT_NGRAMS_SQL,
+        "pl_encoding_quality": PL_ENCODING_QUALITY_SQL,
+        "pl_script_profile": PL_SCRIPT_PROFILE_SQL,
+        "pl_key_skew": PL_KEY_SKEW_SQL,
+        "pl_embed_outliers": PL_EMBED_OUTLIERS_SQL,
+        "pl_hard_negatives": PL_HARD_NEGATIVES_SQL,
+        "pl_nb_score": PL_NB_SCORE_SQL,
+        "pl_auc_rank": PL_AUC_RANK_SQL,
+        "pl_hdr_quantiles": PL_HDR_QUANTILES_SQL,
+        "pl_phrase_search": PL_PHRASE_SEARCH_SQL,
+        "pl_multi_phrase": PL_MULTI_PHRASE_SQL,
+        "pl_label_prop": PL_LABEL_PROP_SQL,
+        "st_scd2": ST_SCD2_SQL,
+        "pl_bpe_fertility": PL_BPE_FERTILITY_SQL,
+        "pl_minhash_recall": _minhash_recall_sql(),
+        "pl_stupid_backoff": PL_STUPID_BACKOFF_SQL,
+        # --- pre-round-8 ---
         "pl_burstiness": PL_BURSTINESS_SQL,
         "pl_cooccur_pmi": PL_COOCCUR_PMI_SQL,
         "st_inter_event": ST_INTER_EVENT_SQL,

@@ -1346,6 +1346,10 @@ def minhash_recall(
     sizes = sh.groupBy("__d").agg(F.count(F.lit(1)).cast("long").alias("__n"))
     a = sh.select(F.col("__d").alias("id_a"), "__h")
     b = sh.select(F.col("__d").alias("id_b"), "__h")
+    if spark.sparkContext.master.startswith("local"):
+        # eval-slice contract: the ground-truth side fits; on a cluster
+        # the shingle equi-join shuffles on __h (the intended scale plan)
+        b = F.broadcast(b)
     inter = (
         a.join(b, "__h")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -1376,7 +1380,12 @@ def minhash_recall(
         shingle_k=shingle_k,
         seed=seed,
     ).select("id_a", "id_b")
-    hit = true_pairs.join(cand, ["id_a", "id_b"], "left_semi")
+    cand_probe = cand
+    if spark.sparkContext.master.startswith("local"):
+        # candidate pairs are near-dup-count-sized, orders below the
+        # corpus; on a cluster AQE picks the semi-join strategy
+        cand_probe = F.broadcast(cand_probe)
+    hit = true_pairs.join(cand_probe, ["id_a", "id_b"], "left_semi")
     n_true = true_pairs.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
     n_cand = cand.agg(F.count(F.lit(1)).cast("long").alias("n_cand"))
     n_hit = hit.agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
@@ -1432,6 +1441,8 @@ def simhash_recall(
     cand = simhash_near_duplicates(
         fps, max_hamming=max_hamming, id_col=id_col
     ).select("id_a", "id_b")
+    if fps.sparkSession.sparkContext.master.startswith("local"):
+        cand = F.broadcast(cand)
     hit = true_pairs.join(cand, ["id_a", "id_b"], "left_semi")
     n_true = true_pairs.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
     n_hit = hit.agg(F.count(F.lit(1)).cast("long").alias("n_hit"))

@@ -156,6 +156,10 @@ def label_propagation(
     )
     labels = nodes.withColumn("label", F.col("node"))
     for _ in range(int(k)):
+        # each round reads `labels` twice (the vote join and the
+        # carry-forward coalesce) — persist the node-sized table so the
+        # lineage does not double per round (2^k recompute otherwise)
+        labels = labels.persist()
         lab = labels.select(F.col("node").alias("src"), "label")
         if spark.sparkContext.master.startswith("local"):
             lab = F.broadcast(lab)

@@ -64,6 +64,24 @@ GUARDED = [
     "st_gap_fill",
     "st_cum_dau",
     "q_pivot_revenue",
+    # round 8
+    "pl_zipf_slope",
+    "pl_distinct_ngrams",
+    "pl_encoding_quality",
+    "pl_script_profile",
+    "pl_key_skew",
+    "pl_embed_outliers",
+    "pl_hard_negatives",
+    "pl_nb_score",
+    "pl_auc_rank",
+    "pl_hdr_quantiles",
+    "pl_phrase_search",
+    "pl_multi_phrase",
+    "pl_label_prop",
+    "st_scd2",
+    "pl_bpe_fertility",
+    "pl_minhash_recall",
+    "pl_stupid_backoff",
 ]
 
 EXPRESSION_ONLY = [
@@ -100,12 +118,36 @@ EXPRESSION_ONLY = [
     "st_gap_fill",
     "st_cum_dau",
     "q_pivot_revenue",
+    # round 8 — every new query except pl_minhash_recall (whose
+    # candidate side runs the documented Arrow signature kernel)
+    "pl_zipf_slope",
+    "pl_distinct_ngrams",
+    "pl_encoding_quality",
+    "pl_script_profile",
+    "pl_key_skew",
+    "pl_embed_outliers",
+    "pl_hard_negatives",
+    "pl_nb_score",
+    "pl_auc_rank",
+    "pl_hdr_quantiles",
+    "pl_phrase_search",
+    "pl_multi_phrase",
+    "pl_label_prop",
+    "st_scd2",
+    "pl_bpe_fertility",
+    "pl_stupid_backoff",
 ]
 
 
 # plans that must contain NO shuffle exchange at all: these compose
 # with a bare scan at any corpus size
-ZERO_EXCHANGE = ["pl_stratified_sample", "pl_chunk_overlap", "pl_mix_epochs"]
+ZERO_EXCHANGE = [
+    "pl_stratified_sample",
+    "pl_chunk_overlap",
+    "pl_mix_epochs",
+    "pl_encoding_quality",
+    "pl_script_profile",
+]
 
 
 @pytest.fixture(scope="module")

@@ -8104,6 +8104,166 @@ GROUP BY 1
 """
 
 
+def pl_chi2_tokens(spark, sf_dir):
+    """Per-source top-5 discriminative tokens by the one-vs-rest 2x2
+    chi-squared statistic (Yang & Pedersen 1997 feature selection).
+    Presence pairs from one map-side array_distinct explode; the
+    (token, label) table is vocabulary-sized; the per-token margin is
+    a window sharing the token exchange; deterministic rounded-stat +
+    token tie-break ranking."""
+    from spatialdata_spark.pipeline.textstats import chi2_tokens
+
+    return chi2_tokens(
+        _read(spark, sf_dir, "documents"), top_k=5, min_df=2
+    )
+
+
+PL_CHI2_TOKENS_SQL = r"""
+WITH pres AS (
+  SELECT DISTINCT doc_id, source AS label, tok AS token FROM (
+    SELECT doc_id, source,
+           UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS tok
+    FROM documents WHERE trim(text) <> ''
+  )
+), ct AS (
+  SELECT token, label, COUNT(*) AS a FROM pres GROUP BY 1, 2
+), ct2 AS (
+  SELECT token, label, a, SUM(a) OVER (PARTITION BY token) AS ab FROM ct
+), ld AS (
+  SELECT source AS label, COUNT(*) AS ac FROM documents
+  WHERE trim(text) <> '' GROUP BY 1
+), tot AS (
+  SELECT COUNT(*) AS n FROM documents WHERE trim(text) <> ''
+), scored AS (
+  SELECT ct2.label, ct2.token, ct2.a AS df_label,
+    CASE WHEN CAST((ab) * (n - ab) AS DOUBLE)
+              * CAST((ac) * (n - ac) AS DOUBLE) > 0
+         THEN ROUND(CAST(n AS DOUBLE)
+              * CAST(a * (n - ab - (ac - a)) - (ab - a) * (ac - a) AS DOUBLE)
+              * CAST(a * (n - ab - (ac - a)) - (ab - a) * (ac - a) AS DOUBLE)
+              / (CAST((a + (ab - a)) * ((ac - a) + (n - ab - (ac - a)))
+                      AS DOUBLE)
+                 * CAST((a + (ac - a)) * ((ab - a) + (n - ab - (ac - a)))
+                        AS DOUBLE)), 6)
+         ELSE 0.0 END AS chi2
+  FROM ct2 JOIN ld USING (label) CROSS JOIN tot
+  WHERE ab >= 2
+)
+SELECT label, token, df_label, chi2,
+       CAST(ROW_NUMBER() OVER (PARTITION BY label
+                               ORDER BY chi2 DESC, token ASC) AS INT) AS rank
+FROM scored
+QUALIFY rank <= 5
+"""
+
+
+def pl_ks_lengths(spark, sf_dir):
+    """Exact two-sample Kolmogorov-Smirnov statistic between src0 and
+    src1 document-length distributions — cross-multiplied to exact
+    integers on the distinct value grid, so the result is bit-exact
+    and order-independent."""
+    from spatialdata_spark.pipeline.textstats import ks_2sample
+
+    return ks_2sample(_read(spark, sf_dir, "documents"))
+
+
+PL_KS_LENGTHS_SQL = r"""
+WITH f AS (
+  SELECT n_chars AS val, CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS ia
+  FROM documents WHERE source IN ('src0', 'src1')
+), counts AS (
+  SELECT val, SUM(ia) AS ca, SUM(1 - ia) AS cb FROM f GROUP BY 1
+), cum AS (
+  SELECT val,
+         SUM(ca) OVER (ORDER BY val) AS cum_a,
+         SUM(cb) OVER (ORDER BY val) AS cum_b
+  FROM counts
+), tot AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b
+  FROM counts
+)
+SELECT MAX(n_a) AS n_a, MAX(n_b) AS n_b,
+       CAST(MAX(ABS(cum_a * n_b - cum_b * n_a)) AS BIGINT) AS ks_num,
+       CAST(MAX(n_a * n_b) AS BIGINT) AS ks_den,
+       ROUND(MAX(ABS(cum_a * n_b - cum_b * n_a))
+             / CAST(MAX(n_a * n_b) AS DOUBLE), 9) AS ks_stat
+FROM cum CROSS JOIN tot
+"""
+
+
+def st_psi_drift(spark, sf_dir):
+    """Population Stability Index contributions of the event-type mix,
+    first half of the window vs the rest — the standard drift monitor;
+    one category-keyed aggregation, category-sized thereafter."""
+    from spatialdata_spark.operators.temporal import psi_drift
+
+    return psi_drift(_read(spark, sf_dir, "events"), "2024-01-16")
+
+
+ST_PSI_DRIFT_SQL = r"""
+WITH counts AS (
+  SELECT event_type AS category,
+         SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
+           AS n_base,
+         SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END)
+           AS n_cur
+  FROM events GROUP BY 1
+), tot AS (
+  SELECT SUM(n_base) AS tb, SUM(n_cur) AS tc FROM counts
+)
+SELECT category, CAST(n_base AS BIGINT) AS n_base,
+       CAST(n_cur AS BIGINT) AS n_cur,
+       CASE WHEN n_base > 0 AND n_cur > 0 THEN
+         ROUND((n_base / CAST(tb AS DOUBLE) - n_cur / CAST(tc AS DOUBLE))
+               * LN((n_base / CAST(tb AS DOUBLE))
+                    / (n_cur / CAST(tc AS DOUBLE))), 6)
+       END AS psi_part
+FROM counts CROSS JOIN tot
+ORDER BY category
+"""
+
+
+def pl_simhash_recall(spark, sf_dir):
+    """Recall of the 4x16-bit-block SimHash LSH candidate generator
+    against the exact all-pairs Hamming ground truth at distance 5 —
+    past the pigeonhole-complete bound of 3, so the block join is
+    genuinely lossy and this measures by how much (the SimHash twin of
+    pl_minhash_recall).  Fingerprints are the 62-bit expression-only
+    SQL-replayable variant."""
+    from spatialdata_spark.pipeline.dedup import (
+        simhash_recall,
+        simhash_signatures_sql,
+    )
+
+    fps = simhash_signatures_sql(_read(spark, sf_dir, "documents"))
+    return simhash_recall(fps, max_hamming=5)
+
+
+def _simhash_recall_sql(max_hamming: int = 5) -> str:
+    return f"""
+WITH fp AS ({_simhash_sql()}),
+tp AS (
+  SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+         l.simhash AS ha, r.simhash AS hb
+  FROM fp l JOIN fp r ON l.doc_id < r.doc_id
+  WHERE bit_count(xor(l.simhash, r.simhash)) <= {max_hamming}
+),
+hits AS (
+  SELECT * FROM tp
+  WHERE ((ha >> 0) & 65535) = ((hb >> 0) & 65535)
+     OR ((ha >> 16) & 65535) = ((hb >> 16) & 65535)
+     OR ((ha >> 32) & 65535) = ((hb >> 32) & 65535)
+     OR ((ha >> 48) & 65535) = ((hb >> 48) & 65535)
+),
+nt AS (SELECT COUNT(*) AS n_true FROM tp),
+nh AS (SELECT COUNT(*) AS n_hit FROM hits)
+SELECT CAST(n_true AS BIGINT) AS n_true, CAST(n_hit AS BIGINT) AS n_hit,
+  ROUND(CASE WHEN n_true > 0 THEN n_hit * 1.0 / n_true ELSE 1.0 END, 9)
+    AS recall
+FROM nt, nh
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -8133,6 +8293,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pl_bpe_fertility": pl_bpe_fertility,
         "pl_minhash_recall": pl_minhash_recall,
         "pl_stupid_backoff": pl_stupid_backoff,
+        "pl_chi2_tokens": pl_chi2_tokens,
+        "pl_ks_lengths": pl_ks_lengths,
+        "st_psi_drift": st_psi_drift,
+        "pl_simhash_recall": pl_simhash_recall,
         # --- re-check: oracle SUM cast to BIGINT this round (hash-red r7
         # was a DuckDB HUGEINT->float64 fetch dtype, values were equal) ---
         "pl_pagerank": pl_pagerank,
@@ -8373,6 +8537,10 @@ def oracle_sql() -> dict[str, str]:
         "pl_bpe_fertility": PL_BPE_FERTILITY_SQL,
         "pl_minhash_recall": _minhash_recall_sql(),
         "pl_stupid_backoff": PL_STUPID_BACKOFF_SQL,
+        "pl_chi2_tokens": PL_CHI2_TOKENS_SQL,
+        "pl_ks_lengths": PL_KS_LENGTHS_SQL,
+        "st_psi_drift": ST_PSI_DRIFT_SQL,
+        "pl_simhash_recall": _simhash_recall_sql(),
         # --- pre-round-8 ---
         "pl_burstiness": PL_BURSTINESS_SQL,
         "pl_cooccur_pmi": PL_COOCCUR_PMI_SQL,

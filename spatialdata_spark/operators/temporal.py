@@ -344,3 +344,52 @@ def scd2_intervals(
         F.lead("valid_from").over(wk).alias("valid_to"),
         "n_events",
     )
+
+
+def psi_drift(
+    events: DataFrame,
+    boundary: str,
+    cat_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Population Stability Index contributions of a categorical
+    column between the records before and after ``boundary`` — the
+    standard production drift monitor (PSI < 0.1 stable, > 0.25
+    shifted) applied to the event mix.
+
+    ``psi_part = (p - q) * ln(p / q)`` per category with
+    ``p``/``q`` the category's share before/after the split; the total
+    PSI is the sum over rows.  Categories absent from either side get
+    a NULL ``psi_part`` (the standard smoothing decision is the
+    caller's — silently substituting an epsilon would fabricate mass).
+
+    Plan: ONE category-keyed count aggregation with map-side combine
+    (both periods in the same pass via conditional sums); totals are a
+    1-row broadcast; everything after the first aggregation is
+    category-cardinality-sized at any event volume.
+
+    Output: ``(category, n_base, n_cur, psi_part)`` with ``psi_part``
+    6 dp, ordered by category.
+    """
+    base_flag = F.when(F.col(ts_col) < F.lit(boundary).cast("timestamp"), 1).otherwise(0)
+    counts = events.select(
+        F.col(cat_col).alias("category"), base_flag.alias("__b")
+    ).groupBy("category").agg(
+        F.sum("__b").cast("long").alias("n_base"),
+        F.sum(1 - F.col("__b")).cast("long").alias("n_cur"),
+    )
+    tot = counts.agg(
+        F.sum("n_base").cast("long").alias("__tb"),
+        F.sum("n_cur").cast("long").alias("__tc"),
+    )
+    p = F.col("n_base") / F.col("__tb")
+    q = F.col("n_cur") / F.col("__tc")
+    part = F.when(
+        (F.col("n_base") > 0) & (F.col("n_cur") > 0),
+        F.round((p - q) * F.log(p / q), 6),
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select("category", "n_base", "n_cur", part.alias("psi_part"))
+        .orderBy("category")
+    )

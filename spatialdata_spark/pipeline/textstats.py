@@ -1636,3 +1636,157 @@ def stupid_backoff_score(
     return scored.groupBy(id_col).agg(
         F.round(F.avg(F.log(s)), 6).alias("sb_score")
     )
+
+
+def chi2_tokens(
+    docs: DataFrame,
+    label_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 10,
+    min_df: int = 2,
+) -> DataFrame:
+    """Per-label top-``top_k`` discriminative tokens by the one-vs-rest
+    chi-squared statistic over document presence counts — the classic
+    feature-selection / "what words characterize this source" report
+    (Yang & Pedersen 1997).
+
+    For token t and label L, the 2x2 presence table is ``a`` (docs of
+    L containing t), ``b`` (other docs containing t), ``c`` (docs of L
+    without t), ``d`` (the rest), and
+    ``chi2 = N*(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d))``.
+
+    Plan: presence pairs come from ONE map-side explode of
+    ``array_distinct`` (within-doc dedup never shuffles); the
+    (token, label) count table is vocabulary-sized with map-side
+    combine; the per-token total is a window SHARING a token-keyed
+    exchange of that table (no aggregate-aggregate join); label doc
+    counts and the corpus total are tiny broadcasts.  The ranking
+    window orders by the ROUNDED statistic with a token tie-break, so
+    the top-k set is deterministic on any engine.  All counts are
+    exact int64 (``a*d`` bounded by N^2 — exact below ~3e9 documents,
+    the same bound its siblings document); the statistic goes through
+    DOUBLE only in the final ratio, 6 dp.
+
+    Output: ``(label, token, df_label, chi2, rank)``.
+    """
+    from pyspark.sql.window import Window
+
+    from .filters import word_tokens
+
+    presence = docs.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(label_col).alias("label"),
+        F.col(id_col),
+        F.explode(F.array_distinct(word_tokens(text_col))).alias("token"),
+    )
+    ct = presence.groupBy("token", "label").agg(
+        F.count(F.lit(1)).cast("long").alias("a")
+    )
+    tok_w = Window.partitionBy("token")
+    ct = ct.withColumn("ab", F.sum("a").over(tok_w))
+    label_docs = (
+        docs.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .groupBy(F.col(label_col).alias("label"))
+        .agg(F.count(F.lit(1)).cast("long").alias("ac"))
+    )
+    n_tot = docs.filter(F.length(F.trim(F.col(text_col))) > 0).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    j = (
+        ct.filter(F.col("ab") >= int(min_df))
+        .join(F.broadcast(label_docs), "label")
+        .crossJoin(F.broadcast(n_tot))
+    )
+    a = F.col("a")
+    b = F.col("ab") - a
+    c = F.col("ac") - a
+    d = F.col("n") - F.col("ab") - c
+    det = (a * d - b * c).cast("double")
+    den = ((a + b) * (c + d)).cast("double") * ((a + c) * (b + d)).cast("double")
+    # a margin of zero (token in every doc / label owning the corpus)
+    # means no discriminative power: chi2 = 0 by convention (det is 0
+    # too; the ratio is 0/0 and ANSI division would reject it)
+    chi2 = F.when(
+        den > 0,
+        F.round(F.col("n").cast("double") * det * det / den, 6),
+    ).otherwise(F.lit(0.0))
+    scored = j.select(
+        "label",
+        "token",
+        a.alias("df_label"),
+        chi2.alias("chi2"),
+    )
+    rk = Window.partitionBy("label").orderBy(F.desc("chi2"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(rk))
+        .filter(F.col("rank") <= int(top_k))
+    )
+
+
+def ks_2sample(
+    docs: DataFrame,
+    value_col: str = "n_chars",
+    group_col: str = "source",
+    group_a: str = "src0",
+    group_b: str = "src1",
+) -> DataFrame:
+    """EXACT two-sample Kolmogorov-Smirnov statistic between two
+    groups' distributions of an integer-valued column — the
+    distribution-shift gate for "did this shard's length/score profile
+    drift from the reference slice".
+
+    ``D = max_v |F_a(v) - F_b(v)|`` evaluated on the merged distinct
+    value grid; the comparison cross-multiplies to exact integers
+    (``|cum_a*n_b - cum_b*n_a|``), so the statistic is
+    order-independent and bit-exact on any engine (int64-safe below
+    ~3e9 rows per group, the module's documented bound).
+
+    Plan: one value-keyed count aggregation (map-side combine) —
+    the only corpus-sized shuffle; the cumulative window runs over the
+    DISTINCT VALUE GRID (value-domain-sized, e.g. every observed
+    document length: thousands of rows at ANY corpus size), which is
+    why the single-partition window is safe; totals are a 1-row
+    broadcast.
+
+    Output: one row ``(n_a, n_b, ks_num, ks_den, ks_stat)`` with
+    ``ks_stat = ks_num/ks_den`` rounded to 9 dp.
+    """
+    from pyspark.sql.window import Window
+
+    v = F.col(value_col)
+    filt = docs.filter(F.col(group_col).isin([group_a, group_b])).select(
+        v.alias("val"),
+        F.when(F.col(group_col) == group_a, 1).otherwise(0).alias("__ia"),
+    )
+    counts = filt.groupBy("val").agg(
+        F.sum("__ia").cast("long").alias("ca"),
+        F.sum(1 - F.col("__ia")).cast("long").alias("cb"),
+    )
+    w = Window.orderBy("val").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.select(
+        "val",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    )
+    tot = counts.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+            F.max(
+                F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a"))
+            ).alias("ks_num"),
+            F.max(F.col("n_a") * F.col("n_b")).alias("ks_den"),
+        )
+        .select(
+            "n_a",
+            "n_b",
+            "ks_num",
+            "ks_den",
+            F.round(F.col("ks_num") / F.col("ks_den"), 9).alias("ks_stat"),
+        )
+    )

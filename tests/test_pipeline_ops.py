@@ -3620,3 +3620,102 @@ def test_simhash_recall_pigeonhole_and_lossy(spark):
     docs2 = spark.createDataFrame([(1, base), (2, spread)], ["doc_id", "simhash"])
     r2 = simhash_recall(docs2, max_hamming=4).collect()[0]
     assert r2["n_true"] == 1 and r2["n_hit"] == 0 and r2["recall"] == 0.0
+
+
+def test_chi2_tokens_reference(spark):
+    """chi2 per (label, token) must equal the textbook 2x2 statistic
+    computed by an independent Python pass over the same corpus."""
+    from collections import defaultdict
+
+    from spatialdata_spark.pipeline.textstats import chi2_tokens
+
+    docs = [
+        (1, "alpha beta gamma", "A"),
+        (2, "alpha alpha delta", "A"),
+        (3, "beta delta", "A"),
+        (4, "gamma gamma epsilon", "B"),
+        (5, "epsilon zeta", "B"),
+        (6, "alpha epsilon", "B"),
+        (7, "zeta zeta beta", "B"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text", "source"])
+    out = chi2_tokens(df, top_k=100, min_df=1).collect()
+
+    # independent reference: presence counts
+    pres = defaultdict(set)
+    label_of = {}
+    for i, t, s in docs:
+        label_of[i] = s
+        for w in set(t.lower().split()):
+            pres[w].add(i)
+    n = len(docs)
+    n_label = defaultdict(int)
+    for i, s in label_of.items():
+        n_label[s] += 1
+    expected = {}
+    for w, ds in pres.items():
+        for lab in n_label:
+            a = sum(1 for d in ds if label_of[d] == lab)
+            b = len(ds) - a
+            c = n_label[lab] - a
+            d = n - a - b - c
+            det = float(a * d - b * c)
+            chi2 = n * det * det / float((a + b) * (c + d) * (a + c) * (b + d))
+            if a > 0 or b > 0:
+                expected[(lab, w)] = round(chi2, 6)
+    got = {(r["label"], r["token"]): r["chi2"] for r in out}
+    # chi2_tokens emits every (label, token) with the token present
+    # somewhere; the label side covers all labels per token
+    for key, v in got.items():
+        assert abs(v - expected[key]) < 1e-9, (key, v, expected[key])
+    # ranks: per label, descending rounded chi2 with token tiebreak
+    for lab in n_label:
+        rows = sorted(
+            [r for r in out if r["label"] == lab], key=lambda r: r["rank"]
+        )
+        keys = [(-r["chi2"], r["token"]) for r in rows]
+        assert keys == sorted(keys)
+
+
+def test_chi2_tokens_min_df_prunes(spark):
+    from spatialdata_spark.pipeline.textstats import chi2_tokens
+
+    df = spark.createDataFrame(
+        [(1, "rare common", "A"), (2, "common", "B")],
+        ["doc_id", "text", "source"],
+    )
+    toks = {
+        r["token"] for r in chi2_tokens(df, top_k=10, min_df=2).collect()
+    }
+    assert toks == {"common"}
+
+
+def test_ks_2sample_reference(spark):
+    """Exact KS vs a brute-force CDF comparison on the value grid."""
+    from spatialdata_spark.pipeline.textstats import ks_2sample
+
+    va = [3, 5, 5, 7, 9, 11, 11, 13]
+    vb = [4, 5, 8, 8, 10, 12]
+    rows = [(i, v, "src0") for i, v in enumerate(va)] + [
+        (100 + i, v, "src1") for i, v in enumerate(vb)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "n_chars", "source"])
+    out = ks_2sample(df).collect()[0]
+    na, nb = len(va), len(vb)
+    grid = sorted(set(va) | set(vb))
+    dnum = max(
+        abs(sum(1 for x in va if x <= v) * nb - sum(1 for x in vb if x <= v) * na)
+        for v in grid
+    )
+    assert out["n_a"] == na and out["n_b"] == nb
+    assert out["ks_num"] == dnum and out["ks_den"] == na * nb
+    assert abs(out["ks_stat"] - round(dnum / (na * nb), 9)) < 1e-12
+
+
+def test_ks_2sample_identical_is_zero(spark):
+    from spatialdata_spark.pipeline.textstats import ks_2sample
+
+    rows = [(i, v, s) for s in ("src0", "src1") for i, v in enumerate([1, 2, 2, 9])]
+    df = spark.createDataFrame(rows, ["doc_id", "n_chars", "source"])
+    out = ks_2sample(df).collect()[0]
+    assert out["ks_num"] == 0 and out["ks_stat"] == 0.0

@@ -82,6 +82,10 @@ GUARDED = [
     "pl_bpe_fertility",
     "pl_minhash_recall",
     "pl_stupid_backoff",
+    "pl_chi2_tokens",
+    "pl_ks_lengths",
+    "st_psi_drift",
+    "pl_simhash_recall",
 ]
 
 EXPRESSION_ONLY = [
@@ -136,6 +140,10 @@ EXPRESSION_ONLY = [
     "st_scd2",
     "pl_bpe_fertility",
     "pl_stupid_backoff",
+    "pl_chi2_tokens",
+    "pl_ks_lengths",
+    "st_psi_drift",
+    "pl_simhash_recall",
 ]
 
 

@@ -61,3 +61,34 @@ def test_interval_join_boundaries_and_bucket_crossing(spark):
     assert got == [(21, 0), (22, 5), (23, 10)]
     # no duplicate pairs from the 2-bucket explode
     assert out.count() == out.select("l_id", "r_id").distinct().count()
+
+
+def test_psi_drift_reference(spark):
+    """PSI contributions vs the closed-form Python computation, with a
+    category missing from one side yielding NULL."""
+    import math
+    from datetime import datetime
+
+    from spatialdata_spark.operators.temporal import psi_drift
+
+    early = datetime(2024, 1, 5)
+    late = datetime(2024, 1, 20)
+    rows = (
+        [(i, early, 1, "click", 0.0, "{}") for i in range(6)]
+        + [(10 + i, early, 1, "view", 0.0, "{}") for i in range(4)]
+        + [(20 + i, late, 1, "click", 0.0, "{}") for i in range(3)]
+        + [(30 + i, late, 1, "view", 0.0, "{}") for i in range(6)]
+        + [(40 + i, late, 1, "error", 0.0, "{}") for i in range(1)]
+    )
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    out = {r["category"]: r for r in psi_drift(ev, "2024-01-16").collect()}
+    tb, tc = 10, 10
+    for cat, nb, nc in [("click", 6, 3), ("view", 4, 6)]:
+        p, q = nb / tb, nc / tc
+        want = round((p - q) * math.log(p / q), 6)
+        r = out[cat]
+        assert (r["n_base"], r["n_cur"]) == (nb, nc)
+        assert abs(r["psi_part"] - want) < 1e-9
+    assert out["error"]["n_base"] == 0 and out["error"]["psi_part"] is None

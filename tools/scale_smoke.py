@@ -73,9 +73,13 @@ def main(max_mult: int = 8, only: list[str] | None = None) -> None:
     from spatialdata_spark.pipeline.dedup import rouge_recall_pairs
     from spatialdata_spark.pipeline.graph import label_propagation, pagerank
     from spatialdata_spark.pipeline.search import multi_phrase_search, phrase_search
+    from spatialdata_spark.operators.temporal import psi_drift
     from spatialdata_spark.pipeline.textstats import (
+        chi2_tokens,
         distinct_ngrams,
         hdr_quantiles,
+        ks_2sample,
+        stupid_backoff_score,
         zipf_slope,
     )
 
@@ -299,6 +303,31 @@ def main(max_mult: int = 8, only: list[str] | None = None) -> None:
                 docs, ["the data", "a big run", "of the"]
             )
             .agg(F.sum("n_matches"))
+            .collect(),
+            # vocab saturates under self-union: the (token, label)
+            # table stops growing, only the presence explode scales —
+            # linear scan, sub-linear shuffle
+            "chi2_tokens": lambda: chi2_tokens(docs, top_k=5)
+            .agg(F.sum("chi2"))
+            .collect(),
+            # value grid saturates (lengths repeat across copies): the
+            # cumulative window input is fixed-size, the count agg is
+            # the only corpus-proportional stage
+            "ks_lengths": lambda: ks_2sample(docs)
+            .agg(F.sum("ks_stat"))
+            .collect(),
+            # category-cardinality-sized after one conditional-count
+            # aggregation — the flattest possible shape
+            "psi_drift": lambda: psi_drift(ev, "2024-01-16")
+            .agg(F.sum("psi_part"))
+            .collect(),
+            # count tables saturate under self-union (same bigrams
+            # repeat); scoring explode + broadcast joins are linear
+            "stupid_backoff": lambda: stupid_backoff_score(
+                docs.filter(F.col("doc_id") % 2 == 1),
+                train_docs=docs.filter(F.col("doc_id") % 2 == 0),
+            )
+            .agg(F.sum("sb_score"))
             .collect(),
         }
         if only:

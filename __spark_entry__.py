@@ -7705,6 +7705,42 @@ FROM a
 """
 
 
+def pl_calibration(spark, sf_dir):
+    """Classifier reliability table: ntile the corpus into 10
+    equal-count score bins (score = document length, label =
+    is-English — the same exact-integer framing as pl_auc_rank, so
+    the bin assignment is bit-exact on any engine) and report each
+    bin's size, positive count, positive fraction, and mean score.
+    The ntile's (score, doc_id) ordering pins ties; the sort touches
+    only (id, score, label), never the text."""
+    from spatialdata_spark.pipeline.classify import calibration_bins
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id"),
+        F.col("n_chars").alias("llr_mean"),
+        (F.col("lang") == "en").cast("int").alias("label"),
+    )
+    return calibration_bins(docs, n_bins=10).withColumn(
+        "bin", F.col("bin").cast("long")
+    )
+
+
+PL_CALIBRATION_SQL = """
+WITH s AS (
+  SELECT doc_id, n_chars AS sc,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         NTILE(10) OVER (ORDER BY n_chars, doc_id) AS bin
+  FROM documents
+)
+SELECT CAST(bin AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(y) AS BIGINT) AS n_pos,
+       ROUND(SUM(y) * 1.0 / COUNT(*), 6) AS frac_pos,
+       ROUND(AVG(sc), 6) AS mean_score
+FROM s GROUP BY bin ORDER BY bin
+"""
+
+
 def pl_hdr_quantiles(spark, sf_dir):
     """Deterministic mergeable HDR quantile sketch over event values —
     integer-only bucketization (bit length via bin(), shifts), bounded
@@ -8285,6 +8321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pl_hard_negatives": pl_hard_negatives,
         "pl_nb_score": pl_nb_score,
         "pl_auc_rank": pl_auc_rank,
+        "pl_calibration": pl_calibration,
         "pl_hdr_quantiles": pl_hdr_quantiles,
         "pl_phrase_search": pl_phrase_search,
         "pl_multi_phrase": pl_multi_phrase,
@@ -8529,6 +8566,7 @@ def oracle_sql() -> dict[str, str]:
         "pl_hard_negatives": PL_HARD_NEGATIVES_SQL,
         "pl_nb_score": PL_NB_SCORE_SQL,
         "pl_auc_rank": PL_AUC_RANK_SQL,
+        "pl_calibration": PL_CALIBRATION_SQL,
         "pl_hdr_quantiles": PL_HDR_QUANTILES_SQL,
         "pl_phrase_search": PL_PHRASE_SEARCH_SQL,
         "pl_multi_phrase": PL_MULTI_PHRASE_SQL,

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["nb_train", "nb_score", "auc_rank"]
+__all__ = ["nb_train", "nb_score", "auc_rank", "calibration_bins"]
 
 
 def nb_train(
@@ -71,6 +71,7 @@ def nb_score(
     totals: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-document mean log-likelihood ratio ``log P(tok|1) -
     log P(tok|0)`` under the add-one model (mean, not sum, so the
@@ -79,11 +80,16 @@ def nb_score(
     (both classes back off to 1/(n+v)), kept by scoring through a
     LEFT join against the broadcast model.
 
-    Output: ``(id, n_tokens, llr_mean)`` with ``llr_mean`` 6 dp.
+    ``passthrough`` columns (functionally dependent on the id, e.g. a
+    label) ride through the per-document aggregation as extra group
+    keys — carrying them here avoids a corpus-sized join-back later.
+
+    Output: ``(id, *passthrough, n_tokens, llr_mean)``, 6 dp.
     """
     spark = docs.sparkSession
     toks = docs.select(
         F.col(id_col).alias("__id"),
+        *[F.col(c) for c in passthrough],
         F.explode(
             F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
         ).alias("token"),
@@ -98,13 +104,14 @@ def nb_score(
         (F.coalesce(F.col("c0"), F.lit(0)) + 1.0) / (F.col("n0") + F.col("v"))
     )
     return (
-        joined.groupBy("__id")
+        joined.groupBy("__id", *passthrough)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_tokens"),
             F.sum(llr).alias("__s"),
         )
         .select(
             F.col("__id").alias(id_col),
+            *passthrough,
             "n_tokens",
             F.round(F.col("__s") / F.col("n_tokens"), 6).alias("llr_mean"),
         )
@@ -168,4 +175,52 @@ def auc_rank(
                 9,
             ),
         ).alias("auc"),
+    )
+
+
+def calibration_bins(
+    scored: DataFrame,
+    n_bins: int = 10,
+    score_col: str = "llr_mean",
+    label_col: str = "label",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reliability table for a scored + labeled corpus: rank the rows
+    by score into ``n_bins`` equal-count bins (ntile) and report each
+    bin's size, positive count, positive fraction, and mean score —
+    the classifier-curation companion of :func:`auc_rank` (does a
+    higher quality score actually mean a higher P(label)?).
+
+    Determinism: the ntile orders by ``(score, id)`` — the id
+    tie-break pins bin assignment under score ties on any engine.
+    The ntile is a global sort of the SCORED table (score + label +
+    id only, never the text); at extreme corpus scale the documented
+    swap is approx_percentile bin edges, the same trade recorded by
+    this repo's other global-rank queries.
+
+    Output: ``(bin, n_docs, n_pos, frac_pos, mean_score)``, 6 dp.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("__s", id_col)
+    b = scored.select(
+        F.col(id_col),
+        F.col(label_col).cast("long").alias("__y"),
+        F.col(score_col).alias("__s"),
+    ).withColumn("bin", F.ntile(int(n_bins)).over(w))
+    return (
+        b.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__y").cast("long").alias("n_pos"),
+            F.round(F.avg("__s"), 6).alias("mean_score"),
+        )
+        .select(
+            "bin",
+            "n_docs",
+            "n_pos",
+            F.round(F.col("n_pos") / F.col("n_docs"), 6).alias("frac_pos"),
+            "mean_score",
+        )
+        .orderBy("bin")
     )

@@ -3719,3 +3719,61 @@ def test_ks_2sample_identical_is_zero(spark):
     df = spark.createDataFrame(rows, ["doc_id", "n_chars", "source"])
     out = ks_2sample(df).collect()[0]
     assert out["ks_num"] == 0 and out["ks_stat"] == 0.0
+
+
+def test_calibration_bins_matches_python(spark):
+    import random
+
+    from spatialdata_spark.pipeline.classify import calibration_bins
+
+    rng = random.Random(91)
+    # deliberate score ties so the (score, id) tie-break is exercised
+    rows = [(i, rng.choice([1, 2, 3, 5, 8, 13]), rng.randrange(2)) for i in range(137)]
+    df = spark.createDataFrame(rows, ["doc_id", "llr_mean", "label"])
+    out = {r["bin"]: r for r in calibration_bins(df, n_bins=5).collect()}
+
+    # reference: SQL-standard ntile over (score, id)
+    srt = sorted(rows, key=lambda r: (r[1], r[0]))
+    n, k = len(srt), 5
+    base, extra = divmod(n, k)
+    bins, pos = {}, 0
+    for b in range(1, k + 1):
+        size = base + (1 if b <= extra else 0)
+        bins[b] = srt[pos : pos + size]
+        pos += size
+    assert set(out) == set(bins)
+    for b, members in bins.items():
+        assert out[b]["n_docs"] == len(members)
+        assert out[b]["n_pos"] == sum(y for _, _, y in members)
+        assert out[b]["frac_pos"] == round(
+            sum(y for _, _, y in members) / len(members), 6
+        )
+        assert abs(
+            out[b]["mean_score"] - round(sum(s for _, s, _ in members) / len(members), 6)
+        ) < 1e-9
+    # monotone bin numbering follows score order
+    assert out[1]["mean_score"] <= out[5]["mean_score"]
+
+
+def test_calibration_bins_composes_with_nb_passthrough(spark):
+    import random
+
+    from spatialdata_spark.pipeline.classify import calibration_bins, nb_score, nb_train
+
+    rng = random.Random(17)
+    good = ["science", "theory", "result", "method", "the"]
+    bad = ["click", "buy", "free", "win", "the"]
+    labeled = [
+        (i, i % 2, " ".join(rng.choice(good if i % 2 else bad) for _ in range(12)))
+        for i in range(80)
+    ]
+    ldf = spark.createDataFrame(labeled, ["doc_id", "label", "text"])
+    model, totals = nb_train(ldf)
+    scored = nb_score(ldf, model, totals, passthrough=("label",))
+    assert set(scored.columns) == {"doc_id", "label", "n_tokens", "llr_mean"}
+    cal = calibration_bins(scored, n_bins=4).collect()
+    assert [r["bin"] for r in cal] == [1, 2, 3, 4]
+    assert sum(r["n_docs"] for r in cal) == 80
+    assert sum(r["n_pos"] for r in cal) == 40
+    # NB separates the synthetic classes: top bin nearly all positive
+    assert cal[-1]["frac_pos"] > 0.9 > cal[0]["frac_pos"]

@@ -7357,6 +7357,247 @@ SELECT node AS node_id, CAST(rank_fp AS BIGINT) AS rank_fp FROM r3
 """
 
 
+def _copurchase_edges(spark, sf_dir):
+    """part–part co-purchase edges: two parts are linked iff some order
+    contains both (the market-basket projection of the TPC-H fact
+    table).  Pair generation is an equi-join on the order key — never
+    all-pairs; TPC-H orders hold ≤7 lines, so the within-order pair
+    fan-out is constant-bounded (the group-size contract stated where
+    this repo generates within-group pairs)."""
+    li = _read(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").cast("long").alias("p")
+    ).distinct()
+    a, b = op.alias("a"), op.alias("b")
+    return a.join(
+        b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p"))
+    ).select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+
+
+def pl_triangles(spark, sf_dir):
+    """Per-node triangle counts + local clustering coefficient over the
+    part–part co-purchase graph — the degree-ordered orientation bounds
+    every wedge apex's out-degree at O(sqrt(m)) (Suri & Vassilvitskii
+    2011), so the count survives celebrity nodes that break the naive
+    wedge join.  Counting is orientation-invariant, hence the oracle
+    replays the same exact integers with the simpler id-ordering."""
+    from spatialdata_spark.pipeline.graph import triangle_count
+
+    return triangle_count(_copurchase_edges(spark, sf_dir))
+
+
+PL_TRIANGLES_SQL = """
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS p FROM lineitem
+),
+und AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+  FROM (SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
+  GROUP BY 1
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM und e1
+  JOIN und e2 ON e1.v = e2.u
+  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+pern AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS t
+  FROM (SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri)
+  GROUP BY 1
+)
+SELECT deg.node AS node_id, degree,
+       COALESCE(t, 0) AS n_triangles,
+       CASE WHEN degree >= 2
+            THEN ROUND(2.0 * COALESCE(t, 0) / (degree * (degree - 1)), 6)
+       END AS clustering
+FROM deg LEFT JOIN pern USING (node)
+"""
+
+
+def pl_graph_stats(spark, sf_dir):
+    """Whole-graph summary of the co-purchase graph: node/edge/wedge/
+    triangle counts, global transitivity, and Newman degree
+    assortativity — every sufficient statistic an order-free
+    DECIMAL(38,0) integer sum, the two final ratios one deterministic
+    double division each."""
+    from spatialdata_spark.pipeline.graph import graph_stats
+
+    return graph_stats(_copurchase_edges(spark, sf_dir))
+
+
+PL_GRAPH_STATS_SQL = """
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS p FROM lineitem
+),
+und AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
+  GROUP BY 1
+),
+ns AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         SUM(d * (d - 1)) / 2 AS n_wedges
+  FROM deg
+),
+tri AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM und e1
+  JOIN und e2 ON e1.v = e2.u
+  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+dc AS (
+  SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und
+),
+es AS (
+  SELECT COUNT(*) AS m2,
+         SUM(du.d) AS sx,
+         SUM(du.d * du.d) AS sxx,
+         SUM(du.d * dv.d) AS sxy
+  FROM dc
+  JOIN deg du ON dc.u = du.node
+  JOIN deg dv ON dc.v = dv.node
+)
+SELECT n_nodes,
+       CAST(m2 / 2 AS BIGINT) AS n_edges,
+       CAST(n_wedges AS BIGINT) AS n_wedges,
+       n_triangles,
+       CASE WHEN n_wedges > 0
+            THEN ROUND(3.0 * n_triangles / CAST(n_wedges AS DOUBLE), 6)
+       END AS transitivity,
+       CASE WHEN m2 * sxx - sx * sx <> 0
+            THEN ROUND(CAST(m2 * sxy - sx * sx AS DOUBLE)
+                       / CAST(m2 * sxx - sx * sx AS DOUBLE), 6)
+       END AS assortativity
+FROM ns, tri, es
+"""
+
+
+def pl_rrf_hybrid(spark, sf_dir):
+    """Hybrid retrieval: BM25 sparse ranks fused with dense embedding
+    ranks by reciprocal-rank fusion (Cormack 2009), top 50.  The dense
+    list ranks by EXACT int64 squared distance to the query vector
+    (vec_id 0) on the shared quantization grid; the sparse list ranks
+    by the 6-dp-rounded BM25 score with an id tie-break — both rank
+    lists therefore replay identically in the oracle, and the fused
+    score is a fixed-arity sum of exact-integer reciprocals."""
+    from spatialdata_spark.pipeline.search import rrf_fuse
+    from spatialdata_spark.pipeline.textstats import bm25_scores
+    from pyspark.sql.window import Window
+
+    sparse = bm25_scores(
+        _read(spark, sf_dir, "documents"), ["join", "spark", "vector"], k1=1.2, b=0.75
+    ).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.round("score", 6).desc(), F.col("doc_id")))
+        .alias("rank"),
+    )
+    emb = _read(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * 100 + F.lit(0.5)).cast("long"),
+        ).alias("qv"),
+    )
+    qvec = emb.filter(F.col("doc_id") == 0).select(F.col("qv").alias("query_v"))
+    dense = (
+        emb.crossJoin(F.broadcast(qvec))
+        .select(
+            "doc_id",
+            F.aggregate(
+                F.zip_with(
+                    F.col("qv"), F.col("query_v"), lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("d2"),
+        )
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("d2"), F.col("doc_id")))
+            .alias("rank"),
+        )
+    )
+    return rrf_fuse({"sparse": sparse, "dense": dense}, k=60, top_n=50)
+
+
+PL_RRF_HYBRID_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         string_split_regex(LOWER(TRIM(text)), '\s+') AS toks,
+         CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+              ELSE LEN(string_split_regex(LOWER(TRIM(text)), '\s+')) END AS len
+  FROM documents
+),
+stats AS (SELECT COUNT(*) AS n, AVG(len) AS avgdl FROM base),
+tf AS (
+  SELECT doc_id, len, w AS t, COUNT(*) AS tf
+  FROM (SELECT doc_id, len, UNNEST(toks) AS w FROM base)
+  WHERE w IN ('join', 'spark', 'vector')
+  GROUP BY 1, 2, 3
+),
+df AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY 1),
+bs AS (
+  SELECT tf.doc_id,
+         SUM(LN((n - df + 0.5) / (df + 0.5) + 1.0)
+             * (tf * (1.2 + 1.0))
+             / (tf + 1.2 * (1.0 - 0.75 + 0.75 * len / avgdl))) AS score
+  FROM tf JOIN df USING (t), stats
+  GROUP BY 1
+),
+sr AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY ROUND(score, 6) DESC, doc_id) AS rank_sparse
+  FROM bs
+),
+q AS (
+  SELECT vec_id AS id, i AS pos,
+         CAST(FLOOR(embedding[i + 1] * 100.0 + 0.5) AS BIGINT) AS val
+  FROM embeddings, UNNEST(range(LEN(embedding))) AS t(i)
+),
+qq AS (SELECT pos, val FROM q WHERE id = 0),
+d2 AS (
+  SELECT q.id, SUM((q.val - qq.val) * (q.val - qq.val)) AS d2
+  FROM q JOIN qq USING (pos) GROUP BY 1
+),
+dr AS (
+  SELECT id AS doc_id,
+         ROW_NUMBER() OVER (ORDER BY d2 ASC, id) AS rank_dense
+  FROM d2
+),
+f AS (
+  SELECT COALESCE(sr.doc_id, dr.doc_id) AS doc_id,
+         rank_sparse, rank_dense,
+         COALESCE(1.0 / (60 + rank_sparse), 0)
+           + COALESCE(1.0 / (60 + rank_dense), 0) AS rrf
+  FROM sr FULL OUTER JOIN dr ON sr.doc_id = dr.doc_id
+),
+ranked AS (
+  SELECT doc_id,
+         CAST(rank_sparse AS BIGINT) AS rank_sparse,
+         CAST(rank_dense AS BIGINT) AS rank_dense,
+         ROUND(rrf, 6) AS rrf_score,
+         ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rrf_rank
+  FROM f
+)
+SELECT doc_id, rank_sparse, rank_dense, rrf_score,
+       CAST(rrf_rank AS BIGINT) AS rrf_rank
+FROM ranked WHERE rrf_rank <= 50
+"""
+
+
 def pl_pca(spark, sf_dir):
     """Two-pass distributed PCA over the embedding corpus: pass 1
     reduces the corpus to its exact int64 fixed-point sufficient
@@ -8334,6 +8575,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pl_ks_lengths": pl_ks_lengths,
         "st_psi_drift": st_psi_drift,
         "pl_simhash_recall": pl_simhash_recall,
+        "pl_triangles": pl_triangles,
+        "pl_graph_stats": pl_graph_stats,
+        "pl_rrf_hybrid": pl_rrf_hybrid,
         # --- re-check: oracle SUM cast to BIGINT this round (hash-red r7
         # was a DuckDB HUGEINT->float64 fetch dtype, values were equal) ---
         "pl_pagerank": pl_pagerank,
@@ -8579,6 +8823,9 @@ def oracle_sql() -> dict[str, str]:
         "pl_ks_lengths": PL_KS_LENGTHS_SQL,
         "st_psi_drift": ST_PSI_DRIFT_SQL,
         "pl_simhash_recall": _simhash_recall_sql(),
+        "pl_triangles": PL_TRIANGLES_SQL,
+        "pl_graph_stats": PL_GRAPH_STATS_SQL,
+        "pl_rrf_hybrid": PL_RRF_HYBRID_SQL,
         # --- pre-round-8 ---
         "pl_burstiness": PL_BURSTINESS_SQL,
         "pl_cooccur_pmi": PL_COOCCUR_PMI_SQL,

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["inverted_index", "multi_phrase_search", "phrase_search"]
+__all__ = ["inverted_index", "multi_phrase_search", "phrase_search", "rrf_fuse"]
 
 
 def inverted_index(
@@ -138,3 +138,63 @@ def multi_phrase_search(
     return starts.groupBy("doc_id", "phrase_id", "phrase").agg(
         F.count(F.lit(1)).cast("long").alias("n_matches")
     )
+
+
+def rrf_fuse(
+    rankings: "dict[str, DataFrame]",
+    k: int = 60,
+    id_col: str = "doc_id",
+    top_n: "int | None" = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009)
+    of named rank lists — the standard hybrid-retrieval combiner for a
+    sparse (BM25) and a dense (embedding) ranker, robust to the two
+    score scales being incomparable because only RANKS enter:
+
+        rrf(d) = sum_lists 1 / (k + rank_list(d))
+
+    Each input DataFrame is ``(id_col, rank)`` with 1-based integer
+    ranks; a document absent from a list contributes 0 for it.
+
+    Exactness: the score is a FIXED-ARITY sum of exact-integer
+    reciprocals built in the dict's iteration order — deterministic
+    IEEE arithmetic, not a shuffled float aggregation — so it replays
+    bit-exactly in SQL.  The final rank orders by the unrounded score
+    with an id tie-break.
+
+    Plan: one full-outer equi-join per list on the id (rank lists are
+    RESULT-sized, orders below the corpus — at retrieval scale each is
+    a per-query top-k, so the join and the final rank window are
+    metadata work; the corpus is never touched here).
+
+    Output: ``(id, rank_<name>..., rrf_score, rrf_rank)`` sorted by
+    ``rrf_rank``; ``top_n`` keeps the head.
+    """
+    from functools import reduce
+
+    from pyspark.sql.window import Window
+
+    named = [
+        (name, df.select(F.col(id_col), F.col("rank").cast("long").alias(f"rank_{name}")))
+        for name, df in rankings.items()
+    ]
+    fused = reduce(lambda a, b: a.join(b, id_col, "full_outer"), [df for _, df in named])
+    score = reduce(
+        lambda acc, c: acc + F.coalesce(1.0 / (F.lit(int(k)) + F.col(c)), F.lit(0.0)),
+        [f"rank_{name}" for name, _ in named],
+        F.lit(0.0),
+    )
+    w = Window.orderBy(F.col("__rrf").desc(), F.col(id_col))
+    out = (
+        fused.withColumn("__rrf", score)
+        .withColumn("rrf_rank", F.row_number().over(w).cast("long"))
+        .select(
+            id_col,
+            *[f"rank_{name}" for name, _ in named],
+            F.round(F.col("__rrf"), 6).alias("rrf_score"),
+            "rrf_rank",
+        )
+    )
+    if top_n is not None:
+        out = out.filter(F.col("rrf_rank") <= int(top_n))
+    return out.orderBy("rrf_rank")

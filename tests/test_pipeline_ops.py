@@ -3777,3 +3777,150 @@ def test_calibration_bins_composes_with_nb_passthrough(spark):
     assert sum(r["n_pos"] for r in cal) == 40
     # NB separates the synthetic classes: top bin nearly all positive
     assert cal[-1]["frac_pos"] > 0.9 > cal[0]["frac_pos"]
+
+
+def _random_graph(seed=23, n=40, m=160):
+    import random
+
+    rng = random.Random(seed)
+    edges = set()
+    while len(edges) < m:
+        a, b = rng.randrange(n), rng.randrange(n)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    return sorted(edges)
+
+
+def test_triangle_count_matches_python(spark):
+    from itertools import combinations
+
+    from spatialdata_spark.pipeline.graph import triangle_count
+
+    und = _random_graph()
+    es = set(und)
+    # feed edges in MIXED directions with duplicates — canonicalization contract
+    rows = [(a, b) for a, b in und] + [(b, a) for a, b in und[::3]]
+    df = spark.createDataFrame(rows, ["src", "dst"])
+    out = {r["node_id"]: r for r in triangle_count(df).collect()}
+
+    nodes = sorted({x for e in und for x in e})
+    adj = {v: set() for v in nodes}
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    tri = {v: 0 for v in nodes}
+    for v in nodes:
+        for x, y in combinations(sorted(adj[v]), 2):
+            if (min(x, y), max(x, y)) in es:
+                tri[v] += 1
+    assert set(out) == set(nodes)
+    for v in nodes:
+        d = len(adj[v])
+        assert out[v]["degree"] == d
+        assert out[v]["n_triangles"] == tri[v]
+        if d >= 2:
+            assert abs(out[v]["clustering"] - round(2 * tri[v] / (d * (d - 1)), 6)) < 1e-9
+        else:
+            assert out[v]["clustering"] is None
+    assert sum(tri.values()) % 3 == 0
+
+
+def test_graph_stats_matches_python(spark):
+    from itertools import combinations
+
+    from spatialdata_spark.pipeline.graph import graph_stats
+
+    und = _random_graph(seed=77, n=30, m=90)
+    es = set(und)
+    df = spark.createDataFrame(und, ["src", "dst"])
+    r = graph_stats(df).collect()[0]
+
+    nodes = sorted({x for e in und for x in e})
+    adj = {v: set() for v in nodes}
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    wedges = sum(len(adj[v]) * (len(adj[v]) - 1) // 2 for v in nodes)
+    ntri = (
+        sum(
+            1
+            for v in nodes
+            for x, y in combinations(sorted(adj[v]), 2)
+            if (min(x, y), max(x, y)) in es
+        )
+        // 3
+    )
+    assert r["n_nodes"] == len(nodes)
+    assert r["n_edges"] == len(und)
+    assert r["n_wedges"] == wedges
+    assert r["n_triangles"] == ntri
+    assert abs(r["transitivity"] - round(3 * ntri / wedges, 6)) < 1e-9
+    # assortativity: Pearson of endpoint degrees over the double cover
+    pairs = [(len(adj[a]), len(adj[b])) for a, b in und]
+    pairs += [(y, x) for x, y in pairs]
+    m2 = len(pairs)
+    sx = sum(x for x, _ in pairs)
+    sxx = sum(x * x for x, _ in pairs)
+    sxy = sum(x * y for x, y in pairs)
+    num, den = m2 * sxy - sx * sx, m2 * sxx - sx * sx
+    assert abs(r["assortativity"] - round(num / den, 6)) < 1e-9
+
+
+def test_triangle_count_degenerate(spark):
+    from spatialdata_spark.pipeline.graph import graph_stats, triangle_count
+
+    # a path graph has wedges but zero triangles; a lone edge has neither
+    path = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["src", "dst"])
+    out = {r["node_id"]: r for r in triangle_count(path).collect()}
+    assert all(r["n_triangles"] == 0 for r in out.values())
+    assert out[2]["clustering"] == 0.0 and out[1]["clustering"] is None
+    r = graph_stats(path).collect()[0]
+    assert (r["n_wedges"], r["n_triangles"], r["transitivity"]) == (2, 0, 0.0)
+    lone = spark.createDataFrame([(7, 8)], ["src", "dst"])
+    r = graph_stats(lone).collect()[0]
+    assert r["n_wedges"] == 0 and r["transitivity"] is None
+    # regular graph (triangle): assortativity denominator 0 -> NULL
+    k3 = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], ["src", "dst"])
+    r = graph_stats(k3).collect()[0]
+    assert r["n_triangles"] == 1 and r["transitivity"] == 1.0
+    assert r["assortativity"] is None
+
+
+def test_rrf_fuse_matches_python(spark):
+    from spatialdata_spark.pipeline.search import rrf_fuse
+
+    sparse = [(10, 1), (11, 2), (12, 3), (13, 4)]
+    dense = [(12, 1), (14, 2), (10, 3), (15, 4), (11, 5)]
+    out = rrf_fuse(
+        {
+            "sparse": spark.createDataFrame(sparse, ["doc_id", "rank"]),
+            "dense": spark.createDataFrame(dense, ["doc_id", "rank"]),
+        },
+        k=60,
+    ).collect()
+
+    ref = {}
+    for d, r in sparse:
+        ref[d] = ref.get(d, 0.0) + 1 / (60 + r)
+    for d, r in dense:
+        ref[d] = ref.get(d, 0.0) + 1 / (60 + r)
+    order = sorted(ref, key=lambda d: (-ref[d], d))
+    assert [r["doc_id"] for r in out] == order
+    for row in out:
+        assert abs(row["rrf_score"] - round(ref[row["doc_id"]], 6)) < 1e-9
+    got = {r["doc_id"]: r for r in out}
+    # absent-from-one-list documents carry a NULL rank but still score
+    assert got[13]["rank_dense"] is None and got[13]["rank_sparse"] == 4
+    assert got[14]["rank_sparse"] is None and got[14]["rank_dense"] == 2
+    # doc in both lists beats single-list docs with comparable ranks
+    assert got[10]["rrf_rank"] < got[13]["rrf_rank"]
+    # top_n cuts on the fused rank
+    top2 = rrf_fuse(
+        {
+            "sparse": spark.createDataFrame(sparse, ["doc_id", "rank"]),
+            "dense": spark.createDataFrame(dense, ["doc_id", "rank"]),
+        },
+        k=60,
+        top_n=2,
+    ).collect()
+    assert [r["doc_id"] for r in top2] == order[:2]

@@ -71,7 +71,12 @@ def main(max_mult: int = 8, only: list[str] | None = None) -> None:
     from spatialdata_spark.operators.temporal import scd2_intervals
     from spatialdata_spark.pipeline.classify import nb_score, nb_train
     from spatialdata_spark.pipeline.dedup import rouge_recall_pairs
-    from spatialdata_spark.pipeline.graph import label_propagation, pagerank
+    from spatialdata_spark.pipeline.graph import (
+        graph_stats,
+        label_propagation,
+        pagerank,
+        triangle_count,
+    )
     from spatialdata_spark.pipeline.search import multi_phrase_search, phrase_search
     from spatialdata_spark.operators.temporal import psi_drift
     from spatialdata_spark.pipeline.textstats import (
@@ -108,6 +113,21 @@ def main(max_mult: int = 8, only: list[str] | None = None) -> None:
         return fwd.union(
             fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
+
+    def _copurchase(m):
+        # offset BOTH keys per copy -> m disjoint graph copies: triangle
+        # work must scale linearly, not with the m^1.5 worst case
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        r = replicate(
+            li.select("l_orderkey", "l_partkey"), m, ["l_orderkey", "l_partkey"]
+        )
+        op = r.select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").cast("long").alias("p")
+        ).distinct()
+        a, b = op.alias("a"), op.alias("b")
+        return a.join(
+            b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p"))
+        ).select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
 
     def _rouge_pairs_of(d):
         from pyspark.sql.window import Window
@@ -169,6 +189,10 @@ def main(max_mult: int = 8, only: list[str] | None = None) -> None:
                 docs, quotas={"en": 50}, default_quota=20
             ).count(),
             "lev_neardup": lambda: levenshtein_neardup(docs, max_distance=5).count(),
+            "triangles": lambda: triangle_count(_copurchase(mult))
+            .agg(F.sum("n_triangles"))
+            .collect(),
+            "graph_stats": lambda: graph_stats(_copurchase(mult)).collect(),
             # one Lloyd round + final assign: work ∝ n*k per iteration
             "kmeans": lambda: kmeans_lloyd(emb, k=8, n_iter=1)[0]
             .agg(F.sum("dist"))

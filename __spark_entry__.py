@@ -7483,6 +7483,158 @@ FROM ns, tri, es
 """
 
 
+def pl_target_encode(spark, sf_dir):
+    """Leakage-safe k-fold target encoding of event_type against the
+    high-value label: out-of-fold m-estimate means, fold = a pure hash
+    of the id (Knuth multiplicative here so the assignment replays
+    bit-exactly in the oracle; production default xxhash64).  One
+    corpus aggregation to the (category, fold) table + one broadcast
+    join back — the corpus never shuffles."""
+    from spatialdata_spark.pipeline.classify import target_encode_kfold
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id", "event_type", (F.col("value") > 100).cast("int").alias("label")
+    )
+    fold = F.pmod(
+        F.pmod(
+            F.pmod(F.col("event_id"), F.lit(2147483648)) * F.lit(2654435761),
+            F.lit(2147483648),
+        ),
+        F.lit(5),
+    )
+    return target_encode_kfold(
+        ev, "event_type", "label", n_folds=5, prior_weight=20,
+        id_col="event_id", fold=fold,
+    )
+
+
+PL_TARGET_ENCODE_SQL = """
+WITH r AS (
+  SELECT event_id, event_type AS cat,
+         CASE WHEN value > 100 THEN 1 ELSE 0 END AS y,
+         ((event_id % 2147483648) * 2654435761) % 2147483648 % 5 AS fold
+  FROM events
+),
+cf AS (
+  SELECT cat, fold, CAST(COUNT(*) AS BIGINT) AS n_cf,
+         CAST(SUM(y) AS BIGINT) AS s_cf
+  FROM r GROUP BY 1, 2
+),
+c AS (
+  SELECT cat, CAST(SUM(n_cf) AS BIGINT) AS n_c,
+         CAST(SUM(s_cf) AS BIGINT) AS s_c
+  FROM cf GROUP BY 1
+),
+g AS (
+  SELECT CAST(SUM(n_cf) AS BIGINT) AS n, CAST(SUM(s_cf) AS BIGINT) AS s
+  FROM cf
+),
+oof AS (
+  SELECT cf.cat, cf.fold,
+         n_c - n_cf AS n_oof, s_c - s_cf AS s_oof,
+         s / n AS prior
+  FROM cf JOIN c USING (cat), g
+)
+SELECT r.event_id, r.cat AS event_type,
+       CAST(r.fold AS BIGINT) AS fold,
+       CAST(oof.n_oof AS BIGINT) AS n_oof,
+       ROUND((oof.s_oof + 20 * oof.prior) / (oof.n_oof + 20), 6) AS te
+FROM r JOIN oof ON r.cat = oof.cat AND r.fold = oof.fold
+"""
+
+
+def pl_woe_iv(spark, sf_dir):
+    """Weight-of-evidence / information-value table of source against
+    is-English (Siddiqi's scorecard standard, the categorical predictor
+    strength screen) — one conditional-count aggregation + a 1-row
+    totals cross join; iv_part per category so no order-dependent float
+    sum enters the contract."""
+    from spatialdata_spark.pipeline.classify import woe_iv
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "source", (F.col("lang") == "en").cast("int").alias("label")
+    )
+    return woe_iv(docs, "source", "label")
+
+
+PL_WOE_IV_SQL = """
+WITH per AS (
+  SELECT source AS category,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+  FROM documents GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(n_pos) AS BIGINT) AS p, CAST(SUM(n_neg) AS BIGINT) AS q,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM per
+)
+SELECT category, n_pos, n_neg,
+       ROUND(LN(((n_pos + 0.5) / (p + 0.5 * k))
+                / ((n_neg + 0.5) / (q + 0.5 * k))), 6) AS woe,
+       ROUND((((n_pos + 0.5) / (p + 0.5 * k))
+              - ((n_neg + 0.5) / (q + 0.5 * k)))
+             * LN(((n_pos + 0.5) / (p + 0.5 * k))
+                  / ((n_neg + 0.5) / (q + 0.5 * k))), 6) AS iv_part
+FROM per, tot
+"""
+
+
+def pl_link_pred(spark, sf_dir):
+    """Link prediction over the co-purchase graph: the top-100 non-edge
+    pairs at distance 2 by common-neighbor count, with preferential-
+    attachment and neighborhood-Jaccard features.  Candidates enumerate
+    per common neighbor with a degree cap (hub wedges are quadratic and
+    carry no signal — the standard mitigation); the final cut is a
+    total-order orderBy().limit() that Spark runs as per-partition
+    top-n, never a full sort of the wedge-sized candidate table."""
+    from spatialdata_spark.pipeline.graph import link_prediction
+
+    return link_prediction(_copurchase_edges(spark, sf_dir), max_degree=1000, top_n=100)
+
+
+PL_LINK_PRED_SQL = """
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS p FROM lineitem
+),
+und AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
+  GROUP BY 1
+),
+nbrs AS (
+  SELECT u AS w, v AS x FROM und UNION ALL SELECT v AS w, u AS x FROM und
+),
+nb2 AS (
+  SELECT nbrs.w, nbrs.x
+  FROM nbrs JOIN deg ON nbrs.w = deg.node AND deg.d <= 1000
+),
+cand AS (
+  SELECT a.x AS x, b.x AS y, CAST(COUNT(*) AS BIGINT) AS cn
+  FROM nb2 a JOIN nb2 b ON a.w = b.w AND a.x < b.x
+  GROUP BY 1, 2
+),
+ne AS (
+  SELECT cand.x, cand.y, cand.cn
+  FROM cand LEFT JOIN und ON cand.x = und.u AND cand.y = und.v
+  WHERE und.u IS NULL
+)
+SELECT ne.x, ne.y, ne.cn AS common_neighbors,
+       dx.d AS deg_x, dy.d AS deg_y,
+       CAST(dx.d * dy.d AS BIGINT) AS pref_attachment,
+       ROUND(ne.cn * 1.0 / (dx.d + dy.d - ne.cn), 6) AS jaccard
+FROM ne
+JOIN deg dx ON ne.x = dx.node
+JOIN deg dy ON ne.y = dy.node
+ORDER BY common_neighbors DESC, ne.x, ne.y
+LIMIT 100
+"""
+
+
 def pl_rrf_hybrid(spark, sf_dir):
     """Hybrid retrieval: BM25 sparse ranks fused with dense embedding
     ranks by reciprocal-rank fusion (Cormack 2009), top 50.  The dense
@@ -7943,6 +8095,160 @@ SELECT n_pos, n_neg,
     ROUND((r2 - n_pos * (n_pos + 1.0)) / (2.0 * n_pos * n_neg), 9)
   END AS auc
 FROM a
+"""
+
+
+def pl_auc_by_source(spark, sf_dir):
+    """Per-group ROC AUC (the subgroup QA a global AUC can hide an
+    inverted score under): the exact Mann-Whitney rank-sum identity per
+    source — the cumulative window partitions by group over the
+    group-local distinct-score table, so no global sort appears; the
+    rank-sum runs in DECIMAL(38,0)."""
+    from spatialdata_spark.pipeline.classify import auc_rank
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "source",
+        F.col("n_chars").alias("score"),
+        (F.col("lang") == "en").cast("int").alias("label"),
+    )
+    return auc_rank(docs, group_cols=("source",))
+
+
+PL_AUC_BY_SOURCE_SQL = """
+WITH g AS (
+  SELECT source, n_chars AS s, COUNT(*) AS n,
+         SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS p
+  FROM documents GROUP BY 1, 2
+),
+r AS (
+  SELECT source, s, n, p,
+         COALESCE(SUM(n) OVER (PARTITION BY source ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM g
+),
+a AS (
+  SELECT source,
+         CAST(SUM(p) AS BIGINT) AS n_pos,
+         CAST(SUM(n - p) AS BIGINT) AS n_neg,
+         SUM(p * (2 * cum + n + 1)) AS r2
+  FROM r GROUP BY 1
+)
+SELECT source, n_pos, n_neg,
+  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+    ROUND((r2 - n_pos * (n_pos + 1.0)) / (2.0 * n_pos * n_neg), 9)
+  END AS auc
+FROM a
+"""
+
+
+def pl_rank_corr(spark, sf_dir):
+    """Spearman rank agreement + footrule distance between the BM25
+    sparse ranking and the dense embedding-distance ranking (the
+    should-I-fuse diagnostic for pl_rrf_hybrid), over the ids both
+    lists rank.  All sufficient statistics are DECIMAL(38,0) integer
+    sums; only the final two sqrts and one division are float."""
+    from pyspark.sql.window import Window
+
+    from spatialdata_spark.pipeline.search import rank_correlation
+    from spatialdata_spark.pipeline.textstats import bm25_scores
+
+    sparse = bm25_scores(
+        _read(spark, sf_dir, "documents"), ["join", "spark", "vector"], k1=1.2, b=0.75
+    ).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.round("score", 6).desc(), F.col("doc_id")))
+        .alias("rank"),
+    )
+    emb = _read(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * 100 + F.lit(0.5)).cast("long"),
+        ).alias("qv"),
+    )
+    qvec = emb.filter(F.col("doc_id") == 0).select(F.col("qv").alias("query_v"))
+    dense = (
+        emb.crossJoin(F.broadcast(qvec))
+        .select(
+            "doc_id",
+            F.aggregate(
+                F.zip_with(
+                    F.col("qv"), F.col("query_v"), lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("d2"),
+        )
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("d2"), F.col("doc_id")))
+            .alias("rank"),
+        )
+    )
+    return rank_correlation(sparse, dense)
+
+
+PL_RANK_CORR_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         string_split_regex(LOWER(TRIM(text)), '\s+') AS toks,
+         CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+              ELSE LEN(string_split_regex(LOWER(TRIM(text)), '\s+')) END AS len
+  FROM documents
+),
+stats AS (SELECT COUNT(*) AS n, AVG(len) AS avgdl FROM base),
+tf AS (
+  SELECT doc_id, len, w AS t, COUNT(*) AS tf
+  FROM (SELECT doc_id, len, UNNEST(toks) AS w FROM base)
+  WHERE w IN ('join', 'spark', 'vector')
+  GROUP BY 1, 2, 3
+),
+df AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY 1),
+bs AS (
+  SELECT tf.doc_id,
+         SUM(LN((n - df + 0.5) / (df + 0.5) + 1.0)
+             * (tf * (1.2 + 1.0))
+             / (tf + 1.2 * (1.0 - 0.75 + 0.75 * len / avgdl))) AS score
+  FROM tf JOIN df USING (t), stats
+  GROUP BY 1
+),
+sr AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY ROUND(score, 6) DESC, doc_id) AS ra
+  FROM bs
+),
+q AS (
+  SELECT vec_id AS id, i AS pos,
+         CAST(FLOOR(embedding[i + 1] * 100.0 + 0.5) AS BIGINT) AS val
+  FROM embeddings, UNNEST(range(LEN(embedding))) AS t(i)
+),
+qq AS (SELECT pos, val FROM q WHERE id = 0),
+d2 AS (
+  SELECT q.id, SUM((q.val - qq.val) * (q.val - qq.val)) AS d2
+  FROM q JOIN qq USING (pos) GROUP BY 1
+),
+dr AS (
+  SELECT id AS doc_id,
+         ROW_NUMBER() OVER (ORDER BY d2 ASC, id) AS rb
+  FROM d2
+),
+j AS (SELECT ra, rb FROM sr JOIN dr USING (doc_id)),
+s AS (
+  SELECT COUNT(*) AS n, SUM(ra) AS sx, SUM(rb) AS sy,
+         SUM(ra * ra) AS sxx, SUM(rb * rb) AS syy,
+         SUM(ra * rb) AS sxy, SUM(ABS(ra - rb)) AS dfo
+  FROM j
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(dfo AS BIGINT) AS d_foot,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+         ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+               / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                  * SQRT(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+       END AS rho_spearman
+FROM s
 """
 
 
@@ -8577,7 +8883,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pl_simhash_recall": pl_simhash_recall,
         "pl_triangles": pl_triangles,
         "pl_graph_stats": pl_graph_stats,
+        "pl_link_pred": pl_link_pred,
         "pl_rrf_hybrid": pl_rrf_hybrid,
+        "pl_target_encode": pl_target_encode,
+        "pl_woe_iv": pl_woe_iv,
+        "pl_auc_by_source": pl_auc_by_source,
+        "pl_rank_corr": pl_rank_corr,
         # --- re-check: oracle SUM cast to BIGINT this round (hash-red r7
         # was a DuckDB HUGEINT->float64 fetch dtype, values were equal) ---
         "pl_pagerank": pl_pagerank,
@@ -8825,7 +9136,12 @@ def oracle_sql() -> dict[str, str]:
         "pl_simhash_recall": _simhash_recall_sql(),
         "pl_triangles": PL_TRIANGLES_SQL,
         "pl_graph_stats": PL_GRAPH_STATS_SQL,
+        "pl_link_pred": PL_LINK_PRED_SQL,
         "pl_rrf_hybrid": PL_RRF_HYBRID_SQL,
+        "pl_target_encode": PL_TARGET_ENCODE_SQL,
+        "pl_woe_iv": PL_WOE_IV_SQL,
+        "pl_auc_by_source": PL_AUC_BY_SOURCE_SQL,
+        "pl_rank_corr": PL_RANK_CORR_SQL,
         # --- pre-round-8 ---
         "pl_burstiness": PL_BURSTINESS_SQL,
         "pl_cooccur_pmi": PL_COOCCUR_PMI_SQL,

@@ -25,7 +25,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["nb_train", "nb_score", "auc_rank", "calibration_bins"]
+__all__ = [
+    "auc_rank",
+    "calibration_bins",
+    "nb_score",
+    "nb_train",
+    "target_encode_kfold",
+    "woe_iv",
+]
 
 
 def nb_train(
@@ -122,6 +129,7 @@ def auc_rank(
     scored: DataFrame,
     score_col: str = "score",
     label_col: str = "label",
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """EXACT ROC AUC by the Mann–Whitney rank-sum identity, with the
     textbook average-rank treatment of ties — computed entirely on the
@@ -135,17 +143,30 @@ def auc_rank(
     approaches ~3e9 rows — so the product and its sum are carried in
     DECIMAL(38,0): exact at any corpus size, no silent wraparound.
 
-    Output: one row ``(n_pos, n_neg, auc)``, 9 dp.
+    ``group_cols`` computes one AUC PER GROUP (per-language classifier
+    QA — a global AUC can hide a subgroup where the score is inverted):
+    the count table gains the group keys, the cumulative window
+    partitions by them (each partition is that group's distinct-score
+    table, so no global sort appears anywhere), and the output carries
+    one row per group.
+
+    Output: ``(*group_cols, n_pos, n_neg, auc)``, 9 dp; one row per
+    group (one total with no groups).
     """
     from pyspark.sql.window import Window
 
-    g = scored.groupBy(F.col(score_col).alias("__s")).agg(
+    gc = [F.col(c) for c in group_cols]
+    g = scored.groupBy(*gc, F.col(score_col).alias("__s")).agg(
         F.count(F.lit(1)).cast("long").alias("__n"),
         F.sum(F.when(F.col(label_col) == 1, 1).otherwise(0))
         .cast("long")
         .alias("__p"),
     )
-    w = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, -1)
+    w = (
+        Window.partitionBy(*group_cols).orderBy("__s")
+        if group_cols
+        else Window.orderBy("__s")
+    ).rowsBetween(Window.unboundedPreceding, -1)
     ranked = g.withColumn("__cum", F.coalesce(F.sum("__n").over(w), F.lit(0)))
     # 2 * rank-sum contribution of this tie group's positives, in
     # DECIMAL(38,0): ~2*N*rank is bounded by ~2*N^2, past int64 near
@@ -153,12 +174,13 @@ def auc_rank(
     two_r = F.col("__p").cast("decimal(38,0)") * (
         2 * F.col("__cum") + F.col("__n") + 1
     )
-    agg = ranked.agg(
+    agg = ranked.groupBy(*group_cols).agg(
         F.sum("__p").cast("long").alias("n_pos"),
         F.sum(F.col("__n") - F.col("__p")).cast("long").alias("n_neg"),
         F.sum(two_r).cast("decimal(38,0)").alias("__2r1"),
     )
     return agg.select(
+        *group_cols,
         "n_pos",
         "n_neg",
         # single-class inputs have no ranking to score: NULL, not a
@@ -223,4 +245,143 @@ def calibration_bins(
             "mean_score",
         )
         .orderBy("bin")
+    )
+
+
+def target_encode_kfold(
+    df: DataFrame,
+    cat_col: str,
+    label_col: str,
+    n_folds: int = 5,
+    prior_weight: int = 20,
+    id_col: str = "doc_id",
+    salt: int = 42,
+    fold=None,
+) -> DataFrame:
+    """Leakage-safe k-fold target encoding (the m-estimate / empirical-
+    Bayes smoothed form): each row's category is replaced by the mean
+    label of the category computed over the OTHER folds only, shrunk
+    toward the global mean by ``prior_weight`` pseudo-observations —
+    out-of-fold, so the encoding never sees the row's own label, and
+    deterministic, because the fold is a pure hash of the id (the
+    :func:`~spatialdata_spark.pipeline.filters.hash_split` contract:
+    stable across runs, repartitions, and corpus growth).
+
+        te = (s_cat - s_cat_fold + prior_weight * global_mean)
+             / (n_cat - n_cat_fold + prior_weight)
+
+    Plan: ONE corpus aggregation to the ``(category, fold)`` count/sum
+    table (metadata-sized: |C| * k rows), a category rollup joined
+    within that small table, then one broadcast join back onto the
+    corpus — the corpus is scanned twice, shuffled never (the agg is
+    map-side combinable; the join-back broadcasts).  Every statistic
+    is an exact int64 count/sum; the encoding itself is a fixed-arity
+    double expression — deterministic IEEE, bit-replayable in SQL with
+    the same association.
+
+    ``fold`` overrides the default ``xxhash64``-derived fold with a
+    caller-supplied integer Column in ``[0, n_folds)`` (e.g. a Knuth
+    multiplicative hash for engines without xxhash64).
+
+    Output: ``(id, category, fold, n_oof, te)`` with ``te`` 6 dp.
+    """
+    spark = df.sparkSession
+    k = int(n_folds)
+    if fold is None:
+        fold = F.pmod(F.xxhash64(F.col(id_col), F.lit(int(salt))), F.lit(k))
+    rows = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(cat_col).alias("__cat"),
+        F.col(label_col).cast("long").alias("__y"),
+        fold.cast("long").alias("fold"),
+    )
+    cf = rows.groupBy("__cat", "fold").agg(
+        F.count(F.lit(1)).cast("long").alias("__n_cf"),
+        F.sum("__y").cast("long").alias("__s_cf"),
+    )
+    c = cf.groupBy("__cat").agg(
+        F.sum("__n_cf").cast("long").alias("__n_c"),
+        F.sum("__s_cf").cast("long").alias("__s_c"),
+    )
+    g = cf.agg(
+        F.sum("__n_cf").cast("long").alias("__n"),
+        F.sum("__s_cf").cast("long").alias("__s"),
+    )
+    oof = (
+        cf.join(c, "__cat")
+        .crossJoin(g)
+        .select(
+            "__cat",
+            "fold",
+            (F.col("__n_c") - F.col("__n_cf")).alias("n_oof"),
+            (F.col("__s_c") - F.col("__s_cf")).alias("__s_oof"),
+            (F.col("__s") / F.col("__n")).alias("__prior"),
+        )
+    )
+    if spark.sparkContext.master.startswith("local"):
+        oof = F.broadcast(oof)
+    pw = F.lit(int(prior_weight))
+    return (
+        rows.join(oof, ["__cat", "fold"])
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__cat").alias(cat_col),
+            "fold",
+            "n_oof",
+            F.round(
+                (F.col("__s_oof") + pw * F.col("__prior"))
+                / (F.col("n_oof") + pw),
+                6,
+            ).alias("te"),
+        )
+    )
+
+
+def woe_iv(
+    df: DataFrame,
+    cat_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Weight-of-evidence table with information-value parts (Siddiqi's
+    credit-scorecard standard, the categorical-predictor strength
+    screen): per category,
+
+        woe = ln( ((pos_c + 0.5) / (pos + 0.5*K))
+                / ((neg_c + 0.5) / (neg + 0.5*K)) )
+        iv_part = (p_c - q_c) * woe
+
+    with ``K`` the category count — 0.5-smoothed so zero cells stay
+    finite.  ``iv_part`` is reported per category (exact per-row
+    expression); the total IV is the caller's one-line sum, kept out of
+    the output so no order-dependent float aggregation enters the
+    contract.
+
+    Plan: one map-side-combinable conditional-count aggregation to the
+    category table, one 1-row cross join for the totals — category-
+    cardinality-sized end to end after the single corpus scan.
+
+    Output: ``(category, n_pos, n_neg, woe, iv_part)``, 6 dp.
+    """
+    rows = df.select(
+        F.col(cat_col).alias("category"),
+        F.col(label_col).cast("long").alias("__y"),
+    )
+    per = rows.groupBy("category").agg(
+        F.sum("__y").cast("long").alias("n_pos"),
+        F.sum(F.lit(1) - F.col("__y")).cast("long").alias("n_neg"),
+    )
+    tot = per.agg(
+        F.sum("n_pos").cast("long").alias("__p"),
+        F.sum("n_neg").cast("long").alias("__q"),
+        F.count(F.lit(1)).cast("long").alias("__k"),
+    )
+    p_c = (F.col("n_pos") + 0.5) / (F.col("__p") + 0.5 * F.col("__k"))
+    q_c = (F.col("n_neg") + 0.5) / (F.col("__q") + 0.5 * F.col("__k"))
+    woe = F.log(p_c / q_c)
+    return per.crossJoin(tot).select(
+        "category",
+        "n_pos",
+        "n_neg",
+        F.round(woe, 6).alias("woe"),
+        F.round((p_c - q_c) * woe, 6).alias("iv_part"),
     )

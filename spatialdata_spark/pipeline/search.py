@@ -20,7 +20,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["inverted_index", "multi_phrase_search", "phrase_search", "rrf_fuse"]
+__all__ = [
+    "inverted_index",
+    "multi_phrase_search",
+    "phrase_search",
+    "rank_correlation",
+    "rrf_fuse",
+]
 
 
 def inverted_index(
@@ -198,3 +204,62 @@ def rrf_fuse(
     if top_n is not None:
         out = out.filter(F.col("rrf_rank") <= int(top_n))
     return out.orderBy("rrf_rank")
+
+
+def rank_correlation(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Spearman rank agreement between two rank lists (the retrieval
+    diagnostic behind :func:`rrf_fuse`: if two rankers agree everywhere,
+    fusing them adds nothing) plus Spearman's footrule ``sum |ra - rb|``
+    — computed over the ids present in BOTH lists.
+
+    Inputs are ``(id, rank)`` with DISTINCT 1-based ranks per list
+    (``row_number`` output — the tie-free contract; with ties, rank
+    upstream with a deterministic tie-break as this repo's rankers do).
+
+    Exactness: every sufficient statistic (rank sums, squares, cross
+    products, footrule) is an order-free DECIMAL(38,0) integer sum; the
+    only floats are the final two square roots and one division —
+    fixed-arity IEEE, bit-replayable in SQL with the same association.
+    The joined rank table is RESULT-sized (per-query top-k at retrieval
+    scale), so this is metadata work end to end.
+
+    Output: one row ``(n, d_foot, rho_spearman)``, 6 dp; ``rho`` NULL
+    when a variance term is zero (n < 2 or constant ranks).
+    """
+    dec = "decimal(38,0)"
+    j = ranked_a.select(
+        F.col(id_col), F.col("rank").cast("long").alias("__ra")
+    ).join(
+        ranked_b.select(F.col(id_col), F.col("rank").cast("long").alias("__rb")),
+        id_col,
+    )
+    s = j.agg(
+        F.count(F.lit(1)).cast(dec).alias("__n"),
+        F.sum(F.col("__ra").cast(dec)).alias("__sx"),
+        F.sum(F.col("__rb").cast(dec)).alias("__sy"),
+        F.sum((F.col("__ra") * F.col("__ra")).cast(dec)).alias("__sxx"),
+        F.sum((F.col("__rb") * F.col("__rb")).cast(dec)).alias("__syy"),
+        F.sum((F.col("__ra") * F.col("__rb")).cast(dec)).alias("__sxy"),
+        F.sum(F.abs(F.col("__ra") - F.col("__rb")).cast(dec)).alias("__df"),
+    )
+    num = (F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast(
+        "double"
+    )
+    dx = (F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast(
+        "double"
+    )
+    dy = (F.col("__n") * F.col("__syy") - F.col("__sy") * F.col("__sy")).cast(
+        "double"
+    )
+    return s.select(
+        F.col("__n").cast("long").alias("n"),
+        F.col("__df").cast("long").alias("d_foot"),
+        F.when(
+            (dx > 0) & (dy > 0),
+            F.round(num / (F.sqrt(dx) * F.sqrt(dy)), 6),
+        ).alias("rho_spearman"),
+    )

@@ -236,6 +236,40 @@ def streaming_dedup(
     )
 
 
+def streaming_dedup_within_watermark(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    id_col: str = "event_id",
+    watermark: str = "1 hour",
+    query_name: str = "events_deduped_ww",
+):
+    """Ingest dedup by business key ONLY — ``dropDuplicatesWithinWatermark``
+    (Spark 3.5+), the variant for at-least-once sources whose retries
+    carry a DIFFERENT event time (a retried send gets restamped, so the
+    ``(id, ts)`` exact-match dedup of :func:`streaming_dedup` would pass
+    the replay through).  Two records with the same id dedup as long as
+    they arrive within the watermark delay of each other; state for an
+    id expires once the watermark passes its first sighting, bounding
+    memory exactly like the exact-match form.
+    """
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+    deduped = stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        [id_col]
+    )
+    return (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def streaming_enrich(
     spark: SparkSession,
     source_dir: str,

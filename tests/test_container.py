@@ -482,3 +482,38 @@ def test_streaming_sessionize_transform_with_state(spark, tmp_path):
     ]
     t0 = 1704067200
     assert got == [(10, t0, t0 + 600, 2)]
+
+
+def test_streaming_dedup_within_watermark_restamped_replay(spark, tmp_path):
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import _parse_datatype_string
+
+    from spatialdata_spark.streaming.windows import streaming_dedup_within_watermark
+
+    src = str(tmp_path / "dedup_ww_stream")
+    os.makedirs(src, exist_ok=True)
+
+    def write_file(name, rows):
+        df = spark.createDataFrame(rows, ["event_id", "ts_s"]).select(
+            "event_id", F.to_timestamp("ts_s").alias("ts")
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(f"{src}/{name}")
+        _time.sleep(1.1)
+
+    write_file("f1", [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 10:01:00")])
+    # f2 replays event 2 RESTAMPED 90 s later (retry with a new event
+    # time — exact (id, ts) dedup would pass this through) + new event 3
+    write_file("f2", [(2, "2024-01-01 10:02:30"), (3, "2024-01-01 10:03:00")])
+
+    q = streaming_dedup_within_watermark(
+        spark, f"{src}/*", _parse_datatype_string("event_id long, ts timestamp")
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        r["event_id"] for r in spark.sql("SELECT * FROM events_deduped_ww").collect()
+    )
+    assert got == [1, 2, 3]  # restamped replay of 2 emitted once

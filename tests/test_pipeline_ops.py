@@ -3924,3 +3924,231 @@ def test_rrf_fuse_matches_python(spark):
         top_n=2,
     ).collect()
     assert [r["doc_id"] for r in top2] == order[:2]
+
+
+def test_link_prediction_matches_python(spark):
+    from itertools import combinations
+
+    from spatialdata_spark.pipeline.graph import link_prediction
+
+    und = _random_graph(seed=31, n=25, m=60)
+    es = set(und)
+    df = spark.createDataFrame(und, ["src", "dst"])
+    out = link_prediction(df, top_n=1000).collect()
+
+    nodes = sorted({x for e in und for x in e})
+    adj = {v: set() for v in nodes}
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    ref = {}
+    for x, y in combinations(nodes, 2):
+        if (x, y) in es:
+            continue
+        cn = len(adj[x] & adj[y])
+        if cn:
+            ref[(x, y)] = cn
+    got = {(r["x"], r["y"]): r for r in out}
+    assert set(got) == set(ref)
+    for (x, y), r in got.items():
+        dx, dy = len(adj[x]), len(adj[y])
+        assert r["common_neighbors"] == ref[(x, y)]
+        assert (r["deg_x"], r["deg_y"]) == (dx, dy)
+        assert r["pref_attachment"] == dx * dy
+        assert abs(r["jaccard"] - round(ref[(x, y)] / (dx + dy - ref[(x, y)]), 6)) < 1e-9
+    # output ordering: descending common neighbors, then (x, y)
+    keys = [(-r["common_neighbors"], r["x"], r["y"]) for r in out]
+    assert keys == sorted(keys)
+    # top_n cuts after the total-order sort
+    top5 = link_prediction(df, top_n=5).collect()
+    assert [(r["x"], r["y"]) for r in top5] == [(r["x"], r["y"]) for r in out[:5]]
+
+
+def test_link_prediction_hub_exclusion(spark):
+    from spatialdata_spark.pipeline.graph import link_prediction
+
+    # star: hub 0 connected to 1..6; spokes share ONLY the hub
+    star = [(0, i) for i in range(1, 7)]
+    df = spark.createDataFrame(star, ["src", "dst"])
+    full = link_prediction(df, top_n=100).collect()
+    assert len(full) == 15 and all(r["common_neighbors"] == 1 for r in full)
+    # capping below the hub degree removes every candidate
+    assert link_prediction(df, max_degree=5, top_n=100).count() == 0
+
+
+def test_target_encode_kfold_matches_python(spark):
+    import random
+
+    from spatialdata_spark.pipeline.classify import target_encode_kfold
+
+    rng = random.Random(63)
+    rows = [
+        (i, rng.choice("abcd"), 1 if rng.random() < 0.4 else 0) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "cat", "label"])
+    # deterministic fold everyone can replay: id mod k
+    out = {
+        r["doc_id"]: r
+        for r in target_encode_kfold(
+            df, "cat", "label", n_folds=5, prior_weight=20,
+            fold=F.pmod(F.col("doc_id"), F.lit(5)),
+        ).collect()
+    }
+
+    from collections import defaultdict
+
+    n_cf, s_cf = defaultdict(int), defaultdict(int)
+    for i, c, y in rows:
+        n_cf[(c, i % 5)] += 1
+        s_cf[(c, i % 5)] += y
+    n_c = defaultdict(int)
+    s_c = defaultdict(int)
+    for (c, f), n in n_cf.items():
+        n_c[c] += n
+        s_c[c] += s_cf[(c, f)]
+    n = len(rows)
+    s = sum(y for _, _, y in rows)
+    prior = s / n
+    for i, c, y in rows:
+        f = i % 5
+        noof = n_c[c] - n_cf[(c, f)]
+        te = (s_c[c] - s_cf[(c, f)] + 20 * prior) / (noof + 20)
+        r = out[i]
+        assert r["cat"] == c and r["fold"] == f and r["n_oof"] == noof
+        assert abs(r["te"] - round(te, 6)) < 1e-9
+    # leakage check: a category entirely inside ONE fold must fall back
+    # to (nearly) the prior for its own rows
+    solo = spark.createDataFrame(
+        [(0, "x", 1), (5, "x", 1), (1, "y", 0), (6, "y", 0), (7, "y", 1)],
+        ["doc_id", "cat", "label"],
+    )
+    enc = {
+        r["doc_id"]: r
+        for r in target_encode_kfold(
+            solo, "cat", "label", n_folds=5, prior_weight=10,
+            fold=F.pmod(F.col("doc_id"), F.lit(5)),
+        ).collect()
+    }
+    # rows 0,1 are fold 0 = ALL of category x -> n_oof 0, te == prior
+    assert enc[0]["n_oof"] == 0
+    assert abs(enc[0]["te"] - round(3 / 5, 6)) < 1e-9
+
+
+def test_woe_iv_matches_python(spark):
+    import math
+    import random
+
+    from spatialdata_spark.pipeline.classify import woe_iv
+
+    rng = random.Random(8)
+    rows = [
+        (rng.choice(["p", "q", "r"]), 1 if rng.random() < 0.3 else 0)
+        for _ in range(400)
+    ] + [("onlypos", 1), ("onlyneg", 0)]  # zero cells stay finite
+    df = spark.createDataFrame(rows, ["cat", "label"])
+    out = {r["category"]: r for r in woe_iv(df, "cat", "label").collect()}
+
+    from collections import Counter
+
+    pos, neg = Counter(), Counter()
+    for c, y in rows:
+        (pos if y else neg)[c] += 1
+    cats = set(pos) | set(neg)
+    P, Q, K = sum(pos.values()), sum(neg.values()), len(cats)
+    assert set(out) == cats
+    for c in cats:
+        pc = (pos[c] + 0.5) / (P + 0.5 * K)
+        qc = (neg[c] + 0.5) / (Q + 0.5 * K)
+        woe = math.log(pc / qc)
+        r = out[c]
+        assert (r["n_pos"], r["n_neg"]) == (pos[c], neg[c])
+        assert abs(r["woe"] - round(woe, 6)) < 1e-9
+        assert abs(r["iv_part"] - round((pc - qc) * woe, 6)) < 1e-9
+    assert out["onlypos"]["woe"] > 0 > out["onlyneg"]["woe"]
+    # iv_part is nonnegative by construction (p-q and woe share sign)
+    assert all(r["iv_part"] >= 0 for r in out.values())
+
+
+def test_auc_rank_grouped_matches_reference(spark):
+    import random
+
+    from spatialdata_spark.pipeline.classify import auc_rank
+
+    rng = random.Random(19)
+    rows = []
+    for grp, flip in (("a", False), ("b", True)):
+        for i in range(150):
+            y = i % 2
+            # group b has an INVERTED score direction
+            s = (i % 7) + (3 if (y != flip) else 0) + rng.choice([0, 1])
+            rows.append((grp, float(s), y))
+    df = spark.createDataFrame(rows, ["src", "score", "label"])
+    out = {r["src"]: r for r in auc_rank(df, group_cols=("src",)).collect()}
+
+    def ref_auc(sub):
+        srt = sorted(sub, key=lambda x: x[0])
+        ranks, i = {}, 0
+        while i < len(srt):
+            j = i
+            while j < len(srt) and srt[j][0] == srt[i][0]:
+                j += 1
+            for k2 in range(i, j):
+                ranks[k2] = (i + 1 + j) / 2
+            i = j
+        r1 = sum(ranks[k2] for k2 in range(len(srt)) if srt[k2][1] == 1)
+        n1 = sum(1 for _, y in sub if y == 1)
+        n0 = len(sub) - n1
+        return (r1 - n1 * (n1 + 1) / 2) / (n0 * n1)
+
+    for grp in ("a", "b"):
+        sub = [(s, y) for g, s, y in rows if g == grp]
+        assert abs(out[grp]["auc"] - round(ref_auc(sub), 9)) < 1e-12
+    assert out["a"]["auc"] > 0.5 > out["b"]["auc"]
+    # grouped totals partition the global counts
+    g = auc_rank(df).collect()[0]
+    assert g["n_pos"] == out["a"]["n_pos"] + out["b"]["n_pos"]
+
+
+def test_rank_correlation_matches_python(spark):
+    import math
+    import random
+
+    from spatialdata_spark.pipeline.search import rank_correlation
+
+    rng = random.Random(5)
+    ids = list(range(40))
+    perm = ids[:]
+    rng.shuffle(perm)
+    a = [(i, r + 1) for r, i in enumerate(ids)]
+    b = [(i, r + 1) for r, i in enumerate(perm)] + [(999, 41)]  # extra id: inner join drops
+    ra = spark.createDataFrame(a, ["doc_id", "rank"])
+    rb = spark.createDataFrame(b, ["doc_id", "rank"])
+    out = rank_correlation(ra, rb).collect()[0]
+
+    am = dict(a)
+    bm = dict(b)
+    common = sorted(set(am) & set(bm))
+    xs = [am[i] for i in common]
+    ys = [bm[i] for i in common]
+    n = len(common)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    rho = (n * sxy - sx * sy) / (
+        math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+    )
+    dfoot = sum(abs(x - y) for x, y in zip(xs, ys))
+    assert out["n"] == n and out["d_foot"] == dfoot
+    assert abs(out["rho_spearman"] - round(rho, 6)) < 1e-9
+    # identical lists -> rho 1, footrule 0
+    same = rank_correlation(ra, ra).collect()[0]
+    assert same["rho_spearman"] == 1.0 and same["d_foot"] == 0
+    # reversed -> rho -1
+    rev = spark.createDataFrame(
+        [(i, len(ids) - r) for i, r in a], ["doc_id", "rank"]
+    )
+    assert rank_correlation(ra, rev).collect()[0]["rho_spearman"] == -1.0
+    # single-row overlap: variance 0 -> NULL
+    one = spark.createDataFrame([(0, 1)], ["doc_id", "rank"])
+    assert rank_correlation(one, one).collect()[0]["rho_spearman"] is None

@@ -74,6 +74,7 @@ def main(max_mult: int = 8, only: list[str] | None = None) -> None:
     from spatialdata_spark.pipeline.graph import (
         graph_stats,
         label_propagation,
+        link_prediction,
         pagerank,
         triangle_count,
     )
@@ -193,6 +194,13 @@ def main(max_mult: int = 8, only: list[str] | None = None) -> None:
             .agg(F.sum("n_triangles"))
             .collect(),
             "graph_stats": lambda: graph_stats(_copurchase(mult)).collect(),
+            # the degree cap IS the scale knob (wedge work <= n*C(cap,2),
+            # linear in disjoint copies); uncapped, the sf0.1 co-purchase
+            # graph's ~105 avg degree makes the candidate table
+            # wedge-quadratic — the exact blow-up the cap exists to stop
+            "link_pred": lambda: link_prediction(
+                _copurchase(mult), max_degree=32, top_n=100
+            ).count(),
             # one Lloyd round + final assign: work ∝ n*k per iteration
             "kmeans": lambda: kmeans_lloyd(emb, k=8, n_iter=1)[0]
             .agg(F.sum("dist"))

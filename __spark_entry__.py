@@ -7635,6 +7635,67 @@ LIMIT 100
 """
 
 
+def pl_random_walks(spark, sf_dir):
+    """Deterministic uniform random-walk corpus (DeepWalk sampling) over
+    the co-purchase graph: 1 walk of 4 steps per node, the step choice a
+    pure Knuth-mix hash of (node, step, walk, salt) — bit-reproducible
+    under task retry and in the oracle; each step is one broadcast-gated
+    degree lookup + one (node, idx) equi-join against the id-sorted
+    adjacency (co-partition adjacency by node at scale)."""
+    from spatialdata_spark.pipeline.graph import random_walks
+
+    return random_walks(
+        _copurchase_edges(spark, sf_dir), walk_len=4, walks_per_node=1, salt=42
+    )
+
+
+def _random_walks_sql(walk_len: int = 4, walks_per_node: int = 1, salt: int = 42) -> str:
+    step_ctes = []
+    unions = ["SELECT start, walk_no, CAST(0 AS BIGINT) AS step, node FROM w0"]
+    for t in range(1, walk_len + 1):
+        h0 = (
+            f"(((c.node % 2147483648) * 2654435761 + {t} * 40503"
+            f" + c.walk_no * 69069 + {salt}) % 2147483648)"
+        )
+        step_ctes.append(
+            f"""w{t} AS (
+  SELECT c.start, c.walk_no, a.nbr AS node
+  FROM w{t - 1} c
+  JOIN deg d ON c.node = d.node
+  JOIN adj a ON a.node = c.node
+   AND a.idx = ({h0} * 2654435761) % 2147483648 % d.deg
+)"""
+        )
+        unions.append(
+            f"SELECT start, walk_no, CAST({t} AS BIGINT) AS step, node FROM w{t}"
+        )
+    return f"""
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS p FROM lineitem
+),
+und AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+),
+adj0 AS (
+  SELECT u AS node, v AS nbr FROM und
+  UNION ALL SELECT v AS node, u AS nbr FROM und
+),
+adj AS (
+  SELECT node, nbr,
+         ROW_NUMBER() OVER (PARTITION BY node ORDER BY nbr) - 1 AS idx
+  FROM adj0
+),
+deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM adj0 GROUP BY 1),
+w0 AS (
+  SELECT deg.node AS start, t.walk_no, deg.node AS node
+  FROM deg, (SELECT UNNEST(range({walks_per_node})) AS walk_no) t
+),
+{",".join(step_ctes)}
+{" UNION ALL ".join(unions)}
+"""
+
+
 def pl_rrf_hybrid(spark, sf_dir):
     """Hybrid retrieval: BM25 sparse ranks fused with dense embedding
     ranks by reciprocal-rank fusion (Cormack 2009), top 50.  The dense
@@ -8889,6 +8950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pl_woe_iv": pl_woe_iv,
         "pl_auc_by_source": pl_auc_by_source,
         "pl_rank_corr": pl_rank_corr,
+        "pl_random_walks": pl_random_walks,
         # --- re-check: oracle SUM cast to BIGINT this round (hash-red r7
         # was a DuckDB HUGEINT->float64 fetch dtype, values were equal) ---
         "pl_pagerank": pl_pagerank,
@@ -9142,6 +9204,7 @@ def oracle_sql() -> dict[str, str]:
         "pl_woe_iv": PL_WOE_IV_SQL,
         "pl_auc_by_source": PL_AUC_BY_SOURCE_SQL,
         "pl_rank_corr": PL_RANK_CORR_SQL,
+        "pl_random_walks": _random_walks_sql(),
         # --- pre-round-8 ---
         "pl_burstiness": PL_BURSTINESS_SQL,
         "pl_cooccur_pmi": PL_COOCCUR_PMI_SQL,

@@ -38,6 +38,7 @@ __all__ = [
     "label_propagation",
     "link_prediction",
     "pagerank",
+    "random_walks",
     "triangle_count",
     "undirected_edges",
 ]
@@ -441,3 +442,87 @@ def link_prediction(
     return scored.orderBy(
         F.col("common_neighbors").desc(), F.col("x"), F.col("y")
     ).limit(int(top_n))
+
+
+def random_walks(
+    edges: DataFrame,
+    walk_len: int = 4,
+    walks_per_node: int = 1,
+    salt: int = 42,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Uniform random-walk corpus for graph embeddings (DeepWalk,
+    Perozzi 2014; node2vec's p=q=1 case) — ``walks_per_node`` walks of
+    ``walk_len`` steps from every node, with the "randomness" a PURE
+    HASH of ``(node, step, walk_no, salt)``: walks are deterministic,
+    so a re-run (or a failed-task retry, or the SQL oracle) reproduces
+    the corpus bit-for-bit — the same replayability contract as
+    :func:`~spatialdata_spark.pipeline.filters.hash_split`, and the
+    property task-retry-under-speculation silently breaks for
+    ``rand()``-driven walks.
+
+    The step hash is two rounds of Knuth multiplicative mixing kept
+    inside int64 (inputs reduced mod 2^31 first), then reduced mod the
+    node's degree to index into its id-sorted adjacency list.
+
+    Plan: adjacency = the undirected edge list in both directions with
+    a per-node ``row_number`` index and degree (built once, persisted).
+    Each step is ONE node-sized broadcast-gated degree lookup + ONE
+    equi-join on ``(node, idx)`` against the adjacency — at scale,
+    hash-partition the adjacency by node once and every step's join
+    reuses the partitioning (the PageRank co-partitioning contract).
+    The walk table never exceeds ``nodes * walks_per_node`` rows.
+
+    Output: ``(start, walk_no, step, node)``, steps 0..walk_len — long
+    format, one row per visited position (feed to a skip-gram builder
+    or ``collect_list`` per walk).
+    """
+    from pyspark.sql.window import Window
+
+    spark = edges.sparkSession
+    und = undirected_edges(edges, src_col, dst_col)
+    adj = (
+        und.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+        .union(und.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+        .withColumn(
+            "idx",
+            F.row_number().over(Window.partitionBy("node").orderBy("nbr")) - 1,
+        )
+        .persist()
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("deg")).persist()
+    bdeg = F.broadcast(deg) if spark.sparkContext.master.startswith("local") else deg
+    m31 = 2147483648
+    knuth = 2654435761
+    starts = deg.select(F.col("node").alias("start")).crossJoin(
+        spark.range(int(walks_per_node)).select(F.col("id").alias("walk_no"))
+    )
+    cur = starts.select("start", "walk_no", F.col("start").alias("node"))
+    out = cur.select("start", "walk_no", F.lit(0).cast("long").alias("step"), "node")
+    for t in range(1, int(walk_len) + 1):
+        h0 = F.pmod(
+            F.pmod(F.col("node"), F.lit(m31)) * F.lit(knuth)
+            + F.lit(t) * F.lit(40503)
+            + F.col("walk_no") * F.lit(69069)
+            + F.lit(int(salt)),
+            F.lit(m31),
+        )
+        h = F.pmod(h0 * F.lit(knuth), F.lit(m31))
+        step = (
+            cur.join(bdeg, "node")
+            .withColumn("__idx", F.pmod(h, F.col("deg")))
+            .join(
+                adj.select(
+                    F.col("node"),
+                    F.col("idx").alias("__idx"),
+                    F.col("nbr").alias("__next"),
+                ),
+                ["node", "__idx"],
+            )
+        )
+        cur = step.select("start", "walk_no", F.col("__next").alias("node"))
+        out = out.union(
+            cur.select("start", "walk_no", F.lit(t).cast("long").alias("step"), "node")
+        )
+    return out

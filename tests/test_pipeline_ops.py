@@ -4152,3 +4152,57 @@ def test_rank_correlation_matches_python(spark):
     # single-row overlap: variance 0 -> NULL
     one = spark.createDataFrame([(0, 1)], ["doc_id", "rank"])
     assert rank_correlation(one, one).collect()[0]["rho_spearman"] is None
+
+
+def test_random_walks_matches_python(spark):
+    from spatialdata_spark.pipeline.graph import random_walks
+
+    und = _random_graph(seed=47, n=20, m=45)
+    df = spark.createDataFrame(und, ["src", "dst"])
+    L, W, SALT = 4, 2, 42
+    out = random_walks(df, walk_len=L, walks_per_node=W, salt=SALT).collect()
+
+    nodes = sorted({x for e in und for x in e})
+    adj = {v: [] for v in nodes}
+    for a, b in und:
+        adj[a].append(b)
+        adj[b].append(a)
+    for v in adj:
+        adj[v].sort()
+    M31, K = 2147483648, 2654435761
+
+    def nxt(node, t, w):
+        h0 = ((node % M31) * K + t * 40503 + w * 69069 + SALT) % M31
+        h = (h0 * K) % M31
+        return adj[node][h % len(adj[node])]
+
+    ref = {}
+    for v in nodes:
+        for w in range(W):
+            cur = v
+            ref[(v, w, 0)] = cur
+            for t in range(1, L + 1):
+                cur = nxt(cur, t, w)
+                ref[(v, w, t)] = cur
+    got = {(r["start"], r["walk_no"], r["step"]): r["node"] for r in out}
+    assert got == ref
+    # every walk is complete and stays on real edges
+    es = {frozenset(e) for e in und}
+    for v in nodes:
+        for w in range(W):
+            path = [ref[(v, w, t)] for t in range(L + 1)]
+            assert path[0] == v
+            for a, b in zip(path, path[1:]):
+                assert frozenset((a, b)) in es
+    # determinism: a second run is bit-identical
+    again = {
+        (r["start"], r["walk_no"], r["step"]): r["node"]
+        for r in random_walks(df, walk_len=L, walks_per_node=W, salt=SALT).collect()
+    }
+    assert again == got
+    # a different salt gives a different corpus
+    other = {
+        (r["start"], r["walk_no"], r["step"]): r["node"]
+        for r in random_walks(df, walk_len=L, walks_per_node=W, salt=7).collect()
+    }
+    assert other != got

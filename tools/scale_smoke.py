@@ -76,6 +76,7 @@ def main(max_mult: int = 8, only: list[str] | None = None) -> None:
         label_propagation,
         link_prediction,
         pagerank,
+        random_walks,
         triangle_count,
     )
     from spatialdata_spark.pipeline.search import multi_phrase_search, phrase_search
@@ -200,6 +201,9 @@ def main(max_mult: int = 8, only: list[str] | None = None) -> None:
             # wedge-quadratic — the exact blow-up the cap exists to stop
             "link_pred": lambda: link_prediction(
                 _copurchase(mult), max_degree=32, top_n=100
+            ).count(),
+            "random_walks": lambda: random_walks(
+                _copurchase(mult), walk_len=4, walks_per_node=1
             ).count(),
             # one Lloyd round + final assign: work ∝ n*k per iteration
             "kmeans": lambda: kmeans_lloyd(emb, k=8, n_iter=1)[0]

@@ -7696,6 +7696,113 @@ w0 AS (
 """
 
 
+def pl_kcore(spark, sf_dir):
+    """Bounded-round k-core peeling of the co-purchase graph (3 rounds,
+    k=100): per round, two broadcast-gated semi-joins of the persisted
+    edge list against the node-sized survivor set + one map-side degree
+    count — deterministic, fixpoint-converging, one CTE pair per round
+    in the oracle."""
+    from spatialdata_spark.pipeline.graph import kcore_rounds
+
+    return kcore_rounds(_copurchase_edges(spark, sf_dir), k_core=60, rounds=3)
+
+
+def _kcore_sql(k: int = 60, rounds: int = 3) -> str:
+    ctes = [
+        """op AS (
+  SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS p FROM lineitem
+)""",
+        """und AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+)""",
+        """a0 AS (
+  SELECT DISTINCT node
+  FROM (SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
+)""",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""live{r} AS (
+  SELECT und.u, und.v FROM und
+  JOIN a{r - 1} x ON und.u = x.node
+  JOIN a{r - 1} y ON und.v = y.node
+)"""
+        )
+        ctes.append(
+            f"""a{r} AS (
+  SELECT node
+  FROM (SELECT u AS node FROM live{r} UNION ALL SELECT v AS node FROM live{r})
+  GROUP BY 1 HAVING COUNT(*) >= {k}
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+fin AS (
+  SELECT und.u, und.v FROM und
+  JOIN a{rounds} x ON und.u = x.node
+  JOIN a{rounds} y ON und.v = y.node
+)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+FROM (SELECT u AS node FROM fin UNION ALL SELECT v AS node FROM fin)
+WHERE node IN (SELECT node FROM a{rounds})
+GROUP BY 1
+"""
+    )
+
+
+def pl_hop_dist(spark, sf_dir):
+    """Multi-source BFS hop distances (2 unrolled rounds) from 5 seed
+    parts over the co-purchase graph — frontier⋈edges + order-free MIN
+    merge per round; the distance table is bounded by seeds x reachable
+    nodes (all-pairs deliberately not offered)."""
+    from spatialdata_spark.pipeline.graph import hop_distances
+
+    return hop_distances(
+        _copurchase_edges(spark, sf_dir), seeds=[1, 2, 3, 4, 5], max_hops=2
+    )
+
+
+def _hop_dist_sql(seeds=(1, 2, 3, 4, 5), max_hops: int = 2) -> str:
+    vals = ", ".join(f"({s})" for s in seeds)
+    ctes = [
+        """op AS (
+  SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS p FROM lineitem
+)""",
+        """und AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+)""",
+        """adj AS (
+  SELECT u AS node, v AS nbr FROM und
+  UNION ALL SELECT v AS node, u AS nbr FROM und
+)""",
+        f"""d0 AS (
+  SELECT CAST(seed AS BIGINT) AS seed, CAST(seed AS BIGINT) AS node,
+         CAST(0 AS BIGINT) AS dist
+  FROM (VALUES {vals}) t(seed)
+)""",
+    ]
+    for h in range(1, max_hops + 1):
+        ctes.append(
+            f"""d{h} AS (
+  SELECT seed, node, CAST(MIN(dist) AS BIGINT) AS dist
+  FROM (
+    SELECT seed, node, dist FROM d{h - 1}
+    UNION ALL
+    SELECT d{h - 1}.seed, adj.nbr AS node, d{h - 1}.dist + 1 AS dist
+    FROM d{h - 1} JOIN adj ON d{h - 1}.node = adj.node
+  )
+  GROUP BY 1, 2
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT seed, node, dist FROM d{max_hops}\n"
+    )
+
+
 def pl_rrf_hybrid(spark, sf_dir):
     """Hybrid retrieval: BM25 sparse ranks fused with dense embedding
     ranks by reciprocal-rank fusion (Cormack 2009), top 50.  The dense
@@ -8951,6 +9058,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pl_auc_by_source": pl_auc_by_source,
         "pl_rank_corr": pl_rank_corr,
         "pl_random_walks": pl_random_walks,
+        "pl_kcore": pl_kcore,
+        "pl_hop_dist": pl_hop_dist,
         # --- re-check: oracle SUM cast to BIGINT this round (hash-red r7
         # was a DuckDB HUGEINT->float64 fetch dtype, values were equal) ---
         "pl_pagerank": pl_pagerank,
@@ -9205,6 +9314,8 @@ def oracle_sql() -> dict[str, str]:
         "pl_auc_by_source": PL_AUC_BY_SOURCE_SQL,
         "pl_rank_corr": PL_RANK_CORR_SQL,
         "pl_random_walks": _random_walks_sql(),
+        "pl_kcore": _kcore_sql(),
+        "pl_hop_dist": _hop_dist_sql(),
         # --- pre-round-8 ---
         "pl_burstiness": PL_BURSTINESS_SQL,
         "pl_cooccur_pmi": PL_COOCCUR_PMI_SQL,

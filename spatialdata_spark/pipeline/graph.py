@@ -35,6 +35,8 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "graph_stats",
+    "hop_distances",
+    "kcore_rounds",
     "label_propagation",
     "link_prediction",
     "pagerank",
@@ -526,3 +528,110 @@ def random_walks(
             cur.select("start", "walk_no", F.lit(t).cast("long").alias("step"), "node")
         )
     return out
+
+
+def kcore_rounds(
+    edges: DataFrame,
+    k_core: int = 3,
+    rounds: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Bounded-round k-core peeling (Seidman 1983 cores; the dense-
+    subgraph extraction behind "keep the strongly co-occurring items"):
+    each round drops every node whose degree WITHIN the surviving
+    subgraph is below ``k_core``, then recomputes degrees.  After
+    ``rounds`` rounds the survivor set is a SUPERSET of the true k-core
+    that equals it once a round removes nobody — bounded-round by
+    contract (the repo's unrolled-iteration convention: deterministic,
+    SQL-replayable one CTE pair per round, no driver-side convergence
+    loop; callers needing the fixpoint raise ``rounds`` — peeling
+    removes at least one node per non-converged round, so
+    ``rounds = n`` is always exact).
+
+    Per-round plan: two semi-joins of the (persisted) edge list against
+    the node-sized survivor set + one map-side-combinable degree count —
+    the edge table is scanned per round but shuffled only on its own
+    keys; survivors broadcast-gate.
+
+    Returns ``(node, degree)`` for the surviving nodes with their
+    final within-subgraph degree.
+    """
+    und = undirected_edges(edges, src_col, dst_col).persist()
+    spark = edges.sparkSession
+    alive = _degrees(und).select("node")
+    kc = int(k_core)
+    for _ in range(int(rounds)):
+        a = F.broadcast(alive) if spark.sparkContext.master.startswith("local") else alive
+        live = und.join(
+            a.select(F.col("node").alias("u")), "u", "left_semi"
+        ).join(a.select(F.col("node").alias("v")), "v", "left_semi")
+        deg = (
+            live.select(F.col("u").alias("node"))
+            .union(live.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+        )
+        alive = deg.filter(F.col("degree") >= kc).select("node").persist()
+    a = F.broadcast(alive) if spark.sparkContext.master.startswith("local") else alive
+    live = und.join(
+        a.select(F.col("node").alias("u")), "u", "left_semi"
+    ).join(a.select(F.col("node").alias("v")), "v", "left_semi")
+    return (
+        live.select(F.col("u").alias("node"))
+        .union(live.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+        .join(a, "node", "left_semi")
+    )
+
+
+def hop_distances(
+    edges: DataFrame,
+    seeds: "list[int]",
+    max_hops: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Multi-source BFS hop distances, ``max_hops`` unrolled rounds:
+    ``(seed, node, dist)`` for every node within ``max_hops`` of a seed
+    — the bounded-radius closeness/reachability primitive (distance-to-
+    curated-seed features, blast-radius queries).
+
+    Exact and order-free: each round is one frontier⋈edges join plus
+    one MIN aggregation merging the new candidates with the standing
+    distances (``min(dist)`` is order-independent — no race on which
+    path found a node first), so ``max_hops`` CTE pairs replay it
+    exactly in SQL.  Work per round ≤ |frontier-incident edges| x
+    |seeds touching them|; the distance table is bounded by
+    ``|seeds| * |reachable nodes|`` — choose seeds accordingly (the
+    all-pairs case is deliberately NOT offered).
+
+    Plan: the directed double cover is built once and persisted; the
+    distance table re-keys by node each round (co-partition edges and
+    distances by node at scale — the PageRank contract).
+    """
+    spark = edges.sparkSession
+    und = undirected_edges(edges, src_col, dst_col)
+    adj = (
+        und.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+        .union(und.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+        .persist()
+    )
+    seed_df = spark.createDataFrame(
+        [(int(s),) for s in seeds], ["seed"]
+    ).select(F.col("seed").cast("long").alias("seed"))
+    dist = seed_df.select(
+        "seed", F.col("seed").alias("node"), F.lit(0).cast("long").alias("dist")
+    )
+    for _ in range(int(max_hops)):
+        dist = dist.persist()
+        grown = dist.join(adj, "node").select(
+            "seed", F.col("nbr").alias("node"), (F.col("dist") + 1).alias("dist")
+        )
+        dist = (
+            dist.union(grown)
+            .groupBy("seed", "node")
+            .agg(F.min("dist").cast("long").alias("dist"))
+        )
+    return dist

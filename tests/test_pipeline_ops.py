@@ -4206,3 +4206,66 @@ def test_random_walks_matches_python(spark):
         for r in random_walks(df, walk_len=L, walks_per_node=W, salt=7).collect()
     }
     assert other != got
+
+
+def test_kcore_rounds_matches_python(spark):
+    from spatialdata_spark.pipeline.graph import kcore_rounds
+
+    und = _random_graph(seed=99, n=30, m=70)
+    df = spark.createDataFrame(und, ["src", "dst"])
+    K, R = 3, 4
+    out = {r["node"]: r["degree"] for r in kcore_rounds(df, k_core=K, rounds=R).collect()}
+
+    # reference replicates the BOUNDED-ROUND semantics exactly: each
+    # round drops every node below K simultaneously, R rounds total
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    alive = set(adj)
+    for _ in range(R):
+        alive = {v for v in alive if len(adj[v] & alive) >= K}
+    assert set(out) == alive
+    for v in alive:
+        assert out[v] == len(adj[v] & alive)
+    # bounded-round superset contract: fewer rounds keep at least as many
+    partial = {r["node"] for r in kcore_rounds(df, k_core=K, rounds=1).collect()}
+    assert alive <= partial
+    # fixpoint on a small graph: triangle survives its own 2-core, the
+    # pendant path peels away over successive rounds
+    tri = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], ["src", "dst"]
+    )
+    got = {r["node"] for r in kcore_rounds(tri, k_core=2, rounds=3).collect()}
+    assert got == {1, 2, 3}
+
+
+def test_hop_distances_matches_python(spark):
+    from collections import deque
+
+    from spatialdata_spark.pipeline.graph import hop_distances
+
+    und = _random_graph(seed=13, n=35, m=50)
+    df = spark.createDataFrame(und, ["src", "dst"])
+    seeds, H = [0, 7, 19], 3
+    out = {(r["seed"], r["node"]): r["dist"] for r in hop_distances(df, seeds, max_hops=H).collect()}
+
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    ref = {}
+    for s in seeds:
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            if dist[v] == H:
+                continue
+            for w in adj.get(v, ()):
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+        for v, d in dist.items():
+            ref[(s, v)] = d
+    assert out == ref

@@ -73,6 +73,8 @@ def main(max_mult: int = 8, only: list[str] | None = None) -> None:
     from spatialdata_spark.pipeline.dedup import rouge_recall_pairs
     from spatialdata_spark.pipeline.graph import (
         graph_stats,
+        hop_distances,
+        kcore_rounds,
         label_propagation,
         link_prediction,
         pagerank,
@@ -204,6 +206,12 @@ def main(max_mult: int = 8, only: list[str] | None = None) -> None:
             ).count(),
             "random_walks": lambda: random_walks(
                 _copurchase(mult), walk_len=4, walks_per_node=1
+            ).count(),
+            "kcore": lambda: kcore_rounds(
+                _copurchase(mult), k_core=60, rounds=3
+            ).count(),
+            "hop_dist": lambda: hop_distances(
+                _copurchase(mult), seeds=[1, 2, 3, 4, 5], max_hops=2
             ).count(),
             # one Lloyd round + final assign: work ∝ n*k per iteration
             "kmeans": lambda: kmeans_lloyd(emb, k=8, n_iter=1)[0]

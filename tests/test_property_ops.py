@@ -85,3 +85,81 @@ def test_hdr_quantiles_relative_error_bound(spark, seed):
         # stored resolution, plus quantization slack of 1/scale.
         assert est <= exact + 1e-9
         assert exact <= est * (1 + 2**-5) + 2e-6
+
+
+@given(seed=st.integers(0, 10**6), n_nodes=st.integers(4, 20), n_edges=st.integers(3, 60))
+@SET
+def test_triangle_count_property_orientation_invariant(spark, seed, n_nodes, n_edges):
+    """triangle_count must agree with a brute-force reference AND be
+    invariant to how edge directions / duplicates arrive."""
+    from itertools import combinations
+
+    from spatialdata_spark.pipeline.graph import triangle_count
+
+    rng = random.Random(seed)
+    nodes = list(range(n_nodes))
+    und = sorted(
+        {
+            (min(a, b), max(a, b))
+            for a, b in (
+                (rng.choice(nodes), rng.choice(nodes)) for _ in range(n_edges)
+            )
+            if a != b
+        }
+    )
+    if not und:
+        return
+    # random direction per edge + random duplicates
+    rows = [((a, b) if rng.random() < 0.5 else (b, a)) for a, b in und]
+    rows += [rng.choice(rows) for _ in range(len(rows) // 2)]
+    got = {
+        r["node_id"]: (r["degree"], r["n_triangles"])
+        for r in triangle_count(spark.createDataFrame(rows, ["src", "dst"])).collect()
+    }
+
+    es = set(und)
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    for v, nb in adj.items():
+        t = sum(
+            1
+            for x, y in combinations(sorted(nb), 2)
+            if (min(x, y), max(x, y)) in es
+        )
+        assert got[v] == (len(nb), t)
+    assert set(got) == set(adj)
+
+
+@given(seed=st.integers(0, 10**6))
+@SET
+def test_random_walks_property_valid_and_deterministic(spark, seed):
+    """every step of every walk traverses a real edge; the corpus is a
+    pure function of (graph, salt)."""
+    from spatialdata_spark.pipeline.graph import random_walks
+
+    rng = random.Random(seed)
+    nodes = list(range(12))
+    und = sorted(
+        {
+            (min(a, b), max(a, b))
+            for a, b in ((rng.choice(nodes), rng.choice(nodes)) for _ in range(25))
+            if a != b
+        }
+    )
+    if not und:
+        return
+    df = spark.createDataFrame(und, ["src", "dst"])
+    out = random_walks(df, walk_len=3, walks_per_node=1, salt=seed % 1000).collect()
+    es = {frozenset(e) for e in und}
+    walks = {}
+    for r in out:
+        walks.setdefault((r["start"], r["walk_no"]), {})[r["step"]] = r["node"]
+    touched = {x for e in und for x in e}
+    assert {k[0] for k in walks} == touched
+    for (start, _), path in walks.items():
+        assert sorted(path) == [0, 1, 2, 3]
+        assert path[0] == start
+        for t in range(1, 4):
+            assert frozenset((path[t - 1], path[t])) in es

@@ -7658,7 +7658,7 @@ def _random_walks_sql(walk_len: int = 4, walks_per_node: int = 1, salt: int = 42
             f" + c.walk_no * 69069 + {salt}) % 2147483648)"
         )
         step_ctes.append(
-            f"""w{t} AS (
+            f"""w{t} AS MATERIALIZED (
   SELECT c.start, c.walk_no, a.nbr AS node
   FROM w{t - 1} c
   JOIN deg d ON c.node = d.node
@@ -7670,24 +7670,24 @@ def _random_walks_sql(walk_len: int = 4, walks_per_node: int = 1, salt: int = 42
             f"SELECT start, walk_no, CAST({t} AS BIGINT) AS step, node FROM w{t}"
         )
     return f"""
-WITH op AS (
+WITH op AS MATERIALIZED (
   SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS p FROM lineitem
 ),
-und AS (
+und AS MATERIALIZED (
   SELECT DISTINCT a.p AS u, b.p AS v
   FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
 ),
-adj0 AS (
+adj0 AS MATERIALIZED (
   SELECT u AS node, v AS nbr FROM und
   UNION ALL SELECT v AS node, u AS nbr FROM und
 ),
-adj AS (
+adj AS MATERIALIZED (
   SELECT node, nbr,
          ROW_NUMBER() OVER (PARTITION BY node ORDER BY nbr) - 1 AS idx
   FROM adj0
 ),
-deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM adj0 GROUP BY 1),
-w0 AS (
+deg AS MATERIALIZED (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM adj0 GROUP BY 1),
+w0 AS MATERIALIZED (
   SELECT deg.node AS start, t.walk_no, deg.node AS node
   FROM deg, (SELECT UNNEST(range({walks_per_node})) AS walk_no) t
 ),
@@ -7708,29 +7708,34 @@ def pl_kcore(spark, sf_dir):
 
 
 def _kcore_sql(k: int = 60, rounds: int = 3) -> str:
+    # every CTE is MATERIALIZED: each a{r} / live{r} is referenced
+    # twice by the next round, and an engine that inlines CTEs
+    # (DuckDB default) would re-compute the whole chain below it per
+    # reference — exponential in rounds (measured: 45 GB of spill at
+    # sf0.1 before the fix; materialized, the replay is sub-second)
     ctes = [
-        """op AS (
+        """op AS MATERIALIZED (
   SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS p FROM lineitem
 )""",
-        """und AS (
+        """und AS MATERIALIZED (
   SELECT DISTINCT a.p AS u, b.p AS v
   FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
 )""",
-        """a0 AS (
+        """a0 AS MATERIALIZED (
   SELECT DISTINCT node
   FROM (SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
 )""",
     ]
     for r in range(1, rounds + 1):
         ctes.append(
-            f"""live{r} AS (
+            f"""live{r} AS MATERIALIZED (
   SELECT und.u, und.v FROM und
   JOIN a{r - 1} x ON und.u = x.node
   JOIN a{r - 1} y ON und.v = y.node
 )"""
         )
         ctes.append(
-            f"""a{r} AS (
+            f"""a{r} AS MATERIALIZED (
   SELECT node
   FROM (SELECT u AS node FROM live{r} UNION ALL SELECT v AS node FROM live{r})
   GROUP BY 1 HAVING COUNT(*) >= {k}
@@ -7767,19 +7772,22 @@ def pl_hop_dist(spark, sf_dir):
 
 def _hop_dist_sql(seeds=(1, 2, 3, 4, 5), max_hops: int = 2) -> str:
     vals = ", ".join(f"({s})" for s in seeds)
+    # MATERIALIZED for the same reason as _kcore_sql: d{h-1} is
+    # referenced twice per hop — inlining would re-derive the whole
+    # chain (and und under it) exponentially
     ctes = [
-        """op AS (
+        """op AS MATERIALIZED (
   SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS p FROM lineitem
 )""",
-        """und AS (
+        """und AS MATERIALIZED (
   SELECT DISTINCT a.p AS u, b.p AS v
   FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
 )""",
-        """adj AS (
+        """adj AS MATERIALIZED (
   SELECT u AS node, v AS nbr FROM und
   UNION ALL SELECT v AS node, u AS nbr FROM und
 )""",
-        f"""d0 AS (
+        f"""d0 AS MATERIALIZED (
   SELECT CAST(seed AS BIGINT) AS seed, CAST(seed AS BIGINT) AS node,
          CAST(0 AS BIGINT) AS dist
   FROM (VALUES {vals}) t(seed)
@@ -7787,7 +7795,7 @@ def _hop_dist_sql(seeds=(1, 2, 3, 4, 5), max_hops: int = 2) -> str:
     ]
     for h in range(1, max_hops + 1):
         ctes.append(
-            f"""d{h} AS (
+            f"""d{h} AS MATERIALIZED (
   SELECT seed, node, CAST(MIN(dist) AS BIGINT) AS dist
   FROM (
     SELECT seed, node, dist FROM d{h - 1}

@@ -215,6 +215,11 @@ def calibration_bins(
 
     Determinism: the ntile orders by ``(score, id)`` — the id
     tie-break pins bin assignment under score ties on any engine.
+    NULL-score rows are DROPPED before binning (engines disagree on
+    NULL sort position — Spark defaults NULLS FIRST, SQL engines
+    commonly NULLS LAST — so excluding them is the only
+    cross-engine-stable contract; a NULL score carries no calibration
+    signal anyway).
     The ntile is a global sort of the SCORED table (score + label +
     id only, never the text); at extreme corpus scale the documented
     swap is approx_percentile bin edges, the same trade recorded by
@@ -225,11 +230,15 @@ def calibration_bins(
     from pyspark.sql.window import Window
 
     w = Window.orderBy("__s", id_col)
-    b = scored.select(
-        F.col(id_col),
-        F.col(label_col).cast("long").alias("__y"),
-        F.col(score_col).alias("__s"),
-    ).withColumn("bin", F.ntile(int(n_bins)).over(w))
+    b = (
+        scored.select(
+            F.col(id_col),
+            F.col(label_col).cast("long").alias("__y"),
+            F.col(score_col).alias("__s"),
+        )
+        .filter(F.col("__s").isNotNull())
+        .withColumn("bin", F.ntile(int(n_bins)).over(w))
+    )
     return (
         b.groupBy("bin")
         .agg(
@@ -282,6 +291,11 @@ def target_encode_kfold(
     ``fold`` overrides the default ``xxhash64``-derived fold with a
     caller-supplied integer Column in ``[0, n_folds)`` (e.g. a Knuth
     multiplicative hash for engines without xxhash64).
+
+    NULL labels follow standard SQL SUM semantics on every engine:
+    the row counts toward ``n_cat``/``n_oof`` but contributes 0 to the
+    label sum — i.e. a NULL label shrinks the encoding exactly like a
+    0 label.  Filter NULLs upstream if that is not the intent.
 
     Output: ``(id, category, fold, n_oof, te)`` with ``te`` 6 dp.
     """

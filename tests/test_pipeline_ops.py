@@ -4269,3 +4269,19 @@ def test_hop_distances_matches_python(spark):
         for v, d in dist.items():
             ref[(s, v)] = d
     assert out == ref
+
+
+def test_calibration_bins_drops_null_scores(spark):
+    from spatialdata_spark.pipeline.classify import calibration_bins
+
+    rows = [(i, float(i), i % 2) for i in range(20)] + [
+        (100, None, 1),
+        (101, None, 0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, llr_mean double, label int")
+    out = calibration_bins(df, n_bins=4).collect()
+    # NULL-score rows excluded entirely (engines disagree on NULL sort
+    # position, so they can't deterministically bin)
+    assert sum(r["n_docs"] for r in out) == 20
+    assert sum(r["n_pos"] for r in out) == 10
+    assert all(r["mean_score"] is not None for r in out)

@@ -7594,22 +7594,22 @@ def pl_link_pred(spark, sf_dir):
 
 
 PL_LINK_PRED_SQL = """
-WITH op AS (
+WITH op AS MATERIALIZED (
   SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS p FROM lineitem
 ),
-und AS (
+und AS MATERIALIZED (
   SELECT DISTINCT a.p AS u, b.p AS v
   FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
 ),
-deg AS (
+deg AS MATERIALIZED (
   SELECT node, CAST(COUNT(*) AS BIGINT) AS d
   FROM (SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
   GROUP BY 1
 ),
-nbrs AS (
+nbrs AS MATERIALIZED (
   SELECT u AS w, v AS x FROM und UNION ALL SELECT v AS w, u AS x FROM und
 ),
-nb2 AS (
+nb2 AS MATERIALIZED (
   SELECT nbrs.w, nbrs.x
   FROM nbrs JOIN deg ON nbrs.w = deg.node AND deg.d <= 1000
 ),

@@ -7387,14 +7387,14 @@ def pl_triangles(spark, sf_dir):
 
 
 PL_TRIANGLES_SQL = """
-WITH op AS (
+WITH op AS MATERIALIZED (
   SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS p FROM lineitem
 ),
-und AS (
+und AS MATERIALIZED (
   SELECT DISTINCT a.p AS u, b.p AS v
   FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
 ),
-deg AS (
+deg AS MATERIALIZED (
   SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
   FROM (SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
   GROUP BY 1
@@ -7433,14 +7433,14 @@ def pl_graph_stats(spark, sf_dir):
 
 
 PL_GRAPH_STATS_SQL = """
-WITH op AS (
+WITH op AS MATERIALIZED (
   SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS p FROM lineitem
 ),
-und AS (
+und AS MATERIALIZED (
   SELECT DISTINCT a.p AS u, b.p AS v
   FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
 ),
-deg AS (
+deg AS MATERIALIZED (
   SELECT node, CAST(COUNT(*) AS BIGINT) AS d
   FROM (SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
   GROUP BY 1
@@ -7456,7 +7456,7 @@ tri AS (
   JOIN und e2 ON e1.v = e2.u
   JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
 ),
-dc AS (
+dc AS MATERIALIZED (
   SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und
 ),
 es AS (

@@ -3063,6 +3063,39 @@ SELECT {case} AS lang_pred, COUNT(*) AS n FROM scored GROUP BY 1
 PL_LANGUAGE_ID_SQL = _lid_sql()
 
 
+def _lid_pred_ctes() -> str:
+    """Shared CTE fragment: ``pred(doc_id, p)`` = the stopword-vote
+    language prediction, same hits/case construction as _lid_sql."""
+    from spatialdata_spark.pipeline.textstats import _STOPWORDS
+
+    langs = list(_STOPWORDS)
+    hits = ", ".join(
+        " + ".join(
+            f"CASE WHEN POSITION(' {w} ' IN lp) > 0 THEN 1 ELSE 0 END"
+            for w in _STOPWORDS[lang]
+        )
+        + f" AS h_{lang}"
+        for lang in langs
+    )
+    branches = []
+    for i, lang in enumerate(langs):
+        conds = [f"h_{lang} >= 2"]
+        for j, other in enumerate(langs):
+            if j < i:
+                conds.append(f"h_{lang} > h_{other}")
+            elif j > i:
+                conds.append(f"h_{lang} >= h_{other}")
+        branches.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case = "CASE " + " ".join(branches) + " ELSE 'unknown' END"
+    return rf"""lpd AS MATERIALIZED (
+  SELECT doc_id, ' ' || regexp_replace(LOWER(text), '\s+', ' ', 'g') || ' ' AS lp FROM documents
+), scored AS MATERIALIZED (
+  SELECT doc_id, {hits} FROM lpd
+), pred AS MATERIALIZED (
+  SELECT doc_id, {case} AS p FROM scored
+)"""
+
+
 def pl_lsh_topk(spark, sf_dir):
     """Hyperplane-LSH bucketed top-3 neighbors with *data-derived*
     planes (embeddings of vec_id 1..6), so bucket assignment and the
@@ -7811,6 +7844,101 @@ def _hop_dist_sql(seeds=(1, 2, 3, 4, 5), max_hops: int = 2) -> str:
     )
 
 
+def pl_confusion(spark, sf_dir):
+    """Per-class confusion statistics of the stopword-vote language-ID
+    heuristic against the true lang column — exact tp/fp/fn counts,
+    6-dp precision/recall/f1; one class²-sized confusion aggregation,
+    the corpus scanned once."""
+    from spatialdata_spark.pipeline.classify import confusion_stats
+    from spatialdata_spark.pipeline.textstats import language_id
+
+    docs = _read(spark, sf_dir, "documents")
+    preds = language_id(docs).select("doc_id", "lang_pred")
+    j = docs.select("doc_id", "lang").join(preds, "doc_id")
+    return confusion_stats(j, label_col="lang", pred_col="lang_pred")
+
+
+def _confusion_sql() -> str:
+    return f"""
+WITH {_lid_pred_ctes()},
+j AS MATERIALIZED (
+  SELECT d.lang AS t, pred.p
+  FROM documents d JOIN pred ON d.doc_id = pred.doc_id
+),
+m AS MATERIALIZED (
+  SELECT t, p, CAST(COUNT(*) AS BIGINT) AS n FROM j GROUP BY 1, 2
+),
+cls AS (
+  SELECT DISTINCT t AS class FROM m
+  UNION SELECT DISTINCT p AS class FROM m
+),
+tpc AS (SELECT t AS class, n AS tp FROM m WHERE t = p),
+tr AS (SELECT t AS class, CAST(SUM(n) AS BIGINT) AS nt FROM m GROUP BY 1),
+pr AS (SELECT p AS class, CAST(SUM(n) AS BIGINT) AS np FROM m GROUP BY 1)
+SELECT cls.class,
+  CAST(COALESCE(tpc.tp, 0) AS BIGINT) AS tp,
+  CAST(COALESCE(pr.np, 0) - COALESCE(tpc.tp, 0) AS BIGINT) AS fp,
+  CAST(COALESCE(tr.nt, 0) - COALESCE(tpc.tp, 0) AS BIGINT) AS fn,
+  CASE WHEN pr.np > 0
+       THEN ROUND(COALESCE(tpc.tp, 0) * 1.0 / pr.np, 6) END AS "precision",
+  CASE WHEN tr.nt > 0
+       THEN ROUND(COALESCE(tpc.tp, 0) * 1.0 / tr.nt, 6) END AS recall,
+  CASE WHEN pr.np > 0 AND tr.nt > 0
+       THEN ROUND(2.0 * COALESCE(tpc.tp, 0) / (pr.np + tr.nt), 6) END AS f1
+FROM cls
+LEFT JOIN tpc ON cls.class = tpc.class
+LEFT JOIN tr ON cls.class = tr.class
+LEFT JOIN pr ON cls.class = pr.class
+"""
+
+
+def pl_kappa(spark, sf_dir):
+    """Cohen's kappa between the language-ID heuristic and the true
+    lang label (chance-corrected agreement — the redundancy check
+    before trusting two cheap labelers to cross-validate): everything
+    up to one final division stays in DECIMAL(38,0) integer sums."""
+    from spatialdata_spark.pipeline.classify import cohens_kappa
+    from spatialdata_spark.pipeline.textstats import language_id
+
+    docs = _read(spark, sf_dir, "documents")
+    preds = language_id(docs).select("doc_id", "lang_pred")
+    j = docs.select("doc_id", "lang").join(preds, "doc_id")
+    return cohens_kappa(j, "lang_pred", "lang")
+
+
+def _kappa_sql() -> str:
+    return f"""
+WITH {_lid_pred_ctes()},
+j AS MATERIALIZED (
+  SELECT pred.p AS a, d.lang AS b
+  FROM documents d JOIN pred ON d.doc_id = pred.doc_id
+),
+m AS MATERIALIZED (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n FROM j GROUP BY 1, 2
+),
+am AS (SELECT a AS k, CAST(SUM(n) AS BIGINT) AS ka FROM m GROUP BY 1),
+bm AS (SELECT b AS k, CAST(SUM(n) AS BIGINT) AS kb FROM m GROUP BY 1),
+cr AS (
+  SELECT COALESCE(am.ka, 0) * COALESCE(bm.kb, 0) AS ab
+  FROM am FULL OUTER JOIN bm ON am.k = bm.k
+),
+st AS (
+  SELECT (SELECT CAST(SUM(n) AS BIGINT) FROM m) AS t,
+         (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) FROM m WHERE a = b) AS agree,
+         (SELECT SUM(ab) FROM cr) AS sab
+)
+SELECT CAST(t AS BIGINT) AS n,
+       ROUND(CAST(agree AS DOUBLE) / CAST(t AS DOUBLE), 6) AS po,
+       ROUND(CAST(sab AS DOUBLE)
+             / (CAST(t AS DOUBLE) * CAST(t AS DOUBLE)), 6) AS pe,
+       CASE WHEN CAST(t * t - sab AS DOUBLE) <> 0 THEN
+         ROUND(CAST(t * agree - sab AS DOUBLE)
+               / CAST(t * t - sab AS DOUBLE), 6)
+       END AS kappa
+FROM st
+"""
+
+
 def pl_rrf_hybrid(spark, sf_dir):
     """Hybrid retrieval: BM25 sparse ranks fused with dense embedding
     ranks by reciprocal-rank fusion (Cormack 2009), top 50.  The dense
@@ -9068,6 +9196,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pl_random_walks": pl_random_walks,
         "pl_kcore": pl_kcore,
         "pl_hop_dist": pl_hop_dist,
+        "pl_confusion": pl_confusion,
+        "pl_kappa": pl_kappa,
         # --- re-check: oracle SUM cast to BIGINT this round (hash-red r7
         # was a DuckDB HUGEINT->float64 fetch dtype, values were equal) ---
         "pl_pagerank": pl_pagerank,
@@ -9324,6 +9454,8 @@ def oracle_sql() -> dict[str, str]:
         "pl_random_walks": _random_walks_sql(),
         "pl_kcore": _kcore_sql(),
         "pl_hop_dist": _hop_dist_sql(),
+        "pl_confusion": _confusion_sql(),
+        "pl_kappa": _kappa_sql(),
         # --- pre-round-8 ---
         "pl_burstiness": PL_BURSTINESS_SQL,
         "pl_cooccur_pmi": PL_COOCCUR_PMI_SQL,

@@ -28,6 +28,8 @@ from pyspark.sql import functions as F
 __all__ = [
     "auc_rank",
     "calibration_bins",
+    "cohens_kappa",
+    "confusion_stats",
     "nb_score",
     "nb_train",
     "target_encode_kfold",
@@ -398,4 +400,144 @@ def woe_iv(
         "n_neg",
         F.round(woe, 6).alias("woe"),
         F.round((p_c - q_c) * woe, 6).alias("iv_part"),
+    )
+
+
+def confusion_stats(
+    df: DataFrame,
+    label_col: str = "label",
+    pred_col: str = "pred",
+) -> DataFrame:
+    """Per-class confusion statistics for a multi-class prediction
+    table: one row per class appearing in truth or prediction, with
+    exact ``tp / fp / fn`` counts and 6-dp ``precision / recall / f1``
+    — the eval companion of :func:`auc_rank` (AUC ranks scores;
+    this grades a hard assignment).
+
+    Plan: ONE map-side-combinable count over ``(label, pred)`` (the
+    confusion matrix, class²-sized metadata) and two class-sized
+    rollups joined back — the corpus is scanned once and never
+    shuffled beyond the matrix aggregation.  Ratios are single
+    divisions of exact int64 counts; a class with no predictions
+    (precision) or no truth rows (recall) reports NULL, and f1 is
+    NULL unless both are defined and nonzero-summed.
+    """
+    m = (
+        df.select(
+            F.col(label_col).alias("__t"), F.col(pred_col).alias("__p")
+        )
+        .groupBy("__t", "__p")
+        .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+        .persist()
+    )
+    classes = (
+        m.select(F.col("__t").alias("class"))
+        .union(m.select(F.col("__p").alias("class")))
+        .distinct()
+    )
+    tp = m.filter(F.col("__t") == F.col("__p")).select(
+        F.col("__t").alias("class"), F.col("__n").alias("tp")
+    )
+    truth = m.groupBy(F.col("__t").alias("class")).agg(
+        F.sum("__n").cast("long").alias("__nt")
+    )
+    pred = m.groupBy(F.col("__p").alias("class")).agg(
+        F.sum("__n").cast("long").alias("__np")
+    )
+    j = (
+        classes.join(tp, "class", "left")
+        .join(truth, "class", "left")
+        .join(pred, "class", "left")
+        .select(
+            "class",
+            F.coalesce(F.col("tp"), F.lit(0)).cast("long").alias("tp"),
+            (F.coalesce(F.col("__np"), F.lit(0)) - F.coalesce(F.col("tp"), F.lit(0)))
+            .cast("long")
+            .alias("fp"),
+            (F.coalesce(F.col("__nt"), F.lit(0)) - F.coalesce(F.col("tp"), F.lit(0)))
+            .cast("long")
+            .alias("fn"),
+            F.col("__nt"),
+            F.col("__np"),
+        )
+    )
+    precision = F.when(
+        F.col("__np") > 0, F.round(F.col("tp") / F.col("__np"), 6)
+    )
+    recall = F.when(F.col("__nt") > 0, F.round(F.col("tp") / F.col("__nt"), 6))
+    f1 = F.when(
+        (F.col("__np") > 0)
+        & (F.col("__nt") > 0)
+        & (F.col("__np") + F.col("__nt") > 0),
+        F.round(2.0 * F.col("tp") / (F.col("__np") + F.col("__nt")), 6),
+    )
+    return j.select(
+        "class", "tp", "fp", "fn",
+        precision.alias("precision"),
+        recall.alias("recall"),
+        f1.alias("f1"),
+    )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    pred_a: str,
+    pred_b: str,
+) -> DataFrame:
+    """Cohen's kappa agreement between two raters/classifiers over the
+    same rows (Cohen 1960) — THE redundancy check before trusting two
+    cheap labelers to cross-validate each other:
+
+        kappa = (po - pe) / (1 - pe)
+        po = sum_k n_kk / n          (observed agreement)
+        pe = sum_k (a_k * b_k) / n²  (chance agreement from marginals)
+
+    Exactness: everything up to the final division stays integer —
+    ``po`` and ``pe`` share the denominator ``n²``, so
+    ``kappa = (n * sum n_kk - sum a_k b_k) / (n² - sum a_k b_k)`` is
+    one division of two DECIMAL(38,0) order-free sums.  NULL when the
+    denominator is 0 (both raters constant and identical marginals).
+
+    Plan: one ``(a, b)`` count (class²-sized), marginal rollups within
+    that metadata table.  Output: one row ``(n, po, pe, kappa)``,
+    6 dp.
+    """
+    dec = "decimal(38,0)"
+    m = (
+        df.select(F.col(pred_a).alias("__a"), F.col(pred_b).alias("__b"))
+        .groupBy("__a", "__b")
+        .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+        .persist()
+    )
+    am = m.groupBy("__a").agg(F.sum("__n").cast("long").alias("__ka"))
+    bm = m.groupBy(F.col("__b").alias("__a")).agg(
+        F.sum("__n").cast("long").alias("__kb")
+    )
+    cross = am.join(bm, "__a", "full_outer").select(
+        (
+            F.coalesce(F.col("__ka"), F.lit(0)).cast(dec)
+            * F.coalesce(F.col("__kb"), F.lit(0)).cast(dec)
+        ).alias("__ab")
+    )
+    stats = (
+        m.agg(
+            F.sum("__n").cast(dec).alias("__t"),
+            F.sum(F.when(F.col("__a") == F.col("__b"), F.col("__n")))
+            .cast(dec)
+            .alias("__agree"),
+        )
+        .crossJoin(cross.agg(F.sum("__ab").cast(dec).alias("__sab")))
+    )
+    agree = F.coalesce(F.col("__agree"), F.lit(0).cast(dec))
+    num = (F.col("__t") * agree - F.col("__sab")).cast("double")
+    den = (F.col("__t") * F.col("__t") - F.col("__sab")).cast("double")
+    return stats.select(
+        F.col("__t").cast("long").alias("n"),
+        F.round(agree.cast("double") / F.col("__t").cast("double"), 6).alias("po"),
+        F.round(
+            F.col("__sab").cast("double")
+            / (F.col("__t").cast("double") * F.col("__t").cast("double")),
+            6,
+        ).alias("pe"),
+        F.when(den != 0, F.round(num / den, 6)).alias("kappa"),
     )

@@ -4285,3 +4285,65 @@ def test_calibration_bins_drops_null_scores(spark):
     assert sum(r["n_docs"] for r in out) == 20
     assert sum(r["n_pos"] for r in out) == 10
     assert all(r["mean_score"] is not None for r in out)
+
+
+def test_confusion_stats_matches_python(spark):
+    import random
+
+    from spatialdata_spark.pipeline.classify import confusion_stats
+
+    rng = random.Random(3)
+    rows = [(rng.choice("abc"), rng.choice("abd")) for _ in range(300)]
+    df = spark.createDataFrame(rows, ["label", "pred"])
+    out = {r["class"]: r for r in confusion_stats(df).collect()}
+
+    classes = {c for r in rows for c in r}
+    assert set(out) == classes
+    for c in classes:
+        tp = sum(1 for t, p in rows if t == c and p == c)
+        fp = sum(1 for t, p in rows if t != c and p == c)
+        fn = sum(1 for t, p in rows if t == c and p != c)
+        r = out[c]
+        assert (r["tp"], r["fp"], r["fn"]) == (tp, fp, fn)
+        npred, ntruth = tp + fp, tp + fn
+        assert r["precision"] == (round(tp / npred, 6) if npred else None)
+        assert r["recall"] == (round(tp / ntruth, 6) if ntruth else None)
+        if npred and ntruth:
+            assert abs(r["f1"] - round(2 * tp / (npred + ntruth), 6)) < 1e-9
+    # 'c' never predicted -> precision NULL; 'd' never true -> recall NULL
+    assert out["c"]["precision"] is None and out["c"]["recall"] is not None
+    assert out["d"]["recall"] is None and out["d"]["precision"] is not None
+
+
+def test_cohens_kappa_matches_python(spark):
+    import random
+
+    from spatialdata_spark.pipeline.classify import cohens_kappa
+
+    rng = random.Random(29)
+    rows = []
+    for _ in range(500):
+        a = rng.choice("xyz")
+        b = a if rng.random() < 0.7 else rng.choice("xyz")
+        rows.append((a, b))
+    df = spark.createDataFrame(rows, ["rater_a", "rater_b"])
+    out = cohens_kappa(df, "rater_a", "rater_b").collect()[0]
+
+    from collections import Counter
+
+    n = len(rows)
+    agree = sum(1 for a, b in rows if a == b)
+    ca, cb = Counter(a for a, _ in rows), Counter(b for _, b in rows)
+    sab = sum(ca[k] * cb.get(k, 0) for k in ca)
+    po, pe = agree / n, sab / (n * n)
+    kappa = (n * agree - sab) / (n * n - sab)
+    assert out["n"] == n
+    assert abs(out["po"] - round(po, 6)) < 1e-9
+    assert abs(out["pe"] - round(pe, 6)) < 1e-9
+    assert abs(out["kappa"] - round(kappa, 6)) < 1e-9
+    assert (po - pe) / (1 - pe) - kappa < 1e-12  # same identity
+    # perfect agreement -> kappa 1; constant identical raters -> NULL
+    same = spark.createDataFrame([(c, c) for c in "xyzxyz"], ["a", "b"])
+    assert cohens_kappa(same, "a", "b").collect()[0]["kappa"] == 1.0
+    const = spark.createDataFrame([("x", "x")] * 5, ["a", "b"])
+    assert cohens_kappa(const, "a", "b").collect()[0]["kappa"] is None

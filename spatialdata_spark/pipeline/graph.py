@@ -39,6 +39,7 @@ __all__ = [
     "kcore_rounds",
     "label_propagation",
     "link_prediction",
+    "modularity",
     "pagerank",
     "random_walks",
     "triangle_count",
@@ -635,3 +636,77 @@ def hop_distances(
             .agg(F.min("dist").cast("long").alias("dist"))
         )
     return dist
+
+
+def modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    label_col: str = "label",
+) -> DataFrame:
+    """Newman-Girvan modularity of a node labeling over an undirected
+    graph — THE quality score for :func:`label_propagation`'s
+    communities (Q near 0: no better than chance; ~0.3+: real
+    structure).
+
+    EXACT RATIONAL FORM: with ``m`` undirected edges, ``in_c`` the
+    intra-community edge count and ``deg_c`` the community degree sum,
+
+        Q = sum_c [ in_c/m - (deg_c/(2m))^2 ]
+          = (4m * sum_c in_c - sum_c deg_c^2) / (4m^2)
+
+    so the numerator and denominator are order-free DECIMAL(38,0)
+    integer sums — one deterministic double division at the end, and
+    the exact integers ride along in the output for a bit-exact
+    replay.
+
+    Plan: one broadcast-gated label join per edge endpoint (labels are
+    the node-sized table), one conditional count for ``in_c``, one
+    community-sized rollup for ``deg_c`` — the edge table is scanned
+    once.
+
+    Output: one row ``(m, q_num, q_den, modularity)``, 6 dp; NULL
+    modularity for an empty edge set.
+    """
+    spark = edges.sparkSession
+    dec = "decimal(38,0)"
+    und = undirected_edges(edges, src_col, dst_col)
+    lab = labels.select(
+        F.col(node_col).cast("long").alias("__n"), F.col(label_col).alias("__l")
+    )
+    blab = F.broadcast(lab) if spark.sparkContext.master.startswith("local") else lab
+    j = (
+        und.join(blab.select(F.col("__n").alias("u"), F.col("__l").alias("__lu")), "u")
+        .join(blab.select(F.col("__n").alias("v"), F.col("__l").alias("__lv")), "v")
+    )
+    base = j.agg(
+        F.count(F.lit(1)).cast(dec).alias("__m"),
+        F.coalesce(
+            F.sum(F.when(F.col("__lu") == F.col("__lv"), 1)), F.lit(0)
+        )
+        .cast(dec)
+        .alias("__in"),
+    )
+    # community degree sums from the edge list's own endpoints: every
+    # edge contributes 1 to each endpoint's community degree
+    degc = (
+        j.select(F.col("__lu").alias("__c"))
+        .union(j.select(F.col("__lv").alias("__c")))
+        .groupBy("__c")
+        .agg(F.count(F.lit(1)).cast(dec).alias("__d"))
+        .agg(F.sum(F.col("__d") * F.col("__d")).cast(dec).alias("__sd2"))
+    )
+    out = base.crossJoin(degc)
+    q_num = (4 * F.col("__m") * F.col("__in") - F.col("__sd2")).cast(dec)
+    q_den = (4 * F.col("__m") * F.col("__m")).cast(dec)
+    return out.select(
+        F.col("__m").cast("long").alias("m"),
+        q_num.alias("q_num"),
+        q_den.alias("q_den"),
+        F.when(
+            F.col("__m") > 0,
+            F.round(q_num.cast("double") / q_den.cast("double"), 6),
+        ).alias("modularity"),
+    )

@@ -4347,3 +4347,56 @@ def test_cohens_kappa_matches_python(spark):
     assert cohens_kappa(same, "a", "b").collect()[0]["kappa"] == 1.0
     const = spark.createDataFrame([("x", "x")] * 5, ["a", "b"])
     assert cohens_kappa(const, "a", "b").collect()[0]["kappa"] is None
+
+
+def test_modularity_matches_python(spark):
+    import random
+
+    from spatialdata_spark.pipeline.graph import label_propagation, modularity
+
+    # two dense cliques + one bridge: strong community structure
+    cliqueA = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    cliqueB = [(a, b) for a in range(10, 15) for b in range(a + 1, 15)]
+    und = cliqueA + cliqueB + [(4, 10)]
+    df = spark.createDataFrame(und, ["src", "dst"])
+    good = spark.createDataFrame(
+        [(v, 0 if v < 5 else 1) for v in list(range(5)) + list(range(10, 15))],
+        ["node", "label"],
+    )
+    out = modularity(df, good).collect()[0]
+
+    m = len(und)
+    lab = {v: (0 if v < 5 else 1) for v in list(range(5)) + list(range(10, 15))}
+    in_c = sum(1 for a, b in und if lab[a] == lab[b])
+    from collections import Counter
+
+    degc = Counter()
+    for a, b in und:
+        degc[lab[a]] += 1
+        degc[lab[b]] += 1
+    sd2 = sum(d * d for d in degc.values())
+    q = (4 * m * in_c - sd2) / (4 * m * m)
+    assert out["m"] == m
+    assert int(out["q_num"]) == 4 * m * in_c - sd2
+    assert int(out["q_den"]) == 4 * m * m
+    assert abs(out["modularity"] - round(q, 6)) < 1e-9
+    assert out["modularity"] > 0.3  # real structure scores high
+    # the all-one-community labeling scores ZERO exactly
+    ugly = good.select("node", F.lit(7).alias("label"))
+    z = modularity(df, ugly).collect()[0]
+    assert int(z["q_num"]) == 0 and z["modularity"] == 0.0
+    # a random labeling scores worse than the true communities
+    rng = random.Random(4)
+    rand = spark.createDataFrame(
+        [(v, rng.randrange(2)) for v in lab], ["node", "label"]
+    )
+    assert modularity(df, rand).collect()[0]["modularity"] < out["modularity"]
+    # LPA labels on this graph recover the cliques -> same modularity
+    lpa = label_propagation(
+        df.union(df.select(F.col("dst").alias("src"), F.col("src").alias("dst"))),
+        k=3,
+    )
+    assert (
+        abs(modularity(df, lpa).collect()[0]["modularity"] - out["modularity"])
+        < 1e-9
+    )

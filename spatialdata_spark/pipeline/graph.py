@@ -41,6 +41,7 @@ __all__ = [
     "link_prediction",
     "modularity",
     "pagerank",
+    "pagerank_weighted",
     "random_walks",
     "triangle_count",
     "undirected_edges",
@@ -710,3 +711,119 @@ def modularity(
             F.round(q_num.cast("double") / q_den.cast("double"), 6),
         ).alias("modularity"),
     )
+
+
+def pagerank_weighted(
+    edges: DataFrame,
+    k: int = 3,
+    scale: int = 10**9,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "weight",
+    seeds: "list[int] | None" = None,
+) -> DataFrame:
+    """Weighted / personalized fixed-point PageRank — :func:`pagerank`
+    with two production extensions, same exactness contract (integer
+    floor arithmetic end-to-end, bit-replayable as unrolled SQL):
+
+    * **Edge weights** (``weight_col``, positive integers — e.g. the
+      co-purchase COUNT instead of mere existence): a node's rank
+      splits over out-edges proportionally, ``(rank(u) * w_uv) //
+      W_u`` with ``W_u`` u's total out-weight.  Bound: ``rank * w``
+      must stay in int64 — ``w <= ~9e9`` at the default scale,
+      documented, far above any count this engine feeds it.
+    * **Personalization** (``seeds``): the teleport term lands ONLY on
+      the seed set (Page 1999's personalized vector), turning global
+      importance into importance RELATIVE to the seeds — the
+      "expand from curated examples" primitive.  Ranks start uniform
+      over seeds, 0 elsewhere.
+
+    Zero-weight/negative edges are rejected loudly (they would divide
+    rank mass into nothing).  ``seeds=None`` + all-1 weights gives
+    exactly :func:`pagerank`'s distribution (pinned by test).
+
+    Returns ``(node, rank_fp)``.
+    """
+    spark = edges.sparkSession
+    e = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+        F.col(weight_col).cast("long").alias("__w"),
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    from pyspark.sql.window import Window
+
+    # out-weight via a window, not a self-join (lineage-dedup safe);
+    # same physical shape: one hash partition by src.  NOTE the column
+    # names differ beyond case — Spark's resolver is case-insensitive,
+    # so "__w"/"__W" would be ONE column and the withColumn a REPLACE
+    ed = e.withColumn(
+        "__wsum", F.sum("__w").over(Window.partitionBy("src")).cast("long")
+    ).persist()
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        raise ValueError("pagerank_weighted: empty edge list (no nodes)")
+    bad = e.filter((F.col("__w").isNull()) | (F.col("__w") <= 0)).count()
+    if bad:
+        raise ValueError(f"pagerank_weighted: {bad} non-positive/null weights")
+    if seeds is not None:
+        seed_df = spark.createDataFrame(
+            [(int(s),) for s in seeds], ["node"]
+        ).select(F.col("node").cast("long").alias("node"))
+        n_tele = len(set(int(s) for s in seeds))
+        init = nodes.join(F.broadcast(seed_df), "node", "left_semi").withColumn(
+            "rank_fp", F.lit(scale // n_tele).cast("long")
+        )
+        ranks = nodes.join(init.select("node", "rank_fp"), "node", "left").select(
+            "node", F.coalesce(F.col("rank_fp"), F.lit(0)).cast("long").alias("rank_fp")
+        )
+        tele = nodes.join(F.broadcast(seed_df), "node", "left_semi").select(
+            "node",
+            F.lit(
+                ((damping_den - damping_num) * scale) // (damping_den * n_tele)
+            ).alias("__b"),
+        )
+    else:
+        ranks = nodes.withColumn("rank_fp", F.lit(scale // n_nodes).cast("long"))
+        tele = nodes.select(
+            "node",
+            F.lit(
+                ((damping_den - damping_num) * scale) // (damping_den * n_nodes)
+            ).alias("__b"),
+        )
+    tele = tele.persist()
+    for _ in range(int(k)):
+        r = ranks.select(F.col("node").alias("src"), "rank_fp")
+        if spark.sparkContext.master.startswith("local"):
+            r = F.broadcast(r)
+        contrib = (
+            ed.join(r, "src")
+            .select("dst", F.expr("(rank_fp * __w) DIV __wsum").alias("__c"))
+            .groupBy("dst")
+            .agg(F.sum("__c").alias("__in"))
+        )
+        if spark.sparkContext.master.startswith("local"):
+            contrib = F.broadcast(contrib)
+        ranks = (
+            nodes.join(tele, "node", "left")
+            .join(contrib, nodes["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.coalesce(F.col("__b"), F.lit(0))
+                    + F.expr(
+                        f"({damping_num} * coalesce(__in, 0L)) DIV {damping_den}"
+                    )
+                )
+                .cast("long")
+                .alias("rank_fp"),
+            )
+        )
+    return ranks

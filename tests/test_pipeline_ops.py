@@ -4400,3 +4400,85 @@ def test_modularity_matches_python(spark):
         abs(modularity(df, lpa).collect()[0]["modularity"] - out["modularity"])
         < 1e-9
     )
+
+
+def test_pagerank_weighted_matches_python(spark):
+    import random
+
+    from spatialdata_spark.pipeline.graph import pagerank, pagerank_weighted
+
+    rng = random.Random(11)
+    nodes = list(range(1, 15))
+    edges = sorted(
+        {(rng.choice(nodes), rng.choice(nodes)) for _ in range(40)}
+    )
+    wedges = [(a, b, rng.randrange(1, 9)) for a, b in edges]
+    df = spark.createDataFrame(wedges, ["src", "dst", "weight"])
+    got = {r["node"]: r["rank_fp"] for r in pagerank_weighted(df, k=2).collect()}
+
+    scale, dn, dd = 10**9, 85, 100
+    ns = sorted({v for a, b, _ in wedges for v in (a, b)})
+    n = len(ns)
+    W = {}
+    for a, _, w in wedges:
+        W[a] = W.get(a, 0) + w
+    base = ((dd - dn) * scale) // (dd * n)
+    rank = {v: scale // n for v in ns}
+    for _ in range(2):
+        inc = {v: 0 for v in ns}
+        for a, b, w in wedges:
+            inc[b] += (rank[a] * w) // W[a]
+        rank = {v: base + (dn * inc[v]) // dd for v in ns}
+    assert got == rank
+    # all-1 weights reproduce the unweighted operator exactly
+    ones = spark.createDataFrame(
+        [(a, b, 1) for a, b in edges], ["src", "dst", "weight"]
+    )
+    plain = {
+        r["node"]: r["rank_fp"]
+        for r in pagerank(
+            spark.createDataFrame(edges, ["src", "dst"]), k=2
+        ).collect()
+    }
+    assert {
+        r["node"]: r["rank_fp"] for r in pagerank_weighted(ones, k=2).collect()
+    } == plain
+    # non-positive weights rejected loudly
+    import pytest as _pytest
+
+    badw = spark.createDataFrame([(1, 2, 0)], ["src", "dst", "weight"])
+    with _pytest.raises(ValueError, match="non-positive"):
+        pagerank_weighted(badw, k=1)
+
+
+def test_pagerank_personalized_concentrates_on_seeds(spark):
+    from spatialdata_spark.pipeline.graph import pagerank_weighted
+
+    # chain 1-2-3-4-5-6 (both directions), seed at node 1
+    chain = [(i, i + 1, 1) for i in range(1, 6)]
+    chain += [(b, a, w) for a, b, w in chain]
+    df = spark.createDataFrame(chain, ["src", "dst", "weight"])
+    got = {
+        r["node"]: r["rank_fp"]
+        for r in pagerank_weighted(df, k=3, seeds=[1]).collect()
+    }
+    # python replay of the personalized recurrence
+    scale, dn, dd = 10**9, 85, 100
+    ns = list(range(1, 7))
+    W = {v: 0 for v in ns}
+    for a, _, w in chain:
+        W[a] += w
+    base = {v: ((dd - dn) * scale) // dd if v == 1 else 0 for v in ns}
+    rank = {v: scale if v == 1 else 0 for v in ns}
+    for _ in range(3):
+        inc = {v: 0 for v in ns}
+        for a, b, w in chain:
+            inc[b] += (rank[a] * w) // W[a]
+        rank = {v: base[v] + (dn * inc[v]) // dd for v in ns}
+    assert got == rank
+    # mass concentrates on the seed's side of the chain (the seed
+    # itself donates all its mass to node 2 each round, so 2 may
+    # legitimately outrank 1 — concentration, not monotone decay)
+    assert got[6] == min(got.values())
+    assert got[1] + got[2] > got[5] + got[6]
+    assert got[2] > got[5] and got[3] > got[6]

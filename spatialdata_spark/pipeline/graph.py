@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "graph_stats",
+    "hits",
     "hop_distances",
     "kcore_rounds",
     "label_propagation",
@@ -827,3 +828,89 @@ def pagerank_weighted(
             )
         )
     return ranks
+
+
+def hits(
+    edges: DataFrame,
+    k: int = 3,
+    scale: int = 10**6,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """``k`` unrolled rounds of fixed-point HITS (Kleinberg 1999) —
+    hubs & authorities over a directed edge list, the natural scorer
+    for BIPARTITE graphs (a part↔supplier edge list scores parts as
+    hubs and suppliers as authorities in one pass, where PageRank
+    needs the symmetrized walk).
+
+    Exactness: the update ``a(v) = sum_{u->v} h(u)``, ``h(u) =
+    sum_{u->v} a(v)`` runs in DECIMAL(38,0) order-free sums; in place
+    of the float L2 normalization, each round rescales by the integer
+    floor ``x * scale // max(x)`` — max is order-free, so the whole
+    iteration is deterministic and replays exactly (the classic HITS
+    ranking is normalization-invariant, only the scale convention
+    differs from the L2 textbook form — documented).
+
+    Plan per round: one node-sized score join onto the edge list in
+    each direction (broadcast-gated; co-partition at scale) + one
+    map-side-combinable SUM + one scalar MAX to the driver (two
+    scalars per round — the same driver-scalar budget as pagerank's
+    node count).
+
+    Returns ``(node, hub_fp, auth_fp)`` as int64 in ``[0, scale]``.
+    """
+    spark = edges.sparkSession
+    dec = "decimal(38,0)"
+    e = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    ).persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    if nodes.count() == 0:
+        raise ValueError("hits: empty edge list (no nodes)")
+    hub = nodes.withColumn("h", F.lit(int(scale)).cast("long"))
+    auth = None
+    for _ in range(int(k)):
+        hsrc = hub.select(F.col("node").alias("src"), "h")
+        if spark.sparkContext.master.startswith("local"):
+            hsrc = F.broadcast(hsrc)
+        a_raw = (
+            e.join(hsrc, "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("h").cast(dec)).alias("__s"))
+            .persist()
+        )
+        amax = int(a_raw.agg(F.max("__s")).collect()[0][0])
+        auth = nodes.join(a_raw, "node", "left").select(
+            "node",
+            F.coalesce(
+                F.expr(f"CAST((__s * {int(scale)}) DIV {amax} AS BIGINT)"),
+                F.lit(0),
+            ).alias("a"),
+        )
+        adst = auth.select(F.col("node").alias("dst"), "a")
+        if spark.sparkContext.master.startswith("local"):
+            adst = F.broadcast(adst)
+        h_raw = (
+            e.join(adst, "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum(F.col("a").cast(dec)).alias("__s"))
+            .persist()
+        )
+        hmax = int(h_raw.agg(F.max("__s")).collect()[0][0])
+        hub = nodes.join(h_raw, "node", "left").select(
+            "node",
+            F.coalesce(
+                F.expr(f"CAST((__s * {int(scale)}) DIV {hmax} AS BIGINT)"),
+                F.lit(0),
+            ).alias("h"),
+        )
+    return (
+        hub.join(auth, "node")
+        .select("node", F.col("h").alias("hub_fp"), F.col("a").alias("auth_fp"))
+    )

@@ -4482,3 +4482,42 @@ def test_pagerank_personalized_concentrates_on_seeds(spark):
     assert got[6] == min(got.values())
     assert got[1] + got[2] > got[5] + got[6]
     assert got[2] > got[5] and got[3] > got[6]
+
+
+def test_hits_matches_python(spark):
+    import random
+
+    from spatialdata_spark.pipeline.graph import hits
+
+    rng = random.Random(21)
+    # bipartite: parts 1..8 -> suppliers 101..104
+    edges = sorted(
+        {(rng.randrange(1, 9), rng.randrange(101, 105)) for _ in range(18)}
+    )
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    K, S = 3, 10**6
+    out = {r["node"]: (r["hub_fp"], r["auth_fp"]) for r in hits(df, k=K, scale=S).collect()}
+
+    ns = sorted({v for e in edges for v in e})
+    h = {v: S for v in ns}
+    a = {v: 0 for v in ns}
+    for _ in range(K):
+        a_raw = {v: 0 for v in ns}
+        for u, v in edges:
+            a_raw[v] += h[u]
+        amax = max(a_raw.values())
+        a = {v: (a_raw[v] * S) // amax for v in ns}
+        h_raw = {v: 0 for v in ns}
+        for u, v in edges:
+            h_raw[u] += a[v]
+        hmax = max(h_raw.values())
+        h = {v: (h_raw[v] * S) // hmax for v in ns}
+    assert out == {v: (h[v], a[v]) for v in ns}
+    # bipartite separation: suppliers are pure authorities, parts pure hubs
+    for v in ns:
+        if v > 100:
+            assert out[v][0] == 0 and out[v][1] > 0
+        else:
+            assert out[v][1] == 0 and out[v][0] > 0
+    # the top authority is the max by construction: exactly `scale`
+    assert max(x[1] for x in out.values()) == S

@@ -30,6 +30,7 @@ __all__ = [
     "calibration_bins",
     "cohens_kappa",
     "confusion_stats",
+    "lift_table",
     "nb_score",
     "nb_train",
     "target_encode_kfold",
@@ -541,3 +542,78 @@ def cohens_kappa(
         ).alias("pe"),
         F.when(den != 0, F.round(num / den, 6)).alias("kappa"),
     )
+
+
+def lift_table(
+    scored: DataFrame,
+    n_bins: int = 10,
+    score_col: str = "llr_mean",
+    label_col: str = "label",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cumulative gains / lift table — the "if I keep only the top X%
+    by this score, what fraction of the good documents do I capture?"
+    report that decides a curation threshold.  Bin 1 holds the HIGHEST
+    scores (ntile over ``(score DESC, id)``; NULL scores dropped, same
+    cross-engine contract as :func:`calibration_bins`); each row
+    reports the bin and everything cumulative down to it:
+
+        gain = cum_pos / total_pos
+        lift = (cum_pos / cum_docs) / (total_pos / total_docs)
+
+    Exactness: counts are int64; the cumulative window runs over the
+    ``n_bins``-row bin table (metadata — the corpus sort is the one
+    ntile, identical cost to calibration_bins); each ratio is a single
+    division, 6 dp; lift simplifies to the cross-multiplied integer
+    form ``(cum_pos * total_docs) / (cum_docs * total_pos)`` in
+    DECIMAL so it replays exactly.
+
+    Output: ``(bin, n_docs, n_pos, cum_docs, cum_pos, gain, lift)``.
+    """
+    from pyspark.sql.window import Window
+
+    dec = "decimal(38,0)"
+    w = Window.orderBy(F.col("__s").desc(), id_col)
+    b = (
+        scored.select(
+            F.col(id_col),
+            F.col(label_col).cast("long").alias("__y"),
+            F.col(score_col).alias("__s"),
+        )
+        .filter(F.col("__s").isNotNull())
+        .withColumn("bin", F.ntile(int(n_bins)).over(w).cast("long"))
+    )
+    per = b.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__y").cast("long").alias("n_pos"),
+    )
+    cw = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    tot = per.agg(
+        F.sum("n_docs").cast("long").alias("__td"),
+        F.sum("n_pos").cast("long").alias("__tp"),
+    )
+    cum = (
+        per.withColumn("cum_docs", F.sum("n_docs").over(cw).cast("long"))
+        .withColumn("cum_pos", F.sum("n_pos").over(cw).cast("long"))
+        .crossJoin(F.broadcast(tot))
+    )
+    return cum.select(
+        "bin",
+        "n_docs",
+        "n_pos",
+        "cum_docs",
+        "cum_pos",
+        F.when(F.col("__tp") > 0, F.round(F.col("cum_pos") / F.col("__tp"), 6)).alias(
+            "gain"
+        ),
+        F.when(
+            (F.col("__tp") > 0) & (F.col("cum_docs") > 0),
+            F.round(
+                (F.col("cum_pos").cast(dec) * F.col("__td").cast(dec)).cast("double")
+                / (F.col("cum_docs").cast(dec) * F.col("__tp").cast(dec)).cast(
+                    "double"
+                ),
+                6,
+            ),
+        ).alias("lift"),
+    ).orderBy("bin")

@@ -4521,3 +4521,48 @@ def test_hits_matches_python(spark):
             assert out[v][1] == 0 and out[v][0] > 0
     # the top authority is the max by construction: exactly `scale`
     assert max(x[1] for x in out.values()) == S
+
+
+def test_lift_table_matches_python(spark):
+    import random
+
+    from spatialdata_spark.pipeline.classify import lift_table
+
+    rng = random.Random(41)
+    # higher score -> more likely positive, with ties
+    rows = []
+    for i in range(200):
+        s = rng.choice([1, 2, 3, 5, 8])
+        rows.append((i, s, 1 if rng.random() < s / 10 else 0))
+    df = spark.createDataFrame(rows, ["doc_id", "llr_mean", "label"])
+    out = {r["bin"]: r for r in lift_table(df, n_bins=5).collect()}
+
+    srt = sorted(rows, key=lambda r: (-r[1], r[0]))
+    n, k = len(srt), 5
+    base, extra = divmod(n, k)
+    bins, pos = {}, 0
+    for b in range(1, k + 1):
+        size = base + (1 if b <= extra else 0)
+        bins[b] = srt[pos : pos + size]
+        pos += size
+    td = n
+    tp = sum(y for _, _, y in rows)
+    cd = cp = 0
+    for b in range(1, k + 1):
+        nd = len(bins[b])
+        np_ = sum(y for _, _, y in bins[b])
+        cd += nd
+        cp += np_
+        r = out[b]
+        assert (r["n_docs"], r["n_pos"], r["cum_docs"], r["cum_pos"]) == (
+            nd,
+            np_,
+            cd,
+            cp,
+        )
+        assert abs(r["gain"] - round(cp / tp, 6)) < 1e-9
+        assert abs(r["lift"] - round((cp * td) / (cd * tp), 6)) < 1e-9
+    # the final row always has gain 1 and lift 1
+    assert out[5]["gain"] == 1.0 and out[5]["lift"] == 1.0
+    # the top bin of a score correlated with the label lifts above 1
+    assert out[1]["lift"] > 1.0

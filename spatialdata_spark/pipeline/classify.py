@@ -31,6 +31,7 @@ __all__ = [
     "cohens_kappa",
     "confusion_stats",
     "lift_table",
+    "poisson_bootstrap_ci",
     "nb_score",
     "nb_train",
     "target_encode_kfold",
@@ -617,3 +618,99 @@ def lift_table(
             ),
         ).alias("lift"),
     ).orderBy("bin")
+
+
+#: Poisson(1) CDF thresholds on the [0, 1e6) hash grid: multiplicity m
+#: is the count of thresholds <= u, clamped at 6 (P(X>6) ~ 8e-5).
+_POISSON1_CDF_M6 = (367879, 735758, 919698, 981011, 996340, 999405)
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    value_col: str,
+    id_col: str = "doc_id",
+    n_boot: int = 200,
+    alpha: float = 0.05,
+    salt: int = 42,
+    bucket_of=None,
+) -> DataFrame:
+    """Percentile bootstrap confidence interval for the MEAN of an
+    integer-valued column — by the POISSON BOOTSTRAP (each row enters
+    replicate ``b`` with multiplicity ~ Poisson(1), the standard
+    at-scale substitute for multinomial resampling: no global
+    coordination, one pass over ``corpus x n_boot``).
+
+    Determinism (the whole point here): the multiplicity is a PURE
+    HASH of ``(id, b, salt)`` mapped through the Poisson(1) CDF on an
+    integer grid — replicates are identical across runs, retries, and
+    engines.  ``bucket_of(id_col, b_col) -> Column in [0, 1e6)``
+    overrides the default ``xxhash64`` bucket (the
+    :func:`~spatialdata_spark.pipeline.filters.hash_split` contract —
+    pass a Knuth-multiplicative form for engines without xxhash64).
+
+    Exactness: the value must be integer-valued; each replicate's sum
+    and count are DECIMAL(38,0) order-free sums, its mean ONE double
+    division; the percentile CI picks order statistics from the
+    ``n_boot``-row replicate-mean table by rank (floor/ceil of
+    ``alpha/2``-quantile positions — no interpolation, deterministic).
+
+    Output: one row ``(n_rows, mean, n_boot, ci_lo, ci_hi)``, 6 dp.
+    """
+    from pyspark.sql.window import Window
+
+    dec = "decimal(38,0)"
+    spark = df.sparkSession
+    rows = df.select(
+        F.col(id_col).alias("__id"), F.col(value_col).cast("long").alias("__x")
+    )
+    b = rows.crossJoin(
+        spark.range(1, int(n_boot) + 1).select(F.col("id").alias("__b"))
+    )
+    if bucket_of is None:
+        u = F.pmod(F.xxhash64(F.col("__id"), F.col("__b"), F.lit(int(salt))), F.lit(1000000))
+    else:
+        u = bucket_of(F.col("__id"), F.col("__b"))
+    m = F.lit(6)
+    for i, thr in enumerate(reversed(_POISSON1_CDF_M6)):
+        m = F.when(u < F.lit(thr), F.lit(6 - i - 1)).otherwise(m)
+    reps = (
+        b.withColumn("__m", m.cast("long"))
+        .groupBy("__b")
+        .agg(
+            F.sum(F.col("__m").cast(dec)).alias("__n"),
+            F.sum((F.col("__m") * F.col("__x")).cast(dec)).alias("__s"),
+        )
+        .filter(F.col("__n") > 0)
+        .select(
+            "__b",
+            (F.col("__s").cast("double") / F.col("__n").cast("double")).alias("__mean"),
+        )
+    )
+    ranked = reps.withColumn(
+        "__r", F.row_number().over(Window.orderBy("__mean", "__b"))
+    ).persist()
+    n_reps = ranked.count()
+    import math
+
+    lo_r = max(1, math.floor((n_reps + 1) * (alpha / 2)))
+    hi_r = min(n_reps, math.ceil((n_reps + 1) * (1 - alpha / 2)))
+    lo = ranked.filter(F.col("__r") == lo_r).select(F.col("__mean").alias("__lo"))
+    hi = ranked.filter(F.col("__r") == hi_r).select(F.col("__mean").alias("__hi"))
+    full = rows.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        (
+            F.sum(F.col("__x").cast(dec)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("__fm"),
+    )
+    return (
+        full.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            "n_rows",
+            F.round(F.col("__fm"), 6).alias("mean"),
+            F.lit(int(n_boot)).cast("long").alias("n_boot"),
+            F.round(F.col("__lo"), 6).alias("ci_lo"),
+            F.round(F.col("__hi"), 6).alias("ci_hi"),
+        )
+    )

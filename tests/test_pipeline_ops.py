@@ -4566,3 +4566,65 @@ def test_lift_table_matches_python(spark):
     assert out[5]["gain"] == 1.0 and out[5]["lift"] == 1.0
     # the top bin of a score correlated with the label lifts above 1
     assert out[1]["lift"] > 1.0
+
+
+def test_poisson_bootstrap_ci_matches_python(spark):
+    import math
+    import random
+
+    from spatialdata_spark.pipeline.classify import (
+        _POISSON1_CDF_M6,
+        poisson_bootstrap_ci,
+    )
+
+    rng = random.Random(6)
+    rows = [(i, rng.randrange(50, 150)) for i in range(300)]
+    df = spark.createDataFrame(rows, ["doc_id", "val"])
+
+    # injectable Knuth bucket so the replay is engine-free
+    def bucket(idc, bc):
+        return F.pmod(
+            F.pmod(
+                F.pmod(idc * 1000003 + bc * 10007 + 77, F.lit(2147483648))
+                * F.lit(2654435761),
+                F.lit(2147483648),
+            ),
+            F.lit(1000000),
+        )
+
+    B, ALPHA = 120, 0.05
+    out = poisson_bootstrap_ci(
+        df, "val", n_boot=B, alpha=ALPHA, bucket_of=bucket
+    ).collect()[0]
+
+    def py_bucket(i, b):
+        return (((i * 1000003 + b * 10007 + 77) % 2147483648) * 2654435761) % 2147483648 % 1000000
+
+    def mult(u):
+        return sum(1 for t in _POISSON1_CDF_M6 if u >= t)
+
+    means = []
+    for b in range(1, B + 1):
+        n = s = 0
+        for i, x in rows:
+            m = mult(py_bucket(i, b))
+            n += m
+            s += m * x
+        if n:
+            means.append(s / n)
+    means.sort()
+    nr = len(means)
+    lo = means[max(1, math.floor((nr + 1) * ALPHA / 2)) - 1]
+    hi = means[min(nr, math.ceil((nr + 1) * (1 - ALPHA / 2))) - 1]
+    full = sum(x for _, x in rows) / len(rows)
+    assert out["n_rows"] == 300 and out["n_boot"] == B
+    assert abs(out["mean"] - round(full, 6)) < 1e-9
+    assert abs(out["ci_lo"] - round(lo, 6)) < 1e-9
+    assert abs(out["ci_hi"] - round(hi, 6)) < 1e-9
+    # the interval brackets the sample mean and is nondegenerate
+    assert out["ci_lo"] < out["mean"] < out["ci_hi"]
+    # determinism: bit-identical on a second run
+    again = poisson_bootstrap_ci(
+        df, "val", n_boot=B, alpha=ALPHA, bucket_of=bucket
+    ).collect()[0]
+    assert again == out

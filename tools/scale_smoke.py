@@ -69,7 +69,14 @@ def main(max_mult: int = 8, only: list[str] | None = None) -> None:
         semantic_dedup_kmeans,
     )
     from spatialdata_spark.operators.temporal import scd2_intervals
-    from spatialdata_spark.pipeline.classify import nb_score, nb_train
+    from spatialdata_spark.pipeline.classify import (
+        calibration_bins,
+        cohens_kappa,
+        confusion_stats,
+        nb_score,
+        nb_train,
+        target_encode_kfold,
+    )
     from spatialdata_spark.pipeline.dedup import rouge_recall_pairs
     from spatialdata_spark.pipeline.graph import (
         graph_stats,
@@ -212,6 +219,33 @@ def main(max_mult: int = 8, only: list[str] | None = None) -> None:
             ).count(),
             "hop_dist": lambda: hop_distances(
                 _copurchase(mult), seeds=[1, 2, 3, 4, 5], max_hops=2
+            ).count(),
+            # the one global ntile sort — the documented calibration cost
+            "calibration": lambda: calibration_bins(
+                docs.select(
+                    "doc_id",
+                    F.col("n_chars").alias("llr_mean"),
+                    (F.col("lang") == "en").cast("int").alias("label"),
+                )
+            )
+            .agg(F.sum("n_pos"))
+            .collect(),
+            "target_encode": lambda: target_encode_kfold(
+                ev.select(
+                    "event_id",
+                    "event_type",
+                    (F.col("value") > 100).cast("int").alias("label"),
+                ),
+                "event_type",
+                "label",
+                id_col="event_id",
+            ).count(),
+            "confusion": lambda: confusion_stats(
+                docs.select(
+                    "lang", (F.col("n_chars") % 7).cast("string").alias("pred")
+                ),
+                label_col="lang",
+                pred_col="pred",
             ).count(),
             # one Lloyd round + final assign: work ∝ n*k per iteration
             "kmeans": lambda: kmeans_lloyd(emb, k=8, n_iter=1)[0]

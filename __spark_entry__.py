@@ -7844,6 +7844,105 @@ def _hop_dist_sql(seeds=(1, 2, 3, 4, 5), max_hops: int = 2) -> str:
     )
 
 
+def pl_modularity(spark, sf_dir):
+    """Newman-Girvan modularity of the BRAND labeling over the
+    part–part co-purchase graph ("do same-brand parts co-purchase?")
+    — exact rational form: numerator and denominator are DECIMAL(38,0)
+    order-free sums riding along the output, one double division."""
+    from spatialdata_spark.pipeline.graph import modularity
+
+    labels = _read(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("long").alias("node"),
+        F.col("p_brand").alias("label"),
+    )
+    return modularity(_copurchase_edges(spark, sf_dir), labels)
+
+
+PL_MODULARITY_SQL = """
+WITH op AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS p FROM lineitem
+),
+und AS MATERIALIZED (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+),
+lab AS (SELECT CAST(p_partkey AS BIGINT) AS node, p_brand AS l FROM part),
+j AS MATERIALIZED (
+  SELECT lu.l AS lu, lv.l AS lv
+  FROM und JOIN lab lu ON und.u = lu.node JOIN lab lv ON und.v = lv.node
+),
+base AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(COALESCE(SUM(CASE WHEN lu = lv THEN 1 END), 0) AS BIGINT) AS i
+  FROM j
+),
+degc AS (
+  SELECT CAST(SUM(d * d) AS HUGEINT) AS sd2
+  FROM (
+    SELECT c, CAST(COUNT(*) AS BIGINT) AS d
+    FROM (SELECT lu AS c FROM j UNION ALL SELECT lv AS c FROM j)
+    GROUP BY 1
+  )
+)
+SELECT m,
+       CAST(4 * CAST(m AS HUGEINT) * i - sd2 AS DECIMAL(38,0)) AS q_num,
+       CAST(4 * CAST(m AS HUGEINT) * m AS DECIMAL(38,0)) AS q_den,
+       CASE WHEN m > 0 THEN
+         ROUND(CAST(4 * CAST(m AS HUGEINT) * i - sd2 AS DOUBLE)
+               / CAST(4 * CAST(m AS HUGEINT) * m AS DOUBLE), 6)
+       END AS modularity
+FROM base, degc
+"""
+
+
+def pl_lift(spark, sf_dir):
+    """Cumulative gains / lift table (top decile first) for the exact-
+    integer length-vs-English framing — the keep-the-top-X% curation
+    report; lift in the cross-multiplied DECIMAL form so the replay is
+    exact."""
+    from spatialdata_spark.pipeline.classify import lift_table
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id"),
+        F.col("n_chars").alias("llr_mean"),
+        (F.col("lang") == "en").cast("int").alias("label"),
+    )
+    return lift_table(docs, n_bins=10)
+
+
+PL_LIFT_SQL = """
+WITH s AS (
+  SELECT doc_id,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         NTILE(10) OVER (ORDER BY n_chars DESC, doc_id) AS bin
+  FROM documents WHERE n_chars IS NOT NULL
+),
+per AS (
+  SELECT CAST(bin AS BIGINT) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(y) AS BIGINT) AS n_pos
+  FROM s GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(n_docs) AS BIGINT) AS td, CAST(SUM(n_pos) AS BIGINT) AS tp
+  FROM per
+),
+cum AS (
+  SELECT bin, n_docs, n_pos,
+         CAST(SUM(n_docs) OVER (ORDER BY bin) AS BIGINT) AS cum_docs,
+         CAST(SUM(n_pos) OVER (ORDER BY bin) AS BIGINT) AS cum_pos
+  FROM per
+)
+SELECT bin, n_docs, n_pos, cum_docs, cum_pos,
+       CASE WHEN tp > 0 THEN ROUND(cum_pos * 1.0 / tp, 6) END AS gain,
+       CASE WHEN tp > 0 AND cum_docs > 0 THEN
+         ROUND(CAST(CAST(cum_pos AS HUGEINT) * td AS DOUBLE)
+               / CAST(CAST(cum_docs AS HUGEINT) * tp AS DOUBLE), 6)
+       END AS lift
+FROM cum, tot
+"""
+
+
 def pl_confusion(spark, sf_dir):
     """Per-class confusion statistics of the stopword-vote language-ID
     heuristic against the true lang column — exact tp/fp/fn counts,
@@ -9198,6 +9297,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pl_hop_dist": pl_hop_dist,
         "pl_confusion": pl_confusion,
         "pl_kappa": pl_kappa,
+        "pl_modularity": pl_modularity,
+        "pl_lift": pl_lift,
         # --- re-check: oracle SUM cast to BIGINT this round (hash-red r7
         # was a DuckDB HUGEINT->float64 fetch dtype, values were equal) ---
         "pl_pagerank": pl_pagerank,
@@ -9456,6 +9557,8 @@ def oracle_sql() -> dict[str, str]:
         "pl_hop_dist": _hop_dist_sql(),
         "pl_confusion": _confusion_sql(),
         "pl_kappa": _kappa_sql(),
+        "pl_modularity": PL_MODULARITY_SQL,
+        "pl_lift": PL_LIFT_SQL,
         # --- pre-round-8 ---
         "pl_burstiness": PL_BURSTINESS_SQL,
         "pl_cooccur_pmi": PL_COOCCUR_PMI_SQL,

@@ -7943,6 +7943,90 @@ FROM cum, tot
 """
 
 
+def pl_ppr_seeds(spark, sf_dir):
+    """Personalized weighted PageRank: importance RELATIVE to 5 seed
+    parts over the co-purchase graph, edge weight = shared-order count
+    (the natural co-purchase strength).  Fixed-point integer floor
+    arithmetic end-to-end — rank splits (rank·w)//W_u, teleport lands
+    only on the seeds — so 2 unrolled iterations replay bit-exactly."""
+    from spatialdata_spark.pipeline.graph import pagerank_weighted
+
+    li = _read(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").cast("long").alias("p")
+    ).distinct()
+    a, b = op.alias("a"), op.alias("b")
+    und = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("long").alias("weight"))
+    )
+    edges = und.union(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+    )
+    return pagerank_weighted(
+        edges, k=2, seeds=[1, 2, 3, 4, 5]
+    ).withColumnRenamed("node", "node_id")
+
+
+def _ppr_seeds_sql(k: int = 2, scale: int = 10**9, seeds=(1, 2, 3, 4, 5)) -> str:
+    n_tele = len(set(seeds))
+    vals = ", ".join(f"({s})" for s in seeds)
+    base = f"((15 * CAST({scale} AS BIGINT)) // (100 * {n_tele}))"
+    ctes = [
+        """op AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS p FROM lineitem
+)""",
+        """und AS MATERIALIZED (
+  SELECT a.p AS src, b.p AS dst, CAST(COUNT(*) AS BIGINT) AS w
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2
+)""",
+        """edges AS MATERIALIZED (
+  SELECT src, dst, w FROM und
+  UNION ALL SELECT dst AS src, src AS dst, w FROM und
+)""",
+        """nodes AS MATERIALIZED (
+  SELECT DISTINCT src AS node FROM edges
+)""",
+        f"""sd AS (SELECT CAST(seed AS BIGINT) AS node FROM (VALUES {vals}) t(seed))""",
+        """wsum AS MATERIALIZED (
+  SELECT src, CAST(SUM(w) AS BIGINT) AS W FROM edges GROUP BY 1
+)""",
+        f"""r0 AS MATERIALIZED (
+  SELECT nodes.node,
+         CASE WHEN sd.node IS NOT NULL
+              THEN CAST({scale} // {n_tele} AS BIGINT) ELSE 0 END AS rank_fp
+  FROM nodes LEFT JOIN sd ON nodes.node = sd.node
+)""",
+    ]
+    for t in range(1, k + 1):
+        ctes.append(
+            f"""c{t} AS MATERIALIZED (
+  SELECT e.dst AS node, CAST(SUM((r.rank_fp * e.w) // d.W) AS BIGINT) AS cin
+  FROM edges e
+  JOIN r{t - 1} r ON e.src = r.node
+  JOIN wsum d ON e.src = d.src
+  GROUP BY e.dst
+)"""
+        )
+        ctes.append(
+            f"""r{t} AS MATERIALIZED (
+  SELECT nodes.node,
+         CAST(CASE WHEN sd.node IS NOT NULL THEN {base} ELSE 0 END
+              + (85 * COALESCE(c{t}.cin, 0)) // 100 AS BIGINT) AS rank_fp
+  FROM nodes
+  LEFT JOIN sd ON nodes.node = sd.node
+  LEFT JOIN c{t} ON nodes.node = c{t}.node
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node AS node_id, rank_fp FROM r{k}\n"
+    )
+
+
 def pl_confusion(spark, sf_dir):
     """Per-class confusion statistics of the stopword-vote language-ID
     heuristic against the true lang column — exact tp/fp/fn counts,
@@ -9299,6 +9383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pl_kappa": pl_kappa,
         "pl_modularity": pl_modularity,
         "pl_lift": pl_lift,
+        "pl_ppr_seeds": pl_ppr_seeds,
         # --- re-check: oracle SUM cast to BIGINT this round (hash-red r7
         # was a DuckDB HUGEINT->float64 fetch dtype, values were equal) ---
         "pl_pagerank": pl_pagerank,
@@ -9559,6 +9644,7 @@ def oracle_sql() -> dict[str, str]:
         "pl_kappa": _kappa_sql(),
         "pl_modularity": PL_MODULARITY_SQL,
         "pl_lift": PL_LIFT_SQL,
+        "pl_ppr_seeds": _ppr_seeds_sql(),
         # --- pre-round-8 ---
         "pl_burstiness": PL_BURSTINESS_SQL,
         "pl_cooccur_pmi": PL_COOCCUR_PMI_SQL,

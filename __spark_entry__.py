@@ -8027,6 +8027,79 @@ def _ppr_seeds_sql(k: int = 2, scale: int = 10**9, seeds=(1, 2, 3, 4, 5)) -> str
     )
 
 
+def pl_hits(spark, sf_dir):
+    """Fixed-point HITS over the DIRECTED bipartite part->supplier
+    edges — parts score as hubs, suppliers as authorities, in one pass
+    (PageRank needs the symmetrized walk for this).  DECIMAL sums +
+    integer floor max-normalization per round: deterministic,
+    bit-replayable in a generated per-round CTE oracle."""
+    from spatialdata_spark.pipeline.graph import hits
+
+    li = _read(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        F.col("l_partkey").cast("long").alias("src"),
+        (F.col("l_suppkey").cast("long") + F.lit(1000000000000)).alias("dst"),
+    ).distinct()
+    return hits(fwd, k=3).withColumnRenamed("node", "node_id")
+
+
+def _hits_sql(k: int = 3, scale: int = 10**6) -> str:
+    ctes = [
+        """edges AS MATERIALIZED (
+  SELECT DISTINCT CAST(l_partkey AS BIGINT) AS src,
+         CAST(l_suppkey AS BIGINT) + 1000000000000 AS dst
+  FROM lineitem
+)""",
+        """nodes AS MATERIALIZED (
+  SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges
+)""",
+        f"""h0 AS MATERIALIZED (
+  SELECT node, CAST({scale} AS BIGINT) AS h FROM nodes
+)""",
+    ]
+    for t in range(1, k + 1):
+        ctes.append(
+            f"""ar{t} AS MATERIALIZED (
+  SELECT e.dst AS node, CAST(SUM(r.h) AS HUGEINT) AS s
+  FROM edges e JOIN h{t - 1} r ON e.src = r.node
+  GROUP BY 1
+)"""
+        )
+        ctes.append(f"am{t} AS (SELECT MAX(s) AS mx FROM ar{t})")
+        ctes.append(
+            f"""a{t} AS MATERIALIZED (
+  SELECT nodes.node,
+         CAST(COALESCE((ar{t}.s * {scale}) // am{t}.mx, 0) AS BIGINT) AS a
+  FROM nodes CROSS JOIN am{t}
+  LEFT JOIN ar{t} ON nodes.node = ar{t}.node
+)"""
+        )
+        ctes.append(
+            f"""hr{t} AS MATERIALIZED (
+  SELECT e.src AS node, CAST(SUM(r.a) AS HUGEINT) AS s
+  FROM edges e JOIN a{t} r ON e.dst = r.node
+  GROUP BY 1
+)"""
+        )
+        ctes.append(f"hm{t} AS (SELECT MAX(s) AS mx FROM hr{t})")
+        ctes.append(
+            f"""h{t} AS MATERIALIZED (
+  SELECT nodes.node,
+         CAST(COALESCE((hr{t}.s * {scale}) // hm{t}.mx, 0) AS BIGINT) AS h
+  FROM nodes CROSS JOIN hm{t}
+  LEFT JOIN hr{t} ON nodes.node = hr{t}.node
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT h{k}.node AS node_id, h{k}.h AS hub_fp, a{k}.a AS auth_fp
+FROM h{k} JOIN a{k} ON h{k}.node = a{k}.node
+"""
+    )
+
+
 def pl_confusion(spark, sf_dir):
     """Per-class confusion statistics of the stopword-vote language-ID
     heuristic against the true lang column — exact tp/fp/fn counts,
@@ -9384,6 +9457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pl_modularity": pl_modularity,
         "pl_lift": pl_lift,
         "pl_ppr_seeds": pl_ppr_seeds,
+        "pl_hits": pl_hits,
         # --- re-check: oracle SUM cast to BIGINT this round (hash-red r7
         # was a DuckDB HUGEINT->float64 fetch dtype, values were equal) ---
         "pl_pagerank": pl_pagerank,
@@ -9645,6 +9719,7 @@ def oracle_sql() -> dict[str, str]:
         "pl_modularity": PL_MODULARITY_SQL,
         "pl_lift": PL_LIFT_SQL,
         "pl_ppr_seeds": _ppr_seeds_sql(),
+        "pl_hits": _hits_sql(),
         # --- pre-round-8 ---
         "pl_burstiness": PL_BURSTINESS_SQL,
         "pl_cooccur_pmi": PL_COOCCUR_PMI_SQL,

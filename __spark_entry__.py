@@ -8100,6 +8100,84 @@ FROM h{k} JOIN a{k} ON h{k}.node = a{k}.node
     )
 
 
+def pl_bootstrap_ci(spark, sf_dir):
+    """Percentile bootstrap CI for the mean document length by the
+    POISSON BOOTSTRAP (100 deterministic hash-driven replicates — the
+    at-scale substitute for multinomial resampling); the Knuth-
+    multiplicative bucket makes the resamples replay bit-exactly in
+    the oracle (production default xxhash64)."""
+    from spatialdata_spark.pipeline.classify import poisson_bootstrap_ci
+
+    def bucket(idc, bc):
+        return F.pmod(
+            F.pmod(
+                F.pmod(idc * 1000003 + bc * 10007 + 77, F.lit(2147483648))
+                * F.lit(2654435761),
+                F.lit(2147483648),
+            ),
+            F.lit(1000000),
+        )
+
+    return poisson_bootstrap_ci(
+        _read(spark, sf_dir, "documents"),
+        "n_chars",
+        n_boot=100,
+        alpha=0.05,
+        bucket_of=bucket,
+    )
+
+
+def _bootstrap_ci_sql(n_boot: int = 100) -> str:
+    from spatialdata_spark.pipeline.classify import _POISSON1_CDF_M6
+
+    m_case = "CASE " + " ".join(
+        f"WHEN u < {thr} THEN {i}" for i, thr in enumerate(_POISSON1_CDF_M6)
+    ) + " ELSE 6 END"
+    return f"""
+WITH b AS MATERIALIZED (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS x, bb
+  FROM documents, (SELECT UNNEST(range(1, {n_boot} + 1)) AS bb)
+),
+u0 AS MATERIALIZED (
+  SELECT bb, x,
+         ((doc_id * 1000003 + bb * 10007 + 77) % 2147483648)
+           * 2654435761 % 2147483648 % 1000000 AS u
+  FROM b
+),
+reps AS MATERIALIZED (
+  SELECT bb,
+         CAST(SUM(m) AS HUGEINT) AS n,
+         CAST(SUM(m * x) AS HUGEINT) AS s
+  FROM (SELECT bb, x, {m_case} AS m FROM u0)
+  GROUP BY 1
+  HAVING SUM(m) > 0
+),
+means AS MATERIALIZED (
+  SELECT bb, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean FROM reps
+),
+cnt AS (SELECT COUNT(*) AS c FROM means),
+pos AS (
+  SELECT GREATEST(1, CAST(FLOOR((c + 1) * 0.025) AS BIGINT)) AS lo_r,
+         LEAST(c, CAST(CEIL((c + 1) * 0.975) AS BIGINT)) AS hi_r
+  FROM cnt
+),
+ranked AS (
+  SELECT mean, ROW_NUMBER() OVER (ORDER BY mean, bb) AS rr FROM means
+),
+fl AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         ROUND(CAST(SUM(CAST(n_chars AS HUGEINT)) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE), 6) AS mean
+  FROM documents
+)
+SELECT fl.n_rows, fl.mean,
+       CAST({n_boot} AS BIGINT) AS n_boot,
+       ROUND((SELECT mean FROM ranked, pos WHERE rr = lo_r), 6) AS ci_lo,
+       ROUND((SELECT mean FROM ranked, pos WHERE rr = hi_r), 6) AS ci_hi
+FROM fl
+"""
+
+
 def pl_confusion(spark, sf_dir):
     """Per-class confusion statistics of the stopword-vote language-ID
     heuristic against the true lang column — exact tp/fp/fn counts,
@@ -9458,6 +9536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pl_lift": pl_lift,
         "pl_ppr_seeds": pl_ppr_seeds,
         "pl_hits": pl_hits,
+        "pl_bootstrap_ci": pl_bootstrap_ci,
         # --- re-check: oracle SUM cast to BIGINT this round (hash-red r7
         # was a DuckDB HUGEINT->float64 fetch dtype, values were equal) ---
         "pl_pagerank": pl_pagerank,
@@ -9720,6 +9799,7 @@ def oracle_sql() -> dict[str, str]:
         "pl_lift": PL_LIFT_SQL,
         "pl_ppr_seeds": _ppr_seeds_sql(),
         "pl_hits": _hits_sql(),
+        "pl_bootstrap_ci": _bootstrap_ci_sql(),
         # --- pre-round-8 ---
         "pl_burstiness": PL_BURSTINESS_SQL,
         "pl_cooccur_pmi": PL_COOCCUR_PMI_SQL,

@@ -7595,7 +7595,7 @@ WITH per AS (
   SELECT source AS category,
          CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
          CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
-  FROM documents GROUP BY 1
+  FROM documents WHERE lang IS NOT NULL GROUP BY 1
 ),
 tot AS (
   SELECT CAST(SUM(n_pos) AS BIGINT) AS p, CAST(SUM(n_neg) AS BIGINT) AS q,
@@ -7731,7 +7731,7 @@ w0 AS MATERIALIZED (
 
 def pl_kcore(spark, sf_dir):
     """Bounded-round k-core peeling of the co-purchase graph (3 rounds,
-    k=100): per round, two broadcast-gated semi-joins of the persisted
+    k=60): per round, two broadcast-gated semi-joins of the persisted
     edge list against the node-sized survivor set + one map-side degree
     count — deterministic, fixpoint-converging, one CTE pair per round
     in the oracle."""
@@ -8915,7 +8915,7 @@ WITH s AS (
   SELECT doc_id, n_chars AS sc,
          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
          NTILE(10) OVER (ORDER BY n_chars, doc_id) AS bin
-  FROM documents
+  FROM documents WHERE n_chars IS NOT NULL
 )
 SELECT CAST(bin AS BIGINT) AS bin,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -9151,8 +9151,8 @@ def st_scd2(spark, sf_dir):
 ST_SCD2_SQL = """
 WITH m AS (
   SELECT user_id AS key, event_type AS attr, ts, event_id,
-         CASE WHEN LAG(event_type) OVER w IS NULL
-                   OR LAG(event_type) OVER w <> event_type
+         CASE WHEN ROW_NUMBER() OVER w = 1
+                   OR LAG(event_type) OVER w IS DISTINCT FROM event_type
               THEN 1 ELSE 0 END AS chg
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -9391,7 +9391,7 @@ def pl_ks_lengths(spark, sf_dir):
 PL_KS_LENGTHS_SQL = r"""
 WITH f AS (
   SELECT n_chars AS val, CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS ia
-  FROM documents WHERE source IN ('src0', 'src1')
+  FROM documents WHERE source IN ('src0', 'src1') AND n_chars IS NOT NULL
 ), counts AS (
   SELECT val, SUM(ia) AS ca, SUM(1 - ia) AS cb FROM f GROUP BY 1
 ), cum AS (

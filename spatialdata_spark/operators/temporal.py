@@ -307,16 +307,23 @@ def scd2_intervals(
         F.col(tiebreak_col).alias("__tb"),
     ).withColumn(
         "__chg",
+        # NULL-SAFE change detection: a NULL attr must open (and close)
+        # a run like any other value — `lag != attr` is NULL when either
+        # side is NULL, which would silently merge a NULL-attr row into
+        # the previous run and leave two iv rows sharing one __run (a
+        # nondeterministic lead chain).  row_number==1 marks the first
+        # row explicitly so a leading NULL attr is not conflated with
+        # "no previous row".
         F.when(
-            F.lag("attr").over(
-                Window.partitionBy("key").orderBy("__ts", "__tb")
-            ).isNull()
-            | (
-                F.lag("attr").over(
+            (
+                F.row_number().over(
                     Window.partitionBy("key").orderBy("__ts", "__tb")
                 )
-                != F.col("attr")
-            ),
+                == 1
+            )
+            | ~F.lag("attr")
+            .over(Window.partitionBy("key").orderBy("__ts", "__tb"))
+            .eqNullSafe(F.col("attr")),
             1,
         ).otherwise(0),
     )
@@ -370,7 +377,29 @@ def psi_drift(
 
     Output: ``(category, n_base, n_cur, psi_part)`` with ``psi_part``
     6 dp, ordered by category.
+
+    The boundary string is validated DRIVER-SIDE before any Spark work:
+    an unparseable boundary would cast to NULL timestamp, silently
+    classify every row as "current", and report "no data before the
+    boundary" instead of failing — the reject-loudly convention.  Rows
+    with a NULL timestamp are likewise counted as current by the
+    ``otherwise`` branch; filter upstream if that is not the intent.
     """
+    from datetime import datetime
+
+    parsed = None
+    for fmt in ("%Y-%m-%d %H:%M:%S", "%Y-%m-%d"):
+        try:
+            parsed = datetime.strptime(str(boundary), fmt)
+            break
+        except ValueError:
+            continue
+    if parsed is None:
+        raise ValueError(
+            f"psi_drift: boundary {boundary!r} is not ISO 'YYYY-MM-DD"
+            f"[ HH:MM:SS]' — an unparseable boundary would silently"
+            f" classify every row as current"
+        )
     base_flag = F.when(F.col(ts_col) < F.lit(boundary).cast("timestamp"), 1).otherwise(0)
     counts = events.select(
         F.col(cat_col).alias("category"), base_flag.alias("__b")

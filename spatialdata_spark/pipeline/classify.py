@@ -380,10 +380,13 @@ def woe_iv(
 
     Output: ``(category, n_pos, n_neg, woe, iv_part)``, 6 dp.
     """
+    # NULL labels are DROPPED (they belong to neither class; keeping
+    # them would diverge from any SQL replay whose CASE maps NULL to a
+    # class) — filter upstream if NULL should mean negative
     rows = df.select(
         F.col(cat_col).alias("category"),
         F.col(label_col).cast("long").alias("__y"),
-    )
+    ).filter(F.col("__y").isNotNull())
     per = rows.groupBy("category").agg(
         F.sum("__y").cast("long").alias("n_pos"),
         F.sum(F.lit(1) - F.col("__y")).cast("long").alias("n_neg"),
@@ -424,10 +427,15 @@ def confusion_stats(
     (precision) or no truth rows (recall) reports NULL, and f1 is
     NULL unless both are defined and nonzero-summed.
     """
+    # rows with a NULL truth or prediction are DROPPED: equality joins
+    # never match NULL, so a NULL class would surface as an all-zero
+    # garbage row while its real counts silently vanish — excluding the
+    # rows keeps every emitted count reconcilable with the matrix
     m = (
         df.select(
             F.col(label_col).alias("__t"), F.col(pred_col).alias("__p")
         )
+        .filter(F.col("__t").isNotNull() & F.col("__p").isNotNull())
         .groupBy("__t", "__p")
         .agg(F.count(F.lit(1)).cast("long").alias("__n"))
         .persist()

@@ -526,7 +526,12 @@ def random_walks(
                 ["node", "__idx"],
             )
         )
-        cur = step.select("start", "walk_no", F.col("__next").alias("node"))
+        # cur is read twice (the output union and the next step's join):
+        # persist so branch t does not recompute joins 1..t-1 — the
+        # same per-round persist label_propagation and hop_distances use
+        cur = step.select(
+            "start", "walk_no", F.col("__next").alias("node")
+        ).persist()
         out = out.union(
             cur.select("start", "walk_no", F.lit(t).cast("long").alias("step"), "node")
         )
@@ -580,12 +585,17 @@ def kcore_rounds(
     live = und.join(
         a.select(F.col("node").alias("u")), "u", "left_semi"
     ).join(a.select(F.col("node").alias("v")), "v", "left_semi")
-    return (
+    # report EVERY surviving node, including one whose last neighbors
+    # were peeled in the final round (degree 0 now — a further round
+    # would drop it; the bounded-round superset contract keeps it)
+    deg_live = (
         live.select(F.col("u").alias("node"))
         .union(live.select(F.col("v").alias("node")))
         .groupBy("node")
-        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
-        .join(a, "node", "left_semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("__d"))
+    )
+    return alive.join(deg_live, "node", "left").select(
+        "node", F.coalesce(F.col("__d"), F.lit(0)).cast("long").alias("degree")
     )
 
 
@@ -871,6 +881,8 @@ def hits(
         .distinct()
         .persist()
     )
+    if int(k) < 1:
+        raise ValueError("hits: k must be >= 1 (no k=0 fixed point is defined)")
     if nodes.count() == 0:
         raise ValueError("hits: empty edge list (no nodes)")
     hub = nodes.withColumn("h", F.lit(int(scale)).cast("long"))

@@ -1754,9 +1754,17 @@ def ks_2sample(
     from pyspark.sql.window import Window
 
     v = F.col(value_col)
-    filt = docs.filter(F.col(group_col).isin([group_a, group_b])).select(
-        v.alias("val"),
-        F.when(F.col(group_col) == group_a, 1).otherwise(0).alias("__ia"),
+    # NULL values are DROPPED: a NULL would become a grid point whose
+    # position differs by engine (Spark windows sort NULLS FIRST, SQL
+    # engines commonly NULLS LAST), shifting every cumulative count —
+    # and "smallest value" is not a meaningful KS semantics for NULL
+    filt = (
+        docs.filter(F.col(group_col).isin([group_a, group_b]))
+        .filter(v.isNotNull())
+        .select(
+            v.alias("val"),
+            F.when(F.col(group_col) == group_a, 1).otherwise(0).alias("__ia"),
+        )
     )
     counts = filt.groupBy("val").agg(
         F.sum("__ia").cast("long").alias("ca"),

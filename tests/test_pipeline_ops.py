@@ -4628,3 +4628,44 @@ def test_poisson_bootstrap_ci_matches_python(spark):
         df, "val", n_boot=B, alpha=ALPHA, bucket_of=bucket
     ).collect()[0]
     assert again == out
+
+
+def test_round8_null_and_degenerate_contracts(spark):
+    import pytest
+
+    from spatialdata_spark.pipeline.classify import confusion_stats, woe_iv
+    from spatialdata_spark.pipeline.graph import hits, kcore_rounds
+    from spatialdata_spark.pipeline.textstats import ks_2sample
+
+    # ks_2sample drops NULL values instead of binning them at an
+    # engine-dependent end of the grid
+    rows = [(i, v, s) for s in ("src0", "src1") for i, v in enumerate([1, 2, None, 9])]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long, source string")
+    out = ks_2sample(df).collect()[0]
+    assert out["n_a"] == 3 and out["n_b"] == 3 and out["ks_num"] == 0
+
+    # woe_iv drops NULL labels from both classes
+    wdf = spark.createDataFrame(
+        [("p", 1), ("p", 0), ("p", None)], "cat string, label int"
+    )
+    w = woe_iv(wdf, "cat", "label").collect()[0]
+    assert (w["n_pos"], w["n_neg"]) == (1, 1)
+
+    # confusion_stats drops NULL truth/pred rows: no garbage NULL class
+    cdf = spark.createDataFrame(
+        [("en", "en"), (None, "en"), ("de", None)], "label string, pred string"
+    )
+    conf = {r["class"]: r for r in confusion_stats(cdf).collect()}
+    assert set(conf) == {"en"}
+    assert (conf["en"]["tp"], conf["en"]["fp"], conf["en"]["fn"]) == (1, 0, 0)
+
+    # hits rejects k=0 loudly instead of crashing on a None join
+    with pytest.raises(ValueError, match="k must be >= 1"):
+        hits(spark.createDataFrame([(1, 2)], ["src", "dst"]), k=0)
+
+    # kcore keeps a survivor whose last neighbors were peeled: star
+    # center passes k=2 in round 1, leaves don't — center stays with
+    # its now-zero degree under the bounded-round superset contract
+    star = spark.createDataFrame([(0, i) for i in range(1, 4)], ["src", "dst"])
+    got = {r["node"]: r["degree"] for r in kcore_rounds(star, k_core=2, rounds=1).collect()}
+    assert got == {0: 0}

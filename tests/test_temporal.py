@@ -92,3 +92,46 @@ def test_psi_drift_reference(spark):
         assert (r["n_base"], r["n_cur"]) == (nb, nc)
         assert abs(r["psi_part"] - want) < 1e-9
     assert out["error"]["n_base"] == 0 and out["error"]["psi_part"] is None
+
+
+def test_scd2_null_attr_opens_and_closes_runs(spark):
+    from pyspark.sql import functions as F
+
+    from spatialdata_spark.operators.temporal import scd2_intervals
+
+    rows = [
+        (1, "A", "2024-01-01 10:00:00", 1),
+        (1, None, "2024-01-01 11:00:00", 2),
+        (1, "A", "2024-01-01 12:00:00", 3),
+    ]
+    ev = spark.createDataFrame(
+        rows, ["user_id", "event_type", "ts_s", "event_id"]
+    ).select("user_id", "event_type", F.to_timestamp("ts_s").alias("ts"), "event_id")
+    out = sorted(
+        (
+            (r["event_type"], str(r["valid_from"]), str(r["valid_to"]))
+            for r in scd2_intervals(
+                ev, key_col="user_id", attr_col="event_type",
+                ts_col="ts", tiebreak_col="event_id",
+            ).collect()
+        ),
+        key=lambda t: (t[1], t[0] or ""),
+    )
+    # a NULL attr is a run like any other: three disjoint intervals,
+    # each closed by the next run's start — no shared __run, no
+    # zero-width or overlapping interval
+    assert out == [
+        ("A", "2024-01-01 10:00:00", "2024-01-01 11:00:00"),
+        (None, "2024-01-01 11:00:00", "2024-01-01 12:00:00"),
+        ("A", "2024-01-01 12:00:00", "None"),
+    ]
+
+
+def test_psi_drift_rejects_unparseable_boundary(spark):
+    import pytest
+
+    from spatialdata_spark.operators.temporal import psi_drift
+
+    ev = spark.createDataFrame([(1,)], ["x"])
+    with pytest.raises(ValueError, match="boundary"):
+        psi_drift(ev, "16-01-2024")

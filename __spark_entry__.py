@@ -7480,7 +7480,10 @@ deg AS MATERIALIZED (
 ),
 ns AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
-         SUM(d * (d - 1)) / 2 AS n_wedges
+         -- integer division: DuckDB's / on integers returns DOUBLE,
+         -- which is only exact below 2^53 wedges; // keeps the count
+         -- (and the transitivity denominator) exact end to end
+         SUM(d * (d - 1)) // 2 AS n_wedges
   FROM deg
 ),
 tri AS (
@@ -7502,7 +7505,7 @@ es AS (
   JOIN deg dv ON dc.v = dv.node
 )
 SELECT n_nodes,
-       CAST(m2 / 2 AS BIGINT) AS n_edges,
+       CAST(m2 // 2 AS BIGINT) AS n_edges,
        CAST(n_wedges AS BIGINT) AS n_wedges,
        n_triangles,
        CASE WHEN n_wedges > 0
@@ -7782,11 +7785,17 @@ fin AS (
   SELECT und.u, und.v FROM und
   JOIN a{rounds} x ON und.u = x.node
   JOIN a{rounds} y ON und.v = y.node
+),
+findeg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+  FROM (SELECT u AS node FROM fin UNION ALL SELECT v AS node FROM fin)
+  GROUP BY 1
 )
-SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
-FROM (SELECT u AS node FROM fin UNION ALL SELECT v AS node FROM fin)
-WHERE node IN (SELECT node FROM a{rounds})
-GROUP BY 1
+-- superset contract, mirroring the Spark side's alive.join(deg_live,
+-- 'node', 'left'): a round-{rounds} survivor whose every neighbor was
+-- peeled in the final cut is still reported, with degree 0
+SELECT a.node, COALESCE(findeg.degree, CAST(0 AS BIGINT)) AS degree
+FROM a{rounds} a LEFT JOIN findeg ON a.node = findeg.node
 """
     )
 
@@ -7848,7 +7857,10 @@ def pl_modularity(spark, sf_dir):
     """Newman-Girvan modularity of the BRAND labeling over the
     part–part co-purchase graph ("do same-brand parts co-purchase?")
     — exact rational form: numerator and denominator are DECIMAL(38,0)
-    order-free sums riding along the output, one double division."""
+    order-free sums riding along the output; the score itself is
+    ``modularity_e6``, exact integer microunits (half-up, away from
+    zero) so the contract has NO floating point — the r8 hash-red on
+    this query was a rounded-double textual-form hazard, now closed."""
     from spatialdata_spark.pipeline.graph import modularity
 
     labels = _read(spark, sf_dir, "part").select(
@@ -7883,15 +7895,21 @@ degc AS (
     FROM (SELECT lu AS c FROM j UNION ALL SELECT lv AS c FROM j)
     GROUP BY 1
   )
+),
+rat AS (
+  SELECT m,
+         4 * CAST(m AS HUGEINT) * i - sd2 AS qn,
+         4 * CAST(m AS HUGEINT) * m AS qd
+  FROM base, degc
 )
 SELECT m,
-       CAST(4 * CAST(m AS HUGEINT) * i - sd2 AS DECIMAL(38,0)) AS q_num,
-       CAST(4 * CAST(m AS HUGEINT) * m AS DECIMAL(38,0)) AS q_den,
-       CASE WHEN m > 0 THEN
-         ROUND(CAST(4 * CAST(m AS HUGEINT) * i - sd2 AS DOUBLE)
-               / CAST(4 * CAST(m AS HUGEINT) * m AS DOUBLE), 6)
-       END AS modularity
-FROM base, degc
+       CAST(qn AS DECIMAL(38,0)) AS q_num,
+       CAST(qd AS DECIMAL(38,0)) AS q_den,
+       CASE WHEN m > 0 THEN CAST(
+         (CASE WHEN qn < 0 THEN -1 ELSE 1 END)
+         * ((2 * ABS(qn) * 1000000 + qd) // (2 * qd))
+       AS BIGINT) END AS modularity_e6
+FROM rat
 """
 
 
@@ -8244,8 +8262,12 @@ def _kappa_sql() -> str:
     return f"""
 WITH {_lid_pred_ctes()},
 j AS MATERIALIZED (
+  -- cohens_kappa drops rows where either rater is NULL (the
+  -- confusion_stats convention); both columns are non-NULL in this
+  -- dataset but the contract stays aligned
   SELECT pred.p AS a, d.lang AS b
   FROM documents d JOIN pred ON d.doc_id = pred.doc_id
+  WHERE pred.p IS NOT NULL AND d.lang IS NOT NULL
 ),
 m AS MATERIALIZED (
   SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n FROM j GROUP BY 1, 2

@@ -508,6 +508,12 @@ def cohens_kappa(
     one division of two DECIMAL(38,0) order-free sums.  NULL when the
     denominator is 0 (both raters constant and identical marginals).
 
+    NULL handling: rows where EITHER rater is NULL are dropped before
+    aggregation, matching :func:`confusion_stats`'s convention — under
+    SQL semantics NULL==NULL agreements never count toward ``po`` while
+    a NULL class's marginals land on two non-matching full-outer rows,
+    silently skewing po/pe/kappa; filtering keeps ``n`` honest.
+
     Plan: one ``(a, b)`` count (class²-sized), marginal rollups within
     that metadata table.  Output: one row ``(n, po, pe, kappa)``,
     6 dp.
@@ -515,6 +521,7 @@ def cohens_kappa(
     dec = "decimal(38,0)"
     m = (
         df.select(F.col(pred_a).alias("__a"), F.col(pred_b).alias("__b"))
+        .where(F.col("__a").isNotNull() & F.col("__b").isNotNull())
         .groupBy("__a", "__b")
         .agg(F.count(F.lit(1)).cast("long").alias("__n"))
         .persist()

@@ -168,11 +168,20 @@ def label_propagation(
         .persist()
     )
     labels = nodes.withColumn("label", F.col("node"))
+    prev = None
     for _ in range(int(k)):
         # each round reads `labels` twice (the vote join and the
         # carry-forward coalesce) — persist the node-sized table so the
-        # lineage does not double per round (2^k recompute otherwise)
+        # lineage does not double per round (2^k recompute otherwise);
+        # materialize it, then RELEASE the prior round's cache (safe:
+        # every consumer of the prior round now reads this round's
+        # populated cache) so cached state stays one-frontier-sized
+        # instead of growing linearly with k for the session's lifetime
         labels = labels.persist()
+        labels.count()
+        if prev is not None:
+            prev.unpersist()
+        prev = labels
         lab = labels.select(F.col("node").alias("src"), "label")
         if spark.sparkContext.master.startswith("local"):
             lab = F.broadcast(lab)
@@ -527,14 +536,23 @@ def random_walks(
             )
         )
         # cur is read twice (the output union and the next step's join):
-        # persist so branch t does not recompute joins 1..t-1 — the
-        # same per-round persist label_propagation and hop_distances use
+        # persist so branch t does not recompute joins 1..t-1.  The
+        # accumulated output is ALSO persisted + materialized per step
+        # so the prior step's cur/out caches can be released — cached
+        # state stays O(final output), not O(sum over steps), and is
+        # freed instead of living for the session's lifetime
         cur = step.select(
             "start", "walk_no", F.col("__next").alias("node")
         ).persist()
+        prev_out = out
         out = out.union(
             cur.select("start", "walk_no", F.lit(t).cast("long").alias("step"), "node")
-        )
+        ).persist()
+        out.count()
+        if t > 1:
+            prev_cur.unpersist()
+            prev_out.unpersist()
+        prev_cur = cur
     return out
 
 
@@ -569,6 +587,7 @@ def kcore_rounds(
     spark = edges.sparkSession
     alive = _degrees(und).select("node")
     kc = int(k_core)
+    prev = None
     for _ in range(int(rounds)):
         a = F.broadcast(alive) if spark.sparkContext.master.startswith("local") else alive
         live = und.join(
@@ -581,6 +600,13 @@ def kcore_rounds(
             .agg(F.count(F.lit(1)).cast("long").alias("degree"))
         )
         alive = deg.filter(F.col("degree") >= kc).select("node").persist()
+        # materialize this round's survivor set, then release the prior
+        # round's cache — keeps cached state one-frontier-sized instead
+        # of growing linearly with `rounds` for the session's lifetime
+        alive.count()
+        if prev is not None:
+            prev.unpersist()
+        prev = alive
     a = F.broadcast(alive) if spark.sparkContext.master.startswith("local") else alive
     live = und.join(
         a.select(F.col("node").alias("u")), "u", "left_semi"
@@ -637,8 +663,16 @@ def hop_distances(
     dist = seed_df.select(
         "seed", F.col("seed").alias("node"), F.lit(0).cast("long").alias("dist")
     )
+    prev = None
     for _ in range(int(max_hops)):
+        # persist + materialize the standing distances (read twice: the
+        # grow join and the merge union), then release the prior
+        # round's cache — only the live distance table stays cached
         dist = dist.persist()
+        dist.count()
+        if prev is not None:
+            prev.unpersist()
+        prev = dist
         grown = dist.join(adj, "node").select(
             "seed", F.col("nbr").alias("node"), (F.col("dist") + 1).alias("dist")
         )
@@ -670,17 +704,24 @@ def modularity(
           = (4m * sum_c in_c - sum_c deg_c^2) / (4m^2)
 
     so the numerator and denominator are order-free DECIMAL(38,0)
-    integer sums — one deterministic double division at the end, and
-    the exact integers ride along in the output for a bit-exact
-    replay.
+    integer sums that ride along in the output for a bit-exact replay.
+    The convenience score is emitted as ``modularity_e6`` — Q in exact
+    integer MICROUNITS (``round_half_away_from_zero(q_num * 10^6 /
+    q_den)``), computed with pure integer arithmetic so every engine
+    produces the identical BIGINT: NO floating point anywhere in the
+    contract.  (A rounded DOUBLE here was the repo's one observed
+    value-identical hash-red — Spark's BigDecimal HALF_UP round-trip
+    and a libm rounding path can disagree in textual form without
+    disagreeing in value; integers cannot.)  Consumers wanting the
+    float divide by 1e6.
 
     Plan: one broadcast-gated label join per edge endpoint (labels are
     the node-sized table), one conditional count for ``in_c``, one
     community-sized rollup for ``deg_c`` — the edge table is scanned
     once.
 
-    Output: one row ``(m, q_num, q_den, modularity)``, 6 dp; NULL
-    modularity for an empty edge set.
+    Output: one row ``(m, q_num, q_den, modularity_e6)``; NULL
+    modularity_e6 for an empty edge set.
     """
     spark = edges.sparkSession
     dec = "decimal(38,0)"
@@ -713,14 +754,24 @@ def modularity(
     out = base.crossJoin(degc)
     q_num = (4 * F.col("__m") * F.col("__in") - F.col("__sd2")).cast(dec)
     q_den = (4 * F.col("__m") * F.col("__m")).cast(dec)
-    return out.select(
+    named = out.select(
         F.col("__m").cast("long").alias("m"),
         q_num.alias("q_num"),
         q_den.alias("q_den"),
-        F.when(
-            F.col("__m") > 0,
-            F.round(q_num.cast("double") / q_den.cast("double"), 6),
-        ).alias("modularity"),
+    )
+    # round-half-away-from-zero((q_num * 1e6) / q_den) in pure integer
+    # arithmetic: operate on |q_num| so `div` truncation == floor on
+    # both engines, reapply the sign.  (2a + b) div (2b) is HALF_UP for
+    # non-negative a, b > 0.
+    me6_mag = F.expr(
+        "(2 * abs(q_num) * CAST(1000000 AS DECIMAL(38,0)) + q_den) div (2 * q_den)"
+    )
+    sign = F.when(F.col("q_num") < 0, F.lit(-1)).otherwise(F.lit(1)).cast("long")
+    return named.select(
+        "m",
+        "q_num",
+        "q_den",
+        F.when(F.col("m") > 0, sign * me6_mag).cast("long").alias("modularity_e6"),
     )
 
 
@@ -887,6 +938,7 @@ def hits(
         raise ValueError("hits: empty edge list (no nodes)")
     hub = nodes.withColumn("h", F.lit(int(scale)).cast("long"))
     auth = None
+    prev_a = prev_h = None
     for _ in range(int(k)):
         hsrc = hub.select(F.col("node").alias("src"), "h")
         if spark.sparkContext.master.startswith("local"):
@@ -897,7 +949,13 @@ def hits(
             .agg(F.sum(F.col("h").cast(dec)).alias("__s"))
             .persist()
         )
+        # the max collect below materializes a_raw's cache; once it has,
+        # the prior round's h_raw (a_raw's only lineage input that was
+        # cached) can be released — cached state stays two-tables-sized
+        # instead of growing linearly with k for the session's lifetime
         amax = int(a_raw.agg(F.max("__s")).collect()[0][0])
+        if prev_h is not None:
+            prev_h.unpersist()
         auth = nodes.join(a_raw, "node", "left").select(
             "node",
             F.coalesce(
@@ -915,6 +973,9 @@ def hits(
             .persist()
         )
         hmax = int(h_raw.agg(F.max("__s")).collect()[0][0])
+        if prev_a is not None:
+            prev_a.unpersist()
+        prev_a, prev_h = a_raw, h_raw
         hub = nodes.join(h_raw, "node", "left").select(
             "node",
             F.coalesce(

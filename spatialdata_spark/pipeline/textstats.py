@@ -1780,6 +1780,22 @@ def ks_2sample(
         F.sum("ca").cast("long").alias("n_a"),
         F.sum("cb").cast("long").alias("n_b"),
     )
+    # an empty group (usually a typo'd group name) fails LOUDLY at
+    # execution, naming the missing group — ks_den = n_a*n_b = 0 would
+    # otherwise yield a silent NULL ks_stat (or an ANSI division
+    # error), contrary to the repo's reject-loudly convention
+    err = F.concat(
+        F.lit("ks_2sample: empty group — "),
+        F.when(
+            F.coalesce(F.col("n_a"), F.lit(0)) == 0,
+            F.lit(f"group_a='{group_a}' has no rows; "),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.coalesce(F.col("n_b"), F.lit(0)) == 0,
+            F.lit(f"group_b='{group_b}' has no rows; "),
+        ).otherwise(F.lit("")),
+        F.lit(f"check the '{group_col}' names and '{value_col}' for NULLs"),
+    )
     return (
         cum.crossJoin(F.broadcast(tot))
         .agg(
@@ -1795,6 +1811,10 @@ def ks_2sample(
             "n_b",
             "ks_num",
             "ks_den",
-            F.round(F.col("ks_num") / F.col("ks_den"), 9).alias("ks_stat"),
+            F.when(
+                F.col("ks_den") > 0, F.round(F.col("ks_num") / F.col("ks_den"), 9)
+            )
+            .otherwise(F.raise_error(err))
+            .alias("ks_stat"),
         )
     )

@@ -3721,6 +3721,20 @@ def test_ks_2sample_identical_is_zero(spark):
     assert out["ks_num"] == 0 and out["ks_stat"] == 0.0
 
 
+def test_ks_2sample_empty_group_fails_loudly(spark):
+    # a typo'd group name must NOT yield a silent NULL ks_stat — the
+    # operator raises at execution, naming the missing group
+    import pytest
+
+    from spatialdata_spark.pipeline.textstats import ks_2sample
+
+    df = spark.createDataFrame(
+        [(1, 10, "src0"), (2, 20, "src0")], ["doc_id", "n_chars", "source"]
+    )
+    with pytest.raises(Exception, match="ks_2sample: empty group.*src1"):
+        ks_2sample(df, group_a="src0", group_b="src1").collect()
+
+
 def test_calibration_bins_matches_python(spark):
     import random
 
@@ -4347,6 +4361,15 @@ def test_cohens_kappa_matches_python(spark):
     assert cohens_kappa(same, "a", "b").collect()[0]["kappa"] == 1.0
     const = spark.createDataFrame([("x", "x")] * 5, ["a", "b"])
     assert cohens_kappa(const, "a", "b").collect()[0]["kappa"] is None
+    # rows where EITHER rater is NULL are dropped (the confusion_stats
+    # convention): n counts only complete pairs, and the NULL rows do
+    # not skew po/pe through phantom marginals
+    with_nulls = spark.createDataFrame(
+        [(c, c) for c in "xyzxyz"] + [(None, "x"), ("y", None), (None, None)],
+        "a string, b string",
+    )
+    r = cohens_kappa(with_nulls, "a", "b").collect()[0]
+    assert r["n"] == 6 and r["kappa"] == 1.0
 
 
 def test_modularity_matches_python(spark):
@@ -4375,31 +4398,39 @@ def test_modularity_matches_python(spark):
         degc[lab[a]] += 1
         degc[lab[b]] += 1
     sd2 = sum(d * d for d in degc.values())
-    q = (4 * m * in_c - sd2) / (4 * m * m)
+    qn, qd = 4 * m * in_c - sd2, 4 * m * m
+    # reference half-away-from-zero microunits (python Fraction-free:
+    # the magnitudes are tiny here)
+    exp_e6 = (1 if qn >= 0 else -1) * ((2 * abs(qn) * 10**6 + qd) // (2 * qd))
     assert out["m"] == m
-    assert int(out["q_num"]) == 4 * m * in_c - sd2
-    assert int(out["q_den"]) == 4 * m * m
-    assert abs(out["modularity"] - round(q, 6)) < 1e-9
-    assert out["modularity"] > 0.3  # real structure scores high
+    assert int(out["q_num"]) == qn
+    assert int(out["q_den"]) == qd
+    # the score column is an exact BIGINT — no floating point in the
+    # contract (closes the r8 rounded-double hash hazard)
+    assert isinstance(out["modularity_e6"], int)
+    assert out["modularity_e6"] == exp_e6
+    assert out["modularity_e6"] > 300_000  # real structure scores high
     # the all-one-community labeling scores ZERO exactly
     ugly = good.select("node", F.lit(7).alias("label"))
     z = modularity(df, ugly).collect()[0]
-    assert int(z["q_num"]) == 0 and z["modularity"] == 0.0
+    assert int(z["q_num"]) == 0 and z["modularity_e6"] == 0
     # a random labeling scores worse than the true communities
     rng = random.Random(4)
     rand = spark.createDataFrame(
         [(v, rng.randrange(2)) for v in lab], ["node", "label"]
     )
-    assert modularity(df, rand).collect()[0]["modularity"] < out["modularity"]
+    assert (
+        modularity(df, rand).collect()[0]["modularity_e6"] < out["modularity_e6"]
+    )
     # LPA labels on this graph recover the cliques -> same modularity
     lpa = label_propagation(
         df.union(df.select(F.col("dst").alias("src"), F.col("src").alias("dst"))),
         k=3,
     )
-    assert (
-        abs(modularity(df, lpa).collect()[0]["modularity"] - out["modularity"])
-        < 1e-9
-    )
+    assert modularity(df, lpa).collect()[0]["modularity_e6"] == out["modularity_e6"]
+    # NO DoubleType anywhere in the output schema — the guard for the
+    # exact-rational-pair contract
+    assert all(f.dataType.typeName() != "double" for f in modularity(df, good).schema)
 
 
 def test_pagerank_weighted_matches_python(spark):

@@ -454,10 +454,13 @@ def confusion_stats(
     pred = m.groupBy(F.col("__p").alias("class")).agg(
         F.sum("__n").cast("long").alias("__np")
     )
+    # every rollup is class-sized metadata: broadcast-hint the three
+    # join-backs so the plan never sorts/shuffles them (AQE would
+    # convert at runtime anyway — the hint is plan hygiene)
     j = (
-        classes.join(tp, "class", "left")
-        .join(truth, "class", "left")
-        .join(pred, "class", "left")
+        classes.join(F.broadcast(tp), "class", "left")
+        .join(F.broadcast(truth), "class", "left")
+        .join(F.broadcast(pred), "class", "left")
         .select(
             "class",
             F.coalesce(F.col("tp"), F.lit(0)).cast("long").alias("tp"),

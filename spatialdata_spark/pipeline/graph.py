@@ -18,12 +18,25 @@ Design notes (the repo's standing exactness contract):
 * **Per-iteration shape**: ranks are a NODE-sized table (orders
   smaller than the edge table — the dimension/vocabulary contract used
   throughout this repo).  Each iteration is one rank⋈edge join
-  (broadcast-gated on local masters; on a cluster AQE decides, and at
-  the billion-node scale the documented swap is co-partitioning edges
-  and ranks by source key ONCE so every iteration's join reuses the
-  same partitioning with zero re-shuffle) followed by one map-side-
-  combinable SUM per destination.  The edge table is scanned k times
-  but never re-shuffled.
+  followed by one map-side-combinable SUM per destination.  The edge
+  table is scanned k times but never re-shuffled: see the frontier
+  contract below.
+* **The frontier contract (who moves per round).**  Two physical
+  strategies, selected by :func:`_broadcast_frontier`:
+
+  - *broadcast* (local masters by default): the node-sized
+    frontier/rank table broadcasts into each round's join — zero
+    exchanges anywhere, right while a single machine holds the graph.
+  - *co-partitioned* (cluster masters, or forced via the
+    ``spatialdata.graph.broadcastFrontier=false`` conf): the edge-side
+    table is hash-partitioned by its per-round join key ONCE
+    (``repartition(key)`` + persist — or skipped entirely when the
+    caller passes ``pre_partitioned=True`` over a table bucketed with
+    :func:`spatialdata_spark.sources.bucketing.write_bucketed`), so
+    every iteration's join is EXCHANGE-FREE on the edge side; only the
+    node-sized frontier moves per round.  At 100 TB the edge table is
+    the one thing that must not re-shuffle k times — a billion-node
+    frontier exchange is ~1% of one edge exchange.
 * **No driver-side data**: the only collect is the node COUNT (one
   scalar, needed for the teleport term).
 """
@@ -32,6 +45,46 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+#: conf key selecting the per-round join strategy for iterative ops
+BROADCAST_FRONTIER_CONF = "spatialdata.graph.broadcastFrontier"
+
+
+def _broadcast_frontier(spark) -> bool:
+    """True → broadcast the node-sized frontier per round (the local-
+    master default); False → the co-partitioned path (cluster default):
+    edge tables are hash-partitioned by their per-round join key once
+    and persisted, so iteration joins are exchange-free on the edge
+    side.  Force either path with the ``spatialdata.graph.
+    broadcastFrontier`` conf (``auto`` | ``true`` | ``false``)."""
+    mode = str(spark.conf.get(BROADCAST_FRONTIER_CONF, "auto")).lower()
+    if mode == "auto":
+        return spark.sparkContext.master.startswith("local")
+    return mode == "true"
+
+
+def _co_partition(df: DataFrame, key: str) -> DataFrame:
+    """Hash-partition an edge-side table by its per-round join key with
+    an EXPLICIT partition count (``REPARTITION_BY_NUM``): AQE is free
+    to coalesce a count-less ``repartition(key)``, which would report a
+    partitioning downstream joins can't line up with.  Pinned to
+    ``spark.sql.shuffle.partitions`` so the frontier side's
+    ENSURE_REQUIREMENTS exchange lands on the same count."""
+    spark = df.sparkSession
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n, key)
+
+
+def _finalize_cache(df: DataFrame) -> DataFrame:
+    """Persist + materialize an edge-side table NOW: an un-finalized
+    AQE plan inside ``InMemoryRelation`` reports UNKNOWN partitioning,
+    so every per-round join above it would re-exchange the cached edge
+    table — the exact failure the co-partitioned path exists to avoid.
+    Materializing finalizes the cached plan, whose hash partitioning
+    every round then reuses exchange-free."""
+    df = df.persist()
+    df.count()
+    return df
 
 __all__ = [
     "graph_stats",
@@ -57,6 +110,7 @@ def pagerank(
     damping_den: int = 100,
     src_col: str = "src",
     dst_col: str = "dst",
+    pre_partitioned: bool = False,
 ) -> DataFrame:
     """``k`` unrolled power iterations of fixed-point PageRank over a
     directed edge list (pass each undirected edge in both directions).
@@ -79,12 +133,24 @@ def pagerank(
 
     Returns ``(node, rank_fp)`` with ``rank_fp`` the int64 fixed-point
     rank after ``k`` iterations.
+
+    ``pre_partitioned=True`` declares that ``edges`` is already
+    hash-partitioned/bucketed by ``src_col`` with canonical LONG
+    columns (e.g. read back via ``sources.bucketing.read_bucketed``) —
+    the co-partitioned path then skips its one up-front repartition,
+    making round 1 exchange-free on the edge side too.
     """
     spark = edges.sparkSession
+    bcast = _broadcast_frontier(spark)
     e = edges.select(
         F.col(src_col).cast("long").alias("src"),
         F.col(dst_col).cast("long").alias("dst"),
     )
+    if not (bcast or pre_partitioned):
+        # co-partition ONCE by the per-round join key: every
+        # iteration's rank⋈edge join then reuses this partitioning with
+        # zero exchange on the edge side (the 100 TB contract)
+        e = _co_partition(e, "src")
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -95,8 +161,13 @@ def pagerank(
     )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("outdeg"))
     # edge+outdeg is reused by every iteration: persist so the distinct
-    # and degree aggregations run once, not k times.
-    ed = e.join(deg, "src").persist()
+    # and degree aggregations run once, not k times.  (In the
+    # co-partitioned path the src-keyed groupBy and join both reuse the
+    # repartition above, so `ed` comes out src-partitioned for free —
+    # and is materialized up front so the cached partitioning is FINAL
+    # before round 1 plans against it.)
+    ed = e.join(deg, "src")
+    ed = _finalize_cache(ed) if not bcast else ed.persist()
     n_nodes = nodes.count()
     if n_nodes == 0:
         raise ValueError("pagerank: empty edge list (no nodes)")
@@ -104,7 +175,7 @@ def pagerank(
     ranks = nodes.withColumn("rank_fp", F.lit(scale // n_nodes).cast("long"))
     for _ in range(int(k)):
         r = ranks.select(F.col("node").alias("src"), "rank_fp")
-        if spark.sparkContext.master.startswith("local"):
+        if bcast:
             r = F.broadcast(r)
         contrib = (
             ed.join(r, "src")
@@ -112,7 +183,7 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("__c").alias("__in"))
         )
-        if spark.sparkContext.master.startswith("local"):
+        if bcast:
             contrib = F.broadcast(contrib)
         ranks = nodes.join(
             contrib, nodes["node"] == contrib["dst"], "left"
@@ -133,6 +204,7 @@ def label_propagation(
     k: int = 3,
     src_col: str = "src",
     dst_col: str = "dst",
+    pre_partitioned: bool = False,
 ) -> DataFrame:
     """``k`` unrolled rounds of deterministic label propagation
     (Raghavan 2007) — community detection by iterated neighborhood
@@ -149,18 +221,30 @@ def label_propagation(
     round).
 
     Per-round plan: one node-sized label join onto the edge list
-    (broadcast-gated; co-partition edges+labels by source at scale)
-    and ONE combined aggregation keyed (dst, label) followed by a
-    lexicographic struct-max per dst — the (count, -label) argmax is
-    a single map-side-combinable MAX of a struct, never a window.
+    (frontier contract — broadcast on local masters; co-partitioned
+    path on clusters: the edge list is src-partitioned once + persisted
+    so every round's vote join is exchange-free on the edge side, and
+    ``pre_partitioned=True`` skips even that one repartition over a
+    bucketed input) and ONE combined aggregation keyed (dst, label)
+    followed by a lexicographic struct-max per dst — the
+    (count, -label) argmax is a single map-side-combinable MAX of a
+    struct, never a window.
 
     Returns ``(node, label)`` after ``k`` rounds.
     """
     spark = edges.sparkSession
+    bcast = _broadcast_frontier(spark)
     e = edges.select(
         F.col(src_col).cast("long").alias("src"),
         F.col(dst_col).cast("long").alias("dst"),
     )
+    if not bcast:
+        if not pre_partitioned:
+            e = _co_partition(e, "src")
+        # scanned k times: persist + materialize so every round reads
+        # the finalized co-partitioned cache instead of re-deriving
+        # (and re-exchanging) the edges
+        e = _finalize_cache(e)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -183,7 +267,7 @@ def label_propagation(
             prev.unpersist()
         prev = labels
         lab = labels.select(F.col("node").alias("src"), "label")
-        if spark.sparkContext.master.startswith("local"):
+        if bcast:
             lab = F.broadcast(lab)
         votes = (
             e.join(lab, "src")
@@ -196,7 +280,7 @@ def label_propagation(
                 "__b"
             )
         ).select("dst", (-F.col("__b.__nl")).alias("__winner"))
-        if spark.sparkContext.master.startswith("local"):
+        if bcast:
             best = F.broadcast(best)
         labels = labels.join(
             best, labels["node"] == best["dst"], "left"
@@ -575,54 +659,82 @@ def kcore_rounds(
     removes at least one node per non-converged round, so
     ``rounds = n`` is always exact).
 
-    Per-round plan: two semi-joins of the (persisted) edge list against
-    the node-sized survivor set + one map-side-combinable degree count —
-    the edge table is scanned per round but shuffled only on its own
-    keys; survivors broadcast-gate.
+    Per-round plan — DEAD-NODE DECREMENTS, not re-scans: peeling never
+    recomputes degrees from the edge table.  The standing state is the
+    node-sized ``(node, degree-within-surviving-subgraph)`` table; each
+    round splits it into dead (< k) and alive, semi-joins the dead set
+    against the ONCE-persisted adjacency double cover to count, per
+    surviving neighbor, how many of its edges just vanished, and
+    subtracts.  Per-round work is proportional to the DEAD-INCIDENT
+    edges (which shrink geometrically), not to the full edge set —
+    and every join/aggregation is keyed by node, so on the
+    co-partitioned (cluster) path the node-partitioned adjacency cache
+    is reused by every round with zero exchange on the edge side.
+    Bit-identical to recompute-from-scratch peeling: degree(x) in the
+    subgraph induced by alive_r equals its prior-round degree minus its
+    edges into the just-dead set (earlier dead already subtracted,
+    dead-dead edges touch no surviving row).
 
     Returns ``(node, degree)`` for the surviving nodes with their
-    final within-subgraph degree.
+    final within-subgraph degree (a final-round survivor whose last
+    neighbors were just peeled is reported with degree 0 — the
+    bounded-round superset contract).
     """
-    und = undirected_edges(edges, src_col, dst_col).persist()
     spark = edges.sparkSession
-    alive = _degrees(und).select("node")
+    bcast = _broadcast_frontier(spark)
     kc = int(k_core)
+    if kc < 1:
+        raise ValueError(f"kcore_rounds: k_core must be >= 1 (got {kc})")
+    und = undirected_edges(edges, src_col, dst_col)
+    adj = (
+        und.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+        .union(und.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+    )
+    if not bcast:
+        # the double cover mixes src and dst so it can never inherit a
+        # single-key bucketing from the input: one inherent build-time
+        # exchange, amortized over every round
+        adj = _finalize_cache(_co_partition(adj, "node"))
+    else:
+        adj = adj.persist()
+    # full-graph degrees: on the co-partitioned path this groupBy reuses
+    # the node partitioning — zero exchange
+    alive_deg = adj.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )
     prev = None
     for _ in range(int(rounds)):
-        a = F.broadcast(alive) if spark.sparkContext.master.startswith("local") else alive
-        live = und.join(
-            a.select(F.col("node").alias("u")), "u", "left_semi"
-        ).join(a.select(F.col("node").alias("v")), "v", "left_semi")
-        deg = (
-            live.select(F.col("u").alias("node"))
-            .union(live.select(F.col("v").alias("node")))
-            .groupBy("node")
-            .agg(F.count(F.lit(1)).cast("long").alias("degree"))
-        )
-        alive = deg.filter(F.col("degree") >= kc).select("node").persist()
-        # materialize this round's survivor set, then release the prior
-        # round's cache — keeps cached state one-frontier-sized instead
-        # of growing linearly with `rounds` for the session's lifetime
-        alive.count()
+        # materialize the standing state, then release the prior
+        # round's cache — cached state stays one-node-table-sized
+        alive_deg = alive_deg.persist()
+        alive_deg.count()
         if prev is not None:
             prev.unpersist()
-        prev = alive
-    a = F.broadcast(alive) if spark.sparkContext.master.startswith("local") else alive
-    live = und.join(
-        a.select(F.col("node").alias("u")), "u", "left_semi"
-    ).join(a.select(F.col("node").alias("v")), "v", "left_semi")
-    # report EVERY surviving node, including one whose last neighbors
-    # were peeled in the final round (degree 0 now — a further round
-    # would drop it; the bounded-round superset contract keeps it)
-    deg_live = (
-        live.select(F.col("u").alias("node"))
-        .union(live.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).cast("long").alias("__d"))
-    )
-    return alive.join(deg_live, "node", "left").select(
-        "node", F.coalesce(F.col("__d"), F.lit(0)).cast("long").alias("degree")
-    )
+        prev = alive_deg
+        dead = alive_deg.filter(F.col("degree") < kc).select("node")
+        alive = alive_deg.filter(F.col("degree") >= kc)
+        d = F.broadcast(dead) if bcast else dead
+        decr = (
+            adj.join(d, "node", "left_semi")
+            .groupBy(F.col("nbr").alias("node"))
+            .agg(F.count(F.lit(1)).cast("long").alias("__dec"))
+        )
+        if bcast:
+            decr = F.broadcast(decr)
+        alive_deg = alive.join(decr, "node", "left").select(
+            "node",
+            (F.col("degree") - F.coalesce(F.col("__dec"), F.lit(0)))
+            .cast("long")
+            .alias("degree"),
+        )
+    # the survivor state is fully cached by the last round's
+    # materialization — the adjacency cache is no longer needed
+    alive_deg = alive_deg.persist()
+    alive_deg.count()
+    if prev is not None:
+        prev.unpersist()
+    adj.unpersist()
+    return alive_deg
 
 
 def hop_distances(
@@ -646,17 +758,22 @@ def hop_distances(
     ``|seeds| * |reachable nodes|`` — choose seeds accordingly (the
     all-pairs case is deliberately NOT offered).
 
-    Plan: the directed double cover is built once and persisted; the
-    distance table re-keys by node each round (co-partition edges and
-    distances by node at scale — the PageRank contract).
+    Plan: the directed double cover is built once and persisted — on
+    the co-partitioned (cluster) path it is hash-partitioned by node
+    first, so every round's frontier⋈adjacency join is exchange-free on
+    the adjacency side and only the seed×frontier-sized distance table
+    moves.  (The double cover mixes src and dst, so it can never
+    inherit a single-key bucketing from the input — its one build-time
+    exchange is inherent and amortized over all rounds.)
     """
     spark = edges.sparkSession
+    bcast = _broadcast_frontier(spark)
     und = undirected_edges(edges, src_col, dst_col)
     adj = (
         und.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
         .union(und.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
-        .persist()
     )
+    adj = _finalize_cache(_co_partition(adj, "node")) if not bcast else adj.persist()
     seed_df = spark.createDataFrame(
         [(int(s),) for s in seeds], ["seed"]
     ).select(F.col("seed").cast("long").alias("seed"))

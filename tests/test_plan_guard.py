@@ -2,9 +2,15 @@
 depends on must hold in the compiled plans, not just in PLANS.md.
 
 Checked on a representative subset (fast — plans only, nothing runs):
-* no sort-merge / shuffled-hash joins anywhere (every join broadcasts
-  or pre-aggregates; bucketed tables are the sanctioned SMJ exception
-  and are not in the registry),
+* NO SHUFFLE JOIN WHERE A BROADCAST FITS — the honest form of the
+  invariant: every join broadcasts or pre-aggregates EXCEPT the
+  explicitly-listed graph-family allowance (EXPECTED_SHUFFLE_JOINS):
+  edge⋈edge joins over data-sized edge lists cannot broadcast either
+  side, so their sort-merge joins are the correct plan; each allowed
+  query carries a pinned ceiling so a regression that adds an
+  unsanctioned shuffle join — there or anywhere else — still fails
+  loudly.  (Bucketed tables are a second sanctioned SMJ shape and are
+  not in the registry.)
 * the identity bbox fast path pushes its range predicates into the
   parquet scan,
 * expression-only pipelines keep Python out of the plan.
@@ -86,7 +92,34 @@ GUARDED = [
     "pl_ks_lengths",
     "st_psi_drift",
     "pl_simhash_recall",
+    # round 9
+    "rt_export_tiles",
+    "pl_confusion",
+    "pl_modularity",
+    "pl_kcore",
+    "pl_random_walks",
+    "pl_hop_dist",
+    "pl_triangles",
+    "pl_graph_stats",
+    "pl_link_pred",
+    "pl_kappa",
+    "pl_rrf_hybrid",
 ]
+
+# The sanctioned shuffle-join allowance: {query: max sort-merge +
+# shuffled-hash joins}.  Every entry is an edge⋈edge (or full-outer
+# metadata) join where neither side can broadcast at data scale —
+# re-audited round 9 after the confusion broadcast hints and the
+# kcore/random-walks/hop-dist plan reworks took four queries OFF this
+# list (17 shuffle joins across 9 queries down to 9 across 5).
+EXPECTED_SHUFFLE_JOINS = {
+    "pl_triangles": 3,  # oriented wedge closure: three edge-list scans
+    "pl_graph_stats": 3,  # wedge/triangle closure + edge⋈degree joins
+    "pl_link_pred": 2,  # wedge pair + candidate⋈edge anti (scale-
+    # dependent: AQE broadcasts one of them at sf0.01, not sf0.001)
+    "pl_kappa": 1,  # class²-sized marginal FULL OUTER (cannot broadcast)
+    "pl_rrf_hybrid": 1,  # rank-list FULL OUTER fuse (result-sized)
+}
 
 EXPRESSION_ONLY = [
     "sq_bbox_identity",
@@ -158,36 +191,65 @@ ZERO_EXCHANGE = [
 ]
 
 
+def _live_shuffle_joins(df) -> int:
+    """Shuffle joins the returned plan would actually RUN: walk the
+    real plan tree, stopping at materialized cache scans (their
+    internals — including pre-AQE "Initial Plan" text that never
+    executes that way — must not count) and descending through AQE
+    wrappers via initialPlan."""
+
+    def walk(p):
+        name = p.getClass().getSimpleName()
+        if name == "InMemoryTableScanExec":
+            return 0
+        if name == "AdaptiveSparkPlanExec":
+            return walk(p.initialPlan())
+        n = 1 if name in ("SortMergeJoinExec", "ShuffledHashJoinExec") else 0
+        ch = p.children()
+        for i in range(ch.size()):
+            n += walk(ch.apply(i))
+        return n
+
+    return walk(df._jdf.queryExecution().executedPlan())
+
+
 @pytest.fixture(scope="module")
 def plans(spark):
     qs = entrymod.queries()
     out = {}
     for name in set(GUARDED + EXPRESSION_ONLY + ZERO_EXCHANGE):
         df = qs[name](spark, SF_DIR)
-        out[name] = df._jdf.queryExecution().executedPlan().toString()
+        out[name] = (
+            df._jdf.queryExecution().executedPlan().toString(),
+            _live_shuffle_joins(df),
+        )
     return out
 
 
 @pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="testdata not present")
-def test_no_shuffle_joins(plans):
+def test_no_shuffle_join_where_a_broadcast_fits(plans):
+    counts = {n: smj for n, (_, smj) in plans.items()}
     offenders = {
-        n: p.count("SortMergeJoin") + p.count("ShuffledHashJoin")
-        for n, p in plans.items()
-        if "SortMergeJoin" in p or "ShuffledHashJoin" in p
+        n: c
+        for n, c in counts.items()
+        if c > EXPECTED_SHUFFLE_JOINS.get(n, 0)
     }
-    assert not offenders, offenders
+    assert not offenders, (
+        f"unsanctioned shuffle joins (allowance: {EXPECTED_SHUFFLE_JOINS}): "
+        f"{offenders}"
+    )
 
 
 @pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="testdata not present")
 def test_bbox_identity_pushes_filters(plans):
-    p = plans["sq_bbox_identity"]
+    p = plans["sq_bbox_identity"][0]
     assert "PushedFilters: [" in p and "GreaterThan" in p
 
 
 @pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="testdata not present")
 def test_scan_composable_paths_have_no_exchange(plans):
     offenders = [
-        n for n in ZERO_EXCHANGE if "Exchange hashpartitioning" in plans[n]
+        n for n in ZERO_EXCHANGE if "Exchange hashpartitioning" in plans[n][0]
     ]
     assert not offenders, offenders
 
@@ -210,6 +272,6 @@ def test_expression_paths_have_no_python(plans):
     offenders = [
         n
         for n in EXPRESSION_ONLY
-        if any(tok in plans[n] for tok in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas", "FlatMapGroupsInPandas"))
+        if any(tok in plans[n][0] for tok in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas", "FlatMapGroupsInPandas"))
     ]
     assert not offenders, offenders

@@ -345,7 +345,7 @@ def triangle_count(
     und = undirected_edges(edges, src_col, dst_col)
     deg = _degrees(und).persist()
     spark = edges.sparkSession
-    bdeg = F.broadcast(deg) if spark.sparkContext.master.startswith("local") else deg
+    bdeg = F.broadcast(deg) if _broadcast_frontier(spark) else deg
     keyed = (
         und.join(bdeg.select(F.col("node").alias("u"), F.col("degree").alias("__du")), "u")
         .join(bdeg.select(F.col("node").alias("v"), F.col("degree").alias("__dv")), "v")
@@ -433,7 +433,7 @@ def graph_stats(
         triangle_count(und, "u", "v")
         .agg((F.sum("n_triangles") / 3).cast("long").alias("n_triangles"))
     )
-    bdeg = F.broadcast(deg) if spark.sparkContext.master.startswith("local") else deg
+    bdeg = F.broadcast(deg) if _broadcast_frontier(spark) else deg
     both = und.union(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
     dd = (
         both.join(bdeg.select(F.col("node").alias("u"), F.col("degree").alias("__dx")), "u")
@@ -502,7 +502,7 @@ def link_prediction(
     und = undirected_edges(edges, src_col, dst_col).persist()
     deg = _degrees(und).persist()
     spark = edges.sparkSession
-    bdeg = F.broadcast(deg) if spark.sparkContext.master.startswith("local") else deg
+    bdeg = F.broadcast(deg) if _broadcast_frontier(spark) else deg
     apex_ok = bdeg.filter(F.col("degree") <= int(max_degree)).select(
         F.col("node").alias("w")
     )
@@ -590,7 +590,7 @@ def random_walks(
         .persist()
     )
     deg = adj.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("deg")).persist()
-    bdeg = F.broadcast(deg) if spark.sparkContext.master.startswith("local") else deg
+    bdeg = F.broadcast(deg) if _broadcast_frontier(spark) else deg
     m31 = 2147483648
     knuth = 2654435761
     starts = deg.select(F.col("node").alias("start")).crossJoin(
@@ -598,6 +598,7 @@ def random_walks(
     )
     cur = starts.select("start", "walk_no", F.col("start").alias("node"))
     out = cur.select("start", "walk_no", F.lit(0).cast("long").alias("step"), "node")
+    step_caches = []
     for t in range(1, int(walk_len) + 1):
         h0 = F.pmod(
             F.pmod(F.col("node"), F.lit(m31)) * F.lit(knuth)
@@ -620,23 +621,25 @@ def random_walks(
             )
         )
         # cur is read twice (the output union and the next step's join):
-        # persist so branch t does not recompute joins 1..t-1.  The
-        # accumulated output is ALSO persisted + materialized per step
-        # so the prior step's cur/out caches can be released — cached
-        # state stays O(final output), not O(sum over steps), and is
-        # freed instead of living for the session's lifetime
+        # persist so branch t does not recompute joins 1..t-1 — the
+        # r8 persist discipline, kept because per-step materialization
+        # of the GROWING union would cost O(L²) cache writes (measured
+        # 2.6x at the 1x smoke before this form)
         cur = step.select(
             "start", "walk_no", F.col("__next").alias("node")
         ).persist()
-        prev_out = out
+        step_caches.append(cur)
         out = out.union(
             cur.select("start", "walk_no", F.lit(t).cast("long").alias("step"), "node")
-        ).persist()
-        out.count()
-        if t > 1:
-            prev_cur.unpersist()
-            prev_out.unpersist()
-        prev_cur = cur
+        )
+    # ONE materialization of the finished walk table (populating every
+    # per-step cache along the way), then release the per-step caches —
+    # consumers read the walk cache; per-step state no longer lives for
+    # the session's lifetime
+    out = out.persist()
+    out.count()
+    for c in step_caches:
+        c.unpersist()
     return out
 
 
@@ -846,7 +849,7 @@ def modularity(
     lab = labels.select(
         F.col(node_col).cast("long").alias("__n"), F.col(label_col).alias("__l")
     )
-    blab = F.broadcast(lab) if spark.sparkContext.master.startswith("local") else lab
+    blab = F.broadcast(lab) if _broadcast_frontier(spark) else lab
     j = (
         und.join(blab.select(F.col("__n").alias("u"), F.col("__l").alias("__lu")), "u")
         .join(blab.select(F.col("__n").alias("v"), F.col("__l").alias("__lv")), "v")
@@ -980,7 +983,7 @@ def pagerank_weighted(
     tele = tele.persist()
     for _ in range(int(k)):
         r = ranks.select(F.col("node").alias("src"), "rank_fp")
-        if spark.sparkContext.master.startswith("local"):
+        if _broadcast_frontier(spark):
             r = F.broadcast(r)
         contrib = (
             ed.join(r, "src")
@@ -988,7 +991,7 @@ def pagerank_weighted(
             .groupBy("dst")
             .agg(F.sum("__c").alias("__in"))
         )
-        if spark.sparkContext.master.startswith("local"):
+        if _broadcast_frontier(spark):
             contrib = F.broadcast(contrib)
         ranks = (
             nodes.join(tele, "node", "left")
@@ -1058,7 +1061,7 @@ def hits(
     prev_a = prev_h = None
     for _ in range(int(k)):
         hsrc = hub.select(F.col("node").alias("src"), "h")
-        if spark.sparkContext.master.startswith("local"):
+        if _broadcast_frontier(spark):
             hsrc = F.broadcast(hsrc)
         a_raw = (
             e.join(hsrc, "src")
@@ -1081,7 +1084,7 @@ def hits(
             ).alias("a"),
         )
         adst = auth.select(F.col("node").alias("dst"), "a")
-        if spark.sparkContext.master.startswith("local"):
+        if _broadcast_frontier(spark):
             adst = F.broadcast(adst)
         h_raw = (
             e.join(adst, "dst")

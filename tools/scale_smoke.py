@@ -77,14 +77,22 @@ def main(max_mult: int = 8, only: list[str] | None = None) -> None:
         nb_train,
         target_encode_kfold,
     )
+    from spatialdata_spark.pipeline.classify import (
+        lift_table,
+        poisson_bootstrap_ci,
+    )
     from spatialdata_spark.pipeline.dedup import rouge_recall_pairs
     from spatialdata_spark.pipeline.graph import (
+        BROADCAST_FRONTIER_CONF,
         graph_stats,
+        hits,
         hop_distances,
         kcore_rounds,
         label_propagation,
         link_prediction,
+        modularity,
         pagerank,
+        pagerank_weighted,
         random_walks,
         triangle_count,
     )
@@ -139,6 +147,56 @@ def main(max_mult: int = 8, only: list[str] | None = None) -> None:
         return a.join(
             b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p"))
         ).select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+
+    def _copurchase_w(m):
+        # weighted double cover of the replicated co-purchase graph
+        # (shared-order count as edge weight), same key offsets as
+        # _copurchase so the m copies stay disjoint islands
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        r = replicate(
+            li.select("l_orderkey", "l_partkey"), m, ["l_orderkey", "l_partkey"]
+        )
+        op = r.select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").cast("long").alias("p")
+        ).distinct()
+        a, b = op.alias("a"), op.alias("b")
+        und = (
+            a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+            .groupBy(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+            .agg(F.count(F.lit(1)).cast("long").alias("weight"))
+        )
+        return und.union(
+            und.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+        )
+
+    def _bipartite(m):
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        r = replicate(
+            li.select("l_partkey", "l_suppkey"), m, ["l_partkey", "l_suppkey"]
+        )
+        return r.select(
+            F.col("l_partkey").cast("long").alias("src"),
+            (F.col("l_suppkey").cast("long") + F.lit(10**12)).alias("dst"),
+        ).distinct()
+
+    def _brand_labels(m):
+        part = spark.read.parquet(f"{SF_DIR}/part.parquet")
+        return replicate(
+            part.select(
+                F.col("p_partkey").cast("long").alias("node"),
+                F.col("p_brand").alias("label"),
+            ),
+            m,
+            ["node"],
+        )
+
+    def _copart(fn):
+        # force the cluster (co-partitioned frontier) path for one case
+        spark.conf.set(BROADCAST_FRONTIER_CONF, "false")
+        try:
+            return fn()
+        finally:
+            spark.conf.set(BROADCAST_FRONTIER_CONF, "auto")
 
     def _rouge_pairs_of(d):
         from pyspark.sql.window import Window
@@ -407,6 +465,74 @@ def main(max_mult: int = 8, only: list[str] | None = None) -> None:
             )
             .agg(F.sum("sb_score"))
             .collect(),
+            # --- round-9 additions: the r8 tail + the frontier paths ---
+            # seeds fixed, graph x mult disjoint islands: only copy 0
+            # holds the seeds, but the weighted split and per-round
+            # join/agg volume still scale with edges — linear ceiling
+            "ppr_seeds": lambda m=mult: pagerank_weighted(
+                _copurchase_w(m), k=2, seeds=[1, 2, 3, 4, 5]
+            )
+            .agg(F.sum("rank_fp"))
+            .collect(),
+            # bipartite part->supplier x mult: per-round score joins
+            # edge-linear, two driver scalars per round
+            "hits": lambda m=mult: hits(_bipartite(m), k=3)
+            .agg(F.sum("hub_fp"))
+            .collect(),
+            # labels node-sized x mult, edge scan once: linear
+            "modularity": lambda m=mult: modularity(
+                _copurchase(m), _brand_labels(m)
+            ).collect(),
+            # one global ntile sort (the documented lift/calibration
+            # cost) + cumulative window over the bin table
+            "lift": lambda: lift_table(
+                docs.select(
+                    "doc_id",
+                    F.col("n_chars").alias("llr_mean"),
+                    (F.col("lang") == "en").cast("int").alias("label"),
+                ),
+                n_bins=10,
+            )
+            .agg(F.sum("n_pos"))
+            .collect(),
+            # replicate-explode is bounded by n_boot x rows: linear,
+            # the (b, sum, n) table is n_boot-sized before the sort
+            "bootstrap_ci": lambda: poisson_bootstrap_ci(
+                docs, "n_chars", n_boot=100
+            ).collect(),
+            # class²-sized matrix + marginals — flattest shape
+            "kappa": lambda: cohens_kappa(
+                docs.select(
+                    "lang", (F.col("n_chars") % 7).cast("string").alias("pred")
+                ),
+                "lang",
+                "pred",
+            ).collect(),
+            # the CLUSTER frontier path on local[32]: the edge table
+            # co-partitions once (one build exchange) and every round's
+            # join is exchange-free on the edge side; compare with
+            # "pagerank" (broadcast path) above — the absolute numbers
+            # favor broadcast on one box, the MARGINAL cost per round is
+            # what carries to 1000 executors
+            "pagerank_copart": lambda m=mult: _copart(
+                lambda: pagerank(_pr_edges(spark, m), k=3)
+                .agg(F.sum("rank_fp"))
+                .collect()
+            ),
+            # same, but the caller pre-bucketed the edges (the
+            # write_bucketed shape): the op skips its up-front exchange
+            "pagerank_copart_pre": lambda m=mult: _copart(
+                lambda: pagerank(
+                    _pr_edges(spark, m).repartition(
+                        int(spark.conf.get("spark.sql.shuffle.partitions")),
+                        "src",
+                    ),
+                    k=3,
+                    pre_partitioned=True,
+                )
+                .agg(F.sum("rank_fp"))
+                .collect()
+            ),
         }
         if only:
             cases = {k: v for k, v in cases.items() if k in only}
@@ -418,6 +544,12 @@ def main(max_mult: int = 8, only: list[str] | None = None) -> None:
                 dt = time.perf_counter() - t0
                 best = dt if best is None or dt < best else best
             results.setdefault(name, {})[f"{mult}x"] = round(best, 2)
+            # drop caches between cases: the iterative ops materialize
+            # per-round state, and 30+ case×scale points in one 8 GiB
+            # driver otherwise accumulate until a broadcast build OOMs
+            # (the smoke measures per-case cost, not co-residency)
+            spark.catalog.clearCache()
+            _nb_cache.clear()
     print(json.dumps({"sf_dir": SF_DIR, "results": results}))
     spark.stop()
 

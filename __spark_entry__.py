@@ -9596,9 +9596,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # fix, graph_stats // oracle, kappa NULL convention, ks loud-error,
     # confusion broadcast hints, unpersist/co-partition touches to the
     # iterative ops); (3) the four remaining queries from the r8
-    # post-rehearsal commit 2f2bdae; (4) backfill with the 34 oldest
+    # post-rehearsal commit 2f2bdae; (4) backfill with the 33 oldest
     # driver-green rows (all r3-checked: the sq_/rq_ families,
-    # st_moving_avg, the stale ag_ rows, q01/q03).
+    # st_moving_avg, the stale ag_ rows, q01).
     return {
         # --- (1) new in round 9 ---
         "rt_export_tiles": rt_export_tiles,
@@ -9614,6 +9614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pl_label_prop": pl_label_prop,
         "pl_hop_dist": pl_hop_dist,
         "pl_pagerank": pl_pagerank,
+        "pl_ppr_seeds": pl_ppr_seeds,
         # --- (3) rest of the 2f2bdae set ---
         "st_scd2": st_scd2,
         "st_psi_drift": st_psi_drift,
@@ -9653,7 +9654,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ag_points_by_darts": ag_points_by_darts,
         "ag_points_categorical": ag_points_categorical,
         "q01_pricing_summary": q01_pricing_summary,
-        "q03_shipping": q03_shipping,
         # --- r8 head (keys already placed above keep their position;
         # the rest follow in r8 order) ---
         "pl_zipf_slope": pl_zipf_slope,

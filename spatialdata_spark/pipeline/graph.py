@@ -905,6 +905,7 @@ def pagerank_weighted(
     dst_col: str = "dst",
     weight_col: str = "weight",
     seeds: "list[int] | None" = None,
+    pre_partitioned: bool = False,
 ) -> DataFrame:
     """Weighted / personalized fixed-point PageRank — :func:`pagerank`
     with two production extensions, same exactness contract (integer
@@ -926,14 +927,22 @@ def pagerank_weighted(
     rank mass into nothing).  ``seeds=None`` + all-1 weights gives
     exactly :func:`pagerank`'s distribution (pinned by test).
 
-    Returns ``(node, rank_fp)``.
+    Returns ``(node, rank_fp)``.  The frontier contract (module notes)
+    applies: broadcast path on local masters; co-partitioned path on
+    clusters, where the src-windowed edge table is src-partitioned
+    once (the out-weight window ITSELF needs that exchange, so it is
+    free) and every round's rank join reuses it exchange-free;
+    ``pre_partitioned=True`` declares the input already src-bucketed.
     """
     spark = edges.sparkSession
+    bcast = _broadcast_frontier(spark)
     e = edges.select(
         F.col(src_col).cast("long").alias("src"),
         F.col(dst_col).cast("long").alias("dst"),
         F.col(weight_col).cast("long").alias("__w"),
     )
+    if not (bcast or pre_partitioned):
+        e = _co_partition(e, "src")
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -948,7 +957,8 @@ def pagerank_weighted(
     # so "__w"/"__W" would be ONE column and the withColumn a REPLACE
     ed = e.withColumn(
         "__wsum", F.sum("__w").over(Window.partitionBy("src")).cast("long")
-    ).persist()
+    )
+    ed = _finalize_cache(ed) if not bcast else ed.persist()
     n_nodes = nodes.count()
     if n_nodes == 0:
         raise ValueError("pagerank_weighted: empty edge list (no nodes)")
@@ -1033,22 +1043,31 @@ def hits(
     differs from the L2 textbook form — documented).
 
     Plan per round: one node-sized score join onto the edge list in
-    each direction (broadcast-gated; co-partition at scale) + one
-    map-side-combinable SUM + one scalar MAX to the driver (two
-    scalars per round — the same driver-scalar budget as pagerank's
-    node count).
+    each direction + one map-side-combinable SUM + one scalar MAX to
+    the driver (two scalars per round — the same driver-scalar budget
+    as pagerank's node count).  The frontier contract applies, with
+    the HITS twist that rounds alternate join keys: the co-partitioned
+    path keeps TWO persisted edge layouts (by src for the authority
+    update, by dst for the hub update — 2x edge cache, the price of
+    exchange-free rounds in both directions).
 
     Returns ``(node, hub_fp, auth_fp)`` as int64 in ``[0, scale]``.
     """
     spark = edges.sparkSession
+    bcast = _broadcast_frontier(spark)
     dec = "decimal(38,0)"
     e = edges.select(
         F.col(src_col).cast("long").alias("src"),
         F.col(dst_col).cast("long").alias("dst"),
-    ).persist()
+    )
+    if bcast:
+        e_by_src = e_by_dst = e.persist()
+    else:
+        e_by_src = _finalize_cache(_co_partition(e, "src"))
+        e_by_dst = _finalize_cache(_co_partition(e, "dst"))
     nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
+        e_by_src.select(F.col("src").alias("node"))
+        .union(e_by_src.select(F.col("dst").alias("node")))
         .distinct()
         .persist()
     )
@@ -1061,10 +1080,10 @@ def hits(
     prev_a = prev_h = None
     for _ in range(int(k)):
         hsrc = hub.select(F.col("node").alias("src"), "h")
-        if _broadcast_frontier(spark):
+        if bcast:
             hsrc = F.broadcast(hsrc)
         a_raw = (
-            e.join(hsrc, "src")
+            e_by_src.join(hsrc, "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("h").cast(dec)).alias("__s"))
             .persist()
@@ -1084,10 +1103,10 @@ def hits(
             ).alias("a"),
         )
         adst = auth.select(F.col("node").alias("dst"), "a")
-        if _broadcast_frontier(spark):
+        if bcast:
             adst = F.broadcast(adst)
         h_raw = (
-            e.join(adst, "dst")
+            e_by_dst.join(adst, "dst")
             .groupBy(F.col("src").alias("node"))
             .agg(F.sum(F.col("a").cast(dec)).alias("__s"))
             .persist()

@@ -36,10 +36,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from spatialdata_spark.pipeline.graph import (  # noqa: E402
     BROADCAST_FRONTIER_CONF,
+    hits,
     hop_distances,
     kcore_rounds,
     label_propagation,
     pagerank,
+    pagerank_weighted,
 )
 
 
@@ -151,18 +153,24 @@ def test_copartitioned_path_matches_broadcast_path(spark, cluster_mode):
     e = _random_edges(spark)
     sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
 
+    wgt = sym.withColumn("weight", (F.col("src") % 3 + 1).cast("long"))
+
     spark.conf.set(BROADCAST_FRONTIER_CONF, "true")
     expected = {
         "pagerank": _rows(pagerank(sym, k=3)),
         "lpa": _rows(label_propagation(sym, k=3)),
         "kcore": _rows(kcore_rounds(e, k_core=3, rounds=3)),
         "hops": _rows(hop_distances(e, seeds=[0, 1], max_hops=3)),
+        "hits": _rows(hits(e, k=2)),
+        "ppr": _rows(pagerank_weighted(wgt, k=2, seeds=[0, 1, 2])),
     }
     spark.conf.set(BROADCAST_FRONTIER_CONF, "false")
     assert _rows(pagerank(sym, k=3)) == expected["pagerank"]
     assert _rows(label_propagation(sym, k=3)) == expected["lpa"]
     assert _rows(kcore_rounds(e, k_core=3, rounds=3)) == expected["kcore"]
     assert _rows(hop_distances(e, seeds=[0, 1], max_hops=3)) == expected["hops"]
+    assert _rows(hits(e, k=2)) == expected["hits"]
+    assert _rows(pagerank_weighted(wgt, k=2, seeds=[0, 1, 2])) == expected["ppr"]
 
 
 def test_pagerank_edge_side_exchange_free(spark, cluster_mode):
@@ -196,6 +204,40 @@ def test_hop_distances_edge_side_exchange_free(spark, cluster_mode):
     ]
     assert counts[0] == counts[1] == counts[2], counts
     _assert_edge_side_exchange_free(hop_distances(e, [0], max_hops=3), "nbr")
+
+
+def test_pagerank_weighted_edge_side_exchange_free(spark, cluster_mode):
+    e = _random_edges(spark).withColumn(
+        "weight", (F.col("src") % 3 + 1).cast("long")
+    )
+    counts = [
+        _live_exchanges(pagerank_weighted(e, k=k)) for k in (1, 2, 3)
+    ]
+    assert counts[1] - counts[0] == counts[2] - counts[1], counts
+    # the src-windowed (src, dst, __w, __wsum) cache never re-shuffles
+    _assert_edge_side_exchange_free(pagerank_weighted(e, k=3), "__wsum")
+
+
+def test_hits_edge_sides_exchange_free(spark, cluster_mode):
+    # hits alternates join keys: both persisted layouts (by src for the
+    # authority update, by dst for the hub update) must be read without
+    # re-exchange.  hits materializes per round, so the returned plan
+    # is the final join of two node-sized cached score tables — assert
+    # the last round's updates left no live exchange over either edge
+    # cache by checking the whole plan has no exchange above a scan
+    # carrying the edge columns.
+    e = _random_edges(spark)
+    df = hits(e, k=2)
+    for marker in ("src", "dst"):
+        paths = _edge_scan_join_paths(df, marker)
+        for path in paths:
+            last_join = max(
+                (i for i, n in enumerate(path) if "JoinExec" in n), default=-1
+            )
+            seg = path[last_join + 1 :]
+            assert not (
+                "ShuffleExchangeExec" in seg and "HashAggregateExec" not in seg
+            ), path
 
 
 def test_kcore_final_plan_is_cache_read(spark, cluster_mode):

@@ -296,6 +296,82 @@ def streaming_enrich(
     )
 
 
+def streaming_interval_join(
+    spark: SparkSession,
+    left_dir: str,
+    left_schema,
+    right_dir: str,
+    right_schema,
+    key: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    within: str = "1 hour",
+    watermark: str = "10 minutes",
+    query_name: str = "stream_joined",
+):
+    """STREAM-STREAM interval join — the streaming twin of
+    ``operators.temporal.interval_join`` (whose batch semantics the
+    registry's ``st_interval_conversions`` oracles): match each left
+    event to right events of the same key whose timestamp falls in
+    ``[left_ts, left_ts + within]`` — attribution (click -> purchase
+    within the window) over two LIVE streams.
+
+    The Structured Streaming contract this encodes (the part the batch
+    twin doesn't need):
+
+    * BOTH sides carry a watermark, and the join condition bounds the
+      event-time gap in BOTH directions (equi-key + range) — that pair
+      is what lets the engine expire join state: a right row can be
+      evicted once the watermark passes ``right_ts`` (no earlier left
+      row may still arrive that matches), and symmetrically.  Without
+      the time bound the state store grows forever — Spark rejects
+      unbounded stream-stream inner joins without watermarks for
+      exactly this reason.
+    * State size is bounded by (events per key-window) x (watermark +
+      within) — per-key, per-executor constant at any corpus rate.
+    * Inner append-mode emission: a joined row emits as soon as both
+      sides have arrived (no window-close wait).
+
+    Returns the started query writing to the ``query_name`` memory
+    sink (tests); swap the sink for kafka/delta in production.
+    """
+    lt, rt = "__lts", "__rts"
+    left = (
+        spark.readStream.schema(left_schema)
+        .parquet(left_dir)
+        .withColumnRenamed(left_ts, lt)
+        .withColumnRenamed(key, "__lkey")
+        .withWatermark(lt, watermark)
+    )
+    right = (
+        spark.readStream.schema(right_schema)
+        .parquet(right_dir)
+        .withColumnRenamed(right_ts, rt)
+        .withColumnRenamed(key, "__rkey")
+        .withWatermark(rt, watermark)
+    )
+    joined = left.join(
+        right,
+        F.expr(
+            f"__lkey = __rkey AND {rt} >= {lt} AND {rt} <= {lt} + interval {within}"
+        ),
+        "inner",
+    ).select(
+        F.col("__lkey").alias(key),
+        F.col(lt).alias("left_ts"),
+        F.col(rt).alias("right_ts"),
+        *[c for c in left.columns if c not in ("__lkey", lt)],
+        *[c for c in right.columns if c not in ("__rkey", rt)],
+    )
+    return (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def streaming_topk_rate(
     spark: SparkSession,
     source_dir: str,

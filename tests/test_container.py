@@ -265,6 +265,72 @@ def test_streaming_enrich_stream_static_join(spark, tmp_path):
     assert got == {1: "gold", 2: "basic", 3: None}  # left join keeps unmatched
 
 
+def test_streaming_interval_join_stream_stream(spark, tmp_path):
+    """Watermarked STREAM-STREAM interval join: clicks match purchases
+    of the same user within 1 hour AFTER the click; both sides live."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import _parse_datatype_string
+
+    from spatialdata_spark.streaming.windows import streaming_interval_join
+
+    lsrc = str(tmp_path / "clicks")
+    rsrc = str(tmp_path / "purchases")
+    os.makedirs(lsrc, exist_ok=True)
+    os.makedirs(rsrc, exist_ok=True)
+    clicks = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 100),
+            (2, "2024-01-01 10:30:00", 200),
+            (3, "2024-01-01 12:00:00", 100),
+        ],
+        ["click_id", "ts_s", "user_id"],
+    ).select("click_id", F.to_timestamp("ts_s").alias("ts"), "user_id")
+    clicks.coalesce(1).write.parquet(f"{lsrc}/f1")
+    purchases = spark.createDataFrame(
+        [
+            (11, "2024-01-01 10:40:00", 100),  # within 1h of click 1
+            (12, "2024-01-01 11:45:00", 200),  # >1h after click 2: no match
+            (13, "2024-01-01 12:10:00", 100),  # within 1h of click 3
+            (14, "2024-01-01 09:50:00", 100),  # BEFORE click 1: no match
+        ],
+        ["purchase_id", "ts_s", "user_id"],
+    ).select("purchase_id", F.to_timestamp("ts_s").alias("ts"), "user_id")
+    purchases.coalesce(1).write.parquet(f"{rsrc}/f1")
+    q = streaming_interval_join(
+        spark,
+        f"{lsrc}/*",
+        _parse_datatype_string("click_id long, ts timestamp, user_id long"),
+        f"{rsrc}/*",
+        _parse_datatype_string("purchase_id long, ts timestamp, user_id long"),
+        key="user_id",
+        within="1 hour",
+        watermark="10 minutes",
+        query_name="clicks_purchases",
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["click_id"], r["purchase_id"])
+        for r in spark.sql("SELECT * FROM clicks_purchases").collect()
+    }
+    assert got == {(1, 11), (3, 13)}
+    # batch twin agrees: operators.temporal.interval_join on the same
+    # rows yields the same (click, purchase) pairs
+    from spatialdata_spark.operators.temporal import interval_join
+
+    batch = interval_join(
+        clicks, purchases, keys=["user_id"], ts_col="ts", width_seconds=3600
+    )
+    pairs = {
+        (r["l_click_id"], r["r_purchase_id"])
+        for r in batch.collect()
+        if r["r_purchase_id"] is not None
+    }
+    assert pairs == got
+
+
 def test_streaming_topk_rate_appends_closed_windows(spark, tmp_path):
     import os
     import time as _time

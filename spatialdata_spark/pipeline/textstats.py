@@ -1638,6 +1638,104 @@ def stupid_backoff_score(
     )
 
 
+def kneser_ney_score(
+    docs: DataFrame,
+    d_num: int = 3,
+    d_den: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train_docs: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document mean log-probability under an INTERPOLATED
+    Kneser-Ney bigram model (Kneser & Ney 1995; the interpolated form
+    of Chen & Goodman 1999 §3 with one fixed discount) — the top rung
+    of this repo's smoothing ladder (unigram -> add-one bigram ->
+    Stupid Backoff -> KN): unlike backoff-to-frequency, the lower-order
+    distribution is the CONTINUATION probability ("how many contexts
+    does this word follow?"), the fix for the "San Francisco problem"
+    where a frequent-but-context-bound word steals backoff mass.
+
+    With ``D = d_num/d_den`` (0.75 published default) and train-corpus
+    statistics ``c(ab)`` (bigram count), ``ctx(a) = sum_b c(ab)``,
+    ``n1p(a) = |{b : c(ab) > 0}|``, ``n1b(b) = |{a : c(ab) > 0}|``,
+    ``n1tot = |{(a,b) : c(ab) > 0}|``::
+
+        pc(b)   = n1b(b) / n1tot                       (continuation)
+        P(b|a)  = max(c(ab) - D, 0)/ctx(a)
+                  + (D * n1p(a) / ctx(a)) * pc(b)       (seen context)
+                = pc(b)                                 (unseen context)
+
+    ``score(doc) = mean(ln P)`` over bigrams, 6 dp (the family's
+    documented absorption of ln()/mean-order last-ulp differences —
+    every sufficient statistic above is an exact integer, and P is a
+    fixed-arity double expression per row).
+
+    ``train_docs`` defaults to ``docs`` (own-corpus scoring); pass a
+    held-out slice to make the unseen-context branch fire.  A bigram
+    whose CONTINUATION word appears nowhere in training is dropped
+    (inner join on ``n1b``) — full-OOV handling belongs to the add-one
+    model, the family convention (:func:`stupid_backoff_score`).
+
+    Plan: all four statistic tables are vocabulary-/type-sized with
+    map-side combine (``n1p``/``ctx`` share one aggregation over the
+    bigram-type table), broadcast-gated joins, a 1-row type total —
+    the corpus is scanned once per side and never shuffles.
+    """
+    from .filters import word_ngrams, word_tokens
+
+    tr = train_docs if train_docs is not None else docs
+    base = docs.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col), word_tokens(text_col).alias("__toks")
+    )
+    tbase = tr.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        word_tokens(text_col).alias("__toks")
+    )
+    bg = (
+        base.select(
+            id_col, F.explode(word_ngrams(F.col("__toks"), 2)).alias("__g")
+        )
+        .withColumn("__a", F.substring_index(F.col("__g"), " ", 1))
+        .withColumn("__b", F.substring_index(F.col("__g"), " ", -1))
+    )
+    tbg = (
+        tbase.select(F.explode(word_ngrams(F.col("__toks"), 2)).alias("__g"))
+        .withColumn("__a", F.substring_index(F.col("__g"), " ", 1))
+        .withColumn("__b", F.substring_index(F.col("__g"), " ", -1))
+    )
+    c2 = tbg.groupBy("__a", "__b").agg(F.count(F.lit(1)).alias("__c2"))
+    # persist the bigram-TYPE table: three statistics derive from it
+    c2 = c2.persist()
+    ctx = c2.groupBy("__a").agg(
+        F.sum("__c2").alias("__ctx"), F.count(F.lit(1)).alias("__n1p")
+    )
+    n1b = c2.groupBy("__b").agg(F.count(F.lit(1)).alias("__n1b"))
+    n1tot = c2.agg(F.count(F.lit(1)).alias("__nt"))
+    spark = docs.sparkSession
+    if spark.sparkContext.master.startswith("local"):
+        c2j = F.broadcast(c2)
+        ctx = F.broadcast(ctx)
+        n1b = F.broadcast(n1b)
+    else:
+        c2j = c2
+    scored = (
+        bg.join(c2j, ["__a", "__b"], "left")
+        .join(ctx, "__a", "left")
+        .join(n1b, "__b")
+        .crossJoin(F.broadcast(n1tot))
+    )
+    d = F.lit(int(d_num)) / F.lit(int(d_den))
+    pcont = F.col("__n1b") / F.col("__nt")
+    p = F.when(
+        F.col("__ctx").isNotNull(),
+        F.greatest(F.coalesce(F.col("__c2"), F.lit(0)) - d, F.lit(0.0))
+        / F.col("__ctx")
+        + (d * F.col("__n1p") / F.col("__ctx")) * pcont,
+    ).otherwise(pcont)
+    return scored.groupBy(id_col).agg(
+        F.round(F.avg(F.log(p)), 6).alias("kn_score")
+    )
+
+
 def chi2_tokens(
     docs: DataFrame,
     label_col: str = "source",

@@ -56,3 +56,49 @@ def test_bucketed_data_is_plain_parquet(spark, tmp_path, bucketed_pair):
     loc = spark.sql(f"DESCRIBE FORMATTED {a}").filter("col_name = 'Location'").first()["data_type"]
     df = spark.read.parquet(loc.replace("file:", ""))
     assert df.count() == 200
+
+
+def test_bucketed_edges_feed_pagerank_pre_partitioned(spark, tmp_path):
+    """The full 100 TB iterative-graph recipe end-to-end: edges written
+    ONCE with write_bucketed(src), read back, fed to pagerank in the
+    co-partitioned frontier mode with pre_partitioned=True — values
+    identical to the broadcast path, and the op adds no repartition of
+    its own (the bucketed scan IS the partitioning)."""
+    import random
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    import spatialdata_spark.pipeline.graph as G
+
+    rng = random.Random(11)
+    seen = set()
+    while len(seen) < 150:
+        a, b = rng.randrange(50), rng.randrange(50)
+        if a != b:
+            seen.add((a, b))
+    edges = spark.createDataFrame(
+        pd.DataFrame(sorted(seen), columns=["src", "dst"]).astype("int64")
+    )
+    expected = sorted(tuple(r) for r in G.pagerank(edges, k=3).collect())
+
+    write_bucketed(
+        edges, "b_edges", str(tmp_path / "edges"), buckets=8, bucket_cols="src"
+    )
+    try:
+        spark.conf.set(G.BROADCAST_FRONTIER_CONF, "false")
+        calls = []
+        real = G._co_partition
+        G._co_partition = lambda df, key: calls.append(key) or real(df, key)
+        try:
+            got = G.pagerank(
+                read_bucketed(spark, "b_edges"), k=3, pre_partitioned=True
+            )
+            rows = sorted(tuple(r) for r in got.collect())
+        finally:
+            G._co_partition = real
+        assert calls == []  # the op trusted the bucketing
+        assert rows == expected
+    finally:
+        spark.conf.set(G.BROADCAST_FRONTIER_CONF, "auto")
+        spark.sql("DROP TABLE IF EXISTS b_edges")

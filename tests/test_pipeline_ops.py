@@ -3541,6 +3541,71 @@ def test_stupid_backoff_matches_python(spark):
         assert abs(out[i] - round(sum(logs) / len(logs), 6)) < 1e-9
 
 
+def test_kneser_ney_matches_python(spark):
+    import math
+    import random
+    from collections import Counter
+
+    from spatialdata_spark.pipeline.textstats import kneser_ney_score
+
+    rng = random.Random(29)
+    vocab = [f"w{i}" for i in range(20)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 25))))
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    score = docs.filter(F.col("doc_id") % 2 == 1)
+    out = {
+        r["doc_id"]: r["kn_score"]
+        for r in kneser_ney_score(score, train_docs=train).collect()
+    }
+
+    c2 = Counter()
+    for i, tx in rows:
+        if i % 2 == 0:
+            ws = tx.split()
+            c2.update(zip(ws, ws[1:]))
+    ctx, n1p, n1b = Counter(), Counter(), Counter()
+    for (a, b), c in c2.items():
+        ctx[a] += c
+        n1p[a] += 1
+        n1b[b] += 1
+    nt = len(c2)
+    D = 3 / 4
+    for i, tx in rows:
+        if i % 2 == 0:
+            continue
+        ws = tx.split()
+        logs = []
+        for a, b in zip(ws, ws[1:]):
+            if n1b[b] == 0:
+                continue  # OOV continuation dropped (family convention)
+            pc = n1b[b] / nt
+            if ctx[a] > 0:
+                p = max(c2[(a, b)] - D, 0.0) / ctx[a] + (D * n1p[a] / ctx[a]) * pc
+            else:
+                p = pc
+            logs.append(math.log(p))
+        if not logs:
+            assert i not in out
+            continue
+        assert abs(out[i] - round(sum(logs) / len(logs), 6)) < 1e-9
+    # interpolation sanity: probabilities over the full vocab sum to 1
+    # for any seen context (the property stupid backoff gives up)
+    a = max(ctx, key=ctx.get)
+    conts = {b for (x, b) in c2 if x == a}
+    total = sum(
+        max(c2[(a, b)] - D, 0.0) / ctx[a] + (D * n1p[a] / ctx[a]) * (n1b[b] / nt)
+        for b in n1b
+    )
+    # every continuation of every context is in n1b, so the sum over
+    # n1b's support is the full conditional mass
+    assert conts <= set(n1b)
+    assert abs(total - 1.0) < 1e-9
+
+
 def test_stupid_backoff_heldout_hits_backoff(spark):
     """Held-out scoring: a bigram unseen in training must take the
     alpha * c(b)/N backoff branch."""

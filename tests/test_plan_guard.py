@@ -93,7 +93,8 @@ GUARDED = [
     "st_psi_drift",
     "pl_simhash_recall",
     # round 9
-    "rt_export_tiles",
+    "rt_dataset_tiles",
+    "pl_kneser_ney",
     "pl_confusion",
     "pl_modularity",
     "pl_kcore",
@@ -177,6 +178,8 @@ EXPRESSION_ONLY = [
     "pl_ks_lengths",
     "st_psi_drift",
     "pl_simhash_recall",
+    # round 9
+    "pl_kneser_ney",
 ]
 
 

@@ -102,6 +102,7 @@ def main(max_mult: int = 8, only: list[str] | None = None) -> None:
         chi2_tokens,
         distinct_ngrams,
         hdr_quantiles,
+        kneser_ney_score,
         ks_2sample,
         stupid_backoff_score,
         zipf_slope,
@@ -464,6 +465,14 @@ def main(max_mult: int = 8, only: list[str] | None = None) -> None:
                 train_docs=docs.filter(F.col("doc_id") % 2 == 0),
             )
             .agg(F.sum("sb_score"))
+            .collect(),
+            # same saturation shape; the four KN statistic tables are
+            # all type-/vocabulary-sized
+            "kneser_ney": lambda: kneser_ney_score(
+                docs.filter(F.col("doc_id") % 2 == 1),
+                train_docs=docs.filter(F.col("doc_id") % 2 == 0),
+            )
+            .agg(F.sum("kn_score"))
             .collect(),
             # --- round-9 additions: the r8 tail + the frontier paths ---
             # seeds fixed, graph x mult disjoint islands: only copy 0

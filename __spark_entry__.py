@@ -3456,6 +3456,51 @@ FROM px GROUP BY media_id
 """
 
 
+def pl_image_dhash(spark, sf_dir):
+    """Perceptual image dedup: dHash (gradient difference hash) over
+    REAL stdlib-PNG-decoded fixture images, then exact-duplicate
+    groups by hash — the image-side analog of digest dedup, with the
+    hash recomputed closed-form by the oracle (integer grayscale
+    (r+g+b)//3, one bit per horizontal neighbor pair, LSB-first
+    row-major pack: fully integer, engine-exact)."""
+    from spatialdata_spark.pipeline.multimodal import image_dhash
+
+    h = image_dhash(_png_media(spark, sf_dir))
+    return (
+        h.filter(F.col("decode_ok"))
+        .groupBy("dhash")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dups"),
+            F.min("media_id").cast("long").alias("keep_id"),
+        )
+    )
+
+
+PL_IMAGE_DHASH_SQL = """
+WITH g AS (SELECT t1.y, t2.x FROM range(8) t1(y), range(8) t2(x)),
+px AS (
+  SELECT d.doc_id AS media_id, g.y, g.x,
+         ((d.doc_id % 199 + 3 * g.x + 5 * g.y) % 256
+          + (d.doc_id % 97 + 7 * g.x + 2 * g.y) % 256
+          + (d.doc_id % 61 + g.x + 11 * g.y) % 256) // 3 AS gray
+  FROM documents d CROSS JOIN g
+),
+bits AS (
+  SELECT a.media_id,
+         CAST(SUM(CASE WHEN b.gray > a.gray
+                       THEN CAST(1 AS BIGINT) << (a.y * 7 + a.x)
+                       ELSE 0 END) AS BIGINT) AS dhash
+  FROM px a JOIN px b
+    ON a.media_id = b.media_id AND b.y = a.y AND b.x = a.x + 1
+  WHERE a.x < 7
+  GROUP BY 1
+)
+SELECT dhash, CAST(COUNT(*) AS BIGINT) AS n_dups,
+       CAST(MIN(media_id) AS BIGINT) AS keep_id
+FROM bits GROUP BY 1
+"""
+
+
 def _media(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     return docs.select(
@@ -9658,13 +9703,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # fix, graph_stats // oracle, kappa NULL convention, ks loud-error,
     # confusion broadcast hints, unpersist/co-partition touches to the
     # iterative ops); (3) the four remaining queries from the r8
-    # post-rehearsal commit 2f2bdae; (4) backfill with the 32 oldest
+    # post-rehearsal commit 2f2bdae; (4) backfill with the 31 oldest
     # driver-green rows (all r3-checked: the sq_/rq_ families,
     # st_moving_avg, the stale ag_ rows).
     return {
         # --- (1) new in round 9 ---
         "rt_dataset_tiles": rt_dataset_tiles,
         "pl_kneser_ney": pl_kneser_ney,
+        "pl_image_dhash": pl_image_dhash,
         # --- (2) code/oracle modified this round ---
         "pl_modularity": pl_modularity,
         "pl_kcore": pl_kcore,
@@ -9715,7 +9761,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ag_points_by_circles_mean": ag_points_by_circles_mean,
         "ag_points_by_circles_sum": ag_points_by_circles_sum,
         "ag_points_by_darts": ag_points_by_darts,
-        "ag_points_categorical": ag_points_categorical,
         # --- r8 head (keys already placed above keep their position;
         # the rest follow in r8 order) ---
         "pl_zipf_slope": pl_zipf_slope,
@@ -10000,6 +10045,7 @@ def oracle_sql() -> dict[str, str]:
         "pl_minhash_recall": _minhash_recall_sql(),
         "pl_stupid_backoff": PL_STUPID_BACKOFF_SQL,
         "pl_kneser_ney": PL_KNESER_NEY_SQL,
+        "pl_image_dhash": PL_IMAGE_DHASH_SQL,
         "pl_chi2_tokens": PL_CHI2_TOKENS_SQL,
         "pl_ks_lengths": PL_KS_LENGTHS_SQL,
         "st_psi_drift": ST_PSI_DRIFT_SQL,

@@ -110,6 +110,52 @@ def test_multimodal_plumbing(spark):
     assert [r["frame_ts_ms"] for r in frames] == [0, 1000, 2000, 3000]
 
 
+def test_image_dhash_matches_python(spark):
+    import hashlib
+
+    import numpy as np
+
+    from spatialdata_spark.pipeline.codecs import png_encode
+    from spatialdata_spark.pipeline.multimodal import image_dhash
+
+    # two real PNGs with known gradients + one undecodable payload
+    y, x = np.mgrid[0:4, 0:4]
+    a = np.stack([(3 * x + y) % 256] * 3, axis=-1).astype(np.uint8)
+    b = np.stack([(255 - 5 * x - 2 * y) % 256] * 3, axis=-1).astype(np.uint8)
+    rows = [
+        (1, "image", png_encode(a), "image/png", 4, 4, None),
+        (2, "image", png_encode(b), "image/png", 4, 4, None),
+        (3, "image", b"not a png", "image/fake", 4, 4, None),
+        (4, "image", png_encode(a), "image/png", 4, 4, None),  # dup of 1
+    ]
+    from spatialdata_spark.pipeline.multimodal import MEDIA_SCHEMA
+
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in image_dhash(media).collect()}
+
+    def ref(arr):
+        gray = arr.astype(np.int64).sum(axis=-1) // 3
+        bits = (gray[:, 1:] > gray[:, :-1]).flatten()
+        return sum(int(v) << i for i, v in enumerate(bits))
+
+    assert got[1]["decode_ok"] and got[1]["dhash"] == ref(a)
+    assert got[2]["decode_ok"] and got[2]["dhash"] == ref(b)
+    assert got[1]["dhash"] == ref(a) == 0b111111111111  # ascending rows
+    assert got[2]["dhash"] == 0  # descending gradient: every bit 0
+    assert got[4]["dhash"] == got[1]["dhash"]  # identical image -> dup
+    # undecodable payload: deterministic sha-stub, flagged
+    assert not got[3]["decode_ok"]
+    digest = hashlib.sha256(b"not a png").digest()
+    assert got[3]["dhash"] == int.from_bytes(digest[:8], "big") >> 1
+    # oversize guard: (w-1)*h must fit 63 bits
+    big = np.zeros((16, 16, 3), dtype=np.uint8)
+    media_big = spark.createDataFrame(
+        [(9, "image", png_encode(big), "image/png", 16, 16, None)], MEDIA_SCHEMA
+    )
+    r = image_dhash(media_big).collect()[0]
+    assert not r["decode_ok"]  # routed to the stub, loud in decode_ok
+
+
 def test_relabel_by_partition(spark):
     from spatialdata_spark.operators.rasterize import relabel_by_partition
 

@@ -95,6 +95,7 @@ GUARDED = [
     # round 9
     "rt_dataset_tiles",
     "pl_kneser_ney",
+    "pl_image_dhash",
     "pl_confusion",
     "pl_modularity",
     "pl_kcore",

@@ -96,6 +96,7 @@ def main(max_mult: int = 8, only: list[str] | None = None) -> None:
         random_walks,
         triangle_count,
     )
+    from spatialdata_spark.pipeline.multimodal import image_dhash
     from spatialdata_spark.pipeline.search import multi_phrase_search, phrase_search
     from spatialdata_spark.operators.temporal import psi_drift
     from spatialdata_spark.pipeline.textstats import (
@@ -466,6 +467,15 @@ def main(max_mult: int = 8, only: list[str] | None = None) -> None:
             )
             .agg(F.sum("sb_score"))
             .collect(),
+            # real PNG encode+decode per row (the documented multimodal
+            # custom-op tax) + one hash-keyed group: strictly linear
+            "image_dhash": lambda m=mult: image_dhash(
+                replicate(entrymod._png_media(spark, SF_DIR), m, ["media_id"])
+            )
+            .filter(F.col("decode_ok"))
+            .groupBy("dhash")
+            .count()
+            .count(),
             # same saturation shape; the four KN statistic tables are
             # all type-/vocabulary-sized
             "kneser_ney": lambda: kneser_ney_score(

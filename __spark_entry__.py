@@ -3501,6 +3501,103 @@ FROM bits GROUP BY 1
 """
 
 
+def _png_media_variants(spark, sf_dir):
+    """Image corpus with near-dups BY CONSTRUCTION: docs share their
+    group's base image (group = doc_id - doc_id % 8) except the
+    group's second member, whose red channel gets a +60 bump at pixel
+    (y=3, x=4) — a one-pixel edit that flips at most the two gradient
+    bits adjacent to it.  Exact dups collapse per group; each group
+    contributes (base, variant) as a genuine sub-threshold Hamming
+    pair.  Same closed-form-pixel contract as ``_png_media``."""
+    import numpy as np
+    import pandas as pd
+
+    from spatialdata_spark.pipeline.codecs import png_encode
+    from spatialdata_spark.pipeline.multimodal import MEDIA_SCHEMA
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+
+    def _gen(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                base = did - (did % 8)
+                y, x = np.mgrid[0:8, 0:8]
+                bump = (
+                    60 * ((y == 3) & (x == 4)) if did % 8 == 1 else 0
+                )
+                r = (base % 199 + 3 * x + 5 * y + bump) % 256
+                g = (base % 97 + 7 * x + 2 * y) % 256
+                b = (base % 61 + x + 11 * y) % 256
+                arr = np.stack([r, g, b], axis=-1).astype(np.uint8)
+                rows.append((did, "image", png_encode(arr), "image/png", 8, 8, None))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "kind", "payload", "mime", "width", "height", "duration_ms"],
+            )
+
+    return docs.mapInPandas(_gen, MEDIA_SCHEMA)
+
+
+def pl_image_neardup(spark, sf_dir):
+    """Image NEAR-dup pairs: collapse exact dHash duplicates to one
+    representative (the text pipeline's exact-then-near ladder — banding
+    raw rows would square every exact-dup group), then the SimHash
+    4x16-bit Hamming band join (pigeonhole guarantee: distance <= 3
+    implies one block matches exactly) with exact bit_count refine.
+    The fixture plants one single-pixel-edited variant per 8-document
+    group, so genuine sub-threshold pairs exist by construction.
+    Everything integer; the oracle replays hash, banding and popcount
+    closed-form."""
+    from spatialdata_spark.pipeline.dedup import simhash_near_duplicates
+    from spatialdata_spark.pipeline.multimodal import image_dhash
+
+    h = image_dhash(_png_media_variants(spark, sf_dir)).filter(F.col("decode_ok"))
+    reps = h.groupBy("dhash").agg(F.min("media_id").alias("doc_id"))
+    fps = reps.select("doc_id", F.col("dhash").alias("simhash"))
+    return simhash_near_duplicates(fps, max_hamming=3)
+
+
+PL_IMAGE_NEARDUP_SQL = """
+WITH g AS (SELECT t1.y, t2.x FROM range(8) t1(y), range(8) t2(x)),
+px AS (
+  SELECT d.doc_id AS media_id, g.y, g.x,
+         (((d.doc_id - d.doc_id % 8) % 199 + 3 * g.x + 5 * g.y
+           + CASE WHEN d.doc_id % 8 = 1 AND g.y = 3 AND g.x = 4
+                  THEN 60 ELSE 0 END) % 256
+          + ((d.doc_id - d.doc_id % 8) % 97 + 7 * g.x + 2 * g.y) % 256
+          + ((d.doc_id - d.doc_id % 8) % 61 + g.x + 11 * g.y) % 256) // 3 AS gray
+  FROM documents d CROSS JOIN g
+),
+bits AS (
+  SELECT a.media_id,
+         CAST(SUM(CASE WHEN b.gray > a.gray
+                       THEN CAST(1 AS BIGINT) << (a.y * 7 + a.x)
+                       ELSE 0 END) AS BIGINT) AS dhash
+  FROM px a JOIN px b
+    ON a.media_id = b.media_id AND b.y = a.y AND b.x = a.x + 1
+  WHERE a.x < 7
+  GROUP BY 1
+),
+reps AS (
+  SELECT dhash, CAST(MIN(media_id) AS BIGINT) AS doc_id FROM bits GROUP BY 1
+),
+blocks AS (
+  SELECT doc_id, dhash, t.i AS block_idx,
+         (dhash >> (16 * t.i)) & 65535 AS bv
+  FROM reps, UNNEST([0, 1, 2, 3]) AS t(i)
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+         CAST(bit_count(xor(l.dhash, r.dhash)) AS INTEGER) AS hamming
+  FROM blocks l JOIN blocks r
+    ON l.block_idx = r.block_idx AND l.bv = r.bv AND l.doc_id < r.doc_id
+)
+SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 3
+"""
+
+
 def _media(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     return docs.select(
@@ -9703,7 +9800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # fix, graph_stats // oracle, kappa NULL convention, ks loud-error,
     # confusion broadcast hints, unpersist/co-partition touches to the
     # iterative ops); (3) the four remaining queries from the r8
-    # post-rehearsal commit 2f2bdae; (4) backfill with the 31 oldest
+    # post-rehearsal commit 2f2bdae; (4) backfill with the 30 oldest
     # driver-green rows (all r3-checked: the sq_/rq_ families,
     # st_moving_avg, the stale ag_ rows).
     return {
@@ -9711,6 +9808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_dataset_tiles": rt_dataset_tiles,
         "pl_kneser_ney": pl_kneser_ney,
         "pl_image_dhash": pl_image_dhash,
+        "pl_image_neardup": pl_image_neardup,
         # --- (2) code/oracle modified this round ---
         "pl_modularity": pl_modularity,
         "pl_kcore": pl_kcore,
@@ -9760,7 +9858,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ag_points_by_circles_max": ag_points_by_circles_max,
         "ag_points_by_circles_mean": ag_points_by_circles_mean,
         "ag_points_by_circles_sum": ag_points_by_circles_sum,
-        "ag_points_by_darts": ag_points_by_darts,
         # --- r8 head (keys already placed above keep their position;
         # the rest follow in r8 order) ---
         "pl_zipf_slope": pl_zipf_slope,
@@ -10046,6 +10143,7 @@ def oracle_sql() -> dict[str, str]:
         "pl_stupid_backoff": PL_STUPID_BACKOFF_SQL,
         "pl_kneser_ney": PL_KNESER_NEY_SQL,
         "pl_image_dhash": PL_IMAGE_DHASH_SQL,
+        "pl_image_neardup": PL_IMAGE_NEARDUP_SQL,
         "pl_chi2_tokens": PL_CHI2_TOKENS_SQL,
         "pl_ks_lengths": PL_KS_LENGTHS_SQL,
         "st_psi_drift": ST_PSI_DRIFT_SQL,

@@ -96,6 +96,7 @@ GUARDED = [
     "rt_dataset_tiles",
     "pl_kneser_ney",
     "pl_image_dhash",
+    "pl_image_neardup",
     "pl_confusion",
     "pl_modularity",
     "pl_kcore",

@@ -308,6 +308,8 @@ def streaming_interval_join(
     within: str = "1 hour",
     watermark: str = "10 minutes",
     query_name: str = "stream_joined",
+    how: str = "inner",
+    max_files_per_trigger: int | None = None,
 ):
     """STREAM-STREAM interval join — the streaming twin of
     ``operators.temporal.interval_join`` (whose batch semantics the
@@ -331,21 +333,37 @@ def streaming_interval_join(
       within) — per-key, per-executor constant at any corpus rate.
     * Inner append-mode emission: a joined row emits as soon as both
       sides have arrived (no window-close wait).
+    * ``how="left_outer"``: an UNMATCHED left row emits with NULL right
+      columns only once the watermark proves no match can still arrive
+      (left_ts + within + watermark has passed) — the attribution
+      report's "click that never converted" rows, produced by the
+      state-store timeout rather than a batch anti-join.
 
     Returns the started query writing to the ``query_name`` memory
     sink (tests); swap the sink for kafka/delta in production.
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(
+            f"streaming_interval_join: how must be inner|left_outer (got {how!r})"
+        )
+    # outer results emit in the micro-batch AFTER the watermark passes a
+    # row's horizon: a single availableNow batch would never emit them —
+    # pass max_files_per_trigger=1 so file sources advance the watermark
+    # batch-by-batch (the kafka-fed production shape, testable on files)
+    def _src(dir_, schema_):
+        r = spark.readStream.schema(schema_)
+        if max_files_per_trigger:
+            r = r.option("maxFilesPerTrigger", int(max_files_per_trigger))
+        return r.parquet(dir_)
     lt, rt = "__lts", "__rts"
     left = (
-        spark.readStream.schema(left_schema)
-        .parquet(left_dir)
+        _src(left_dir, left_schema)
         .withColumnRenamed(left_ts, lt)
         .withColumnRenamed(key, "__lkey")
         .withWatermark(lt, watermark)
     )
     right = (
-        spark.readStream.schema(right_schema)
-        .parquet(right_dir)
+        _src(right_dir, right_schema)
         .withColumnRenamed(right_ts, rt)
         .withColumnRenamed(key, "__rkey")
         .withWatermark(rt, watermark)
@@ -355,7 +373,7 @@ def streaming_interval_join(
         F.expr(
             f"__lkey = __rkey AND {rt} >= {lt} AND {rt} <= {lt} + interval {within}"
         ),
-        "inner",
+        how,
     ).select(
         F.col("__lkey").alias(key),
         F.col(lt).alias("left_ts"),

@@ -331,6 +331,70 @@ def test_streaming_interval_join_stream_stream(spark, tmp_path):
     assert pairs == got
 
 
+def test_streaming_interval_join_left_outer_emits_on_watermark(spark, tmp_path):
+    """left_outer: an unmatched click emits with NULL purchase columns
+    only after the watermark proves no purchase can still arrive —
+    driven by per-file micro-batches advancing the watermark."""
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import _parse_datatype_string
+
+    from spatialdata_spark.streaming.windows import streaming_interval_join
+
+    lsrc = str(tmp_path / "oclicks")
+    rsrc = str(tmp_path / "opurch")
+    os.makedirs(lsrc, exist_ok=True)
+    os.makedirs(rsrc, exist_ok=True)
+
+    def wfile(base, name, rows, cols):
+        df = spark.createDataFrame(rows, cols).select(
+            cols[0], F.to_timestamp("ts_s").alias("ts"), "user_id"
+        )
+        df.coalesce(1).write.parquet(f"{base}/{name}")
+        _time.sleep(1.1)  # distinct mtimes => deterministic file order
+
+    wfile(
+        lsrc,
+        "f1",
+        [(1, "2024-01-01 10:00:00", 100), (2, "2024-01-01 10:00:00", 200)],
+        ["click_id", "ts_s", "user_id"],
+    )
+    wfile(rsrc, "f1", [(11, "2024-01-01 10:30:00", 100)], ["purchase_id", "ts_s", "user_id"])
+    # watermark advancers on BOTH sides (global watermark = min of the
+    # two), far past click+within+watermark so user 200's click times out
+    wfile(lsrc, "f2", [(9, "2024-01-02 12:00:00", 999)], ["click_id", "ts_s", "user_id"])
+    wfile(rsrc, "f2", [(99, "2024-01-02 12:00:00", 999)], ["purchase_id", "ts_s", "user_id"])
+    q = streaming_interval_join(
+        spark,
+        f"{lsrc}/*",
+        _parse_datatype_string("click_id long, ts timestamp, user_id long"),
+        f"{rsrc}/*",
+        _parse_datatype_string("purchase_id long, ts timestamp, user_id long"),
+        key="user_id",
+        within="1 hour",
+        watermark="10 minutes",
+        query_name="clicks_outer",
+        how="left_outer",
+        max_files_per_trigger=1,
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r["click_id"]: r["purchase_id"]
+        for r in spark.sql("SELECT * FROM clicks_outer").collect()
+    }
+    assert got[1] == 11  # matched pair emits normally
+    assert 2 in got and got[2] is None  # timed-out click emits with NULL
+    import pytest
+
+    with pytest.raises(ValueError, match="inner|left_outer"):
+        streaming_interval_join(
+            spark, f"{lsrc}/*", None, f"{rsrc}/*", None, how="full"
+        )
+
+
 def test_streaming_topk_rate_appends_closed_windows(spark, tmp_path):
     import os
     import time as _time

@@ -9627,6 +9627,63 @@ GROUP BY 1
 """
 
 
+def pl_brier(spark, sf_dir):
+    """Murphy (1973) Brier-score decomposition in the EXACT
+    distinct-forecast form (brier = reliability - resolution +
+    uncertainty holds to the last bit before rounding): integer
+    micro-probability forecasts (101 distinct values from the length
+    heuristic) against the is-English label.  N/N_pos and the raw
+    squared error are exact integers/DECIMAL; the three components are
+    fixed-arity doubles summed over the 101-row forecast table, 6 dp."""
+    from spatialdata_spark.pipeline.classify import brier_decomposition
+
+    docs = _read(spark, sf_dir, "documents").select(
+        ((F.col("n_chars") % 101) * 10000).cast("long").alias("p_e6"),
+        (F.col("lang") == "en").cast("int").alias("label"),
+    )
+    return brier_decomposition(docs)
+
+
+PL_BRIER_SQL = """
+WITH rows_ AS (
+  SELECT CAST((n_chars % 101) * 10000 AS BIGINT) AS p,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS npos,
+         CAST(SUM(CAST((p - 1000000 * y) AS HUGEINT)
+                  * CAST((p - 1000000 * y) AS HUGEINT)) AS DECIMAL(38,0)) AS se
+  FROM rows_
+),
+b AS (
+  SELECT p, CAST(COUNT(*) AS BIGINT) AS nk, CAST(SUM(y) AS BIGINT) AS pos,
+         CAST(SUM(p) AS DECIMAL(38,0)) AS sp
+  FROM rows_ GROUP BY 1
+),
+diffs AS (
+  -- explicit products, not POWER(x, 2): libm pow can differ from the
+  -- multiply in the last ulp, and Spark computes (a-b)*(a-b)
+  SELECT nk,
+         CAST(sp AS DOUBLE) / (1000000.0 * nk) - pos / CAST(nk AS DOUBLE) AS dr,
+         pos / CAST(nk AS DOUBLE)
+           - (SELECT npos FROM tot) / CAST((SELECT n FROM tot) AS DOUBLE) AS ds
+  FROM b
+),
+parts AS (
+  SELECT SUM(nk * dr * dr) AS rel_num, SUM(nk * ds * ds) AS res_num
+  FROM diffs
+)
+SELECT tot.n, tot.npos AS n_pos,
+       ROUND(CAST(tot.se AS DOUBLE) / (tot.n * 1000000.0 * 1000000.0), 6) AS brier,
+       ROUND((tot.npos / CAST(tot.n AS DOUBLE))
+             * (1.0 - tot.npos / CAST(tot.n AS DOUBLE)), 6) AS uncertainty,
+       ROUND(parts.rel_num / tot.n, 6) AS reliability,
+       ROUND(parts.res_num / tot.n, 6) AS resolution
+FROM tot, parts
+"""
+
+
 def pl_chi2_tokens(spark, sf_dir):
     """Per-source top-5 discriminative tokens by the one-vs-rest 2x2
     chi-squared statistic (Yang & Pedersen 1997 feature selection).
@@ -9800,7 +9857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # fix, graph_stats // oracle, kappa NULL convention, ks loud-error,
     # confusion broadcast hints, unpersist/co-partition touches to the
     # iterative ops); (3) the four remaining queries from the r8
-    # post-rehearsal commit 2f2bdae; (4) backfill with the 30 oldest
+    # post-rehearsal commit 2f2bdae; (4) backfill with the 29 oldest
     # driver-green rows (all r3-checked: the sq_/rq_ families,
     # st_moving_avg, the stale ag_ rows).
     return {
@@ -9809,6 +9866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pl_kneser_ney": pl_kneser_ney,
         "pl_image_dhash": pl_image_dhash,
         "pl_image_neardup": pl_image_neardup,
+        "pl_brier": pl_brier,
         # --- (2) code/oracle modified this round ---
         "pl_modularity": pl_modularity,
         "pl_kcore": pl_kcore,
@@ -9857,7 +9915,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ag_points_by_circles_count": ag_points_by_circles_count,
         "ag_points_by_circles_max": ag_points_by_circles_max,
         "ag_points_by_circles_mean": ag_points_by_circles_mean,
-        "ag_points_by_circles_sum": ag_points_by_circles_sum,
         # --- r8 head (keys already placed above keep their position;
         # the rest follow in r8 order) ---
         "pl_zipf_slope": pl_zipf_slope,
@@ -10144,6 +10201,7 @@ def oracle_sql() -> dict[str, str]:
         "pl_kneser_ney": PL_KNESER_NEY_SQL,
         "pl_image_dhash": PL_IMAGE_DHASH_SQL,
         "pl_image_neardup": PL_IMAGE_NEARDUP_SQL,
+        "pl_brier": PL_BRIER_SQL,
         "pl_chi2_tokens": PL_CHI2_TOKENS_SQL,
         "pl_ks_lengths": PL_KS_LENGTHS_SQL,
         "st_psi_drift": ST_PSI_DRIFT_SQL,

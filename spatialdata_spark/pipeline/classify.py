@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "auc_rank",
+    "brier_decomposition",
     "calibration_bins",
     "cohens_kappa",
     "confusion_stats",
@@ -730,5 +731,108 @@ def poisson_bootstrap_ci(
             F.lit(int(n_boot)).cast("long").alias("n_boot"),
             F.round(F.col("__lo"), 6).alias("ci_lo"),
             F.round(F.col("__hi"), 6).alias("ci_hi"),
+        )
+    )
+
+
+def brier_decomposition(
+    scored: DataFrame,
+    n_bins: "int | None" = None,
+    prob_col: str = "p_e6",
+    label_col: str = "label",
+    scale: int = 10**6,
+) -> DataFrame:
+    """Murphy (1973) decomposition of the Brier score over ``n_bins``
+    equal-width probability bins — the canonical "is my classifier
+    mis-calibrated or just undiscriminating?" split::
+
+        brier = reliability - resolution + uncertainty
+        uncertainty = ybar (1 - ybar)                     (data, not model)
+        reliability = (1/N) sum_k n_k (pbar_k - ybar_k)^2 (calibration gap)
+        resolution  = (1/N) sum_k n_k (ybar_k - ybar)^2   (discrimination)
+
+    Exactness: predictions arrive as integer MICRO-probabilities
+    (``prob_col`` in [0, scale] — the fixed-point contract every
+    probability-like column in this repo uses), so every sufficient
+    statistic is exact: N, N_pos, per-bin (n_k, pos_k, sum_p) int64,
+    and the raw squared error ``sum (p - scale*y)^2`` an order-free
+    DECIMAL(38,0) — ``brier`` is therefore one deterministic division.
+    reliability/resolution are fixed-arity per-bin doubles summed over
+    the BIN table (6-dp rounding absorbs the last-ulp order
+    sensitivity of the float sum, the family convention).
+
+    ``n_bins=None`` (default) groups by DISTINCT forecast value —
+    Murphy's original form, where the identity holds EXACTLY (pinned
+    in pytest); the bin table is distinct-forecast-sized (the
+    vocabulary contract).  An integer ``n_bins`` gives the practical
+    equal-width report, bin ``k = p * n_bins // (scale + 1)`` — there
+    the identity acquires the within-bin variance/covariance terms
+    (Stephenson 2008), so brier != rel - res + unc in general:
+    documented, not a bug.
+
+    Output: ONE row ``(n, n_pos, brier, uncertainty, reliability,
+    resolution)``, 6 dp.
+    """
+    dec = "decimal(38,0)"
+    sc = int(scale)
+    p = F.col(prob_col).cast("long")
+    y = F.col(label_col).cast("long")
+    if n_bins is None:
+        rows = scored.select(p.alias("__p"), y.alias("__y")).withColumn(
+            "__bin", F.col("__p")
+        )
+    else:
+        rows = scored.select(
+            p.alias("__p"),
+            y.alias("__y"),
+            (p * int(n_bins)).cast("long").alias("__pk"),
+        ).withColumn("__bin", F.expr(f"__pk DIV {sc + 1}"))
+    per_bin = rows.groupBy("__bin").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__y").cast("long").alias("__pos"),
+        F.sum(F.col("__p").cast(dec)).cast(dec).alias("__sp"),
+    )
+    # NOTE: names must differ beyond case from per_bin's __n — Spark's
+    # resolver is case-insensitive, "__n"/"__N" would be ambiguous
+    totals = rows.agg(
+        F.count(F.lit(1)).cast("long").alias("__tot"),
+        F.sum("__y").cast("long").alias("__tpos"),
+        F.sum(
+            ((F.col("__p") - F.lit(sc) * F.col("__y")).cast(dec)
+             * (F.col("__p") - F.lit(sc) * F.col("__y")).cast(dec))
+        )
+        .cast(dec)
+        .alias("__se"),
+    )
+    j = per_bin.crossJoin(F.broadcast(totals))
+    # per-bin calibration gap and discrimination terms (fixed-arity
+    # doubles; ybar enters as the exact Npos/N ratio)
+    pbar_k = F.col("__sp").cast("double") / (F.lit(float(sc)) * F.col("__n"))
+    ybar_k = F.col("__y_k")
+    j = j.withColumn("__y_k", F.col("__pos") / F.col("__n")).withColumn(
+        "__ybar", F.col("__tpos") / F.col("__tot")
+    )
+    rel_part = F.col("__n") * (pbar_k - ybar_k) * (pbar_k - ybar_k)
+    res_part = (
+        F.col("__n")
+        * (ybar_k - F.col("__ybar"))
+        * (ybar_k - F.col("__ybar"))
+    )
+    return (
+        j.agg(
+            F.max("__tot").alias("n"),
+            F.max("__tpos").alias("n_pos"),
+            F.round(
+                F.max(F.col("__se").cast("double"))
+                / (F.max("__tot") * float(sc) * float(sc)),
+                6,
+            ).alias("brier"),
+            F.round(
+                (F.max("__tpos") / F.max("__tot"))
+                * (F.lit(1.0) - F.max("__tpos") / F.max("__tot")),
+                6,
+            ).alias("uncertainty"),
+            F.round(F.sum(rel_part) / F.max("__tot"), 6).alias("reliability"),
+            F.round(F.sum(res_part) / F.max("__tot"), 6).alias("resolution"),
         )
     )

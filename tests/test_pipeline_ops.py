@@ -4811,3 +4811,55 @@ def test_round8_null_and_degenerate_contracts(spark):
     star = spark.createDataFrame([(0, i) for i in range(1, 4)], ["src", "dst"])
     got = {r["node"]: r["degree"] for r in kcore_rounds(star, k_core=2, rounds=1).collect()}
     assert got == {0: 0}
+
+
+def test_brier_decomposition_matches_python(spark):
+    import random
+
+    from spatialdata_spark.pipeline.classify import brier_decomposition
+
+    rng = random.Random(17)
+    # probabilities correlated with labels so resolution is nonzero
+    rows = []
+    for i in range(400):
+        p = rng.randrange(0, 1000001)
+        y = 1 if rng.random() < p / 1e6 else 0
+        rows.append((i, p, y))
+    df = spark.createDataFrame(rows, ["doc_id", "p_e6", "label"])
+
+    def ref(binner):
+        N = len(rows)
+        npos = sum(y for _, _, y in rows)
+        ybar = npos / N
+        brier = sum((p / 1e6 - y) ** 2 for _, p, y in rows) / N
+        bins = {}
+        for _, p, y in rows:
+            k = binner(p)
+            n, pos, sp = bins.get(k, (0, 0, 0))
+            bins[k] = (n + 1, pos + y, sp + p)
+        rel = sum(
+            n * (sp / 1e6 / n - pos / n) ** 2 for n, pos, sp in bins.values()
+        ) / N
+        res = sum(n * (pos / n - ybar) ** 2 for n, pos, sp in bins.values()) / N
+        return N, npos, brier, rel, res, ybar * (1 - ybar)
+
+    # distinct-forecast mode: Murphy's original, identity EXACT
+    out = brier_decomposition(df).collect()[0]
+    N, npos, brier, rel, res, unc = ref(lambda p: p)
+    assert out["n"] == N and out["n_pos"] == npos
+    assert abs(out["brier"] - round(brier, 6)) < 2e-6
+    assert abs(out["reliability"] - round(rel, 6)) < 2e-6
+    assert abs(out["resolution"] - round(res, 6)) < 2e-6
+    assert abs(out["uncertainty"] - round(unc, 6)) < 2e-6
+    assert abs(brier - (rel - res + unc)) < 1e-12  # the exact identity
+    assert (
+        abs(out["brier"] - (out["reliability"] - out["resolution"] + out["uncertainty"]))
+        < 5e-6
+    )
+    # binned mode: parts match the binned reference; the identity
+    # deliberately does NOT hold (within-bin terms — documented)
+    outb = brier_decomposition(df, n_bins=10).collect()[0]
+    N, npos, brier, rel, res, unc = ref(lambda p: p * 10 // 1000001)
+    assert abs(outb["reliability"] - round(rel, 6)) < 2e-6
+    assert abs(outb["resolution"] - round(res, 6)) < 2e-6
+    assert abs(outb["brier"] - round(brier, 6)) < 2e-6

@@ -97,6 +97,7 @@ GUARDED = [
     "pl_kneser_ney",
     "pl_image_dhash",
     "pl_image_neardup",
+    "pl_brier",
     "pl_confusion",
     "pl_modularity",
     "pl_kcore",
@@ -182,6 +183,7 @@ EXPRESSION_ONLY = [
     "pl_simhash_recall",
     # round 9
     "pl_kneser_ney",
+    "pl_brier",
 ]
 
 

@@ -78,6 +78,7 @@ def main(max_mult: int = 8, only: list[str] | None = None) -> None:
         target_encode_kfold,
     )
     from spatialdata_spark.pipeline.classify import (
+        brier_decomposition,
         lift_table,
         poisson_bootstrap_ci,
     )
@@ -518,6 +519,14 @@ def main(max_mult: int = 8, only: list[str] | None = None) -> None:
             # the (b, sum, n) table is n_boot-sized before the sort
             "bootstrap_ci": lambda: poisson_bootstrap_ci(
                 docs, "n_chars", n_boot=100
+            ).collect(),
+            # one corpus scan to the distinct-forecast table (101 rows
+            # in this framing) — flattest shape
+            "brier": lambda: brier_decomposition(
+                docs.select(
+                    ((F.col("n_chars") % 101) * 10000).cast("long").alias("p_e6"),
+                    (F.col("lang") == "en").cast("int").alias("label"),
+                )
             ).collect(),
             # class²-sized matrix + marginals — flattest shape
             "kappa": lambda: cohens_kappa(

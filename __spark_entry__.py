@@ -9803,6 +9803,58 @@ ORDER BY category
 """
 
 
+def st_cramers_drift(spark, sf_dir):
+    """Cramér's V association between the event-type mix and the
+    before/after period — the chi-square effect-size companion of
+    st_psi_drift (defined whenever both periods have rows, where PSI
+    NULLs out empty cells): per-cell (N*n_ij - r_i*c_j)^2 / (N*r_i*c_j)
+    exact DECIMAL integers, one double division per cell over the
+    category x 2 grid, 6 dp."""
+    from spatialdata_spark.operators.temporal import cramers_v_drift
+
+    return cramers_v_drift(_read(spark, sf_dir, "events"), "2024-01-16")
+
+
+ST_CRAMERS_DRIFT_SQL = r"""
+WITH cells AS (
+  SELECT event_type AS cat,
+         CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS j,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+r AS (SELECT cat, CAST(SUM(n) AS BIGINT) AS r FROM cells GROUP BY 1),
+c AS (SELECT j, CAST(SUM(n) AS BIGINT) AS c FROM cells GROUP BY 1),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS t,
+         CAST(COUNT(DISTINCT cat) AS BIGINT) AS ncat,
+         CAST(COUNT(DISTINCT j) AS BIGINT) AS nper
+  FROM cells
+),
+grid AS (
+  SELECT r.cat, c.j, r.r, c.c, COALESCE(cells.n, 0) AS n
+  FROM r CROSS JOIN c LEFT JOIN cells ON cells.cat = r.cat AND cells.j = c.j
+),
+terms AS (
+  -- square in EXACT integers then ONE cast, mirroring the Spark
+  -- side's (num*num).cast(double) — squaring in double would round
+  -- the operand first and can differ in the last ulp
+  SELECT SUM(
+    CAST((CAST(t AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+         * (CAST(t AS HUGEINT) * n - CAST(r AS HUGEINT) * c) AS DOUBLE)
+    / CAST(CAST(t AS HUGEINT) * r * c AS DOUBLE)
+  ) AS chi2
+  FROM grid CROSS JOIN tot
+)
+SELECT tot.t AS n, tot.ncat AS n_categories,
+       ROUND(terms.chi2, 6) AS chi2,
+       CASE WHEN tot.nper = 2 AND tot.ncat >= 2 THEN
+         ROUND(SQRT(terms.chi2
+                    / (tot.t * (LEAST(tot.ncat, tot.nper) - 1))), 6)
+       END AS cramers_v
+FROM tot CROSS JOIN terms
+"""
+
+
 def pl_simhash_recall(spark, sf_dir):
     """Recall of the 4x16-bit-block SimHash LSH candidate generator
     against the exact all-pairs Hamming ground truth at distance 5 —
@@ -9857,7 +9909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # fix, graph_stats // oracle, kappa NULL convention, ks loud-error,
     # confusion broadcast hints, unpersist/co-partition touches to the
     # iterative ops); (3) the four remaining queries from the r8
-    # post-rehearsal commit 2f2bdae; (4) backfill with the 29 oldest
+    # post-rehearsal commit 2f2bdae; (4) backfill with the 28 oldest
     # driver-green rows (all r3-checked: the sq_/rq_ families,
     # st_moving_avg, the stale ag_ rows).
     return {
@@ -9867,6 +9919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pl_image_dhash": pl_image_dhash,
         "pl_image_neardup": pl_image_neardup,
         "pl_brier": pl_brier,
+        "st_cramers_drift": st_cramers_drift,
         # --- (2) code/oracle modified this round ---
         "pl_modularity": pl_modularity,
         "pl_kcore": pl_kcore,
@@ -9914,7 +9967,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ag_fractions_value": ag_fractions_value,
         "ag_points_by_circles_count": ag_points_by_circles_count,
         "ag_points_by_circles_max": ag_points_by_circles_max,
-        "ag_points_by_circles_mean": ag_points_by_circles_mean,
         # --- r8 head (keys already placed above keep their position;
         # the rest follow in r8 order) ---
         "pl_zipf_slope": pl_zipf_slope,
@@ -10202,6 +10254,7 @@ def oracle_sql() -> dict[str, str]:
         "pl_image_dhash": PL_IMAGE_DHASH_SQL,
         "pl_image_neardup": PL_IMAGE_NEARDUP_SQL,
         "pl_brier": PL_BRIER_SQL,
+        "st_cramers_drift": ST_CRAMERS_DRIFT_SQL,
         "pl_chi2_tokens": PL_CHI2_TOKENS_SQL,
         "pl_ks_lengths": PL_KS_LENGTHS_SQL,
         "st_psi_drift": ST_PSI_DRIFT_SQL,

@@ -422,3 +422,96 @@ def psi_drift(
         .select("category", "n_base", "n_cur", part.alias("psi_part"))
         .orderBy("category")
     )
+
+
+def cramers_v_drift(
+    events: DataFrame,
+    boundary: str,
+    cat_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cramér's V association between a categorical column and the
+    before/after-``boundary`` period — the chi-square companion of
+    :func:`psi_drift` (PSI weights by log-ratio and breaks on empty
+    cells; V is the normalized effect size in [0, 1], defined whenever
+    both periods have rows).
+
+    With contingency counts ``n_ij`` (category i, period j), row/col
+    margins ``r_i``/``c_j`` and total ``N``::
+
+        chi2 = sum_ij (N*n_ij - r_i*c_j)^2 / (N * r_i * c_j)
+        V    = sqrt(chi2 / (N * (min(R, C) - 1)))
+
+    Exactness: the per-cell numerator ``(N*n_ij - r_i*c_j)^2`` and
+    denominator ``N*r_i*c_j`` are exact DECIMAL(38,0) integers (no
+    int64 ceiling at N ~ billions); each cell contributes ONE
+    fixed-arity double division, summed over the category×2 cell table
+    (category-cardinality-sized at any event volume, map-side
+    combine), 6 dp — the family's documented absorption.
+
+    Output: one row ``(n, n_categories, chi2, cramers_v)``; NULL V
+    when either period is empty or only one category exists (no
+    association is defined — the margins make chi2 0/0).
+
+    The boundary string is validated driver-side exactly like
+    :func:`psi_drift` (an unparseable boundary would silently classify
+    every row as current).
+    """
+    from datetime import datetime
+
+    parsed = None
+    for fmt in ("%Y-%m-%d %H:%M:%S", "%Y-%m-%d"):
+        try:
+            parsed = datetime.strptime(str(boundary), fmt)
+            break
+        except ValueError:
+            continue
+    if parsed is None:
+        raise ValueError(
+            f"cramers_v_drift: boundary {boundary!r} is not ISO"
+            f" 'YYYY-MM-DD[ HH:MM:SS]' — an unparseable boundary would"
+            f" silently classify every row as current"
+        )
+    dec = "decimal(38,0)"
+    base_flag = F.when(
+        F.col(ts_col) < F.lit(boundary).cast("timestamp"), 1
+    ).otherwise(0)
+    cells = (
+        events.select(F.col(cat_col).alias("__cat"), base_flag.alias("__j"))
+        .groupBy("__cat", "__j")
+        .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    )
+    margins = cells.groupBy("__cat").agg(
+        F.sum("__n").cast("long").alias("__r")
+    )
+    cols = cells.groupBy("__j").agg(F.sum("__n").cast("long").alias("__c"))
+    tot = cells.agg(
+        F.sum("__n").cast("long").alias("__t"),
+        F.count_distinct("__cat").cast("long").alias("__ncat"),
+        F.count_distinct("__j").cast("long").alias("__nper"),
+    )
+    # the FULL R x C grid, not just observed cells: a category absent
+    # from one period still contributes its expected-count term
+    grid = margins.crossJoin(cols).join(
+        cells, ["__cat", "__j"], "left"
+    ).crossJoin(F.broadcast(tot))
+    n_ij = F.coalesce(F.col("__n"), F.lit(0)).cast(dec)
+    num = (F.col("__t").cast(dec) * n_ij - F.col("__r").cast(dec) * F.col("__c").cast(dec))
+    den = (F.col("__t").cast(dec) * F.col("__r").cast(dec) * F.col("__c").cast(dec))
+    cell_term = (num * num).cast("double") / den.cast("double")
+    agg = grid.agg(
+        F.max("__t").alias("n"),
+        F.max("__ncat").alias("n_categories"),
+        F.max("__nper").alias("__np"),
+        F.sum(cell_term).alias("__chi2"),
+    )
+    dof = F.least(F.col("n_categories"), F.col("__np")) - 1
+    return agg.select(
+        "n",
+        "n_categories",
+        F.round(F.col("__chi2"), 6).alias("chi2"),
+        F.when(
+            (F.col("__np") == 2) & (F.col("n_categories") >= 2),
+            F.round(F.sqrt(F.col("__chi2") / (F.col("n") * dof)), 6),
+        ).alias("cramers_v"),
+    )

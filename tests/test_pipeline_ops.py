@@ -4863,3 +4863,53 @@ def test_brier_decomposition_matches_python(spark):
     assert abs(outb["reliability"] - round(rel, 6)) < 2e-6
     assert abs(outb["resolution"] - round(res, 6)) < 2e-6
     assert abs(outb["brier"] - round(brier, 6)) < 2e-6
+
+
+def test_cramers_v_drift_matches_python(spark):
+    import math
+    import random
+
+    import pytest
+
+    from spatialdata_spark.operators.temporal import cramers_v_drift
+
+    rng = random.Random(31)
+    cats = ["click", "view", "purchase", "refund"]
+    rows = []
+    for i in range(500):
+        before = rng.random() < 0.5
+        # drift the mix: purchases much likelier after the boundary
+        w = [4, 3, 1, 1] if before else [2, 2, 5, 1]
+        cat = rng.choices(cats, weights=w)[0]
+        ts = "2024-01-10 00:00:00" if before else "2024-01-20 00:00:00"
+        rows.append((i, cat, ts))
+    df = spark.createDataFrame(rows, ["event_id", "event_type", "ts_s"]).select(
+        "event_id", "event_type", F.to_timestamp("ts_s").alias("ts")
+    )
+    out = cramers_v_drift(df, "2024-01-16").collect()[0]
+
+    from collections import Counter
+
+    n = Counter((c, t.startswith("2024-01-10")) for _, c, t in rows)
+    r = Counter()
+    cmarg = Counter()
+    for (c, j), v in n.items():
+        r[c] += v
+        cmarg[j] += v
+    N = len(rows)
+    chi2 = 0.0
+    for c in r:
+        for j in cmarg:
+            num = N * n.get((c, j), 0) - r[c] * cmarg[j]
+            chi2 += (num * num) / (N * r[c] * cmarg[j])
+    v = math.sqrt(chi2 / (N * (min(len(r), len(cmarg)) - 1)))
+    assert out["n"] == N and out["n_categories"] == len(r)
+    assert abs(out["chi2"] - round(chi2, 6)) < 1e-6
+    assert abs(out["cramers_v"] - round(v, 6)) < 1e-6
+    assert 0.2 < out["cramers_v"] < 0.8  # the planted drift is visible
+    # single-period input: V undefined, NULL not a crash
+    one = df.filter(F.col("ts") < F.to_timestamp(F.lit("2024-01-16")))
+    assert cramers_v_drift(one, "2024-01-16").collect()[0]["cramers_v"] is None
+    # unparseable boundary fails loudly driver-side
+    with pytest.raises(ValueError, match="cramers_v_drift"):
+        cramers_v_drift(df, "yesterday-ish")

@@ -98,6 +98,7 @@ GUARDED = [
     "pl_image_dhash",
     "pl_image_neardup",
     "pl_brier",
+    "st_cramers_drift",
     "pl_confusion",
     "pl_modularity",
     "pl_kcore",
@@ -184,6 +185,7 @@ EXPRESSION_ONLY = [
     # round 9
     "pl_kneser_ney",
     "pl_brier",
+    "st_cramers_drift",
 ]
 
 

@@ -99,7 +99,7 @@ def main(max_mult: int = 8, only: list[str] | None = None) -> None:
     )
     from spatialdata_spark.pipeline.multimodal import image_dhash
     from spatialdata_spark.pipeline.search import multi_phrase_search, phrase_search
-    from spatialdata_spark.operators.temporal import psi_drift
+    from spatialdata_spark.operators.temporal import cramers_v_drift, psi_drift
     from spatialdata_spark.pipeline.textstats import (
         chi2_tokens,
         distinct_ngrams,
@@ -460,6 +460,10 @@ def main(max_mult: int = 8, only: list[str] | None = None) -> None:
             "psi_drift": lambda: psi_drift(ev, "2024-01-16")
             .agg(F.sum("psi_part"))
             .collect(),
+            # same single-aggregation shape, category x 2 grid after
+            "cramers_drift": lambda: cramers_v_drift(
+                ev, "2024-01-16"
+            ).collect(),
             # count tables saturate under self-union (same bigrams
             # repeat); scoring explode + broadcast joins are linear
             "stupid_backoff": lambda: stupid_backoff_score(

@@ -254,3 +254,157 @@ def test_woe_iv_property_sign_and_reconstruction(spark, seed):
         assert abs(r["woe"] - round(math.log(pc / qc), 6)) < 1e-9
         assert (r["woe"] > 0) == (pc > qc)
         assert r["iv_part"] >= 0
+
+
+# --------------------------------------------------------------------------
+# round-9 properties
+# --------------------------------------------------------------------------
+
+
+@given(
+    seed=st.integers(0, 10**6),
+    n_nodes=st.integers(4, 22),
+    n_edges=st.integers(4, 70),
+    kc=st.integers(1, 4),
+    rounds=st.integers(1, 4),
+)
+@SET
+def test_kcore_decrement_property_matches_peeling(
+    spark, seed, n_nodes, n_edges, kc, rounds
+):
+    """The dead-node-decrement rewrite must equal recompute-from-scratch
+    bounded-round peeling on ANY graph / k / round count."""
+    from spatialdata_spark.pipeline.graph import kcore_rounds
+
+    rng = random.Random(seed)
+    nodes = list(range(1, n_nodes + 1))
+    edges = sorted(
+        {
+            (a, b)
+            for a, b in (
+                (rng.choice(nodes), rng.choice(nodes)) for _ in range(n_edges)
+            )
+            if a != b
+        }
+    )
+    if not edges:
+        return
+    edf = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["node"]: r["degree"]
+        for r in kcore_rounds(edf, k_core=kc, rounds=rounds).collect()
+    }
+    adj: dict[int, set] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    alive = set(adj)
+    for _ in range(rounds):
+        alive = {v for v in alive if len(adj[v] & alive) >= kc}
+    assert set(got) == alive
+    for v in alive:
+        assert got[v] == len(adj[v] & alive)
+
+
+@given(seed=st.integers(0, 10**6), n_nodes=st.integers(4, 18), n_labels=st.integers(1, 4))
+@SET
+def test_modularity_property_exact_rational(spark, seed, n_nodes, n_labels):
+    """modularity_e6 equals the sequential exact-rational computation
+    (half-up, away from zero) and stays within [-1e6, 1e6]; the
+    all-one-community labeling scores exactly zero."""
+    from pyspark.sql import functions as F
+
+    from spatialdata_spark.pipeline.graph import modularity
+
+    rng = random.Random(seed)
+    nodes = list(range(1, n_nodes + 1))
+    edges = sorted(
+        {
+            (a, b)
+            for a, b in (
+                (rng.choice(nodes), rng.choice(nodes)) for _ in range(40)
+            )
+            if a != b
+        }
+    )
+    if not edges:
+        return
+    lab = {v: rng.randrange(n_labels) for v in nodes}
+    edf = spark.createDataFrame(edges, ["src", "dst"])
+    ldf = spark.createDataFrame(sorted(lab.items()), ["node", "label"])
+    out = modularity(edf, ldf).collect()[0]
+
+    und = sorted({(min(a, b), max(a, b)) for a, b in edges})
+    m = len(und)
+    in_c = sum(1 for a, b in und if lab[a] == lab[b])
+    degc: dict[int, int] = {}
+    for a, b in und:
+        degc[lab[a]] = degc.get(lab[a], 0) + 1
+        degc[lab[b]] = degc.get(lab[b], 0) + 1
+    qn = 4 * m * in_c - sum(d * d for d in degc.values())
+    qd = 4 * m * m
+    exp = (1 if qn >= 0 else -1) * ((2 * abs(qn) * 10**6 + qd) // (2 * qd))
+    assert int(out["q_num"]) == qn and int(out["q_den"]) == qd
+    assert out["modularity_e6"] == exp
+    assert -(10**6) <= out["modularity_e6"] <= 10**6
+    ones = ldf.select("node", (F.lit(0)).alias("label"))
+    assert modularity(edf, ones).collect()[0]["modularity_e6"] == 0
+
+
+@given(seed=st.integers(0, 10**6), n=st.integers(20, 120))
+@SET
+def test_brier_property_murphy_identity(spark, seed, n):
+    """Distinct-forecast Brier decomposition: the Murphy identity holds
+    on the emitted 6-dp values within rounding slack, and every
+    component sits in its theoretical range."""
+    from spatialdata_spark.pipeline.classify import brier_decomposition
+
+    rng = random.Random(seed)
+    rows = [
+        (i, rng.randrange(0, 1000001), rng.randrange(2)) for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "p_e6", "label"])
+    out = brier_decomposition(df).collect()[0]
+    assert 0.0 <= out["brier"] <= 1.0
+    assert 0.0 <= out["uncertainty"] <= 0.25 + 1e-9
+    assert out["reliability"] >= 0.0 and out["resolution"] >= -1e-9
+    assert (
+        abs(
+            out["brier"]
+            - (out["reliability"] - out["resolution"] + out["uncertainty"])
+        )
+        < 5e-6
+    )
+
+
+@given(seed=st.integers(0, 10**6), n_cats=st.integers(1, 5))
+@SET
+def test_cramers_v_property_bounds_and_relabel_invariance(spark, seed, n_cats):
+    """V is in [0, 1] (NULL only when undefined) and invariant under a
+    bijective renaming of the categories."""
+    from pyspark.sql import functions as F
+
+    from spatialdata_spark.operators.temporal import cramers_v_drift
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(150):
+        c = f"c{rng.randrange(n_cats)}"
+        ts = (
+            "2024-01-10 00:00:00"
+            if rng.random() < 0.5
+            else "2024-01-20 00:00:00"
+        )
+        rows.append((i, c, ts))
+    df = spark.createDataFrame(rows, ["event_id", "event_type", "ts_s"]).select(
+        "event_id", "event_type", F.to_timestamp("ts_s").alias("ts")
+    )
+    out = cramers_v_drift(df, "2024-01-16").collect()[0]
+    if out["cramers_v"] is not None:
+        assert -1e-9 <= out["cramers_v"] <= 1.0 + 1e-9
+    ren = df.select(
+        "event_id", F.concat(F.lit("x_"), F.col("event_type")).alias("event_type"), "ts"
+    )
+    out2 = cramers_v_drift(ren, "2024-01-16").collect()[0]
+    assert out2["cramers_v"] == out["cramers_v"]
+    assert out2["chi2"] == out["chi2"]

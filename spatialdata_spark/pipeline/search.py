@@ -263,3 +263,65 @@ def rank_correlation(
             F.round(num / (F.sqrt(dx) * F.sqrt(dy)), 6),
         ).alias("rho_spearman"),
     )
+
+
+def ndcg_at_k(
+    ranked: DataFrame,
+    truth: DataFrame,
+    k: int = 20,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """nDCG@k (Järvelin & Kekäläinen 2002) of a system ranking against
+    graded relevance — the ranking-quality companion of the recall
+    harnesses (recall asks "did the right ids surface"; nDCG asks
+    "in the right ORDER, weighted by grade").
+
+    ``DCG = sum_{r<=k} rel_r / ln(r + 1)``; ``IDCG`` the same sum over
+    the ideal ordering (rel desc, id tie-break); ``ndcg = DCG/IDCG``.
+    THE NATURAL-LOG CONVENTION, deliberately: the log base cancels in
+    the ratio, and ``log2`` is avoided because Spark computes it as
+    ``ln(x)/ln(2)`` while a SQL engine's libm ``log2`` can differ in
+    the last ulp — ``LN`` alone is the family's established
+    cross-engine primitive.  Items missing from ``truth`` count as
+    relevance 0 (ranked noise dilutes DCG, the standard convention).
+
+    Both inputs are RESULT-sized (top-k lists / graded truth set), so
+    every join and window here is metadata-scale.  Output: one row
+    ``(k, n_ranked, dcg_ln, idcg_ln, ndcg)``, 6 dp; NULL ndcg when the
+    truth set has no positive grades.
+    """
+    from pyspark.sql.window import Window
+
+    r = (
+        ranked.filter(F.col(rank_col) <= int(k))
+        .join(truth.select(id_col, rel_col), id_col, "left")
+        .select(
+            F.col(rank_col).alias("__r"),
+            F.coalesce(F.col(rel_col), F.lit(0)).cast("long").alias("__rel"),
+        )
+    )
+    dcg = r.agg(
+        F.count(F.lit(1)).cast("long").alias("n_ranked"),
+        F.sum(F.col("__rel") / F.log(F.col("__r") + 1)).alias("__dcg"),
+    )
+    iw = Window.orderBy(F.desc("__rel"), F.col(id_col))
+    ideal = (
+        truth.select(id_col, F.col(rel_col).cast("long").alias("__rel"))
+        .withColumn("__r", F.row_number().over(iw))
+        .filter(F.col("__r") <= int(k))
+    )
+    idcg = ideal.agg(F.sum(F.col("__rel") / F.log(F.col("__r") + 1)).alias("__idcg"))
+    return (
+        dcg.crossJoin(F.broadcast(idcg))
+        .select(
+            F.lit(int(k)).alias("k"),
+            "n_ranked",
+            F.round(F.col("__dcg"), 6).alias("dcg_ln"),
+            F.round(F.col("__idcg"), 6).alias("idcg_ln"),
+            F.when(
+                F.col("__idcg") > 0, F.round(F.col("__dcg") / F.col("__idcg"), 6)
+            ).alias("ndcg"),
+        )
+    )

@@ -4913,3 +4913,34 @@ def test_cramers_v_drift_matches_python(spark):
     # unparseable boundary fails loudly driver-side
     with pytest.raises(ValueError, match="cramers_v_drift"):
         cramers_v_drift(df, "yesterday-ish")
+
+
+def test_ndcg_at_k_matches_python(spark):
+    import math
+
+    from spatialdata_spark.pipeline.search import ndcg_at_k
+
+    ranked = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 3), (99, 4)], ["doc_id", "rank"]
+    )
+    truth = spark.createDataFrame(
+        [(10, 3), (11, 1), (12, 2), (13, 3)], ["doc_id", "rel"]
+    )
+    out = ndcg_at_k(ranked, truth, k=4).collect()[0]
+    dcg = 3 / math.log(2) + 1 / math.log(3) + 2 / math.log(4) + 0 / math.log(5)
+    # ideal: rel desc, id tie-break -> 3(id10), 3(id13), 2(id12), 1(id11)
+    idcg = (
+        3 / math.log(2) + 3 / math.log(3) + 2 / math.log(4) + 1 / math.log(5)
+    )
+    assert out["n_ranked"] == 4
+    assert abs(out["dcg_ln"] - round(dcg, 6)) < 1e-9
+    assert abs(out["idcg_ln"] - round(idcg, 6)) < 1e-9
+    assert abs(out["ndcg"] - round(dcg / idcg, 6)) < 1e-9
+    # a perfect ranking of the graded set scores exactly 1
+    perfect = spark.createDataFrame(
+        [(10, 1), (13, 2), (12, 3), (11, 4)], ["doc_id", "rank"]
+    )
+    assert ndcg_at_k(perfect, truth, k=4).collect()[0]["ndcg"] == 1.0
+    # empty-grade truth: NULL, not a crash
+    zeros = truth.select("doc_id", (F.col("rel") * 0).alias("rel"))
+    assert ndcg_at_k(ranked, zeros, k=4).collect()[0]["ndcg"] is None

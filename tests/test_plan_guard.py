@@ -99,6 +99,7 @@ GUARDED = [
     "pl_image_neardup",
     "pl_brier",
     "st_cramers_drift",
+    "pl_ndcg",
     "pl_confusion",
     "pl_modularity",
     "pl_kcore",
@@ -186,6 +187,7 @@ EXPRESSION_ONLY = [
     "pl_kneser_ney",
     "pl_brier",
     "st_cramers_drift",
+    "pl_ndcg",
 ]
 
 

@@ -8193,11 +8193,13 @@ def _hop_dist_sql(seeds=(1, 2, 3, 4, 5), max_hops: int = 2) -> str:
 def pl_modularity(spark, sf_dir):
     """Newman-Girvan modularity of the BRAND labeling over the
     part–part co-purchase graph ("do same-brand parts co-purchase?")
-    — exact rational form: numerator and denominator are DECIMAL(38,0)
-    order-free sums riding along the output; the score itself is
-    ``modularity_e6``, exact integer microunits (half-up, away from
-    zero) so the contract has NO floating point — the r8 hash-red on
-    this query was a rounded-double textual-form hazard, now closed."""
+    — exact rational form: numerator and denominator are order-free
+    integer sums riding along the output as BIGINT (DECIMAL(38,0) only
+    INSIDE the aggregation; raw DECIMAL output is a cross-engine hash
+    hazard — DuckDB materializes it as float64, Spark as Decimal
+    objects); the score itself is ``modularity_e6``, exact integer
+    microunits (half-up, away from zero) so the contract has NO
+    floating point and NO decimal at the edge."""
     from spatialdata_spark.pipeline.graph import modularity
 
     labels = _read(spark, sf_dir, "part").select(
@@ -8240,8 +8242,8 @@ rat AS (
   FROM base, degc
 )
 SELECT m,
-       CAST(qn AS DECIMAL(38,0)) AS q_num,
-       CAST(qd AS DECIMAL(38,0)) AS q_den,
+       CAST(qn AS BIGINT) AS q_num,
+       CAST(qd AS BIGINT) AS q_den,
        CASE WHEN m > 0 THEN CAST(
          (CASE WHEN qn < 0 THEN -1 ELSE 1 END)
          * ((2 * ABS(qn) * 1000000 + qd) // (2 * qd))
@@ -9937,7 +9939,9 @@ WITH cells AS (
   SELECT event_type AS cat,
          CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS j,
          CAST(COUNT(*) AS BIGINT) AS n
-  FROM events GROUP BY 1, 2
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1, 2
 ),
 r AS (SELECT cat, CAST(SUM(n) AS BIGINT) AS r FROM cells GROUP BY 1),
 c AS (SELECT j, CAST(SUM(n) AS BIGINT) AS c FROM cells GROUP BY 1),

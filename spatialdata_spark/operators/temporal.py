@@ -453,6 +453,13 @@ def cramers_v_drift(
     when either period is empty or only one category exists (no
     association is defined — the margins make chi2 0/0).
 
+    NULL convention (same as ``cohens_kappa``): rows with a NULL
+    category or NULL timestamp are EXCLUDED up front.  A NULL category
+    would otherwise form its own margin group whose grid equi-join on
+    ``__cat`` never matches (SQL NULL semantics) — its observed counts
+    coalesce to 0 while its margin still contributes, inflating chi2 —
+    and a NULL ts would silently classify as 'current'.
+
     The boundary string is validated driver-side exactly like
     :func:`psi_drift` (an unparseable boundary would silently classify
     every row as current).
@@ -477,7 +484,8 @@ def cramers_v_drift(
         F.col(ts_col) < F.lit(boundary).cast("timestamp"), 1
     ).otherwise(0)
     cells = (
-        events.select(F.col(cat_col).alias("__cat"), base_flag.alias("__j"))
+        events.filter(F.col(cat_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(F.col(cat_col).alias("__cat"), base_flag.alias("__j"))
         .groupBy("__cat", "__j")
         .agg(F.count(F.lit(1)).cast("long").alias("__n"))
     )

@@ -70,9 +70,19 @@ def _co_partition(df: DataFrame, key: str) -> DataFrame:
     partitioning downstream joins can't line up with.  Pinned to
     ``spark.sql.shuffle.partitions`` so the frontier side's
     ENSURE_REQUIREMENTS exchange lands on the same count."""
-    spark = df.sparkSession
-    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    return df.repartition(n, key)
+    return df.repartition(_shuffle_partitions(df.sparkSession), key)
+
+
+def _shuffle_partitions(spark) -> int:
+    """``spark.sql.shuffle.partitions`` as an int.  Managed clusters
+    can set that conf to the string ``"auto"`` (auto-optimized
+    shuffle) — fall back to ``defaultParallelism`` there rather than
+    crash the co-partitioned path that exists FOR those clusters."""
+    raw = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    try:
+        return int(raw)
+    except (TypeError, ValueError):
+        return int(spark.sparkContext.defaultParallelism)
 
 
 def _finalize_cache(df: DataFrame) -> DataFrame:
@@ -316,8 +326,32 @@ def _degrees(und: DataFrame) -> DataFrame:
     )
 
 
+def _canonical_und(
+    edges: DataFrame, src_col: str, dst_col: str, pre_partitioned: bool
+) -> DataFrame:
+    """The canonical undirected edge list for the edge⋈edge family.
+
+    ``pre_partitioned=True`` declares the input IS already canonical —
+    ``src_col < dst_col``, distinct, self-loop-free, LONG columns (e.g.
+    read back via ``sources.bucketing.read_bucketed`` from a table
+    bucketed by ``src_col``) — so the corpus-sized normalizing
+    ``distinct`` exchange is skipped and, because a no-op cast over a
+    LONG column folds away, the bucket layout survives the rename and
+    feeds the downstream degree join exchange-free on the edge side.
+    """
+    if pre_partitioned:
+        return edges.select(
+            F.col(src_col).cast("long").alias("u"),
+            F.col(dst_col).cast("long").alias("v"),
+        )
+    return undirected_edges(edges, src_col, dst_col)
+
+
 def triangle_count(
-    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    pre_partitioned: bool = False,
 ) -> DataFrame:
     """Per-node triangle counts + local clustering coefficient over an
     undirected graph (pass edges in either or both directions).
@@ -338,14 +372,27 @@ def triangle_count(
     same numbers with the simpler id-ordered orientation — exact integer
     equality, no float tolerance.
 
+    ``pre_partitioned=True`` declares ``edges`` is already the canonical
+    undirected list bucketed by ``src_col`` (see :func:`_canonical_und`)
+    — the normalizing distinct is skipped and the degree join reuses the
+    bucket layout.  Independently, the co-partitioned (cluster) path
+    hash-partitions the ORIENTED table by its wedge apex ``a`` once and
+    materializes it, so the wedge's ``y`` arm (keyed on ``y.a``) reads
+    the cache exchange-free, and with
+    ``spark.sql.requireAllClusterKeysForCoPartition=false`` the closing
+    ``z`` arm (keys ``(z.a, z.b)`` — partitioning by the subset ``a``
+    still clusters correctly) does too; only the ``x`` arm re-keys by
+    ``b`` — 1 oriented-table exchange per query instead of 3.
+
     Returns ``(node_id, degree, n_triangles, clustering)`` for every
     node; ``clustering = 2*T / (d*(d-1))`` rounded to 6 dp, NULL for
     degree-0/1 nodes.
     """
-    und = undirected_edges(edges, src_col, dst_col)
+    und = _canonical_und(edges, src_col, dst_col, pre_partitioned)
     deg = _degrees(und).persist()
     spark = edges.sparkSession
-    bdeg = F.broadcast(deg) if _broadcast_frontier(spark) else deg
+    bcast = _broadcast_frontier(spark)
+    bdeg = F.broadcast(deg) if bcast else deg
     keyed = (
         und.join(bdeg.select(F.col("node").alias("u"), F.col("degree").alias("__du")), "u")
         .join(bdeg.select(F.col("node").alias("v"), F.col("degree").alias("__dv")), "v")
@@ -356,7 +403,15 @@ def triangle_count(
     oriented = keyed.select(
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
-    ).persist()
+    )
+    if bcast:
+        oriented = oriented.persist()
+    else:
+        # cluster path: one explicit hash layout by the wedge apex,
+        # finalized so every arm's reuse is exchange-free (an
+        # un-finalized cache reports UNKNOWN partitioning — see
+        # _finalize_cache)
+        oriented = _finalize_cache(_co_partition(oriented, "a"))
     x, y, z = oriented.alias("x"), oriented.alias("y"), oriented.alias("z")
     tri = (
         x.join(y, F.col("x.b") == F.col("y.a"))
@@ -390,7 +445,10 @@ def triangle_count(
 
 
 def graph_stats(
-    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    pre_partitioned: bool = False,
 ) -> DataFrame:
     """One-row whole-graph summary: node/edge/wedge/triangle counts,
     global transitivity ``3*T / wedges``, and degree assortativity
@@ -410,10 +468,16 @@ def graph_stats(
     object here is the edge table, scanned a bounded number of times
     and shuffled only on its own keys.
 
+    ``pre_partitioned=True`` declares ``edges`` is already the canonical
+    undirected list (see :func:`_canonical_und`) — bucketed input skips
+    the normalizing distinct here AND inside the triangle reuse (which
+    always receives canonical input from this function, so its own
+    re-distinct is skipped unconditionally).
+
     Returns ``(n_nodes, n_edges, n_wedges, n_triangles, transitivity,
     assortativity)``.
     """
-    und = undirected_edges(edges, src_col, dst_col).persist()
+    und = _canonical_und(edges, src_col, dst_col, pre_partitioned).persist()
     deg = _degrees(und).persist()
     spark = edges.sparkSession
     dec = "decimal(38,0)"
@@ -430,7 +494,8 @@ def graph_stats(
         ).alias("n_wedges"),
     )
     n_tri = (
-        triangle_count(und, "u", "v")
+        # und IS canonical here by construction — never re-distinct it
+        triangle_count(und, "u", "v", pre_partitioned=True)
         .agg((F.sum("n_triangles") / 3).cast("long").alias("n_triangles"))
     )
     bdeg = F.broadcast(deg) if _broadcast_frontier(spark) else deg
@@ -472,6 +537,7 @@ def link_prediction(
     top_n: int = 100,
     src_col: str = "src",
     dst_col: str = "dst",
+    pre_partitioned: bool = False,
 ) -> DataFrame:
     """Link-prediction candidate scoring (Liben-Nowell & Kleinberg
     2003): for every NON-edge pair at distance 2, the classic exact
@@ -496,13 +562,23 @@ def link_prediction(
     executes as per-partition top-n + driver merge (TakeOrderedAndProject),
     never a full sort of the wedge-sized candidate table.
 
+    ``pre_partitioned=True`` declares ``edges`` is already the canonical
+    undirected list bucketed by ``src_col`` (see :func:`_canonical_und`)
+    — the normalizing distinct is skipped.  Independently, the
+    co-partitioned (cluster) path hash-partitions the apex-keyed
+    neighbor table by ``w`` once and materializes it: the wedge
+    self-join's equi-key IS ``w`` on both arms, so the join runs with
+    ZERO exchange (both arms read the same finalized cache layout) —
+    the single biggest shuffle in the op at corpus scale.
+
     Output: ``(x, y, common_neighbors, deg_x, deg_y, pref_attachment,
     jaccard)``, 6 dp.
     """
-    und = undirected_edges(edges, src_col, dst_col).persist()
+    und = _canonical_und(edges, src_col, dst_col, pre_partitioned).persist()
     deg = _degrees(und).persist()
     spark = edges.sparkSession
-    bdeg = F.broadcast(deg) if _broadcast_frontier(spark) else deg
+    bcast = _broadcast_frontier(spark)
+    bdeg = F.broadcast(deg) if bcast else deg
     apex_ok = bdeg.filter(F.col("degree") <= int(max_degree)).select(
         F.col("node").alias("w")
     )
@@ -511,6 +587,8 @@ def link_prediction(
         .union(und.select(F.col("v").alias("w"), F.col("u").alias("x")))
         .join(apex_ok, "w")
     )
+    if not bcast:
+        nbrs = _finalize_cache(_co_partition(nbrs, "w"))
     a, b = nbrs.alias("a"), nbrs.alias("b")
     cand = (
         a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.x") < F.col("b.x")))
@@ -823,8 +901,9 @@ def modularity(
         Q = sum_c [ in_c/m - (deg_c/(2m))^2 ]
           = (4m * sum_c in_c - sum_c deg_c^2) / (4m^2)
 
-    so the numerator and denominator are order-free DECIMAL(38,0)
-    integer sums that ride along in the output for a bit-exact replay.
+    so the numerator and denominator are order-free integer sums that
+    ride along in the output (as BIGINT — DECIMAL(38,0) inside the
+    aggregation only) for a bit-exact replay.
     The convenience score is emitted as ``modularity_e6`` — Q in exact
     integer MICROUNITS (``round_half_away_from_zero(q_num * 10^6 /
     q_den)``), computed with pure integer arithmetic so every engine
@@ -874,6 +953,12 @@ def modularity(
     out = base.crossJoin(degc)
     q_num = (4 * F.col("__m") * F.col("__in") - F.col("__sd2")).cast(dec)
     q_den = (4 * F.col("__m") * F.col("__m")).cast(dec)
+    # DECIMAL stays INSIDE the computation; the OUTPUT casts the
+    # rationals to BIGINT (q_den = 4m² fits int64 to m ≈ 1.5e9 edges).
+    # Raw DECIMAL(38,0) output columns are a cross-engine hash hazard:
+    # DuckDB's pandas materialization of DECIMAL is float64 while
+    # Spark's is decimal.Decimal, so any serialized-value hash diverges
+    # even when the values are identical (the r8/r9 hash-red mechanism).
     named = out.select(
         F.col("__m").cast("long").alias("m"),
         q_num.alias("q_num"),
@@ -889,8 +974,8 @@ def modularity(
     sign = F.when(F.col("q_num") < 0, F.lit(-1)).otherwise(F.lit(1)).cast("long")
     return named.select(
         "m",
-        "q_num",
-        "q_den",
+        F.col("q_num").cast("long").alias("q_num"),
+        F.col("q_den").cast("long").alias("q_den"),
         F.when(F.col("m") > 0, sign * me6_mag).cast("long").alias("modularity_e6"),
     )
 

@@ -104,7 +104,8 @@ def image_dhash(media: DataFrame) -> DataFrame:
 
     Exactness contract (so a SQL oracle can recompute the hash from a
     closed-form pixel fixture): grayscale is the INTEGER mean
-    ``(r + g + b) // 3`` (no float luma weights), one bit per
+    ``(r + g + b) // 3`` (no float luma weights; RGBA drops alpha,
+    gray+alpha uses the luma plane), one bit per
     horizontally-adjacent pair — ``bit(y, x) = gray(y, x+1) >
     gray(y, x)`` — packed row-major, LSB first:
     ``hash = sum bit << (y*(w-1) + x)``.  The standard recipe
@@ -115,7 +116,9 @@ def image_dhash(media: DataFrame) -> DataFrame:
 
     Output: ``(media_id, dhash, decode_ok)``; undecodable payloads get
     a sha256-derived stub hash with ``decode_ok=False`` (the stub
-    convention of :func:`extract_features`).
+    convention of :func:`extract_features`).  A payload that DECODES
+    but violates the size precondition raises — it is a pipeline
+    misconfiguration (missing resize), not a bad input row.
     """
     schema = T.StructType(
         [
@@ -127,7 +130,13 @@ def image_dhash(media: DataFrame) -> DataFrame:
 
     def _hash(arr: np.ndarray) -> int:
         if arr.ndim == 3:
-            gray = arr.astype(np.int64).sum(axis=-1) // arr.shape[-1]
+            if arr.shape[-1] >= 3:
+                # slice to the COLOR channels: RGBA's alpha plane must
+                # not enter the documented (r+g+b)//3 mean
+                gray = arr[..., :3].astype(np.int64).sum(axis=-1) // 3
+            else:
+                # gray+alpha: the luma plane IS the grayscale
+                gray = arr[..., 0].astype(np.int64)
         else:
             gray = arr.astype(np.int64)
         h, w = gray.shape
@@ -147,13 +156,20 @@ def image_dhash(media: DataFrame) -> DataFrame:
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 raw = bytes(payload)
                 ids.append(int(media_id))
+                # only DECODE failures take the stub path; a decodable
+                # image that violates the (w-1)*h <= 63 precondition
+                # must fail LOUDLY (ValueError from _hash), never be
+                # misreported as decode_ok=False — swallowing it made
+                # un-resized corpora silently dedup to zero groups
                 try:
-                    hashes.append(_hash(png_decode(raw)))
-                    ok.append(True)
+                    arr = png_decode(raw)
                 except Exception:
                     digest = hashlib.sha256(raw).digest()
                     hashes.append(int.from_bytes(digest[:8], "big") >> 1)
                     ok.append(False)
+                else:
+                    hashes.append(_hash(arr))
+                    ok.append(True)
             yield pd.DataFrame({"media_id": ids, "dhash": hashes, "decode_ok": ok})
 
     return media.mapInPandas(_gen, schema)

@@ -368,6 +368,22 @@ def streaming_interval_join(
         .withColumnRenamed(key, "__rkey")
         .withWatermark(rt, watermark)
     )
+    # passthrough columns resolve via the side's DataFrame reference
+    # (never a bare name — a name both schemas carry, e.g. 'amount',
+    # would be ambiguous at plan time); a right column colliding with
+    # a left column or a reserved output name gets a right_ prefix
+    lcols = [c for c in left.columns if c not in ("__lkey", lt)]
+    rcols = [c for c in right.columns if c not in ("__rkey", rt)]
+    reserved = {key, "left_ts", "right_ts"}
+    lout, taken = [], set(reserved)
+    for c in lcols:
+        name = f"left_{c}" if c in reserved else c
+        lout.append(left[c].alias(name))
+        taken.add(name)
+    rout = []
+    for c in rcols:
+        name = f"right_{c}" if c in taken else c
+        rout.append(right[c].alias(name))
     joined = left.join(
         right,
         F.expr(
@@ -378,8 +394,8 @@ def streaming_interval_join(
         F.col("__lkey").alias(key),
         F.col(lt).alias("left_ts"),
         F.col(rt).alias("right_ts"),
-        *[c for c in left.columns if c not in ("__lkey", lt)],
-        *[c for c in right.columns if c not in ("__rkey", rt)],
+        *lout,
+        *rout,
     )
     return (
         joined.writeStream.outputMode("append")

@@ -7,6 +7,7 @@ compare row count + sorted-column values.  Usable as a script:
 
 from __future__ import annotations
 
+import decimal
 import math
 import sys
 
@@ -39,6 +40,18 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def _has_decimal(s: pd.Series) -> bool:
+    """True iff the series carries decimal.Decimal objects (Spark's
+    toPandas materialization of DecimalType)."""
+    if s.dtype != object or not len(s):
+        return False
+    for v in s:
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            continue
+        return isinstance(v, decimal.Decimal)
+    return False
+
+
 def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, float_tol: float = 0.0) -> tuple[bool, str]:
     if len(spark_pdf) != len(oracle_pdf):
         return False, f"row count {len(spark_pdf)} vs {len(oracle_pdf)}"
@@ -48,6 +61,24 @@ def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, float_tol: float 
         return False, f"columns {list(a.columns)} vs {list(b.columns)}"
     for c in a.columns:
         av, bv = a[c], b[c]
+        # DTYPE-FAITHFUL decimal handling: the driver hashes SERIALIZED
+        # values, so a Decimal column on one engine vs float64 on the
+        # other ("-5055506" vs "-5055506.0") hash-diverges even when
+        # the values are numerically identical (the pl_modularity
+        # r8/r9 red).  Never float-coerce a decimal column — compare
+        # its textual form exactly; a decimal-vs-float pairing is a
+        # failure here because it is a failure at the driver.
+        if _has_decimal(av) or _has_decimal(bv):
+            asv = av.apply(lambda v: "" if v is None or (isinstance(v, float) and math.isnan(v)) else str(v))
+            bsv = bv.apply(lambda v: "" if v is None or (isinstance(v, float) and math.isnan(v)) else str(v))
+            if not asv.equals(bsv):
+                neq = asv != bsv
+                i = int(np.argmax(neq.to_numpy()))
+                return False, (
+                    f"col {c} row {i}: {av.iloc[i]!r} vs {bv.iloc[i]!r} "
+                    "(decimal column compared exactly — driver hash semantics)"
+                )
+            continue
         if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
             av = av.astype(float)
             bv = bv.astype(float)
@@ -77,11 +108,29 @@ def run_parity(sf_dir: str, only: list[str] | None = None, float_tol: float = 0.
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     results = {}
+    from pyspark.sql.types import DecimalType
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
         try:
-            sdf = fn(spark, sf_dir).toPandas()
+            df = fn(spark, sf_dir)
+            # REGISTRY-WIDE OUTPUT CONTRACT: no DecimalType at the
+            # edge.  DuckDB materializes DECIMAL as float64, Spark as
+            # decimal.Decimal — the driver's serialized-value hash
+            # diverges even on identical values, so every query must
+            # cast decimal accumulators to BIGINT/DOUBLE/STRING before
+            # returning (DECIMAL inside the computation is fine).
+            dec_cols = [
+                f.name for f in df.schema.fields if isinstance(f.dataType, DecimalType)
+            ]
+            if dec_cols:
+                results[name] = (
+                    False,
+                    f"DECIMAL OUTPUT COLUMNS {dec_cols}: cross-engine hash hazard",
+                )
+                continue
+            sdf = df.toPandas()
         except Exception as e:
             results[name] = (False, f"SPARK ERROR: {type(e).__name__}: {e}")
             continue

@@ -102,3 +102,65 @@ def test_bucketed_edges_feed_pagerank_pre_partitioned(spark, tmp_path):
     finally:
         spark.conf.set(G.BROADCAST_FRONTIER_CONF, "auto")
         spark.sql("DROP TABLE IF EXISTS b_edges")
+
+
+def test_bucketed_undirected_edges_feed_triangles_pre_partitioned(spark, tmp_path):
+    """The edge⋈edge family's 100 TB recipe end-to-end: the CANONICAL
+    undirected edge list written ONCE with write_bucketed(u), read
+    back, fed to triangle_count / graph_stats / link_prediction with
+    pre_partitioned=True in the co-partitioned frontier mode — values
+    identical to the default path, and the normalizing distinct never
+    runs (the bucketed canonical table IS the contract)."""
+    import random
+
+    import spatialdata_spark.pipeline.graph as G
+
+    rng = random.Random(23)
+    seen = set()
+    while len(seen) < 150:
+        a, b = rng.randrange(50), rng.randrange(50)
+        if a != b:
+            seen.add((a, b))
+    edges = spark.createDataFrame(
+        pd.DataFrame(sorted(seen), columns=["src", "dst"]).astype("int64")
+    )
+    canon = G.undirected_edges(edges, "src", "dst")
+    expected = {
+        "tri": sorted(tuple(r) for r in G.triangle_count(edges).collect()),
+        "gs": sorted(tuple(r) for r in G.graph_stats(edges).collect()),
+        "lp": sorted(tuple(r) for r in G.link_prediction(edges, top_n=25).collect()),
+    }
+    write_bucketed(
+        canon, "b_und", str(tmp_path / "und"), buckets=8, bucket_cols="u"
+    )
+    try:
+        spark.conf.set(G.BROADCAST_FRONTIER_CONF, "false")
+        real = G.undirected_edges
+        calls = []
+        G.undirected_edges = lambda df, s="src", d="dst": calls.append(1) or real(df, s, d)
+        try:
+            bt = read_bucketed(spark, "b_und")
+            got_tri = sorted(
+                tuple(r)
+                for r in G.triangle_count(bt, "u", "v", pre_partitioned=True).collect()
+            )
+            got_gs = sorted(
+                tuple(r)
+                for r in G.graph_stats(bt, "u", "v", pre_partitioned=True).collect()
+            )
+            got_lp = sorted(
+                tuple(r)
+                for r in G.link_prediction(
+                    bt, top_n=25, src_col="u", dst_col="v", pre_partitioned=True
+                ).collect()
+            )
+        finally:
+            G.undirected_edges = real
+        assert calls == []  # bucketed canonical input: no re-distinct
+        assert got_tri == expected["tri"]
+        assert got_gs == expected["gs"]
+        assert got_lp == expected["lp"]
+    finally:
+        spark.conf.set(G.BROADCAST_FRONTIER_CONF, "auto")
+        spark.sql("DROP TABLE IF EXISTS b_und")
+        spark.catalog.clearCache()

@@ -395,6 +395,52 @@ def test_streaming_interval_join_left_outer_emits_on_watermark(spark, tmp_path):
         )
 
 
+def test_streaming_interval_join_shared_column_names(spark, tmp_path):
+    """Both stream schemas carrying the same passthrough name (here
+    'amount') must not make the output projection ambiguous at plan
+    time: the left side keeps the bare name, the colliding right-side
+    column emits as right_amount."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import _parse_datatype_string
+
+    from spatialdata_spark.streaming.windows import streaming_interval_join
+
+    lsrc = str(tmp_path / "sclicks")
+    rsrc = str(tmp_path / "spurch")
+    os.makedirs(lsrc, exist_ok=True)
+    os.makedirs(rsrc, exist_ok=True)
+    clicks = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 100, 5)],
+        ["click_id", "ts_s", "user_id", "amount"],
+    ).select("click_id", F.to_timestamp("ts_s").alias("ts"), "user_id", "amount")
+    clicks.coalesce(1).write.parquet(f"{lsrc}/f1")
+    purchases = spark.createDataFrame(
+        [(11, "2024-01-01 10:30:00", 100, 42)],
+        ["purchase_id", "ts_s", "user_id", "amount"],
+    ).select("purchase_id", F.to_timestamp("ts_s").alias("ts"), "user_id", "amount")
+    purchases.coalesce(1).write.parquet(f"{rsrc}/f1")
+    q = streaming_interval_join(
+        spark,
+        f"{lsrc}/*",
+        _parse_datatype_string("click_id long, ts timestamp, user_id long, amount long"),
+        f"{rsrc}/*",
+        _parse_datatype_string("purchase_id long, ts timestamp, user_id long, amount long"),
+        key="user_id",
+        within="1 hour",
+        watermark="10 minutes",
+        query_name="shared_cols",
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM shared_cols").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["click_id"] == 1 and r["purchase_id"] == 11
+    assert r["amount"] == 5 and r["right_amount"] == 42
+
+
 def test_streaming_topk_rate_appends_closed_windows(spark, tmp_path):
     import os
     import time as _time

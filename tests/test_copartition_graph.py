@@ -249,6 +249,119 @@ def test_kcore_final_plan_is_cache_read(spark, cluster_mode):
         assert _live_exchanges(kcore_rounds(e, k_core=3, rounds=r)) == 0
 
 
+def _arm_has_exchange(path):
+    last_join = max((i for i, n in enumerate(path) if "JoinExec" in n), default=-1)
+    return "ShuffleExchangeExec" in path[last_join + 1 :]
+
+
+def test_triangle_wedge_arms_reuse_oriented_cache(spark, cluster_mode):
+    """The cluster path co-partitions the ORIENTED edge table by the
+    wedge apex once: the wedge's y arm reads it exchange-free always;
+    with requireAllClusterKeysForCoPartition=false the closing z arm
+    (subset-key clustering on `a`) does too — only the x arm re-keys by
+    `b`.  1 oriented-table exchange per query instead of 3."""
+    from spatialdata_spark.pipeline.graph import triangle_count
+
+    e = _random_edges(spark)
+    tri = triangle_count(e)
+    arms = [_arm_has_exchange(p) for p in _edge_scan_join_paths(tri, "a")]
+    assert len(arms) == 3 and sum(arms) <= 2, arms
+    saved = spark.conf.get("spark.sql.requireAllClusterKeysForCoPartition", "true")
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    try:
+        spark.catalog.clearCache()
+        tri2 = triangle_count(e)
+        arms2 = [_arm_has_exchange(p) for p in _edge_scan_join_paths(tri2, "a")]
+        assert len(arms2) == 3 and sum(arms2) == 1, arms2
+    finally:
+        spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", saved)
+
+
+def test_link_prediction_wedge_self_join_zero_exchange(spark, cluster_mode):
+    """link_prediction's wedge self-join equi-keys on the apex `w` on
+    BOTH arms: the co-partitioned path materializes the neighbor table
+    hash-partitioned by `w` once, so the self-join runs with zero
+    exchange on either arm — the op's biggest shuffle gone."""
+    from spatialdata_spark.pipeline.graph import link_prediction
+
+    e = _random_edges(spark)
+    lp = link_prediction(e, top_n=20)
+    arms = [_arm_has_exchange(p) for p in _edge_scan_join_paths(lp, "w")]
+    # both wedge arms + the nbrs build path(s): no arm between a join
+    # and the w-keyed cache scan may shuffle
+    assert arms and not any(arms), arms
+
+
+def test_edge_ops_pre_partitioned_skips_normalizing_distinct(
+    spark, cluster_mode, monkeypatch
+):
+    """pre_partitioned=True over a canonical bucketed-by-u edge list:
+    the corpus-sized normalizing distinct (undirected_edges) must not
+    run, and values are identical to the default path."""
+    import spatialdata_spark.pipeline.graph as G
+    from spatialdata_spark.pipeline.graph import (
+        graph_stats,
+        link_prediction,
+        triangle_count,
+        undirected_edges,
+    )
+
+    e = _random_edges(spark)
+    canon = undirected_edges(e, "src", "dst").select(
+        F.col("u").cast("long").alias("u"), F.col("v").cast("long").alias("v")
+    )
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    pre = canon.repartition(n, "u").persist()
+    pre.count()
+
+    expected = {
+        "tri": _rows(triangle_count(e)),
+        "gs": _rows(graph_stats(e)),
+        "lp": _rows(link_prediction(e, top_n=20)),
+    }
+    calls = []
+    real = G.undirected_edges
+    monkeypatch.setattr(
+        G,
+        "undirected_edges",
+        lambda df, s="src", d="dst": calls.append(1) or real(df, s, d),
+    )
+    assert _rows(triangle_count(pre, "u", "v", pre_partitioned=True)) == expected["tri"]
+    assert _rows(graph_stats(pre, "u", "v", pre_partitioned=True)) == expected["gs"]
+    assert (
+        _rows(link_prediction(pre, top_n=20, src_col="u", dst_col="v", pre_partitioned=True))
+        == expected["lp"]
+    )
+    assert calls == []  # the ops trusted the caller's canonical input
+    pre.unpersist()
+
+
+def test_shuffle_partitions_fallback_on_managed_cluster_auto(spark):
+    """Databricks-style auto-optimized shuffle sets
+    spark.sql.shuffle.partitions to the string "auto" — the
+    co-partitioned path must fall back to defaultParallelism, not
+    ValueError on the clusters it exists for.  (OSS Spark validates
+    the conf as int at set time, so the fake conf stands in.)"""
+    from spatialdata_spark.pipeline.graph import _shuffle_partitions
+
+    assert _shuffle_partitions(spark) == int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+
+    class _FakeConf:
+        def get(self, k, d=None):
+            return "auto"
+
+    class _FakeSC:
+        defaultParallelism = 7
+
+    class _FakeSpark:
+        conf = _FakeConf()
+        sparkContext = _FakeSC()
+
+    assert _shuffle_partitions(_FakeSpark()) == 7
+
+
 def test_pre_partitioned_skips_the_upfront_exchange(
     spark, cluster_mode, monkeypatch
 ):

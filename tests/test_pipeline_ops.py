@@ -114,6 +114,7 @@ def test_image_dhash_matches_python(spark):
     import hashlib
 
     import numpy as np
+    import pytest
 
     from spatialdata_spark.pipeline.codecs import png_encode
     from spatialdata_spark.pipeline.multimodal import image_dhash
@@ -147,13 +148,34 @@ def test_image_dhash_matches_python(spark):
     assert not got[3]["decode_ok"]
     digest = hashlib.sha256(b"not a png").digest()
     assert got[3]["dhash"] == int.from_bytes(digest[:8], "big") >> 1
-    # oversize guard: (w-1)*h must fit 63 bits
+    # oversize guard: a DECODABLE image violating (w-1)*h <= 63 fails
+    # LOUDLY — a missing upstream resize is a pipeline misconfiguration,
+    # not a bad input row; silently stubbing it (decode_ok=False for an
+    # image that decoded fine) made un-resized corpora dedup to zero
+    # duplicate groups with no error
     big = np.zeros((16, 16, 3), dtype=np.uint8)
     media_big = spark.createDataFrame(
         [(9, "image", png_encode(big), "image/png", 16, 16, None)], MEDIA_SCHEMA
     )
-    r = image_dhash(media_big).collect()[0]
-    assert not r["decode_ok"]  # routed to the stub, loud in decode_ok
+    with pytest.raises(Exception, match="image_dhash"):
+        image_dhash(media_big).collect()
+    # alpha planes stay OUT of the grayscale: RGBA hashes like its RGB
+    # slice ((r+g+b)//3, alpha dropped); gray+alpha uses the luma plane
+    alpha = np.random.RandomState(7).randint(0, 256, size=(4, 4), dtype=np.uint8)
+    rgba = np.concatenate([a, alpha[..., None]], axis=-1).astype(np.uint8)
+    la = np.stack([(3 * x + y).astype(np.uint8) % 256, alpha], axis=-1)
+    media_alpha = spark.createDataFrame(
+        [
+            (21, "image", png_encode(rgba), "image/png", 4, 4, None),
+            (22, "image", png_encode(la), "image/png", 4, 4, None),
+        ],
+        MEDIA_SCHEMA,
+    )
+    got_a = {r["media_id"]: r for r in image_dhash(media_alpha).collect()}
+    assert got_a[21]["decode_ok"] and got_a[21]["dhash"] == ref(a)
+    lref_gray = (3 * x + y).astype(np.int64) % 256
+    lref_bits = (lref_gray[:, 1:] > lref_gray[:, :-1]).flatten()
+    assert got_a[22]["dhash"] == sum(int(v) << i for i, v in enumerate(lref_bits))
 
 
 def test_relabel_by_partition(spark):
@@ -4497,7 +4519,20 @@ def test_modularity_matches_python(spark):
         [(v, 0 if v < 5 else 1) for v in list(range(5)) + list(range(10, 15))],
         ["node", "label"],
     )
-    out = modularity(df, good).collect()[0]
+    mdf = modularity(df, good)
+    # OUTPUT SCHEMA CONTRACT: no DecimalType (DuckDB pandas-materializes
+    # DECIMAL as float64, Spark as Decimal objects — the driver hash
+    # diverges on the serialized form; r8+r9 red) and no DoubleType
+    # (the r8 rounded-double textual-form hazard).  Pure integers only.
+    from pyspark.sql.types import DecimalType, DoubleType
+
+    bad = [
+        f.name
+        for f in mdf.schema.fields
+        if isinstance(f.dataType, (DecimalType, DoubleType))
+    ]
+    assert not bad, f"modularity output must be integer-only, got {bad}"
+    out = mdf.collect()[0]
 
     m = len(und)
     lab = {v: (0 if v < 5 else 1) for v in list(range(5)) + list(range(10, 15))}
@@ -4913,6 +4948,24 @@ def test_cramers_v_drift_matches_python(spark):
     # unparseable boundary fails loudly driver-side
     with pytest.raises(ValueError, match="cramers_v_drift"):
         cramers_v_drift(df, "yesterday-ish")
+    # NULL convention (same as cohens_kappa): NULL-category and NULL-ts
+    # rows are excluded up front — a NULL category's grid equi-join
+    # never matches (SQL NULL semantics), so its cells would coalesce
+    # to 0 while its margin still contributed, inflating chi2; a NULL
+    # ts would silently classify as 'current'
+    with_nulls = df.unionByName(
+        spark.createDataFrame(
+            [
+                (9001, None, "2024-01-10 00:00:00"),
+                (9002, "click", None),
+                (9003, None, None),
+            ],
+            ["event_id", "event_type", "ts_s"],
+        ).select("event_id", "event_type", F.to_timestamp("ts_s").alias("ts"))
+    )
+    out_n = cramers_v_drift(with_nulls, "2024-01-16").collect()[0]
+    assert out_n["n"] == N and out_n["n_categories"] == len(r)
+    assert out_n["chi2"] == out["chi2"] and out_n["cramers_v"] == out["cramers_v"]
 
 
 def test_ndcg_at_k_matches_python(spark):

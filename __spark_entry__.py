@@ -3501,21 +3501,24 @@ FROM bits GROUP BY 1
 """
 
 
-def _png_media_variants(spark, sf_dir):
+def _png_media_variants(spark, sf_dir, docs=None):
     """Image corpus with near-dups BY CONSTRUCTION: docs share their
     group's base image (group = doc_id - doc_id % 8) except the
     group's second member, whose red channel gets a +60 bump at pixel
     (y=3, x=4) — a one-pixel edit that flips at most the two gradient
     bits adjacent to it.  Exact dups collapse per group; each group
     contributes (base, variant) as a genuine sub-threshold Hamming
-    pair.  Same closed-form-pixel contract as ``_png_media``."""
+    pair.  Same closed-form-pixel contract as ``_png_media``.
+    ``docs`` overrides the id table (the scale smoke replicates it —
+    any 8-divisible id offset yields fresh disjoint groups)."""
     import numpy as np
     import pandas as pd
 
     from spatialdata_spark.pipeline.codecs import png_encode
     from spatialdata_spark.pipeline.multimodal import MEDIA_SCHEMA
 
-    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    if docs is None:
+        docs = _read(spark, sf_dir, "documents").select("doc_id")
 
     def _gen(batches):
         for pdf in batches:

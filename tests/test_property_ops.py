@@ -408,3 +408,122 @@ def test_cramers_v_property_bounds_and_relabel_invariance(spark, seed, n_cats):
     out2 = cramers_v_drift(ren, "2024-01-16").collect()[0]
     assert out2["cramers_v"] == out["cramers_v"]
     assert out2["chi2"] == out["chi2"]
+
+
+def _encode_filtered(arr, filters):
+    """Spec-valid PNG with CHOSEN per-scanline filter types (the repo
+    encoder always writes filter 0, so the decoder's Sub/Up/Average/
+    Paeth unfilter paths need an adversarial encoder to be fuzzed).
+    Filtering is the exact inverse of codecs.png_decode's recon."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from spatialdata_spark.pipeline.codecs import _PNG_SIG, _chunk, _paeth
+
+    a = arr if arr.ndim == 3 else arr[:, :, None]
+    h, w, c = a.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    flat = a.reshape(h, w * c).astype(np.int32)
+    bpp = c
+    out = bytearray()
+    for y in range(h):
+        ft = filters[y % len(filters)]
+        cur = flat[y]
+        prev = flat[y - 1] if y > 0 else np.zeros(w * c, dtype=np.int32)
+        row = np.zeros(w * c, dtype=np.int32)
+        for x in range(w * c):
+            left = int(cur[x - bpp]) if x >= bpp else 0
+            up = int(prev[x])
+            ul = int(prev[x - bpp]) if x >= bpp else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = left
+            elif ft == 2:
+                pred = up
+            elif ft == 3:
+                pred = (left + up) >> 1
+            else:
+                pred = _paeth(left, up, ul)
+            row[x] = (int(cur[x]) - pred) & 0xFF
+        out += bytes([ft]) + row.astype(np.uint8).tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(out)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+@given(
+    seed=st.integers(0, 10**6),
+    w=st.integers(2, 8),
+    c=st.sampled_from([1, 2, 3, 4]),
+)
+@SET
+def test_png_dhash_ladder_property_random_filters(spark, seed, w, c):
+    """Random small PNGs through the FULL ladder: random pixel data,
+    random per-scanline filters (all five types incl. Paeth), odd
+    widths, every channel count — the decoder must reproduce the
+    array exactly and image_dhash must equal the closed-form oracle
+    recompute (RGB/RGBA: integer mean of the 3 color channels, alpha
+    dropped; gray/gray+alpha: the luma plane)."""
+    import numpy as np
+
+    from spatialdata_spark.pipeline.codecs import png_decode
+    from spatialdata_spark.pipeline.multimodal import MEDIA_SCHEMA, image_dhash
+
+    rng = random.Random(seed)
+    h = rng.randint(1, min(8, 63 // (w - 1)))
+    arr = np.array(
+        [[[rng.randrange(256) for _ in range(c)] for _ in range(w)] for _ in range(h)],
+        dtype=np.uint8,
+    )
+    filters = [rng.choice([0, 1, 2, 3, 4]) for _ in range(h)]
+    payload = _encode_filtered(arr, filters)
+    decoded = png_decode(payload)
+    assert decoded.shape == (h, w, c)
+    assert (decoded == arr.reshape(h, w, c)).all()
+
+    media = spark.createDataFrame(
+        [(1, "image", payload, "image/png", w, h, None)], MEDIA_SCHEMA
+    )
+    got = image_dhash(media).collect()[0]
+    if c >= 3:
+        gray = arr[..., :3].astype(np.int64).sum(axis=-1) // 3
+    else:
+        gray = arr[..., 0].astype(np.int64)
+    bits = (gray[:, 1:] > gray[:, :-1]).flatten()
+    exp = sum(int(b) << i for i, b in enumerate(bits))
+    assert got["decode_ok"] and got["dhash"] == exp
+
+
+def test_png_dhash_63_bit_boundary(spark):
+    """(w-1)*h == 63 is the exact capacity of the signed-int64 hash:
+    a 9-row 8-wide image must hash fine; one more column must raise."""
+    import numpy as np
+
+    from spatialdata_spark.pipeline.codecs import png_encode
+    from spatialdata_spark.pipeline.multimodal import MEDIA_SCHEMA, image_dhash
+
+    import pytest
+
+    rng = np.random.RandomState(3)
+    ok = rng.randint(0, 256, size=(9, 8, 3)).astype(np.uint8)  # (8-1)*9 = 63
+    media = spark.createDataFrame(
+        [(1, "image", png_encode(ok), "image/png", 8, 9, None)], MEDIA_SCHEMA
+    )
+    r = image_dhash(media).collect()[0]
+    gray = ok.astype(np.int64).sum(axis=-1) // 3
+    bits = (gray[:, 1:] > gray[:, :-1]).flatten()
+    assert r["decode_ok"] and r["dhash"] == sum(int(b) << i for i, b in enumerate(bits))
+
+    too_big = rng.randint(0, 256, size=(8, 9, 3)).astype(np.uint8)  # (9-1)*8 = 64
+    media2 = spark.createDataFrame(
+        [(2, "image", png_encode(too_big), "image/png", 9, 8, None)], MEDIA_SCHEMA
+    )
+    with pytest.raises(Exception, match="image_dhash"):
+        image_dhash(media2).collect()

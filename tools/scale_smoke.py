@@ -96,9 +96,17 @@ def main(max_mult: int = 8, only: list[str] | None = None) -> None:
         pagerank_weighted,
         random_walks,
         triangle_count,
+        undirected_edges,
     )
+    from spatialdata_spark.dataloader import ImageTilesDataset
+    from spatialdata_spark.operators.raster import RasterMeta, long_to_tiles
+    from spatialdata_spark.pipeline.dedup import simhash_near_duplicates
     from spatialdata_spark.pipeline.multimodal import image_dhash
-    from spatialdata_spark.pipeline.search import multi_phrase_search, phrase_search
+    from spatialdata_spark.pipeline.search import (
+        multi_phrase_search,
+        ndcg_at_k,
+        phrase_search,
+    )
     from spatialdata_spark.operators.temporal import cramers_v_drift, psi_drift
     from spatialdata_spark.pipeline.textstats import (
         chi2_tokens,
@@ -192,6 +200,95 @@ def main(max_mult: int = 8, only: list[str] | None = None) -> None:
             m,
             ["node"],
         )
+
+    def _dataset_tiles_sum(m):
+        # regions x mult over a FIXED 256x256 scene (the training-sweep
+        # shape: more windows, same image): the tile join and crop
+        # assembly grow with regions, the packed tile table doesn't
+        import numpy as np
+        import pandas as pd
+
+        img = (
+            spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+            .groupBy(
+                (F.col("l_orderkey") % 256).alias("y"),
+                ((F.col("l_orderkey") * 7 + F.col("l_linenumber")) % 256).alias("x"),
+            )
+            .agg(F.sum(F.col("l_quantity") * 100).cast("long").alias("value"))
+        )
+        meta = RasterMeta(height=256, width=256, tile=32, dtype="i8")
+        tiles = long_to_tiles(img, meta)
+        regions = replicate(
+            spark.read.parquet(f"{SF_DIR}/part.parquet")
+            .filter(F.col("p_partkey") <= 500)
+            .select(
+                F.col("p_partkey").cast("long").alias("region_id"),
+                ((F.col("p_partkey") * 37) % 224 + 16).cast("double").alias("cy"),
+                ((F.col("p_partkey") * 59) % 224 + 16).cast("double").alias("cx"),
+            ),
+            m,
+            ["region_id"],
+        )
+        ds = ImageTilesDataset(tiles, meta, regions, tile_px=32)
+
+        @F.pandas_udf("long")
+        def _crop_sum(data):
+            return pd.Series(
+                [int(np.frombuffer(bytes(b), dtype="<i8").sum()) for b in data]
+            )
+
+        return (
+            ds.dataframe()
+            .select(_crop_sum("data").alias("s"))
+            .agg(F.sum("s"))
+            .collect()
+        )
+
+    def _media_variants(m):
+        # doc ids offset by 1e8 per copy (8-divisible, so group roles
+        # are preserved): every copy is a fresh disjoint family of
+        # planted exact dups + one sub-threshold Hamming variant
+        docs_m = replicate(docs0.select("doc_id"), m, ["doc_id"])
+        return entrymod._png_media_variants(spark, SF_DIR, docs=docs_m)
+
+    def _stream_interval(m, ev_m):
+        # the streaming state-bound check: watermarked left_outer
+        # stream-stream interval join driven batch-by-batch; user
+        # cardinality grows with the corpus, rows-per-key constant, so
+        # join state stays per-key bounded and wall time ~linear
+        import shutil
+        import tempfile
+
+        from pyspark.sql.types import _parse_datatype_string
+
+        from spatialdata_spark.streaming.windows import streaming_interval_join
+
+        base = tempfile.mkdtemp(prefix="smoke_sij_")
+        lsrc, rsrc = f"{base}/clicks", f"{base}/purch"
+        ev_m.filter(F.col("event_type") == "click").select(
+            "event_id", "ts", "user_id"
+        ).write.mode("overwrite").parquet(lsrc)
+        ev_m.filter(F.col("event_type") == "purchase").select(
+            "event_id", "ts", "user_id"
+        ).write.mode("overwrite").parquet(rsrc)
+        schema = _parse_datatype_string("event_id long, ts timestamp, user_id long")
+        q = streaming_interval_join(
+            spark,
+            lsrc,
+            schema,
+            rsrc,
+            schema,
+            key="user_id",
+            within="1 hour",
+            watermark="10 minutes",
+            query_name=f"smoke_sij_{m}",
+            how="left_outer",
+        )
+        q.processAllAvailable()
+        q.stop()
+        n = spark.sql(f"SELECT COUNT(*) AS c FROM smoke_sij_{m}").collect()[0]["c"]
+        shutil.rmtree(base, ignore_errors=True)
+        return n
 
     def _copart(fn):
         # force the cluster (co-partitioned frontier) path for one case
@@ -564,6 +661,59 @@ def main(max_mult: int = 8, only: list[str] | None = None) -> None:
                 )
                 .agg(F.sum("rank_fp"))
                 .collect()
+            ),
+            # --- round-10 additions: the r9 tail + the edge⋈edge
+            # co-partition contract ---
+            # regions x mult over one fixed scene: the dataloader sweep
+            "dataset_tiles": lambda m=mult: _dataset_tiles_sum(m),
+            # fresh planted-dup families per copy: the exact-collapse
+            # groupBy and the pigeonhole band join both grow with the
+            # image corpus, never with group-size^2 (reps collapse
+            # first); refine work ∝ genuine candidate pairs
+            "image_neardup": lambda m=mult: (
+                lambda h: simhash_near_duplicates(
+                    h.groupBy("dhash")
+                    .agg(F.min("media_id").alias("doc_id"))
+                    .select("doc_id", F.col("dhash").alias("simhash")),
+                    max_hamming=3,
+                ).count()
+            )(image_dhash(_media_variants(m)).filter(F.col("decode_ok"))),
+            # ranked list fixed (k=20 rows), graded truth x mult: one
+            # truth scan + rel-desc top-k, the k-bounded join after
+            "ndcg": lambda: ndcg_at_k(
+                spark.range(1, 21).select(
+                    F.col("id").alias("doc_id"), F.col("id").cast("int").alias("rank")
+                ),
+                docs.select(
+                    "doc_id", (F.col("n_chars") % 4).cast("int").alias("rel")
+                ),
+                k=20,
+            ).collect(),
+            # watermarked left_outer stream-stream join end-to-end
+            # (write + ingest + join + timeout emission): user
+            # cardinality x mult, per-key state constant
+            "interval_join_stream": lambda m=mult: _stream_interval(m, ev),
+            # the edge⋈edge co-partition contract: canonical edges
+            # pre-partitioned by u, oriented cache co-partitioned by
+            # the wedge apex — 1 oriented-table exchange, not 3
+            "triangles_copart_pre": lambda m=mult: _copart(
+                lambda: triangle_count(
+                    undirected_edges(_copurchase(m)).repartition(
+                        int(spark.conf.get("spark.sql.shuffle.partitions")), "u"
+                    ),
+                    "u",
+                    "v",
+                    pre_partitioned=True,
+                )
+                .agg(F.sum("n_triangles"))
+                .collect()
+            ),
+            # link_prediction's wedge self-join at zero exchange (both
+            # arms read the w-partitioned neighbor cache)
+            "link_pred_copart": lambda m=mult: _copart(
+                lambda: link_prediction(
+                    _copurchase(m), max_degree=32, top_n=100
+                ).count()
             ),
         }
         if only:

@@ -10023,20 +10023,289 @@ FROM nt, nh
 # ---------------------------------------------------------------------------
 
 
+def pl_mcc(spark, sf_dir):
+    """Matthews correlation of the is-English-vs-length classifier
+    framing — the imbalance-honest single-number grade; exact int64
+    confusion counts, DECIMAL margin products, one sqrt+division at
+    the edge."""
+    from spatialdata_spark.pipeline.classify import mcc_stats
+
+    docs = _read(spark, sf_dir, "documents").select(
+        (F.col("lang") == "en").cast("int").alias("label"),
+        (F.col("n_chars") >= 500).cast("int").alias("pred"),
+    )
+    return mcc_stats(docs)
+
+
+PL_MCC_SQL = r"""
+WITH c AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN y = 1 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN y = 0 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(SUM(CASE WHEN y = 1 AND p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         CAST(SUM(CASE WHEN y = 0 AND p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+  FROM (
+    SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+           CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END AS p
+    FROM documents
+  )
+)
+SELECT n, tp, fp, fn, tn,
+       CASE WHEN CAST(tp + fp AS HUGEINT) * (tp + fn) * (tn + fp) * (tn + fn) > 0
+       THEN ROUND(
+         CAST(CAST(tp AS HUGEINT) * tn - CAST(fp AS HUGEINT) * fn AS DOUBLE)
+         / SQRT(CAST(CAST(tp + fp AS HUGEINT) * (tp + fn) * (tn + fp) * (tn + fn)
+                AS DOUBLE)), 6)
+       END AS mcc
+FROM c
+"""
+
+
+def pl_pr_curve(spark, sf_dir):
+    """Precision/recall/F1 sweep over length-score deciles (the
+    keep-the-top-X% operating curve for the English-vs-length framing)
+    — exact cumulative counts through each decile, one division per
+    ratio."""
+    from spatialdata_spark.pipeline.classify import pr_curve
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars").alias("llr_mean"),
+        (F.col("lang") == "en").cast("int").alias("label"),
+    )
+    return pr_curve(docs, n_bins=10)
+
+
+PL_PR_CURVE_SQL = r"""
+WITH s AS (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y, n_chars AS sc
+  FROM documents WHERE n_chars IS NOT NULL
+), b AS (
+  SELECT y, NTILE(10) OVER (ORDER BY sc DESC, doc_id) AS bin FROM s
+), per AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS pos
+  FROM b GROUP BY 1
+), cum AS (
+  SELECT bin,
+         CAST(SUM(n) OVER (ORDER BY bin) AS BIGINT) AS n_kept,
+         CAST(SUM(pos) OVER (ORDER BY bin) AS BIGINT) AS n_pos_kept
+  FROM per
+), tot AS (SELECT CAST(SUM(pos) AS BIGINT) AS tpos FROM per)
+SELECT bin, n_kept, n_pos_kept,
+       CASE WHEN n_kept > 0
+            THEN ROUND(n_pos_kept / CAST(n_kept AS DOUBLE), 6) END AS precision,
+       CASE WHEN tpos > 0
+            THEN ROUND(n_pos_kept / CAST(tpos AS DOUBLE), 6) END AS recall,
+       CASE WHEN n_kept + tpos > 0
+            THEN ROUND(2.0 * n_pos_kept / CAST(n_kept + tpos AS DOUBLE), 6)
+       END AS f1
+FROM cum CROSS JOIN tot
+ORDER BY bin
+"""
+
+
+def pl_ece(spark, sf_dir):
+    """Expected calibration error of the micro-probability forecast
+    framing (the pl_brier fixture) over 10 equal-width bins — the
+    per-bin |accuracy - confidence| gap collapses to an exact integer
+    numerator, so ece is one division."""
+    from spatialdata_spark.pipeline.classify import expected_calibration_error
+
+    docs = _read(spark, sf_dir, "documents").select(
+        ((F.col("n_chars") % 101) * 10000).cast("long").alias("p_e6"),
+        (F.col("lang") == "en").cast("int").alias("label"),
+    )
+    return expected_calibration_error(docs, n_bins=10)
+
+
+PL_ECE_SQL = r"""
+WITH s AS (
+  SELECT (n_chars % 101) * 10000 AS p,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents WHERE n_chars IS NOT NULL
+), b AS (
+  SELECT LEAST(9, (p * 10) // 1000000) AS bin, p, y FROM s
+), per AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS HUGEINT) AS pos, CAST(SUM(p) AS HUGEINT) AS sp
+  FROM b GROUP BY 1
+)
+SELECT CAST(SUM(n) AS BIGINT) AS n,
+       CAST(COUNT(*) AS BIGINT) AS n_bins_used,
+       CAST(SUM(ABS(pos * 1000000 - sp)) AS BIGINT) AS ece_num,
+       ROUND(CAST(SUM(ABS(pos * 1000000 - sp)) AS DOUBLE)
+             / (SUM(n) * 1000000.0), 6) AS ece
+FROM per
+"""
+
+
+def pl_mwu_lengths(spark, sf_dir):
+    """Exact Mann-Whitney U between src0 and src1 document lengths —
+    doubled rank sums keep midrank ties integer; the AUC-style effect
+    size is one division.  The location-shift companion of
+    pl_ks_lengths on the same fixture."""
+    from spatialdata_spark.pipeline.textstats import mann_whitney_u
+
+    return mann_whitney_u(_read(spark, sf_dir, "documents"))
+
+
+PL_MWU_LENGTHS_SQL = r"""
+WITH f AS (
+  SELECT n_chars AS val, CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS ia
+  FROM documents WHERE source IN ('src0', 'src1') AND n_chars IS NOT NULL
+), counts AS (
+  SELECT val, CAST(SUM(ia) AS BIGINT) AS ca,
+         CAST(SUM(1 - ia) AS BIGINT) AS cb
+  FROM f GROUP BY 1
+), cum AS (
+  SELECT ca, ca + cb AS ct,
+         CAST(SUM(ca + cb) OVER (ORDER BY val) - (ca + cb) AS BIGINT) AS bef
+  FROM counts
+), tot AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b
+  FROM counts
+)
+SELECT MAX(n_a) AS n_a, MAX(n_b) AS n_b,
+       CAST(SUM(ca * (2 * bef + ct + 1)) - MAX(n_a) * (MAX(n_a) + 1)
+            AS BIGINT) AS u2_a,
+       ROUND(CAST(SUM(ca * (2 * bef + ct + 1)) - MAX(n_a) * (MAX(n_a) + 1)
+                  AS DOUBLE)
+             / (2.0 * MAX(n_a) * MAX(n_b)), 6) AS auc_ab
+FROM cum CROSS JOIN tot
+"""
+
+
+def pl_token_gini(spark, sf_dir):
+    """Gini coefficient of the corpus token-frequency distribution —
+    exact integer numerator over the rank-weighted vocabulary table
+    (ties order-free in value), one division for the coefficient."""
+    from spatialdata_spark.pipeline.textstats import token_gini
+
+    return token_gini(_read(spark, sf_dir, "documents"))
+
+
+PL_TOKEN_GINI_SQL = r"""
+WITH tok AS (
+  SELECT unnest(string_split_regex(LOWER(TRIM(text)), '\s+')) AS token
+  FROM documents
+), counts AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1
+), ranked AS (
+  SELECT tf, ROW_NUMBER() OVER (ORDER BY tf, token) AS i FROM counts
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(SUM(tf) AS BIGINT) AS total_tokens,
+         SUM(CAST(i AS HUGEINT) * tf) AS ix,
+         CAST(SUM(tf) AS HUGEINT) AS sx
+  FROM ranked
+)
+SELECT n_types, total_tokens,
+       CAST(2 * ix - (n_types + 1) * sx AS BIGINT) AS gini_num,
+       ROUND(CAST(2 * ix - (n_types + 1) * sx AS DOUBLE)
+             / (CAST(n_types AS DOUBLE) * total_tokens), 6) AS gini
+FROM agg
+"""
+
+
+def st_cusum(spark, sf_dir):
+    """Exact CUSUM of daily event volume against the uniform-rate
+    null — every term integer (counts scaled by the day count), the
+    max-|S| day flagged as the change-point candidate."""
+    from spatialdata_spark.operators.temporal import cusum_drift
+
+    return cusum_drift(_read(spark, sf_dir, "events"))
+
+
+ST_CUSUM_SQL = r"""
+WITH daily AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(n_events) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS d
+  FROM daily
+), cum AS (
+  SELECT day, n_events,
+         CAST(SUM(n_events * d - n) OVER (ORDER BY day) AS BIGINT) AS cusum_num
+  FROM daily CROSS JOIN tot
+)
+SELECT day, n_events, cusum_num,
+       ABS(cusum_num) = MAX(ABS(cusum_num)) OVER () AS is_peak
+FROM cum ORDER BY day
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order matters: the correctness driver oracles the FIRST 50
     # entries, and a key's position is set by its FIRST occurrence (the
-    # r8 tail below repeats some keys — harmless no-ops).  Round-9
-    # head, mechanically per the rotation rule: (1) the one new query;
-    # (2) every query whose code or oracle changed this round
-    # (modularity contract, kcore decrement rewrite + oracle superset
-    # fix, graph_stats // oracle, kappa NULL convention, ks loud-error,
-    # confusion broadcast hints, unpersist/co-partition touches to the
-    # iterative ops); (3) the four remaining queries from the r8
-    # post-rehearsal commit 2f2bdae; (4) backfill with the 27 oldest
-    # driver-green rows (all r3-checked: the sq_/rq_ families,
-    # st_moving_avg, the stale ag_ rows).
+    # tail below repeats some keys — harmless no-ops).  Round-10 head,
+    # mechanically per the rotation rule: (1) the six new queries;
+    # (2) every query whose code or oracle changed this round —
+    # pl_modularity (the r8/r9 hash-red: BIGINT rationals at the edge,
+    # round three of this check), the edge⋈edge co-partition family
+    # (triangles/graph_stats/link_pred pre_partitioned contract),
+    # the image ladder (dhash oversize loud-error + alpha slice), and
+    # st_cramers_drift (NULL category/ts convention, both engines);
+    # (3) backfill with the 37 oldest driver-green rows — the entire
+    # r3-checked batch (ag_ circles family + TPC-H q01-q22 + rollup,
+    # 7 rounds stale) and the 15 first r4-checked rows.
     return {
+        # --- (1) new in round 10 ---
+        "pl_mcc": pl_mcc,
+        "pl_pr_curve": pl_pr_curve,
+        "pl_ece": pl_ece,
+        "pl_mwu_lengths": pl_mwu_lengths,
+        "pl_token_gini": pl_token_gini,
+        "st_cusum": st_cusum,
+        # --- (2) code/oracle modified this round ---
+        "pl_modularity": pl_modularity,
+        "pl_triangles": pl_triangles,
+        "pl_graph_stats": pl_graph_stats,
+        "pl_link_pred": pl_link_pred,
+        "pl_image_dhash": pl_image_dhash,
+        "pl_image_neardup": pl_image_neardup,
+        "st_cramers_drift": st_cramers_drift,
+        # --- (3a) oldest greens: the whole r3-checked batch ---
+        "ag_points_by_circles_sum": ag_points_by_circles_sum,
+        "ag_points_by_circles_mean": ag_points_by_circles_mean,
+        "ag_points_by_circles_max": ag_points_by_circles_max,
+        "ag_points_by_darts": ag_points_by_darts,
+        "ag_points_categorical": ag_points_categorical,
+        "q01_pricing_summary": q01_pricing_summary,
+        "q03_shipping": q03_shipping,
+        "q04_order_priority": q04_order_priority,
+        "q05_local_supplier": q05_local_supplier,
+        "q06_forecasting": q06_forecasting,
+        "q07_volume_shipping": q07_volume_shipping,
+        "q08_market_share": q08_market_share,
+        "q10_returned_items": q10_returned_items,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q14_promo_effect": q14_promo_effect,
+        "q15_top_supplier": q15_top_supplier,
+        "q16_parts_supplier_relationship": q16_parts_supplier_relationship,
+        "q17_small_quantity": q17_small_quantity,
+        "q18_large_volume": q18_large_volume,
+        "q19_discounted_revenue": q19_discounted_revenue,
+        "q22_global_sales_opportunity": q22_global_sales_opportunity,
+        "q_rollup_revenue": q_rollup_revenue,
+        # --- (3b) next-oldest: the first 15 r4-checked rows ---
+        "pl_cosine_pairs": pl_cosine_pairs,
+        "pl_dedup_exact": pl_dedup_exact,
+        "pl_embed_dedup": pl_embed_dedup,
+        "pl_fingerprint": pl_fingerprint,
+        "pl_frame_sample": pl_frame_sample,
+        "pl_ivf_exact": pl_ivf_exact,
+        "pl_ivf_probe": pl_ivf_probe,
+        "pl_knn_cosine": pl_knn_cosine,
+        "pl_language_id": pl_language_id,
+        "pl_lsh_topk": pl_lsh_topk,
+        "pl_minhash_cc": pl_minhash_cc,
+        "pl_minhash_expr": pl_minhash_expr,
+        "pl_multimodal_features": pl_multimodal_features,
+        "pl_ngram_jaccard": pl_ngram_jaccard,
+        "pl_quality_score": pl_quality_score,
+        # ===== round-10 driver head ends here (first 50) =====
+        # --- round-9 head (keys keep first-occurrence position) ---
         # --- (1) new in round 9 ---
         "rt_dataset_tiles": rt_dataset_tiles,
         "pl_kneser_ney": pl_kneser_ney,
@@ -10173,7 +10442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rq_get_values_xlong": rq_get_values_xlong,
         "rq_filter_by_table": rq_filter_by_table,
         "rq_element_instances": rq_element_instances,
-        # ===== driver head ends here (first 50) =====
+        # (the round-9 head ended here; superseded by the r10 head)
         # --- round-7 head (all driver-green r7) ---
         "pl_curation_funnel": pl_curation_funnel,
         "pl_token_entropy": pl_token_entropy,
@@ -10355,6 +10624,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # --- round 10 ---
+        "pl_mcc": PL_MCC_SQL,
+        "pl_pr_curve": PL_PR_CURVE_SQL,
+        "pl_ece": PL_ECE_SQL,
+        "pl_mwu_lengths": PL_MWU_LENGTHS_SQL,
+        "pl_token_gini": PL_TOKEN_GINI_SQL,
+        "st_cusum": ST_CUSUM_SQL,
         # --- round 8 ---
         "pl_zipf_slope": PL_ZIPF_SLOPE_SQL,
         "pl_distinct_ngrams": PL_DISTINCT_NGRAMS_SQL,

@@ -523,3 +523,77 @@ def cramers_v_drift(
             F.round(F.sqrt(F.col("__chi2") / (F.col("n") * dof)), 6),
         ).alias("cramers_v"),
     )
+
+
+def cusum_drift(
+    events: DataFrame,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """EXACT CUSUM (Page 1954) of daily event volume against the
+    uniform-rate null — the change-point report for ingest monitoring
+    ("did the feed's daily rate shift, and when?"): a level shift makes
+    the cumulative deviation ramp, so the |max| day marks the most
+    likely change point, where per-day eyeballing sees only noise.
+
+    With per-day counts ``n_1..n_D`` and total ``N``, the classic
+    statistic cumulates deviations from the mean ``N/D``.  Scaling by
+    ``D`` keeps it integer::
+
+        S_i = sum_{j<=i} (n_j * D - N)        (S_D = 0 identically)
+
+    Every term is an exact int64 (counts and one multiply — ``n_j*D``
+    is bounded by N*D, far inside int64 at any daily volume), so the
+    whole curve replays bit-exactly in SQL.  Consumers wanting the
+    classical scale divide by D.
+
+    Plan: one day-keyed count (map-side combinable — the only
+    corpus-sized work), then the cumulative window over the
+    DAY-CALENDAR-sized table (hundreds of rows at any corpus size,
+    the documented single-partition-window absorption); the total is
+    a 1-row broadcast.  NULL timestamps are DROPPED (the
+    cramers_v_drift convention: a NULL day is not a calendar
+    position).
+
+    Output: one row per day ``(day, n_events, cusum_num, is_peak)``
+    ordered by day, with ``day`` a yyyy-MM-dd string (the repo's
+    cross-engine day convention) and ``is_peak`` marking the max-|S|
+    day(s) — the change-point candidate.
+    """
+    from pyspark.sql.window import Window
+
+    daily = (
+        events.filter(F.col(ts_col).isNotNull())
+        .groupBy(
+            F.date_format(F.date_trunc("day", F.col(ts_col)), "yyyy-MM-dd").alias(
+                "day"
+            )
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    tot = daily.agg(
+        F.sum("n_events").cast("long").alias("__n"),
+        F.count(F.lit(1)).cast("long").alias("__d"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        daily.crossJoin(F.broadcast(tot))
+        .select(
+            "day",
+            "n_events",
+            F.sum(F.col("n_events") * F.col("__d") - F.col("__n"))
+            .over(w)
+            .cast("long")
+            .alias("cusum_num"),
+        )
+    )
+    peak = cum.agg(F.max(F.abs(F.col("cusum_num"))).alias("__peak"))
+    return (
+        cum.crossJoin(F.broadcast(peak))
+        .select(
+            "day",
+            "n_events",
+            "cusum_num",
+            (F.abs(F.col("cusum_num")) == F.col("__peak")).alias("is_peak"),
+        )
+        .orderBy("day")
+    )

@@ -31,8 +31,11 @@ __all__ = [
     "calibration_bins",
     "cohens_kappa",
     "confusion_stats",
+    "expected_calibration_error",
     "lift_table",
+    "mcc_stats",
     "poisson_bootstrap_ci",
+    "pr_curve",
     "nb_score",
     "nb_train",
     "target_encode_kfold",
@@ -835,4 +838,204 @@ def brier_decomposition(
             F.round(F.sum(rel_part) / F.max("__tot"), 6).alias("reliability"),
             F.round(F.sum(res_part) / F.max("__tot"), 6).alias("resolution"),
         )
+    )
+
+
+def mcc_stats(
+    df: DataFrame,
+    label_col: str = "label",
+    pred_col: str = "pred",
+) -> DataFrame:
+    """Matthews correlation coefficient for a binary prediction table —
+    the single-number grade that stays honest under class imbalance
+    (accuracy and F1 both saturate when one class dominates; MCC is the
+    Pearson correlation of the 2x2 confusion matrix and only rewards
+    doing better than the marginals)::
+
+        mcc = (tp*tn - fp*fn)
+              / sqrt((tp+fp)(tp+fn)(tn+fp)(tn+fn))
+
+    Exactness: tp/fp/fn/tn are ONE map-side-combinable conditional
+    count over the corpus (exact int64); the numerator and the four
+    margin factors multiply in DECIMAL(38,0) (n^2-sized products, no
+    int64 ceiling), and only the final ratio is a fixed-arity double
+    (one sqrt + one division), 6 dp.  NULL label/pred rows are DROPPED
+    (the confusion_stats convention); labels/preds must be 0/1.  NULL
+    mcc when any margin is zero (a constant truth or constant
+    prediction carries no correlation signal — 0/0 by construction).
+
+    Plan: one aggregation, no joins, no shuffle beyond the 1-row
+    combine.  Output: one row ``(n, tp, fp, fn, tn, mcc)``.
+    """
+    dec = "decimal(38,0)"
+    y = F.col(label_col).cast("long")
+    p = F.col(pred_col).cast("long")
+    base = df.filter(
+        F.col(label_col).isNotNull() & F.col(pred_col).isNotNull()
+    ).select(y.alias("__y"), p.alias("__p"))
+    agg = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(((F.col("__y") == 1) & (F.col("__p") == 1)).cast("long"))
+        .cast("long")
+        .alias("tp"),
+        F.sum(((F.col("__y") == 0) & (F.col("__p") == 1)).cast("long"))
+        .cast("long")
+        .alias("fp"),
+        F.sum(((F.col("__y") == 1) & (F.col("__p") == 0)).cast("long"))
+        .cast("long")
+        .alias("fn"),
+        F.sum(((F.col("__y") == 0) & (F.col("__p") == 0)).cast("long"))
+        .cast("long")
+        .alias("tn"),
+    )
+    tp, fp, fn, tn = (F.col(c).cast(dec) for c in ("tp", "fp", "fn", "tn"))
+    num = tp * tn - fp * fn
+    den = (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+    return agg.select(
+        "n",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.when(
+            den > 0,
+            F.round(num.cast("double") / F.sqrt(den.cast("double")), 6),
+        ).alias("mcc"),
+    )
+
+
+def pr_curve(
+    scored: DataFrame,
+    n_bins: int = 10,
+    score_col: str = "llr_mean",
+    label_col: str = "label",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Precision/recall/F1 sweep over score-rank thresholds — the
+    threshold-picking report for classifier curation ("keep everything
+    the model scores in the top k/n: what precision and recall does
+    that buy?"), the operating-curve companion of :func:`lift_table`
+    (lift reports density ratios; this reports the P/R trade).
+
+    Rows are ntiled into ``n_bins`` equal-count bins by ``(score DESC,
+    id)`` (the id tie-break pins assignment under score ties on any
+    engine; NULL scores are DROPPED, the calibration_bins convention).
+    Bin ``k``'s row reports the operating point "predict positive above
+    this threshold": cumulative kept rows and kept positives through
+    bin ``k``, and the exact-count ratios
+
+        precision_k = tp_k / kept_k      recall_k = tp_k / total_pos
+        f1_k = 2 tp_k / (kept_k + total_pos)
+
+    each ONE division of exact int64 counts, 6 dp.  The cumulative
+    window runs over the n_bins-sized bin table.  NULL
+    precision/recall/f1 when the denominator is zero (no positives in
+    the corpus).
+
+    Output: ``(bin, n_kept, n_pos_kept, precision, recall, f1)``,
+    ordered by bin.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("__s"), F.col(id_col))
+    b = (
+        scored.select(
+            F.col(id_col),
+            F.col(label_col).cast("long").alias("__y"),
+            F.col(score_col).alias("__s"),
+        )
+        .filter(F.col("__s").isNotNull())
+        .withColumn("bin", F.ntile(int(n_bins)).over(w))
+    )
+    per = b.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__y").cast("long").alias("__pos"),
+    )
+    cw = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select(
+        "bin",
+        F.sum("__n").over(cw).cast("long").alias("n_kept"),
+        F.sum("__pos").over(cw).cast("long").alias("n_pos_kept"),
+    )
+    tot = per.agg(F.sum("__pos").cast("long").alias("__tpos"))
+    j = cum.crossJoin(F.broadcast(tot))
+    return j.select(
+        "bin",
+        "n_kept",
+        "n_pos_kept",
+        F.when(
+            F.col("n_kept") > 0,
+            F.round(F.col("n_pos_kept") / F.col("n_kept"), 6),
+        ).alias("precision"),
+        F.when(
+            F.col("__tpos") > 0,
+            F.round(F.col("n_pos_kept") / F.col("__tpos"), 6),
+        ).alias("recall"),
+        F.when(
+            F.col("n_kept") + F.col("__tpos") > 0,
+            F.round(
+                2.0 * F.col("n_pos_kept") / (F.col("n_kept") + F.col("__tpos")), 6
+            ),
+        ).alias("f1"),
+    ).orderBy("bin")
+
+
+def expected_calibration_error(
+    scored: DataFrame,
+    n_bins: int = 10,
+    prob_col: str = "p_e6",
+    label_col: str = "label",
+    scale: int = 10**6,
+) -> DataFrame:
+    """Expected calibration error (Naeini 2015) over equal-WIDTH
+    probability bins — the one-number companion of
+    :func:`brier_decomposition`'s reliability term (ECE weights the
+    per-bin |accuracy - confidence| gap by bin mass; reliability
+    squares it)::
+
+        ece = sum_k (n_k / N) * |acc_k - conf_k|
+
+    Exactness: with integer micro-probabilities (the ``p_e6``
+    fixed-point contract), the per-bin gap collapses to an EXACT
+    integer — ``|sum_y_k * scale - sum_p_k|`` — because
+    ``n_k/N * |pos_k/n_k - sum_p_k/(n_k*scale)|
+    = |pos_k*scale - sum_p_k| / (N*scale)``: the bin count cancels.
+    So ``ece_num = sum_k |pos_k*scale - sum_p_k|`` is an order-free
+    int64 sum (DECIMAL inside, BIGINT out) and ``ece`` is ONE division,
+    6 dp.  Bin = ``least(n_bins-1, p*n_bins div scale)`` — equal width,
+    closed form, no sort anywhere.  NULL prob/label rows are DROPPED.
+
+    Plan: one map-side-combinable aggregation to the n_bins-sized
+    table, one 1-row rollup — the flattest shape in the family.
+
+    Output: one row ``(n, n_bins_used, ece_num, ece)``.
+    """
+    dec = "decimal(38,0)"
+    sc = int(scale)
+    nb = int(n_bins)
+    p = F.col(prob_col).cast("long")
+    y = F.col(label_col).cast("long")
+    base = scored.filter(p.isNotNull() & y.isNotNull()).select(
+        # integer `div` keeps the bin edge exact (a double `/` could
+        # mis-bin boundary probabilities by one ulp)
+        F.least(
+            F.lit(nb - 1).cast("long"),
+            F.expr(f"CAST({prob_col} AS BIGINT) * {nb} div {sc}").cast("long"),
+        ).alias("__b"),
+        p.alias("__p"),
+        y.alias("__y"),
+    )
+    per = base.groupBy("__b").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__y").cast(dec).alias("__pos"),
+        F.sum("__p").cast(dec).alias("__sp"),
+    )
+    gap = F.abs(F.col("__pos") * F.lit(sc) - F.col("__sp"))
+    return per.agg(
+        F.sum("__n").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_bins_used"),
+        F.sum(gap).cast("long").alias("ece_num"),
+        F.round(
+            F.sum(gap).cast("double") / (F.sum("__n") * float(sc)), 6
+        ).alias("ece"),
     )

@@ -1916,3 +1916,170 @@ def ks_2sample(
             .alias("ks_stat"),
         )
     )
+
+
+def mann_whitney_u(
+    docs: DataFrame,
+    value_col: str = "n_chars",
+    group_col: str = "source",
+    group_a: str = "src0",
+    group_b: str = "src1",
+) -> DataFrame:
+    """EXACT Mann-Whitney U (Wilcoxon rank-sum) statistic between two
+    groups' distributions of an integer-valued column — the
+    location-shift companion of :func:`ks_2sample` (KS reacts to ANY
+    CDF gap; U asks the curation question directly: "if I draw one doc
+    from each group, how often is A's value larger?").
+
+    Midrank tie handling with NO floats: the average rank of the
+    ``cnt_v`` rows sharing value ``v`` is ``cum_before + (cnt_v+1)/2``,
+    so DOUBLED rank sums stay integer —
+    ``2*R_a = sum_v ca_v * (2*cum_before_v + cnt_v + 1)`` — and
+    ``u2_a = 2*R_a - n_a*(n_a+1)`` is the exact doubled U statistic,
+    an order-free int64.  The effect size (the probability estimate
+    above, ties counted half — literally the AUC of "value predicts
+    group") is ``u2_a / (2*n_a*n_b)``, ONE division, 6 dp.
+
+    Plan: identical to ks_2sample — one value-keyed count aggregation
+    (map-side combine, the only corpus-sized shuffle), then the
+    cumulative window over the DISTINCT VALUE GRID (value-domain-sized
+    at any corpus scale), totals a 1-row broadcast.  NULL values
+    dropped, empty groups fail LOUDLY (both the ks_2sample
+    conventions).
+
+    Output: one row ``(n_a, n_b, u2_a, auc_ab)``.
+    """
+    from pyspark.sql.window import Window
+
+    v = F.col(value_col)
+    filt = (
+        docs.filter(F.col(group_col).isin([group_a, group_b]))
+        .filter(v.isNotNull())
+        .select(
+            v.alias("val"),
+            F.when(F.col(group_col) == group_a, 1).otherwise(0).alias("__ia"),
+        )
+    )
+    counts = filt.groupBy("val").agg(
+        F.sum("__ia").cast("long").alias("ca"),
+        F.sum(1 - F.col("__ia")).cast("long").alias("cb"),
+    )
+    w = Window.orderBy("val").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.select(
+        "ca",
+        (F.col("ca") + F.col("cb")).alias("__ct"),
+        (F.sum(F.col("ca") + F.col("cb")).over(w) - (F.col("ca") + F.col("cb")))
+        .cast("long")
+        .alias("__before"),
+    )
+    tot = counts.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+    )
+    err = F.concat(
+        F.lit("mann_whitney_u: empty group — "),
+        F.when(
+            F.coalesce(F.col("n_a"), F.lit(0)) == 0,
+            F.lit(f"group_a='{group_a}' has no rows; "),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.coalesce(F.col("n_b"), F.lit(0)) == 0,
+            F.lit(f"group_b='{group_b}' has no rows; "),
+        ).otherwise(F.lit("")),
+        F.lit(f"check the '{group_col}' names and '{value_col}' for NULLs"),
+    )
+    r2a = F.sum(
+        F.col("ca") * (2 * F.col("__before") + F.col("__ct") + 1)
+    ).cast("long")
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+            (r2a - F.max("n_a") * (F.max("n_a") + 1)).cast("long").alias("u2_a"),
+        )
+        .select(
+            "n_a",
+            "n_b",
+            "u2_a",
+            F.when(
+                (F.col("n_a") > 0) & (F.col("n_b") > 0),
+                F.round(
+                    F.col("u2_a") / (2.0 * F.col("n_a") * F.col("n_b")), 6
+                ),
+            )
+            .otherwise(F.raise_error(err))
+            .alias("auc_ab"),
+        )
+    )
+
+
+def token_gini(
+    docs: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Gini coefficient of the corpus token-frequency distribution —
+    the one-number concentration report ("is this corpus a handful of
+    boilerplate tokens or a broad vocabulary?"), the distributional
+    companion of :func:`zipf_slope` (the slope fits the shape; Gini
+    integrates the inequality).
+
+    With type frequencies sorted ascending ``x_1 <= ... <= x_n``::
+
+        gini = (2 * sum_i i*x_i - (n+1) * sum_i x_i) / (n * sum_i x_i)
+
+    Exactness: the numerator is an exact integer (DECIMAL(38,0) inside
+    the sums — rank*count products reach vocab_size * corpus_tokens —
+    BIGINT at the edge; equal frequencies make the rank assignment
+    among ties irrelevant to the sum, so ``row_number`` over
+    ``(count, token)`` is deterministic AND order-free in value);
+    ``gini`` is ONE division, 6 dp.  Tokenization is the module
+    convention: ``split(lower(trim(text)), '\\s+')``.
+
+    Plan: one token-keyed count (map-side combine, the corpus-sized
+    shuffle), then the rank window over the VOCABULARY-sized type
+    table — thousands of rows at any corpus size, the documented
+    single-partition-window absorption.
+
+    Output: one row ``(n_types, total_tokens, gini_num, gini)``;
+    empty corpus fails loudly.
+    """
+    from pyspark.sql.window import Window
+
+    dec = "decimal(38,0)"
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    counts = (
+        docs.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    w = Window.orderBy("tf", "token")
+    ranked = counts.select(
+        F.col("tf"), F.row_number().over(w).cast("long").alias("__i")
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum("tf").cast("long").alias("total_tokens"),
+        F.sum(F.col("__i").cast(dec) * F.col("tf").cast(dec)).alias("__ix"),
+        F.sum(F.col("tf").cast(dec)).alias("__sx"),
+    )
+    num = (
+        2 * F.col("__ix") - (F.col("n_types") + 1).cast(dec) * F.col("__sx")
+    )
+    return agg.select(
+        "n_types",
+        "total_tokens",
+        num.cast("long").alias("gini_num"),
+        F.when(
+            (F.col("n_types") > 0) & (F.col("total_tokens") > 0),
+            F.round(
+                num.cast("double")
+                / (F.col("n_types").cast("double") * F.col("total_tokens")),
+                6,
+            ),
+        )
+        .otherwise(
+            F.raise_error(F.lit("token_gini: empty corpus (no tokens)"))
+        )
+        .alias("gini"),
+    )

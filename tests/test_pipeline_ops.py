@@ -4997,3 +4997,218 @@ def test_ndcg_at_k_matches_python(spark):
     # empty-grade truth: NULL, not a crash
     zeros = truth.select("doc_id", (F.col("rel") * 0).alias("rel"))
     assert ndcg_at_k(ranked, zeros, k=4).collect()[0]["ndcg"] is None
+
+
+def test_mcc_matches_python(spark):
+    import math
+    import random
+
+    from spatialdata_spark.pipeline.classify import mcc_stats
+
+    rng = random.Random(17)
+    rows = [
+        (
+            1 if rng.random() < 0.3 else 0,
+            1 if rng.random() < 0.4 else 0,
+        )
+        for _ in range(400)
+    ]
+    # correlate: flip pred toward label half the time
+    rows = [(y, y if rng.random() < 0.5 else p) for y, p in rows]
+    df = spark.createDataFrame(rows, ["label", "pred"])
+    out = mcc_stats(df).collect()[0]
+    tp = sum(1 for y, p in rows if y == 1 and p == 1)
+    fp = sum(1 for y, p in rows if y == 0 and p == 1)
+    fn = sum(1 for y, p in rows if y == 1 and p == 0)
+    tn = sum(1 for y, p in rows if y == 0 and p == 0)
+    assert (out["tp"], out["fp"], out["fn"], out["tn"]) == (tp, fp, fn, tn)
+    den = (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+    exp = round((tp * tn - fp * fn) / math.sqrt(den), 6)
+    assert abs(out["mcc"] - exp) < 1e-9
+    assert out["mcc"] > 0  # planted correlation is positive
+    # constant prediction: a zero margin -> NULL mcc, never a crash
+    const = spark.createDataFrame([(1, 1), (0, 1)], ["label", "pred"])
+    assert mcc_stats(const).collect()[0]["mcc"] is None
+    # NULL rows dropped (the confusion_stats convention)
+    with_null = df.unionByName(
+        spark.createDataFrame([(None, 1), (1, None)], "label int, pred int")
+    )
+    out2 = mcc_stats(with_null).collect()[0]
+    assert out2["n"] == 400 and out2["mcc"] == out["mcc"]
+
+
+def test_pr_curve_matches_python(spark):
+    import random
+
+    from spatialdata_spark.pipeline.classify import pr_curve
+
+    rng = random.Random(23)
+    rows = [(i, rng.randrange(1000), 1 if rng.random() < 0.3 else 0) for i in range(500)]
+    df = spark.createDataFrame(rows, ["doc_id", "llr_mean", "label"])
+    got = {r["bin"]: r for r in pr_curve(df, n_bins=10).collect()}
+
+    # python ntile over (score desc, id)
+    s = sorted(rows, key=lambda r: (-r[1], r[0]))
+    n = len(s)
+    base, extra = divmod(n, 10)
+    bins, pos = {}, {}
+    idx = 0
+    for b in range(1, 11):
+        size = base + (1 if b <= extra else 0)
+        chunk = s[idx : idx + size]
+        idx += size
+        bins[b] = len(chunk)
+        pos[b] = sum(r[2] for r in chunk)
+    tpos = sum(pos.values())
+    kept = pkept = 0
+    for b in range(1, 11):
+        kept += bins[b]
+        pkept += pos[b]
+        r = got[b]
+        assert r["n_kept"] == kept and r["n_pos_kept"] == pkept
+        assert abs(r["precision"] - round(pkept / kept, 6)) < 1e-9
+        assert abs(r["recall"] - round(pkept / tpos, 6)) < 1e-9
+        assert abs(r["f1"] - round(2 * pkept / (kept + tpos), 6)) < 1e-9
+    assert got[10]["recall"] == 1.0  # keeping everything recalls all
+
+
+def test_ece_matches_python(spark):
+    import random
+
+    from spatialdata_spark.pipeline.classify import expected_calibration_error
+
+    rng = random.Random(5)
+    rows = []
+    for _ in range(600):
+        p = rng.randrange(0, 1_000_001)
+        y = 1 if rng.random() < p / 1e6 else 0  # roughly calibrated
+        rows.append((p, y))
+    df = spark.createDataFrame(rows, ["p_e6", "label"])
+    out = expected_calibration_error(df, n_bins=10).collect()[0]
+    per = {}
+    for p, y in rows:
+        b = min(9, p * 10 // 1_000_000)
+        n, pos, sp = per.get(b, (0, 0, 0))
+        per[b] = (n + 1, pos + y, sp + p)
+    ece_num = sum(abs(pos * 10**6 - sp) for _, pos, sp in per.values())
+    assert out["n"] == 600 and out["n_bins_used"] == len(per)
+    assert out["ece_num"] == ece_num
+    assert abs(out["ece"] - round(ece_num / (600 * 1e6), 6)) < 1e-9
+    assert out["ece"] < 0.2  # calibrated-by-construction data scores low
+    # a maximally miscalibrated forecast scores ~1
+    bad = spark.createDataFrame(
+        [(1_000_000, 0)] * 50 + [(0, 1)] * 50, ["p_e6", "label"]
+    )
+    assert expected_calibration_error(bad).collect()[0]["ece"] == 1.0
+
+
+def test_mann_whitney_u_matches_python(spark):
+    import random
+
+    from spatialdata_spark.pipeline.textstats import mann_whitney_u
+
+    rng = random.Random(11)
+    rows = [("src0", rng.randrange(50)) for _ in range(300)] + [
+        ("src1", rng.randrange(30, 80)) for _ in range(200)
+    ]
+    df = spark.createDataFrame(
+        [(i, s, v) for i, (s, v) in enumerate(rows)],
+        ["doc_id", "source", "n_chars"],
+    )
+    out = mann_whitney_u(df).collect()[0]
+
+    vals = sorted(v for _, v in rows)
+    # midranks via doubled ranks
+    from collections import Counter
+
+    cnt = Counter(vals)
+    start = {}
+    c = 0
+    for v in sorted(cnt):
+        start[v] = c
+        c += cnt[v]
+    r2a = sum(
+        2 * start[v] + cnt[v] + 1 for s, v in rows if s == "src0"
+    )
+    n_a = sum(1 for s, _ in rows if s == "src0")
+    n_b = len(rows) - n_a
+    u2 = r2a - n_a * (n_a + 1)
+    assert out["n_a"] == n_a and out["n_b"] == n_b
+    assert out["u2_a"] == u2
+    assert abs(out["auc_ab"] - round(u2 / (2 * n_a * n_b), 6)) < 1e-9
+    # src1 is shifted higher -> A "wins" less than half the time
+    assert out["auc_ab"] < 0.5
+    # identical groups -> auc exactly 1/2 (midranks make it exact)
+    same = spark.createDataFrame(
+        [(i, "src0", i % 10) for i in range(40)]
+        + [(i + 100, "src1", i % 10) for i in range(40)],
+        ["doc_id", "source", "n_chars"],
+    )
+    assert mann_whitney_u(same).collect()[0]["auc_ab"] == 0.5
+    # empty group fails loudly
+    import pytest
+
+    with pytest.raises(Exception, match="mann_whitney_u"):
+        mann_whitney_u(df.filter(F.col("source") == "src0")).collect()
+
+
+def test_token_gini_matches_python(spark):
+    from collections import Counter
+
+    from spatialdata_spark.pipeline.textstats import token_gini
+
+    texts = [
+        "the the the quick brown fox",
+        "the lazy dog and the cat",
+        "a a b",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    out = token_gini(df).collect()[0]
+    cnt = Counter(w for t in texts for w in t.lower().strip().split())
+    xs = sorted(cnt.values())
+    n = len(xs)
+    tot = sum(xs)
+    num = 2 * sum((i + 1) * x for i, x in enumerate(xs)) - (n + 1) * tot
+    assert out["n_types"] == n and out["total_tokens"] == tot
+    assert out["gini_num"] == num
+    assert abs(out["gini"] - round(num / (n * tot), 6)) < 1e-9
+    # uniform frequencies -> gini exactly 0
+    uni = spark.createDataFrame([(0, "a b c d")], ["doc_id", "text"])
+    z = token_gini(uni).collect()[0]
+    assert z["gini_num"] == 0 and z["gini"] == 0.0
+
+
+def test_cusum_drift_matches_python(spark):
+    from spatialdata_spark.operators.temporal import cusum_drift
+
+    # 6 quiet days then 4 loud days: the change point is day 6's end
+    rows = []
+    eid = 0
+    for d in range(1, 11):
+        n = 10 if d <= 6 else 40
+        for _ in range(n):
+            rows.append((eid, f"2024-01-{d:02d} 12:00:00"))
+            eid += 1
+    df = spark.createDataFrame(rows, ["event_id", "ts_s"]).select(
+        "event_id", F.to_timestamp("ts_s").alias("ts")
+    )
+    out = {r["day"]: r for r in cusum_drift(df).collect()}
+    counts = {f"2024-01-{d:02d}": (10 if d <= 6 else 40) for d in range(1, 11)}
+    N, D = sum(counts.values()), len(counts)
+    s = 0
+    exp = {}
+    for day in sorted(counts):
+        s += counts[day] * D - N
+        exp[day] = s
+    peak = max(abs(v) for v in exp.values())
+    for day, v in exp.items():
+        assert out[day]["cusum_num"] == v
+        assert out[day]["is_peak"] == (abs(v) == peak)
+    assert exp["2024-01-10"] == 0  # S_D = 0 identically
+    assert out["2024-01-06"]["is_peak"]  # the planted change point
+    # NULL ts rows are dropped, not misclassified
+    with_null = df.unionByName(
+        spark.createDataFrame([(9999, None)], "event_id long, ts timestamp")
+    )
+    out2 = {r["day"]: r["cusum_num"] for r in cusum_drift(with_null).collect()}
+    assert out2 == {d: r["cusum_num"] for d, r in out.items()}

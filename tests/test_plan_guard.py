@@ -110,6 +110,13 @@ GUARDED = [
     "pl_link_pred",
     "pl_kappa",
     "pl_rrf_hybrid",
+    # round 10
+    "pl_mcc",
+    "pl_pr_curve",
+    "pl_ece",
+    "pl_mwu_lengths",
+    "pl_token_gini",
+    "st_cusum",
 ]
 
 # The sanctioned shuffle-join allowance: {query: max sort-merge +
@@ -188,6 +195,14 @@ EXPRESSION_ONLY = [
     "pl_brier",
     "st_cramers_drift",
     "pl_ndcg",
+    # round 10 — every new query is a pure-expression aggregation /
+    # window pipeline (no Python anywhere)
+    "pl_mcc",
+    "pl_pr_curve",
+    "pl_ece",
+    "pl_mwu_lengths",
+    "pl_token_gini",
+    "st_cusum",
 ]
 
 

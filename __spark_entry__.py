@@ -10235,6 +10235,128 @@ FROM cum ORDER BY day
 """
 
 
+def pl_wcc(spark, sf_dir):
+    """Connected components of the STRONG co-purchase graph (parts
+    sharing >= 2 orders) via iterative large-star/small-star — the
+    direct registry anchor for the CC operator the near-dup ladder
+    uses transitively; the oracle closes the same edges with a
+    recursive CTE.  Thresholding keeps the graph genuinely
+    multi-component (the unthresholded projection is one giant
+    blob)."""
+    from spatialdata_spark.pipeline.dedup import connected_components
+
+    li = _read(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").cast("long").alias("p")
+    ).distinct()
+    a, b = op.alias("a"), op.alias("b")
+    strong = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("id_a"), F.col("b.p").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= 2)
+        .select("id_a", "id_b")
+    )
+    return connected_components(strong, "id_a", "id_b")
+
+
+PL_WCC_SQL = r"""
+WITH RECURSIVE op AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS p FROM lineitem
+),
+cand AS MATERIALIZED (
+  SELECT a.p AS u, b.p AS v
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+edges AS (
+  SELECT u AS a, v AS b FROM cand
+  UNION ALL
+  SELECT v AS a, u AS b FROM cand
+),
+cc(node, lbl) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.b, c.lbl FROM cc c JOIN edges e ON e.a = c.node
+)
+SELECT node, CAST(MIN(lbl) AS BIGINT) AS component FROM cc GROUP BY node
+"""
+
+
+def pl_log_odds(spark, sf_dir):
+    """Fightin' Words (Monroe 2008, +1 Dirichlet prior): z-scored
+    log-odds of token usage src0 vs src1, top 20 by rounded |z| with
+    token tie-break — which words distinguish the two sources."""
+    from spatialdata_spark.pipeline.textstats import log_odds_tokens
+
+    return log_odds_tokens(_read(spark, sf_dir, "documents"))
+
+
+PL_LOG_ODDS_SQL = r"""
+WITH tok AS (
+  SELECT CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS ia,
+         unnest(string_split_regex(LOWER(TRIM(text)), '\s+')) AS token
+  FROM documents WHERE source IN ('src0', 'src1')
+), counts AS (
+  SELECT token, CAST(SUM(ia) AS BIGINT) AS y_a,
+         CAST(SUM(1 - ia) AS BIGINT) AS y_b
+  FROM tok GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(y_a) AS BIGINT) AS na, CAST(SUM(y_b) AS BIGINT) AS nb,
+         CAST(COUNT(*) AS BIGINT) AS v
+  FROM counts
+), s AS (
+  SELECT token, y_a, y_b,
+         LN((y_a + 1) / CAST(na + v - y_a - 1 AS DOUBLE))
+         - LN((y_b + 1) / CAST(nb + v - y_b - 1 AS DOUBLE)) AS d,
+         SQRT(1.0 / (y_a + 1) + 1.0 / (y_b + 1)) AS sd
+  FROM counts CROSS JOIN tot
+  WHERE y_a + y_b >= 5
+)
+SELECT token, y_a, y_b, ROUND(d, 6) AS delta, ROUND(d / sd, 6) AS z
+FROM s
+ORDER BY ROUND(ABS(d / sd), 6) DESC, token
+LIMIT 20
+"""
+
+
+def pl_centroid_cosine(spark, sf_dir):
+    """Pairwise cosine between LABEL CENTROIDS of the embedding corpus
+    — exact because cos(mean_a, mean_b) = cos(sum_a, sum_b) (the 1/n
+    cancels): int64 grid sums, DECIMAL dot/norms, one float step at
+    the edge."""
+    from spatialdata_spark.pipeline.similarity import centroid_cosine
+
+    return centroid_cosine(_read(spark, sf_dir, "embeddings"))
+
+
+PL_CENTROID_COSINE_SQL = r"""
+WITH longv AS (
+  SELECT label AS g, generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(FLOOR(unnest(CAST(embedding AS DOUBLE[])) * 100 + 0.5) AS BIGINT)
+           AS v
+  FROM embeddings
+), sums AS (
+  SELECT g, pos, CAST(SUM(v) AS BIGINT) AS s FROM longv GROUP BY 1, 2
+), norms AS (
+  SELECT g, SUM(CAST(s AS HUGEINT) * s) AS n2 FROM sums GROUP BY 1
+), dots AS (
+  SELECT a.g AS label_a, b.g AS label_b,
+         SUM(CAST(a.s AS HUGEINT) * b.s) AS dot
+  FROM sums a JOIN sums b ON a.pos = b.pos AND a.g < b.g
+  GROUP BY 1, 2
+)
+SELECT label_a, label_b, CAST(dot AS BIGINT) AS dot_num,
+       CASE WHEN na.n2 > 0 AND nb.n2 > 0 THEN
+         ROUND(CAST(dot AS DOUBLE)
+               / (SQRT(CAST(na.n2 AS DOUBLE)) * SQRT(CAST(nb.n2 AS DOUBLE))), 6)
+       END AS cos
+FROM dots
+JOIN norms na ON na.g = dots.label_a
+JOIN norms nb ON nb.g = dots.label_b
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order matters: the correctness driver oracles the FIRST 50
     # entries, and a key's position is set by its FIRST occurrence (the
@@ -10257,6 +10379,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pl_mwu_lengths": pl_mwu_lengths,
         "pl_token_gini": pl_token_gini,
         "st_cusum": st_cusum,
+        "pl_wcc": pl_wcc,
+        "pl_log_odds": pl_log_odds,
+        "pl_centroid_cosine": pl_centroid_cosine,
         # --- (2) code/oracle modified this round ---
         "pl_modularity": pl_modularity,
         "pl_triangles": pl_triangles,
@@ -10301,9 +10426,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pl_lsh_topk": pl_lsh_topk,
         "pl_minhash_cc": pl_minhash_cc,
         "pl_minhash_expr": pl_minhash_expr,
-        "pl_multimodal_features": pl_multimodal_features,
-        "pl_ngram_jaccard": pl_ngram_jaccard,
-        "pl_quality_score": pl_quality_score,
+        # (pl_multimodal_features / pl_ngram_jaccard / pl_quality_score
+        # yield their backfill slots to the three late-r10 queries; they
+        # keep their tail positions below)
         # ===== round-10 driver head ends here (first 50) =====
         # --- round-9 head (keys keep first-occurrence position) ---
         # --- (1) new in round 9 ---
@@ -10631,6 +10756,9 @@ def oracle_sql() -> dict[str, str]:
         "pl_mwu_lengths": PL_MWU_LENGTHS_SQL,
         "pl_token_gini": PL_TOKEN_GINI_SQL,
         "st_cusum": ST_CUSUM_SQL,
+        "pl_wcc": PL_WCC_SQL,
+        "pl_log_odds": PL_LOG_ODDS_SQL,
+        "pl_centroid_cosine": PL_CENTROID_COSINE_SQL,
         # --- round 8 ---
         "pl_zipf_slope": PL_ZIPF_SLOPE_SQL,
         "pl_distinct_ngrams": PL_DISTINCT_NGRAMS_SQL,

@@ -683,3 +683,84 @@ def multiprobe_topk(
     scored = cand.join(va, "id_a").join(vb, "id_b").select("id_a", "id_b", sim.alias("cosine"))
     w = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.col("id_b"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k).drop("rank")
+
+
+def centroid_cosine(
+    embeddings: DataFrame,
+    q: int = 100,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pairwise cosine similarity between GROUP CENTROIDS — the
+    source/cluster drift report ("are src0's and src1's embedding
+    centroids pointing the same way?"), the group-level companion of
+    the per-vector kNN family.
+
+    Exactness hinge: the cosine of two MEAN vectors equals the cosine
+    of the two SUM vectors (the 1/n factors cancel in both the dot
+    product and the norms), so no division happens until the very end.
+    Components quantize to the module's fixed-point grid
+    (``floor(x*q + 0.5)`` int64 — deterministic across engines),
+    per-(group, dim) sums are exact int64, the pairwise dot and the
+    squared norms accumulate in DECIMAL(38,0) (sum-vector products
+    clear int64 at corpus scale), and only the final
+    ``dot / (sqrt(|a|^2) * sqrt(|b|^2))`` is floating point — two
+    sqrts and two ops, 6 dp.
+
+    Plan: one map-side explode + one (group, dim)-keyed aggregation —
+    the only corpus-sized work; everything after runs on the
+    groups x dim sum table (model-sized, broadcast-hinted self-join on
+    ``pos``), output ``groups^2 / 2`` rows.
+
+    Output: ``(label_a, label_b, dot_num, cos)`` for ``a < b`` pairs,
+    with ``dot_num`` the exact int64 sum-vector dot product.
+    """
+    dec = "decimal(38,0)"
+    longv = embeddings.select(
+        F.col(group_col).alias("__g"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "x"),
+    ).select(
+        "__g",
+        "pos",
+        F.floor(F.col("x") * int(q) + F.lit(0.5)).cast("long").alias("v"),
+    )
+    sums = (
+        longv.groupBy("__g", "pos")
+        .agg(F.sum("v").cast("long").alias("s"))
+        .persist()
+    )
+    norms = sums.groupBy("__g").agg(
+        F.sum(F.col("s").cast(dec) * F.col("s").cast(dec)).alias("__n2")
+    )
+    a = sums.select(F.col("__g").alias("label_a"), "pos", F.col("s").alias("__sa"))
+    b = sums.select(F.col("__g").alias("label_b"), "pos", F.col("s").alias("__sb"))
+    dots = (
+        a.join(F.broadcast(b), "pos")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(F.col("__sa").cast(dec) * F.col("__sb").cast(dec)).alias("__dot")
+        )
+    )
+    na = norms.select(F.col("__g").alias("label_a"), F.col("__n2").alias("__na2"))
+    nb = norms.select(F.col("__g").alias("label_b"), F.col("__n2").alias("__nb2"))
+    return (
+        dots.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            F.col("__dot").cast("long").alias("dot_num"),
+            F.when(
+                (F.col("__na2") > 0) & (F.col("__nb2") > 0),
+                F.round(
+                    F.col("__dot").cast("double")
+                    / (
+                        F.sqrt(F.col("__na2").cast("double"))
+                        * F.sqrt(F.col("__nb2").cast("double"))
+                    ),
+                    6,
+                ),
+            ).alias("cos"),
+        )
+    )

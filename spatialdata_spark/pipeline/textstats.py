@@ -2083,3 +2083,84 @@ def token_gini(
         )
         .alias("gini"),
     )
+
+
+def log_odds_tokens(
+    docs: DataFrame,
+    group_col: str = "source",
+    group_a: str = "src0",
+    group_b: str = "src1",
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 20,
+) -> DataFrame:
+    """Z-scored log-odds-ratio of token usage between two groups with a
+    symmetric +1 Dirichlet prior (Monroe, Colaresi & Quinn 2008,
+    "Fightin' Words" — the uninformative-prior variant): THE standard
+    "which words distinguish corpus A from corpus B" report, where raw
+    frequency ratios overweight rare words and chi-square overweights
+    common ones::
+
+        delta_w = ln((y_a + 1) / (n_a + V - y_a - 1))
+                - ln((y_b + 1) / (n_b + V - y_b - 1))
+        z_w     = delta_w / sqrt(1/(y_a + 1) + 1/(y_b + 1))
+
+    with ``y_g`` the token's count in group g, ``n_g`` the group's
+    token total and ``V`` the union vocabulary size (computed BEFORE
+    the ``min_count`` report filter — the prior must not depend on the
+    reporting threshold).
+
+    Exactness: every input statistic is an exact int64 count from ONE
+    token-keyed conditional aggregation; delta/z are fixed-arity
+    doubles (two ln, one sqrt — the family's documented absorption),
+    6 dp.  The report keeps tokens with ``y_a + y_b >= min_count`` and
+    emits the ``top_k`` by ``(round(|z|, 6) DESC, token)`` — ordering
+    on the ROUNDED score so a last-ulp libm difference cannot reorder
+    the cut; token tie-break pins equal scores.
+
+    Plan: one corpus-sized explode + token-keyed count (map-side
+    combine), then everything runs on the vocabulary-sized table; the
+    top-k is a TakeOrdered, never a full sort shuffle.
+
+    Output: ``(token, y_a, y_b, delta, z)``.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    both = docs.filter(F.col(group_col).isin([group_a, group_b])).select(
+        F.when(F.col(group_col) == group_a, 1).otherwise(0).alias("__ia"),
+        F.explode(toks).alias("token"),
+    )
+    counts = both.groupBy("token").agg(
+        F.sum("__ia").cast("long").alias("y_a"),
+        F.sum(1 - F.col("__ia")).cast("long").alias("y_b"),
+    )
+    tot = counts.agg(
+        F.sum("y_a").cast("long").alias("__na"),
+        F.sum("y_b").cast("long").alias("__nb"),
+        F.count(F.lit(1)).cast("long").alias("__v"),
+    )
+    j = counts.crossJoin(F.broadcast(tot)).filter(
+        F.col("y_a") + F.col("y_b") >= int(min_count)
+    )
+    la = F.log(
+        (F.col("y_a") + 1)
+        / (F.col("__na") + F.col("__v") - F.col("y_a") - 1).cast("double")
+    )
+    lb = F.log(
+        (F.col("y_b") + 1)
+        / (F.col("__nb") + F.col("__v") - F.col("y_b") - 1).cast("double")
+    )
+    delta = la - lb
+    z = delta / F.sqrt(1.0 / (F.col("y_a") + 1) + 1.0 / (F.col("y_b") + 1))
+    scored = j.select(
+        "token",
+        "y_a",
+        "y_b",
+        F.round(delta, 6).alias("delta"),
+        F.round(z, 6).alias("z"),
+        F.round(F.abs(z), 6).alias("__az"),
+    )
+    return (
+        scored.orderBy(F.desc("__az"), F.col("token"))
+        .limit(int(top_k))
+        .select("token", "y_a", "y_b", "delta", "z")
+    )

@@ -5212,3 +5212,106 @@ def test_cusum_drift_matches_python(spark):
     )
     out2 = {r["day"]: r["cusum_num"] for r in cusum_drift(with_null).collect()}
     assert out2 == {d: r["cusum_num"] for d, r in out.items()}
+
+
+def test_connected_components_strong_copurchase_shape(spark):
+    """Direct pin for the CC operator over a planted multi-component
+    graph: three disjoint chains + one triangle — every node labels
+    with its component's minimum id, singletons absent."""
+    from spatialdata_spark.pipeline.dedup import connected_components
+
+    edges = [
+        (1, 2), (2, 3), (3, 4),          # chain -> comp 1
+        (10, 11), (11, 12),              # chain -> comp 10
+        (20, 21), (21, 22), (20, 22),    # triangle -> comp 20
+    ]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20, 22: 20,
+    }
+
+
+def test_log_odds_tokens_matches_python(spark):
+    import math
+    from collections import Counter
+
+    from spatialdata_spark.pipeline.textstats import log_odds_tokens
+
+    a_texts = ["alpha alpha beta common common", "alpha gamma common"]
+    b_texts = ["delta delta beta common common", "delta epsilon common common"]
+    rows = [(i, "src0", t) for i, t in enumerate(a_texts)] + [
+        (i + 10, "src1", t) for i, t in enumerate(b_texts)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    got = {r["token"]: r for r in log_odds_tokens(df, min_count=2, top_k=10).collect()}
+
+    ca = Counter(w for t in a_texts for w in t.split())
+    cb = Counter(w for t in b_texts for w in t.split())
+    na, nb = sum(ca.values()), sum(cb.values())
+    vocab = set(ca) | set(cb)
+    V = len(vocab)
+    for w in vocab:
+        ya, yb = ca.get(w, 0), cb.get(w, 0)
+        if ya + yb < 2:
+            assert w not in got
+            continue
+        d = math.log((ya + 1) / (na + V - ya - 1)) - math.log(
+            (yb + 1) / (nb + V - yb - 1)
+        )
+        z = d / math.sqrt(1 / (ya + 1) + 1 / (yb + 1))
+        r = got[w]
+        assert r["y_a"] == ya and r["y_b"] == yb
+        assert abs(r["delta"] - round(d, 6)) < 1e-9
+        assert abs(r["z"] - round(z, 6)) < 1e-9
+    # direction: group-exclusive words score with the right sign
+    assert got["alpha"]["z"] > 0 and got["delta"]["z"] < 0
+    # a balanced word sits near zero
+    assert abs(got["common"]["z"]) < abs(got["alpha"]["z"])
+
+
+def test_centroid_cosine_matches_python(spark):
+    import math
+
+    from spatialdata_spark.pipeline.similarity import centroid_cosine
+
+    rows = [
+        (1, [1.0, 0.0, 0.0], 0),
+        (2, [0.8, 0.2, 0.0], 0),
+        (3, [0.0, 1.0, 0.0], 1),
+        (4, [0.0, 0.9, 0.1], 1),
+        (5, [0.5, 0.5, 0.0], 2),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    got = {
+        (r["label_a"], r["label_b"]): r for r in centroid_cosine(df).collect()
+    }
+    import numpy as np
+
+    sums = {}
+    for _, v, lab in rows:
+        q = [int(math.floor(x * 100 + 0.5)) for x in v]
+        sums[lab] = [a + b for a, b in zip(sums.get(lab, [0, 0, 0]), q)]
+    for (a, b), r in got.items():
+        dot = sum(x * y for x, y in zip(sums[a], sums[b]))
+        na = math.sqrt(sum(x * x for x in sums[a]))
+        nb = math.sqrt(sum(x * x for x in sums[b]))
+        assert r["dot_num"] == dot
+        assert abs(r["cos"] - round(dot / (na * nb), 6)) < 1e-9
+    # orthogonal-ish groups score low, the diagonal group sits between
+    assert got[(0, 1)]["cos"] < 0.3
+    assert got[(0, 2)]["cos"] > 0.6 and got[(1, 2)]["cos"] > 0.6
+    # cosine of means == cosine of sums: group sizes don't matter
+    doubled = df.unionByName(
+        spark.createDataFrame(
+            [(10, [1.0, 0.0, 0.0], 0), (11, [0.8, 0.2, 0.0], 0)],
+            ["vec_id", "embedding", "label"],
+        )
+    )
+    got2 = {
+        (r["label_a"], r["label_b"]): r["cos"]
+        for r in centroid_cosine(doubled).collect()
+    }
+    assert got2[(1, 2)] == got[(1, 2)]["cos"]  # untouched pair identical

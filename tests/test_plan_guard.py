@@ -117,6 +117,8 @@ GUARDED = [
     "pl_mwu_lengths",
     "pl_token_gini",
     "st_cusum",
+    "pl_log_odds",
+    "pl_centroid_cosine",
 ]
 
 # The sanctioned shuffle-join allowance: {query: max sort-merge +
@@ -196,13 +198,17 @@ EXPRESSION_ONLY = [
     "st_cramers_drift",
     "pl_ndcg",
     # round 10 — every new query is a pure-expression aggregation /
-    # window pipeline (no Python anywhere)
+    # window pipeline (no Python anywhere; pl_wcc is guarded through
+    # its own convergence/values tests — its returned plan is a
+    # localCheckpoint read)
     "pl_mcc",
     "pl_pr_curve",
     "pl_ece",
     "pl_mwu_lengths",
     "pl_token_gini",
     "st_cusum",
+    "pl_log_odds",
+    "pl_centroid_cosine",
 ]
 
 

@@ -54,6 +54,16 @@ def main() -> int:
             continue
         scols = {c: kind(sdf[c]) for c in sdf.columns}
         ocols = {c: kind(odf[c]) for c in odf.columns}
+
+        import decimal
+
+        def _has_decimal(s: pd.Series) -> bool:
+            for v in s:
+                if v is None or (isinstance(v, float) and pd.isna(v)):
+                    continue
+                return isinstance(v, decimal.Decimal)
+            return False
+
         for c in scols:
             if c not in ocols:
                 bad.append((name, f"col {c} missing in oracle"))
@@ -63,6 +73,16 @@ def main() -> int:
             # empty-result object column on one side is benign noise.
             if {a, b} == {"int", "float"}:
                 bad.append((name, f"col {c}: spark={a} oracle={b}"))
+            # decimal.Decimal objects on one side vs numeric on the
+            # other serialize differently ("-5055506" vs "-5055506.0")
+            # — the pl_modularity r8/r9 mechanism this audit missed
+            elif a != b and (
+                (a == "object" and _has_decimal(sdf[c]))
+                or (b == "object" and _has_decimal(odf[c]))
+            ):
+                bad.append(
+                    (name, f"col {c}: spark={a} oracle={b} (decimal hazard)")
+                )
     for name, msg in bad:
         print(f"MISMATCH  {name}: {msg}")
     print(f"\n{len(bad)} dtype hazards")

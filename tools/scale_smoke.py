@@ -108,13 +108,24 @@ def main(max_mult: int = 8, only: list[str] | None = None) -> None:
         phrase_search,
     )
     from spatialdata_spark.operators.temporal import cramers_v_drift, psi_drift
+    from spatialdata_spark.pipeline.classify import (
+        expected_calibration_error,
+        mcc_stats,
+        pr_curve,
+    )
+    from spatialdata_spark.pipeline.dedup import connected_components
+    from spatialdata_spark.pipeline.similarity import centroid_cosine
+    from spatialdata_spark.operators.temporal import cusum_drift
     from spatialdata_spark.pipeline.textstats import (
         chi2_tokens,
         distinct_ngrams,
         hdr_quantiles,
         kneser_ney_score,
         ks_2sample,
+        log_odds_tokens,
+        mann_whitney_u,
         stupid_backoff_score,
+        token_gini,
         zipf_slope,
     )
 
@@ -178,6 +189,25 @@ def main(max_mult: int = 8, only: list[str] | None = None) -> None:
         )
         return und.union(
             und.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+        )
+
+    def _copurchase_strong(m):
+        # parts sharing >= 2 orders, per-copy disjoint key spaces: the
+        # thresholded multi-component graph pl_wcc runs on
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        r = replicate(
+            li.select("l_orderkey", "l_partkey"), m, ["l_orderkey", "l_partkey"]
+        )
+        op = r.select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").cast("long").alias("p")
+        ).distinct()
+        a, b = op.alias("a"), op.alias("b")
+        return (
+            a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+            .groupBy(F.col("a.p").alias("id_a"), F.col("b.p").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .filter(F.col("__c") >= 2)
+            .select("id_a", "id_b")
         )
 
     def _bipartite(m):
@@ -715,6 +745,57 @@ def main(max_mult: int = 8, only: list[str] | None = None) -> None:
                     _copurchase(m), max_degree=32, top_n=100
                 ).count()
             ),
+            # --- the round-10 operator tail ---
+            # one conditional-count aggregation: the flattest shape
+            "mcc": lambda: mcc_stats(
+                docs.select(
+                    (F.col("lang") == "en").cast("int").alias("label"),
+                    (F.col("n_chars") >= 500).cast("int").alias("pred"),
+                )
+            ).collect(),
+            # one global ntile sort over skinny rows (the documented
+            # calibration/lift cost), cumulative window over 10 bins
+            "pr_curve": lambda: pr_curve(
+                docs.select(
+                    "doc_id",
+                    F.col("n_chars").alias("llr_mean"),
+                    (F.col("lang") == "en").cast("int").alias("label"),
+                ),
+                n_bins=10,
+            )
+            .agg(F.sum("n_pos_kept"))
+            .collect(),
+            # bin-keyed count, 10-row rollup — flat
+            "ece": lambda: expected_calibration_error(
+                docs.select(
+                    ((F.col("n_chars") % 101) * 10000).cast("long").alias("p_e6"),
+                    (F.col("lang") == "en").cast("int").alias("label"),
+                )
+            ).collect(),
+            # value grid saturates under self-union (same lengths
+            # repeat): the rank window input is fixed-size
+            "mwu_lengths": lambda: mann_whitney_u(docs).collect(),
+            # vocab saturates under self-union: the rank window runs
+            # over a fixed-size type table, only the count agg scales
+            "token_gini": lambda: token_gini(docs).collect(),
+            # day-calendar-sized after one count — flat
+            "cusum": lambda: cusum_drift(ev).collect(),
+            # CC over m disjoint strong-copurchase islands: per-round
+            # edge work linear, rounds ~ O(log component-diameter)
+            "wcc": lambda m=mult: connected_components(
+                _copurchase_strong(m), "id_a", "id_b"
+            ).count(),
+            # vocab saturates; the z computation runs on the type table
+            "log_odds": lambda: log_odds_tokens(docs).collect(),
+            # one explode + (label, dim)-keyed agg — corpus-linear scan
+            # to a model-sized table, label^2/2 output rows
+            "centroid_cosine": lambda m=mult: centroid_cosine(
+                replicate(
+                    emb0.withColumn("label", F.col("label").cast("long")),
+                    m,
+                    ["vec_id"],
+                )
+            ).count(),
         }
         if only:
             cases = {k: v for k, v in cases.items() if k in only}

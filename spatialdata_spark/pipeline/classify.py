@@ -208,12 +208,47 @@ def auc_rank(
     )
 
 
+def _approx_rank_bins(b: DataFrame, n_bins: int, descending: bool):
+    """At-extreme-scale bin assignment WITHOUT the global ntile sort —
+    the swap this module's rank-binned reports (calibration / lift /
+    PR curve) document: ``approx_percentile`` computes the n_bins-1
+    edge scores in ONE scan-level aggregation (GK sketch, map-side
+    combinable — no sort, no single-partition window anywhere), the
+    edge list is a driver-collected model-sized scalar row (the
+    sanctioned k-centroids-shaped collect), and assignment is a
+    closed-form comparison ladder.
+
+    Semantics shift, documented: bins are approximately equal-count
+    (sketch accuracy 1/10000), and assignment is BY VALUE — score ties
+    share a bin instead of being split by the id tie-break, which is
+    what a threshold report means operationally anyway (you can't
+    deploy a threshold that splits ties).  Heavy ties can leave a bin
+    empty; downstream cumulative logic is unaffected.  The exact-ntile
+    mode stays the default and the oracle contract.
+
+    ``b`` must carry the score as ``__s`` (NULLs already dropped).
+    Returns the bin Column (1-based; bin 1 = highest scores when
+    ``descending``).
+    """
+    nb = int(n_bins)
+    qs = [k / nb for k in range(1, nb)]
+    edges = b.agg(
+        F.percentile_approx("__s", qs, 10_000).alias("__e")
+    ).first()["__e"]
+    col = F.lit(1)
+    for e in edges or []:
+        cond = (F.col("__s") <= F.lit(e)) if descending else (F.col("__s") > F.lit(e))
+        col = col + F.when(cond, 1).otherwise(0)
+    return col.cast("long")
+
+
 def calibration_bins(
     scored: DataFrame,
     n_bins: int = 10,
     score_col: str = "llr_mean",
     label_col: str = "label",
     id_col: str = "doc_id",
+    approx: bool = False,
 ) -> DataFrame:
     """Reliability table for a scored + labeled corpus: rank the rows
     by score into ``n_bins`` equal-count bins (ntile) and report each
@@ -229,24 +264,25 @@ def calibration_bins(
     cross-engine-stable contract; a NULL score carries no calibration
     signal anyway).
     The ntile is a global sort of the SCORED table (score + label +
-    id only, never the text); at extreme corpus scale the documented
-    swap is approx_percentile bin edges, the same trade recorded by
-    this repo's other global-rank queries.
+    id only, never the text); ``approx=True`` IS the at-extreme-scale
+    swap — approx_percentile bin edges with closed-form by-value
+    assignment, no sort and no single-partition window anywhere (see
+    :func:`_approx_rank_bins` for the documented semantic shift).
 
     Output: ``(bin, n_docs, n_pos, frac_pos, mean_score)``, 6 dp.
     """
     from pyspark.sql.window import Window
 
-    w = Window.orderBy("__s", id_col)
-    b = (
-        scored.select(
-            F.col(id_col),
-            F.col(label_col).cast("long").alias("__y"),
-            F.col(score_col).alias("__s"),
-        )
-        .filter(F.col("__s").isNotNull())
-        .withColumn("bin", F.ntile(int(n_bins)).over(w))
-    )
+    b = scored.select(
+        F.col(id_col),
+        F.col(label_col).cast("long").alias("__y"),
+        F.col(score_col).alias("__s"),
+    ).filter(F.col("__s").isNotNull())
+    if approx:
+        b = b.withColumn("bin", _approx_rank_bins(b, int(n_bins), descending=False))
+    else:
+        w = Window.orderBy("__s", id_col)
+        b = b.withColumn("bin", F.ntile(int(n_bins)).over(w))
     return (
         b.groupBy("bin")
         .agg(
@@ -573,6 +609,7 @@ def lift_table(
     score_col: str = "llr_mean",
     label_col: str = "label",
     id_col: str = "doc_id",
+    approx: bool = False,
 ) -> DataFrame:
     """Cumulative gains / lift table — the "if I keep only the top X%
     by this score, what fraction of the good documents do I capture?"
@@ -591,21 +628,25 @@ def lift_table(
     form ``(cum_pos * total_docs) / (cum_docs * total_pos)`` in
     DECIMAL so it replays exactly.
 
+    ``approx=True`` swaps the global ntile sort for approx_percentile
+    edges with by-value assignment (the at-extreme-scale mode — see
+    :func:`_approx_rank_bins`).
+
     Output: ``(bin, n_docs, n_pos, cum_docs, cum_pos, gain, lift)``.
     """
     from pyspark.sql.window import Window
 
     dec = "decimal(38,0)"
-    w = Window.orderBy(F.col("__s").desc(), id_col)
-    b = (
-        scored.select(
-            F.col(id_col),
-            F.col(label_col).cast("long").alias("__y"),
-            F.col(score_col).alias("__s"),
-        )
-        .filter(F.col("__s").isNotNull())
-        .withColumn("bin", F.ntile(int(n_bins)).over(w).cast("long"))
-    )
+    b = scored.select(
+        F.col(id_col),
+        F.col(label_col).cast("long").alias("__y"),
+        F.col(score_col).alias("__s"),
+    ).filter(F.col("__s").isNotNull())
+    if approx:
+        b = b.withColumn("bin", _approx_rank_bins(b, int(n_bins), descending=True))
+    else:
+        w = Window.orderBy(F.col("__s").desc(), id_col)
+        b = b.withColumn("bin", F.ntile(int(n_bins)).over(w).cast("long"))
     per = b.groupBy("bin").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("__y").cast("long").alias("n_pos"),
@@ -910,6 +951,7 @@ def pr_curve(
     score_col: str = "llr_mean",
     label_col: str = "label",
     id_col: str = "doc_id",
+    approx: bool = False,
 ) -> DataFrame:
     """Precision/recall/F1 sweep over score-rank thresholds — the
     threshold-picking report for classifier curation ("keep everything
@@ -932,21 +974,25 @@ def pr_curve(
     precision/recall/f1 when the denominator is zero (no positives in
     the corpus).
 
+    ``approx=True`` swaps the global ntile sort for approx_percentile
+    edges with by-value assignment (the at-extreme-scale mode — see
+    :func:`_approx_rank_bins`).
+
     Output: ``(bin, n_kept, n_pos_kept, precision, recall, f1)``,
     ordered by bin.
     """
     from pyspark.sql.window import Window
 
-    w = Window.orderBy(F.desc("__s"), F.col(id_col))
-    b = (
-        scored.select(
-            F.col(id_col),
-            F.col(label_col).cast("long").alias("__y"),
-            F.col(score_col).alias("__s"),
-        )
-        .filter(F.col("__s").isNotNull())
-        .withColumn("bin", F.ntile(int(n_bins)).over(w))
-    )
+    b = scored.select(
+        F.col(id_col),
+        F.col(label_col).cast("long").alias("__y"),
+        F.col(score_col).alias("__s"),
+    ).filter(F.col("__s").isNotNull())
+    if approx:
+        b = b.withColumn("bin", _approx_rank_bins(b, int(n_bins), descending=True))
+    else:
+        w = Window.orderBy(F.desc("__s"), F.col(id_col))
+        b = b.withColumn("bin", F.ntile(int(n_bins)).over(w))
     per = b.groupBy("bin").agg(
         F.count(F.lit(1)).cast("long").alias("__n"),
         F.sum("__y").cast("long").alias("__pos"),

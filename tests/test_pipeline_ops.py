@@ -5315,3 +5315,61 @@ def test_centroid_cosine_matches_python(spark):
         for r in centroid_cosine(doubled).collect()
     }
     assert got2[(1, 2)] == got[(1, 2)]["cos"]  # untouched pair identical
+
+
+def test_rank_binned_reports_approx_mode(spark):
+    """approx=True on calibration_bins / lift_table / pr_curve is the
+    at-extreme-scale mode: NO global sort and NO single-partition
+    window in the plan (approx_percentile edges + a comparison
+    ladder), totals conserved exactly, bins value-monotone and
+    roughly equal-count."""
+    import random
+
+    from spatialdata_spark.pipeline.classify import (
+        calibration_bins,
+        lift_table,
+        pr_curve,
+    )
+
+    rng = random.Random(41)
+    rows = [(i, rng.random() * 1000, 1 if rng.random() < 0.3 else 0) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["doc_id", "llr_mean", "label"])
+    n, npos = len(rows), sum(r[2] for r in rows)
+
+    for fn, desc in ((calibration_bins, False), (lift_table, True), (pr_curve, True)):
+        out = fn(df, n_bins=10, approx=True)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # the corpus-sized global ntile sort must be GONE (the
+        # n_bins-row cumulative window in lift/pr is metadata-sized
+        # and intentional)
+        assert "ntile" not in plan, f"{fn.__name__}: corpus ntile survived"
+        rows_out = out.collect()
+        assert 1 <= len(rows_out) <= 10
+        if fn is calibration_bins:
+            assert sum(r["n_docs"] for r in rows_out) == n
+            assert sum(r["n_pos"] for r in rows_out) == npos
+            # roughly equal bins (continuous scores, sketch acc 1e-4)
+            sizes = [r["n_docs"] for r in rows_out]
+            assert max(sizes) <= 2 * min(sizes)
+        else:
+            last = max(rows_out, key=lambda r: r["bin"])
+            cum_docs = last["cum_docs"] if fn is lift_table else last["n_kept"]
+            cum_pos = last["cum_pos"] if fn is lift_table else last["n_pos_kept"]
+            assert cum_docs == n  # cumulative docs through the last bin
+            assert cum_pos == npos
+    # value-monotone assignment: every row in lift bin k scores >= every
+    # row in bin k+1 (by-value edges cannot interleave)
+    from spatialdata_spark.pipeline.classify import _approx_rank_bins
+
+    b = df.select("doc_id", F.col("llr_mean").alias("__s")).filter(
+        F.col("__s").isNotNull()
+    )
+    assigned = b.withColumn("bin", _approx_rank_bins(b, 10, descending=True))
+    stats = (
+        assigned.groupBy("bin")
+        .agg(F.min("__s").alias("lo"), F.max("__s").alias("hi"))
+        .orderBy("bin")
+        .collect()
+    )
+    for prev, cur in zip(stats, stats[1:]):
+        assert prev["lo"] >= cur["hi"]

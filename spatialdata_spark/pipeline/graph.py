@@ -498,8 +498,14 @@ def graph_stats(
         triangle_count(und, "u", "v", pre_partitioned=True)
         .agg((F.sum("n_triangles") / 3).cast("long").alias("n_triangles"))
     )
-    bdeg = F.broadcast(deg) if _broadcast_frontier(spark) else deg
+    bcast = _broadcast_frontier(spark)
+    bdeg = F.broadcast(deg) if bcast else deg
     both = und.union(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    if not bcast:
+        # cluster path: lay the double cover out by u once — the first
+        # degree join then moves only the node-sized degree table; the
+        # second (keyed v) is the one unavoidable edge-sized exchange
+        both = _finalize_cache(_co_partition(both, "u"))
     dd = (
         both.join(bdeg.select(F.col("node").alias("u"), F.col("degree").alias("__dx")), "u")
         .join(bdeg.select(F.col("node").alias("v"), F.col("degree").alias("__dy")), "v")

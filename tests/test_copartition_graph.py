@@ -36,12 +36,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from spatialdata_spark.pipeline.graph import (  # noqa: E402
     BROADCAST_FRONTIER_CONF,
+    graph_stats,
     hits,
     hop_distances,
     kcore_rounds,
     label_propagation,
+    link_prediction,
     pagerank,
     pagerank_weighted,
+    triangle_count,
 )
 
 
@@ -163,6 +166,9 @@ def test_copartitioned_path_matches_broadcast_path(spark, cluster_mode):
         "hops": _rows(hop_distances(e, seeds=[0, 1], max_hops=3)),
         "hits": _rows(hits(e, k=2)),
         "ppr": _rows(pagerank_weighted(wgt, k=2, seeds=[0, 1, 2])),
+        "tri": _rows(triangle_count(e)),
+        "gs": _rows(graph_stats(e)),
+        "lp": _rows(link_prediction(e, top_n=20)),
     }
     spark.conf.set(BROADCAST_FRONTIER_CONF, "false")
     assert _rows(pagerank(sym, k=3)) == expected["pagerank"]
@@ -171,6 +177,9 @@ def test_copartitioned_path_matches_broadcast_path(spark, cluster_mode):
     assert _rows(hop_distances(e, seeds=[0, 1], max_hops=3)) == expected["hops"]
     assert _rows(hits(e, k=2)) == expected["hits"]
     assert _rows(pagerank_weighted(wgt, k=2, seeds=[0, 1, 2])) == expected["ppr"]
+    assert _rows(triangle_count(e)) == expected["tri"]
+    assert _rows(graph_stats(e)) == expected["gs"]
+    assert _rows(link_prediction(e, top_n=20)) == expected["lp"]
 
 
 def test_pagerank_edge_side_exchange_free(spark, cluster_mode):

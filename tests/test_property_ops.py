@@ -527,3 +527,96 @@ def test_png_dhash_63_bit_boundary(spark):
     )
     with pytest.raises(Exception, match="image_dhash"):
         image_dhash(media2).collect()
+
+
+@given(seed=st.integers(0, 10**6), lo=st.integers(0, 20), width=st.integers(1, 40))
+@SET
+def test_mann_whitney_property_matches_sequential(spark, seed, lo, width):
+    """Random two-group integer samples: u2_a matches the midrank
+    python replay exactly; AUC complements swap (auc_ab + auc_ba = 1
+    under the doubled-tie convention); a stochastically-larger group
+    scores > 1/2."""
+    from collections import Counter
+
+    from spatialdata_spark.pipeline.textstats import mann_whitney_u
+
+    rng = random.Random(seed)
+    na, nb = rng.randint(5, 40), rng.randint(5, 40)
+    a_vals = [rng.randint(lo, lo + width) for _ in range(na)]
+    b_vals = [rng.randint(lo, lo + width) for _ in range(nb)]
+    rows = [(i, "src0", v) for i, v in enumerate(a_vals)] + [
+        (1000 + i, "src1", v) for i, v in enumerate(b_vals)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"])
+    out = mann_whitney_u(df).collect()[0]
+
+    cnt = Counter(a_vals + b_vals)
+    start, c = {}, 0
+    for v in sorted(cnt):
+        start[v] = c
+        c += cnt[v]
+    u2 = sum(2 * start[v] + cnt[v] + 1 for v in a_vals) - na * (na + 1)
+    assert out["n_a"] == na and out["n_b"] == nb and out["u2_a"] == u2
+    # complement: swapping the groups mirrors the statistic
+    sw = mann_whitney_u(df, group_a="src1", group_b="src0").collect()[0]
+    assert out["u2_a"] + sw["u2_a"] == 2 * na * nb
+    assert 0 <= out["u2_a"] <= 2 * na * nb
+
+
+@given(seed=st.integers(0, 10**6), n_vals=st.integers(1, 12))
+@SET
+def test_token_gini_property_bounds_and_invariance(spark, seed, n_vals):
+    """Gini over a random frequency multiset: in [0, 1), zero iff all
+    frequencies equal, invariant to which tokens carry the counts."""
+    from spatialdata_spark.pipeline.textstats import token_gini
+
+    rng = random.Random(seed)
+    freqs = [rng.randint(1, 9) for _ in range(n_vals)]
+    toks = [f"w{i}" for i in range(n_vals)]
+    text = " ".join(t for t, f in zip(toks, freqs) for _ in range(f))
+    df = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+    out = token_gini(df).collect()[0]
+    assert out["n_types"] == n_vals and out["total_tokens"] == sum(freqs)
+    assert 0 <= out["gini"] < 1
+    xs = sorted(freqs)
+    num = 2 * sum((i + 1) * x for i, x in enumerate(xs)) - (n_vals + 1) * sum(xs)
+    assert out["gini_num"] == num
+    assert (out["gini"] == 0.0) == (len(set(freqs)) == 1)
+    # permuting token names leaves the coefficient untouched
+    perm = list(range(n_vals))
+    rng.shuffle(perm)
+    text2 = " ".join(f"w{perm[i]}" for i, f in enumerate(freqs) for _ in range(f))
+    df2 = spark.createDataFrame([(0, text2)], ["doc_id", "text"])
+    assert token_gini(df2).collect()[0]["gini_num"] == num
+
+
+@given(seed=st.integers(0, 10**6))
+@SET
+def test_ece_property_perfect_and_bounds(spark, seed):
+    """ECE is 0 for a bin-constant perfectly calibrated forecast, in
+    [0, 1] always, and exactly reproduced by the integer identity."""
+    from spatialdata_spark.pipeline.classify import expected_calibration_error
+
+    rng = random.Random(seed)
+    # perfectly calibrated at bin-constant probabilities p = k/10 + 0.05:
+    # choose counts divisible so pos = p * n exactly
+    rows = []
+    for k in range(10):
+        p = k * 100000 + 50000  # bin-center micro-prob
+        n = 20
+        pos = p * n // 10**6
+        rows += [(p, 1)] * pos + [(p, 0)] * (n - pos)
+    df = spark.createDataFrame(rows, ["p_e6", "label"])
+    out = expected_calibration_error(df, n_bins=10).collect()[0]
+    assert out["ece"] == 0.0 and out["ece_num"] == 0
+    # random forecasts: bounded and integer-consistent
+    rows2 = [(rng.randrange(0, 1_000_001), rng.randint(0, 1)) for _ in range(200)]
+    df2 = spark.createDataFrame(rows2, ["p_e6", "label"])
+    o2 = expected_calibration_error(df2, n_bins=10).collect()[0]
+    per = {}
+    for p, y in rows2:
+        b = min(9, p * 10 // 10**6)
+        n, pos, sp = per.get(b, (0, 0, 0))
+        per[b] = (n + 1, pos + y, sp + p)
+    assert o2["ece_num"] == sum(abs(pos * 10**6 - sp) for _, pos, sp in per.values())
+    assert 0.0 <= o2["ece"] <= 1.0

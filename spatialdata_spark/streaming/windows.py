@@ -625,3 +625,100 @@ def streaming_hdr_buckets(
         .queryName(query_name)
         .start()
     )
+
+
+def streaming_psi_drift(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    baseline: DataFrame,
+    width: str = "1 day",
+    watermark: str = "10 minutes",
+    cat_col: str = "event_type",
+    ts_col: str = "ts",
+    query_name: str = "psi_windows",
+    max_files_per_trigger: int | None = 1,
+):
+    """Per-window PSI of the LIVE category mix against a STATIC
+    baseline — the streaming twin of ``operators.temporal.psi_drift``
+    (the before/after batch monitor): an ingest pipeline watches each
+    closed window's event mix for population shift (PSI < 0.1 stable,
+    > 0.25 shifted) without ever re-scanning history.
+
+    The Structured Streaming shape that makes this append-mode legal:
+    PSI needs per-category counts AND the window total, which naively
+    is two stateful aggregations (disallowed) or an agg-then-join.
+    Instead the baseline's category set (category-cardinality-sized,
+    the sanctioned model-sized driver collect) PIVOTS the counts into
+    ONE wide aggregation — a conditional sum per baseline category
+    plus the row count — so each window closes with everything PSI
+    needs in one row, and the score is a pure expression over that
+    row with the baseline fractions as literals.  One stateful agg,
+    no join, state = one wide row per open window.
+
+    NULL convention (the batch twin's): a window containing a category
+    ABSENT from the baseline (surfaced as ``n_other``), or a baseline
+    category absent from the window, reports NULL psi — substituting
+    an epsilon would fabricate mass; the smoothing decision is the
+    caller's.  NULL category/ts rows are dropped.
+
+    Output rows (append mode, one per CLOSED window):
+    ``(window_start, n_total, n_other, psi)``, psi 6 dp.
+
+    Gotcha shared by every watermarked op here: ``withWatermark``
+    requires TIMESTAMP (with timezone) — parquet written as
+    TIMESTAMP_NTZ fails analysis; cast ``ts`` on ingest.
+    """
+    brows = (
+        baseline.filter(F.col(cat_col).isNotNull())
+        .groupBy(F.col(cat_col).alias("c"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    if not brows:
+        raise ValueError(
+            "streaming_psi_drift: baseline has no non-NULL categories — "
+            "a silent empty baseline would NULL every window's psi"
+        )
+    cats = sorted(r["c"] for r in brows)
+    base_n = {r["c"]: r["n"] for r in brows}
+    tot_b = sum(base_n.values())
+
+    r = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        r = r.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    stream = r.parquet(source_dir).filter(
+        F.col(cat_col).isNotNull() & F.col(ts_col).isNotNull()
+    )
+    aggs = [
+        F.sum(F.when(F.col(cat_col) == c, 1).otherwise(0))
+        .cast("long")
+        .alias(f"__n{i}")
+        for i, c in enumerate(cats)
+    ]
+    counts = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), width).alias("w"))
+        .agg(*aggs, F.count(F.lit(1)).cast("long").alias("n_total"))
+    )
+    n_other = F.col("n_total") - sum(F.col(f"__n{i}") for i in range(len(cats)))
+    defined = (F.col("__other") == 0) & F.lit(True)
+    psi_terms = []
+    for i, c in enumerate(cats):
+        p = F.col(f"__n{i}") / F.col("n_total")
+        q = F.lit(base_n[c] / tot_b)
+        psi_terms.append((p - q) * F.log(p / q))
+        defined = defined & (F.col(f"__n{i}") > 0)
+    out = counts.withColumn("__other", n_other).select(
+        F.col("w.start").alias("window_start"),
+        "n_total",
+        F.col("__other").alias("n_other"),
+        F.when(defined, F.round(sum(psi_terms), 6)).alias("psi"),
+    )
+    return (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -693,3 +693,88 @@ def test_streaming_dedup_within_watermark_restamped_replay(spark, tmp_path):
         r["event_id"] for r in spark.sql("SELECT * FROM events_deduped_ww").collect()
     )
     assert got == [1, 2, 3]  # restamped replay of 2 emitted once
+
+
+def test_streaming_psi_drift_per_window(spark, tmp_path):
+    """Streaming PSI monitor: per-window category mix scored against a
+    static baseline in ONE stateful aggregation (pivoted conditional
+    counts — no second agg, no join, append-mode legal).  A window
+    matching the baseline mix scores ~0; a drifted window scores high;
+    a window containing a category unknown to the baseline reports
+    NULL psi with n_other > 0."""
+    import math
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import _parse_datatype_string
+
+    from spatialdata_spark.streaming.windows import streaming_psi_drift
+
+    src = str(tmp_path / "psi_events")
+    os.makedirs(src, exist_ok=True)
+
+    def wfile(name, rows):
+        df = spark.createDataFrame(rows, ["event_id", "ts_s", "event_type"]).select(
+            "event_id", F.to_timestamp("ts_s").alias("ts"), "event_type"
+        )
+        df.coalesce(1).write.parquet(f"{src}/{name}")
+
+    # day 1: the baseline mix exactly (6 click / 3 view / 1 purchase)
+    day1 = [(i, f"2024-01-01 0{i}:00:00", t) for i, t in enumerate(
+        ["click"] * 6 + ["view"] * 3 + ["purchase"]
+    )]
+    # day 2: all categories present but drifted hard toward purchase
+    day2 = [(100 + i, f"2024-01-02 0{i}:00:00", t) for i, t in enumerate(
+        ["click"] * 2 + ["view"] + ["purchase"] * 7
+    )]
+    # day 3: contains a category the baseline never saw
+    day3 = [(200 + i, f"2024-01-03 0{i}:00:00", t) for i, t in enumerate(
+        ["click"] * 5 + ["refund"] * 5
+    )]
+    # day 4: a baseline category (view) entirely absent from the window
+    day4 = [(300 + i, f"2024-01-04 0{i}:00:00", t) for i, t in enumerate(
+        ["click"] * 5 + ["purchase"] * 5
+    )]
+    wfile("f1", day1)
+    wfile("f2", day2)
+    wfile("f3", day3)
+    wfile("f3b", day4)
+    # watermark advancer far past day 4 so all windows close
+    wfile("f4", [(999, "2024-01-10 12:00:00", "click")])
+
+    baseline = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(["click"] * 6 + ["view"] * 3 + ["purchase"])],
+        ["row_id", "event_type"],
+    )
+    q = streaming_psi_drift(
+        spark,
+        f"{src}/*",
+        _parse_datatype_string("event_id long, ts timestamp, event_type string"),
+        baseline,
+        width="1 day",
+        watermark="1 hour",
+        query_name="psi_by_day",
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        str(r["window_start"])[:10]: r
+        for r in spark.sql("SELECT * FROM psi_by_day").collect()
+    }
+    assert set(got) >= {"2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"}
+    # day 1 mirrors the baseline exactly: psi identically 0
+    assert got["2024-01-01"]["psi"] == 0.0 and got["2024-01-01"]["n_other"] == 0
+    # day 2: all categories present, heavy drift — exact 6dp replay
+    base = {"click": 0.6, "view": 0.3, "purchase": 0.1}
+    cur = {"click": 0.2, "view": 0.1, "purchase": 0.7}
+    exp = round(
+        sum((cur[c] - base[c]) * math.log(cur[c] / base[c]) for c in base), 6
+    )
+    assert abs(got["2024-01-02"]["psi"] - exp) < 1e-9
+    assert got["2024-01-02"]["psi"] > 0.25  # well past the "shifted" bar
+    # day 3: unknown category -> NULL psi, n_other counts it
+    assert got["2024-01-03"]["psi"] is None
+    assert got["2024-01-03"]["n_other"] == 5
+    # day 4: a baseline category absent from the window makes psi NULL
+    # (the batch twin's convention — an epsilon would fabricate mass)
+    assert got["2024-01-04"]["psi"] is None and got["2024-01-04"]["n_other"] == 0

@@ -32,6 +32,14 @@ class ImageTilesDataset:
     circle regions (window centered on each circle's center), a target
     tile size in pixels, and an optional per-sample ``transform``
     callable applied to the numpy array before it is yielded.
+
+    SCALE NOTE: :meth:`dataframe` is the at-scale entry — the planned
+    crop table stays distributed and composes with further Spark
+    stages (the registry's ``rt_dataset_tiles`` sweep runs that way).
+    ``__iter__`` exists for the training-loader API contract: it
+    streams crops to the DRIVER via ``toLocalIterator`` (one partition
+    in flight), which is the right shape for feeding a single training
+    process but is by construction not distributed.
     """
 
     def __init__(

@@ -1455,3 +1455,55 @@ def simhash_recall(
             9,
         ).alias("recall"),
     )
+
+
+def duplication_profile(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group duplication report: how much of each source is exact
+    duplicate mass — the dedup triage table that decides WHERE the
+    cleanup budget goes (a source that is 40% duplicates gets the
+    near-dup ladder; a clean one doesn't need it).
+
+    Per group: ``n_docs``, ``n_dup_docs`` (docs whose md5 digest —
+    :func:`exact_dedup`'s convention — appears more than once ANYWHERE
+    in the corpus: cross-source duplication counts against both
+    sources, the honest attribution), ``n_cross_dup`` (the subset
+    whose digest also appears in ANOTHER group — contamination, not
+    internal boilerplate), and the exact-count ratio ``dup_rate``,
+    6 dp.
+
+    Plan: one digest-keyed aggregation carrying per-digest total and
+    distinct-group counts (map-side combinable; digest-cardinality-
+    sized), one broadcast-friendly join back onto the doc->digest
+    projection, one group rollup.  Never the text twice: the digest is
+    computed in the first scan's projection.
+    """
+    d = docs.select(
+        F.col(group_col).alias("__g"),
+        F.md5(F.col(text_col)).alias("digest"),
+    )
+    per_digest = d.groupBy("digest").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.count_distinct("__g").cast("long").alias("__ng"),
+    )
+    j = d.join(per_digest, "digest")
+    return (
+        j.groupBy(F.col("__g").alias(group_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum((F.col("__n") > 1).cast("long")).cast("long").alias("n_dup_docs"),
+            F.sum((F.col("__ng") > 1).cast("long")).cast("long").alias("n_cross_dup"),
+        )
+        .select(
+            group_col,
+            "n_docs",
+            "n_dup_docs",
+            "n_cross_dup",
+            F.round(F.col("n_dup_docs") / F.col("n_docs"), 6).alias("dup_rate"),
+        )
+        .orderBy(group_col)
+    )

@@ -2164,3 +2164,62 @@ def log_odds_tokens(
         .limit(int(top_k))
         .select("token", "y_a", "y_b", "delta", "z")
     )
+
+
+def benford_deviation(
+    df: DataFrame,
+    value_col: str = "n_chars",
+) -> DataFrame:
+    """Leading-digit distribution of a positive INTEGER column against
+    Benford's law — the classic fabricated-or-truncated-data screen
+    for numeric metadata columns (naturally-growing quantities follow
+    ``P(d) = log10(1 + 1/d)``; uniform or clipped generators don't).
+
+    Exactness: the leading digit of an INTEGER comes from one string
+    cast + substr — no float log10 anywhere near the digit extraction
+    (a ``floor(v / 10^floor(log10 v))`` formulation can mis-extract at
+    power-of-ten boundaries where libm log10 differs in the last ulp).
+    Counts are exact int64; the expected Benford fraction is a
+    LITERAL per digit (computed once in Python — both engines compare
+    against the identical constant); the deviation per digit is one
+    subtraction, 6 dp.  Rows with NULL or non-positive values are
+    DROPPED (Benford is defined on positive magnitudes; zero has no
+    leading digit).
+
+    Plan: one digit-keyed conditional count (map-side combine, 9-row
+    result) + a 1-row total broadcast — the flattest shape.
+
+    Output: ``(digit, n, frac, benford_frac, dev)`` for digits 1-9
+    (absent digits report n=0), plus the ``mad`` column repeated per
+    row is deliberately NOT emitted — consumers sum ``abs(dev)``/9.
+    """
+    import math
+
+    v = F.col(value_col)
+    base = df.filter(v.isNotNull() & (v > 0)).select(
+        F.substring(v.cast("string"), 1, 1).cast("int").alias("__d")
+    )
+    counts = base.groupBy("__d").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    digits = base.sparkSession.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    tot = counts.agg(F.sum("n").cast("long").alias("__t"))
+    bf = F.array(*[F.lit(round(math.log10(1 + 1 / d), 6)) for d in range(1, 10)])
+    j = (
+        digits.join(counts.withColumnRenamed("__d", "digit"), "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+            F.col("__t"),
+        )
+    )
+    frac = F.when(F.col("__t") > 0, F.round(F.col("n") / F.col("__t"), 6))
+    bfrac = F.element_at(bf, F.col("digit"))
+    return j.select(
+        "digit",
+        "n",
+        frac.alias("frac"),
+        bfrac.alias("benford_frac"),
+        F.when(
+            F.col("__t") > 0, F.round(F.col("n") / F.col("__t") - bfrac, 6)
+        ).alias("dev"),
+    ).orderBy("digit")

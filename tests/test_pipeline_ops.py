@@ -5373,3 +5373,65 @@ def test_rank_binned_reports_approx_mode(spark):
     )
     for prev, cur in zip(stats, stats[1:]):
         assert prev["lo"] >= cur["hi"]
+
+
+def test_benford_deviation_matches_python(spark):
+    import math
+    import random
+
+    from spatialdata_spark.pipeline.textstats import benford_deviation
+
+    rng = random.Random(13)
+    # log-uniform magnitudes follow Benford closely
+    vals = [int(10 ** (rng.random() * 5)) + 1 for _ in range(3000)]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], ["doc_id", "n_chars"])
+    got = {r["digit"]: r for r in benford_deviation(df).collect()}
+    from collections import Counter
+
+    cnt = Counter(int(str(v)[0]) for v in vals)
+    n = len(vals)
+    assert set(got) == set(range(1, 10))
+    for d in range(1, 10):
+        r = got[d]
+        assert r["n"] == cnt.get(d, 0)
+        assert abs(r["frac"] - round(cnt.get(d, 0) / n, 6)) < 1e-9
+        bf = round(math.log10(1 + 1 / d), 6)
+        assert r["benford_frac"] == bf
+        assert abs(r["dev"] - round(cnt.get(d, 0) / n - bf, 6)) < 1e-9
+    # log-uniform data deviates little from Benford
+    mad = sum(abs(got[d]["dev"]) for d in range(1, 10)) / 9
+    assert mad < 0.02
+    # a clipped/uniform generator deviates hard (the screen's point)
+    uni = spark.createDataFrame(
+        [(i, 500 + i % 100) for i in range(1000)], ["doc_id", "n_chars"]
+    )
+    got_u = {r["digit"]: r for r in benford_deviation(uni).collect()}
+    assert got_u[5]["frac"] == 1.0  # every value leads with 5
+    # NULL / non-positive rows are dropped, absent digits report n=0
+    edge = spark.createDataFrame(
+        [(1, 123), (2, None), (3, 0), (4, -7)], "doc_id long, n_chars long"
+    )
+    got_e = {r["digit"]: r["n"] for r in benford_deviation(edge).collect()}
+    assert got_e == {1: 1, 2: 0, 3: 0, 4: 0, 5: 0, 6: 0, 7: 0, 8: 0, 9: 0}
+
+
+def test_duplication_profile_matches_python(spark):
+    from spatialdata_spark.pipeline.dedup import duplication_profile
+
+    rows = [
+        # src0: 4 docs, one internal dup pair
+        (1, "src0", "aaa"), (2, "src0", "aaa"), (3, "src0", "bbb"), (4, "src0", "ccc"),
+        # src1: 3 docs, one cross-source dup with src0's "ccc"
+        (5, "src1", "ccc"), (6, "src1", "ddd"), (7, "src1", "eee"),
+        # src2: clean
+        (8, "src2", "fff"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    got = {r["source"]: r for r in duplication_profile(df).collect()}
+    # src0: dups = {1,2 (internal), 4 (cross)} -> 3; cross = {4}
+    assert (got["src0"]["n_docs"], got["src0"]["n_dup_docs"], got["src0"]["n_cross_dup"]) == (4, 3, 1)
+    assert got["src0"]["dup_rate"] == 0.75
+    # src1: dups = {5} (cross with src0) -> 1; cross = {5}
+    assert (got["src1"]["n_docs"], got["src1"]["n_dup_docs"], got["src1"]["n_cross_dup"]) == (3, 1, 1)
+    # src2: clean
+    assert (got["src2"]["n_dup_docs"], got["src2"]["n_cross_dup"]) == (0, 0)

@@ -119,6 +119,8 @@ GUARDED = [
     "st_cusum",
     "pl_log_odds",
     "pl_centroid_cosine",
+    "pl_benford",
+    "pl_dup_profile",
 ]
 
 # The sanctioned shuffle-join allowance: {query: max sort-merge +
@@ -209,6 +211,8 @@ EXPRESSION_ONLY = [
     "st_cusum",
     "pl_log_odds",
     "pl_centroid_cosine",
+    "pl_benford",
+    "pl_dup_profile",
 ]
 
 

@@ -113,10 +113,14 @@ def main(max_mult: int = 8, only: list[str] | None = None) -> None:
         mcc_stats,
         pr_curve,
     )
-    from spatialdata_spark.pipeline.dedup import connected_components
+    from spatialdata_spark.pipeline.dedup import (
+        connected_components,
+        duplication_profile,
+    )
     from spatialdata_spark.pipeline.similarity import centroid_cosine
     from spatialdata_spark.operators.temporal import cusum_drift
     from spatialdata_spark.pipeline.textstats import (
+        benford_deviation,
         chi2_tokens,
         distinct_ngrams,
         hdr_quantiles,
@@ -796,6 +800,12 @@ def main(max_mult: int = 8, only: list[str] | None = None) -> None:
                     ["vec_id"],
                 )
             ).count(),
+            # digit-keyed conditional count, 9-row result — flattest
+            "benford": lambda: benford_deviation(docs).collect(),
+            # digest-keyed agg + join-back (the exact_dedup_keep shape);
+            # self-union makes EVERY doc a duplicate — worst-case dup
+            # mass, still digest-linear
+            "dup_profile": lambda: duplication_profile(docs).collect(),
         }
         if only:
             cases = {k: v for k, v in cases.items() if k in only}

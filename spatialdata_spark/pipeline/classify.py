@@ -32,6 +32,7 @@ __all__ = [
     "cohens_kappa",
     "confusion_stats",
     "expected_calibration_error",
+    "krippendorff_alpha",
     "lift_table",
     "mcc_stats",
     "poisson_bootstrap_ci",
@@ -1084,4 +1085,92 @@ def expected_calibration_error(
         F.round(
             F.sum(gap).cast("double") / (F.sum("__n") * float(sc)), 6
         ).alias("ece"),
+    )
+
+
+def krippendorff_alpha(
+    ratings: DataFrame,
+    unit_col: str = "unit",
+    rater_col: str = "rater",
+    value_col: str = "value",
+) -> DataFrame:
+    """Krippendorff's alpha for NOMINAL data — the agreement
+    coefficient that generalizes :func:`cohens_kappa` to ANY number of
+    raters with MISSING ratings (the real multi-labeler QA setting:
+    three cheap classifiers label overlapping but not identical doc
+    subsets; is their agreement better than chance?).
+
+    Standard coincidence-matrix formulation (Krippendorff 2004): for
+    each unit with ``m_u >= 2`` ratings, every ordered pair of ratings
+    within the unit contributes ``1/(m_u - 1)`` to the coincidence
+    cell ``(v, v')``.  For nominal data::
+
+        alpha = 1 - D_o / D_e
+        D_o   = sum_{v != v'} o(v,v')          (observed disagreement)
+        D_e   = sum_{v != v'} n_v * n_v' / (n - 1)
+
+    Exactness: every sufficient statistic is an exact int64 count
+    (per-(unit, value) counts, unit sizes ``m_u``, value margins);
+    each unit's disagreement contribution is the rational
+    ``(m_u^2 - sum_v k_v^2) / (m_u - 1)`` — ONE fixed-arity division
+    of exact integers per unit (a common-denominator integer form
+    would need the product of all distinct ``m_u - 1`` values and
+    explodes), summed as double — the family's documented absorption,
+    same shape as the JSD/PSI term sums; alpha is one final division,
+    6 dp.  A pytest pin replays the full computation in exact
+    ``fractions.Fraction`` arithmetic.
+
+    NULL unit/rater/value rows are dropped; duplicate (unit, rater)
+    rows must be resolved upstream (the last-write-wins decision is
+    the caller's).  Output: one row ``(n_units, n, alpha)``; NULL
+    alpha when D_e = 0 (a single value category or n < 2 — agreement
+    is undefined, not perfect).
+
+    Plan: one (unit, value)-keyed count, one unit-sized rollup for
+    ``m_u``, one value-margin rollup — every table after the first
+    aggregation is unit- or category-sized; no pair enumeration
+    anywhere (within-unit pair counts come from ``m_u`` and the
+    per-(unit, value) counts algebraically).
+    """
+    base = ratings.filter(
+        F.col(unit_col).isNotNull()
+        & F.col(rater_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    ).select(F.col(unit_col).alias("__u"), F.col(value_col).alias("__v"))
+    uv = base.groupBy("__u", "__v").agg(
+        F.count(F.lit(1)).cast("long").alias("__k")
+    )
+    mu = uv.groupBy("__u").agg(F.sum("__k").cast("long").alias("__m"))
+    multi = mu.filter(F.col("__m") >= 2)
+    j = uv.join(F.broadcast(multi), "__u")
+    # observed disagreement per unit: pairs across different values =
+    # (m^2 - sum_v k_v^2) / 2; coincidence scaling divides by (m - 1).
+    per_unit = j.groupBy("__u", "__m").agg(
+        F.sum(F.col("__k") * F.col("__k")).cast("long").alias("__sk2")
+    )
+    do_term = (
+        (F.col("__m") * F.col("__m") - F.col("__sk2")).cast("double")
+        / (F.col("__m") - 1)
+    )
+    do_agg = per_unit.agg(
+        F.count(F.lit(1)).cast("long").alias("n_units"),
+        F.sum("__m").cast("long").alias("n"),
+        F.sum(do_term).alias("__do"),
+    )
+    margins = j.groupBy("__v").agg(F.sum("__k").cast("long").alias("__nv"))
+    de_agg = margins.agg(
+        F.sum(F.col("__nv").cast("decimal(38,0)") * F.col("__nv").cast("decimal(38,0)"))
+        .cast("double")
+        .alias("__sv2")
+    )
+    out = do_agg.crossJoin(F.broadcast(de_agg))
+    n = F.col("n").cast("double")
+    de = (n * n - F.col("__sv2")) / (n - 1)
+    return out.select(
+        "n_units",
+        "n",
+        F.when(
+            (F.col("n") >= 2) & (de > 0),
+            F.round(F.lit(1.0) - F.col("__do") / de, 6),
+        ).alias("alpha"),
     )

@@ -2223,3 +2223,99 @@ def benford_deviation(
             F.col("__t") > 0, F.round(F.col("n") / F.col("__t") - bfrac, 6)
         ).alias("dev"),
     ).orderBy("digit")
+
+
+def ks_matrix(
+    docs: DataFrame,
+    value_col: str = "n_chars",
+    group_col: str = "source",
+) -> DataFrame:
+    """EXACT pairwise two-sample KS statistic between EVERY pair of
+    groups — the full drift MATRIX :func:`ks_2sample` gives one cell
+    of ("which shards disagree about the length profile, and how
+    much"), the triage view a multi-source ingest reviews before
+    reweighting.
+
+    Same cross-multiplied integer contract as the single-pair op:
+    ``ks_num = max_v |cum_a(v)*n_b - cum_b(v)*n_a|`` over the SHARED
+    distinct value grid, ``ks_den = n_a*n_b`` — order-free, bit-exact
+    on any engine.
+
+    Plan: one (group, value)-keyed count (the only corpus-sized
+    shuffle), densified to the groups x grid table (grid-sized join,
+    conditional cumulative window PER GROUP — each partition is one
+    group's grid), then the pair join runs on the densified table
+    keyed by value: work is pairs x grid, both metadata-sized at any
+    corpus scale (groups are tens, the grid is the value domain).
+    NULL values dropped (the ks_2sample convention); groups with no
+    rows simply don't appear.
+
+    Output: ``(group_a, group_b, n_a, n_b, ks_num, ks_den, ks_stat)``
+    for ``group_a < group_b``, ks_stat 9 dp.
+    """
+    from pyspark.sql.window import Window
+
+    v = F.col(value_col)
+    counts = (
+        docs.filter(v.isNotNull() & F.col(group_col).isNotNull())
+        .groupBy(F.col(group_col).alias("__g"), v.alias("val"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    grid = counts.select("val").distinct()
+    groups = counts.select("__g").distinct()
+    # every table from here on is (value domain x groups)-sized —
+    # metadata at any corpus scale — so the joins BROADCAST by
+    # contract; a sort-merge join here would smell like corpus work
+    dense = grid.crossJoin(F.broadcast(groups)).join(
+        F.broadcast(counts), ["__g", "val"], "left"
+    )
+    w = Window.partitionBy("__g").orderBy("val").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = dense.select(
+        "__g",
+        "val",
+        F.sum(F.coalesce(F.col("__c"), F.lit(0))).over(w).cast("long").alias("__cum"),
+    )
+    tot = counts.groupBy("__g").agg(F.sum("__c").cast("long").alias("__n"))
+    a = (
+        cum.join(F.broadcast(tot), "__g")
+        .select(
+            F.col("__g").alias("group_a"),
+            "val",
+            F.col("__cum").alias("__ca"),
+            F.col("__n").alias("n_a"),
+        )
+    )
+    b = (
+        cum.join(F.broadcast(tot), "__g")
+        .select(
+            F.col("__g").alias("group_b"),
+            "val",
+            F.col("__cum").alias("__cb"),
+            F.col("__n").alias("n_b"),
+        )
+    )
+    pairs = a.join(F.broadcast(b), "val").filter(
+        F.col("group_a") < F.col("group_b")
+    )
+    agg = pairs.groupBy("group_a", "group_b").agg(
+        F.max("n_a").cast("long").alias("n_a"),
+        F.max("n_b").cast("long").alias("n_b"),
+        F.max(
+            F.abs(F.col("__ca") * F.col("n_b") - F.col("__cb") * F.col("n_a"))
+        )
+        .cast("long")
+        .alias("ks_num"),
+    )
+    return agg.select(
+        "group_a",
+        "group_b",
+        "n_a",
+        "n_b",
+        "ks_num",
+        (F.col("n_a") * F.col("n_b")).cast("long").alias("ks_den"),
+        F.round(
+            F.col("ks_num") / (F.col("n_a") * F.col("n_b")).cast("double"), 9
+        ).alias("ks_stat"),
+    ).orderBy("group_a", "group_b")

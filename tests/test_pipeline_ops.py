@@ -5435,3 +5435,105 @@ def test_duplication_profile_matches_python(spark):
     assert (got["src1"]["n_docs"], got["src1"]["n_dup_docs"], got["src1"]["n_cross_dup"]) == (3, 1, 1)
     # src2: clean
     assert (got["src2"]["n_dup_docs"], got["src2"]["n_cross_dup"]) == (0, 0)
+
+
+def test_ks_matrix_matches_pairwise_python(spark):
+    import random
+    from collections import Counter
+
+    from spatialdata_spark.pipeline.textstats import ks_matrix
+
+    rng = random.Random(29)
+    srcs = {"src0": (0, 40), "src1": (20, 60), "src2": (0, 40), "src3": (50, 90)}
+    rows = []
+    i = 0
+    for s, (lo, hi) in srcs.items():
+        for _ in range(rng.randint(40, 80)):
+            rows.append((i, s, rng.randint(lo, hi)))
+            i += 1
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"])
+    got = {(r["group_a"], r["group_b"]): r for r in ks_matrix(df).collect()}
+    assert len(got) == 6  # C(4,2)
+
+    def ks(a_vals, b_vals):
+        na, nb = len(a_vals), len(b_vals)
+        ca, cb = Counter(a_vals), Counter(b_vals)
+        grid = sorted(set(a_vals) | set(b_vals))
+        cum_a = cum_b = best = 0
+        for v in grid:
+            cum_a += ca.get(v, 0)
+            cum_b += cb.get(v, 0)
+            best = max(best, abs(cum_a * nb - cum_b * na))
+        return na, nb, best
+
+    by_src = {}
+    for _, s, v in rows:
+        by_src.setdefault(s, []).append(v)
+    for (a, b), r in got.items():
+        na, nb, num = ks(by_src[a], by_src[b])
+        assert (r["n_a"], r["n_b"], r["ks_num"], r["ks_den"]) == (na, nb, num, na * nb)
+        assert abs(r["ks_stat"] - round(num / (na * nb), 9)) < 1e-12
+    # identically-distributed ranges score lower than disjoint-ish ones
+    assert got[("src0", "src2")]["ks_stat"] < got[("src0", "src3")]["ks_stat"]
+    # the matrix agrees with the single-pair op on every cell
+    from spatialdata_spark.pipeline.textstats import ks_2sample
+
+    one = ks_2sample(df, group_a="src1", group_b="src3").collect()[0]
+    assert got[("src1", "src3")]["ks_num"] == one["ks_num"]
+
+
+def test_krippendorff_alpha_matches_fractions(spark):
+    import random
+    from collections import Counter
+    from fractions import Fraction
+
+    from spatialdata_spark.pipeline.classify import krippendorff_alpha
+
+    rng = random.Random(37)
+    rows = []
+    for u in range(200):
+        truth = "en" if rng.random() < 0.4 else "other"
+        rows.append((u, "truth", truth))
+        if rng.random() < 0.8:  # rater B misses 20% of units
+            rows.append((u, "b", truth if rng.random() < 0.8 else ("other" if truth == "en" else "en")))
+        if rng.random() < 0.6:  # rater C misses 40%
+            rows.append((u, "c", truth if rng.random() < 0.7 else ("other" if truth == "en" else "en")))
+    df = spark.createDataFrame(rows, ["unit", "rater", "value"])
+    out = krippendorff_alpha(df).collect()[0]
+
+    # exact replay in Fractions (the canonical coincidence formulation)
+    by_unit = {}
+    for u, _, v in rows:
+        by_unit.setdefault(u, []).append(v)
+    multi = {u: vs for u, vs in by_unit.items() if len(vs) >= 2}
+    n = sum(len(vs) for vs in multi.values())
+    do = Fraction(0)
+    margins = Counter()
+    for vs in multi.values():
+        m = len(vs)
+        cnt = Counter(vs)
+        margins.update(cnt)
+        do += Fraction(m * m - sum(k * k for k in cnt.values()), m - 1)
+    de = Fraction(n * n - sum(k * k for k in margins.values()), n - 1)
+    exp = 1 - do / de
+    assert out["n_units"] == len(multi) and out["n"] == n
+    assert abs(out["alpha"] - round(float(exp), 6)) < 1e-6
+    assert 0.2 < out["alpha"] < 0.9  # planted noisy-but-real agreement
+    # perfect agreement scores exactly 1
+    perfect = spark.createDataFrame(
+        [(u, r, "en" if u % 2 else "other") for u in range(20) for r in ("a", "b")],
+        ["unit", "rater", "value"],
+    )
+    assert krippendorff_alpha(perfect).collect()[0]["alpha"] == 1.0
+    # a single value category: D_e = 0 -> NULL, not a crash
+    const = spark.createDataFrame(
+        [(u, r, "en") for u in range(5) for r in ("a", "b")],
+        ["unit", "rater", "value"],
+    )
+    assert krippendorff_alpha(const).collect()[0]["alpha"] is None
+    # single-rating units are excluded from n
+    plus_single = df.unionByName(
+        spark.createDataFrame([(9999, "truth", "en")], ["unit", "rater", "value"])
+    )
+    out2 = krippendorff_alpha(plus_single).collect()[0]
+    assert out2["n"] == n and out2["alpha"] == out["alpha"]

@@ -121,6 +121,8 @@ GUARDED = [
     "pl_centroid_cosine",
     "pl_benford",
     "pl_dup_profile",
+    "pl_ks_matrix",
+    "pl_kripp",
 ]
 
 # The sanctioned shuffle-join allowance: {query: max sort-merge +
@@ -213,6 +215,8 @@ EXPRESSION_ONLY = [
     "pl_centroid_cosine",
     "pl_benford",
     "pl_dup_profile",
+    "pl_ks_matrix",
+    "pl_kripp",
 ]
 
 

@@ -110,6 +110,7 @@ def main(max_mult: int = 8, only: list[str] | None = None) -> None:
     from spatialdata_spark.operators.temporal import cramers_v_drift, psi_drift
     from spatialdata_spark.pipeline.classify import (
         expected_calibration_error,
+        krippendorff_alpha,
         mcc_stats,
         pr_curve,
     )
@@ -126,6 +127,7 @@ def main(max_mult: int = 8, only: list[str] | None = None) -> None:
         hdr_quantiles,
         kneser_ney_score,
         ks_2sample,
+        ks_matrix,
         log_odds_tokens,
         mann_whitney_u,
         stupid_backoff_score,
@@ -802,6 +804,20 @@ def main(max_mult: int = 8, only: list[str] | None = None) -> None:
             ).count(),
             # digit-keyed conditional count, 9-row result — flattest
             "benford": lambda: benford_deviation(docs).collect(),
+            # value grid + group set both saturate under self-union:
+            # the pairwise stage runs on a fixed-size dense table
+            "ks_matrix": lambda: ks_matrix(docs).collect(),
+            # three synthetic raters over doc_id x mult units: one
+            # (unit, value) count, unit-/category-sized rollups after
+            "kripp": lambda m=mult: krippendorff_alpha(
+                docs.select(F.col("doc_id").alias("unit"), F.lit("a").alias("rater"),
+                            (F.col("lang") == "en").cast("string").alias("value"))
+                .unionByName(
+                    docs.filter(F.col("doc_id") % 5 != 0).select(
+                        F.col("doc_id").alias("unit"), F.lit("b").alias("rater"),
+                        (F.col("n_chars") >= 500).cast("string").alias("value"))
+                )
+            ).collect(),
             # digest-keyed agg + join-back (the exact_dedup_keep shape);
             # self-union makes EVERY doc a duplicate — worst-case dup
             # mass, still digest-linear

@@ -10045,9 +10045,13 @@ WITH c AS (
          CAST(SUM(CASE WHEN y = 1 AND p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
          CAST(SUM(CASE WHEN y = 0 AND p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
   FROM (
+    -- NULL lang/n_chars rows are DROPPED to match the Spark side,
+    -- where a NULL column yields a NULL label/pred that mcc_stats
+    -- excludes (the confusion_stats convention)
     SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
            CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END AS p
     FROM documents
+    WHERE lang IS NOT NULL AND n_chars IS NOT NULL
   )
 )
 SELECT n, tp, fp, fn, tn,
@@ -10120,9 +10124,11 @@ def pl_ece(spark, sf_dir):
 
 PL_ECE_SQL = r"""
 WITH s AS (
+  -- NULL lang rows are DROPPED to match the Spark side (NULL label
+  -- excluded by expected_calibration_error)
   SELECT (n_chars % 101) * 10000 AS p,
          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
-  FROM documents WHERE n_chars IS NOT NULL
+  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL
 ), b AS (
   SELECT LEAST(9, (p * 10) // 1000000) AS bin, p, y FROM s
 ), per AS (

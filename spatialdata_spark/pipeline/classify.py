@@ -898,13 +898,18 @@ def mcc_stats(
               / sqrt((tp+fp)(tp+fn)(tn+fp)(tn+fn))
 
     Exactness: tp/fp/fn/tn are ONE map-side-combinable conditional
-    count over the corpus (exact int64); the numerator and the four
-    margin factors multiply in DECIMAL(38,0) (n^2-sized products, no
-    int64 ceiling), and only the final ratio is a fixed-arity double
-    (one sqrt + one division), 6 dp.  NULL label/pred rows are DROPPED
-    (the confusion_stats convention); labels/preds must be 0/1.  NULL
-    mcc when any margin is zero (a constant truth or constant
-    prediction carries no correlation signal — 0/0 by construction).
+    count over the corpus (exact int64); the numerator multiplies in
+    DECIMAL(38,0) (n^2-sized, exact at any corpus size) and the
+    denominator is computed in the FACTORED form
+    ``sqrt(tp+fp) * sqrt(tp+fn) * sqrt(tn+fp) * sqrt(tn+fn)`` — each
+    factor is an exact int64 margin, so no intermediate ever exceeds
+    n (the n^4 product form would overflow even DECIMAL(38,0) past
+    ~3e9 rows and silently NULL the score); four sqrts + three
+    multiplies + one division of doubles, 6 dp.  NULL label/pred rows
+    are DROPPED (the confusion_stats convention); labels/preds must
+    be 0/1.  NULL mcc when any margin is zero (a constant truth or
+    constant prediction carries no correlation signal — 0/0 by
+    construction).
 
     Plan: one aggregation, no joins, no shuffle beyond the 1-row
     combine.  Output: one row ``(n, tp, fp, fn, tn, mcc)``.
@@ -932,7 +937,13 @@ def mcc_stats(
     )
     tp, fp, fn, tn = (F.col(c).cast(dec) for c in ("tp", "fp", "fn", "tn"))
     num = tp * tn - fp * fn
-    den = (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+    m1, m2, m3, m4 = (tp + fp), (tp + fn), (tn + fp), (tn + fn)
+    den = (
+        F.sqrt(m1.cast("double"))
+        * F.sqrt(m2.cast("double"))
+        * F.sqrt(m3.cast("double"))
+        * F.sqrt(m4.cast("double"))
+    )
     return agg.select(
         "n",
         "tp",
@@ -940,8 +951,8 @@ def mcc_stats(
         "fn",
         "tn",
         F.when(
-            den > 0,
-            F.round(num.cast("double") / F.sqrt(den.cast("double")), 6),
+            (m1 > 0) & (m2 > 0) & (m3 > 0) & (m4 > 0),
+            F.round(num.cast("double") / den, 6),
         ).alias("mcc"),
     )
 
@@ -1142,7 +1153,12 @@ def krippendorff_alpha(
     )
     mu = uv.groupBy("__u").agg(F.sum("__k").cast("long").alias("__m"))
     multi = mu.filter(F.col("__m") >= 2)
-    j = uv.join(F.broadcast(multi), "__u")
+    # NO broadcast hint: `multi` is UNIT-sized (one row per rated
+    # unit — corpus scale), and both sides are already keyed by the
+    # unit; `mu` derives from `uv`'s aggregation, so the shuffled join
+    # reuses uv's hash layout rather than shipping the unit table to
+    # every executor
+    j = uv.join(multi, "__u")
     # observed disagreement per unit: pairs across different values =
     # (m^2 - sum_v k_v^2) / 2; coincidence scaling divides by (m - 1).
     per_unit = j.groupBy("__u", "__m").agg(

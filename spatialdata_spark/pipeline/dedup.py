@@ -1461,7 +1461,6 @@ def duplication_profile(
     docs: DataFrame,
     group_col: str = "source",
     text_col: str = "text",
-    id_col: str = "doc_id",
 ) -> DataFrame:
     """Per-group duplication report: how much of each source is exact
     duplicate mass — the dedup triage table that decides WHERE the

@@ -377,13 +377,18 @@ def streaming_interval_join(
     reserved = {key, "left_ts", "right_ts"}
     lout, taken = [], set(reserved)
     for c in lcols:
-        name = f"left_{c}" if c in reserved else c
+        name = c
+        while name in taken:  # repeat until free: a schema may already
+            name = f"left_{name}"  # carry the prefixed name itself
         lout.append(left[c].alias(name))
         taken.add(name)
     rout = []
     for c in rcols:
-        name = f"right_{c}" if c in taken else c
+        name = c
+        while name in taken:
+            name = f"right_{name}"
         rout.append(right[c].alias(name))
+        taken.add(name)
     joined = left.join(
         right,
         F.expr(

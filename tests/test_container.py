@@ -416,17 +416,29 @@ def test_streaming_interval_join_shared_column_names(spark, tmp_path):
         ["click_id", "ts_s", "user_id", "amount"],
     ).select("click_id", F.to_timestamp("ts_s").alias("ts"), "user_id", "amount")
     clicks.coalesce(1).write.parquet(f"{lsrc}/f1")
+    # the right side ALSO carries a literal `right_amount` column: the
+    # collision rename must re-check its candidate name (amount ->
+    # right_amount collides again -> right_right_amount for the
+    # original right_amount column, never two identical output names)
     purchases = spark.createDataFrame(
-        [(11, "2024-01-01 10:30:00", 100, 42)],
-        ["purchase_id", "ts_s", "user_id", "amount"],
-    ).select("purchase_id", F.to_timestamp("ts_s").alias("ts"), "user_id", "amount")
+        [(11, "2024-01-01 10:30:00", 100, 42, 7)],
+        ["purchase_id", "ts_s", "user_id", "amount", "right_amount"],
+    ).select(
+        "purchase_id",
+        F.to_timestamp("ts_s").alias("ts"),
+        "user_id",
+        "amount",
+        "right_amount",
+    )
     purchases.coalesce(1).write.parquet(f"{rsrc}/f1")
     q = streaming_interval_join(
         spark,
         f"{lsrc}/*",
         _parse_datatype_string("click_id long, ts timestamp, user_id long, amount long"),
         f"{rsrc}/*",
-        _parse_datatype_string("purchase_id long, ts timestamp, user_id long, amount long"),
+        _parse_datatype_string(
+            "purchase_id long, ts timestamp, user_id long, amount long, right_amount long"
+        ),
         key="user_id",
         within="1 hour",
         watermark="10 minutes",
@@ -437,8 +449,10 @@ def test_streaming_interval_join_shared_column_names(spark, tmp_path):
     rows = spark.sql("SELECT * FROM shared_cols").collect()
     assert len(rows) == 1
     r = rows[0]
+    assert len(set(r.asDict().keys())) == len(r.asDict())  # no dup names
     assert r["click_id"] == 1 and r["purchase_id"] == 11
     assert r["amount"] == 5 and r["right_amount"] == 42
+    assert r["right_right_amount"] == 7
 
 
 def test_streaming_topk_rate_appends_closed_windows(spark, tmp_path):

@@ -5022,8 +5022,15 @@ def test_mcc_matches_python(spark):
     fn = sum(1 for y, p in rows if y == 1 and p == 0)
     tn = sum(1 for y, p in rows if y == 0 and p == 0)
     assert (out["tp"], out["fp"], out["fn"], out["tn"]) == (tp, fp, fn, tn)
-    den = (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
-    exp = round((tp * tn - fp * fn) / math.sqrt(den), 6)
+    # factored denominator: sqrt per margin, never the n^4 product
+    # (which would overflow DECIMAL(38,0) past ~3e9 rows)
+    den = (
+        math.sqrt(tp + fp)
+        * math.sqrt(tp + fn)
+        * math.sqrt(tn + fp)
+        * math.sqrt(tn + fn)
+    )
+    exp = round((tp * tn - fp * fn) / den, 6)
     assert abs(out["mcc"] - exp) < 1e-9
     assert out["mcc"] > 0  # planted correlation is positive
     # constant prediction: a zero margin -> NULL mcc, never a crash

@@ -895,6 +895,7 @@ def modularity(
     dst_col: str = "dst",
     node_col: str = "node",
     label_col: str = "label",
+    pre_partitioned: bool = False,
 ) -> DataFrame:
     """Newman-Girvan modularity of a node labeling over an undirected
     graph — THE quality score for :func:`label_propagation`'s
@@ -923,18 +924,29 @@ def modularity(
     Plan: one broadcast-gated label join per edge endpoint (labels are
     the node-sized table), one conditional count for ``in_c``, one
     community-sized rollup for ``deg_c`` — the edge table is scanned
-    once.
+    once.  ``pre_partitioned=True`` declares ``edges`` is already the
+    canonical undirected list bucketed by ``src_col`` (see
+    :func:`_canonical_und`): the normalizing distinct is skipped and
+    the first label join reuses the bucket layout edge-side
+    exchange-free in the cluster (non-broadcast) path — the second
+    (keyed ``v``) is the one unavoidable edge-sized exchange, the
+    family's documented two-endpoint-join shape.
 
     Output: one row ``(m, q_num, q_den, modularity_e6)``; NULL
     modularity_e6 for an empty edge set.
     """
     spark = edges.sparkSession
     dec = "decimal(38,0)"
-    und = undirected_edges(edges, src_col, dst_col)
+    und = _canonical_und(edges, src_col, dst_col, pre_partitioned)
     lab = labels.select(
         F.col(node_col).cast("long").alias("__n"), F.col(label_col).alias("__l")
     )
-    blab = F.broadcast(lab) if _broadcast_frontier(spark) else lab
+    bcast = _broadcast_frontier(spark)
+    if not (bcast or pre_partitioned):
+        # cluster path over un-bucketed input: one explicit layout by
+        # u so the first endpoint join moves only the label table
+        und = _co_partition(und, "u")
+    blab = F.broadcast(lab) if bcast else lab
     j = (
         und.join(blab.select(F.col("__n").alias("u"), F.col("__l").alias("__lu")), "u")
         .join(blab.select(F.col("__n").alias("v"), F.col("__l").alias("__lv")), "v")

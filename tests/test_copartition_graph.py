@@ -311,6 +311,7 @@ def test_edge_ops_pre_partitioned_skips_normalizing_distinct(
     from spatialdata_spark.pipeline.graph import (
         graph_stats,
         link_prediction,
+        modularity,
         triangle_count,
         undirected_edges,
     )
@@ -323,10 +324,14 @@ def test_edge_ops_pre_partitioned_skips_normalizing_distinct(
     pre = canon.repartition(n, "u").persist()
     pre.count()
 
+    labels = canon.select(
+        F.col("u").alias("node"), (F.col("u") % 3).alias("label")
+    ).union(canon.select(F.col("v").alias("node"), (F.col("v") % 3).alias("label"))).distinct()
     expected = {
         "tri": _rows(triangle_count(e)),
         "gs": _rows(graph_stats(e)),
         "lp": _rows(link_prediction(e, top_n=20)),
+        "mod": _rows(modularity(e, labels)),
     }
     calls = []
     real = G.undirected_edges
@@ -340,6 +345,10 @@ def test_edge_ops_pre_partitioned_skips_normalizing_distinct(
     assert (
         _rows(link_prediction(pre, top_n=20, src_col="u", dst_col="v", pre_partitioned=True))
         == expected["lp"]
+    )
+    assert (
+        _rows(modularity(pre, labels, src_col="u", dst_col="v", pre_partitioned=True))
+        == expected["mod"]
     )
     assert calls == []  # the ops trusted the caller's canonical input
     pre.unpersist()

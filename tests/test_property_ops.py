@@ -620,3 +620,109 @@ def test_ece_property_perfect_and_bounds(spark, seed):
         per[b] = (n + 1, pos + y, sp + p)
     assert o2["ece_num"] == sum(abs(pos * 10**6 - sp) for _, pos, sp in per.values())
     assert 0.0 <= o2["ece"] <= 1.0
+
+
+@given(seed=st.integers(0, 10**6), n_nodes=st.integers(2, 40), n_edges=st.integers(1, 70))
+@SET
+def test_connected_components_property_matches_union_find(
+    spark, seed, n_nodes, n_edges
+):
+    """Random graphs: the large-star/small-star fixpoint labels every
+    node with its component's minimum id — exactly what a sequential
+    union-find computes.  CC is the transitive-closure backbone of the
+    whole near-dup ladder, so this is the ladder's core correctness
+    property."""
+    from spatialdata_spark.pipeline.dedup import connected_components
+
+    rng = random.Random(seed)
+    edges = sorted(
+        {
+            tuple(sorted((rng.randrange(n_nodes), rng.randrange(n_nodes))))
+            for _ in range(n_edges)
+        }
+    )
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = {v for e in edges for v in e}
+    exp = {}
+    roots = {}
+    for v in sorted(nodes):
+        r = find(v)
+        roots.setdefault(r, v)  # min node id of the component
+        exp[v] = roots[r]
+    assert got == exp
+
+
+@given(seed=st.integers(0, 10**6))
+@SET
+def test_log_odds_property_matches_sequential(spark, seed):
+    """Random two-source corpora: every reported (y_a, y_b, delta, z)
+    matches the sequential +1-Dirichlet replay, the cut is exactly the
+    top-k by (rounded |z|, token), and swapping the groups negates
+    delta and z."""
+    import math
+    from collections import Counter
+
+    from spatialdata_spark.pipeline.textstats import log_odds_tokens
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = []
+    for i in range(40):
+        src = "src0" if i % 2 == 0 else "src1"
+        # skew: even tokens likelier in src0
+        ws = rng.choices(
+            vocab,
+            weights=[(3 if (j % 2 == 0) == (src == "src0") else 1) for j in range(12)],
+            k=rng.randint(3, 10),
+        )
+        rows.append((i, src, " ".join(ws)))
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    got = {r["token"]: r for r in log_odds_tokens(df, min_count=2, top_k=8).collect()}
+
+    ca, cb = Counter(), Counter()
+    for _, s, t in rows:
+        (ca if s == "src0" else cb).update(t.split())
+    na, nb = sum(ca.values()), sum(cb.values())
+    V = len(set(ca) | set(cb))
+    scored = {}
+    for w in set(ca) | set(cb):
+        ya, yb = ca.get(w, 0), cb.get(w, 0)
+        if ya + yb < 2:
+            continue
+        d = math.log((ya + 1) / (na + V - ya - 1)) - math.log(
+            (yb + 1) / (nb + V - yb - 1)
+        )
+        z = d / math.sqrt(1 / (ya + 1) + 1 / (yb + 1))
+        scored[w] = (ya, yb, round(d, 6), round(z, 6))
+    expect_cut = sorted(scored, key=lambda w: (-abs(scored[w][3]), w))[:8]
+    assert sorted(got) == sorted(expect_cut)
+    for w, r in got.items():
+        ya, yb, d6, z6 = scored[w]
+        assert (r["y_a"], r["y_b"]) == (ya, yb)
+        assert abs(r["delta"] - d6) < 1e-9 and abs(r["z"] - z6) < 1e-9
+    # antisymmetry under group swap
+    sw = {
+        r["token"]: r
+        for r in log_odds_tokens(
+            df, group_a="src1", group_b="src0", min_count=2, top_k=8
+        ).collect()
+    }
+    for w in set(got) & set(sw):
+        assert abs(got[w]["z"] + sw[w]["z"]) < 2e-6

@@ -751,6 +751,16 @@ def main(max_mult: int = 8, only: list[str] | None = None) -> None:
                     _copurchase(m), max_degree=32, top_n=100
                 ).count()
             ),
+            # graph_stats' double cover laid out by u once (cluster
+            # path): first degree join moves only the degree table
+            "graph_stats_copart": lambda m=mult: _copart(
+                lambda: graph_stats(_copurchase(m)).collect()
+            ),
+            # modularity's first endpoint label join exchange-free off
+            # the u-partitioned edge layout (cluster path)
+            "modularity_copart": lambda m=mult: _copart(
+                lambda: modularity(_copurchase(m), _brand_labels(m)).collect()
+            ),
             # --- the round-10 operator tail ---
             # one conditional-count aggregation: the flattest shape
             "mcc": lambda: mcc_stats(

@@ -930,7 +930,11 @@ def modularity(
     the first label join reuses the bucket layout edge-side
     exchange-free in the cluster (non-broadcast) path — the second
     (keyed ``v``) is the one unavoidable edge-sized exchange, the
-    family's documented two-endpoint-join shape.
+    family's documented two-endpoint-join shape.  Un-bucketed input
+    gets NO explicit repartition: modularity scans the edges once, so
+    there is no reuse to pay a layout for — the join's own exchange is
+    already minimal (unlike the iterative ops, where the layout
+    amortizes over rounds).
 
     Output: one row ``(m, q_num, q_den, modularity_e6)``; NULL
     modularity_e6 for an empty edge set.
@@ -942,10 +946,6 @@ def modularity(
         F.col(node_col).cast("long").alias("__n"), F.col(label_col).alias("__l")
     )
     bcast = _broadcast_frontier(spark)
-    if not (bcast or pre_partitioned):
-        # cluster path over un-bucketed input: one explicit layout by
-        # u so the first endpoint join moves only the label table
-        und = _co_partition(und, "u")
     blab = F.broadcast(lab) if bcast else lab
     j = (
         und.join(blab.select(F.col("__n").alias("u"), F.col("__l").alias("__lu")), "u")

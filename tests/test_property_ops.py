@@ -659,13 +659,10 @@ def test_connected_components_property_matches_union_find(
         ra, rb = find(a), find(b)
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
-    nodes = {v for e in edges for v in e}
-    exp = {}
-    roots = {}
-    for v in sorted(nodes):
-        r = find(v)
-        roots.setdefault(r, v)  # min node id of the component
-        exp[v] = roots[r]
+    # union-by-min keeps every root at its component's minimum id, so
+    # find(v) IS the expected label (same oracle as the fixed-graph
+    # test in test_pipeline_ops)
+    exp = {v: find(v) for e in edges for v in e}
     assert got == exp
 
 

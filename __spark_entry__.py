@@ -10541,6 +10541,41 @@ FROM do_ CROSS JOIN de
 """
 
 
+def st_ewma(spark, sf_dir):
+    """Exact dyadic EWMA (alpha=1/2, 40-lag truncation) of daily event
+    volume — the smoothed alerting level, emitted as exact int64
+    microunits (NO floating point in the contract: the unrolled
+    recursion is pure powers of two, so both engines compute identical
+    integers)."""
+    from spatialdata_spark.operators.temporal import ewma_daily
+
+    return ewma_daily(_read(spark, sf_dir, "events"))
+
+
+ST_EWMA_SQL = r"""
+WITH daily AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+), idx AS (
+  SELECT day, n_events,
+         CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i
+  FROM daily
+), pairs AS (
+  SELECT a.day, a.n_events,
+         SUM(CAST(b.n_events AS HUGEINT)
+             * (CAST(1 AS BIGINT) << CAST(40 - (a.i - b.i) - 1 AS INT)))
+           AS num
+  FROM idx a JOIN idx b ON b.i <= a.i AND b.i > a.i - 40
+  GROUP BY 1, 2
+)
+SELECT day, n_events,
+       CAST((num * 1000000 + 549755813888) // 1099511627776 AS BIGINT)
+         AS ewma_e6
+FROM pairs ORDER BY day
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order matters: the correctness driver oracles the FIRST 50
     # entries, and a key's position is set by its FIRST occurrence (the
@@ -10570,6 +10605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pl_dup_profile": pl_dup_profile,
         "pl_ks_matrix": pl_ks_matrix,
         "pl_kripp": pl_kripp,
+        "st_ewma": st_ewma,
         # --- (2) code/oracle modified this round ---
         "pl_modularity": pl_modularity,
         "pl_triangles": pl_triangles,
@@ -10609,10 +10645,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pl_frame_sample": pl_frame_sample,
         "pl_ivf_exact": pl_ivf_exact,
         "pl_ivf_probe": pl_ivf_probe,
-        "pl_knn_cosine": pl_knn_cosine,
-        # (pl_language_id / pl_lsh_topk / pl_minhash_cc /
-        # pl_minhash_expr / pl_multimodal_features / pl_ngram_jaccard /
-        # pl_quality_score yield their backfill slots to the seven
+        # (pl_knn_cosine / pl_language_id / pl_lsh_topk / pl_minhash_cc
+        # / pl_minhash_expr / pl_multimodal_features / pl_ngram_jaccard
+        # / pl_quality_score yield their backfill slots to the eight
         # late-r10 queries; they keep their tail positions below)
         # ===== round-10 driver head ends here (first 50) =====
         # --- round-9 head (keys keep first-occurrence position) ---
@@ -10948,6 +10983,7 @@ def oracle_sql() -> dict[str, str]:
         "pl_dup_profile": PL_DUP_PROFILE_SQL,
         "pl_ks_matrix": PL_KS_MATRIX_SQL,
         "pl_kripp": _kripp_sql(),
+        "st_ewma": ST_EWMA_SQL,
         # --- round 8 ---
         "pl_zipf_slope": PL_ZIPF_SLOPE_SQL,
         "pl_distinct_ngrams": PL_DISTINCT_NGRAMS_SQL,

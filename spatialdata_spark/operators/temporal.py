@@ -597,3 +597,76 @@ def cusum_drift(
         )
         .orderBy("day")
     )
+
+
+def ewma_daily(
+    events: DataFrame,
+    ts_col: str = "ts",
+    max_lag: int = 40,
+) -> DataFrame:
+    """EXACT exponentially-weighted moving average of daily event
+    volume — the smoothed-rate companion of :func:`cusum_drift`
+    (CUSUM finds the change point; EWMA is the live smoothed level an
+    alerting threshold compares against).
+
+    THE DYADIC CONTRACT: with ``alpha = 1/2`` (this operator's fixed
+    smoothing — the classic "half yesterday's estimate plus half
+    today") and zero initialization, the textbook recursion
+    ``E_i = (1-a) E_{i-1} + a n_i`` unrolls to pure powers of two::
+
+        E_i = sum_{j <= i} n_j * 2^-(i-j+1)
+
+    Truncating lags beyond ``max_lag`` (weights < 2^-40 ~ 1e-12 —
+    far below any count's significance) makes the whole statistic an
+    exact INTEGER rational with denominator ``2^max_lag``::
+
+        num_i  = sum_{i-max_lag < j <= i} n_j << (max_lag - (i-j) - 1)
+        ewma_e6 = round_half_up(num_i * 10^6 / 2^max_lag)
+
+    so the output is exact int64 microunits — NO floating point in
+    the contract at all (the repo's modularity_e6 convention; a
+    float ``pow(0.5, k)`` chain would ride libm differences and
+    order-dependent summation).  ``num_i`` is DECIMAL(38,0) inside
+    (counts x 2^39 clears int64), BIGINT never emitted raw.
+
+    Plan: one day-keyed count (the only corpus-sized work), a
+    row-number index over the DAY-CALENDAR-sized table, then the lag
+    pair join runs on that tiny table (days x max_lag pairs).  NULL
+    timestamps dropped (the cusum_drift convention).
+
+    Output: one row per day ``(day, n_events, ewma_e6)`` ordered by
+    day; consumers wanting the float divide by 1e6.
+    """
+    from pyspark.sql.window import Window
+
+    dec = "decimal(38,0)"
+    k = int(max_lag)
+    daily = (
+        events.filter(F.col(ts_col).isNotNull())
+        .groupBy(
+            F.date_format(F.date_trunc("day", F.col(ts_col)), "yyyy-MM-dd").alias(
+                "day"
+            )
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    idx = daily.withColumn(
+        "__i", F.row_number().over(Window.orderBy("day")).cast("long")
+    )
+    a = idx.select(F.col("day"), F.col("n_events"), F.col("__i"))
+    b = idx.select(
+        F.col("__i").alias("__j"), F.col("n_events").alias("__nj")
+    )
+    pairs = a.join(
+        F.broadcast(b),
+        (F.col("__j") <= F.col("__i")) & (F.col("__j") > F.col("__i") - k),
+    )
+    w = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({k} - (__i - __j) - 1 AS INT))")
+    num = F.sum((F.col("__nj") * w).cast(dec))
+    agg = pairs.groupBy("day", "n_events").agg(num.alias("__num"))
+    half = 1 << (k - 1)
+    den = 1 << k
+    me6 = F.expr(
+        f"CAST((__num * CAST(1000000 AS DECIMAL(38,0)) + {half}) div {den} AS BIGINT)"
+    )
+    return agg.select("day", "n_events", me6.alias("ewma_e6")).orderBy("day")

@@ -5544,3 +5544,50 @@ def test_krippendorff_alpha_matches_fractions(spark):
     )
     out2 = krippendorff_alpha(plus_single).collect()[0]
     assert out2["n"] == n and out2["alpha"] == out["alpha"]
+
+
+def test_ewma_daily_matches_python_exactly(spark):
+    from fractions import Fraction
+
+    from spatialdata_spark.operators.temporal import ewma_daily
+
+    # 12 days with a level shift: the EWMA ramps toward the new level
+    counts = [10, 12, 11, 9, 10, 11, 40, 42, 41, 39, 40, 38]
+    rows = []
+    eid = 0
+    for d, n in enumerate(counts, start=1):
+        for _ in range(n):
+            rows.append((eid, f"2024-02-{d:02d} 08:00:00"))
+            eid += 1
+    df = spark.createDataFrame(rows, ["event_id", "ts_s"]).select(
+        "event_id", F.to_timestamp("ts_s").alias("ts")
+    )
+    out = {r["day"]: r for r in ewma_daily(df).collect()}
+
+    # exact rational replay: E_i = sum n_j * 2^-(i-j+1), half-up e6
+    for i in range(1, len(counts) + 1):
+        e = sum(
+            Fraction(counts[j - 1], 2 ** (i - j + 1))
+            for j in range(max(1, i - 39), i + 1)
+        )
+        me6_exact = e * 10**6
+        exp = (me6_exact.numerator * 2 + me6_exact.denominator) // (
+            2 * me6_exact.denominator
+        )
+        day = f"2024-02-{i:02d}"
+        assert out[day]["n_events"] == counts[i - 1]
+        assert out[day]["ewma_e6"] == exp
+    # the smoothed level lags the raw shift: day 7's ewma is well
+    # below the new raw level but above the old one
+    assert 10 * 10**6 < out["2024-02-07"]["ewma_e6"] < 40 * 10**6
+    # steady state approaches the level: last day within 2 of raw
+    assert abs(out["2024-02-12"]["ewma_e6"] / 1e6 - 38) < 3
+    # output schema is integer-only (the modularity_e6 convention)
+    from pyspark.sql.types import DecimalType, DoubleType
+
+    bad = [
+        f.name
+        for f in ewma_daily(df).schema.fields
+        if isinstance(f.dataType, (DecimalType, DoubleType))
+    ]
+    assert not bad, bad

@@ -123,6 +123,7 @@ GUARDED = [
     "pl_dup_profile",
     "pl_ks_matrix",
     "pl_kripp",
+    "st_ewma",
 ]
 
 # The sanctioned shuffle-join allowance: {query: max sort-merge +
@@ -217,6 +218,7 @@ EXPRESSION_ONLY = [
     "pl_dup_profile",
     "pl_ks_matrix",
     "pl_kripp",
+    "st_ewma",
 ]
 
 

@@ -119,7 +119,7 @@ def main(max_mult: int = 8, only: list[str] | None = None) -> None:
         duplication_profile,
     )
     from spatialdata_spark.pipeline.similarity import centroid_cosine
-    from spatialdata_spark.operators.temporal import cusum_drift
+    from spatialdata_spark.operators.temporal import cusum_drift, ewma_daily
     from spatialdata_spark.pipeline.textstats import (
         benford_deviation,
         chi2_tokens,
@@ -796,6 +796,9 @@ def main(max_mult: int = 8, only: list[str] | None = None) -> None:
             "token_gini": lambda: token_gini(docs).collect(),
             # day-calendar-sized after one count — flat
             "cusum": lambda: cusum_drift(ev).collect(),
+            # same shape: day-keyed count then lag pairs on the tiny
+            # calendar table — flat
+            "ewma": lambda: ewma_daily(ev).collect(),
             # CC over m disjoint strong-copurchase islands: per-round
             # edge work linear, rounds ~ O(log component-diameter)
             "wcc": lambda m=mult: connected_components(

@@ -10553,10 +10553,19 @@ def st_ewma(spark, sf_dir):
 
 
 ST_EWMA_SQL = r"""
-WITH daily AS (
+WITH counts AS (
   SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
          CAST(COUNT(*) AS BIGINT) AS n_events
   FROM events WHERE ts IS NOT NULL GROUP BY 1
+), calendar AS (
+  SELECT strftime(CAST(unnest(generate_series(
+           CAST((SELECT MIN(day) FROM counts) AS DATE),
+           CAST((SELECT MAX(day) FROM counts) AS DATE),
+           INTERVAL 1 DAY)) AS DATE), '%Y-%m-%d') AS day
+), daily AS (
+  -- zero-event days densified in: the level must DECAY through gaps
+  SELECT calendar.day, COALESCE(counts.n_events, 0) AS n_events
+  FROM calendar LEFT JOIN counts USING (day)
 ), idx AS (
   SELECT day, n_events,
          CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i

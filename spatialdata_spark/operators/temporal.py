@@ -525,6 +525,22 @@ def cramers_v_drift(
     )
 
 
+def _daily_event_counts(events: DataFrame, ts_col: str) -> DataFrame:
+    """Shared day-bucketing convention for the daily monitors
+    (cusum_drift / ewma_daily): yyyy-MM-dd string day keys, exact
+    int64 counts, NULL timestamps dropped (a NULL day is not a
+    calendar position)."""
+    return (
+        events.filter(F.col(ts_col).isNotNull())
+        .groupBy(
+            F.date_format(F.date_trunc("day", F.col(ts_col)), "yyyy-MM-dd").alias(
+                "day"
+            )
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+
+
 def cusum_drift(
     events: DataFrame,
     ts_col: str = "ts",
@@ -561,15 +577,7 @@ def cusum_drift(
     """
     from pyspark.sql.window import Window
 
-    daily = (
-        events.filter(F.col(ts_col).isNotNull())
-        .groupBy(
-            F.date_format(F.date_trunc("day", F.col(ts_col)), "yyyy-MM-dd").alias(
-                "day"
-            )
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
-    )
+    daily = _daily_event_counts(events, ts_col)
     tot = daily.agg(
         F.sum("n_events").cast("long").alias("__n"),
         F.count(F.lit(1)).cast("long").alias("__d"),
@@ -626,29 +634,53 @@ def ewma_daily(
     so the output is exact int64 microunits — NO floating point in
     the contract at all (the repo's modularity_e6 convention; a
     float ``pow(0.5, k)`` chain would ride libm differences and
-    order-dependent summation).  ``num_i`` is DECIMAL(38,0) inside
-    (counts x 2^39 clears int64), BIGINT never emitted raw.
+    order-dependent summation).  Each ``n_j * 2^w`` product multiplies
+    in DECIMAL(38,0) — a BIGINT product would silently wrap past
+    ~2^24 events/day at the default lag depth.
 
-    Plan: one day-keyed count (the only corpus-sized work), a
-    row-number index over the DAY-CALENDAR-sized table, then the lag
-    pair join runs on that tiny table (days x max_lag pairs).  NULL
-    timestamps dropped (the cusum_drift convention).
+    CALENDAR SEMANTICS: the index runs over every calendar day in
+    ``[min_day, max_day]`` — zero-event days are densified in, so the
+    smoothed level DECAYS through an outage exactly as the daily
+    recursion says (a has-events-only index would report yesterday's
+    level as "live" right after a gap — the worst moment to
+    overstate it).  Zero-event days appear in the output with
+    ``n_events = 0``.
 
-    Output: one row per day ``(day, n_events, ewma_e6)`` ordered by
-    day; consumers wanting the float divide by 1e6.
+    ``max_lag`` must be in [1, 62]: Spark's shiftleft wraps its shift
+    count mod 64 (silently wrong weights), so the bound is validated
+    loudly driver-side.
+
+    Plan: one day-keyed count (the only corpus-sized work), the
+    calendar densify + row-number index over the DAY-CALENDAR-sized
+    table, then the lag pair join runs on that tiny table
+    (days x max_lag pairs).  NULL timestamps dropped (the
+    cusum_drift convention).
+
+    Output: one row per calendar day ``(day, n_events, ewma_e6)``
+    ordered by day; consumers wanting the float divide by 1e6.
     """
     from pyspark.sql.window import Window
 
     dec = "decimal(38,0)"
     k = int(max_lag)
-    daily = (
-        events.filter(F.col(ts_col).isNotNull())
-        .groupBy(
-            F.date_format(F.date_trunc("day", F.col(ts_col)), "yyyy-MM-dd").alias(
-                "day"
-            )
+    if not (1 <= k <= 62):
+        raise ValueError(
+            f"ewma_daily: max_lag must be in [1, 62] (got {k}) — Spark's"
+            " shiftleft wraps shift counts mod 64, which would produce"
+            " silently wrong weights"
         )
-        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    counts = _daily_event_counts(events, ts_col)
+    # densify to the full calendar: zero-event days must decay the level
+    span = counts.agg(
+        F.min("day").alias("__d0"), F.max("day").alias("__d1")
+    )
+    calendar = span.select(
+        F.explode(
+            F.sequence(F.to_date("__d0"), F.to_date("__d1"))
+        ).alias("__date")
+    ).select(F.date_format("__date", "yyyy-MM-dd").alias("day"))
+    daily = calendar.join(counts, "day", "left").select(
+        "day", F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events")
     )
     idx = daily.withColumn(
         "__i", F.row_number().over(Window.orderBy("day")).cast("long")
@@ -662,7 +694,8 @@ def ewma_daily(
         (F.col("__j") <= F.col("__i")) & (F.col("__j") > F.col("__i") - k),
     )
     w = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({k} - (__i - __j) - 1 AS INT))")
-    num = F.sum((F.col("__nj") * w).cast(dec))
+    # multiply in DECIMAL: BIGINT n_j * 2^(k-1) wraps past ~2^24/day
+    num = F.sum(F.col("__nj").cast(dec) * w.cast(dec))
     agg = pairs.groupBy("day", "n_events").agg(num.alias("__num"))
     half = 1 << (k - 1)
     den = 1 << k

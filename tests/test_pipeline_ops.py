@@ -5547,24 +5547,41 @@ def test_krippendorff_alpha_matches_fractions(spark):
 
 
 def test_ewma_daily_matches_python_exactly(spark):
+    import datetime
     from fractions import Fraction
 
     from spatialdata_spark.operators.temporal import ewma_daily
 
-    # 12 days with a level shift: the EWMA ramps toward the new level
-    counts = [10, 12, 11, 9, 10, 11, 40, 42, 41, 39, 40, 38]
+    import pytest
+
+    # 50 calendar days (so the 40-lag truncation genuinely fires):
+    # a level shift at day 7, a 5-day OUTAGE at days 20-24 (the level
+    # must decay through the gap), then steady state
+    counts = (
+        [10, 12, 11, 9, 10, 11]
+        + [40, 42, 41, 39, 40, 38, 41]
+        + [40] * 6
+        + [0] * 5  # outage: no events at all
+        + [40] * 26
+    )
+    assert len(counts) == 50
+    day0 = datetime.date(2024, 2, 1)
     rows = []
     eid = 0
-    for d, n in enumerate(counts, start=1):
+    for d, n in enumerate(counts):
+        day = day0 + datetime.timedelta(days=d)
         for _ in range(n):
-            rows.append((eid, f"2024-02-{d:02d} 08:00:00"))
+            rows.append((eid, f"{day.isoformat()} 08:00:00"))
             eid += 1
     df = spark.createDataFrame(rows, ["event_id", "ts_s"]).select(
         "event_id", F.to_timestamp("ts_s").alias("ts")
     )
     out = {r["day"]: r for r in ewma_daily(df).collect()}
+    # zero-event days are DENSIFIED into the output
+    assert len(out) == 50
 
-    # exact rational replay: E_i = sum n_j * 2^-(i-j+1), half-up e6
+    # exact rational replay with the 40-lag truncation: E_i =
+    # sum_{i-40 < j <= i} n_j * 2^-(i-j+1), half-up e6
     for i in range(1, len(counts) + 1):
         e = sum(
             Fraction(counts[j - 1], 2 ** (i - j + 1))
@@ -5574,14 +5591,18 @@ def test_ewma_daily_matches_python_exactly(spark):
         exp = (me6_exact.numerator * 2 + me6_exact.denominator) // (
             2 * me6_exact.denominator
         )
-        day = f"2024-02-{i:02d}"
+        day = (day0 + datetime.timedelta(days=i - 1)).isoformat()
         assert out[day]["n_events"] == counts[i - 1]
         assert out[day]["ewma_e6"] == exp
-    # the smoothed level lags the raw shift: day 7's ewma is well
-    # below the new raw level but above the old one
+    # the smoothed level lags the raw shift: day 7's ewma sits between
+    # the old and new raw levels
     assert 10 * 10**6 < out["2024-02-07"]["ewma_e6"] < 40 * 10**6
-    # steady state approaches the level: last day within 2 of raw
-    assert abs(out["2024-02-12"]["ewma_e6"] / 1e6 - 38) < 3
+    # the outage DECAYS the level: by the gap's last day it is far
+    # below the pre-outage level (5 halvings ~ 3% left)
+    assert out["2024-02-24"]["ewma_e6"] < 2 * 10**6
+    # steady state approaches the raw level (sum of the geometric
+    # tail: within 1 of 40 after 26 steady days)
+    assert abs(out["2024-03-21"]["ewma_e6"] / 1e6 - 40) < 1
     # output schema is integer-only (the modularity_e6 convention)
     from pyspark.sql.types import DecimalType, DoubleType
 
@@ -5591,3 +5612,7 @@ def test_ewma_daily_matches_python_exactly(spark):
         if isinstance(f.dataType, (DecimalType, DoubleType))
     ]
     assert not bad, bad
+    # shiftleft wraps its shift count mod 64 — out-of-range lag depths
+    # must fail loudly, not produce garbage weights
+    with pytest.raises(ValueError, match="max_lag"):
+        ewma_daily(df, max_lag=64)

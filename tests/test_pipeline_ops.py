@@ -5616,3 +5616,69 @@ def test_ewma_daily_matches_python_exactly(spark):
     # must fail loudly, not produce garbage weights
     with pytest.raises(ValueError, match="max_lag"):
         ewma_daily(df, max_lag=64)
+
+
+def test_assoc_rules_matches_python(spark, tmp_path):
+    """Market-basket support/confidence/lift over planted baskets:
+    exact counts and ratios vs a sequential replay, deterministic
+    top-k cut."""
+    import itertools
+    from collections import Counter
+
+    import __spark_entry__ as entrymod
+
+    baskets = {
+        1: [10, 20, 30],
+        2: [10, 20],
+        3: [10, 20, 40],
+        4: [20, 30],
+        5: [10, 40],
+        6: [50],
+    }
+    rows = [
+        (o, 1 + i, p, 1.0, 1.0, "N", "O", "1996-01-01")
+        for o, parts in baskets.items()
+        for i, p in enumerate(parts)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        [
+            "l_orderkey",
+            "l_linenumber",
+            "l_partkey",
+            "l_quantity",
+            "l_extendedprice",
+            "l_returnflag",
+            "l_linestatus",
+            "l_shipdate",
+        ],
+    )
+    sf = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(sf, exist_ok=True)
+    df.write.mode("overwrite").parquet(f"{sf}/lineitem.parquet")
+    out = [
+        (r["ante"], r["cons"], r["pair_n"], r["support"], r["confidence"], r["lift"])
+        for r in entrymod.q_assoc_rules(spark, sf).collect()
+    ]
+
+    n_orders = len(baskets)
+    item = Counter(p for parts in baskets.values() for p in set(parts))
+    pair = Counter(
+        (a, b)
+        for parts in baskets.values()
+        for a, b in itertools.permutations(set(parts), 2)
+    )
+    exp = sorted(
+        (
+            (a, b, n, round(n / n_orders, 6), round(n / item[a], 6),
+             round(n * n_orders / (item[a] * item[b]), 6))
+            for (a, b), n in pair.items()
+        ),
+        key=lambda t: (-t[2], t[0], t[1]),
+    )[:20]
+    assert out == exp
+    # sanity on a known rule: 10 and 20 co-occur in 3 of 6 orders
+    got = {(a, b): (s, c, l) for a, b, n, s, c, l in out}
+    assert got[(10, 20)] == (0.5, 0.75, 1.125)

@@ -124,6 +124,7 @@ GUARDED = [
     "pl_ks_matrix",
     "pl_kripp",
     "st_ewma",
+    "q_assoc_rules",
 ]
 
 # The sanctioned shuffle-join allowance: {query: max sort-merge +

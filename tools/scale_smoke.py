@@ -197,6 +197,24 @@ def main(max_mult: int = 8, only: list[str] | None = None) -> None:
             und.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
         )
 
+    def _assoc_m(m):
+        # replicated baskets (disjoint key spaces per copy): pair and
+        # item tables grow x mult, fan-out per order constant
+        import tempfile
+
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        r = replicate(
+            li.select(
+                "l_orderkey", "l_linenumber", "l_partkey", "l_quantity",
+                "l_extendedprice", "l_returnflag", "l_linestatus", "l_shipdate",
+            ),
+            m,
+            ["l_orderkey", "l_partkey"],
+        )
+        base = tempfile.mkdtemp(prefix="smoke_assoc_")
+        r.write.mode("overwrite").parquet(f"{base}/lineitem.parquet")
+        return entrymod.q_assoc_rules(spark, base).count()
+
     def _copurchase_strong(m):
         # parts sharing >= 2 orders, per-copy disjoint key spaces: the
         # thresholded multi-component graph pl_wcc runs on
@@ -799,6 +817,11 @@ def main(max_mult: int = 8, only: list[str] | None = None) -> None:
             # same shape: day-keyed count then lag pairs on the tiny
             # calendar table — flat
             "ewma": lambda: ewma_daily(ev).collect(),
+            # order-key equi-join pair generation (<= 7 lines/order,
+            # constant fan-out) + item-sized broadcast join-backs
+            "assoc_rules": lambda m=mult: entrymod.q_assoc_rules(
+                spark, SF_DIR
+            ).count() if m == 1 else _assoc_m(m),
             # CC over m disjoint strong-copurchase islands: per-round
             # edge work linear, rounds ~ O(log component-diameter)
             "wcc": lambda m=mult: connected_components(

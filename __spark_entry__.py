@@ -7734,11 +7734,21 @@ def _copurchase_edges(spark, sf_dir):
     table).  Pair generation is an equi-join on the order key — never
     all-pairs; TPC-H orders hold ≤7 lines, so the within-order pair
     fan-out is constant-bounded (the group-size contract stated where
-    this repo generates within-group pairs)."""
+    this repo generates within-group pairs).
+
+    The distinct (order, part) projection is persisted: both self-join
+    sides consume it, and without the persist each side recomputes the
+    lineitem scan + distinct (the q_assoc_rules audit pattern)."""
+    from pyspark import StorageLevel
+
     li = _read(spark, sf_dir, "lineitem")
-    op = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").cast("long").alias("p")
-    ).distinct()
+    op = (
+        li.select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").cast("long").alias("p")
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     a, b = op.alias("a"), op.alias("b")
     return a.join(
         b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p"))
@@ -8309,12 +8319,21 @@ def pl_ppr_seeds(spark, sf_dir):
     (the natural co-purchase strength).  Fixed-point integer floor
     arithmetic end-to-end — rank splits (rank·w)//W_u, teleport lands
     only on the seeds — so 2 unrolled iterations replay bit-exactly."""
+    from pyspark import StorageLevel
+
     from spatialdata_spark.pipeline.graph import pagerank_weighted
 
     li = _read(spark, sf_dir, "lineitem")
-    op = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").cast("long").alias("p")
-    ).distinct()
+    # persisted: the op self-join feeds BOTH arms of the und union, so
+    # an unpersisted distinct would recompute the lineitem scan 4x
+    # before pagerank_weighted's internal edge persist materializes
+    op = (
+        li.select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").cast("long").alias("p")
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     a, b = op.alias("a"), op.alias("b")
     und = (
         a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
@@ -10249,12 +10268,20 @@ def pl_wcc(spark, sf_dir):
     recursive CTE.  Thresholding keeps the graph genuinely
     multi-component (the unthresholded projection is one giant
     blob)."""
+    from pyspark import StorageLevel
+
     from spatialdata_spark.pipeline.dedup import connected_components
 
     li = _read(spark, sf_dir, "lineitem")
-    op = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").cast("long").alias("p")
-    ).distinct()
+    # persisted: both self-join sides read the distinct projection
+    # (the q_assoc_rules audit pattern)
+    op = (
+        li.select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").cast("long").alias("p")
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     a, b = op.alias("a"), op.alias("b")
     strong = (
         a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
@@ -10594,10 +10621,21 @@ def q_assoc_rules(spark, sf_dir):
     lines), cross-multiplied DECIMAL lift so the ranking is exact,
     ratios one division each, 6 dp.  Top-20 by (pair_count DESC, a,
     b) — a total order."""
+    from pyspark import StorageLevel
+
     li = _read(spark, sf_dir, "lineitem")
-    op = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").cast("long").alias("p")
-    ).distinct()
+    # persist the distinct (order, part) projection: FOUR consumers
+    # read it (the order count, the item-frequency table, both self-
+    # join sides) and without a persist each one recomputes the
+    # lineitem scan + distinct — the minhash band-table precedent
+    # (basket-bounded rows, MEMORY_AND_DISK, LRU-reclaimed)
+    op = (
+        li.select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").cast("long").alias("p")
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     n_orders = op.select("o").distinct().count()
     item = op.groupBy(F.col("p")).agg(F.count(F.lit(1)).cast("long").alias("__np"))
     a, b = op.alias("a"), op.alias("b")

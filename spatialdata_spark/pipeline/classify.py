@@ -22,6 +22,7 @@ contract:
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -230,9 +231,18 @@ def _approx_rank_bins(b: DataFrame, n_bins: int, descending: bool):
     ``b`` must carry the score as ``__s`` (NULLs already dropped).
     Returns the bin Column (1-based; bin 1 = highest scores when
     ``descending``).
+
+    The scored lineage is persisted BEFORE the edge aggregation so the
+    edge sketch and the subsequent bin assignment read ONE evaluation
+    of ``b`` — a nondeterministic upstream (``sample()``, an uncached
+    shuffle re-read after executor loss) would otherwise bin rows
+    against edges computed from a different draw.  Same LRU contract
+    as the minhash band-table persist: (id, score, label)-sized rows,
+    MEMORY_AND_DISK, reclaimed after the query.
     """
     nb = int(n_bins)
     qs = [k / nb for k in range(1, nb)]
+    b = b.persist(StorageLevel.MEMORY_AND_DISK)
     edges = b.agg(
         F.percentile_approx("__s", qs, 10_000).alias("__e")
     ).first()["__e"]
@@ -1061,7 +1071,12 @@ def expected_calibration_error(
     So ``ece_num = sum_k |pos_k*scale - sum_p_k|`` is an order-free
     int64 sum (DECIMAL inside, BIGINT out) and ``ece`` is ONE division,
     6 dp.  Bin = ``least(n_bins-1, p*n_bins div scale)`` — equal width,
-    closed form, no sort anywhere.  NULL prob/label rows are DROPPED.
+    closed form, no sort anywhere.  NULL prob/label rows are DROPPED;
+    a probability OUTSIDE ``[0, scale]`` raises loudly (the module's
+    ks_2sample/token_gini convention) — a negative ``p_e6`` would
+    otherwise mint a phantom negative bin and an over-scale one would
+    clamp silently into the top bin, both corrupting ``n_bins_used``
+    and ``ece_num`` without a trace.
 
     Plan: one map-side-combinable aggregation to the n_bins-sized
     table, one 1-row rollup — the flattest shape in the family.
@@ -1071,7 +1086,21 @@ def expected_calibration_error(
     dec = "decimal(38,0)"
     sc = int(scale)
     nb = int(n_bins)
-    p = F.col(prob_col).cast("long")
+    p_raw = F.col(prob_col).cast("long")
+    # NULL passes through (dropped by the filter below); only a
+    # NON-NULL out-of-range probability raises
+    p = (
+        F.when(p_raw.isNull(), F.lit(None).cast("long"))
+        .when((p_raw >= 0) & (p_raw <= sc), p_raw)
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"expected_calibration_error: {prob_col} outside [0, {sc}]: "),
+                    p_raw.cast("string"),
+                )
+            )
+        )
+    )
     y = F.col(label_col).cast("long")
     base = scored.filter(p.isNotNull() & y.isNotNull()).select(
         # integer `div` keeps the bin edge exact (a double `/` could

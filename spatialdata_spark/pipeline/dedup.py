@@ -1475,6 +1475,14 @@ def duplication_profile(
     internal boilerplate), and the exact-count ratio ``dup_rate``,
     6 dp.
 
+    NULL-text convention (explicit, like :func:`exact_dedup`'s): a
+    NULL text has no digest — ``md5(NULL)`` is NULL and the digest
+    join drops NULL keys on both engines — so NULL-text docs are
+    EXCLUDED from ``n_docs`` and every count here.  A NULL text
+    carries no duplication signal; callers profiling corpora with
+    NULL-text rows should count them separately (they are a data-
+    quality problem, not a duplication one).
+
     Plan: one digest-keyed aggregation carrying per-digest total and
     distinct-group counts (map-side combinable; digest-cardinality-
     sized), one broadcast-friendly join back onto the doc->digest

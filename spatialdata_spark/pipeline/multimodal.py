@@ -128,7 +128,7 @@ def image_dhash(media: DataFrame) -> DataFrame:
         ]
     )
 
-    def _hash(arr: np.ndarray) -> int:
+    def _hash(arr: np.ndarray, media_id: int) -> int:
         if arr.ndim == 3:
             if arr.shape[-1] >= 3:
                 # slice to the COLOR channels: RGBA's alpha plane must
@@ -141,9 +141,11 @@ def image_dhash(media: DataFrame) -> DataFrame:
             gray = arr.astype(np.int64)
         h, w = gray.shape
         if (w - 1) * h > 63:
+            # name the offending row: on a large corpus the executor
+            # stack trace is the only triage surface
             raise ValueError(
-                f"image_dhash: {h}x{w} needs {(w - 1) * h} bits > 63 — "
-                "resize_images down first"
+                f"image_dhash: media_id={media_id}: {h}x{w} needs "
+                f"{(w - 1) * h} bits > 63 — resize_images down first"
             )
         bits = (gray[:, 1:] > gray[:, :-1]).flatten()
         return int(sum(int(b) << i for i, b in enumerate(bits)))
@@ -168,7 +170,7 @@ def image_dhash(media: DataFrame) -> DataFrame:
                     hashes.append(int.from_bytes(digest[:8], "big") >> 1)
                     ok.append(False)
                 else:
-                    hashes.append(_hash(arr))
+                    hashes.append(_hash(arr, int(media_id)))
                     ok.append(True)
             yield pd.DataFrame({"media_id": ids, "dhash": hashes, "decode_ok": ok})
 

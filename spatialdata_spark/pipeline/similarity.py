@@ -714,6 +714,16 @@ def centroid_cosine(
 
     Output: ``(label_a, label_b, dot_num, cos)`` for ``a < b`` pairs,
     with ``dot_num`` the exact int64 sum-vector dot product.
+
+    ``dot_num`` int64 fit bound (the modularity-``q_den`` convention):
+    the sum-vector dot is at most ``dims * (n_g * q * max|x|)^2``, so
+    with unit-normalized components (|x| <= 1) it fits int64 while
+    ``n_g * q * sqrt(dims) < 3e9`` — e.g. q=100, dims=64 → ~3.8M rows
+    per group.  Past that, Spark's non-ANSI DECIMAL→BIGINT cast would
+    NULL silently while DuckDB's HUGEINT→BIGINT errors — a cross-
+    engine divergence — so callers at that scale should read ``cos``
+    (computed from the uncast DECIMAL) and ignore ``dot_num``, or
+    lower ``q``.
     """
     dec = "decimal(38,0)"
     longv = embeddings.select(

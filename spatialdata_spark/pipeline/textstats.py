@@ -2229,6 +2229,8 @@ def ks_matrix(
     docs: DataFrame,
     value_col: str = "n_chars",
     group_col: str = "source",
+    approx: bool = False,
+    n_bins: int = 256,
 ) -> DataFrame:
     """EXACT pairwise two-sample KS statistic between EVERY pair of
     groups — the full drift MATRIX :func:`ks_2sample` gives one cell
@@ -2252,15 +2254,55 @@ def ks_matrix(
 
     Output: ``(group_a, group_b, n_a, n_b, ks_num, ks_den, ks_stat)``
     for ``group_a < group_b``, ks_stat 9 dp.
+
+    The exact grid is the value DOMAIN — fine for integer metadata
+    columns (doc lengths x tens of sources, the registry framing) but
+    corpus-distinct-sized for a continuous/high-cardinality column,
+    where the broadcast densify and the one-partition-per-group
+    cumulative window stop being metadata work.  ``approx=True`` IS
+    the at-extreme-scale swap (the calibration/lift/pr_curve
+    precedent): ``approx_percentile`` computes ``n_bins - 1`` edge
+    values in ONE map-side-combinable GK-sketch scan (accuracy
+    1/10000), every value folds onto its bin with one array-HOF
+    comparison sweep (no n_bins-term expression ladder, no sort), and
+    the SAME exact machinery runs on the n_bins-bounded grid.
+    Semantics shift, documented: the statistic becomes the KS distance
+    between the BINNED ECDFs — the max is taken at bin edges only, so
+    ``ks_stat`` is a lower bound of the exact value that converges as
+    bins refine; ``ks_num/ks_den`` stay exact integers FOR the binned
+    distributions.  Like the sketch-edge modes elsewhere, approx mode
+    reads the input twice (edge scan + count scan) instead of
+    persisting a corpus-sized lineage, so it assumes a deterministic
+    input (a source table, not an uncached ``sample()``).
     """
     from pyspark.sql.window import Window
 
     v = F.col(value_col)
-    counts = (
-        docs.filter(v.isNotNull() & F.col(group_col).isNotNull())
-        .groupBy(F.col(group_col).alias("__g"), v.alias("val"))
-        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
-    )
+    filtered = docs.filter(v.isNotNull() & F.col(group_col).isNotNull())
+    if approx:
+        nb = int(n_bins)
+        qs = [k / nb for k in range(1, nb)]
+        edges = (
+            filtered.agg(
+                F.percentile_approx(v.cast("double"), qs, 10_000).alias("__e")
+            ).first()["__e"]
+            or []
+        )
+        # dedupe (heavy ties repeat edges; a repeated edge is a no-op
+        # bin) while preserving sorted order
+        edges = sorted(set(float(e) for e in edges))
+        # bin = 1 + sum_e [v > e]: one aggregate over the edge-array
+        # literal — expression size independent of n_bins
+        val_expr = F.aggregate(
+            F.array(*[F.lit(e) for e in edges]),
+            F.lit(1).cast("long"),
+            lambda acc, e: acc + F.when(v.cast("double") > e, 1).otherwise(0),
+        )
+    else:
+        val_expr = v
+    counts = filtered.groupBy(
+        F.col(group_col).alias("__g"), val_expr.alias("val")
+    ).agg(F.count(F.lit(1)).cast("long").alias("__c"))
     grid = counts.select("val").distinct()
     groups = counts.select("__g").distinct()
     # every table from here on is (value domain x groups)-sized —

@@ -5489,6 +5489,67 @@ def test_ks_matrix_matches_pairwise_python(spark):
     assert got[("src1", "src3")]["ks_num"] == one["ks_num"]
 
 
+def test_ks_matrix_approx_high_cardinality(spark):
+    """approx=True on a continuous double column: the grid is bounded
+    by n_bins, totals match the exact mode, and the binned statistic is
+    a lower bound of the exact one that tightens as bins refine —
+    pinned against a python reference fed the SAME sketch edges."""
+    import random
+    from collections import Counter
+
+    import pyspark.sql.functions as F
+
+    from spatialdata_spark.pipeline.textstats import ks_matrix
+
+    rng = random.Random(31)
+    rows = []
+    i = 0
+    for s, (mu, sd) in {"src0": (0.0, 1.0), "src1": (0.8, 1.0), "src2": (0.0, 2.5)}.items():
+        for _ in range(400):
+            rows.append((i, s, rng.gauss(mu, sd)))  # every value distinct w.p. 1
+            i += 1
+    df = spark.createDataFrame(rows, ["doc_id", "source", "score"])
+
+    exact = {(r["group_a"], r["group_b"]): r for r in ks_matrix(df, value_col="score").collect()}
+    n_bins = 64
+    approx = {
+        (r["group_a"], r["group_b"]): r
+        for r in ks_matrix(df, value_col="score", approx=True, n_bins=n_bins).collect()
+    }
+    assert set(approx) == set(exact) and len(approx) == 3
+
+    # python reference: same edges as the operator's own sketch call
+    qs = [k / n_bins for k in range(1, n_bins)]
+    edges = sorted(
+        set(
+            df.agg(F.percentile_approx(F.col("score").cast("double"), qs, 10_000)).first()[0]
+        )
+    )
+
+    def binof(x):
+        return 1 + sum(1 for e in edges if x > e)
+
+    by_src = {}
+    for _, s, x in rows:
+        by_src.setdefault(s, []).append(binof(x))
+    for (a, b), r in approx.items():
+        ca, cb = Counter(by_src[a]), Counter(by_src[b])
+        na, nb = len(by_src[a]), len(by_src[b])
+        cum_a = cum_b = best = 0
+        for v in sorted(set(by_src[a]) | set(by_src[b])):
+            cum_a += ca.get(v, 0)
+            cum_b += cb.get(v, 0)
+            best = max(best, abs(cum_a * nb - cum_b * na))
+        assert (r["n_a"], r["n_b"], r["ks_num"], r["ks_den"]) == (na, nb, best, na * nb)
+        # binned KS never exceeds the exact KS (max over fewer cut points)
+        assert r["ks_stat"] <= exact[(a, b)]["ks_stat"] + 1e-12
+        # and with 64 equal-count bins over 400-row groups it is close
+        assert r["ks_stat"] >= exact[(a, b)]["ks_stat"] - 0.08
+
+    # the grid the downstream machinery saw is n_bins-bounded
+    assert all(1 <= bv <= n_bins for vals in by_src.values() for bv in vals)
+
+
 def test_krippendorff_alpha_matches_fractions(spark):
     import random
     from collections import Counter

@@ -843,6 +843,20 @@ def main(max_mult: int = 8, only: list[str] | None = None) -> None:
             # value grid + group set both saturate under self-union:
             # the pairwise stage runs on a fixed-size dense table
             "ks_matrix": lambda: ks_matrix(docs).collect(),
+            # the case the exact grid CANNOT absorb: a synthetic
+            # continuous score distinct per row (offset doc_ids keep it
+            # distinct under self-union, so the exact grid would grow
+            # linearly) — approx=True bounds the grid at n_bins, so
+            # only the two corpus scans (edge sketch + bin count) scale
+            "ks_matrix_approx": lambda: ks_matrix(
+                docs.withColumn(
+                    "score",
+                    (F.col("doc_id") * 2654435761 % 1000003) / 1000003.0
+                    + F.col("n_chars") / 1e9,
+                ),
+                value_col="score",
+                approx=True,
+            ).collect(),
             # three synthetic raters over doc_id x mult units: one
             # (unit, value) count, unit-/category-sized rollups after
             "kripp": lambda m=mult: krippendorff_alpha(

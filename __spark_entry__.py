@@ -10612,6 +10612,156 @@ FROM pairs ORDER BY day
 """
 
 
+def st_acf(spark, sf_dir):
+    """Exact lag-1..7 autocorrelation of daily event volume — the
+    seasonality probe of the daily-monitor family (does the stream
+    repeat weekly?).  Integer-rational contract end-to-end: the
+    T^2-cleared numerator/denominator are exact DECIMAL integers over
+    the zero-densified calendar, emitted as half-away-from-zero int64
+    microunits — no floating point anywhere (the ewma_e6/modularity
+    convention)."""
+    from spatialdata_spark.operators.temporal import acf_daily
+
+    ev = _read(spark, sf_dir, "events")
+    return acf_daily(ev, max_lag=7)
+
+
+ST_ACF_SQL = r"""
+WITH counts AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+), calendar AS (
+  SELECT strftime(CAST(unnest(generate_series(
+           CAST((SELECT MIN(day) FROM counts) AS DATE),
+           CAST((SELECT MAX(day) FROM counts) AS DATE),
+           INTERVAL 1 DAY)) AS DATE), '%Y-%m-%d') AS day
+), daily AS (
+  SELECT calendar.day, COALESCE(counts.n_events, 0) AS n
+  FROM calendar LEFT JOIN counts USING (day)
+), idx AS (
+  SELECT day, n, CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i
+  FROM daily
+), tot AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS t,
+         CAST(SUM(n) AS HUGEINT) AS s,
+         SUM(CAST(n AS HUGEINT) * n) AS q
+  FROM idx
+), per AS (
+  SELECT CAST(b.i - a.i AS BIGINT) AS lag,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         SUM(CAST(a.n AS HUGEINT) * b.n) AS p,
+         CAST(SUM(a.n) AS HUGEINT) AS sa,
+         CAST(SUM(b.n) AS HUGEINT) AS sb
+  FROM idx a JOIN idx b ON b.i > a.i AND b.i <= a.i + 7
+  GROUP BY 1
+), nd AS (
+  SELECT lag, n_pairs,
+         t*t*p - t*s*(sa + sb) + (t - lag)*s*s AS num,
+         t*t*q - t*s*s AS den
+  FROM per CROSS JOIN tot
+)
+SELECT lag, n_pairs,
+       CASE WHEN num >= 0
+            THEN CAST((num * 2000000 + den) // (den * 2) AS BIGINT)
+            ELSE -CAST(((-num) * 2000000 + den) // (den * 2) AS BIGINT)
+       END AS acf_e6
+FROM nd ORDER BY lag
+"""
+
+
+def pl_cliffs_delta(spark, sf_dir):
+    """Pairwise Cliff's delta effect-size matrix over the sources'
+    doc-length distributions — exact gt/lt pair counts from grouped
+    value counts + per-group cumulatives over the shared grid (never
+    pair enumeration), one exact-integer division for delta, magnitude
+    labels cut on the ROUNDED |delta| so libm can't flip a label."""
+    from spatialdata_spark.pipeline.textstats import cliffs_delta
+
+    docs = _read(spark, sf_dir, "documents")
+    return cliffs_delta(docs)
+
+
+PL_CLIFFS_SQL = r"""
+WITH counts AS (
+  SELECT source AS g, n_chars AS val, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents
+  WHERE n_chars IS NOT NULL AND source IS NOT NULL
+  GROUP BY 1, 2
+), grid AS (SELECT DISTINCT val FROM counts),
+grps AS (SELECT DISTINCT g FROM counts),
+dense AS (
+  SELECT grps.g, grid.val, COALESCE(counts.c, 0) AS c
+  FROM grid CROSS JOIN grps
+  LEFT JOIN counts ON counts.g = grps.g AND counts.val = grid.val
+), cum AS (
+  SELECT g, val, c,
+         CAST(SUM(c) OVER (PARTITION BY g ORDER BY val) AS BIGINT) AS cm
+  FROM dense
+), tot AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM counts GROUP BY 1),
+pairs AS (
+  SELECT a.g AS group_a, b.g AS group_b,
+         MAX(ta.n) AS n_a, MAX(tb.n) AS n_b,
+         SUM(CAST(a.c AS HUGEINT) * (b.cm - b.c)) AS gt,
+         SUM(CAST(a.c AS HUGEINT) * (tb.n - b.cm)) AS lt
+  FROM cum a
+  JOIN cum b ON a.val = b.val AND a.g < b.g
+  JOIN tot ta ON ta.g = a.g
+  JOIN tot tb ON tb.g = b.g
+  GROUP BY 1, 2
+), d AS (
+  SELECT group_a, group_b, n_a, n_b,
+         CAST(gt AS BIGINT) AS gt_pairs,
+         CAST(lt AS BIGINT) AS lt_pairs,
+         ROUND(CAST(gt - lt AS DOUBLE)
+               / CAST(CAST(n_a AS HUGEINT) * n_b AS DOUBLE), 6) AS delta
+  FROM pairs
+)
+SELECT group_a, group_b, n_a, n_b, gt_pairs, lt_pairs, delta,
+       CASE WHEN ABS(delta) < 0.147 THEN 'negligible'
+            WHEN ABS(delta) < 0.33  THEN 'small'
+            WHEN ABS(delta) < 0.474 THEN 'medium'
+            ELSE 'large' END AS magnitude
+FROM d ORDER BY group_a, group_b
+"""
+
+
+def pl_hhi(spark, sf_dir):
+    """Herfindahl-Hirschman source-concentration gate over the corpus:
+    exact integer sum-of-squares and N^2, every ratio ONE division of
+    exact integers (hhi, normalized hhi, effective source count,
+    top-source share), 6 dp."""
+    from spatialdata_spark.pipeline.textstats import herfindahl_index
+
+    docs = _read(spark, sf_dir, "documents")
+    return herfindahl_index(docs)
+
+
+PL_HHI_SQL = r"""
+WITH per AS (
+  SELECT source AS g, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents WHERE source IS NOT NULL GROUP BY 1
+), agg AS (
+  SELECT CAST(SUM(c) AS HUGEINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS k,
+         SUM(CAST(c AS HUGEINT) * c) AS sq,
+         CAST(MAX(c) AS HUGEINT) AS top
+  FROM per
+)
+SELECT CAST(n AS BIGINT) AS n_docs,
+       k AS n_groups,
+       CAST(sq AS BIGINT) AS sum_sq,
+       ROUND(CAST(top AS DOUBLE) / CAST(n AS DOUBLE), 6) AS top_share,
+       ROUND(CAST(sq AS DOUBLE) / CAST(n * n AS DOUBLE), 6) AS hhi,
+       CASE WHEN k > 1
+            THEN ROUND(CAST(k * sq - n * n AS DOUBLE)
+                       / CAST(n * n * (k - 1) AS DOUBLE), 6)
+       END AS hhi_norm,
+       ROUND(CAST(n * n AS DOUBLE) / CAST(sq AS DOUBLE), 6) AS eff_groups
+FROM agg
+"""
+
+
 def q_assoc_rules(spark, sf_dir):
     """Association rules over co-purchased part pairs (the classic
     market-basket support/confidence/lift report, Agrawal 1993): for
@@ -10706,43 +10856,94 @@ LIMIT 20
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order matters: the correctness driver oracles the FIRST 50
     # entries, and a key's position is set by its FIRST occurrence (the
-    # tail below repeats some keys — harmless no-ops).  Round-10 head,
-    # mechanically per the rotation rule: (1) the six new queries;
-    # (2) every query whose code or oracle changed this round —
-    # pl_modularity (the r8/r9 hash-red: BIGINT rationals at the edge,
-    # round three of this check), the edge⋈edge co-partition family
-    # (triangles/graph_stats/link_pred pre_partitioned contract),
-    # the image ladder (dhash oversize loud-error + alpha slice), and
-    # st_cramers_drift (NULL category/ts convention, both engines);
-    # (3) backfill with the 37 oldest driver-green rows — the entire
-    # r3-checked batch (ag_ circles family + TPC-H q01-q22 + rollup,
-    # 7 rounds stale) and the 15 first r4-checked rows.
+    # tail below repeats some keys — harmless no-ops).  Round-11 head,
+    # mechanically per the rotation rule: (1) the three new queries;
+    # (2) every query whose code or oracle changed this round — the
+    # persist-audit family (q_assoc_rules + the co-purchase distinct
+    # consumers pl_wcc / pl_ppr_seeds / pl_triangles / pl_graph_stats /
+    # pl_link_pred), pl_ks_matrix (approx-mode refactor; exact path is
+    # the registry contract), pl_ece (out-of-range loud error in the
+    # live plan), pl_image_dhash (oversize error now names the row).
+    # pl_calibration / pl_lift / pl_pr_curve are NOT modified: the
+    # _approx_rank_bins persist only runs under approx=True, which no
+    # registry query uses; pl_dup_profile / pl_centroid_cosine /
+    # pl_image_neardup changed docstrings only.
+    # (3) backfill with the oldest driver-green rows: all 26 r4-stale
+    # (7 rounds) + the first 12 of the 14 r5-stale the r10 verdict
+    # named (rv_rasterize_bins / rv_relabel yield to the two extra
+    # modified slots; they head the r12 backfill queue).
     return {
-        # --- (1) new in round 10 ---
+        # --- (1) new in round 11 ---
+        "st_acf": st_acf,
+        "pl_cliffs_delta": pl_cliffs_delta,
+        "pl_hhi": pl_hhi,
+        # --- (2) code/oracle modified this round ---
+        "q_assoc_rules": q_assoc_rules,
+        "pl_wcc": pl_wcc,
+        "pl_ppr_seeds": pl_ppr_seeds,
+        "pl_triangles": pl_triangles,
+        "pl_graph_stats": pl_graph_stats,
+        "pl_link_pred": pl_link_pred,
+        "pl_ks_matrix": pl_ks_matrix,
+        "pl_ece": pl_ece,
+        "pl_image_dhash": pl_image_dhash,
+        # --- (3a) backfill: all 26 r4-checked rows (oldest) ---
+        "pl_ivf_probe": pl_ivf_probe,
+        "pl_knn_cosine": pl_knn_cosine,
+        "pl_language_id": pl_language_id,
+        "pl_lsh_topk": pl_lsh_topk,
+        "pl_minhash_cc": pl_minhash_cc,
+        "pl_minhash_expr": pl_minhash_expr,
+        "pl_multimodal_features": pl_multimodal_features,
+        "pl_ngram_jaccard": pl_ngram_jaccard,
+        "pl_quality_score": pl_quality_score,
+        "pl_resize_images": pl_resize_images,
+        "pl_simhash": pl_simhash,
+        "pl_simhash_neardup": pl_simhash_neardup,
+        "pl_text_stats": pl_text_stats,
+        "pl_token_count": pl_token_count,
+        "rt_affine_resample": rt_affine_resample,
+        "rt_export_tiles": rt_export_tiles,
+        "rt_halo_boxsum": rt_halo_boxsum,
+        "rt_unpad_extent": rt_unpad_extent,
+        "rt_zonal_tiles": rt_zonal_tiles,
+        "sq_multipart_shapes": sq_multipart_shapes,
+        "sq_polygon_clip_holes": sq_polygon_clip_holes,
+        "st_distinct_users_daily": st_distinct_users_daily,
+        "st_session_native": st_session_native,
+        "st_sliding": st_sliding,
+        "st_topk_per_user": st_topk_per_user,
+        "st_value_quantiles": st_value_quantiles,
+        # --- (3b) backfill: first 12 of the 14 named r5 rows ---
+        "ag_fractions_concave": ag_fractions_concave,
+        "pl_bm25": pl_bm25,
+        "pl_chunk_overlap": pl_chunk_overlap,
+        "pl_quota_cap": pl_quota_cap,
+        "pl_stratified_sample": pl_stratified_sample,
+        "rq_filter_var": rq_filter_var,
+        "rq_get_values_obsm": rq_get_values_obsm,
+        "rt_bbox_tiles": rt_bbox_tiles,
+        "rt_bbox_tiles_3d": rt_bbox_tiles_3d,
+        "rt_map_tiles": rt_map_tiles,
+        "rt_pyramid_sum": rt_pyramid_sum,
+        "rt_zonal_3d": rt_zonal_3d,
+        # ===== round-11 driver head ends here (first 50) =====
+        # --- round-10 head keys not retained above keep the registry
+        # complete from here down (duplicates are no-ops) ---
         "pl_mcc": pl_mcc,
         "pl_pr_curve": pl_pr_curve,
-        "pl_ece": pl_ece,
         "pl_mwu_lengths": pl_mwu_lengths,
         "pl_token_gini": pl_token_gini,
         "st_cusum": st_cusum,
-        "pl_wcc": pl_wcc,
         "pl_log_odds": pl_log_odds,
         "pl_centroid_cosine": pl_centroid_cosine,
         "pl_benford": pl_benford,
         "pl_dup_profile": pl_dup_profile,
-        "pl_ks_matrix": pl_ks_matrix,
         "pl_kripp": pl_kripp,
         "st_ewma": st_ewma,
-        "q_assoc_rules": q_assoc_rules,
-        # --- (2) code/oracle modified this round ---
         "pl_modularity": pl_modularity,
-        "pl_triangles": pl_triangles,
-        "pl_graph_stats": pl_graph_stats,
-        "pl_link_pred": pl_link_pred,
-        "pl_image_dhash": pl_image_dhash,
         "pl_image_neardup": pl_image_neardup,
         "st_cramers_drift": st_cramers_drift,
-        # --- (3a) oldest greens: the whole r3-checked batch ---
         "ag_points_by_circles_sum": ag_points_by_circles_sum,
         "ag_points_by_circles_mean": ag_points_by_circles_mean,
         "ag_points_by_circles_max": ag_points_by_circles_max,
@@ -10765,19 +10966,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_discounted_revenue": q19_discounted_revenue,
         "q22_global_sales_opportunity": q22_global_sales_opportunity,
         "q_rollup_revenue": q_rollup_revenue,
-        # --- (3b) next-oldest: the first 15 r4-checked rows ---
         "pl_cosine_pairs": pl_cosine_pairs,
         "pl_dedup_exact": pl_dedup_exact,
         "pl_embed_dedup": pl_embed_dedup,
         "pl_fingerprint": pl_fingerprint,
         "pl_frame_sample": pl_frame_sample,
         "pl_ivf_exact": pl_ivf_exact,
-        # (pl_ivf_probe / pl_knn_cosine / pl_language_id / pl_lsh_topk
-        # / pl_minhash_cc / pl_minhash_expr / pl_multimodal_features /
-        # pl_ngram_jaccard / pl_quality_score yield their backfill
-        # slots to the nine late-r10 queries; they keep their tail
-        # positions below)
-        # ===== round-10 driver head ends here (first 50) =====
         # --- round-9 head (keys keep first-occurrence position) ---
         # --- (1) new in round 9 ---
         "rt_dataset_tiles": rt_dataset_tiles,
@@ -11113,6 +11307,9 @@ def oracle_sql() -> dict[str, str]:
         "pl_kripp": _kripp_sql(),
         "st_ewma": ST_EWMA_SQL,
         "q_assoc_rules": Q_ASSOC_RULES_SQL,
+        "st_acf": ST_ACF_SQL,
+        "pl_cliffs_delta": PL_CLIFFS_SQL,
+        "pl_hhi": PL_HHI_SQL,
         # --- round 8 ---
         "pl_zipf_slope": PL_ZIPF_SLOPE_SQL,
         "pl_distinct_ngrams": PL_DISTINCT_NGRAMS_SQL,

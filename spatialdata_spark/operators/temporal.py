@@ -703,3 +703,120 @@ def ewma_daily(
         f"CAST((__num * CAST(1000000 AS DECIMAL(38,0)) + {half}) div {den} AS BIGINT)"
     )
     return agg.select("day", "n_events", me6.alias("ewma_e6")).orderBy("day")
+
+
+def acf_daily(
+    events: DataFrame,
+    ts_col: str = "ts",
+    max_lag: int = 7,
+) -> DataFrame:
+    """EXACT sample autocorrelation of daily event volume at lags
+    ``1..max_lag`` — the seasonality probe of the daily-monitor family
+    (:func:`cusum_drift` finds the level shift, :func:`ewma_daily`
+    smooths the level; ACF answers "does the series repeat weekly?" —
+    a lag-7 spike is the signature of a weekday cycle).
+
+    THE INTEGER-RATIONAL CONTRACT (the modularity / ewma_e6
+    convention): with the textbook estimator
+
+        acf_k = sum_{t<=T-k} (c_t - m)(c_{t+k} - m)
+              / sum_{t<=T}   (c_t - m)^2 ,   m = S/T
+
+    multiplying numerator and denominator by ``T^2`` clears the
+    rational mean EXACTLY::
+
+        NUM_k = T^2 P_k - T S (A_k + B_k) + (T-k) S^2
+        DEN   = T^2 Q   - T S^2
+
+    with ``P_k = sum c_t c_{t+k}``, ``A_k/B_k`` the head/tail sums,
+    ``Q = sum c_t^2``, ``S = sum c_t`` — every term an exact integer
+    accumulated in DECIMAL(38,0) (a BIGINT T^2 P_k wraps past ~10^4
+    events/day on a year of data), and the output is one
+    half-away-from-zero integer division to int64 microunits
+    (``acf_e6``); NO floating point anywhere in the contract.
+
+    CALENDAR SEMANTICS: the series runs over EVERY calendar day in
+    ``[min_day, max_day]`` with zero-event days densified in (the
+    ewma_daily convention) — a lag on a has-events-only index would
+    correlate positions, not days, and any outage would silently
+    shift the phase of the weekly cycle.
+
+    A constant series (DEN = 0 — every calendar day has the same
+    count) has no defined ACF and raises loudly, the ks_2sample
+    convention; so does an empty series.
+
+    Plan: one day-keyed count (the ONLY corpus-sized work), calendar
+    densify + row-number over the day-calendar-sized table, one
+    broadcast lag self-join (days x max_lag pairs), one 1-row totals
+    broadcast — everything after the first aggregation is
+    calendar-sized at any corpus scale.
+
+    Output: ``(lag, n_pairs, acf_e6)`` for lag 1..max_lag ordered by
+    lag; consumers wanting the float divide by 1e6.
+    """
+    dec = "decimal(38,0)"
+    k = int(max_lag)
+    if k < 1:
+        raise ValueError(f"acf_daily: max_lag must be >= 1 (got {k})")
+    counts = _daily_event_counts(events, ts_col)
+    span = counts.agg(F.min("day").alias("__d0"), F.max("day").alias("__d1"))
+    calendar = span.select(
+        F.explode(F.sequence(F.to_date("__d0"), F.to_date("__d1"))).alias("__date")
+    ).select(F.date_format("__date", "yyyy-MM-dd").alias("day"))
+    daily = calendar.join(counts, "day", "left").select(
+        "day", F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n")
+    )
+    idx = daily.withColumn(
+        "__i", F.row_number().over(Window.orderBy("day")).cast("long")
+    )
+    tot = idx.agg(
+        F.count(F.lit(1)).cast("long").alias("__t"),
+        F.sum("n").cast(dec).alias("__s"),
+        F.sum(F.col("n").cast(dec) * F.col("n").cast(dec)).alias("__q"),
+    )
+    a = idx.select(F.col("__i"), F.col("n").alias("__na"))
+    b = idx.select(F.col("__i").alias("__j"), F.col("n").alias("__nb"))
+    per_lag = (
+        a.join(
+            F.broadcast(b),
+            (F.col("__j") > F.col("__i")) & (F.col("__j") <= F.col("__i") + k),
+        )
+        .groupBy((F.col("__j") - F.col("__i")).cast("long").alias("lag"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.col("__na").cast(dec) * F.col("__nb").cast(dec)).alias("__p"),
+            F.sum(F.col("__na").cast(dec)).alias("__a"),
+            F.sum(F.col("__nb").cast(dec)).alias("__b"),
+        )
+    )
+    j = per_lag.crossJoin(F.broadcast(tot))
+    num = (
+        F.col("__t").cast(dec) * F.col("__t").cast(dec) * F.col("__p")
+        - F.col("__t").cast(dec) * F.col("__s") * (F.col("__a") + F.col("__b"))
+        + (F.col("__t") - F.col("lag")).cast(dec) * F.col("__s") * F.col("__s")
+    )
+    den = (
+        F.col("__t").cast(dec) * F.col("__t").cast(dec) * F.col("__q")
+        - F.col("__t").cast(dec) * F.col("__s") * F.col("__s")
+    )
+    withnd = j.select("lag", "n_pairs", num.alias("__num"), den.alias("__den"))
+    err = F.lit(
+        "acf_daily: zero variance — every calendar day has the same count,"
+        " ACF is undefined"
+    )
+    e6 = F.expr(
+        "CASE WHEN __num >= 0"
+        "  THEN CAST((__num * 2000000 + __den) div (__den * 2) AS BIGINT)"
+        "  ELSE -CAST(((-__num) * 2000000 + __den) div (__den * 2) AS BIGINT)"
+        " END"
+    )
+    return (
+        withnd.select(
+            "lag",
+            "n_pairs",
+            F.when(F.col("__den") > 0, e6)
+            .otherwise(F.raise_error(err))
+            .alias("acf_e6"),
+        )
+        .orderBy("lag")
+    )

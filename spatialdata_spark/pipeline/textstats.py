@@ -2361,3 +2361,188 @@ def ks_matrix(
             F.col("ks_num") / (F.col("n_a") * F.col("n_b")).cast("double"), 9
         ).alias("ks_stat"),
     ).orderBy("group_a", "group_b")
+
+
+def cliffs_delta(
+    docs: DataFrame,
+    value_col: str = "n_chars",
+    group_col: str = "source",
+) -> DataFrame:
+    """EXACT Cliff's delta between EVERY pair of groups — the ordinal
+    effect-size matrix that tells a reviewer how BIG the length-profile
+    gap :func:`ks_matrix` / :func:`mann_whitney_u` flag actually is::
+
+        delta = (#(x > y) - #(x < y)) / (n_a * n_b)
+
+    over all cross pairs (x from group_a, y from group_b): +1 means
+    every a-doc outranks every b-doc, 0 means stochastic equality.
+    Unlike a standardized mean difference, delta is distribution-free
+    and outlier-immune — the right effect size for heavy-tailed doc
+    lengths.
+
+    Exactness: pair counts come from grouped value counts and a
+    per-group cumulative over the shared distinct value grid — NEVER
+    pair enumeration::
+
+        gt = sum_v ca(v) * cumB(< v)      (strictly-below mass)
+        lt = sum_v ca(v) * (n_b - cumB(<= v))
+        ties = n_a*n_b - gt - lt
+
+    all order-free integer sums (DECIMAL inside — ``gt`` can reach
+    ``n_a*n_b``; the emitted counts fit int64 while ``n_a*n_b < 2^63``,
+    the mann_whitney_u bound), and ``delta`` is ONE division of exact
+    integers, 6 dp.  The magnitude label (Romano 2006 thresholds:
+    negligible < 0.147 <= small < 0.33 <= medium < 0.474 <= large) is
+    cut on the ROUNDED |delta| — both engines compare the same 6-dp
+    double against the same literal, so libm can never flip a label.
+
+    Plan: the ks_matrix shape — one (group, value)-keyed count (the
+    only corpus-sized shuffle), grid x groups densify + per-group
+    cumulative window (value-domain-sized), one broadcast pair join on
+    the grid.  NULL values/groups dropped (the ks_matrix convention).
+
+    Output: ``(group_a, group_b, n_a, n_b, gt_pairs, lt_pairs, delta,
+    magnitude)`` for group_a < group_b, ordered.
+    """
+    from pyspark.sql.window import Window
+
+    dec = "decimal(38,0)"
+    v = F.col(value_col)
+    counts = (
+        docs.filter(v.isNotNull() & F.col(group_col).isNotNull())
+        .groupBy(F.col(group_col).alias("__g"), v.alias("val"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    grid = counts.select("val").distinct()
+    groups = counts.select("__g").distinct()
+    dense = grid.crossJoin(F.broadcast(groups)).join(
+        F.broadcast(counts), ["__g", "val"], "left"
+    )
+    w = Window.partitionBy("__g").orderBy("val").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = dense.select(
+        "__g",
+        "val",
+        F.coalesce(F.col("__c"), F.lit(0)).cast("long").alias("__c"),
+        F.sum(F.coalesce(F.col("__c"), F.lit(0))).over(w).cast("long").alias("__cum"),
+    )
+    tot = counts.groupBy("__g").agg(F.sum("__c").cast("long").alias("__n"))
+    a = cum.join(F.broadcast(tot), "__g").select(
+        F.col("__g").alias("group_a"),
+        "val",
+        F.col("__c").alias("__ca"),
+        F.col("__n").alias("n_a"),
+    )
+    b = cum.join(F.broadcast(tot), "__g").select(
+        F.col("__g").alias("group_b"),
+        "val",
+        F.col("__c").alias("__cb"),
+        F.col("__cum").alias("__cumb"),
+        F.col("__n").alias("n_b"),
+    )
+    pairs = a.join(F.broadcast(b), "val").filter(F.col("group_a") < F.col("group_b"))
+    agg = pairs.groupBy("group_a", "group_b").agg(
+        F.max("n_a").cast("long").alias("n_a"),
+        F.max("n_b").cast("long").alias("n_b"),
+        F.sum(F.col("__ca").cast(dec) * (F.col("__cumb") - F.col("__cb")).cast(dec))
+        .alias("__gt"),
+        F.sum(F.col("__ca").cast(dec) * (F.col("n_b") - F.col("__cumb")).cast(dec))
+        .alias("__lt"),
+    )
+    delta = F.round(
+        (F.col("__gt") - F.col("__lt")).cast("double")
+        / (F.col("n_a").cast(dec) * F.col("n_b").cast(dec)).cast("double"),
+        6,
+    )
+    mag = F.abs(F.col("delta"))
+    return (
+        agg.select(
+            "group_a",
+            "group_b",
+            "n_a",
+            "n_b",
+            F.col("__gt").cast("long").alias("gt_pairs"),
+            F.col("__lt").cast("long").alias("lt_pairs"),
+            delta.alias("delta"),
+        )
+        .select(
+            "*",
+            F.when(mag < 0.147, "negligible")
+            .when(mag < 0.33, "small")
+            .when(mag < 0.474, "medium")
+            .otherwise("large")
+            .alias("magnitude"),
+        )
+        .orderBy("group_a", "group_b")
+    )
+
+
+def herfindahl_index(
+    docs: DataFrame,
+    group_col: str = "source",
+) -> DataFrame:
+    """Herfindahl-Hirschman concentration of a corpus over its groups —
+    the one-row "is one source dominating the mix?" gate a training-mix
+    reviewer reads before :func:`ks_matrix` tells them WHICH sources
+    drifted::
+
+        hhi        = sum_g (c_g / N)^2          (1/k .. 1)
+        hhi_norm   = (k*sum_sq - N^2) / (N^2*(k-1))   (0 .. 1)
+        eff_groups = N^2 / sum_sq               (the "equivalent number
+                                                 of equal sources")
+
+    Exactness: ``sum_sq = sum c_g^2`` and ``N^2`` are exact integers
+    (DECIMAL inside; ``sum_sq`` is emitted as int64 and fits while
+    ``N < 3e9`` — past that read the ratio columns only), and every
+    ratio is ONE division of exact integers, 6 dp — identical doubles
+    on any engine.  ``hhi_norm`` is NULL when k = 1 (a one-group
+    corpus has no normalized form; hhi = 1 already says everything).
+    NULL groups dropped, empty corpus raises loudly (the module's
+    conventions).
+
+    Plan: one group-keyed count (the only corpus-sized work) + one
+    1-row rollup over the groups-sized table.  Flat at any scale.
+
+    Output: one row ``(n_docs, n_groups, sum_sq, top_share, hhi,
+    hhi_norm, eff_groups)``; ``top_share`` is the largest group's
+    fraction, 6 dp.
+    """
+    dec = "decimal(38,0)"
+    per = (
+        docs.filter(F.col(group_col).isNotNull())
+        .groupBy(F.col(group_col).alias("__g"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    agg = per.agg(
+        F.sum("__c").cast(dec).alias("__n"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(F.col("__c").cast(dec) * F.col("__c").cast(dec)).alias("__sq"),
+        F.max("__c").cast(dec).alias("__top"),
+    )
+    err = F.lit("herfindahl_index: empty corpus (no non-NULL groups)")
+    n2 = F.col("__n") * F.col("__n")
+    k = F.col("n_groups").cast(dec)
+    return agg.select(
+        F.col("__n").cast("long").alias("n_docs"),
+        "n_groups",
+        F.col("__sq").cast("long").alias("sum_sq"),
+        F.when(
+            F.col("__n") > 0,
+            F.round(F.col("__top").cast("double") / F.col("__n").cast("double"), 6),
+        )
+        .otherwise(F.raise_error(err))
+        .alias("top_share"),
+        F.round(F.col("__sq").cast("double") / n2.cast("double"), 6).alias("hhi"),
+        F.when(
+            F.col("n_groups") > 1,
+            F.round(
+                (k * F.col("__sq") - n2).cast("double")
+                / (n2 * (k - 1)).cast("double"),
+                6,
+            ),
+        ).alias("hhi_norm"),
+        F.round(n2.cast("double") / F.col("__sq").cast("double"), 6).alias(
+            "eff_groups"
+        ),
+    )

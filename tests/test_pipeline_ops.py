@@ -5743,3 +5743,129 @@ def test_assoc_rules_matches_python(spark, tmp_path):
     # sanity on a known rule: 10 and 20 co-occur in 3 of 6 orders
     got = {(a, b): (s, c, l) for a, b, n, s, c, l in out}
     assert got[(10, 20)] == (0.5, 0.75, 1.125)
+
+
+def test_cliffs_delta_matches_bruteforce(spark):
+    import itertools
+    import random
+
+    from spatialdata_spark.pipeline.textstats import cliffs_delta
+
+    rng = random.Random(7)
+    rows = []
+    i = 0
+    for s, (lo, hi) in {"s0": (0, 40), "s1": (20, 60), "s2": (0, 40)}.items():
+        for _ in range(rng.randint(30, 60)):
+            rows.append((i, s, rng.randint(lo, hi)))
+            i += 1
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"])
+    got = {(r["group_a"], r["group_b"]): r for r in cliffs_delta(df).collect()}
+    by = {}
+    for _, s, v in rows:
+        by.setdefault(s, []).append(v)
+    assert len(got) == 3
+    for a, b in itertools.combinations(sorted(by), 2):
+        gt = sum(1 for x in by[a] for y in by[b] if x > y)
+        lt = sum(1 for x in by[a] for y in by[b] if x < y)
+        r = got[(a, b)]
+        assert (r["gt_pairs"], r["lt_pairs"], r["n_a"], r["n_b"]) == (
+            gt,
+            lt,
+            len(by[a]),
+            len(by[b]),
+        )
+        assert abs(r["delta"] - round((gt - lt) / (len(by[a]) * len(by[b])), 6)) < 1e-12
+    # shifted ranges read as a large effect, identical ones as negligible
+    assert got[("s0", "s1")]["magnitude"] == "large"
+    assert got[("s0", "s2")]["magnitude"] == "negligible"
+    # antisymmetry sanity via a flipped two-group frame
+    flip = spark.createDataFrame(
+        [(i, {"s0": "s1", "s1": "s0"}.get(s, s), v) for i, s, v in rows if s != "s2"],
+        ["doc_id", "source", "n_chars"],
+    )
+    r2 = cliffs_delta(flip).collect()[0]
+    assert r2["delta"] == -got[("s0", "s1")]["delta"]
+
+
+def test_herfindahl_index_closed_form(spark):
+    from collections import Counter
+
+    import pytest
+
+    from spatialdata_spark.pipeline.textstats import herfindahl_index
+
+    rows = [(i, f"s{i % 4}") for i in range(100)] + [(1000 + i, "s0") for i in range(60)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    r = herfindahl_index(df).collect()[0]
+    c = Counter(s for _, s in rows)
+    N = sum(c.values())
+    sq = sum(v * v for v in c.values())
+    k = len(c)
+    assert (r["n_docs"], r["n_groups"], r["sum_sq"]) == (N, k, sq)
+    assert r["hhi"] == round(sq / N**2, 6)
+    assert r["hhi_norm"] == round((k * sq - N * N) / (N * N * (k - 1)), 6)
+    assert r["eff_groups"] == round(N * N / sq, 6)
+    assert r["top_share"] == round(max(c.values()) / N, 6)
+    # one group: hhi = 1, hhi_norm NULL by contract
+    one = herfindahl_index(
+        spark.createDataFrame([(1, "only"), (2, "only")], ["doc_id", "source"])
+    ).collect()[0]
+    assert one["hhi"] == 1.0 and one["hhi_norm"] is None and one["eff_groups"] == 1.0
+    # NULL groups dropped
+    holey = herfindahl_index(
+        spark.createDataFrame([(1, "a"), (2, None), (3, "b")], ["doc_id", "source"])
+    ).collect()[0]
+    assert holey["n_docs"] == 2
+    # empty corpus raises loudly
+    empty = spark.createDataFrame([(1, None)], "doc_id: long, source: string")
+    with pytest.raises(Exception, match="empty corpus"):
+        herfindahl_index(empty).collect()
+
+
+def test_acf_daily_matches_fractions(spark):
+    import datetime
+    from fractions import Fraction
+    from math import floor
+
+    import pytest
+
+    from spatialdata_spark.operators.temporal import acf_daily
+
+    base = datetime.datetime(2024, 1, 1)
+    ev = []
+    for d in range(60):
+        n = 5 + (d % 7) * 3 + (d // 20)  # weekly cycle + slow trend
+        if d in (13, 14):
+            n = 0  # outage: densified zeros must enter the series
+        for j in range(n):
+            ev.append((len(ev), base + datetime.timedelta(days=d, hours=j % 24)))
+    ev.append((len(ev), None))  # NULL ts dropped by contract
+    edf = spark.createDataFrame(ev, ["event_id", "ts"])
+    got = acf_daily(edf, max_lag=9).collect()
+    cnt = [0] * 60
+    for _, t in ev:
+        if t is not None:
+            cnt[(t - base).days] += 1
+    T, S, Q = len(cnt), sum(cnt), sum(x * x for x in cnt)
+    assert len(got) == 9
+    for r in got:
+        k = r["lag"]
+        P = sum(cnt[t] * cnt[t + k] for t in range(T - k))
+        A, B = sum(cnt[: T - k]), sum(cnt[k:])
+        num = T * T * P - T * S * (A + B) + (T - k) * S * S
+        den = T * T * Q - T * S * S
+        exact = Fraction(num, den)
+        e6 = floor(abs(exact) * 10**6 + Fraction(1, 2)) * (1 if exact >= 0 else -1)
+        assert (r["acf_e6"], r["n_pairs"]) == (e6, T - k), f"lag {k}"
+    by_lag = {r["lag"]: r["acf_e6"] for r in got}
+    # the built-in weekly cycle surfaces as the lag-7 maximum
+    assert by_lag[7] == max(by_lag.values())
+    # a constant series has no ACF: loud error, not NaN
+    const = spark.createDataFrame(
+        [(i, base + datetime.timedelta(days=i % 10)) for i in range(40)],
+        ["event_id", "ts"],
+    )
+    with pytest.raises(Exception, match="zero variance"):
+        acf_daily(const, max_lag=3).collect()
+    with pytest.raises(ValueError, match="max_lag"):
+        acf_daily(edf, max_lag=0)

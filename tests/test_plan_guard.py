@@ -125,6 +125,10 @@ GUARDED = [
     "pl_kripp",
     "st_ewma",
     "q_assoc_rules",
+    # round 11
+    "st_acf",
+    "pl_cliffs_delta",
+    "pl_hhi",
 ]
 
 # The sanctioned shuffle-join allowance: {query: max sort-merge +
@@ -220,6 +224,11 @@ EXPRESSION_ONLY = [
     "pl_ks_matrix",
     "pl_kripp",
     "st_ewma",
+    # round 11 — all three are pure-expression aggregation / window /
+    # calendar-join pipelines
+    "st_acf",
+    "pl_cliffs_delta",
+    "pl_hhi",
 ]
 
 

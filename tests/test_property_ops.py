@@ -723,3 +723,284 @@ def test_log_odds_property_matches_sequential(spark, seed):
     }
     for w in set(got) & set(sw):
         assert abs(got[w]["z"] + sw[w]["z"]) < 2e-6
+
+
+@given(seed=st.integers(0, 10**6), p_pos=st.floats(0.1, 0.9), p_pred=st.floats(0.1, 0.9))
+@SET
+def test_mcc_property_matches_sequential(spark, seed, p_pos, p_pred):
+    """Random confusion tables: counts match the python tally and mcc
+    replays the operator's exact factored-sqrt float recipe (same op
+    order — num / (sqrt(m1)*sqrt(m2)*sqrt(m3)*sqrt(m4)) — so the
+    doubles are bit-identical); any empty margin yields NULL."""
+    from spatialdata_spark.pipeline.classify import mcc_stats
+
+    rng = random.Random(seed)
+    n = rng.randint(8, 80)
+    rows = [
+        (i, int(rng.random() < p_pos), int(rng.random() < p_pred)) for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "label", "pred"])
+    r = mcc_stats(df, label_col="label", pred_col="pred").collect()[0]
+    tp = sum(1 for _, y, p in rows if y == 1 and p == 1)
+    fp = sum(1 for _, y, p in rows if y == 0 and p == 1)
+    fn = sum(1 for _, y, p in rows if y == 1 and p == 0)
+    tn = sum(1 for _, y, p in rows if y == 0 and p == 0)
+    assert (r["n"], r["tp"], r["fp"], r["fn"], r["tn"]) == (n, tp, fp, fn, tn)
+    m1, m2, m3, m4 = tp + fp, tp + fn, tn + fp, tn + fn
+    if min(m1, m2, m3, m4) > 0:
+        exp = round(
+            (tp * tn - fp * fn)
+            / (math.sqrt(m1) * math.sqrt(m2) * math.sqrt(m3) * math.sqrt(m4)),
+            6,
+        )
+        assert r["mcc"] == exp and -1.0 <= r["mcc"] <= 1.0
+    else:
+        assert r["mcc"] is None
+
+
+@given(seed=st.integers(0, 10**6), n_bins=st.integers(2, 8))
+@SET
+def test_pr_curve_property_matches_sequential(spark, seed, n_bins):
+    """Random scored corpora (ties included): the cumulative kept/pos
+    counts per ntile bin match a python ntile replay ordered by
+    (score DESC, id) — the operator's pinned determinism contract."""
+    from spatialdata_spark.pipeline.classify import pr_curve
+
+    rng = random.Random(seed)
+    n = rng.randint(n_bins, 60)
+    rows = [(i, rng.randint(0, 1), float(rng.randint(0, 8))) for i in range(n)]
+    df = spark.createDataFrame(rows, ["doc_id", "label", "llr_mean"])
+    got = pr_curve(df, n_bins=n_bins).collect()
+    order = sorted(rows, key=lambda r: (-r[2], r[0]))
+    base, rem = divmod(n, n_bins)
+    kept = pos = 0
+    tpos = sum(y for _, y, _ in rows)
+    idx = 0
+    for b, row in enumerate(got, start=1):
+        size = base + (1 if b <= rem else 0)
+        for _ in range(size):
+            kept += 1
+            pos += order[idx][1]
+            idx += 1
+        assert (row["bin"], row["n_kept"], row["n_pos_kept"]) == (b, kept, pos)
+        assert row["precision"] == round(pos / kept, 6)
+        if tpos:
+            assert row["recall"] == round(pos / tpos, 6)
+        assert row["f1"] == round(2.0 * pos / (kept + tpos), 6)
+
+
+@given(seed=st.integers(0, 10**6), n_days=st.integers(3, 50))
+@SET
+def test_cusum_property_matches_sequential(spark, seed, n_days):
+    """Random daily series (gaps included — CUSUM runs on has-event
+    days by contract): cusum_num replays the integer recursion and
+    is_peak marks exactly the max-|S| day(s); the last cumulative is
+    identically zero (sum of n*D - N over all days telescopes)."""
+    import datetime
+
+    from spatialdata_spark.operators.temporal import cusum_drift
+
+    rng = random.Random(seed)
+    base = datetime.datetime(2024, 3, 1)
+    per_day = {}
+    for d in range(n_days):
+        if rng.random() < 0.2:
+            continue  # calendar gap: not a position for this operator
+        per_day[d] = rng.randint(1, 30) + (15 if d > n_days // 2 else 0)
+    if not per_day:
+        per_day[0] = 3
+    ev = []
+    for d, c in per_day.items():
+        for j in range(c):
+            ev.append((len(ev), base + datetime.timedelta(days=d, hours=j % 24)))
+    df = spark.createDataFrame(ev, ["event_id", "ts"])
+    got = cusum_drift(df).collect()
+    days = sorted(per_day)
+    N = sum(per_day.values())
+    D = len(days)
+    s = 0
+    expect = []
+    for d in days:
+        s += per_day[d] * D - N
+        expect.append(s)
+    peak = max(abs(x) for x in expect)
+    assert len(got) == D
+    for row, d, e in zip(got, days, expect):
+        assert row["n_events"] == per_day[d]
+        assert row["cusum_num"] == e
+        assert row["is_peak"] == (abs(e) == peak)
+    assert expect[-1] == 0
+
+
+@given(seed=st.integers(0, 10**6), dims=st.integers(2, 6), n_groups=st.integers(2, 4))
+@SET
+def test_centroid_cosine_property_matches_sequential(spark, seed, dims, n_groups):
+    """Random float embeddings: dot_num replays the exact quantize ->
+    per-group sum -> dot pipeline, and cos replays the operator's
+    float recipe (dot / (sqrt(na2)*sqrt(nb2))), bounded in [-1, 1]."""
+    from spatialdata_spark.pipeline.similarity import centroid_cosine
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(rng.randint(6, 40)):
+        rows.append(
+            (i, f"g{i % n_groups}", [rng.uniform(-1, 1) for _ in range(dims)])
+        )
+    df = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+    got = {(r["label_a"], r["label_b"]): r for r in centroid_cosine(df).collect()}
+    sums = {}
+    for _, g, v in rows:
+        q = [math.floor(x * 100 + 0.5) for x in v]
+        sums[g] = [a + b for a, b in zip(sums.get(g, [0] * dims), q)]
+    labels = sorted(sums)
+    assert len(got) == len(labels) * (len(labels) - 1) // 2
+    for i, a in enumerate(labels):
+        for b in labels[i + 1:]:
+            dot = sum(x * y for x, y in zip(sums[a], sums[b]))
+            na2 = sum(x * x for x in sums[a])
+            nb2 = sum(x * x for x in sums[b])
+            r = got[(a, b)]
+            assert r["dot_num"] == dot
+            if na2 > 0 and nb2 > 0:
+                exp = round(dot / (math.sqrt(na2) * math.sqrt(nb2)), 6)
+                assert r["cos"] == exp and -1.0 <= r["cos"] <= 1.0
+
+
+@given(seed=st.integers(0, 10**6), spread=st.integers(1, 5))
+@SET
+def test_benford_property_matches_sequential(spark, seed, spread):
+    """Random positive integer columns: the 9-digit grid is always
+    complete, counts match a python first-digit tally (zero-count
+    digits present with n=0), fracs/devs replay the rounded recipe."""
+    from spatialdata_spark.pipeline.textstats import benford_deviation
+
+    rng = random.Random(seed)
+    n = rng.randint(5, 120)
+    rows = [(i, int(math.exp(rng.uniform(0, 3 * spread))) + 1) for i in range(n)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_chars"])
+    got = benford_deviation(df).collect()
+    assert [r["digit"] for r in got] == list(range(1, 10))
+    tally = {d: 0 for d in range(1, 10)}
+    for _, v in rows:
+        tally[int(str(v)[0])] += 1
+    t = sum(tally.values())
+    for r in got:
+        d = r["digit"]
+        bf = round(math.log10(1 + 1 / d), 6)
+        assert r["n"] == tally[d]
+        assert r["frac"] == round(tally[d] / t, 6)
+        assert r["benford_frac"] == bf
+        assert r["dev"] == round(tally[d] / t - bf, 6)
+
+
+@given(seed=st.integers(0, 10**6), n_src=st.integers(1, 4), dup_rate=st.floats(0, 0.8))
+@SET
+def test_dup_profile_property_matches_sequential(spark, seed, n_src, dup_rate):
+    """Random corpora with planted within- and cross-source duplicates:
+    per-source n_docs / n_dup_docs / n_cross_dup match a python digest
+    tally (md5 text equality, the exact_dedup convention)."""
+    from collections import Counter
+
+    from spatialdata_spark.pipeline.dedup import duplication_profile
+
+    rng = random.Random(seed)
+    pool = [f"text body {k}" for k in range(12)]
+    rows = []
+    for i in range(rng.randint(5, 80)):
+        t = rng.choice(pool) if rng.random() < dup_rate else f"unique {i}"
+        rows.append((i, f"s{rng.randrange(n_src)}", t))
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    got = {r["source"]: r for r in duplication_profile(df).collect()}
+    total = Counter(t for _, _, t in rows)
+    srcs_of = {}
+    for _, s, t in rows:
+        srcs_of.setdefault(t, set()).add(s)
+    per = {}
+    for _, s, t in rows:
+        d = per.setdefault(s, [0, 0, 0])
+        d[0] += 1
+        if total[t] > 1:
+            d[1] += 1
+        if len(srcs_of[t]) > 1:
+            d[2] += 1
+    assert set(got) == set(per)
+    for s, (nd, ndup, ncross) in per.items():
+        r = got[s]
+        assert (r["n_docs"], r["n_dup_docs"], r["n_cross_dup"]) == (nd, ndup, ncross)
+        assert r["dup_rate"] == round(ndup / nd, 6)
+
+
+@given(seed=st.integers(0, 10**6), width=st.integers(1, 30))
+@SET
+def test_cliffs_delta_property_matches_bruteforce(spark, seed, width):
+    """Random two-group integer samples (width=1 forces heavy ties):
+    gt/lt match brute-force pair enumeration and delta replays the one
+    exact division; all-ties collapses delta to 0."""
+    import itertools
+
+    from spatialdata_spark.pipeline.textstats import cliffs_delta
+
+    rng = random.Random(seed)
+    by = {
+        "a": [rng.randint(0, width) for _ in range(rng.randint(3, 35))],
+        "b": [rng.randint(0, width) for _ in range(rng.randint(3, 35))],
+        "c": [rng.randint(0, width) for _ in range(rng.randint(3, 35))],
+    }
+    rows = [
+        (i, g, v)
+        for i, (g, v) in enumerate(
+            (g, v) for g, vals in sorted(by.items()) for v in vals
+        )
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"])
+    got = {(r["group_a"], r["group_b"]): r for r in cliffs_delta(df).collect()}
+    for a, b in itertools.combinations(sorted(by), 2):
+        gt = sum(1 for x in by[a] for y in by[b] if x > y)
+        lt = sum(1 for x in by[a] for y in by[b] if x < y)
+        r = got[(a, b)]
+        na, nb = len(by[a]), len(by[b])
+        assert (r["gt_pairs"], r["lt_pairs"], r["n_a"], r["n_b"]) == (gt, lt, na, nb)
+        assert r["delta"] == round((gt - lt) / (na * nb), 6)
+        assert -1.0 <= r["delta"] <= 1.0
+
+
+@given(seed=st.integers(0, 10**6), n_days=st.integers(4, 40), gap_p=st.floats(0, 0.5))
+@SET
+def test_acf_property_matches_fractions(spark, seed, n_days, gap_p):
+    """Random daily series with random multi-day outages: every lag's
+    acf_e6 matches the exact Fractions replay of the T^2-cleared
+    rational over the ZERO-DENSIFIED calendar, half-away rounding."""
+    import datetime
+    from fractions import Fraction
+
+    from spatialdata_spark.operators.temporal import acf_daily
+
+    rng = random.Random(seed)
+    base = datetime.datetime(2024, 5, 1)
+    cnt = [0] * n_days
+    cnt[0] = rng.randint(1, 20)
+    cnt[-1] = rng.randint(1, 20)  # pin the span
+    for d in range(1, n_days - 1):
+        cnt[d] = 0 if rng.random() < gap_p else rng.randint(0, 20)
+    if len(set(cnt)) == 1:
+        cnt[0] += 1  # avoid the (legitimately loud) zero-variance case
+    ev = []
+    for d, c in enumerate(cnt):
+        for j in range(c):
+            ev.append((len(ev), base + datetime.timedelta(days=d, hours=j % 24)))
+    df = spark.createDataFrame(ev, ["event_id", "ts"])
+    max_lag = min(5, n_days - 1)
+    got = acf_daily(df, max_lag=max_lag).collect()
+    T, S, Q = n_days, sum(cnt), sum(x * x for x in cnt)
+    assert len(got) == max_lag
+    for r in got:
+        k = r["lag"]
+        P = sum(cnt[t] * cnt[t + k] for t in range(T - k))
+        A, B = sum(cnt[: T - k]), sum(cnt[k:])
+        num = T * T * P - T * S * (A + B) + (T - k) * S * S
+        den = T * T * Q - T * S * S
+        exact = Fraction(num, den)
+        e6 = math.floor(abs(exact) * 10**6 + Fraction(1, 2)) * (
+            1 if exact >= 0 else -1
+        )
+        assert (r["acf_e6"], r["n_pairs"]) == (e6, T - k)

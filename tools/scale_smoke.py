@@ -59,7 +59,7 @@ def main(max_mult: int = 8, only: list[str] | None = None) -> None:
     )
     from spatialdata_spark.operators.temporal import rolling_active_users
     from spatialdata_spark.pipeline.clustering import gram_matrix
-    from spatialdata_spark.pipeline.textstats import curation_funnel
+    from spatialdata_spark.pipeline.textstats import cliffs_delta, curation_funnel, herfindahl_index
     from spatialdata_spark.operators.rasterize import rasterize_points
 
     from spatialdata_spark.pipeline.clustering import (
@@ -119,7 +119,7 @@ def main(max_mult: int = 8, only: list[str] | None = None) -> None:
         duplication_profile,
     )
     from spatialdata_spark.pipeline.similarity import centroid_cosine
-    from spatialdata_spark.operators.temporal import cusum_drift, ewma_daily
+    from spatialdata_spark.operators.temporal import acf_daily, cusum_drift, ewma_daily
     from spatialdata_spark.pipeline.textstats import (
         benford_deviation,
         chi2_tokens,
@@ -872,6 +872,14 @@ def main(max_mult: int = 8, only: list[str] | None = None) -> None:
             # self-union makes EVERY doc a duplicate — worst-case dup
             # mass, still digest-linear
             "dup_profile": lambda: duplication_profile(docs).collect(),
+            # day-keyed count then calendar-sized lag join — flat (the
+            # cusum/ewma shape; self-union scales counts, not days)
+            "acf": lambda: acf_daily(ev).collect(),
+            # value grid + group set saturate under self-union: the
+            # densify + pair join run on a fixed-size table
+            "cliffs_delta": lambda: cliffs_delta(docs).collect(),
+            # group-keyed count + 1-row rollup — the flattest shape
+            "hhi": lambda: herfindahl_index(docs).collect(),
         }
         if only:
             cases = {k: v for k, v in cases.items() if k in only}

@@ -10864,14 +10864,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # pl_link_pred), pl_ks_matrix (approx-mode refactor; exact path is
     # the registry contract), pl_ece (out-of-range loud error in the
     # live plan), pl_image_dhash (oversize error now names the row).
-    # pl_calibration / pl_lift / pl_pr_curve are NOT modified: the
-    # _approx_rank_bins persist only runs under approx=True, which no
-    # registry query uses; pl_dup_profile / pl_centroid_cosine /
-    # pl_image_neardup changed docstrings only.
+    # pl_image_neardup also runs the changed image_dhash kernel, so it
+    # rotates too.  pl_calibration / pl_lift / pl_pr_curve are NOT
+    # modified: the _approx_rank_bins persist only runs under
+    # approx=True, which no registry query uses; pl_dup_profile /
+    # pl_centroid_cosine changed docstrings only.
     # (3) backfill with the oldest driver-green rows: all 26 r4-stale
-    # (7 rounds) + the first 12 of the 14 r5-stale the r10 verdict
-    # named (rv_rasterize_bins / rv_relabel yield to the two extra
-    # modified slots; they head the r12 backfill queue).
+    # (7 rounds) + the first 11 of the 14 r5-stale the r10 verdict
+    # named (rt_zonal_3d / rv_rasterize_bins / rv_relabel yield to the
+    # three extra modified slots; they head the r12 backfill queue).
     return {
         # --- (1) new in round 11 ---
         "st_acf": st_acf,
@@ -10887,6 +10888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pl_ks_matrix": pl_ks_matrix,
         "pl_ece": pl_ece,
         "pl_image_dhash": pl_image_dhash,
+        "pl_image_neardup": pl_image_neardup,
         # --- (3a) backfill: all 26 r4-checked rows (oldest) ---
         "pl_ivf_probe": pl_ivf_probe,
         "pl_knn_cosine": pl_knn_cosine,
@@ -10914,7 +10916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_sliding": st_sliding,
         "st_topk_per_user": st_topk_per_user,
         "st_value_quantiles": st_value_quantiles,
-        # --- (3b) backfill: first 12 of the 14 named r5 rows ---
+        # --- (3b) backfill: first 11 of the 14 named r5 rows ---
         "ag_fractions_concave": ag_fractions_concave,
         "pl_bm25": pl_bm25,
         "pl_chunk_overlap": pl_chunk_overlap,
@@ -10926,7 +10928,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_bbox_tiles_3d": rt_bbox_tiles_3d,
         "rt_map_tiles": rt_map_tiles,
         "rt_pyramid_sum": rt_pyramid_sum,
-        "rt_zonal_3d": rt_zonal_3d,
         # ===== round-11 driver head ends here (first 50) =====
         # --- round-10 head keys not retained above keep the registry
         # complete from here down (duplicates are no-ops) ---
@@ -10942,7 +10943,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pl_kripp": pl_kripp,
         "st_ewma": st_ewma,
         "pl_modularity": pl_modularity,
-        "pl_image_neardup": pl_image_neardup,
         "st_cramers_drift": st_cramers_drift,
         "ag_points_by_circles_sum": ag_points_by_circles_sum,
         "ag_points_by_circles_mean": ag_points_by_circles_mean,

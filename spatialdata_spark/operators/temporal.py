@@ -743,7 +743,11 @@ def acf_daily(
 
     A constant series (DEN = 0 — every calendar day has the same
     count) has no defined ACF and raises loudly, the ks_2sample
-    convention; so does an empty series.
+    convention; so do an empty series and a single-day series.  Both
+    raises ride a 1..max_lag lag SPINE so they fire even when no lag
+    has pairs (a column-attached raise on an empty result would be
+    silently bypassed).  Output rows cover the REALIZED lags only
+    (lag <= T-1); lags past the span are dropped, not zero-filled.
 
     Plan: one day-keyed count (the ONLY corpus-sized work), calendar
     densify + row-number over the day-calendar-sized table, one
@@ -789,7 +793,15 @@ def acf_daily(
             F.sum(F.col("__nb").cast(dec)).alias("__b"),
         )
     )
-    j = per_lag.crossJoin(F.broadcast(tot))
+    # join per-lag sums onto a 1..max_lag SPINE: the spine always has
+    # rows, so the empty-series / zero-variance loud errors below are
+    # evaluated even when NO lag has pairs (an empty per_lag would
+    # otherwise return [] silently, bypassing a column-attached raise)
+    lags = (
+        events.sparkSession.range(1, k + 1)
+        .select(F.col("id").cast("long").alias("lag"))
+    )
+    j = lags.crossJoin(F.broadcast(tot)).join(F.broadcast(per_lag), "lag", "left")
     num = (
         F.col("__t").cast(dec) * F.col("__t").cast(dec) * F.col("__p")
         - F.col("__t").cast(dec) * F.col("__s") * (F.col("__a") + F.col("__b"))
@@ -799,24 +811,32 @@ def acf_daily(
         F.col("__t").cast(dec) * F.col("__t").cast(dec) * F.col("__q")
         - F.col("__t").cast(dec) * F.col("__s") * F.col("__s")
     )
-    withnd = j.select("lag", "n_pairs", num.alias("__num"), den.alias("__den"))
-    err = F.lit(
-        "acf_daily: zero variance — every calendar day has the same count,"
-        " ACF is undefined"
+    # ONE filter expression carrying both raises: two conjuncts would
+    # let predicate reordering short-circuit past the guard on the
+    # cheap n_pairs null check, silently skipping the loud error
+    ok_pairs = (
+        F.when(
+            F.col("__t").isNull() | (F.col("__t") == 0),
+            F.raise_error(F.lit("acf_daily: empty series (no non-NULL timestamps)")),
+        )
+        .when(
+            den <= 0,
+            F.raise_error(
+                F.lit(
+                    "acf_daily: zero variance — every calendar day has the"
+                    " same count, ACF is undefined"
+                )
+            ),
+        )
+        .otherwise(F.col("n_pairs"))
     )
+    withnd = j.select(
+        "lag", "n_pairs", num.alias("__num"), den.alias("__den"), ok_pairs.alias("__ok")
+    ).filter(F.col("__ok").isNotNull())
     e6 = F.expr(
         "CASE WHEN __num >= 0"
         "  THEN CAST((__num * 2000000 + __den) div (__den * 2) AS BIGINT)"
         "  ELSE -CAST(((-__num) * 2000000 + __den) div (__den * 2) AS BIGINT)"
         " END"
     )
-    return (
-        withnd.select(
-            "lag",
-            "n_pairs",
-            F.when(F.col("__den") > 0, e6)
-            .otherwise(F.raise_error(err))
-            .alias("acf_e6"),
-        )
-        .orderBy("lag")
-    )
+    return withnd.select("lag", "n_pairs", e6.alias("acf_e6")).orderBy("lag")

@@ -1072,11 +1072,14 @@ def expected_calibration_error(
     int64 sum (DECIMAL inside, BIGINT out) and ``ece`` is ONE division,
     6 dp.  Bin = ``least(n_bins-1, p*n_bins div scale)`` — equal width,
     closed form, no sort anywhere.  NULL prob/label rows are DROPPED;
-    a probability OUTSIDE ``[0, scale]`` raises loudly (the module's
-    ks_2sample/token_gini convention) — a negative ``p_e6`` would
-    otherwise mint a phantom negative bin and an over-scale one would
-    clamp silently into the top bin, both corrupting ``n_bins_used``
-    and ``ece_num`` without a trace.
+    a probability OUTSIDE ``[0, scale]`` on a row that would otherwise
+    be counted raises loudly (the module's ks_2sample/token_gini
+    convention) — a negative ``p_e6`` would otherwise mint a phantom
+    negative bin and an over-scale one would clamp silently into the
+    top bin, both corrupting ``n_bins_used`` and ``ece_num`` without a
+    trace.  The guard deliberately skips rows the NULL drop already
+    excludes: a corrupt probability on a NULL-label row contributes
+    nothing and must not fail the job.
 
     Plan: one map-side-combinable aggregation to the n_bins-sized
     table, one 1-row rollup — the flattest shape in the family.
@@ -1087,10 +1090,13 @@ def expected_calibration_error(
     sc = int(scale)
     nb = int(n_bins)
     p_raw = F.col(prob_col).cast("long")
-    # NULL passes through (dropped by the filter below); only a
-    # NON-NULL out-of-range probability raises
+    y = F.col(label_col).cast("long")
+    # NULL-prob AND NULL-label rows pass through unvalidated (the
+    # documented DROP applies to them — a corrupt probability on a row
+    # the contract already excludes must not fail the job); only a
+    # row that would otherwise be COUNTED raises on out-of-range
     p = (
-        F.when(p_raw.isNull(), F.lit(None).cast("long"))
+        F.when(p_raw.isNull() | y.isNull(), p_raw)
         .when((p_raw >= 0) & (p_raw <= sc), p_raw)
         .otherwise(
             F.raise_error(
@@ -1101,7 +1107,6 @@ def expected_calibration_error(
             )
         )
     )
-    y = F.col(label_col).cast("long")
     base = scored.filter(p.isNotNull() & y.isNotNull()).select(
         # integer `div` keeps the bin edge exact (a double `/` could
         # mis-bin boundary probabilities by one ulp)

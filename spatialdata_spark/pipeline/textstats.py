@@ -2225,6 +2225,36 @@ def benford_deviation(
     ).orderBy("digit")
 
 
+def _grouped_value_cumulatives(counts: DataFrame):
+    """Shared scaffolding for the grid-cumulative drift family
+    (:func:`ks_matrix` / :func:`cliffs_delta`): densify the
+    ``(__g, val, __c)`` counts onto the full distinct-value grid x
+    group set and attach the per-group INCLUSIVE cumulative.  Returns
+    ``(cum, tot)``: ``cum = (__g, val, __c, __cum)`` with zero-filled
+    ``__c``, ``tot = (__g, __n)``.  Every table here is
+    (value domain x groups)-sized — metadata at any corpus scale — so
+    the joins BROADCAST by contract; a sort-merge join here would
+    smell like corpus work."""
+    from pyspark.sql.window import Window
+
+    grid = counts.select("val").distinct()
+    groups = counts.select("__g").distinct()
+    dense = grid.crossJoin(F.broadcast(groups)).join(
+        F.broadcast(counts), ["__g", "val"], "left"
+    )
+    w = Window.partitionBy("__g").orderBy("val").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = dense.select(
+        "__g",
+        "val",
+        F.coalesce(F.col("__c"), F.lit(0)).cast("long").alias("__c"),
+        F.sum(F.coalesce(F.col("__c"), F.lit(0))).over(w).cast("long").alias("__cum"),
+    )
+    tot = counts.groupBy("__g").agg(F.sum("__c").cast("long").alias("__n"))
+    return cum, tot
+
+
 def ks_matrix(
     docs: DataFrame,
     value_col: str = "n_chars",
@@ -2275,12 +2305,15 @@ def ks_matrix(
     persisting a corpus-sized lineage, so it assumes a deterministic
     input (a source table, not an uncached ``sample()``).
     """
-    from pyspark.sql.window import Window
-
     v = F.col(value_col)
     filtered = docs.filter(v.isNotNull() & F.col(group_col).isNotNull())
     if approx:
         nb = int(n_bins)
+        if nb < 2:
+            # one bin makes every ECDF identical and every pair report
+            # ks_stat = 0.0 ("no drift anywhere") — silently useless,
+            # so fail loudly (the acf_daily max_lag convention)
+            raise ValueError(f"ks_matrix: approx mode needs n_bins >= 2 (got {nb})")
         qs = [k / nb for k in range(1, nb)]
         edges = (
             filtered.agg(
@@ -2303,23 +2336,7 @@ def ks_matrix(
     counts = filtered.groupBy(
         F.col(group_col).alias("__g"), val_expr.alias("val")
     ).agg(F.count(F.lit(1)).cast("long").alias("__c"))
-    grid = counts.select("val").distinct()
-    groups = counts.select("__g").distinct()
-    # every table from here on is (value domain x groups)-sized —
-    # metadata at any corpus scale — so the joins BROADCAST by
-    # contract; a sort-merge join here would smell like corpus work
-    dense = grid.crossJoin(F.broadcast(groups)).join(
-        F.broadcast(counts), ["__g", "val"], "left"
-    )
-    w = Window.partitionBy("__g").orderBy("val").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    cum = dense.select(
-        "__g",
-        "val",
-        F.sum(F.coalesce(F.col("__c"), F.lit(0))).over(w).cast("long").alias("__cum"),
-    )
-    tot = counts.groupBy("__g").agg(F.sum("__c").cast("long").alias("__n"))
+    cum, tot = _grouped_value_cumulatives(counts)
     a = (
         cum.join(F.broadcast(tot), "__g")
         .select(
@@ -2404,8 +2421,6 @@ def cliffs_delta(
     Output: ``(group_a, group_b, n_a, n_b, gt_pairs, lt_pairs, delta,
     magnitude)`` for group_a < group_b, ordered.
     """
-    from pyspark.sql.window import Window
-
     dec = "decimal(38,0)"
     v = F.col(value_col)
     counts = (
@@ -2413,21 +2428,7 @@ def cliffs_delta(
         .groupBy(F.col(group_col).alias("__g"), v.alias("val"))
         .agg(F.count(F.lit(1)).cast("long").alias("__c"))
     )
-    grid = counts.select("val").distinct()
-    groups = counts.select("__g").distinct()
-    dense = grid.crossJoin(F.broadcast(groups)).join(
-        F.broadcast(counts), ["__g", "val"], "left"
-    )
-    w = Window.partitionBy("__g").orderBy("val").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    cum = dense.select(
-        "__g",
-        "val",
-        F.coalesce(F.col("__c"), F.lit(0)).cast("long").alias("__c"),
-        F.sum(F.coalesce(F.col("__c"), F.lit(0))).over(w).cast("long").alias("__cum"),
-    )
-    tot = counts.groupBy("__g").agg(F.sum("__c").cast("long").alias("__n"))
+    cum, tot = _grouped_value_cumulatives(counts)
     a = cum.join(F.broadcast(tot), "__g").select(
         F.col("__g").alias("group_a"),
         "val",
@@ -2523,26 +2524,32 @@ def herfindahl_index(
     err = F.lit("herfindahl_index: empty corpus (no non-NULL groups)")
     n2 = F.col("__n") * F.col("__n")
     k = F.col("n_groups").cast(dec)
+
+    def g(col):
+        # the loud empty-corpus error guards EVERY output column:
+        # attached to one column only, Catalyst's column pruning would
+        # silently bypass it under a narrower select
+        return F.when(F.col("__n") > 0, col).otherwise(F.raise_error(err))
+
     return agg.select(
-        F.col("__n").cast("long").alias("n_docs"),
-        "n_groups",
-        F.col("__sq").cast("long").alias("sum_sq"),
-        F.when(
-            F.col("__n") > 0,
-            F.round(F.col("__top").cast("double") / F.col("__n").cast("double"), 6),
-        )
-        .otherwise(F.raise_error(err))
-        .alias("top_share"),
-        F.round(F.col("__sq").cast("double") / n2.cast("double"), 6).alias("hhi"),
-        F.when(
-            F.col("n_groups") > 1,
-            F.round(
-                (k * F.col("__sq") - n2).cast("double")
-                / (n2 * (k - 1)).cast("double"),
-                6,
-            ),
+        g(F.col("__n").cast("long")).alias("n_docs"),
+        g(F.col("n_groups")).alias("n_groups"),
+        g(F.col("__sq").cast("long")).alias("sum_sq"),
+        g(
+            F.round(F.col("__top").cast("double") / F.col("__n").cast("double"), 6)
+        ).alias("top_share"),
+        g(F.round(F.col("__sq").cast("double") / n2.cast("double"), 6)).alias("hhi"),
+        g(
+            F.when(
+                F.col("n_groups") > 1,
+                F.round(
+                    (k * F.col("__sq") - n2).cast("double")
+                    / (n2 * (k - 1)).cast("double"),
+                    6,
+                ),
+            )
         ).alias("hhi_norm"),
-        F.round(n2.cast("double") / F.col("__sq").cast("double"), 6).alias(
+        g(F.round(n2.cast("double") / F.col("__sq").cast("double"), 6)).alias(
             "eff_groups"
         ),
     )

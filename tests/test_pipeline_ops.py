@@ -5107,6 +5107,20 @@ def test_ece_matches_python(spark):
         [(1_000_000, 0)] * 50 + [(0, 1)] * 50, ["p_e6", "label"]
     )
     assert expected_calibration_error(bad).collect()[0]["ece"] == 1.0
+    # out-of-range probability on a COUNTED row: loud error
+    import pytest
+
+    oor = spark.createDataFrame(
+        [(500_000, 1), (-5, 0)], "p_e6: long, label: int"
+    )
+    with pytest.raises(Exception, match="outside"):
+        expected_calibration_error(oor).collect()
+    # ...but NOT on a row the NULL drop already excludes
+    dropped = spark.createDataFrame(
+        [(500_000, 1), (-5, None), (None, 0)], "p_e6: long, label: int"
+    )
+    ok = expected_calibration_error(dropped).collect()[0]
+    assert ok["n"] == 1
 
 
 def test_mann_whitney_u_matches_python(spark):
@@ -5548,6 +5562,11 @@ def test_ks_matrix_approx_high_cardinality(spark):
 
     # the grid the downstream machinery saw is n_bins-bounded
     assert all(1 <= bv <= n_bins for vals in by_src.values() for bv in vals)
+    # a 1-bin "matrix" would report zero drift everywhere: loud error
+    import pytest
+
+    with pytest.raises(ValueError, match="n_bins"):
+        ks_matrix(df, value_col="score", approx=True, n_bins=1)
 
 
 def test_krippendorff_alpha_matches_fractions(spark):
@@ -5816,10 +5835,13 @@ def test_herfindahl_index_closed_form(spark):
         spark.createDataFrame([(1, "a"), (2, None), (3, "b")], ["doc_id", "source"])
     ).collect()[0]
     assert holey["n_docs"] == 2
-    # empty corpus raises loudly
+    # empty corpus raises loudly — on EVERY column, so a narrowed
+    # select can't prune the guard away
     empty = spark.createDataFrame([(1, None)], "doc_id: long, source: string")
     with pytest.raises(Exception, match="empty corpus"):
         herfindahl_index(empty).collect()
+    with pytest.raises(Exception, match="empty corpus"):
+        herfindahl_index(empty).select("hhi", "eff_groups").collect()
 
 
 def test_acf_daily_matches_fractions(spark):
@@ -5869,3 +5891,20 @@ def test_acf_daily_matches_fractions(spark):
         acf_daily(const, max_lag=3).collect()
     with pytest.raises(ValueError, match="max_lag"):
         acf_daily(edf, max_lag=0)
+    # empty and single-day series raise loudly too (the lag spine
+    # keeps the guard evaluable even when no lag has pairs)
+    empty = spark.createDataFrame([(1, None)], "event_id: long, ts: timestamp")
+    with pytest.raises(Exception, match="empty series"):
+        acf_daily(empty, max_lag=3).collect()
+    oneday = spark.createDataFrame(
+        [(i, base + datetime.timedelta(hours=i)) for i in range(5)],
+        ["event_id", "ts"],
+    )
+    with pytest.raises(Exception, match="zero variance"):
+        acf_daily(oneday, max_lag=3).collect()
+    # lags past the span are dropped, not zero-filled
+    twoday = spark.createDataFrame(
+        [(0, base), (1, base), (2, base + datetime.timedelta(days=1))],
+        ["event_id", "ts"],
+    )
+    assert [r["lag"] for r in acf_daily(twoday, max_lag=5).collect()] == [1]

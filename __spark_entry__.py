@@ -7736,19 +7736,17 @@ def _copurchase_edges(spark, sf_dir):
     fan-out is constant-bounded (the group-size contract stated where
     this repo generates within-group pairs).
 
-    The distinct (order, part) projection is persisted: both self-join
-    sides consume it, and without the persist each side recomputes the
-    lineitem scan + distinct (the q_assoc_rules audit pattern)."""
-    from pyspark import StorageLevel
-
+    Persist-audit decision (r11): the distinct projection is NOT
+    persisted here.  It has exactly TWO consumers (the self-join
+    sides), both inside the single materialization of the consuming
+    graph function's internal edge persist — a persist would trade one
+    recompute for a cache write + two reads, a wash — unlike
+    q_assoc_rules (four consumers, one a separate count action) and
+    pl_ppr_seeds (four recomputes), which persist."""
     li = _read(spark, sf_dir, "lineitem")
-    op = (
-        li.select(
-            F.col("l_orderkey").alias("o"), F.col("l_partkey").cast("long").alias("p")
-        )
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").cast("long").alias("p")
+    ).distinct()
     a, b = op.alias("a"), op.alias("b")
     return a.join(
         b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p"))
@@ -10268,20 +10266,16 @@ def pl_wcc(spark, sf_dir):
     recursive CTE.  Thresholding keeps the graph genuinely
     multi-component (the unthresholded projection is one giant
     blob)."""
-    from pyspark import StorageLevel
-
     from spatialdata_spark.pipeline.dedup import connected_components
 
     li = _read(spark, sf_dir, "lineitem")
-    # persisted: both self-join sides read the distinct projection
-    # (the q_assoc_rules audit pattern)
-    op = (
-        li.select(
-            F.col("l_orderkey").alias("o"), F.col("l_partkey").cast("long").alias("p")
-        )
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # persist-audit decision (r11): two consumers, both inside the one
+    # materialization of connected_components' first localCheckpoint —
+    # a persist here is a recompute-vs-cache-write wash (see the
+    # _copurchase_edges note), so the distinct stays bare
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").cast("long").alias("p")
+    ).distinct()
     a, b = op.alias("a"), op.alias("b")
     strong = (
         a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
@@ -10880,11 +10874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pl_hhi": pl_hhi,
         # --- (2) code/oracle modified this round ---
         "q_assoc_rules": q_assoc_rules,
-        "pl_wcc": pl_wcc,
         "pl_ppr_seeds": pl_ppr_seeds,
-        "pl_triangles": pl_triangles,
-        "pl_graph_stats": pl_graph_stats,
-        "pl_link_pred": pl_link_pred,
         "pl_ks_matrix": pl_ks_matrix,
         "pl_ece": pl_ece,
         "pl_image_dhash": pl_image_dhash,
@@ -10916,7 +10906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_sliding": st_sliding,
         "st_topk_per_user": st_topk_per_user,
         "st_value_quantiles": st_value_quantiles,
-        # --- (3b) backfill: first 11 of the 14 named r5 rows ---
+        # --- (3b) backfill: all 14 named r5 rows + rv_to_circles ---
         "ag_fractions_concave": ag_fractions_concave,
         "pl_bm25": pl_bm25,
         "pl_chunk_overlap": pl_chunk_overlap,
@@ -10928,10 +10918,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_bbox_tiles_3d": rt_bbox_tiles_3d,
         "rt_map_tiles": rt_map_tiles,
         "rt_pyramid_sum": rt_pyramid_sum,
+        "rt_zonal_3d": rt_zonal_3d,
+        "rv_rasterize_bins": rv_rasterize_bins,
+        "rv_relabel": rv_relabel,
+        "rv_to_circles": rv_to_circles,
         # ===== round-11 driver head ends here (first 50) =====
         # --- round-10 head keys not retained above keep the registry
         # complete from here down (duplicates are no-ops) ---
         "pl_mcc": pl_mcc,
+        "pl_wcc": pl_wcc,
+        "pl_triangles": pl_triangles,
+        "pl_graph_stats": pl_graph_stats,
+        "pl_link_pred": pl_link_pred,
         "pl_pr_curve": pl_pr_curve,
         "pl_mwu_lengths": pl_mwu_lengths,
         "pl_token_gini": pl_token_gini,

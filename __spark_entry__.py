@@ -10852,21 +10852,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries, and a key's position is set by its FIRST occurrence (the
     # tail below repeats some keys — harmless no-ops).  Round-11 head,
     # mechanically per the rotation rule: (1) the three new queries;
-    # (2) every query whose code or oracle changed this round — the
-    # persist-audit family (q_assoc_rules + the co-purchase distinct
-    # consumers pl_wcc / pl_ppr_seeds / pl_triangles / pl_graph_stats /
-    # pl_link_pred), pl_ks_matrix (approx-mode refactor; exact path is
+    # (2) every query whose code or oracle changed this round —
+    # q_assoc_rules + pl_ppr_seeds (persist audit: 4 consumers / 4
+    # recomputes of an unpersisted distinct; the 2-consumer cases
+    # _copurchase_edges and pl_wcc were audited and deliberately left
+    # BYTE-IDENTICAL in behavior — a persist there is a recompute-vs-
+    # cache-write wash inside one internal-persist materialization,
+    # see their code comments — so their seven consumers pl_wcc /
+    # pl_triangles / pl_graph_stats / pl_link_pred / pl_random_walks /
+    # pl_kcore / pl_hop_dist / pl_modularity are NOT modified and do
+    # NOT rotate), pl_ks_matrix (approx-mode refactor; exact path is
     # the registry contract), pl_ece (out-of-range loud error in the
-    # live plan), pl_image_dhash (oversize error now names the row).
-    # pl_image_neardup also runs the changed image_dhash kernel, so it
-    # rotates too.  pl_calibration / pl_lift / pl_pr_curve are NOT
-    # modified: the _approx_rank_bins persist only runs under
-    # approx=True, which no registry query uses; pl_dup_profile /
-    # pl_centroid_cosine changed docstrings only.
+    # live plan), pl_image_dhash AND pl_image_neardup (both execute
+    # the changed image_dhash kernel).  pl_calibration / pl_lift /
+    # pl_pr_curve are NOT modified: the _approx_rank_bins persist only
+    # runs under approx=True, which no registry query uses;
+    # pl_dup_profile / pl_centroid_cosine changed docstrings only.
     # (3) backfill with the oldest driver-green rows: all 26 r4-stale
-    # (7 rounds) + the first 11 of the 14 r5-stale the r10 verdict
-    # named (rt_zonal_3d / rv_rasterize_bins / rv_relabel yield to the
-    # three extra modified slots; they head the r12 backfill queue).
+    # (7 rounds) + ALL 14 r5-stale rows the r10 verdict named + the
+    # next-oldest r5 row (rv_to_circles) in the freed slot.  The r12
+    # backfill queue therefore starts at the REMAINING r5 rows
+    # (rv_to_polygons, rv_transform_points, rv_transform_shapes,
+    # sq_raster_3d, st_asof_attrib, st_interval_conversions) and then
+    # the r6 batch.
     return {
         # --- (1) new in round 11 ---
         "st_acf": st_acf,

@@ -820,11 +820,15 @@ def acf_daily(
             F.raise_error(F.lit("acf_daily: empty series (no non-NULL timestamps)")),
         )
         .when(
-            den <= 0,
+            # den NULL = DECIMAL(38,0) overflow of T^2*Q - T*S^2 under
+            # non-ANSI decimal arithmetic: must stay LOUD, not leak
+            # silent NULL acf_e6 rows (den <= 0 alone is NULL-blind)
+            den.isNull() | (den <= 0),
             F.raise_error(
                 F.lit(
-                    "acf_daily: zero variance — every calendar day has the"
-                    " same count, ACF is undefined"
+                    "acf_daily: zero variance or DECIMAL overflow in the"
+                    " denominator — every calendar day has the same count,"
+                    " or T^2*Q exceeds 38 digits"
                 )
             ),
         )

@@ -844,3 +844,98 @@ def acf_daily(
         " END"
     )
     return withnd.select("lag", "n_pairs", e6.alias("acf_e6")).orderBy("lag")
+
+
+def weekday_profile(
+    events: DataFrame,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Day-of-week event profile with an EXACT chi-square uniformity
+    statistic — the calendar-shaped companion of :func:`acf_daily`
+    (ACF detects that a weekly cycle exists; this names WHICH weekdays
+    carry it, and the chi-square grades how far the stream sits from
+    the uniform-rate null).  r12 registry candidate (the
+    library-level-first modularity precedent).
+
+    INTEGER-RATIONAL CONTRACT: with ``o_d`` the event count on ISO
+    weekday ``d`` (Monday=1..Sunday=7 on BOTH engines: Spark
+    ``weekday()+1`` = DuckDB ``isodow``) and ``N = sum o_d``::
+
+        dev_d = o_d/N - 1/7 = (7*o_d - N) / (7*N)
+        chi2  = sum_d (o_d - N/7)^2 / (N/7) = sum_d (7*o_d - N)^2 / (7*N)
+
+    both exact rationals — DECIMAL(38,0) inside (the squared term
+    bounds int64 well below real corpora; fits 38 digits while
+    ``N < ~5e17``), emitted as half-away-from-zero (``dev_e6``) /
+    half-up (``chi2_e6``) int64 microunits.  ``frac`` is one division
+    of exact integers, 6 dp.  NULL timestamps dropped (the family
+    convention); an EMPTY series raises loudly on every output column
+    (the herfindahl per-column pattern — the 7-row weekday spine
+    always exists, so the raise is always evaluable).
+
+    Plan: one weekday-keyed count (the only corpus-sized work; 7
+    groups, map-side combinable), then everything runs on the 7-row
+    spine — the flattest temporal shape.
+
+    Output: 7 rows ``(dow, n_events, frac, dev_e6, chi2_e6)`` ordered
+    by dow; ``chi2_e6`` is the same whole-profile statistic repeated
+    per row (grid-constant column, the benford_frac convention).
+    """
+    dec = "decimal(38,0)"
+    counts = (
+        events.filter(F.col(ts_col).isNotNull())
+        .groupBy((F.expr(f"weekday({ts_col})") + 1).cast("int").alias("dow"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    spine = events.sparkSession.range(1, 8).select(F.col("id").cast("int").alias("dow"))
+    dense = spine.join(F.broadcast(counts), "dow", "left").select(
+        "dow", F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events")
+    )
+    n_tot = dense.agg(F.sum("n_events").cast("long").alias("__n"))
+    d7row = (
+        F.lit(7).cast(dec) * F.col("n_events").cast(dec) - F.col("__n").cast(dec)
+    )
+    stats = (
+        dense.crossJoin(F.broadcast(n_tot))
+        .agg(
+            F.max("__n").cast("long").alias("__n"),
+            F.sum(d7row * d7row).alias("__x2"),
+        )
+    )
+    j = dense.crossJoin(F.broadcast(stats))
+    err = F.lit("weekday_profile: empty series (no non-NULL timestamps)")
+
+    def g(col):
+        return F.when(F.col("__n") > 0, col).otherwise(F.raise_error(err))
+
+    return (
+        j.select(
+            "dow",
+            "n_events",
+            "__n",
+            "__x2",
+            (
+                F.lit(7).cast(dec) * F.col("n_events").cast(dec)
+                - F.col("__n").cast(dec)
+            ).alias("__d7"),
+        )
+        .select(
+            g(F.col("dow")).alias("dow"),
+            g(F.col("n_events")).alias("n_events"),
+            g(F.round(F.col("n_events") / F.col("__n"), 6)).alias("frac"),
+            g(
+                F.expr(
+                    "CASE WHEN __d7 >= 0"
+                    "  THEN CAST((__d7 * 2000000 + 7 * __n) div (14 * __n) AS BIGINT)"
+                    "  ELSE -CAST(((-__d7) * 2000000 + 7 * __n) div (14 * __n) AS BIGINT)"
+                    " END"
+                )
+            ).alias("dev_e6"),
+            g(
+                F.expr(
+                    "CAST((__x2 * 2000000 + 7 * __n) div (14 * __n) AS BIGINT)"
+                )
+            ).alias("chi2_e6"),
+        )
+        .orderBy("dow")
+    )

@@ -5908,3 +5908,99 @@ def test_acf_daily_matches_fractions(spark):
         ["event_id", "ts"],
     )
     assert [r["lag"] for r in acf_daily(twoday, max_lag=5).collect()] == [1]
+
+
+def test_cramer_von_mises_matches_fractions(spark):
+    """r12 registry candidate: exact integer-rational CvM — pinned
+    against the Fractions grid form AND the textbook per-observation
+    Anderson form (they are algebraically identical)."""
+    import random
+    from collections import Counter
+    from fractions import Fraction
+    from math import floor
+
+    import pytest
+
+    from spatialdata_spark.pipeline.textstats import cramer_von_mises_2sample
+
+    rng = random.Random(5)
+    A = [rng.randint(0, 50) for _ in range(120)]
+    B = [rng.randint(10, 60) for _ in range(80)]
+    rows = [(i, "src0", v) for i, v in enumerate(A)] + [
+        (1000 + i, "src1", v) for i, v in enumerate(B)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"])
+    r = cramer_von_mises_2sample(df).collect()[0]
+    ca, cb = Counter(A), Counter(B)
+    na, nb = len(A), len(B)
+    cuma = cumb = num = 0
+    for v in sorted(set(A) | set(B)):
+        cuma += ca.get(v, 0)
+        cumb += cb.get(v, 0)
+        d = cuma * nb - cumb * na
+        num += (ca.get(v, 0) + cb.get(v, 0)) * d * d
+    T = Fraction(num, na * nb * (na + nb) ** 2)
+    assert (r["n_a"], r["n_b"], r["cvm_e6"]) == (na, nb, floor(T * 10**6 + Fraction(1, 2)))
+    # the grid form IS Anderson's per-observation form
+    Traw = Fraction(0)
+    for x in A + B:
+        g = Fraction(sum(1 for t in A if t <= x), na) - Fraction(
+            sum(1 for t in B if t <= x), nb
+        )
+        Traw += g * g
+    assert Traw * Fraction(na * nb, (na + nb) ** 2) == T
+    # identical distributions score exactly 0; disjoint ones score high
+    same = spark.createDataFrame(
+        [(i, "src0", i % 20) for i in range(100)]
+        + [(1000 + i, "src1", i % 20) for i in range(100)],
+        ["doc_id", "source", "n_chars"],
+    )
+    assert cramer_von_mises_2sample(same).collect()[0]["cvm_e6"] == 0
+    # empty group raises loudly even under a narrowed select
+    with pytest.raises(Exception, match="empty group"):
+        cramer_von_mises_2sample(df, group_a="nope").select("cvm_e6").collect()
+
+
+def test_weekday_profile_matches_fractions(spark):
+    """r12 registry candidate: ISO-weekday profile with exact dev_e6 /
+    chi2_e6 rationals; empty series raises on every column."""
+    import datetime
+    from fractions import Fraction
+    from math import floor
+
+    import pytest
+
+    from spatialdata_spark.operators.temporal import weekday_profile
+
+    base = datetime.datetime(2024, 1, 1)  # a Monday
+    ev = []
+    for d in range(56):
+        for j in range(5 + (d % 7) * 2):
+            ev.append((len(ev), base + datetime.timedelta(days=d, hours=j)))
+    ev.append((len(ev), None))  # NULL ts dropped
+    df = spark.createDataFrame(ev, ["event_id", "ts"])
+    rows = weekday_profile(df).collect()
+    cnt = {d: 0 for d in range(1, 8)}
+    for _, t in ev:
+        if t is not None:
+            cnt[t.isoweekday()] += 1
+    N = sum(cnt.values())
+    x2 = Fraction(sum((7 * o - N) ** 2 for o in cnt.values()), 7 * N)
+    x2_e6 = floor(x2 * 10**6 + Fraction(1, 2))
+    assert [r["dow"] for r in rows] == list(range(1, 8))
+    for r in rows:
+        d = r["dow"]
+        dev = Fraction(7 * cnt[d] - N, 7 * N)
+        dev_e6 = floor(abs(dev) * 10**6 + Fraction(1, 2)) * (1 if dev >= 0 else -1)
+        assert (r["n_events"], r["dev_e6"], r["chi2_e6"]) == (cnt[d], dev_e6, x2_e6)
+        assert r["frac"] == round(cnt[d] / N, 6)
+    # a perfectly uniform week scores chi2 exactly 0
+    uni = spark.createDataFrame(
+        [(i, base + datetime.timedelta(days=i % 7)) for i in range(70)],
+        ["event_id", "ts"],
+    )
+    assert all(r["chi2_e6"] == 0 and r["dev_e6"] == 0 for r in weekday_profile(uni).collect())
+    # empty series raises on every column, even narrowed
+    empty = spark.createDataFrame([(1, None)], "event_id: long, ts: timestamp")
+    with pytest.raises(Exception, match="empty series"):
+        weekday_profile(empty).select("frac").collect()

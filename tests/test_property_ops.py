@@ -1004,3 +1004,73 @@ def test_acf_property_matches_fractions(spark, seed, n_days, gap_p):
             1 if exact >= 0 else -1
         )
         assert (r["acf_e6"], r["n_pairs"]) == (e6, T - k)
+
+
+@given(seed=st.integers(0, 10**6), width=st.integers(1, 40))
+@SET
+def test_cvm_property_matches_fractions(spark, seed, width):
+    """Random two-group integer samples (heavy ties at width=1): the
+    CvM microunits match the exact Fractions grid form; statistic is
+    non-negative and zero iff the ECDFs coincide on the grid."""
+    from collections import Counter
+    from fractions import Fraction
+
+    from spatialdata_spark.pipeline.textstats import cramer_von_mises_2sample
+
+    rng = random.Random(seed)
+    A = [rng.randint(0, width) for _ in range(rng.randint(3, 40))]
+    B = [rng.randint(0, width) for _ in range(rng.randint(3, 40))]
+    rows = [(i, "src0", v) for i, v in enumerate(A)] + [
+        (1000 + i, "src1", v) for i, v in enumerate(B)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"])
+    r = cramer_von_mises_2sample(df).collect()[0]
+    ca, cb = Counter(A), Counter(B)
+    na, nb = len(A), len(B)
+    cuma = cumb = num = 0
+    for v in sorted(set(A) | set(B)):
+        cuma += ca.get(v, 0)
+        cumb += cb.get(v, 0)
+        d = cuma * nb - cumb * na
+        num += (ca.get(v, 0) + cb.get(v, 0)) * d * d
+    T = Fraction(num, na * nb * (na + nb) ** 2)
+    e6 = math.floor(T * 10**6 + Fraction(1, 2))
+    assert (r["n_a"], r["n_b"], r["cvm_e6"]) == (na, nb, e6)
+    assert r["cvm_e6"] >= 0
+    if num == 0:
+        assert r["cvm_e6"] == 0
+
+
+@given(seed=st.integers(0, 10**6), n_days=st.integers(1, 30))
+@SET
+def test_weekday_profile_property_matches_fractions(spark, seed, n_days):
+    """Random event calendars: every dev_e6/chi2_e6 matches the exact
+    Fractions replay; devs sum to ~0 (exact rationals do); the profile
+    always covers the full 7-day spine."""
+    import datetime
+    from fractions import Fraction
+
+    from spatialdata_spark.operators.temporal import weekday_profile
+
+    rng = random.Random(seed)
+    base = datetime.datetime(2024, 3, 4)  # a Monday
+    ev = []
+    for d in range(n_days):
+        for j in range(rng.randint(1, 15)):
+            ev.append((len(ev), base + datetime.timedelta(days=d, hours=j % 24)))
+    df = spark.createDataFrame(ev, ["event_id", "ts"])
+    rows = weekday_profile(df).collect()
+    cnt = {d: 0 for d in range(1, 8)}
+    for _, t in ev:
+        cnt[t.isoweekday()] += 1
+    N = sum(cnt.values())
+    x2_e6 = math.floor(
+        Fraction(sum((7 * o - N) ** 2 for o in cnt.values()), 7 * N) * 10**6
+        + Fraction(1, 2)
+    )
+    assert [r["dow"] for r in rows] == list(range(1, 8))
+    for r in rows:
+        dev = Fraction(7 * cnt[r["dow"]] - N, 7 * N)
+        dev_e6 = math.floor(abs(dev) * 10**6 + Fraction(1, 2)) * (1 if dev >= 0 else -1)
+        assert (r["n_events"], r["dev_e6"], r["chi2_e6"]) == (cnt[r["dow"]], dev_e6, x2_e6)
+    assert abs(sum(r["dev_e6"] for r in rows)) <= 4  # rounding residue only

@@ -59,7 +59,7 @@ def main(max_mult: int = 8, only: list[str] | None = None) -> None:
     )
     from spatialdata_spark.operators.temporal import rolling_active_users
     from spatialdata_spark.pipeline.clustering import gram_matrix
-    from spatialdata_spark.pipeline.textstats import cliffs_delta, curation_funnel, herfindahl_index
+    from spatialdata_spark.pipeline.textstats import cliffs_delta, cramer_von_mises_2sample, curation_funnel, herfindahl_index
     from spatialdata_spark.operators.rasterize import rasterize_points
 
     from spatialdata_spark.pipeline.clustering import (
@@ -119,7 +119,7 @@ def main(max_mult: int = 8, only: list[str] | None = None) -> None:
         duplication_profile,
     )
     from spatialdata_spark.pipeline.similarity import centroid_cosine
-    from spatialdata_spark.operators.temporal import acf_daily, cusum_drift, ewma_daily
+    from spatialdata_spark.operators.temporal import acf_daily, cusum_drift, ewma_daily, weekday_profile
     from spatialdata_spark.pipeline.textstats import (
         benford_deviation,
         chi2_tokens,
@@ -880,6 +880,10 @@ def main(max_mult: int = 8, only: list[str] | None = None) -> None:
             "cliffs_delta": lambda: cliffs_delta(docs).collect(),
             # group-keyed count + 1-row rollup — the flattest shape
             "hhi": lambda: herfindahl_index(docs).collect(),
+            # r12 candidates: same grid/calendar shapes as ks_2sample /
+            # cusum — value grid and the 7-day spine saturate
+            "cvm": lambda: cramer_von_mises_2sample(docs).collect(),
+            "weekday_profile": lambda: weekday_profile(ev).collect(),
         }
         if only:
             cases = {k: v for k, v in cases.items() if k in only}

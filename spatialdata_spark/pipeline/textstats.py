@@ -2656,3 +2656,69 @@ def cramer_von_mises_2sample(
         g(F.col("n_b")).alias("n_b"),
         g(e6).alias("cvm_e6"),
     )
+
+
+def theil_index(
+    docs: DataFrame,
+    group_col: str = "source",
+) -> DataFrame:
+    """Theil T concentration of a corpus over its groups — the
+    entropy-based companion of :func:`herfindahl_index` (HHI weights
+    big groups quadratically; Theil is the information-theoretic form
+    that decomposes, so mixture dashboards often track both)::
+
+        T      = sum_g (c_g / N) * ln(c_g * k / N)     in [0, ln k]
+        T_norm = T / ln(k)                             in [0, 1]
+
+    r12 registry candidate (the library-level-first modularity
+    precedent).
+
+    Float contract (the jsd_sources / cooccur_pmi precedent, both
+    registry-green): every ln argument is one division of exact
+    integers — identical doubles on any engine — and the sum has
+    GROUP-count arity (tens), so 6-dp rounding absorbs libm's
+    last-ulp latitude exactly as it does for JSD.  ``T_norm`` is NULL
+    when k = 1 (ln 1 = 0; a one-group corpus has T = 0 and no
+    normalized form — the hhi_norm convention).  NULL groups dropped;
+    an empty corpus raises loudly on EVERY output column (the
+    herfindahl per-column pattern).
+
+    Plan: one group-keyed count (the only corpus-sized work) + one
+    1-row rollup over the groups-sized table — the herfindahl shape.
+
+    Output: one row ``(n_docs, n_groups, theil, theil_norm)``.
+    """
+    per = (
+        docs.filter(F.col(group_col).isNotNull())
+        .groupBy(F.col(group_col).alias("__g"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    tot = per.agg(
+        F.sum("__c").cast("long").alias("__n"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+    )
+    term = (F.col("__c") / F.col("__n")) * F.log(
+        F.col("__c") * F.col("n_groups") / F.col("__n")
+    )
+    # GLOBAL agg (not a groupBy): it always yields one row, so the
+    # empty-corpus raise below stays evaluable when `per` is empty —
+    # a groupBy over zero rows would return zero rows and silently
+    # bypass the guard (the acf_daily lag-spine lesson)
+    tsum = per.crossJoin(F.broadcast(tot)).agg(F.sum(term).alias("__t"))
+    agg = tot.crossJoin(F.broadcast(tsum))
+    err = F.lit("theil_index: empty corpus (no non-NULL groups)")
+
+    def g(col):
+        return F.when(F.col("__n") > 0, col).otherwise(F.raise_error(err))
+
+    return agg.select(
+        g(F.col("__n")).alias("n_docs"),
+        g(F.col("n_groups")).alias("n_groups"),
+        g(F.round(F.col("__t"), 6)).alias("theil"),
+        g(
+            F.when(
+                F.col("n_groups") > 1,
+                F.round(F.col("__t") / F.log(F.col("n_groups").cast("double")), 6),
+            )
+        ).alias("theil_norm"),
+    )

@@ -6004,3 +6004,39 @@ def test_weekday_profile_matches_fractions(spark):
     empty = spark.createDataFrame([(1, None)], "event_id: long, ts: timestamp")
     with pytest.raises(Exception, match="empty series"):
         weekday_profile(empty).select("frac").collect()
+
+
+def test_theil_index_closed_form(spark):
+    """r12 registry candidate: Theil T concentration — closed-form
+    python replay (same float op order), hhi-style edge conventions."""
+    import math
+    from collections import Counter
+
+    import pytest
+
+    from spatialdata_spark.pipeline.textstats import theil_index
+
+    rows = [(i, f"s{i % 4}") for i in range(100)] + [
+        (1000 + i, "s0") for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    r = theil_index(df).collect()[0]
+    c = Counter(s for _, s in rows)
+    N, k = sum(c.values()), len(c)
+    T = sum((v / N) * math.log(v * k / N) for v in c.values())
+    assert (r["n_docs"], r["n_groups"]) == (N, k)
+    assert r["theil"] == round(T, 6)
+    assert r["theil_norm"] == round(T / math.log(k), 6)
+    # perfectly uniform groups: T = 0 exactly; one group: norm is NULL
+    uni = theil_index(
+        spark.createDataFrame([(i, f"s{i % 5}") for i in range(50)], ["doc_id", "source"])
+    ).collect()[0]
+    assert uni["theil"] == 0.0 and uni["theil_norm"] == 0.0
+    one = theil_index(
+        spark.createDataFrame([(1, "x"), (2, "x")], ["doc_id", "source"])
+    ).collect()[0]
+    assert one["theil"] == 0.0 and one["theil_norm"] is None
+    # empty corpus raises on every column, even narrowed
+    empty = spark.createDataFrame([(1, None)], "doc_id: long, source: string")
+    with pytest.raises(Exception, match="empty corpus"):
+        theil_index(empty).select("theil").collect()

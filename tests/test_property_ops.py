@@ -1074,3 +1074,33 @@ def test_weekday_profile_property_matches_fractions(spark, seed, n_days):
         dev_e6 = math.floor(abs(dev) * 10**6 + Fraction(1, 2)) * (1 if dev >= 0 else -1)
         assert (r["n_events"], r["dev_e6"], r["chi2_e6"]) == (cnt[r["dow"]], dev_e6, x2_e6)
     assert abs(sum(r["dev_e6"] for r in rows)) <= 4  # rounding residue only
+
+
+@given(seed=st.integers(0, 10**6), n_src=st.integers(2, 8))
+@SET
+def test_theil_property_matches_sequential(spark, seed, n_src):
+    """Random group-size profiles: theil matches the python replay,
+    sits in [0, ln k], and theil_norm in [0, 1]; permuting group
+    labels leaves both invariant (concentration is label-free)."""
+    from collections import Counter
+
+    from spatialdata_spark.pipeline.textstats import theil_index
+
+    rng = random.Random(seed)
+    rows = [(i, f"s{rng.randrange(n_src)}") for i in range(rng.randint(n_src, 150))]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    r = theil_index(df).collect()[0]
+    c = Counter(s for _, s in rows)
+    N, k = sum(c.values()), len(c)
+    T = sum((v / N) * math.log(v * k / N) for v in c.values())
+    assert (r["n_docs"], r["n_groups"]) == (N, k)
+    assert r["theil"] == round(T, 6)
+    assert -1e-9 <= r["theil"] <= math.log(k) + 1e-9
+    if k > 1:
+        assert -1e-9 <= r["theil_norm"] <= 1.0 + 1e-9
+    perm = spark.createDataFrame(
+        [(i, "s" + str((int(s[1:]) + 3) % n_src + 100)) for i, s in rows],
+        ["doc_id", "source"],
+    )
+    r2 = theil_index(perm).collect()[0]
+    assert r2["theil"] == r["theil"]

@@ -2722,3 +2722,99 @@ def theil_index(
             )
         ).alias("theil_norm"),
     )
+
+
+def mutual_information(
+    docs: DataFrame,
+    row_col: str = "source",
+    col_col: str = "lang",
+) -> DataFrame:
+    """Mutual information (nats) between two categorical metadata
+    columns — the association gate that answers "does source predict
+    language?" before a mixture reweighting treats them as
+    independent axes; the information-theoretic counterpart of
+    :func:`cramers_v` (drift family) on the same contingency table.
+    r12 registry candidate (the library-level-first modularity
+    precedent)::
+
+        MI  = sum_ij (n_ij/N) * ln(n_ij * N / (n_i * n_j))
+        NMI = MI / sqrt(H_row * H_col)        (0 .. 1; NULL if either
+                                               margin is degenerate)
+        H   = -sum (n/N) ln(n/N)
+
+    Float contract (the jsd_sources / theil_index precedent): every
+    ln argument is a ratio of exact int64 counts — identical doubles
+    on any engine — and all sums have CONTINGENCY-CELL arity
+    (categories², tens), so 6-dp rounding absorbs libm's last-ulp
+    latitude.  NULL rows in either column are DROPPED; an empty table
+    raises loudly on EVERY output column (per-column guard over a
+    global always-one-row aggregation).
+
+    Plan: one (row, col)-keyed count — the only corpus-sized work —
+    then margins and entropies on the cell table (metadata-sized at
+    any corpus scale; margins broadcast back onto cells).
+
+    Output: one row ``(n_docs, n_rows, n_cols, mi, h_row, h_col,
+    nmi)``.
+    """
+    cells = (
+        docs.filter(F.col(row_col).isNotNull() & F.col(col_col).isNotNull())
+        .groupBy(F.col(row_col).alias("__r"), F.col(col_col).alias("__c"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__cn"))
+    )
+    rm = cells.groupBy("__r").agg(F.sum("__cn").cast("long").alias("__nr"))
+    cm = cells.groupBy("__c").agg(F.sum("__cn").cast("long").alias("__nc"))
+    tot = cells.agg(
+        F.sum("__cn").cast("long").alias("__N"),
+        F.count_distinct("__r").cast("long").alias("n_rows"),
+        F.count_distinct("__c").cast("long").alias("n_cols"),
+    )
+    j = (
+        cells.join(F.broadcast(rm), "__r")
+        .join(F.broadcast(cm), "__c")
+        .crossJoin(F.broadcast(tot))
+    )
+    mi_term = (F.col("__cn") / F.col("__N")) * F.log(
+        F.col("__cn") * F.col("__N") / (F.col("__nr") * F.col("__nc"))
+    )
+    # global aggs: always one row even on an empty cell table, so the
+    # empty-input raise stays evaluable (the theil/acf lesson)
+    mi_sum = j.agg(F.sum(mi_term).alias("__mi"))
+    hr = (
+        rm.crossJoin(F.broadcast(tot))
+        .agg(F.sum(-(F.col("__nr") / F.col("__N")) * F.log(F.col("__nr") / F.col("__N"))).alias("__hr"))
+    )
+    hc = (
+        cm.crossJoin(F.broadcast(tot))
+        .agg(F.sum(-(F.col("__nc") / F.col("__N")) * F.log(F.col("__nc") / F.col("__N"))).alias("__hc"))
+    )
+    agg = (
+        tot.crossJoin(F.broadcast(mi_sum))
+        .crossJoin(F.broadcast(hr))
+        .crossJoin(F.broadcast(hc))
+    )
+    err = F.lit(
+        f"mutual_information: empty table (no rows with non-NULL"
+        f" '{row_col}' and '{col_col}')"
+    )
+
+    def g(col):
+        return F.when(F.col("__N") > 0, col).otherwise(F.raise_error(err))
+
+    return agg.select(
+        g(F.col("__N")).alias("n_docs"),
+        g(F.col("n_rows")).alias("n_rows"),
+        g(F.col("n_cols")).alias("n_cols"),
+        g(F.round(F.col("__mi"), 6)).alias("mi"),
+        g(F.round(F.col("__hr"), 6)).alias("h_row"),
+        g(F.round(F.col("__hc"), 6)).alias("h_col"),
+        g(
+            F.when(
+                (F.col("__hr") > 0) & (F.col("__hc") > 0),
+                F.round(
+                    F.col("__mi") / (F.sqrt(F.col("__hr")) * F.sqrt(F.col("__hc"))),
+                    6,
+                ),
+            )
+        ).alias("nmi"),
+    )

@@ -6040,3 +6040,59 @@ def test_theil_index_closed_form(spark):
     empty = spark.createDataFrame([(1, None)], "doc_id: long, source: string")
     with pytest.raises(Exception, match="empty corpus"):
         theil_index(empty).select("theil").collect()
+
+
+def test_mutual_information_matches_python(spark):
+    """r12 registry candidate: contingency MI/NMI in nats — python
+    replay with the same float shape; independence and identity edges."""
+    import math
+    import random
+    from collections import Counter
+
+    import pytest
+
+    from spatialdata_spark.pipeline.textstats import mutual_information
+
+    rng = random.Random(9)
+    rows = []
+    for i in range(400):
+        r = f"s{rng.randrange(5)}"
+        c = (
+            f"l{rng.randrange(3)}"
+            if r != "s0"
+            else ("l0" if rng.random() < 0.8 else f"l{rng.randrange(3)}")
+        )
+        rows.append((i, r, c))
+    rows.append((9999, None, "l0"))  # NULL rows dropped
+    df = spark.createDataFrame(rows, ["doc_id", "source", "lang"])
+    out = mutual_information(df).collect()[0]
+    cnt = Counter((r, c) for _, r, c in rows if r is not None)
+    N = sum(cnt.values())
+    rm, cm = Counter(), Counter()
+    for (r, c), n in cnt.items():
+        rm[r] += n
+        cm[c] += n
+    MI = sum((n / N) * math.log(n * N / (rm[r] * cm[c])) for (r, c), n in cnt.items())
+    HR = sum(-(n / N) * math.log(n / N) for n in rm.values())
+    HC = sum(-(n / N) * math.log(n / N) for n in cm.values())
+    assert (out["n_docs"], out["n_rows"], out["n_cols"]) == (N, 5, 3)
+    assert out["mi"] == round(MI, 6)
+    assert out["h_row"] == round(HR, 6) and out["h_col"] == round(HC, 6)
+    assert out["nmi"] == round(MI / (math.sqrt(HR) * math.sqrt(HC)), 6)
+    # independent columns: MI exactly 0; identical columns: NMI exactly 1
+    ind = spark.createDataFrame(
+        [(i, f"s{i % 4}", f"l{(i // 4) % 3}") for i in range(120)],
+        ["doc_id", "source", "lang"],
+    )
+    assert mutual_information(ind).collect()[0]["mi"] == 0.0
+    same = spark.createDataFrame(
+        [(i, f"x{i % 4}", f"x{i % 4}") for i in range(80)],
+        ["doc_id", "source", "lang"],
+    )
+    assert mutual_information(same).collect()[0]["nmi"] == 1.0
+    # empty table raises on every column, even narrowed
+    empty = spark.createDataFrame(
+        [(1, None, "a")], "doc_id: long, source: string, lang: string"
+    )
+    with pytest.raises(Exception, match="empty table"):
+        mutual_information(empty).select("mi").collect()

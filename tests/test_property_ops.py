@@ -1104,3 +1104,38 @@ def test_theil_property_matches_sequential(spark, seed, n_src):
     )
     r2 = theil_index(perm).collect()[0]
     assert r2["theil"] == r["theil"]
+
+
+@given(seed=st.integers(0, 10**6), k=st.integers(2, 5), l=st.integers(2, 4))
+@SET
+def test_mutual_information_property(spark, seed, k, l):
+    """Random contingency tables: MI matches the python replay, is
+    non-negative, bounded by min(H_row, H_col), and symmetric in its
+    two columns."""
+    import math
+    from collections import Counter
+
+    from spatialdata_spark.pipeline.textstats import mutual_information
+
+    rng = random.Random(seed)
+    rows = [
+        (i, f"r{rng.randrange(k)}", f"c{rng.randrange(l)}")
+        for i in range(rng.randint(k * l, 200))
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "lang"])
+    out = mutual_information(df).collect()[0]
+    cnt = Counter((r, c) for _, r, c in rows)
+    N = sum(cnt.values())
+    rm, cm = Counter(), Counter()
+    for (r, c), n in cnt.items():
+        rm[r] += n
+        cm[c] += n
+    MI = sum((n / N) * math.log(n * N / (rm[r] * cm[c])) for (r, c), n in cnt.items())
+    HR = sum(-(n / N) * math.log(n / N) for n in rm.values())
+    HC = sum(-(n / N) * math.log(n / N) for n in cm.values())
+    assert out["mi"] == round(MI, 6)
+    assert out["mi"] >= -1e-9
+    assert out["mi"] <= min(out["h_row"], out["h_col"]) + 1e-6
+    flipped = mutual_information(df, row_col="lang", col_col="source").collect()[0]
+    assert flipped["mi"] == out["mi"]
+    assert (flipped["h_row"], flipped["h_col"]) == (out["h_col"], out["h_row"])

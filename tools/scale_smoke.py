@@ -59,7 +59,7 @@ def main(max_mult: int = 8, only: list[str] | None = None) -> None:
     )
     from spatialdata_spark.operators.temporal import rolling_active_users
     from spatialdata_spark.pipeline.clustering import gram_matrix
-    from spatialdata_spark.pipeline.textstats import cliffs_delta, cramer_von_mises_2sample, curation_funnel, herfindahl_index, theil_index
+    from spatialdata_spark.pipeline.textstats import cliffs_delta, cramer_von_mises_2sample, curation_funnel, herfindahl_index, mutual_information, theil_index
     from spatialdata_spark.operators.rasterize import rasterize_points
 
     from spatialdata_spark.pipeline.clustering import (
@@ -884,6 +884,7 @@ def main(max_mult: int = 8, only: list[str] | None = None) -> None:
             # cusum — value grid and the 7-day spine saturate
             "cvm": lambda: cramer_von_mises_2sample(docs).collect(),
             "theil": lambda: theil_index(docs).collect(),
+            "mutual_info": lambda: mutual_information(docs).collect(),
             "weekday_profile": lambda: weekday_profile(ev).collect(),
         }
         if only:

@@ -10847,6 +10847,74 @@ LIMIT 20
 """
 
 
+def q_revenue_growth(spark, sf_dir):
+    """Month-over-month revenue growth per customer nation — the
+    classic retail OLAP trend report (window lag over the aggregated
+    nation x month grid, metadata-sized at any corpus scale; the only
+    corpus-sized work is the fact-table join + one keyed aggregation).
+    Exactness: monthly revenue accumulates in DECIMAL; growth is ONE
+    (rev - prev)/prev division of exact decimals cast to double, 6 dp
+    (the assoc-rules lift convention); the first observed month per
+    nation has growth NULL.  Lag is over OBSERVED months in month-key
+    order (TPC-H orders are calendar-dense, so observed = calendar;
+    documented).  r12 registry candidate (library-level-first)."""
+    from pyspark.sql.window import Window
+
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    nation = _read(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
+    )
+    monthly = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(_bcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy(
+            F.col("n_name"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        )
+        .agg(F.sum(rev).alias("__rev"))
+    )
+    w = Window.partitionBy("n_name").orderBy("month")
+    prev = F.lag("__rev").over(w)
+    return monthly.select(
+        "n_name",
+        "month",
+        F.col("__rev").cast("double").alias("revenue"),
+        F.when(
+            prev > 0,
+            F.round((F.col("__rev") - prev).cast("double") / prev.cast("double"), 6),
+        ).alias("growth"),
+    ).orderBy("n_name", "month")
+
+
+Q_REVENUE_GROWTH_SQL = f"""
+WITH monthly AS (
+  SELECT n_name, strftime(o_orderdate, '%Y-%m') AS month,
+         SUM(CAST(l_extendedprice AS {DEC})
+             * (CAST(1 AS {DEC}) - CAST(l_discount AS {DEC}))) AS rev
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+), lagged AS (
+  SELECT n_name, month, rev,
+         LAG(rev) OVER (PARTITION BY n_name ORDER BY month) AS prev
+  FROM monthly
+)
+SELECT n_name, month,
+       CAST(rev AS DOUBLE) AS revenue,
+       CASE WHEN prev > 0
+            THEN ROUND(CAST(rev - prev AS DOUBLE) / CAST(prev AS DOUBLE), 6)
+       END AS growth
+FROM lagged
+ORDER BY n_name, month
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order matters: the correctness driver oracles the FIRST 50
     # entries, and a key's position is set by its FIRST occurrence (the

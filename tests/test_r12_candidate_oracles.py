@@ -140,6 +140,7 @@ FROM tot CROSS JOIN mi CROSS JOIN hr CROSS JOIN hc
 
 
 def _spark_fn(name):
+    import __spark_entry__ as entrymod
     from spatialdata_spark.operators.temporal import weekday_profile
     from spatialdata_spark.pipeline.textstats import (
         cramer_von_mises_2sample,
@@ -148,6 +149,10 @@ def _spark_fn(name):
     )
 
     return {
+        "revenue_growth": (
+            entrymod.q_revenue_growth,
+            entrymod.Q_REVENUE_GROWTH_SQL,
+        ),
         "cvm": (
             lambda spark, sf: cramer_von_mises_2sample(
                 spark.read.parquet(f"{sf}/documents.parquet")
@@ -175,7 +180,7 @@ def _spark_fn(name):
     }[name]
 
 
-@pytest.mark.parametrize("name", ["cvm", "weekday", "theil", "mi"])
+@pytest.mark.parametrize("name", ["cvm", "weekday", "theil", "mi", "revenue_growth"])
 @pytest.mark.parametrize("sf_dir", SF_DIRS)
 def test_r12_candidate_cross_engine(spark, name, sf_dir):
     fn, sql = _spark_fn(name)

@@ -10621,6 +10621,12 @@ def st_acf(spark, sf_dir):
 
 
 ST_ACF_SQL = r"""
+-- CROSS-ENGINE SHAPE CAVEAT (realized-data-path oracle convention): on
+-- an EMPTY / all-NULL-ts events table this SQL returns ZERO rows
+-- (generate_series over NULL bounds yields no calendar) while the
+-- Spark side raises 'empty series' loudly — a green zero-row "match"
+-- from an empty partition would be a misread, not a pass.  The parity
+-- fixtures always have events, so the divergence is never exercised.
 WITH counts AS (
   SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
          CAST(COUNT(*) AS BIGINT) AS n_events

@@ -1,0 +1,46 @@
+"""Exact integer-rational emit helpers shared by the statistics family
+(acf_daily / weekday_profile / cramer_von_mises_2sample).
+
+The module's DECIMAL(38,0) accumulators are exact, but the FINAL
+microunit emit multiplies the accumulator by 2e6 — and under Spark's
+default non-ANSI decimal arithmetic an overflow there returns NULL, a
+SILENT wrong answer (the acf_daily denominator-overflow lesson, applied
+to the numerator emit).  :func:`e6_signed` makes every such emit raise
+loudly instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def e6_signed(num: str, den: str, err_prefix: str) -> Column:
+    """Round-half-away-from-zero int64 microunits ``num/den * 1e6`` from
+    DECIMAL(38,0) SQL expressions ``num`` / ``den`` (``den > 0``,
+    validated by the caller), raising LOUDLY when the ``*2e6`` emit
+    overflows 38 digits — non-ANSI decimal arithmetic yields NULL on
+    overflow, which a column-attached guard elsewhere would never see.
+
+    ``num`` and ``den`` are SQL expression strings (column names or
+    arithmetic over them), so callers with a derived denominator (e.g.
+    weekday_profile's ``7 * __n``) pass it verbatim.  The caller is
+    responsible for having already validated its inputs non-NULL and
+    ``den > 0`` — any NULL result here is therefore an overflow by
+    construction.
+    """
+    raw = F.expr(
+        f"CASE WHEN ({num}) >= 0"
+        f"  THEN CAST((({num}) * 2000000 + ({den})) div (({den}) * 2) AS BIGINT)"
+        f"  ELSE -CAST(((-({num})) * 2000000 + ({den})) div (({den}) * 2) AS BIGINT)"
+        f" END"
+    )
+    return F.when(raw.isNotNull(), raw).otherwise(
+        F.raise_error(
+            F.lit(
+                f"{err_prefix}: DECIMAL(38,0) overflow in the e6 emit"
+                f" (|num|*2e6 exceeds 38 digits — the series is too large"
+                f" for the exact microunit contract)"
+            )
+        )
+    )

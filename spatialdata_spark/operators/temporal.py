@@ -733,7 +733,11 @@ def acf_daily(
     accumulated in DECIMAL(38,0) (a BIGINT T^2 P_k wraps past ~10^4
     events/day on a year of data), and the output is one
     half-away-from-zero integer division to int64 microunits
-    (``acf_e6``); NO floating point anywhere in the contract.
+    (``acf_e6``); NO floating point anywhere in the contract.  The
+    38-digit budget must cover the FINAL ``|NUM_k| * 2e6`` emit, not
+    just the accumulators — i.e. ``T^2 * P_k < ~5e31``, roughly
+    ``daily_count^2 * T^3 < 5e31`` — and BOTH the denominator and the
+    emit raise loudly on overflow (no silent NULL at any magnitude).
 
     CALENDAR SEMANTICS: the series runs over EVERY calendar day in
     ``[min_day, max_day]`` with zero-event days densified in (the
@@ -837,12 +841,12 @@ def acf_daily(
     withnd = j.select(
         "lag", "n_pairs", num.alias("__num"), den.alias("__den"), ok_pairs.alias("__ok")
     ).filter(F.col("__ok").isNotNull())
-    e6 = F.expr(
-        "CASE WHEN __num >= 0"
-        "  THEN CAST((__num * 2000000 + __den) div (__den * 2) AS BIGINT)"
-        "  ELSE -CAST(((-__num) * 2000000 + __den) div (__den * 2) AS BIGINT)"
-        " END"
-    )
+    # the *2e6 emit itself can overflow 38 digits long before __den
+    # does (the guard above covers only the denominator) — e6_signed
+    # raises loudly instead of leaking a silent NULL acf_e6 row
+    from spatialdata_spark.functions.exact import e6_signed
+
+    e6 = e6_signed("__num", "__den", "acf_daily")
     return withnd.select("lag", "n_pairs", e6.alias("acf_e6")).orderBy("lag")
 
 
@@ -864,10 +868,12 @@ def weekday_profile(
         dev_d = o_d/N - 1/7 = (7*o_d - N) / (7*N)
         chi2  = sum_d (o_d - N/7)^2 / (N/7) = sum_d (7*o_d - N)^2 / (7*N)
 
-    both exact rationals — DECIMAL(38,0) inside (the squared term
-    bounds int64 well below real corpora; fits 38 digits while
-    ``N < ~5e17``), emitted as half-away-from-zero (``dev_e6``) /
-    half-up (``chi2_e6``) int64 microunits.  ``frac`` is one division
+    both exact rationals — DECIMAL(38,0) inside, emitted as
+    half-away-from-zero (``dev_e6``) / half-up (``chi2_e6``) int64
+    microunits.  The 38-digit budget must cover the FINAL ``*2e6``
+    emit: ``(7*o_d - N)^2 * 2e6`` fits while ``N < ~5e14`` (not the
+    accumulator-only ~5e17), and the emit raises loudly on overflow
+    (no silent NULL at any magnitude).  ``frac`` is one division
     of exact integers, 6 dp.  NULL timestamps dropped (the family
     convention); an EMPTY series raises loudly on every output column
     (the herfindahl per-column pattern — the 7-row weekday spine
@@ -881,6 +887,8 @@ def weekday_profile(
     by dow; ``chi2_e6`` is the same whole-profile statistic repeated
     per row (grid-constant column, the benford_frac convention).
     """
+    from spatialdata_spark.functions.exact import e6_signed
+
     dec = "decimal(38,0)"
     counts = (
         events.filter(F.col(ts_col).isNotNull())
@@ -923,19 +931,10 @@ def weekday_profile(
             g(F.col("dow")).alias("dow"),
             g(F.col("n_events")).alias("n_events"),
             g(F.round(F.col("n_events") / F.col("__n"), 6)).alias("frac"),
-            g(
-                F.expr(
-                    "CASE WHEN __d7 >= 0"
-                    "  THEN CAST((__d7 * 2000000 + 7 * __n) div (14 * __n) AS BIGINT)"
-                    "  ELSE -CAST(((-__d7) * 2000000 + 7 * __n) div (14 * __n) AS BIGINT)"
-                    " END"
-                )
-            ).alias("dev_e6"),
-            g(
-                F.expr(
-                    "CAST((__x2 * 2000000 + 7 * __n) div (14 * __n) AS BIGINT)"
-                )
-            ).alias("chi2_e6"),
+            # e6_signed raises loudly if the *2e6 emit overflows 38
+            # digits — a silent NULL under non-ANSI decimal otherwise
+            g(e6_signed("__d7", "7 * __n", "weekday_profile")).alias("dev_e6"),
+            g(e6_signed("__x2", "7 * __n", "weekday_profile")).alias("chi2_e6"),
         )
         .orderBy("dow")
     )

@@ -239,6 +239,18 @@ def _approx_rank_bins(b: DataFrame, n_bins: int, descending: bool):
     against edges computed from a different draw.  Same LRU contract
     as the minhash band-table persist: (id, score, label)-sized rows,
     MEMORY_AND_DISK, reclaimed after the query.
+
+    PER-CALL ACCUMULATION, stated: the persist cannot be unpersisted
+    here — the one-evaluation guarantee must hold through the CALLER'S
+    later aggregation job, which only runs when the caller's lazy
+    result is collected.  Repeated approx-mode calls in one long-lived
+    session therefore accumulate one cache entry per DISTINCT input
+    plan (Spark's CacheManager keys by analyzed plan, so re-running the
+    same calibration/lift/pr_curve query re-uses its entry rather than
+    adding one); entries are MEMORY_AND_DISK and reclaimed by LRU
+    eviction under memory pressure.  A session that scores MANY
+    distinct corpora through approx mode and wants the space back
+    eagerly should call ``spark.catalog.clearCache()`` between corpora.
     """
     nb = int(n_bins)
     qs = [k / nb for k in range(1, nb)]

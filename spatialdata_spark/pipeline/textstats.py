@@ -1894,6 +1894,16 @@ def ks_2sample(
         ).otherwise(F.lit("")),
         F.lit(f"check the '{group_col}' names and '{value_col}' for NULLs"),
     )
+    def g(col):
+        # the loud empty-group error guards EVERY output column (the
+        # herfindahl pattern): attached to one column only, Catalyst's
+        # column pruning would silently bypass it under a narrower
+        # select; the NULL condition of an all-empty input also lands
+        # in the raising branch
+        return F.when((F.col("n_a") > 0) & (F.col("n_b") > 0), col).otherwise(
+            F.raise_error(err)
+        )
+
     return (
         cum.crossJoin(F.broadcast(tot))
         .agg(
@@ -1905,15 +1915,11 @@ def ks_2sample(
             F.max(F.col("n_a") * F.col("n_b")).alias("ks_den"),
         )
         .select(
-            "n_a",
-            "n_b",
-            "ks_num",
-            "ks_den",
-            F.when(
-                F.col("ks_den") > 0, F.round(F.col("ks_num") / F.col("ks_den"), 9)
-            )
-            .otherwise(F.raise_error(err))
-            .alias("ks_stat"),
+            g(F.col("n_a")).alias("n_a"),
+            g(F.col("n_b")).alias("n_b"),
+            g(F.col("ks_num")).alias("ks_num"),
+            g(F.col("ks_den")).alias("ks_den"),
+            g(F.round(F.col("ks_num") / F.col("ks_den"), 9)).alias("ks_stat"),
         )
     )
 
@@ -1991,6 +1997,13 @@ def mann_whitney_u(
     r2a = F.sum(
         F.col("ca") * (2 * F.col("__before") + F.col("__ct") + 1)
     ).cast("long")
+    def g(col):
+        # per-column loud-error guard (the herfindahl pattern): a
+        # single-column raise is prunable under a narrower select
+        return F.when((F.col("n_a") > 0) & (F.col("n_b") > 0), col).otherwise(
+            F.raise_error(err)
+        )
+
     return (
         cum.crossJoin(F.broadcast(tot))
         .agg(
@@ -1999,17 +2012,12 @@ def mann_whitney_u(
             (r2a - F.max("n_a") * (F.max("n_a") + 1)).cast("long").alias("u2_a"),
         )
         .select(
-            "n_a",
-            "n_b",
-            "u2_a",
-            F.when(
-                (F.col("n_a") > 0) & (F.col("n_b") > 0),
-                F.round(
-                    F.col("u2_a") / (2.0 * F.col("n_a") * F.col("n_b")), 6
-                ),
-            )
-            .otherwise(F.raise_error(err))
-            .alias("auc_ab"),
+            g(F.col("n_a")).alias("n_a"),
+            g(F.col("n_b")).alias("n_b"),
+            g(F.col("u2_a")).alias("u2_a"),
+            g(
+                F.round(F.col("u2_a") / (2.0 * F.col("n_a") * F.col("n_b")), 6)
+            ).alias("auc_ab"),
         )
     )
 
@@ -2066,22 +2074,26 @@ def token_gini(
     num = (
         2 * F.col("__ix") - (F.col("n_types") + 1).cast(dec) * F.col("__sx")
     )
+    err = F.lit("token_gini: empty corpus (no tokens)")
+
+    def g(col):
+        # per-column loud-error guard (the herfindahl pattern): a
+        # single-column raise is prunable under a narrower select
+        return F.when(
+            (F.col("n_types") > 0) & (F.col("total_tokens") > 0), col
+        ).otherwise(F.raise_error(err))
+
     return agg.select(
-        "n_types",
-        "total_tokens",
-        num.cast("long").alias("gini_num"),
-        F.when(
-            (F.col("n_types") > 0) & (F.col("total_tokens") > 0),
+        g(F.col("n_types")).alias("n_types"),
+        g(F.col("total_tokens")).alias("total_tokens"),
+        g(num.cast("long")).alias("gini_num"),
+        g(
             F.round(
                 num.cast("double")
                 / (F.col("n_types").cast("double") * F.col("total_tokens")),
                 6,
-            ),
-        )
-        .otherwise(
-            F.raise_error(F.lit("token_gini: empty corpus (no tokens)"))
-        )
-        .alias("gini"),
+            )
+        ).alias("gini"),
     )
 
 
@@ -2579,10 +2591,12 @@ def cramer_von_mises_2sample(
         T = sum_v m_v * d_v^2 / (n_a * n_b * (n_a + n_b)^2)
 
     numerator and denominator accumulate in DECIMAL(38,0) (the
-    numerator is bounded by N*(n_a*n_b)^2 — fits 38 digits to ~10^7
-    rows per group; past that the bound is documented, the modularity
-    convention), and the output is ONE half-up integer division to
-    int64 microunits (``cvm_e6``) — no floating point anywhere.
+    numerator is bounded by N*(n_a*n_b)^2; the 38-digit budget must
+    also cover the FINAL ``num * 2e6`` emit, so the exact contract
+    holds to ~10^6 rows per group — past that the emit raises LOUDLY
+    instead of leaking a silent NULL), and the output is ONE half-up
+    integer division to int64 microunits (``cvm_e6``) — no floating
+    point anywhere.
 
     Plan: identical to ks_2sample — one value-keyed count (the only
     corpus-sized shuffle), the cumulative window over the DISTINCT
@@ -2650,7 +2664,12 @@ def cramer_von_mises_2sample(
             (F.col("n_a") > 0) & (F.col("n_b") > 0), col
         ).otherwise(F.raise_error(err))
 
-    e6 = F.expr("CAST((__num * 2000000 + __den) div (__den * 2) AS BIGINT)")
+    # e6_signed raises loudly if the *2e6 emit overflows 38 digits —
+    # a silent NULL under non-ANSI decimal otherwise (num >= 0 always
+    # here, so the signed form is the same half-up division)
+    from spatialdata_spark.functions.exact import e6_signed
+
+    e6 = e6_signed("__num", "__den", "cramer_von_mises_2sample")
     return agg.withColumn("__den", den).select(
         g(F.col("n_a")).alias("n_a"),
         g(F.col("n_b")).alias("n_b"),

@@ -6096,3 +6096,35 @@ def test_mutual_information_matches_python(spark):
     )
     with pytest.raises(Exception, match="empty table"):
         mutual_information(empty).select("mi").collect()
+
+
+def test_single_column_select_still_raises_on_empty_input(spark):
+    # r12 regression pin (SURVEY round-11 note #11): the empty-input
+    # loud error must guard EVERY output column — attached to one
+    # column only, Catalyst's column pruning would silently bypass it
+    # under a hand-narrowed select.  Each operator below is driven
+    # with a degenerate input AND a one-column select per column.
+    import pytest
+
+    from spatialdata_spark.pipeline.textstats import (
+        ks_2sample,
+        mann_whitney_u,
+        token_gini,
+    )
+
+    one_group = spark.createDataFrame(
+        [(1, 10, "src0"), (2, 20, "src0")], ["doc_id", "n_chars", "source"]
+    )
+    ks = ks_2sample(one_group)
+    for c in ks.columns:
+        with pytest.raises(Exception, match="ks_2sample: empty group"):
+            ks.select(c).collect()
+    mwu = mann_whitney_u(one_group)
+    for c in mwu.columns:
+        with pytest.raises(Exception, match="mann_whitney_u: empty group"):
+            mwu.select(c).collect()
+    no_tokens = spark.createDataFrame([], "doc_id INT, text STRING")
+    tg = token_gini(no_tokens)
+    for c in tg.columns:
+        with pytest.raises(Exception, match="token_gini: empty corpus"):
+            tg.select(c).collect()

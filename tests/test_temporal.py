@@ -135,3 +135,73 @@ def test_psi_drift_rejects_unparseable_boundary(spark):
     ev = spark.createDataFrame([(1,)], ["x"])
     with pytest.raises(ValueError, match="boundary"):
         psi_drift(ev, "16-01-2024")
+
+
+def test_e6_signed_emit_values_and_overflow_raise(spark):
+    # r12 pin for the shared microunit emit (functions/exact.py): the
+    # *2e6 emit is the ONE place the DECIMAL(38,0) contract can
+    # overflow AFTER the callers' own denominator guards — non-ANSI
+    # decimal arithmetic returns NULL on overflow, so without the
+    # guard a too-large series would leak silent NULLs instead of
+    # failing the job (the ADVICE r11 finding on acf_daily /
+    # weekday_profile).
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from spatialdata_spark.functions.exact import e6_signed
+
+    ok = spark.createDataFrame(
+        [("3", "2"), ("-3", "2"), ("0", "7")], ["num_s", "den_s"]
+    ).select(
+        F.col("num_s").cast("decimal(38,0)").alias("num"),
+        F.col("den_s").cast("decimal(38,0)").alias("den"),
+    )
+    got = [
+        r["e6"]
+        for r in ok.select(e6_signed("num", "den", "t").alias("e6"))
+        .orderBy("e6")
+        .collect()
+    ]
+    # 3/2 -> 1.5e6 half-up; sign mirrors half-AWAY-from-zero
+    assert got == [-1500000, 0, 1500000]
+
+    big = spark.createDataFrame([("9" * 37, "1")], ["num_s", "den_s"]).select(
+        F.col("num_s").cast("decimal(38,0)").alias("num"),
+        F.col("den_s").cast("decimal(38,0)").alias("den"),
+    )
+    # the contract is LOUDNESS, whatever the decimal mode: under ANSI
+    # (Spark 4 default) the overflow raises Spark's own arithmetic
+    # error before our guard; under non-ANSI it yields NULL and the
+    # guard's raise fires.  Either way the job fails — never a silent
+    # NULL row.
+    with pytest.raises(
+        Exception, match="overflow in the e6 emit|NUMERIC_VALUE_OUT_OF_RANGE"
+    ):
+        big.select(e6_signed("num", "den", "probe")).collect()
+    with pytest.raises(
+        Exception, match="overflow in the e6 emit|NUMERIC_VALUE_OUT_OF_RANGE"
+    ):
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        try:
+            big.select(e6_signed("num", "den", "probe")).collect()
+        finally:
+            spark.conf.unset("spark.sql.ansi.enabled")
+
+
+def test_weekday_profile_single_column_select_still_raises(spark):
+    # the weekday empty-series guard must survive a hand-narrowed
+    # one-column select (per-column g() + the always-7-row spine)
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from spatialdata_spark.operators.temporal import weekday_profile
+
+    ev = spark.createDataFrame(
+        [("2024-01-01 10:00:00",)], ["raw"]
+    ).select(F.col("raw").cast("timestamp").alias("ts")).filter(F.lit(False))
+    prof = weekday_profile(ev)
+    for c in prof.columns:
+        with pytest.raises(Exception, match="weekday_profile: empty series"):
+            prof.select(c).collect()

@@ -10921,36 +10921,259 @@ ORDER BY n_name, month
 """
 
 
+def pl_cvm_lengths(spark, sf_dir):
+    """Exact two-sample Cramér-von Mises statistic between src0 and
+    src1 document-length distributions — the whole-curve companion of
+    pl_ks_lengths (KS reads the single largest ECDF gap; CvM
+    integrates the squared gap, catching broad mild drift that never
+    spikes).  Integer-rational: DECIMAL(38,0) numerator/denominator,
+    one half-up division to int64 microunits (cvm_e6)."""
+    from spatialdata_spark.pipeline.textstats import cramer_von_mises_2sample
+
+    return cramer_von_mises_2sample(_read(spark, sf_dir, "documents"))
+
+
+PL_CVM_LENGTHS_SQL = r"""
+WITH f AS (
+  SELECT n_chars AS val, CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS ia
+  FROM documents WHERE source IN ('src0', 'src1') AND n_chars IS NOT NULL
+), counts AS (
+  SELECT val, CAST(SUM(ia) AS BIGINT) AS ca, CAST(SUM(1 - ia) AS BIGINT) AS cb
+  FROM f GROUP BY 1
+), cum AS (
+  SELECT ca, cb,
+         CAST(SUM(ca) OVER (ORDER BY val) AS BIGINT) AS cuma,
+         CAST(SUM(cb) OVER (ORDER BY val) AS BIGINT) AS cumb
+  FROM counts
+), tot AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b
+  FROM counts
+), agg AS (
+  SELECT MAX(n_a) AS n_a, MAX(n_b) AS n_b,
+         SUM(CAST(ca + cb AS HUGEINT)
+             * (CAST(cuma AS HUGEINT) * n_b - CAST(cumb AS HUGEINT) * n_a)
+             * (CAST(cuma AS HUGEINT) * n_b - CAST(cumb AS HUGEINT) * n_a)
+         ) AS num
+  FROM cum CROSS JOIN tot
+)
+SELECT n_a, n_b,
+       CAST((num * 2000000 + den) // (den * 2) AS BIGINT) AS cvm_e6
+FROM (
+  SELECT n_a, n_b, num,
+         CAST(n_a AS HUGEINT) * n_b * (n_a + n_b) * (n_a + n_b) AS den
+  FROM agg
+)
+"""
+
+
+def st_weekday_profile(spark, sf_dir):
+    """ISO day-of-week event profile with exact chi-square uniformity
+    statistic — Spark weekday()+1 = DuckDB isodow on both engines;
+    dev_e6/chi2_e6 are exact DECIMAL rationals emitted as int64
+    microunits; frac one division, 6 dp."""
+    from spatialdata_spark.operators.temporal import weekday_profile
+
+    return weekday_profile(_read(spark, sf_dir, "events"))
+
+
+ST_WEEKDAY_PROFILE_SQL = r"""
+WITH counts AS (
+  SELECT CAST(isodow(ts) AS INT) AS dow, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+), spine AS (
+  SELECT CAST(unnest(range(1, 8)) AS INT) AS dow
+), dense AS (
+  SELECT spine.dow, COALESCE(counts.n_events, 0) AS n_events
+  FROM spine LEFT JOIN counts USING (dow)
+), n1 AS (
+  SELECT CAST(SUM(n_events) AS HUGEINT) AS n FROM dense
+), stats AS (
+  SELECT MAX(n1.n) AS n,
+         SUM((7 * CAST(dense.n_events AS HUGEINT) - n1.n)
+             * (7 * CAST(dense.n_events AS HUGEINT) - n1.n)) AS x2
+  FROM dense CROSS JOIN n1
+)
+SELECT dow, n_events,
+       ROUND(n_events / CAST(n AS DOUBLE), 6) AS frac,
+       CASE WHEN d7 >= 0
+            THEN CAST((d7 * 2000000 + 7 * n) // (14 * n) AS BIGINT)
+            ELSE -CAST(((-d7) * 2000000 + 7 * n) // (14 * n) AS BIGINT)
+       END AS dev_e6,
+       CAST((x2 * 2000000 + 7 * n) // (14 * n) AS BIGINT) AS chi2_e6
+FROM (
+  SELECT dense.dow, dense.n_events, stats.n, stats.x2,
+         7 * CAST(dense.n_events AS HUGEINT) - stats.n AS d7
+  FROM dense CROSS JOIN stats
+)
+ORDER BY dow
+"""
+
+
+def pl_theil_index(spark, sf_dir):
+    """Theil T concentration of the corpus over its sources — the
+    entropy companion of pl_hhi.  Float contract: every ln argument is
+    one division of exact int64 counts (the jsd_sources precedent);
+    group-count arity sums, 6 dp."""
+    from spatialdata_spark.pipeline.textstats import theil_index
+
+    return theil_index(_read(spark, sf_dir, "documents"))
+
+
+PL_THEIL_INDEX_SQL = r"""
+WITH per AS (
+  SELECT source AS g, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents WHERE source IS NOT NULL GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS k FROM per
+), t AS (
+  -- mirror the Spark float op order exactly: (c/n) * ln((c*k)/n),
+  -- each division one double op over exact int64 inputs
+  SELECT SUM((c / CAST(n AS DOUBLE)) * ln((c * k) / CAST(n AS DOUBLE))) AS theil_raw
+  FROM per CROSS JOIN tot
+)
+SELECT tot.n AS n_docs, tot.k AS n_groups,
+       ROUND(t.theil_raw, 6) AS theil,
+       CASE WHEN tot.k > 1
+            THEN ROUND(t.theil_raw / ln(CAST(tot.k AS DOUBLE)), 6)
+       END AS theil_norm
+FROM tot CROSS JOIN t
+"""
+
+
+def pl_mutual_info(spark, sf_dir):
+    """Mutual information (nats) + NMI between the source and lang
+    metadata columns — the association gate on the contingency table
+    (does source predict language?).  Float contract: every ln
+    argument is a ratio of exact int64 counts; contingency-cell arity
+    sums, 6 dp."""
+    from spatialdata_spark.pipeline.textstats import mutual_information
+
+    return mutual_information(_read(spark, sf_dir, "documents"))
+
+
+PL_MUTUAL_INFO_SQL = r"""
+WITH cells AS (
+  SELECT source AS r, lang AS c, CAST(COUNT(*) AS BIGINT) AS cn
+  FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL GROUP BY 1, 2
+), rm AS (SELECT r, CAST(SUM(cn) AS BIGINT) AS nr FROM cells GROUP BY 1),
+cm AS (SELECT c, CAST(SUM(cn) AS BIGINT) AS nc FROM cells GROUP BY 1),
+tot AS (
+  SELECT CAST(SUM(cn) AS BIGINT) AS N,
+         CAST(COUNT(DISTINCT r) AS BIGINT) AS n_rows,
+         CAST(COUNT(DISTINCT c) AS BIGINT) AS n_cols
+  FROM cells
+), mi AS (
+  SELECT SUM((cn / CAST(N AS DOUBLE))
+             * ln((cn * N) / CAST(nr * nc AS DOUBLE))) AS mi_raw
+  FROM cells
+  JOIN rm USING (r) JOIN cm USING (c) CROSS JOIN tot
+), hr AS (
+  SELECT SUM(-(nr / CAST(N AS DOUBLE)) * ln(nr / CAST(N AS DOUBLE))) AS hr_raw
+  FROM rm CROSS JOIN tot
+), hc AS (
+  SELECT SUM(-(nc / CAST(N AS DOUBLE)) * ln(nc / CAST(N AS DOUBLE))) AS hc_raw
+  FROM cm CROSS JOIN tot
+)
+SELECT tot.N AS n_docs, tot.n_rows, tot.n_cols,
+       ROUND(mi.mi_raw, 6) AS mi,
+       ROUND(hr.hr_raw, 6) AS h_row,
+       ROUND(hc.hc_raw, 6) AS h_col,
+       CASE WHEN hr.hr_raw > 0 AND hc.hc_raw > 0
+            THEN ROUND(mi.mi_raw / (sqrt(hr.hr_raw) * sqrt(hc.hc_raw)), 6)
+       END AS nmi
+FROM tot CROSS JOIN mi CROSS JOIN hr CROSS JOIN hc
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order matters: the correctness driver oracles the FIRST 50
     # entries, and a key's position is set by its FIRST occurrence (the
-    # tail below repeats some keys — harmless no-ops).  Round-11 head,
-    # mechanically per the rotation rule: (1) the three new queries;
-    # (2) every query whose code or oracle changed this round —
-    # q_assoc_rules + pl_ppr_seeds (persist audit: 4 consumers / 4
-    # recomputes of an unpersisted distinct; the 2-consumer cases
-    # _copurchase_edges and pl_wcc were audited and deliberately left
-    # BYTE-IDENTICAL in behavior — a persist there is a recompute-vs-
-    # cache-write wash inside one internal-persist materialization,
-    # see their code comments — so their seven consumers pl_wcc /
-    # pl_triangles / pl_graph_stats / pl_link_pred / pl_random_walks /
-    # pl_kcore / pl_hop_dist / pl_modularity are NOT modified and do
-    # NOT rotate), pl_ks_matrix (approx-mode refactor; exact path is
-    # the registry contract), pl_ece (out-of-range loud error in the
-    # live plan), pl_image_dhash AND pl_image_neardup (both execute
-    # the changed image_dhash kernel).  pl_calibration / pl_lift /
-    # pl_pr_curve are NOT modified: the _approx_rank_bins persist only
-    # runs under approx=True, which no registry query uses;
-    # pl_dup_profile / pl_centroid_cosine changed docstrings only.
-    # (3) backfill with the oldest driver-green rows: all 26 r4-stale
-    # (7 rounds) + ALL 14 r5-stale rows the r10 verdict named + the
-    # next-oldest r5 row (rv_to_circles) in the freed slot.  The r12
-    # backfill queue therefore starts at the REMAINING r5 rows
-    # (rv_to_polygons, rv_transform_points, rv_transform_shapes,
-    # sq_raster_3d, st_asof_attrib, st_interval_conversions) and then
-    # the r6 batch.
+    # tail below repeats some keys — harmless no-ops).  Round-12 head,
+    # mechanically per the rotation rule:
+    #   (1) the FIVE new registrations — the r11-banked candidates
+    #       whose oracles were already cross-engine-green at two SFs in
+    #       tests/test_r12_candidate_oracles.py (SQL moved verbatim);
+    #   (2) every query whose code or oracle changed this round —
+    #       st_acf (e6-emit overflow guard via functions/exact.e6_signed
+    #       + the ST_ACF_SQL empty-series shape note), pl_ks_lengths /
+    #       pl_mwu_lengths / pl_token_gini (the deferred per-column
+    #       loud-error attachments, SURVEY r11 note #11, fixed with the
+    #       herfindahl g() pattern).  pl_calibration / pl_lift /
+    #       pl_pr_curve are NOT modified: the _approx_rank_bins change
+    #       is a docstring note only (per-call persist accumulation
+    #       stated), and approx=True is not a registry path;
+    #   (3) the six remaining r5-stale greens;
+    #   (4) backfill with the oldest r6-stale greens, alphabetical —
+    #       35 of 45 fit; the 10 left for r13 are rt_zonal_quantiles,
+    #       rv_rasterize_polyfill, st_anomaly, st_cum_dau, st_funnel,
+    #       st_gap_fill, st_retention, st_rolling_window, st_sessionize,
+    #       st_tumbling.
     return {
-        # --- (1) new in round 11 ---
+        # --- (1) new in round 12: the banked candidates ---
+        "q_revenue_growth": q_revenue_growth,
+        "pl_cvm_lengths": pl_cvm_lengths,
+        "st_weekday_profile": st_weekday_profile,
+        "pl_theil_index": pl_theil_index,
+        "pl_mutual_info": pl_mutual_info,
+        # --- (2) code/oracle modified this round ---
+        "st_acf": st_acf,
+        "pl_ks_lengths": pl_ks_lengths,
+        "pl_mwu_lengths": pl_mwu_lengths,
+        "pl_token_gini": pl_token_gini,
+        # --- (3) the last r5-stale greens ---
+        "rv_to_polygons": rv_to_polygons,
+        "rv_transform_points": rv_transform_points,
+        "rv_transform_shapes": rv_transform_shapes,
+        "sq_raster_3d": sq_raster_3d,
+        "st_asof_attrib": st_asof_attrib,
+        "st_interval_conversions": st_interval_conversions,
+        # --- (4) backfill: oldest r6-stale greens, alphabetical ---
+        "ag_points_by_labels": ag_points_by_labels,
+        "pl_ann_recall": pl_ann_recall,
+        "pl_audio_energy": pl_audio_energy,
+        "pl_boilerplate": pl_boilerplate,
+        "pl_cluster_purity": pl_cluster_purity,
+        "pl_corpus_stats": pl_corpus_stats,
+        "pl_decontaminate": pl_decontaminate,
+        "pl_dedup_cross": pl_dedup_cross,
+        "pl_dedup_keep_best": pl_dedup_keep_best,
+        "pl_dup_spans": pl_dup_spans,
+        "pl_idf_keywords": pl_idf_keywords,
+        "pl_interleave": pl_interleave,
+        "pl_lev_neardup": pl_lev_neardup,
+        "pl_mix_epochs": pl_mix_epochs,
+        "pl_pack_blocks": pl_pack_blocks,
+        "pl_pii_redact": pl_pii_redact,
+        "pl_ppl_buckets": pl_ppl_buckets,
+        "pl_pq_adc": pl_pq_adc,
+        "pl_repetition": pl_repetition,
+        "pl_shard_shuffle": pl_shard_shuffle,
+        "pl_span_cut": pl_span_cut,
+        "pl_sq_int8": pl_sq_int8,
+        "pl_tfidf_pairs": pl_tfidf_pairs,
+        "pl_unigram_lm": pl_unigram_lm,
+        "pl_video_decode": pl_video_decode,
+        "pl_vocab_topk": pl_vocab_topk,
+        "pl_weighted_sample": pl_weighted_sample,
+        "q02_min_cost_supplier": q02_min_cost_supplier,
+        "q09_product_profit": q09_product_profit,
+        "q11_important_stock": q11_important_stock,
+        "q12_priority_lines": q12_priority_lines,
+        "q20_excess_suppliers": q20_excess_suppliers,
+        "q21_waiting_supplier": q21_waiting_supplier,
+        "q_cube_revenue": q_cube_revenue,
+        "q_pivot_revenue": q_pivot_revenue,
+        # ===== round-12 driver head ends here (first 50) =====
+        # --- round-11 head keys below keep the registry complete
+        # (duplicates are no-ops).  Historical r11 rotation rationale:
+        # the three r11-new queries; q_assoc_rules + pl_ppr_seeds
+        # (persist-audit fixes; the 2-consumer cases _copurchase_edges
+        # and pl_wcc were audited and deliberately left bare — see
+        # their code comments), pl_ks_matrix (approx-mode refactor),
+        # pl_ece (out-of-range loud error), pl_image_dhash AND
+        # pl_image_neardup (both execute the changed image_dhash
+        # kernel); then all 26 r4-stale + the 15 r5 rows. ---
+        # --- (r11 1) new in round 11 ---
         "st_acf": st_acf,
         "pl_cliffs_delta": pl_cliffs_delta,
         "pl_hhi": pl_hhi,
@@ -11371,6 +11594,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # --- round 12: the r11-banked candidates, SQL moved verbatim
+        # from tests/test_r12_candidate_oracles.py (cross-engine-green
+        # at sf0.001 + sf0.01 before registration) ---
+        "q_revenue_growth": Q_REVENUE_GROWTH_SQL,
+        "pl_cvm_lengths": PL_CVM_LENGTHS_SQL,
+        "st_weekday_profile": ST_WEEKDAY_PROFILE_SQL,
+        "pl_theil_index": PL_THEIL_INDEX_SQL,
+        "pl_mutual_info": PL_MUTUAL_INFO_SQL,
         # --- round 10 ---
         "pl_mcc": PL_MCC_SQL,
         "pl_pr_curve": PL_PR_CURVE_SQL,

@@ -19,6 +19,13 @@ Audited classes behind the pinned counts (round-11 census):
   HITS/pagerank per-round max-scalars
 - NO `.toPandas()` anywhere: Arrow batches flow through
   mapInPandas/pandas_udf inside the plan, never to the driver.
+- NO `.take()` anywhere (round-12 spelling-completion: the same
+  driver-materialization class has more spellings than the r11 census
+  pinned).
+- exactly ONE `.toLocalIterator()`: dataloader.py's ImageTilesDataset
+  iterator, which STREAMS one crop at a time to the consumer by design
+  (prefetchPartitions=True, documented in the module docstring) — the
+  sanctioned driver-streaming export, not a bulk materialization.
 """
 
 from __future__ import annotations
@@ -30,35 +37,37 @@ import pytest
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# {relpath: (collect, toPandas, first)} — update ONLY after classifying
+# {relpath: (collect, toPandas, first, take, toLocalIterator)} —
+# update ONLY after classifying
 # the new site as model-/metadata-sized (say why in the class list
 # above); lowering a count after removing a site is always fine.
 PINNED = {
-    "__spark_entry__.py": (4, 0, 4),
-    "spatialdata_spark/api.py": (0, 0, 1),
-    "spatialdata_spark/catalog.py": (1, 0, 0),
-    "spatialdata_spark/functions/zorder.py": (0, 0, 1),
-    "spatialdata_spark/models/compat.py": (1, 0, 0),
-    "spatialdata_spark/models/schemas.py": (1, 0, 0),
-    "spatialdata_spark/operators/aggregate.py": (1, 0, 2),
-    "spatialdata_spark/operators/measures.py": (0, 0, 3),
-    "spatialdata_spark/operators/raster.py": (0, 0, 1),
-    "spatialdata_spark/operators/rasterize.py": (1, 0, 1),
-    "spatialdata_spark/operators/relational.py": (1, 0, 1),
-    "spatialdata_spark/pipeline/bpe.py": (2, 0, 0),
-    "spatialdata_spark/pipeline/classify.py": (0, 0, 1),
-    "spatialdata_spark/pipeline/clustering.py": (6, 0, 0),
-    "spatialdata_spark/pipeline/dedup.py": (0, 0, 3),
-    "spatialdata_spark/pipeline/filters.py": (0, 0, 1),
-    "spatialdata_spark/pipeline/graph.py": (2, 0, 0),
-    "spatialdata_spark/pipeline/similarity.py": (2, 0, 3),
-    "spatialdata_spark/pipeline/textstats.py": (0, 0, 1),
-    "spatialdata_spark/sources/zarrio.py": (4, 0, 0),
-    "spatialdata_spark/streaming/windows.py": (1, 0, 0),
-    "spatialdata_spark/transformations/landmarks.py": (1, 0, 0),
+    "__spark_entry__.py": (4, 0, 4, 0, 0),
+    "spatialdata_spark/api.py": (0, 0, 1, 0, 0),
+    "spatialdata_spark/catalog.py": (1, 0, 0, 0, 0),
+    "spatialdata_spark/dataloader.py": (0, 0, 0, 0, 1),
+    "spatialdata_spark/functions/zorder.py": (0, 0, 1, 0, 0),
+    "spatialdata_spark/models/compat.py": (1, 0, 0, 0, 0),
+    "spatialdata_spark/models/schemas.py": (1, 0, 0, 0, 0),
+    "spatialdata_spark/operators/aggregate.py": (1, 0, 2, 0, 0),
+    "spatialdata_spark/operators/measures.py": (0, 0, 3, 0, 0),
+    "spatialdata_spark/operators/raster.py": (0, 0, 1, 0, 0),
+    "spatialdata_spark/operators/rasterize.py": (1, 0, 1, 0, 0),
+    "spatialdata_spark/operators/relational.py": (1, 0, 1, 0, 0),
+    "spatialdata_spark/pipeline/bpe.py": (2, 0, 0, 0, 0),
+    "spatialdata_spark/pipeline/classify.py": (0, 0, 1, 0, 0),
+    "spatialdata_spark/pipeline/clustering.py": (6, 0, 0, 0, 0),
+    "spatialdata_spark/pipeline/dedup.py": (0, 0, 3, 0, 0),
+    "spatialdata_spark/pipeline/filters.py": (0, 0, 1, 0, 0),
+    "spatialdata_spark/pipeline/graph.py": (2, 0, 0, 0, 0),
+    "spatialdata_spark/pipeline/similarity.py": (2, 0, 3, 0, 0),
+    "spatialdata_spark/pipeline/textstats.py": (0, 0, 1, 0, 0),
+    "spatialdata_spark/sources/zarrio.py": (4, 0, 0, 0, 0),
+    "spatialdata_spark/streaming/windows.py": (1, 0, 0, 0, 0),
+    "spatialdata_spark/transformations/landmarks.py": (1, 0, 0, 0, 0),
 }
 
-METHODS = ("collect", "toPandas", "first")
+METHODS = ("collect", "toPandas", "first", "take", "toLocalIterator")
 
 
 def _census() -> dict[str, tuple[int, int, int]]:
@@ -108,6 +117,14 @@ def test_toPandas_never_appears():
     got = _census()
     offenders = {f: c for f, c in got.items() if c[METHODS.index("toPandas")]}
     assert not offenders, f".toPandas() in library/registry code: {offenders}"
+
+
+def test_take_never_appears():
+    # .take(n) is .collect() with a limit — same driver-materialization
+    # class, zero current sites, pinned at zero
+    got = _census()
+    offenders = {f: c for f, c in got.items() if c[METHODS.index("take")]}
+    assert not offenders, f".take() in library/registry code: {offenders}"
 
 
 def test_pin_is_not_stale():

@@ -129,6 +129,12 @@ GUARDED = [
     "st_acf",
     "pl_cliffs_delta",
     "pl_hhi",
+    # round 12
+    "q_revenue_growth",
+    "pl_cvm_lengths",
+    "st_weekday_profile",
+    "pl_theil_index",
+    "pl_mutual_info",
 ]
 
 # The sanctioned shuffle-join allowance: {query: max sort-merge +
@@ -229,6 +235,14 @@ EXPRESSION_ONLY = [
     "st_acf",
     "pl_cliffs_delta",
     "pl_hhi",
+    # round 12 — all five are pure-expression aggregation / window /
+    # broadcast-join pipelines (q_revenue_growth's fact joins broadcast
+    # the dims; the statistics run on group-/grid-sized tables)
+    "q_revenue_growth",
+    "pl_cvm_lengths",
+    "st_weekday_profile",
+    "pl_theil_index",
+    "pl_mutual_info",
 ]
 
 

@@ -11085,6 +11085,105 @@ FROM tot CROSS JOIN mi CROSS JOIN hr CROSS JOIN hc
 """
 
 
+def q_rfm_segments(spark, sf_dir):
+    """RFM customer segmentation — the classic retail curation grid
+    (Recency / Frequency / Monetary quintiles; Hughes 1994): score
+    every customer 1..5 on each axis with an exact ntile over a total
+    order, then report the segment grid (<= 125 rows at any corpus
+    size).  r13 registry candidate (the library-level-first modularity
+    precedent).
+
+    Determinism: each ntile orders by ``(metric, custkey)`` — the
+    custkey tie-break pins bin assignment on any engine (the
+    calibration_bins convention).  ``recency_days`` is an exact date
+    diff against the corpus max order date; ``frequency`` an exact
+    count; ``monetary`` accumulates in DECIMAL (cross-engine-stable
+    ordering; o_totalprice has 2dp so the DECIMAL(18,2) sum is exact).
+    Score direction: 5 = best (most recent / most frequent / biggest
+    spender).  Revenue emits as one exact DECIMAL->DOUBLE cast;
+    avg_revenue is ONE division, 6 dp.
+
+    100 TB shape, stated: the per-customer rollup is the corpus-sized
+    work; the three ntiles are global sorts of the CUSTOMER-sized
+    (custkey, 3 metrics) projection — the documented exact-ntile
+    contract shared with calibration_bins, whose approx-percentile
+    edge swap (classify._approx_rank_bins) is the stated at-extreme-
+    scale path there and would be here too.
+    """
+    from pyspark.sql.window import Window
+
+    orders = _read(spark, sf_dir, "orders")
+    per = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("__last"),
+        F.count(F.lit(1)).cast("long").alias("__freq"),
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("__mon"),
+    )
+    ref = orders.agg(F.max("o_orderdate").alias("__ref"))
+    scored = per.crossJoin(F.broadcast(ref)).select(
+        "custkey",
+        F.datediff(F.col("__ref"), F.col("__last")).cast("long").alias("__rec"),
+        "__freq",
+        "__mon",
+    )
+    r_w = Window.orderBy(F.desc("__rec"), "custkey")
+    f_w = Window.orderBy("__freq", "custkey")
+    m_w = Window.orderBy("__mon", "custkey")
+    s = scored.select(
+        "__mon",
+        F.ntile(5).over(r_w).cast("int").alias("r_score"),
+        F.ntile(5).over(f_w).cast("int").alias("f_score"),
+        F.ntile(5).over(m_w).cast("int").alias("m_score"),
+    )
+    return (
+        s.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("__mon").alias("__rev"),
+        )
+        .select(
+            "r_score",
+            "f_score",
+            "m_score",
+            "n_customers",
+            F.col("__rev").cast("double").alias("total_revenue"),
+            F.round(
+                F.col("__rev").cast("double") / F.col("n_customers"), 6
+            ).alias("avg_revenue"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+Q_RFM_SEGMENTS_SQL = f"""
+WITH per AS (
+  SELECT o_custkey AS custkey,
+         MAX(o_orderdate) AS last_order,
+         CAST(COUNT(*) AS BIGINT) AS freq,
+         SUM(CAST(o_totalprice AS {DEC})) AS mon
+  FROM orders GROUP BY 1
+), ref AS (SELECT MAX(o_orderdate) AS ref_date FROM orders),
+scored AS (
+  SELECT custkey,
+         CAST(date_diff('day', CAST(last_order AS DATE), CAST(ref_date AS DATE)) AS BIGINT) AS rec,
+         freq, mon
+  FROM per CROSS JOIN ref
+), s AS (
+  SELECT mon,
+         CAST(NTILE(5) OVER (ORDER BY rec DESC, custkey) AS INT) AS r_score,
+         CAST(NTILE(5) OVER (ORDER BY freq, custkey) AS INT) AS f_score,
+         CAST(NTILE(5) OVER (ORDER BY mon, custkey) AS INT) AS m_score
+  FROM scored
+)
+SELECT r_score, f_score, m_score,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(mon) AS DOUBLE) AS total_revenue,
+       ROUND(CAST(SUM(mon) AS DOUBLE) / COUNT(*), 6) AS avg_revenue
+FROM s
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order matters: the correctness driver oracles the FIRST 50
     # entries, and a key's position is set by its FIRST occurrence (the

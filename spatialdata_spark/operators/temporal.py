@@ -938,3 +938,106 @@ def weekday_profile(
         )
         .orderBy("dow")
     )
+
+
+def mann_kendall_daily(
+    events: DataFrame,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """EXACT Mann-Kendall trend test on daily event volume — the
+    monotone-trend probe of the daily-monitor family (:func:`cusum_drift`
+    finds a level SHIFT, :func:`acf_daily` a CYCLE; Mann-Kendall asks
+    "is the series drifting up or down at all?" without assuming a
+    shape)::
+
+        S     = sum_{i<j} sgn(c_j - c_i)
+        var18 = T(T-1)(2T+5) - sum_k t_k (t_k-1)(2 t_k+5)   (= 18*Var S)
+        z     = (S - sgn(S)) / sqrt(var18 / 18)             (0 when S=0)
+
+    with ``t_k`` the tie-group sizes of equal daily counts.  ``S`` and
+    ``var18`` are exact int64 (bounded by T^3 over CALENDAR-day counts
+    — tiny forever); ``z`` is correctly-rounded double ops over exact
+    integers — identical on any engine — 6 dp.  ``z`` is NULL when
+    ``var18 = 0`` (every calendar day has the same count: no rank
+    order to trend — the hhi_norm convention; S is 0 there too).
+
+    CALENDAR SEMANTICS: the acf_daily convention — the series runs
+    over EVERY calendar day in ``[min_day, max_day]`` with zero-event
+    days densified in; a trend over a has-events-only index would skip
+    outages and bias S.  Empty series raises loudly on every output
+    column (per-column guard over a global always-one-row aggregation).
+
+    Plan: one day-keyed count (the ONLY corpus-sized work), calendar
+    densify + row-number, one day-pair self-join (T^2/2 pairs of the
+    CALENDAR-sized table — a year is ~66k pairs; days grow with time,
+    never with corpus volume), tie groups a value-keyed count.
+
+    Output: one row ``(n_days, s, var18, z)``.
+    """
+    counts = _daily_event_counts(events, ts_col)
+    span = counts.agg(F.min("day").alias("__d0"), F.max("day").alias("__d1"))
+    calendar = span.select(
+        F.explode(F.sequence(F.to_date("__d0"), F.to_date("__d1"))).alias("__date")
+    ).select(F.date_format("__date", "yyyy-MM-dd").alias("day"))
+    daily = calendar.join(counts, "day", "left").select(
+        "day", F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n")
+    )
+    idx = daily.withColumn(
+        "__i", F.row_number().over(Window.orderBy("day")).cast("long")
+    )
+    a = idx.select(F.col("__i"), F.col("n").alias("__na"))
+    b = idx.select(F.col("__i").alias("__j"), F.col("n").alias("__nb"))
+    s_agg = (
+        a.join(F.broadcast(b), F.col("__j") > F.col("__i"))
+        .agg(
+            F.sum(
+                F.when(F.col("__nb") > F.col("__na"), 1)
+                .when(F.col("__nb") < F.col("__na"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s")
+        )
+    )
+    ties = (
+        idx.groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("__tk"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__ngroups"),
+            F.sum(
+                F.col("__tk") * (F.col("__tk") - 1) * (2 * F.col("__tk") + 5)
+            )
+            .cast("long")
+            .alias("__tie18"),
+        )
+    )
+    tot = idx.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    agg = tot.crossJoin(F.broadcast(s_agg)).crossJoin(F.broadcast(ties))
+    t = F.col("n_days")
+    var18 = (t * (t - 1) * (2 * t + 5) - F.col("__tie18")).cast("long")
+    err = F.lit("mann_kendall_daily: empty series (no non-NULL timestamps)")
+
+    def g(col):
+        # per-column empty-series guard (the herfindahl pattern; the
+        # global aggs always yield one row, so the raise is evaluable)
+        return F.when(
+            F.coalesce(F.col("n_days"), F.lit(0)) > 0, col
+        ).otherwise(F.raise_error(err))
+
+    z = F.when(
+        var18 > 0,
+        F.round(
+            (
+                F.col("s")
+                - F.when(F.col("s") > 0, 1).when(F.col("s") < 0, -1).otherwise(0)
+            ).cast("double")
+            / F.sqrt(var18.cast("double") / F.lit(18.0)),
+            6,
+        ),
+    )
+    return agg.select(
+        g(F.col("n_days")).alias("n_days"),
+        g(F.coalesce(F.col("s"), F.lit(0))).alias("s"),
+        g(var18).alias("var18"),
+        g(z).alias("z"),
+    )

@@ -2837,3 +2837,208 @@ def mutual_information(
             )
         ).alias("nmi"),
     )
+
+
+def spearman_corr(
+    docs: DataFrame,
+    x_col: str = "n_chars",
+    text_col: str = "text",
+) -> DataFrame:
+    """Spearman rank correlation (tie-corrected: Pearson on midranks)
+    between an integer metadata column and the per-document whitespace
+    token count — the monotone-association gate ("does char length
+    rank-track token count?") a curation reviewer reads before using
+    one as a proxy for the other.  r13 registry candidate (the
+    library-level-first modularity precedent).
+
+    THE INTEGER CONTRACT: with doubled midranks ``R2(v) = 2*cum_before
+    + cnt(v) + 1`` (integers even under ties — the mann_whitney_u
+    device) the rank-Pearson collapses to exact integer sums::
+
+        rho = (N*C - A*Ay) / sqrt((N*B - A^2) * (N*By - Ay^2))
+
+        A  = sum_v cnt_v * R2x(v)          (= 2 * sum of x-midranks)
+        B  = sum_v cnt_v * R2x(v)^2        (= 4 * sum of squares)
+        C  = sum_{cells} cnt_xy * R2x * R2y (= 4 * sum of products)
+
+    (the 2/4 factors cancel) — every term DECIMAL(38,0)-exact, fits 38
+    digits while ``N < ~4e9`` rows, and the emit is ONE division of an
+    exact integer by the product of two correctly-rounded sqrts of
+    exact integers — identical doubles on any engine (the theil/jsd
+    float convention), 6 dp.  NULL x / NULL text dropped.  ``rho`` is
+    NULL when either variance is zero (a constant column has no rank
+    order — the hhi_norm convention); an EMPTY input raises loudly on
+    every output column (per-column guard over a global always-one-row
+    aggregation).
+
+    Plan: one (x, y)-cell count — the only corpus-sized shuffle — then
+    margins + cumulative windows over the two VALUE GRIDS
+    (value-domain-sized at any corpus scale; the ks_2sample
+    single-partition-window absorption) broadcast back onto the
+    realized cell table.
+
+    Output: one row ``(n_docs, n_x_values, n_y_values, spearman)``.
+    """
+    from pyspark.sql.window import Window
+
+    dec = "decimal(38,0)"
+    y = F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+    base = docs.filter(
+        F.col(x_col).isNotNull() & F.col(text_col).isNotNull()
+    ).select(F.col(x_col).cast("long").alias("__x"), y.cast("long").alias("__y"))
+    cells = base.groupBy("__x", "__y").agg(
+        F.count(F.lit(1)).cast("long").alias("__cxy")
+    )
+    xg = cells.groupBy("__x").agg(F.sum("__cxy").cast("long").alias("__cx"))
+    yg = cells.groupBy("__y").agg(F.sum("__cxy").cast("long").alias("__cy"))
+    wx = Window.orderBy("__x").rowsBetween(Window.unboundedPreceding, 0)
+    wy = Window.orderBy("__y").rowsBetween(Window.unboundedPreceding, 0)
+    xr = xg.select(
+        "__x",
+        "__cx",
+        (2 * (F.sum("__cx").over(wx) - F.col("__cx")) + F.col("__cx") + 1)
+        .cast("long")
+        .alias("__r2x"),
+    )
+    yr = yg.select(
+        "__y",
+        "__cy",
+        (2 * (F.sum("__cy").over(wy) - F.col("__cy")) + F.col("__cy") + 1)
+        .cast("long")
+        .alias("__r2y"),
+    )
+    xa = xr.agg(
+        F.sum("__cx").cast("long").alias("__n"),
+        F.count(F.lit(1)).cast("long").alias("n_x_values"),
+        F.sum(F.col("__cx").cast(dec) * F.col("__r2x").cast(dec)).alias("__a"),
+        F.sum(
+            F.col("__cx").cast(dec) * F.col("__r2x").cast(dec) * F.col("__r2x").cast(dec)
+        ).alias("__b"),
+    )
+    ya = yr.agg(
+        F.count(F.lit(1)).cast("long").alias("n_y_values"),
+        F.sum(F.col("__cy").cast(dec) * F.col("__r2y").cast(dec)).alias("__ay"),
+        F.sum(
+            F.col("__cy").cast(dec) * F.col("__r2y").cast(dec) * F.col("__r2y").cast(dec)
+        ).alias("__by"),
+    )
+    # the value grids are domain-sized: broadcast them onto the cells
+    ca = (
+        cells.join(F.broadcast(xr.select("__x", "__r2x")), "__x")
+        .join(F.broadcast(yr.select("__y", "__r2y")), "__y")
+        .agg(
+            F.sum(
+                F.col("__cxy").cast(dec)
+                * F.col("__r2x").cast(dec)
+                * F.col("__r2y").cast(dec)
+            ).alias("__c")
+        )
+    )
+    agg = xa.crossJoin(F.broadcast(ya)).crossJoin(F.broadcast(ca))
+    n = F.col("__n").cast(dec)
+    num = n * F.col("__c") - F.col("__a") * F.col("__ay")
+    dx = n * F.col("__b") - F.col("__a") * F.col("__a")
+    dy = n * F.col("__by") - F.col("__ay") * F.col("__ay")
+    err = F.lit(
+        f"spearman_corr: empty input (no rows with non-NULL"
+        f" '{x_col}' and '{text_col}')"
+    )
+    ov = F.lit(
+        "spearman_corr: DECIMAL(38,0) overflow in the rank sums"
+        " (N exceeds the ~4e9-row exact bound)"
+    )
+
+    def g(col):
+        # per-column empty-input guard (the herfindahl pattern) PLUS
+        # the loud overflow raise: a NULL num/dx/dy with N > 0 can only
+        # be a non-ANSI decimal overflow (the e6_signed lesson)
+        return F.when(F.col("__n").isNull() | (F.col("__n") == 0), F.raise_error(err)).when(
+            num.isNull() | dx.isNull() | dy.isNull(), F.raise_error(ov)
+        ).otherwise(col)
+
+    rho = F.when(
+        (dx > 0) & (dy > 0),
+        F.round(
+            num.cast("double") / (F.sqrt(dx.cast("double")) * F.sqrt(dy.cast("double"))),
+            6,
+        ),
+    )
+    return agg.select(
+        g(F.col("__n")).alias("n_docs"),
+        g(F.col("n_x_values")).alias("n_x_values"),
+        g(F.col("n_y_values")).alias("n_y_values"),
+        g(rho).alias("spearman"),
+    )
+
+
+def chao1_richness(
+    docs: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Chao1 vocabulary-richness estimate of the corpus — "how many
+    word types would we see with infinite sampling?" (Chao 1984,
+    bias-corrected form), the coverage companion of :func:`zipf_slope`
+    / :func:`heaps_fit` (those fit the growth curve; Chao1 bounds its
+    asymptote from the singleton/doubleton counts alone)::
+
+        chao1 = V + f1 * (f1 - 1) / (2 * (f2 + 1))
+
+    with ``V`` the observed type count, ``f1``/``f2`` the number of
+    types seen exactly once/twice — defined for every corpus (the
+    +1-corrected denominator never vanishes).  Exactness: all four
+    inputs are exact int64 counts from ONE token-keyed aggregation;
+    ``chao1_e6 = (V*den + f1*(f1-1)) / den`` with ``den = 2*(f2+1)``
+    is ONE half-up integer division to int64 microunits via the shared
+    :func:`~spatialdata_spark.functions.exact.e6_signed` emit (loud on
+    overflow).  Tokenization is the module convention:
+    ``split(lower(trim(text)), '\\s+')``.  An empty corpus raises
+    loudly on every output column (the herfindahl pattern).
+
+    Plan: one token-keyed count (map-side combine, the corpus-sized
+    shuffle) + one 1-row rollup over the VOCABULARY-sized type table.
+    Flat at any scale.
+
+    Output: one row ``(n_types, total_tokens, f1, f2, chao1_e6)``;
+    consumers wanting the float divide by 1e6.
+    """
+    from spatialdata_spark.functions.exact import e6_signed
+
+    dec = "decimal(38,0)"
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    counts = (
+        docs.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    agg = counts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum("tf").cast("long").alias("total_tokens"),
+        F.sum(F.when(F.col("tf") == 1, 1).otherwise(0)).cast("long").alias("f1"),
+        F.sum(F.when(F.col("tf") == 2, 1).otherwise(0)).cast("long").alias("f2"),
+    )
+    err = F.lit("chao1_richness: empty corpus (no tokens)")
+
+    def g(col):
+        # per-column empty-corpus guard (the herfindahl pattern)
+        return F.when(
+            F.coalesce(F.col("n_types"), F.lit(0)) > 0, col
+        ).otherwise(F.raise_error(err))
+
+    withnd = agg.select(
+        "n_types",
+        "total_tokens",
+        "f1",
+        "f2",
+        (
+            F.col("n_types").cast(dec) * (F.lit(2).cast(dec) * (F.col("f2").cast(dec) + 1))
+            + F.col("f1").cast(dec) * (F.col("f1").cast(dec) - 1)
+        ).alias("__num"),
+        (F.lit(2).cast(dec) * (F.col("f2").cast(dec) + 1)).alias("__den"),
+    )
+    return withnd.select(
+        g(F.col("n_types")).alias("n_types"),
+        g(F.col("total_tokens")).alias("total_tokens"),
+        g(F.col("f1")).alias("f1"),
+        g(F.col("f2")).alias("f2"),
+        g(e6_signed("__num", "__den", "chao1_richness")).alias("chao1_e6"),
+    )

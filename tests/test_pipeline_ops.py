@@ -6128,3 +6128,36 @@ def test_single_column_select_still_raises_on_empty_input(spark):
     for c in tg.columns:
         with pytest.raises(Exception, match="token_gini: empty corpus"):
             tg.select(c).collect()
+
+
+def test_r13_candidates_raise_per_column_on_empty_input(spark):
+    # family convention, pinned from birth: the empty-input loud error
+    # survives a hand-narrowed one-column select (per-column g() over a
+    # global always-one-row aggregation)
+    import pytest
+
+    from spatialdata_spark.pipeline.textstats import chao1_richness, spearman_corr
+
+    empty = spark.createDataFrame([], "doc_id INT, n_chars BIGINT, text STRING")
+    sp = spearman_corr(empty)
+    for c in sp.columns:
+        with pytest.raises(Exception, match="spearman_corr: empty input"):
+            sp.select(c).collect()
+    ch = chao1_richness(empty)
+    for c in ch.columns:
+        with pytest.raises(Exception, match="chao1_richness: empty corpus"):
+            ch.select(c).collect()
+
+
+def test_spearman_perfect_monotone_is_one(spark):
+    from spatialdata_spark.pipeline.textstats import spearman_corr
+
+    rows = [(i, i + 1, " ".join("w" for _ in range(i + 1))) for i in range(12)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_chars", "text"])
+    r = spearman_corr(df).collect()[0]
+    assert r["spearman"] == 1.0
+    anti = [(i, 100 - i, " ".join("w" for _ in range(i + 1))) for i in range(12)]
+    r2 = spearman_corr(
+        spark.createDataFrame(anti, ["doc_id", "n_chars", "text"])
+    ).collect()[0]
+    assert r2["spearman"] == -1.0

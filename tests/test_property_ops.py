@@ -1139,3 +1139,221 @@ def test_mutual_information_property(spark, seed, k, l):
     flipped = mutual_information(df, row_col="lang", col_col="source").collect()[0]
     assert flipped["mi"] == out["mi"]
     assert (flipped["h_row"], flipped["h_col"]) == (out["h_col"], out["h_row"])
+
+
+@given(seed=st.integers(0, 10**6), width=st.integers(1, 25))
+@SET
+def test_spearman_property_matches_scipy_free_python(spark, seed, width):
+    """Random integer (x, token-count) corpora (width=1 forces heavy
+    ties on x): spearman matches a pure-Python midrank-Pearson replay;
+    a constant column yields NULL rho; rho in [-1, 1]."""
+    from spatialdata_spark.pipeline.textstats import spearman_corr
+
+    rng = random.Random(seed)
+    n = rng.randint(4, 40)
+    rows = []
+    ys = []
+    for i in range(n):
+        x = rng.randint(0, width)
+        k = rng.randint(1, 8)
+        rows.append((i, x, " ".join(f"w{rng.randint(0, 3)}" for _ in range(k))))
+        ys.append(k)
+    df = spark.createDataFrame(rows, ["doc_id", "n_chars", "text"])
+    r = spearman_corr(df).collect()[0]
+    xs = [x for (_, x, _) in rows]
+
+    def midranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        rk = [0.0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while j < len(order) and vals[order[j]] == vals[order[i]]:
+                j += 1
+            mr = (i + j + 1) / 2  # average of ranks i+1..j
+            for t in range(i, j):
+                rk[order[t]] = mr
+            i = j
+        return rk
+
+    rx, ry = midranks(xs), midranks(ys)
+    N = len(xs)
+    sx, sy = sum(rx), sum(ry)
+    sxx = sum(v * v for v in rx)
+    syy = sum(v * v for v in ry)
+    sxy = sum(a * b for a, b in zip(rx, ry))
+    dx = N * sxx - sx * sx
+    dy = N * syy - sy * sy
+    assert r["n_docs"] == N
+    assert r["n_x_values"] == len(set(xs))
+    assert r["n_y_values"] == len(set(ys))
+    if dx > 0 and dy > 0:
+        rho = (N * sxy - sx * sy) / math.sqrt(dx * dy)
+        assert r["spearman"] is not None
+        assert abs(r["spearman"] - rho) < 2e-6
+        assert -1.0 - 1e-9 <= r["spearman"] <= 1.0 + 1e-9
+    else:
+        assert r["spearman"] is None
+
+
+@given(seed=st.integers(0, 10**6), vocab=st.integers(1, 30))
+@SET
+def test_chao1_property_matches_fractions(spark, seed, vocab):
+    """Random corpora: (V, f1, f2) match a Counter replay and chao1_e6
+    is the exact half-up Fractions microunit emit; chao1 >= V always
+    (the estimator only adds mass)."""
+    from collections import Counter
+    from fractions import Fraction
+
+    from spatialdata_spark.pipeline.textstats import chao1_richness
+
+    rng = random.Random(seed)
+    texts = []
+    for i in range(rng.randint(1, 12)):
+        k = rng.randint(1, 20)
+        texts.append(" ".join(f"t{rng.randint(0, vocab)}" for _ in range(k)))
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    r = chao1_richness(df).collect()[0]
+    cnt = Counter(w for t in texts for w in t.lower().strip().split())
+    V = len(cnt)
+    f1 = sum(1 for v in cnt.values() if v == 1)
+    f2 = sum(1 for v in cnt.values() if v == 2)
+    exact = Fraction(V) + Fraction(f1 * (f1 - 1), 2 * (f2 + 1))
+    e6 = math.floor(exact * 10**6 + Fraction(1, 2))
+    assert (r["n_types"], r["f1"], r["f2"]) == (V, f1, f2)
+    assert r["total_tokens"] == sum(cnt.values())
+    assert r["chao1_e6"] == e6
+    assert r["chao1_e6"] >= V * 10**6
+
+
+@given(seed=st.integers(0, 10**6), n_days=st.integers(2, 30), gap_p=st.floats(0, 0.5))
+@SET
+def test_mann_kendall_property_matches_bruteforce(spark, seed, n_days, gap_p):
+    """Random daily series with outages: S matches brute-force pair
+    signs over the ZERO-DENSIFIED calendar, var18 the tie-corrected
+    closed form, z the (S -/+ 1)/sqrt(var/18) emit; a strictly
+    monotone series maximizes S exactly."""
+    import datetime
+
+    from spatialdata_spark.operators.temporal import mann_kendall_daily
+
+    rng = random.Random(seed)
+    base = datetime.datetime(2024, 3, 1)
+    cnt = [0] * n_days
+    cnt[0] = rng.randint(1, 15)
+    cnt[-1] = rng.randint(1, 15)  # pin the span
+    for d in range(1, n_days - 1):
+        cnt[d] = 0 if rng.random() < gap_p else rng.randint(0, 15)
+    ev = []
+    for d, c in enumerate(cnt):
+        for j in range(c):
+            ev.append((len(ev), base + datetime.timedelta(days=d, hours=j % 24)))
+    df = spark.createDataFrame(ev, ["event_id", "ts"])
+    r = mann_kendall_daily(df).collect()[0]
+    T = n_days
+    s = sum(
+        (1 if cnt[j] > cnt[i] else -1 if cnt[j] < cnt[i] else 0)
+        for i in range(T)
+        for j in range(i + 1, T)
+    )
+    from collections import Counter
+
+    tie18 = sum(t * (t - 1) * (2 * t + 5) for t in Counter(cnt).values())
+    var18 = T * (T - 1) * (2 * T + 5) - tie18
+    assert (r["n_days"], r["s"], r["var18"]) == (T, s, var18)
+    if var18 > 0:
+        sgn = 1 if s > 0 else -1 if s < 0 else 0
+        z = (s - sgn) / math.sqrt(var18 / 18.0)
+        assert abs(r["z"] - z) < 2e-6
+    else:
+        assert r["z"] is None
+
+
+@given(seed=st.integers(0, 10**6))
+@SET
+def test_rfm_property_matches_python_ntile(spark, seed):
+    """Random order tables: the segment grid matches a pure-Python
+    ntile replay with the same (metric, custkey) tie-break; customer
+    counts sum to the customer total and scores stay in 1..5."""
+    import datetime
+
+    rng = random.Random(seed)
+    n_cust = rng.randint(5, 30)
+    rows = []
+    base = datetime.datetime(2024, 1, 1)
+    for ok in range(rng.randint(n_cust, 120)):
+        ck = rng.randint(1, n_cust)
+        rows.append(
+            (
+                ok,
+                ck,
+                "O",
+                round(rng.uniform(10, 5000), 2),
+                base + datetime.timedelta(days=rng.randint(0, 400)),
+                "1-URGENT",
+            )
+        )
+    df = spark.createDataFrame(
+        rows,
+        [
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        ],
+    )
+    import tempfile
+
+    base_dir = tempfile.mkdtemp(prefix="rfm_fuzz_")
+    df.write.mode("overwrite").parquet(f"{base_dir}/orders.parquet")
+    import __spark_entry__ as entrymod
+
+    got = entrymod.q_rfm_segments(spark, base_dir).collect()
+
+    # python replay with exact cents
+    per = {}
+    ref = max(d for (_, _, _, _, d, _) in rows)
+    for ok, ck, _, price, d, _ in rows:
+        rec = per.setdefault(ck, {"last": d, "freq": 0, "cents": 0})
+        rec["last"] = max(rec["last"], d)
+        rec["freq"] += 1
+        rec["cents"] += round(price * 100)
+
+    def ntile5(keys):
+        # standard NTILE: first (n % 5) buckets get ceil(n/5)
+        n = len(keys)
+        out = {}
+        big, rem = divmod(n, 5)
+        pos = 0
+        for b in range(1, 6):
+            size = big + (1 if b <= rem else 0)
+            for k in keys[pos : pos + size]:
+                out[k] = b
+            pos += size
+        return out
+
+    custs = sorted(per)
+    r_rank = ntile5(
+        sorted(custs, key=lambda c: (-(ref - per[c]["last"]).days, c))
+    )
+    f_rank = ntile5(sorted(custs, key=lambda c: (per[c]["freq"], c)))
+    m_rank = ntile5(sorted(custs, key=lambda c: (per[c]["cents"], c)))
+    seg = {}
+    for c in custs:
+        key = (r_rank[c], f_rank[c], m_rank[c])
+        s = seg.setdefault(key, [0, 0])
+        s[0] += 1
+        s[1] += per[c]["cents"]
+    assert len(got) == len(seg)
+    total = 0
+    for r in got:
+        key = (r["r_score"], r["f_score"], r["m_score"])
+        assert all(1 <= v <= 5 for v in key)
+        n, cents = seg[key]
+        assert r["n_customers"] == n
+        assert abs(r["total_revenue"] - cents / 100) < 1e-6
+        assert r["avg_revenue"] == round(cents / 100 / n, 6)
+        total += n
+    assert total == len(custs)

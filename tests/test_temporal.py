@@ -205,3 +205,47 @@ def test_weekday_profile_single_column_select_still_raises(spark):
     for c in prof.columns:
         with pytest.raises(Exception, match="weekday_profile: empty series"):
             prof.select(c).collect()
+
+
+def test_mann_kendall_single_column_select_still_raises(spark):
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from spatialdata_spark.operators.temporal import mann_kendall_daily
+
+    ev = spark.createDataFrame(
+        [("2024-01-01 10:00:00",)], ["raw"]
+    ).select(F.col("raw").cast("timestamp").alias("ts")).filter(F.lit(False))
+    mk = mann_kendall_daily(ev)
+    for c in mk.columns:
+        with pytest.raises(Exception, match="mann_kendall_daily: empty series"):
+            mk.select(c).collect()
+
+
+def test_mann_kendall_monotone_and_constant(spark):
+    import datetime
+
+    from spatialdata_spark.operators.temporal import mann_kendall_daily
+
+    base = datetime.datetime(2024, 3, 1)
+    # strictly increasing counts 1..6 -> S = T(T-1)/2 = 15, no ties
+    ev = []
+    for d in range(6):
+        for j in range(d + 1):
+            ev.append((len(ev), base + datetime.timedelta(days=d, hours=j)))
+    r = mann_kendall_daily(
+        spark.createDataFrame(ev, ["event_id", "ts"])
+    ).collect()[0]
+    assert (r["n_days"], r["s"]) == (6, 15)
+    assert r["z"] > 0
+    # constant series: S = 0, var18 = 0, z NULL (documented)
+    ev2 = []
+    for d in range(5):
+        for j in range(3):
+            ev2.append((len(ev2), base + datetime.timedelta(days=d, hours=j)))
+    r2 = mann_kendall_daily(
+        spark.createDataFrame(ev2, ["event_id", "ts"])
+    ).collect()[0]
+    assert (r2["s"], r2["var18"]) == (0, 0)
+    assert r2["z"] is None

@@ -59,7 +59,7 @@ def main(max_mult: int = 8, only: list[str] | None = None) -> None:
     )
     from spatialdata_spark.operators.temporal import rolling_active_users
     from spatialdata_spark.pipeline.clustering import gram_matrix
-    from spatialdata_spark.pipeline.textstats import cliffs_delta, cramer_von_mises_2sample, curation_funnel, herfindahl_index, mutual_information, theil_index
+    from spatialdata_spark.pipeline.textstats import chao1_richness, cliffs_delta, cramer_von_mises_2sample, curation_funnel, herfindahl_index, mutual_information, spearman_corr, theil_index
     from spatialdata_spark.operators.rasterize import rasterize_points
 
     from spatialdata_spark.pipeline.clustering import (
@@ -119,7 +119,7 @@ def main(max_mult: int = 8, only: list[str] | None = None) -> None:
         duplication_profile,
     )
     from spatialdata_spark.pipeline.similarity import centroid_cosine
-    from spatialdata_spark.operators.temporal import acf_daily, cusum_drift, ewma_daily, weekday_profile
+    from spatialdata_spark.operators.temporal import acf_daily, cusum_drift, ewma_daily, mann_kendall_daily, weekday_profile
     from spatialdata_spark.pipeline.textstats import (
         benford_deviation,
         chi2_tokens,
@@ -214,6 +214,54 @@ def main(max_mult: int = 8, only: list[str] | None = None) -> None:
         base = tempfile.mkdtemp(prefix="smoke_assoc_")
         r.write.mode("overwrite").parquet(f"{base}/lineitem.parquet")
         return entrymod.q_assoc_rules(spark, base).count()
+
+    def _revgrowth_m(m):
+        # fact tables replicated on orderkey (custkey untouched): the
+        # nation x month OUTPUT GRID stays fixed while revenue mass
+        # scales x m — the grid-shape contract (the only corpus-sized
+        # work is the fact join + one keyed aggregation; the lag window
+        # runs on the saturated metadata-sized grid)
+        import shutil
+        import tempfile
+
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        rl = replicate(
+            li.select("l_orderkey", "l_extendedprice", "l_discount"),
+            m,
+            ["l_orderkey"],
+        )
+        ro = replicate(
+            orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+            m,
+            ["o_orderkey"],
+        )
+        base = tempfile.mkdtemp(prefix="smoke_revgrowth_")
+        rl.write.mode("overwrite").parquet(f"{base}/lineitem.parquet")
+        ro.write.mode("overwrite").parquet(f"{base}/orders.parquet")
+        for t in ("customer", "nation"):
+            shutil.copy(f"{SF_DIR}/{t}.parquet", f"{base}/{t}.parquet")
+        return entrymod.q_revenue_growth(spark, base).count()
+
+    def _rfm_m(m):
+        # customers replicated on custkey (orders on orderkey too so
+        # counts stay per-copy-constant): the ntile sorts grow x m —
+        # the documented exact-ntile cost — while the segment grid
+        # stays <= 125 rows
+        import tempfile
+
+        orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        ro = replicate(
+            orders.select(
+                "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                "o_orderdate", "o_orderpriority",
+            ),
+            m,
+            ["o_orderkey", "o_custkey"],
+        )
+        base = tempfile.mkdtemp(prefix="smoke_rfm_")
+        ro.write.mode("overwrite").parquet(f"{base}/orders.parquet")
+        return entrymod.q_rfm_segments(spark, base).count()
 
     def _copurchase_strong(m):
         # parts sharing >= 2 orders, per-copy disjoint key spaces: the
@@ -886,6 +934,23 @@ def main(max_mult: int = 8, only: list[str] | None = None) -> None:
             "theil": lambda: theil_index(docs).collect(),
             "mutual_info": lambda: mutual_information(docs).collect(),
             "weekday_profile": lambda: weekday_profile(ev).collect(),
+            # fact joins scale, the nation x month grid saturates
+            "revenue_growth": lambda m=mult: entrymod.q_revenue_growth(
+                spark, SF_DIR
+            ).count() if m == 1 else _revgrowth_m(m),
+            # r13 candidates: the (x, y) cell table and both value
+            # grids saturate under self-union (the ks_2sample shape)
+            "spearman": lambda: spearman_corr(docs).collect(),
+            # token-keyed count + vocabulary-sized rollup (gini shape)
+            "chao1": lambda: chao1_richness(docs).collect(),
+            # day-keyed count then calendar-sized pair join — flat
+            # (the acf shape; self-union scales counts, not days)
+            "mann_kendall": lambda: mann_kendall_daily(ev).collect(),
+            # per-customer rollup scales; ntiles sort the customer-
+            # sized projection; the segment grid is <= 125 rows
+            "rfm": lambda m=mult: entrymod.q_rfm_segments(
+                spark, SF_DIR
+            ).count() if m == 1 else _rfm_m(m),
         }
         if only:
             cases = {k: v for k, v in cases.items() if k in only}

@@ -1,12 +1,17 @@
-"""Exact integer-rational emit helpers shared by the statistics family
-(acf_daily / weekday_profile / cramer_von_mises_2sample).
+"""Exact integer-rational emit helper shared by the statistics family.
 
-The module's DECIMAL(38,0) accumulators are exact, but the FINAL
-microunit emit multiplies the accumulator by 2e6 — and under Spark's
-default non-ANSI decimal arithmetic an overflow there returns NULL, a
-SILENT wrong answer (the acf_daily denominator-overflow lesson, applied
-to the numerator emit).  :func:`e6_signed` makes every such emit raise
-loudly instead.
+The repo's DECIMAL(38,0) accumulators are exact, but the FINAL
+microunit emit multiplies the accumulator by 2e6 — the one arithmetic
+step that can overflow 38 digits AFTER every caller's own input
+validation.  What overflow does depends on the session: under ANSI mode
+(the pyspark 4 default, and this repo's test configuration) Spark's own
+arithmetic error fires — already loud; under ``spark.sql.ansi.enabled
+= false`` (common on large batch clusters precisely because ANSI turns
+any bad row into a job failure) the decimal multiply returns NULL — a
+SILENT wrong answer.  :func:`e6_signed` makes the emit loud in BOTH
+modes (the acf_daily denominator-overflow lesson, applied to the
+numerator emit).  Callers are found by grepping ``e6_signed(`` — do not
+trust a hand-maintained list here.
 """
 
 from __future__ import annotations

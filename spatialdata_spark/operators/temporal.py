@@ -541,6 +541,28 @@ def _daily_event_counts(events: DataFrame, ts_col: str) -> DataFrame:
     )
 
 
+def _calendar_daily_index(events: DataFrame, ts_col: str) -> DataFrame:
+    """Shared zero-densified calendar index of the daily monitors
+    (ewma_daily / acf_daily / mann_kendall_daily): one row per calendar
+    day in ``[min_day, max_day]`` with the day's event count (0 on
+    outage days — a has-events-only index would shift phases, freeze
+    decayed levels, and bias trends) and a 1-based day index.
+    Day-calendar-sized at any corpus scale; the single-partition
+    row_number window is the documented absorption."""
+    counts = _daily_event_counts(events, ts_col)
+    span = counts.agg(F.min("day").alias("__d0"), F.max("day").alias("__d1"))
+    calendar = span.select(
+        F.explode(F.sequence(F.to_date("__d0"), F.to_date("__d1"))).alias("__date")
+    ).select(F.date_format("__date", "yyyy-MM-dd").alias("day"))
+    daily = calendar.join(counts, "day", "left").select(
+        "day",
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
+    )
+    return daily.withColumn(
+        "__i", F.row_number().over(Window.orderBy("day")).cast("long")
+    )
+
+
 def cusum_drift(
     events: DataFrame,
     ts_col: str = "ts",
@@ -669,22 +691,8 @@ def ewma_daily(
             " shiftleft wraps shift counts mod 64, which would produce"
             " silently wrong weights"
         )
-    counts = _daily_event_counts(events, ts_col)
     # densify to the full calendar: zero-event days must decay the level
-    span = counts.agg(
-        F.min("day").alias("__d0"), F.max("day").alias("__d1")
-    )
-    calendar = span.select(
-        F.explode(
-            F.sequence(F.to_date("__d0"), F.to_date("__d1"))
-        ).alias("__date")
-    ).select(F.date_format("__date", "yyyy-MM-dd").alias("day"))
-    daily = calendar.join(counts, "day", "left").select(
-        "day", F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events")
-    )
-    idx = daily.withColumn(
-        "__i", F.row_number().over(Window.orderBy("day")).cast("long")
-    )
+    idx = _calendar_daily_index(events, ts_col)
     a = idx.select(F.col("day"), F.col("n_events"), F.col("__i"))
     b = idx.select(
         F.col("__i").alias("__j"), F.col("n_events").alias("__nj")
@@ -697,11 +705,14 @@ def ewma_daily(
     # multiply in DECIMAL: BIGINT n_j * 2^(k-1) wraps past ~2^24/day
     num = F.sum(F.col("__nj").cast(dec) * w.cast(dec))
     agg = pairs.groupBy("day", "n_events").agg(num.alias("__num"))
-    half = 1 << (k - 1)
-    den = 1 << k
-    me6 = F.expr(
-        f"CAST((__num * CAST(1000000 AS DECIMAL(38,0)) + {half}) div {den} AS BIGINT)"
-    )
+    # e6_signed((num, 2^k)) computes (num*2e6 + 2^k) div 2^(k+1), which
+    # equals the former (num*1e6 + 2^(k-1)) div 2^k identically (both
+    # terms halve exactly) — and raises LOUDLY if the *2e6 emit
+    # overflows 38 digits (the acf/weekday/cvm emit-guard convention;
+    # this was the fourth family member still carrying the bare emit)
+    from spatialdata_spark.functions.exact import e6_signed
+
+    me6 = e6_signed("__num", str(1 << k), "ewma_daily")
     return agg.select("day", "n_events", me6.alias("ewma_e6")).orderBy("day")
 
 
@@ -766,16 +777,8 @@ def acf_daily(
     k = int(max_lag)
     if k < 1:
         raise ValueError(f"acf_daily: max_lag must be >= 1 (got {k})")
-    counts = _daily_event_counts(events, ts_col)
-    span = counts.agg(F.min("day").alias("__d0"), F.max("day").alias("__d1"))
-    calendar = span.select(
-        F.explode(F.sequence(F.to_date("__d0"), F.to_date("__d1"))).alias("__date")
-    ).select(F.date_format("__date", "yyyy-MM-dd").alias("day"))
-    daily = calendar.join(counts, "day", "left").select(
-        "day", F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n")
-    )
-    idx = daily.withColumn(
-        "__i", F.row_number().over(Window.orderBy("day")).cast("long")
+    idx = _calendar_daily_index(events, ts_col).select(
+        "day", F.col("n_events").alias("n"), "__i"
     )
     tot = idx.agg(
         F.count(F.lit(1)).cast("long").alias("__t"),
@@ -974,16 +977,8 @@ def mann_kendall_daily(
 
     Output: one row ``(n_days, s, var18, z)``.
     """
-    counts = _daily_event_counts(events, ts_col)
-    span = counts.agg(F.min("day").alias("__d0"), F.max("day").alias("__d1"))
-    calendar = span.select(
-        F.explode(F.sequence(F.to_date("__d0"), F.to_date("__d1"))).alias("__date")
-    ).select(F.date_format("__date", "yyyy-MM-dd").alias("day"))
-    daily = calendar.join(counts, "day", "left").select(
-        "day", F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n")
-    )
-    idx = daily.withColumn(
-        "__i", F.row_number().over(Window.orderBy("day")).cast("long")
+    idx = _calendar_daily_index(events, ts_col).select(
+        "day", F.col("n_events").alias("n"), "__i"
     )
     a = idx.select(F.col("__i"), F.col("n").alias("__na"))
     b = idx.select(F.col("__i").alias("__j"), F.col("n").alias("__nb"))
@@ -1003,7 +998,6 @@ def mann_kendall_daily(
         idx.groupBy("n")
         .agg(F.count(F.lit(1)).cast("long").alias("__tk"))
         .agg(
-            F.count(F.lit(1)).cast("long").alias("__ngroups"),
             F.sum(
                 F.col("__tk") * (F.col("__tk") - 1) * (2 * F.col("__tk") + 5)
             )

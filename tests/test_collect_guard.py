@@ -70,7 +70,7 @@ PINNED = {
 METHODS = ("collect", "toPandas", "first", "take", "toLocalIterator")
 
 
-def _census() -> dict[str, tuple[int, int, int]]:
+def _census() -> dict[str, tuple[int, ...]]:  # one count per METHODS entry
     out = {}
     targets = []
     for root, _, files in os.walk(os.path.join(ROOT, "spatialdata_spark")):

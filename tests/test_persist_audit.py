@@ -17,9 +17,12 @@ the STATEMENTS that consume ``x``:
   b.c)`` references ``b`` twice but evaluates it once;
 * mutually exclusive ``if/elif/else`` branches contribute the MAX of
   their branch counts, not the sum — only one branch runs;
-* a direct action on the variable (``x.count()`` etc.) counts as the
+* an action anywhere down a chain ROOTED at the variable
+  (``x.count()``, ``x.select(...).distinct().count()``) counts as the
   separate-action pattern when any other consumer exists (two jobs,
-  each recomputing the distinct — the q_assoc_rules r11 finding).
+  each recomputing the distinct — the q_assoc_rules r11 finding);
+* mutually exclusive try/except paths also take the max, finalbody
+  always runs.
 
 Current audited census: ZERO violations.  A new one fails loudly and
 demands either a persist or a rationale + allowlist entry here.
@@ -55,15 +58,31 @@ def _stmt_consumes(stmt: ast.stmt, var: str) -> bool:
     )
 
 
+def _chain_base(node: ast.AST) -> ast.AST:
+    """Walk an attribute-call chain (``x.select(...).distinct().count()``)
+    down to its base expression."""
+    n = node
+    while True:
+        if isinstance(n, ast.Call):
+            n = n.func
+        elif isinstance(n, ast.Attribute):
+            n = n.value
+        else:
+            return n
+
+
 def _stmt_actions(stmt: ast.stmt, var: str) -> int:
+    # an action anywhere down a chain rooted at the var counts: the
+    # q_assoc_rules shape was `op.select('o').distinct().count()` —
+    # requiring the call receiver to be the bare Name would miss it
     return sum(
         1
         for n in ast.walk(stmt)
         if isinstance(n, ast.Call)
         and isinstance(n.func, ast.Attribute)
         and n.func.attr in ACTIONS
-        and isinstance(n.func.value, ast.Name)
-        and n.func.value.id == var
+        and isinstance(_chain_base(n.func.value), ast.Name)
+        and _chain_base(n.func.value).id == var
     )
 
 
@@ -101,13 +120,24 @@ def _count_consumers(body: list[ast.stmt], var: str, skip: ast.stmt) -> tuple[in
             c_else, a_else = _count_consumers(stmt.orelse, var, skip)
             consumers += (1 if test_hit else 0) + max(c_then, c_else)
             actions += max(a_then, a_else)
-        elif isinstance(stmt, (ast.For, ast.While, ast.With, ast.Try)):
-            # loops/with/try re-run their body on one path: count inner
+        elif isinstance(stmt, ast.Try):
+            # body+orelse is the happy path; each handler is an
+            # alternative — take the heaviest single path (summing
+            # mutually exclusive paths would false-flag), finalbody
+            # always runs
+            c_happy, a_happy = _count_consumers(stmt.body + stmt.orelse, var, skip)
+            c_h = a_h = 0
+            for h in stmt.handlers:
+                ch, ah = _count_consumers(h.body, var, skip)
+                c_h, a_h = max(c_h, ch), max(a_h, ah)
+            c_fin, a_fin = _count_consumers(stmt.finalbody, var, skip)
+            consumers += max(c_happy, c_h) + c_fin
+            actions += max(a_happy, a_h) + a_fin
+        elif isinstance(stmt, (ast.For, ast.While, ast.With)):
+            # loops/with re-run their body on one path: count inner
             # statements directly (a loop may well re-consume per
             # iteration, which only strengthens the finding)
-            inner = getattr(stmt, "body", []) + getattr(stmt, "orelse", []) + getattr(stmt, "finalbody", [])
-            for h in getattr(stmt, "handlers", []):
-                inner += h.body
+            inner = getattr(stmt, "body", []) + getattr(stmt, "orelse", [])
             c, a = _count_consumers(inner, var, skip)
             test_hit = hasattr(stmt, "test") and any(
                 isinstance(n, ast.Name) and n.id == var and isinstance(n.ctx, ast.Load)
@@ -190,3 +220,48 @@ def test_detector_catches_the_assoc_rules_pattern(tmp_path):
         "    return pairs\n"
     )
     assert not _audit_file(str(good))
+
+
+def test_detector_catches_chained_action_at_two_consumers(tmp_path):
+    """The separate-action rule must see actions at the end of a chain
+    ROOTED at the var (`op.select(...).distinct().count()`), and a
+    2-consumer case WITH such an action is a violation while the same
+    two consumers without one are the documented wash."""
+    bad = tmp_path / "bad2.py"
+    bad.write_text(
+        "def q(spark, sf):\n"
+        "    op = li.select('o', 'p').distinct()\n"
+        "    n = op.select('o').distinct().count()\n"
+        "    pairs = op.join(other, 'o')\n"
+        "    return pairs\n"
+    )
+    flagged = _audit_file(str(bad))
+    assert any(v == "op" for (_, _, v, _, _) in flagged), flagged
+
+    wash = tmp_path / "wash.py"
+    wash.write_text(
+        "def q(spark, sf):\n"
+        "    op = li.select('o', 'p').distinct()\n"
+        "    item = op.groupBy('p').agg(x)\n"
+        "    pairs = op.join(other, 'o')\n"
+        "    return pairs\n"
+    )
+    assert not _audit_file(str(wash))
+
+
+def test_detector_takes_max_over_try_paths(tmp_path):
+    """Mutually exclusive try/except paths must not sum: two consumers
+    split across body and handler plus one more is still the heaviest
+    path of 2 — the documented wash, not a violation."""
+    p = tmp_path / "trypaths.py"
+    p.write_text(
+        "def q(spark, sf):\n"
+        "    x = li.select('a').distinct()\n"
+        "    try:\n"
+        "        a = x.join(y, 'a')\n"
+        "    except Exception:\n"
+        "        a = x.hint('shuffle').join(y, 'a')\n"
+        "    b = x.join(z, 'a')\n"
+        "    return a.union(b)\n"
+    )
+    assert not _audit_file(str(p))

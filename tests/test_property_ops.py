@@ -1304,13 +1304,17 @@ def test_rfm_property_matches_python_ntile(spark, seed):
             "o_orderpriority",
         ],
     )
+    import shutil
     import tempfile
 
-    base_dir = tempfile.mkdtemp(prefix="rfm_fuzz_")
-    df.write.mode("overwrite").parquet(f"{base_dir}/orders.parquet")
     import __spark_entry__ as entrymod
 
-    got = entrymod.q_rfm_segments(spark, base_dir).collect()
+    base_dir = tempfile.mkdtemp(prefix="rfm_fuzz_")
+    try:
+        df.write.mode("overwrite").parquet(f"{base_dir}/orders.parquet")
+        got = entrymod.q_rfm_segments(spark, base_dir).collect()
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)
 
     # python replay with exact cents
     per = {}

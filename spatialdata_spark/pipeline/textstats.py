@@ -3042,3 +3042,145 @@ def chao1_richness(
         g(F.col("f2")).alias("f2"),
         g(e6_signed("__num", "__den", "chao1_richness")).alias("chao1_e6"),
     )
+
+
+def vocab_overlap_exact(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT pairwise source vocabulary overlap (Jaccard on token-type
+    sets) — the exact twin of :func:`kmv_source_overlap` (that one
+    estimates from k-minimum-value sketches and is the documented
+    at-extreme-scale swap; this one is the registry-exact contract on
+    real vocabularies)::
+
+        J(a, b) = |V_a ∩ V_b| / (|V_a| + |V_b| - |V_a ∩ V_b|)
+
+    Exactness: every count is an exact int64 from ONE (source, token)
+    distinct + rollups; ``jaccard`` is ONE division, 9 dp (the KMV
+    ratio convention).
+
+    Plan — NO token-keyed self-join anywhere (a vocab⋈vocab join
+    would be the classic corpus-sized shuffle join): the per-token
+    source LIST (bounded by the source count, tens) explodes to its
+    ordered pairs with an expression-only ``transform``/``slice``
+    comprehension, then one (s1, s2)-keyed count; per-source type
+    counts broadcast onto the sources²-sized pair grid.  A source pair
+    sharing NO token is absent from the output (its J is 0; emitting
+    the zero grid would need a sources² spine — callers who want it
+    cross-join the distinct source list).  NULL groups/texts dropped;
+    a single-source or empty corpus yields an EMPTY result (a
+    legitimate no-pairs grid — the cliffs_delta convention), never an
+    error.
+
+    Output: ``(s1, s2, n_a_types, n_b_types, n_common, jaccard)``
+    with ``s1 < s2``, ordered by (s1, s2).
+    """
+    toks = (
+        docs.filter(F.col(group_col).isNotNull() & F.col(text_col).isNotNull())
+        .select(
+            F.col(group_col).alias("__g"),
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            ).alias("__tok"),
+        )
+        .filter(F.col("__tok") != "")
+        .distinct()
+    )
+    per = toks.groupBy("__g").agg(F.count(F.lit(1)).cast("long").alias("__v"))
+    by_tok = toks.groupBy("__tok").agg(
+        F.sort_array(F.collect_set("__g")).alias("__gs")
+    )
+    pairs = (
+        by_tok.filter(F.size("__gs") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(__gs, (x, i) ->"
+                    " transform(slice(__gs, i + 2, size(__gs)),"
+                    " y -> struct(x AS s1, y AS s2))))"
+                )
+            ).alias("__p")
+        )
+        .groupBy(F.col("__p.s1").alias("s1"), F.col("__p.s2").alias("s2"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(per.select(F.col("__g").alias("s1"), F.col("__v").alias("n_a_types"))),
+            "s1",
+        )
+        .join(
+            F.broadcast(per.select(F.col("__g").alias("s2"), F.col("__v").alias("n_b_types"))),
+            "s2",
+        )
+        .select(
+            "s1",
+            "s2",
+            "n_a_types",
+            "n_b_types",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a_types") + F.col("n_b_types") - F.col("n_common")),
+                9,
+            ).alias("jaccard"),
+        )
+        .orderBy("s1", "s2")
+    )
+
+
+def length_quantiles_exact(
+    docs: DataFrame,
+    group_col: str = "source",
+    value_col: str = "n_chars",
+    percents: tuple[int, ...] = (50, 90, 99),
+) -> DataFrame:
+    """EXACT per-group percentiles of an integer column — the exact
+    twin of :func:`hdr_quantiles` (that one is the mergeable-sketch
+    at-extreme-scale swap; this is the registry-exact contract): the
+    length-distribution report a mixture reviewer reads per source.
+
+    THE INTEGER CONTRACT (type-1 / lower quantile): ``p%`` of group
+    ``g`` with ``n_g`` rows is the SMALLEST observed value whose
+    cumulative count reaches ``ceil(p * n_g / 100)`` — every quantity
+    an exact int64 (``ceil`` as ``(p*n + 99) div 100``), no float
+    ``q`` anywhere, so the emit is bit-identical on any engine and
+    NEVER interpolates between observations.
+
+    Plan: one (group, value)-keyed count — the only corpus-sized
+    shuffle — then the cumulative window runs per group over its
+    DISTINCT VALUE GRID (value-domain-sized at any corpus scale, the
+    ks_2sample absorption) and each percentile is a conditional min
+    over that grid.  NULL groups/values dropped; an empty corpus
+    yields an empty grid (the vocab_overlap convention).
+
+    Output: one row per group ``(group, n_docs, p<P> ...)`` ordered by
+    group.
+    """
+    from pyspark.sql.window import Window
+
+    f = (
+        docs.filter(F.col(group_col).isNotNull() & F.col(value_col).isNotNull())
+        .groupBy(F.col(group_col).alias("grp"), F.col(value_col).cast("long").alias("__v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    w = Window.partitionBy("grp").orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wg = Window.partitionBy("grp")
+    cum = f.select(
+        "grp",
+        "__v",
+        F.sum("__c").over(w).cast("long").alias("__cum"),
+        F.sum("__c").over(wg).cast("long").alias("__n"),
+    )
+    aggs = [F.max("__n").alias("n_docs")]
+    for p in percents:
+        # integer ceil — a float (p*n+99)/100 could misround at scale
+        target = F.expr(f"CAST(({int(p)} * __n + 99) DIV 100 AS BIGINT)")
+        aggs.append(
+            F.min(F.when(F.col("__cum") >= target, F.col("__v"))).alias(f"p{int(p)}")
+        )
+    return cum.groupBy("grp").agg(*aggs).orderBy("grp")

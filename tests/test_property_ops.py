@@ -1361,3 +1361,75 @@ def test_rfm_property_matches_python_ntile(spark, seed):
         assert r["avg_revenue"] == round(cents / 100 / n, 6)
         total += n
     assert total == len(custs)
+
+
+@given(seed=st.integers(0, 10**6), n_groups=st.integers(1, 5))
+@SET
+def test_vocab_overlap_property_matches_sets(spark, seed, n_groups):
+    """Random multi-source corpora: every emitted pair matches pure
+    Python set intersection/Jaccard; pairs with zero overlap are
+    absent; single-source corpora emit nothing."""
+    rng = random.Random(seed)
+    groups = [f"s{i}" for i in range(n_groups)]
+    rows = []
+    vocab_of = {g: set() for g in groups}
+    for i in range(rng.randint(n_groups, 30)):
+        g = rng.choice(groups)
+        words = [f"w{rng.randint(0, 12)}" for _ in range(rng.randint(1, 8))]
+        vocab_of[g].update(words)
+        rows.append((i, g, " ".join(words)))
+    from spatialdata_spark.pipeline.textstats import vocab_overlap_exact
+
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    got = {(r["s1"], r["s2"]): r for r in vocab_overlap_exact(df).collect()}
+    import itertools
+
+    expected_pairs = set()
+    present = sorted(g for g in groups if vocab_of[g])
+    for a, b in itertools.combinations(present, 2):
+        inter = len(vocab_of[a] & vocab_of[b])
+        if inter == 0:
+            assert (a, b) not in got
+            continue
+        expected_pairs.add((a, b))
+        r = got[(a, b)]
+        union = len(vocab_of[a] | vocab_of[b])
+        assert (r["n_a_types"], r["n_b_types"], r["n_common"]) == (
+            len(vocab_of[a]),
+            len(vocab_of[b]),
+            inter,
+        )
+        assert r["jaccard"] == round(inter / union, 9)
+    assert set(got) == expected_pairs
+
+
+@given(seed=st.integers(0, 10**6), width=st.integers(1, 50))
+@SET
+def test_length_quantiles_property_matches_python(spark, seed, width):
+    """Random grouped integer samples (width=1 forces full ties): each
+    percentile is the smallest value whose cumulative count reaches
+    ceil(p*n/100) — replayed in pure Python; p50<=p90<=p99 always."""
+    rng = random.Random(seed)
+    groups = ["a", "b", "c"][: rng.randint(1, 3)]
+    rows = []
+    vals_of = {g: [] for g in groups}
+    for i in range(rng.randint(1, 60)):
+        g = rng.choice(groups)
+        v = rng.randint(0, width)
+        vals_of[g].append(v)
+        rows.append((i, g, v))
+    from spatialdata_spark.pipeline.textstats import length_quantiles_exact
+
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"])
+    got = {r["grp"]: r for r in length_quantiles_exact(df).collect()}
+    present = {g: v for g, v in vals_of.items() if v}
+    assert set(got) == set(present)
+    for g, vals in present.items():
+        s = sorted(vals)
+        n = len(s)
+        r = got[g]
+        assert r["n_docs"] == n
+        for p in (50, 90, 99):
+            target = (p * n + 99) // 100
+            assert r[f"p{p}"] == s[target - 1]
+        assert r["p50"] <= r["p90"] <= r["p99"]

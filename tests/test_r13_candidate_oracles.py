@@ -128,12 +128,73 @@ FROM (
 """
 
 
+VOCAB_OVERLAP_SQL = r"""
+WITH toks AS (
+  SELECT DISTINCT source AS g,
+         unnest(string_split_regex(LOWER(TRIM(text)), '\s+')) AS tok
+  FROM documents WHERE source IS NOT NULL AND text IS NOT NULL
+), toks2 AS (
+  SELECT g, tok FROM toks WHERE tok <> ''
+), per AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS v FROM toks2 GROUP BY 1
+), inter AS (
+  SELECT a.g AS s1, b.g AS s2, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM toks2 a JOIN toks2 b ON a.tok = b.tok AND a.g < b.g
+  GROUP BY 1, 2
+)
+SELECT s1, s2, pa.v AS n_a_types, pb.v AS n_b_types, n_common,
+       ROUND(n_common / CAST(pa.v + pb.v - n_common AS DOUBLE), 9) AS jaccard
+FROM inter
+JOIN per pa ON pa.g = inter.s1
+JOIN per pb ON pb.g = inter.s2
+ORDER BY s1, s2
+"""
+
+LENGTH_QUANTILES_SQL = r"""
+WITH f AS (
+  SELECT source AS grp, CAST(n_chars AS BIGINT) AS v,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL
+  GROUP BY 1, 2
+), cum AS (
+  SELECT grp, v,
+         CAST(SUM(c) OVER (PARTITION BY grp ORDER BY v) AS BIGINT) AS cm,
+         CAST(SUM(c) OVER (PARTITION BY grp) AS BIGINT) AS n
+  FROM f
+)
+SELECT grp, MAX(n) AS n_docs,
+       MIN(CASE WHEN cm >= (50 * n + 99) // 100 THEN v END) AS p50,
+       MIN(CASE WHEN cm >= (90 * n + 99) // 100 THEN v END) AS p90,
+       MIN(CASE WHEN cm >= (99 * n + 99) // 100 THEN v END) AS p99
+FROM cum
+GROUP BY grp
+ORDER BY grp
+"""
+
+
 def _spark_fn(name):
     import __spark_entry__ as entrymod
     from spatialdata_spark.operators.temporal import mann_kendall_daily
-    from spatialdata_spark.pipeline.textstats import chao1_richness, spearman_corr
+    from spatialdata_spark.pipeline.textstats import (
+        chao1_richness,
+        length_quantiles_exact,
+        spearman_corr,
+        vocab_overlap_exact,
+    )
 
     return {
+        "vocab_overlap": (
+            lambda spark, sf: vocab_overlap_exact(
+                spark.read.parquet(f"{sf}/documents.parquet")
+            ),
+            VOCAB_OVERLAP_SQL,
+        ),
+        "length_quantiles": (
+            lambda spark, sf: length_quantiles_exact(
+                spark.read.parquet(f"{sf}/documents.parquet")
+            ),
+            LENGTH_QUANTILES_SQL,
+        ),
         "rfm": (entrymod.q_rfm_segments, entrymod.Q_RFM_SEGMENTS_SQL),
         "spearman": (
             lambda spark, sf: spearman_corr(
@@ -156,7 +217,10 @@ def _spark_fn(name):
     }[name]
 
 
-@pytest.mark.parametrize("name", ["rfm", "spearman", "chao1", "mann_kendall"])
+@pytest.mark.parametrize(
+    "name",
+    ["rfm", "spearman", "chao1", "mann_kendall", "vocab_overlap", "length_quantiles"],
+)
 @pytest.mark.parametrize("sf_dir", SF_DIRS)
 def test_r13_candidate_cross_engine(spark, name, sf_dir):
     fn, sql = _spark_fn(name)

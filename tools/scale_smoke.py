@@ -59,7 +59,7 @@ def main(max_mult: int = 8, only: list[str] | None = None) -> None:
     )
     from spatialdata_spark.operators.temporal import rolling_active_users
     from spatialdata_spark.pipeline.clustering import gram_matrix
-    from spatialdata_spark.pipeline.textstats import chao1_richness, cliffs_delta, cramer_von_mises_2sample, curation_funnel, herfindahl_index, mutual_information, spearman_corr, theil_index
+    from spatialdata_spark.pipeline.textstats import chao1_richness, cliffs_delta, cramer_von_mises_2sample, curation_funnel, herfindahl_index, length_quantiles_exact, mutual_information, spearman_corr, theil_index, vocab_overlap_exact
     from spatialdata_spark.operators.rasterize import rasterize_points
 
     from spatialdata_spark.pipeline.clustering import (
@@ -951,6 +951,11 @@ def main(max_mult: int = 8, only: list[str] | None = None) -> None:
             "rfm": lambda m=mult: entrymod.q_rfm_segments(
                 spark, SF_DIR
             ).count() if m == 1 else _rfm_m(m),
+            # (source, token) distinct + per-token source-list pair
+            # explode — vocab and source set both saturate
+            "vocab_overlap": lambda: vocab_overlap_exact(docs).collect(),
+            # (group, value) count + per-group value-grid window
+            "length_quantiles": lambda: length_quantiles_exact(docs).collect(),
         }
         if only:
             cases = {k: v for k, v in cases.items() if k in only}

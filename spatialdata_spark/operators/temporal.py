@@ -681,8 +681,6 @@ def ewma_daily(
     Output: one row per calendar day ``(day, n_events, ewma_e6)``
     ordered by day; consumers wanting the float divide by 1e6.
     """
-    from pyspark.sql.window import Window
-
     dec = "decimal(38,0)"
     k = int(max_lag)
     if not (1 <= k <= 62):
@@ -712,7 +710,11 @@ def ewma_daily(
     # this was the fourth family member still carrying the bare emit)
     from spatialdata_spark.functions.exact import e6_signed
 
-    me6 = e6_signed("__num", str(1 << k), "ewma_daily")
+    # the denominator must enter e6_signed as DECIMAL: the helper
+    # computes (den)*2, and a BIGINT literal 2^62 times 2 overflows
+    # int64 (ANSI: constant-folding ARITHMETIC_OVERFLOW; non-ANSI:
+    # sign-flipped silent wrong values) — the k=62 legal maximum
+    me6 = e6_signed("__num", f"CAST({1 << k} AS DECIMAL(38,0))", "ewma_daily")
     return agg.select("day", "n_events", me6.alias("ewma_e6")).orderBy("day")
 
 

@@ -3161,6 +3161,13 @@ def length_quantiles_exact(
     """
     from pyspark.sql.window import Window
 
+    bad = [p for p in percents if not (isinstance(p, int) and 1 <= p <= 100)]
+    if bad:
+        raise ValueError(
+            f"length_quantiles_exact: percents must be integers in [1, 100]"
+            f" (got {bad}) — a float quantile like 0.99 truncates to 0 and"
+            f" an out-of-range p would emit a silent all-NULL column"
+        )
     f = (
         docs.filter(F.col(group_col).isNotNull() & F.col(value_col).isNotNull())
         .groupBy(F.col(group_col).alias("grp"), F.col(value_col).cast("long").alias("__v"))

@@ -75,14 +75,17 @@ def _stmt_actions(stmt: ast.stmt, var: str) -> int:
     # an action anywhere down a chain rooted at the var counts: the
     # q_assoc_rules shape was `op.select('o').distinct().count()` —
     # requiring the call receiver to be the bare Name would miss it
+    def _rooted_at_var(n: ast.Call) -> bool:
+        base = _chain_base(n.func.value)
+        return isinstance(base, ast.Name) and base.id == var
+
     return sum(
         1
         for n in ast.walk(stmt)
         if isinstance(n, ast.Call)
         and isinstance(n.func, ast.Attribute)
         and n.func.attr in ACTIONS
-        and isinstance(_chain_base(n.func.value), ast.Name)
-        and _chain_base(n.func.value).id == var
+        and _rooted_at_var(n)
     )
 
 

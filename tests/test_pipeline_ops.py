@@ -6161,3 +6161,15 @@ def test_spearman_perfect_monotone_is_one(spark):
         spark.createDataFrame(anti, ["doc_id", "n_chars", "text"])
     ).collect()[0]
     assert r2["spearman"] == -1.0
+
+
+def test_length_quantiles_rejects_bad_percents(spark):
+    import pytest
+
+    from spatialdata_spark.pipeline.textstats import length_quantiles_exact
+
+    df = spark.createDataFrame([(1, "a", 10)], ["doc_id", "source", "n_chars"])
+    with pytest.raises(ValueError, match="percents"):
+        length_quantiles_exact(df, percents=(50, 999))
+    with pytest.raises(ValueError, match="percents"):
+        length_quantiles_exact(df, percents=(0.99,))

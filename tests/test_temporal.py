@@ -249,3 +249,22 @@ def test_mann_kendall_monotone_and_constant(spark):
     ).collect()[0]
     assert (r2["s"], r2["var18"]) == (0, 0)
     assert r2["z"] is None
+
+
+def test_ewma_max_lag_62_still_works(spark):
+    # regression pin for the e6_signed denominator type: a BIGINT 2^62
+    # literal times the helper's *2 overflows int64 (ANSI constant-fold
+    # error / non-ANSI sign flip) — the denominator must enter as
+    # DECIMAL so the legal [1, 62] bound keeps working end-to-end
+    import datetime
+
+    from spatialdata_spark.operators.temporal import ewma_daily
+
+    base = datetime.datetime(2024, 6, 1)
+    ev = [(i, base + datetime.timedelta(days=i % 3)) for i in range(9)]
+    rows = ewma_daily(
+        spark.createDataFrame(ev, ["event_id", "ts"]), max_lag=62
+    ).collect()
+    assert len(rows) == 3
+    # day 1: E = 3/2 exactly -> 1_500_000 microunits
+    assert rows[0]["ewma_e6"] == 1_500_000

@@ -11203,11 +11203,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #       stated), and approx=True is not a registry path;
     #   (3) the six remaining r5-stale greens;
     #   (4) backfill with the oldest r6-stale greens, alphabetical —
-    #       34 of 45 fit (st_ewma's review-driven rotation took one
-    #       slot); the 11 left for r13 are q_pivot_revenue,
-    #       rt_zonal_quantiles, rv_rasterize_polyfill, st_anomaly,
-    #       st_cum_dau, st_funnel, st_gap_fill, st_retention,
-    #       st_rolling_window, st_sessionize, st_tumbling.
+    #       33 of 45 fit (the st_ewma and ag_points_categorical
+    #       rotations took two slots); the 12 left for r13 are
+    #       q_cube_revenue, q_pivot_revenue, rt_zonal_quantiles,
+    #       rv_rasterize_polyfill, st_anomaly, st_cum_dau, st_funnel,
+    #       st_gap_fill, st_retention, st_rolling_window,
+    #       st_sessionize, st_tumbling.
     return {
         # --- (1) new in round 12: the banked candidates ---
         "q_revenue_growth": q_revenue_growth,
@@ -11218,6 +11219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- (2) code/oracle modified this round ---
         "st_acf": st_acf,
         "st_ewma": st_ewma,
+        "ag_points_categorical": ag_points_categorical,
         "pl_ks_lengths": pl_ks_lengths,
         "pl_mwu_lengths": pl_mwu_lengths,
         "pl_token_gini": pl_token_gini,
@@ -11262,11 +11264,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_priority_lines": q12_priority_lines,
         "q20_excess_suppliers": q20_excess_suppliers,
         "q21_waiting_supplier": q21_waiting_supplier,
-        "q_cube_revenue": q_cube_revenue,
-        # (q_pivot_revenue displaced to the r13 queue when the in-round
-        # code review rotated st_ewma in — its e6 emit moved to the
-        # guarded e6_signed form, value-identical, and the calendar
-        # densify now runs through the shared _calendar_daily_index)
+        # (q_pivot_revenue and q_cube_revenue displaced to the r13
+        # queue by two in-round rotations: st_ewma — its e6 emit moved
+        # to the guarded e6_signed form and its densify to the shared
+        # _calendar_daily_index, value-identical; ag_points_categorical
+        # — the category dictionary subtree is now persisted, the plan
+        # executed it three times, values identical)
         # ===== round-12 driver head ends here (first 50) =====
         # --- round-11 head keys below keep the registry complete
         # (duplicates are no-ops).  Historical r11 rotation rationale:

@@ -215,10 +215,18 @@ def aggregate_points_by_circles(
         # carries an int code, not a string; decoded after aggregation
         from pyspark.sql.window import Window
 
+        # persist: the dictionary subtree (full-column scan + distinct +
+        # single-partition window) executes THREE times in the compiled
+        # plan otherwise — the encode join feeds BOTH the full-cell and
+        # boundary branches and the decode join replays it again
+        # (ReuseExchange does not collapse them; verified in the plan).
+        # Category-cardinality rows, MEMORY_AND_DISK — the ≥3-consumers
+        # persist rule at plan granularity.
         cat_dict = (
             points.select(F.col(value_col).alias("__cat"))
             .distinct()
             .withColumn("__code", F.row_number().over(Window.orderBy("__cat")))
+            .persist()
         )
         pt = (
             pt.join(F.broadcast(cat_dict), pt[value_col] == cat_dict["__cat"])

@@ -241,6 +241,11 @@ def aggregate_points_by_circles(
         # not an extra pass for that branch.  On a real cluster the scan
         # arrives pre-split into many tasks and this is skipped — there
         # the map-side partial aggregation shuffles only cell partials.
+        # Deliberately NOT persisted although both branches read it
+        # (r12 A/B at sf0.1, min-of-6: persisting LOSES ~0.4 s on both
+        # the count and categorical paths — the cache write of the
+        # quantized projection costs more than the second slim columnar
+        # scan; the 2-consumer wash rule, confirmed by measurement).
         pt = pt.repartition(par, "__qx", "__qy")
 
     # partial-aggregation schema shared by the full-cell and boundary paths

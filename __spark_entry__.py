@@ -11203,12 +11203,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #       stated), and approx=True is not a registry path;
     #   (3) the six remaining r5-stale greens;
     #   (4) backfill with the oldest r6-stale greens, alphabetical —
-    #       33 of 45 fit (the st_ewma and ag_points_categorical
-    #       rotations took two slots); the 12 left for r13 are
-    #       q_cube_revenue, q_pivot_revenue, rt_zonal_quantiles,
-    #       rv_rasterize_polyfill, st_anomaly, st_cum_dau, st_funnel,
-    #       st_gap_fill, st_retention, st_rolling_window,
-    #       st_sessionize, st_tumbling.
+    #       29 of 45 fit (the st_ewma, ag_points_categorical, st_cusum,
+    #       pl_kripp, pl_cliffs_delta and pl_ks_matrix rotations took
+    #       six slots — the tools/rescan_audit.py fixes); the 16 left
+    #       for r13 are q11_important_stock, q12_priority_lines,
+    #       q20_excess_suppliers, q21_waiting_supplier, q_cube_revenue,
+    #       q_pivot_revenue, rt_zonal_quantiles, rv_rasterize_polyfill,
+    #       st_anomaly, st_cum_dau, st_funnel, st_gap_fill,
+    #       st_retention, st_rolling_window, st_sessionize,
+    #       st_tumbling.
     return {
         # --- (1) new in round 12: the banked candidates ---
         "q_revenue_growth": q_revenue_growth,
@@ -11219,7 +11222,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- (2) code/oracle modified this round ---
         "st_acf": st_acf,
         "st_ewma": st_ewma,
+        "st_cusum": st_cusum,
         "ag_points_categorical": ag_points_categorical,
+        "pl_kripp": pl_kripp,
+        "pl_cliffs_delta": pl_cliffs_delta,
+        "pl_ks_matrix": pl_ks_matrix,
         "pl_ks_lengths": pl_ks_lengths,
         "pl_mwu_lengths": pl_mwu_lengths,
         "pl_token_gini": pl_token_gini,
@@ -11260,11 +11267,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pl_weighted_sample": pl_weighted_sample,
         "q02_min_cost_supplier": q02_min_cost_supplier,
         "q09_product_profit": q09_product_profit,
-        "q11_important_stock": q11_important_stock,
-        "q12_priority_lines": q12_priority_lines,
-        "q20_excess_suppliers": q20_excess_suppliers,
-        "q21_waiting_supplier": q21_waiting_supplier,
-        # (q_pivot_revenue and q_cube_revenue displaced to the r13
+        # (q11_important_stock, q12_priority_lines,
+        # q20_excess_suppliers, q21_waiting_supplier, q_pivot_revenue
+        # and q_cube_revenue displaced to the r13
         # queue by two in-round rotations: st_ewma — its e6 emit moved
         # to the guarded e6_signed form and its densify to the shared
         # _calendar_daily_index, value-identical; ag_points_categorical

@@ -558,9 +558,18 @@ def _calendar_daily_index(events: DataFrame, ts_col: str) -> DataFrame:
         "day",
         F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
     )
+    # persist: the consumers downstream (totals, both lag-join sides,
+    # tie groups) otherwise each replay the CORPUS-SIZED day-keyed
+    # count — the compiled acf plan scanned the events parquet SIX
+    # times (tools/rescan_audit.py), which at 100 TB is six full
+    # passes for one day-calendar-sized result.  Calendar-sized rows,
+    # MEMORY_AND_DISK, the ≥3-consumers rule at plan granularity (the
+    # minhash band-table LRU contract).
+    from pyspark import StorageLevel
+
     return daily.withColumn(
         "__i", F.row_number().over(Window.orderBy("day")).cast("long")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
 
 def cusum_drift(
@@ -599,7 +608,11 @@ def cusum_drift(
     """
     from pyspark.sql.window import Window
 
-    daily = _daily_event_counts(events, ts_col)
+    # persist: day-sized rows over a corpus-sized lineage — totals,
+    # the peak scan, and the final projection would otherwise each
+    # replay the full day-keyed count (4 scans in the compiled plan,
+    # tools/rescan_audit.py; the calendar-index persist rationale)
+    daily = _daily_event_counts(events, ts_col).persist()
     tot = daily.agg(
         F.sum("n_events").cast("long").alias("__n"),
         F.count(F.lit(1)).cast("long").alias("__d"),
@@ -901,8 +914,17 @@ def weekday_profile(
         .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
     )
     spine = events.sparkSession.range(1, 8).select(F.col("id").cast("int").alias("dow"))
-    dense = spine.join(F.broadcast(counts), "dow", "left").select(
-        "dow", F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events")
+    # persist: 7 rows, but its lineage is the CORPUS-SIZED weekday
+    # count — the totals and the output join would otherwise each
+    # replay the full scan (3 scans in the compiled plan,
+    # tools/rescan_audit.py; the calendar-index persist rationale)
+    dense = (
+        spine.join(F.broadcast(counts), "dow", "left")
+        .select(
+            "dow",
+            F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
+        )
+        .persist()
     )
     n_tot = dense.agg(F.sum("n_events").cast("long").alias("__n"))
     d7row = (

@@ -1194,8 +1194,16 @@ def krippendorff_alpha(
         & F.col(rater_col).isNotNull()
         & F.col(value_col).isNotNull()
     ).select(F.col(unit_col).alias("__u"), F.col(value_col).alias("__v"))
-    uv = base.groupBy("__u", "__v").agg(
-        F.count(F.lit(1)).cast("long").alias("__k")
+    # persist: every downstream statistic (unit sizes, the join, the
+    # per-unit rollup, margins) replays this first aggregation's FULL
+    # ratings scan otherwise — 12 corpus scans in the live plan
+    # (tools/rescan_audit.py).  Rows are (unit, value)-aggregated
+    # (a few per unit), MEMORY_AND_DISK, the minhash band-table LRU
+    # contract.
+    uv = (
+        base.groupBy("__u", "__v")
+        .agg(F.count(F.lit(1)).cast("long").alias("__k"))
+        .persist()
     )
     mu = uv.groupBy("__u").agg(F.sum("__k").cast("long").alias("__m"))
     multi = mu.filter(F.col("__m") >= 2)

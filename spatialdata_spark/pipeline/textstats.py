@@ -2249,6 +2249,11 @@ def _grouped_value_cumulatives(counts: DataFrame):
     smell like corpus work."""
     from pyspark.sql.window import Window
 
+    # persist: the grid, the group set, the densify join, and the
+    # totals each replay the caller's corpus-sized grouped count
+    # otherwise (8 live scans in both cliffs_delta and ks_matrix,
+    # tools/rescan_audit.py); counts is (groups x value-grid)-sized
+    counts = counts.persist()
     grid = counts.select("val").distinct()
     groups = counts.select("__g").distinct()
     dense = grid.crossJoin(F.broadcast(groups)).join(
@@ -2707,10 +2712,14 @@ def theil_index(
 
     Output: one row ``(n_docs, n_groups, theil, theil_norm)``.
     """
+    # persist: totals + the term sum replay the corpus-sized group
+    # count otherwise (3 live scans, tools/rescan_audit.py); the group
+    # table is groups-sized
     per = (
         docs.filter(F.col(group_col).isNotNull())
         .groupBy(F.col(group_col).alias("__g"))
         .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+        .persist()
     )
     tot = per.agg(
         F.sum("__c").cast("long").alias("__n"),
@@ -2776,10 +2785,14 @@ def mutual_information(
     Output: one row ``(n_docs, n_rows, n_cols, mi, h_row, h_col,
     nmi)``.
     """
+    # persist: margins, totals, and the three entropy rollups replay
+    # the corpus-sized contingency count otherwise (9 live scans,
+    # tools/rescan_audit.py); the cell table is categories²-sized
     cells = (
         docs.filter(F.col(row_col).isNotNull() & F.col(col_col).isNotNull())
         .groupBy(F.col(row_col).alias("__r"), F.col(col_col).alias("__c"))
         .agg(F.count(F.lit(1)).cast("long").alias("__cn"))
+        .persist()
     )
     rm = cells.groupBy("__r").agg(F.sum("__cn").cast("long").alias("__nr"))
     cm = cells.groupBy("__c").agg(F.sum("__cn").cast("long").alias("__nc"))

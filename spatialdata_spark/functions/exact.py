@@ -44,8 +44,10 @@ def e6_signed(num: str, den: str, err_prefix: str) -> Column:
         F.raise_error(
             F.lit(
                 f"{err_prefix}: DECIMAL(38,0) overflow in the e6 emit"
-                f" (|num|*2e6 exceeds 38 digits — the series is too large"
-                f" for the exact microunit contract)"
+                f" — or a NULL num/den input: |num|*2e6 exceeding 38"
+                f" digits means the series is too large for the exact"
+                f" microunit contract; a NULL input means the CALLER"
+                f" violated the documented non-NULL num/den contract"
             )
         )
     )

@@ -221,7 +221,10 @@ def aggregate_points_by_circles(
         # boundary branches and the decode join replays it again
         # (ReuseExchange does not collapse them; verified in the plan).
         # Category-cardinality rows, MEMORY_AND_DISK — the ≥3-consumers
-        # persist rule at plan granularity.
+        # persist rule at plan granularity.  PER-CALL ACCUMULATION (the
+        # _approx_rank_bins contract): never unpersisted here — one
+        # cache entry per distinct input plan, LRU-reclaimed;
+        # clearCache() for eager reclamation between datasets.
         cat_dict = (
             points.select(F.col(value_col).alias("__cat"))
             .distinct()

@@ -564,7 +564,10 @@ def _calendar_daily_index(events: DataFrame, ts_col: str) -> DataFrame:
     # times (tools/rescan_audit.py), which at 100 TB is six full
     # passes for one day-calendar-sized result.  Calendar-sized rows,
     # MEMORY_AND_DISK, the ≥3-consumers rule at plan granularity (the
-    # minhash band-table LRU contract).
+    # minhash band-table LRU contract).  PER-CALL ACCUMULATION (the
+    # _approx_rank_bins contract): never unpersisted here — one cache
+    # entry per distinct input plan, LRU-reclaimed; monitors scoring
+    # many corpora reclaim eagerly with spark.catalog.clearCache().
     from pyspark import StorageLevel
 
     return daily.withColumn(
@@ -611,7 +614,8 @@ def cusum_drift(
     # persist: day-sized rows over a corpus-sized lineage — totals,
     # the peak scan, and the final projection would otherwise each
     # replay the full day-keyed count (4 scans in the compiled plan,
-    # tools/rescan_audit.py; the calendar-index persist rationale)
+    # tools/rescan_audit.py; the calendar-index persist rationale,
+    # including its per-call accumulation + clearCache() contract)
     daily = _daily_event_counts(events, ts_col).persist()
     tot = daily.agg(
         F.sum("n_events").cast("long").alias("__n"),
@@ -917,7 +921,8 @@ def weekday_profile(
     # persist: 7 rows, but its lineage is the CORPUS-SIZED weekday
     # count — the totals and the output join would otherwise each
     # replay the full scan (3 scans in the compiled plan,
-    # tools/rescan_audit.py; the calendar-index persist rationale)
+    # tools/rescan_audit.py; the calendar-index persist rationale,
+    # including its per-call accumulation + clearCache() contract)
     dense = (
         spine.join(F.broadcast(counts), "dow", "left")
         .select(

@@ -1199,7 +1199,10 @@ def krippendorff_alpha(
     # ratings scan otherwise — 12 corpus scans in the live plan
     # (tools/rescan_audit.py).  Rows are (unit, value)-aggregated
     # (a few per unit), MEMORY_AND_DISK, the minhash band-table LRU
-    # contract.
+    # contract.  PER-CALL ACCUMULATION (the _approx_rank_bins
+    # contract): never unpersisted here — one cache entry per DISTINCT
+    # input plan, LRU-reclaimed; sessions scoring many corpora reclaim
+    # eagerly with spark.catalog.clearCache().
     uv = (
         base.groupBy("__u", "__v")
         .agg(F.count(F.lit(1)).cast("long").alias("__k"))

@@ -2246,7 +2246,15 @@ def _grouped_value_cumulatives(counts: DataFrame):
     ``__c``, ``tot = (__g, __n)``.  Every table here is
     (value domain x groups)-sized — metadata at any corpus scale — so
     the joins BROADCAST by contract; a sort-merge join here would
-    smell like corpus work."""
+    smell like corpus work.
+
+    PER-CALL ACCUMULATION (the _approx_rank_bins contract): the
+    ``counts`` persist below is never unpersisted here — the
+    one-evaluation guarantee must hold through the caller's later lazy
+    job — so each call on a DISTINCT input plan adds one
+    MEMORY_AND_DISK cache entry (same plan re-uses its entry),
+    LRU-reclaimed; sessions scoring many corpora reclaim eagerly with
+    ``spark.catalog.clearCache()``."""
     from pyspark.sql.window import Window
 
     # persist: the grid, the group set, the densify join, and the
@@ -2714,7 +2722,10 @@ def theil_index(
     """
     # persist: totals + the term sum replay the corpus-sized group
     # count otherwise (3 live scans, tools/rescan_audit.py); the group
-    # table is groups-sized
+    # table is groups-sized.  PER-CALL ACCUMULATION (the
+    # _approx_rank_bins contract): never unpersisted — one cache entry
+    # per distinct input plan, LRU-reclaimed; clearCache() for eager
+    # reclamation between corpora
     per = (
         docs.filter(F.col(group_col).isNotNull())
         .groupBy(F.col(group_col).alias("__g"))
@@ -2787,7 +2798,10 @@ def mutual_information(
     """
     # persist: margins, totals, and the three entropy rollups replay
     # the corpus-sized contingency count otherwise (9 live scans,
-    # tools/rescan_audit.py); the cell table is categories²-sized
+    # tools/rescan_audit.py); the cell table is categories²-sized.
+    # PER-CALL ACCUMULATION (the _approx_rank_bins contract): never
+    # unpersisted — one cache entry per distinct input plan,
+    # LRU-reclaimed; clearCache() for eager reclamation between corpora
     cells = (
         docs.filter(F.col(row_col).isNotNull() & F.col(col_col).isNotNull())
         .groupBy(F.col(row_col).alias("__r"), F.col(col_col).alias("__c"))
@@ -2874,8 +2888,10 @@ def spearman_corr(
         B  = sum_v cnt_v * R2x(v)^2        (= 4 * sum of squares)
         C  = sum_{cells} cnt_xy * R2x * R2y (= 4 * sum of products)
 
-    (the 2/4 factors cancel) — every term DECIMAL(38,0)-exact, fits 38
-    digits while ``N < ~4e9`` rows, and the emit is ONE division of an
+    (the 2/4 factors cancel) — every term DECIMAL(38,0)-exact; the
+    binding term is ``N*B <= 4*N^4`` (doubled midranks ``<= 2N``,
+    squared ``<= 4N^2``, count-weighted sum ``<= 4N^3``), which stays
+    under 1e38 while ``N < ~2.2e9`` rows, and the emit is ONE division of an
     exact integer by the product of two correctly-rounded sqrts of
     exact integers — identical doubles on any engine (the theil/jsd
     float convention), 6 dp.  NULL x / NULL text dropped.  ``rho`` is
@@ -2958,7 +2974,7 @@ def spearman_corr(
     )
     ov = F.lit(
         "spearman_corr: DECIMAL(38,0) overflow in the rank sums"
-        " (N exceeds the ~4e9-row exact bound)"
+        " (N exceeds the ~2.2e9-row exact bound: N*B <= 4*N^4 < 1e38)"
     )
 
     def g(col):
@@ -3004,8 +3020,13 @@ def chao1_richness(
     is ONE half-up integer division to int64 microunits via the shared
     :func:`~spatialdata_spark.functions.exact.e6_signed` emit (loud on
     overflow).  Tokenization is the module convention:
-    ``split(lower(trim(text)), '\\s+')``.  An empty corpus raises
-    loudly on every output column (the herfindahl pattern).
+    ``split(lower(trim(text)), '\\s+')`` — WITHOUT the empty-token
+    filter most tokenizing functions here apply: a blank/whitespace-only
+    document contributes one empty-string token (the ``token_gini``
+    form, and what the registered DuckDB oracle computes), so blank
+    docs count toward ``n_types``/``f1``/``total_tokens``.  An empty
+    corpus raises loudly on every output column (the herfindahl
+    pattern).
 
     Plan: one token-keyed count (map-side combine, the corpus-sized
     shuffle) + one 1-row rollup over the VOCABULARY-sized type table.

@@ -90,6 +90,13 @@ FROM (
 """
 
 MANN_KENDALL_SQL = r"""
+-- CROSS-ENGINE SHAPE CAVEAT (realized-data-path oracle convention, the
+-- ST_ACF_SQL precedent): on an EMPTY / all-NULL-ts events table this
+-- SQL returns ONE row (n_days=0, s=0, var18=0, z NULL) while the Spark
+-- mann_kendall_daily raises 'empty series' loudly — a green one-row
+-- "match" from an empty partition would be a misread, not a pass.  The
+-- parity fixtures always have events, so the divergence is never
+-- exercised.
 WITH counts AS (
   SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
          CAST(COUNT(*) AS BIGINT) AS n_events

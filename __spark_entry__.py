@@ -11184,98 +11184,303 @@ ORDER BY 1, 2, 3
 """
 
 
+def pl_spearman_corr(spark, sf_dir):
+    """Tie-corrected Spearman rank correlation between document length
+    (n_chars) and whitespace token count — the monotone-association
+    gate of the curation stats family.  Exactness: Pearson on DOUBLED
+    midranks (the mann_whitney integer device) — all rank sums
+    DECIMAL(38,0)-exact over the (x, y) cell table; the emit is ONE
+    division by the product of two correctly-rounded sqrts, 6 dp."""
+    from spatialdata_spark.pipeline.textstats import spearman_corr
+
+    return spearman_corr(_read(spark, sf_dir, "documents"))
+
+
+PL_SPEARMAN_CORR_SQL = r"""
+WITH base AS (
+  SELECT CAST(n_chars AS BIGINT) AS x,
+         CAST(LEN(string_split_regex(LOWER(TRIM(text)), '\s+')) AS BIGINT) AS y
+  FROM documents WHERE n_chars IS NOT NULL AND text IS NOT NULL
+), cells AS (
+  SELECT x, y, CAST(COUNT(*) AS BIGINT) AS cxy FROM base GROUP BY 1, 2
+), xg AS (
+  SELECT x, CAST(SUM(cxy) AS BIGINT) AS cx FROM cells GROUP BY 1
+), yg AS (
+  SELECT y, CAST(SUM(cxy) AS BIGINT) AS cy FROM cells GROUP BY 1
+), xr AS (
+  SELECT x, cx,
+         CAST(2 * (SUM(cx) OVER (ORDER BY x) - cx) + cx + 1 AS BIGINT) AS r2x
+  FROM xg
+), yr AS (
+  SELECT y, cy,
+         CAST(2 * (SUM(cy) OVER (ORDER BY y) - cy) + cy + 1 AS BIGINT) AS r2y
+  FROM yg
+), xa AS (
+  SELECT CAST(SUM(cx) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS n_x_values,
+         SUM(CAST(cx AS HUGEINT) * r2x) AS a,
+         SUM(CAST(cx AS HUGEINT) * r2x * r2x) AS b
+  FROM xr
+), ya AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_y_values,
+         SUM(CAST(cy AS HUGEINT) * r2y) AS ay,
+         SUM(CAST(cy AS HUGEINT) * r2y * r2y) AS by_
+  FROM yr
+), ca AS (
+  SELECT SUM(CAST(cells.cxy AS HUGEINT) * xr.r2x * yr.r2y) AS c
+  FROM cells JOIN xr USING (x) JOIN yr USING (y)
+)
+SELECT xa.n AS n_docs, xa.n_x_values, ya.n_y_values,
+       CASE WHEN (xa.n * xa.b - xa.a * xa.a) > 0
+             AND (xa.n * ya.by_ - ya.ay * ya.ay) > 0
+            THEN ROUND(CAST(xa.n * ca.c - xa.a * ya.ay AS DOUBLE)
+                       / (sqrt(CAST(xa.n * xa.b - xa.a * xa.a AS DOUBLE))
+                          * sqrt(CAST(xa.n * ya.by_ - ya.ay * ya.ay AS DOUBLE))),
+                       6)
+       END AS spearman
+FROM xa CROSS JOIN ya CROSS JOIN ca
+"""
+
+
+def pl_chao1_richness(spark, sf_dir):
+    """Chao1 bias-corrected vocabulary-richness asymptote from the
+    singleton/doubleton counts — the coverage companion of
+    pl_heaps_curve.  Exact int64 counts from ONE token-keyed
+    aggregation; chao1_e6 is one half-up integer division (the shared
+    e6_signed emit, loud on overflow).  Tokenization is the unfiltered
+    token_gini form (blank docs contribute one empty-string type —
+    stated in the library docstring; the oracle matches)."""
+    from spatialdata_spark.pipeline.textstats import chao1_richness
+
+    return chao1_richness(_read(spark, sf_dir, "documents"))
+
+
+PL_CHAO1_RICHNESS_SQL = r"""
+WITH tok AS (
+  SELECT unnest(string_split_regex(LOWER(TRIM(text)), '\s+')) AS token
+  FROM documents
+), counts AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(SUM(tf) AS BIGINT) AS total_tokens,
+         CAST(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+         CAST(SUM(CASE WHEN tf = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+  FROM counts
+)
+SELECT n_types, total_tokens, f1, f2,
+       CAST((num * 2000000 + den) // (den * 2) AS BIGINT) AS chao1_e6
+FROM (
+  SELECT n_types, total_tokens, f1, f2,
+         CAST(n_types AS HUGEINT) * (2 * (f2 + 1))
+           + CAST(f1 AS HUGEINT) * (f1 - 1) AS num,
+         CAST(2 * (f2 + 1) AS HUGEINT) AS den
+  FROM agg
+)
+"""
+
+
+def st_mann_kendall(spark, sf_dir):
+    """Mann-Kendall trend test on daily event volume over the
+    zero-densified calendar — the monotone-drift companion of st_acf /
+    st_cusum.  Exact S and tie-corrected var18 (both int64 over the
+    calendar-sized index); z is the continuity-corrected normal score,
+    NULL on zero variance (the hhi_norm convention)."""
+    from spatialdata_spark.operators.temporal import mann_kendall_daily
+
+    return mann_kendall_daily(_read(spark, sf_dir, "events"))
+
+
+ST_MANN_KENDALL_SQL = r"""
+-- CROSS-ENGINE SHAPE CAVEAT (realized-data-path oracle convention, the
+-- ST_ACF_SQL precedent): on an EMPTY / all-NULL-ts events table this
+-- SQL returns ONE row (n_days=0, s=0, var18=0, z NULL) while the Spark
+-- mann_kendall_daily raises 'empty series' loudly — a green one-row
+-- "match" from an empty partition would be a misread, not a pass.  The
+-- parity fixtures always have events, so the divergence is never
+-- exercised.
+WITH counts AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+), calendar AS (
+  SELECT strftime(CAST(unnest(generate_series(
+           CAST((SELECT MIN(day) FROM counts) AS DATE),
+           CAST((SELECT MAX(day) FROM counts) AS DATE),
+           INTERVAL 1 DAY)) AS DATE), '%Y-%m-%d') AS day
+), daily AS (
+  SELECT calendar.day, COALESCE(counts.n_events, 0) AS n
+  FROM calendar LEFT JOIN counts USING (day)
+), idx AS (
+  SELECT n, CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i FROM daily
+), sr AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN b.n > a.n THEN 1
+                                WHEN b.n < a.n THEN -1 ELSE 0 END), 0)
+              AS BIGINT) AS s
+  FROM idx a JOIN idx b ON b.i > a.i
+), ties AS (
+  SELECT CAST(COALESCE(SUM(tk * (tk - 1) * (2 * tk + 5)), 0) AS BIGINT) AS tie18
+  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS tk FROM idx GROUP BY n)
+), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM idx)
+SELECT n_days, s, var18,
+       CASE WHEN var18 > 0
+            THEN ROUND(CAST(s - (CASE WHEN s > 0 THEN 1
+                                      WHEN s < 0 THEN -1 ELSE 0 END) AS DOUBLE)
+                       / sqrt(CAST(var18 AS DOUBLE) / 18.0), 6)
+       END AS z
+FROM (
+  SELECT tot.n_days, sr.s,
+         CAST(tot.n_days * (tot.n_days - 1) * (2 * tot.n_days + 5)
+              - ties.tie18 AS BIGINT) AS var18
+  FROM tot CROSS JOIN sr CROSS JOIN ties
+)
+"""
+
+
+def pl_vocab_overlap(spark, sf_dir):
+    """EXACT pairwise source-vocabulary Jaccard — the exact twin of
+    pl_kmv_overlap (registry-exact contract; the KMV sketch is the
+    documented at-extreme-scale swap).  NO vocab x vocab join: one
+    per-token source-list pair explode, expression-only; 9 dp ratio."""
+    from spatialdata_spark.pipeline.textstats import vocab_overlap_exact
+
+    return vocab_overlap_exact(_read(spark, sf_dir, "documents"))
+
+
+PL_VOCAB_OVERLAP_SQL = r"""
+WITH toks AS (
+  SELECT DISTINCT source AS g,
+         unnest(string_split_regex(LOWER(TRIM(text)), '\s+')) AS tok
+  FROM documents WHERE source IS NOT NULL AND text IS NOT NULL
+), toks2 AS (
+  SELECT g, tok FROM toks WHERE tok <> ''
+), per AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS v FROM toks2 GROUP BY 1
+), inter AS (
+  SELECT a.g AS s1, b.g AS s2, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM toks2 a JOIN toks2 b ON a.tok = b.tok AND a.g < b.g
+  GROUP BY 1, 2
+)
+SELECT s1, s2, pa.v AS n_a_types, pb.v AS n_b_types, n_common,
+       ROUND(n_common / CAST(pa.v + pb.v - n_common AS DOUBLE), 9) AS jaccard
+FROM inter
+JOIN per pa ON pa.g = inter.s1
+JOIN per pb ON pb.g = inter.s2
+ORDER BY s1, s2
+"""
+
+
+def pl_length_quantiles(spark, sf_dir):
+    """EXACT per-source length percentiles (type-1: smallest value
+    whose cumulative count reaches ceil(p*n/100)) — the exact twin of
+    pl_hdr_quantiles (the HDR sketch is the documented at-extreme-scale
+    swap).  Integer ceil, no float q anywhere; percents validated
+    loudly as ints in [1, 100]."""
+    from spatialdata_spark.pipeline.textstats import length_quantiles_exact
+
+    return length_quantiles_exact(_read(spark, sf_dir, "documents"))
+
+
+PL_LENGTH_QUANTILES_SQL = r"""
+WITH f AS (
+  SELECT source AS grp, CAST(n_chars AS BIGINT) AS v,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL
+  GROUP BY 1, 2
+), cum AS (
+  SELECT grp, v,
+         CAST(SUM(c) OVER (PARTITION BY grp ORDER BY v) AS BIGINT) AS cm,
+         CAST(SUM(c) OVER (PARTITION BY grp) AS BIGINT) AS n
+  FROM f
+)
+SELECT grp, MAX(n) AS n_docs,
+       MIN(CASE WHEN cm >= (50 * n + 99) // 100 THEN v END) AS p50,
+       MIN(CASE WHEN cm >= (90 * n + 99) // 100 THEN v END) AS p90,
+       MIN(CASE WHEN cm >= (99 * n + 99) // 100 THEN v END) AS p99
+FROM cum
+GROUP BY grp
+ORDER BY grp
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order matters: the correctness driver oracles the FIRST 50
     # entries, and a key's position is set by its FIRST occurrence (the
-    # tail below repeats some keys — harmless no-ops).  Round-12 head,
+    # tail below repeats some keys — harmless no-ops).  Round-13 head,
     # mechanically per the rotation rule:
-    #   (1) the FIVE new registrations — the r11-banked candidates
-    #       whose oracles were already cross-engine-green at two SFs in
-    #       tests/test_r12_candidate_oracles.py (SQL moved verbatim);
-    #   (2) every query whose code or oracle changed this round —
-    #       st_acf (e6-emit overflow guard via functions/exact.e6_signed
-    #       + the ST_ACF_SQL empty-series shape note), pl_ks_lengths /
-    #       pl_mwu_lengths / pl_token_gini (the deferred per-column
-    #       loud-error attachments, SURVEY r11 note #11, fixed with the
-    #       herfindahl g() pattern).  pl_calibration / pl_lift /
-    #       pl_pr_curve are NOT modified: the _approx_rank_bins change
-    #       is a docstring note only (per-call persist accumulation
-    #       stated), and approx=True is not a registry path;
-    #   (3) the six remaining r5-stale greens;
-    #   (4) backfill with the oldest r6-stale greens, alphabetical —
-    #       29 of 45 fit (the st_ewma, ag_points_categorical, st_cusum,
-    #       pl_kripp, pl_cliffs_delta and pl_ks_matrix rotations took
-    #       six slots — the tools/rescan_audit.py fixes); the 16 left
-    #       for r13 are q11_important_stock, q12_priority_lines,
-    #       q20_excess_suppliers, q21_waiting_supplier, q_cube_revenue,
-    #       q_pivot_revenue, rt_zonal_quantiles, rv_rasterize_polyfill,
-    #       st_anomaly, st_cum_dau, st_funnel, st_gap_fill,
-    #       st_retention, st_rolling_window, st_sessionize,
-    #       st_tumbling.
+    #   (1) the SIX new registrations — the r12-banked candidates whose
+    #       oracles were already cross-engine-green 12/12 at two SFs in
+    #       tests/test_r13_candidate_oracles.py (SQL moved verbatim;
+    #       that test now pins the REGISTERED oracles);
+    #   (2) every query whose code or oracle changed this round — the
+    #       tools/rescan_audit.py queue fixes (SURVEY r12 note #12);
+    #   (3) ALL 16 remaining r6-stale greens (clears the last pre-r7
+    #       rows);
+    #   (4) backfill with the oldest r7-stale greens, alphabetical, as
+    #       slots allow.
     return {
-        # --- (1) new in round 12: the banked candidates ---
+        # --- (1) new in round 13: the banked candidates ---
+        "q_rfm_segments": q_rfm_segments,
+        "pl_spearman_corr": pl_spearman_corr,
+        "pl_chao1_richness": pl_chao1_richness,
+        "st_mann_kendall": st_mann_kendall,
+        "pl_vocab_overlap": pl_vocab_overlap,
+        "pl_length_quantiles": pl_length_quantiles,
+        # --- (2) code/oracle modified this round (rescan-audit queue) ---
+        # (filled as the r13 rescan fixes land)
+        # --- (3) ALL 16 remaining r6-stale greens ---
+        "q11_important_stock": q11_important_stock,
+        "q12_priority_lines": q12_priority_lines,
+        "q20_excess_suppliers": q20_excess_suppliers,
+        "q21_waiting_supplier": q21_waiting_supplier,
+        "q_cube_revenue": q_cube_revenue,
+        "q_pivot_revenue": q_pivot_revenue,
+        "rt_zonal_quantiles": rt_zonal_quantiles,
+        "rv_rasterize_polyfill": rv_rasterize_polyfill,
+        "st_anomaly": st_anomaly,
+        "st_cum_dau": st_cum_dau,
+        "st_funnel": st_funnel,
+        "st_gap_fill": st_gap_fill,
+        "st_retention": st_retention,
+        "st_rolling_window": st_rolling_window,
+        "st_sessionize": st_sessionize,
+        "st_tumbling": st_tumbling,
+        # --- (4) backfill: oldest r7-stale greens, alphabetical ---
+        "pl_bigram_entropy": pl_bigram_entropy,
+        "pl_bigram_lm": pl_bigram_lm,
+        "pl_bloom_decon": pl_bloom_decon,
+        "pl_bpe_encode": pl_bpe_encode,
+        "pl_bpe_train": pl_bpe_train,
+        "pl_burstiness": pl_burstiness,
+        "pl_c4_rules": pl_c4_rules,
+        "pl_cdc_chunks": pl_cdc_chunks,
+        "pl_cms_topk": pl_cms_topk,
+        "pl_containment": pl_containment,
+        "pl_cooccur_pmi": pl_cooccur_pmi,
+        "pl_curation_funnel": pl_curation_funnel,
+        "pl_dsir_weights": pl_dsir_weights,
+        "pl_embed_pool": pl_embed_pool,
+        "pl_gopher_rules": pl_gopher_rules,
+        "pl_gram_matrix": pl_gram_matrix,
+        "pl_hapax_ratio": pl_hapax_ratio,
+        "pl_hash_split": pl_hash_split,
+        "pl_heaps_curve": pl_heaps_curve,
+        "pl_hll_distinct": pl_hll_distinct,
+        "pl_jsd_sources": pl_jsd_sources,
+        "pl_kmv_distinct": pl_kmv_distinct,
+        "pl_label_fstat": pl_label_fstat,
+        "pl_lang_temperature": pl_lang_temperature,
+        "pl_len_hist": pl_len_hist,
+        "pl_ngram_novelty": pl_ngram_novelty,
+        "pl_norm_hist": pl_norm_hist,
+        "pl_para_dedup": pl_para_dedup,
+        # ===== round-13 driver head ends here (first 50) =====
+        # --- round-12 registrations (displaced from the head by the
+        # r13 rotation; first occurrence here keeps them registered) ---
         "q_revenue_growth": q_revenue_growth,
         "pl_cvm_lengths": pl_cvm_lengths,
         "st_weekday_profile": st_weekday_profile,
         "pl_theil_index": pl_theil_index,
         "pl_mutual_info": pl_mutual_info,
-        # --- (2) code/oracle modified this round ---
-        "st_acf": st_acf,
-        "st_ewma": st_ewma,
-        "st_cusum": st_cusum,
-        "ag_points_categorical": ag_points_categorical,
-        "pl_kripp": pl_kripp,
-        "pl_cliffs_delta": pl_cliffs_delta,
-        "pl_ks_matrix": pl_ks_matrix,
-        "pl_ks_lengths": pl_ks_lengths,
-        "pl_mwu_lengths": pl_mwu_lengths,
-        "pl_token_gini": pl_token_gini,
-        # --- (3) the last r5-stale greens ---
-        "rv_to_polygons": rv_to_polygons,
-        "rv_transform_points": rv_transform_points,
-        "rv_transform_shapes": rv_transform_shapes,
-        "sq_raster_3d": sq_raster_3d,
-        "st_asof_attrib": st_asof_attrib,
-        "st_interval_conversions": st_interval_conversions,
-        # --- (4) backfill: oldest r6-stale greens, alphabetical ---
-        "ag_points_by_labels": ag_points_by_labels,
-        "pl_ann_recall": pl_ann_recall,
-        "pl_audio_energy": pl_audio_energy,
-        "pl_boilerplate": pl_boilerplate,
-        "pl_cluster_purity": pl_cluster_purity,
-        "pl_corpus_stats": pl_corpus_stats,
-        "pl_decontaminate": pl_decontaminate,
-        "pl_dedup_cross": pl_dedup_cross,
-        "pl_dedup_keep_best": pl_dedup_keep_best,
-        "pl_dup_spans": pl_dup_spans,
-        "pl_idf_keywords": pl_idf_keywords,
-        "pl_interleave": pl_interleave,
-        "pl_lev_neardup": pl_lev_neardup,
-        "pl_mix_epochs": pl_mix_epochs,
-        "pl_pack_blocks": pl_pack_blocks,
-        "pl_pii_redact": pl_pii_redact,
-        "pl_ppl_buckets": pl_ppl_buckets,
-        "pl_pq_adc": pl_pq_adc,
-        "pl_repetition": pl_repetition,
-        "pl_shard_shuffle": pl_shard_shuffle,
-        "pl_span_cut": pl_span_cut,
-        "pl_sq_int8": pl_sq_int8,
-        "pl_tfidf_pairs": pl_tfidf_pairs,
-        "pl_unigram_lm": pl_unigram_lm,
-        "pl_video_decode": pl_video_decode,
-        "pl_vocab_topk": pl_vocab_topk,
-        "pl_weighted_sample": pl_weighted_sample,
-        "q02_min_cost_supplier": q02_min_cost_supplier,
-        "q09_product_profit": q09_product_profit,
-        # (q11_important_stock, q12_priority_lines,
-        # q20_excess_suppliers, q21_waiting_supplier, q_pivot_revenue
-        # and q_cube_revenue displaced to the r13
-        # queue by two in-round rotations: st_ewma — its e6 emit moved
-        # to the guarded e6_signed form and its densify to the shared
-        # _calendar_daily_index, value-identical; ag_points_categorical
-        # — the category dictionary subtree is now persisted, the plan
-        # executed it three times, values identical)
-        # ===== round-12 driver head ends here (first 50) =====
         # --- round-11 head keys below keep the registry complete
         # (duplicates are no-ops).  Historical r11 rotation rationale:
         # the three r11-new queries; q_assoc_rules + pl_ppr_seeds
@@ -11706,6 +11911,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # --- round 13: the r12-banked candidates, SQL moved verbatim
+        # from tests/test_r13_candidate_oracles.py (cross-engine-green
+        # 12/12 at sf0.001 + sf0.01 before registration) ---
+        "q_rfm_segments": Q_RFM_SEGMENTS_SQL,
+        "pl_spearman_corr": PL_SPEARMAN_CORR_SQL,
+        "pl_chao1_richness": PL_CHAO1_RICHNESS_SQL,
+        "st_mann_kendall": ST_MANN_KENDALL_SQL,
+        "pl_vocab_overlap": PL_VOCAB_OVERLAP_SQL,
+        "pl_length_quantiles": PL_LENGTH_QUANTILES_SQL,
         # --- round 12: the r11-banked candidates, SQL moved verbatim
         # from tests/test_r12_candidate_oracles.py (cross-engine-green
         # at sf0.001 + sf0.01 before registration) ---

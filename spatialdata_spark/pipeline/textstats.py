@@ -223,11 +223,20 @@ def unigram_lm_score(
     ``nll(doc) = -mean(ln p(w_i))``.
 
     Plan: one token explode, a token-count aggregation (map-side
-    combine; result is VOCABULARY-sized, not corpus-sized), the counts
-    joined back broadcast-gated (on a cluster AQE decides — a 100 TB
-    crawl's vocabulary may outgrow a broadcast), corpus constants as a
-    1-row cross join, then a per-document mean with map-side combine.
+    combine; result is VOCABULARY-sized, not corpus-sized) PERSISTED —
+    the corpus constants ``T``/``V`` derive from the cached count
+    table, so the model-build pass scans the corpus ONCE (the
+    pre-persist form ran a separate totals explode: 3 corpus scans per
+    nll evaluation, tools/rescan_audit.py) — the counts joined back
+    broadcast-gated (on a cluster AQE decides — a 100 TB crawl's
+    vocabulary may outgrow a broadcast), corpus constants as a 1-row
+    cross join, then a per-document mean with map-side combine.  Two
+    corpus passes total: model build + scoring — the structural floor
+    for score-corpus-under-its-own-model without a corpus-sized cache.
     Empty documents are excluded (no tokens, no likelihood).
+    PER-CALL ACCUMULATION (the _approx_rank_bins contract): the
+    vocabulary persist is never unpersisted here — one cache entry per
+    distinct input plan, LRU-reclaimed; clearCache() reclaims eagerly.
     """
     from .filters import word_tokens
 
@@ -235,19 +244,18 @@ def unigram_lm_score(
         F.col(id_col), word_tokens(text_col).alias("__toks")
     )
     tok = base.select(id_col, F.explode("__toks").alias("__t"))
-    counts = tok.groupBy("__t").agg(F.count(F.lit(1)).alias("__c"))
-    # derived from a separately-named explode: same values, but no
-    # shared attribute lineage with the counts join below (Spark would
-    # flag __T as ambiguous if totals re-used the joined counts plan)
-    totals = base.select(F.explode("__toks").alias("__t2")).agg(
-        F.count(F.lit(1)).alias("__T"), F.countDistinct("__t2").alias("__V")
+    # persist: vocabulary-sized; totals AND the scoring join both
+    # consume it — without the cache each consumer replays the full
+    # corpus tokenization (the rescan-audit class)
+    counts = tok.groupBy("__t").agg(F.count(F.lit(1)).alias("__c")).persist()
+    totals = counts.agg(
+        F.sum("__c").alias("__T"), F.count(F.lit(1)).alias("__V")
     )
     spark = docs.sparkSession
     if spark.sparkContext.master.startswith("local"):
         counts = F.broadcast(counts)
-    # alias-qualified refs: the totals plan shares the token-explode
-    # lineage with the join's left side, and an unqualified __T trips
-    # Spark's ambiguous-reference check after the crossJoin
+    # alias-qualified refs: an unqualified __T would trip Spark's
+    # ambiguous-reference check after the crossJoin
     scored = tok.join(counts, "__t").crossJoin(F.broadcast(totals.alias("tot")))
     nll = -F.log(
         (F.col("__c") + F.lit(1.0)) / (F.col("tot.__T") + F.col("tot.__V"))
@@ -271,8 +279,18 @@ def perplexity_buckets(
     exactly.  At 100 TB the exact global percentile becomes
     ``approx_percentile`` (the documented sketch substitution — the
     same swap the zonal-quantile family documents); the plan shape is
-    unchanged."""
-    nll = unigram_lm_score(docs, text_col, id_col)
+    unchanged.
+
+    The per-document nll table is PERSISTED: the tercile aggregate and
+    the bucket projection both consume it, and without the cache each
+    replays the full two-pass LM subtree (6 corpus scans in the
+    pre-persist compiled plan, tools/rescan_audit.py).  Rows are
+    (id, double) — the SMALL projection of the corpus, the opposite of
+    the corpus-sized-projection negative precedent (aggregate.py).
+    PER-CALL ACCUMULATION (the _approx_rank_bins contract): never
+    unpersisted here — one cache entry per distinct input plan,
+    LRU-reclaimed; clearCache() reclaims eagerly."""
+    nll = unigram_lm_score(docs, text_col, id_col).persist()
     qs = nll.agg(
         F.percentile("nll", F.lit(1.0 / 3)).alias("t1"),
         F.percentile("nll", F.lit(2.0 / 3)).alias("t2"),
@@ -681,11 +699,19 @@ def bigram_lm_score(
     document's bigrams, rounded to 6 dp (the established oracle
     precision for LM scores).
 
-    Plan: one bigram explode and one unigram explode; both count
-    tables are VOCABULARY-sized (map-side combine) and join back
-    broadcast-gated; corpus constants ride a 1-row cross join; the
-    final per-document mean combines map-side.  Documents with fewer
-    than two tokens emit no row (no bigram, no likelihood).
+    Plan: the model is built in ONE corpus pass — a combined-order
+    gram explode (bigrams + unigrams in the same flatMap, the KenLM
+    count-file idiom; a unigram never contains a space so the orders
+    cannot collide) counted once and PERSISTED (vocabulary-sized);
+    the bigram table, unigram table, and the V constant all derive
+    from the cache (the pre-persist form ran separate explodes — 4
+    corpus scans per evaluation, tools/rescan_audit.py).  The scoring
+    pass joins back broadcast-gated; corpus constants ride a 1-row
+    cross join; the final per-document mean combines map-side.  Two
+    corpus passes total — the score-under-own-model floor.  Documents
+    with fewer than two tokens emit no row (no bigram, no likelihood).
+    PER-CALL ACCUMULATION (the _approx_rank_bins contract) on the
+    gram-count persist: LRU-reclaimed; clearCache() reclaims eagerly.
     """
     from .filters import word_ngrams, word_tokens
 
@@ -695,13 +721,27 @@ def bigram_lm_score(
     bg = base.select(
         id_col, F.explode(word_ngrams(F.col("__toks"), 2)).alias("__g")
     ).withColumn("__a", F.substring_index(F.col("__g"), " ", 1))
-    c2 = bg.groupBy("__g").agg(F.count(F.lit(1)).alias("__c2"))
-    # separately-named explode: no shared lineage with the joins below
-    uni = base.select(F.explode("__toks").alias("__t2"))
-    c1 = uni.groupBy(F.col("__t2").alias("__a")).agg(
-        F.count(F.lit(1)).alias("__c1")
+    # ONE model pass: both orders in one explode, counted together,
+    # persisted (distinct-gram-sized); every model table reads the cache
+    cnt = (
+        base.select(
+            F.explode(
+                F.concat(word_ngrams(F.col("__toks"), 2), F.col("__toks"))
+            ).alias("__g")
+        )
+        .groupBy("__g")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .persist()
     )
-    totals = uni.agg(F.countDistinct("__t2").alias("__V"))
+    c2 = cnt.filter(F.col("__g").contains(" ")).select(
+        "__g", F.col("__c").alias("__c2")
+    )
+    c1 = cnt.filter(~F.col("__g").contains(" ")).select(
+        F.col("__g").alias("__a"), F.col("__c").alias("__c1")
+    )
+    totals = cnt.filter(~F.col("__g").contains(" ")).agg(
+        F.count(F.lit(1)).alias("__V")
+    )
     spark = docs.sparkSession
     if spark.sparkContext.master.startswith("local"):
         c2 = F.broadcast(c2)
@@ -1070,9 +1110,24 @@ def curation_funnel(
     Exact percentile swaps to ``approx_percentile`` at 100 TB (the
     documented sketch substitution).
 
+    RESCAN-JUSTIFIED(documents, 3): three corpus passes is this
+    query's structural floor — (a) the gate+digest projection (the
+    PERSISTED ``g`` table: doc-keyed metadata rows; the keep-first
+    keeper derives from the cache, not a second digest scan), (b) the
+    LM model-build pass, (c) the LM scoring pass (the
+    unigram_lm_score two-pass floor).  The pre-fix plan ran EIGHT
+    (tools/rescan_audit.py); collapsing below three would need a
+    corpus-sized text cache — the documented negative precedent
+    (aggregate.py).  PER-CALL ACCUMULATION (the _approx_rank_bins
+    contract) on the ``g`` persist: LRU-reclaimed, clearCache() for
+    eager reclamation.
+
     Output: ``(group, n_total, n_quality, n_unique, n_kept)``.
     """
     base = docs.withColumn("__digest", F.md5(F.col(text_col)))
+    # persist: doc-keyed METADATA rows (id, group, digest, passes) —
+    # the keeper aggregation and the funnel join both consume it;
+    # without the cache each replays the gopher feature scan
     g = gopher_rules(
         base,
         min_words=min_words,
@@ -1080,8 +1135,11 @@ def curation_funnel(
         text_col=text_col,
         id_col=id_col,
         keep_cols=(group_col, "__digest"),
-    ).select(id_col, group_col, "__digest", "passes")
-    dmin = base.groupBy("__digest").agg(F.min(id_col).alias("__keeper"))
+    ).select(id_col, group_col, "__digest", "passes").persist()
+    # keep-first keeper from the CACHED gate table (g carries every
+    # document — `passes` is a flag, not a filter — so dedup is still
+    # corpus-wide, as documented above)
+    dmin = g.groupBy("__digest").agg(F.min(id_col).alias("__keeper"))
     pb = perplexity_buckets(docs, text_col=text_col, id_col=id_col).select(
         id_col, "bucket"
     )
@@ -1593,9 +1651,15 @@ def stupid_backoff_score(
     unscored (inner join on the scored side's unigrams) — full-OOV
     handling belongs to the add-one model, not to backoff.
 
-    Plan identical to :func:`bigram_lm_score`: vocabulary-sized count
-    tables, broadcast-gated joins, 1-row constants, map-side-combining
-    per-document mean.
+    Plan identical to :func:`bigram_lm_score`: the model is built in
+    ONE train-corpus pass (combined-order gram explode counted once,
+    PERSISTED, distinct-gram-sized — the pre-persist form ran separate
+    bigram/unigram/totals explodes: 5 corpus scans per evaluation,
+    tools/rescan_audit.py); the context, continuation, and N tables
+    all derive from the cache; broadcast-gated joins, 1-row constants,
+    map-side-combining per-document mean.  Two corpus passes total.
+    PER-CALL ACCUMULATION (the _approx_rank_bins contract) on the
+    gram-count persist: LRU-reclaimed; clearCache() reclaims eagerly.
     """
     from .filters import word_ngrams, word_tokens
 
@@ -1611,13 +1675,27 @@ def stupid_backoff_score(
     ).withColumn("__a", F.substring_index(F.col("__g"), " ", 1)).withColumn(
         "__b", F.substring_index(F.col("__g"), " ", -1)
     )
-    tbg = tbase.select(F.explode(word_ngrams(F.col("__toks"), 2)).alias("__g"))
-    c2 = tbg.groupBy("__g").agg(F.count(F.lit(1)).alias("__c2"))
-    uni = tbase.select(F.explode("__toks").alias("__t2"))
-    cu = uni.groupBy("__t2").agg(F.count(F.lit(1)).alias("__cu"))
+    # ONE model pass: both orders in one explode, counted together,
+    # persisted; c2/c1/cb/N all read the cache
+    cnt = (
+        tbase.select(
+            F.explode(
+                F.concat(word_ngrams(F.col("__toks"), 2), F.col("__toks"))
+            ).alias("__g")
+        )
+        .groupBy("__g")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .persist()
+    )
+    c2 = cnt.filter(F.col("__g").contains(" ")).select(
+        "__g", F.col("__c").alias("__c2")
+    )
+    cu = cnt.filter(~F.col("__g").contains(" ")).select(
+        F.col("__g").alias("__t2"), F.col("__c").alias("__cu")
+    )
     c1 = cu.select(F.col("__t2").alias("__a"), F.col("__cu").alias("__c1"))
     cb = cu.select(F.col("__t2").alias("__b"), F.col("__cu").alias("__cb"))
-    totals = uni.agg(F.count(F.lit(1)).alias("__N"))
+    totals = cu.agg(F.sum("__cu").alias("__N"))
     spark = docs.sparkSession
     if spark.sparkContext.master.startswith("local"):
         c2 = F.broadcast(c2)

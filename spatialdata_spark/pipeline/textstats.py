@@ -1232,10 +1232,21 @@ def cooccurrence_pmi(
 
     Plan: the top-k membership table is ``topk``-rows and broadcast;
     the per-document presence stream filters against it BEFORE any
-    shuffle (work bounded by topk-token hits); the pair count is one
-    doc-keyed self-join of that bounded stream (<= topk rows per doc
-    on each side) plus one pair-keyed aggregation — never a
-    vocabulary² pair space.
+    shuffle (work bounded by topk-token hits) and is PERSISTED — both
+    self-join sides read the cache (the pre-persist form re-tokenized
+    the corpus once per side: 5 live scans, tools/rescan_audit.py);
+    the pair count is one doc-keyed self-join of that bounded stream
+    (<= topk rows per doc on each side) plus one pair-keyed
+    aggregation — never a vocabulary² pair space.
+
+    RESCAN-JUSTIFIED(documents, 3): three corpus passes is the floor —
+    (a) the document-frequency ranking pass that picks the top-k,
+    (b) the filtered-presence pass (dependent on (a)'s output),
+    (c) the zero-column N count (parquet metadata-weight).  Collapsing
+    (a)/(b) would need the corpus-sized distinct-presence table cached
+    — the documented negative precedent (aggregate.py).  PER-CALL
+    ACCUMULATION (the _approx_rank_bins contract) on the filtered-
+    presence persist: LRU-reclaimed; clearCache() reclaims eagerly.
 
     Output: ``(tok_a, tok_b, n_a, n_b, n_ab, pmi)`` with
     ``tok_a < tok_b``.
@@ -1255,9 +1266,10 @@ def cooccurrence_pmi(
     )
     top = dfreq.orderBy(F.desc("__df"), F.asc("__tok")).limit(int(topk))
     ndocs = docs.agg(F.count(F.lit(1)).cast("long").alias("__N"))
+    # persist: both pair-join sides consume t (topk-bounded rows)
     t = pres.join(
         F.broadcast(top.select(F.col("__tok"), F.col("__df"))), "__tok"
-    )
+    ).persist()
     a = t.select(
         F.col("__d"),
         F.col("__tok").alias("tok_a"),
@@ -2993,9 +3005,15 @@ def spearman_corr(
     base = docs.filter(
         F.col(x_col).isNotNull() & F.col(text_col).isNotNull()
     ).select(F.col(x_col).cast("long").alias("__x"), y.cast("long").alias("__y"))
+    # persist: the x-margin, y-margin, and the C product sum each
+    # consume the (x, y) cell table — without the cache each replays
+    # the corpus-sized first aggregation (5 live scans,
+    # tools/rescan_audit.py).  Value-pair-sized rows.  PER-CALL
+    # ACCUMULATION (the _approx_rank_bins contract): LRU-reclaimed;
+    # clearCache() reclaims eagerly.
     cells = base.groupBy("__x", "__y").agg(
         F.count(F.lit(1)).cast("long").alias("__cxy")
-    )
+    ).persist()
     xg = cells.groupBy("__x").agg(F.sum("__cxy").cast("long").alias("__cx"))
     yg = cells.groupBy("__y").agg(F.sum("__cxy").cast("long").alias("__cy"))
     wx = Window.orderBy("__x").rowsBetween(Window.unboundedPreceding, 0)
@@ -3200,9 +3218,21 @@ def vocab_overlap_exact(
         .filter(F.col("__tok") != "")
         .distinct()
     )
-    per = toks.groupBy("__g").agg(F.count(F.lit(1)).cast("long").alias("__v"))
+    # persist: VOCABULARY-sized (one row per token type, each carrying
+    # its bounded source list); the per-source type counts derive from
+    # the cache (explode + count — each (token, source) appears once
+    # in the set), so the corpus is tokenized ONCE (the pre-persist
+    # form replayed it for each of the two per-broadcast joins and the
+    # pair pass: 3 live scans, tools/rescan_audit.py).  PER-CALL
+    # ACCUMULATION (the _approx_rank_bins contract): LRU-reclaimed;
+    # clearCache() reclaims eagerly.
     by_tok = toks.groupBy("__tok").agg(
         F.sort_array(F.collect_set("__g")).alias("__gs")
+    ).persist()
+    per = (
+        by_tok.select(F.explode("__gs").alias("__g"))
+        .groupBy("__g")
+        .agg(F.count(F.lit(1)).cast("long").alias("__v"))
     )
     pairs = (
         by_tok.filter(F.size("__gs") >= 2)

@@ -7406,34 +7406,52 @@ FROM expanded GROUP BY 1, 2
 
 def st_funnel(spark, sf_dir):
     """Three-step event funnel (view -> click -> purchase, strictly
-    ordered per user): per-stage user counts.  Each stage is a per-user
-    conditional-min aggregate joined into the next stage's filter —
-    stage tables are user-dimension-sized, so the broadcast hint is
-    gated on a local master (_bcast); on a cluster AQE picks the
-    strategy from runtime stats."""
-    ev = _read(spark, sf_dir, "events")
-    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("t1"))
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .join(_bcast(v), "user_id")
-        .filter(F.col("ts") > F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
+    ordered per user): per-stage user counts, as ONE events scan.
+
+    The per-stage times are three CHAINED window minima on the same
+    user partitioning (t1 = first view; t2 = first click after t1;
+    t3 = first purchase after t2 — each conditional-min sees the
+    previous stage's column, so the strict ordering is exact), then a
+    single global aggregate counts the distinct users per stage and
+    ``stack``s the 3-row report.  One corpus scan + ONE user-keyed
+    exchange (the three window stages reuse the partitioning) — the
+    old per-stage aggregate-join ladder scanned events six times
+    (tools/rescan_audit.py) and shuffled three times."""
+    from pyspark.sql.window import Window
+
+    ev = _read(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    ).select("user_id", "ts", "event_type")
+    w = Window.partitionBy("user_id")
+    s1 = ev.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
     )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(_bcast(c), "user_id")
-        .filter(F.col("ts") > F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
+    s2 = s1.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+                F.col("ts"),
+            )
+        ).over(w),
     )
-    rows = [
-        v.agg(F.lit(1).alias("stage"), F.count(F.lit(1)).alias("n_users")),
-        c.agg(F.lit(2).alias("stage"), F.count(F.lit(1)).alias("n_users")),
-        p.agg(F.lit(3).alias("stage"), F.count(F.lit(1)).alias("n_users")),
-    ]
-    out = rows[0].unionByName(rows[1]).unionByName(rows[2])
-    return out
+    s3 = s2.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    agg = s3.agg(
+        F.countDistinct(F.when(F.col("t1").isNotNull(), F.col("user_id"))).alias("n1"),
+        F.countDistinct(F.when(F.col("t2").isNotNull(), F.col("user_id"))).alias("n2"),
+        F.countDistinct(F.when(F.col("t3").isNotNull(), F.col("user_id"))).alias("n3"),
+    )
+    return agg.select(
+        F.expr("stack(3, 1, n1, 2, n2, 3, n3) AS (stage, n_users)")
+    )
 
 
 ST_FUNNEL_SQL = """

@@ -1120,6 +1120,15 @@ def remove_duplicate_spans(
     stage is keyed by hash or by document — no hotspot key at any
     corpus size.
 
+    RESCAN-JUSTIFIED(documents, 3): three corpus passes is the floor —
+    (a) the gram pass that builds the duplicated-gram table, (b) the
+    gram pass that marks non-canonical occurrences against it (the
+    per-position gram stream is LARGER than the corpus, so caching it
+    to fuse (a)/(b) is the documented corpus-sized-cache negative),
+    (c) the text pass that rebuilds kept segments (one LEFT join —
+    pass-through documents ride the same join, see below).  The
+    pre-fix plan ran SIX (tools/rescan_audit.py).
+
     Output: ``(doc_id, clean_text, n_cut_chars)`` for EVERY input
     document (documents with nothing to cut pass through verbatim).
     """
@@ -1179,6 +1188,13 @@ def remove_duplicate_spans(
     )
 
     wd = Window.partitionBy(id_col).orderBy("__pos")
+    # persist: interval rows exist only for documents WITH cuts
+    # (duplicate-region-sized); without the cache the mid and tail
+    # consumers each replay BOTH gram passes — the UDF hashing of the
+    # whole corpus twice more (6 live scans pre-fix,
+    # tools/rescan_audit.py).  PER-CALL ACCUMULATION (the
+    # _approx_rank_bins contract): LRU-reclaimed; clearCache()
+    # reclaims eagerly.
     spans = (
         cuts.withColumn("__prev", F.lag("__pos").over(wd))
         .withColumn(
@@ -1193,6 +1209,7 @@ def remove_duplicate_spans(
             F.min("__pos").alias("__s"),
             (F.max("__pos") + k).alias("__e"),  # end-exclusive
         )
+        .persist()
     )
 
     # kept segments between the (disjoint, sorted) cut intervals
@@ -1205,27 +1222,31 @@ def remove_duplicate_spans(
         F.row_number().over(Window.partitionBy(id_col).orderBy(F.desc("__s"))).alias("__rlast"),
     )
     base = docs.select(F.col(id_col), F.col(text_col).alias("__text"))
-    # the id-keyed text joins are broadcast-hinted on local masters
-    # (tiny inputs); on a cluster the un-hinted sort-merge on the id is
-    # exactly the right plan for two corpus-sized sides — AQE decides
-    base_j = base
-    if spark.sparkContext.master.startswith("local"):
-        base_j = F.broadcast(base)
     mid = segs.select(id_col, "__ks", "__ke")
     tail = segs.filter(F.col("__rlast") == 1).select(
         id_col, F.col("__tail_from").alias("__ks"), F.lit(None).cast("long").alias("__ke")
     )
+    # ONE text pass: base LEFT JOIN the (cached, span-sized) kept-
+    # segment rows — a document with no cuts gets the NULL-keyed row,
+    # whose piece is the whole text, so the old separate pass-through
+    # join is gone.  The span side is broadcast-hinted on local
+    # masters; on a cluster the un-hinted join on the id is the right
+    # plan — AQE decides.
+    cutrows = mid.unionByName(tail)
+    if spark.sparkContext.master.startswith("local"):
+        cutrows = F.broadcast(cutrows)
+    start = F.coalesce(F.col("__ks"), F.lit(1))
     pieces = (
-        mid.unionByName(tail)
-        .join(base_j, id_col)
+        base.join(cutrows, id_col, "left")
         .select(
             id_col,
-            F.col("__ks"),
+            F.length("__text").alias("__olen"),
+            start.alias("__ks"),
             F.col("__text").substr(
-                F.col("__ks").cast("int"),
+                start.cast("int"),
                 F.coalesce(
                     (F.col("__ke") - F.col("__ks")).cast("int"),
-                    (F.length("__text") - F.col("__ks") + 1).cast("int"),
+                    (F.length("__text") - start + 1).cast("int"),
                 ),
             ).alias("__piece"),
         )
@@ -1237,22 +1258,19 @@ def remove_duplicate_spans(
                 lambda x: x["__piece"],
             ),
             "",
-        ).alias("clean_text")
+        ).alias("__clean"),
+        F.max("__olen").alias("__olen"),
     )
-    if spark.sparkContext.master.startswith("local"):
-        rebuilt = F.broadcast(rebuilt)
-    out = (
-        base.join(rebuilt, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce(F.col("clean_text"), F.col("__text")).alias("clean_text"),
-            (
-                F.length("__text")
-                - F.length(F.coalesce(F.col("clean_text"), F.col("__text")))
-            ).cast("long").alias("n_cut_chars"),
-        )
+    # NULL text: no pieces survive collect_list, so __clean would be
+    # "" — restore the NULL (original length is NULL exactly then)
+    clean = F.when(F.col("__olen").isNull(), F.lit(None).cast("string")).otherwise(
+        F.col("__clean")
     )
-    return out
+    return rebuilt.select(
+        id_col,
+        clean.alias("clean_text"),
+        (F.col("__olen") - F.length(clean)).cast("long").alias("n_cut_chars"),
+    )
 
 
 def rouge_recall_pairs(

@@ -800,10 +800,17 @@ def kmv_source_overlap(
     ) + 1
     hashed = toks.select("__g", h.alias("__h")).distinct()
     w = Window.partitionBy("__g").orderBy("__h")
+    # persist: the sketch is (n_sources x k) rows — trivially small —
+    # but its lineage is the full corpus tokenize + distinct; the
+    # source list, both pair-join sides, and the union each replayed
+    # it (6 live scans, tools/rescan_audit.py).  PER-CALL ACCUMULATION
+    # (the _approx_rank_bins contract): LRU-reclaimed; clearCache()
+    # reclaims eagerly.
     sk = (
         hashed.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= int(k))
         .select("__g", "__h")
+        .persist()
     )
     local = docs.sparkSession.sparkContext.master.startswith("local")
     if local:

@@ -1358,9 +1358,15 @@ def minhash_recall(
     """
     spark = docs.sparkSession
     base = docs.select(F.col(id_col).alias("__d"), F.col(text_col).alias("__t"))
+    # persist: SLICE-bounded by the stated eval-slice contract — the
+    # shingle stream feeds both equi-join sides and the size table,
+    # and each un-cached consumer re-hashed the whole slice (part of
+    # the 8x, tools/rescan_audit.py).  PER-CALL ACCUMULATION (the
+    # _approx_rank_bins contract): LRU-reclaimed; clearCache()
+    # reclaims eagerly.
     sh = base.select(
         "__d", F.explode(F.array_distinct(_shingle31_expr("__t", shingle_k))).alias("__h")
-    )
+    ).persist()
     sizes = sh.groupBy("__d").agg(F.count(F.lit(1)).cast("long").alias("__n"))
     a = sh.select(F.col("__d").alias("id_a"), "__h")
     b = sh.select(F.col("__d").alias("id_b"), "__h")
@@ -1388,6 +1394,10 @@ def minhash_recall(
             * (F.col("__na") + F.col("__nb") - F.col("__i"))
         )
         .select("id_a", "id_b")
+        # persist: true-pair-sized; the hit semi-join and the n_true
+        # count both consume it — un-cached, each replayed the full
+        # shingle equi-join
+        .persist()
     )
     cand = minhash_band_candidates(
         docs,
@@ -1397,7 +1407,7 @@ def minhash_recall(
         num_bands=num_bands,
         shingle_k=shingle_k,
         seed=seed,
-    ).select("id_a", "id_b")
+    ).select("id_a", "id_b").persist()
     cand_probe = cand
     if spark.sparkContext.master.startswith("local"):
         # candidate pairs are near-dup-count-sized, orders below the
@@ -1445,7 +1455,16 @@ def simhash_recall(
     quadratic is the thing the LSH avoids at corpus scale).
 
     Output: one row ``(n_true, n_hit, recall)``, recall 9 dp.
+
+    The fingerprint input and the true-pair table are PERSISTED
+    (slice-bounded by the eval-slice contract / pair-sized): both
+    all-pairs sides, the LSH candidate generator, the hit semi-join,
+    and the n_true count otherwise each replayed the fingerprint
+    lineage (6 live scans, tools/rescan_audit.py).  PER-CALL
+    ACCUMULATION (the _approx_rank_bins contract): LRU-reclaimed;
+    clearCache() reclaims eagerly.
     """
+    fps = fps.persist()
     a = fps.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("__ha"))
     b = fps.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("__hb"))
     true_pairs = (
@@ -1455,6 +1474,7 @@ def simhash_recall(
             <= int(max_hamming)
         )
         .select("id_a", "id_b")
+        .persist()
     )
     cand = simhash_near_duplicates(
         fps, max_hamming=max_hamming, id_col=id_col

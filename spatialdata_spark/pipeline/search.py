@@ -288,12 +288,20 @@ def ndcg_at_k(
     relevance 0 (ranked noise dilutes DCG, the standard convention).
 
     Both inputs are RESULT-sized (top-k lists / graded truth set), so
-    every join and window here is metadata-scale.  Output: one row
+    every join and window here is metadata-scale — and both are
+    PERSISTED: the truth set feeds the DCG join AND the ideal-ordering
+    window, and each un-cached replay re-ran the caller's full
+    ground-truth scoring scan (the pl_ndcg 8x,
+    tools/rescan_audit.py).  PER-CALL ACCUMULATION (the
+    _approx_rank_bins contract): LRU-reclaimed; clearCache() reclaims
+    eagerly.  Output: one row
     ``(k, n_ranked, dcg_ln, idcg_ln, ndcg)``, 6 dp; NULL ndcg when the
     truth set has no positive grades.
     """
     from pyspark.sql.window import Window
 
+    ranked = ranked.persist()
+    truth = truth.persist()
     r = (
         ranked.filter(F.col(rank_col) <= int(k))
         .join(truth.select(id_col, rel_col), id_col, "left")

@@ -356,11 +356,17 @@ def int8_quantize(
     ``SQ8`` indexes.
 
     The per-dimension bounds are a 64-row aggregate collected into one
-    array row and **broadcast**; code assignment is then a narrow map
-    (``transform`` over dimension indices).  At 100 TB the only shuffle
-    is the tiny bounds aggregate — the vectors themselves never move.
-    Quantization uses ``floor`` (identical IEEE semantics across
-    engines) so codes are integer-exact and replayable in SQL.
+    array row, PERSISTED (one row — every consumer of the code table
+    re-evaluates the quantizer, and without the cache each replay
+    re-scans the full corpus just to recompute the bounds: the
+    pl_sq_int8 4x, tools/rescan_audit.py) and **broadcast**; code
+    assignment is then a narrow map (``transform`` over dimension
+    indices).  At 100 TB the only shuffle is the tiny bounds aggregate
+    — the vectors themselves never move.  Quantization uses ``floor``
+    (identical IEEE semantics across engines) so codes are
+    integer-exact and replayable in SQL.  PER-CALL ACCUMULATION (the
+    _approx_rank_bins contract): LRU-reclaimed; clearCache() reclaims
+    eagerly.
     """
     v = F.col(vec_col).cast("array<double>")
     dims = embeddings.select(F.posexplode(v).alias("dim", "val"))
@@ -374,6 +380,7 @@ def int8_quantize(
             F.transform("amn", lambda s: s["mn"]).alias("__mns"),
             F.transform("amx", lambda s: s["mx"]).alias("__mxs"),
         )
+        .persist()
     )
     mns, mxs = F.col("__mns"), F.col("__mxs")
     code = F.transform(
@@ -522,7 +529,16 @@ def ann_recall(
     """Recall@k of an approximate top-k result against the exact one:
     |approx ∩ exact| / |exact| — the standard ANN quality metric, as a
     broadcast semi-join + two scalar counts (evaluation sets are top-k
-    sized, so this is driver-light at any corpus scale)."""
+    sized, so this is driver-light at any corpus scale).
+
+    Both inputs are PERSISTED (k rows each): the exact side feeds the
+    semi-join AND the denominator count, and each un-cached replay
+    re-ran its full scoring scan (the pl_ann_recall 6x,
+    tools/rescan_audit.py).  PER-CALL ACCUMULATION (the
+    _approx_rank_bins contract): LRU-reclaimed; clearCache() reclaims
+    eagerly."""
+    approx_topk = approx_topk.persist()
+    exact_topk = exact_topk.persist()
     inter = approx_topk.select(id_col).join(
         F.broadcast(exact_topk.select(id_col)), id_col, "left_semi"
     )

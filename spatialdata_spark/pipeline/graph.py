@@ -947,9 +947,18 @@ def modularity(
     )
     bcast = _broadcast_frontier(spark)
     blab = F.broadcast(lab) if bcast else lab
+    # persist: the labeled edge list (2 label columns only) feeds the
+    # m/in_c aggregate AND the community-degree rollup — un-cached,
+    # the old union-of-two-projections shape replayed the whole
+    # edge-build + double label join three times (6 lineitem + 6 part
+    # scans on the co-purchase graph, tools/rescan_audit.py).
+    # PER-CALL ACCUMULATION (the _approx_rank_bins contract):
+    # LRU-reclaimed; clearCache() reclaims eagerly.
     j = (
         und.join(blab.select(F.col("__n").alias("u"), F.col("__l").alias("__lu")), "u")
         .join(blab.select(F.col("__n").alias("v"), F.col("__l").alias("__lv")), "v")
+        .select("__lu", "__lv")
+        .persist()
     )
     base = j.agg(
         F.count(F.lit(1)).cast(dec).alias("__m"),
@@ -960,10 +969,11 @@ def modularity(
         .alias("__in"),
     )
     # community degree sums from the edge list's own endpoints: every
-    # edge contributes 1 to each endpoint's community degree
+    # edge contributes 1 to each endpoint's community degree — ONE
+    # pass over the cached label pairs (explode, not a two-sided
+    # union, so the edge list is consumed once)
     degc = (
-        j.select(F.col("__lu").alias("__c"))
-        .union(j.select(F.col("__lv").alias("__c")))
+        j.select(F.explode(F.array(F.col("__lu"), F.col("__lv"))).alias("__c"))
         .groupBy("__c")
         .agg(F.count(F.lit(1)).cast(dec).alias("__d"))
         .agg(F.sum(F.col("__d") * F.col("__d")).cast(dec).alias("__sd2"))

@@ -242,12 +242,19 @@ def rolling_active_users(
     day, where ``n_active`` counts users active in the trailing
     ``window_days`` days ending at ``day``.
     """
+    # persist: the distinct (user, day) activity table — the small
+    # projection of the event stream — feeds the max-day bound and one
+    # explode per window; un-cached, each consumer replayed the full
+    # event scan + distinct (3 live scans, tools/rescan_audit.py).
+    # PER-CALL ACCUMULATION (the _approx_rank_bins contract):
+    # LRU-reclaimed; clearCache() reclaims eagerly.
     ud = (
         events.select(
             F.to_date(F.col(ts_col)).alias("__d"),
             F.col(user_col).alias("__u"),
         )
         .distinct()
+        .persist()
     )
     bounds = ud.agg(F.max("__d").alias("__mx"))
     parts = None
@@ -488,6 +495,13 @@ def cramers_v_drift(
         .select(F.col(cat_col).alias("__cat"), base_flag.alias("__j"))
         .groupBy("__cat", "__j")
         .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+        # persist: the contingency table is (categories x 2)-sized but
+        # its lineage is the corpus scan — margins, column margins,
+        # totals, and the grid join each replayed it (4 live scans,
+        # tools/rescan_audit.py; the mutual_information precedent).
+        # PER-CALL ACCUMULATION (the _approx_rank_bins contract):
+        # LRU-reclaimed; clearCache() reclaims eagerly.
+        .persist()
     )
     margins = cells.groupBy("__cat").agg(
         F.sum("__n").cast("long").alias("__r")

@@ -376,10 +376,16 @@ def target_encode_kfold(
         F.col(label_col).cast("long").alias("__y"),
         fold.cast("long").alias("fold"),
     )
+    # persist: the (category, fold) table is metadata-sized (|C| * k
+    # rows) but its lineage is the corpus aggregation — the category
+    # rollup, the global total, and the oof join each replayed it
+    # (4 live scans, tools/rescan_audit.py).  PER-CALL ACCUMULATION
+    # (the _approx_rank_bins contract): LRU-reclaimed; clearCache()
+    # reclaims eagerly.
     cf = rows.groupBy("__cat", "fold").agg(
         F.count(F.lit(1)).cast("long").alias("__n_cf"),
         F.sum("__y").cast("long").alias("__s_cf"),
-    )
+    ).persist()
     c = cf.groupBy("__cat").agg(
         F.sum("__n_cf").cast("long").alias("__n_c"),
         F.sum("__s_cf").cast("long").alias("__s_c"),

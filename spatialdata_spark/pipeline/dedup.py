@@ -845,12 +845,19 @@ def levenshtein_neardup(
         raise ValueError("max_distance must be >= 0")
     k = d + 1
     pre = F.substring(F.col(text_col), 1, prefix_chars)
+    # persist: a BOUNDED-width projection (id, lang, <= prefix_chars
+    # chars, length — ~70 bytes/doc, NOT the corpus text) consumed by
+    # the index build, the probe build, and both refine-side prefix
+    # lookups; un-cached, each replayed the full text scan (4 live
+    # scans, tools/rescan_audit.py).  PER-CALL ACCUMULATION (the
+    # _approx_rank_bins contract): LRU-reclaimed; clearCache()
+    # reclaims eagerly.
     base = docs.select(
         F.col(id_col).alias("__id"),
         F.col(lang_col).alias("__lang"),
         pre.alias("__pre"),
         F.length(pre).cast("int").alias("__len"),
-    )
+    ).persist()
 
     def seg_geom(l, i):
         # even partition of a length-l string into k segments: lengths

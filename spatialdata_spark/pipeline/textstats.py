@@ -1051,13 +1051,21 @@ def jsd_sources(
         )
         .filter(F.col("__tok") != "")
     )
+    # persist: the (source, token) count table is the single
+    # corpus-sized aggregation; the corpus counts, scalar total, and
+    # per-source totals all DERIVE from it (sums of the same exact
+    # int64 counts), so the corpus is tokenized ONCE (the pre-persist
+    # form replayed it for each derivative: 4 live scans,
+    # tools/rescan_audit.py).  (sources x vocabulary)-sized rows.
+    # PER-CALL ACCUMULATION (the _approx_rank_bins contract):
+    # LRU-reclaimed; clearCache() reclaims eagerly.
     sc = toks.groupBy("__g", "__tok").agg(
         F.count(F.lit(1)).cast("long").alias("__cs")
+    ).persist()
+    cc = sc.groupBy("__tok").agg(
+        F.sum("__cs").cast("long").alias("__cc")
     )
-    cc = toks.groupBy("__tok").agg(
-        F.count(F.lit(1)).cast("long").alias("__cc")
-    )
-    totals = toks.agg(F.count(F.lit(1)).cast("long").alias("__N"))
+    totals = sc.agg(F.sum("__cs").cast("long").alias("__N"))
     stot = sc.groupBy("__g").agg(F.sum("__cs").cast("long").alias("__Ns"))
     spark = docs.sparkSession
     if spark.sparkContext.master.startswith("local"):

@@ -188,7 +188,15 @@ def bm25_scores(
     hits = base.select(
         id_col, "__len", F.explode("__toks").alias("__t")
     ).filter(F.col("__t").isin(terms))
-    tf = hits.groupBy(id_col, "__len", "__t").agg(F.count(F.lit(1)).alias("__tf"))
+    # persist: the (doc, term) hit counts are query-term-hit-bounded;
+    # the document-frequency rollup and the scoring join both consume
+    # them — un-cached, each replayed the corpus tokenization (3 live
+    # scans, tools/rescan_audit.py).  PER-CALL ACCUMULATION (the
+    # _approx_rank_bins contract): LRU-reclaimed; clearCache()
+    # reclaims eagerly.
+    tf = hits.groupBy(id_col, "__len", "__t").agg(
+        F.count(F.lit(1)).alias("__tf")
+    ).persist()
     df = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
     scored = (
         tf.join(F.broadcast(df), "__t")
@@ -1386,35 +1394,50 @@ def distinct_ngrams(
     training corpus a direct duplication pressure gauge (low distinct-2
     means the same phrases repeat everywhere).
 
-    Plan: one explode per n over pre-split tokens; each (group, gram)
-    stream reduces by two map-side-combinable aggregations (exact
-    distinct via the (group, gram) groupBy, never a COUNT(DISTINCT)
-    funnel).  Exact integers + one final division.
+    Plan: ONE corpus pass — every order's grams ride the same explode
+    as ``(n, gram)`` structs (the combined-order count idiom the LM
+    family uses), so the (group, n, gram) count and the per-(group, n)
+    rollup each combine map-side over a single scan (the old
+    one-explode-per-n form scanned the corpus ``max_n`` times,
+    tools/rescan_audit.py).  Exact integers + one final division.
+
+    STATED TRADE (the mutual_information/cliffs_delta precedent): at
+    local[32]/sf0.1 the one-scan form measures ~10.5 s vs ~5.8 s for
+    the 3-scan form, because the three 1/3-size shuffles ride spare
+    cores in parallel over a ~200 MB file; at the 1000-executor design
+    point every scan saturates the cluster, so max_n corpus scans cost
+    max_n x the corpus IO and the single pass is the correct plan.  (A
+    struct-free variant deriving n from the gram's word count measured
+    within 6% — not worth diverging from the tagging idiom.)
 
     Output: ``(group, n, total_grams, distinct_grams, distinct_ratio)``.
     """
     from spatialdata_spark.pipeline.filters import word_ngrams, word_tokens
 
     toks = word_tokens(text_col)
-    parts = []
-    for n in range(1, int(max_n) + 1):
-        grams = docs.select(
-            F.col(group_col).alias("__g"),
-            F.lit(n).alias("n"),
-            F.explode(word_ngrams(toks, n)).alias("__gram"),
+    def _tag(order):
+        # NOTE: a two-parameter lambda here would make F.transform bind
+        # the ELEMENT INDEX to the second arg — the order must be
+        # captured by closure, not by a default-argument parameter
+        return F.transform(
+            word_ngrams(toks, order),
+            lambda g: F.struct(F.lit(order).alias("n"), g.alias("__gram")),
         )
-        per = grams.groupBy("__g", "n", "__gram").agg(
-            F.count(F.lit(1)).cast("long").alias("__c")
-        )
-        parts.append(
-            per.groupBy("__g", "n").agg(
-                F.sum("__c").cast("long").alias("total_grams"),
-                F.count(F.lit(1)).cast("long").alias("distinct_grams"),
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
+
+    tagged = [_tag(n) for n in range(1, int(max_n) + 1)]
+    grams = docs.select(
+        F.col(group_col).alias("__g"),
+        F.explode(F.concat(*tagged)).alias("__t"),
+    ).select(
+        "__g", F.col("__t.n").alias("n"), F.col("__t.__gram").alias("__gram")
+    )
+    per = grams.groupBy("__g", "n", "__gram").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    out = per.groupBy("__g", "n").agg(
+        F.sum("__c").cast("long").alias("total_grams"),
+        F.count(F.lit(1)).cast("long").alias("distinct_grams"),
+    )
     return out.select(
         F.col("__g").alias(group_col),
         "n",
@@ -1887,14 +1910,18 @@ def chi2_tokens(
     )
     tok_w = Window.partitionBy("token")
     ct = ct.withColumn("ab", F.sum("a").over(tok_w))
+    # persist: label-cardinality rows; the corpus total DERIVES from
+    # the cache (sum of the same exact counts), so the doc-count pass
+    # runs once (3 live scans pre-fix, tools/rescan_audit.py).
+    # PER-CALL ACCUMULATION (the _approx_rank_bins contract):
+    # LRU-reclaimed; clearCache() reclaims eagerly.
     label_docs = (
         docs.filter(F.length(F.trim(F.col(text_col))) > 0)
         .groupBy(F.col(label_col).alias("label"))
         .agg(F.count(F.lit(1)).cast("long").alias("ac"))
+        .persist()
     )
-    n_tot = docs.filter(F.length(F.trim(F.col(text_col))) > 0).agg(
-        F.count(F.lit(1)).cast("long").alias("n")
-    )
+    n_tot = label_docs.agg(F.sum("ac").cast("long").alias("n"))
     j = (
         ct.filter(F.col("ab") >= int(min_df))
         .join(F.broadcast(label_docs), "label")

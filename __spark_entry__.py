@@ -2036,10 +2036,12 @@ def ag_fractions_value(spark, sf_dir):
         (((F.col("p_partkey") * 3) % 40) * 1.0).alias("miny"),
         ((F.col("p_partkey") % 90) * 1.0 + 4).alias("maxx"),
         (((F.col("p_partkey") * 3) % 40) * 1.0 + 8).alias("maxy"),
-        (F.col("p_partkey") % 7 * 1.0).alias("val"),
     )
-    values = boxes_to_shapes(part.select("shape_id", "minx", "miny", "maxx", "maxy")).join(
-        part.select("shape_id", "val"), "shape_id"
+    # val derives from shape_id AFTER the shape projection — the old
+    # self-join of two part reads doubled the scan for a column the
+    # fixture computes from the key anyway (tools/rescan_audit.py)
+    values = boxes_to_shapes(part).withColumn(
+        "val", F.col("shape_id") % 7 * 1.0
     )
     by_rows = spark.createDataFrame(
         [(int(b[0]), float(b[1]), float(b[2]), float(b[3]), float(b[4])) for b in _BY_BOXES],
@@ -6985,12 +6987,21 @@ def pl_heaps_curve(spark, sf_dir):
         )
         .filter(F.col("tok") != "")
     )
-    first = toks.groupBy("tok").agg(F.min("doc_id").alias("__fd"))
+    # persist: the (doc, token) tf table feeds BOTH the first-occurrence
+    # rollup and the per-doc token totals — un-cached, each replays the
+    # corpus tokenize (3 live scans, tools/rescan_audit.py; the doc_id
+    # spine scan below stays — it is column-pruned and must include
+    # token-less docs).  PER-CALL ACCUMULATION (the _approx_rank_bins
+    # contract): LRU-reclaimed; clearCache() reclaims eagerly.
+    tf = toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    ).persist()
+    first = tf.groupBy("tok").agg(F.min("doc_id").alias("__fd"))
     new_per_doc = first.groupBy(F.col("__fd").alias("doc_id")).agg(
         F.count(F.lit(1)).cast("long").alias("__new")
     )
-    tok_per_doc = toks.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("__ntok")
+    tok_per_doc = tf.groupBy("doc_id").agg(
+        F.sum("__c").cast("long").alias("__ntok")
     )
     base = (
         docs.select("doc_id")

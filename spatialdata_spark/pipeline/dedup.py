@@ -1302,6 +1302,13 @@ def rouge_recall_pairs(
     """
     from .filters import word_ngrams, word_tokens
 
+    # persist: the (doc, gram) count table feeds BOTH join sides
+    # (reference `gb`, candidate `ga`) and divergent column pruning
+    # defeats AQE exchange reuse between them — un-cached, each side
+    # replays the corpus n-gram explode (3 live scans with the pair
+    # spine, tools/rescan_audit.py).  PER-CALL ACCUMULATION (the
+    # _approx_rank_bins contract): LRU-reclaimed; clearCache()
+    # reclaims eagerly.
     grams = (
         docs.select(
             F.col(id_col).alias("__d"),
@@ -1309,6 +1316,7 @@ def rouge_recall_pairs(
         )
         .groupBy("__d", "__g")
         .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+        .persist()
     )
     gb = grams.select(
         F.col("__d").alias("id_b"), "__g", F.col("__c").alias("__cb")

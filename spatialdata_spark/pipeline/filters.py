@@ -806,10 +806,16 @@ def dsir_weights(
     h = F.conv(F.substring(F.md5(F.col("__bg")), 1, 15), 16, 10).cast("long")
     bucketed = bg.select(id_col, "__lang", F.pmod(h, F.lit(m)).alias("__bkt"))
 
+    # persist: the n_buckets-row (1024) bucket-count table is consumed
+    # by the totals rollup and the log-ratio projection — un-cached,
+    # each replays the corpus bigram explode (3 live scans,
+    # tools/rescan_audit.py).  PER-CALL ACCUMULATION (the
+    # _approx_rank_bins contract): LRU-reclaimed; clearCache() reclaims
+    # eagerly.
     raw_counts = bucketed.groupBy("__bkt").agg(
         F.count(F.lit(1)).cast("long").alias("__cr"),
         F.sum((F.col("__lang") == target_lang).cast("long")).alias("__ct"),
-    )
+    ).persist()
     totals = raw_counts.agg(
         F.sum("__cr").alias("__nr"), F.sum("__ct").alias("__nt")
     )

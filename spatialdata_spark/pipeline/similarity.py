@@ -324,7 +324,14 @@ def embedding_cosine_dedup(
     for the SQL-replayable projection twin (oracle parity); the
     default Arrow GEMM bucketing is the production path."""
     bucket_fn = random_hyperplane_buckets_arrow if method == "arrow" else random_hyperplane_buckets
-    bucketed = bucket_fn(embeddings, num_planes, None, 42, id_col, vec_col, planes=planes)
+    # persist: the bucketed table feeds both self-join sides —
+    # un-cached, each replays the corpus scan plus the
+    # num_planes-projection GEMM (3 live scans with the anti-join
+    # base, tools/rescan_audit.py), and divergent column pruning
+    # defeats AQE exchange reuse.  PER-CALL ACCUMULATION (the
+    # _approx_rank_bins contract): LRU-reclaimed; clearCache()
+    # reclaims eagerly.
+    bucketed = bucket_fn(embeddings, num_planes, None, 42, id_col, vec_col, planes=planes).persist()
     a = bucketed.select("bucket", F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("va"))
     b = bucketed.select("bucket", F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("vb"))
     if embeddings.sparkSession.sparkContext.master.startswith("local"):
@@ -343,6 +350,10 @@ def embedding_cosine_dedup(
     )
     if embeddings.sparkSession.sparkContext.master.startswith("local"):
         dup_ids = F.broadcast(dup_ids)
+    # the keep-side anti-join deliberately reads the RAW input (the
+    # bucketed table carries only (id, vec, bucket) — the output
+    # contract is every original column), so the plan is 2 scans:
+    # the persisted bucketed materialization + this pruned base
     return embeddings.join(dup_ids, id_col, "left_anti")
 
 

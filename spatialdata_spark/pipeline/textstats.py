@@ -339,9 +339,17 @@ def idf_keywords(
     base = docs.filter(F.length(F.trim(F.col(text_col))) > 0).select(
         F.col(id_col), word_tokens(text_col).alias("__toks")
     )
-    n_docs = base.agg(F.count(F.lit(1)).alias("__n"))
     tok = base.select(id_col, F.explode("__toks").alias("__t"))
-    tf = tok.groupBy(id_col, "__t").agg(F.count(F.lit(1)).alias("__tf"))
+    # persist: the (doc, token) tf table feeds the df rollup AND the
+    # scoring join, and divergent column pruning defeats AQE exchange
+    # reuse between the two — un-cached, each replays the corpus
+    # tokenize + aggregate (3 live scans, tools/rescan_audit.py).  The
+    # doc-count derives from the cache too (every non-blank doc has
+    # >= 1 token), closing the third scan.  PER-CALL ACCUMULATION (the
+    # _approx_rank_bins contract): LRU-reclaimed; clearCache() reclaims
+    # eagerly.
+    tf = tok.groupBy(id_col, "__t").agg(F.count(F.lit(1)).alias("__tf")).persist()
+    n_docs = tf.agg(F.count_distinct(F.col(id_col)).alias("__n"))
     df = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
     spark = docs.sparkSession
     if spark.sparkContext.master.startswith("local"):

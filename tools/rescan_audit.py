@@ -1,24 +1,33 @@
 """Duplicate-subtree audit: for every registry query, count how many
-times the plan that would actually RUN scans each parquet input.
+times the plan that actually RAN scans each parquet input.
 
-A live plan that scans one file N >= 3 times re-computes a shared
-subtree N times per run (Spark's ReuseExchange only collapses
-canonical-identical exchanges, which dictionary/decode/branch shapes
-often defeat) — the class the r12 fixes closed for
-ag_points_categorical (category dictionary, 3x) and the daily-monitor
-family (acf/ewma/cusum/weekday: the corpus-sized day-keyed count
-replayed 3-6x for day-calendar-sized results).  Re-scans at exactly 2x
-are usually the documented recompute-vs-cache-write wash (measured
-NEGATIVE for the quantized point projection — see aggregate.py);
-report them only with --all.
+A plan that scans one file N >= 3 times re-computes a shared subtree
+N times per run — the class the r12/r13 fixes closed for
+ag_points_categorical (category dictionary, 3x), the daily monitors,
+and the tf/gram-table textstats family (divergent column pruning
+between consumers defeats exchange reuse, so each consumer replays
+the corpus tokenize + aggregate).  Re-scans at exactly 2x are usually
+the documented recompute-vs-cache-write wash (measured NEGATIVE for
+the quantized point projection — see aggregate.py); report them only
+with --all.
 
-Counting walks the EXECUTED plan tree the way
-tests/test_plan_guard.py::_live_shuffle_joins does — stopping at
-InMemoryTableScanExec (a persisted subtree executes once when the cache
-materializes, then every consumer reads the cache: its internals must
-not count) and descending through AQE wrappers via initialPlan — so
-iterative operators whose plan TEXT embeds cached lineage thousands of
-times report their true runtime scan count.
+Counting EXECUTES the query (collect) and walks the FINAL adaptive
+plan, because two compile-time artifacts otherwise mis-report:
+
+- AQE stage reuse: identical exchange subtrees across union branches
+  materialize ONCE at runtime (ag_points_by_boxes: initialPlan shows
+  3 scans per input, runtime runs 1) — the final plan shows them as
+  ReusedExchangeExec and the walker credits each distinct
+  materialized exchange exactly once (dedup on the JVM identity of
+  the ORIGINAL exchange object every ReusedExchangeExec points at).
+- InMemoryTableScanExec: a persisted subtree executes once when the
+  cache materializes, then every consumer reads the cache — its
+  internals must not count per-consumer (the walker stops there; the
+  one materialization scan is deliberately un-counted, matching the
+  r12 convention).
+
+Iterative operators whose plan TEXT embeds cached lineage thousands
+of times therefore report their true runtime scan count.
 
     python tools/rescan_audit.py [sf_dir] [--all]
 """
@@ -35,14 +44,39 @@ from spatialdata_spark.session import get_spark  # noqa: E402
 
 
 def _live_scans(df) -> dict[str, int]:
+    """Runtime per-input scan counts: executes ``df`` and walks the
+    final adaptive plan with exchange-reuse credit."""
+    df.collect()
     counts: dict[str, int] = {}
+    seen: set[int] = set()  # identity of materialized exchange objects
 
     def walk(p):
         name = p.getClass().getSimpleName()
         if name == "InMemoryTableScanExec":
             return
         if name == "AdaptiveSparkPlanExec":
-            walk(p.initialPlan())
+            # after collect() the final plan is available; fall back to
+            # the initial plan for never-executed inner adaptives
+            try:
+                walk(p.finalPhysicalPlan())
+            except Exception:  # noqa: BLE001 — not executed
+                walk(p.initialPlan())
+            return
+        if name.endswith("QueryStageExec"):
+            inner = p.plan()
+            if inner.getClass().getSimpleName() == "ReusedExchangeExec":
+                inner = inner.child()  # the ORIGINAL materialized exchange
+            # id() of a py4j proxy is NOT stable across references to
+            # the same JVM object — dedup on the JVM identity hash
+            key = _jvm_identity(inner)
+            if key in seen:
+                return
+            seen.add(key)
+            walk(inner)
+            return
+        if name == "ReusedExchangeExec":
+            # non-AQE reuse: the original exchange appears elsewhere in
+            # the tree and is walked there
             return
         if name in ("FileSourceScanExec", "BatchScanExec"):
             try:
@@ -54,12 +88,20 @@ def _live_scans(df) -> dict[str, int]:
         ch = p.children()
         for i in range(ch.size()):
             walk(ch.apply(i))
-        # broadcast/exchange reuse nodes carry the reused child out of
-        # band — a ReusedExchangeExec means the work is NOT re-run, so
-        # its subtree is intentionally not walked (no children anyway)
 
     walk(df._jdf.queryExecution().executedPlan())
     return counts
+
+
+def _jvm_identity(jobj) -> int:
+    """Stable identity of a JVM object across py4j proxies."""
+    from pyspark import SparkContext
+
+    return int(
+        SparkContext._active_spark_context._jvm.java.lang.System.identityHashCode(
+            jobj
+        )
+    )
 
 
 def main() -> None:

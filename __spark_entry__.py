@@ -11440,12 +11440,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #       oracles were already cross-engine-green 12/12 at two SFs in
     #       tests/test_r13_candidate_oracles.py (SQL moved verbatim;
     #       that test now pins the REGISTERED oracles);
-    #   (2) every query whose code or oracle changed this round — the
-    #       tools/rescan_audit.py queue fixes (SURVEY r12 note #12);
-    #   (3) ALL 16 remaining r6-stale greens (clears the last pre-r7
-    #       rows);
-    #   (4) backfill with the oldest r7-stale greens, alphabetical, as
-    #       slots allow.
+    #   (2) every query that EXECUTES code changed this round — the
+    #       tools/rescan_audit.py queue fixes (SURVEY r12 note #12),
+    #       including queries touched only through a shared library
+    #       function (pl_rrf_hybrid / pl_rank_corr via bm25_scores,
+    #       pl_pq_adc via int8_quantize): 31 rows;
+    #   (3) the r6-stale greens, oldest-first backfill — 13 of the 16
+    #       fit after (2); st_rolling_window, st_sessionize and
+    #       st_tumbling (all three also exercised by the bench
+    #       headline set and the streaming pytest suites every round)
+    #       defer to the r14 queue.
     return {
         # --- (1) new in round 13: the banked candidates ---
         "q_rfm_segments": q_rfm_segments,
@@ -11454,9 +11458,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_mann_kendall": st_mann_kendall,
         "pl_vocab_overlap": pl_vocab_overlap,
         "pl_length_quantiles": pl_length_quantiles,
-        # --- (2) code/oracle modified this round (rescan-audit queue) ---
-        # (filled as the r13 rescan fixes land)
-        # --- (3) ALL 16 remaining r6-stale greens ---
+        # --- (2) code modified this round (rescan-audit queue fixes) ---
+        "pl_bigram_lm": pl_bigram_lm,
+        "pl_stupid_backoff": pl_stupid_backoff,
+        "pl_unigram_lm": pl_unigram_lm,
+        "pl_ppl_buckets": pl_ppl_buckets,
+        "pl_curation_funnel": pl_curation_funnel,
+        "pl_cooccur_pmi": pl_cooccur_pmi,
+        "pl_source_overlap": pl_source_overlap,
+        "pl_span_cut": pl_span_cut,
+        "pl_minhash_recall": pl_minhash_recall,
+        "pl_simhash_recall": pl_simhash_recall,
+        "pl_ndcg": pl_ndcg,
+        "pl_sq_int8": pl_sq_int8,
+        "pl_pq_adc": pl_pq_adc,
+        "pl_ann_recall": pl_ann_recall,
+        "pl_modularity": pl_modularity,
+        "pl_jsd_sources": pl_jsd_sources,
+        "pl_lev_neardup": pl_lev_neardup,
+        "pl_target_encode": pl_target_encode,
+        "st_cramers_drift": st_cramers_drift,
+        "st_wau_mau": st_wau_mau,
+        "pl_bm25": pl_bm25,
+        "pl_rrf_hybrid": pl_rrf_hybrid,
+        "pl_rank_corr": pl_rank_corr,
+        "pl_distinct_ngrams": pl_distinct_ngrams,
+        "pl_chi2_tokens": pl_chi2_tokens,
+        "pl_idf_keywords": pl_idf_keywords,
+        "pl_dsir_weights": pl_dsir_weights,
+        "pl_heaps_curve": pl_heaps_curve,
+        "pl_embed_dedup": pl_embed_dedup,
+        "ag_fractions_value": ag_fractions_value,
+        "pl_rouge_pairs": pl_rouge_pairs,
+        # --- (3) r6-stale greens (13 of 16; 3 deferred, see above) ---
         "q11_important_stock": q11_important_stock,
         "q12_priority_lines": q12_priority_lines,
         "q20_excess_suppliers": q20_excess_suppliers,
@@ -11470,12 +11504,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_funnel": st_funnel,
         "st_gap_fill": st_gap_fill,
         "st_retention": st_retention,
+        # ===== round-13 driver head ends here (first 50) =====
+        # --- r6-stale rows deferred to r14 by the (2) overflow ---
         "st_rolling_window": st_rolling_window,
         "st_sessionize": st_sessionize,
         "st_tumbling": st_tumbling,
-        # --- (4) backfill: oldest r7-stale greens, alphabetical ---
+        # --- former r7 backfill (displaced by the 31 modified rows;
+        # oldest candidates for the r14 rotation) ---
         "pl_bigram_entropy": pl_bigram_entropy,
-        "pl_bigram_lm": pl_bigram_lm,
         "pl_bloom_decon": pl_bloom_decon,
         "pl_bpe_encode": pl_bpe_encode,
         "pl_bpe_train": pl_bpe_train,
@@ -11484,17 +11520,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pl_cdc_chunks": pl_cdc_chunks,
         "pl_cms_topk": pl_cms_topk,
         "pl_containment": pl_containment,
-        "pl_cooccur_pmi": pl_cooccur_pmi,
-        "pl_curation_funnel": pl_curation_funnel,
-        "pl_dsir_weights": pl_dsir_weights,
         "pl_embed_pool": pl_embed_pool,
         "pl_gopher_rules": pl_gopher_rules,
         "pl_gram_matrix": pl_gram_matrix,
         "pl_hapax_ratio": pl_hapax_ratio,
         "pl_hash_split": pl_hash_split,
-        "pl_heaps_curve": pl_heaps_curve,
         "pl_hll_distinct": pl_hll_distinct,
-        "pl_jsd_sources": pl_jsd_sources,
         "pl_kmv_distinct": pl_kmv_distinct,
         "pl_label_fstat": pl_label_fstat,
         "pl_lang_temperature": pl_lang_temperature,
@@ -11502,7 +11533,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pl_ngram_novelty": pl_ngram_novelty,
         "pl_norm_hist": pl_norm_hist,
         "pl_para_dedup": pl_para_dedup,
-        # ===== round-13 driver head ends here (first 50) =====
         # --- round-12 registrations (displaced from the head by the
         # r13 rotation; first occurrence here keeps them registered) ---
         "q_revenue_growth": q_revenue_growth,

@@ -61,14 +61,20 @@ def main() -> None:
     # warm the JVM + parquet footers with one cheap action
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
-    # Two full sweeps over the suite, min per query across BOTH (so a
-    # single bench invocation is already "min across runs"): this host
-    # shows multi-second co-tenant noise bursts lasting minutes, which
-    # a per-query min-of-3 sits entirely inside — a second sweep
-    # minutes later escapes the burst.  Within a sweep each query runs
-    # up to 3x (5x when slow); the first run pays one-time costs
-    # (python worker spawn for UDF stages, parquet footer reads) that
-    # a long-lived cluster would amortize.
+    # One DISCARDED warmup sweep, then two timed sweeps with min per
+    # query across both (so a single bench invocation is already "min
+    # across runs"): this host shows multi-second co-tenant noise
+    # bursts lasting minutes, which a per-query min-of-3 sits entirely
+    # inside — a second timed sweep minutes later escapes the burst.
+    # The warmup sweep (r12 verdict #3: three rounds of committed
+    # draws sat 1.05-1.10x above the session floor) pays the one-time
+    # costs OUTSIDE the timed window: python worker spawn for UDF
+    # stages, parquet footer reads, JIT of the expression kernels —
+    # steady state on a long-lived cluster, but 0.5-2 s of noise on
+    # the first timed run of a fresh session.  Within a timed sweep
+    # each query runs up to 3x (5x when slow).
+    for name in HEADLINE:
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
     timings: dict[str, float] = {}
     for _sweep in range(2):
         for name in HEADLINE:

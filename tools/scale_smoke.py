@@ -120,10 +120,13 @@ def main(max_mult: int = 8, only: list[str] | None = None) -> None:
     )
     from spatialdata_spark.pipeline.similarity import centroid_cosine
     from spatialdata_spark.operators.temporal import acf_daily, cusum_drift, ewma_daily, mann_kendall_daily, weekday_profile
+    from spatialdata_spark.pipeline.similarity import embedding_cosine_dedup
     from spatialdata_spark.pipeline.textstats import (
         benford_deviation,
+        bm25_scores,
         chi2_tokens,
         distinct_ngrams,
+        idf_keywords,
         hdr_quantiles,
         kneser_ney_score,
         ks_2sample,
@@ -400,6 +403,38 @@ def main(max_mult: int = 8, only: list[str] | None = None) -> None:
         finally:
             spark.conf.set(BROADCAST_FRONTIER_CONF, "auto")
 
+    def _heaps_curve_of(d):
+        # mirrors pl_heaps_curve over a replicated docs frame (the
+        # registry callable reads a fixed sf_dir and cannot replicate)
+        from pyspark.sql.window import Window
+
+        toks = (
+            d.select(
+                "doc_id",
+                F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+            )
+            .filter(F.col("tok") != "")
+        )
+        tf = toks.groupBy("doc_id", "tok").agg(
+            F.count(F.lit(1)).cast("long").alias("__c")
+        ).persist()
+        first = tf.groupBy("tok").agg(F.min("doc_id").alias("__fd"))
+        new_per_doc = first.groupBy(F.col("__fd").alias("doc_id")).agg(
+            F.count(F.lit(1)).cast("long").alias("__new")
+        )
+        tok_per_doc = tf.groupBy("doc_id").agg(
+            F.sum("__c").cast("long").alias("__ntok")
+        )
+        base = (
+            d.select("doc_id")
+            .join(new_per_doc, "doc_id", "left")
+            .join(tok_per_doc, "doc_id", "left")
+            .withColumn("decile", F.ntile(10).over(Window.orderBy("doc_id")).cast("long"))
+        )
+        return base.groupBy("decile").agg(
+            F.sum(F.coalesce("__new", F.lit(0))).cast("long").alias("n_new_types"),
+        )
+
     def _rouge_pairs_of(d):
         from pyspark.sql.window import Window
 
@@ -606,6 +641,30 @@ def main(max_mult: int = 8, only: list[str] | None = None) -> None:
             )
             .agg(F.sum("rougen_recall"))
             .collect(),
+            # (doc, token) tf table grows x mult but the persisted
+            # single materialization replaces the per-consumer corpus
+            # replays (r13 rescan fix) — every downstream rollup is
+            # tf-linear
+            "idf_keywords": lambda: idf_keywords(docs, top_k=3)
+            .agg(F.sum("score"))
+            .collect(),
+            # query-term hit table is term-df-bounded; the corpus is
+            # scanned once into the persisted tf (r13 rescan fix)
+            "bm25": lambda: bm25_scores(docs, ["the", "data", "of"])
+            .agg(F.sum("score"))
+            .collect(),
+            # vocabulary saturates under self-union; the persisted
+            # (doc, token) tf grows x mult, both rollups tf-linear
+            "heaps_curve": lambda: _heaps_curve_of(docs)
+            .agg(F.sum("n_new_types"))
+            .collect(),
+            # bucket self-join work is Σ bucket² which grows x mult²
+            # WITHIN a bucket only if copies collide — id offsets keep
+            # vectors identical so buckets DO collide: the documented
+            # worst case for LSH dedup; threshold keeps pairs bounded
+            "embed_dedup": lambda: embedding_cosine_dedup(
+                emb, threshold=0.95, num_planes=8
+            ).count(),
             # postings of the phrase's tokens grow x mult; the corpus
             # text never leaves the scan (pushed token IN-filter)
             "phrase_search": lambda: phrase_search(docs, "the data of")

@@ -10950,6 +10950,72 @@ ORDER BY n_name, month
 """
 
 
+def q_promo_share(spark, sf_dir):
+    """Monthly promotional revenue share (the TPC-H Q14 shape over the
+    ship calendar): per ship month, the fraction of discounted revenue
+    carried by PROMO-type parts — the assortment-mix trend a retail
+    analyst reads next to q_revenue_growth.  Exactness: both revenue
+    masses accumulate in DECIMAL (the q_revenue_growth convention);
+    the share is ONE promo/total division of exact decimals cast to
+    double, 6 dp; months with zero total (impossible with TPC-H data,
+    guarded anyway) emit NULL share.  The only corpus-sized work is
+    the fact-scan + part join (local-gated broadcast; AQE decides on a
+    cluster) + one month-keyed aggregation — the output grid is
+    calendar-sized at any corpus scale.  r14 registry candidate
+    (library-level-first; UNREGISTERED until the r14 head rotation)."""
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
+    )
+    monthly = (
+        li.join(_bcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.sum(
+                F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(
+                    F.lit(0).cast(DEC)
+                )
+            ).alias("__promo"),
+            F.sum(rev).alias("__total"),
+        )
+    )
+    return monthly.select(
+        "month",
+        F.col("__promo").cast("double").alias("promo_revenue"),
+        F.col("__total").cast("double").alias("total_revenue"),
+        F.when(
+            F.col("__total") > 0,
+            F.round(
+                F.col("__promo").cast("double") / F.col("__total").cast("double"), 6
+            ),
+        ).alias("promo_share"),
+    ).orderBy("month")
+
+
+Q_PROMO_SHARE_SQL = f"""
+WITH monthly AS (
+  SELECT strftime(l_shipdate, '%Y-%m') AS month,
+         SUM(CASE WHEN p_type LIKE 'PROMO%'
+                  THEN CAST(l_extendedprice AS {DEC})
+                       * (CAST(1 AS {DEC}) - CAST(l_discount AS {DEC}))
+                  ELSE CAST(0 AS {DEC}) END) AS promo,
+         SUM(CAST(l_extendedprice AS {DEC})
+             * (CAST(1 AS {DEC}) - CAST(l_discount AS {DEC}))) AS total
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1
+)
+SELECT month,
+       CAST(promo AS DOUBLE) AS promo_revenue,
+       CAST(total AS DOUBLE) AS total_revenue,
+       CASE WHEN total > 0
+            THEN ROUND(CAST(promo AS DOUBLE) / CAST(total AS DOUBLE), 6)
+       END AS promo_share
+FROM monthly
+ORDER BY month
+"""
+
+
 def pl_cvm_lengths(spark, sf_dir):
     """Exact two-sample Cramér-von Mises statistic between src0 and
     src1 document-length distributions — the whole-curve companion of

@@ -3383,3 +3383,321 @@ def length_quantiles_exact(
             F.min(F.when(F.col("__cum") >= target, F.col("__v"))).alias(f"p{int(p)}")
         )
     return cum.groupBy("grp").agg(*aggs).orderBy("grp")
+
+
+def mad_lengths(
+    docs: DataFrame,
+    group_col: str = "source",
+    value_col: str = "n_chars",
+) -> DataFrame:
+    """Per-group EXACT lower median and median absolute deviation of an
+    integer column — the robust-statistics companion of
+    :func:`length_quantiles_exact` (quantiles describe the tails; the
+    MAD is the standard outlier-resistant spread gauge a curation
+    reviewer reads before setting length clip thresholds).  r14
+    registry candidate (the library-level-first modularity precedent).
+
+    THE INTEGER CONTRACT (the length_quantiles_exact type-1
+    convention): ``median(g)`` is the SMALLEST observed value whose
+    cumulative count reaches ``ceil(n_g / 2)``; ``mad(g)`` is the same
+    lower median over the integer deviations ``|v - median(g)|`` —
+    every quantity an exact int64 (``ceil`` via integer ``div``), no
+    interpolation anywhere, so the emit is bit-identical on any
+    engine.
+
+    Plan: ONE corpus (group, value)-keyed count, PERSISTED — it feeds
+    the median window pass AND the deviation re-grid, and un-cached
+    each replays the corpus scan (the tools/rescan_audit.py class);
+    the table is value-grid-sized (distinct values per group), safe to
+    cache at any corpus scale.  Both cumulative windows run per group
+    over the DISTINCT VALUE GRID (the ks_2sample absorption); the
+    deviation re-grid is a grid->grid aggregation.  PER-CALL
+    ACCUMULATION (the _approx_rank_bins contract): LRU-reclaimed;
+    clearCache() reclaims eagerly.
+
+    Output: one row per group ``(group, n_docs, median, mad)``,
+    ordered by group; empty corpus yields an empty frame (the
+    length_quantiles convention).
+    """
+    from pyspark.sql.window import Window
+
+    f = (
+        docs.filter(F.col(group_col).isNotNull() & F.col(value_col).isNotNull())
+        .groupBy(F.col(group_col).alias("grp"), F.col(value_col).cast("long").alias("__v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+        .persist()
+    )
+    w = Window.partitionBy("grp").orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wg = Window.partitionBy("grp")
+    cum = f.select(
+        "grp",
+        "__v",
+        F.sum("__c").over(w).cast("long").alias("__cum"),
+        F.sum("__c").over(wg).cast("long").alias("__n"),
+    )
+    half = F.expr("CAST((__n + 1) DIV 2 AS BIGINT)")  # ceil(n/2), exact
+    meds = cum.groupBy("grp").agg(
+        F.max("__n").alias("n_docs"),
+        F.min(F.when(F.col("__cum") >= half, F.col("__v"))).alias("median"),
+    )
+    dev = (
+        f.join(F.broadcast(meds), "grp")
+        .groupBy("grp", F.abs(F.col("__v") - F.col("median")).alias("__d"))
+        .agg(F.sum("__c").cast("long").alias("__c"))
+    )
+    wd = Window.partitionBy("grp").orderBy("__d").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    dcum = dev.select(
+        "grp",
+        "__d",
+        F.sum("__c").over(wd).cast("long").alias("__cum"),
+        F.sum("__c").over(Window.partitionBy("grp")).cast("long").alias("__n"),
+    )
+    mads = dcum.groupBy("grp").agg(
+        F.min(
+            F.when(F.col("__cum") >= F.expr("CAST((__n + 1) DIV 2 AS BIGINT)"), F.col("__d"))
+        ).alias("mad")
+    )
+    return (
+        meds.join(F.broadcast(mads), "grp")
+        .select(F.col("grp").alias(group_col), "n_docs", "median", "mad")
+        .orderBy(group_col)
+    )
+
+
+def simpson_diversity(
+    docs: DataFrame,
+    group_col: str = "source",
+    cat_col: str = "lang",
+) -> DataFrame:
+    """Per-group Simpson concentration and Shannon evenness over a
+    categorical column — the within-group diversity gauge ("is source
+    X monolingual?") complementing :func:`theil_index` (that one
+    measures BETWEEN-group concentration of the size profile; this
+    measures WITHIN-group category mixing).  r14 registry candidate.
+
+    Exactness: Simpson's lambda (the probability two draws without
+    replacement share a category) is a ratio of exact int64 sums::
+
+        lambda = sum_i n_i * (n_i - 1) / (N * (N - 1))
+
+    emitted as exact microunits via
+    :func:`~spatialdata_spark.functions.exact.e6_signed` (loud on
+    overflow; NULL for the degenerate N < 2 group — a single document
+    has no pair to draw, the hhi_norm convention).  Shannon entropy
+    and evenness follow the mutual_information float convention: every
+    ln argument is a ratio of exact counts, sums have CATEGORY arity,
+    6-dp rounding absorbs libm's last-ulp latitude; ``evenness`` is
+    NULL when the group has one category.  NULL groups/categories
+    dropped; empty corpus yields an empty frame.
+
+    Plan: one (group, category)-keyed count — the only corpus-sized
+    shuffle — then two category-grid-sized rollups (margins broadcast
+    back).  Flat at any corpus scale.
+
+    Output: ``(group, n_docs, n_cats, simpson_e6, shannon, evenness)``
+    ordered by group.
+    """
+    from spatialdata_spark.functions.exact import e6_signed
+
+    cells = (
+        docs.filter(F.col(group_col).isNotNull() & F.col(cat_col).isNotNull())
+        .groupBy(F.col(group_col).alias("grp"), F.col(cat_col).alias("__cat"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    dec = "decimal(38,0)"
+    per = cells.groupBy("grp").agg(
+        F.sum("__c").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_cats"),
+        F.sum(F.col("__c").cast(dec) * (F.col("__c").cast(dec) - 1)).alias("__num"),
+    )
+    sh = (
+        cells.join(F.broadcast(per.select("grp", F.col("n_docs").alias("__N"))), "grp")
+        .groupBy("grp")
+        .agg(
+            F.sum(
+                -(F.col("__c") / F.col("__N")) * F.log(F.col("__c") / F.col("__N"))
+            ).alias("__h")
+        )
+    )
+    out = per.join(F.broadcast(sh), "grp").select(
+        F.col("grp").alias(group_col),
+        "n_docs",
+        "n_cats",
+        F.when(F.col("n_docs") >= 2, e6_signed("__num", "CAST(n_docs AS DECIMAL(38,0)) * (CAST(n_docs AS DECIMAL(38,0)) - 1)", "simpson_diversity")).alias("simpson_e6"),
+        F.round(F.col("__h"), 6).alias("shannon"),
+        F.when(
+            F.col("n_cats") > 1,
+            F.round(F.col("__h") / F.log(F.col("n_cats").cast("double")), 6),
+        ).alias("evenness"),
+    )
+    return out.orderBy(group_col)
+
+
+def kendall_tau(
+    docs: DataFrame,
+    x_col: str = "n_chars",
+    text_col: str = "text",
+) -> DataFrame:
+    """Kendall's tau-b (tie-corrected) between an integer metadata
+    column and the per-document whitespace token count — the
+    concordance twin of :func:`spearman_corr` (same axes, same
+    monotone-association question; tau-b weights every discordant PAIR
+    equally where Spearman squares rank gaps).  r14 registry
+    candidate.
+
+    THE INTEGER CONTRACT: over the realized (x, y) cell table with
+    counts ``c``, concordant/discordant pair totals are exact int64
+    dominance sums::
+
+        P = sum_cells c(x,y) * T(<x, <y)      (concordant)
+        Q = sum_cells c(x,y) * (T(<x) - T(<x, <=y))   (discordant)
+        tau_b = (P - Q) / sqrt((D0 - D1) * (D0 - D2))
+
+    with ``D0 = n(n-1)/2`` and ``D1``/``D2`` the same form over the
+    x/y tie margins.  The 2D dominance prefix ``T`` comes from a DENSE
+    value grid (|X| x |Y| rows — value-DOMAIN-product-sized, never
+    corpus-sized): per-x cumulative over y, then per-y cumulative over
+    x, and each realized cell joins the dense prefix at (ix-1, iy-1)
+    and (ix-1, iy).  Every term DECIMAL(38,0)-exact; the binding term
+    ``(D0-D1)*(D0-D2) <= n^4 / 4`` stays under 1e38 while
+    ``N < ~2.4e9`` rows (the spearman_corr bound class), and the emit
+    is ONE division of an exact integer by the product of two
+    correctly-rounded sqrts of exact integers — identical doubles on
+    any engine, 6 dp.  NULL x / NULL text dropped.  ``tau`` is NULL
+    when either margin is constant (no rank order); an EMPTY input
+    raises loudly on every output column; a NULL P/Q/D with rows
+    present raises the overflow error (the spearman ov pattern).
+
+    AT-EXTREME-DOMAIN SWAP (stated): the dense grid is |X|*|Y| rows —
+    integer length-like domains keep it small (thousands x hundreds),
+    but for high-cardinality real-valued axes use
+    :func:`spearman_corr`, which touches only REALIZED cells.
+
+    Output: one row ``(n_docs, n_x_values, n_y_values, kendall_tau)``.
+    """
+    from pyspark.sql.window import Window
+
+    dec = "decimal(38,0)"
+    y = F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+    base = docs.filter(
+        F.col(x_col).isNotNull() & F.col(text_col).isNotNull()
+    ).select(F.col(x_col).cast("long").alias("__x"), y.cast("long").alias("__y"))
+    # persist: the realized cell table feeds the two margin rollups,
+    # the dense-grid left join and the final dominance sum (the
+    # tools/rescan_audit.py class); value-pair-sized rows.  PER-CALL
+    # ACCUMULATION (the _approx_rank_bins contract): LRU-reclaimed;
+    # clearCache() reclaims eagerly.
+    cells = base.groupBy("__x", "__y").agg(
+        F.count(F.lit(1)).cast("long").alias("__cxy")
+    ).persist()
+    xg = cells.groupBy("__x").agg(F.sum("__cxy").cast("long").alias("__cx"))
+    yg = cells.groupBy("__y").agg(F.sum("__cxy").cast("long").alias("__cy"))
+    xs = xg.select(
+        "__x", "__cx", F.row_number().over(Window.orderBy("__x")).alias("__ix")
+    )
+    ys = yg.select(
+        "__y", "__cy", F.row_number().over(Window.orderBy("__y")).alias("__iy")
+    )
+    # dense |X| x |Y| grid (value-domain-product-sized): realized
+    # counts fill in by left join, absent cells are zero
+    dense = (
+        xs.select("__x", "__ix")
+        .crossJoin(ys.select("__y", "__iy"))
+        .join(cells, ["__x", "__y"], "left")
+        .select("__ix", "__iy", F.coalesce("__cxy", F.lit(0)).alias("__c"))
+    )
+    wyc = Window.partitionBy("__ix").orderBy("__iy").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wxc = Window.partitionBy("__iy").orderBy("__ix").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    # persist: the dense 2D prefix is consumed by BOTH shifted joins
+    # below; grid-sized.  Same accumulation contract as `cells`.
+    cum2d = (
+        dense.withColumn("__cy2", F.sum("__c").over(wyc))
+        .withColumn("__c2d", F.sum("__cy2").over(wxc).cast("long"))
+        .select("__ix", "__iy", "__c2d")
+        .persist()
+    )
+    # x-margin strict prefix T(<x) on the x grid
+    wx = Window.orderBy("__ix").rowsBetween(Window.unboundedPreceding, -1)
+    xpre = xs.select(
+        "__ix", F.coalesce(F.sum("__cx").over(wx), F.lit(0)).cast("long").alias("__txlt")
+    )
+    rc = (
+        cells.join(xs.select("__x", "__ix"), "__x")
+        .join(ys.select("__y", "__iy"), "__y")
+    )
+    d11 = cum2d.select(
+        F.col("__ix").alias("__jx"), F.col("__iy").alias("__jy"), F.col("__c2d").alias("__tless")
+    )
+    d10 = cum2d.select(
+        F.col("__ix").alias("__kx"), F.col("__iy").alias("__ky"), F.col("__c2d").alias("__tlesseq")
+    )
+    j = (
+        rc.join(d11, (F.col("__jx") == F.col("__ix") - 1) & (F.col("__jy") == F.col("__iy") - 1), "left")
+        .join(d10, (F.col("__kx") == F.col("__ix") - 1) & (F.col("__ky") == F.col("__iy")), "left")
+        .join(F.broadcast(xpre), "__ix")
+        .select(
+            F.col("__cxy").cast(dec).alias("__c"),
+            F.coalesce("__tless", F.lit(0)).cast(dec).alias("__tl"),
+            (F.col("__txlt").cast(dec) - F.coalesce("__tlesseq", F.lit(0)).cast(dec)).alias("__td"),
+        )
+    )
+    pq = j.agg(
+        F.sum(F.col("__c") * F.col("__tl")).alias("__p"),
+        F.sum(F.col("__c") * F.col("__td")).alias("__q"),
+    )
+    xa = xs.agg(
+        F.sum("__cx").cast("long").alias("__n"),
+        F.count(F.lit(1)).cast("long").alias("n_x_values"),
+        F.sum(F.col("__cx").cast(dec) * (F.col("__cx").cast(dec) - 1)).alias("__d1x2"),
+    )
+    ya = ys.agg(
+        F.count(F.lit(1)).cast("long").alias("n_y_values"),
+        F.sum(F.col("__cy").cast(dec) * (F.col("__cy").cast(dec) - 1)).alias("__d2x2"),
+    )
+    agg = xa.crossJoin(F.broadcast(ya)).crossJoin(F.broadcast(pq))
+    n = F.col("__n").cast(dec)
+    d0x2 = n * (n - 1)  # 2*D0
+    dx = d0x2 - F.col("__d1x2")  # 2*(D0-D1), exact
+    dy = d0x2 - F.col("__d2x2")
+    num = F.col("__p") - F.col("__q")
+    err = F.lit(
+        f"kendall_tau: empty input (no rows with non-NULL"
+        f" '{x_col}' and '{text_col}')"
+    )
+    ov = F.lit(
+        "kendall_tau: DECIMAL(38,0) overflow in the dominance sums"
+        " (N exceeds the ~2.4e9-row exact bound: (2D0)^2 <= N^4 < 4e38)"
+    )
+
+    def g(col):
+        # per-column empty-input guard (the herfindahl pattern) PLUS
+        # the loud overflow raise (the spearman ov pattern): NULL
+        # num/dx/dy with N > 0 can only be non-ANSI decimal overflow
+        return F.when(F.col("__n").isNull() | (F.col("__n") == 0), F.raise_error(err)).when(
+            num.isNull() | dx.isNull() | dy.isNull(), F.raise_error(ov)
+        ).otherwise(col)
+
+    # tau_b = (P-Q) / sqrt(D0-D1) / sqrt(D0-D2); the /2 factors cancel
+    # against the doubled D terms: (P-Q) / (sqrt(2(D0-D1))*sqrt(2(D0-D2))/2)
+    tau = F.when(
+        (dx > 0) & (dy > 0),
+        F.round(
+            F.lit(2.0) * num.cast("double")
+            / (F.sqrt(dx.cast("double")) * F.sqrt(dy.cast("double"))),
+            6,
+        ),
+    )
+    return agg.select(
+        g(F.col("__n")).alias("n_docs"),
+        g(F.col("n_x_values")).alias("n_x_values"),
+        g(F.col("n_y_values")).alias("n_y_values"),
+        g(tau).alias("kendall_tau"),
+    )

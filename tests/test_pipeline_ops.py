@@ -6173,3 +6173,40 @@ def test_length_quantiles_rejects_bad_percents(spark):
         length_quantiles_exact(df, percents=(50, 999))
     with pytest.raises(ValueError, match="percents"):
         length_quantiles_exact(df, percents=(0.99,))
+
+
+def test_r14_candidate_edges(spark):
+    """Edge pins for the r14 candidates: kendall raises loudly on
+    EVERY column of an empty input (the herfindahl per-column
+    pattern) and returns exactly +/-1 on perfect monotone data;
+    mad_lengths and simpson_diversity yield EMPTY frames on an empty
+    corpus (the length_quantiles convention — per-group reports have
+    no spine to raise from)."""
+    import pytest
+
+    from spatialdata_spark.pipeline.textstats import (
+        kendall_tau,
+        mad_lengths,
+        simpson_diversity,
+    )
+
+    empty = spark.createDataFrame(
+        [], "doc_id INT, source STRING, lang STRING, n_chars BIGINT, text STRING"
+    )
+    kt = kendall_tau(empty)
+    for c in kt.columns:
+        with pytest.raises(Exception, match="kendall_tau: empty input"):
+            kt.select(c).collect()
+    assert mad_lengths(empty).count() == 0
+    assert simpson_diversity(empty).count() == 0
+
+    mono = [(i, i, " ".join("w" for _ in range(i + 1))) for i in range(10)]
+    df = spark.createDataFrame(mono, ["doc_id", "n_chars", "text"])
+    assert kendall_tau(df).collect()[0]["kendall_tau"] == 1.0
+    anti = [(i, 100 - i, " ".join("w" for _ in range(i + 1))) for i in range(10)]
+    df2 = spark.createDataFrame(anti, ["doc_id", "n_chars", "text"])
+    assert kendall_tau(df2).collect()[0]["kendall_tau"] == -1.0
+    # constant x margin: no rank order, tau is NULL (not a raise)
+    const = [(i, 5, " ".join("w" for _ in range(i + 1))) for i in range(10)]
+    df3 = spark.createDataFrame(const, ["doc_id", "n_chars", "text"])
+    assert kendall_tau(df3).collect()[0]["kendall_tau"] is None

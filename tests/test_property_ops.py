@@ -1433,3 +1433,119 @@ def test_length_quantiles_property_matches_python(spark, seed, width):
             target = (p * n + 99) // 100
             assert r[f"p{p}"] == s[target - 1]
         assert r["p50"] <= r["p90"] <= r["p99"]
+
+
+@given(seed=st.integers(0, 10**6), width=st.integers(1, 30))
+@SET
+def test_mad_lengths_property_matches_sorted_replay(spark, seed, width):
+    """Random per-group integer samples (heavy ties at width=1): the
+    exact lower median and MAD match the sorted-python replay; MAD is
+    always >= 0 and 0 for a constant group."""
+    rng = random.Random(seed)
+    from spatialdata_spark.pipeline.textstats import mad_lengths
+
+    rows = []
+    for g in ("a", "b", "c"):
+        for i in range(rng.randint(1, 40)):
+            rows.append((len(rows), g, rng.randint(0, width)))
+    rows.append((len(rows), "const", 7))
+    rows.append((len(rows), "const", 7))
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"])
+    got = {r["source"]: (r["n_docs"], r["median"], r["mad"]) for r in mad_lengths(df).collect()}
+
+    def lomed(vals):
+        s = sorted(vals)
+        return s[(len(s) + 1) // 2 - 1]
+
+    for g in {s for _, s, _ in rows}:
+        vals = [v for _, s, v in rows if s == g]
+        med = lomed(vals)
+        mad = lomed([abs(v - med) for v in vals])
+        assert got[g] == (len(vals), med, mad), (g, got[g], (len(vals), med, mad))
+        assert got[g][2] >= 0
+    assert got["const"] == (2, 7, 0)
+
+
+@given(seed=st.integers(0, 10**6), n_cats=st.integers(1, 6))
+@SET
+def test_simpson_property_matches_fractions(spark, seed, n_cats):
+    """Random per-group category profiles: simpson_e6 matches the
+    exact Fractions replay (half-up), shannon/evenness match the
+    python floats at 6 dp; a monolingual group has simpson_e6 = 1e6
+    (when n >= 2), shannon 0 and evenness NULL."""
+    from collections import Counter
+    from fractions import Fraction
+
+    from spatialdata_spark.pipeline.textstats import simpson_diversity
+
+    rng = random.Random(seed)
+    rows = []
+    for g in ("s1", "s2"):
+        for i in range(rng.randint(1, 60)):
+            rows.append((len(rows), g, f"l{rng.randrange(n_cats)}"))
+    rows.append((len(rows), "mono", "en"))
+    rows.append((len(rows), "mono", "en"))
+    df = spark.createDataFrame(rows, ["doc_id", "source", "lang"])
+    got = {r["source"]: r for r in simpson_diversity(df).collect()}
+    for g in {s for _, s, _ in rows}:
+        c = Counter(l for _, s, l in rows if s == g)
+        N, k = sum(c.values()), len(c)
+        r = got[g]
+        assert (r["n_docs"], r["n_cats"]) == (N, k)
+        if N >= 2:
+            lam = Fraction(sum(v * (v - 1) for v in c.values()), N * (N - 1))
+            e6 = math.floor(lam * 10**6 + Fraction(1, 2))
+            assert r["simpson_e6"] == e6
+        else:
+            assert r["simpson_e6"] is None
+        H = -sum((v / N) * math.log(v / N) for v in c.values())
+        assert abs(r["shannon"] - round(H, 6)) < 2e-6
+        if k > 1:
+            assert abs(r["evenness"] - round(H / math.log(k), 6)) < 2e-6
+        else:
+            assert r["evenness"] is None
+    assert got["mono"]["simpson_e6"] == 10**6
+    assert got["mono"]["shannon"] == 0.0
+
+
+@given(seed=st.integers(0, 10**6), width=st.integers(1, 12))
+@SET
+def test_kendall_property_matches_pair_count(spark, seed, width):
+    """Random (x, token-count) samples with heavy ties: tau-b matches
+    the O(n^2) direct concordant/discordant pair count at 6 dp; tau is
+    NULL when a margin is constant and always within [-1, 1]."""
+    from collections import Counter
+
+    from spatialdata_spark.pipeline.textstats import kendall_tau
+
+    rng = random.Random(seed)
+    rows = [
+        (
+            i,
+            rng.randint(0, width),
+            " ".join("w" for _ in range(rng.randint(1, max(2, width)))),
+        )
+        for i in range(rng.randint(3, 60))
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "n_chars", "text"])
+    r = kendall_tau(df).collect()[0]
+    xs = [x for _, x, _ in rows]
+    ys = [len(t.split()) for _, _, t in rows]
+    n = len(xs)
+    P = Q = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            s = (xs[i] - xs[j]) * (ys[i] - ys[j])
+            P += s > 0
+            Q += s < 0
+    cx, cy = Counter(xs), Counter(ys)
+    D0 = n * (n - 1) // 2
+    D1 = sum(v * (v - 1) // 2 for v in cx.values())
+    D2 = sum(v * (v - 1) // 2 for v in cy.values())
+    assert (r["n_docs"], r["n_x_values"], r["n_y_values"]) == (n, len(cx), len(cy))
+    if D0 - D1 > 0 and D0 - D2 > 0:
+        tau = (P - Q) / math.sqrt((D0 - D1) * (D0 - D2))
+        assert abs(r["kendall_tau"] - round(tau, 6)) < 2e-6, (r["kendall_tau"], tau)
+        assert -1.0 - 1e-9 <= r["kendall_tau"] <= 1.0 + 1e-9
+    else:
+        assert r["kendall_tau"] is None

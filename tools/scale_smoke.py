@@ -59,7 +59,7 @@ def main(max_mult: int = 8, only: list[str] | None = None) -> None:
     )
     from spatialdata_spark.operators.temporal import rolling_active_users
     from spatialdata_spark.pipeline.clustering import gram_matrix
-    from spatialdata_spark.pipeline.textstats import chao1_richness, cliffs_delta, cramer_von_mises_2sample, curation_funnel, herfindahl_index, length_quantiles_exact, mutual_information, spearman_corr, theil_index, vocab_overlap_exact
+    from spatialdata_spark.pipeline.textstats import chao1_richness, cliffs_delta, cramer_von_mises_2sample, curation_funnel, herfindahl_index, kendall_tau, length_quantiles_exact, mad_lengths, mutual_information, simpson_diversity, spearman_corr, theil_index, vocab_overlap_exact
     from spatialdata_spark.operators.rasterize import rasterize_points
 
     from spatialdata_spark.pipeline.clustering import (
@@ -245,6 +245,24 @@ def main(max_mult: int = 8, only: list[str] | None = None) -> None:
         for t in ("customer", "nation"):
             shutil.copy(f"{SF_DIR}/{t}.parquet", f"{base}/{t}.parquet")
         return entrymod.q_revenue_growth(spark, base).count()
+
+    def _promo_m(m):
+        # lineitem replicated on orderkey, part copied: the month
+        # OUTPUT GRID stays fixed while revenue mass scales x m (the
+        # revenue_growth grid-shape contract)
+        import shutil
+        import tempfile
+
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        rl = replicate(
+            li.select("l_orderkey", "l_partkey", "l_shipdate", "l_extendedprice", "l_discount"),
+            m,
+            ["l_orderkey"],
+        )
+        base = tempfile.mkdtemp(prefix="smoke_promo_")
+        rl.write.mode("overwrite").parquet(f"{base}/lineitem.parquet")
+        shutil.copy(f"{SF_DIR}/part.parquet", f"{base}/part.parquet")
+        return entrymod.q_promo_share(spark, base).count()
 
     def _rfm_m(m):
         # customers replicated on custkey (orders on orderkey too so
@@ -1005,6 +1023,19 @@ def main(max_mult: int = 8, only: list[str] | None = None) -> None:
             # day-keyed count then calendar-sized pair join — flat
             # (the acf shape; self-union scales counts, not days)
             "mann_kendall": lambda: mann_kendall_daily(ev).collect(),
+            # r14 candidates: (group, value) grid saturates under
+            # self-union — both median windows run on the fixed grid
+            "mad_lengths": lambda: mad_lengths(docs).collect(),
+            # (group, category) cells saturate; rollups category-sized
+            "simpson": lambda: simpson_diversity(docs).collect(),
+            # realized cells AND the dense |X|x|Y| grid saturate under
+            # self-union (same value domains every copy) — the only
+            # corpus-proportional stage is the first keyed count
+            "kendall": lambda: kendall_tau(docs).collect(),
+            # fact join scales, the month output grid saturates
+            "promo_share": lambda m=mult: entrymod.q_promo_share(
+                spark, SF_DIR
+            ).count() if m == 1 else _promo_m(m),
             # per-customer rollup scales; ntiles sort the customer-
             # sized projection; the segment grid is <= 125 rows
             "rfm": lambda m=mult: entrymod.q_rfm_segments(

@@ -4456,7 +4456,10 @@ WITH base AS (
 tok AS (SELECT doc_id, UNNEST(toks) AS t FROM base),
 tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
 df AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY 1),
-n AS (SELECT COUNT(*) AS n FROM base)
+-- N = DISTINCT non-blank documents (the library contract since the
+-- r13 one-scan fix: duplicate doc_id rows already collapse in tf, so
+-- counting rows would be inconsistent with the tf/df they feed)
+n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM base)
 SELECT doc_id, t AS keyword,
        ROUND(tf * LN(CAST(n AS DOUBLE) / df), 6) AS score, rank
 FROM (
@@ -6991,8 +6994,13 @@ def pl_heaps_curve(spark, sf_dir):
     # rollup and the per-doc token totals — un-cached, each replays the
     # corpus tokenize (3 live scans, tools/rescan_audit.py; the doc_id
     # spine scan below stays — it is column-pruned and must include
-    # token-less docs).  PER-CALL ACCUMULATION (the _approx_rank_bins
-    # contract): LRU-reclaimed; clearCache() reclaims eagerly.
+    # token-less docs).  STATED TRADE (the mutual_information class):
+    # locally 0.50 -> 1.10 s at sf0.1 because the corpus-sized cache
+    # write serializes a DAG whose two replays otherwise ride spare
+    # cores; at 1000 executors each replay costs a full corpus
+    # scan+tokenize, so the single materialization is the correct
+    # plan.  PER-CALL ACCUMULATION (the _approx_rank_bins contract):
+    # LRU-reclaimed; clearCache() reclaims eagerly.
     tf = toks.groupBy("doc_id", "tok").agg(
         F.count(F.lit(1)).cast("long").alias("__c")
     ).persist()
@@ -11512,10 +11520,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #       function (pl_rrf_hybrid / pl_rank_corr via bm25_scores,
     #       pl_pq_adc via int8_quantize): 31 rows;
     #   (3) the r6-stale greens, oldest-first backfill — 13 of the 16
-    #       fit after (2); st_rolling_window, st_sessionize and
-    #       st_tumbling (all three also exercised by the bench
-    #       headline set and the streaming pytest suites every round)
-    #       defer to the r14 queue.
+    #       fit after (2); st_sessionize and st_tumbling (both bench
+    #       HEADLINE rows, exercised every round) and
+    #       st_rolling_window (covered by the streaming pytest window
+    #       suite only — first in line for the r14 head) defer to the
+    #       r14 queue.
     return {
         # --- (1) new in round 13: the banked candidates ---
         "q_rfm_segments": q_rfm_segments,

@@ -72,7 +72,12 @@ def main() -> None:
     # stages, parquet footer reads, JIT of the expression kernels —
     # steady state on a long-lived cluster, but 0.5-2 s of noise on
     # the first timed run of a fresh session.  Within a timed sweep
-    # each query runs up to 3x (5x when slow).
+    # each query runs up to 3x (5x when slow).  Persist-bearing
+    # queries do NOT accumulate dead cache copies across runs:
+    # CacheManager dedups by canonicalized plan (verified: repeated
+    # persist+count of an identical plan holds ONE cached RDD), so
+    # the warmup leaves each such query's single cache entry warm —
+    # the steady state a long-lived session would see.
     for name in HEADLINE:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
     timings: dict[str, float] = {}

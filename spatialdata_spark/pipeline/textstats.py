@@ -345,9 +345,13 @@ def idf_keywords(
     # reuse between the two — un-cached, each replays the corpus
     # tokenize + aggregate (3 live scans, tools/rescan_audit.py).  The
     # doc-count derives from the cache too (every non-blank doc has
-    # >= 1 token), closing the third scan.  PER-CALL ACCUMULATION (the
-    # _approx_rank_bins contract): LRU-reclaimed; clearCache() reclaims
-    # eagerly.
+    # >= 1 token), closing the third scan.  CONTRACT NOTE: N is the
+    # number of DISTINCT non-blank documents — duplicate doc_id rows
+    # already collapse in the tf/df tables, so counting input ROWS
+    # (the pre-r13 form) would be inconsistent with the counts it
+    # normalizes; the registered oracle counts DISTINCT to match.
+    # PER-CALL ACCUMULATION (the _approx_rank_bins contract):
+    # LRU-reclaimed; clearCache() reclaims eagerly.
     tf = tok.groupBy(id_col, "__t").agg(F.count(F.lit(1)).alias("__tf")).persist()
     n_docs = tf.agg(F.count_distinct(F.col(id_col)).alias("__n"))
     df = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))

@@ -6210,3 +6210,29 @@ def test_r14_candidate_edges(spark):
     const = [(i, 5, " ".join("w" for _ in range(i + 1))) for i in range(10)]
     df3 = spark.createDataFrame(const, ["doc_id", "n_chars", "text"])
     assert kendall_tau(df3).collect()[0]["kendall_tau"] is None
+
+
+def test_idf_keywords_distinct_doc_contract(spark):
+    """N in the IDF is the number of DISTINCT non-blank documents (the
+    r13 one-scan contract): duplicate doc_id rows collapse in tf/df,
+    so they must not inflate N either — scores on a frame with a
+    duplicated row equal scores on the deduplicated frame with the
+    duplicate's token counts merged."""
+    from spatialdata_spark.pipeline.textstats import idf_keywords
+
+    rows = [
+        (1, "alpha beta"),
+        (1, "alpha gamma"),  # duplicate doc_id: merges into doc 1
+        (2, "beta beta delta"),
+        (3, "epsilon"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    merged = [
+        (1, "alpha beta alpha gamma"),
+        (2, "beta beta delta"),
+        (3, "epsilon"),
+    ]
+    df2 = spark.createDataFrame(merged, ["doc_id", "text"])
+    a = sorted(map(tuple, idf_keywords(df, top_k=10).collect()))
+    b = sorted(map(tuple, idf_keywords(df2, top_k=10).collect()))
+    assert a == b, (a, b)

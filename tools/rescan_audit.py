@@ -120,6 +120,11 @@ def main() -> None:
             counts = _live_scans(fn(spark, sf_dir))
         except Exception as e:  # noqa: BLE001 — report and continue
             print(f"{name}\tERROR\t{type(e).__name__}: {e}")
+            # a failed query may have materialized its per-call
+            # persists before dying; without this, CacheManager plan
+            # substitution hides the next query's re-scans behind
+            # InMemoryTableScan (a false-negative audit row)
+            spark.catalog.clearCache()
             continue
         for base, c in sorted(counts.items()):
             if c >= threshold:

@@ -11024,6 +11024,46 @@ ORDER BY month
 """
 
 
+def q_order_priority(spark, sf_dir):
+    """Order-priority check over orders with returned lines (the
+    TPC-H Q4 SHAPE on the reduced schema: Q4's EXISTS(late lineitem)
+    becomes EXISTS(l_returnflag = 'R') because the synthetic lineitem
+    carries no commit/receipt dates) — per order year and priority,
+    how many orders had at least one returned line.  The semi-join
+    (left_semi — each order counted ONCE however many lines match) is
+    the shape this adds to the TPC-H registry set: q20/q21 use
+    IN-subquery filters on dims, this is an EXISTS against the fact
+    table itself.  Exact integer counts; the output grid is
+    year x priority (metadata-sized at any corpus scale).  r14
+    registry candidate (UNREGISTERED until the r14 head rotation)."""
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    returned = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        orders.join(returned, orders["o_orderkey"] == returned["l_orderkey"], "left_semi")
+        .groupBy(
+            F.year("o_orderdate").cast("long").alias("order_year"),
+            F.col("o_orderpriority"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .orderBy("order_year", "o_orderpriority")
+    )
+
+
+Q_ORDER_PRIORITY_SQL = """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+       o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 def pl_cvm_lengths(spark, sf_dir):
     """Exact two-sample Cramér-von Mises statistic between src0 and
     src1 document-length distributions — the whole-curve companion of

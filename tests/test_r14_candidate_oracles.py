@@ -171,11 +171,15 @@ def _case(name):
             KENDALL_TAU_SQL,
         ),
         "promo_share": (entrymod.q_promo_share, entrymod.Q_PROMO_SHARE_SQL),
+        "order_priority": (
+            entrymod.q_order_priority,
+            entrymod.Q_ORDER_PRIORITY_SQL,
+        ),
     }[name]
 
 
 @pytest.mark.parametrize(
-    "name", ["mad_lengths", "simpson", "kendall", "promo_share"]
+    "name", ["mad_lengths", "simpson", "kendall", "promo_share", "order_priority"]
 )
 @pytest.mark.parametrize("sf_dir", SF_DIRS)
 def test_r14_candidate_cross_engine(spark, name, sf_dir):

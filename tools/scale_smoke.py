@@ -264,6 +264,27 @@ def main(max_mult: int = 8, only: list[str] | None = None) -> None:
         shutil.copy(f"{SF_DIR}/part.parquet", f"{base}/part.parquet")
         return entrymod.q_promo_share(spark, base).count()
 
+    def _orderprio_m(m):
+        # both fact tables replicated on orderkey so semi-join
+        # matches stay per-copy-consistent; the year x priority
+        # OUTPUT GRID stays fixed while order mass scales x m
+        import tempfile
+
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        rl = replicate(
+            li.select("l_orderkey", "l_returnflag"), m, ["l_orderkey"]
+        )
+        ro = replicate(
+            orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            m,
+            ["o_orderkey"],
+        )
+        base = tempfile.mkdtemp(prefix="smoke_orderprio_")
+        rl.write.mode("overwrite").parquet(f"{base}/lineitem.parquet")
+        ro.write.mode("overwrite").parquet(f"{base}/orders.parquet")
+        return entrymod.q_order_priority(spark, base).count()
+
     def _rfm_m(m):
         # customers replicated on custkey (orders on orderkey too so
         # counts stay per-copy-constant): the ntile sorts grow x m —
@@ -1036,6 +1057,11 @@ def main(max_mult: int = 8, only: list[str] | None = None) -> None:
             "promo_share": lambda m=mult: entrymod.q_promo_share(
                 spark, SF_DIR
             ).count() if m == 1 else _promo_m(m),
+            # left_semi on the fact table scales; year x priority
+            # output grid saturates
+            "order_priority": lambda m=mult: entrymod.q_order_priority(
+                spark, SF_DIR
+            ).count() if m == 1 else _orderprio_m(m),
             # per-customer rollup scales; ntiles sort the customer-
             # sized projection; the segment grid is <= 125 rows
             "rfm": lambda m=mult: entrymod.q_rfm_segments(

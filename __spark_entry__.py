@@ -11064,6 +11064,82 @@ ORDER BY 1, 2
 """
 
 
+def q_idle_customers(spark, sf_dir):
+    """Well-funded customers with NO orders, per market segment (the
+    TPC-H Q22 SHAPE: NOT-EXISTS anti-join + an above-average-balance
+    gate) — the dormant-account report.  EXACT THRESHOLD CONTRACT
+    (the rounded-score-ordering lesson applied to a filter): the gate
+    "balance above the positive-balance average" is the
+    CROSS-MULTIPLIED integer-decimal comparison
+    ``c_acctbal * n_pos > total_pos`` — no float average anywhere, so
+    boundary customers resolve identically on any engine (a DOUBLE
+    avg differs in the last ulp with summation order and silently
+    flips memberships).  The anti-join is left_anti on the orders
+    fact; the 1-row positive-balance aggregate broadcasts.  Output:
+    segment-grid-sized.  r14 registry candidate (UNREGISTERED until
+    the r14 head rotation)."""
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    bal = F.col("c_acctbal").cast(DEC)
+    pos = cust.filter(bal > 0).agg(
+        F.sum(bal).alias("__total_pos"),
+        F.count(F.lit(1)).cast("long").alias("__n_pos"),
+    )
+    gated = (
+        cust.crossJoin(F.broadcast(pos))
+        .filter(bal * F.col("__n_pos") > F.col("__total_pos"))
+    )
+    idle = gated.join(
+        orders.select("o_custkey"),
+        gated["c_custkey"] == orders["o_custkey"],
+        "left_anti",
+    )
+    return (
+        idle.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum(bal).cast("double").alias("total_balance"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+Q_IDLE_CUSTOMERS_SQL = f"""
+WITH pos AS (
+  SELECT SUM(CAST(c_acctbal AS {DEC})) AS total_pos,
+         CAST(COUNT(*) AS BIGINT) AS n_pos
+  FROM customer WHERE CAST(c_acctbal AS {DEC}) > 0
+)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS {DEC})) AS DOUBLE) AS total_balance
+FROM customer, pos
+WHERE CAST(c_acctbal AS {DEC}) * n_pos > total_pos
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+ST_EVENT_TRANSITIONS_SQL = r"""
+SELECT from_type, to_type,
+       CAST(COUNT(*) AS BIGINT) AS n_transitions,
+       ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (PARTITION BY from_type), 6)
+         AS frac
+FROM (
+  SELECT event_type AS from_type,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS to_type
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL AND ts IS NOT NULL
+)
+WHERE to_type IS NOT NULL
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 def pl_cvm_lengths(spark, sf_dir):
     """Exact two-sample Cramér-von Mises statistic between src0 and
     src1 document-length distributions — the whole-curve companion of

@@ -1078,3 +1078,65 @@ def mann_kendall_daily(
         g(var18).alias("var18"),
         g(z).alias("z"),
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order event-type transition matrix over per-user
+    time-ordered streams — the Markov-chain view of user behavior
+    ("what follows a click?") that complements :func:`st_funnel`'s
+    fixed-sequence counting with the FULL empirical transition table.
+    r14 registry candidate (the library-level-first modularity
+    precedent).
+
+    DETERMINISM CONTRACT: the per-user ordering is ``(ts, event_id)``
+    — the id tie-break makes simultaneous events (same timestamp)
+    order identically on any engine, so the transition pairs are
+    bit-reproducible (the rounded-score-ordering lesson applied to
+    window ordering).  NULL users/types/timestamps are dropped before
+    pairing (a NULL would otherwise silently terminate a stream
+    mid-way).  ``frac`` is ONE division of exact int64 counts
+    (row-normalized: transitions out of ``from_type``), 6 dp.
+
+    Plan: one lead window per user (the window key is the user —
+    maximally fine-grained, no reducer hotspot), then a
+    (from, to)-keyed count: the transition matrix is
+    |types|^2-sized (metadata) at any corpus scale.
+
+    Output: ``(from_type, to_type, n_transitions, frac)`` ordered by
+    (from_type, to_type).
+    """
+    from pyspark.sql.window import Window
+
+    base = events.filter(
+        F.col(user_col).isNotNull()
+        & F.col(type_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+    )
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    pairs = (
+        base.select(
+            F.col(type_col).alias("from_type"),
+            F.lead(type_col).over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+    )
+    cnt = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_transitions")
+    )
+    wf = Window.partitionBy("from_type")
+    return (
+        cnt.withColumn("__tot", F.sum("n_transitions").over(wf))
+        .select(
+            "from_type",
+            "to_type",
+            "n_transitions",
+            F.round(F.col("n_transitions") / F.col("__tot"), 6).alias("frac"),
+        )
+        .orderBy("from_type", "to_type")
+    )

@@ -1549,3 +1549,78 @@ def test_kendall_property_matches_pair_count(spark, seed, width):
         assert -1.0 - 1e-9 <= r["kendall_tau"] <= 1.0 + 1e-9
     else:
         assert r["kendall_tau"] is None
+
+
+@given(seed=st.integers(0, 10**6), n_types=st.integers(1, 5))
+@SET
+def test_event_transitions_property_matches_sequential(spark, seed, n_types):
+    """Random per-user event streams WITH deliberate timestamp ties:
+    the transition counts match the python replay under the documented
+    (ts, event_id) ordering; fracs row-normalize to ~1 per from_type."""
+    import datetime
+    from collections import Counter
+
+    from spatialdata_spark.operators.temporal import event_transitions
+
+    rng = random.Random(seed)
+    base = datetime.datetime(2024, 5, 1)
+    rows = []
+    for u in range(1, rng.randint(2, 6)):
+        for i in range(rng.randint(0, 25)):
+            # ts granularity of MINUTES with few slots forces ties;
+            # the event_id tie-break must resolve them deterministically
+            ts = base + datetime.timedelta(minutes=rng.randint(0, 5))
+            rows.append((len(rows), ts, u, f"t{rng.randrange(n_types)}"))
+    if len(rows) < 2:
+        rows = [(0, base, 1, "t0"), (1, base, 1, "t0")]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"])
+    got = {
+        (r["from_type"], r["to_type"]): (r["n_transitions"], r["frac"])
+        for r in event_transitions(df).collect()
+    }
+    ref = Counter()
+    byuser: dict[int, list] = {}
+    for eid, ts, u, t in rows:
+        byuser.setdefault(u, []).append((ts, eid, t))
+    for u, evs in byuser.items():
+        evs.sort()  # (ts, event_id) — the documented contract
+        for a, b in zip(evs, evs[1:]):
+            ref[(a[2], b[2])] += 1
+    totals = Counter()
+    for (f, t), n in ref.items():
+        totals[f] += n
+    assert {k: v[0] for k, v in got.items()} == dict(ref)
+    for (f, t), (n, frac) in got.items():
+        assert frac == round(n / totals[f], 6)
+    for f in totals:
+        s = sum(v[1] for (ff, _), v in got.items() if ff == f)
+        assert abs(s - 1.0) < 1e-4  # rounding residue only
+
+
+def test_idle_customers_threshold_is_exact(spark):
+    """A customer whose balance sits EXACTLY at the positive-balance
+    average must be excluded (strict >) — the cross-multiplied
+    decimal gate makes the boundary deterministic where a float avg
+    would ulp-flip.  Fixture: positives 10.00/20.00/30.00 (avg
+    exactly 20.00), plus an order-less customer at exactly 20.00."""
+    import __spark_entry__ as em
+    import os
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="idle_fixture_")
+    cust = spark.createDataFrame(
+        [
+            (1, "a", 1, 10.0, "SEG"),
+            (2, "b", 1, 20.0, "SEG"),   # exactly at the average: OUT
+            (3, "c", 1, 30.0, "SEG"),   # above: IN (no orders)
+            (4, "d", 1, -5.0, "SEG"),   # negative: not in pos stats
+        ],
+        ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+    )
+    orders = spark.createDataFrame([(100, 1)], ["o_orderkey", "o_custkey"])
+    cust.write.mode("overwrite").parquet(os.path.join(base, "customer.parquet"))
+    orders.write.mode("overwrite").parquet(os.path.join(base, "orders.parquet"))
+    rows = em.q_idle_customers(spark, base).collect()
+    assert [(r["c_mktsegment"], r["n_customers"], r["total_balance"]) for r in rows] == [
+        ("SEG", 1, 30.0)
+    ]

@@ -145,6 +145,7 @@ FROM xa CROSS JOIN ya CROSS JOIN pq
 
 def _case(name):
     import __spark_entry__ as entrymod
+    from spatialdata_spark.operators.temporal import event_transitions
     from spatialdata_spark.pipeline.textstats import (
         kendall_tau,
         mad_lengths,
@@ -175,11 +176,30 @@ def _case(name):
             entrymod.q_order_priority,
             entrymod.Q_ORDER_PRIORITY_SQL,
         ),
+        "idle_customers": (
+            entrymod.q_idle_customers,
+            entrymod.Q_IDLE_CUSTOMERS_SQL,
+        ),
+        "event_transitions": (
+            lambda spark, sf: event_transitions(
+                spark.read.parquet(f"{sf}/events.parquet")
+            ),
+            entrymod.ST_EVENT_TRANSITIONS_SQL,
+        ),
     }[name]
 
 
 @pytest.mark.parametrize(
-    "name", ["mad_lengths", "simpson", "kendall", "promo_share", "order_priority"]
+    "name",
+    [
+        "mad_lengths",
+        "simpson",
+        "kendall",
+        "promo_share",
+        "order_priority",
+        "idle_customers",
+        "event_transitions",
+    ],
 )
 @pytest.mark.parametrize("sf_dir", SF_DIRS)
 def test_r14_candidate_cross_engine(spark, name, sf_dir):

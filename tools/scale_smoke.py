@@ -119,7 +119,7 @@ def main(max_mult: int = 8, only: list[str] | None = None) -> None:
         duplication_profile,
     )
     from spatialdata_spark.pipeline.similarity import centroid_cosine
-    from spatialdata_spark.operators.temporal import acf_daily, cusum_drift, ewma_daily, mann_kendall_daily, weekday_profile
+    from spatialdata_spark.operators.temporal import acf_daily, cusum_drift, event_transitions, ewma_daily, mann_kendall_daily, weekday_profile
     from spatialdata_spark.pipeline.similarity import embedding_cosine_dedup
     from spatialdata_spark.pipeline.textstats import (
         benford_deviation,
@@ -284,6 +284,24 @@ def main(max_mult: int = 8, only: list[str] | None = None) -> None:
         rl.write.mode("overwrite").parquet(f"{base}/lineitem.parquet")
         ro.write.mode("overwrite").parquet(f"{base}/orders.parquet")
         return entrymod.q_order_priority(spark, base).count()
+
+    def _idle_m(m):
+        # customers and orders replicated with matching custkey
+        # offsets: the anti-join and the balance gate stay per-copy
+        # consistent (the positive-balance average is unchanged under
+        # replication), the segment grid saturates
+        import tempfile
+
+        cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+        orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        rc = replicate(cust, m, ["c_custkey"])
+        ro = replicate(
+            orders.select("o_orderkey", "o_custkey"), m, ["o_orderkey", "o_custkey"]
+        )
+        base = tempfile.mkdtemp(prefix="smoke_idle_")
+        rc.write.mode("overwrite").parquet(f"{base}/customer.parquet")
+        ro.write.mode("overwrite").parquet(f"{base}/orders.parquet")
+        return entrymod.q_idle_customers(spark, base).count()
 
     def _rfm_m(m):
         # customers replicated on custkey (orders on orderkey too so
@@ -1062,6 +1080,15 @@ def main(max_mult: int = 8, only: list[str] | None = None) -> None:
             "order_priority": lambda m=mult: entrymod.q_order_priority(
                 spark, SF_DIR
             ).count() if m == 1 else _orderprio_m(m),
+            # anti-join + decimal gate scale; segment grid saturates
+            "idle_customers": lambda m=mult: entrymod.q_idle_customers(
+                spark, SF_DIR
+            ).count() if m == 1 else _idle_m(m),
+            # lead window per (replicated, disjoint) user stream;
+            # the |types|^2 transition matrix saturates
+            "event_transitions": lambda: event_transitions(
+                replicate(ev0, mult, ["event_id", "user_id"])
+            ).collect(),
             # per-customer rollup scales; ntiles sort the customer-
             # sized projection; the segment grid is <= 125 rows
             "rfm": lambda m=mult: entrymod.q_rfm_segments(

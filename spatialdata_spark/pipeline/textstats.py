@@ -3705,3 +3705,141 @@ def kendall_tau(
         g(F.col("n_y_values")).alias("n_y_values"),
         g(tau).alias("kendall_tau"),
     )
+
+
+def trimmed_mean_lengths(
+    docs: DataFrame,
+    group_col: str = "source",
+    value_col: str = "n_chars",
+    trim_pct: int = 5,
+) -> DataFrame:
+    """Per-group EXACT trimmed mean of an integer column — the
+    outlier-clipped location estimate between :func:`mad_lengths`
+    (robust spread) and the raw mean: drop the lowest and highest
+    ``trim_pct`` percent OF ROWS (by count, ties resolved by value
+    order) and average the rest.  r14 registry candidate.
+
+    THE INTEGER CONTRACT: ``lo = (trim_pct * n) DIV 100`` rows are
+    removed from each tail; the kept mass per distinct value is the
+    interval-overlap clamp ``kept(v) = max(0, min(cum(v), n - lo) -
+    max(cum(v) - c(v), lo))`` — pure int64 window arithmetic over the
+    value grid, and the emit is the exact microunit division
+    ``sum_kept / n_kept`` via
+    :func:`~spatialdata_spark.functions.exact.e6_signed` (loud on
+    overflow).  No float ever touches the trim boundary, so boundary
+    rows resolve identically on any engine.
+
+    Plan: one corpus (group, value)-keyed count (the
+    length_quantiles_exact shape), then the cumulative window on the
+    value grid and one grid-sized rollup.  Flat at any corpus scale.
+
+    Output: ``(group, n_docs, n_kept, trimmed_mean_e6)`` ordered by
+    group; groups where the trim removes everything (n <= 2*lo can
+    not happen for trim_pct < 50 and n >= 1) keep n_kept >= 1.
+    """
+    from pyspark.sql.window import Window
+
+    from spatialdata_spark.functions.exact import e6_signed
+
+    if not (isinstance(trim_pct, int) and 0 <= trim_pct < 50):
+        raise ValueError(
+            f"trimmed_mean_lengths: trim_pct must be an integer in [0, 50)"
+            f" (got {trim_pct!r}) — 50+ would trim every row and a float"
+            f" silently truncates"
+        )
+    dec = "decimal(38,0)"
+    f = (
+        docs.filter(F.col(group_col).isNotNull() & F.col(value_col).isNotNull())
+        .groupBy(F.col(group_col).alias("grp"), F.col(value_col).cast("long").alias("__v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    w = Window.partitionBy("grp").orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wg = Window.partitionBy("grp")
+    cum = f.select(
+        "grp",
+        "__v",
+        "__c",
+        F.sum("__c").over(w).cast("long").alias("__cum"),
+        F.sum("__c").over(wg).cast("long").alias("__n"),
+    )
+    lo = F.expr(f"CAST(({int(trim_pct)} * __n) DIV 100 AS BIGINT)")
+    kept = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("__cum"), F.col("__n") - lo)
+        - F.greatest(F.col("__cum") - F.col("__c"), lo),
+    )
+    agg = cum.groupBy("grp").agg(
+        F.max("__n").alias("n_docs"),
+        F.sum(kept).cast("long").alias("n_kept"),
+        F.sum(kept.cast(dec) * F.col("__v").cast(dec)).alias("__sum_kept"),
+    )
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n_docs",
+        "n_kept",
+        e6_signed(
+            "__sum_kept", "CAST(n_kept AS DECIMAL(38,0))", "trimmed_mean_lengths"
+        ).alias("trimmed_mean_e6"),
+    ).orderBy(group_col)
+
+
+def yule_k(
+    docs: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Yule's characteristic K of the corpus vocabulary — the
+    repeat-rate richness constant (Yule 1944) completing the
+    vocabulary-diagnostics family (:func:`chao1_richness` bounds the
+    asymptote, :func:`zipf_slope` fits the rank curve, K measures the
+    repeat concentration and is famously length-insensitive)::
+
+        K = 10^4 * (S2 - N) / N^2,   S2 = sum_i f_i^2
+
+    over token frequencies ``f_i``.  Exactness: S2 and N are exact
+    int64/decimal sums from ONE token-keyed aggregation and the emit
+    is the exact microunit division ``10^4 * (S2 - N) / N^2`` via
+    :func:`~spatialdata_spark.functions.exact.e6_signed` (loud on
+    overflow; the bound ``10^4 * S2 * 2e6 <= 2e10 * N^2 < 1e38`` holds
+    while ``N < ~2e13`` tokens).  Tokenization is the module
+    convention WITH the empty-token filter (the chao1 docstring
+    documents the two conventions; K follows the majority form).  An
+    empty corpus raises loudly on every output column.
+
+    Plan: one token-keyed count (map-side combine) + one 1-row rollup
+    over the vocabulary-sized type table.  Flat at any corpus scale.
+
+    Output: one row ``(n_tokens, n_types, yule_k_e6)``.
+    """
+    from spatialdata_spark.functions.exact import e6_signed
+
+    dec = "decimal(38,0)"
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != ""
+    )
+    counts = (
+        docs.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    agg = counts.agg(
+        F.sum("tf").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.col("tf").cast(dec) * F.col("tf").cast(dec)).alias("__s2"),
+    )
+    err = F.lit("yule_k: empty corpus (no tokens)")
+
+    def g(col):
+        # per-column empty-corpus guard (the herfindahl pattern)
+        return F.when(
+            F.coalesce(F.col("n_tokens"), F.lit(0)) > 0, col
+        ).otherwise(F.raise_error(err))
+
+    num = "(__s2 - CAST(n_tokens AS DECIMAL(38,0))) * 10000"
+    den = "CAST(n_tokens AS DECIMAL(38,0)) * CAST(n_tokens AS DECIMAL(38,0))"
+    return agg.select(
+        g(F.col("n_tokens")).alias("n_tokens"),
+        g(F.col("n_types")).alias("n_types"),
+        g(e6_signed(num, den, "yule_k")).alias("yule_k_e6"),
+    )

@@ -1624,3 +1624,65 @@ def test_idle_customers_threshold_is_exact(spark):
     assert [(r["c_mktsegment"], r["n_customers"], r["total_balance"]) for r in rows] == [
         ("SEG", 1, 30.0)
     ]
+
+
+@given(seed=st.integers(0, 10**6), width=st.integers(1, 50), pct=st.integers(0, 20))
+@SET
+def test_trimmed_mean_property_matches_fractions(spark, seed, width, pct):
+    """Random per-group samples under random trim percents: the
+    microunits match the sorted-replay Fractions mean of the kept
+    slice; pct=0 reduces to the plain mean; trimming never removes
+    more than 2*lo rows."""
+    from fractions import Fraction
+
+    from spatialdata_spark.pipeline.textstats import trimmed_mean_lengths
+
+    rng = random.Random(seed)
+    rows = []
+    for g in ("a", "b"):
+        for i in range(rng.randint(1, 50)):
+            rows.append((len(rows), g, rng.randint(0, width)))
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"])
+    got = {r["source"]: r for r in trimmed_mean_lengths(df, trim_pct=pct).collect()}
+    for g in ("a", "b"):
+        vals = sorted(v for _, s, v in rows if s == g)
+        n = len(vals)
+        lo = pct * n // 100
+        kept = vals[lo : n - lo]
+        tm = Fraction(sum(kept), len(kept))
+        e6 = math.floor(abs(tm) * 10**6 + Fraction(1, 2)) * (1 if tm >= 0 else -1)
+        r = got[g]
+        assert (r["n_docs"], r["n_kept"], r["trimmed_mean_e6"]) == (n, len(kept), e6)
+
+
+@given(seed=st.integers(0, 10**6), vocab=st.integers(1, 12))
+@SET
+def test_yule_k_property_matches_fractions(spark, seed, vocab):
+    """Random corpora over small vocabularies (heavy repeats): the
+    K microunits match the exact Fractions form; K >= 0 always
+    (S2 >= N); a corpus of all-distinct tokens has K = 0."""
+    from collections import Counter
+    from fractions import Fraction
+
+    from spatialdata_spark.pipeline.textstats import yule_k
+
+    rng = random.Random(seed)
+    words = [f"w{j}" for j in range(vocab)]
+    texts = [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randint(1, 20))))
+        for i in range(rng.randint(1, 40))
+    ]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    r = yule_k(df).collect()[0]
+    c = Counter(w for _, t in texts for w in t.split())
+    N = sum(c.values())
+    S2 = sum(v * v for v in c.values())
+    K = Fraction((S2 - N) * 10000, N * N)
+    e6 = math.floor(K * 10**6 + Fraction(1, 2))
+    assert (r["n_tokens"], r["n_types"], r["yule_k_e6"]) == (N, len(c), e6)
+    assert r["yule_k_e6"] >= 0
+
+    distinct = spark.createDataFrame(
+        [(0, "u0 u1 u2 u3 u4")], ["doc_id", "text"]
+    )
+    assert yule_k(distinct).collect()[0]["yule_k_e6"] == 0

@@ -143,6 +143,56 @@ FROM xa CROSS JOIN ya CROSS JOIN pq
 """
 
 
+TRIMMED_MEAN_SQL = r"""
+WITH f AS (
+  SELECT source AS grp, CAST(n_chars AS BIGINT) AS v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL GROUP BY 1, 2
+), cum AS (
+  SELECT grp, v, c,
+         CAST(SUM(c) OVER (PARTITION BY grp ORDER BY v) AS BIGINT) AS cm,
+         CAST(SUM(c) OVER (PARTITION BY grp) AS BIGINT) AS n
+  FROM f
+), k AS (
+  SELECT grp, v, n,
+         GREATEST(0, LEAST(cm, n - (5 * n) // 100)
+                     - GREATEST(cm - c, (5 * n) // 100)) AS kept
+  FROM cum
+), agg AS (
+  SELECT grp, MAX(n) AS n_docs, CAST(SUM(kept) AS BIGINT) AS n_kept,
+         SUM(CAST(kept AS HUGEINT) * v) AS sum_kept
+  FROM k GROUP BY grp
+)
+SELECT grp AS source, n_docs, n_kept,
+       CASE WHEN sum_kept >= 0
+            THEN CAST((sum_kept * 2000000 + n_kept) // (n_kept * 2) AS BIGINT)
+            ELSE -CAST(((-sum_kept) * 2000000 + n_kept) // (n_kept * 2) AS BIGINT)
+       END AS trimmed_mean_e6
+FROM agg ORDER BY source
+"""
+
+YULE_K_SQL = r"""
+WITH tok AS (
+  SELECT t FROM (
+    SELECT unnest(string_split_regex(LOWER(TRIM(text)), '\s+')) AS t
+    FROM documents
+  ) WHERE t <> ''
+), counts AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1
+), agg AS (
+  SELECT CAST(SUM(tf) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_types,
+         SUM(CAST(tf AS HUGEINT) * tf) AS s2
+  FROM counts
+)
+SELECT n_tokens, n_types,
+       CAST(((s2 - n_tokens) * 10000 * 2000000
+             + CAST(n_tokens AS HUGEINT) * n_tokens)
+            // (CAST(n_tokens AS HUGEINT) * n_tokens * 2) AS BIGINT)
+         AS yule_k_e6
+FROM agg
+"""
+
+
 def _case(name):
     import __spark_entry__ as entrymod
     from spatialdata_spark.operators.temporal import event_transitions
@@ -150,6 +200,8 @@ def _case(name):
         kendall_tau,
         mad_lengths,
         simpson_diversity,
+        trimmed_mean_lengths,
+        yule_k,
     )
 
     return {
@@ -186,6 +238,18 @@ def _case(name):
             ),
             entrymod.ST_EVENT_TRANSITIONS_SQL,
         ),
+        "trimmed_mean": (
+            lambda spark, sf: trimmed_mean_lengths(
+                spark.read.parquet(f"{sf}/documents.parquet"), trim_pct=5
+            ),
+            TRIMMED_MEAN_SQL,
+        ),
+        "yule_k": (
+            lambda spark, sf: yule_k(
+                spark.read.parquet(f"{sf}/documents.parquet")
+            ),
+            YULE_K_SQL,
+        ),
     }[name]
 
 
@@ -199,6 +263,8 @@ def _case(name):
         "order_priority",
         "idle_customers",
         "event_transitions",
+        "trimmed_mean",
+        "yule_k",
     ],
 )
 @pytest.mark.parametrize("sf_dir", SF_DIRS)

@@ -59,7 +59,7 @@ def main(max_mult: int = 8, only: list[str] | None = None) -> None:
     )
     from spatialdata_spark.operators.temporal import rolling_active_users
     from spatialdata_spark.pipeline.clustering import gram_matrix
-    from spatialdata_spark.pipeline.textstats import chao1_richness, cliffs_delta, cramer_von_mises_2sample, curation_funnel, herfindahl_index, kendall_tau, length_quantiles_exact, mad_lengths, mutual_information, simpson_diversity, spearman_corr, theil_index, vocab_overlap_exact
+    from spatialdata_spark.pipeline.textstats import chao1_richness, cliffs_delta, cramer_von_mises_2sample, curation_funnel, herfindahl_index, kendall_tau, length_quantiles_exact, mad_lengths, mutual_information, simpson_diversity, spearman_corr, theil_index, trimmed_mean_lengths, vocab_overlap_exact, yule_k
     from spatialdata_spark.operators.rasterize import rasterize_points
 
     from spatialdata_spark.pipeline.clustering import (
@@ -1089,6 +1089,10 @@ def main(max_mult: int = 8, only: list[str] | None = None) -> None:
             "event_transitions": lambda: event_transitions(
                 replicate(ev0, mult, ["event_id", "user_id"])
             ).collect(),
+            # value grid saturates; the trim clamp is grid arithmetic
+            "trimmed_mean": lambda: trimmed_mean_lengths(docs).collect(),
+            # token-keyed count + vocabulary-sized rollup (chao1 shape)
+            "yule_k": lambda: yule_k(docs).collect(),
             # per-customer rollup scales; ntiles sort the customer-
             # sized projection; the segment grid is <= 125 rows
             "rfm": lambda m=mult: entrymod.q_rfm_segments(

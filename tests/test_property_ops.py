@@ -6,11 +6,29 @@ real Spark jobs); deadlines off for JVM warmup."""
 from __future__ import annotations
 
 import math
+import os
 import random
+import sys
 
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from rounding import round_half_up  # noqa: E402
+
+# Python references below round with ``round_half_up`` (tests/rounding.py),
+# NOT builtin round(): the engines emit F.round / DuckDB round — shortest-
+# repr HALF_UP — while builtin round() is exact-binary half-EVEN.  The two
+# diverge on half-way ties (29/128 at 6 dp: 0.226563 vs 0.226562 — the
+# round-13 cliffs_delta failure).  Integer-quotient references CAN land on
+# ties (denominator reducing to a power of two >= 2**(n+1), or a repr tie
+# via factor-of-five denominators), so every quotient reference is
+# converted; log/sqrt references are converted too for uniformity (the
+# helper equals builtin round off the tie band, and a transcendental
+# reference hits the band only if the 53-bit double of an irrational lands
+# exactly on a (n+1)-digit half-way value — not constructible by these
+# strategies, so no deliberate tie pin exists for those sites; the
+# constructible-tie pins live in tests/test_round_half_up.py).
 SET = settings(max_examples=6, deadline=None)
 
 
@@ -251,7 +269,7 @@ def test_woe_iv_property_sign_and_reconstruction(spark, seed):
         c = r["category"]
         pc = (pos[c] + 0.5) / (P + 0.5 * K)
         qc = (neg[c] + 0.5) / (Q + 0.5 * K)
-        assert abs(r["woe"] - round(math.log(pc / qc), 6)) < 1e-9
+        assert abs(r["woe"] - round_half_up(math.log(pc / qc), 6)) < 1e-9
         assert (r["woe"] > 0) == (pc > qc)
         assert r["iv_part"] >= 0
 
@@ -707,7 +725,7 @@ def test_log_odds_property_matches_sequential(spark, seed):
             (yb + 1) / (nb + V - yb - 1)
         )
         z = d / math.sqrt(1 / (ya + 1) + 1 / (yb + 1))
-        scored[w] = (ya, yb, round(d, 6), round(z, 6))
+        scored[w] = (ya, yb, round_half_up(d, 6), round_half_up(z, 6))
     expect_cut = sorted(scored, key=lambda w: (-abs(scored[w][3]), w))[:8]
     assert sorted(got) == sorted(expect_cut)
     for w, r in got.items():
@@ -748,7 +766,7 @@ def test_mcc_property_matches_sequential(spark, seed, p_pos, p_pred):
     assert (r["n"], r["tp"], r["fp"], r["fn"], r["tn"]) == (n, tp, fp, fn, tn)
     m1, m2, m3, m4 = tp + fp, tp + fn, tn + fp, tn + fn
     if min(m1, m2, m3, m4) > 0:
-        exp = round(
+        exp = round_half_up(
             (tp * tn - fp * fn)
             / (math.sqrt(m1) * math.sqrt(m2) * math.sqrt(m3) * math.sqrt(m4)),
             6,
@@ -783,10 +801,10 @@ def test_pr_curve_property_matches_sequential(spark, seed, n_bins):
             pos += order[idx][1]
             idx += 1
         assert (row["bin"], row["n_kept"], row["n_pos_kept"]) == (b, kept, pos)
-        assert row["precision"] == round(pos / kept, 6)
+        assert row["precision"] == round_half_up(pos / kept, 6)
         if tpos:
-            assert row["recall"] == round(pos / tpos, 6)
-        assert row["f1"] == round(2.0 * pos / (kept + tpos), 6)
+            assert row["recall"] == round_half_up(pos / tpos, 6)
+        assert row["f1"] == round_half_up(2.0 * pos / (kept + tpos), 6)
 
 
 @given(seed=st.integers(0, 10**6), n_days=st.integers(3, 50))
@@ -862,7 +880,7 @@ def test_centroid_cosine_property_matches_sequential(spark, seed, dims, n_groups
             r = got[(a, b)]
             assert r["dot_num"] == dot
             if na2 > 0 and nb2 > 0:
-                exp = round(dot / (math.sqrt(na2) * math.sqrt(nb2)), 6)
+                exp = round_half_up(dot / (math.sqrt(na2) * math.sqrt(nb2)), 6)
                 assert r["cos"] == exp and -1.0 <= r["cos"] <= 1.0
 
 
@@ -886,11 +904,11 @@ def test_benford_property_matches_sequential(spark, seed, spread):
     t = sum(tally.values())
     for r in got:
         d = r["digit"]
-        bf = round(math.log10(1 + 1 / d), 6)
+        bf = round_half_up(math.log10(1 + 1 / d), 6)
         assert r["n"] == tally[d]
-        assert r["frac"] == round(tally[d] / t, 6)
+        assert r["frac"] == round_half_up(tally[d] / t, 6)
         assert r["benford_frac"] == bf
-        assert r["dev"] == round(tally[d] / t - bf, 6)
+        assert r["dev"] == round_half_up(tally[d] / t - bf, 6)
 
 
 @given(seed=st.integers(0, 10**6), n_src=st.integers(1, 4), dup_rate=st.floats(0, 0.8))
@@ -927,7 +945,7 @@ def test_dup_profile_property_matches_sequential(spark, seed, n_src, dup_rate):
     for s, (nd, ndup, ncross) in per.items():
         r = got[s]
         assert (r["n_docs"], r["n_dup_docs"], r["n_cross_dup"]) == (nd, ndup, ncross)
-        assert r["dup_rate"] == round(ndup / nd, 6)
+        assert r["dup_rate"] == round_half_up(ndup / nd, 6)
 
 
 @given(seed=st.integers(0, 10**6), width=st.integers(1, 30))
@@ -960,7 +978,7 @@ def test_cliffs_delta_property_matches_bruteforce(spark, seed, width):
         r = got[(a, b)]
         na, nb = len(by[a]), len(by[b])
         assert (r["gt_pairs"], r["lt_pairs"], r["n_a"], r["n_b"]) == (gt, lt, na, nb)
-        assert r["delta"] == round((gt - lt) / (na * nb), 6)
+        assert r["delta"] == round_half_up((gt - lt) / (na * nb), 6)
         assert -1.0 <= r["delta"] <= 1.0
 
 
@@ -1094,7 +1112,7 @@ def test_theil_property_matches_sequential(spark, seed, n_src):
     N, k = sum(c.values()), len(c)
     T = sum((v / N) * math.log(v * k / N) for v in c.values())
     assert (r["n_docs"], r["n_groups"]) == (N, k)
-    assert r["theil"] == round(T, 6)
+    assert r["theil"] == round_half_up(T, 6)
     assert -1e-9 <= r["theil"] <= math.log(k) + 1e-9
     if k > 1:
         assert -1e-9 <= r["theil_norm"] <= 1.0 + 1e-9
@@ -1133,7 +1151,7 @@ def test_mutual_information_property(spark, seed, k, l):
     MI = sum((n / N) * math.log(n * N / (rm[r] * cm[c])) for (r, c), n in cnt.items())
     HR = sum(-(n / N) * math.log(n / N) for n in rm.values())
     HC = sum(-(n / N) * math.log(n / N) for n in cm.values())
-    assert out["mi"] == round(MI, 6)
+    assert out["mi"] == round_half_up(MI, 6)
     assert out["mi"] >= -1e-9
     assert out["mi"] <= min(out["h_row"], out["h_col"]) + 1e-6
     flipped = mutual_information(df, row_col="lang", col_col="source").collect()[0]
@@ -1358,7 +1376,7 @@ def test_rfm_property_matches_python_ntile(spark, seed):
         n, cents = seg[key]
         assert r["n_customers"] == n
         assert abs(r["total_revenue"] - cents / 100) < 1e-6
-        assert r["avg_revenue"] == round(cents / 100 / n, 6)
+        assert r["avg_revenue"] == round_half_up(cents / 100 / n, 6)
         total += n
     assert total == len(custs)
 
@@ -1399,7 +1417,7 @@ def test_vocab_overlap_property_matches_sets(spark, seed, n_groups):
             len(vocab_of[b]),
             inter,
         )
-        assert r["jaccard"] == round(inter / union, 9)
+        assert r["jaccard"] == round_half_up(inter / union, 9)
     assert set(got) == expected_pairs
 
 
@@ -1499,9 +1517,9 @@ def test_simpson_property_matches_fractions(spark, seed, n_cats):
         else:
             assert r["simpson_e6"] is None
         H = -sum((v / N) * math.log(v / N) for v in c.values())
-        assert abs(r["shannon"] - round(H, 6)) < 2e-6
+        assert abs(r["shannon"] - round_half_up(H, 6)) < 2e-6
         if k > 1:
-            assert abs(r["evenness"] - round(H / math.log(k), 6)) < 2e-6
+            assert abs(r["evenness"] - round_half_up(H / math.log(k), 6)) < 2e-6
         else:
             assert r["evenness"] is None
     assert got["mono"]["simpson_e6"] == 10**6
@@ -1545,7 +1563,7 @@ def test_kendall_property_matches_pair_count(spark, seed, width):
     assert (r["n_docs"], r["n_x_values"], r["n_y_values"]) == (n, len(cx), len(cy))
     if D0 - D1 > 0 and D0 - D2 > 0:
         tau = (P - Q) / math.sqrt((D0 - D1) * (D0 - D2))
-        assert abs(r["kendall_tau"] - round(tau, 6)) < 2e-6, (r["kendall_tau"], tau)
+        assert abs(r["kendall_tau"] - round_half_up(tau, 6)) < 2e-6, (r["kendall_tau"], tau)
         assert -1.0 - 1e-9 <= r["kendall_tau"] <= 1.0 + 1e-9
     else:
         assert r["kendall_tau"] is None
@@ -1591,7 +1609,7 @@ def test_event_transitions_property_matches_sequential(spark, seed, n_types):
         totals[f] += n
     assert {k: v[0] for k, v in got.items()} == dict(ref)
     for (f, t), (n, frac) in got.items():
-        assert frac == round(n / totals[f], 6)
+        assert frac == round_half_up(n / totals[f], 6)
     for f in totals:
         s = sum(v[1] for (ff, _), v in got.items() if ff == f)
         assert abs(s - 1.0) < 1e-4  # rounding residue only

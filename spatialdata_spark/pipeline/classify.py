@@ -1253,3 +1253,79 @@ def krippendorff_alpha(
             F.round(F.lit(1.0) - F.col("__do") / de, 6),
         ).alias("alpha"),
     )
+
+
+def mcnemar_test(
+    df: DataFrame,
+    label_col: str = "label",
+    pred_a_col: str = "pred_a",
+    pred_b_col: str = "pred_b",
+) -> DataFrame:
+    """McNemar's paired test for comparing two classifiers on the SAME
+    examples — the curation-stack A/B grade ("is the new quality
+    filter actually better, or did it just get different examples
+    right?").  Accuracy deltas mislead on paired data; McNemar reads
+    only the DISAGREEMENT cells::
+
+        b = #(A right, B wrong)    c = #(A wrong, B right)
+        chi2 = (b - c)^2 / (b + c)
+
+    r15 registry candidate (the library-level-first modularity
+    precedent).
+
+    Exactness: all five counts are ONE map-side-combinable conditional
+    aggregation (exact int64); chi2 is an exact integer rational
+    emitted as half-up int64 microunits via :func:`e6_signed`
+    (``(b-c)^2`` in DECIMAL(38,0) — exact at any corpus size), NULL
+    when ``b + c = 0`` (identical disagreement behavior carries no
+    signal).  NULL label/pred rows are DROPPED (the confusion_stats
+    convention); labels/preds must be 0/1.
+
+    Plan: one aggregation, no joins, no shuffle beyond the 1-row
+    combine — scale-safe at any corpus size.
+
+    Output: one row ``(n, n_both_right, n_both_wrong, n_a_only,
+    n_b_only, chi2_e6)`` where n_a_only = b, n_b_only = c.
+    """
+    from spatialdata_spark.functions.exact import e6_signed
+
+    y = F.col(label_col).cast("long")
+    pa = F.col(pred_a_col).cast("long")
+    pb = F.col(pred_b_col).cast("long")
+    base = df.filter(
+        F.col(label_col).isNotNull()
+        & F.col(pred_a_col).isNotNull()
+        & F.col(pred_b_col).isNotNull()
+    ).select(
+        (pa == y).cast("long").alias("__ra"),
+        (pb == y).cast("long").alias("__rb"),
+    )
+    agg = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(((F.col("__ra") == 1) & (F.col("__rb") == 1)).cast("long"))
+        .cast("long")
+        .alias("n_both_right"),
+        F.sum(((F.col("__ra") == 0) & (F.col("__rb") == 0)).cast("long"))
+        .cast("long")
+        .alias("n_both_wrong"),
+        F.sum(((F.col("__ra") == 1) & (F.col("__rb") == 0)).cast("long"))
+        .cast("long")
+        .alias("n_a_only"),
+        F.sum(((F.col("__ra") == 0) & (F.col("__rb") == 1)).cast("long"))
+        .cast("long")
+        .alias("n_b_only"),
+    )
+    chi2 = e6_signed(
+        "CAST(n_a_only - n_b_only AS DECIMAL(38,0))"
+        " * CAST(n_a_only - n_b_only AS DECIMAL(38,0))",
+        "CAST(n_a_only + n_b_only AS DECIMAL(38,0))",
+        "mcnemar_test",
+    )
+    return agg.select(
+        "n",
+        "n_both_right",
+        "n_both_wrong",
+        "n_a_only",
+        "n_b_only",
+        F.when(F.col("n_a_only") + F.col("n_b_only") > 0, chi2).alias("chi2_e6"),
+    )

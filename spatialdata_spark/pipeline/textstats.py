@@ -3643,9 +3643,14 @@ def kendall_tau(
     d10 = cum2d.select(
         F.col("__ix").alias("__kx"), F.col("__iy").alias("__ky"), F.col("__c2d").alias("__tlesseq")
     )
+    # the dense prefix is value-grid-sized (metadata by the stated
+    # domain contract — the at-extreme-domain swap is spearman_corr),
+    # so both shifted-key joins broadcast it instead of shuffling the
+    # realized-cell side (plan-guard: no shuffle join where a
+    # broadcast fits)
     j = (
-        rc.join(d11, (F.col("__jx") == F.col("__ix") - 1) & (F.col("__jy") == F.col("__iy") - 1), "left")
-        .join(d10, (F.col("__kx") == F.col("__ix") - 1) & (F.col("__ky") == F.col("__iy")), "left")
+        rc.join(F.broadcast(d11), (F.col("__jx") == F.col("__ix") - 1) & (F.col("__jy") == F.col("__iy") - 1), "left")
+        .join(F.broadcast(d10), (F.col("__kx") == F.col("__ix") - 1) & (F.col("__ky") == F.col("__iy")), "left")
         .join(F.broadcast(xpre), "__ix")
         .select(
             F.col("__cxy").cast(dec).alias("__c"),
@@ -3843,3 +3848,116 @@ def yule_k(
         g(F.col("n_types")).alias("n_types"),
         g(e6_signed(num, den, "yule_k")).alias("yule_k_e6"),
     )
+
+
+def topk_mass(
+    docs: DataFrame,
+    text_col: str = "text",
+    ks: tuple[int, ...] = (10, 100, 1000),
+) -> DataFrame:
+    """Top-k token-mass coverage — what fraction of the corpus token
+    stream the k most frequent types carry, for each requested k: the
+    head-concentration curve that complements :func:`zipf_slope` (the
+    fitted tail law) and :func:`token_gini` (the whole-distribution
+    inequality number) with the operational question a tokenizer/vocab
+    budget asks ("how much of the stream do 1000 types cover?").
+    r15 registry candidate.
+
+    DETERMINISM CONTRACT: types rank by ``(tf DESC, token ASC)`` — the
+    token tie-break pins the k-boundary under frequency ties on any
+    engine (the rounded-score-ordering lesson).  ``coverage_e6`` is
+    the exact half-up microunit ratio ``covered/total`` via
+    :func:`~spatialdata_spark.functions.exact.e6_signed`; when the
+    vocabulary has fewer than k types, ``n_top_types < k`` and the
+    coverage is the full mass (the k-grid row still emits).
+    Tokenization is the module convention with the empty-token filter
+    (the yule_k form).  ``ks`` must be positive ints, validated
+    loudly; an empty corpus raises loudly on every output column.
+
+    Plan: one token-keyed count (map-side combine, the only
+    corpus-sized work); the top-max(k) selection is a distributed
+    TakeOrdered (never a global single-partition window over the
+    vocabulary) and the per-k conditional rollup runs on <= max(k)
+    rows; the 1-row total broadcasts.  The persisted tf table serves
+    BOTH the total and the top-k scan (tools/rescan_audit.py class;
+    per-call accumulation + clearCache() contract as heaps_law).
+
+    Output: one row per k ``(k, n_top_types, covered_tokens,
+    coverage_e6)`` ordered by k.
+    """
+    from pyspark.sql.window import Window
+
+    from spatialdata_spark.functions.exact import e6_signed
+
+    if not ks or any((not isinstance(k, int)) or k <= 0 for k in ks):
+        raise ValueError(f"topk_mass: ks must be positive ints, got {ks!r}")
+    ks = tuple(sorted(set(ks)))
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != ""
+    )
+    # persist: the vocabulary-sized tf table feeds the 1-row total AND
+    # the top-k selection (the heaps_law tf-table precedent)
+    counts = (
+        docs.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .persist()
+    )
+    total = counts.agg(
+        F.sum("tf").cast("long").alias("__total"),
+        F.count(F.lit(1)).cast("long").alias("__types"),
+    )
+    top = counts.orderBy(F.desc("tf"), F.asc("token")).limit(max(ks))
+    wr = Window.orderBy(F.desc("tf"), F.asc("token"))
+    ranked = top.select(
+        "tf", F.row_number().over(wr).cast("long").alias("__rn")
+    )
+    grid = ranked.agg(
+        *[
+            F.sum(F.when(F.col("__rn") <= k, F.col("tf")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias(f"__cov_{k}")
+            for k in ks
+        ],
+        *[
+            F.sum(F.when(F.col("__rn") <= k, F.lit(1)).otherwise(F.lit(0)))
+            .cast("long")
+            .alias(f"__nt_{k}")
+            for k in ks
+        ],
+    )
+    rows = grid.crossJoin(F.broadcast(total)).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("long").alias("k"),
+                        F.col(f"__nt_{k}").alias("n_top_types"),
+                        F.col(f"__cov_{k}").alias("covered_tokens"),
+                    )
+                    for k in ks
+                ]
+            )
+        ).alias("__r"),
+        "__total",
+    ).select("__r.*", "__total")
+    err = F.lit("topk_mass: empty corpus (no tokens)")
+
+    def g(col):
+        # per-column empty-corpus guard (the herfindahl pattern)
+        return F.when(
+            F.coalesce(F.col("__total"), F.lit(0)) > 0, col
+        ).otherwise(F.raise_error(err))
+
+    return rows.select(
+        g(F.col("k")).alias("k"),
+        g(F.col("n_top_types")).alias("n_top_types"),
+        g(F.col("covered_tokens")).alias("covered_tokens"),
+        g(
+            e6_signed(
+                "CAST(covered_tokens AS DECIMAL(38,0))",
+                "CAST(__total AS DECIMAL(38,0))",
+                "topk_mass",
+            )
+        ).alias("coverage_e6"),
+    ).orderBy("k")

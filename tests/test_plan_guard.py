@@ -135,6 +135,16 @@ GUARDED = [
     "st_weekday_profile",
     "pl_theil_index",
     "pl_mutual_info",
+    # round 14 — the nine r13-banked registrations
+    "q_promo_share",
+    "q_order_priority",
+    "q_idle_customers",
+    "pl_mad_lengths",
+    "pl_simpson_diversity",
+    "pl_kendall_tau",
+    "pl_trimmed_mean",
+    "pl_yule_k",
+    "st_event_transitions",
 ]
 
 # The sanctioned shuffle-join allowance: {query: max sort-merge +
@@ -243,6 +253,19 @@ EXPRESSION_ONLY = [
     "st_weekday_profile",
     "pl_theil_index",
     "pl_mutual_info",
+    # round 14 — all nine are pure-expression aggregation / window /
+    # broadcast-join pipelines (the value-grid statistics run on
+    # (source, value)-cell tables; the retail queries broadcast dims /
+    # the 1-row threshold aggregate)
+    "q_promo_share",
+    "q_order_priority",
+    "q_idle_customers",
+    "pl_mad_lengths",
+    "pl_simpson_diversity",
+    "pl_kendall_tau",
+    "pl_trimmed_mean",
+    "pl_yule_k",
+    "st_event_transitions",
 ]
 
 

@@ -1704,3 +1704,220 @@ def test_yule_k_property_matches_fractions(spark, seed, vocab):
         [(0, "u0 u1 u2 u3 u4")], ["doc_id", "text"]
     )
     assert yule_k(distinct).collect()[0]["yule_k_e6"] == 0
+
+
+# --------------------------------------------------------------------------
+# round-14 properties: the r15 registry candidates
+
+
+@given(seed=st.integers(0, 10**6), pa=st.floats(0.1, 0.9), pb=st.floats(0.1, 0.9))
+@SET
+def test_mcnemar_property_matches_sequential(spark, seed, pa, pb):
+    """Random paired predictions: all five counts match the python
+    tally and chi2_e6 replays the exact half-up microunit division;
+    b + c = 0 yields NULL."""
+    from spatialdata_spark.pipeline.classify import mcnemar_test
+
+    rng = random.Random(seed)
+    n = rng.randint(5, 120)
+    rows = [
+        (
+            int(rng.random() < 0.5),
+            int(rng.random() < pa),
+            int(rng.random() < pb),
+        )
+        for _ in range(n)
+    ]
+    df = spark.createDataFrame(rows, ["label", "pred_a", "pred_b"])
+    r = mcnemar_test(df).collect()[0]
+    br = sum(1 for y, a, b in rows if a == y and b == y)
+    bw = sum(1 for y, a, b in rows if a != y and b != y)
+    ao = sum(1 for y, a, b in rows if a == y and b != y)
+    bo = sum(1 for y, a, b in rows if a != y and b == y)
+    assert (r["n"], r["n_both_right"], r["n_both_wrong"]) == (n, br, bw)
+    assert (r["n_a_only"], r["n_b_only"]) == (ao, bo)
+    if ao + bo:
+        num, den = (ao - bo) ** 2, ao + bo
+        assert r["chi2_e6"] == (num * 2_000_000 + den) // (den * 2)
+    else:
+        assert r["chi2_e6"] is None
+
+
+def test_mcnemar_edges(spark):
+    from spatialdata_spark.pipeline.classify import mcnemar_test
+
+    # identical classifiers: b = c = 0 -> NULL chi2
+    df = spark.createDataFrame([(1, 1, 1), (0, 1, 1)], ["label", "pred_a", "pred_b"])
+    r = mcnemar_test(df).collect()[0]
+    assert (r["n_a_only"], r["n_b_only"], r["chi2_e6"]) == (0, 0, None)
+    # NULL rows dropped entirely
+    df2 = spark.createDataFrame(
+        [(1, 1, 0), (None, 1, 1), (1, None, 1), (1, 0, None)],
+        "label int, pred_a int, pred_b int",
+    )
+    r2 = mcnemar_test(df2).collect()[0]
+    assert (r2["n"], r2["n_a_only"], r2["n_b_only"]) == (1, 1, 0)
+    assert r2["chi2_e6"] == 1_000_000  # (1-0)^2 / 1 exactly
+
+
+@given(seed=st.integers(0, 10**6), n_days=st.integers(2, 40), gap_p=st.floats(0, 0.4))
+@SET
+def test_runs_test_property_matches_sequential(spark, seed, n_days, gap_p):
+    """Random daily series with outage gaps: counts/median/runs match
+    the sequential replay; mu_e6 replays the exact microunit division
+    and z the exact factored-sqrt float recipe."""
+    import datetime
+
+    from spatialdata_spark.operators.temporal import runs_test_daily
+
+    rng = random.Random(seed)
+    base = datetime.datetime(2024, 3, 1)
+    ev, daily = [], {}
+    for d in range(n_days):
+        if rng.random() < gap_p:
+            continue
+        cnt = rng.randint(1, 6)
+        daily[d] = cnt
+        for j in range(cnt):
+            ev.append((len(ev), base + datetime.timedelta(days=d, hours=j % 24)))
+    if not ev:
+        daily[0] = 1
+        ev.append((0, base))
+    df = spark.createDataFrame(ev, ["event_id", "ts"])
+    r = runs_test_daily(df).collect()[0]
+    counts = [daily[d] for d in sorted(daily)]
+    sv = sorted(counts)
+    med = sv[(len(sv) + 1) // 2 - 1]
+    signs = [1 if c > med else 0 for c in counts if c != med]
+    a, b = sum(signs), len(signs) - sum(signs)
+    runs = 0 if not signs else 1 + sum(
+        1 for x, y2 in zip(signs, signs[1:]) if x != y2
+    )
+    assert (r["n_days"], r["median"], r["n_runs"]) == (len(counts), med, runs)
+    if a + b:
+        assert (r["n_above"], r["n_below"]) == (a, b)
+    if a > 0 and b > 0:
+        nn = a + b
+        assert r["mu_e6"] == ((nn + 2 * a * b) * 2_000_000 + nn) // (nn * 2)
+        b2 = 2 * a * b * (2 * a * b - nn)
+        if b2 > 0:
+            z = (runs * nn - nn - 2 * a * b) * math.sqrt(nn - 1) / math.sqrt(b2)
+            assert r["z"] == round_half_up(z, 6)
+        else:
+            assert r["z"] is None
+    else:
+        assert r["mu_e6"] is None and r["z"] is None
+
+
+def test_runs_test_edges(spark):
+    import datetime
+
+    from spatialdata_spark.operators.temporal import runs_test_daily
+
+    base = datetime.datetime(2024, 3, 1)
+    # constant series: every day equals the median -> all dropped
+    ev = [(i, base + datetime.timedelta(days=i)) for i in range(5)]
+    r = runs_test_daily(spark.createDataFrame(ev, ["event_id", "ts"])).collect()[0]
+    assert (r["n_days"], r["median"]) == (5, 1)
+    assert r["n_runs"] == 0 and r["mu_e6"] is None and r["z"] is None
+    # two-level alternating series: maximal runs, exact z sign
+    ev2 = []
+    for d in range(6):
+        for j in range(1 if d % 2 == 0 else 3):
+            ev2.append((len(ev2), base + datetime.timedelta(days=d, hours=j)))
+    r2 = runs_test_daily(spark.createDataFrame(ev2, ["event_id", "ts"])).collect()[0]
+    # counts 1,3,1,3,1,3 -> median 1 (lower), above = 3 days, below none
+    assert (r2["n_above"], r2["n_below"]) == (3, 0)
+    assert r2["mu_e6"] is None and r2["z"] is None
+
+
+@given(seed=st.integers(0, 10**6), vmax=st.integers(3, 40))
+@SET
+def test_topk_mass_property_matches_sequential(spark, seed, vmax):
+    """Random corpora: each k row matches the (tf DESC, token ASC)
+    python replay, including vocabularies smaller than k."""
+    from collections import Counter
+
+    from spatialdata_spark.pipeline.textstats import topk_mass
+
+    rng = random.Random(seed)
+    rows = [
+        (
+            i,
+            " ".join(
+                f"w{rng.randint(0, vmax)}" for _ in range(rng.randint(1, 30))
+            ),
+        )
+        for i in range(rng.randint(1, 40))
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["k"]: r for r in topk_mass(df).collect()}
+    cnt = Counter(w for _, t in rows for w in t.split())
+    total = sum(cnt.values())
+    order = sorted(cnt, key=lambda w: (-cnt[w], w))
+    assert sorted(got) == [10, 100, 1000]
+    for k in (10, 100, 1000):
+        top = order[:k]
+        cov = sum(cnt[w] for w in top)
+        r = got[k]
+        assert (r["n_top_types"], r["covered_tokens"]) == (len(top), cov)
+        assert r["coverage_e6"] == (cov * 2_000_000 + total) // (total * 2)
+
+
+def test_topk_mass_edges(spark):
+    import pytest as _pytest
+
+    from spatialdata_spark.pipeline.textstats import topk_mass
+
+    # empty corpus raises loudly on materialization
+    df = spark.createDataFrame([(1, "   ")], ["doc_id", "text"])
+    with _pytest.raises(Exception, match="empty corpus"):
+        topk_mass(df).collect()
+    # invalid ks raise before any Spark work
+    with _pytest.raises(ValueError, match="positive ints"):
+        topk_mass(df, ks=(0, 10))
+    # deterministic tie-break: equal tf resolves by token ASC
+    df2 = spark.createDataFrame(
+        [(1, "b a c"), (2, "c a b")], ["doc_id", "text"]
+    )
+    got = {r["k"]: r for r in topk_mass(df2, ks=(2,)).collect()}
+    assert got[2]["n_top_types"] == 2 and got[2]["covered_tokens"] == 4
+    assert got[2]["coverage_e6"] == (4 * 2_000_000 + 6) // 12
+
+
+@given(seed=st.integers(0, 10**6))
+@SET
+def test_order_size_hist_property_matches_sequential(spark, seed):
+    """Random lineitem tables through the entry wrapper: histogram and
+    exact microunit shares match the python replay."""
+    import shutil
+    import tempfile
+    from collections import Counter
+
+    import __spark_entry__ as entrymod
+
+    rng = random.Random(seed)
+    rows = []
+    n_orders = rng.randint(1, 40)
+    per = {}
+    for ok in range(n_orders):
+        nl = rng.randint(1, 7)
+        per[ok] = nl
+        for ln in range(nl):
+            rows.append((ok, ln))
+    df = spark.createDataFrame(rows, ["l_orderkey", "l_linenumber"])
+    tmp = tempfile.mkdtemp(prefix="osh_fuzz_")
+    try:
+        df.write.mode("overwrite").parquet(f"{tmp}/lineitem.parquet")
+        got = {
+            r["n_lines"]: r
+            for r in entrymod.q_order_size_hist(spark, tmp).collect()
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    hist = Counter(per.values())
+    assert set(got) == set(hist)
+    for nl, c in hist.items():
+        r = got[nl]
+        assert r["n_orders"] == c
+        assert r["share_e6"] == (c * 2_000_000 + n_orders) // (n_orders * 2)

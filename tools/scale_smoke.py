@@ -59,7 +59,7 @@ def main(max_mult: int = 8, only: list[str] | None = None) -> None:
     )
     from spatialdata_spark.operators.temporal import rolling_active_users
     from spatialdata_spark.pipeline.clustering import gram_matrix
-    from spatialdata_spark.pipeline.textstats import chao1_richness, cliffs_delta, cramer_von_mises_2sample, curation_funnel, herfindahl_index, kendall_tau, length_quantiles_exact, mad_lengths, mutual_information, simpson_diversity, spearman_corr, theil_index, trimmed_mean_lengths, vocab_overlap_exact, yule_k
+    from spatialdata_spark.pipeline.textstats import chao1_richness, cliffs_delta, cramer_von_mises_2sample, curation_funnel, herfindahl_index, kendall_tau, length_quantiles_exact, mad_lengths, mutual_information, simpson_diversity, spearman_corr, theil_index, trimmed_mean_lengths, vocab_overlap_exact, yule_k, topk_mass
     from spatialdata_spark.operators.rasterize import rasterize_points
 
     from spatialdata_spark.pipeline.clustering import (
@@ -119,7 +119,7 @@ def main(max_mult: int = 8, only: list[str] | None = None) -> None:
         duplication_profile,
     )
     from spatialdata_spark.pipeline.similarity import centroid_cosine
-    from spatialdata_spark.operators.temporal import acf_daily, cusum_drift, event_transitions, ewma_daily, mann_kendall_daily, weekday_profile
+    from spatialdata_spark.operators.temporal import acf_daily, cusum_drift, event_transitions, ewma_daily, mann_kendall_daily, runs_test_daily, weekday_profile
     from spatialdata_spark.pipeline.similarity import embedding_cosine_dedup
     from spatialdata_spark.pipeline.textstats import (
         benford_deviation,
@@ -263,6 +263,18 @@ def main(max_mult: int = 8, only: list[str] | None = None) -> None:
         rl.write.mode("overwrite").parquet(f"{base}/lineitem.parquet")
         shutil.copy(f"{SF_DIR}/part.parquet", f"{base}/part.parquet")
         return entrymod.q_promo_share(spark, base).count()
+
+    def _osh_m(m):
+        # lineitem replicated on l_orderkey: m x orders at identical
+        # per-order line counts, so the histogram VALUES are stable
+        # while the order mass scales x m
+        import tempfile
+
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        rl = replicate(li.select("l_orderkey"), m, ["l_orderkey"])
+        base = tempfile.mkdtemp(prefix="smoke_osh_")
+        rl.write.mode("overwrite").parquet(f"{base}/lineitem.parquet")
+        return entrymod.q_order_size_hist(spark, base).count()
 
     def _orderprio_m(m):
         # both fact tables replicated on orderkey so semi-join
@@ -1103,6 +1115,29 @@ def main(max_mult: int = 8, only: list[str] | None = None) -> None:
             "vocab_overlap": lambda: vocab_overlap_exact(docs).collect(),
             # (group, value) count + per-group value-grid window
             "length_quantiles": lambda: length_quantiles_exact(docs).collect(),
+            # r15 candidates: one conditional-count aggregation — the
+            # mcc/flattest shape (paired-prediction framing inline)
+            "mcnemar": lambda: __import__(
+                "spatialdata_spark.pipeline.classify", fromlist=["mcnemar_test"]
+            ).mcnemar_test(
+                docs.select(
+                    (F.col("lang") == "en").cast("int").alias("label"),
+                    (F.col("n_chars") >= 500).cast("int").alias("pred_a"),
+                    (F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")) >= 100)
+                    .cast("int")
+                    .alias("pred_b"),
+                )
+            ).collect(),
+            # day-keyed count then calendar-sized median + lag — flat
+            # (the cusum shape; self-union scales counts, not days)
+            "runs_test": lambda: runs_test_daily(ev).collect(),
+            # token-keyed count scales; top-k selection is a bounded
+            # TakeOrdered and the k-grid rollup runs on <= 1000 rows
+            "topk_mass": lambda: topk_mass(docs).collect(),
+            # per-order rollup scales; basket-size histogram saturates
+            "order_size_hist": lambda m=mult: entrymod.q_order_size_hist(
+                spark, SF_DIR
+            ).count() if m == 1 else _osh_m(m),
         }
         if only:
             cases = {k: v for k, v in cases.items() if k in only}

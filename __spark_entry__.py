@@ -177,13 +177,18 @@ GROUP BY l_returnflag, l_linestatus
 
 
 def q03_shipping(spark, sf_dir):
+    """Join order: lineitem (the fact side) STREAMS and the build side
+    is orders pre-reduced by the broadcast customer-segment filter —
+    the r14 plan audit showed the 64MB auto-broadcast threshold picking
+    the 600k-row lineitem projection as the per-action hash-relation
+    build (guide §3.1: pick the build side deliberately).  Inner-join
+    reordering; revenue is exact-DECIMAL so the result is
+    order-insensitive."""
     cust = _read(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = _read(spark, sf_dir, "orders")
     li = _read(spark, sf_dir, "lineitem")
-    joined = (
-        cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
-        .join(li, orders["o_orderkey"] == li["l_orderkey"])
-    )
+    ord2 = orders.join(_bcast(cust), cust["c_custkey"] == orders["o_custkey"])
+    joined = li.join(_bcast(ord2), ord2["o_orderkey"] == li["l_orderkey"])
     rev = F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
     return (
         joined.groupBy("l_orderkey")
@@ -215,12 +220,20 @@ def q05_local_supplier(spark, sf_dir):
     li = _read(spark, sf_dir, "lineitem")
     supp = _read(spark, sf_dir, "supplier")
     rev = F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+    # Build sides shrink dim-first (nation 25 -> customer 15k -> orders
+    # 150k x 3 cols) and lineitem STREAMS through two broadcast probes;
+    # the r14 plan audit showed the prior order broadcasting the 600k-row
+    # lineitem projection itself (guide §3.1).  Inner-join reordering
+    # with exact-DECIMAL aggregation: result identical.
+    dims = nation.join(F.broadcast(region), region["r_regionkey"] == nation["n_regionkey"])
+    cust2 = cust.join(F.broadcast(dims), dims["n_nationkey"] == cust["c_nationkey"])
+    ord2 = (
+        orders.join(_bcast(cust2), cust2["c_custkey"] == orders["o_custkey"])
+        .select("o_orderkey", "n_name", "n_nationkey")
+    )
     joined = (
-        region.join(nation, region["r_regionkey"] == nation["n_regionkey"])
-        .join(cust, nation["n_nationkey"] == cust["c_nationkey"])
-        .join(orders, cust["c_custkey"] == orders["o_custkey"])
-        .join(li, orders["o_orderkey"] == li["l_orderkey"])
-        .join(supp, (li["l_suppkey"] == supp["s_suppkey"]) & (supp["s_nationkey"] == nation["n_nationkey"]))
+        li.join(_bcast(ord2), ord2["o_orderkey"] == li["l_orderkey"])
+        .join(_bcast(supp), (li["l_suppkey"] == supp["s_suppkey"]) & (supp["s_nationkey"] == F.col("n_nationkey")))
     )
     return joined.groupBy("n_name").agg(F.sum(rev).cast("double").alias("revenue"))
 
@@ -301,11 +314,14 @@ def q10_returned_items(spark, sf_dir):
     li = _read(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     nation = _read(spark, sf_dir, "nation")
     rev = F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
-    joined = (
-        cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
-        .join(li, orders["o_orderkey"] == li["l_orderkey"])
-        .join(nation, cust["c_nationkey"] == nation["n_nationkey"])
-    )
+    # Filtered lineitem STREAMS; the build side is the date-filtered
+    # orders quarter joined to customer+nation (grouping attributes
+    # ride the build side).  The r14 plan audit showed the prior order
+    # broadcasting the 600k-row lineitem projection (guide §3.1).
+    # Inner-join reordering with exact-DECIMAL aggregation.
+    cust2 = cust.join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+    ord2 = orders.join(_bcast(cust2), cust2["c_custkey"] == orders["o_custkey"])
+    joined = li.join(_bcast(ord2), ord2["o_orderkey"] == li["l_orderkey"])
     return joined.groupBy("c_custkey", "c_name", "c_acctbal", "n_name").agg(
         F.sum(rev).cast("double").alias("revenue")
     )
@@ -372,6 +388,14 @@ def q18_large_volume(spark, sf_dir):
     )
     orders = _read(spark, sf_dir, "orders")
     cust = _read(spark, sf_dir, "customer")
+    # r14 A/B (interleaved, med-of-6): restructuring this like
+    # q03/q05/q10 (lineitem streaming through one reduced broadcast
+    # probe) LOST ~0.2s — the reduced build side chains three DEPENDENT
+    # broadcast builds (big -> orders -> cust) that execute serially,
+    # while this shape's three broadcast builds are independent and AQE
+    # materializes them concurrently, hiding the 600k-row lineitem
+    # hash-relation build behind the others.  Kept as-is (documented
+    # negative result).
     joined = (
         orders.join(big, orders["o_orderkey"] == big["_big_orderkey"])
         .join(cust, orders["o_custkey"] == cust["c_custkey"])
@@ -2611,13 +2635,20 @@ GROUP BY a.c, a.y, a.x
 
 
 def rt_zonal_tiles(spark, sf_dir):
-    from spatialdata_spark.operators.raster import RasterMeta, long_to_tiles, zonal_stats_tiles
+    from spatialdata_spark.operators.raster import RasterMeta, long_to_tiles, tiles_to_long, zonal_stats_tiles
 
     m = _img_meta()
     lmeta = RasterMeta(height=100, width=8, tile=32, dtype="i8")
-    img_long = _img_long(spark, sf_dir)
-    labels_long = img_long.select("y", "x", ((F.col("y") * 7 + F.col("x")) % 10 + 1).alias("value"))
-    out = zonal_stats_tiles(_img_tiles(spark, sf_dir), long_to_tiles(labels_long, lmeta), m, lmeta)
+    # Label pixels come from UNPACKING the already-built image tiles
+    # instead of a second full lineitem scan+aggregation (r14: one
+    # corpus pass instead of two; guide §2.4).  Equivalent because
+    # every image pixel is nonzero by construction (value = SUM of
+    # l_quantity >= 1 per populated cell), so the sparse unpack yields
+    # exactly the img_long pixel set — pinned by the oracle hash.
+    tiles = _img_tiles(spark, sf_dir)
+    px = tiles_to_long(tiles, m)
+    labels_long = px.select("y", "x", ((F.col("y") * 7 + F.col("x")) % 10 + 1).alias("value"))
+    out = zonal_stats_tiles(tiles, long_to_tiles(labels_long, lmeta), m, lmeta)
     return out.select("label", "c", "sum_value", "n", "mean_value")
 
 

@@ -193,7 +193,7 @@ def aggregate_points_by_circles(
     # the scan — and everything narrow above it, including the whole
     # broadcast-join fan-out — runs in one task.  Spreading the dim side
     # before the explode parallelizes cover construction; the fact side
-    # is spread by the cell-key repartition below.
+    # is spread by the boundary join's ENSURE_REQUIREMENTS exchange.
     local = spark.sparkContext.master.startswith("local")
     if local:
         circ = circ.repartition(par)
@@ -236,20 +236,6 @@ def aggregate_points_by_circles(
             .drop(value_col, "__cat")
         )
     cat_keys = ["__code"] if categorical else []
-    if local:
-        # Hash-partition the points by cell key: the boundary broadcast
-        # join then fans out on all cores instead of the scan's task
-        # count, and the per-cell pre-aggregation reuses this exchange
-        # (ENSURE_REQUIREMENTS is already satisfied), so the shuffle is
-        # not an extra pass for that branch.  On a real cluster the scan
-        # arrives pre-split into many tasks and this is skipped — there
-        # the map-side partial aggregation shuffles only cell partials.
-        # Deliberately NOT persisted although both branches read it
-        # (r12 A/B at sf0.1, min-of-6: persisting LOSES ~0.4 s on both
-        # the count and categorical paths — the cache write of the
-        # quantized projection costs more than the second slim columnar
-        # scan; the 2-consumer wash rule, confirmed by measurement).
-        pt = pt.repartition(par, "__qx", "__qy")
 
     # partial-aggregation schema shared by the full-cell and boundary paths
     if value_col is None or categorical:
@@ -271,18 +257,37 @@ def aggregate_points_by_circles(
         partial = [F.max(F.col(value_col)).alias("__m")]
         final = [F.max("__m").alias(f"max_{value_col}")]
 
+    # Per-cell pre-aggregation straight off the scan: the partial
+    # aggregation is map-side (guide-§2.3 "aggregate before you
+    # shuffle"), so only ~cell-count partials cross the exchange.  The
+    # r13 shape repartitioned the raw quantized points FIRST, which
+    # pushed the partial agg above a 600k-row REPARTITION exchange —
+    # one full fact-side shuffle per action for this branch alone
+    # (r14 plan audit: Exchange(34) carried the raw rows).
     cell_agg = pt.groupBy("__qx", "__qy", *cat_keys).agg(*partial)
-    full_part = (
-        cells.filter(F.col("__full"))
-        .select("shape_id", "__qx", "__qy")
-        .join(cell_agg, ["__qx", "__qy"])
-        .drop("__qx", "__qy")
-    )
+    full_cells = cells.filter(F.col("__full")).select("shape_id", "__qx", "__qy")
+    # Build side = the per-cell aggregate (grid-bounded), stream side =
+    # the full-cell cover (∝ dim side × area/h²).  The un-hinted plan
+    # broadcast the COVER (r14 plan audit: 1.6M-row hash relation built
+    # per action); locally the hint flips it to the ~cell-count side.
+    # On a cluster both sides' sizes are data-dependent, so the hint is
+    # local-gated and AQE picks the strategy from runtime stats.
+    ca = F.broadcast(cell_agg) if local else cell_agg
+    full_part = full_cells.join(ca, ["__qx", "__qy"]).drop("__qx", "__qy")
+    # Boundary refine as a SHUFFLED HASH join on the cell key: the
+    # boundary cover is perimeter-proportional but unbounded at scale
+    # (never a safe broadcast), and the hint avoids both the per-action
+    # driver-side hash-relation build of a broadcast AND the sort of a
+    # sort-merge join; the fact side's ENSURE_REQUIREMENTS exchange
+    # doubles as the local fan-out the old explicit repartition
+    # provided (r14 A/B, interleaved med-of-5: broadcast 2.93s,
+    # SHJ 2.21s; without any hint the local planner picks a
+    # pathological strategy at 20.6s).
     bcells = cells.filter(~F.col("__full")).select("shape_id", "ccx", "ccy", "r", "__qx", "__qy")
     dx = F.col("x") - F.col("ccx")
     dy = F.col("y") - F.col("ccy")
     boundary_part = (
-        pt.join(bcells, ["__qx", "__qy"])
+        pt.join(bcells.hint("SHUFFLE_HASH"), ["__qx", "__qy"])
         .filter((dx * dx + dy * dy) <= F.col("r") * F.col("r"))
         .groupBy("shape_id", *cat_keys)
         .agg(*partial)

@@ -464,15 +464,22 @@ def grid_join_shapes_shapes(
         cell_size = _estimate_cell_size(by)
     cs = float(cell_size)
     spark = values.sparkSession
-    if spark.sparkContext.master.startswith("local"):
-        # see grid_join_points_shapes: spread single-task local scans
-        par = spark.sparkContext.defaultParallelism
-        values = values.repartition(par)
-        by = by.repartition(par)
     if values_kinds is None:
         values_kinds = _shape_kinds(values)
     if by_kinds is None:
         by_kinds = _shape_kinds(by)
+    exprable_kinds = values_kinds <= {"box", "point"} and by_kinds <= {"box", "point"}
+    if spark.sparkContext.master.startswith("local") and not exprable_kinds:
+        # see grid_join_points_shapes: spread single-task local scans —
+        # but ONLY when the polygon Python refine runs downstream.  The
+        # box/circle expression path is a codegen filter; for it the two
+        # round-robin exchanges (each with its retry-safety pre-sort,
+        # guide §2.5) cost more than the single-task evaluation saves
+        # (r14 A/B on ag_fractions: med 5.3s -> 3.3s under co-tenant
+        # load, consistently lower across draws).
+        par = spark.sparkContext.defaultParallelism
+        values = values.repartition(par)
+        by = by.repartition(par)
 
     def cells(df: DataFrame, prefix: str) -> DataFrame:
         return (

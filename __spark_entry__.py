@@ -39,6 +39,14 @@ CIRCLES_SQL = (
 )
 
 
+# Schema memo: metadata only (the role a metastore/catalog plays on a
+# real deployment).  A bare spark.read.parquet re-runs file listing +
+# footer schema inference on EVERY call (~130ms on this host); with the
+# schema supplied it is ~19ms, and the scan still reads the parquet
+# data at execution — nothing about results or data is cached here.
+_SCHEMAS: dict[str, T.StructType] = {}
+
+
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     try:
         # epoch conversions must agree with DuckDB's UTC-naive timestamps
@@ -46,7 +54,13 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         pass
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    schema = _SCHEMAS.get(path)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMAS[path] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
 
 
 def _bcast(df: DataFrame) -> DataFrame:
@@ -70,7 +84,13 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    path = f"{sf_dir}/events.parquet"
+    schema = _SCHEMAS.get(path)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMAS[path] = df.schema
+    else:
+        df = spark.read.schema(schema).parquet(path)
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return df

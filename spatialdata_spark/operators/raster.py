@@ -580,35 +580,42 @@ def transform_raster_tiles(
     spark = tiles.sparkSession
 
     n_oty, n_otx = out_meta.tiles_y(0), out_meta.tiles_x(0)
-    grid = (
-        spark.range(n_oty * n_otx)
-        .select(
-            (F.col("id") / n_otx).cast("long").alias("oty"),
-            (F.col("id") % n_otx).alias("otx"),
-        )
+    grid = spark.range(n_oty * n_otx).selectExpr(
+        f"CAST((id / {n_otx}) AS BIGINT) AS oty",
+        f"(id % {n_otx}) AS otx",
     )
     # input-space bbox of the output tile = min/max over its 4 corner
     # sample points (affine maps box corners to extremes), padded for
-    # the interpolation stencil
-    y0 = (F.col("oty") * ots).cast("double")
-    y1 = y0 + ots - 1
-    x0 = (F.col("otx") * ots).cast("double")
-    x1 = x0 + ots - 1
-    iys = [a00 * yy + a01 * xx + b0 for yy in (y0, y1) for xx in (x0, x1)]
-    ixs = [a10 * yy + a11 * xx + b1 for yy in (y0, y1) for xx in (x0, x1)]
-    imin_y = F.least(*iys) - pad
-    imax_y = F.greatest(*iys) + pad
-    imin_x = F.least(*ixs) - pad
-    imax_x = F.greatest(*ixs) + pad
+    # the interpolation stencil.  Built as SQL strings (one JVM parse
+    # per selectExpr) instead of ~40 Column-op py4j round trips — this
+    # construction cost ~0.35s of driver time per action (r14 profile);
+    # {x!r} double literals round-trip exactly, so the expressions are
+    # identical to the old Column trees.
+    y0 = f"CAST((oty * {ots}) AS DOUBLE)"
+    y1 = f"(({y0} + {ots}) - 1)"
+    x0 = f"CAST((otx * {ots}) AS DOUBLE)"
+    x1 = f"(({x0} + {ots}) - 1)"
+
+    def corner(ay, ax, b, yy, xx):
+        return f"(({float(ay)!r}D * {yy}) + ({float(ax)!r}D * {xx})) + {float(b)!r}D"
+
+    iys = [corner(a00, a01, b0, yy, xx) for yy in (y0, y1) for xx in (x0, x1)]
+    ixs = [corner(a10, a11, b1, yy, xx) for yy in (y0, y1) for xx in (x0, x1)]
+    imin_y = f"(least({', '.join(iys)}) - {float(pad)!r}D)"
+    imax_y = f"(greatest({', '.join(iys)}) + {float(pad)!r}D)"
+    imin_x = f"(least({', '.join(ixs)}) - {float(pad)!r}D)"
+    imax_x = f"(greatest({', '.join(ixs)}) + {float(pad)!r}D)"
     cover = (
-        grid.withColumn("ty", F.explode(F.sequence(
-            F.greatest(F.floor(imin_y / ts), F.lit(0)),
-            F.least(F.floor(imax_y / ts), F.lit(meta.tiles_y(scale) - 1)),
-        )))
-        .withColumn("tx", F.explode(F.sequence(
-            F.greatest(F.floor(imin_x / ts), F.lit(0)),
-            F.least(F.floor(imax_x / ts), F.lit(meta.tiles_x(scale) - 1)),
-        )))
+        grid.selectExpr(
+            "*",
+            f"explode(sequence(greatest(floor({imin_y} / {ts}), 0), "
+            f"least(floor({imax_y} / {ts}), {meta.tiles_y(scale) - 1}))) AS ty",
+        )
+        .selectExpr(
+            "*",
+            f"explode(sequence(greatest(floor({imin_x} / {ts}), 0), "
+            f"least(floor({imax_x} / {ts}), {meta.tiles_x(scale) - 1}))) AS tx",
+        )
         .select("oty", "otx", "ty", "tx")
     )
     joined = cover.join(tiles.filter(F.col("scale") == scale), ["ty", "tx"])

@@ -108,16 +108,37 @@ def circles_to_polygon_shapes(circles: DataFrame, n_vertices: int = 32) -> DataF
     )
 
 
+# module-level UDFs: creating a pandas_udf wrapper per call re-pickles
+# the function and re-registers the JVM UDF on every plan construction
+# (~50ms each); a module singleton pays that once per process
+@F.pandas_udf(T.BinaryType())
+def _pt_wkb_udf(x_s, y_s):
+    import pandas as pd
+
+    from spatialdata_spark.geometry import wkb as W
+
+    return pd.Series([W.encode_point(float(x), float(y)) for x, y in zip(x_s, y_s)])
+
+
+@F.pandas_udf(T.BinaryType())
+def _rect_wkb_udf(minx_s, miny_s, maxx_s, maxy_s):
+    import numpy as np
+    import pandas as pd
+
+    from spatialdata_spark.geometry import wkb as W
+
+    return pd.Series(
+        [
+            W.encode_polygon([np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]], dtype=float)])
+            for x0, y0, x1, y1 in zip(minx_s, miny_s, maxx_s, maxy_s)
+        ]
+    )
+
+
 def circles_to_shapes(circles: DataFrame) -> DataFrame:
     """(shape_id, x, y, radius) -> canonical shapes schema rows of kind
     'point' with bbox padded by radius."""
-    @F.pandas_udf(T.BinaryType())
-    def _pt(x_s, y_s):
-        import pandas as pd
-
-        from spatialdata_spark.geometry import wkb as W
-
-        return pd.Series([W.encode_point(float(x), float(y)) for x, y in zip(x_s, y_s)])
+    _pt = _pt_wkb_udf
 
     return circles.select(
         "shape_id",
@@ -139,20 +160,7 @@ def boxes_to_shapes(df: DataFrame, id_col: str = "shape_id") -> DataFrame:
     weighting) use pure rectangle expressions instead of geometry UDFs;
     the WKB polygon is still present for generic consumers.
     """
-
-    @F.pandas_udf(T.BinaryType())
-    def _rect(minx_s, miny_s, maxx_s, maxy_s):
-        import numpy as np
-        import pandas as pd
-
-        from spatialdata_spark.geometry import wkb as W
-
-        return pd.Series(
-            [
-                W.encode_polygon([np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]], dtype=float)])
-                for x0, y0, x1, y1 in zip(minx_s, miny_s, maxx_s, maxy_s)
-            ]
-        )
+    _rect = _rect_wkb_udf
 
     return df.select(
         F.col(id_col).alias("shape_id"),

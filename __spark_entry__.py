@@ -2299,21 +2299,23 @@ def rv_to_polygons(spark, sf_dir):
     )
     meta = RasterMeta(height=64, width=128, tile=32, dtype="i8")
     shapes = labels_tiles_to_polygons(long_to_tiles(px, meta), meta)
+    return shapes.select("shape_id", _poly_area_udf("wkb").alias("area"), "minx", "miny", "maxx", "maxy")
 
-    @F.pandas_udf(T.DoubleType())
-    def _area(wkb_s):
-        import pandas as pd
 
-        from spatialdata_spark.geometry import predicates as P
-        from spatialdata_spark.geometry import wkb as W
+# module-level: a pandas_udf created inside the query function is
+# re-pickled and re-registered on every plan construction (~50ms)
+@F.pandas_udf(T.DoubleType())
+def _poly_area_udf(wkb_s):
+    import pandas as pd
 
-        out = []
-        for buf in wkb_s:
-            kind, geom = W.decode(bytes(buf))
-            out.append(P.polygon_area(geom) if kind == "polygon" else P.multipolygon_area(geom))
-        return pd.Series(out)
+    from spatialdata_spark.geometry import predicates as P
+    from spatialdata_spark.geometry import wkb as W
 
-    return shapes.select("shape_id", _area("wkb").alias("area"), "minx", "miny", "maxx", "maxy")
+    out = []
+    for buf in wkb_s:
+        kind, geom = W.decode(bytes(buf))
+        out.append(P.polygon_area(geom) if kind == "polygon" else P.multipolygon_area(geom))
+    return pd.Series(out)
 
 
 RV_TO_POLYGONS_SQL = f"""

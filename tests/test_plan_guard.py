@@ -160,6 +160,17 @@ EXPECTED_SHUFFLE_JOINS = {
     # dependent: AQE broadcasts one of them at sf0.01, not sf0.001)
     "pl_kappa": 1,  # class²-sized marginal FULL OUTER (cannot broadcast)
     "pl_rrf_hybrid": 1,  # rank-list FULL OUTER fuse (result-sized)
+    # r14: the circle-aggregation boundary refine is a deliberate
+    # SHUFFLE_HASH join — the boundary cover is perimeter-proportional
+    # (unbounded at scale, never a safe broadcast) and the hint avoids
+    # the per-action driver-side hash-relation build a local broadcast
+    # paid (A/B in OPTIMIZATION_r14.md); the fact side's exchange
+    # doubles as the local fan-out.  One sanctioned SHJ per query.
+    "ag_points_by_circles_count": 1,
+    "ag_points_by_circles_sum": 1,
+    "ag_points_by_circles_mean": 1,
+    "ag_points_by_circles_max": 1,
+    "ag_points_categorical": 1,
 }
 
 EXPRESSION_ONLY = [

@@ -97,23 +97,25 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _read(spark, sf_dir, "lineitem").select(
-        (F.col("l_extendedprice") / 1000.0).alias("x"),
-        F.col("l_quantity").alias("y"),
+    # selectExpr: one JVM parse instead of per-Column py4j round trips
+    # (the D suffix keeps 1000.0 a DOUBLE literal, identical to F.lit)
+    return _read(spark, sf_dir, "lineitem").selectExpr(
+        "(l_extendedprice / 1000.0D) AS x",
+        "l_quantity AS y",
         "l_orderkey",
         "l_linenumber",
-        F.col("l_returnflag").alias("gene"),
+        "l_returnflag AS gene",
     )
 
 
 def _circles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spatialdata_spark.operators.vectorize import circles_to_shapes
 
-    c = _read(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("shape_id"),
-        ((F.col("c_custkey") % 97) * 1.0).alias("x"),
-        (((F.col("c_custkey") * 7) % 53) * 1.0).alias("y"),
-        ((F.lit(3) + (F.col("c_custkey") % 5)) * 1.0).alias("radius"),
+    c = _read(spark, sf_dir, "customer").selectExpr(
+        "c_custkey AS shape_id",
+        "((c_custkey % 97) * 1.0D) AS x",
+        "(((c_custkey * 7) % 53) * 1.0D) AS y",
+        "((3 + (c_custkey % 5)) * 1.0D) AS radius",
     )
     return circles_to_shapes(c)
 
@@ -412,14 +414,17 @@ def q18_large_volume(spark, sf_dir):
     # q03/q05/q10 (lineitem streaming through one reduced broadcast
     # probe) LOST ~0.2s — the reduced build side chains three DEPENDENT
     # broadcast builds (big -> orders -> cust) that execute serially,
-    # while this shape's three broadcast builds are independent and AQE
-    # materializes them concurrently, hiding the 600k-row lineitem
-    # hash-relation build behind the others.  Kept as-is (documented
-    # negative result).
+    # while this shape's broadcast builds are independent and AQE
+    # materializes them concurrently.  What DID win (med 1.14 -> 0.94s)
+    # is SHUFFLE_HASH for the lineitem attach: the per-partition
+    # parallel hash build replaces the serial driver-side 600k-row
+    # broadcast relation build, and at scale it also avoids sorting the
+    # fact table (SMJ) while AQE bounds each build partition to the
+    # advisory size.
     joined = (
         orders.join(big, orders["o_orderkey"] == big["_big_orderkey"])
         .join(cust, orders["o_custkey"] == cust["c_custkey"])
-        .join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .join(li.hint("SHUFFLE_HASH"), orders["o_orderkey"] == li["l_orderkey"])
     )
     return joined.groupBy(
         "c_custkey", "c_name", "o_orderkey", "o_totalprice"

@@ -177,11 +177,11 @@ def aggregate_points_by_circles(
     """
     if agg_func not in AGG_FUNCS:
         raise ValueError(f"agg_func {agg_func!r}; supported: {sorted(AGG_FUNCS)}")
-    circ = shapes.select(
+    circ = shapes.selectExpr(
         "shape_id",
-        ((F.col("minx") + F.col("maxx")) / 2).alias("ccx"),
-        ((F.col("miny") + F.col("maxy")) / 2).alias("ccy"),
-        F.col("radius").alias("r"),
+        "((minx + maxx) / 2) AS ccx",
+        "((miny + maxy) / 2) AS ccy",
+        "radius AS r",
     )
     if cell_size is None:
         # balance boundary exact-tests (∝ h) against full-cell rows
@@ -206,10 +206,10 @@ def aggregate_points_by_circles(
 
     categorical = value_col is not None and dict(points.dtypes).get(value_col) == "string"
     keep = ["x", "y"] + ([value_col] if value_col and value_col not in ("x", "y") else [])
-    pt = (
-        points.select(*keep)
-        .withColumn("__qx", F.floor(F.col("x") / F.lit(h)))
-        .withColumn("__qy", F.floor(F.col("y") / F.lit(h)))
+    pt = points.selectExpr(
+        *keep,
+        f"floor(x / {h!r}D) AS __qx",
+        f"floor(y / {h!r}D) AS __qy",
     )
     cat_dict = None
     if categorical:

@@ -171,6 +171,12 @@ EXPECTED_SHUFFLE_JOINS = {
     "ag_points_by_circles_mean": 1,
     "ag_points_by_circles_max": 1,
     "ag_points_categorical": 1,
+    # r14: the q18 lineitem attach is a deliberate SHUFFLE_HASH — the
+    # per-partition parallel build replaces the serial driver-side
+    # 600k-row broadcast-relation build (A/B med 1.14 -> 0.94s), and at
+    # scale it avoids sorting the fact table while AQE bounds each
+    # build partition.
+    "q18_large_volume": 1,
 }
 
 EXPRESSION_ONLY = [

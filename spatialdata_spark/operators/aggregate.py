@@ -321,6 +321,33 @@ def _estimate_cell_size(shapes: DataFrame) -> float:
     return max(float(w), float(h)) * 2.0 or 1.0
 
 
+# module-level: a pandas_udf created inside the join function was
+# re-pickled and re-registered on every plan construction (~50ms)
+@F.pandas_udf(T.BooleanType())
+def _pip(x_s, y_s, wkb_s):
+    import pandas as pd
+
+    from spatialdata_spark.geometry import predicates as P
+    from spatialdata_spark.geometry import wkb as W
+
+    out = np.zeros(len(x_s), dtype=bool)
+    if len(x_s):
+        xs = x_s.to_numpy()
+        ys = y_s.to_numpy()
+        # group rows by identical geometry to vectorize over points
+        codes, uniques = pd.factorize(wkb_s)
+        for gi, buf in enumerate(uniques):
+            if buf is None:
+                continue
+            mask = codes == gi
+            kind, geom = W.decode(bytes(buf))
+            if kind == "polygon":
+                out[mask] = P.points_in_polygon(xs[mask], ys[mask], geom)
+            elif kind == "multipolygon":
+                out[mask] = P.points_in_multipolygon(xs[mask], ys[mask], geom)
+    return pd.Series(out)
+
+
 def grid_join_points_shapes(
     points: DataFrame,
     shapes: DataFrame,
@@ -387,30 +414,6 @@ def grid_join_points_shapes(
         # caller guarantees kind=='point' everywhere: the whole refine
         # stays expression-only (no Python boundary in the plan)
         return cand.filter(circle_hit).drop(*drop_cols)
-
-    @F.pandas_udf(T.BooleanType())
-    def _pip(x_s, y_s, wkb_s):
-        import pandas as pd
-
-        from spatialdata_spark.geometry import predicates as P
-        from spatialdata_spark.geometry import wkb as W
-
-        out = np.zeros(len(x_s), dtype=bool)
-        if len(x_s):
-            xs = x_s.to_numpy()
-            ys = y_s.to_numpy()
-            # group rows by identical geometry to vectorize over points
-            codes, uniques = pd.factorize(wkb_s)
-            for gi, buf in enumerate(uniques):
-                if buf is None:
-                    continue
-                mask = codes == gi
-                kind, geom = W.decode(bytes(buf))
-                if kind == "polygon":
-                    out[mask] = P.points_in_polygon(xs[mask], ys[mask], geom)
-                elif kind == "multipolygon":
-                    out[mask] = P.points_in_multipolygon(xs[mask], ys[mask], geom)
-        return pd.Series(out)
 
     # Three disjoint refine branches unioned so the Arrow PIP evaluates
     # ONLY on candidates of concave/multipart shapes (Spark extracts

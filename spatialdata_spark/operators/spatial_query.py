@@ -26,6 +26,7 @@ Spark-first design:
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import lru_cache
 
 import numpy as np
 from pyspark.sql import Column, DataFrame
@@ -322,15 +323,26 @@ def polygon_query_points(
         # expressions — whole-stage codegen, no Python worker round-trip
         return pre.filter(_halfplane_cond(ring_i))
 
+    inside = _ring_pip_udf(ring_i.tobytes(), len(ring_i))
+    return pre.filter(inside(F.col("x"), F.col("y")))
+
+
+@lru_cache(maxsize=64)
+def _ring_pip_udf(ring_bytes: bytes, n: int):
+    """Point-in-ring pandas UDF, cached per ring: creating a pandas_udf
+    re-pickles and re-registers the function on every plan construction
+    (~50ms); repeated queries against the same polygon amortize it."""
+    ring = np.frombuffer(ring_bytes, dtype=float).reshape(n, 2).copy()
+
     @F.pandas_udf(T.BooleanType())
     def _inside(x_s, y_s):
         import pandas as pd
 
         from spatialdata_spark.geometry import predicates as P
 
-        return pd.Series(P.points_in_ring(x_s.to_numpy(), y_s.to_numpy(), ring_i))
+        return pd.Series(P.points_in_ring(x_s.to_numpy(), y_s.to_numpy(), ring))
 
-    return pre.filter(_inside(F.col("x"), F.col("y")))
+    return _inside
 
 
 def _is_convex(ring: np.ndarray) -> bool:

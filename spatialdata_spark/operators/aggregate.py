@@ -174,49 +174,72 @@ def aggregate_points_by_circles(
     Decomposable statistics only (count/sum/mean/min/max); mean is
     computed as total_sum/total_count so results are bit-identical to a
     direct per-point aggregation for integer-valued doubles.
+
+    Plan construction is CONSOLIDATED into temp views + three
+    ``spark.sql`` parses (r15, guide §5-driver): the former DataFrame-op
+    chain cost ~800 py4j round trips ≈ 0.3-0.45 s of driver time per
+    action; the SQL text below reproduces the exact same expressions
+    (same literals via ``{x!r}D``, same operation order, same hints) so
+    the physical plan — and every result bit — is unchanged.  The plan
+    shape itself is documented inline; the r14 A/B numbers justifying
+    each hint are in OPTIMIZATION_r14.md.
     """
     if agg_func not in AGG_FUNCS:
         raise ValueError(f"agg_func {agg_func!r}; supported: {sorted(AGG_FUNCS)}")
-    circ = shapes.selectExpr(
-        "shape_id",
-        "((minx + maxx) / 2) AS ccx",
-        "((miny + maxy) / 2) AS ccy",
-        "radius AS r",
-    )
     if cell_size is None:
         # balance boundary exact-tests (∝ h) against full-cell rows
         # (∝ 1/h²); r/6 sits at the flat bottom of the measured curve
-        r_avg = circ.agg(F.avg("r")).first()[0] or 1.0
+        r_avg = shapes.agg(F.avg("radius")).first()[0] or 1.0
         cell_size = max(float(r_avg) / 6.0, 1e-12)
     h = float(cell_size)
     spark = points.sparkSession
     par = spark.sparkContext.defaultParallelism
-    # In local mode a small parquet input is often a single row group, so
-    # the scan — and everything narrow above it, including the whole
-    # broadcast-join fan-out — runs in one task.  Spreading the dim side
-    # before the explode parallelizes cover construction; the fact side
-    # is spread by the boundary join's ENSURE_REQUIREMENTS exchange.
     local = spark.sparkContext.master.startswith("local")
-    if local:
-        circ = circ.repartition(par)
+
+    shapes.createOrReplaceTempView("__apc_shapes")
+    points.createOrReplaceTempView("__apc_points")
+
+    # --- the cell cover (see _circle_cell_cover for the geometry):
+    # circles project to (ccx, ccy, r), explode to covering grid cells,
+    # classified fully-inside vs boundary.  In local mode a small
+    # parquet input is often a single row group, so the scan — and
+    # everything narrow above it — runs in one task; the REPARTITION
+    # hint (same round-robin exchange df.repartition(n) builds) spreads
+    # the dim side before the explode.  The fact side is spread by the
+    # boundary join's ENSURE_REQUIREMENTS exchange.
+    hs = f"{h!r}D"
+    eps = f"({1e-9 * h!r}D + 1.0E-12D * ((abs(ccx) + abs(ccy)) + r))"
+    dxn = f"greatest((__qx * {hs}) - ccx, ccx - ((__qx * {hs}) + {hs}), 0.0D)"
+    dyn = f"greatest((__qy * {hs}) - ccy, ccy - ((__qy * {hs}) + {hs}), 0.0D)"
+    dxf = f"greatest(ccx - (__qx * {hs}), ((__qx * {hs}) + {hs}) - ccx)"
+    dyf = f"greatest(ccy - (__qy * {hs}), ((__qy * {hs}) + {hs}) - ccy)"
+    spread = f"/*+ REPARTITION({par}) */ " if local else ""
+    cells_sql = f"""
+SELECT *,
+       (((r - {eps}) > 0.0D) AND ((({dxf} * {dxf}) + ({dyf} * {dyf})) <= ((r - {eps}) * (r - {eps})))) AS __full
+FROM (
+  SELECT * FROM (
+    SELECT *, explode(sequence(floor((ccy - r) / {hs}), floor((ccy + r) / {hs}))) AS __qy
+    FROM (
+      SELECT *, explode(sequence(floor((ccx - r) / {hs}), floor((ccx + r) / {hs}))) AS __qx
+      FROM (SELECT {spread}shape_id, ((minx + maxx) / 2) AS ccx, ((miny + maxy) / 2) AS ccy, radius AS r
+            FROM __apc_shapes)
+    )
+  )
+  WHERE (({dxn} * {dxn}) + ({dyn} * {dyn})) <= (r * r)
+)"""
     # persist: the cover feeds both the full-cell and boundary branches;
     # without it the explode subtree is computed twice per action
     # (MEMORY_AND_DISK, slim rows ∝ dim side — safe at scale, ~20% win)
-    cells = _circle_cell_cover(circ, h).persist()
+    cells = spark.sql(cells_sql).persist()
+    cells.createOrReplaceTempView("__apc_cells")
 
     categorical = value_col is not None and dict(points.dtypes).get(value_col) == "string"
-    keep = ["x", "y"] + ([value_col] if value_col and value_col not in ("x", "y") else [])
-    pt = points.selectExpr(
-        *keep,
-        f"floor(x / {h!r}D) AS __qx",
-        f"floor(y / {h!r}D) AS __qy",
-    )
-    cat_dict = None
+    vq = f"`{value_col}`" if value_col else None
+
     if categorical:
         # dictionary-encode the category so the (large) boundary probe
-        # carries an int code, not a string; decoded after aggregation
-        from pyspark.sql.window import Window
-
+        # carries an int code, not a string; decoded after aggregation.
         # persist: the dictionary subtree (full-column scan + distinct +
         # single-partition window) executes THREE times in the compiled
         # plan otherwise — the encode join feeds BOTH the full-cell and
@@ -227,86 +250,89 @@ def aggregate_points_by_circles(
         # _approx_rank_bins contract): never unpersisted here — one
         # cache entry per distinct input plan, LRU-reclaimed;
         # clearCache() for eager reclamation between datasets.
-        cat_dict = (
-            points.select(F.col(value_col).alias("__cat"))
-            .distinct()
-            .withColumn("__code", F.row_number().over(Window.orderBy("__cat")))
-            .persist()
+        cat_dict = spark.sql(
+            f"SELECT __cat, ROW_NUMBER() OVER (ORDER BY __cat) AS __code "
+            f"FROM (SELECT DISTINCT {vq} AS __cat FROM __apc_points)"
+        ).persist()
+        cat_dict.createOrReplaceTempView("__apc_dict")
+        # the encode join broadcasts the (tiny) dictionary unconditionally
+        pt_sql = (
+            f"SELECT /*+ BROADCAST(__apc_dict) */ p.x, p.y, p.__qx, p.__qy, d.__code\n"
+            f"FROM (SELECT x, y, {vq}, floor(x / {h!r}D) AS __qx, floor(y / {h!r}D) AS __qy\n"
+            f"      FROM __apc_points) p\n"
+            f"JOIN __apc_dict d ON p.{vq} = d.__cat"
         )
-        pt = (
-            pt.join(F.broadcast(cat_dict), pt[value_col] == cat_dict["__cat"])
-            .drop(value_col, "__cat")
+    else:
+        keep = "x, y" + (f", {vq}" if value_col and value_col not in ("x", "y") else "")
+        pt_sql = (
+            f"SELECT {keep}, floor(x / {h!r}D) AS __qx, floor(y / {h!r}D) AS __qy "
+            f"FROM __apc_points"
         )
-    cat_keys = ["__code"] if categorical else []
 
     # partial-aggregation schema shared by the full-cell and boundary paths
     if value_col is None or categorical:
-        partial = [F.count(F.lit(1)).alias("__n")]
-        final = [F.sum("__n").alias("n")]
+        partial, pcols, final = "COUNT(1) AS __n", ["__n"], "SUM(__n) AS n"
     elif agg_func == "count":
-        partial = [F.count(F.col(value_col)).alias("__n")]
-        final = [F.sum("__n").alias(f"count_{value_col}")]
+        partial, pcols, final = f"COUNT({vq}) AS __n", ["__n"], f"SUM(__n) AS `count_{value_col}`"
     elif agg_func == "sum":
-        partial = [F.sum(F.col(value_col)).alias("__s")]
-        final = [F.sum("__s").alias(f"sum_{value_col}")]
+        partial, pcols, final = f"SUM({vq}) AS __s", ["__s"], f"SUM(__s) AS `sum_{value_col}`"
     elif agg_func == "mean":
-        partial = [F.sum(F.col(value_col)).alias("__s"), F.count(F.col(value_col)).alias("__n")]
-        final = [(F.sum("__s") / F.sum("__n")).alias(f"mean_{value_col}")]
-    elif agg_func == "min":
-        partial = [F.min(F.col(value_col)).alias("__m")]
-        final = [F.min("__m").alias(f"min_{value_col}")]
-    else:  # max
-        partial = [F.max(F.col(value_col)).alias("__m")]
-        final = [F.max("__m").alias(f"max_{value_col}")]
-
-    # Per-cell pre-aggregation straight off the scan: the partial
-    # aggregation is map-side (guide-§2.3 "aggregate before you
-    # shuffle"), so only ~cell-count partials cross the exchange.  The
-    # r13 shape repartitioned the raw quantized points FIRST, which
-    # pushed the partial agg above a 600k-row REPARTITION exchange —
-    # one full fact-side shuffle per action for this branch alone
-    # (r14 plan audit: Exchange(34) carried the raw rows).
-    cell_agg = pt.groupBy("__qx", "__qy", *cat_keys).agg(*partial)
-    full_cells = cells.filter(F.col("__full")).select("shape_id", "__qx", "__qy")
-    # Build side = the per-cell aggregate (grid-bounded), stream side =
-    # the full-cell cover (∝ dim side × area/h²).  The un-hinted plan
-    # broadcast the COVER (r14 plan audit: 1.6M-row hash relation built
-    # per action); locally the hint flips it to the ~cell-count side.
-    # On a cluster both sides' sizes are data-dependent, so the hint is
-    # local-gated and AQE picks the strategy from runtime stats.
-    ca = F.broadcast(cell_agg) if local else cell_agg
-    full_part = full_cells.join(ca, ["__qx", "__qy"]).drop("__qx", "__qy")
-    # Boundary refine as a SHUFFLED HASH join on the cell key: the
-    # boundary cover is perimeter-proportional but unbounded at scale
-    # (never a safe broadcast), and the hint avoids both the per-action
-    # driver-side hash-relation build of a broadcast AND the sort of a
-    # sort-merge join; the fact side's ENSURE_REQUIREMENTS exchange
-    # doubles as the local fan-out the old explicit repartition
-    # provided (r14 A/B, interleaved med-of-5: broadcast 2.93s,
-    # SHJ 2.21s; without any hint the local planner picks a
-    # pathological strategy at 20.6s).
-    bcells = cells.filter(~F.col("__full")).select("shape_id", "ccx", "ccy", "r", "__qx", "__qy")
-    dx = F.col("x") - F.col("ccx")
-    dy = F.col("y") - F.col("ccy")
-    boundary_part = (
-        pt.join(bcells.hint("SHUFFLE_HASH"), ["__qx", "__qy"])
-        .filter((dx * dx + dy * dy) <= F.col("r") * F.col("r"))
-        .groupBy("shape_id", *cat_keys)
-        .agg(*partial)
-    )
-    out = (
-        full_part.unionByName(boundary_part)
-        .groupBy("shape_id", *cat_keys)
-        .agg(*final)
-        .withColumnRenamed("shape_id", "by_id")
-    )
-    if categorical:
-        out = (
-            out.join(F.broadcast(cat_dict), "__code")
-            .drop("__code")
-            .withColumnRenamed("__cat", "category")
+        partial, pcols, final = (
+            f"SUM({vq}) AS __s, COUNT({vq}) AS __n",
+            ["__s", "__n"],
+            f"(SUM(__s) / SUM(__n)) AS `mean_{value_col}`",
         )
-    return out
+    elif agg_func == "min":
+        partial, pcols, final = f"MIN({vq}) AS __m", ["__m"], f"MIN(__m) AS `min_{value_col}`"
+    else:  # max
+        partial, pcols, final = f"MAX({vq}) AS __m", ["__m"], f"MAX(__m) AS `max_{value_col}`"
+
+    ck = ", __code" if categorical else ""  # categorical grouping key
+    ca_cols = ", ".join([f"ca.{c}" for c in (["__code"] if categorical else []) + pcols])
+    bp_keys = "bc.shape_id" + (", pt.__code" if categorical else "")
+    # Plan shape (r14, verified in plans/):
+    # * cell_agg (ca): per-cell pre-aggregation straight off the scan —
+    #   the partial agg is map-side (guide §2.3), so only ~cell-count
+    #   partials cross the exchange.
+    # * full-cell branch: build side = the per-cell aggregate
+    #   (grid-bounded), stream side = the full-cell cover (∝ dim side ×
+    #   area/h²).  The un-hinted plan broadcast the COVER (1.6M-row
+    #   hash relation built per action); locally the hint flips it to
+    #   the ~cell-count side.  On a cluster both sides' sizes are
+    #   data-dependent, so the hint is local-gated and AQE picks the
+    #   strategy from runtime stats.
+    # * boundary branch: SHUFFLED HASH join on the cell key — the
+    #   boundary cover is perimeter-proportional but unbounded at scale
+    #   (never a safe broadcast), and the hint avoids both the
+    #   per-action driver-side hash-relation build of a broadcast AND
+    #   the sort of a sort-merge join; the fact side's
+    #   ENSURE_REQUIREMENTS exchange doubles as the local fan-out (r14
+    #   A/B: broadcast 2.93s, SHJ 2.21s, un-hinted 20.6s).
+    bhint = "/*+ BROADCAST(ca) */ " if local else ""
+    main_sql = f"""
+WITH pt AS ({pt_sql}),
+ca AS (SELECT __qx, __qy{ck}, {partial} FROM pt GROUP BY __qx, __qy{ck}),
+fp AS (
+  SELECT {bhint}f.shape_id, {ca_cols}
+  FROM (SELECT shape_id, __qx, __qy FROM __apc_cells WHERE __full) f
+  JOIN ca ON f.__qx = ca.__qx AND f.__qy = ca.__qy
+),
+bp AS (
+  SELECT /*+ SHUFFLE_HASH(bc) */ {bp_keys}, {partial}
+  FROM pt JOIN (SELECT shape_id, ccx, ccy, r, __qx, __qy FROM __apc_cells WHERE NOT __full) bc
+    ON pt.__qx = bc.__qx AND pt.__qy = bc.__qy
+  WHERE (((pt.x - bc.ccx) * (pt.x - bc.ccx)) + ((pt.y - bc.ccy) * (pt.y - bc.ccy))) <= (bc.r * bc.r)
+  GROUP BY bc.shape_id{ck}
+)
+SELECT shape_id AS by_id{ck}, {final}
+FROM (SELECT * FROM fp UNION ALL SELECT * FROM bp)
+GROUP BY shape_id{ck}"""
+    if categorical:
+        main_sql = (
+            f"SELECT /*+ BROADCAST(__apc_dict) */ o.by_id, o.n, d.__cat AS category\n"
+            f"FROM ({main_sql}\n) o JOIN __apc_dict d ON o.__code = d.__code"
+        )
+    return spark.sql(main_sql)
 
 
 def _estimate_cell_size(shapes: DataFrame) -> float:
@@ -474,14 +500,72 @@ def grid_join_shapes_shapes(
     if by_kinds is None:
         by_kinds = _shape_kinds(by)
     exprable_kinds = values_kinds <= {"box", "point"} and by_kinds <= {"box", "point"}
-    if spark.sparkContext.master.startswith("local") and not exprable_kinds:
+
+    if exprable_kinds:
+        # Expression-only pairs (box/circle): the whole candidate join +
+        # exact refine is ONE spark.sql parse over two temp views (r15,
+        # guide §5-driver — the Column-tree construction of this branch
+        # cost ~0.3 s of py4j round trips per action; the SQL reproduces
+        # the identical expressions).  No local round-robin spread here:
+        # the refine is a codegen filter, and the two spread exchanges
+        # (each with the retry-safety pre-sort, guide §2.5) cost more
+        # than the single-task evaluation saves (r14 A/B on
+        # ag_fractions).
+        values.createOrReplaceTempView("__gjs_values")
+        by.createOrReplaceTempView("__gjs_by")
+        css = f"{cs!r}D"
+
+        def cells_sql(view: str, p: str) -> str:
+            return (
+                f"SELECT *, explode(sequence(floor({p}_miny / {css}), floor({p}_maxy / {css}))) AS __cy\n"
+                f"  FROM (SELECT *, explode(sequence(floor({p}_minx / {css}), floor({p}_maxx / {css}))) AS __cx\n"
+                f"        FROM (SELECT shape_id AS {p}_id, kind AS {p}_kind, wkb AS {p}_wkb,\n"
+                f"                     minx AS {p}_minx, miny AS {p}_miny, maxx AS {p}_maxx,\n"
+                f"                     maxy AS {p}_maxy, radius AS {p}_radius FROM {view}))"
+            )
+
+        # circle centers (for kind='point' rows bbox is center±radius)
+        vcx = "((v_minx + v_maxx) / 2)"
+        vcy = "((v_miny + v_maxy) / 2)"
+        bcx = "((b_minx + b_maxx) / 2)"
+        bcy = "((b_miny + b_maxy) / 2)"
+        dxc = f"({vcx} - {bcx})"
+        dyc = f"({vcy} - {bcy})"
+        rr = "(v_radius + b_radius)"
+
+        def circ_box(ccx: str, ccy: str, r: str, x0: str, y0: str, x1: str, y1: str) -> str:
+            # circle vs box: distance from circle center to the box
+            dx = f"greatest(({x0} - {ccx}), ({ccx} - {x1}), 0.0D)"
+            dy = f"greatest(({y0} - {ccy}), ({ccy} - {y1}), 0.0D)"
+            return f"((({dx} * {dx}) + ({dy} * {dy})) <= ({r} * {r}))"
+
+        circ_circ = f"((({dxc} * {dxc}) + ({dyc} * {dyc})) <= ({rr} * {rr}))"
+        hit = (
+            "CASE WHEN ((v_kind = 'point') AND (b_kind = 'point')) THEN " + circ_circ
+            + " WHEN ((v_kind = 'point') AND (b_kind = 'box')) THEN "
+            + circ_box(vcx, vcy, "v_radius", "b_minx", "b_miny", "b_maxx", "b_maxy")
+            + " WHEN ((v_kind = 'box') AND (b_kind = 'point')) THEN "
+            + circ_box(bcx, bcy, "b_radius", "v_minx", "v_miny", "v_maxx", "v_maxy")
+            + " ELSE true END"  # box×box: bbox overlap already exact
+        )
+        # reference point = top-left corner of the bbox intersection; it
+        # lies in exactly one grid cell, and both sides' cell sets cover
+        # it — pure-expression dedup of multi-cell candidate duplicates
+        return spark.sql(
+            f"""
+SELECT v_id, v_kind, v_wkb, v_minx, v_miny, v_maxx, v_maxy, v_radius,
+       b_id, b_kind, b_wkb, b_minx, b_miny, b_maxx, b_maxy, b_radius
+FROM ({cells_sql("__gjs_values", "v")}) v
+JOIN ({cells_sql("__gjs_by", "b")}) b USING (__cx, __cy)
+WHERE (v_maxx >= b_minx) AND (v_minx <= b_maxx) AND (v_maxy >= b_miny) AND (v_miny <= b_maxy)
+  AND ((floor(greatest(v_minx, b_minx) / {css}) = __cx) AND (floor(greatest(v_miny, b_miny) / {css}) = __cy))
+  AND ({hit})"""
+        )
+
+    if spark.sparkContext.master.startswith("local"):
         # see grid_join_points_shapes: spread single-task local scans —
-        # but ONLY when the polygon Python refine runs downstream.  The
-        # box/circle expression path is a codegen filter; for it the two
-        # round-robin exchanges (each with its retry-safety pre-sort,
-        # guide §2.5) cost more than the single-task evaluation saves
-        # (r14 A/B on ag_fractions: med 5.3s -> 3.3s under co-tenant
-        # load, consistently lower across draws).
+        # the polygon Python refine runs downstream and the fan-out is
+        # load-bearing for the Arrow stage.
         par = spark.sparkContext.defaultParallelism
         values = values.repartition(par)
         by = by.repartition(par)
@@ -519,37 +603,6 @@ def grid_join_shapes_shapes(
         .filter((F.floor(ref_x / cs) == F.col("__cx")) & (F.floor(ref_y / cs) == F.col("__cy")))
         .drop("__cx", "__cy")
     )
-
-    exprable = {"box", "point"}
-    if values_kinds <= exprable and by_kinds <= exprable:
-        # circle centers (for kind='point' rows bbox is center±radius)
-        vcx = (F.col("v_minx") + F.col("v_maxx")) / 2
-        vcy = (F.col("v_miny") + F.col("v_maxy")) / 2
-        bcx = (F.col("b_minx") + F.col("b_maxx")) / 2
-        bcy = (F.col("b_miny") + F.col("b_maxy")) / 2
-        dxc = vcx - bcx
-        dyc = vcy - bcy
-        rr = F.col("v_radius") + F.col("b_radius")
-        circ_circ = (dxc * dxc + dyc * dyc) <= rr * rr
-        # circle vs box: distance from circle center to the box
-        def circ_box(ccx, ccy, r, x0, y0, x1, y1):
-            dx = F.greatest(x0 - ccx, ccx - x1, F.lit(0.0))
-            dy = F.greatest(y0 - ccy, ccy - y1, F.lit(0.0))
-            return (dx * dx + dy * dy) <= r * r
-
-        hit = (
-            F.when((F.col("v_kind") == "point") & (F.col("b_kind") == "point"), circ_circ)
-            .when(
-                (F.col("v_kind") == "point") & (F.col("b_kind") == "box"),
-                circ_box(vcx, vcy, F.col("v_radius"), F.col("b_minx"), F.col("b_miny"), F.col("b_maxx"), F.col("b_maxy")),
-            )
-            .when(
-                (F.col("v_kind") == "box") & (F.col("b_kind") == "point"),
-                circ_box(bcx, bcy, F.col("b_radius"), F.col("v_minx"), F.col("v_miny"), F.col("v_maxx"), F.col("v_maxy")),
-            )
-            .otherwise(F.lit(True))  # box×box: bbox overlap already exact
-        )
-        return cand.filter(hit)
 
     @F.pandas_udf(T.BooleanType())
     def _intersects(v_wkb, b_wkb, v_kind, b_kind, v_radius, b_radius):

@@ -35,5 +35,14 @@ def get_spark(app_name: str = "spatialdata-spark", cores: int | None = None) -> 
         # splits to the parallelism, while maxPartitionBytes (128MB
         # default) still governs real-scale inputs
         .config("spark.sql.files.openCostInBytes", str(128 * 1024))
+        # PySpark 4 wraps every DataFrame API call to capture the user
+        # call site for error decoration: a Python stack walk plus ~3
+        # py4j round trips (conf.get + PySparkCurrentOrigin set/clear)
+        # PER CALL.  Interleaved A/B (r15): 25-50% of plan-construction
+        # time on complex operators.  Errors still raise normally, they
+        # just lose the "line N in user code" origin line — the right
+        # trade for an engine whose driver-side cost is on the query
+        # path (guide §5: the driver should do almost no work).
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .getOrCreate()
     )

@@ -2509,11 +2509,15 @@ IMG_SQL = (
 
 
 def _img_long(spark, sf_dir):
-    return (
-        _read(spark, sf_dir, "lineitem")
-        .groupBy((F.col("l_orderkey") % 100).alias("y"), F.col("l_linenumber").cast("long").alias("x"))
-        .agg(F.sum("l_quantity").alias("value"))
-        .select(F.lit(0).alias("c"), "y", "x", "value")
+    return _plan_memo(
+        spark,
+        f"img_long:{sf_dir}",
+        lambda: (
+            _read(spark, sf_dir, "lineitem")
+            .groupBy((F.col("l_orderkey") % 100).alias("y"), F.col("l_linenumber").cast("long").alias("x"))
+            .agg(F.sum("l_quantity").alias("value"))
+            .select(F.lit(0).alias("c"), "y", "x", "value")
+        ),
     )
 
 
@@ -2526,7 +2530,11 @@ def _img_meta():
 def _img_tiles(spark, sf_dir):
     from spatialdata_spark.operators.raster import long_to_tiles
 
-    return long_to_tiles(_img_long(spark, sf_dir), _img_meta())
+    return _plan_memo(
+        spark,
+        f"img_tiles:{sf_dir}",
+        lambda: long_to_tiles(_img_long(spark, sf_dir), _img_meta()),
+    )
 
 
 def rv_rasterize_polyfill(spark, sf_dir):
@@ -2564,11 +2572,29 @@ GROUP BY label
 """
 
 
+# module-level tile kernels: the raster operators cache their Arrow
+# UDFs keyed on (fn, meta...) — a fresh lambda per call would defeat
+# the cache and re-pickle the kernel every plan construction
+def _k_double_plus_mask(a):
+    return a * 2.0 + (a != 0)
+
+
+def _k_boxsum(a):
+    import numpy as np
+
+    p = np.pad(a, 1)
+    k = np.zeros_like(a)
+    for dy in (0, 1, 2):
+        for dx in (0, 1, 2):
+            k += p[dy : dy + a.shape[0], dx : dx + a.shape[1]]
+    return k
+
+
 def rt_map_tiles(spark, sf_dir):
     from spatialdata_spark.operators.raster import map_tiles, tiles_to_long
 
     m = _img_meta()
-    out = map_tiles(_img_tiles(spark, sf_dir), lambda a: a * 2.0 + (a != 0), m)
+    out = map_tiles(_img_tiles(spark, sf_dir), _k_double_plus_mask, m)
     return tiles_to_long(out, m)
 
 
@@ -2704,18 +2730,8 @@ FROM ({IMG_SQL}) GROUP BY 2, 3
 def rt_halo_boxsum(spark, sf_dir):
     from spatialdata_spark.operators.raster import map_tiles_with_halo, tiles_to_long
 
-    def boxsum(a):
-        import numpy as np
-
-        p = np.pad(a, 1)
-        k = np.zeros_like(a)
-        for dy in (0, 1, 2):
-            for dx in (0, 1, 2):
-                k += p[dy : dy + a.shape[0], dx : dx + a.shape[1]]
-        return k
-
     m = _img_meta()
-    out = tiles_to_long(map_tiles_with_halo(_img_tiles(spark, sf_dir), boxsum, m, halo=1), m)
+    out = tiles_to_long(map_tiles_with_halo(_img_tiles(spark, sf_dir), _k_boxsum, m, halo=1), m)
     # restrict to the input support so the row set matches the oracle's
     support = _img_long(spark, sf_dir).select("y", "x")
     return out.join(support, ["y", "x"], "left_semi")

@@ -604,35 +604,66 @@ WHERE (v_maxx >= b_minx) AND (v_minx <= b_maxx) AND (v_maxy >= b_miny) AND (v_mi
         .drop("__cx", "__cy")
     )
 
-    @F.pandas_udf(T.BooleanType())
-    def _intersects(v_wkb, b_wkb, v_kind, b_kind, v_radius, b_radius):
-        import pandas as pd
-
-        from spatialdata_spark.geometry import predicates as P
-        from spatialdata_spark.geometry import wkb as W
-
-        out = []
-        for vw, bw, vk, bk, vr, br in zip(v_wkb, b_wkb, v_kind, b_kind, v_radius, b_radius):
-            # circle vs polygon uses the exact disk test (no 32-gon
-            # approximation) so SQL oracles match bit-exactly
-            if vk == "point" and bk != "point":
-                _, c = W.decode(bytes(vw))
-                out.append(P.polygons_intersect_circle(_as_polys(W, bk, bw, br), float(c[0]), float(c[1]), float(vr)))
-                continue
-            if bk == "point" and vk != "point":
-                _, c = W.decode(bytes(bw))
-                out.append(P.polygons_intersect_circle(_as_polys(W, vk, vw, vr), float(c[0]), float(c[1]), float(br)))
-                continue
-            va = _as_polys(W, vk, vw, vr)
-            ba = _as_polys(W, bk, bw, br)
-            out.append(P.polygons_intersect(va, ba))
-        return pd.Series(out)
-
     return cand.filter(
         _intersects(
             F.col("v_wkb"), F.col("b_wkb"), F.col("v_kind"), F.col("b_kind"), F.col("v_radius"), F.col("b_radius")
         )
     )
+
+
+# module-level: a pandas_udf created inside the operator re-pickles and
+# re-registers the function on every plan construction (~30-50 ms)
+@F.pandas_udf(T.DoubleType())
+def _frac(v_wkb, b_wkb, v_kind, b_kind, v_radius, b_radius):
+    import pandas as pd
+
+    from spatialdata_spark.geometry import predicates as P
+    from spatialdata_spark.geometry import wkb as W
+
+    out = []
+    for vw, bw, vk, bk, vr, br in zip(v_wkb, b_wkb, v_kind, b_kind, v_radius, b_radius):
+        v_polys = _as_polys(W, vk, vw, vr)
+        b_polys = _as_polys(W, bk, bw, br)
+        va = P.multipolygon_area(v_polys)
+        if va == 0:
+            out.append(0.0)
+            continue
+        # arbitrary simple by-regions (convex straight to the
+        # Sutherland–Hodgman kernel, concave via ear-clip
+        # triangulation, holes subtract); a multi-part "by"
+        # contributes the sum over its disjoint parts
+        inter = sum(
+            P.intersection_area(v_rings, b_rings)
+            for v_rings in v_polys
+            for b_rings in b_polys
+        )
+        out.append(inter / va)
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.BooleanType())
+def _intersects(v_wkb, b_wkb, v_kind, b_kind, v_radius, b_radius):
+    import pandas as pd
+
+    from spatialdata_spark.geometry import predicates as P
+    from spatialdata_spark.geometry import wkb as W
+
+    out = []
+    for vw, bw, vk, bk, vr, br in zip(v_wkb, b_wkb, v_kind, b_kind, v_radius, b_radius):
+        # circle vs polygon uses the exact disk test (no 32-gon
+        # approximation) so SQL oracles match bit-exactly
+        if vk == "point" and bk != "point":
+            _, c = W.decode(bytes(vw))
+            out.append(P.polygons_intersect_circle(_as_polys(W, bk, bw, br), float(c[0]), float(c[1]), float(vr)))
+            continue
+        if bk == "point" and vk != "point":
+            _, c = W.decode(bytes(bw))
+            out.append(P.polygons_intersect_circle(_as_polys(W, vk, vw, vr), float(c[0]), float(c[1]), float(br)))
+            continue
+        va = _as_polys(W, vk, vw, vr)
+        ba = _as_polys(W, bk, bw, br)
+        out.append(P.polygons_intersect(va, ba))
+    return pd.Series(out)
 
 
 def _as_polys(W, kind: str, wkb_buf: bytes, radius) -> list:
@@ -729,33 +760,6 @@ def aggregate_shapes_by_shapes(
             "__w", F.when(varea > 0, ix * iy / varea).otherwise(F.lit(0.0))
         )
     elif fractions:
-        @F.pandas_udf(T.DoubleType())
-        def _frac(v_wkb, b_wkb, v_kind, b_kind, v_radius, b_radius):
-            import pandas as pd
-
-            from spatialdata_spark.geometry import predicates as P
-            from spatialdata_spark.geometry import wkb as W
-
-            out = []
-            for vw, bw, vk, bk, vr, br in zip(v_wkb, b_wkb, v_kind, b_kind, v_radius, b_radius):
-                v_polys = _as_polys(W, vk, vw, vr)
-                b_polys = _as_polys(W, bk, bw, br)
-                va = P.multipolygon_area(v_polys)
-                if va == 0:
-                    out.append(0.0)
-                    continue
-                # arbitrary simple by-regions (convex straight to the
-                # Sutherland–Hodgman kernel, concave via ear-clip
-                # triangulation, holes subtract); a multi-part "by"
-                # contributes the sum over its disjoint parts
-                inter = sum(
-                    P.intersection_area(v_rings, b_rings)
-                    for v_rings in v_polys
-                    for b_rings in b_polys
-                )
-                out.append(inter / va)
-            return pd.Series(out)
-
         joined = joined.withColumn(
             "__w",
             _frac(

@@ -32,6 +32,32 @@ def centroids_labels(labels_long: DataFrame) -> DataFrame:
     )
 
 
+# module-level: a pandas_udf created inside the operator re-pickles and
+# re-registers the function on every plan construction (~30-50 ms)
+@F.pandas_udf(T.StructType([T.StructField("x", T.DoubleType()), T.StructField("y", T.DoubleType())]))
+def _centroid(wkb_s):
+    import pandas as pd
+
+    from spatialdata_spark.geometry import predicates as P
+    from spatialdata_spark.geometry import wkb as W
+
+    rows = []
+    for buf in wkb_s:
+        kind, geom = W.decode(bytes(buf))
+        if kind == "polygon":
+            rows.append(P.polygon_centroid(geom))
+        else:  # multipolygon: area-weighted average of member centroids
+            num_x = num_y = den = 0.0
+            for rings in geom:
+                cx, cy = P.polygon_centroid(rings)
+                a = P.polygon_area(rings)
+                num_x += cx * a
+                num_y += cy * a
+                den += a
+            rows.append((num_x / den, num_y / den) if den else (0.0, 0.0))
+    return pd.DataFrame(rows, columns=["x", "y"])
+
+
 def centroids_shapes(shapes: DataFrame) -> DataFrame:
     """Shape centroids (reference: centroids.py:108-139).
 
@@ -44,31 +70,6 @@ def centroids_shapes(shapes: DataFrame) -> DataFrame:
         ((F.col("miny") + F.col("maxy")) / 2).alias("y"),
     )
     polys = shapes.filter(F.col("kind") != "point")
-
-    schema = T.StructType([T.StructField("x", T.DoubleType()), T.StructField("y", T.DoubleType())])
-
-    @F.pandas_udf(schema)
-    def _centroid(wkb_s):
-        import pandas as pd
-
-        from spatialdata_spark.geometry import predicates as P
-        from spatialdata_spark.geometry import wkb as W
-
-        rows = []
-        for buf in wkb_s:
-            kind, geom = W.decode(bytes(buf))
-            if kind == "polygon":
-                rows.append(P.polygon_centroid(geom))
-            else:  # multipolygon: area-weighted average of member centroids
-                num_x = num_y = den = 0.0
-                for rings in geom:
-                    cx, cy = P.polygon_centroid(rings)
-                    a = P.polygon_area(rings)
-                    num_x += cx * a
-                    num_y += cy * a
-                    den += a
-                rows.append((num_x / den, num_y / den) if den else (0.0, 0.0))
-        return pd.DataFrame(rows, columns=["x", "y"])
 
     poly_out = polys.select(
         F.col("shape_id").alias("instance_id"), _centroid(F.col("wkb")).alias("__c")

@@ -32,11 +32,14 @@ regroup is semantically required.
 from __future__ import annotations
 
 from dataclasses import dataclass, replace
+from functools import lru_cache
 
 import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.pandas.functions import pandas_udf
+from pyspark.util import PythonEvalType
 
 TILE_SCHEMA = T.StructType(
     [
@@ -73,6 +76,46 @@ class RasterMeta:
         return (-(-self.height // f), -(-self.width // f))
 
 
+# ---------------------------------------------------------------------------
+# cached Arrow-kernel application
+# ---------------------------------------------------------------------------
+#
+# df.mapInPandas / gd.applyInPandas wrap the Python function in a FRESH
+# pandas_udf on every call: the function is re-pickled and re-registered
+# with the JVM per plan construction (~30-50 ms each — r14/r15 driver
+# profile; these kernels sit in every rt_*/rv_* query).  The helpers
+# below mirror the two mixin bodies exactly (pyspark 4.x
+# PandasMapOpsMixin.mapInPandas / PandasGroupedOpsMixin.applyInPandas)
+# but take an ALREADY-BUILT udf, so a keyed lru_cache factory pays the
+# pickle+registration once per (closure parameters) per process.  The
+# produced plan node is identical (MapInPandas /
+# FlatMapGroupsInPandas).  Like every module-level pandas_udf in this
+# library, a cached wrapper holds a JVM handle for the session that
+# first used it — one SparkSession per process (the tests/bench/driver
+# contract).
+
+
+def _map_in_pandas_cached(df: DataFrame, udf) -> DataFrame:
+    udf_column = udf(*[df[col] for col in df.columns])
+    jdf = df._jdf.mapInPandas(udf_column._jc, False, None)
+    return DataFrame(jdf, df.sparkSession)
+
+
+def _apply_in_pandas_cached(grouped, udf) -> DataFrame:
+    df = grouped._df
+    udf_column = udf(*[df[col] for col in df.columns])
+    jdf = grouped._jgd.flatMapGroupsInPandas(udf_column._jc)
+    return DataFrame(jdf, grouped.session)
+
+
+def _map_udf(func, schema):
+    return pandas_udf(func, returnType=schema, functionType=PythonEvalType.SQL_MAP_PANDAS_ITER_UDF)
+
+
+def _grouped_udf(func, schema):
+    return pandas_udf(func, returnType=schema, functionType=PythonEvalType.SQL_GROUPED_MAP_PANDAS_UDF)
+
+
 def _buf(arr: np.ndarray) -> bytes:
     return np.ascontiguousarray(arr).tobytes()
 
@@ -84,6 +127,26 @@ def _arr(buf: bytes, meta: RasterMeta) -> np.ndarray:
 # ---------------------------------------------------------------------------
 # long-form <-> tile conversion
 # ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=128)
+def _pack_udf(ts: int, dtype: str):
+    def _pack(pdf):
+        import pandas as pd
+
+        a = np.zeros((ts, ts), dtype=np.dtype(dtype))
+        a[pdf["iy"].to_numpy(), pdf["ix"].to_numpy()] = pdf["value"].to_numpy()
+        return pd.DataFrame(
+            {
+                "scale": [0],
+                "c": [int(pdf["c"].iloc[0])],
+                "ty": [int(pdf["ty"].iloc[0])],
+                "tx": [int(pdf["tx"].iloc[0])],
+                "tile": [_buf(a)],
+            }
+        )
+
+    return _grouped_udf(_pack, TILE_SCHEMA)
 
 
 def long_to_tiles(df_long: DataFrame, meta: RasterMeta, value_col: str = "value") -> DataFrame:
@@ -101,37 +164,17 @@ def long_to_tiles(df_long: DataFrame, meta: RasterMeta, value_col: str = "value"
         F.floor(F.col("x") / ts).cast("long").alias("tx"),
         F.col(value_col).alias("value"),
     )
-
-    def _pack(pdf):
-        import pandas as pd
-
-        a = np.zeros((ts, ts), dtype=np.dtype(meta.dtype))
-        a[pdf["iy"].to_numpy(), pdf["ix"].to_numpy()] = pdf["value"].to_numpy()
-        return pd.DataFrame(
-            {
-                "scale": [0],
-                "c": [int(pdf["c"].iloc[0])],
-                "ty": [int(pdf["ty"].iloc[0])],
-                "tx": [int(pdf["tx"].iloc[0])],
-                "tile": [_buf(a)],
-            }
-        )
-
-    return keyed.groupBy("c", "ty", "tx").applyInPandas(_pack, TILE_SCHEMA)
+    return _apply_in_pandas_cached(keyed.groupBy("c", "ty", "tx"), _pack_udf(ts, meta.dtype))
 
 
-def tiles_to_long(tiles: DataFrame, meta: RasterMeta, keep_zeros: bool = False, scale: int = 0) -> DataFrame:
-    """Unpack tiles to long form ``(c, y, x, value)``.  Sparse by
-    default (zeros dropped) — the COO view used by zonal stats."""
-    ts = meta.tile
-    h, w = meta.shape_at(scale)
-
+@lru_cache(maxsize=128)
+def _unpack_udf(ts: int, dtype: str, h: int, w: int, keep_zeros: bool):
     out_schema = T.StructType(
         [
             T.StructField("c", T.IntegerType()),
             T.StructField("y", T.LongType()),
             T.StructField("x", T.LongType()),
-            T.StructField("value", T.DoubleType() if meta.dtype.startswith("f") else T.LongType()),
+            T.StructField("value", T.DoubleType() if dtype.startswith("f") else T.LongType()),
         ]
     )
 
@@ -140,7 +183,7 @@ def tiles_to_long(tiles: DataFrame, meta: RasterMeta, keep_zeros: bool = False, 
 
         for pdf in iterator:
             for row in pdf.itertuples(index=False):
-                a = _arr(row.tile, meta)
+                a = np.frombuffer(row.tile, dtype=np.dtype(dtype)).reshape(ts, ts)
                 oy, ox = int(row.ty) * ts, int(row.tx) * ts
                 if keep_zeros:
                     yy, xx = np.mgrid[0:ts, 0:ts]
@@ -154,7 +197,17 @@ def tiles_to_long(tiles: DataFrame, meta: RasterMeta, keep_zeros: bool = False, 
                     {"c": int(row.c), "y": ay[m], "x": ax[m], "value": vv[m]}
                 )
 
-    return tiles.filter(F.col("scale") == scale).mapInPandas(_unpack, out_schema)
+    return _map_udf(_unpack, out_schema)
+
+
+def tiles_to_long(tiles: DataFrame, meta: RasterMeta, keep_zeros: bool = False, scale: int = 0) -> DataFrame:
+    """Unpack tiles to long form ``(c, y, x, value)``.  Sparse by
+    default (zeros dropped) — the COO view used by zonal stats."""
+    h, w = meta.shape_at(scale)
+    return _map_in_pandas_cached(
+        tiles.filter(F.col("scale") == scale),
+        _unpack_udf(meta.tile, meta.dtype, h, w, keep_zeros),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -162,25 +215,30 @@ def tiles_to_long(tiles: DataFrame, meta: RasterMeta, keep_zeros: bool = False, 
 # ---------------------------------------------------------------------------
 
 
-def map_tiles(tiles: DataFrame, fn, meta: RasterMeta, out_dtype: str | None = None) -> DataFrame:
-    """``map_raster(func)`` without overlap (reference: map.py:22-156,
-    map_blocks path): embarrassingly parallel, shuffle-free — fn is
-    applied tile-wise inside ``mapInPandas``."""
-    out_meta = replace(meta, dtype=out_dtype or meta.dtype)
-
+@lru_cache(maxsize=128)
+def _map_tiles_udf(fn, ts: int, dtype: str, out_dtype: str):
     def _apply(iterator):
-        import pandas as pd
-
         for pdf in iterator:
             out = []
             for row in pdf.itertuples(index=False):
-                a = _arr(row.tile, meta)
-                out.append(_buf(np.asarray(fn(a), dtype=np.dtype(out_meta.dtype))))
+                a = np.frombuffer(row.tile, dtype=np.dtype(dtype)).reshape(ts, ts)
+                out.append(_buf(np.asarray(fn(a), dtype=np.dtype(out_dtype))))
             pdf = pdf.copy()
             pdf["tile"] = out
             yield pdf
 
-    return tiles.mapInPandas(_apply, TILE_SCHEMA)
+    return _map_udf(_apply, TILE_SCHEMA)
+
+
+def map_tiles(tiles: DataFrame, fn, meta: RasterMeta, out_dtype: str | None = None) -> DataFrame:
+    """``map_raster(func)`` without overlap (reference: map.py:22-156,
+    map_blocks path): embarrassingly parallel, shuffle-free — fn is
+    applied tile-wise inside ``mapInPandas``.  The kernel UDF is cached
+    per (fn, tile, dtypes) — pass a module-level fn (not a fresh
+    lambda) to amortize its pickle+registration across calls."""
+    return _map_in_pandas_cached(
+        tiles, _map_tiles_udf(fn, meta.tile, meta.dtype, out_dtype or meta.dtype)
+    )
 
 
 def map_tiles_with_halo(tiles: DataFrame, fn, meta: RasterMeta, halo: int, out_dtype: str | None = None) -> DataFrame:
@@ -200,34 +258,41 @@ def map_tiles_with_halo(tiles: DataFrame, fn, meta: RasterMeta, halo: int, out_d
     if halo > meta.tile:
         raise ValueError(f"halo {halo} exceeds tile size {meta.tile}")
     ts = meta.tile
-    out_meta = replace(meta, dtype=out_dtype or meta.dtype)
 
-    offsets = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
-    off_df = F.explode(
-        F.array(*[F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx")) for dy, dx in offsets])
-    ).alias("off")
+    # the 9 neighbor offsets as ONE selectExpr parse (the struct-array
+    # Column build cost ~18 py4j round trips per construction)
+    offs = ", ".join(
+        f"named_struct('dy', {dy}, 'dx', {dx})" for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+    )
     contrib = (
-        tiles.select("scale", "c", "ty", "tx", "tile", off_df)
-        .select(
+        tiles.selectExpr("scale", "c", "ty", "tx", "tile", f"explode(array({offs})) AS off")
+        .selectExpr(
             "scale",
             "c",
-            (F.col("ty") + F.col("off.dy")).alias("gty"),
-            (F.col("tx") + F.col("off.dx")).alias("gtx"),
-            F.col("off.dy").alias("rel_dy"),
-            F.col("off.dx").alias("rel_dx"),
+            "(ty + off.dy) AS gty",
+            "(tx + off.dx) AS gtx",
+            "off.dy AS rel_dy",
+            "off.dx AS rel_dx",
             "tile",
         )
         .filter((F.col("gty") >= 0) & (F.col("gtx") >= 0))
     )
+    return _apply_in_pandas_cached(
+        contrib.groupBy("scale", "c", "gty", "gtx"),
+        _halo_assemble_udf(fn, ts, halo, meta.dtype, out_dtype or meta.dtype),
+    )
 
+
+@lru_cache(maxsize=128)
+def _halo_assemble_udf(fn, ts: int, halo: int, dtype: str, out_dtype: str):
     def _assemble(key, pdf):
         import pandas as pd
 
         scale, c, gty, gtx = (int(k) for k in key)
-        padded = np.zeros((ts + 2 * halo, ts + 2 * halo), dtype=np.dtype(meta.dtype))
+        padded = np.zeros((ts + 2 * halo, ts + 2 * halo), dtype=np.dtype(dtype))
         center_seen = False
         for row in pdf.itertuples(index=False):
-            a = _arr(row.tile, meta)
+            a = np.frombuffer(row.tile, dtype=np.dtype(dtype)).reshape(ts, ts)
             dy, dx = int(row.rel_dy), int(row.rel_dx)
             if dy == 0 and dx == 0:
                 center_seen = True
@@ -243,13 +308,13 @@ def map_tiles_with_halo(tiles: DataFrame, fn, meta: RasterMeta, halo: int, out_d
         if not center_seen:
             # pure-halo target (tile absent from the input): skip
             return pd.DataFrame(columns=["scale", "c", "ty", "tx", "tile"])
-        res = np.asarray(fn(padded), dtype=np.dtype(out_meta.dtype))
+        res = np.asarray(fn(padded), dtype=np.dtype(out_dtype))
         cropped = res[halo : halo + ts, halo : halo + ts]
         return pd.DataFrame(
             {"scale": [scale], "c": [c], "ty": [gty], "tx": [gtx], "tile": [_buf(cropped)]}
         )
 
-    return contrib.groupBy("scale", "c", "gty", "gtx").applyInPandas(_assemble, TILE_SCHEMA)
+    return _grouped_udf(_assemble, TILE_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -277,13 +342,18 @@ def bounding_box_query_tiles(
         & (F.col("tx") <= (x1 - 1) // ts)
     )
 
+    return _map_in_pandas_cached(pruned, _bbox_crop_udf(ts, meta.dtype, y0, x0, y1, x1))
+
+
+@lru_cache(maxsize=256)
+def _bbox_crop_udf(ts: int, dtype: str, y0: int, x0: int, y1: int, x1: int):
     def _crop(iterator):
         import pandas as pd
 
         for pdf in iterator:
             rows = {"scale": [], "c": [], "ty": [], "tx": [], "tile": []}
             for row in pdf.itertuples(index=False):
-                a = _arr(row.tile, meta).copy()
+                a = np.frombuffer(row.tile, dtype=np.dtype(dtype)).reshape(ts, ts).copy()
                 oy, ox = int(row.ty) * ts, int(row.tx) * ts
                 yy, xx = np.mgrid[0:ts, 0:ts]
                 mask = (yy + oy >= y0) & (yy + oy < y1) & (xx + ox >= x0) & (xx + ox < x1)
@@ -295,7 +365,7 @@ def bounding_box_query_tiles(
                 rows["tile"].append(_buf(a))
             yield pd.DataFrame(rows)
 
-    return pruned.mapInPandas(_crop, TILE_SCHEMA)
+    return _map_udf(_crop, TILE_SCHEMA)
 
 
 def unpad_raster(tiles: DataFrame, meta: RasterMeta) -> tuple[DataFrame, tuple[int, int, int, int]]:
@@ -304,7 +374,19 @@ def unpad_raster(tiles: DataFrame, meta: RasterMeta) -> tuple[DataFrame, tuple[i
     them to a global bbox, and the crop reuses the pruned bbox query.
     """
     ts = meta.tile
+    row = (
+        _map_in_pandas_cached(tiles.filter(F.col("scale") == 0), _extent_udf(ts, meta.dtype))
+        .agg(F.min("miny"), F.min("minx"), F.max("maxy"), F.max("maxx"))
+        .first()
+    )
+    if row is None or row[0] is None:
+        return tiles, (0, 0, 0, 0)
+    y0, x0, y1, x1 = int(row[0]), int(row[1]), int(row[2]) + 1, int(row[3]) + 1
+    return bounding_box_query_tiles(tiles, meta, y0, x0, y1, x1), (y0, x0, y1, x1)
 
+
+@lru_cache(maxsize=128)
+def _extent_udf(ts: int, dtype: str):
     ext_schema = T.StructType(
         [
             T.StructField("miny", T.LongType()),
@@ -320,7 +402,7 @@ def unpad_raster(tiles: DataFrame, meta: RasterMeta) -> tuple[DataFrame, tuple[i
         for pdf in iterator:
             rows = []
             for row in pdf.itertuples(index=False):
-                a = _arr(row.tile, meta)
+                a = np.frombuffer(row.tile, dtype=np.dtype(dtype)).reshape(ts, ts)
                 yy, xx = np.nonzero(a)
                 if len(yy) == 0:
                     continue
@@ -328,16 +410,7 @@ def unpad_raster(tiles: DataFrame, meta: RasterMeta) -> tuple[DataFrame, tuple[i
                 rows.append((int(yy.min()) + oy, int(xx.min()) + ox, int(yy.max()) + oy, int(xx.max()) + ox))
             yield pd.DataFrame(rows, columns=["miny", "minx", "maxy", "maxx"])
 
-    row = (
-        tiles.filter(F.col("scale") == 0)
-        .mapInPandas(_extent, ext_schema)
-        .agg(F.min("miny"), F.min("minx"), F.max("maxy"), F.max("maxx"))
-        .first()
-    )
-    if row is None or row[0] is None:
-        return tiles, (0, 0, 0, 0)
-    y0, x0, y1, x1 = int(row[0]), int(row[1]), int(row[2]) + 1, int(row[3]) + 1
-    return bounding_box_query_tiles(tiles, meta, y0, x0, y1, x1), (y0, x0, y1, x1)
+    return _map_udf(_extent, ext_schema)
 
 
 def downsample_tiles(tiles: DataFrame, meta: RasterMeta, scale: int = 0, reduction: str = "sum") -> DataFrame:
@@ -354,25 +427,9 @@ def downsample_tiles(tiles: DataFrame, meta: RasterMeta, scale: int = 0, reducti
     if ts % 2:
         raise ValueError("tile size must be even for factor-2 pyramid")
 
-    def _pool(iterator):
-        import pandas as pd
-
-        for pdf in iterator:
-            out = []
-            for row in pdf.itertuples(index=False):
-                a = _arr(row.tile, meta).reshape(half, 2, half, 2)
-                if reduction == "sum":
-                    p = a.sum(axis=(1, 3))
-                elif reduction == "max":
-                    p = a.max(axis=(1, 3))
-                else:
-                    p = a.mean(axis=(1, 3))
-                out.append(_buf(p.astype(np.dtype(meta.dtype))))
-            pdf = pdf.copy()
-            pdf["tile"] = out
-            yield pdf
-
-    pooled = tiles.filter(F.col("scale") == scale).mapInPandas(_pool, TILE_SCHEMA)
+    pooled = _map_in_pandas_cached(
+        tiles.filter(F.col("scale") == scale), _pool_udf(ts, meta.dtype, reduction)
+    )
     # regroup 2x2 pooled half-tiles into full coarse tiles
     quad = pooled.select(
         F.lit(scale + 1).alias("scale"),
@@ -384,18 +441,50 @@ def downsample_tiles(tiles: DataFrame, meta: RasterMeta, scale: int = 0, reducti
         "tile",
     )
 
+    return _apply_in_pandas_cached(
+        quad.groupBy("scale", "c", "gty", "gtx"), _regroup_udf(ts, meta.dtype)
+    )
+
+
+@lru_cache(maxsize=128)
+def _pool_udf(ts: int, dtype: str, reduction: str):
+    half = ts // 2
+
+    def _pool(iterator):
+        for pdf in iterator:
+            out = []
+            for row in pdf.itertuples(index=False):
+                a = np.frombuffer(row.tile, dtype=np.dtype(dtype)).reshape(half, 2, half, 2)
+                if reduction == "sum":
+                    p = a.sum(axis=(1, 3))
+                elif reduction == "max":
+                    p = a.max(axis=(1, 3))
+                else:
+                    p = a.mean(axis=(1, 3))
+                out.append(_buf(p.astype(np.dtype(dtype))))
+            pdf = pdf.copy()
+            pdf["tile"] = out
+            yield pdf
+
+    return _map_udf(_pool, TILE_SCHEMA)
+
+
+@lru_cache(maxsize=128)
+def _regroup_udf(ts: int, dtype: str):
+    half = ts // 2
+
     def _regroup(key, pdf):
         import pandas as pd
 
         scale_, c, gty, gtx = (int(k) for k in key)
-        a = np.zeros((ts, ts), dtype=np.dtype(meta.dtype))
+        a = np.zeros((ts, ts), dtype=np.dtype(dtype))
         for row in pdf.itertuples(index=False):
-            q = np.frombuffer(row.tile, dtype=np.dtype(meta.dtype)).reshape(half, half)
+            q = np.frombuffer(row.tile, dtype=np.dtype(dtype)).reshape(half, half)
             y0, x0 = int(row.qy) * half, int(row.qx) * half
             a[y0 : y0 + half, x0 : x0 + half] = q
         return pd.DataFrame({"scale": [scale_], "c": [c], "ty": [gty], "tx": [gtx], "tile": [_buf(a)]})
 
-    return quad.groupBy("scale", "c", "gty", "gtx").applyInPandas(_regroup, TILE_SCHEMA)
+    return _grouped_udf(_regroup, TILE_SCHEMA)
 
 
 def build_pyramid(tiles: DataFrame, meta: RasterMeta, n_scales: int, reduction: str = "sum") -> DataFrame:
@@ -495,6 +584,18 @@ def zonal_stats_tiles(
         lab, (F.col("ty") == F.col("lty")) & (F.col("tx") == F.col("ltx"))
     )
 
+    partials = _map_in_pandas_cached(
+        joined, _zonal_udf(meta.tile, meta.dtype, label_meta.dtype)
+    )
+    return partials.groupBy("label", "c").agg(
+        F.sum("sum_value").alias("sum_value"),
+        F.sum("n").alias("n"),
+        (F.sum("sum_value") / F.sum("n")).alias("mean_value"),
+    )
+
+
+@lru_cache(maxsize=128)
+def _zonal_udf(ts: int, dtype: str, label_dtype: str):
     out_schema = T.StructType(
         [
             T.StructField("label", T.LongType()),
@@ -510,8 +611,8 @@ def zonal_stats_tiles(
         for pdf in iterator:
             frames = []
             for row in pdf.itertuples(index=False):
-                img = _arr(row.tile, meta).ravel()
-                labels = np.frombuffer(row.ltile, dtype=np.dtype(label_meta.dtype)).ravel()
+                img = np.frombuffer(row.tile, dtype=np.dtype(dtype)).ravel()
+                labels = np.frombuffer(row.ltile, dtype=np.dtype(label_dtype)).ravel()
                 m = labels != 0
                 if not m.any():
                     continue
@@ -531,12 +632,7 @@ def zonal_stats_tiles(
             if frames:
                 yield pd.concat(frames)
 
-    partials = joined.mapInPandas(_zonal, out_schema)
-    return partials.groupBy("label", "c").agg(
-        F.sum("sum_value").alias("sum_value"),
-        F.sum("n").alias("n"),
-        (F.sum("sum_value") / F.sum("n")).alias("mean_value"),
-    )
+    return _map_udf(_zonal, out_schema)
 
 
 # ---------------------------------------------------------------------------
@@ -619,7 +715,20 @@ def transform_raster_tiles(
         .select("oty", "otx", "ty", "tx")
     )
     joined = cover.join(tiles.filter(F.col("scale") == scale), ["ty", "tx"])
+    return _apply_in_pandas_cached(
+        joined.groupBy("oty", "otx", "c"),
+        _resample_udf(
+            float(a00), float(a01), float(b0), float(a10), float(a11), float(b1),
+            ts, ots, order, meta.dtype, out_meta.dtype,
+        ),
+    )
 
+
+@lru_cache(maxsize=128)
+def _resample_udf(
+    a00: float, a01: float, b0: float, a10: float, a11: float, b1: float,
+    ts: int, ots: int, order: int, dtype: str, out_dtype: str,
+):
     def _resample(key, pdf):
         import pandas as pd
 
@@ -627,9 +736,9 @@ def transform_raster_tiles(
         tys = pdf["ty"].astype(int)
         txs = pdf["tx"].astype(int)
         py0, px0 = tys.min() * ts, txs.min() * ts
-        patch = np.zeros(((tys.max() - tys.min() + 1) * ts, (txs.max() - txs.min() + 1) * ts), dtype=np.dtype(meta.dtype))
+        patch = np.zeros(((tys.max() - tys.min() + 1) * ts, (txs.max() - txs.min() + 1) * ts), dtype=np.dtype(dtype))
         for row in pdf.itertuples(index=False):
-            a = _arr(row.tile, meta)
+            a = np.frombuffer(row.tile, dtype=np.dtype(dtype)).reshape(ts, ts)
             yy, xx = int(row.ty) * ts - py0, int(row.tx) * ts - px0
             patch[yy : yy + ts, xx : xx + ts] = a
         oy, ox = np.mgrid[0:ots, 0:ots]
@@ -637,7 +746,7 @@ def transform_raster_tiles(
         ox = ox + otx * ots
         iy = a00 * oy + a01 * ox + b0
         ix = a10 * oy + a11 * ox + b1
-        out = np.zeros((ots, ots), dtype=np.dtype(out_meta.dtype))
+        out = np.zeros((ots, ots), dtype=np.dtype(out_dtype))
         h, w = patch.shape
         if order == 0:
             # half-up rounding (deterministic, matches FLOOR(i+0.5))
@@ -665,12 +774,12 @@ def transform_raster_tiles(
                 + at(fy + 1, fx) * wy * (1 - wx)
                 + at(fy + 1, fx + 1) * wy * wx
             )
-            out = val.astype(np.dtype(out_meta.dtype))
+            out = val.astype(np.dtype(out_dtype))
         return pd.DataFrame(
             {"scale": [0], "c": [c], "ty": [oty], "tx": [otx], "tile": [_buf(out)]}
         )
 
-    return joined.groupBy("oty", "otx", "c").applyInPandas(_resample, TILE_SCHEMA)
+    return _grouped_udf(_resample, TILE_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -708,7 +817,13 @@ def export_region_tiles(
         .withColumn("tx", F.explode(F.sequence(F.floor(F.col("x0") / ts), F.floor((F.col("x0") + tile_px - 1) / ts))))
     )
     joined = cover.join(tiles.filter(F.col("scale") == scale), ["ty", "tx"])
+    return _apply_in_pandas_cached(
+        joined.groupBy("region_id", "c"), _region_crop_udf(ts, meta.dtype, tile_px)
+    )
 
+
+@lru_cache(maxsize=128)
+def _region_crop_udf(ts: int, dtype: str, tile_px: int):
     out_schema = T.StructType(
         [
             T.StructField("region_id", T.LongType()),
@@ -725,9 +840,9 @@ def export_region_tiles(
         region_id, c = int(key[0]), int(key[1])
         y0 = int(pdf["y0"].iloc[0])
         x0 = int(pdf["x0"].iloc[0])
-        out = np.zeros((tile_px, tile_px), dtype=np.dtype(meta.dtype))
+        out = np.zeros((tile_px, tile_px), dtype=np.dtype(dtype))
         for row in pdf.itertuples(index=False):
-            a = _arr(row.tile, meta)
+            a = np.frombuffer(row.tile, dtype=np.dtype(dtype)).reshape(ts, ts)
             oy, ox = int(row.ty) * ts, int(row.tx) * ts
             ys0 = max(y0, oy)
             ys1 = min(y0 + tile_px, oy + ts)
@@ -740,7 +855,7 @@ def export_region_tiles(
             {"region_id": [region_id], "c": [c], "y0": [y0], "x0": [x0], "data": [_buf(out)]}
         )
 
-    return joined.groupBy("region_id", "c").applyInPandas(_crop, out_schema)
+    return _grouped_udf(_crop, out_schema)
 
 
 # ---------------------------------------------------------------------------
@@ -790,31 +905,44 @@ def long3d_to_tiles(df_long: DataFrame, meta: RasterMeta, value_col: str = "valu
         F.col(value_col).alias("value"),
     )
 
+    return _apply_in_pandas_cached(
+        keyed.groupBy("c", "z", "ty", "tx"), _pack3d_udf(ts, meta.dtype)
+    )
+
+
+@lru_cache(maxsize=128)
+def _pack3d_udf(ts: int, dtype: str):
     def _pack(key, pdf):
         import pandas as pd
 
         c, z, ty, tx = (int(k) for k in key)
-        a = np.zeros((ts, ts), dtype=np.dtype(meta.dtype))
+        a = np.zeros((ts, ts), dtype=np.dtype(dtype))
         a[pdf["iy"].to_numpy(), pdf["ix"].to_numpy()] = pdf["value"].to_numpy()
         return pd.DataFrame(
             {"scale": [0], "c": [c], "z": [z], "ty": [ty], "tx": [tx], "tile": [_buf(a)]}
         )
 
-    return keyed.groupBy("c", "z", "ty", "tx").applyInPandas(_pack, TILE3D_SCHEMA)
+    return _grouped_udf(_pack, TILE3D_SCHEMA)
 
 
 def tiles3d_to_long(tiles: DataFrame, meta: RasterMeta, keep_zeros: bool = False, scale: int = 0) -> DataFrame:
     """Unpack z-plane tiles to long form ``(c, z, y, x, value)``."""
-    ts = meta.tile
     h, w = meta.shape_at(scale)
+    return _map_in_pandas_cached(
+        tiles.filter(F.col("scale") == scale),
+        _unpack3d_udf(meta.tile, meta.dtype, h, w, keep_zeros),
+    )
 
+
+@lru_cache(maxsize=128)
+def _unpack3d_udf(ts: int, dtype: str, h: int, w: int, keep_zeros: bool):
     out_schema = T.StructType(
         [
             T.StructField("c", T.IntegerType()),
             T.StructField("z", T.LongType()),
             T.StructField("y", T.LongType()),
             T.StructField("x", T.LongType()),
-            T.StructField("value", T.DoubleType() if meta.dtype.startswith("f") else T.LongType()),
+            T.StructField("value", T.DoubleType() if dtype.startswith("f") else T.LongType()),
         ]
     )
 
@@ -823,7 +951,7 @@ def tiles3d_to_long(tiles: DataFrame, meta: RasterMeta, keep_zeros: bool = False
 
         for pdf in iterator:
             for row in pdf.itertuples(index=False):
-                a = _arr(row.tile, meta)
+                a = np.frombuffer(row.tile, dtype=np.dtype(dtype)).reshape(ts, ts)
                 oy, ox = int(row.ty) * ts, int(row.tx) * ts
                 if keep_zeros:
                     yy, xx = np.mgrid[0:ts, 0:ts]
@@ -837,7 +965,7 @@ def tiles3d_to_long(tiles: DataFrame, meta: RasterMeta, keep_zeros: bool = False
                     {"c": int(row.c), "z": int(row.z), "y": ay[m], "x": ax[m], "value": vv[m]}
                 )
 
-    return tiles.filter(F.col("scale") == scale).mapInPandas(_unpack, out_schema)
+    return _map_udf(_unpack, out_schema)
 
 
 def bounding_box_query_tiles_3d(
@@ -866,13 +994,16 @@ def bounding_box_query_tiles_3d(
         & (F.col("tx") <= (x1 - 1) // ts)
     )
 
-    def _crop(iterator):
-        import pandas as pd
+    return _map_in_pandas_cached(pruned, _bbox_crop3d_udf(ts, meta.dtype, y0, x0, y1, x1))
 
+
+@lru_cache(maxsize=256)
+def _bbox_crop3d_udf(ts: int, dtype: str, y0: int, x0: int, y1: int, x1: int):
+    def _crop(iterator):
         for pdf in iterator:
             out = []
             for row in pdf.itertuples(index=False):
-                a = _arr(row.tile, meta).copy()
+                a = np.frombuffer(row.tile, dtype=np.dtype(dtype)).reshape(ts, ts).copy()
                 oy, ox = int(row.ty) * ts, int(row.tx) * ts
                 yy, xx = np.mgrid[0:ts, 0:ts]
                 mask = (yy + oy >= y0) & (yy + oy < y1) & (xx + ox >= x0) & (xx + ox < x1)
@@ -882,25 +1013,30 @@ def bounding_box_query_tiles_3d(
             pdf["tile"] = out
             yield pdf
 
-    return pruned.mapInPandas(_crop, TILE3D_SCHEMA)
+    return _map_udf(_crop, TILE3D_SCHEMA)
+
+
+@lru_cache(maxsize=128)
+def _map_tiles3d_udf(fn, ts: int, dtype: str, out_dtype: str):
+    def _apply(iterator):
+        for pdf in iterator:
+            out = []
+            for row in pdf.itertuples(index=False):
+                a = np.frombuffer(row.tile, dtype=np.dtype(dtype)).reshape(ts, ts)
+                out.append(_buf(np.asarray(fn(a), dtype=np.dtype(out_dtype))))
+            pdf = pdf.copy()
+            pdf["tile"] = out
+            yield pdf
+
+    return _map_udf(_apply, TILE3D_SCHEMA)
 
 
 def map_tiles_3d(tiles: DataFrame, fn, meta: RasterMeta, out_dtype: str | None = None) -> DataFrame:
     """Per-z-plane ``map_raster`` over a volume: shuffle-free, fn runs
     tile-wise exactly as in :func:`map_tiles`."""
-    out_meta = replace(meta, dtype=out_dtype or meta.dtype)
-
-    def _apply(iterator):
-        for pdf in iterator:
-            out = []
-            for row in pdf.itertuples(index=False):
-                a = _arr(row.tile, meta)
-                out.append(_buf(np.asarray(fn(a), dtype=np.dtype(out_meta.dtype))))
-            pdf = pdf.copy()
-            pdf["tile"] = out
-            yield pdf
-
-    return tiles.mapInPandas(_apply, TILE3D_SCHEMA)
+    return _map_in_pandas_cached(
+        tiles, _map_tiles3d_udf(fn, meta.tile, meta.dtype, out_dtype or meta.dtype)
+    )
 
 
 def zonal_quantiles_long(

@@ -14,6 +14,8 @@ scale-correct representation for 100 TB of transcripts.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -144,6 +146,14 @@ def rasterize_polygons_fill(shapes: DataFrame) -> DataFrame:
 
     Reference: rasterize.py:616-743 (datashader ``cnv.polygons``).
     """
+    from spatialdata_spark.operators.raster import _map_in_pandas_cached
+
+    cols = ["shape_id", "kind", "wkb", "minx", "miny", "maxx", "maxy", "radius"]
+    return _map_in_pandas_cached(shapes.select(*cols), _fill_udf())
+
+
+@lru_cache(maxsize=1)
+def _fill_udf():
     import numpy as np
     from pyspark.sql import types as T
 
@@ -200,8 +210,10 @@ def rasterize_polygons_fill(shapes: DataFrame) -> DataFrame:
                     }
                 )
 
-    cols = ["shape_id", "kind", "wkb", "minx", "miny", "maxx", "maxy", "radius"]
-    return shapes.select(*cols).mapInPandas(_fill, schema)
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.util import PythonEvalType
+
+    return pandas_udf(_fill, returnType=schema, functionType=PythonEvalType.SQL_MAP_PANDAS_ITER_UDF)
 
 
 def rasterize_bins(

@@ -192,8 +192,16 @@ def _box_overlap_cond(qminx: float, qminy: float, qmaxx: float, qmaxy: float) ->
 
 def _polygon_refine_udf(ring: np.ndarray):
     """Exact shape-vs-query-ring intersect test (Arrow batched).
-    Circles (kind point + radius) use the exact disk-vs-ring test."""
-    ring_arr = np.asarray(ring, dtype=float)
+    Circles (kind point + radius) use the exact disk-vs-ring test.
+    Cached per ring bytes (same contract as _ring_pip_udf): the
+    pandas_udf pickle+registration is paid once per distinct ring."""
+    r = np.ascontiguousarray(np.asarray(ring, dtype=float))
+    return _polygon_refine_udf_cached(r.tobytes(), len(r))
+
+
+@lru_cache(maxsize=64)
+def _polygon_refine_udf_cached(ring_bytes: bytes, n: int):
+    ring_arr = np.frombuffer(ring_bytes, dtype=float).reshape(n, 2).copy()
 
     @F.pandas_udf(T.BooleanType())
     def _refine(wkb_s, radius_s):
@@ -421,7 +429,16 @@ def polygon_query_shapes(
     out = pre.filter(refine(F.col("wkb"), F.col("radius")))
     if not clip:
         return out
-    ring_arr = np.asarray(ring_i, dtype=float)
+    ring_arr = np.ascontiguousarray(np.asarray(ring_i, dtype=float))
+    _clip = _clip_udf_cached(ring_arr.tobytes(), len(ring_arr))
+    return _finish_clip(out, _clip)
+
+
+@lru_cache(maxsize=64)
+def _clip_udf_cached(ring_bytes: bytes, n: int):
+    """Sutherland–Hodgman clip kernel, cached per query ring (the
+    pandas_udf pickle+registration is paid once per distinct ring)."""
+    ring_arr = np.frombuffer(ring_bytes, dtype=float).reshape(n, 2).copy()
     # concave query rings: ear-clip into interior-disjoint triangles and
     # clip against each — the pieces form a multipolygon whose areas sum
     # exactly (triangles share only boundary)
@@ -499,6 +516,10 @@ def polygon_query_shapes(
             )
         return pd.DataFrame(rows, columns=["wkb", "minx", "miny", "maxx", "maxy", "area"])
 
+    return _clip
+
+
+def _finish_clip(out: DataFrame, _clip) -> DataFrame:
     clipped = out.withColumn("__c", _clip(F.col("wkb"), F.col("radius")))
     keep = [c for c in out.columns if c not in ("wkb", "minx", "miny", "maxx", "maxy", "radius", "kind")]
     return (

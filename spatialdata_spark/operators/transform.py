@@ -75,26 +75,9 @@ def transform_shapes(df: DataFrame, transformation: BaseTransformation) -> DataF
     else:
         df2 = None
 
-    @F.pandas_udf(T.BinaryType())
-    def _rewrite_wkb(wkb_s):
-        import pandas as pd
-
-        from spatialdata_spark.geometry import wkb as W
-
-        lin = np.array([[sx, shy], [shx, sy]])
-        t = np.array([tx, ty])
-        out = []
-        for buf in wkb_s:
-            kind, geom = W.decode(bytes(buf))
-            if kind == "point":
-                p = lin @ geom + t
-                out.append(W.encode_point(float(p[0]), float(p[1])))
-            elif kind == "polygon":
-                out.append(W.encode_polygon([r @ lin.T + t for r in geom]))
-            else:
-                out.append(W.encode_multipolygon([[r @ lin.T + t for r in rings] for rings in geom]))
-        return pd.Series(out)
-
+    _rewrite_wkb = _rewrite_wkb_udf(
+        float(sx), float(shy), float(shx), float(sy), float(tx), float(ty)
+    )
     result = (df2 if df2 is not None else df).withColumn("wkb", _rewrite_wkb("wkb"))
 
     if df2 is not None:
@@ -106,34 +89,6 @@ def transform_shapes(df: DataFrame, transformation: BaseTransformation) -> DataF
             .drop("__minx", "__maxx", "__miny", "__maxy")
         )
     else:
-        bounds_schema = T.StructType(
-            [
-                T.StructField("minx", T.DoubleType()),
-                T.StructField("miny", T.DoubleType()),
-                T.StructField("maxx", T.DoubleType()),
-                T.StructField("maxy", T.DoubleType()),
-            ]
-        )
-
-        @F.pandas_udf(bounds_schema)
-        def _bounds(wkb_s):
-            import pandas as pd
-
-            from spatialdata_spark.geometry import wkb as W
-
-            rows = []
-            for buf in wkb_s:
-                kind, geom = W.decode(bytes(buf))
-                if kind == "point":
-                    rows.append((float(geom[0]), float(geom[1]), float(geom[0]), float(geom[1])))
-                else:
-                    polys = [geom] if kind == "polygon" else geom
-                    pts = np.vstack([r for rings in polys for r in rings])
-                    rows.append(
-                        (float(pts[:, 0].min()), float(pts[:, 1].min()), float(pts[:, 0].max()), float(pts[:, 1].max()))
-                    )
-            return pd.DataFrame(rows, columns=["minx", "miny", "maxx", "maxy"])
-
         result = (
             result.withColumn("__b", _bounds("wkb"))
             .withColumn("minx", F.col("__b.minx"))
@@ -156,6 +111,66 @@ def transform_shapes(df: DataFrame, transformation: BaseTransformation) -> DataF
     if radius_factor != 1.0:
         result = result.withColumn("radius", F.col("radius") * F.lit(radius_factor))
     return result
+
+
+# module-level / keyed-factory UDFs: a pandas_udf created inside the
+# operator re-pickles and re-registers the function on every plan
+# construction (~30-50 ms each)
+from functools import lru_cache
+
+
+@lru_cache(maxsize=64)
+def _rewrite_wkb_udf(sx: float, shy: float, shx: float, sy: float, tx: float, ty: float):
+    @F.pandas_udf(T.BinaryType())
+    def _rewrite_wkb(wkb_s):
+        import pandas as pd
+
+        from spatialdata_spark.geometry import wkb as W
+
+        lin = np.array([[sx, shy], [shx, sy]])
+        t = np.array([tx, ty])
+        out = []
+        for buf in wkb_s:
+            kind, geom = W.decode(bytes(buf))
+            if kind == "point":
+                p = lin @ geom + t
+                out.append(W.encode_point(float(p[0]), float(p[1])))
+            elif kind == "polygon":
+                out.append(W.encode_polygon([r @ lin.T + t for r in geom]))
+            else:
+                out.append(W.encode_multipolygon([[r @ lin.T + t for r in rings] for rings in geom]))
+        return pd.Series(out)
+
+    return _rewrite_wkb
+
+
+@F.pandas_udf(
+    T.StructType(
+        [
+            T.StructField("minx", T.DoubleType()),
+            T.StructField("miny", T.DoubleType()),
+            T.StructField("maxx", T.DoubleType()),
+            T.StructField("maxy", T.DoubleType()),
+        ]
+    )
+)
+def _bounds(wkb_s):
+    import pandas as pd
+
+    from spatialdata_spark.geometry import wkb as W
+
+    rows = []
+    for buf in wkb_s:
+        kind, geom = W.decode(bytes(buf))
+        if kind == "point":
+            rows.append((float(geom[0]), float(geom[1]), float(geom[0]), float(geom[1])))
+        else:
+            polys = [geom] if kind == "polygon" else geom
+            pts = np.vstack([r for rings in polys for r in rings])
+            rows.append(
+                (float(pts[:, 0].min()), float(pts[:, 1].min()), float(pts[:, 0].max()), float(pts[:, 1].max()))
+            )
+    return pd.DataFrame(rows, columns=["minx", "miny", "maxx", "maxy"])
 
 
 def transform_labels_long(df: DataFrame, transformation: BaseTransformation) -> DataFrame:

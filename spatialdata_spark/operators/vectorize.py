@@ -8,6 +8,7 @@ to_polygons :159-302 (per-chunk contours + cross-chunk dissolve).
 from __future__ import annotations
 
 import math
+from functools import lru_cache
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -35,30 +36,31 @@ def labels_to_circles(labels_long: DataFrame, pixel_area: float = 1.0) -> DataFr
     )
 
 
+# module-level: a pandas_udf created inside the operator re-pickles and
+# re-registers the function on every plan construction (~30-50 ms)
+@F.pandas_udf(T.DoubleType())
+def _area(wkb_s):
+    import pandas as pd
+
+    from spatialdata_spark.geometry import predicates as P
+    from spatialdata_spark.geometry import wkb as W
+
+    out = []
+    for buf in wkb_s:
+        kind, geom = W.decode(bytes(buf))
+        if kind == "point":
+            out.append(float("nan"))
+        elif kind == "polygon":
+            out.append(P.polygon_area(geom))
+        else:
+            out.append(P.multipolygon_area(geom))
+    return pd.Series(out)
+
+
 def shapes_to_circles(shapes: DataFrame) -> DataFrame:
     """Polygons -> equal-area circles at their centroid; circles pass
     through (reference: vectorize.py:38-120)."""
     from spatialdata_spark.operators.measures import centroids_shapes
-
-    schema = T.DoubleType()
-
-    @F.pandas_udf(schema)
-    def _area(wkb_s):
-        import pandas as pd
-
-        from spatialdata_spark.geometry import predicates as P
-        from spatialdata_spark.geometry import wkb as W
-
-        out = []
-        for buf in wkb_s:
-            kind, geom = W.decode(bytes(buf))
-            if kind == "point":
-                out.append(float("nan"))
-            elif kind == "polygon":
-                out.append(P.polygon_area(geom))
-            else:
-                out.append(P.multipolygon_area(geom))
-        return pd.Series(out)
 
     cent = centroids_shapes(shapes)
     areas = shapes.select(
@@ -78,12 +80,9 @@ def shapes_to_circles(shapes: DataFrame) -> DataFrame:
     )
 
 
-def circles_to_polygon_shapes(circles: DataFrame, n_vertices: int = 32) -> DataFrame:
-    """Circles -> n-gon polygon shapes (`buffer()` analog,
-    reference: vectorize.py:270-302)."""
-    schema = T.BinaryType()
-
-    @F.pandas_udf(schema)
+@lru_cache(maxsize=16)
+def _ngon_udf(n_vertices: int):
+    @F.pandas_udf(T.BinaryType())
     def _ngon(x_s, y_s, r_s):
         import pandas as pd
 
@@ -95,6 +94,14 @@ def circles_to_polygon_shapes(circles: DataFrame, n_vertices: int = 32) -> DataF
                 for x, y, r in zip(x_s, y_s, r_s)
             ]
         )
+
+    return _ngon
+
+
+def circles_to_polygon_shapes(circles: DataFrame, n_vertices: int = 32) -> DataFrame:
+    """Circles -> n-gon polygon shapes (`buffer()` analog,
+    reference: vectorize.py:270-302)."""
+    _ngon = _ngon_udf(n_vertices)
 
     return circles.select(
         "shape_id",
@@ -187,43 +194,50 @@ def labels_tiles_to_polygons(label_tiles: DataFrame, meta) -> DataFrame:
     nests holes into their containing exteriors.  Work per label is
     O(perimeter) — the dissolve never materializes pixel sets.
     """
-    import pandas as pd
-
-    from spatialdata_spark.geometry import predicates as P
-    from spatialdata_spark.geometry import wkb as W
-
     ts = meta.tile
     dtype = meta.dtype
 
-    offsets = [(0, 0), (1, 0), (-1, 0), (0, 1), (0, -1)]
-    off_col = F.explode(
-        F.array(*[F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx")) for dy, dx in offsets])
-    ).alias("off")
+    # the 5 neighbor offsets as ONE selectExpr parse (the struct-array
+    # Column build cost ~12 py4j round trips per construction)
+    offs = ", ".join(
+        f"named_struct('dy', {dy}, 'dx', {dx})"
+        for dy, dx in [(0, 0), (1, 0), (-1, 0), (0, 1), (0, -1)]
+    )
     contrib = (
         label_tiles.filter(F.col("scale") == 0)
-        .select("ty", "tx", "tile", off_col)
-        .select(
-            (F.col("ty") + F.col("off.dy")).alias("gty"),
-            (F.col("tx") + F.col("off.dx")).alias("gtx"),
-            F.col("off.dy").alias("rel_dy"),
-            F.col("off.dx").alias("rel_dx"),
+        .selectExpr("ty", "tx", "tile", f"explode(array({offs})) AS off")
+        .selectExpr(
+            "(ty + off.dy) AS gty",
+            "(tx + off.dx) AS gtx",
+            "off.dy AS rel_dy",
+            "off.dx AS rel_dx",
             "tile",
         )
         .filter((F.col("gty") >= 0) & (F.col("gtx") >= 0))
     )
 
-    edge_schema = T.StructType(
-        [
-            T.StructField("label", T.LongType()),
-            T.StructField("x0", T.LongType()),
-            T.StructField("y0", T.LongType()),
-            T.StructField("x1", T.LongType()),
-            T.StructField("y1", T.LongType()),
-        ]
-    )
+    from spatialdata_spark.operators.raster import _apply_in_pandas_cached
 
+    edges = _apply_in_pandas_cached(contrib.groupBy("gty", "gtx"), _edges_udf(ts, dtype))
+    return _apply_in_pandas_cached(edges.groupBy("label"), _tile_assemble_udf())
+
+
+_EDGE_SCHEMA = T.StructType(
+    [
+        T.StructField("label", T.LongType()),
+        T.StructField("x0", T.LongType()),
+        T.StructField("y0", T.LongType()),
+        T.StructField("x1", T.LongType()),
+        T.StructField("y1", T.LongType()),
+    ]
+)
+
+
+@lru_cache(maxsize=64)
+def _edges_udf(ts: int, dtype: str):
     def _edges(key, pdf):
         import numpy as np
+        import pandas as pd
 
         gty, gtx = int(key[0]), int(key[1])
         padded = np.zeros((ts + 2, ts + 2), dtype=np.dtype(dtype))
@@ -268,24 +282,29 @@ def labels_tiles_to_polygons(label_tiles: DataFrame, meta) -> DataFrame:
             return pd.DataFrame(columns=["label", "x0", "y0", "x1", "y1"])
         return pd.concat(frames)
 
-    edges = contrib.groupBy("gty", "gtx").applyInPandas(_edges, edge_schema)
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.util import PythonEvalType
 
-    shapes_schema = T.StructType(
-        [
-            T.StructField("shape_id", T.LongType()),
-            T.StructField("kind", T.StringType()),
-            T.StructField("wkb", T.BinaryType()),
-            T.StructField("minx", T.DoubleType()),
-            T.StructField("miny", T.DoubleType()),
-            T.StructField("maxx", T.DoubleType()),
-            T.StructField("maxy", T.DoubleType()),
-            T.StructField("radius", T.DoubleType()),
-        ]
-    )
+    return pandas_udf(_edges, returnType=_EDGE_SCHEMA, functionType=PythonEvalType.SQL_GROUPED_MAP_PANDAS_UDF)
 
-    # turn preference when several edges leave a vertex (checkerboard
-    # corner): leftmost turn keeps each component's boundary separate
-    def _walk_rings(ex0, ey0, ex1, ey1):
+
+_SHAPES_SCHEMA = T.StructType(
+    [
+        T.StructField("shape_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("wkb", T.BinaryType()),
+        T.StructField("minx", T.DoubleType()),
+        T.StructField("miny", T.DoubleType()),
+        T.StructField("maxx", T.DoubleType()),
+        T.StructField("maxy", T.DoubleType()),
+        T.StructField("radius", T.DoubleType()),
+    ]
+)
+
+
+# turn preference when several edges leave a vertex (checkerboard
+# corner): leftmost turn keeps each component's boundary separate
+def _walk_rings(ex0, ey0, ex1, ey1):
         import numpy as np
 
         out_map: dict = {}
@@ -323,8 +342,14 @@ def labels_tiles_to_polygons(label_tiles: DataFrame, meta) -> DataFrame:
                 rings.append(np.array(ring, dtype=float))
         return rings
 
+@lru_cache(maxsize=1)
+def _tile_assemble_udf():
     def _assemble(key, pdf):
         import numpy as np
+        import pandas as pd
+
+        from spatialdata_spark.geometry import predicates as P
+        from spatialdata_spark.geometry import wkb as W
 
         label = int(key[0])
         rings = _walk_rings(
@@ -353,7 +378,7 @@ def labels_tiles_to_polygons(label_tiles: DataFrame, meta) -> DataFrame:
             if best is not None:
                 polys[best].append(hr)
         if not polys:
-            return pd.DataFrame(columns=[f.name for f in shapes_schema.fields])
+            return pd.DataFrame(columns=[f.name for f in _SHAPES_SCHEMA.fields])
         if len(polys) == 1:
             buf = W.encode_polygon(polys[0])
             kind = "polygon"
@@ -374,10 +399,13 @@ def labels_tiles_to_polygons(label_tiles: DataFrame, meta) -> DataFrame:
                     None,
                 )
             ],
-            columns=[f.name for f in shapes_schema.fields],
+            columns=[f.name for f in _SHAPES_SCHEMA.fields],
         )
 
-    return edges.groupBy("label").applyInPandas(_assemble, shapes_schema)
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.util import PythonEvalType
+
+    return pandas_udf(_assemble, returnType=_SHAPES_SCHEMA, functionType=PythonEvalType.SQL_GROUPED_MAP_PANDAS_UDF)
 
 
 def labels_to_polygons(labels_long: DataFrame) -> DataFrame:
@@ -390,19 +418,15 @@ def labels_to_polygons(labels_long: DataFrame) -> DataFrame:
     the label's pixel-union outline as a rectilinear hull; exact
     marching squares lands with the raster tile layer.
     """
-    schema = T.StructType(
-        [
-            T.StructField("shape_id", T.LongType()),
-            T.StructField("kind", T.StringType()),
-            T.StructField("wkb", T.BinaryType()),
-            T.StructField("minx", T.DoubleType()),
-            T.StructField("miny", T.DoubleType()),
-            T.StructField("maxx", T.DoubleType()),
-            T.StructField("maxy", T.DoubleType()),
-            T.StructField("radius", T.DoubleType()),
-        ]
+    from spatialdata_spark.operators.raster import _apply_in_pandas_cached
+
+    return _apply_in_pandas_cached(
+        labels_long.filter(F.col("label") != 0).groupBy("label"), _outline_udf()
     )
 
+
+@lru_cache(maxsize=1)
+def _outline_udf():
     def _outline(pdf):
         import numpy as np
         import pandas as pd
@@ -444,8 +468,7 @@ def labels_to_polygons(labels_long: DataFrame) -> DataFrame:
             columns=["shape_id", "kind", "wkb", "minx", "miny", "maxx", "maxy", "radius"],
         )
 
-    return (
-        labels_long.filter(F.col("label") != 0)
-        .groupBy("label")
-        .applyInPandas(_outline, schema)
-    )
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.util import PythonEvalType
+
+    return pandas_udf(_outline, returnType=_SHAPES_SCHEMA, functionType=PythonEvalType.SQL_GROUPED_MAP_PANDAS_UDF)

@@ -12064,25 +12064,100 @@ def st_event_transitions(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order matters: the correctness driver oracles the FIRST 50
     # entries, and a key's position is set by its FIRST occurrence (the
-    # tail below repeats some keys — harmless no-ops).  Round-14 head,
+    # tail below repeats some keys — harmless no-ops).  Round-15 head,
     # mechanically per the rotation rule:
-    #   (1) the NINE new registrations — the r13-banked candidates
-    #       rehearsed 18/18 cross-engine at two SFs in
-    #       tests/test_r14_candidate_oracles.py (SQL moved verbatim;
-    #       that test now pins the REGISTERED oracles);
-    #   (2) queries executing code modified this round: NONE — the
-    #       round-14 rounding fix (tests/rounding.py half-up reference
-    #       helper + tie pins) is test-side only;
-    #   (3) the THREE r6-stale rows deferred by r13 (st_rolling_window
-    #       first, per the r13 queue note), then the r7-stale greens
-    #       oldest-first in registry order.  The true r7-stale count
-    #       after r13 is THIRTY-NINE greens (the r13 comment said 28 —
-    #       an undercount; 40 rows minus pl_pca, which is rows-only by
-    #       design and can never hash-green, so it does not consume a
-    #       head slot).  9 + 3 + 38 = 50, so ONE r7 row spills to the
-    #       r15 queue: pl_semantic_dedup (last in registry order).
+    #   (1) new registrations: NONE (optimization round — no features);
+    #   (2) queries executing code modified in r14/r15 — the set the
+    #       r14 verdict flagged as unverified (its head froze BEFORE the
+    #       r14 optimization commits).  The r14 join restructures
+    #       (q03/q05/q10/q18), the circle-aggregation family, the
+    #       grid-join/fractions family, and every consumer of the
+    #       operators the two optimization rounds rewrote: aggregate.py
+    #       (SQL-consolidated cover/refine, hoisted _pip/_intersects/
+    #       _frac), raster.py (keyed-factory Arrow kernels), rasterize
+    #       (polyfill kernel cache), spatial_query (ring/clip/refine
+    #       lru factories), transform (_rewrite_wkb/_bounds),
+    #       vectorize (_ngon + grouped-map caches), measures
+    #       (centroid UDF), and the entry-side _img_long/_img_tiles
+    #       plan memo.  That is the full ag_*/rt_*/rv_* families plus
+    #       the UDF-executing sq_* rows = 55 candidates for 50 slots;
+    #       the FIVE expression-only sq rows (sq_bbox_identity/
+    #       rotation/scale/_3d, sq_multibox — pure Catalyst, no factory
+    #       or join change on their path) spill to the r16 queue.
+    #   (3) stale-row backfill: none fits this round (the modified-code
+    #       set fills the head); queue unchanged otherwise —
+    #       pl_semantic_dedup remains the oldest stale green.
     return {
-        # --- (1) new in round 14: the banked candidates ---
+        # --- (2a) the r14-restructured joins, verified-after for the
+        # first time by this head ---
+        "q03_shipping": q03_shipping,
+        "q05_local_supplier": q05_local_supplier,
+        "q10_returned_items": q10_returned_items,
+        "q18_large_volume": q18_large_volume,
+        # --- (2b) circle-aggregation + fractions family (aggregate.py
+        # rewrites in both optimization rounds) ---
+        "ag_points_by_circles_count": ag_points_by_circles_count,
+        "ag_points_by_circles_sum": ag_points_by_circles_sum,
+        "ag_points_by_circles_mean": ag_points_by_circles_mean,
+        "ag_points_by_circles_max": ag_points_by_circles_max,
+        "ag_points_categorical": ag_points_categorical,
+        "ag_points_by_darts": ag_points_by_darts,
+        "ag_fractions": ag_fractions,
+        "ag_fractions_value": ag_fractions_value,
+        "ag_fractions_concave": ag_fractions_concave,
+        "ag_points_by_boxes": ag_points_by_boxes,
+        "ag_points_by_labels": ag_points_by_labels,
+        "ag_centroids_labels": ag_centroids_labels,
+        "ag_extent": ag_extent,
+        "ag_zonal_image": ag_zonal_image,
+        # --- (2c) raster family (keyed-factory kernels, tile memo) ---
+        "rt_affine_resample": rt_affine_resample,
+        "rt_zonal_tiles": rt_zonal_tiles,
+        "rt_zonal_quantiles": rt_zonal_quantiles,
+        "rt_zonal_3d": rt_zonal_3d,
+        "rt_halo_boxsum": rt_halo_boxsum,
+        "rt_map_tiles": rt_map_tiles,
+        "rt_bbox_tiles": rt_bbox_tiles,
+        "rt_bbox_tiles_3d": rt_bbox_tiles_3d,
+        "rt_pyramid_sum": rt_pyramid_sum,
+        "rt_unpad_extent": rt_unpad_extent,
+        "rt_export_tiles": rt_export_tiles,
+        "rt_dataset_tiles": rt_dataset_tiles,
+        # --- (2d) rasterize/vectorize family (kernel caches, hoisted
+        # wkb/area UDFs, _ngon factory) ---
+        "rv_to_polygons": rv_to_polygons,
+        "rv_to_circles": rv_to_circles,
+        "rv_rasterize_count": rv_rasterize_count,
+        "rv_rasterize_cat": rv_rasterize_cat,
+        "rv_rasterize_bins": rv_rasterize_bins,
+        "rv_rasterize_circle_fill": rv_rasterize_circle_fill,
+        "rv_rasterize_polyfill": rv_rasterize_polyfill,
+        "rv_relabel": rv_relabel,
+        "rv_transform_points": rv_transform_points,
+        "rv_transform_shapes": rv_transform_shapes,
+        # --- (2e) spatial-query rows that execute the rewritten
+        # factories (ring-PIP, clip, polygon refine, raster crop) ---
+        "sq_polygon_concave": sq_polygon_concave,
+        "sq_polygon_points": sq_polygon_points,
+        "sq_polygon_clip": sq_polygon_clip,
+        "sq_polygon_clip_holes": sq_polygon_clip_holes,
+        "sq_polygon_shapes": sq_polygon_shapes,
+        "sq_multipart_shapes": sq_multipart_shapes,
+        "sq_bbox_shapes": sq_bbox_shapes,
+        "sq_multibox_rotated": sq_multibox_rotated,
+        "sq_raster_rotated": sq_raster_rotated,
+        "sq_raster_3d": sq_raster_3d,
+        # ===== round-15 driver head ends here (first 50) =====
+        # --- modified-code spill to the r16 queue (expression-only
+        # paths; then pl_semantic_dedup and the r8-stale tail) ---
+        "sq_bbox_identity": sq_bbox_identity,
+        "sq_bbox_rotation": sq_bbox_rotation,
+        "sq_bbox_scale": sq_bbox_scale,
+        "sq_bbox_3d": sq_bbox_3d,
+        "sq_multibox": sq_multibox,
+        "pl_semantic_dedup": pl_semantic_dedup,
+        # --- the displaced round-14 head (re-listed so every key stays
+        # registered; duplicates further down are no-ops) ---
         "q_promo_share": q_promo_share,
         "q_order_priority": q_order_priority,
         "q_idle_customers": q_idle_customers,
@@ -12092,12 +12167,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pl_trimmed_mean": pl_trimmed_mean,
         "pl_yule_k": pl_yule_k,
         "st_event_transitions": st_event_transitions,
-        # --- (3a) the r6-stale rows deferred by the r13 rotation ---
         "st_rolling_window": st_rolling_window,
         "st_sessionize": st_sessionize,
         "st_tumbling": st_tumbling,
-        # --- (3b) r7-stale greens, oldest-first (registry order);
-        # 38 of 39 fit, pl_semantic_dedup spills to r15 ---
         "pl_bigram_entropy": pl_bigram_entropy,
         "pl_bloom_decon": pl_bloom_decon,
         "pl_bpe_encode": pl_bpe_encode,
@@ -12136,10 +12208,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_anomaly_mad": st_anomaly_mad,
         "q_customer_ltv_deciles": q_customer_ltv_deciles,
         "q_revenue_running": q_revenue_running,
-        # ===== round-14 driver head ends here (first 50) =====
-        # --- r7-stale spill to the r15 queue (39th green; next round's
-        # backfill starts here, then the r8-stale tail) ---
-        "pl_semantic_dedup": pl_semantic_dedup,
         # --- the displaced round-13 head (re-listed so every key stays
         # registered; duplicates further down are no-ops) ---
         "q_rfm_segments": q_rfm_segments,

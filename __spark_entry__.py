@@ -2224,13 +2224,24 @@ FROM ({POINTS_SQL})
 def ag_zonal_image(spark, sf_dir):
     from spatialdata_spark.operators.aggregate import aggregate_image_by_labels
 
-    li = _read(spark, sf_dir, "lineitem")
-    img = (
-        li.groupBy(
-            (F.col("l_orderkey") % 100).alias("y"), F.col("l_linenumber").cast("long").alias("x")
-        )
-        .agg(F.sum("l_quantity").alias("value"))
-        .select(F.lit(0).alias("c"), "y", "x", "value")
+    # persist the aggregated image: labels derive from img's own rows,
+    # so the un-persisted plan compiled the lineitem scan+agg TWICE
+    # (column pruning drops `value` on the labels side, which breaks
+    # exchange reuse).  img is raster-area-bounded (<= 100 x 7 rows
+    # here; never fact-sized), the same ≥2-consumers persist rule as
+    # the circle-aggregation cell cover.  Runtime lineitem scans 2 -> 1.
+    img = _plan_memo(
+        spark,
+        f"ag_zonal_img:{sf_dir}",
+        lambda: (
+            _read(spark, sf_dir, "lineitem")
+            .groupBy(
+                (F.col("l_orderkey") % 100).alias("y"), F.col("l_linenumber").cast("long").alias("x")
+            )
+            .agg(F.sum("l_quantity").alias("value"))
+            .select(F.lit(0).alias("c"), "y", "x", "value")
+            .persist()
+        ),
     )
     labels = img.select("y", "x", ((F.col("y") * 7 + F.col("x")) % 10 + 1).alias("label"))
     return aggregate_image_by_labels(img, labels, "mean")
@@ -3011,12 +3022,20 @@ FROM documents
 
 
 def pl_knn_cosine(spark, sf_dir):
-    from spatialdata_spark.pipeline.similarity import cosine_topk_query
+    from spatialdata_spark.pipeline.similarity import cosine_topk_subquery
 
+    # The query vector stays IN the plan as a broadcast 1-row subquery
+    # (mirroring the oracle's CTE) instead of a driver-side .first() —
+    # the old shape ran a separate Spark job per plan construction plus
+    # a 64-element literal array (~0.2 s per action).  Outputs verified
+    # bit-identical at sf0.001/0.01/0.1; the top-k margin (min adjacent
+    # cosine gap ~8e-6) is 10 orders above the one-ulp difference
+    # between the in-plan norm and the old numpy norm.
     emb = _read(spark, sf_dir, "embeddings")
-    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
-    out = cosine_topk_query(emb.filter(F.col("vec_id") != 0), qrow["embedding"], k=20)
-    return out.select("vec_id", F.round("cosine", 6).alias("cosine_r"))
+    out = cosine_topk_subquery(
+        emb.where("vec_id != 0"), emb.where("vec_id = 0"), k=20
+    )
+    return out.selectExpr("vec_id", "round(cosine, 6) AS cosine_r")
 
 
 PL_KNN_SQL = """

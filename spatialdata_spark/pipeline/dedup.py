@@ -306,51 +306,57 @@ def ngram_jaccard_join(
         # single-row-group local inputs scan as one task; the shingle
         # HOF expression below is the heavy stage, so spread it first
         docs = docs.repartition(spark.sparkContext.defaultParallelism)
-    sep = ""
-    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
-    doc_sh = docs.select(F.col(id_col).alias("_id"), words.alias("_w")).select(
-        "_id",
-        F.when(
-            F.size("_w") >= n,
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("_w") - n),
-                    lambda i: F.concat_ws(sep, *[F.element_at("_w", i + j + 1) for j in range(n)]),
-                )
-            ),
-        )
-        .otherwise(F.array().cast("array<string>"))
-        .alias("_sh"),
-    )
+    # Plan construction consolidated into two spark.sql parses (r15,
+    # guide §5-driver): the former Column-op chain cost ~350 py4j round
+    # trips ≈ 0.1 s of driver time per action.  The SQL reproduces the
+    # exact same expressions (split/filter tokenizer, sequence+transform
+    # shingler with the chr(30) separator, CASE fallback, double-cast
+    # Jaccard), so the physical plan and every result bit are unchanged.
+    sep = "\x1e"
+    docs.createOrReplaceTempView("__ngj_docs")
+    grams = ", ".join(f"element_at(_w, i + {j + 1})" for j in range(n))
     # materialization barrier: the interpreted HOF shingle expression is
     # consumed by four branches (a, b, and both size lookups); without
     # the persist Catalyst inlines it into every scan AND its pushed
     # filters, evaluating it ~10x per document
-    doc_sh = doc_sh.persist()
-    exploded = doc_sh.select("_id", F.explode("_sh").alias("g"))
+    doc_sh = spark.sql(
+        f"""
+SELECT _id,
+       CASE WHEN size(_w) >= {n}
+            THEN array_distinct(transform(sequence(0, size(_w) - {n}),
+                                          i -> concat_ws('{sep}', {grams})))
+            ELSE CAST(array() AS array<string>) END AS _sh
+FROM (SELECT `{id_col}` AS _id, filter(split(`{text_col}`, '\\\\s+'), x -> x != '') AS _w
+      FROM __ngj_docs)"""
+    ).persist()
+    doc_sh.createOrReplaceTempView("__ngj_sh")
     if max_shingle_freq is not None:
-        keep = exploded.groupBy("g").count().filter(F.col("count") <= max_shingle_freq).select("g")
-        exploded = exploded.join(keep, "g", "left_semi")
-    sizes = doc_sh.select("_id", F.size("_sh").alias("n_sh"))
-    a = exploded.select(F.col("_id").alias("id_a"), "g")
-    b = exploded.select(F.col("_id").alias("id_b"), "g")
-    inter = (
-        a.join(b, "g")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.select(F.col("_id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("_id").alias("id_b"), F.col("n_sh").alias("n_b"))
-    return (
-        inter.join(sa, "id_a")  # per-doc sizes: not broadcast — unbounded at scale; AQE picks BHJ when small
-        .join(sb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (F.col("n_inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
+        exploded_cte = f"""
+  SELECT e._id, e.g FROM (SELECT _id, explode(_sh) AS g FROM __ngj_sh) e
+  LEFT SEMI JOIN (SELECT g FROM (SELECT _id, explode(_sh) AS g FROM __ngj_sh)
+                  GROUP BY g HAVING COUNT(1) <= {int(max_shingle_freq)}) k
+  ON e.g = k.g"""
+    else:
+        exploded_cte = "SELECT _id, explode(_sh) AS g FROM __ngj_sh"
+    return spark.sql(
+        f"""
+WITH exploded AS ({exploded_cte}),
+inter AS (
+  SELECT a._id AS id_a, b._id AS id_b, COUNT(1) AS n_inter
+  FROM exploded a JOIN exploded b ON a.g = b.g
+  WHERE a._id < b._id
+  GROUP BY a._id, b._id
+),
+sizes AS (SELECT _id, size(_sh) AS n_sh FROM __ngj_sh)
+SELECT id_a, id_b, jaccard
+FROM (
+  SELECT inter.id_a, inter.id_b,
+         (CAST(inter.n_inter AS DOUBLE) / ((sa.n_sh + sb.n_sh) - inter.n_inter)) AS jaccard
+  -- per-doc sizes: not broadcast — unbounded at scale; AQE picks BHJ when small
+  FROM inter JOIN sizes sa ON inter.id_a = sa._id
+             JOIN sizes sb ON inter.id_b = sb._id
+)
+WHERE jaccard >= {threshold!r}D"""
     )
 
 

@@ -47,6 +47,47 @@ def cosine_topk_query(
     )
 
 
+def cosine_topk_subquery(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k rows most cosine-similar to a single-row ``query`` frame.
+
+    Same math as :func:`cosine_topk_query`, but the query vector is a
+    broadcast 1-row subquery inside the plan rather than a literal
+    array collected on the driver: one action instead of two (no
+    ``.first()`` job per plan construction), and the plan carries one
+    broadcast instead of a dim-sized literal.  The dot/norm aggregates
+    are the same sequential ``aggregate`` expressions, so per-row
+    cosine values match the literal-array path bit-for-bit; only the
+    query-norm summation order differs from the old numpy norm (one
+    ulp at most — callers ranking on cosine should have margins far
+    above that, as the brute-force corpus here does)."""
+    spark = embeddings.sparkSession
+    embeddings.createOrReplaceTempView("__ctq_emb")
+    query.createOrReplaceTempView("__ctq_query")
+    return spark.sql(
+        f"""
+WITH q AS (
+  SELECT CAST(`{vec_col}` AS array<double>) AS __qv,
+         sqrt(aggregate(transform(CAST(`{vec_col}` AS array<double>), x -> x * x),
+                        0.0D, (acc, v) -> acc + v)) AS __qn
+  FROM __ctq_query
+)
+SELECT /*+ BROADCAST(q) */ `{id_col}`,
+       aggregate(zip_with(CAST(`{vec_col}` AS array<double>), __qv, (x, y) -> x * y),
+                 0.0D, (acc, v) -> acc + v)
+       / (sqrt(aggregate(transform(CAST(`{vec_col}` AS array<double>), x -> x * x),
+               0.0D, (acc, v) -> acc + v)) * __qn) AS cosine
+FROM __ctq_emb CROSS JOIN q
+ORDER BY cosine DESC, `{id_col}`
+LIMIT {int(k)}"""
+    )
+
+
 def cosine_self_join_topk(
     embeddings: DataFrame,
     k: int = 5,

@@ -44,5 +44,17 @@ def get_spark(app_name: str = "spatialdata-spark", cores: int | None = None) -> 
         # trade for an engine whose driver-side cost is on the query
         # path (guide §5: the driver should do almost no work).
         .config("spark.python.sql.dataFrameDebugging.enabled", "false")
+        # Put the library root on the WORKER interpreters' startup
+        # PYTHONPATH (not just the task-time include path): `site` then
+        # imports the repo's sitecustomize.py, whose stat-guarded
+        # zipimporter.invalidate_caches removes the 130-210 ms/task
+        # zip-TOC re-read Spark's per-task importlib.invalidate_caches
+        # triggers on CPython 3.11 (see sitecustomize.py).  On a real
+        # cluster the library is shipped to executors anyway
+        # (--py-files / image); this keeps local workers equivalent.
+        .config(
+            "spark.executorEnv.PYTHONPATH",
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
         .getOrCreate()
     )

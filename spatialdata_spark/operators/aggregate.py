@@ -238,29 +238,20 @@ FROM (
     vq = f"`{value_col}`" if value_col else None
 
     if categorical:
-        # dictionary-encode the category so the (large) boundary probe
-        # carries an int code, not a string; decoded after aggregation.
-        # persist: the dictionary subtree (full-column scan + distinct +
-        # single-partition window) executes THREE times in the compiled
-        # plan otherwise — the encode join feeds BOTH the full-cell and
-        # boundary branches and the decode join replays it again
-        # (ReuseExchange does not collapse them; verified in the plan).
-        # Category-cardinality rows, MEMORY_AND_DISK — the ≥3-consumers
-        # persist rule at plan granularity.  PER-CALL ACCUMULATION (the
-        # _approx_rank_bins contract): never unpersisted here — one
-        # cache entry per distinct input plan, LRU-reclaimed;
-        # clearCache() for eager reclamation between datasets.
-        cat_dict = spark.sql(
-            f"SELECT __cat, ROW_NUMBER() OVER (ORDER BY __cat) AS __code "
-            f"FROM (SELECT DISTINCT {vq} AS __cat FROM __apc_points)"
-        ).persist()
-        cat_dict.createOrReplaceTempView("__apc_dict")
-        # the encode join broadcasts the (tiny) dictionary unconditionally
+        # the category string itself is the grouping code.  r14 carried a
+        # dictionary-encode here (int code through the boundary probe);
+        # r15 removed it: building the dictionary costs a FULL EXTRA PASS
+        # over the fact table (distinct + single-partition window) plus a
+        # broadcast join on every fact row and three driver-side broadcast
+        # builds per action, all to narrow one shuffle's rows by a few
+        # bytes — net negative at every scale measured (interleaved A/B:
+        # categorical med 2.50 → 1.64 s combined with the fp pre-agg
+        # below; results bit-identical, the code was decoded back to the
+        # string before output anyway).
         pt_sql = (
-            f"SELECT /*+ BROADCAST(__apc_dict) */ p.x, p.y, p.__qx, p.__qy, d.__code\n"
-            f"FROM (SELECT x, y, {vq}, floor(x / {h!r}D) AS __qx, floor(y / {h!r}D) AS __qy\n"
-            f"      FROM __apc_points) p\n"
-            f"JOIN __apc_dict d ON p.{vq} = d.__cat"
+            f"SELECT x, y, {vq} AS __code, "
+            f"floor(x / {h!r}D) AS __qx, floor(y / {h!r}D) AS __qy "
+            f"FROM __apc_points"
         )
     else:
         keep = "x, y" + (f", {vq}" if value_col and value_col not in ("x", "y") else "")
@@ -290,6 +281,12 @@ FROM (
     ck = ", __code" if categorical else ""  # categorical grouping key
     ca_cols = ", ".join([f"ca.{c}" for c in (["__code"] if categorical else []) + pcols])
     bp_keys = "bc.shape_id" + (", pt.__code" if categorical else "")
+    # per-shape combine of the partial columns (associative re-grouping of
+    # the same partials the final agg consumes — exact for count/min/max;
+    # sum/mean reorder a double summation that is already
+    # shuffle-order-nondeterministic in the final agg)
+    _comb = {"__m": "MIN" if agg_func == "min" else "MAX"}
+    fp_combine = ", ".join(f"{_comb.get(c, 'SUM')}({c}) AS {c}" for c in pcols)
     # Plan shape (r14, verified in plans/):
     # * cell_agg (ca): per-cell pre-aggregation straight off the scan —
     #   the partial agg is map-side (guide §2.3), so only ~cell-count
@@ -309,17 +306,36 @@ FROM (
     #   ENSURE_REQUIREMENTS exchange doubles as the local fan-out (r14
     #   A/B: broadcast 2.93s, SHJ 2.21s, un-hinted 20.6s).
     bhint = "/*+ BROADCAST(ca) */ " if local else ""
+    # fp is PRE-AGGREGATED to shape granularity before the union (r15):
+    # without it the full-cell join's output (∝ dim side × area/h² rows)
+    # flows raw into the final union-aggregate stage, which cannot start
+    # until the boundary branch's shuffle finishes — the two branches
+    # serialize.  The per-shape GROUP BY puts a map-side partial below a
+    # ~shape-count exchange, so the fp stage runs CONCURRENTLY with the
+    # boundary stage and the final agg merges two tiny inputs
+    # (interleaved A/B: count med 1.63 → 1.16 s, categorical 2.50 → 1.64).
+    # The local REPARTITION pins the boundary shuffle at defaultParallelism:
+    # AQE coalesces it by map-output bytes (16 tasks at sf0.1), blind to
+    # the 52M-row probe explosion *inside* the join.  Local-gated like the
+    # broadcast hint — at cluster scale the map outputs are large enough
+    # that AQE's byte-based coalescing is the right owner.
+    repi = f"/*+ REPARTITION({par}, __qx, __qy) */ " if local else ""
     main_sql = f"""
 WITH pt AS ({pt_sql}),
 ca AS (SELECT __qx, __qy{ck}, {partial} FROM pt GROUP BY __qx, __qy{ck}),
 fp AS (
-  SELECT {bhint}f.shape_id, {ca_cols}
-  FROM (SELECT shape_id, __qx, __qy FROM __apc_cells WHERE __full) f
-  JOIN ca ON f.__qx = ca.__qx AND f.__qy = ca.__qy
+  SELECT shape_id{ck}, {fp_combine}
+  FROM (
+    SELECT {bhint}f.shape_id, {ca_cols}
+    FROM (SELECT shape_id, __qx, __qy FROM __apc_cells WHERE __full) f
+    JOIN ca ON f.__qx = ca.__qx AND f.__qy = ca.__qy
+  )
+  GROUP BY shape_id{ck}
 ),
 bp AS (
   SELECT /*+ SHUFFLE_HASH(bc) */ {bp_keys}, {partial}
-  FROM pt JOIN (SELECT shape_id, ccx, ccy, r, __qx, __qy FROM __apc_cells WHERE NOT __full) bc
+  FROM (SELECT {repi}* FROM pt) pt
+  JOIN (SELECT {repi}shape_id, ccx, ccy, r, __qx, __qy FROM __apc_cells WHERE NOT __full) bc
     ON pt.__qx = bc.__qx AND pt.__qy = bc.__qy
   WHERE (((pt.x - bc.ccx) * (pt.x - bc.ccx)) + ((pt.y - bc.ccy) * (pt.y - bc.ccy))) <= (bc.r * bc.r)
   GROUP BY bc.shape_id{ck}
@@ -328,10 +344,7 @@ SELECT shape_id AS by_id{ck}, {final}
 FROM (SELECT * FROM fp UNION ALL SELECT * FROM bp)
 GROUP BY shape_id{ck}"""
     if categorical:
-        main_sql = (
-            f"SELECT /*+ BROADCAST(__apc_dict) */ o.by_id, o.n, d.__cat AS category\n"
-            f"FROM ({main_sql}\n) o JOIN __apc_dict d ON o.__code = d.__code"
-        )
+        main_sql = f"SELECT by_id, n, __code AS category FROM ({main_sql}\n)"
     return spark.sql(main_sql)
 
 

@@ -98,8 +98,10 @@ def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, float_tol: float 
     return True, "ok"
 
 
-def run_parity(sf_dir: str, only: list[str] | None = None, float_tol: float = 0.0):
+def run_parity(sf_dir: str, only: list[str] | None = None, float_tol: float = 0.0, workers: int = 6):
     sys.path.insert(0, "/root/repo")
+    from concurrent.futures import ThreadPoolExecutor
+
     import __spark_entry__ as entrymod
     from spatialdata_spark.session import get_spark
 
@@ -110,40 +112,62 @@ def run_parity(sf_dir: str, only: list[str] | None = None, float_tol: float = 0.
     results = {}
     from pyspark.sql.types import DecimalType
 
-    for name, fn in qs.items():
-        if only and name not in only:
-            continue
+    # PIPELINED (r15 suite-runtime fix): DataFrames are CONSTRUCTED on
+    # this thread only — operators register fixed-name temp views and
+    # resolve them in the same call, so two constructions racing from
+    # different threads could cross-wire views; once built, a
+    # DataFrame's analyzed plan is immutable and safe to execute from
+    # any thread.  Each built plan is handed to a worker immediately so
+    # execution (Spark action + DuckDB oracle + compare) overlaps the
+    # remaining construction.  Each worker gets its own DuckDB cursor
+    # over the shared connection (the documented thread-safe pattern).
+    # The queries are latency-bound at smoke scale (plan scheduling +
+    # a handful of tiny tasks), so overlapping them is a large
+    # wall-clock win for the same work — this was the single slowest
+    # test in the suite.
+    def one(name, df):
         try:
-            df = fn(spark, sf_dir)
-            # REGISTRY-WIDE OUTPUT CONTRACT: no DecimalType at the
-            # edge.  DuckDB materializes DECIMAL as float64, Spark as
-            # decimal.Decimal — the driver's serialized-value hash
-            # diverges even on identical values, so every query must
-            # cast decimal accumulators to BIGINT/DOUBLE/STRING before
-            # returning (DECIMAL inside the computation is fine).
-            dec_cols = [
-                f.name for f in df.schema.fields if isinstance(f.dataType, DecimalType)
-            ]
-            if dec_cols:
-                results[name] = (
-                    False,
-                    f"DECIMAL OUTPUT COLUMNS {dec_cols}: cross-engine hash hazard",
-                )
-                continue
             sdf = df.toPandas()
         except Exception as e:
-            results[name] = (False, f"SPARK ERROR: {type(e).__name__}: {e}")
-            continue
+            return name, (False, f"SPARK ERROR: {type(e).__name__}: {e}")
         if name not in oracles:
-            results[name] = (len(sdf) >= 0, f"rows-only: {len(sdf)} rows")
-            continue
+            return name, (len(sdf) >= 0, f"rows-only: {len(sdf)} rows")
         try:
-            odf = con.execute(oracles[name]).fetchdf()
+            odf = con.cursor().execute(oracles[name]).fetchdf()
         except Exception as e:
-            results[name] = (False, f"ORACLE ERROR: {type(e).__name__}: {e}")
-            continue
+            return name, (False, f"ORACLE ERROR: {type(e).__name__}: {e}")
         ok, msg = compare(sdf, odf, float_tol)
-        results[name] = (ok, f"{msg} ({len(sdf)} rows)")
+        return name, (ok, f"{msg} ({len(sdf)} rows)")
+
+    futures = []
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        for name, fn in qs.items():
+            if only and name not in only:
+                continue
+            try:
+                df = fn(spark, sf_dir)
+                # REGISTRY-WIDE OUTPUT CONTRACT: no DecimalType at the
+                # edge.  DuckDB materializes DECIMAL as float64, Spark
+                # as decimal.Decimal — the driver's serialized-value
+                # hash diverges even on identical values, so every
+                # query must cast decimal accumulators to
+                # BIGINT/DOUBLE/STRING before returning (DECIMAL inside
+                # the computation is fine).
+                dec_cols = [
+                    f.name for f in df.schema.fields if isinstance(f.dataType, DecimalType)
+                ]
+                if dec_cols:
+                    results[name] = (
+                        False,
+                        f"DECIMAL OUTPUT COLUMNS {dec_cols}: cross-engine hash hazard",
+                    )
+                    continue
+                futures.append(pool.submit(one, name, df))
+            except Exception as e:
+                results[name] = (False, f"SPARK ERROR: {type(e).__name__}: {e}")
+        for fut in futures:
+            name, res = fut.result()
+            results[name] = res
     return results
 
 

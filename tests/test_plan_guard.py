@@ -321,15 +321,24 @@ def _live_shuffle_joins(df) -> int:
 
 @pytest.fixture(scope="module")
 def plans(spark):
+    # construct serially (operators resolve fixed-name temp views at
+    # build time), then materialize physical plans from a thread pool —
+    # planning is JVM-side py4j chatter that overlaps across threads
+    # (r15 suite-runtime fix: ~93 s -> ~35 s fixture setup)
+    from concurrent.futures import ThreadPoolExecutor
+
     qs = entrymod.queries()
-    out = {}
-    for name in set(GUARDED + EXPRESSION_ONLY + ZERO_EXCHANGE):
-        df = qs[name](spark, SF_DIR)
-        out[name] = (
+    built = [(name, qs[name](spark, SF_DIR)) for name in set(GUARDED + EXPRESSION_ONLY + ZERO_EXCHANGE)]
+
+    def one(nd):
+        name, df = nd
+        return name, (
             df._jdf.queryExecution().executedPlan().toString(),
             _live_shuffle_joins(df),
         )
-    return out
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        return dict(pool.map(one, built))
 
 
 @pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="testdata not present")

@@ -304,7 +304,12 @@ FROM (
     #   per-action driver-side hash-relation build of a broadcast AND
     #   the sort of a sort-merge join; the fact side's
     #   ENSURE_REQUIREMENTS exchange doubles as the local fan-out (r14
-    #   A/B: broadcast 2.93s, SHJ 2.21s, un-hinted 20.6s).
+    #   A/B: broadcast 2.93s, SHJ 2.21s, un-hinted 20.6s).  Skew at
+    #   cluster scale: the build side is the boundary cover, whose rows
+    #   per cell key are bounded by the shapes overlapping one cell —
+    #   grid-quantized, not value-skewed — and AQE's skew-join splitting
+    #   (enabled in session.py) also rewrites ShuffledHashJoin since
+    #   Spark 3.2, so a hot cell splits instead of OOMing the build.
     bhint = "/*+ BROADCAST(ca) */ " if local else ""
     # fp is PRE-AGGREGATED to shape granularity before the union (r15):
     # without it the full-cell join's output (∝ dim side × area/h² rows)

@@ -156,13 +156,17 @@ def long_to_tiles(df_long: DataFrame, meta: RasterMeta, value_col: str = "value"
     """
     ts = meta.tile
     has_c = "c" in df_long.columns
-    keyed = df_long.select(
-        (F.col("c").cast("int") if has_c else F.lit(0)).alias("c"),
-        (F.col("y").cast("long") % ts).alias("iy"),
-        (F.col("x").cast("long") % ts).alias("ix"),
-        F.floor(F.col("y") / ts).cast("long").alias("ty"),
-        F.floor(F.col("x") / ts).cast("long").alias("tx"),
-        F.col(value_col).alias("value"),
+    # one selectExpr parse instead of ~15 Column round trips (this
+    # projection sits in every rt_*/rv_* construction); expressions are
+    # term-identical to the former Column forms (cast-then-mod, floor of
+    # the double division)
+    keyed = df_long.selectExpr(
+        ("CAST(c AS INT) AS c" if has_c else "0 AS c"),
+        f"(CAST(y AS BIGINT) % {ts}) AS iy",
+        f"(CAST(x AS BIGINT) % {ts}) AS ix",
+        f"CAST(FLOOR(y / {ts}) AS BIGINT) AS ty",
+        f"CAST(FLOOR(x / {ts}) AS BIGINT) AS tx",
+        f"`{value_col}` AS value",
     )
     return _apply_in_pandas_cached(keyed.groupBy("c", "ty", "tx"), _pack_udf(ts, meta.dtype))
 

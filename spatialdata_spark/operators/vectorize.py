@@ -204,7 +204,7 @@ def labels_tiles_to_polygons(label_tiles: DataFrame, meta) -> DataFrame:
         for dy, dx in [(0, 0), (1, 0), (-1, 0), (0, 1), (0, -1)]
     )
     contrib = (
-        label_tiles.filter(F.col("scale") == 0)
+        label_tiles.where("scale = 0")
         .selectExpr("ty", "tx", "tile", f"explode(array({offs})) AS off")
         .selectExpr(
             "(ty + off.dy) AS gty",
@@ -213,7 +213,7 @@ def labels_tiles_to_polygons(label_tiles: DataFrame, meta) -> DataFrame:
             "off.dx AS rel_dx",
             "tile",
         )
-        .filter((F.col("gty") >= 0) & (F.col("gtx") >= 0))
+        .where("(gty >= 0) AND (gtx >= 0)")
     )
 
     from spatialdata_spark.operators.raster import _apply_in_pandas_cached

@@ -19,6 +19,8 @@ Scale design:
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -595,33 +597,14 @@ def _shingle31_np(text: str, k: int, channel: int = 0) -> np.ndarray:
     return (w @ pw) % P
 
 
-def minhash_band_candidates(
-    docs: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    num_hashes: int = 32,
-    num_bands: int = 8,
-    shingle_k: int = 5,
-    seed: int = 42,
-) -> DataFrame:
-    """LSH band candidates ``(id_a, id_b, n_bands)`` — bit-identical to
-    :func:`minhash_band_candidates_sql` (same 31-bit polynomial shingle
-    hashes, same universal-hash minima, same band join), with the
-    signature computed in one vectorized numpy pass per document inside
-    an Arrow batch instead of a Catalyst HOF expression.  This is the
-    default path: ~4x the expression path's throughput at the cost of
-    one well-audited Python boundary; the ``_sql`` twin exists for
-    pure-expression plans and both replay against the same oracle.
-    """
-    rows_per_band = max(1, num_hashes // num_bands)
+@lru_cache(maxsize=64)
+def _minhash_sig_udf(num_hashes: int, shingle_k: int, seed: int):
+    """Keyed factory for the signature kernel: the pandas_udf captures
+    the (num_hashes, seed)-derived hash parameters in its closure, so a
+    plain module singleton can't replace it — the lru_cache pays the
+    pickle + registration (~15-50 ms) once per parameter set per
+    process instead of per plan construction."""
     a, b = _hash_params(num_hashes, seed)
-    spark = docs.sparkSession
-    # project to the two columns the signature needs BEFORE any shuffle:
-    # the repartition (and on a cluster, the scan itself) then moves only
-    # (id, text), never the documents table's other columns
-    docs = docs.select(F.col(id_col), F.col(text_col))
-    if spark.sparkContext.master.startswith("local"):
-        docs = docs.repartition(spark.sparkContext.defaultParallelism)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def _sig(texts):
@@ -647,14 +630,56 @@ def minhash_band_candidates(
             sigs[m] = np.minimum.reduceat(x, bounds)
         return pd.Series(list(sigs.T))
 
-    minh = docs.select(F.col(id_col), _sig(F.col(text_col)).alias("sig"))
-    band_arrays = F.array(
-        *[
-            F.slice(F.col("sig"), i * rows_per_band + 1, rows_per_band)
-            for i in range(num_hashes // rows_per_band)
-        ]
+    return _sig
+
+
+def minhash_band_candidates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    shingle_k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """LSH band candidates ``(id_a, id_b, n_bands)`` — bit-identical to
+    :func:`minhash_band_candidates_sql` (same 31-bit polynomial shingle
+    hashes, same universal-hash minima, same band join), with the
+    signature computed in one vectorized numpy pass per document inside
+    an Arrow batch instead of a Catalyst HOF expression.  This is the
+    default path: ~4x the expression path's throughput at the cost of
+    one well-audited Python boundary; the ``_sql`` twin exists for
+    pure-expression plans and both replay against the same oracle.
+    """
+    rows_per_band = max(1, num_hashes // num_bands)
+    spark = docs.sparkSession
+    local = spark.sparkContext.master.startswith("local")
+    # project to the two columns the signature needs BEFORE any shuffle:
+    # the repartition (and on a cluster, the scan itself) then moves only
+    # (id, text), never the documents table's other columns
+    docs = docs.select(F.col(id_col), F.col(text_col))
+    if local:
+        docs = docs.repartition(spark.sparkContext.defaultParallelism)
+
+    minh = docs.select(
+        F.col(id_col), _minhash_sig_udf(num_hashes, shingle_k, seed)(F.col(text_col)).alias("sig")
     )
-    bands = minh.select(F.col(id_col), F.posexplode(band_arrays).alias("band", "sig"))
+    # Plan construction is CONSOLIDATED to one spark.sql parse below the
+    # signature step (r15, guide §5-driver): the band-slice Column chain
+    # + self-join + groupBy cost ~245 py4j round trips ≈ 0.1-0.4 s of
+    # driver time per action; the SQL reproduces the identical
+    # expressions (same slice offsets, same join conjuncts, same
+    # aggregate) so the physical plan is unchanged.
+    iq = f"`{id_col}`"
+    slices = ", ".join(
+        f"slice(sig, {i * rows_per_band + 1}, {rows_per_band})"
+        for i in range(num_hashes // rows_per_band)
+    )
+    minh.createOrReplaceTempView("__mh_minh")
+    bands = spark.sql(
+        f"SELECT {iq}, t.band, t.sig FROM __mh_minh "
+        f"LATERAL VIEW posexplode(array({slices})) t AS band, sig"
+    )
     # persist the band table: the self-join consumes it twice (build +
     # stream side), and without a persist each side re-runs the whole
     # signature UDF.  This is the standard LSH shape at any scale — the
@@ -662,18 +687,13 @@ def minhash_band_candidates(
     # the text they index, and MEMORY_AND_DISK spills instead of OOMing
     # on a cluster.  Spark's LRU eviction reclaims it after the query.
     bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
-    l, r = bands.alias("l"), bands.alias("r")
-    if spark.sparkContext.master.startswith("local"):
-        r = F.broadcast(r)
-    return (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.sig") == F.col("r.sig"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .groupBy(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_bands"))
+    bands.createOrReplaceTempView("__mh_bands")
+    bhint = "/*+ BROADCAST(r) */ " if local else ""
+    return spark.sql(
+        f"SELECT {bhint}l.{iq} AS id_a, r.{iq} AS id_b, COUNT(1) AS n_bands\n"
+        f"FROM __mh_bands l JOIN __mh_bands r\n"
+        f"  ON l.band = r.band AND l.sig = r.sig AND l.{iq} < r.{iq}\n"
+        f"GROUP BY l.{iq}, r.{iq}"
     )
 
 

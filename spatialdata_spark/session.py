@@ -18,7 +18,7 @@ from pyspark.sql import SparkSession
 def get_spark(app_name: str = "spatialdata-spark", cores: int | None = None) -> SparkSession:
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
-    return (
+    spark = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(cores))
@@ -58,3 +58,34 @@ def get_spark(app_name: str = "spatialdata-spark", cores: int | None = None) -> 
         )
         .getOrCreate()
     )
+    _invalidate_udf_caches_on_new_context(spark)
+    return spark
+
+
+# SparkContext id the keyed-factory UDF caches were built against.
+_UDF_CACHE_CTX: list = [None]
+
+
+def _invalidate_udf_caches_on_new_context(spark: SparkSession) -> None:
+    """The lru_cache'd Arrow-kernel factories (raster/transform/
+    vectorize/aggregate/spatial_query) memoize pandas_udf wrappers whose
+    JVM registration handle binds to the session that first used them;
+    after a stop()/restart in the same process the stale handle raises
+    py4j errors.  Sweep every factory cache when a DIFFERENT
+    SparkContext appears so kernels re-register against the live one.
+    Module-level @pandas_udf constants keep the documented one-session-
+    per-process contract (their UDF object is closure-private)."""
+    ctx = spark.sparkContext
+    if _UDF_CACHE_CTX[0] is ctx:
+        return
+    if _UDF_CACHE_CTX[0] is not None:
+        import sys
+
+        for mod_name, mod in list(sys.modules.items()):
+            if not mod_name.startswith("spatialdata_spark"):
+                continue
+            for obj in vars(mod).values():
+                clear = getattr(obj, "cache_clear", None)
+                if callable(clear):
+                    clear()
+    _UDF_CACHE_CTX[0] = ctx

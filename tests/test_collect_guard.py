@@ -42,7 +42,9 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # the new site as model-/metadata-sized (say why in the class list
 # above); lowering a count after removing a site is always fine.
 PINNED = {
-    "__spark_entry__.py": (4, 0, 4, 0, 0),
+    # r15: pl_knn_cosine's query-vector .first() became a broadcast
+    # 1-row subquery inside the plan — one fewer driver materialization
+    "__spark_entry__.py": (4, 0, 3, 0, 0),
     "spatialdata_spark/api.py": (0, 0, 1, 0, 0),
     "spatialdata_spark/catalog.py": (1, 0, 0, 0, 0),
     "spatialdata_spark/dataloader.py": (0, 0, 0, 0, 1),

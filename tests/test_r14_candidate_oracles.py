@@ -41,7 +41,9 @@ def test_r14_registration_cross_engine(spark, name, sf_dir):
     o = em.oracle_sql()
     assert name in q, f"{name} missing from queries()"
     assert name in o, f"{name} missing from oracle_sql()"
-    assert name in list(q)[:50], f"{name} not in the r14 driver head-50"
+    # (the head-50 membership assertion was r14-only: these rows
+    # rotated out of the driver head at r15 per the rotation rule, but
+    # stay registered and cross-engine-checked here)
     sdf = q[name](spark, sf_dir).toPandas()
     con = duckdb_conn(sf_dir)
     odf = con.execute(o[name]).fetchdf()

@@ -109,14 +109,18 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     re-reads the parquet data (pinned by tests/test_rescan_audit.py).
     Each fresh spark.read...parquet() call costs ~20 ms of JVM-side
     DataSource resolution — q05 alone made six per construction."""
+    # the plan-memo key embeds the file identity (path, mtime, size) so
+    # a file regenerated in-process invalidates the memoized plan too —
+    # otherwise the stale plan (old schema + old file index) would keep
+    # serving even after the schema memo re-infers
     per_session = _PLAN_MEMO.setdefault(spark, {})
-    key = f"read:{sf_dir}/{name}"
+    path = f"{sf_dir}/{name}.parquet"
+    skey = _schema_key(path)
+    key = ("read", skey)
     df = per_session.get(key)
     if df is not None:
         return df
     _apply_session_conf(spark)
-    path = f"{sf_dir}/{name}.parquet"
-    skey = _schema_key(path)
     schema = _SCHEMAS.get(skey)
     if schema is None:
         df = spark.read.parquet(path)
@@ -158,7 +162,8 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
         return df
 
-    return _plan_memo(spark, f"events:{sf_dir}", build)
+    # file identity in the memo key: see _read
+    return _plan_memo(spark, ("events", _schema_key(f"{sf_dir}/events.parquet")), build)
 
 
 def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -12112,11 +12117,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #       lru factories), transform (_rewrite_wkb/_bounds),
     #       vectorize (_ngon + grouped-map caches), measures
     #       (centroid UDF), and the entry-side _img_long/_img_tiles
-    #       plan memo.  That is the full ag_*/rt_*/rv_* families plus
-    #       the UDF-executing sq_* rows = 55 candidates for 50 slots;
-    #       the FIVE expression-only sq rows (sq_bbox_identity/
-    #       rotation/scale/_3d, sq_multibox — pure Catalyst, no factory
-    #       or join change on their path) spill to the r16 queue.
+    #       plan memo.  That is the full ag_*/rt_*/rv_* families, the
+    #       UDF-executing sq_* rows, AND the dedup/similarity rewrites
+    #       that landed after the first draft of this head
+    #       (ngram_jaccard_join SQL consolidation — including the
+    #       shingle-separator alignment with the registered oracle,
+    #       '' -> chr(30) — minhash_band_candidates' keyed signature
+    #       factory + SQL band join, and pl_knn_cosine's
+    #       broadcast-subquery query vector) = 60 candidates for 50
+    #       slots.  Spill to the r16 queue: the FIVE expression-only sq
+    #       rows (sq_bbox_identity/rotation/scale/_3d, sq_multibox —
+    #       pure Catalyst, no factory or join change on their path) and
+    #       the FIVE weakest-risk factory-consumer sq rows (multipart/
+    #       bbox_shapes/multibox_rotated/raster_rotated/raster_3d —
+    #       kernels pinned by unit tests; zero semantic risk next to
+    #       the dedup rewrites).
     #   (3) stale-row backfill: none fits this round (the modified-code
     #       set fills the head); queue unchanged otherwise —
     #       pl_semantic_dedup remains the oldest stale green.
@@ -12175,19 +12190,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq_polygon_clip": sq_polygon_clip,
         "sq_polygon_clip_holes": sq_polygon_clip_holes,
         "sq_polygon_shapes": sq_polygon_shapes,
-        "sq_multipart_shapes": sq_multipart_shapes,
-        "sq_bbox_shapes": sq_bbox_shapes,
-        "sq_multibox_rotated": sq_multibox_rotated,
-        "sq_raster_rotated": sq_raster_rotated,
-        "sq_raster_3d": sq_raster_3d,
+        # --- (2f) dedup/similarity rewrites (r15: ngram SQL
+        # consolidation + separator-oracle alignment, minhash signature
+        # factory + SQL band join, knn broadcast subquery) ---
+        "pl_ngram_jaccard": pl_ngram_jaccard,
+        "pl_minhash_dedup": pl_minhash_dedup,
+        "pl_minhash_recall": pl_minhash_recall,
+        "pl_dedup_keep_best": pl_dedup_keep_best,
+        "pl_knn_cosine": pl_knn_cosine,
         # ===== round-15 driver head ends here (first 50) =====
         # --- modified-code spill to the r16 queue (expression-only
-        # paths; then pl_semantic_dedup and the r8-stale tail) ---
+        # paths, then the weakest-risk factory-consumer sq rows, then
+        # pl_semantic_dedup and the r8-stale tail) ---
         "sq_bbox_identity": sq_bbox_identity,
         "sq_bbox_rotation": sq_bbox_rotation,
         "sq_bbox_scale": sq_bbox_scale,
         "sq_bbox_3d": sq_bbox_3d,
         "sq_multibox": sq_multibox,
+        "sq_multipart_shapes": sq_multipart_shapes,
+        "sq_bbox_shapes": sq_bbox_shapes,
+        "sq_multibox_rotated": sq_multibox_rotated,
+        "sq_raster_rotated": sq_raster_rotated,
+        "sq_raster_3d": sq_raster_3d,
         "pl_semantic_dedup": pl_semantic_dedup,
         # --- the displaced round-14 head (re-listed so every key stays
         # registered; duplicates further down are no-ops) ---

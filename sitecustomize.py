@@ -38,7 +38,9 @@ _orig_invalidate_caches = zipimport.zipimporter.invalidate_caches
 def _stat_guarded_invalidate_caches(self):
     try:
         st = os.stat(self.archive)
-        key = (st.st_mtime, st.st_size)
+        # nanosecond mtime: a same-size zip rewritten within coarse
+        # float-mtime resolution must still be detected as changed
+        key = (st.st_mtime_ns, st.st_size)
     except OSError:
         key = None
     if key is not None and getattr(self, "_sdspark_zip_stat", None) == key:

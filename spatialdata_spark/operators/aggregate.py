@@ -34,6 +34,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from spatialdata_spark.session import construction_locked
+
 AGG_FUNCS = {"sum": F.sum, "mean": F.avg, "count": F.count, "min": F.min, "max": F.max}
 
 # per-edge half-plane coefficients of a convex single-ring polygon:
@@ -152,6 +154,7 @@ def _circle_cell_cover(circles_slim: DataFrame, h: float) -> DataFrame:
     )
 
 
+@construction_locked
 def aggregate_points_by_circles(
     points: DataFrame,
     shapes: DataFrame,
@@ -246,8 +249,11 @@ FROM (
         # builds per action, all to narrow one shuffle's rows by a few
         # bytes — net negative at every scale measured (interleaved A/B:
         # categorical med 2.50 → 1.64 s combined with the fp pre-agg
-        # below; results bit-identical, the code was decoded back to the
-        # string before output anyway).
+        # below).  Results identical for non-NULL categories (the code
+        # was decoded back to the string before output anyway); a NULL
+        # category now forms its own group — standard SQL GROUP BY
+        # semantics, matching the DuckDB oracle — where the old
+        # dictionary inner-join silently dropped those points.
         pt_sql = (
             f"SELECT x, y, {vq} AS __code, "
             f"floor(x / {h!r}D) AS __qx, floor(y / {h!r}D) AS __qy "
@@ -490,6 +496,7 @@ def _shape_kinds(df: DataFrame) -> frozenset[str]:
     return frozenset(r[0] for r in df.select("kind").distinct().collect())
 
 
+@construction_locked
 def grid_join_shapes_shapes(
     values: DataFrame,
     by: DataFrame,

@@ -27,6 +27,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.storagelevel import StorageLevel
 
+from spatialdata_spark.session import construction_locked
+
 _MERSENNE = (1 << 61) - 1
 
 
@@ -275,6 +277,7 @@ def minhash_dedup(
     return docs.join(drop, id_col, "left_anti")
 
 
+@construction_locked
 def ngram_jaccard_join(
     docs: DataFrame,
     text_col: str = "text",
@@ -633,6 +636,7 @@ def _minhash_sig_udf(num_hashes: int, shingle_k: int, seed: int):
     return _sig
 
 
+@construction_locked
 def minhash_band_candidates(
     docs: DataFrame,
     text_col: str = "text",

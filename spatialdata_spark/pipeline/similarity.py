@@ -14,6 +14,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from spatialdata_spark.session import construction_locked
+
 
 def _dot_expr(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
@@ -47,6 +49,7 @@ def cosine_topk_query(
     )
 
 
+@construction_locked
 def cosine_topk_subquery(
     embeddings: DataFrame,
     query: DataFrame,

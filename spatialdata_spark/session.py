@@ -10,9 +10,34 @@ the DuckDB oracle (duckdb timestamps are UTC-naive).
 
 from __future__ import annotations
 
+import functools
 import os
+import threading
 
 from pyspark.sql import SparkSession
+
+# Serializes plan CONSTRUCTION for operators that register fixed-name
+# session-global temp views and resolve them in the same call
+# (circle-aggregation, grid shapes-join, ngram/minhash dedup, knn
+# subquery): two threads interleaving registration and spark.sql()
+# analysis could silently resolve one thread's view names against the
+# other's data.  Once built, a DataFrame's analyzed plan is immutable
+# and safe to EXECUTE from any thread — only construction serializes.
+# Reentrant: composed operators (dedup_keep_best -> band candidates)
+# nest acquisitions.
+PLAN_CONSTRUCTION_LOCK = threading.RLock()
+
+
+def construction_locked(fn):
+    """Decorator: hold PLAN_CONSTRUCTION_LOCK for the duration of an
+    operator's plan construction (~100-300 ms driver-side)."""
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        with PLAN_CONSTRUCTION_LOCK:
+            return fn(*args, **kwargs)
+
+    return wrapper
 
 
 def get_spark(app_name: str = "spatialdata-spark", cores: int | None = None) -> SparkSession:
@@ -68,13 +93,16 @@ _UDF_CACHE_CTX: list = [None]
 
 def _invalidate_udf_caches_on_new_context(spark: SparkSession) -> None:
     """The lru_cache'd Arrow-kernel factories (raster/transform/
-    vectorize/aggregate/spatial_query) memoize pandas_udf wrappers whose
-    JVM registration handle binds to the session that first used them;
-    after a stop()/restart in the same process the stale handle raises
-    py4j errors.  Sweep every factory cache when a DIFFERENT
-    SparkContext appears so kernels re-register against the live one.
-    Module-level @pandas_udf constants keep the documented one-session-
-    per-process contract (their UDF object is closure-private)."""
+    vectorize/aggregate/spatial_query) memoize pandas_udf wrappers, and
+    the module-level ``@pandas_udf`` constants cache a ``_judf``
+    handle, both bound to the session that first used them; after a
+    stop()/restart in the same process the stale JVM handle raises py4j
+    errors.  When a DIFFERENT SparkContext appears: sweep every factory
+    cache (kernels rebuild + re-register), and reset each module-level
+    UDF constant's ``_judf_placeholder`` (the ``UserDefinedFunction``
+    lives in the wrapper's closure; clearing the placeholder makes
+    pyspark re-create the JVM UDF against the live session on next
+    use)."""
     ctx = spark.sparkContext
     if _UDF_CACHE_CTX[0] is ctx:
         return
@@ -82,10 +110,19 @@ def _invalidate_udf_caches_on_new_context(spark: SparkSession) -> None:
         import sys
 
         for mod_name, mod in list(sys.modules.items()):
-            if not mod_name.startswith("spatialdata_spark"):
+            if not mod_name.startswith("spatialdata_spark") and mod_name != "__spark_entry__":
                 continue
             for obj in vars(mod).values():
                 clear = getattr(obj, "cache_clear", None)
                 if callable(clear):
                     clear()
+                    continue
+                if callable(obj) and getattr(obj, "evalType", None) is not None:
+                    for cell in getattr(obj, "__closure__", None) or ():
+                        try:
+                            v = cell.cell_contents
+                        except ValueError:
+                            continue
+                        if hasattr(v, "_judf_placeholder"):
+                            v._judf_placeholder = None
     _UDF_CACHE_CTX[0] = ctx

@@ -43,44 +43,66 @@ SF_DIR = "/root/testdata/sf0.001"
 JUSTIFIED: dict[tuple[str, str], str] = {}
 
 
-def _family(name: str) -> str:
-    """Operator-family key: queries that could share a persisted
-    intermediate (same operator over the same inputs) always share
-    their first two name tokens (ag_points_*, pl_ngram_*, ...)."""
-    parts = name.split("_")
-    return "_".join(parts[:2]) if len(parts) > 1 else name
-
-
 def test_registry_runtime_rescans(spark):
-    """Executes in FAMILY-AWARE WAVES (r15, suite-runtime fix): the
-    audit's cache-isolation requirement is that no concurrently-running
-    query can satisfy another's scan from a persist it created — only
-    same-operator-same-input queries share canonicalized persist plans,
-    and those always share a family key, so each wave takes at most one
-    query per family and the cache is cleared between waves.  Plan
-    CONSTRUCTION stays on this thread (operators resolve fixed-name temp
-    views at build time); only the collect+walk fans out.  Semantics
-    unchanged, wall clock ~248 s -> ~80 s of the suite's slowest test."""
+    """Parallelized WITHOUT weakening the audit's cache isolation (r15
+    suite-runtime fix).  The isolation requirement: no query may plan
+    against a cache entry another query registered — CacheManager
+    substitutes ANY canonically-matching subtree at planning time, so
+    even cross-family queries can silently satisfy a scan from a
+    sibling's persist (ag_zonal_image's persisted aggregate is exactly
+    the subtree under _img_long, which every rt_*/rv_* query compiles).
+    Scheme: construct each query serially (operators resolve fixed-name
+    temp views at build time) and watch CacheManager —
+
+    * a construction that REGISTERS a persist runs solo immediately and
+      the cache is cleared, exactly the old per-query semantics;
+    * non-persisting queries accumulate and execute concurrently
+      against a PROVABLY EMPTY CacheManager (asserted) — also exactly
+      the old semantics, since their own runs create no entries.
+
+    Every persist in this codebase is a construction-time call, so the
+    empty-cache invariant holds through each concurrent batch.  Only
+    the non-persisting subset parallelizes (persisters keep their solo
+    runs by construction), so the win is bounded — measured ~5 min,
+    comparable to serial; the value of this scheme is that the
+    ISOLATION IS ASSERTED rather than assumed, where the earlier
+    family-wave draft demonstrably under-counted (a persisted aggregate
+    is a canonical subtree of other families' plans and CacheManager
+    substitutes it at planning time)."""
     from concurrent.futures import ThreadPoolExecutor
-    from collections import defaultdict
 
     import __spark_entry__ as em
 
-    fams: dict[str, list] = defaultdict(list)
-    for name, fn in sorted(em.queries().items()):
-        fams[_family(name)].append((name, fn))
-
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
     flagged = []
-    depth = max(len(v) for v in fams.values())
-    for i in range(depth):
-        wave = [v[i] for v in fams.values() if len(v) > i]
-        built = [(name, fn(spark, SF_DIR)) for name, fn in wave]
+    batch: list = []
+
+    def audit(name, counts):
+        for base, c in sorted(counts.items()):
+            if c >= 3 and (name, base) not in JUSTIFIED:
+                flagged.append((name, base, c))
+
+    def flush():
+        if not batch:
+            return
+        assert cache_mgr.isEmpty(), "cache must be empty before a concurrent batch"
         with ThreadPoolExecutor(max_workers=8) as pool:
-            for name, counts in pool.map(lambda nd: (nd[0], _live_scans(nd[1])), built):
-                for base, c in sorted(counts.items()):
-                    if c >= 3 and (name, base) not in JUSTIFIED:
-                        flagged.append((name, base, c))
+            for name, counts in pool.map(lambda nd: (nd[0], _live_scans(nd[1])), batch):
+                audit(name, counts)
+        batch.clear()
         spark.catalog.clearCache()
+
+    for name, fn in sorted(em.queries().items()):
+        df = fn(spark, SF_DIR)
+        if not cache_mgr.isEmpty():
+            # this construction persisted something: isolate its run
+            audit(name, _live_scans(df))
+            spark.catalog.clearCache()
+        else:
+            batch.append((name, df))
+            if len(batch) >= 64:
+                flush()
+    flush()
     assert not flagged, (
         "runtime re-scans >= 3x without a JUSTIFIED entry (persist the "
         f"shared first aggregation or justify in-code + here): {flagged}"
